@@ -1,0 +1,165 @@
+"""Point-in-time (as-of) join.
+
+Semantics: for each left row (entity, ts), attach the value of the most
+recent right row for the same entity with ``right.ts < left.ts``
+(STRICT past — an update stamped exactly at the turn's ts is NOT
+visible at that turn; zero temporal leakage). Entities with no prior
+update get null (backfill-null).
+
+Spark has no native as-of join; two implementations:
+
+* :func:`asof_join` — the default. Union-tag + window ``last(value,
+  ignorenulls=True)``: one shuffle on the entity key, fully JVM-side
+  (whole-stage codegen, no Python), skew handled by AQE. Right rows at
+  equal ts sort AFTER left rows, which is exactly the strict-< rule.
+* :func:`asof_join_grouped` — sort-merge kernel via cogrouped
+  ``applyInPandas`` + ``pandas.merge_asof`` per salt bucket of
+  conversations. Demonstrates the grouped-kernel escape hatch for
+  semantics windows can't express (nearest / tolerance / forward).
+
+The reference has no join of any kind (label alignment is positional,
+reference examples/nimstim.py:74-83); this operator comes from the
+north rule.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql import Window as W
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str = "ts",
+    by: str | Sequence[str] = "conv_id",
+    value_cols: Sequence[str] | None = None,
+    allow_exact_matches: bool = False,
+) -> DataFrame:
+    """Backward as-of join, window implementation (the scale path).
+
+    ``left`` keeps all its columns; for each name in ``value_cols``
+    (default: every right column not in the key) a column with the
+    as-of value is appended.
+    """
+    by = [by] if isinstance(by, str) else list(by)
+    value_cols = list(
+        value_cols
+        if value_cols is not None
+        else [c for c in right.columns if c not in set(by) | {on}]
+    )
+
+    # Tag: left rows get __src=0, right rows __src=1. Order by (ts, __src):
+    # at equal ts the right row sorts after the left row => invisible when
+    # allow_exact_matches=False. With exact matches allowed, right sorts
+    # first (__src flipped).
+    right_src = 1 if not allow_exact_matches else -1
+    lhs = left.select(
+        *by,
+        F.col(on).alias("__ts"),
+        F.lit(0).alias("__src"),
+        F.struct(*left.columns).alias("__row"),
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"__v_{c}")
+          for c in value_cols],
+    )
+    rhs = right.select(
+        *by,
+        F.col(on).alias("__ts"),
+        F.lit(right_src).alias("__src"),
+        F.lit(None).cast(lhs.schema["__row"].dataType).alias("__row"),
+        *[F.col(c).alias(f"__v_{c}") for c in value_cols],
+    )
+    unioned = lhs.unionByName(rhs)
+
+    # Tiebreak on the value columns so duplicate right rows at the same
+    # (by, ts) resolve identically at any parallelism.
+    w = (
+        W.partitionBy(*by)
+        .orderBy(
+            F.col("__ts").asc(),
+            F.col("__src").asc(),
+            *[F.col(f"__v_{c}").asc_nulls_first() for c in value_cols],
+        )
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    filled = unioned.select(
+        "__row",
+        *[
+            F.last(F.col(f"__v_{c}"), ignorenulls=True).over(w).alias(f"__f_{c}")
+            for c in value_cols
+        ],
+    ).where(F.col("__row").isNotNull())
+
+    return filled.select(
+        *[F.col(f"__row.{c}").alias(c) for c in left.columns],
+        *[F.col(f"__f_{c}").alias(c) for c in value_cols],
+    )
+
+
+def asof_join_grouped(
+    left: DataFrame,
+    right: DataFrame,
+    on: str = "ts",
+    by: str = "conv_id",
+    value_cols: Sequence[str] | None = None,
+    allow_exact_matches: bool = False,
+    n_buckets: int = 64,
+) -> DataFrame:
+    """Backward as-of join via cogrouped ``pandas.merge_asof`` kernel.
+
+    Both sides are cogrouped on a deterministic salt bucket of the
+    entity (``pmod(xxhash64(by), n_buckets)``) so one Arrow batch holds
+    many conversations; inside the kernel ``merge_asof(by=<entity>)``
+    does a per-conversation sort-merge. Exactly one shuffle per side.
+
+    Known limit (documented, inherent to by-key kernels): a single
+    conversation larger than executor memory needs time-range splitting
+    with carry-in of the last pre-boundary right row; the window
+    implementation (:func:`asof_join`) has no such limit and is the
+    default.
+    """
+    value_cols = list(
+        value_cols
+        if value_cols is not None
+        else [c for c in right.columns if c not in {by, on}]
+    )
+    left_cols = list(left.columns)
+    # build a fresh StructType — StructType.add mutates in place and
+    # left.schema is a cached object on the DataFrame
+    out_schema = T.StructType(
+        list(left.schema.fields)
+        + [T.StructField(c, right.schema[c].dataType, True) for c in value_cols]
+    )
+
+    lb = left.withColumn("__b", F.pmod(F.xxhash64(F.col(by)), F.lit(n_buckets)))
+    rb = right.withColumn("__b", F.pmod(F.xxhash64(F.col(by)), F.lit(n_buckets)))
+
+    def merge(lpdf: pd.DataFrame, rpdf: pd.DataFrame) -> pd.DataFrame:
+        lpdf = lpdf.drop(columns="__b").sort_values(on, kind="mergesort")
+        rpdf = (
+            rpdf.drop(columns="__b")[[by, on] + value_cols]
+            .sort_values(on, kind="mergesort")
+        )
+        if len(lpdf) == 0:
+            return lpdf.reindex(columns=left_cols + value_cols)
+        merged = pd.merge_asof(
+            lpdf,
+            rpdf,
+            on=on,
+            by=by,
+            direction="backward",
+            allow_exact_matches=allow_exact_matches,
+        )
+        return merged[left_cols + value_cols]
+
+    return (
+        lb.groupBy("__b")
+        .cogroup(rb.groupBy("__b"))
+        .applyInPandas(merge, schema=out_schema)
+    )

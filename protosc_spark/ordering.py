@@ -1,0 +1,67 @@
+"""Stable turn ordering and deduplication.
+
+The engine's core invariant (BASELINE input_hint): *per-turn text
+equality under stable turn ordering*. Ingested transcripts may contain
+duplicated ``(conv_id, turn_idx)`` rows (retries, replays) and
+out-of-order timestamps; every downstream operator assumes one row per
+(conv_id, turn_idx) with a total order.
+
+The reference has no notion of ordering or keys at all — label/sample
+alignment is positional (reference examples/nimstim.py:74-83). We
+replace positional alignment with explicit keys, which is what makes
+any of this shard-safe.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+TURN_KEY = ["conv_id", "turn_idx"]
+STABLE_ORDER = ["ts", "role"]
+
+
+def stable_dedup(df: DataFrame, key=None, order=None) -> DataFrame:
+    """Keep exactly one row per key, chosen by a deterministic total order.
+
+    Default: first occurrence per (conv_id, turn_idx) ordered by
+    (ts, role) — the "stable turn ordering" rule. Implemented as a
+    single window ``row_number`` (one shuffle on the key); no
+    ``dropDuplicates`` (whose survivor is partitioning-dependent —
+    non-deterministic across cluster sizes) and no
+    ``monotonically_increasing_id`` anywhere.
+    """
+    key = key or TURN_KEY
+    order = order or STABLE_ORDER
+    w = W.partitionBy(*key).orderBy(*[F.col(c).asc_nulls_last() for c in order])
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def with_salt(df: DataFrame, n_salt: int = 32, col: str = "conv_id") -> DataFrame:
+    """Attach a deterministic salt bucket for skew-spreading.
+
+    ``pmod(xxhash64(col), n_salt)`` — stable across runs/partitionings,
+    unlike ``spark_partition_id``. Used by operators that can process a
+    conversation in independent pieces and re-merge.
+    """
+    return df.withColumn(
+        "__salt", F.pmod(F.xxhash64(F.col(col)), F.lit(n_salt)).cast("int")
+    )
+
+
+def range_partition_conversations(
+    df: DataFrame, num_partitions: int | None = None
+) -> DataFrame:
+    """Range-partition by (conv_id, turn_idx) so each conversation is
+    contiguous and partition-local sorts are cheap (sort-merge windows
+    without an extra exchange). At 10^12-turn scale this is the layout
+    an Iceberg table would give via ``bucket(conv_id)`` + sorted files.
+    """
+    if num_partitions:
+        return df.repartitionByRange(num_partitions, "conv_id", "turn_idx")
+    return df.repartitionByRange("conv_id", "turn_idx")

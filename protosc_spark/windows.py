@@ -1,0 +1,178 @@
+"""Windowed feature operators: lag/lead, rolling backfill, trailing
+aggregates, gap-based sessionization.
+
+These are the point-in-time operators the north rule adds on top of the
+reference (which has no time/order concept — reference
+protosc/pipeline.py processes samples independently). Every frame ends
+at the CURRENT row (or strictly before it, for the ``*_prev`` variants)
+— zero temporal leakage by construction; tests/test_leakage.py perturbs
+future rows and asserts past features are bit-identical.
+
+All operators are generic over (entity_col, order_cols) so the same code
+serves transcripts (conv_id, turn_idx) and the events table
+(user_id, ts) used for duckdb-oracle cross-checks.
+
+Scale notes: one window spec = one shuffle on the entity key; chained
+operators reuse the same partitioning (Spark collapses adjacent Window
+nodes over the same spec into a single exchange+sort). Skewed entities
+are handled by AQE; sessionization/rolling are per-entity sequential
+scans, which is inherent to the semantics.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+
+def _epoch_s(col: str | Column) -> Column:
+    """Epoch seconds; works for both TIMESTAMP and TIMESTAMP_NTZ (which
+    Spark 4 refuses to cast straight to a numeric)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return c.cast("timestamp").cast("long")
+
+
+def _w(entity: str | Sequence[str], order: str | Sequence[str]):
+    entity = [entity] if isinstance(entity, str) else list(entity)
+    order = [order] if isinstance(order, str) else list(order)
+    return W.partitionBy(*entity).orderBy(*order)
+
+
+def with_lag_lead(
+    df: DataFrame,
+    cols: dict[str, Column | str],
+    entity: str | Sequence[str] = "conv_id",
+    order: str | Sequence[str] = "turn_idx",
+    offsets: Sequence[int] = (1,),
+) -> DataFrame:
+    """Add lag_k / lead_k columns for each named input column.
+
+    ``cols`` maps output-name-prefix -> source column. lag looks only at
+    strictly earlier rows: leakage-free. lead intentionally looks
+    forward — it exists for label construction, NOT for features; the
+    feature assembler refuses lead_* columns.
+    """
+    w = _w(entity, order)
+    out = df
+    for name, col in cols.items():
+        c = F.col(col) if isinstance(col, str) else col
+        for k in offsets:
+            out = out.withColumn(f"{name}_lag{k}", F.lag(c, k).over(w))
+            out = out.withColumn(f"{name}_lead{k}", F.lead(c, k).over(w))
+    return out
+
+
+def rolling_backfill(
+    df: DataFrame,
+    col: str,
+    out: str | None = None,
+    entity: str | Sequence[str] = "conv_id",
+    order: str | Sequence[str] = "turn_idx",
+    strict_past: bool = False,
+) -> DataFrame:
+    """Last known (non-null) value per entity up to the current row.
+
+    ``strict_past=True`` excludes the current row (frame ends at -1) —
+    the as-of-style "known before this turn started" semantics.
+    """
+    out = out or f"{col}_ffill"
+    end = -1 if strict_past else 0
+    w = _w(entity, order).rowsBetween(W.unboundedPreceding, end)
+    return df.withColumn(out, F.last(F.col(col), ignorenulls=True).over(w))
+
+
+def rolling_agg(
+    df: DataFrame,
+    aggs: dict[str, Column],
+    n_rows: int,
+    entity: str | Sequence[str] = "conv_id",
+    order: str | Sequence[str] = "turn_idx",
+    include_current: bool = True,
+) -> DataFrame:
+    """Trailing-k-row aggregates (frame = [-(n_rows-1), 0] rows).
+
+    ``aggs`` maps output name -> aggregate Column built on raw columns,
+    e.g. ``{"qty_sum5": F.sum("qty")}``. Frame never extends past the
+    current row.
+    """
+    end = 0 if include_current else -1
+    start = -(n_rows - 1) + end
+    w = _w(entity, order).rowsBetween(start, end)
+    out = df
+    for name, agg in aggs.items():
+        out = out.withColumn(name, agg.over(w))
+    return out
+
+
+def rolling_time_agg(
+    df: DataFrame,
+    aggs: dict[str, Column],
+    trailing_seconds: int,
+    ts_col: str = "ts",
+    entity: str | Sequence[str] = "conv_id",
+) -> DataFrame:
+    """Trailing time-range aggregates over the last ``trailing_seconds``
+    up to and including the current row (rangeBetween on epoch seconds).
+    """
+    w = (
+        W.partitionBy(entity)
+        .orderBy(_epoch_s(ts_col))
+        .rangeBetween(-trailing_seconds, 0)
+    )
+    out = df
+    for name, agg in aggs.items():
+        out = out.withColumn(name, agg.over(w))
+    return out
+
+
+def sessionize(
+    df: DataFrame,
+    gap_seconds: int = 1800,
+    ts_col: str = "ts",
+    entity: str | Sequence[str] = "conv_id",
+    order: str | Sequence[str] | None = None,
+    session_col: str = "session_id",
+) -> DataFrame:
+    """Gap-based sessionization: a new session starts when the gap from
+    the previous row exceeds ``gap_seconds``.
+
+    session_id = cumulative count of boundary flags over the stable
+    order — deterministic under any physical parallelism. The streaming
+    analog is ``F.session_window(ts, gap)`` (see streaming.py).
+    """
+    order = order if order is not None else [ts_col]
+    w = _w(entity, order)
+    prev_ts = F.lag(F.col(ts_col)).over(w)
+    is_new = (
+        prev_ts.isNull()
+        | (_epoch_s(ts_col) - _epoch_s(prev_ts) > gap_seconds)
+    ).cast("int")
+    wcum = _w(entity, order).rowsBetween(W.unboundedPreceding, 0)
+    return df.withColumn("__new_session", is_new).withColumn(
+        session_col, F.sum("__new_session").over(wcum)
+    ).drop("__new_session")
+
+
+def session_summary(
+    df: DataFrame,
+    ts_col: str = "ts",
+    entity: str | Sequence[str] = "conv_id",
+    session_col: str = "session_id",
+    extra_aggs: dict[str, Column] | None = None,
+) -> DataFrame:
+    """Per-session rollup: row count + duration (+ caller aggregates)."""
+    entity = [entity] if isinstance(entity, str) else list(entity)
+    aggs = [
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.min(ts_col).alias("session_start"),
+        F.max(ts_col).alias("session_end"),
+        (F.max(_epoch_s(ts_col)) - F.min(_epoch_s(ts_col)))
+        .cast("long")
+        .alias("duration_s"),
+    ]
+    for name, agg in (extra_aggs or {}).items():
+        aggs.append(agg.alias(name))
+    return df.groupBy(*entity, session_col).agg(*aggs)

@@ -1,0 +1,201 @@
+"""Window operators cross-checked against a DuckDB oracle on the
+driver-provided events table (FIXTURES.md F7) and pandas oracles on
+synthetic transcripts."""
+
+import duckdb
+import pandas as pd
+from pyspark.sql import functions as F
+
+from protosc_spark.windows import (
+    rolling_agg,
+    rolling_backfill,
+    rolling_time_agg,
+    session_summary,
+    sessionize,
+    with_lag_lead,
+)
+
+EV = "/root/testdata/sf0.001/events.parquet"
+
+
+def _duck(sql: str) -> pd.DataFrame:
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM '{EV}'")
+    return con.execute(sql).df()
+
+
+def _spark_pdf(df, order):
+    return (
+        df.orderBy(*order)
+        .toPandas()
+        .reset_index(drop=True)
+    )
+
+
+def test_lag_lead_vs_duckdb(events):
+    got = _spark_pdf(
+        with_lag_lead(
+            events.select("user_id", "ts", "value"),
+            {"value": "value"},
+            entity="user_id",
+            order="ts",
+        ),
+        ["user_id", "ts"],
+    )
+    want = _duck(
+        """
+        SELECT user_id, ts, value,
+               lag(value)  OVER (PARTITION BY user_id ORDER BY ts) AS value_lag1,
+               lead(value) OVER (PARTITION BY user_id ORDER BY ts) AS value_lead1
+        FROM events ORDER BY user_id, ts
+        """
+    )
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_rolling_agg_vs_duckdb(events):
+    got = _spark_pdf(
+        rolling_agg(
+            events.select("user_id", "ts", "value"),
+            {"v_sum5": F.sum("value"), "v_avg5": F.avg("value")},
+            n_rows=5,
+            entity="user_id",
+            order="ts",
+        ),
+        ["user_id", "ts"],
+    )
+    want = _duck(
+        """
+        SELECT user_id, ts, value,
+               sum(value) OVER w AS v_sum5,
+               avg(value) OVER w AS v_avg5
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                     ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+        ORDER BY user_id, ts
+        """
+    )
+    pd.testing.assert_frame_equal(got, want, check_dtype=False, atol=1e-9)
+
+
+def test_rolling_time_agg_vs_duckdb(events):
+    got = _spark_pdf(
+        rolling_time_agg(
+            events.select("user_id", "ts", "value"),
+            {"v_cnt_1h": F.count(F.lit(1))},
+            trailing_seconds=3600,
+            entity="user_id",
+        ),
+        ["user_id", "ts"],
+    )
+    want = _duck(
+        """
+        SELECT user_id, ts, value,
+               count(*) OVER (PARTITION BY user_id ORDER BY ts
+                              RANGE BETWEEN INTERVAL 1 HOUR PRECEDING
+                              AND CURRENT ROW) AS v_cnt_1h
+        FROM events ORDER BY user_id, ts
+        """
+    )
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_backfill_vs_duckdb(events):
+    purchases = events.withColumn(
+        "purchase_value",
+        F.when(F.col("event_type") == "purchase", F.col("value")),
+    ).select("user_id", "ts", "purchase_value")
+    got = _spark_pdf(
+        rolling_backfill(
+            purchases, "purchase_value", out="last_purchase",
+            entity="user_id", order="ts",
+        ),
+        ["user_id", "ts"],
+    )
+    want = _duck(
+        """
+        SELECT user_id, ts,
+               CASE WHEN event_type = 'purchase' THEN value END AS purchase_value,
+               last_value(CASE WHEN event_type = 'purchase' THEN value END
+                          IGNORE NULLS)
+                 OVER (PARTITION BY user_id ORDER BY ts
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS last_purchase
+        FROM events ORDER BY user_id, ts
+        """
+    )
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_backfill_strict_past_excludes_current(spark):
+    pdf = pd.DataFrame(
+        {
+            "conv_id": ["a"] * 3,
+            "turn_idx": [0, 1, 2],
+            "x": [1.0, None, 3.0],
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    got = (
+        rolling_backfill(df, "x", out="x_prev", strict_past=True)
+        .orderBy("turn_idx")
+        .toPandas()
+    )
+    assert got["x_prev"].tolist()[0] is None or pd.isna(got["x_prev"][0])
+    assert got["x_prev"][1] == 1.0
+    assert got["x_prev"][2] == 1.0  # current row's 3.0 not visible
+
+
+def test_sessionize_vs_duckdb(events):
+    got = _spark_pdf(
+        sessionize(
+            events.select("user_id", "ts"),
+            gap_seconds=1800,
+            entity="user_id",
+        ),
+        ["user_id", "ts"],
+    )
+    want = _duck(
+        """
+        WITH flagged AS (
+          SELECT user_id, ts,
+                 CASE WHEN lag(ts) OVER w IS NULL
+                        OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+                      THEN 1 ELSE 0 END AS is_new
+          FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+        )
+        SELECT user_id, ts,
+               sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS session_id
+        FROM flagged ORDER BY user_id, ts
+        """
+    )
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_session_boundaries_on_transcripts(transcripts):
+    # datagen injects a >30min gap at every turn_idx % 17 == 13 → those
+    # rows must start a new session
+    s = sessionize(transcripts, gap_seconds=1800, order=["turn_idx"])
+    bad = (
+        with_lag_lead(
+            s.select("conv_id", "turn_idx", "session_id"),
+            {"sid": "session_id"},
+            order="turn_idx",
+        )
+        .where(
+            (F.col("turn_idx") % 17 == 13)
+            & (F.col("session_id") == F.col("sid_lag1"))
+        )
+        .count()
+    )
+    assert bad == 0
+
+
+def test_session_summary(transcripts):
+    s = sessionize(transcripts, gap_seconds=1800, order=["turn_idx"])
+    summ = session_summary(s)
+    total = summ.agg(F.sum("n_rows")).first()[0]
+    assert total == transcripts.count()
+    assert summ.where(F.col("duration_s") < 0).count() == 0
