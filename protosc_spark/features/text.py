@@ -1,0 +1,193 @@
+"""Per-turn text feature extractors.
+
+Each is the transcript analog of a reference extractor (SURVEY.md §2.3)
+and obeys the same contract: fixed declared width, per-sample map, no
+cross-row state (cross-row features come from windows.py, never here —
+that separation is what makes leakage impossible in this layer).
+
+JVM-expression extractors stay inside whole-stage codegen; the two
+numpy-ish ones (char_hist, hashed_ngram) are Arrow-vectorized pandas
+UDFs (series -> series of arrays), never per-row Python.
+
+Reference analogies:
+* length_stats  — the scalar summaries protosc computes implicitly
+* char_hist     — ColorFeatures histogram-density per channel
+                  (reference protosc/feature_extraction/color.py:6-45)
+* hashed_ngram  — FourierFeatures' fixed-width spectral signature
+                  (reference protosc/feature_extraction/fourier_features.py:10-58)
+* token_ids     — PixelFeatures' resize-and-flatten
+                  (reference protosc/feature_extraction/pixel.py:7-47)
+* role_onehot   — SetColorChannels-style channel projection
+                  (reference protosc/feature_extraction/color_channels.py:6-41)
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from protosc_spark.extract import Extractor
+
+ARR = T.ArrayType(T.DoubleType())
+
+# ---------------------------------------------------------------------------
+# length_stats: [n_chars, n_tokens, avg_token_len]  (pure JVM expressions)
+# ---------------------------------------------------------------------------
+
+
+def _length_stats(df: DataFrame) -> Column:
+    n_tok = F.size(F.col("__tokens")).cast("double")
+    n_chars = F.col("__n_chars")
+    avg_tok = (n_chars - (n_tok - 1)) / n_tok
+    return F.array(n_chars, n_tok, avg_tok)
+
+
+length_stats = Extractor(
+    name="length_stats",
+    width=3,
+    build=_length_stats,
+    requires=("__tokens", "__n_chars"),
+    feature_names=("n_chars", "n_tokens", "avg_token_len"),
+)
+
+# ---------------------------------------------------------------------------
+# char_hist: density histogram of token lengths (ColorFeatures analog)
+# ---------------------------------------------------------------------------
+
+CHAR_HIST_BINS = 8
+CHAR_HIST_RANGE = (0.0, 8.0)
+
+
+def token_length_hist_np(texts: np.ndarray) -> np.ndarray:
+    """Shared by the Spark UDF and the pandas oracle: density histogram
+    of token lengths per text. Deterministic pure numpy."""
+    out = np.empty((len(texts), CHAR_HIST_BINS), dtype=np.float64)
+    for i, t in enumerate(texts):
+        toks = t.split(" ") if t else []
+        lens = np.array([len(tok) for tok in toks], dtype=np.float64)
+        hist, _ = np.histogram(lens, bins=CHAR_HIST_BINS, range=CHAR_HIST_RANGE,
+                               density=True)
+        out[i] = np.nan_to_num(hist)
+    return out
+
+
+@F.pandas_udf(ARR)
+def _char_hist_udf(texts: pd.Series) -> pd.Series:
+    m = token_length_hist_np(texts.fillna("").to_numpy())
+    return pd.Series(list(m))
+
+
+char_hist = Extractor(
+    name="char_hist",
+    width=CHAR_HIST_BINS,
+    build=lambda df: _char_hist_udf(F.col("text")),
+)
+
+# ---------------------------------------------------------------------------
+# hashed_ngram: L1-normalized counts of hashed token uni+bigrams
+# ---------------------------------------------------------------------------
+
+NGRAM_BUCKETS = 16
+_FNV_OFFSET = 14695981039346656037
+_FNV_PRIME = 1099511628211
+_MASK64 = (1 << 64) - 1
+
+
+def _fnv1a(s: str) -> int:
+    """FNV-1a 64-bit (wrap-around by design) — same arithmetic on
+    driver, executor and oracle."""
+    h = _FNV_OFFSET
+    for b in s.encode("utf-8"):
+        h = ((h ^ b) * _FNV_PRIME) & _MASK64
+    return h
+
+
+def hashed_ngram_np(texts: np.ndarray, buckets: int = NGRAM_BUCKETS) -> np.ndarray:
+    out = np.zeros((len(texts), buckets), dtype=np.float64)
+    for i, t in enumerate(texts):
+        toks = t.split(" ") if t else []
+        grams = toks + [f"{a} {b}" for a, b in zip(toks, toks[1:])]
+        for g in grams:
+            out[i, _fnv1a(g) % buckets] += 1.0
+        s = out[i].sum()
+        if s > 0:
+            out[i] /= s
+    return out
+
+
+@F.pandas_udf(ARR)
+def _hashed_ngram_udf(texts: pd.Series) -> pd.Series:
+    m = hashed_ngram_np(texts.fillna("").to_numpy())
+    return pd.Series(list(m))
+
+
+hashed_ngram = Extractor(
+    name="hashed_ngram",
+    width=NGRAM_BUCKETS,
+    build=lambda df: _hashed_ngram_udf(F.col("text")),
+)
+
+# ---------------------------------------------------------------------------
+# token_ids: first K token ids, scaled; padded with -1 (PixelFeatures analog)
+# ---------------------------------------------------------------------------
+
+TOKEN_IDS_K = 8
+TOKEN_ID_SCALE = 1000.0
+
+
+def _token_ids(df: DataFrame) -> Column:
+    ids = F.transform(
+        F.slice(F.col("__tokens"), 1, TOKEN_IDS_K),
+        lambda x: F.coalesce(
+            F.regexp_extract(x, r"(\d+)", 1).try_cast("double"), F.lit(-1.0)
+        )
+        / F.lit(TOKEN_ID_SCALE),
+    )
+    padded = F.concat(
+        ids, F.array_repeat(F.lit(-1.0 / TOKEN_ID_SCALE), TOKEN_IDS_K)
+    )
+    return F.slice(padded, 1, TOKEN_IDS_K)
+
+
+token_ids = Extractor(
+    name="token_ids",
+    width=TOKEN_IDS_K,
+    build=_token_ids,
+    requires=("__tokens",),
+)
+
+# ---------------------------------------------------------------------------
+# role_onehot: role + tool indicator block (projection analog)
+# ---------------------------------------------------------------------------
+
+ROLES = ("user", "assistant", "tool")
+TOOLS = ("search", "exec", "read", "write")
+
+
+def _role_onehot(df: DataFrame) -> Column:
+    cols = [
+        (F.col("role") == r).cast("double") for r in ROLES
+    ] + [
+        (F.col("tool") == t).cast("double") for t in TOOLS
+    ] + [F.col("tool").isNotNull().cast("double")]
+    # tool equality on null yields null -> coalesce to 0
+    cols = [F.coalesce(c, F.lit(0.0)) for c in cols]
+    return F.array(*cols)
+
+
+role_onehot = Extractor(
+    name="role_onehot",
+    width=len(ROLES) + len(TOOLS) + 1,
+    build=_role_onehot,
+    feature_names=tuple(f"role_{r}" for r in ROLES)
+    + tuple(f"tool_{t}" for t in TOOLS)
+    + ("has_tool",),
+)
+
+
+def default_text_extractors() -> list[Extractor]:
+    return [length_stats, char_hist, hashed_ngram, token_ids, role_onehot]
