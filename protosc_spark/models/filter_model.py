@@ -1,0 +1,111 @@
+"""Distributed FilterModel — the parity-critical path (reference
+protosc/model/filter.py:6-22 + protosc/model/base.py:36-85).
+
+Per fold:
+  1. chi-square (Kruskal–Wallis H) per feature — DISTRIBUTED rank
+     aggregation (stats.chisquare_features)
+  2. correlation of the surviving features — DISTRIBUTED Gramian
+     sufficient statistics (stats.correlation_submatrix)
+  3. selection logic on those tiny statistics — driver (select.py,
+     shared verbatim with the numpy oracle)
+  4. classifier accuracy + 100-permutation null distribution on the
+     COLLECTED selected submatrix (a few dozen columns; the reference
+     collects the full matrix by construction — we collect only the
+     selection), via the same shared numerics.
+
+Folds are column filters over one cached DataFrame, not data copies
+(the reference copies rows per fold, protosc/feature_matrix.py:290-292).
+
+Engine output equals oracle/numpy_model.py output feature-ID-exact:
+the distributed statistics are quantized to 1e-9 before the sort/
+threshold decisions, which collapses float-summation-order noise
+between backends (tests/test_filter_model.py pins this).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from protosc_spark.folds import with_fold_id
+from protosc_spark.numerics import linear_classifier_accuracy
+from protosc_spark.oracle.numpy_model import (
+    null_accuracy_distribution,
+    quantize,
+)
+from protosc_spark.select import final_feature_selection, select_from_stats
+from protosc_spark.stats import chisquare_features, correlation_submatrix
+
+
+def _collect_submatrix(df: DataFrame, feature_ids, key_col: str):
+    """Collect (X[:, selected], y) ordered by the stable sample key —
+    the same convention the oracle uses, so permutation nulls see the
+    same row order."""
+    idx = [int(i) for i in feature_ids]
+    pdf = (
+        df.select(
+            key_col,
+            F.col("y"),
+            F.array(*[F.col("features")[i] for i in idx]).alias("sub"),
+        )
+        .orderBy(key_col)
+        .toPandas()
+    )
+    X = np.array(pdf["sub"].tolist(), dtype=np.float64)
+    return X, pdf["y"].to_numpy()
+
+
+class FilterModel:
+    """Chi-square filter selection with cross-fold significance."""
+
+    def __init__(self, n_fold: int = 8):
+        self.n_fold = n_fold
+        self.interim = None
+
+    def execute(
+        self,
+        df: DataFrame,
+        key_col: str = "sample_id",
+        n_features: int | None = None,
+        fold_seed: int | None = None,
+        seed: int = 0,
+    ) -> list[int]:
+        """df: (key_col, features array<double>, y int). Returns the
+        final selected feature ids."""
+        if n_features is None:
+            n_features = len(df.select("features").first()[0])
+        df = with_fold_id(
+            df, key_col, label_col="y", k=self.n_fold, fold_seed=fold_seed
+        ).cache()
+        df.count()
+
+        rng = np.random.default_rng(seed)
+        fold_seeds = [int(rng.integers(0, 2**31 - 1)) for _ in range(self.n_fold)]
+
+        fold_results, null_dists = [], []
+        for i in range(self.n_fold):
+            train = df.where((F.col("fold_id") >= 0) & (F.col("fold_id") != i))
+            val = df.where(F.col("fold_id") == i)
+            n_train = train.count()
+
+            chisq = quantize(
+                chisquare_features(train, "features", "y", n_features)
+            )
+            selected, _ = select_from_stats(
+                chisq,
+                lambda fs, _t=train: quantize(correlation_submatrix(_t, fs)),
+                n_samples=n_train,
+            )
+            X_tr, y_tr = _collect_submatrix(train, selected, key_col)
+            X_va, y_va = _collect_submatrix(val, selected, key_col)
+            acc = linear_classifier_accuracy(X_tr, y_tr, X_va, y_va)
+            fold_results.append({"features": selected, "accuracy": acc})
+            null_dists.append(
+                null_accuracy_distribution(X_tr, y_tr, X_va, y_va, fold_seeds[i])
+            )
+
+        self.interim = {"fold_results": fold_results, "null_distributions": null_dists}
+        df.unpersist()
+        return final_feature_selection(fold_results, null_dists)

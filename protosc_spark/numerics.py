@@ -1,0 +1,196 @@
+"""Pure-numpy numerical kernels shared by the distributed engine and
+the numpy oracle.
+
+scipy and scikit-learn are not available in this environment, so the
+three pieces of external math the reference relies on are implemented
+here from their published definitions:
+
+* :func:`kruskal_h` — Kruskal–Wallis H with average ranks and tie
+  correction, matching the formula scipy.stats.kruskal implements
+  (reference uses it at protosc/model/utils.py:56-89).
+* :func:`betainc_reg` — regularized incomplete beta I_x(a, b) via the
+  standard Lentz continued-fraction evaluation (used for correlation
+  p-values, reference protosc/model/utils.py:130-135).
+* :func:`linear_classifier_accuracy` — deterministic stand-in for the
+  reference's StandardScaler + linear-kernel SVC
+  (protosc/model/utils.py:11-20): standardize on train, one-vs-rest
+  ridge regression, argmax decision. Deterministic, closed-form, no
+  iterative solver — the engine and the oracle share THIS function, so
+  filter-model parity is exact by construction. (sklearn's libsvm SVC
+  could not be reproduced without sklearn; the substitution is
+  documented in SURVEY.md §7.3 terms: selection logic is unchanged,
+  only the accuracy scorer differs.)
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+# ---------------------------------------------------------------------------
+# Kruskal–Wallis
+# ---------------------------------------------------------------------------
+
+def average_ranks(x: np.ndarray) -> np.ndarray:
+    """Ranks 1..N with ties getting the mean of their positions."""
+    order = np.argsort(x, kind="mergesort")
+    ranks = np.empty(len(x), dtype=np.float64)
+    sx = x[order]
+    i = 0
+    while i < len(sx):
+        j = i
+        while j + 1 < len(sx) and sx[j + 1] == sx[i]:
+            j += 1
+        # positions i..j (0-based) share rank mean(i+1 .. j+1)
+        ranks[order[i : j + 1]] = 0.5 * (i + j) + 1.0
+        i = j + 1
+    return ranks
+
+
+def tie_correction(x: np.ndarray) -> float:
+    """1 - sum(t^3 - t) / (N^3 - N) over tie groups of the pooled data."""
+    n = len(x)
+    if n < 2:
+        return 1.0
+    _, counts = np.unique(x, return_counts=True)
+    return 1.0 - (counts**3 - counts).sum() / float(n**3 - n)
+
+
+def kruskal_h(*groups: np.ndarray) -> float:
+    """Kruskal–Wallis H statistic across >=2 groups (tie-corrected)."""
+    groups = [np.asarray(g, dtype=np.float64) for g in groups]
+    pooled = np.concatenate(groups)
+    n = len(pooled)
+    ranks = average_ranks(pooled)
+    h = 0.0
+    start = 0
+    for g in groups:
+        r = ranks[start : start + len(g)]
+        h += r.sum() ** 2 / len(g)
+        start += len(g)
+    h = 12.0 / (n * (n + 1)) * h - 3.0 * (n + 1)
+    t = tie_correction(pooled)
+    if t == 0:
+        raise ValueError("all values identical; H undefined")
+    return h / t
+
+
+def kruskal_h_from_stats(
+    rank_sums: np.ndarray, group_counts: np.ndarray, n: int, tie_sum: float
+) -> float:
+    """H from sufficient statistics: per-group rank sums/counts, total N
+    and sum(t^3 - t). This is the final-phase formula the distributed
+    path (stats.chisquare_features) aggregates towards."""
+    h = 12.0 / (n * (n + 1)) * np.sum(rank_sums**2 / group_counts) - 3.0 * (n + 1)
+    t = 1.0 - tie_sum / float(n**3 - n)
+    return h / t
+
+
+# ---------------------------------------------------------------------------
+# Regularized incomplete beta (for correlation p-values)
+# ---------------------------------------------------------------------------
+
+def _betacf(a: float, b: float, x: float, max_iter: int = 200, eps: float = 3e-14):
+    """Continued fraction for the incomplete beta (modified Lentz)."""
+    tiny = 1e-300
+    qab, qap, qam = a + b, a + 1.0, a - 1.0
+    c = 1.0
+    d = 1.0 - qab * x / qap
+    if abs(d) < tiny:
+        d = tiny
+    d = 1.0 / d
+    h = d
+    for m in range(1, max_iter + 1):
+        m2 = 2 * m
+        aa = m * (b - m) * x / ((qam + m2) * (a + m2))
+        d = 1.0 + aa * d
+        if abs(d) < tiny:
+            d = tiny
+        c = 1.0 + aa / c
+        if abs(c) < tiny:
+            c = tiny
+        d = 1.0 / d
+        h *= d * c
+        aa = -(a + m) * (qab + m) * x / ((a + m2) * (qap + m2))
+        d = 1.0 + aa * d
+        if abs(d) < tiny:
+            d = tiny
+        c = 1.0 + aa / c
+        if abs(c) < tiny:
+            c = tiny
+        d = 1.0 / d
+        delta = d * c
+        h *= delta
+        if abs(delta - 1.0) < eps:
+            break
+    return h
+
+
+def _betainc_scalar(a: float, b: float, x: float) -> float:
+    if x <= 0.0:
+        return 0.0
+    if x >= 1.0:
+        return 1.0
+    from math import exp, lgamma, log
+
+    ln_front = (
+        lgamma(a + b) - lgamma(a) - lgamma(b) + a * log(x) + b * log(1.0 - x)
+    )
+    front = exp(ln_front)
+    if x < (a + 1.0) / (a + b + 2.0):
+        return front * _betacf(a, b, x) / a
+    return 1.0 - front * _betacf(b, a, 1.0 - x) / b
+
+
+def betainc_reg(a: float, b: float, x) -> np.ndarray:
+    """Vectorized regularized incomplete beta I_x(a, b)."""
+    xs = np.atleast_1d(np.asarray(x, dtype=np.float64))
+    out = np.array([_betainc_scalar(a, b, xi) for xi in xs])
+    return out if np.ndim(x) else out[0]
+
+
+def correlation_pvalues(r: np.ndarray, n_data: int) -> np.ndarray:
+    """Two-sided p-value of Pearson r with n_data samples — the same
+    beta-function route the reference takes (protosc/model/utils.py:
+    130-135), including its clip of r >= 1 to 0.99999."""
+    r = np.array(r, dtype=np.float64)
+    r[r >= 1] = 0.99999
+    df = n_data - 2
+    ts = r * r * (df / (1 - r * r))
+    return betainc_reg(0.5 * df, 0.5, df / (df + ts))
+
+
+# ---------------------------------------------------------------------------
+# Deterministic linear classifier (SVC stand-in)
+# ---------------------------------------------------------------------------
+
+RIDGE_LAMBDA = 1e-2
+
+
+def linear_classifier_accuracy(
+    X_train: np.ndarray,
+    y_train: np.ndarray,
+    X_val: np.ndarray,
+    y_val: np.ndarray,
+) -> float:
+    """Standardize on train -> one-vs-rest ridge -> argmax -> accuracy.
+
+    Closed-form and fully deterministic (the parity requirement). The
+    interface mirrors the reference's train_xvalidate
+    (protosc/model/utils.py:11-20)."""
+    mu = X_train.mean(axis=0)
+    sd = X_train.std(axis=0)
+    sd = np.where(sd == 0, 1.0, sd)
+    Xt = (X_train - mu) / sd
+    Xv = (X_val - mu) / sd
+    # bias term
+    Xt = np.hstack([Xt, np.ones((len(Xt), 1))])
+    Xv = np.hstack([Xv, np.ones((len(Xv), 1))])
+
+    classes = np.unique(y_train)
+    Y = np.where(y_train[:, None] == classes[None, :], 1.0, -1.0)
+    gram = Xt.T @ Xt + RIDGE_LAMBDA * np.eye(Xt.shape[1])
+    W = np.linalg.solve(gram, Xt.T @ Y)
+    scores = Xv @ W
+    pred = classes[np.argmax(scores, axis=1)]
+    return float(np.mean(pred == y_val))

@@ -1,0 +1,79 @@
+"""Distributed statistics == numpy oracle (allclose), including ties
+and multi-class, on planted simulation data (FIXTURES F2/F4)."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from protosc_spark.oracle.numpy_model import oracle_chisquare
+from protosc_spark.oracle.simulation import make_categorical, make_independent
+from protosc_spark.stats import (
+    chisquare_features,
+    correlation_matrix,
+    correlation_submatrix,
+)
+
+
+def _to_df(spark, X, y):
+    pdf = pd.DataFrame(
+        {
+            "sample_id": np.arange(len(y), dtype=np.int64),
+            "features": list(X.astype(np.float64)),
+            "y": y.astype(np.int32),
+        }
+    )
+    return spark.createDataFrame(pdf)
+
+
+@pytest.fixture(scope="module")
+def planted(spark):
+    np.random.seed(1928374)
+    X, y, truth = make_independent(n_features=60, n_samples=200, n_true=10)
+    return _to_df(spark, X, y).cache(), X, y, truth
+
+
+def test_chisquare_matches_numpy(planted):
+    df, X, y, _ = planted
+    got = chisquare_features(df, n_features=X.shape[1])
+    want = oracle_chisquare(X, y)
+    assert np.allclose(got, want, atol=1e-9)
+
+
+def test_chisquare_with_ties(spark):
+    rng = np.random.default_rng(5)
+    X = rng.integers(0, 4, size=(150, 8)).astype(float)  # heavy ties
+    y = rng.integers(0, 2, size=150)
+    got = chisquare_features(_to_df(spark, X, y), n_features=8)
+    want = oracle_chisquare(X, y)
+    assert np.allclose(got, want, atol=1e-9)
+
+
+def test_chisquare_multiclass(spark):
+    np.random.seed(44)
+    X, y, _ = make_categorical(n_features=30, n_samples=150, n_true=5)
+    got = chisquare_features(_to_df(spark, X, y), n_features=30)
+    want = oracle_chisquare(X, y)
+    assert np.allclose(got, want, atol=1e-9)
+
+
+def test_chisquare_detects_planted_signal(planted):
+    df, X, y, truth = planted
+    h = chisquare_features(df, n_features=X.shape[1])
+    top = set(np.argsort(-h)[:10])
+    # the strongest planted features dominate the top ranks
+    assert len(top & set(truth["selected_features"].tolist())) >= 5
+
+
+def test_correlation_matches_numpy(planted):
+    df, X, _, _ = planted
+    got = correlation_matrix(df)
+    want = np.corrcoef(X, rowvar=False)
+    assert np.allclose(got, want, atol=1e-9)
+
+
+def test_correlation_submatrix(planted):
+    df, X, _, _ = planted
+    ids = np.array([3, 7, 11, 42])
+    got = correlation_submatrix(df, ids)
+    want = np.corrcoef(X[:, ids], rowvar=False)
+    assert np.allclose(got, want, atol=1e-9)
