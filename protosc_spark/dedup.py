@@ -1,0 +1,285 @@
+"""Corpus deduplication operators: exact, n-gram Jaccard, MinHash+LSH,
+SimHash.
+
+No reference analog (image-only reference); first-class
+training-data-pipeline operators. Design targets the 100 TB case:
+
+* exact dedup — one shuffle on a text digest, survivor chosen
+  deterministically (min doc_id), never ``dropDuplicates``.
+* n-gram Jaccard — explode to (doc, shingle) pairs, self-join on
+  shingle, count intersections: all JVM, all shuffle-parallel; the
+  classic candidate-pair plan whose cost scales with shared shingles,
+  not |docs|^2. Exact (oracle-checkable in SQL).
+* MinHash+LSH — Arrow-vectorized signatures, band-bucket join for
+  candidates whose cost scales with collisions; estimates Jaccard from
+  signature agreement. The approximate scale path of the same problem.
+* SimHash — 64-bit signature; near-dups = small Hamming distance,
+  candidates via 4x16-bit band equality, verified with bit_count(xor).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from protosc_spark.features.text import _fnv1a
+
+SHINGLE_W = 3
+MINHASH_K = 64
+MINHASH_BANDS = 16
+_MERSENNE = (1 << 61) - 1
+
+
+def exact_dedup_groups(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Duplicate groups by content digest: (text_md5, n_docs,
+    survivor_id). md5 is available in both Spark and DuckDB, making
+    this oracle-checkable; a production run would use xxhash64."""
+    return (
+        df.groupBy(F.md5(F.col(text_col)).alias("text_md5"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.min("doc_id").alias("survivor_id"),
+        )
+    )
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Keep one deterministic survivor row per distinct text."""
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy(F.md5(F.col(text_col))).orderBy("doc_id")
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def _shingles(text_col: str = "text", w: int = SHINGLE_W):
+    """Distinct w-token shingles as strings (JVM expression)."""
+    toks = F.split(F.col(text_col), " ")
+    n = F.size(toks)
+    idx = F.sequence(F.lit(1), F.greatest(n - F.lit(w - 1), F.lit(1)))
+    return F.array_distinct(
+        F.transform(idx, lambda i: F.array_join(F.slice(toks, i, w), " "))
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    tau: float = 0.5,
+    text_col: str = "text",
+    w: int = SHINGLE_W,
+) -> DataFrame:
+    """EXACT token-w-gram Jaccard similarity for every doc pair sharing
+    at least one shingle, filtered to jaccard >= tau.
+
+    Plan: doc->shingle explode (distinct), self-join on shingle
+    (equi-join, shuffle on shingle, AQE handles hot shingles), count
+    per pair, then |A∪B| from per-doc shingle counts. Output:
+    (doc_a, doc_b, jaccard) with doc_a < doc_b.
+    """
+    sh = df.select(
+        F.col("doc_id"), F.explode(_shingles(text_col, w)).alias("shingle")
+    )
+    counts = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    ca = counts.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
+    cb = counts.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    return (
+        inter.join(F.broadcast(ca), "doc_a")
+        .join(F.broadcast(cb), "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                F.col("n_inter")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_inter")).cast("double"),
+                6,
+            ).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= tau)
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+def _minhash_params(k: int = MINHASH_K, seed: int = 97):
+    rng = np.random.default_rng(seed)
+    a = rng.integers(1, _MERSENNE, size=k, dtype=np.int64)
+    b = rng.integers(0, _MERSENNE, size=k, dtype=np.int64)
+    return a, b
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    k: int = MINHASH_K,
+    w: int = SHINGLE_W,
+    seed: int = 97,
+) -> DataFrame:
+    """(doc_id, sig array<long>[k]) via universal hashing of FNV shingle
+    hashes — Arrow-vectorized numpy, one pass, no shuffle."""
+    a, b = _minhash_params(k, seed)
+
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def sig_udf(texts: pd.Series) -> pd.Series:
+        out = []
+        for t in texts.fillna(""):
+            toks = t.split(" ")
+            if len(toks) >= w:
+                sh = {" ".join(toks[i : i + w]) for i in range(len(toks) - w + 1)}
+            else:
+                sh = {" ".join(toks)}
+            hs = np.array([_fnv1a(s) & 0x7FFFFFFFFFFFFFFF for s in sh],
+                          dtype=np.int64)
+            # (a*h + b) mod mersenne, rowwise min over shingles
+            m = (
+                (hs[:, None].astype(object) * a[None, :] + b[None, :])
+                % _MERSENNE
+            ).min(axis=0)
+            out.append([int(x) for x in m])
+        return pd.Series(out)
+
+    return df.select("doc_id", sig_udf(F.col(text_col)).alias("sig"))
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    tau: float = 0.5,
+    text_col: str = "text",
+    k: int = MINHASH_K,
+    bands: int = MINHASH_BANDS,
+    seed: int = 97,
+) -> DataFrame:
+    """Near-duplicate candidate pairs via banded LSH, scored by the
+    MinHash Jaccard estimate (fraction of agreeing signature slots).
+
+    Returns (doc_a, doc_b, est_jaccard >= tau), doc_a < doc_b. The
+    band join is the scale path: cost follows bucket collisions.
+    """
+    assert k % bands == 0
+    r = k // bands
+    sigs = minhash_signatures(df, text_col, k, seed=seed).cache()
+
+    banded = sigs.select(
+        "doc_id",
+        "sig",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda bi: F.xxhash64(
+                    bi, F.array_join(F.slice("sig", bi * r + 1, r), ",")
+                ),
+            )
+        ).alias("band", "bucket"),
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.sig").alias("sig_a"),
+            F.col("b.sig").alias("sig_b"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    est = F.size(
+        F.filter(
+            F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")),
+            lambda v: v == 1,
+        )
+    ) / F.lit(float(k))
+    return cand.select(
+        "doc_a", "doc_b", F.round(est, 6).alias("est_jaccard")
+    ).where(F.col("est_jaccard") >= tau)
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+def simhash64(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """64-bit SimHash over token FNV hashes (Arrow-vectorized)."""
+
+    @F.pandas_udf(T.LongType())
+    def sim_udf(texts: pd.Series) -> pd.Series:
+        out = np.empty(len(texts), dtype=np.int64)
+        for i, t in enumerate(texts.fillna("")):
+            acc = np.zeros(64, dtype=np.int64)
+            shifts = np.arange(64, dtype=np.uint64)
+            for tok in t.split(" "):
+                h = np.uint64(_fnv1a(tok))
+                bits = ((h >> shifts) & np.uint64(1)).astype(np.int64)
+                acc += np.where(bits == 1, 1, -1)
+            v = 0
+            for bit in np.nonzero(acc > 0)[0]:
+                v |= 1 << int(bit)
+            # keep in signed-int64 range
+            if v >= 1 << 63:
+                v -= 1 << 64
+            out[i] = v
+        return pd.Series(out)
+
+    return df.select("doc_id", sim_udf(F.col(text_col)).alias("simhash"))
+
+
+def simhash_neardup_pairs(
+    df: DataFrame, max_hamming: int = 3, text_col: str = "text"
+) -> DataFrame:
+    """Pairs with Hamming(simhash) <= max_hamming. Candidates from
+    16-bit band equality (any of 4 bands must match exactly when
+    hamming <= 3), verified with bit_count(xor)."""
+    sh = simhash64(df, text_col).cache()
+    banded = sh.select(
+        "doc_id",
+        "simhash",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftright("simhash", i * 16).bitwiseAND(F.lit(0xFFFF))
+                    for i in range(4)
+                ]
+            )
+        ).alias("band", "chunk"),
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.bit_count(
+                F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+            ).alias("hamming"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+        .where(F.col("hamming") <= max_hamming)
+    )

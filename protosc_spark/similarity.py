@@ -1,0 +1,219 @@
+"""Similarity search over an embedding column (array<float>).
+
+* :func:`brute_force_topk` — exact cosine top-k for a (small,
+  broadcast) query set against the full corpus: JVM-side dot products
+  (``zip_with`` + ``aggregate``), window top-k. The correctness
+  baseline; cost |queries| x |corpus|.
+* :func:`lsh_topk` — random-hyperplane LSH: deterministic seeded
+  planes broadcast to an Arrow-vectorized signature UDF; candidates
+  share a bucket in any of L tables; exact cosine re-rank of the
+  candidates only. The scale path (cost follows collisions).
+* :func:`cosine_neardup_pairs` — near-duplicate detection by embedding
+  cosine (exact via self-join on LSH bucket prefilter).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql import Window as W
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(_dot(a, a))
+
+
+def with_unit_vectors(df: DataFrame, col: str = "embedding") -> DataFrame:
+    """Normalize once up front — downstream cosine becomes a plain dot."""
+    n = _norm(F.col(col))
+    return df.withColumn(
+        "unit",
+        F.transform(F.col(col), lambda x: x.cast("double") / n),
+    )
+
+
+def brute_force_topk(
+    emb: DataFrame,
+    query_ids: Sequence[int],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(query_id, neighbor_id, rank, cosine) — exact, self excluded.
+
+    Ties broken by neighbor_id so results are total-ordered and
+    reproducible at any parallelism.
+    """
+    base = with_unit_vectors(emb, vec_col).select(
+        F.col(id_col).alias("neighbor_id"), F.col("unit")
+    )
+    queries = base.where(F.col("neighbor_id").isin(*[int(q) for q in query_ids])).select(
+        F.col("neighbor_id").alias("query_id"), F.col("unit").alias("q_unit")
+    )
+    scored = base.crossJoin(F.broadcast(queries)).where(
+        F.col("neighbor_id") != F.col("query_id")
+    )
+    scored = scored.select(
+        "query_id",
+        "neighbor_id",
+        F.round(_dot(F.col("q_unit"), F.col("unit")), 6).alias("cosine"),
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cosine")
+    )
+
+
+def _planes(dim: int, n_planes: int, n_tables: int, seed: int) -> np.ndarray:
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((n_tables, n_planes, dim))
+
+
+def lsh_bucket_signatures(
+    df: DataFrame,
+    planes: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, table, bucket) — sign-bit bucket per LSH table.
+
+    One Arrow pass; the plane tensor rides the closure (broadcast by
+    Spark's task serializer once per executor).
+    """
+    n_tables, n_planes, dim = planes.shape
+
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def buckets_udf(vecs: pd.Series) -> pd.Series:
+        X = np.array(vecs.tolist(), dtype=np.float64)  # [batch, dim]
+        out = np.zeros((len(X), n_tables), dtype=np.int64)
+        weights = (1 << np.arange(n_planes)).astype(np.int64)
+        for t in range(n_tables):
+            bits = (X @ planes[t].T) > 0  # [batch, n_planes]
+            out[:, t] = bits @ weights
+        return pd.Series(list(out))
+
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(buckets_udf(F.col(vec_col))).alias("table", "bucket"),
+    )
+
+
+def lsh_topk(
+    emb: DataFrame,
+    query_ids: Sequence[int],
+    k: int = 10,
+    n_planes: int = 12,
+    n_tables: int = 6,
+    seed: int = 13,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: bucket-join candidates, exact cosine re-rank."""
+    dim = len(emb.select(vec_col).first()[0])
+    planes = _planes(dim, n_planes, n_tables, seed)
+    base = with_unit_vectors(emb, vec_col).select(
+        F.col(id_col).alias("neighbor_id"), "unit"
+    ).cache()
+    sigs = lsh_bucket_signatures(emb, planes, id_col, vec_col)
+
+    qids = [int(q) for q in query_ids]
+    q_sigs = sigs.where(F.col("id").isin(*qids)).select(
+        F.col("id").alias("query_id"), "table", "bucket"
+    )
+    cand = (
+        sigs.join(F.broadcast(q_sigs), ["table", "bucket"])
+        .where(F.col("id") != F.col("query_id"))
+        .select(F.col("query_id"), F.col("id").alias("neighbor_id"))
+        .distinct()
+    )
+    q_vec = base.where(F.col("neighbor_id").isin(*qids)).select(
+        F.col("neighbor_id").alias("query_id"), F.col("unit").alias("q_unit")
+    )
+    scored = (
+        cand.join(base, "neighbor_id")
+        .join(F.broadcast(q_vec), "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(_dot(F.col("q_unit"), F.col("unit")), 6).alias("cosine"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cosine")
+    )
+
+
+def cosine_neardup_pairs(
+    emb: DataFrame,
+    tau: float = 0.95,
+    n_planes: int = 8,
+    n_tables: int = 8,
+    seed: int = 13,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    exact: bool = False,
+) -> DataFrame:
+    """(id_a, id_b, cosine >= tau), id_a < id_b.
+
+    ``exact=True`` does the full O(n^2) self-join (small inputs /
+    oracle checks); default prunes with LSH-bucket equality first —
+    at tau >= 0.95 the probability both vectors share a bucket in at
+    least one of 8 tables is ~1-(1-(1-0.1)^8)^8 ≈ 0.9995.
+    """
+    base = with_unit_vectors(emb, vec_col).select(
+        F.col(id_col).alias("id"), "unit"
+    )
+    if exact:
+        a, b = base.alias("a"), base.alias("b")
+        pairs = a.join(b, F.col("a.id") < F.col("b.id")).select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.round(_dot(F.col("a.unit"), F.col("b.unit")), 6).alias("cosine"),
+        )
+        return pairs.where(F.col("cosine") >= tau)
+
+    dim = len(emb.select(vec_col).first()[0])
+    planes = _planes(dim, n_planes, n_tables, seed)
+    sigs = lsh_bucket_signatures(emb, planes, id_col, vec_col)
+    a, b = sigs.alias("a"), sigs.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.table") == F.col("b.table"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    ua = base.select(F.col("id").alias("id_a"), F.col("unit").alias("unit_a"))
+    ub = base.select(F.col("id").alias("id_b"), F.col("unit").alias("unit_b"))
+    return (
+        cand.join(ua, "id_a")
+        .join(ub, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(_dot(F.col("unit_a"), F.col("unit_b")), 6).alias("cosine"),
+        )
+        .where(F.col("cosine") >= tau)
+    )

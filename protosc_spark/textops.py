@@ -1,0 +1,124 @@
+"""Text-analysis operators for large-scale corpus pipelines: token
+statistics, quality scoring, language ID, fingerprinting.
+
+No reference analog (the reference is image-only); these are the
+training-data-pipeline operators the engine adds as first-class
+citizens. All pure JVM expressions (whole-stage codegen, no Python in
+the hot path); every one has an exact DuckDB-SQL oracle in
+__spark_entry__.oracle_sql().
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "on", "for", "with")
+
+# deterministic marker vocabularies for the language-ID heuristic; a
+# real deployment swaps these for n-gram tables — the ENGINE mechanics
+# (broadcast marker sets, argmax over hit counts) are what's exercised.
+LANG_MARKERS = {
+    "en": ("the", "and", "of", "is"),
+    "de": ("der", "und", "das", "ist"),
+    "es": ("el", "los", "de", "es"),
+}
+
+FP_BASE = 1000003
+FP_MOD = (1 << 31) - 1  # small enough that acc*base never overflows int64
+
+
+def _tokens() -> Column:
+    return F.split(F.col("text"), " ")
+
+
+def token_stats(df: DataFrame) -> DataFrame:
+    """Per-doc token statistics (whitespace tokenization + a BPE-ish
+    regex word count)."""
+    toks = _tokens()
+    n_tok = F.size(toks)
+    return df.select(
+        "doc_id",
+        F.length("text").cast("bigint").alias("n_chars_text"),
+        n_tok.cast("bigint").alias("n_tokens"),
+        F.size(F.array_distinct(toks)).cast("bigint").alias("n_uniq_tokens"),
+        F.round(
+            (F.length("text") - (n_tok - 1)) / n_tok.cast("double"), 4
+        ).alias("avg_token_len"),
+        F.regexp_count(F.col("text"), F.lit(r"[A-Za-z0-9]+|[^A-Za-z0-9\s]"))
+        .cast("bigint")
+        .alias("n_bpe_ish_tokens"),
+    )
+
+
+def quality_score(df: DataFrame) -> DataFrame:
+    """Length/punctuation/stopword heuristics -> one quality scalar.
+
+    score = stopword_ratio - punct_ratio - digit_ratio + min(n_tokens,
+    50)/100, rounded; monotone in "looks like prose".
+    """
+    toks = _tokens()
+    n_tok = F.size(toks).cast("double")
+    stop_hits = F.size(
+        F.filter(toks, lambda t: F.lower(t).isin(*STOPWORDS))
+    ).cast("double")
+    n_chars = F.length("text").cast("double")
+    punct = F.regexp_count(F.col("text"), F.lit(r"[^A-Za-z0-9\s]")).cast("double")
+    digit = F.regexp_count(F.col("text"), F.lit(r"[0-9]")).cast("double")
+    stop_ratio = stop_hits / n_tok
+    punct_ratio = punct / n_chars
+    digit_ratio = digit / n_chars
+    score = stop_ratio - punct_ratio - digit_ratio + F.least(
+        n_tok, F.lit(50.0)
+    ) / F.lit(100.0)
+    return df.select(
+        "doc_id",
+        F.round(stop_ratio, 4).alias("stopword_ratio"),
+        F.round(punct_ratio, 4).alias("punct_ratio"),
+        F.round(digit_ratio, 4).alias("digit_ratio"),
+        F.round(score, 4).alias("quality"),
+    )
+
+
+def language_id(df: DataFrame) -> DataFrame:
+    """Marker-word language heuristic: most hits wins; ties and
+    zero-hit docs -> 'und'. Deterministic tie-break by language code."""
+    toks = _tokens()
+
+    def marker_hits(markers):
+        return F.size(F.filter(toks, lambda t: F.lower(t).isin(*markers)))
+
+    hits = {lang: marker_hits(markers) for lang, markers in LANG_MARKERS.items()}
+    langs = sorted(LANG_MARKERS)  # deterministic tie-break order
+    best_n = F.greatest(*[hits[lg] for lg in langs])
+    pred = F.lit("und")
+    for lg in reversed(langs):  # earlier language wins ties
+        pred = F.when((hits[lg] == best_n) & (best_n > 0), F.lit(lg)).otherwise(pred)
+    sel = [F.col("doc_id"), pred.alias("lang_pred")]
+    sel += [hits[lg].cast("bigint").alias(f"hits_{lg}") for lg in langs]
+    return df.select(*sel)
+
+
+def fingerprint(df: DataFrame) -> DataFrame:
+    """Order-sensitive document fingerprint: polynomial rolling hash of
+    the token sequence, mod 2^61-1 — pure ``F.aggregate`` fold, exactly
+    reproducible in any engine with 64-bit ints (DuckDB list_reduce)."""
+    tok_h = F.transform(
+        _tokens(),
+        lambda t: F.pmod(
+            F.aggregate(
+                F.split(t, ""),
+                F.lit(0).cast("long"),
+                lambda acc, ch: F.pmod(
+                    acc * F.lit(31) + F.ascii(ch), F.lit(FP_MOD)
+                ),
+            ),
+            F.lit(FP_MOD),
+        ),
+    )
+    fp = F.aggregate(
+        tok_h,
+        F.lit(0).cast("long"),
+        lambda acc, h: F.pmod(acc * F.lit(FP_BASE) + h, F.lit(FP_MOD)),
+    )
+    return df.select("doc_id", fp.alias("fingerprint"))

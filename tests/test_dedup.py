@@ -1,0 +1,151 @@
+"""Dedup family: exact dedup vs duckdb; MinHash estimate vs exact
+Jaccard; SimHash candidate completeness; pandas oracles for the
+approximate paths."""
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from protosc_spark.dedup import (
+    exact_dedup,
+    exact_dedup_groups,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_neardup_pairs,
+    simhash64,
+)
+
+DOCS = "/root/testdata/sf0.001/documents.parquet"
+
+
+@pytest.fixture(scope="module")
+def docs_with_dups(spark):
+    """Documents + exact copies of some + near-copies of others."""
+    docs = spark.read.parquet(DOCS)
+    exact_copies = docs.where(F.col("doc_id") % 10 == 0).withColumn(
+        "doc_id", F.col("doc_id") + 10000
+    )
+    near_copies = (
+        docs.where(F.col("doc_id") % 10 == 1)
+        .withColumn("doc_id", F.col("doc_id") + 20000)
+        .withColumn("text", F.concat(F.col("text"), F.lit(" zzz")))
+    )
+    return docs.unionByName(exact_copies).unionByName(near_copies).cache()
+
+
+def test_exact_dedup_groups(docs_with_dups):
+    groups = exact_dedup_groups(docs_with_dups).toPandas()
+    dup_groups = groups[groups["n_docs"] > 1]
+    assert len(dup_groups) == 50  # 500/10 exact copies
+    assert (dup_groups["n_docs"] == 2).all()
+    # survivor is always the lower (original) id
+    assert (dup_groups["survivor_id"] < 10000).all()
+
+
+def test_exact_dedup_rows(docs_with_dups):
+    kept = exact_dedup(docs_with_dups)
+    assert kept.count() == 500 + 50  # originals + near-copies survive
+    assert kept.where(F.col("doc_id").between(10000, 19999)).count() == 0
+
+
+def test_ngram_jaccard_finds_near_dups(docs_with_dups):
+    pairs = ngram_jaccard_pairs(docs_with_dups, tau=0.8).toPandas()
+    near = pairs[(pairs["doc_b"] >= 20000)]
+    # every near-copy pairs with its original at high jaccard
+    assert len(near[near["doc_a"] == near["doc_b"] - 20000]) == 50
+    exact = pairs[(pairs["doc_b"] >= 10000) & (pairs["doc_b"] < 20000)]
+    assert (exact["jaccard"] == 1.0).sum() == 50
+
+
+def test_ngram_jaccard_vs_pandas_oracle(spark):
+    pdf = pd.DataFrame(
+        {
+            "doc_id": range(6),
+            "text": [
+                "a b c d e",
+                "a b c d e f",
+                "x y z w q",
+                "a b c q w",
+                "x y z w q extra",
+                "totally different words here now",
+            ],
+        }
+    )
+    got = (
+        ngram_jaccard_pairs(spark.createDataFrame(pdf), tau=0.0, w=3)
+        .orderBy("doc_a", "doc_b")
+        .toPandas()
+    )
+
+    def sh(t):
+        toks = t.split(" ")
+        return {" ".join(toks[i : i + 3]) for i in range(len(toks) - 2)}
+
+    want = []
+    for i in range(6):
+        for j in range(i + 1, 6):
+            a, b = sh(pdf["text"][i]), sh(pdf["text"][j])
+            inter = len(a & b)
+            if inter:
+                want.append((i, j, round(inter / len(a | b), 6)))
+    want = pd.DataFrame(want, columns=["doc_a", "doc_b", "jaccard"])
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_minhash_estimates_jaccard(docs_with_dups):
+    pairs = minhash_lsh_pairs(docs_with_dups, tau=0.5).toPandas()
+    # exact duplicates: every signature slot agrees (other same-bucket
+    # pairs may legitimately appear — the corpus shares a tiny vocab)
+    exact = pairs[
+        (pairs["doc_b"] >= 10000)
+        & (pairs["doc_b"] < 20000)
+        & (pairs["doc_a"] == pairs["doc_b"] - 10000)
+    ]
+    assert len(exact) == 50
+    assert (exact["est_jaccard"] == 1.0).all()
+    # near-copies: high estimate for original<->copy pairs that surfaced
+    near = pairs[
+        (pairs["doc_b"] >= 20000) & (pairs["doc_a"] == pairs["doc_b"] - 20000)
+    ]
+    assert len(near) >= 40  # LSH at tau .5, b=16/r=4: recall ~1 for j>.8
+    assert (near["est_jaccard"] >= 0.5).all()
+
+
+def test_simhash_exact_dup_distance_zero(docs_with_dups):
+    sh = simhash64(docs_with_dups).toPandas().set_index("doc_id")["simhash"]
+    for base_id in range(0, 500, 10):
+        assert sh[base_id] == sh[base_id + 10000]
+
+
+def test_simhash_neardup_pairs(docs_with_dups):
+    pairs = simhash_neardup_pairs(docs_with_dups, max_hamming=3).toPandas()
+    dup_pairs = pairs[
+        (pairs["doc_b"] >= 10000)
+        & (pairs["doc_b"] < 20000)
+        & (pairs["doc_a"] == pairs["doc_b"] - 10000)
+    ]
+    assert len(dup_pairs) == 50
+    assert (dup_pairs["hamming"] == 0).all()
+    assert (pairs["hamming"] <= 3).all()
+
+
+def test_exact_groups_vs_duckdb(docs_with_dups):
+    got = (
+        exact_dedup_groups(docs_with_dups)
+        .orderBy("text_md5")
+        .toPandas()
+        .reset_index(drop=True)
+    )
+    pdf = docs_with_dups.toPandas()
+    con = duckdb.connect()
+    con.register("documents", pdf)
+    want = con.execute(
+        """
+        SELECT md5(text) AS text_md5, count(*)::BIGINT AS n_docs,
+               min(doc_id) AS survivor_id
+        FROM documents GROUP BY 1 ORDER BY 1
+        """
+    ).df()
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)

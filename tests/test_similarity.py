@@ -1,0 +1,105 @@
+"""Similarity search: brute-force top-k vs numpy oracle; LSH recall vs
+brute force; near-dup pair detection with planted duplicates."""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from protosc_spark.similarity import (
+    brute_force_topk,
+    cosine_neardup_pairs,
+    lsh_topk,
+)
+
+EMB = "/root/testdata/sf0.001/embeddings.parquet"
+QUERIES = [0, 1, 2, 3, 4]
+K = 10
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(EMB).cache()
+
+
+@pytest.fixture(scope="module")
+def emb_np(emb):
+    pdf = emb.orderBy("vec_id").toPandas()
+    X = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+    return pdf["vec_id"].to_numpy(), X
+
+
+def _numpy_topk(ids, X, qid, k):
+    U = X / np.linalg.norm(X, axis=1, keepdims=True)
+    q = U[np.where(ids == qid)[0][0]]
+    cos = U @ q
+    order = sorted(range(len(ids)), key=lambda i: (-round(cos[i], 6), ids[i]))
+    out = [(int(ids[i]), round(float(cos[i]), 6)) for i in order if ids[i] != qid]
+    return out[:k]
+
+
+def test_brute_force_matches_numpy(emb, emb_np):
+    ids, X = emb_np
+    got = (
+        brute_force_topk(emb, QUERIES, k=K)
+        .orderBy("query_id", "rank")
+        .toPandas()
+    )
+    for q in QUERIES:
+        sub = got[got["query_id"] == q]
+        want = _numpy_topk(ids, X, q, K)
+        assert list(zip(sub["neighbor_id"], sub["cosine"])) == want
+
+
+def test_lsh_recall_vs_brute_force(emb):
+    exact = (
+        brute_force_topk(emb, QUERIES, k=K).select("query_id", "neighbor_id").toPandas()
+    )
+    # this corpus has no cluster structure (top-10 cosine ~0.3), so LSH
+    # needs shallow buckets: 4 planes x 16 tables -> expected recall ~.88
+    approx = (
+        lsh_topk(emb, QUERIES, k=K, n_planes=4, n_tables=16)
+        .select("query_id", "neighbor_id")
+        .toPandas()
+    )
+    hits = len(exact.merge(approx, on=["query_id", "neighbor_id"]))
+    recall = hits / len(exact)
+    assert recall >= 0.6  # approximate path must be in the right ballpark
+
+
+def test_neardup_finds_planted_duplicates(spark, emb):
+    dup = emb.where(F.col("vec_id") < 20).withColumn(
+        "vec_id", F.col("vec_id") + 5000
+    )
+    # tiny deterministic noise so cosine is high but < 1
+    noisy = dup.withColumn(
+        "embedding",
+        F.transform(
+            "embedding", lambda x, i: x + (F.lit(1e-4) * ((i % 3) - 1)).cast("float")
+        ),
+    )
+    both = emb.unionByName(noisy)
+    pairs = cosine_neardup_pairs(both, tau=0.99).toPandas()
+    planted = pairs[(pairs["id_b"] >= 5000) & (pairs["id_a"] == pairs["id_b"] - 5000)]
+    assert len(planted) == 20
+    assert (planted["cosine"] >= 0.99).all()
+
+
+def test_neardup_exact_equals_lsh_at_high_tau(emb):
+    a = (
+        cosine_neardup_pairs(emb, tau=0.9, exact=True)
+        .orderBy("id_a", "id_b")
+        .toPandas()
+    )
+    b = (
+        cosine_neardup_pairs(emb, tau=0.9, exact=False)
+        .orderBy("id_a", "id_b")
+        .toPandas()
+    )
+    # LSH result must be a subset; at tau=0.9 with 8x8 tables expect
+    # near-complete recall
+    merged = a.merge(b, on=["id_a", "id_b"], how="left", indicator=True)
+    if len(a):
+        recall = (merged["_merge"] == "both").mean()
+        assert recall >= 0.9
+    assert len(b) <= len(a) or len(a) == 0

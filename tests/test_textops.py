@@ -1,0 +1,137 @@
+"""Text-analysis ops vs DuckDB oracles on the documents table."""
+
+import duckdb
+import pandas as pd
+import pytest
+
+from protosc_spark.textops import (
+    FP_BASE,
+    FP_MOD,
+    LANG_MARKERS,
+    STOPWORDS,
+    fingerprint,
+    language_id,
+    quality_score,
+    token_stats,
+)
+
+DOCS = "/root/testdata/sf0.001/documents.parquet"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(DOCS)
+
+
+def _duck(sql: str) -> pd.DataFrame:
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM '{DOCS}'")
+    return con.execute(sql).df()
+
+
+def test_token_stats_vs_duckdb(docs):
+    got = token_stats(docs).orderBy("doc_id").toPandas()
+    want = _duck(
+        """
+        SELECT doc_id,
+               length(text)::BIGINT AS n_chars_text,
+               len(string_split(text, ' '))::BIGINT AS n_tokens,
+               len(list_distinct(string_split(text, ' ')))::BIGINT AS n_uniq_tokens,
+               round((length(text) - (len(string_split(text,' ')) - 1))
+                     / len(string_split(text,' '))::DOUBLE, 4) AS avg_token_len,
+               length(regexp_replace(text, '[A-Za-z0-9]+|[^A-Za-z0-9 \t]',
+                                     'X', 'g'))::BIGINT AS n_bpe_ish_tokens
+        FROM documents ORDER BY doc_id
+        """
+    )
+    # n_bpe_ish oracle trick: replace each match with one char, count = length
+    # of fully-replaced string minus untouched whitespace chars
+    want["n_bpe_ish_tokens"] = _duck(
+        """
+        SELECT len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\\s]'))::BIGINT v
+        FROM documents ORDER BY doc_id
+        """
+    )["v"]
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_quality_vs_duckdb(docs):
+    got = quality_score(docs).orderBy("doc_id").toPandas()
+    stop_list = ",".join(f"'{s}'" for s in STOPWORDS)
+    want = _duck(
+        f"""
+        WITH t AS (
+          SELECT doc_id, text, string_split(text, ' ') AS toks,
+                 len(string_split(text, ' '))::DOUBLE AS n_tok,
+                 length(text)::DOUBLE AS n_chars
+          FROM documents
+        )
+        SELECT doc_id,
+               round(len(list_filter(toks, x -> lower(x) IN ({stop_list}))) / n_tok, 4)
+                 AS stopword_ratio,
+               round(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) / n_chars, 4)
+                 AS punct_ratio,
+               round(len(regexp_extract_all(text, '[0-9]')) / n_chars, 4)
+                 AS digit_ratio,
+               round(len(list_filter(toks, x -> lower(x) IN ({stop_list}))) / n_tok
+                     - len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) / n_chars
+                     - len(regexp_extract_all(text, '[0-9]')) / n_chars
+                     + least(n_tok, 50) / 100, 4) AS quality
+        FROM t ORDER BY doc_id
+        """
+    )
+    pd.testing.assert_frame_equal(got, want, check_dtype=False, atol=1e-9)
+
+
+def test_language_id_vs_duckdb(docs):
+    got = language_id(docs).orderBy("doc_id").toPandas()
+    hit_exprs = {
+        lg: f"len(list_filter(string_split(text,' '), x -> lower(x) IN "
+        f"({','.join(repr(m) for m in ms)})))"
+        for lg, ms in LANG_MARKERS.items()
+    }
+    langs = sorted(LANG_MARKERS)
+    best = f"greatest({', '.join(hit_exprs[lg] for lg in langs)})"
+    case = "'und'"
+    for lg in reversed(langs):
+        case = (
+            f"CASE WHEN {hit_exprs[lg]} = {best} AND {best} > 0 "
+            f"THEN '{lg}' ELSE {case} END"
+        )
+    want = _duck(
+        f"""
+        SELECT doc_id, {case} AS lang_pred,
+               {', '.join(f"{hit_exprs[lg]}::BIGINT AS hits_{lg}" for lg in langs)}
+        FROM documents ORDER BY doc_id
+        """
+    )
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_fingerprint_vs_duckdb(docs):
+    got = fingerprint(docs).orderBy("doc_id").toPandas()
+    want = _duck(
+        f"""
+        SELECT doc_id,
+          list_reduce(
+            list_prepend(0::BIGINT,
+              list_transform(string_split(text, ' '),
+                t -> list_reduce(
+                       list_prepend(0::BIGINT,
+                         list_transform(string_split_regex(t, ''),
+                                        c -> ascii(c)::BIGINT)),
+                       (acc, ch) -> (acc * 31 + ch) % {FP_MOD}))),
+            (acc, h) -> (acc * {FP_BASE} + h) % {FP_MOD}
+          ) AS fingerprint
+        FROM documents ORDER BY doc_id
+        """
+    )
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_fingerprint_order_sensitive(spark):
+    df = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [1, 2], "text": ["a b c", "c b a"]})
+    )
+    fps = fingerprint(df).toPandas()["fingerprint"]
+    assert fps[0] != fps[1]
