@@ -29,10 +29,18 @@ from pyspark.sql import Window as W
 
 
 def _epoch_s(col: str | Column) -> Column:
-    """Epoch seconds; works for both TIMESTAMP and TIMESTAMP_NTZ (which
-    Spark 4 refuses to cast straight to a numeric)."""
+    """Epoch seconds (truncated); works for both TIMESTAMP and
+    TIMESTAMP_NTZ (which Spark 4 refuses to cast straight to numeric)."""
     c = F.col(col) if isinstance(col, str) else col
     return c.cast("timestamp").cast("long")
+
+
+def _epoch_us(col: str | Column) -> Column:
+    """Epoch MICROseconds — exact integer arithmetic for sub-second
+    timestamps, so gap/duration semantics match any fractional-epoch
+    oracle bit-for-bit."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.unix_micros(c.cast("timestamp"))
 
 
 def _w(entity: str | Sequence[str], order: str | Sequence[str]):
@@ -119,8 +127,8 @@ def rolling_time_agg(
     """
     w = (
         W.partitionBy(entity)
-        .orderBy(_epoch_s(ts_col))
-        .rangeBetween(-trailing_seconds, 0)
+        .orderBy(_epoch_us(ts_col))
+        .rangeBetween(-trailing_seconds * 1_000_000, 0)
     )
     out = df
     for name, agg in aggs.items():
@@ -148,7 +156,7 @@ def sessionize(
     prev_ts = F.lag(F.col(ts_col)).over(w)
     is_new = (
         prev_ts.isNull()
-        | (_epoch_s(ts_col) - _epoch_s(prev_ts) > gap_seconds)
+        | (_epoch_us(ts_col) - _epoch_us(prev_ts) > gap_seconds * 1_000_000)
     ).cast("int")
     wcum = _w(entity, order).rowsBetween(W.unboundedPreceding, 0)
     return df.withColumn("__new_session", is_new).withColumn(
@@ -169,7 +177,9 @@ def session_summary(
         F.count(F.lit(1)).cast("long").alias("n_rows"),
         F.min(ts_col).alias("session_start"),
         F.max(ts_col).alias("session_end"),
-        (F.max(_epoch_s(ts_col)) - F.min(_epoch_s(ts_col)))
+        F.floor(
+            (F.max(_epoch_us(ts_col)) - F.min(_epoch_us(ts_col))) / 1_000_000
+        )
         .cast("long")
         .alias("duration_s"),
     ]
