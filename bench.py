@@ -1,0 +1,95 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": ..., "value": <total sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": ..., "turns_per_sec": ...}
+
+Each query is materialized through the noop sink (full compute, no
+serialization to disk, no driver collect bottleneck) except tiny
+aggregates, which are collected.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import __spark_entry__ as entrymod  # noqa: E402
+from protosc_spark.datagen import (  # noqa: E402
+    generate_attribute_updates,
+    generate_transcripts,
+)
+from protosc_spark.pipeline import flagship_features  # noqa: E402
+from protosc_spark.session import get_spark  # noqa: E402
+
+HEADLINE = [
+    "q1_pricing_summary",
+    "q3_order_revenue",
+    "topk_per_group",
+    "w_lag_lead",
+    "w_rolling5",
+    "w_sessionize",
+    "asof_join_purchase",
+    "txt_quality",
+    "txt_fingerprint",
+    "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
+    "sim_topk_bruteforce",
+]
+
+BENCH_CONVERSATIONS = int(os.environ.get("PROTOSC_BENCH_CONVS", "4000"))
+
+
+def _materialize(df) -> None:
+    df.write.mode("overwrite").format("noop").save()
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+    spark = get_spark("protosc_spark_bench")
+
+    queries = entrymod.queries()
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.time()
+        _materialize(queries[name](spark, sf_dir))
+        timings[name] = round(time.time() - t0, 3)
+
+    # flagship transcript pipeline: the authoritative turns/sec metric
+    tr = generate_transcripts(spark, n_conversations=BENCH_CONVERSATIONS, seed=42)
+    up = generate_attribute_updates(spark, n_conversations=BENCH_CONVERSATIONS, seed=42)
+    tr = tr.cache()
+    n_turns = tr.count()  # datagen cost excluded from the feature timing
+    t0 = time.time()
+    out, _ = flagship_features(tr, up)
+    _materialize(out)
+    flagship_sec = round(time.time() - t0, 3)
+    timings["transcript_flagship"] = flagship_sec
+    turns_per_sec = round(n_turns / flagship_sec, 1)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_suite_wall_seconds",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+                "flagship_turns": n_turns,
+                "turns_per_sec": turns_per_sec,
+                "cpus": os.environ.get("SPARK_GRAFT_CPUS", "32"),
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -23,6 +23,8 @@ Reference analogies:
 
 from __future__ import annotations
 
+from zlib import crc32
+
 import numpy as np
 import pandas as pd
 
@@ -64,15 +66,33 @@ CHAR_HIST_RANGE = (0.0, 8.0)
 
 def token_length_hist_np(texts: np.ndarray) -> np.ndarray:
     """Shared by the Spark UDF and the pandas oracle: density histogram
-    of token lengths per text. Deterministic pure numpy."""
-    out = np.empty((len(texts), CHAR_HIST_BINS), dtype=np.float64)
-    for i, t in enumerate(texts):
-        toks = t.split(" ") if t else []
-        lens = np.array([len(tok) for tok in toks], dtype=np.float64)
-        hist, _ = np.histogram(lens, bins=CHAR_HIST_BINS, range=CHAR_HIST_RANGE,
-                               density=True)
-        out[i] = np.nan_to_num(hist)
-    return out
+    of token lengths per text (same semantics as np.histogram with
+    bins=8, range=(0,8), density=True), fully vectorized across the
+    batch: one flat bincount instead of a histogram call per row."""
+    n = len(texts)
+    lens_per_row = [
+        [len(tok) for tok in t.split(" ")] if t else [] for t in texts
+    ]
+    counts = np.fromiter((len(v) for v in lens_per_row), dtype=np.int64, count=n)
+    if counts.sum() == 0:
+        return np.zeros((n, CHAR_HIST_BINS))
+    rows = np.repeat(np.arange(n), counts)
+    vals = np.fromiter(
+        (x for v in lens_per_row for x in v), dtype=np.float64, count=counts.sum()
+    )
+    lo, hi = CHAR_HIST_RANGE
+    width = (hi - lo) / CHAR_HIST_BINS
+    in_range = (vals >= lo) & (vals <= hi)
+    bins = np.minimum(
+        ((vals - lo) / width).astype(np.int64), CHAR_HIST_BINS - 1
+    )  # right edge of the last bin is inclusive, like np.histogram
+    flat = np.bincount(
+        rows[in_range] * CHAR_HIST_BINS + bins[in_range],
+        minlength=n * CHAR_HIST_BINS,
+    ).reshape(n, CHAR_HIST_BINS)
+    totals = flat.sum(axis=1, keepdims=True).astype(np.float64)
+    totals[totals == 0] = 1.0  # empty rows -> all-zero histogram
+    return flat / (totals * width)
 
 
 @F.pandas_udf(ARR)
@@ -107,15 +127,24 @@ def _fnv1a(s: str) -> int:
 
 
 def hashed_ngram_np(texts: np.ndarray, buckets: int = NGRAM_BUCKETS) -> np.ndarray:
+    """Gram bucket = crc32 (C-speed, platform-stable) — the hash choice
+    is part of this engine's feature definition; the oracle shares this
+    exact kernel."""
+    crc = crc32
     out = np.zeros((len(texts), buckets), dtype=np.float64)
     for i, t in enumerate(texts):
         toks = t.split(" ") if t else []
-        grams = toks + [f"{a} {b}" for a, b in zip(toks, toks[1:])]
-        for g in grams:
-            out[i, _fnv1a(g) % buckets] += 1.0
-        s = out[i].sum()
+        row = out[i]
+        prev = None
+        for g in toks:
+            gb = g.encode()
+            row[crc(gb) % buckets] += 1.0
+            if prev is not None:
+                row[crc(prev + b" " + gb) % buckets] += 1.0
+            prev = gb
+        s = row.sum()
         if s > 0:
-            out[i] /= s
+            row /= s
     return out
 
 

@@ -1,0 +1,214 @@
+"""Fold-model orchestration over Spark inputs: Wrapper / Random /
+PseudoRandom / Combined, sharing the distributed selection stage with
+FilterModel.
+
+Execution shape per fold (reference BaseFoldModel.execute,
+protosc/model/base.py:36-85):
+  distributed: chi-square per feature + correlation clustering over the
+               fold's training rows (stats.py, quantized for
+               cross-backend determinism)
+  driver:      the iterative cluster search on the collected submatrix
+               (models/search.py), 100-permutation null distribution,
+               cross-fold final selection
+
+The combined model's null distribution is SPREAD over the five models'
+feature sets exactly like reference compute_null_distribution
+(protosc/model/utils.py:100-108): model i of M gets
+(100 - drawn)/(M - i) draws using its own selected features.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from protosc_spark.folds import with_fold_id
+from protosc_spark.numerics import linear_classifier_accuracy
+from protosc_spark.oracle.numpy_model import quantize
+from protosc_spark.select import final_feature_selection, select_from_stats
+from protosc_spark.stats import chisquare_features, correlation_submatrix
+from protosc_spark.models.search import (
+    combined_fold,
+    pseudo_random_fold,
+    random_fold,
+    wrapper_fold,
+)
+
+
+def _spread_null_distribution(results: dict, fold, rng, n_total: int = 100):
+    """Reference compute_null_distribution semantics with an explicit rng."""
+    X_tr, y_tr, X_va, y_va = fold
+    nulls: list[float] = []
+    items = list(results.values())
+    for i, res in enumerate(items):
+        ids = list(res["features"])
+        n_compute = (n_total - len(nulls)) // (len(items) - i)
+        for _ in range(n_compute):
+            if ids:
+                acc = linear_classifier_accuracy(
+                    X_tr[:, ids], rng.permutation(y_tr),
+                    X_va[:, ids], rng.permutation(y_va),
+                )
+            else:
+                acc = 0.0
+            nulls.append(acc)
+    return nulls
+
+
+class CombinedFoldModel:
+    """Runs filter + fast/slow wrapper + random + pseudo-random per fold
+    and applies final selection per model (reference combined_fold.py)."""
+
+    def __init__(self, n_fold: int = 8):
+        self.n_fold = n_fold
+        self.interim = None
+
+    def _distributed_selection(self, train_df: DataFrame, n_features: int, n_train: int):
+        chisq = quantize(chisquare_features(train_df, "features", "y", n_features))
+        return select_from_stats(
+            chisq,
+            lambda fs: quantize(correlation_submatrix(train_df, fs)),
+            n_samples=n_train,
+        )
+
+    def execute(
+        self,
+        df: DataFrame,
+        key_col: str = "sample_id",
+        fold_seed: int | None = None,
+        seed: int = 0,
+    ) -> dict[str, list[int]]:
+        n_features = len(df.select("features").first()[0])
+        df = with_fold_id(
+            df, key_col, label_col="y", k=self.n_fold, fold_seed=fold_seed
+        ).cache()
+
+        # model-search tier: matrix collected once, ordered by stable key
+        pdf = (
+            df.select(key_col, "features", "y", "fold_id").orderBy(key_col).toPandas()
+        )
+        X = np.array(pdf["features"].tolist(), dtype=np.float64)
+        y = pdf["y"].to_numpy()
+        fold_id = pdf["fold_id"].to_numpy()
+
+        rng = np.random.default_rng(seed)
+        fold_seeds = [int(rng.integers(0, 2**31 - 1)) for _ in range(self.n_fold)]
+
+        fold_results, null_dists = [], []
+        for i in range(self.n_fold):
+            tr = (fold_id >= 0) & (fold_id != i)
+            va = fold_id == i
+            train_df = df.where((F.col("fold_id") >= 0) & (F.col("fold_id") != i))
+            selected, clusters = self._distributed_selection(
+                train_df, n_features, int(tr.sum())
+            )
+            fold = (X[tr], y[tr], X[va], y[va])
+            frng = np.random.default_rng(fold_seeds[i])
+            res = combined_fold(fold, selected, clusters, frng)
+            null = _spread_null_distribution(res, fold, frng)
+            fold_results.append(res)
+            null_dists.append(null)
+
+        self.interim = {"fold_results": fold_results, "null_distributions": null_dists}
+        df.unpersist()
+        out = {}
+        for model in fold_results[0]:
+            out[model] = final_feature_selection(
+                [r[model] for r in fold_results], null_dists
+            )
+        return out
+
+
+class _SearchFoldModel(CombinedFoldModel):
+    """Shared execute() for single-search-strategy models."""
+
+    def _fold_result(self, fold, selected, clusters, rng):  # pragma: no cover
+        raise NotImplementedError
+
+    def execute(self, df, key_col="sample_id", fold_seed=None, seed=0):
+        n_features = len(df.select("features").first()[0])
+        df = with_fold_id(
+            df, key_col, label_col="y", k=self.n_fold, fold_seed=fold_seed
+        ).cache()
+        pdf = (
+            df.select(key_col, "features", "y", "fold_id").orderBy(key_col).toPandas()
+        )
+        X = np.array(pdf["features"].tolist(), dtype=np.float64)
+        y = pdf["y"].to_numpy()
+        fold_id = pdf["fold_id"].to_numpy()
+
+        rng = np.random.default_rng(seed)
+        fold_seeds = [int(rng.integers(0, 2**31 - 1)) for _ in range(self.n_fold)]
+
+        fold_results, null_dists = [], []
+        for i in range(self.n_fold):
+            tr = (fold_id >= 0) & (fold_id != i)
+            va = fold_id == i
+            train_df = df.where((F.col("fold_id") >= 0) & (F.col("fold_id") != i))
+            selected, clusters = self._distributed_selection(
+                train_df, n_features, int(tr.sum())
+            )
+            fold = (X[tr], y[tr], X[va], y[va])
+            frng = np.random.default_rng(fold_seeds[i])
+            res = self._fold_result(fold, selected, clusters, frng)
+            # per-model null: 100 draws on the model's own features
+            ids = list(res["features"])
+            nulls = []
+            for _ in range(100):
+                if ids:
+                    nulls.append(
+                        linear_classifier_accuracy(
+                            fold[0][:, ids], frng.permutation(fold[1]),
+                            fold[2][:, ids], frng.permutation(fold[3]),
+                        )
+                    )
+                else:
+                    nulls.append(0.0)
+            fold_results.append(res)
+            null_dists.append(nulls)
+
+        self.interim = {"fold_results": fold_results, "null_distributions": null_dists}
+        df.unpersist()
+        return final_feature_selection(fold_results, null_dists)
+
+
+class WrapperModel(_SearchFoldModel):
+    def __init__(
+        self,
+        n_fold: int = 8,
+        max_features: int = 25,
+        search_fraction: float = 0.15,
+        reversed_clusters: bool = True,
+        greedy: bool = False,
+        exclusion_step: bool = False,
+        max_nop_rounds: int = 10,
+    ):
+        super().__init__(n_fold)
+        self.params = dict(
+            max_features=max_features,
+            search_fraction=search_fraction,
+            reversed_clusters=reversed_clusters,
+            greedy=greedy,
+            exclusion_step=exclusion_step,
+            max_nop_rounds=max_nop_rounds,
+        )
+
+    def _fold_result(self, fold, selected, clusters, rng):
+        return wrapper_fold(fold, clusters, **self.params)
+
+
+class RandomModel(_SearchFoldModel):
+    def _fold_result(self, fold, selected, clusters, rng):
+        return random_fold(fold, clusters, selected, rng)
+
+
+class PseudoRandomModel(_SearchFoldModel):
+    def __init__(self, n_fold: int = 8, **wrapper_params):
+        super().__init__(n_fold)
+        self.wrapper_params = wrapper_params
+
+    def _fold_result(self, fold, selected, clusters, rng):
+        wres = wrapper_fold(fold, clusters, **self.wrapper_params)
+        return pseudo_random_fold(fold, clusters, selected, wres["features"])

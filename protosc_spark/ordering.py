@@ -31,9 +31,29 @@ def stable_dedup(df: DataFrame, key=None, order=None) -> DataFrame:
     ``dropDuplicates`` (whose survivor is partitioning-dependent —
     non-deterministic across cluster sizes) and no
     ``monotonically_increasing_id`` anywhere.
+
+    The default turn-key case partitions the window by conv_id ONLY
+    (ordering by turn_idx first): same result, but the exchange it
+    creates is the exact hash(conv_id) distribution every downstream
+    window feature needs, so the whole pipeline pays ONE shuffle for
+    dedup + lag + rolling + sessionization.
     """
     key = key or TURN_KEY
     order = order or STABLE_ORDER
+    if key == TURN_KEY:
+        w = W.partitionBy("conv_id").orderBy(
+            F.col("turn_idx").asc(),
+            *[F.col(c).asc_nulls_last() for c in order],
+        )
+        prev_turn = F.lag("turn_idx").over(w)
+        return (
+            df.withColumn(
+                "__keep",
+                prev_turn.isNull() | (prev_turn != F.col("turn_idx")),
+            )
+            .where(F.col("__keep"))
+            .drop("__keep")
+        )
     w = W.partitionBy(*key).orderBy(*[F.col(c).asc_nulls_last() for c in order])
     return (
         df.withColumn("__rn", F.row_number().over(w))

@@ -86,13 +86,25 @@ def flagship_features(
         df, {"roll_mean_tokens5": F.avg("n_tokens")}, n_rows=5, order="turn_idx"
     )
     df = sessionize(df, gap_seconds=1800, order=["turn_idx"])
-    w_sess = (
-        W.partitionBy("conv_id", "session_id")
-        .orderBy("turn_idx")
-        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    # turn_in_session without a (conv_id, session_id) re-shuffle: stay in
+    # the existing conv_id window; position = rn - rn(session start) + 1
+    w_order = W.partitionBy("conv_id").orderBy("turn_idx")
+    w_cum = w_order.rowsBetween(W.unboundedPreceding, W.currentRow)
+    df = df.withColumn("__rn", F.row_number().over(w_order))
+    df = df.withColumn(
+        "__is_boundary",
+        (F.col("session_id") != F.lag("session_id", 1, -1).over(w_order)).cast("int"),
     )
-    df = df.withColumn("turn_in_session", F.count(F.lit(1)).over(w_sess)).withColumn(
-        "session_id_f", F.col("session_id").cast("double")
+    df = (
+        df.withColumn(
+            "__session_start_rn",
+            F.max(F.when(F.col("__is_boundary") == 1, F.col("__rn"))).over(w_cum),
+        )
+        .withColumn(
+            "turn_in_session", F.col("__rn") - F.col("__session_start_rn") + 1
+        )
+        .drop("__rn", "__is_boundary", "__session_start_rn")
+        .withColumn("session_id_f", F.col("session_id").cast("double"))
     )
 
     ctx = Extractor(

