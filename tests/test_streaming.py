@@ -1,0 +1,132 @@
+"""Streaming operators vs their batch equivalents.
+
+Real streaming execution (micro-batches, state store, watermark) via
+trigger(availableNow) draining a file source, then compared against
+the batch engine on the same rows.
+"""
+
+import os
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+from protosc_spark.extract import extract
+from protosc_spark.features.text import default_text_extractors
+from protosc_spark.streaming import (
+    read_transcript_stream,
+    run_to_memory_sink,
+    stream_conversation_state,
+    stream_session_counts,
+    stream_turn_features,
+)
+from protosc_spark.windows import sessionize
+
+
+@pytest.fixture(scope="module")
+def stream_src(spark, transcripts, tmp_path_factory):
+    """Transcripts split into two parquet files (early turns first) so
+    maxFilesPerTrigger=1 produces two ordered micro-batches."""
+    base = tmp_path_factory.mktemp("stream_src")
+    early = str(base / "f1")
+    late = str(base / "f2")
+    transcripts.where(F.col("turn_idx") < 10).coalesce(1).write.parquet(early)
+    time.sleep(1.1)  # file source orders batches by modification time
+    transcripts.where(F.col("turn_idx") >= 10).coalesce(1).write.parquet(late)
+    merged = str(base / "src")
+    os.makedirs(merged)
+    for i, d in enumerate((early, late)):
+        for name in sorted(os.listdir(d)):
+            if name.endswith(".parquet"):
+                os.link(os.path.join(d, name), os.path.join(merged, f"{i}-{name}"))
+    return merged
+
+
+def test_stateless_features_match_batch(spark, transcripts, stream_src, tmp_path):
+    stream = read_transcript_stream(spark, stream_src)
+    got = run_to_memory_sink(
+        stream_turn_features(stream), "t_feat", str(tmp_path / "ck")
+    )
+    exp, _ = extract(
+        transcripts,
+        list(default_text_extractors()),
+        keep_cols=["conv_id", "turn_idx", "ts"],
+    )
+    key = lambda r: (r.conv_id, r.turn_idx)  # noqa: E731
+    got_rows = {key(r): tuple(r.features) for r in got.collect()}
+    exp_rows = {key(r): tuple(r.features) for r in exp.collect()}
+    assert got_rows == exp_rows
+
+
+def test_session_window_matches_batch_sessionize(
+    spark, transcripts, stream_src, tmp_path
+):
+    stream = read_transcript_stream(spark, stream_src)
+    got = run_to_memory_sink(
+        stream_session_counts(stream, gap_seconds=1800, watermark="0 seconds"),
+        "t_sess",
+        str(tmp_path / "ck"),
+    )
+    got_rows = {
+        (r.conv_id, r.first_turn): (r.n_turns, r.last_turn)
+        for r in got.collect()
+    }
+    assert len(got_rows) > 50  # sessions actually closed and emitted
+
+    exp = (
+        sessionize(transcripts, gap_seconds=1800, order=["ts", "turn_idx"])
+        .groupBy("conv_id", "session_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_turns"),
+            F.min("turn_idx").alias("first_turn"),
+            F.max("turn_idx").alias("last_turn"),
+        )
+    )
+    exp_rows = {
+        (r.conv_id, r.first_turn): (r.n_turns, r.last_turn)
+        for r in exp.collect()
+    }
+    # append mode emits only watermark-finalized sessions; every emitted
+    # session must match the batch result exactly
+    for k, v in got_rows.items():
+        assert exp_rows[k] == v, k
+
+
+def test_stateful_operator_carries_state_across_batches(
+    spark, transcripts, stream_src, tmp_path
+):
+    stream = read_transcript_stream(spark, stream_src, max_files_per_trigger=1)
+    got = run_to_memory_sink(
+        stream_conversation_state(stream), "t_state", str(tmp_path / "ck")
+    )
+    exp = transcripts.withColumn(
+        "n_tok", F.size(F.split("text", " ")).cast("double")
+    )
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("conv_id").orderBy("turn_idx", "ts").rowsBetween(
+        W.unboundedPreceding, 0
+    )
+    exp = exp.select(
+        "conv_id",
+        "turn_idx",
+        F.count(F.lit(1)).over(w).alias("turns_so_far"),
+        (F.sum("n_tok").over(w) / F.count(F.lit(1)).over(w)).alias(
+            "mean_tokens_so_far"
+        ),
+    )
+    got_rows = {
+        (r.conv_id, r.turn_idx): (r.turns_so_far, round(r.mean_tokens_so_far, 9))
+        for r in got.collect()
+    }
+    exp_rows = {
+        (r.conv_id, r.turn_idx): (r.turns_so_far, round(r.mean_tokens_so_far, 9))
+        for r in exp.collect()
+    }
+    assert got_rows == exp_rows
+    # state really crossed a micro-batch boundary: some conversation has
+    # turns in both files and its late turns count the early ones
+    crossed = [
+        k for k, (n, _) in got_rows.items() if k[1] >= 10 and n > k[1]
+    ]
+    assert crossed or all(k[1] < 10 for k in got_rows)
