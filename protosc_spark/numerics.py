@@ -194,3 +194,89 @@ def linear_classifier_accuracy(
     scores = Xv @ W
     pred = classes[np.argmax(scores, axis=1)]
     return float(np.mean(pred == y_val))
+
+
+# ---------------------------------------------------------------------------
+# inverse normal CDF (scipy.stats.norm.ppf stand-in; reference uses it at
+# protosc/model/genetic.py:493 for the probe-calibrated threshold)
+# ---------------------------------------------------------------------------
+
+def norm_ppf(p: float) -> float:
+    """Peter Acklam's rational approximation of the standard normal
+    quantile, refined with one Halley step against erfc — agrees with
+    scipy to ~1e-13 over (0, 1)."""
+    if not 0.0 < p < 1.0:
+        if p == 0.0:
+            return -np.inf
+        if p == 1.0:
+            return np.inf
+        raise ValueError("p must be in [0, 1]")
+    a = [-3.969683028665376e+01, 2.209460984245205e+02, -2.759285104469687e+02,
+         1.383577518672690e+02, -3.066479806614716e+01, 2.506628277459239e+00]
+    b = [-5.447609879822406e+01, 1.615858368580409e+02, -1.556989798598866e+02,
+         6.680131188771972e+01, -1.328068155288572e+01]
+    c = [-7.784894002430293e-03, -3.223964580411365e-01, -2.400758277161838e+00,
+         -2.549732539343734e+00, 4.374664141464968e+00, 2.938163982698783e+00]
+    d = [7.784695709041462e-03, 3.224671290700398e-01, 2.445134137142996e+00,
+         3.754408661907416e+00]
+    p_low, p_high = 0.02425, 1 - 0.02425
+    if p < p_low:
+        q = np.sqrt(-2 * np.log(p))
+        x = (((((c[0]*q+c[1])*q+c[2])*q+c[3])*q+c[4])*q+c[5]) / \
+            ((((d[0]*q+d[1])*q+d[2])*q+d[3])*q+1)
+    elif p <= p_high:
+        q = p - 0.5
+        r = q * q
+        x = (((((a[0]*r+a[1])*r+a[2])*r+a[3])*r+a[4])*r+a[5])*q / \
+            (((((b[0]*r+b[1])*r+b[2])*r+b[3])*r+b[4])*r+1)
+    else:
+        q = np.sqrt(-2 * np.log(1 - p))
+        x = -(((((c[0]*q+c[1])*q+c[2])*q+c[3])*q+c[4])*q+c[5]) / \
+            ((((d[0]*q+d[1])*q+d[2])*q+d[3])*q+1)
+    # one Halley refinement via the complementary error function
+    from math import erfc
+    e = 0.5 * erfc(-x / np.sqrt(2)) - p
+    u = e * np.sqrt(2 * np.pi) * np.exp(x * x / 2)
+    return float(x - u / (1 + x * u / 2))
+
+
+# ---------------------------------------------------------------------------
+# ElasticNet via cyclic coordinate descent (sklearn stand-in; the
+# reference fits it over GA results at protosc/model/genetic.py:423-460)
+# ---------------------------------------------------------------------------
+
+def elastic_net_coefs(
+    X: np.ndarray,
+    y: np.ndarray,
+    alpha: float,
+    l1_ratio: float = 0.5,
+    max_iter: int = 1000,
+    tol: float = 1e-7,
+) -> np.ndarray:
+    """Coefficients minimizing sklearn's ElasticNet objective
+    ``1/(2n)·||y − b − Xw||² + α·r·||w||₁ + α(1−r)/2·||w||²``
+    (fit_intercept=True). Cyclic coordinate descent with soft
+    thresholding; deterministic, no external solver."""
+    n, p = X.shape
+    Xc = X - X.mean(axis=0)
+    yc = y - y.mean()
+    col_sq = (Xc * Xc).sum(axis=0)
+    l1 = n * alpha * l1_ratio
+    l2 = n * alpha * (1 - l1_ratio)
+    w = np.zeros(p)
+    r = yc.copy()
+    for _ in range(max_iter):
+        max_delta = 0.0
+        for j in range(p):
+            if col_sq[j] == 0.0:
+                continue
+            rho = Xc[:, j] @ r + w[j] * col_sq[j]
+            wj = np.sign(rho) * max(abs(rho) - l1, 0.0) / (col_sq[j] + l2)
+            delta = wj - w[j]
+            if delta != 0.0:
+                r -= delta * Xc[:, j]
+                max_delta = max(max_delta, abs(delta))
+                w[j] = wj
+        if max_delta < tol:
+            break
+    return w

@@ -1,0 +1,120 @@
+"""Genetic model: operator laws (reference tests/test_genetic.py
+pins crossover conservation and mutation size laws), planted-truth
+recovery, and parallel-vs-sequential determinism."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from protosc_spark.models.genetic import (
+    GeneticModel,
+    chromosome_accuracy,
+    crossover,
+    mutate,
+    random_chromosome,
+    significant_features,
+    tune_elastic_net,
+)
+from protosc_spark.oracle.simulation import make_independent
+
+N_TOTAL = 60
+
+
+def test_crossover_conserves_features():
+    rng = np.random.default_rng(3)
+    for _ in range(25):
+        c1 = random_chromosome(N_TOTAL, 12, rng)
+        c2 = random_chromosome(N_TOTAL, 12, rng)
+        a, b = crossover(c1, c2, rng)
+        # union of children == union of parents; common inherited by both
+        assert a | b == c1 | c2
+        assert (c1 & c2) <= a and (c1 & c2) <= b
+        # unique features split roughly half/half
+        assert abs(len(a) - len(b)) <= 2
+
+
+def test_mutation_size_laws():
+    rng = np.random.default_rng(4)
+    for _ in range(50):
+        c = random_chromosome(N_TOTAL, 10, rng)
+        before = len(c)
+        mutate(c, N_TOTAL, rate=0.1, rng=rng)
+        # at most one regular mutation (+1/-1) or one split (-1/3)
+        assert before - before // 3 - 1 <= len(c) <= before + 1
+    c = {5}
+    for _ in range(20):
+        mutate(c, N_TOTAL, rate=1.0, rng=rng)
+        assert len(c) >= 1  # never empties
+
+
+def test_probe_calibrated_threshold():
+    coefs = np.zeros(120)
+    coefs[:3] = [0.5, 0.4, 0.3]          # strong real features
+    rng = np.random.default_rng(0)
+    coefs[20:] = rng.normal(0, 0.01, 100)  # probe noise
+    got = significant_features(coefs, n_random=100, criterion=0.5)
+    assert set(got) == {0, 1, 2}
+
+
+def test_elastic_net_tuning_zeroes_probe_band():
+    rng = np.random.default_rng(1)
+    n, p_real, p_probe = 300, 10, 40
+    X = rng.integers(0, 2, size=(n, p_real + p_probe)).astype(float)
+    y = X[:, 0] * 0.3 + X[:, 1] * 0.2 + rng.normal(0, 0.02, n)
+    coefs = tune_elastic_net(X, y, n_random=p_probe)
+    nz = int(np.sum(coefs[p_real:] != 0))
+    assert round(p_probe * 0.45) <= nz <= round(p_probe * 0.6)
+    assert coefs[0] > coefs[2:p_real].max()
+
+
+@pytest.fixture(scope="module")
+def planted():
+    np.random.seed(777)
+    X, y, truth = make_independent(
+        n_features=40, n_samples=160, n_true=6, min_dev=2.0, max_dev=3.0
+    )
+    return X, y, truth
+
+
+def _small_model():
+    return GeneticModel(
+        n_chromo=20,
+        n_gen_data=1,
+        n_random_features=30,
+        num_penalty=0.005,
+        n_compute=1,
+        n_fold=4,
+    )
+
+
+def test_recovers_planted_features_and_is_deterministic(planted):
+    X, y, truth = planted
+    sel1 = _small_model().execute_matrix(X, y, seed=11)
+    sel2 = _small_model().execute_matrix(X, y, seed=11)
+    assert list(sel1) == list(sel2)
+    true_set = set(truth["selected_features"].tolist())
+    assert len(sel1) > 0
+    hits = len(set(sel1.tolist()) & true_set)
+    assert hits / len(sel1) >= 0.5  # precision: mostly planted features
+
+
+def test_spark_fanout_equals_driver_sequential(spark, planted):
+    X, y, _ = planted
+    seq = _small_model().execute_matrix(X, y, seed=11, spark=None)
+    par = _small_model().execute_matrix(X, y, seed=11, spark=spark)
+    assert list(seq) == list(par)
+
+
+def test_dataframe_entry_point(spark, planted):
+    X, y, _ = planted
+    pdf = pd.DataFrame(
+        {
+            "sample_id": np.arange(len(y), dtype=np.int64),
+            "features": list(X.astype(np.float64)),
+            "y": y.astype("int32"),
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    got = _small_model().execute(df, seed=11)
+    exp = _small_model().execute_matrix(X, y, seed=11)
+    assert list(got) == list(exp)
