@@ -274,6 +274,117 @@ def _transcript_flagship(spark, sf_dir):
     )
 
 
+def _stream_sessions(spark, sf_dir):
+    """Structured-Streaming gap sessionization over events, drained via
+    trigger(availableNow). Emission rule (pinned in tests): a session
+    is emitted once last_ts + gap <= the final watermark (= max ts at
+    0s delay) — the oracle applies the same cutoff in SQL."""
+    import os
+    import tempfile
+    import uuid
+
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+        TimestampType,
+    )
+
+    from protosc_spark.streaming import run_to_memory_sink, stream_session_counts
+
+    schema = StructType(
+        [
+            StructField("event_id", LongType()),
+            StructField("ts", TimestampType()),
+            StructField("user_id", LongType()),
+            StructField("event_type", StringType()),
+            StructField("value", DoubleType()),
+            StructField("props", StringType()),
+        ]
+    )
+    d = tempfile.mkdtemp(prefix="protosc_stream_src_")
+    os.symlink(os.path.abspath(f"{sf_dir}/events.parquet"),
+               os.path.join(d, "events.parquet"))
+    src = spark.readStream.schema(schema).parquet(d)
+    sessions = stream_session_counts(
+        src, gap_seconds=3600, watermark="0 seconds",
+        entity_col="user_id", ts_col="ts", idx_col="event_id",
+    )
+    name = f"stream_sessions_{uuid.uuid4().hex[:8]}"
+    return run_to_memory_sink(sessions, name, tempfile.mkdtemp())
+
+
+def _mm_image_grey(spark, sf_dir):
+    """Multimodal decode + feature UDF on the deterministic media table
+    (sha2-chained payloads): per-image grey mean/std. The oracle
+    recomputes the same bytes with DuckDB's sha256."""
+    from protosc_spark.multimodal import generate_media, media_pipeline
+
+    media = generate_media(spark, n=64, seed=42, kind="image")
+    feats, _w = media_pipeline(media)
+    return feats.select(
+        "media_id",
+        F.round(F.col("img_features")[0], 6).alias("grey_mean"),
+        F.round(F.col("img_features")[1], 6).alias("grey_std"),
+    )
+
+
+def _filter_select(spark, sf_dir):
+    """FilterModel (chi-square -> clusters -> cumsum threshold -> SVM
+    significance) on the reference's easy-data fixture; rows-only
+    (iterative algorithm; parity vs the numpy oracle is pinned in
+    tests/test_filter_model.py)."""
+    import numpy as np
+    import pandas as pd
+
+    from protosc_spark.models.filter_model import FilterModel
+    from protosc_spark.oracle.simulation import make_correlated
+
+    np.random.seed(1928374)
+    X, y, _ = make_correlated(
+        n_base_features=10, n_true=5, n_samples=100,
+        min_dev=20, max_dev=30, n_corr=2,
+    )
+    pdf = pd.DataFrame(
+        {
+            "sample_id": np.arange(len(y), dtype=np.int64),
+            "features": list(X.astype(np.float64)),
+            "y": y.astype("int32"),
+        }
+    )
+    sel = FilterModel(n_fold=8).execute(
+        spark.createDataFrame(pdf), fold_seed=42, seed=0
+    )
+    return spark.createDataFrame(
+        [(int(i),) for i in sorted(sel)], "feature_id int"
+    )
+
+
+def _genetic_select(spark, sf_dir):
+    """GeneticModel (GA + elastic-net probe calibration) on planted
+    independent data; rows-only (iterative algorithm; determinism and
+    precision pinned in tests/test_genetic.py)."""
+    import numpy as np
+
+    from protosc_spark.models.genetic import GeneticModel
+    from protosc_spark.oracle.simulation import make_independent
+
+    np.random.seed(777)
+    X, y, _ = make_independent(
+        n_features=40, n_samples=160, n_true=6, min_dev=2.0, max_dev=3.0
+    )
+    model = GeneticModel(
+        n_chromo=20, n_gen_data=1, n_random_features=30,
+        n_compute=1, n_fold=4,
+    )
+    sel = model.execute_matrix(X, y, seed=11, spark=spark)
+    return spark.createDataFrame(
+        [(int(i),) for i in sorted(sel)], "feature_id int"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q1_pricing_summary": _q1_pricing,
@@ -297,6 +408,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_topk_bruteforce": _sim_topk,
         "sim_cosine_neardup": _sim_neardup,
         "transcript_flagship": _transcript_flagship,
+        "stream_sessions": _stream_sessions,
+        "mm_image_grey": _mm_image_grey,
+        "filter_select": _filter_select,
+        "genetic_select": _genetic_select,
     }
 
 
@@ -518,4 +633,69 @@ def oracle_sql() -> dict[str, str]:
                                                b.embedding::DOUBLE[]), 6) >= 0.35
             ORDER BY id_a, id_b
         """,
+        # streaming gap sessionization == batch sessionization restricted
+        # to watermark-finalized sessions (last_ts + gap <= max ts)
+        "stream_sessions": """
+            WITH flagged AS (
+              SELECT user_id, event_id, ts,
+                     CASE WHEN lag(ts) OVER w IS NULL
+                            OR epoch_us(ts) - epoch_us(lag(ts) OVER w)
+                               > 3600::BIGINT * 1000000
+                          THEN 1 ELSE 0 END AS is_new
+              FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ), sess AS (
+              SELECT user_id, event_id, ts,
+                     sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+              FROM flagged
+            ), agg AS (
+              SELECT user_id,
+                     min(ts) AS session_start,
+                     max(ts) + INTERVAL 1 HOUR AS session_end,
+                     count(*)::BIGINT AS n_turns,
+                     min(event_id) AS first_turn,
+                     max(event_id) AS last_turn
+              FROM sess GROUP BY user_id, sid
+            )
+            SELECT user_id, session_start, session_end, n_turns,
+                   first_turn, last_turn
+            FROM agg
+            WHERE session_end <= (SELECT max(ts) FROM events)
+        """,
+        # multimodal fake decode is a pure function of sha2-chained
+        # payload bytes -> DuckDB recomputes the identical pixels
+        "mm_image_grey": """
+            WITH ids AS (
+              SELECT i::BIGINT AS id, printf('im-%05d', i) AS media_id,
+                     ((i % 3) + 1)::INT AS channels
+              FROM range(64) t(i)
+            ), payload AS (
+              SELECT media_id, channels,
+                     sha256('42' || media_id || '0')
+                     || sha256('42' || media_id || '1')
+                     || sha256('42' || media_id || '2') AS hx
+              FROM ids
+            ), bytes AS (
+              SELECT media_id, j,
+                     (strpos('0123456789abcdef', substr(hx, 2*j::INT + 1, 1)) * 16
+                      + strpos('0123456789abcdef', substr(hx, 2*j::INT + 2, 1))
+                      - 17)::DOUBLE AS b
+              FROM payload, range(96) r(j)
+            ), pix AS (
+              SELECT pl.media_id, px.p, avg(b.b) AS grey
+              FROM payload pl
+              CROSS JOIN range(64) px(p)
+              CROSS JOIN range(3) ch(c)
+              JOIN bytes b ON b.media_id = pl.media_id
+               AND b.j = (px.p * pl.channels + ch.c) % 96
+              WHERE ch.c < pl.channels
+              GROUP BY pl.media_id, px.p
+            )
+            SELECT media_id, round(avg(grey), 6) AS grey_mean,
+                   round(sqrt(var_pop(grey)), 6) AS grey_std
+            FROM pix GROUP BY media_id ORDER BY media_id
+        """,
+        # filter_select / genetic_select: iterative driver-orchestrated
+        # algorithms; rows-only by design (parity pinned in pytest vs
+        # the vendored numpy oracle instead).
     }

@@ -93,27 +93,36 @@ def stream_session_counts(
     stream_df: DataFrame,
     gap_seconds: int = 1800,
     watermark: str = "2 hours",
+    entity_col: str = "conv_id",
+    ts_col: str = "ts",
+    idx_col: str | None = "turn_idx",
 ) -> DataFrame:
-    """Watermarked gap-sessionization: one row per closed session."""
+    """Watermarked gap-sessionization: one row per closed session.
+
+    Emission rule (pinned by tests + the driver oracle): append mode
+    emits a session once its window end (last event ts + gap) is at or
+    below the final watermark (max event ts − delay)."""
+    aggs = [F.count(F.lit(1)).alias("n_turns")]
+    sels = [
+        F.col(entity_col),
+        F.col("session_window.start").alias("session_start"),
+        F.col("session_window.end").alias("session_end"),
+        "n_turns",
+    ]
+    if idx_col is not None:
+        aggs += [
+            F.min(idx_col).alias("first_turn"),
+            F.max(idx_col).alias("last_turn"),
+        ]
+        sels += ["first_turn", "last_turn"]
     return (
-        stream_df.withWatermark("ts", watermark)
+        stream_df.withWatermark(ts_col, watermark)
         .groupBy(
-            F.col("conv_id"),
-            F.session_window(F.col("ts"), f"{gap_seconds} seconds"),
+            F.col(entity_col),
+            F.session_window(F.col(ts_col), f"{gap_seconds} seconds"),
         )
-        .agg(
-            F.count(F.lit(1)).alias("n_turns"),
-            F.min("turn_idx").alias("first_turn"),
-            F.max("turn_idx").alias("last_turn"),
-        )
-        .select(
-            "conv_id",
-            F.col("session_window.start").alias("session_start"),
-            F.col("session_window.end").alias("session_end"),
-            "n_turns",
-            "first_turn",
-            "last_turn",
-        )
+        .agg(*aggs)
+        .select(*sels)
     )
 
 
