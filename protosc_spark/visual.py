@@ -1,0 +1,244 @@
+"""Visual preprocessing + feature extractors over decoded images.
+
+Numpy re-derivations of the reference's visual pipeline semantics
+(cv2/skimage are not in this container, so the math is implemented
+from the published definitions; the codec boundary itself is stubbed
+in multimodal.py):
+
+* :func:`greyscale` — BGR luminance weights, keeps the 3-D (h, w, 1)
+  shape and is idempotent, TypeError on non-ndarray (reference
+  protosc/preprocessing.py:41-48 via cv2.cvtColor).
+* :func:`cut_circle` — zero pixels outside the inscribed circle about
+  the image center (reference protosc/preprocessing.py:110-125).
+* :func:`detect_crop` — the ViolaJones STAND-IN: a deterministic fake
+  detector (center box at half the image size) followed by the
+  reference's margin arithmetic and a resize to a fixed square
+  (reference protosc/preprocessing.py:51-107 — the Haar-cascade search
+  itself needs cv2 and is replaced by the fake detector; margin crop +
+  fixed-size contract preserved).
+* :func:`fourier_features` — fft2(img − channel mean) → fftshift →
+  abs → polar coarse-graining summed per (angle, radius) bin inside
+  the inscribed circle (reference
+  protosc/feature_extraction/fourier_features.py:83-169; the sparse
+  matrix is replaced by np.bincount over the same bin ids —
+  bin-identical assignment, no scipy).
+* :func:`hog_features` — [-1,0,1] gradients, unsigned orientation
+  bins, per-cell magnitude-weighted histograms with 1x1
+  cells_per_block, feature count (h//ch)·(w//cw)·orientations
+  (reference protosc/feature_extraction/hog.py:9-43 via skimage;
+  same shape law, simple nearest-bin voting instead of skimage's
+  integral-histogram interpolation).
+
+All are plain numpy kernels so the SAME function runs inside the
+Arrow-batched Spark UDF (visual_feature_udf) and in the pandas oracle
+used by tests — parity by construction.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import ArrayType, DoubleType
+
+_BGR_WEIGHTS = np.array([0.114, 0.587, 0.299])
+
+
+def _require_ndarray(img, op: str) -> None:
+    if not isinstance(img, np.ndarray):
+        raise TypeError(f"{op} needs np.ndarray as input type (not: {type(img)})")
+
+
+def greyscale(img: np.ndarray) -> np.ndarray:
+    """(h, w, c) -> (h, w, 1); idempotent on single-channel input."""
+    _require_ndarray(img, "greyscale")
+    if img.shape[2] == 1:
+        return img
+    w = _BGR_WEIGHTS[: img.shape[2]]
+    w = w / w.sum()
+    # fixed-order scalar sum, NOT a BLAS matmul: BLAS picks SIMD kernels
+    # by runtime thread count, giving ~1e-12 drift across executors —
+    # which breaks the engine's bitwise determinism-across-parallelism
+    # contract (reference pins it in tests/test_parallel.py)
+    grey = np.zeros(img.shape[:2])
+    for ch in range(img.shape[2]):
+        grey += img[:, :, ch] * w[ch]
+    return grey.reshape(*grey.shape, 1)
+
+
+def _center_radius_mask(shape) -> np.ndarray:
+    ys, xs = np.meshgrid(
+        np.arange(shape[0]) - shape[0] // 2,
+        np.arange(shape[1]) - shape[1] // 2,
+        indexing="ij",
+    )
+    return np.sqrt(xs**2 + ys**2)
+
+
+def cut_circle(img: np.ndarray) -> np.ndarray:
+    _require_ndarray(img, "cut_circle")
+    radius = _center_radius_mask(img.shape)
+    out = img.copy()
+    out[radius > min(img.shape[0] // 2, img.shape[1] // 2), :] = 0
+    return out
+
+
+def detect_crop(img: np.ndarray, add_perc: int = 20, out_size: int = 16) -> np.ndarray:
+    """Deterministic ViolaJones stand-in: "detect" the centered box of
+    half the image size, apply the reference's +/-add_perc% margin
+    arithmetic, nearest-neighbor resize to (out_size, out_size, c)."""
+    _require_ndarray(img, "detect_crop")
+    h, w = img.shape[:2]
+    x, y, bw, bh = w // 4, h // 4, w // 2, h // 2  # fake detection box
+    mplus, mmin = 1 + add_perc / 100, 1 - add_perc / 100
+    roi = img[int(y * mmin) : int(y * mplus) + bh, int(x * mmin) : int(x * mplus) + bw]
+    yy = (np.arange(out_size) * roi.shape[0] // out_size).clip(0, roi.shape[0] - 1)
+    xx = (np.arange(out_size) * roi.shape[1] // out_size).clip(0, roi.shape[1] - 1)
+    return roi[np.ix_(yy, xx)]
+
+
+def _polar_bin_ids(shape, n_angular: int, n_spatial: int):
+    """(bin id per pixel, n_bins); id = -1 outside the inscribed circle."""
+    ys, xs = np.meshgrid(
+        np.arange(shape[0]) - shape[0] // 2,
+        np.arange(shape[1]) - shape[1] // 2,
+        indexing="ij",
+    )
+    radius = np.sqrt(xs**2 + ys**2)
+    angle = np.arctan2(xs, ys)
+    d_angle = 2 * np.pi / n_angular
+    d_radius = min(shape[0] // 2, shape[1] // 2) / n_spatial
+    # half-bin rotation so bin 0 straddles angle 0 (reference
+    # fourier_features.py:98-101), then fold opposite sides together
+    angle_id = ((2 * angle / d_angle + 0.5 * (2 * n_angular + 1))
+                % (2 * n_angular)).astype(int) % n_angular
+    radius_id = (radius / d_radius).astype(int)
+    ids = angle_id + radius_id * n_angular
+    ids[radius_id >= n_spatial] = -1
+    # compact to consecutive ids
+    uniq = np.unique(ids[ids >= 0])
+    remap = np.full(ids.max() + 1 if ids.max() >= 0 else 1, -1, dtype=int)
+    remap[uniq] = np.arange(len(uniq))
+    out = np.where(ids >= 0, remap[np.clip(ids, 0, None)], -1)
+    return out, len(uniq)
+
+
+def fourier_bin_count(shape, n_angular: int = 8, n_spatial: int = 7) -> int:
+    """Feature width for a given image shape — computed at PLAN time so
+    the Spark UDF can declare a static return width (the reference
+    infers it from sample 0, protosc/feature_matrix.py:48-67)."""
+    return _polar_bin_ids(shape, n_angular, n_spatial)[1]
+
+
+def fourier_features(
+    img: np.ndarray, n_angular: int = 8, n_spatial: int = 7
+) -> np.ndarray:
+    """Per channel: coarse-grained |fftshift(fft2(img - mean))| summed
+    over polar bins. Output (n_bins, c)."""
+    _require_ndarray(img, "fourier_features")
+    fft_map = np.abs(
+        np.fft.fftshift(
+            np.fft.fft2(img - img.mean(axis=(0, 1)), axes=(0, 1)), axes=(0, 1)
+        )
+    )
+    ids, n_bins = _polar_bin_ids(img.shape, n_angular, n_spatial)
+    flat_ids = ids.reshape(-1)
+    keep = flat_ids >= 0
+    out = np.empty((n_bins, img.shape[2]))
+    for ch in range(img.shape[2]):
+        out[:, ch] = np.bincount(
+            flat_ids[keep],
+            weights=fft_map[:, :, ch].reshape(-1)[keep],
+            minlength=n_bins,
+        )
+    return out
+
+
+def hog_width(shape, orientations: int = 9, cellsize=(4, 4)) -> int:
+    return (shape[0] // cellsize[0]) * (shape[1] // cellsize[1]) * orientations
+
+
+def hog_features(
+    img: np.ndarray, orientations: int = 9, cellsize=(4, 4)
+) -> np.ndarray:
+    """Grey -> [-1,0,1] gradients -> unsigned orientation -> per-cell
+    magnitude-weighted histogram; flattened (cells_y, cells_x, bins)."""
+    _require_ndarray(img, "hog_features")
+    grey = greyscale(img)[:, :, 0]
+    gy = np.zeros_like(grey)
+    gx = np.zeros_like(grey)
+    gy[1:-1, :] = grey[2:, :] - grey[:-2, :]
+    gx[:, 1:-1] = grey[:, 2:] - grey[:, :-2]
+    mag = np.sqrt(gx**2 + gy**2)
+    ori = np.rad2deg(np.arctan2(gy, gx)) % 180.0
+    bins = np.minimum((ori / (180.0 / orientations)).astype(int), orientations - 1)
+
+    cy, cx = cellsize
+    n_cy, n_cx = grey.shape[0] // cy, grey.shape[1] // cx
+    out = np.zeros((n_cy, n_cx, orientations))
+    for iy in range(n_cy):
+        for ix in range(n_cx):
+            b = bins[iy * cy : (iy + 1) * cy, ix * cx : (ix + 1) * cx].reshape(-1)
+            m = mag[iy * cy : (iy + 1) * cy, ix * cx : (ix + 1) * cx].reshape(-1)
+            out[iy, ix] = np.bincount(b, weights=m, minlength=orientations)
+    return out.reshape(-1)
+
+
+# ---------------------------------------------------------------------------
+# Spark stage: preprocess + both extractors in ONE Arrow pass
+# ---------------------------------------------------------------------------
+
+
+def visual_feature_udf(
+    image_shape,
+    n_angular: int = 4,
+    n_spatial: int = 2,
+    orientations: int = 6,
+    cellsize=(4, 4),
+    add_perc: int = 20,
+    crop_size: int | None = None,
+):
+    """pandas UDF computing the full visual chain
+    detect_crop? -> greyscale -> cut_circle -> concat(fourier, hog)
+    per decoded image (the reference's default_visual_pipeline,
+    protosc/settings.py:20-24, with the shared prefix computed once).
+    Returns (udf, width) — width is fixed at plan time from the shape.
+    """
+    shape = (
+        (crop_size, crop_size, 1) if crop_size else (image_shape[0], image_shape[1], 1)
+    )
+    w_fourier = fourier_bin_count(shape, n_angular, n_spatial)
+    w_hog = hog_width(shape, orientations, cellsize)
+
+    @F.pandas_udf(ArrayType(DoubleType()))
+    def _vis(
+        pixels: pd.Series, w: pd.Series, h: pd.Series, c: pd.Series
+    ) -> pd.Series:
+        out = []
+        for px, wi, hi, ci in zip(pixels, w, h, c):
+            img = np.asarray(px, dtype=np.float64).reshape(hi, wi, ci)
+            if crop_size:
+                img = detect_crop(img, add_perc=add_perc, out_size=crop_size)
+            img = cut_circle(greyscale(img))
+            fo = fourier_features(img, n_angular, n_spatial)[:, 0]
+            hg = hog_features(img, orientations, cellsize)
+            out.append(np.concatenate([fo, hg]))
+        return pd.Series(out)
+
+    return _vis, w_fourier + w_hog
+
+
+def visual_features(decoded: DataFrame, image_shape=(8, 8)) -> tuple[DataFrame, int]:
+    """decoded images (multimodal.decode_images output) -> per-media
+    Fourier+HOG vector. Declared width; single select, no shuffle."""
+    udf, width = visual_feature_udf(image_shape)
+    return (
+        decoded.select(
+            "media_id",
+            udf(
+                F.col("pixels"), F.col("width"), F.col("height"), F.col("channels")
+            ).alias("vis_features"),
+        ),
+        width,
+    )

@@ -1,0 +1,107 @@
+"""Visual operator laws mirroring the reference's own pins
+(tests/test_preprocessing.py, tests/test_feature_extraction.py,
+tests/test_plotting.py): greyscale idempotence + shape, circle
+zeroing, crop contract, fourier/hog width laws, and Spark/numpy
+parity of the full visual chain."""
+
+import numpy as np
+import pytest
+
+from protosc_spark.multimodal import decode_images, generate_media
+from protosc_spark.visual import (
+    cut_circle,
+    detect_crop,
+    fourier_bin_count,
+    fourier_features,
+    greyscale,
+    hog_features,
+    hog_width,
+    visual_features,
+)
+
+
+def _img(h=20, w=20, c=3, seed=0):
+    return np.random.default_rng(seed).uniform(0, 255, (h, w, c))
+
+
+def test_greyscale_shape_and_idempotence():
+    g = greyscale(_img())
+    assert g.shape == (20, 20, 1)
+    assert np.allclose(greyscale(g), g)  # idempotent
+    with pytest.raises(TypeError, match="np.ndarray"):
+        greyscale([[1, 2]])
+
+
+def test_cut_circle_zeroes_corners_keeps_center():
+    img = np.ones((21, 21, 1))
+    out = cut_circle(img)
+    assert out[0, 0, 0] == 0 and out[0, -1, 0] == 0
+    assert out[10, 10, 0] == 1 and out[10, 0, 0] == 1
+    assert img[0, 0, 0] == 1  # input not mutated
+
+
+def test_detect_crop_contract():
+    out = detect_crop(_img(40, 40, 3), add_perc=20, out_size=16)
+    assert out.shape == (16, 16, 3)
+    # deterministic
+    assert np.allclose(out, detect_crop(_img(40, 40, 3), add_perc=20, out_size=16))
+
+
+def test_fourier_width_law_and_symmetry():
+    # 200x200 with reference defaults (8 angular, 7 spatial) -> 56
+    # features, the count the reference pins in tests/test_plotting.py:36
+    assert fourier_bin_count((200, 200, 1), 8, 7) == 56
+    img = _img(16, 16, 2)
+    out = fourier_features(img, n_angular=4, n_spatial=2)
+    assert out.shape == (fourier_bin_count(img.shape, 4, 2), 2)
+    assert np.all(out >= 0)  # abs of spectrum, summed
+    # constant image: all energy at DC -> exactly one nonzero bin
+    flat = fourier_features(np.full((16, 16, 1), 7.0), 4, 2)
+    assert np.count_nonzero(flat > 1e-9) <= 1
+
+
+def test_hog_width_law_and_gradient_response():
+    # (h//ch)*(w//cw)*orientations — the shape law the reference pins
+    # in tests/test_feature_extraction.py:20
+    assert hog_width((200, 200, 1), 9, (10, 10)) == 3600
+    img = np.zeros((16, 16, 1))
+    img[:, 8:, 0] = 255.0  # vertical edge -> horizontal gradient
+    out = hog_features(img, orientations=6, cellsize=(4, 4))
+    assert out.shape == (16 * 6,)
+    per_cell = out.reshape(4, 4, 6)
+    # energy only in the columns containing the edge, bin 0 (0 deg)
+    assert per_cell[:, 1, 0].sum() > 0 or per_cell[:, 2, 0].sum() > 0
+    assert np.allclose(per_cell[:, :, 1:], 0)
+
+
+def test_spark_visual_chain_matches_numpy_oracle(spark):
+    media = generate_media(spark, n=24, kind="image")
+    decoded = decode_images(media)
+    feats, width = visual_features(decoded, image_shape=(8, 8))
+    rows = {r.media_id: np.array(r.vis_features) for r in feats.collect()}
+    assert all(len(v) == width for v in rows.values())
+
+    from protosc_spark.multimodal import _fake_pixels
+    from protosc_spark.visual import visual_feature_udf  # noqa: F401
+
+    for r in decoded.collect():
+        img = np.asarray(r.pixels, dtype=np.float64).reshape(
+            r.height, r.width, r.channels
+        )
+        img = cut_circle(greyscale(img))
+        exp = np.concatenate(
+            [
+                fourier_features(img, 4, 2)[:, 0],
+                hog_features(img, 6, (4, 4)),
+            ]
+        )
+        assert np.allclose(rows[r.media_id], exp), r.media_id
+
+
+def test_spark_visual_deterministic_across_partitioning(spark):
+    media = generate_media(spark, n=24, kind="image")
+    a, _ = visual_features(decode_images(media))
+    b, _ = visual_features(decode_images(media.repartition(7)))
+    ra = {r.media_id: tuple(r.vis_features) for r in a.collect()}
+    rb = {r.media_id: tuple(r.vis_features) for r in b.collect()}
+    assert ra == rb
