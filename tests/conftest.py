@@ -3,7 +3,14 @@ import sys
 
 import pytest
 
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+_TESTS = os.path.dirname(os.path.abspath(__file__))
+_REPO = os.path.dirname(_TESTS)
+sys.path.insert(0, _REPO)
+# Python workers must import test modules too (pipe elements defined in
+# tests are pickled by reference); set before the JVM/session starts.
+os.environ["PYTHONPATH"] = os.pathsep.join(
+    [_REPO, _TESTS, os.environ.get("PYTHONPATH", "")]
+).rstrip(os.pathsep)
 
 from protosc_spark.session import get_spark  # noqa: E402
 
