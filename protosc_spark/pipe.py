@@ -174,9 +174,37 @@ class PipeComplex:
             )
         return NotImplemented
 
-    def run(self, package) -> dict:
+    @property
+    def settings(self) -> dict:
+        """Hierarchical parameter tree {branch: {element: {param:
+        value}}} — the plain-dict analog of the reference's
+        dot-navigable Settings (protosc/utils.py:43-109,
+        protosc/settings.py:11-17)."""
+        return {
+            bname: {el.name: dict(el.param) for el in pipe.elements}
+            for bname, pipe in self.branches.items()
+        }
+
+    def push_settings(self, overrides: dict) -> None:
+        """Write parameter overrides onto elements before execution
+        (reference protosc/pipe_complex.py:124-131 does this via
+        setattr per branch). NOTE the reference quirk is preserved:
+        elements are SHARED between branches when prefixes unify, so an
+        override addressed to one branch reaches every branch sharing
+        that element instance."""
+        for bname, elems in overrides.items():
+            pipe = self.branches[bname]
+            for el in pipe.elements:
+                for key, val in elems.get(el.name, {}).items():
+                    if key not in el.default_param:
+                        raise KeyError(f"{el.name} has no parameter {key!r}")
+                    setattr(el, key, val)
+
+    def run(self, package, settings: dict | None = None) -> dict:
         """{branch name: output-or-exception}; shared prefixes (matched
         by element name) execute ONCE per package."""
+        if settings:
+            self.push_settings(settings)
         return self._run(package, self.branches, 0)
 
     @classmethod

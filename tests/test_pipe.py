@@ -170,3 +170,22 @@ def test_spark_bridge_error_sidecar(spark, decoded):
         F.size("features").alias("s")
     ).distinct().collect()
     assert [r.s for r in w] == [sum(widths.values())]
+
+
+def test_settings_tree_and_push_down():
+    pc = Grey() * Fourier() + Grey() * Hog()
+    s = pc.settings
+    assert s["Fourier"]["Fourier"] == {"n_angular": 4, "n_spatial": 2}
+    assert s["Hog"]["Hog"] == {"orientations": 6}
+    img = np.random.default_rng(2).uniform(0, 255, (16, 16, 1))
+    base = pc.run(img)
+    pc.push_settings({"Fourier": {"Fourier": {"n_angular": 8}}})
+    # the element name re-mangles once the param is non-default
+    # (reference behavior: names encode params, pipeline.py:175-183)
+    assert pc.branches["Fourier"][1].n_angular == 8
+    assert pc.settings["Fourier"]["Fourier_n_angular8"]["n_angular"] == 8
+    changed = pc.run(img)
+    assert len(changed["Fourier"]) != len(base["Fourier"])
+    assert np.allclose(changed["Hog"], base["Hog"])  # other branch untouched
+    with pytest.raises(KeyError, match="no parameter"):
+        pc.push_settings({"Hog": {"Hog": {"nope": 1}}})
