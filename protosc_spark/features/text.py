@@ -129,23 +129,37 @@ def _fnv1a(s: str) -> int:
 def hashed_ngram_np(texts: np.ndarray, buckets: int = NGRAM_BUCKETS) -> np.ndarray:
     """Gram bucket = crc32 (C-speed, platform-stable) — the hash choice
     is part of this engine's feature definition; the oracle shares this
-    exact kernel."""
-    crc = crc32
-    out = np.zeros((len(texts), buckets), dtype=np.float64)
-    for i, t in enumerate(texts):
-        toks = t.split(" ") if t else []
-        row = out[i]
-        prev = None
-        for g in toks:
-            gb = g.encode()
-            row[crc(gb) % buckets] += 1.0
-            if prev is not None:
-                row[crc(prev + b" " + gb) % buckets] += 1.0
-            prev = gb
-        s = row.sum()
-        if s > 0:
-            row /= s
-    return out
+    exact kernel.
+
+    Batch-vectorized: all uni+bigrams of the batch go through ONE
+    map(crc32) + ONE bincount instead of per-row numpy indexing (the
+    extract stage is the flagship's hot loop; this kernel shape scales
+    it ~2x better across executor counts)."""
+    n = len(texts)
+    tok_lists = [t.split(" ") if t else [] for t in texts]
+    uni = [g.encode() for v in tok_lists for g in v]
+    bi = [
+        (a + " " + b).encode()
+        for v in tok_lists
+        for a, b in zip(v, v[1:])
+    ]
+    n_uni = np.fromiter((len(v) for v in tok_lists), dtype=np.int64, count=n)
+    rows = np.concatenate(
+        [
+            np.repeat(np.arange(n), n_uni),
+            np.repeat(np.arange(n), np.maximum(n_uni - 1, 0)),
+        ]
+    )
+    grams = uni + bi
+    if not grams:
+        return np.zeros((n, buckets))
+    h = np.fromiter(map(crc32, grams), dtype=np.int64, count=len(grams))
+    flat = np.bincount(
+        rows * buckets + h % buckets, minlength=n * buckets
+    ).reshape(n, buckets)
+    totals = flat.sum(axis=1, keepdims=True).astype(np.float64)
+    totals[totals == 0] = 1.0
+    return flat / totals
 
 
 @F.pandas_udf(ARR)
