@@ -163,3 +163,144 @@ def asof_join_grouped(
         .cogroup(rb.groupBy("__b"))
         .applyInPandas(merge, schema=out_schema)
     )
+
+
+def asof_join_time_split(
+    left: DataFrame,
+    right: DataFrame,
+    on: str = "ts",
+    by: str = "conv_id",
+    value_cols: Sequence[str] | None = None,
+    allow_exact_matches: bool = False,
+    split_seconds: int = 86400,
+    n_salt: int = 16,
+) -> DataFrame:
+    """Backward as-of join with TIME-RANGE SPLITTING and boundary
+    carry-in — the skew path for conversations too large for one task.
+
+    Group key is ``(time bucket, salt(entity))`` instead of the entity,
+    so a single giant conversation spreads over ``duration /
+    split_seconds`` independent tasks. Correctness across bucket
+    boundaries: for every (entity, left bucket) the latest right row
+    from any EARLIER bucket is computed with one window pass over
+    per-bucket right maxima (one tiny row per (entity, bucket)) and
+    injected into the bucket's group as a synthetic right row — the
+    "carry the last pre-boundary state row into the next bucket" design
+    from SURVEY.md §7.3. Inside each group, ``pandas.merge_asof``
+    per entity as in :func:`asof_join_grouped`.
+
+    Equality with :func:`asof_join` for every split_seconds is pinned
+    in tests/test_asof.py.
+    """
+    value_cols = list(
+        value_cols
+        if value_cols is not None
+        else [c for c in right.columns if c not in {by, on}]
+    )
+    left_cols = list(left.columns)
+    out_schema = T.StructType(
+        list(left.schema.fields)
+        + [T.StructField(c, right.schema[c].dataType, True) for c in value_cols]
+    )
+    us = F.lit(int(split_seconds) * 1_000_000)
+
+    def _bucketed(df: DataFrame) -> DataFrame:
+        return df.withColumn(
+            "__t", F.floor(F.unix_micros(F.col(on)) / us).cast("long")
+        ).withColumn("__b", F.pmod(F.xxhash64(F.col(by)), F.lit(n_salt)))
+
+    lb = _bucketed(left)
+    rb = _bucketed(right.select(by, on, *value_cols))
+
+    # --- carry-in: latest right row of any earlier bucket, per (by, left
+    # bucket). Stage 1: per-(by, right-bucket) latest row (deterministic
+    # value tiebreak). Stage 2: union with the distinct left bucket keys
+    # and run the same tag-and-backfill window as asof_join, but at
+    # BUCKET granularity (one row per (entity, bucket) — negligible).
+    w_last = W.partitionBy(by, "__t").orderBy(
+        F.col(on).desc(),
+        *[F.col(c).desc_nulls_last() for c in value_cols],
+    )
+    rlast = (
+        rb.withColumn("__rn", F.row_number().over(w_last))
+        .where(F.col("__rn") == 1)
+        .drop("__rn", "__b")
+    )
+    lkeys = lb.select(by, "__t").distinct()
+    carry_union = lkeys.select(
+        by,
+        "__t",
+        F.lit(0).alias("__src"),
+        F.lit(None).cast(right.schema[on].dataType).alias("__cts"),
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"__v_{c}")
+          for c in value_cols],
+    ).unionByName(
+        rlast.select(
+            by,
+            "__t",
+            F.lit(1).alias("__src"),
+            F.col(on).alias("__cts"),
+            *[F.col(c).alias(f"__v_{c}") for c in value_cols],
+        )
+    )
+    # right row in bucket t is visible to left buckets > t only: at equal
+    # bucket the right row sorts AFTER the left key row.
+    w_carry = (
+        W.partitionBy(by)
+        .orderBy(F.col("__t").asc(), F.col("__src").asc())
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    carry = (
+        carry_union.select(
+            by,
+            "__t",
+            "__src",
+            F.last("__cts", ignorenulls=True).over(w_carry).alias("__cts_f"),
+            *[
+                F.last(f"__v_{c}", ignorenulls=True).over(w_carry).alias(c)
+                for c in value_cols
+            ],
+        )
+        .where((F.col("__src") == 0) & F.col("__cts_f").isNotNull())
+        .select(
+            by,
+            "__t",
+            F.col("__cts_f").alias(on),
+            *value_cols,
+        )
+    )
+    # synthetic right rows land in the LEFT bucket they serve; their ts is
+    # the original update ts (< bucket start by construction)
+    rhs_all = rb.drop("__b").unionByName(carry).withColumn(
+        "__b", F.pmod(F.xxhash64(F.col(by)), F.lit(n_salt))
+    )
+
+    def merge(lpdf: pd.DataFrame, rpdf: pd.DataFrame) -> pd.DataFrame:
+        lpdf = lpdf.drop(columns=["__b", "__t"]).sort_values(
+            on, kind="mergesort"
+        )
+        if len(lpdf) == 0:
+            return lpdf.reindex(columns=left_cols + value_cols)
+        rpdf = (
+            rpdf.drop(columns=["__b", "__t"])[[by, on] + value_cols]
+            # value tiebreak for duplicate ts: backward merge picks the
+            # sort-last row, so ascending value order == the window
+            # implementation's last-over-(ts, values-asc) pick
+            .sort_values([on] + value_cols, kind="mergesort")
+            .drop_duplicates([by, on], keep="last")
+        )
+        merged = pd.merge_asof(
+            lpdf,
+            rpdf,
+            on=on,
+            by=by,
+            direction="backward",
+            allow_exact_matches=allow_exact_matches,
+        )
+        return merged[left_cols + value_cols]
+
+    return (
+        lb.groupBy("__t", "__b")
+        .cogroup(rhs_all.groupBy("__t", "__b"))
+        .applyInPandas(merge, schema=out_schema)
+    )

@@ -101,6 +101,38 @@ def _char_hist_udf(texts: pd.Series) -> pd.Series:
     return pd.Series(list(m))
 
 
+def _char_hist_jvm(df: DataFrame) -> Column:
+    """Pure-JVM variant, bit-equal to token_length_hist_np. NOT the
+    default: Spark evaluates higher-order functions (transform/filter)
+    interpreted, per element, and does NOT share the bin array across
+    the 16 filter lambdas — measured ~20x SLOWER than the Arrow
+    pandas UDF at sf0.1. Kept as the reference implementation for the
+    bit-parity test and as documentation of the measurement."""
+    lo, hi = CHAR_HIST_RANGE
+    lens = F.transform(F.col("__tokens"), lambda t: F.length(t).cast("double"))
+    in_range = F.filter(lens, lambda v: (v >= F.lit(lo)) & (v <= F.lit(hi)))
+    total = F.size(in_range)
+    width = (hi - lo) / CHAR_HIST_BINS
+    bins = F.transform(
+        in_range,
+        lambda v: F.least(
+            ((v - F.lit(lo)) / F.lit(width)).cast("long"),
+            F.lit(CHAR_HIST_BINS - 1),
+        ),
+    )
+    counts = F.transform(
+        F.sequence(F.lit(0), F.lit(CHAR_HIST_BINS - 1)),
+        lambda b: F.size(F.filter(bins, lambda x: x == b.cast("long"))),
+    )
+    dens = F.transform(
+        counts, lambda c: c.cast("double") / total.cast("double") / F.lit(width)
+    )
+    zeros = F.array(*[F.lit(0.0)] * CHAR_HIST_BINS)
+    return F.when(
+        F.col("text").isNull() | (F.length("text") == 0) | (total == 0), zeros
+    ).otherwise(dens)
+
+
 char_hist = Extractor(
     name="char_hist",
     width=CHAR_HIST_BINS,
@@ -166,6 +198,41 @@ def hashed_ngram_np(texts: np.ndarray, buckets: int = NGRAM_BUCKETS) -> np.ndarr
 def _hashed_ngram_udf(texts: pd.Series) -> pd.Series:
     m = hashed_ngram_np(texts.fillna("").to_numpy())
     return pd.Series(list(m))
+
+
+def _hashed_ngram_jvm(df: DataFrame) -> Column:
+    """Pure-JVM variant of hashed_ngram_np (Spark's crc32 == zlib's, so
+    buckets are bit-identical). NOT the default — same interpreted
+    higher-order-function cost as _char_hist_jvm (crc32 re-evaluated
+    once per bucket comparison pass); the Arrow pandas UDF is ~20x
+    faster. Kept for the bit-parity test."""
+    toks = F.col("__tokens")
+    n = F.size(toks)
+    bucket = lambda c: F.pmod(F.crc32(F.encode(c, "UTF-8")), F.lit(NGRAM_BUCKETS))  # noqa: E731
+    uni = F.transform(toks, bucket)
+    bi = F.when(
+        n >= 2,
+        F.transform(
+            F.sequence(F.lit(1), n - 1),
+            lambda i: bucket(
+                F.concat(
+                    F.element_at(toks, i), F.lit(" "), F.element_at(toks, i + 1)
+                )
+            ),
+        ),
+    ).otherwise(F.array().cast("array<bigint>"))
+    grams = F.concat(uni, bi)
+    total = F.size(grams)
+    counts = F.transform(
+        F.sequence(F.lit(0), F.lit(NGRAM_BUCKETS - 1)),
+        lambda b: F.size(F.filter(grams, lambda x: x == b.cast("bigint"))),
+    )
+    zeros = F.array(*[F.lit(0.0)] * NGRAM_BUCKETS)
+    return F.when(
+        F.col("text").isNull() | (F.length("text") == 0) | (total == 0), zeros
+    ).otherwise(
+        F.transform(counts, lambda c: c.cast("double") / total.cast("double"))
+    )
 
 
 hashed_ngram = Extractor(

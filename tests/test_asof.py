@@ -106,3 +106,66 @@ def test_asof_deterministic_vs_grouped_on_skew(spark, transcripts, updates):
         .collect()
     )
     assert a == b
+
+
+class TestTimeSplit:
+    """asof_join_time_split: equality with the window implementation at
+    every split granularity, including splits small enough to cut
+    conversations into many time buckets (boundary carry-in)."""
+
+    @staticmethod
+    def _key_rows(df):
+        return {
+            (r.conv_id, r.turn_idx): r.attr_value
+            for r in df.select("conv_id", "turn_idx", "attr_value").collect()
+        }
+
+    @pytest.mark.parametrize("split_seconds", [10**9, 86400, 3600])
+    def test_equals_window_impl(self, transcripts, updates, split_seconds):
+        from protosc_spark.asof import asof_join_time_split
+
+        exp = self._key_rows(
+            asof_join(transcripts, updates, value_cols=["attr_value"])
+        )
+        got = self._key_rows(
+            asof_join_time_split(
+                transcripts, updates, value_cols=["attr_value"],
+                split_seconds=split_seconds,
+            )
+        )
+        assert got == exp
+
+    def test_giant_conversation_actually_splits(self, spark):
+        from protosc_spark.asof import asof_join_time_split
+
+        # one conversation spanning 10 days, hourly turns; updates daily
+        n = 240
+        lpdf = pd.DataFrame(
+            {
+                "conv_id": ["giant"] * n,
+                "turn_idx": range(n),
+                "ts": pd.date_range("2025-01-01", periods=n, freq="1h"),
+            }
+        )
+        rpdf = pd.DataFrame(
+            {
+                "conv_id": ["giant"] * 10,
+                "ts": pd.date_range(
+                    "2025-01-01 00:30:00", periods=10, freq="1D"
+                ),
+                "attr_value": [float(i) for i in range(10)],
+            }
+        )
+        left, right = spark.createDataFrame(lpdf), spark.createDataFrame(rpdf)
+        got = self._key_rows(
+            asof_join_time_split(
+                left, right, value_cols=["attr_value"], split_seconds=86400
+            )
+        )
+        exp = self._key_rows(asof_join(left, right, value_cols=["attr_value"]))
+        assert got == exp
+        # every turn after the first update sees the latest daily value,
+        # even in buckets with no in-bucket update row (pure carry-in)
+        assert got[("giant", 25)] == 1.0   # day 2, after 01-02 00:30 update
+        assert got[("giant", 24)] == 0.0   # day 2 00:00, before its update
+        assert got[("giant", 0)] is None

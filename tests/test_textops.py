@@ -135,3 +135,34 @@ def test_fingerprint_order_sensitive(spark):
     )
     fps = fingerprint(df).toPandas()["fingerprint"]
     assert fps[0] != fps[1]
+
+
+def test_jvm_extractor_variants_bit_equal_numpy(spark, transcripts):
+    """The documented (non-default) pure-JVM builders must stay
+    bit-equal to the numpy kernels the default Arrow UDFs use —
+    Spark's crc32 == zlib.crc32 and identical division order."""
+    import numpy as np
+
+    from protosc_spark.extract import Extractor, extract
+    from protosc_spark.features.text import (
+        CHAR_HIST_BINS,
+        NGRAM_BUCKETS,
+        _char_hist_jvm,
+        _hashed_ngram_jvm,
+        hashed_ngram_np,
+        token_length_hist_np,
+    )
+
+    jvm = [
+        Extractor("char_hist", CHAR_HIST_BINS, _char_hist_jvm,
+                  requires=("__tokens",)),
+        Extractor("hashed_ngram", NGRAM_BUCKETS, _hashed_ngram_jvm,
+                  requires=("__tokens",)),
+    ]
+    sample = transcripts.limit(500)
+    out, _ = extract(sample, jvm, keep_cols=["conv_id", "turn_idx", "text"])
+    rows = out.collect()
+    texts = np.array([r.text or "" for r in rows], dtype=object)
+    exp = np.hstack([token_length_hist_np(texts), hashed_ngram_np(texts)])
+    got = np.array([r.features for r in rows])
+    assert np.array_equal(got, exp)
