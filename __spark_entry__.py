@@ -274,6 +274,55 @@ def _transcript_flagship(spark, sf_dir):
     )
 
 
+def _asof_time_split(spark, sf_dir):
+    """Same as-of semantics as asof_join_purchase but through the
+    time-range-split + boundary-carry-in kernel (the giant-conversation
+    skew path) — shares the DuckDB ASOF oracle, so the exact-equality
+    check covers BOTH implementations."""
+    from protosc_spark.asof import asof_join_time_split
+
+    ev = _read(spark, sf_dir, "events")
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.col("value").alias("purchase_value")
+    )
+    return asof_join_time_split(
+        clicks, purchases, on="ts", by="user_id",
+        value_cols=["purchase_value"], split_seconds=86400,
+    ).select("event_id", "user_id", "ts", "purchase_value")
+
+
+def _mm_visual_features(spark, sf_dir):
+    """Full visual chain (decode -> greyscale -> cut-circle -> Fourier
+    + HOG) on the deterministic media table; rows-only (fft2 is not
+    SQL-expressible; Spark/numpy parity pinned in tests/test_visual.py).
+    """
+    from protosc_spark.multimodal import decode_images, generate_media
+    from protosc_spark.visual import visual_features
+
+    media = generate_media(spark, n=64, seed=42, kind="image")
+    feats, _w = visual_features(decode_images(media), image_shape=(8, 8))
+    return feats.select(
+        "media_id",
+        F.size("vis_features").alias("width"),
+        F.round(
+            F.aggregate("vis_features", F.lit(0.0), lambda a, x: a + x), 4
+        ).alias("feature_sum"),
+    )
+
+
+def _sim_topk_lsh(spark, sf_dir):
+    """Approximate ANN: random-hyperplane LSH buckets -> candidate join
+    -> exact cosine re-rank; rows-only (hash-function-defined candidate
+    set; recall-vs-bruteforce pinned in tests/test_similarity.py)."""
+    from protosc_spark.similarity import lsh_topk
+
+    emb = _read(spark, sf_dir, "embeddings")
+    return lsh_topk(emb, query_ids=[0, 1, 2, 3, 4], k=10)
+
+
 def _stream_sessions(spark, sf_dir):
     """Structured-Streaming gap sessionization over events, drained via
     trigger(availableNow). Emission rule (pinned in tests): a session
@@ -410,8 +459,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "transcript_flagship": _transcript_flagship,
         "stream_sessions": _stream_sessions,
         "mm_image_grey": _mm_image_grey,
+        "mm_visual_features": _mm_visual_features,
         "filter_select": _filter_select,
         "genetic_select": _genetic_select,
+        "asof_time_split_purchase": _asof_time_split,
+        "sim_topk_lsh": _sim_topk_lsh,
     }
 
 
@@ -520,6 +572,16 @@ def oracle_sql() -> dict[str, str]:
             FROM sess GROUP BY user_id, session_id ORDER BY user_id, session_id
         """,
         "asof_join_purchase": """
+            SELECT c.event_id, c.user_id, c.ts, p.purchase_value
+            FROM (SELECT event_id, user_id, ts FROM events
+                  WHERE event_type = 'click') c
+            ASOF LEFT JOIN (SELECT user_id, ts, value AS purchase_value
+                            FROM events WHERE event_type = 'purchase') p
+            ON c.user_id = p.user_id AND c.ts > p.ts
+        """,
+        # the time-split + carry-in kernel must produce the identical
+        # as-of result, so it shares the same oracle
+        "asof_time_split_purchase": """
             SELECT c.event_id, c.user_id, c.ts, p.purchase_value
             FROM (SELECT event_id, user_id, ts FROM events
                   WHERE event_type = 'click') c

@@ -202,11 +202,13 @@ def asof_join_time_split(
         list(left.schema.fields)
         + [T.StructField(c, right.schema[c].dataType, True) for c in value_cols]
     )
+    from protosc_spark.windows import _epoch_us  # NTZ-safe microseconds
+
     us = F.lit(int(split_seconds) * 1_000_000)
 
     def _bucketed(df: DataFrame) -> DataFrame:
         return df.withColumn(
-            "__t", F.floor(F.unix_micros(F.col(on)) / us).cast("long")
+            "__t", F.floor(_epoch_us(F.col(on)) / us).cast("long")
         ).withColumn("__b", F.pmod(F.xxhash64(F.col(by)), F.lit(n_salt)))
 
     lb = _bucketed(left)
