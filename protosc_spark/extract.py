@@ -33,6 +33,8 @@ from __future__ import annotations
 from dataclasses import dataclass, field
 from collections.abc import Callable, Sequence
 
+import numpy as np
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -147,3 +149,51 @@ def features_to_columns(
         for e in registry.entries
     ]
     return df.select(*[c for c in df.columns if c != features_col], *cols)
+
+
+def add_random_features(
+    df: DataFrame,
+    registry: FeatureRegistry,
+    n: int,
+    seed: int = 0,
+    key_cols: Sequence[str] = ("conv_id", "turn_idx"),
+    features_col: str = "features",
+) -> tuple[DataFrame, FeatureRegistry]:
+    """Append ``n`` standard-normal probe features (the reference's
+    add_random_columns, protosc/feature_matrix.py:96-114 — used by the
+    genetic model to calibrate selection thresholds).
+
+    NOT ``F.randn``: its stream is indexed by partition, so values
+    change under repartitioning — breaking the engine's
+    determinism-across-parallelism contract. Instead Box–Muller over
+    two xxhash64-derived uniforms of (seed, key, i): a pure function
+    of the row key, identical at any parallelism.
+    """
+    m = float(1 << 61)
+
+    def _unif(i: int, salt: int) -> Column:
+        h = F.pmod(
+            F.xxhash64(F.lit(seed), F.lit(salt), F.lit(i), *key_cols),
+            F.lit(1 << 61),
+        )
+        return (h.cast("double") + 0.5) / m  # in (0, 1), never 0
+
+    probes = [
+        F.sqrt(-2.0 * F.log(_unif(i, 1)))
+        * F.cos(2.0 * float(np.pi) * _unif(i, 2))
+        for i in range(n)
+    ]
+    out = df.withColumn(
+        features_col, F.concat(F.col(features_col), F.array(*probes))
+    )
+    base = registry.n_features
+    new_entries = registry.entries + [
+        {
+            "feature_id": f"random:{i}",
+            "pipeline": "random",
+            "sub_feature_id": i,
+            "col_ids": [base + i],
+        }
+        for i in range(n)
+    ]
+    return out, FeatureRegistry(new_entries)

@@ -72,3 +72,34 @@ def test_deterministic_across_parallelism(spark, transcripts, flagship):
     got = np.array(pdf["features"].tolist())
     got2 = np.array(pdf2["features"].tolist())
     assert np.array_equal(got, got2)
+
+
+def test_add_random_features_deterministic_and_normal(spark, transcripts):
+    """Probe columns (reference add_random_columns,
+    protosc/feature_matrix.py:96-114): registry bookkeeping, identical
+    values at any partitioning, plausibly standard-normal."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from protosc_spark.extract import add_random_features, extract
+    from protosc_spark.features.text import default_text_extractors
+
+    base, reg = extract(
+        transcripts, list(default_text_extractors()),
+        keep_cols=["conv_id", "turn_idx"],
+    )
+    out, reg2 = add_random_features(base, reg, n=5, seed=7)
+    assert reg2.n_features == reg.n_features + 5
+    assert reg2.entries[-1]["pipeline"] == "random"
+    rows = {(r.conv_id, r.turn_idx): r.features[-5:] for r in out.collect()}
+
+    out_b, _ = add_random_features(base.repartition(7), reg, n=5, seed=7)
+    rows_b = {(r.conv_id, r.turn_idx): r.features[-5:] for r in out_b.collect()}
+    assert rows == rows_b  # bitwise identical across partitionings
+
+    vals = np.array(list(rows.values())).ravel()
+    assert abs(vals.mean()) < 0.05 and abs(vals.std() - 1.0) < 0.05
+    # different seed -> different probes
+    out_c, _ = add_random_features(base, reg, n=5, seed=8)
+    rows_c = {(r.conv_id, r.turn_idx): r.features[-5:] for r in out_c.collect()}
+    assert rows != rows_c
