@@ -274,6 +274,24 @@ def _transcript_flagship(spark, sf_dir):
     )
 
 
+def _corpus_clean(spark, sf_dir):
+    """End-to-end training-data cleaning pipeline: quality scoring ->
+    language ID -> filter (prose-like English) -> exact dedup keeping
+    the lowest doc_id per distinct text. Every stage composes operators
+    that are individually oracle-checked; this pins their composition."""
+    from protosc_spark.dedup import exact_dedup
+
+    docs = _read(spark, sf_dir, "documents")
+    q = quality_score(docs).select("doc_id", "quality")
+    lg = language_id(docs).select("doc_id", "lang_pred")
+    kept = (
+        docs.join(q, "doc_id")
+        .join(lg, "doc_id")
+        .where((F.col("quality") >= 0.45) & (F.col("lang_pred") == "en"))
+    )
+    return exact_dedup(kept).select("doc_id", "lang_pred", "quality")
+
+
 def _asof_time_split(spark, sf_dir):
     """Same as-of semantics as asof_join_purchase but through the
     time-range-split + boundary-carry-in kernel (the giant-conversation
@@ -464,6 +482,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "genetic_select": _genetic_select,
         "asof_time_split_purchase": _asof_time_split,
         "sim_topk_lsh": _sim_topk_lsh,
+        "corpus_clean": _corpus_clean,
     }
 
 
@@ -760,4 +779,30 @@ def oracle_sql() -> dict[str, str]:
         # filter_select / genetic_select: iterative driver-orchestrated
         # algorithms; rows-only by design (parity pinned in pytest vs
         # the vendored numpy oracle instead).
+        "corpus_clean": f"""
+            WITH t AS (
+              SELECT doc_id, text, string_split(text, ' ') AS toks,
+                     len(string_split(text, ' '))::DOUBLE AS n_tok,
+                     length(text)::DOUBLE AS n_chars
+              FROM documents
+            ), scored AS (
+              SELECT doc_id, text,
+                     round(len(list_filter(toks, x -> lower(x) IN ({_STOP}))) / n_tok
+                           - len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) / n_chars
+                           - len(regexp_extract_all(text, '[0-9]')) / n_chars
+                           + least(n_tok, 50) / 100, 4) AS quality,
+                     {_LANG_CASE} AS lang_pred
+              FROM t
+            ), kept AS (
+              SELECT * FROM scored
+              WHERE quality >= 0.45 AND lang_pred = 'en'
+            ), ranked AS (
+              SELECT doc_id, lang_pred, quality,
+                     row_number() OVER (PARTITION BY md5(text)
+                                        ORDER BY doc_id) AS rn
+              FROM kept
+            )
+            SELECT doc_id, lang_pred, quality FROM ranked
+            WHERE rn = 1 ORDER BY doc_id
+        """,
     }
