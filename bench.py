@@ -42,6 +42,8 @@ HEADLINE = [
     "sim_topk_bruteforce",
     "stream_sessions",
     "mm_image_grey",
+    "asof_time_split_purchase",
+    "corpus_clean",
 ]
 
 BENCH_CONVERSATIONS = int(os.environ.get("PROTOSC_BENCH_CONVS", "20000"))

@@ -1,0 +1,64 @@
+"""North-star composition test: transcript scan -> flagship feature
+vectors -> distributed chi-square filter selection, end to end.
+
+The selection must recover the feature that (by construction) carries
+the label signal, and reject the probe noise — the transcript-world
+version of the reference's planted-ground-truth suite
+(reference tests/test_fold_models.py:50-52)."""
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from protosc_spark.extract import add_random_features
+from protosc_spark.models.filter_model import FilterModel
+from protosc_spark.pipeline import flagship_features
+
+
+def test_filter_model_on_flagship_features(spark, transcripts):
+    feats, registry = flagship_features(transcripts, dedup=False)
+    feats, registry = add_random_features(
+        feats, registry, n=10, seed=3,
+        key_cols=("conv_id", "turn_idx"),
+    )
+
+    # label = "assistant turn" — linearly separable from the
+    # role_onehot:role_assistant feature, independent of everything else
+    target_idx = registry.index_of("role_onehot:role_assistant")
+    df = feats.withColumn(
+        "y", F.col("features")[target_idx].cast("int")
+    ).withColumn(
+        "sample_id",
+        F.concat_ws("#", "conv_id", F.col("turn_idx").cast("string")),
+    ).select("sample_id", "features", "y")
+
+    model = FilterModel(n_fold=4)
+    selected = model.execute(
+        df, key_col="sample_id",
+        n_features=registry.n_features, fold_seed=11, seed=5,
+    )
+
+    # role is a one-hot block, so role_user/role_tool/has_tool are
+    # perfectly (anti-)correlated with role_assistant; the correlation
+    # clustering legitimately selects any representative of that block
+    informative = {
+        e["col_ids"][0]
+        for e in registry.entries
+        if e["pipeline"] == "role_onehot"
+    }
+    sel = set(int(i) for i in selected)
+    assert sel and sel <= informative, (sel, target_idx)
+    # no random probe survives selection
+    probe_ids = {
+        e["col_ids"][0] for e in registry.entries if e["pipeline"] == "random"
+    }
+    assert not (sel & probe_ids)
+    # Reference-parity quirk, preserved deliberately: cluster order is
+    # link-derived clusters FIRST, then singletons (reference
+    # protosc/model/utils.py:166-172), so the expansion can emit the
+    # {role_tool, has_tool} pair (r=1, both predict only the tool
+    # class) and stop BEFORE the top-chi-square singleton
+    # role_assistant. Accuracy therefore beats the majority-class
+    # baseline (~2/3) but not the separable optimum — exactly what the
+    # reference would do on this data.
+    accs = [r["accuracy"] for r in model.interim["fold_results"]]
+    assert np.mean(accs) > 0.70
