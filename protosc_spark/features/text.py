@@ -64,15 +64,21 @@ CHAR_HIST_BINS = 8
 CHAR_HIST_RANGE = (0.0, 8.0)
 
 
+def _token_lists(texts) -> list:
+    return [t.split(" ") if t else [] for t in texts]
+
+
 def token_length_hist_np(texts: np.ndarray) -> np.ndarray:
     """Shared by the Spark UDF and the pandas oracle: density histogram
     of token lengths per text (same semantics as np.histogram with
     bins=8, range=(0,8), density=True), fully vectorized across the
     batch: one flat bincount instead of a histogram call per row."""
-    n = len(texts)
-    lens_per_row = [
-        [len(tok) for tok in t.split(" ")] if t else [] for t in texts
-    ]
+    return _char_hist_from_tokens(_token_lists(texts))
+
+
+def _char_hist_from_tokens(tok_lists: list) -> np.ndarray:
+    n = len(tok_lists)
+    lens_per_row = [[len(tok) for tok in v] for v in tok_lists]
     counts = np.fromiter((len(v) for v in lens_per_row), dtype=np.int64, count=n)
     if counts.sum() == 0:
         return np.zeros((n, CHAR_HIST_BINS))
@@ -133,10 +139,26 @@ def _char_hist_jvm(df: DataFrame) -> Column:
     ).otherwise(dens)
 
 
+def text_batch_np(texts: np.ndarray) -> np.ndarray:
+    """Fused kernel: tokenize ONCE, emit char_hist ++ hashed_ngram
+    (width 8+16). Both extractors slice the SAME UDF call below, which
+    Spark's ExtractPythonUDFs dedups into one ArrowEvalPython node —
+    one Arrow transfer of `text`, one tokenization pass, instead of two
+    each (the extract stage is the flagship's dominant cost)."""
+    tl = _token_lists(texts)
+    return np.hstack([_char_hist_from_tokens(tl), _ngram_from_tokens(tl)])
+
+
+@F.pandas_udf(ARR)
+def _text_batch_udf(texts: pd.Series) -> pd.Series:
+    m = text_batch_np(texts.fillna("").to_numpy())
+    return pd.Series(list(m))
+
+
 char_hist = Extractor(
     name="char_hist",
     width=CHAR_HIST_BINS,
-    build=lambda df: _char_hist_udf(F.col("text")),
+    build=lambda df: F.slice(_text_batch_udf(F.col("text")), 1, CHAR_HIST_BINS),
 )
 
 # ---------------------------------------------------------------------------
@@ -167,8 +189,11 @@ def hashed_ngram_np(texts: np.ndarray, buckets: int = NGRAM_BUCKETS) -> np.ndarr
     map(crc32) + ONE bincount instead of per-row numpy indexing (the
     extract stage is the flagship's hot loop; this kernel shape scales
     it ~2x better across executor counts)."""
-    n = len(texts)
-    tok_lists = [t.split(" ") if t else [] for t in texts]
+    return _ngram_from_tokens(_token_lists(texts), buckets)
+
+
+def _ngram_from_tokens(tok_lists: list, buckets: int = NGRAM_BUCKETS) -> np.ndarray:
+    n = len(tok_lists)
     uni = [g.encode() for v in tok_lists for g in v]
     bi = [
         (a + " " + b).encode()
@@ -238,7 +263,9 @@ def _hashed_ngram_jvm(df: DataFrame) -> Column:
 hashed_ngram = Extractor(
     name="hashed_ngram",
     width=NGRAM_BUCKETS,
-    build=lambda df: _hashed_ngram_udf(F.col("text")),
+    build=lambda df: F.slice(
+        _text_batch_udf(F.col("text")), CHAR_HIST_BINS + 1, NGRAM_BUCKETS
+    ),
 )
 
 # ---------------------------------------------------------------------------
