@@ -185,6 +185,29 @@ def stream_conversation_state(stream_df: DataFrame) -> DataFrame:
     )
 
 
+def run_to_parquet_sink(
+    df: DataFrame,
+    out_dir: str,
+    checkpoint_dir: str,
+) -> None:
+    """Drain all available input into a parquet file sink.
+
+    Unlike the memory sink this one SUPPORTS checkpoint recovery:
+    restarting with the same checkpoint_dir resumes from the committed
+    offsets and restores operator state from the state store — the
+    streaming side of the engine's resumability contract
+    (tests/test_streaming.py pins kill-and-restart equivalence)."""
+    q = (
+        df.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
 def run_to_memory_sink(
     df: DataFrame,
     name: str,

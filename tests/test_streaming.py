@@ -130,3 +130,71 @@ def test_stateful_operator_carries_state_across_batches(
         k for k, (n, _) in got_rows.items() if k[1] >= 10 and n > k[1]
     ]
     assert crossed or all(k[1] < 10 for k in got_rows)
+
+
+def test_stateful_stream_resumes_from_checkpoint(spark, transcripts, tmp_path):
+    """Kill-and-restart for STREAMING state: run the stateful operator
+    over the early turns, stop, add the late turns, restart with the
+    SAME checkpoint — the per-conversation state (HDFS-backed store,
+    RocksDB-free) must carry over so the union of both runs equals a
+    single-shot batch computation."""
+    import os
+    import time as _time
+
+    src = str(tmp_path / "src")
+    ck = str(tmp_path / "ck")
+    os.makedirs(src)
+    early = transcripts.where(F.col("turn_idx") < 10)
+    late = transcripts.where(F.col("turn_idx") >= 10)
+    early.coalesce(1).write.parquet(str(tmp_path / "f1"))
+    for f in os.listdir(str(tmp_path / "f1")):
+        if f.endswith(".parquet"):
+            os.link(str(tmp_path / "f1" / f), os.path.join(src, "0-" + f))
+
+    from protosc_spark.streaming import run_to_parquet_sink
+
+    out = str(tmp_path / "out")
+    stream = read_transcript_stream(spark, src)
+    run_to_parquet_sink(stream_conversation_state(stream), out, ck)
+    run1 = spark.read.parquet(out).collect()
+    assert all(r.turn_idx < 10 for r in run1)
+
+    _time.sleep(1.1)
+    late.coalesce(1).write.parquet(str(tmp_path / "f2"))
+    for f in os.listdir(str(tmp_path / "f2")):
+        if f.endswith(".parquet"):
+            os.link(str(tmp_path / "f2" / f), os.path.join(src, "1-" + f))
+
+    stream2 = read_transcript_stream(spark, src)
+    run_to_parquet_sink(stream_conversation_state(stream2), out, ck)
+    all_rows = spark.read.parquet(out).collect()
+    run2 = [r for r in all_rows if r.turn_idx >= 10]
+
+    # the restarted query processed ONLY the new file (committed
+    # offsets), and did not duplicate run1's rows
+    assert len(all_rows) == len(run1) + len(run2)
+    got = {
+        (r.conv_id, r.turn_idx): (r.turns_so_far, round(r.mean_tokens_so_far, 9))
+        for r in all_rows
+    }
+    # ...but with state carried over: late turns count the early ones
+    crossed = [k for k, (n, _) in got.items() if k[1] >= 10 and n > k[1]]
+    assert crossed
+
+    w = __import__("pyspark.sql.window", fromlist=["Window"]).Window
+    exp_df = transcripts.withColumn(
+        "n_tok", F.size(F.split("text", " ")).cast("double")
+    )
+    frame = w.partitionBy("conv_id").orderBy("turn_idx", "ts").rowsBetween(
+        w.unboundedPreceding, 0
+    )
+    exp = {
+        (r.conv_id, r.turn_idx): (r.n, round(r.m, 9))
+        for r in exp_df.select(
+            "conv_id",
+            "turn_idx",
+            F.count(F.lit(1)).over(frame).alias("n"),
+            (F.sum("n_tok").over(frame) / F.count(F.lit(1)).over(frame)).alias("m"),
+        ).collect()
+    }
+    assert got == exp
