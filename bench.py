@@ -33,6 +33,8 @@ HEADLINE = [
     "topk_per_group",
     "w_lag_lead",
     "w_rolling5",
+    "w_rolling_time_1h",
+    "w_backfill",
     "w_sessionize",
     "asof_join_purchase",
     "txt_quality",
