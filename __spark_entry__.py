@@ -404,28 +404,29 @@ def _filter_select(spark, sf_dir):
     (iterative algorithm; parity vs the numpy oracle is pinned in
     tests/test_filter_model.py)."""
     import numpy as np
-    import pandas as pd
 
     from protosc_spark.models.filter_model import FilterModel
     from protosc_spark.oracle.simulation import make_correlated
 
     np.random.seed(1928374)
-    X, y, _ = make_correlated(
+    X, y, truth = make_correlated(
         n_base_features=10, n_true=5, n_samples=100,
         min_dev=20, max_dev=30, n_corr=2,
     )
-    pdf = pd.DataFrame(
-        {
-            "sample_id": np.arange(len(y), dtype=np.int64),
-            "features": list(X.astype(np.float64)),
-            "y": y.astype("int32"),
-        }
+    # plain python lists + explicit schema: must work on sessions
+    # without Arrow-based schema inference (the external gate session)
+    rows = [
+        (int(i), [float(v) for v in X[i]], int(y[i]))
+        for i in range(len(y))
+    ]
+    df = spark.createDataFrame(
+        rows, "sample_id long, features array<double>, y int"
     )
-    sel = FilterModel(n_fold=8).execute(
-        spark.createDataFrame(pdf), fold_seed=42, seed=0
-    )
+    sel = FilterModel(n_fold=8).execute(df, fold_seed=42, seed=0)
+    true_ids = {int(i) for i in truth["selected_features"]}
     return spark.createDataFrame(
-        [(int(i),) for i in sorted(sel)], "feature_id int"
+        [(int(i), int(i) in true_ids) for i in sorted(sel)],
+        "feature_id int, in_truth boolean",
     )
 
 
@@ -439,7 +440,7 @@ def _genetic_select(spark, sf_dir):
     from protosc_spark.oracle.simulation import make_independent
 
     np.random.seed(777)
-    X, y, _ = make_independent(
+    X, y, truth = make_independent(
         n_features=40, n_samples=160, n_true=6, min_dev=2.0, max_dev=3.0
     )
     model = GeneticModel(
@@ -447,8 +448,10 @@ def _genetic_select(spark, sf_dir):
         n_compute=1, n_fold=4,
     )
     sel = model.execute_matrix(X, y, seed=11, spark=spark)
+    true_ids = {int(i) for i in truth["selected_features"]}
     return spark.createDataFrame(
-        [(int(i),) for i in sorted(sel)], "feature_id int"
+        [(int(i), int(i) in true_ids) for i in sorted(sel)],
+        "feature_id int, in_truth boolean",
     )
 
 
@@ -585,7 +588,8 @@ def oracle_sql() -> dict[str, str]:
                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
               FROM flagged
             )
-            SELECT user_id, session_id, count(*)::BIGINT AS n_rows,
+            SELECT user_id, session_id::BIGINT AS session_id,
+                   count(*)::BIGINT AS n_rows,
                    floor(epoch(max(ts)) - epoch(min(ts)))::BIGINT AS duration_s,
                    round(sum(value), 4) AS v_sum
             FROM sess GROUP BY user_id, session_id ORDER BY user_id, session_id
