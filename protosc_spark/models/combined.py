@@ -66,7 +66,11 @@ class CombinedFoldModel:
         self.interim = None
 
     def _distributed_selection(self, train_df: DataFrame, n_features: int, n_train: int):
-        chisq = quantize(chisquare_features(train_df, "features", "y", n_features))
+        chisq = quantize(
+            chisquare_features(
+                train_df, "features", "y", n_features, approx_rows=n_train
+            )
+        )
         return select_from_stats(
             chisq,
             lambda fs: quantize(correlation_submatrix(train_df, fs)),

@@ -91,7 +91,9 @@ class FilterModel:
             n_train = train.count()
 
             chisq = quantize(
-                chisquare_features(train, "features", "y", n_features)
+                chisquare_features(
+                    train, "features", "y", n_features, approx_rows=n_train
+                )
             )
             selected, _ = select_from_stats(
                 chisq,

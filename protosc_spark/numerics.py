@@ -57,7 +57,15 @@ def tie_correction(x: np.ndarray) -> float:
 
 
 def kruskal_h(*groups: np.ndarray) -> float:
-    """Kruskal–Wallis H statistic across >=2 groups (tie-corrected)."""
+    """Kruskal–Wallis H statistic across >=2 groups (tie-corrected).
+
+    Degenerate case: a constant feature (every pooled value identical,
+    tie correction == 0) is DEFINED as H := 0 — a constant carries no
+    class information, so it sorts last and can never be selected.
+    scipy raises here; defining 0 in BOTH the engine and this oracle
+    keeps the two paths identical on dead-extractor columns
+    (engine counterpart: stats.chisquare_features final phase).
+    """
     groups = [np.asarray(g, dtype=np.float64) for g in groups]
     pooled = np.concatenate(groups)
     n = len(pooled)
@@ -71,7 +79,7 @@ def kruskal_h(*groups: np.ndarray) -> float:
     h = 12.0 / (n * (n + 1)) * h - 3.0 * (n + 1)
     t = tie_correction(pooled)
     if t == 0:
-        raise ValueError("all values identical; H undefined")
+        return 0.0
     return h / t
 
 
@@ -83,6 +91,8 @@ def kruskal_h_from_stats(
     path (stats.chisquare_features) aggregates towards."""
     h = 12.0 / (n * (n + 1)) * np.sum(rank_sums**2 / group_counts) - 3.0 * (n + 1)
     t = 1.0 - tie_sum / float(n**3 - n)
+    if t == 0:
+        return 0.0  # constant feature — same H := 0 contract as kruskal_h
     return h / t
 
 

@@ -36,20 +36,20 @@ from pyspark.sql import functions as F
 from pyspark.sql import Window as W
 
 
-def chisquare_features(
-    df: DataFrame,
-    features_col: str = "features",
-    label_col: str = "y",
-    n_features: int | None = None,
-) -> np.ndarray:
-    """Kruskal–Wallis H per feature column of the array, distributed.
+# Above this many exploded (row, feature) cells the windowed rank path
+# (one global sort per feature, i.e. ALL rows of one feature in one
+# task) becomes the straggler/OOM driver at scale; switch to the
+# range-partitioned two-pass ranking which has no per-feature
+# single-partition stage.
+WINDOW_RANK_MAX_CELLS = 2_000_000
 
-    Returns np.ndarray[n_features] of H statistics (tie-corrected).
+
+def _rank_group_stats_window(ex: DataFrame) -> DataFrame:
+    """Rank sufficient statistics via a per-feature sort window.
+
+    Small-input path: puts every row of one feature in one task —
+    exact, cheap at model-selection scale, non-scalable by design.
     """
-    ex = df.select(
-        F.posexplode(F.col(features_col)).alias("fid", "x"),
-        F.col(label_col).alias("y"),
-    )
     w_rank = W.partitionBy("fid").orderBy("x")
     w_tie = W.partitionBy("fid", "x")
     ranked = ex.select(
@@ -65,12 +65,160 @@ def chisquare_features(
     # per (fid, y): rank sums, counts and the tie contribution. A tie
     # group of size t contributes t^3 - t == t rows * (t^2 - 1), so the
     # per-row term (t^2 - 1) folds into the same single aggregation.
-    grp = ranked.groupBy("fid", "y").agg(
+    return ranked.groupBy("fid", "y").agg(
         F.sum("r").alias("rsum"),
         F.count(F.lit(1)).alias("cnt"),
         F.sum(F.col("t").cast("double") * F.col("t") - F.lit(1.0)).alias("tie_part"),
     )
+
+
+def _rank_group_stats_rangepart(ex: DataFrame, n_parts: int | None = None) -> DataFrame:
+    """Rank sufficient statistics via range-partitioned two-pass ranking.
+
+    No stage ever holds all rows of one feature:
+      1. reduce rows to the distinct-value table (fid, x) with total
+         tie count t and per-class counts — one hash shuffle with
+         map-side combine;
+      2. range-partition that table by (fid, x) (equal keys land in one
+         partition; one feature may SPAN many partitions) and sort
+         within partitions;
+      3. first pass: per-(partition, feature) total counts -> collected
+         (tiny: n_parts * n_features rows) -> exclusive prefix offsets
+         per (partition, feature), broadcast;
+      4. second pass (mapInPandas over the SAME persisted partitions):
+         vectorized within-partition exclusive cumsum + offset gives
+         each distinct value its global count-of-smaller, hence its
+         average rank; emit per-class rank-sum contributions.
+    The average rank of value x is (#values < x) + (t + 1)/2, which is
+    exactly the windowed rank()+(t-1)/2 formulation, so both paths are
+    bit-comparable (pinned in tests/test_stats.py).
+    """
+    spark = ex.sparkSession
+    if n_parts is None:
+        n_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+
+    a = ex.groupBy("fid", "x", "y").agg(F.count(F.lit(1)).alias("c"))
+    b = a.groupBy("fid", "x").agg(
+        F.sum("c").alias("t"),
+        F.collect_list(F.struct("y", "c")).alias("ycs"),
+    )
+    b = (
+        b.repartitionByRange(n_parts, "fid", "x")
+        .sortWithinPartitions("fid", "x")
+        .persist()
+    )
+    per_part = (
+        b.withColumn("pid", F.spark_partition_id())
+        .groupBy("pid", "fid")
+        .agg(F.sum("t").alias("pt"))
+        .collect()
+    )
+    by_fid: dict[int, list] = {}
+    for r in per_part:
+        by_fid.setdefault(int(r["fid"]), []).append((int(r["pid"]), int(r["pt"])))
+    offsets: dict[tuple[int, int], float] = {}
+    for fid, lst in by_fid.items():
+        lst.sort()
+        run = 0
+        for pid, pt in lst:
+            offsets[(pid, fid)] = float(run)
+            run += pt
+    bc = spark.sparkContext.broadcast(offsets)
+
+    def kernel(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        off = bc.value
+        carry: dict[int, float] = {}
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            fid = pdf["fid"].to_numpy()
+            t = pdf["t"].to_numpy(dtype=np.float64)
+            # exclusive within-batch cumsum per feature (rows arrive
+            # sorted by (fid, x); one (fid, x) is always a single row)
+            local = pdf.groupby("fid", sort=False)["t"].cumsum().to_numpy(
+                dtype=np.float64
+            ) - t
+            start = np.array(
+                [carry.get(f, off.get((pid, f), 0.0)) for f in fid]
+            )
+            rank = start + local + (t + 1.0) / 2.0
+            tie_term = t * t - 1.0
+            for f, tot in pdf.groupby("fid", sort=False)["t"].sum().items():
+                carry[int(f)] = carry.get(
+                    int(f), off.get((pid, int(f)), 0.0)
+                ) + float(tot)
+            e = pd.DataFrame(
+                {"fid": fid, "rank": rank, "tie": tie_term, "ycs": pdf["ycs"]}
+            ).explode("ycs", ignore_index=True)
+            y = np.fromiter((d["y"] for d in e["ycs"]), dtype=np.int64, count=len(e))
+            c = np.fromiter((d["c"] for d in e["ycs"]), dtype=np.float64, count=len(e))
+            yield pd.DataFrame(
+                {
+                    "fid": e["fid"].to_numpy(dtype=np.int64),
+                    "y": y,
+                    "rsum": c * e["rank"].to_numpy(),
+                    "cnt": c,
+                    "tie_part": c * e["tie"].to_numpy(),
+                }
+            )
+
+    contrib = b.mapInPandas(
+        kernel,
+        schema="fid long, y long, rsum double, cnt double, tie_part double",
+    )
+    grp = contrib.groupBy("fid", "y").agg(
+        F.sum("rsum").alias("rsum"),
+        F.sum("cnt").alias("cnt"),
+        F.sum("tie_part").alias("tie_part"),
+    )
+    return grp, b
+
+
+def chisquare_features(
+    df: DataFrame,
+    features_col: str = "features",
+    label_col: str = "y",
+    n_features: int | None = None,
+    method: str = "auto",
+    approx_rows: int | None = None,
+) -> np.ndarray:
+    """Kruskal–Wallis H per feature column of the array, distributed.
+
+    Returns np.ndarray[n_features] of H statistics (tie-corrected).
+    ``method``: "window" (per-feature sort window — small inputs),
+    "rangepart" (range-partitioned two-pass — no per-feature
+    single-partition stage, the 100-TB path), or "auto" (window iff
+    approx_rows * n_features is known to be small).
+    Constant features get H := 0 (see numerics.kruskal_h).
+    """
+    ex = df.select(
+        F.posexplode(F.col(features_col)).alias("fid", "x"),
+        F.col(label_col).alias("y"),
+    )
+    if method == "auto":
+        cells = (
+            approx_rows * n_features
+            if approx_rows is not None and n_features is not None
+            else None
+        )
+        method = (
+            "window"
+            if cells is not None and cells <= WINDOW_RANK_MAX_CELLS
+            else "rangepart"
+        )
+    cached = None
+    if method == "window":
+        grp = _rank_group_stats_window(ex)
+    elif method == "rangepart":
+        grp, cached = _rank_group_stats_rangepart(ex)
+    else:
+        raise ValueError(f"unknown method {method!r}")
     grp_pdf = grp.toPandas()
+    if cached is not None:
+        cached.unpersist()
 
     if n_features is None:
         n_features = int(grp_pdf["fid"].max()) + 1
@@ -82,7 +230,7 @@ def chisquare_features(
         tie_sum = float(sub["tie_part"].sum())
         h = 12.0 / (n * (n + 1)) * np.sum(rsums**2 / cnts) - 3.0 * (n + 1)
         t = 1.0 - tie_sum / float(n**3 - n)
-        out[int(fid)] = h / t
+        out[int(fid)] = 0.0 if t == 0 else h / t
     return out
 
 

@@ -39,6 +39,75 @@ def test_chisquare_matches_numpy(planted):
     assert np.allclose(got, want, atol=1e-9)
 
 
+@pytest.mark.parametrize("method", ["window", "rangepart"])
+def test_chisquare_both_methods_match_oracle(planted, method):
+    df, X, y, _ = planted
+    got = chisquare_features(df, n_features=X.shape[1], method=method)
+    want = oracle_chisquare(X, y)
+    assert np.allclose(got, want, atol=1e-9)
+
+
+def test_chisquare_rangepart_multibatch_carry(spark):
+    """Force many Arrow batches per partition so the rangepart kernel's
+    cross-batch carry state is exercised (and ties span batches)."""
+    rng = np.random.default_rng(17)
+    X = np.round(rng.normal(size=(4000, 3)), 1)  # ties across batches
+    y = rng.integers(0, 3, size=4000)
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "64")
+    try:
+        got = chisquare_features(
+            _to_df(spark, X, y), n_features=3, method="rangepart"
+        )
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
+    want = oracle_chisquare(X, y)
+    assert np.allclose(got, want, atol=1e-9)
+
+
+@pytest.mark.parametrize("method", ["window", "rangepart"])
+def test_chisquare_constant_feature_is_zero(spark, method):
+    """Dead-extractor columns: H := 0 in engine AND oracle, no
+    warnings/NaN (VERDICT round 1 'What's wrong #3')."""
+    from protosc_spark.numerics import kruskal_h
+
+    rng = np.random.default_rng(9)
+    X = rng.normal(size=(120, 4))
+    X[:, 2] = 7.5  # constant feature
+    y = rng.integers(0, 2, size=120)
+    with np.errstate(all="raise"):
+        got = chisquare_features(
+            _to_df(spark, X, y), n_features=4, method=method
+        )
+    assert got[2] == 0.0
+    assert not np.isnan(got).any()
+    assert kruskal_h(X[y == 0, 2], X[y == 1, 2]) == 0.0
+    want = oracle_chisquare(X, y)
+    assert np.allclose(got, want, atol=1e-9)
+
+
+def test_rangepart_plan_has_no_per_feature_sort_window(spark, planted):
+    """The scale path must not contain a Window (whose per-feature
+    partitionBy serializes all rows of one feature into one task);
+    ranking rides range partitioning + mapInPandas instead."""
+    from pyspark.sql import functions as F
+
+    from protosc_spark.stats import _rank_group_stats_rangepart
+
+    df, X, _, _ = planted
+    ex = df.select(
+        F.posexplode(F.col("features")).alias("fid", "x"),
+        F.col("y"),
+    )
+    grp, cached = _rank_group_stats_rangepart(ex)
+    try:
+        plan = grp._jdf.queryExecution().executedPlan().toString()
+        assert "Window" not in plan
+        assert "rangepartitioning" in plan.lower()
+    finally:
+        cached.unpersist()
+
+
 def test_chisquare_with_ties(spark):
     rng = np.random.default_rng(5)
     X = rng.integers(0, 4, size=(150, 8)).astype(float)  # heavy ties
