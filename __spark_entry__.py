@@ -240,8 +240,10 @@ def _dedup_minhash(spark, sf_dir):
 
 
 def _dedup_simhash(spark, sf_dir):
+    # max_hamming=7 -> 8 bands of 8 bits: the band guarantee covers the
+    # threshold exactly (recall 1.0 by pigeonhole; pinned in tests)
     return simhash_neardup_pairs(
-        _read(spark, sf_dir, "documents"), max_hamming=8
+        _read(spark, sf_dir, "documents"), max_hamming=7
     ).orderBy("doc_a", "doc_b")
 
 

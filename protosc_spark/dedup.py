@@ -74,6 +74,7 @@ def ngram_jaccard_pairs(
     tau: float = 0.5,
     text_col: str = "text",
     w: int = SHINGLE_W,
+    max_df: int | None = None,
 ) -> DataFrame:
     """EXACT token-w-gram Jaccard similarity for every doc pair sharing
     at least one shingle, filtered to jaccard >= tau.
@@ -82,19 +83,22 @@ def ngram_jaccard_pairs(
     (equi-join, shuffle on shingle, AQE handles hot shingles), count
     per pair, then |A∪B| from per-doc shingle counts. Output:
     (doc_a, doc_b, jaccard) with doc_a < doc_b.
+
+    ``max_df``: document-frequency cap (standard in the dedup
+    literature, e.g. prefix filtering) — shingles appearing in more
+    than ``max_df`` docs are removed from EVERY document's set before
+    pair generation, bounding the hottest bucket's self-join at
+    max_df^2 instead of going quadratic on one viral shingle. With the
+    cap, jaccard is the exact Jaccard of the CAPPED sets (per-doc set
+    sizes are recounted post-cap). ``None`` (default) = no cap, exact
+    vs the SQL oracle. At corpus scale always set it: a cap of ~1000
+    loses only boilerplate shingles that carry no dedup signal.
     """
     shingle_arr = _shingles(text_col, w)
-    # per-doc set size WITHOUT an explode+groupBy pass: |shingles(doc)| =
-    # size of the distinct array, a 1-row-per-doc projection that
-    # broadcasts. (Do NOT carry n_sh through the explode instead: the
-    # optimizer inlines the size() into a post-Generate projection and
-    # re-evaluates the whole shingle array once per exploded row — a
-    # measured 40x regression.)
-    counts = df.select("doc_id", F.size(shingle_arr).alias("n_sh"))
     # join on xxhash64(shingle), not the string: 8-byte fixed-width keys
-    # cut the self-join's shuffle/broadcast bytes ~2.5x and compare
-    # faster (measured ~16% at sf0.1; grows with shingle length).
-    # A hash collision could only merge two shingles across a doc pair
+    # cut the self-join's shuffle bytes ~2.5x and compare faster
+    # (measured ~16% at sf0.1; grows with shingle length). A hash
+    # collision could only merge two shingles across a doc pair
     # (P ~ |distinct|^2 / 2^64 per pair) — negligible against tau.
     sh = df.select(
         "doc_id",
@@ -102,6 +106,29 @@ def ngram_jaccard_pairs(
             F.transform(shingle_arr, lambda s: F.xxhash64(s))
         ).alias("shingle"),
     )
+    if max_df is not None:
+        # The HOT-shingle list is tiny by construction (few shingles
+        # exceed the cap), so the anti-join broadcasts it — never the
+        # per-doc table.
+        hot = (
+            sh.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("df_"))
+            .where(F.col("df_") > max_df)
+            .select("shingle")
+        )
+        sh = sh.join(F.broadcast(hot), "shingle", "left_anti")
+        # post-cap set sizes need a real count over the kept pairs
+        counts = sh.groupBy("doc_id").agg(
+            F.count(F.lit(1)).cast("int").alias("n_sh")
+        )
+    else:
+        # per-doc set size WITHOUT an explode+groupBy pass:
+        # |shingles(doc)| = size of the distinct array, a 1-row-per-doc
+        # projection. (Do NOT carry n_sh through the explode instead:
+        # the optimizer inlines the size() into a post-Generate
+        # projection and re-evaluates the whole shingle array once per
+        # exploded row — a measured 40x regression.)
+        counts = df.select("doc_id", F.size(shingle_arr).alias("n_sh"))
     a, b = sh.alias("a"), sh.alias("b")
     inter = (
         a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
@@ -111,11 +138,14 @@ def ngram_jaccard_pairs(
         )
         .agg(F.count(F.lit(1)).alias("n_inter"))
     )
+    # Plain equi-joins for the per-doc counts: |docs|-row tables must
+    # NOT be force-broadcast (at billions of docs that OOMs every
+    # executor); AQE broadcasts them automatically when small.
     ca = counts.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
     cb = counts.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
     return (
-        inter.join(F.broadcast(ca), "doc_a")
-        .join(F.broadcast(cb), "doc_b")
+        inter.join(ca, "doc_a")
+        .join(cb, "doc_b")
         .select(
             "doc_a",
             "doc_b",
@@ -265,11 +295,38 @@ def simhash64(df: DataFrame, text_col: str = "text") -> DataFrame:
 
 
 def simhash_neardup_pairs(
-    df: DataFrame, max_hamming: int = 3, text_col: str = "text"
+    df: DataFrame,
+    max_hamming: int = 3,
+    text_col: str = "text",
+    bands: int | None = None,
 ) -> DataFrame:
-    """Pairs with Hamming(simhash) <= max_hamming. Candidates from
-    16-bit band equality (any of 4 bands must match exactly when
-    hamming <= 3), verified with bit_count(xor)."""
+    """Pairs with Hamming(simhash) <= max_hamming, verified with
+    bit_count(xor).
+
+    Candidate generation: split the 64-bit signature into ``bands``
+    equal chunks; by pigeonhole, a pair within Hamming distance
+    ``bands - 1`` shares at least one EXACT band, so candidates =
+    band-equality join. ``bands=None`` auto-picks the smallest
+    power-of-two band count > max_hamming, which makes the guarantee
+    match the query's threshold (recall = 1.0 by construction, pinned
+    in tests/test_dedup.py). More bands = wider recall window but
+    hotter buckets (chunk width 64/bands bits -> random-collision rate
+    2^-(64/bands) per band), so don't pass more than the threshold
+    needs.
+    """
+    if bands is None:
+        bands = 1
+        while bands <= max_hamming:
+            bands *= 2
+    if 64 % bands != 0 or bands > 64:
+        raise ValueError("bands must divide 64")
+    if bands <= max_hamming:
+        raise ValueError(
+            f"bands={bands} cannot guarantee recall for "
+            f"max_hamming={max_hamming} (need bands > max_hamming)"
+        )
+    width = 64 // bands
+    mask = (1 << width) - 1
     sh = simhash64(df, text_col).cache()
     banded = sh.select(
         "doc_id",
@@ -277,8 +334,8 @@ def simhash_neardup_pairs(
         F.posexplode(
             F.array(
                 *[
-                    F.shiftright("simhash", i * 16).bitwiseAND(F.lit(0xFFFF))
-                    for i in range(4)
+                    F.shiftright("simhash", i * width).bitwiseAND(F.lit(mask))
+                    for i in range(bands)
                 ]
             )
         ).alias("band", "chunk"),

@@ -94,6 +94,41 @@ def test_ngram_jaccard_vs_pandas_oracle(spark):
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
 
 
+def test_ngram_jaccard_df_cap_bounds_hot_shingle(spark):
+    """One viral shingle shared by every doc: uncapped, the self-join
+    is quadratic (every pair is a candidate); with max_df, the hot
+    shingle is dropped from every set and candidates collapse to the
+    genuinely-similar pairs. Jaccard is exact on the capped sets."""
+    n = 40
+    rows = [(i, f"common viral shingle unique{i} tok{i} end{i}") for i in range(n)]
+    rows += [(1000, "common viral shingle unique1 tok1 end1")]  # dup of doc 1
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    uncapped = ngram_jaccard_pairs(df, tau=0.0, w=3).toPandas()
+    assert len(uncapped) == n * (n + 1) // 2  # all pairs share the hot shingle
+
+    capped = ngram_jaccard_pairs(df, tau=0.0, w=3, max_df=5).toPandas()
+    # only the true duplicate pair survives: every capped set keeps the
+    # doc-unique shingles plus none of the viral ones
+    assert len(capped) == 1
+    assert (capped.iloc[0]["doc_a"], capped.iloc[0]["doc_b"]) == (1, 1000)
+    assert capped.iloc[0]["jaccard"] == 1.0  # capped sets are identical
+
+
+def test_ngram_jaccard_cap_inactive_matches_uncapped(docs_with_dups):
+    """A cap above every shingle's document frequency must be a no-op
+    (this is why the sf0.1 driver query stays oracle-exact)."""
+    base = (
+        ngram_jaccard_pairs(docs_with_dups, tau=0.8)
+        .orderBy("doc_a", "doc_b").toPandas()
+    )
+    capped = (
+        ngram_jaccard_pairs(docs_with_dups, tau=0.8, max_df=10**9)
+        .orderBy("doc_a", "doc_b").toPandas()
+    )
+    pd.testing.assert_frame_equal(base, capped, check_dtype=False)
+
+
 def test_minhash_estimates_jaccard(docs_with_dups):
     pairs = minhash_lsh_pairs(docs_with_dups, tau=0.5).toPandas()
     # exact duplicates: every signature slot agrees (other same-bucket
@@ -129,6 +164,36 @@ def test_simhash_neardup_pairs(docs_with_dups):
     assert len(dup_pairs) == 50
     assert (dup_pairs["hamming"] == 0).all()
     assert (pairs["hamming"] <= 3).all()
+
+
+@pytest.mark.parametrize("max_hamming", [3, 7])
+def test_simhash_recall_is_total_within_guarantee(docs_with_dups, max_hamming):
+    """The band guarantee must cover the query threshold: every pair at
+    Hamming <= max_hamming (exact, brute force on collected signatures)
+    must be emitted — recall 1.0, the round-1 contract violation."""
+    sh = simhash64(docs_with_dups).toPandas().sort_values("doc_id")
+    ids = sh["doc_id"].to_numpy()
+    sig = sh["simhash"].to_numpy().astype(np.uint64)
+    x = sig[:, None] ^ sig[None, :]
+    ham = np.zeros(x.shape, dtype=np.int64)
+    for _ in range(64):
+        ham += (x & np.uint64(1)).astype(np.int64)
+        x >>= np.uint64(1)
+    iu, ju = np.where(np.triu(ham <= max_hamming, 1))
+    want = {
+        (int(min(ids[i], ids[j])), int(max(ids[i], ids[j])))
+        for i, j in zip(iu, ju)
+    }
+    got_pdf = simhash_neardup_pairs(
+        docs_with_dups, max_hamming=max_hamming
+    ).toPandas()
+    got = set(zip(got_pdf["doc_a"].astype(int), got_pdf["doc_b"].astype(int)))
+    assert got == want  # recall AND precision both exact
+
+
+def test_simhash_rejects_impossible_band_contract():
+    with pytest.raises(ValueError):
+        simhash_neardup_pairs(None, max_hamming=8, bands=4)
 
 
 def test_exact_groups_vs_duckdb(docs_with_dups):
