@@ -725,9 +725,12 @@ def oracle_sql() -> dict[str, str]:
         "stream_sessions": """
             WITH flagged AS (
               SELECT user_id, event_id, ts,
+                     -- session_window merges half-open [ts, ts+gap)
+                     -- windows, so a gap of EXACTLY 3600s splits: >=
+                     -- here, not > (round-1 ADVICE)
                      CASE WHEN lag(ts) OVER w IS NULL
                             OR epoch_us(ts) - epoch_us(lag(ts) OVER w)
-                               > 3600::BIGINT * 1000000
+                               >= 3600::BIGINT * 1000000
                           THEN 1 ELSE 0 END AS is_new
               FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
             ), sess AS (

@@ -4,7 +4,10 @@ Semantics: for each left row (entity, ts), attach the value of the most
 recent right row for the same entity with ``right.ts < left.ts``
 (STRICT past — an update stamped exactly at the turn's ts is NOT
 visible at that turn; zero temporal leakage). Entities with no prior
-update get null (backfill-null).
+update get null (backfill-null). Value columns are carried
+ROW-ATOMICALLY: all output values come from that single most recent
+right row, so a NULL field in it stays NULL (no per-column backfill
+from older rows) — identical across all three kernels.
 
 Spark has no native as-of join; two implementations:
 
@@ -59,46 +62,53 @@ def asof_join(
     # at equal ts the right row sorts after the left row => invisible when
     # allow_exact_matches=False. With exact matches allowed, right sorts
     # first (__src flipped).
+    #
+    # The right row's value columns travel as ONE struct (null struct on
+    # left rows), so `last(ignorenulls)` carries the latest right ROW
+    # atomically: a NULL inside the most recent update stays NULL in the
+    # output instead of backfilling per column from an older row — the
+    # same row semantics as the merge_asof kernels (pinned in
+    # tests/test_asof.py on a null-valued update).
     right_src = 1 if not allow_exact_matches else -1
+    vrow_type = T.StructType(
+        [T.StructField(c, right.schema[c].dataType, True) for c in value_cols]
+    )
     lhs = left.select(
         *by,
         F.col(on).alias("__ts"),
         F.lit(0).alias("__src"),
         F.struct(*left.columns).alias("__row"),
-        *[F.lit(None).cast(right.schema[c].dataType).alias(f"__v_{c}")
-          for c in value_cols],
+        F.lit(None).cast(vrow_type).alias("__vrow"),
     )
     rhs = right.select(
         *by,
         F.col(on).alias("__ts"),
         F.lit(right_src).alias("__src"),
         F.lit(None).cast(lhs.schema["__row"].dataType).alias("__row"),
-        *[F.col(c).alias(f"__v_{c}") for c in value_cols],
+        F.struct(*[F.col(c) for c in value_cols]).alias("__vrow"),
     )
     unioned = lhs.unionByName(rhs)
 
-    # Tiebreak on the value columns so duplicate right rows at the same
-    # (by, ts) resolve identically at any parallelism.
+    # Tiebreak on the value struct (lexicographic over the value
+    # columns) so duplicate right rows at the same (by, ts) resolve
+    # identically at any parallelism.
     w = (
         W.partitionBy(*by)
         .orderBy(
             F.col("__ts").asc(),
             F.col("__src").asc(),
-            *[F.col(f"__v_{c}").asc_nulls_first() for c in value_cols],
+            F.col("__vrow").asc_nulls_first(),
         )
         .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
     filled = unioned.select(
         "__row",
-        *[
-            F.last(F.col(f"__v_{c}"), ignorenulls=True).over(w).alias(f"__f_{c}")
-            for c in value_cols
-        ],
+        F.last(F.col("__vrow"), ignorenulls=True).over(w).alias("__f"),
     ).where(F.col("__row").isNotNull())
 
     return filled.select(
         *[F.col(f"__row.{c}").alias(c) for c in left.columns],
-        *[F.col(f"__f_{c}").alias(c) for c in value_cols],
+        *[F.col(f"__f.{c}").alias(c) for c in value_cols],
     )
 
 
@@ -144,7 +154,11 @@ def asof_join_grouped(
         lpdf = lpdf.drop(columns="__b").sort_values(on, kind="mergesort")
         rpdf = (
             rpdf.drop(columns="__b")[[by, on] + value_cols]
-            .sort_values(on, kind="mergesort")
+            # value tiebreak (nulls first) so duplicate (by, ts) right
+            # rows resolve to the same row as the window implementation
+            # at any parallelism; merge_asof picks the sort-last row
+            .sort_values([on] + value_cols, kind="mergesort", na_position="first")
+            .drop_duplicates([by, on], keep="last")
         )
         if len(lpdf) == 0:
             return lpdf.reindex(columns=left_cols + value_cols)
@@ -229,20 +243,30 @@ def asof_join_time_split(
         .drop("__rn", "__b")
     )
     lkeys = lb.select(by, "__t").distinct()
+    # Carry the latest earlier-bucket right row as ONE struct (ts +
+    # every value column together), so a NULL inside the latest row is
+    # carried as NULL rather than per-column backfilled from an older
+    # row — keeping the carry path row-atomic like the in-bucket
+    # merge_asof (round-1 ADVICE: the two paths disagreed on nullable
+    # value columns).
+    crow_type = T.StructType(
+        [T.StructField("__cts", right.schema[on].dataType, True)]
+        + [T.StructField(c, right.schema[c].dataType, True) for c in value_cols]
+    )
     carry_union = lkeys.select(
         by,
         "__t",
         F.lit(0).alias("__src"),
-        F.lit(None).cast(right.schema[on].dataType).alias("__cts"),
-        *[F.lit(None).cast(right.schema[c].dataType).alias(f"__v_{c}")
-          for c in value_cols],
+        F.lit(None).cast(crow_type).alias("__crow"),
     ).unionByName(
         rlast.select(
             by,
             "__t",
             F.lit(1).alias("__src"),
-            F.col(on).alias("__cts"),
-            *[F.col(c).alias(f"__v_{c}") for c in value_cols],
+            F.struct(
+                F.col(on).alias("__cts"),
+                *[F.col(c) for c in value_cols],
+            ).alias("__crow"),
         )
     )
     # right row in bucket t is visible to left buckets > t only: at equal
@@ -257,18 +281,14 @@ def asof_join_time_split(
             by,
             "__t",
             "__src",
-            F.last("__cts", ignorenulls=True).over(w_carry).alias("__cts_f"),
-            *[
-                F.last(f"__v_{c}", ignorenulls=True).over(w_carry).alias(c)
-                for c in value_cols
-            ],
+            F.last("__crow", ignorenulls=True).over(w_carry).alias("__cf"),
         )
-        .where((F.col("__src") == 0) & F.col("__cts_f").isNotNull())
+        .where((F.col("__src") == 0) & F.col("__cf").isNotNull())
         .select(
             by,
             "__t",
-            F.col("__cts_f").alias(on),
-            *value_cols,
+            F.col("__cf.__cts").alias(on),
+            *[F.col(f"__cf.{c}").alias(c) for c in value_cols],
         )
     )
     # synthetic right rows land in the LEFT bucket they serve; their ts is
@@ -285,10 +305,10 @@ def asof_join_time_split(
             return lpdf.reindex(columns=left_cols + value_cols)
         rpdf = (
             rpdf.drop(columns=["__b", "__t"])[[by, on] + value_cols]
-            # value tiebreak for duplicate ts: backward merge picks the
-            # sort-last row, so ascending value order == the window
-            # implementation's last-over-(ts, values-asc) pick
-            .sort_values([on] + value_cols, kind="mergesort")
+            # value tiebreak for duplicate ts (nulls first, as in the
+            # window implementation's struct ordering): backward merge
+            # picks the sort-last row == last-over-(ts, values-asc)
+            .sort_values([on] + value_cols, kind="mergesort", na_position="first")
             .drop_duplicates([by, on], keep="last")
         )
         merged = pd.merge_asof(

@@ -108,7 +108,19 @@ def input_lineage(df: DataFrame) -> dict:
         basis = "\n".join(sorted(files))
         kind = "files"
     else:
-        basis = df._jdf.queryExecution().logical().toString()
+        import re
+
+        # strip per-construction expression ids (`conv_id#123` ->
+        # `conv_id#`) and plan ids: two builds of the SAME pipeline must
+        # digest identically or every resume would see a false mismatch
+        basis = re.sub(
+            r"#\d+", "#", df._jdf.queryExecution().logical().toString()
+        )
+        basis = re.sub(r"plan_id=\d+", "plan_id=", basis)
+        # lambda-variable counters (`lambda x_2` vs `x_3`) are also
+        # per-construction
+        basis = re.sub(r"\blambda x_\d+\b", "lambda x_", basis)
+        basis = re.sub(r"\bx_\d+#", "x_#", basis)
         kind = "plan"
     import hashlib
 
@@ -123,13 +135,24 @@ def run_resumable(
     key: str = "conv_id",
     spark: SparkSession | None = None,
     fail_after_wave: int | None = None,
+    on_lineage_mismatch: str = "fail",
 ) -> dict:
     """Execute ``build(spark)`` bucket-wise with resume-on-restart.
+
+    A completed bucket is only SKIPPED if its manifest matches the
+    current invocation (same input lineage digest, n_buckets, key and
+    engine version) — resuming over changed input data or changed
+    bucketing must not silently mix stale and fresh buckets.
+    ``on_lineage_mismatch``: "fail" (default) raises with the first
+    mismatching bucket; "recompute" treats mismatching buckets as not
+    done and overwrites them.
 
     ``fail_after_wave`` is a test hook simulating a driver kill after
     N committed waves. Returns the aggregated metrics dict (also
     written to ``out_dir/metrics.json`` on completion).
     """
+    if on_lineage_mismatch not in ("fail", "recompute"):
+        raise ValueError("on_lineage_mismatch must be 'fail' or 'recompute'")
     spark = spark or SparkSession.getActiveSession()
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
 
@@ -137,7 +160,38 @@ def run_resumable(
     lineage = input_lineage(df)
     df = with_bucket(df, n_buckets, key=key)
 
-    done = completed_buckets(out_dir)
+    done = set()
+    for b in sorted(completed_buckets(out_dir)):
+        with open(_manifest_path(out_dir, b)) as fh:
+            m = json.load(fh)
+        consistent = (
+            m.get("input") == lineage
+            and m.get("n_buckets") == n_buckets
+            and m.get("key") == key
+            and m.get("engine") == ENGINE_VERSION
+        )
+        if consistent:
+            done.add(b)
+        elif on_lineage_mismatch == "fail":
+            raise RuntimeError(
+                f"bucket {b} manifest does not match this invocation "
+                f"(manifest input={m.get('input')}, n_buckets="
+                f"{m.get('n_buckets')}, key={m.get('key')!r}; current "
+                f"input={lineage}, n_buckets={n_buckets}, key={key!r}); "
+                "pass on_lineage_mismatch='recompute' to overwrite stale "
+                "buckets, or use a fresh out_dir"
+            )
+        else:
+            # drop the stale manifest AND its data dir now: dynamic
+            # partition overwrite only rewrites partitions the new
+            # input actually produces, so an empty new bucket would
+            # otherwise leave stale rows behind
+            import shutil
+
+            os.remove(_manifest_path(out_dir, b))
+            stale_dir = os.path.join(out_dir, f"{BUCKET_COL}={m.get('bucket', b)}")
+            if os.path.isdir(stale_dir):
+                shutil.rmtree(stale_dir)
     todo = [b for b in range(n_buckets) if b not in done]
     waves = [
         todo[i : i + buckets_per_wave]

@@ -275,8 +275,14 @@ class GeneticModel:
             for _ in range(self.n_chromo // 2):
                 parents: list[int] = []
                 while len(parents) < 2:
+                    # sample from the LIVE population: after generation
+                    # 0 it has 2*(n_chromo//2) members, which is
+                    # n_chromo-1 for odd n_chromo — indexing by
+                    # range(n_chromo) would raise / skew selection
                     entrants = rng.choice(
-                        self.n_chromo, size=self.k_tournament, replace=False
+                        len(chromosomes),
+                        size=min(self.k_tournament, len(chromosomes)),
+                        replace=False,
                     )
                     winner = int(entrants[np.argmax(fitness[entrants])])
                     if winner not in parents:

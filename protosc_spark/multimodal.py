@@ -196,15 +196,17 @@ def sample_frames(df: DataFrame, every_k: int = 2, codec: str = "fake") -> DataF
     def _frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             ids, idxs, blobs = [], [], []
-            for _, row in pdf.iterrows():
-                m = row["meta"]
+            # column zips, not iterrows (engine rule: no per-row pandas
+            # iteration inside Arrow kernels; zip over columns is the
+            # decode_images pattern)
+            for mid, data, m in zip(pdf["media_id"], pdf["data"], pdf["meta"]):
                 n_frames = int(m["n_frames"])
                 frame_bytes = int(m["width"]) * int(m["height"]) * int(m["channels"])
-                raw = bytes(row["data"])
+                raw = bytes(data)
                 reps = -(-n_frames * frame_bytes // len(raw))
                 raw = (raw * reps)[: n_frames * frame_bytes]
                 for fi in range(0, n_frames, every_k):
-                    ids.append(row["media_id"])
+                    ids.append(mid)
                     idxs.append(fi)
                     blobs.append(raw[fi * frame_bytes : (fi + 1) * frame_bytes])
             yield pd.DataFrame(
@@ -284,10 +286,10 @@ def audio_features(df: DataFrame, codec: str = "fake") -> DataFrame:
 
     def _feats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            ids, vecs = [], []
-            for _, row in pdf.iterrows():
-                sr = int(row["meta"]["sample_rate"])
-                pcm = _fake_pcm(bytes(row["data"]), sr)  # 1 second
+            vecs = []
+            for data, m in zip(pdf["data"], pdf["meta"]):
+                sr = int(m["sample_rate"])
+                pcm = _fake_pcm(bytes(data), sr)  # 1 second
                 rms = float(np.sqrt(np.mean(pcm**2)))
                 zcr = float(np.mean(np.abs(np.diff(np.sign(pcm))) > 0))
                 env = (
@@ -295,9 +297,10 @@ def audio_features(df: DataFrame, codec: str = "fake") -> DataFrame:
                     .reshape(8, -1)
                 )
                 env_rms = np.sqrt((env**2).mean(axis=1))
-                ids.append(row["media_id"])
                 vecs.append(np.concatenate([[rms, zcr], env_rms]))
-            yield pd.DataFrame({"media_id": ids, "audio_features": vecs})
+            yield pd.DataFrame(
+                {"media_id": pdf["media_id"], "audio_features": vecs}
+            )
 
     return df.select("media_id", "data", "meta").mapInPandas(_feats, schema)
 

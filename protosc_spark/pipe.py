@@ -274,7 +274,10 @@ def apply_complex(
     def _mapper(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows: list[dict] = []
-            for _, row in pdf.iterrows():
+            # plain dicts from one C-level conversion, not iterrows
+            # (pc.run is inherently per-package — reference pipeline
+            # semantics — but the batch iteration stays cheap)
+            for row in pdf.to_dict("records"):
                 rec = {k: row[k] for k in key_cols}
                 res = pc.run(decode(row))
                 errs = []

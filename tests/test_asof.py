@@ -108,6 +108,45 @@ def test_asof_deterministic_vs_grouped_on_skew(spark, transcripts, updates):
     assert a == b
 
 
+def test_null_in_latest_update_stays_null_row_atomic(spark):
+    """Row-atomic semantics: every output value comes from THE most
+    recent right row — a NULL field in it must NOT be backfilled per
+    column from an older update. Pinned across all three kernels and
+    across the time-split bucket boundary (round-1 ADVICE)."""
+    from protosc_spark.asof import asof_join_time_split
+
+    lpdf = pd.DataFrame(
+        {
+            "conv_id": ["a"],
+            "turn_idx": [0],
+            "ts": pd.to_datetime(["2025-01-03 00:00:00"]),
+        }
+    )
+    rpdf = pd.DataFrame(
+        {
+            "conv_id": ["a", "a"],
+            "ts": pd.to_datetime(["2025-01-01 01:00:00", "2025-01-02 01:00:00"]),
+            "x": [1.0, None],
+            "y": [2.0, 3.0],
+        }
+    )
+    left = spark.createDataFrame(lpdf)
+    right = spark.createDataFrame(rpdf)
+    impls = [
+        lambda: asof_join(left, right, value_cols=["x", "y"]),
+        lambda: asof_join_grouped(left, right, value_cols=["x", "y"]),
+        # split_seconds=86400: the NULL-x update is the bucket-boundary
+        # carry row into the left row's (later) day bucket
+        lambda: asof_join_time_split(
+            left, right, value_cols=["x", "y"], split_seconds=86400
+        ),
+    ]
+    for impl in impls:
+        row = impl().collect()[0]
+        assert row["x"] is None, "NULL in latest update must stay NULL"
+        assert row["y"] == 3.0
+
+
 class TestTimeSplit:
     """asof_join_time_split: equality with the window implementation at
     every split granularity, including splits small enough to cut

@@ -105,6 +105,35 @@ def test_completed_run_is_noop(spark, transcripts, tmp_path):
     } == stamps
 
 
+def test_resume_rejects_changed_input_lineage(spark, transcripts, tmp_path):
+    """Resuming over a manifest written for DIFFERENT input data or
+    bucketing must not silently mix stale and fresh buckets (round-1
+    ADVICE): default fails loudly, 'recompute' overwrites everything
+    and converges to the fresh input's single-shot output."""
+    from protosc_spark.datagen import generate_transcripts
+
+    out = str(tmp_path / "lineage")
+    build_v1 = _build(transcripts)
+    run_resumable(build_v1, out, n_buckets=4, buckets_per_wave=2)
+
+    other = generate_transcripts(spark, n_conversations=40, seed=7).cache()
+    build_v2 = _build(other)
+    with pytest.raises(RuntimeError, match="does not match this invocation"):
+        run_resumable(build_v2, out, n_buckets=4, buckets_per_wave=2)
+    # changed bucketing config over same input is also a mismatch
+    with pytest.raises(RuntimeError, match="does not match this invocation"):
+        run_resumable(build_v1, out, n_buckets=8, buckets_per_wave=2)
+
+    metrics = run_resumable(
+        build_v2, out, n_buckets=4, buckets_per_wave=2,
+        on_lineage_mismatch="recompute",
+    )
+    assert metrics["buckets_resumed_over"] == 0  # nothing was trusted
+    fresh = str(tmp_path / "fresh")
+    run_resumable(build_v2, fresh, n_buckets=4, buckets_per_wave=2)
+    assert _rows(read_output(spark, out)) == _rows(read_output(spark, fresh))
+
+
 def test_bucket_assignment_stable_across_partitioning(spark, transcripts):
     from protosc_spark.checkpoint import BUCKET_COL, with_bucket
 

@@ -98,6 +98,20 @@ def test_recovers_planted_features_and_is_deterministic(planted):
     assert hits / len(sel1) >= 0.5  # precision: mostly planted features
 
 
+def test_odd_population_size_survives_generations(planted):
+    """After generation 0 the population holds 2*(n_chromo//2) members;
+    with odd n_chromo, tournament sampling must draw from the live
+    population (round-1 ADVICE: indexing range(n_chromo) raised
+    IndexError / silently skipped the last chromosome)."""
+    X, y, _ = planted
+    model = GeneticModel(
+        n_chromo=21, n_gen_data=1, n_random_features=30,
+        num_penalty=0.005, n_compute=1, n_fold=4,
+    )
+    sel = model.execute_matrix(X, y, seed=13)
+    assert len(sel) > 0  # completed all generations; found real features
+
+
 def test_spark_fanout_equals_driver_sequential(spark, planted):
     X, y, _ = planted
     seq = _small_model().execute_matrix(X, y, seed=11, spark=None)
