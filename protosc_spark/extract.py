@@ -54,12 +54,22 @@ class Extractor:
     build: Callable[[DataFrame], Column]
     requires: tuple[str, ...] = ()
     feature_names: tuple[str, ...] | None = None
+    # channel columns per LOGICAL feature (reference features own 1..k
+    # adjacent columns, protosc/feature_matrix.py:20-27,48-67). The
+    # build output is laid out row-major (sub_feature, channel):
+    # sub0_ch0..sub0_chk-1, sub1_ch0, ... width must divide by channels.
+    channels: int = 1
+
+    @property
+    def n_logical(self) -> int:
+        assert self.width % self.channels == 0, (self.name, self.width)
+        return self.width // self.channels
 
     def names(self) -> list[str]:
         if self.feature_names is not None:
-            assert len(self.feature_names) == self.width
+            assert len(self.feature_names) == self.n_logical
             return [f"{self.name}:{n}" for n in self.feature_names]
-        return [f"{self.name}:{i}" for i in range(self.width)]
+        return [f"{self.name}:{i}" for i in range(self.n_logical)]
 
 
 @dataclass
@@ -80,18 +90,27 @@ class FeatureRegistry:
                         "feature_id": fname,
                         "pipeline": ex.name,
                         "sub_feature_id": i,
-                        "col_ids": [col],
+                        "col_ids": [col + c for c in range(ex.channels)],
                     }
                 )
-                col += 1
+                col += ex.channels
         return cls(entries)
 
     @property
     def n_features(self) -> int:
         return len(self.entries)
 
+    @property
+    def n_columns(self) -> int:
+        return sum(len(e["col_ids"]) for e in self.entries)
+
     def feature_ids(self) -> list[str]:
         return [e["feature_id"] for e in self.entries]
+
+    def col_groups(self) -> list[list[int]]:
+        """Logical-feature -> channel columns, the shape FilterModel
+        and the grouped statistics take."""
+        return [list(e["col_ids"]) for e in self.entries]
 
     def index_of(self, feature_id: str) -> int:
         for i, e in enumerate(self.entries):
@@ -144,10 +163,15 @@ def features_to_columns(
 ) -> DataFrame:
     """Explode the feature array into one named double column per
     feature (for inspection / oracle comparison; not the hot path)."""
-    cols = [
-        F.col(features_col)[e["col_ids"][0]].alias(e["feature_id"])
-        for e in registry.entries
-    ]
+    cols = []
+    for e in registry.entries:
+        if len(e["col_ids"]) == 1:
+            cols.append(F.col(features_col)[e["col_ids"][0]].alias(e["feature_id"]))
+        else:
+            cols.extend(
+                F.col(features_col)[c].alias(f"{e['feature_id']}:ch{k}")
+                for k, c in enumerate(e["col_ids"])
+            )
     return df.select(*[c for c in df.columns if c != features_col], *cols)
 
 
@@ -186,7 +210,7 @@ def add_random_features(
     out = df.withColumn(
         features_col, F.concat(F.col(features_col), F.array(*probes))
     )
-    base = registry.n_features
+    base = registry.n_columns
     new_entries = registry.entries + [
         {
             "feature_id": f"random:{i}",

@@ -36,14 +36,24 @@ from protosc_spark.oracle.numpy_model import (
     quantize,
 )
 from protosc_spark.select import final_feature_selection, select_from_stats
-from protosc_spark.stats import chisquare_features, correlation_submatrix
+from protosc_spark.stats import (
+    chisquare_features,
+    chisquare_features_grouped,
+    correlation_blockmax,
+    correlation_submatrix,
+)
 
 
-def _collect_submatrix(df: DataFrame, feature_ids, key_col: str):
+def _collect_submatrix(df: DataFrame, feature_ids, key_col: str, col_groups=None):
     """Collect (X[:, selected], y) ordered by the stable sample key —
     the same convention the oracle uses, so permutation nulls see the
-    same row order."""
-    idx = [int(i) for i in feature_ids]
+    same row order. With ``col_groups``, a selected logical feature
+    expands to all its channel columns (reference get_slice expansion,
+    protosc/feature_matrix.py:140-177)."""
+    if col_groups is None:
+        idx = [int(i) for i in feature_ids]
+    else:
+        idx = [int(c) for f in feature_ids for c in col_groups[int(f)]]
     pdf = (
         df.select(
             key_col,
@@ -71,10 +81,19 @@ class FilterModel:
         n_features: int | None = None,
         fold_seed: int | None = None,
         seed: int = 0,
+        col_groups: list[list[int]] | None = None,
     ) -> list[int]:
         """df: (key_col, features array<double>, y int). Returns the
-        final selected feature ids."""
-        if n_features is None:
+        final selected feature ids.
+
+        ``col_groups`` (optional): logical-feature -> channel columns,
+        from FeatureRegistry entries' col_ids. Multi-channel features
+        use the reference's chi-square tuple-max and corrcoef
+        channel-block-max semantics; selection / ids operate on LOGICAL
+        features."""
+        if col_groups is not None:
+            n_features = len(col_groups)
+        elif n_features is None:
             n_features = len(df.select("features").first()[0])
         df = with_fold_id(
             df, key_col, label_col="y", k=self.n_fold, fold_seed=fold_seed
@@ -90,18 +109,30 @@ class FilterModel:
             val = df.where(F.col("fold_id") == i)
             n_train = train.count()
 
-            chisq = quantize(
-                chisquare_features(
-                    train, "features", "y", n_features, approx_rows=n_train
+            if col_groups is None:
+                chisq = quantize(
+                    chisquare_features(
+                        train, "features", "y", n_features, approx_rows=n_train
+                    )
                 )
-            )
+                corr = lambda fs, _t=train: quantize(  # noqa: E731
+                    correlation_submatrix(_t, fs)
+                )
+            else:
+                chisq = quantize(
+                    chisquare_features_grouped(
+                        train, col_groups, "features", "y",
+                        approx_rows=n_train,
+                    )
+                )
+                corr = lambda fs, _t=train: quantize(  # noqa: E731
+                    correlation_blockmax(_t, fs, col_groups)
+                )
             selected, _ = select_from_stats(
-                chisq,
-                lambda fs, _t=train: quantize(correlation_submatrix(_t, fs)),
-                n_samples=n_train,
+                chisq, corr, n_samples=n_train
             )
-            X_tr, y_tr = _collect_submatrix(train, selected, key_col)
-            X_va, y_va = _collect_submatrix(val, selected, key_col)
+            X_tr, y_tr = _collect_submatrix(train, selected, key_col, col_groups)
+            X_va, y_va = _collect_submatrix(val, selected, key_col, col_groups)
             acc = linear_classifier_accuracy(X_tr, y_tr, X_va, y_va)
             fold_results.append({"features": selected, "accuracy": acc})
             null_dists.append(

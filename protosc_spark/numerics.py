@@ -96,6 +96,79 @@ def kruskal_h_from_stats(
     return h / t
 
 
+def kruskal_h_p(*groups: np.ndarray) -> tuple[float, float]:
+    """(H, p-value) like scipy.stats.kruskal: p = chi2.sf(H, k-1).
+
+    Needed for the reference's multi-channel quirk
+    (protosc/model/utils.py:70-78): per-channel results are KruskalResult
+    NAMEDTUPLES and ``np.max(kruskal_res)`` flattens them, taking the max
+    over statistics AND p-values together."""
+    h = kruskal_h(*groups)
+    return h, chi2_sf(h, len(groups) - 1)
+
+
+# ---------------------------------------------------------------------------
+# Regularized incomplete gamma (for chi-square survival function)
+# ---------------------------------------------------------------------------
+
+def _gamma_p_series(a: float, x: float, eps: float = 3e-14) -> float:
+    """Lower regularized incomplete gamma P(a, x) by series expansion
+    (converges fast for x < a + 1)."""
+    from math import exp, lgamma, log
+
+    if x <= 0.0:
+        return 0.0
+    ap = a
+    s = 1.0 / a
+    delta = s
+    for _ in range(500):
+        ap += 1.0
+        delta *= x / ap
+        s += delta
+        if abs(delta) < abs(s) * eps:
+            break
+    return s * exp(-x + a * log(x) - lgamma(a))
+
+
+def _gamma_q_cf(a: float, x: float, eps: float = 3e-14) -> float:
+    """Upper regularized incomplete gamma Q(a, x) by continued fraction
+    (modified Lentz; converges fast for x >= a + 1)."""
+    from math import exp, lgamma, log
+
+    tiny = 1e-300
+    b = x + 1.0 - a
+    c = 1.0 / tiny
+    d = 1.0 / b
+    h = d
+    for i in range(1, 500):
+        an = -i * (i - a)
+        b += 2.0
+        d = an * d + b
+        if abs(d) < tiny:
+            d = tiny
+        c = b + an / c
+        if abs(c) < tiny:
+            c = tiny
+        d = 1.0 / d
+        delta = d * c
+        h *= delta
+        if abs(delta - 1.0) < eps:
+            break
+    return exp(-x + a * log(x) - lgamma(a)) * h
+
+
+def chi2_sf(x: float, df: int) -> float:
+    """Chi-square survival function P(X > x) with ``df`` degrees of
+    freedom == Q(df/2, x/2) — scipy.stats.chi2.sf stand-in (agrees to
+    ~1e-13; pinned in tests/test_numerics.py)."""
+    if x <= 0.0:
+        return 1.0
+    a, xx = 0.5 * df, 0.5 * x
+    if xx < a + 1.0:
+        return 1.0 - _gamma_p_series(a, xx)
+    return _gamma_q_cf(a, xx)
+
+
 # ---------------------------------------------------------------------------
 # Regularized incomplete beta (for correlation p-values)
 # ---------------------------------------------------------------------------

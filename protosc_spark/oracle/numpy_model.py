@@ -34,6 +34,27 @@ def oracle_chisquare(X: np.ndarray, y: np.ndarray) -> np.ndarray:
     return out
 
 
+def oracle_chisquare_grouped(
+    X: np.ndarray, y: np.ndarray, col_groups: list[list[int]]
+) -> np.ndarray:
+    """Per-logical-feature H with the reference's multi-channel
+    flattened tuple-max quirk (protosc/model/utils.py:70-78); mirrors
+    stats.chisquare_features_grouped."""
+    from protosc_spark.numerics import kruskal_h_p
+
+    classes = np.unique(y)
+    out = np.empty(len(col_groups))
+    for i, g in enumerate(col_groups):
+        if len(g) == 1:
+            out[i] = kruskal_h(*[X[y == c, g[0]] for c in classes])
+        else:
+            pairs = np.array(
+                [kruskal_h_p(*[X[y == c, col] for c in classes]) for col in g]
+            )
+            out[i] = np.max(pairs)
+    return out
+
+
 def null_accuracy_distribution(
     X_tr: np.ndarray,
     y_tr: np.ndarray,
@@ -69,29 +90,51 @@ def oracle_filter_model(
     n_fold: int = 8,
     fold_seed: int | None = None,
     seed: int = 0,
+    col_groups: list[list[int]] | None = None,
 ) -> dict:
     """Full filter model: balanced folds -> per-fold selection +
     accuracy -> null distributions -> cross-fold final selection.
 
+    ``col_groups``: logical-feature channel grouping (reference
+    rev_lookup_table); selection ids are logical features and the
+    classifier sees the expanded channel columns.
+
     Returns {"selected": [...], "fold_results": [...], "folds": array}.
     """
+    from protosc_spark.stats import blockmax_reduce
+
     fold_id = balanced_fold_assignment(
         y, k=n_fold, rng=np.random.default_rng(fold_seed)
     )
     rng = np.random.default_rng(seed)
     fold_seeds = [int(rng.integers(0, 2**31 - 1)) for _ in range(n_fold)]
 
+    def _expand(feature_ids):
+        if col_groups is None:
+            return [int(f) for f in feature_ids]
+        return [int(c) for f in feature_ids for c in col_groups[int(f)]]
+
+    def _corr(Xtr, fs):
+        r = np.corrcoef(Xtr[:, _expand(fs)], rowvar=False)
+        if col_groups is None:
+            return r
+        return blockmax_reduce(r, [len(col_groups[int(f)]) for f in fs])
+
     fold_results, null_dists = [], []
     for i in range(n_fold):
         tr = (fold_id >= 0) & (fold_id != i)
         va = fold_id == i
-        chisq = quantize(oracle_chisquare(X[tr], y[tr]))
+        if col_groups is None:
+            chisq = quantize(oracle_chisquare(X[tr], y[tr]))
+        else:
+            chisq = quantize(oracle_chisquare_grouped(X[tr], y[tr], col_groups))
         selected, _ = select_from_stats(
             chisq,
-            lambda fs: quantize(np.corrcoef(X[tr][:, fs], rowvar=False)),
+            lambda fs: quantize(_corr(X[tr], fs)),
             n_samples=int(tr.sum()),
         )
-        X_tr, X_va = X[tr][:, selected], X[va][:, selected]
+        sel_cols = _expand(selected)
+        X_tr, X_va = X[tr][:, sel_cols], X[va][:, sel_cols]
         acc = linear_classifier_accuracy(X_tr, y[tr], X_va, y[va])
         fold_results.append({"features": selected, "accuracy": acc})
         null_dists.append(

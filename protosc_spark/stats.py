@@ -234,6 +234,89 @@ def chisquare_features(
     return out
 
 
+def chisquare_features_grouped(
+    df: DataFrame,
+    col_groups: list[list[int]],
+    features_col: str = "features",
+    label_col: str = "y",
+    n_classes: int | None = None,
+    method: str = "auto",
+    approx_rows: int | None = None,
+) -> np.ndarray:
+    """Kruskal–Wallis H per LOGICAL feature, where a feature owns the
+    channel columns listed in its ``col_groups`` entry (the reference's
+    rev_lookup_table col_ids, protosc/feature_matrix.py:20-27).
+
+    Single-channel features return plain H (reference uses
+    ``.statistic``, protosc/model/utils.py:84). Multi-channel features
+    reproduce the reference's quirk EXACTLY (protosc/model/utils.py:
+    70-78): per-channel (H, p) pairs are flattened by ``np.max`` — the
+    max runs over statistics AND p-values together.
+
+    Distribution: the per-column H pass is the same distributed ranking
+    as :func:`chisquare_features`; p-values and the per-group max are
+    driver-side on n_columns floats.
+    """
+    from protosc_spark.numerics import chi2_sf
+
+    n_cols = 1 + max(c for g in col_groups for c in g)
+    h_cols = chisquare_features(
+        df, features_col, label_col, n_cols, method=method,
+        approx_rows=approx_rows,
+    )
+    if any(len(g) > 1 for g in col_groups) and n_classes is None:
+        n_classes = df.select(label_col).distinct().count()
+    out = np.empty(len(col_groups))
+    for i, g in enumerate(col_groups):
+        if len(g) == 1:
+            out[i] = h_cols[g[0]]
+        else:
+            pairs = np.array(
+                [[h_cols[c], chi2_sf(h_cols[c], n_classes - 1)] for c in g]
+            )
+            out[i] = np.max(pairs)  # the flattened tuple-max quirk
+    return out
+
+
+def blockmax_reduce(r_matrix: np.ndarray, cols_occ: list[int]) -> np.ndarray:
+    """Reduce a column-level correlation matrix to feature level by
+    taking the max over each feature-pair's channel block — verbatim
+    reference semantics (protosc/feature_matrix.py:122-138). Shared by
+    the distributed path and the numpy oracle."""
+    n = len(cols_occ)
+    cum = np.append([0], np.cumsum(cols_occ))
+    out = np.zeros((n, n))
+    for i in range(n):
+        for j in range(n):
+            out[i, j] = np.max(
+                r_matrix[cum[i]:cum[i + 1], cum[j]:cum[j + 1]]
+            )
+    return out
+
+
+def correlation_blockmax(
+    df: DataFrame,
+    feature_ids: np.ndarray,
+    col_groups: list[list[int]],
+    features_col: str = "features",
+) -> np.ndarray:
+    """Feature x feature correlation where each feature's channel block
+    is reduced by max (reference FeatureMatrix.corrcoef). The Gramian
+    runs over the EXPANDED channel columns of the selected features;
+    the block reduce is a tiny driver loop."""
+    expanded = [c for f in feature_ids for c in col_groups[int(f)]]
+    r_cols = correlation_matrix(
+        df.select(
+            F.array(
+                *[F.col(features_col)[c] for c in expanded]
+            ).alias(features_col)
+        ),
+        features_col,
+    )
+    occ = [len(col_groups[int(f)]) for f in feature_ids]
+    return blockmax_reduce(r_cols, occ)
+
+
 def gramian_stats(
     df: DataFrame, features_col: str = "features"
 ) -> tuple[int, np.ndarray, np.ndarray]:

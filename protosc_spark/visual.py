@@ -229,6 +229,37 @@ def visual_feature_udf(
     return _vis, w_fourier + w_hog
 
 
+def multichannel_fourier_udf(
+    image_shape, n_channels: int, n_angular: int = 4, n_spatial: int = 2
+):
+    """Per-channel Fourier features kept SEPARATE (no greyscale): each
+    polar bin is one logical feature owning ``n_channels`` adjacent
+    columns, laid out row-major (bin, channel) — the multi-channel
+    registry path (reference features own one column per channel,
+    protosc/feature_matrix.py:48-67; Fourier emits (n_bins, c) there
+    too, protosc/feature_extraction/fourier_features.py:162-169).
+
+    Returns (udf, total_width, n_bins); pair with
+    ``Extractor(width=total_width, channels=n_channels)``.
+    """
+    shape = (image_shape[0], image_shape[1], n_channels)
+    n_bins = fourier_bin_count(shape, n_angular, n_spatial)
+
+    @F.pandas_udf(ArrayType(DoubleType()))
+    def _f(
+        pixels: pd.Series, w: pd.Series, h: pd.Series, c: pd.Series
+    ) -> pd.Series:
+        out = []
+        for px, wi, hi, ci in zip(pixels, w, h, c):
+            assert ci == n_channels, (ci, n_channels)
+            img = np.asarray(px, dtype=np.float64).reshape(hi, wi, ci)
+            fo = fourier_features(img, n_angular, n_spatial)  # (n_bins, c)
+            out.append(fo.reshape(-1))  # row-major (bin, channel)
+        return pd.Series(out)
+
+    return _f, n_bins * n_channels, n_bins
+
+
 def visual_features(decoded: DataFrame, image_shape=(8, 8)) -> tuple[DataFrame, int]:
     """decoded images (multimodal.decode_images output) -> per-media
     Fourier+HOG vector. Declared width; single select, no shuffle."""
