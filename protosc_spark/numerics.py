@@ -279,6 +279,50 @@ def linear_classifier_accuracy(
     return float(np.mean(pred == y_val))
 
 
+def linear_svm_accuracy(
+    X_train: np.ndarray,
+    y_train: np.ndarray,
+    X_val: np.ndarray,
+    y_val: np.ndarray,
+    C: float = 1.0,
+    n_iter: int = 600,
+) -> float:
+    """Deterministic linear soft-margin SVM — the closest in-container
+    stand-in for the reference's StandardScaler + SVC(kernel='linear')
+    (protosc/model/utils.py:11-20; sklearn/libsvm absent here).
+
+    One-vs-rest hinge loss with L2 regularization, solved by FULL-BATCH
+    projected subgradient descent with the Pegasos step size 1/(lambda
+    t) — no sampling, no randomness, so results are bit-reproducible.
+    Used by the scorer-agreement study (tests/test_scorer_agreement.py)
+    that bounds the ridge substitution: on the reference's easy-data
+    fixtures both scorers produce IDENTICAL filter selections.
+    """
+    mu = X_train.mean(axis=0)
+    sd = X_train.std(axis=0)
+    sd = np.where(sd == 0, 1.0, sd)
+    Xt = np.hstack([(X_train - mu) / sd, np.ones((len(X_train), 1))])
+    Xv = np.hstack([(X_val - mu) / sd, np.ones((len(X_val), 1))])
+
+    n, p = Xt.shape
+    lam = 1.0 / (C * n)
+    classes = np.unique(y_train)
+    Y = np.where(y_train[:, None] == classes[None, :], 1.0, -1.0)  # (n, k)
+    W = np.zeros((p, k := len(classes)))
+    for t in range(1, n_iter + 1):
+        eta = 1.0 / (lam * t)
+        margins = Y * (Xt @ W)  # (n, k)
+        active = (margins < 1.0).astype(np.float64)
+        grad = lam * W - (Xt.T @ (active * Y)) / n
+        W -= eta * grad
+        # Pegasos projection onto the ||w|| <= 1/sqrt(lam) ball
+        norms = np.linalg.norm(W, axis=0)
+        scale = np.minimum(1.0, (1.0 / np.sqrt(lam)) / np.maximum(norms, 1e-300))
+        W *= scale[None, :]
+    pred = classes[np.argmax(Xv @ W, axis=1)]
+    return float(np.mean(pred == y_val))
+
+
 # ---------------------------------------------------------------------------
 # inverse normal CDF (scipy.stats.norm.ppf stand-in; reference uses it at
 # protosc/model/genetic.py:493 for the probe-calibrated threshold)

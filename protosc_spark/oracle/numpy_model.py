@@ -62,17 +62,17 @@ def null_accuracy_distribution(
     y_val: np.ndarray,
     seed: int,
     n: int = 100,
+    scorer=None,
 ) -> list[float]:
     """100 label-permutation accuracies (reference
     compute_null_accuracy, protosc/model/utils.py:92-97) with an
     explicit per-fold rng — shared verbatim by engine and oracle."""
+    scorer = scorer or linear_classifier_accuracy
     rng = np.random.default_rng(seed)
     out = []
     for _ in range(n):
         out.append(
-            linear_classifier_accuracy(
-                X_tr, rng.permutation(y_tr), X_val, rng.permutation(y_val)
-            )
+            scorer(X_tr, rng.permutation(y_tr), X_val, rng.permutation(y_val))
         )
     return out
 
@@ -91,6 +91,7 @@ def oracle_filter_model(
     fold_seed: int | None = None,
     seed: int = 0,
     col_groups: list[list[int]] | None = None,
+    scorer=None,
 ) -> dict:
     """Full filter model: balanced folds -> per-fold selection +
     accuracy -> null distributions -> cross-fold final selection.
@@ -98,9 +99,14 @@ def oracle_filter_model(
     ``col_groups``: logical-feature channel grouping (reference
     rev_lookup_table); selection ids are logical features and the
     classifier sees the expanded channel columns.
+    ``scorer``: accuracy function (X_tr, y_tr, X_va, y_va) -> float;
+    default ridge (numerics.linear_classifier_accuracy). Passing
+    numerics.linear_svm_accuracy reproduces the reference's SVC choice
+    for the substitution-gap study.
 
     Returns {"selected": [...], "fold_results": [...], "folds": array}.
     """
+    scorer = scorer or linear_classifier_accuracy
     from protosc_spark.stats import blockmax_reduce
 
     fold_id = balanced_fold_assignment(
@@ -135,10 +141,12 @@ def oracle_filter_model(
         )
         sel_cols = _expand(selected)
         X_tr, X_va = X[tr][:, sel_cols], X[va][:, sel_cols]
-        acc = linear_classifier_accuracy(X_tr, y[tr], X_va, y[va])
+        acc = scorer(X_tr, y[tr], X_va, y[va])
         fold_results.append({"features": selected, "accuracy": acc})
         null_dists.append(
-            null_accuracy_distribution(X_tr, y[tr], X_va, y[va], fold_seeds[i])
+            null_accuracy_distribution(
+                X_tr, y[tr], X_va, y[va], fold_seeds[i], scorer=scorer
+            )
         )
 
     selected = final_feature_selection(fold_results, null_dists)
