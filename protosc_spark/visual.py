@@ -67,6 +67,62 @@ def greyscale(img: np.ndarray) -> np.ndarray:
     return grey.reshape(*grey.shape, 1)
 
 
+# sRGB -> XYZ (D65, 2-degree observer) — the same published matrix and
+# white point skimage.color.rgb2lab uses (reference SetColorChannels,
+# protosc/feature_extraction/color_channels.py:30-41, calls
+# sk.color.rgb2lab; skimage absent here, so the conversion is
+# implemented from the CIE definition directly).
+_XYZ_FROM_RGB = np.array(
+    [
+        [0.412453, 0.357580, 0.180423],
+        [0.212671, 0.715160, 0.072169],
+        [0.019334, 0.119193, 0.950227],
+    ]
+)
+_D65_WHITE = np.array([0.95047, 1.0, 1.08883])
+
+
+def rgb_to_cielab(img: np.ndarray) -> np.ndarray:
+    """(h, w, 3) RGB -> (h, w, 3) CIELAB (L in [0,100], a/b signed).
+
+    Accepts floats in [0, 1] or byte-scaled [0, 255] (divided by 255,
+    matching skimage's img_as_float on uint8 input). Pure numpy from
+    the published sRGB gamma + XYZ + Lab formulas; pinned in
+    tests/test_visual.py against the standard primary-color Lab values.
+    """
+    _require_ndarray(img, "rgb_to_cielab")
+    if img.shape[2] != 3:
+        raise ValueError("rgb_to_cielab needs a 3-channel image")
+    rgb = img.astype(np.float64)
+    if rgb.max() > 1.0:
+        rgb = rgb / 255.0
+    # sRGB gamma expansion
+    lin = np.where(
+        rgb <= 0.04045, rgb / 12.92, ((rgb + 0.055) / 1.055) ** 2.4
+    )
+    xyz = lin @ _XYZ_FROM_RGB.T
+    t = xyz / _D65_WHITE
+    f = np.where(t > 0.008856, np.cbrt(t), 7.787 * t + 16.0 / 116.0)
+    lab = np.empty_like(xyz)
+    lab[..., 0] = 116.0 * f[..., 1] - 16.0
+    lab[..., 1] = 500.0 * (f[..., 0] - f[..., 1])
+    lab[..., 2] = 200.0 * (f[..., 1] - f[..., 2])
+    return lab
+
+
+def set_color_channels(
+    img: np.ndarray, convert_to_cielab: bool = False, get_layers=()
+) -> np.ndarray:
+    """Optional RGB->CIELAB then channel projection — the reference's
+    only projection operator (protosc/feature_extraction/
+    color_channels.py:30-41), empty get_layers keeps every channel."""
+    _require_ndarray(img, "set_color_channels")
+    if convert_to_cielab:
+        img = rgb_to_cielab(img)
+    layers = list(get_layers) if len(get_layers) else list(range(img.shape[2]))
+    return img[:, :, layers]
+
+
 def _center_radius_mask(shape) -> np.ndarray:
     ys, xs = np.meshgrid(
         np.arange(shape[0]) - shape[0] // 2,

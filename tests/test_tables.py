@@ -1,0 +1,91 @@
+"""Partitioned transcript tables: Iceberg-equivalent parquet layout
+must actually PRUNE — day filters and conversation lookups hit only
+their partition directories (plan-level PartitionFilters + file-count
+checks), and the round trip preserves the rows exactly."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from protosc_spark.tables import (
+    DEFAULT_BUCKETS,
+    read_transcript_table,
+    scan_conversation,
+    scan_days,
+    write_transcript_table,
+)
+
+
+@pytest.fixture(scope="module")
+def table(spark, transcripts, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("ttab") / "transcripts")
+    write_transcript_table(transcripts, path)
+    return read_transcript_table(spark, path)
+
+
+def _scan_node(df) -> str:
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    for piece in plan.split("FileScan"):
+        if "PartitionFilters" in piece:
+            return piece
+    raise AssertionError(f"no FileScan with PartitionFilters in:\n{plan}")
+
+
+def test_round_trip_preserves_rows(transcripts, table):
+    cols = transcripts.columns
+    a = transcripts.select(cols)
+    b = table.select(cols)
+    assert a.subtract(b).count() == 0 and b.subtract(a).count() == 0
+
+
+def test_day_scan_prunes_partitions(spark, table):
+    q = scan_days(table, "2025-01-01", "2025-01-02")
+    scan = _scan_node(q)
+    assert "ts_day" in scan.split("PartitionFilters")[1].split("]")[0]
+    # only the two day directories are planned for reading
+    n_days_all = len({f.split("ts_day=")[1].split("/")[0]
+                      for f in table.inputFiles()})
+    got_days = {
+        r["ts_day"] for r in q.select("ts_day").distinct().collect()
+    }
+    assert len(got_days) <= 2 < n_days_all
+
+
+def test_conversation_scan_touches_one_bucket(spark, table, transcripts):
+    conv = transcripts.select("conv_id").first()["conv_id"]
+    q = scan_conversation(table, conv)
+    scan = _scan_node(q)
+    part_filters = scan.split("PartitionFilters")[1].split("]")[0]
+    assert "conv_bucket" in part_filters
+    # correctness: exactly this conversation's rows
+    want = transcripts.where(F.col("conv_id") == conv).count()
+    assert q.count() == want > 0
+    # and the planned file set is confined to one bucket directory
+    # per day (1/N of each day's files)
+    buckets = {
+        r["conv_bucket"] for r in q.select("conv_bucket").distinct().collect()
+    }
+    assert len(buckets) == 1
+    n_buckets_all = len({f.split("conv_bucket=")[1].split("/")[0]
+                         for f in table.inputFiles()})
+    assert n_buckets_all > 1  # the table actually spread over buckets
+
+
+def test_bucket_expression_matches_checkpoint_bucketing(spark, transcripts):
+    """One stable hash serves tables, checkpoints and salting: the
+    table's conv_bucket equals checkpoint.with_bucket's assignment."""
+    from protosc_spark.checkpoint import BUCKET_COL, with_bucket
+
+    a = (
+        transcripts.withColumn(
+            "conv_bucket",
+            F.pmod(F.xxhash64("conv_id"), F.lit(DEFAULT_BUCKETS)).cast("int"),
+        )
+        .select("conv_id", "conv_bucket")
+        .distinct()
+    )
+    b = (
+        with_bucket(transcripts, DEFAULT_BUCKETS)
+        .select("conv_id", F.col(BUCKET_COL).alias("conv_bucket"))
+        .distinct()
+    )
+    assert a.subtract(b).count() == 0 and b.subtract(a).count() == 0

@@ -105,3 +105,43 @@ def test_spark_visual_deterministic_across_partitioning(spark):
     ra = {r.media_id: tuple(r.vis_features) for r in a.collect()}
     rb = {r.media_id: tuple(r.vis_features) for r in b.collect()}
     assert ra == rb
+
+
+def test_rgb_to_cielab_primary_colors():
+    """Pin against the standard published sRGB->CIELAB values (D65):
+    the same numbers skimage.color.rgb2lab produces for the primaries
+    (the conversion the reference's SetColorChannels performs,
+    protosc/feature_extraction/color_channels.py:30-41)."""
+    from protosc_spark.visual import rgb_to_cielab
+
+    img = np.array(
+        [[[1.0, 1.0, 1.0], [0.0, 0.0, 0.0], [1.0, 0.0, 0.0]],
+         [[0.0, 1.0, 0.0], [0.0, 0.0, 1.0], [0.5, 0.5, 0.5]]]
+    )
+    lab = rgb_to_cielab(img)
+    assert np.allclose(lab[0, 0], [100.0, 0.0, 0.0], atol=0.02)
+    assert np.allclose(lab[0, 1], [0.0, 0.0, 0.0], atol=0.02)
+    assert np.allclose(lab[0, 2], [53.24, 80.09, 67.20], atol=0.05)
+    assert np.allclose(lab[1, 0], [87.74, -86.18, 83.18], atol=0.05)
+    assert np.allclose(lab[1, 1], [32.30, 79.19, -107.86], atol=0.05)
+    # byte-scaled input takes the same path via /255
+    lab255 = rgb_to_cielab(img * 255.0)
+    assert np.allclose(lab255, lab, atol=1e-9)
+
+
+def test_set_color_channels_matches_reference_contract():
+    from protosc_spark.visual import rgb_to_cielab, set_color_channels
+
+    rng = np.random.default_rng(8)
+    img = rng.random((4, 5, 3))
+    # empty get_layers keeps everything (reference color_channels.py:38-41)
+    assert np.array_equal(set_color_channels(img), img)
+    # channel projection
+    assert np.array_equal(
+        set_color_channels(img, get_layers=[2, 0]), img[:, :, [2, 0]]
+    )
+    # conversion then projection
+    got = set_color_channels(img, convert_to_cielab=True, get_layers=[0])
+    assert np.allclose(got[..., 0], rgb_to_cielab(img)[..., 0])
+    with pytest.raises(TypeError):
+        set_color_channels([1, 2, 3])
