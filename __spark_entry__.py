@@ -424,7 +424,12 @@ def _filter_select(spark, sf_dir):
     df = spark.createDataFrame(
         rows, "sample_id long, features array<double>, y int"
     )
-    sel = FilterModel(n_fold=8).execute(df, fold_seed=42, seed=0)
+    # force the distributed statistics path so the correctness gate
+    # exercises the Spark machinery (auto would take the small-data
+    # local path here; local==distributed pinned in tests)
+    sel = FilterModel(n_fold=8).execute(
+        df, fold_seed=42, seed=0, mode="distributed"
+    )
     true_ids = {int(i) for i in truth["selected_features"]}
     return spark.createDataFrame(
         [(int(i), int(i) in true_ids) for i in sorted(sel)],

@@ -81,6 +81,30 @@ def main() -> None:
             runs.append(time.time() - t0)
         timings[name] = round(min(runs), 3)
 
+    # FilterModel e2e at the reference's EXACT benchmark config (500
+    # samples x 1000 features, 8 folds, 100-permutation nulls — the one
+    # workload BASELINE.md times: 22.6 s wall single-process). auto
+    # mode takes the small-data local path (shared numpy pipeline;
+    # local==distributed pinned in tests/test_filter_model.py).
+    import numpy as np
+
+    from protosc_spark.models.filter_model import FilterModel
+    from protosc_spark.oracle.simulation import make_correlated
+
+    np.random.seed(1928374)
+    X, yv, _ = make_correlated()  # reference defaults 500x1000
+    rows_fm = [
+        (int(i), [float(v) for v in X[i]], int(yv[i])) for i in range(len(yv))
+    ]
+    df_fm = spark.createDataFrame(
+        rows_fm, "sample_id long, features array<double>, y int"
+    )
+    t0 = time.time()
+    sel = FilterModel(n_fold=8).execute(df_fm, fold_seed=42, seed=0)
+    filter_e2e_sec = round(time.time() - t0, 3)
+    assert len(sel) > 0
+    timings["filter_model_e2e_500x1000"] = filter_e2e_sec
+
     # flagship transcript pipeline: the authoritative turns/sec metric
     tr = generate_transcripts(spark, n_conversations=BENCH_CONVERSATIONS, seed=42)
     up = generate_attribute_updates(spark, n_conversations=BENCH_CONVERSATIONS, seed=42)
@@ -112,6 +136,8 @@ def main() -> None:
                 "sf": sf,
                 "flagship_turns": n_turns,
                 "turns_per_sec": turns_per_sec,
+                "filter_e2e_sec": filter_e2e_sec,
+                "filter_e2e_baseline_sec": 22.6,
                 "cpus": os.environ.get("SPARK_GRAFT_CPUS", "32"),
             }
         )

@@ -67,11 +67,22 @@ def _collect_submatrix(df: DataFrame, feature_ids, key_col: str, col_groups=None
     return X, pdf["y"].to_numpy()
 
 
+# Below this many matrix cells the whole problem collects to the
+# driver (5M doubles = 40 MB) and runs the SHARED numpy math in one
+# process — Spark job scheduling would dominate otherwise (measured:
+# 500x1000 reference config is 6.6 s local vs 164 s as 32 toy Spark
+# jobs vs the reference's own 22.6 s). Identical output by
+# construction: the local path IS the parity oracle the distributed
+# path is pinned against feature-ID-exact (tests/test_filter_model.py).
+LOCAL_CELLS_MAX = 5_000_000
+
+
 class FilterModel:
     """Chi-square filter selection with cross-fold significance."""
 
-    def __init__(self, n_fold: int = 8):
+    def __init__(self, n_fold: int = 8, local_cells_max: int = LOCAL_CELLS_MAX):
         self.n_fold = n_fold
+        self.local_cells_max = local_cells_max
         self.interim = None
 
     def execute(
@@ -82,6 +93,7 @@ class FilterModel:
         fold_seed: int | None = None,
         seed: int = 0,
         col_groups: list[list[int]] | None = None,
+        mode: str = "auto",
     ) -> list[int]:
         """df: (key_col, features array<double>, y int). Returns the
         final selected feature ids.
@@ -90,11 +102,25 @@ class FilterModel:
         from FeatureRegistry entries' col_ids. Multi-channel features
         use the reference's chi-square tuple-max and corrcoef
         channel-block-max semantics; selection / ids operate on LOGICAL
-        features."""
+        features.
+
+        ``mode``: "auto" collects matrices under ``local_cells_max``
+        cells and runs the shared numpy math in-process (same result,
+        no Spark job overhead at model-selection scale); "distributed"
+        forces the Spark statistics path; "local" forces the collect."""
+        n_columns = len(df.select("features").first()[0])
         if col_groups is not None:
             n_features = len(col_groups)
         elif n_features is None:
-            n_features = len(df.select("features").first()[0])
+            n_features = n_columns
+        if mode not in ("auto", "local", "distributed"):
+            raise ValueError(mode)
+        if mode != "distributed":
+            n_rows = df.count()
+            if mode == "local" or n_rows * n_columns <= self.local_cells_max:
+                return self._execute_local(
+                    df, key_col, fold_seed, seed, col_groups
+                )
         df = with_fold_id(
             df, key_col, label_col="y", k=self.n_fold, fold_seed=fold_seed
         ).cache()
@@ -142,3 +168,24 @@ class FilterModel:
         self.interim = {"fold_results": fold_results, "null_distributions": null_dists}
         df.unpersist()
         return final_feature_selection(fold_results, null_dists)
+
+    def _execute_local(
+        self, df: DataFrame, key_col: str, fold_seed, seed, col_groups
+    ) -> list[int]:
+        """Small-data path: one collect, then the shared numpy pipeline
+        (oracle_filter_model — the exact code the distributed path is
+        parity-pinned against)."""
+        from protosc_spark.oracle.numpy_model import oracle_filter_model
+
+        pdf = df.select(key_col, "features", "y").orderBy(key_col).toPandas()
+        X = np.array(pdf["features"].tolist(), dtype=np.float64)
+        y = pdf["y"].to_numpy()
+        res = oracle_filter_model(
+            X, y, n_fold=self.n_fold, fold_seed=fold_seed, seed=seed,
+            col_groups=col_groups,
+        )
+        self.interim = {
+            "fold_results": res["fold_results"],
+            "null_distributions": res["null_distributions"],
+        }
+        return res["selected"]

@@ -35,6 +35,7 @@ def test_filter_model_on_flagship_features(spark, transcripts):
     selected = model.execute(
         df, key_col="sample_id",
         n_features=registry.n_features, fold_seed=11, seed=5,
+        mode="distributed",
     )
 
     # role is a one-hot block, so role_user/role_tool/has_tool are

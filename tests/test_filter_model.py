@@ -66,7 +66,9 @@ def test_single_selection_engine_equals_oracle(spark, easy_data):
 def test_filter_model_engine_equals_oracle(spark, easy_data):
     X, y, truth = easy_data
     df = _to_df(spark, X, y)
-    engine_sel = FilterModel(n_fold=8).execute(df, fold_seed=1298374, seed=0)
+    engine_sel = FilterModel(n_fold=8).execute(
+        df, fold_seed=1298374, seed=0, mode="distributed"
+    )
     oracle = oracle_filter_model(X, y, n_fold=8, fold_seed=1298374, seed=0)
     assert engine_sel == oracle["selected"]
 
@@ -78,8 +80,28 @@ def test_filter_model_engine_equals_oracle(spark, easy_data):
 
 def test_filter_model_deterministic_across_partitionings(spark, easy_data):
     X, y, _ = easy_data
-    a = FilterModel(n_fold=3).execute(_to_df(spark, X, y), fold_seed=11, seed=5)
+    a = FilterModel(n_fold=3).execute(
+        _to_df(spark, X, y), fold_seed=11, seed=5, mode="distributed"
+    )
     b = FilterModel(n_fold=3).execute(
-        _to_df(spark, X, y).repartition(13), fold_seed=11, seed=5
+        _to_df(spark, X, y).repartition(13), fold_seed=11, seed=5,
+        mode="distributed",
     )
     assert a == b
+
+
+def test_local_mode_equals_distributed(spark, easy_data):
+    """The small-data fast path (one collect + shared numpy pipeline)
+    must return exactly the distributed path's selection — it IS the
+    parity oracle, so this is equality by construction, pinned."""
+    X, y, _ = easy_data
+    d = FilterModel(n_fold=3).execute(
+        _to_df(spark, X, y), fold_seed=11, seed=5, mode="distributed"
+    )
+    l = FilterModel(n_fold=3).execute(
+        _to_df(spark, X, y), fold_seed=11, seed=5, mode="local"
+    )
+    auto = FilterModel(n_fold=3).execute(
+        _to_df(spark, X, y), fold_seed=11, seed=5
+    )
+    assert d == l == auto

@@ -102,7 +102,7 @@ def test_filter_model_multichannel_matches_oracle(spark, paired):
     X, y, groups = paired
     df = _to_df(spark, X, y)
     got = FilterModel(n_fold=4).execute(
-        df, fold_seed=5, seed=1, col_groups=groups
+        df, fold_seed=5, seed=1, col_groups=groups, mode="distributed"
     )
     want = oracle_filter_model(
         X, y, n_fold=4, fold_seed=5, seed=1, col_groups=groups
@@ -166,7 +166,8 @@ def test_per_channel_fourier_through_filter_model(spark):
     from protosc_spark.models.filter_model import FilterModel
 
     got = FilterModel(n_fold=4).execute(
-        labeled, fold_seed=3, seed=0, col_groups=reg.col_groups()
+        labeled, fold_seed=3, seed=0, col_groups=reg.col_groups(),
+        mode="distributed",
     )
     pdf = labeled.orderBy("sample_id").toPandas()
     X = np.array(pdf["features"].tolist(), dtype=np.float64)
