@@ -343,6 +343,32 @@ def _sim_topk_lsh(spark, sf_dir):
     return lsh_topk(emb, query_ids=[0, 1, 2, 3, 4], k=10)
 
 
+def _sim_topk_ivf(spark, sf_dir):
+    """IVF ANN with FULL probing (n_probe == n_centroids): exercises
+    the whole train -> assign -> probe -> re-rank machinery while
+    degenerating to exact top-k, so it shares the brute-force DuckDB
+    oracle. The partial-probe scale path's recall is pinned in
+    tests/test_similarity.py."""
+    from protosc_spark.similarity import ivf_topk
+
+    emb = _read(spark, sf_dir, "embeddings")
+    return ivf_topk(
+        emb, query_ids=[0, 1, 2, 3, 4], k=10, n_centroids=8, n_probe=8
+    ).select("query_id", "neighbor_id", "rank")
+
+
+def _sim_topk_ivf_probe(spark, sf_dir):
+    """The real IVF scale path: probe the 4 nearest of 8 cells per
+    query (half the corpus scored). Rows-only (candidate set is
+    quantizer-defined); recall-vs-bruteforce pinned in tests."""
+    from protosc_spark.similarity import ivf_topk
+
+    emb = _read(spark, sf_dir, "embeddings")
+    return ivf_topk(
+        emb, query_ids=[0, 1, 2, 3, 4], k=10, n_centroids=8, n_probe=4
+    )
+
+
 def _stream_sessions(spark, sf_dir):
     """Structured-Streaming gap sessionization over events, drained via
     trigger(availableNow). Emission rule (pinned in tests): a session
@@ -483,6 +509,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_lsh": _dedup_minhash,
         "dedup_simhash": _dedup_simhash,
         "sim_topk_bruteforce": _sim_topk,
+        "sim_topk_ivf": _sim_topk_ivf,
+        "sim_topk_ivf_probe": _sim_topk_ivf_probe,
         "sim_cosine_neardup": _sim_neardup,
         "transcript_flagship": _transcript_flagship,
         "stream_sessions": _stream_sessions,
@@ -707,6 +735,20 @@ def oracle_sql() -> dict[str, str]:
         # defined ops — not SQL-expressible; rows-only check by design.
         # transcript_flagship: input generated in-engine; rows-only.
         "sim_topk_bruteforce": """
+            SELECT query_id, neighbor_id, rank FROM (
+              SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+                     row_number() OVER (PARTITION BY q.vec_id
+                       ORDER BY round(list_cosine_similarity(
+                                 e.embedding::DOUBLE[], q.embedding::DOUBLE[]), 6) DESC,
+                                e.vec_id) AS rank
+              FROM embeddings e
+              JOIN (SELECT * FROM embeddings WHERE vec_id IN (0,1,2,3,4)) q
+                ON e.vec_id <> q.vec_id)
+            WHERE rank <= 10
+        """,
+        # full-probe IVF == exact top-k, so it shares the brute-force
+        # oracle; sim_topk_ivf_probe (partial probing) is rows-only.
+        "sim_topk_ivf": """
             SELECT query_id, neighbor_id, rank FROM (
               SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
                      row_number() OVER (PARTITION BY q.vec_id

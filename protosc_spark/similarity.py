@@ -8,6 +8,11 @@
   planes broadcast to an Arrow-vectorized signature UDF; candidates
   share a bucket in any of L tables; exact cosine re-rank of the
   candidates only. The scale path (cost follows collisions).
+* :func:`ivf_topk` — inverted-file ANN: deterministic spherical
+  k-means coarse quantizer trained on a hash-ordered sample (driver
+  numpy), distributed cell assignment, per-query probing of the
+  nearest n_probe cells, exact re-rank of cell members. The other
+  standard scale path; n_probe == n_centroids degenerates to exact.
 * :func:`cosine_neardup_pairs` — near-duplicate detection by embedding
   cosine (exact via self-join on LSH bucket prefilter).
 """
@@ -151,6 +156,137 @@ def lsh_topk(
         .select(
             "query_id",
             "neighbor_id",
+            F.round(_dot(F.col("q_unit"), F.col("unit")), 6).alias("cosine"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cosine")
+    )
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) ANN — coarse quantizer + cell-pruned search
+# ---------------------------------------------------------------------------
+
+
+def ivf_train_centroids(
+    emb: DataFrame,
+    n_centroids: int = 16,
+    n_iter: int = 5,
+    sample_n: int = 2048,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> np.ndarray:
+    """Deterministic spherical k-means coarse quantizer.
+
+    Standard IVF practice: train on a SAMPLE (driver-side numpy Lloyd
+    iterations over <= sample_n unit vectors), assign the full corpus
+    distributed. Determinism: the sample is the first ``sample_n``
+    vectors in xxhash64(id) order (TakeOrdered — no full sort
+    materialization, no rand()), init = first n_centroids of the
+    sample, ties and empty cells resolved by fixed rules — identical
+    centroids at any parallelism.
+    """
+    sample = (
+        with_unit_vectors(emb, vec_col)
+        .select(F.col(id_col).alias("id"), "unit")
+        .orderBy(F.xxhash64(F.col("id")), F.col("id"))
+        .limit(sample_n)
+        .toPandas()
+    )
+    X = np.array(sample["unit"].tolist(), dtype=np.float64)
+    if len(X) < n_centroids:
+        raise ValueError(f"need >= {n_centroids} vectors, got {len(X)}")
+    C = X[:n_centroids].copy()
+    for _ in range(n_iter):
+        assign = np.argmax(X @ C.T, axis=1)  # cosine == dot on units
+        for c in range(n_centroids):
+            members = X[assign == c]
+            if len(members):
+                m = members.sum(axis=0)
+                norm = np.linalg.norm(m)
+                if norm > 0:
+                    C[c] = m / norm
+        # empty cells keep their previous centroid (deterministic)
+    return C
+
+
+def ivf_assign(
+    emb: DataFrame,
+    centroids: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, cell, unit): nearest-centroid cell per vector — one Arrow
+    pass, centroid matrix rides the closure (executor-broadcast)."""
+    C = np.asarray(centroids, dtype=np.float64)
+
+    @F.pandas_udf(T.IntegerType())
+    def cell_udf(units: pd.Series) -> pd.Series:
+        X = np.array(units.tolist(), dtype=np.float64)
+        return pd.Series(np.argmax(X @ C.T, axis=1).astype(np.int32))
+
+    base = with_unit_vectors(emb, vec_col)
+    return base.select(
+        F.col(id_col).alias("id"),
+        cell_udf(F.col("unit")).alias("cell"),
+        "unit",
+    )
+
+
+def ivf_topk(
+    emb: DataFrame,
+    query_ids: Sequence[int],
+    k: int = 10,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: np.ndarray | None = None,
+) -> DataFrame:
+    """IVF approximate top-k: each query probes its ``n_probe`` nearest
+    cells and exact-cosine re-ranks only their members — cost
+    ~ n_probe/n_centroids of the corpus per query, the standard
+    inverted-file ANN shape (train on sample -> assign distributed ->
+    probe -> re-rank). ``n_probe == n_centroids`` degenerates to exact
+    brute force (pinned against brute_force_topk in tests AND the
+    driver's DuckDB oracle).
+    """
+    if centroids is None:
+        centroids = ivf_train_centroids(
+            emb, n_centroids, id_col=id_col, vec_col=vec_col
+        )
+    assigned = ivf_assign(emb, centroids, id_col, vec_col)
+
+    qids = [int(q) for q in query_ids]
+    q_pdf = (
+        assigned.where(F.col("id").isin(*qids))
+        .select("id", "unit")
+        .toPandas()
+    )
+    C = np.asarray(centroids, dtype=np.float64)
+    probe_rows = []
+    for _, r in zip(range(len(q_pdf)), q_pdf.itertuples()):
+        scores = C @ np.asarray(r.unit, dtype=np.float64)
+        order = np.lexsort((np.arange(len(scores)), -scores))
+        for cell in order[:n_probe]:
+            probe_rows.append(
+                (int(r.id), int(cell), [float(v) for v in r.unit])
+            )
+    spark = emb.sparkSession
+    probes = spark.createDataFrame(
+        probe_rows, "query_id long, cell int, q_unit array<double>"
+    )
+
+    scored = (
+        assigned.join(F.broadcast(probes), "cell")
+        .where(F.col("id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("id").alias("neighbor_id"),
             F.round(_dot(F.col("q_unit"), F.col("unit")), 6).alias("cosine"),
         )
     )

@@ -103,3 +103,49 @@ def test_neardup_exact_equals_lsh_at_high_tau(emb):
         recall = (merged["_merge"] == "both").mean()
         assert recall >= 0.9
     assert len(b) <= len(a) or len(a) == 0
+
+
+class TestIVF:
+    """IVF ANN: full probe == exact brute force; partial probe keeps
+    high recall at a fraction of the scoring cost; everything
+    deterministic across partitionings (the quantizer trains on a
+    hash-ordered sample, not rand())."""
+
+    def test_full_probe_equals_bruteforce(self, spark, emb):
+        from protosc_spark.similarity import brute_force_topk, ivf_topk
+
+        exact = brute_force_topk(emb, [0, 1, 2, 3, 4], k=10)
+        ivf = ivf_topk(emb, [0, 1, 2, 3, 4], k=10, n_centroids=8, n_probe=8)
+        a = {(r.query_id, r.rank): r.neighbor_id for r in exact.collect()}
+        b = {(r.query_id, r.rank): r.neighbor_id for r in ivf.collect()}
+        assert a == b
+
+    def test_partial_probe_recall(self, spark, emb):
+        from protosc_spark.similarity import brute_force_topk, ivf_topk
+
+        exact = brute_force_topk(emb, [0, 1, 2, 3, 4], k=10)
+        approx = ivf_topk(emb, [0, 1, 2, 3, 4], k=10,
+                          n_centroids=8, n_probe=4)
+        want = {(r.query_id, r.neighbor_id) for r in exact.collect()}
+        got = {(r.query_id, r.neighbor_id) for r in approx.collect()}
+        recall = len(want & got) / len(want)
+        # measured 0.74 at half the cells probed on this fixture
+        assert recall >= 0.65
+
+    def test_deterministic_across_partitioning(self, spark, emb):
+        from protosc_spark.similarity import ivf_topk
+
+        a = ivf_topk(emb, [0, 1], k=5, n_centroids=8, n_probe=3).collect()
+        b = ivf_topk(emb.repartition(7), [0, 1], k=5,
+                     n_centroids=8, n_probe=3).collect()
+        assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+    def test_centroids_deterministic_and_unit(self, spark, emb):
+        import numpy as np
+
+        from protosc_spark.similarity import ivf_train_centroids
+
+        c1 = ivf_train_centroids(emb, n_centroids=8)
+        c2 = ivf_train_centroids(emb.repartition(5), n_centroids=8)
+        assert np.array_equal(c1, c2)
+        assert np.allclose(np.linalg.norm(c1, axis=1), 1.0)
