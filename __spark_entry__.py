@@ -223,6 +223,41 @@ def _txt_fingerprint(spark, sf_dir):
     return fingerprint(_read(spark, sf_dir, "documents"))
 
 
+def _txt_repetition(spark, sf_dir):
+    from protosc_spark.textops import repetition_stats
+
+    return repetition_stats(_read(spark, sf_dir, "documents"))
+
+
+def _txt_gopher(spark, sf_dir):
+    from protosc_spark.textops import gopher_rules
+
+    return gopher_rules(_read(spark, sf_dir, "documents"))
+
+
+def _txt_pii_scrub(spark, sf_dir):
+    """PII redaction on documents with DETERMINISTICALLY planted PII
+    (every 7th doc gets an email+IP suffix, every 11th a long digit
+    run) so the redaction actually fires and the oracle value-checks
+    the scrubbed text and counts."""
+    from protosc_spark.textops import pii_scrub
+
+    docs = _read(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 7 == 0,
+                F.lit(" contact bob@example.com at 10.2.3.44"),
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 11 == 0, F.lit(" ref 4155550123")
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    return pii_scrub(docs)
+
+
 def _dedup_exact(spark, sf_dir):
     return exact_dedup_groups(_read(spark, sf_dir, "documents")).orderBy("text_md5")
 
@@ -504,6 +539,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "txt_quality": _txt_quality,
         "txt_langid": _txt_langid,
         "txt_fingerprint": _txt_fingerprint,
+        "txt_repetition": _txt_repetition,
+        "txt_gopher_rules": _txt_gopher,
+        "txt_pii_scrub": _txt_pii_scrub,
         "dedup_exact_groups": _dedup_exact,
         "dedup_ngram_jaccard": _dedup_jaccard,
         "dedup_minhash_lsh": _dedup_minhash,
@@ -699,6 +737,76 @@ def oracle_sql() -> dict[str, str]:
                            (acc, ch) -> (acc * 31 + ch) % {FP_MOD}))),
                 (acc, h) -> (acc * {FP_BASE} + h) % {FP_MOD}) AS fingerprint
             FROM documents
+        """,
+        "txt_repetition": """
+            WITH t AS (
+              SELECT doc_id, string_split(text, ' ') AS toks,
+                     len(string_split(text, ' '))::DOUBLE AS n
+              FROM documents)
+            SELECT doc_id,
+                   round(1 - len(list_distinct(toks)) / n, 4) AS dup_token_frac,
+                   round(list_max(list_transform(list_distinct(toks),
+                           tk -> len(list_filter(toks, x -> x = tk)))) / n, 4)
+                     AS top_token_frac,
+                   round(CASE WHEN n > 1 THEN
+                           len(list_filter(range(1, n::INT),
+                                           i -> toks[i] = toks[i+1]))
+                           / (n - 1) ELSE 0 END, 4) AS dup_bigram_frac
+            FROM t
+        """,
+        "txt_gopher_rules": f"""
+            WITH t AS (
+              SELECT doc_id, string_split(text, ' ') AS toks,
+                     len(string_split(text, ' '))::DOUBLE AS n
+              FROM documents
+            ), sig AS (
+              SELECT doc_id, n,
+                     list_sum(list_transform(toks, x -> length(x))) / n
+                       AS mean_word_len,
+                     len(list_filter(toks,
+                           x -> regexp_matches(x, '[A-Za-z]'))) / n
+                       AS alpha_word_frac,
+                     len(list_filter(toks, x -> lower(x) IN ({_STOP})))
+                       AS n_stopwords
+              FROM t)
+            SELECT doc_id, round(mean_word_len, 4) AS mean_word_len,
+                   round(alpha_word_frac, 4) AS alpha_word_frac,
+                   n_stopwords::BIGINT AS n_stopwords,
+                   (n >= 10 AND n <= 100000
+                    AND mean_word_len >= 2.0 AND mean_word_len <= 10.0
+                    AND alpha_word_frac >= 0.8
+                    AND n_stopwords >= 2)::INT AS keep
+            FROM sig
+        """,
+        "txt_pii_scrub": """
+            WITH planted AS (
+              SELECT doc_id, text ||
+                CASE WHEN doc_id % 7 = 0
+                     THEN ' contact bob@example.com at 10.2.3.44' ELSE '' END ||
+                CASE WHEN doc_id % 11 = 0 THEN ' ref 4155550123' ELSE '' END
+                AS text
+              FROM documents
+            ), s1 AS (
+              SELECT doc_id, text,
+                     regexp_replace(text,
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
+                       '<EMAIL>', 'g') AS t1
+              FROM planted
+            ), s2 AS (
+              SELECT doc_id, text, t1,
+                     regexp_replace(t1,
+                       '\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}',
+                       '<IP>', 'g') AS t2
+              FROM s1)
+            SELECT doc_id,
+                   regexp_replace(t2, '\\d{7,}', '<NUM>', 'g') AS clean_text,
+                   (len(regexp_extract_all(text,
+                      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}'))
+                    + len(regexp_extract_all(t1,
+                        '\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}'))
+                    + len(regexp_extract_all(t2, '\\d{7,}')))::BIGINT
+                     AS n_redactions
+            FROM s2
         """,
         "dedup_exact_groups": """
             SELECT md5(text) AS text_md5, count(*)::BIGINT AS n_docs,

@@ -39,6 +39,10 @@ HEADLINE = [
     "asof_join_purchase",
     "txt_quality",
     "txt_fingerprint",
+    "txt_repetition",
+    "txt_gopher_rules",
+    "txt_pii_scrub",
+    "sim_topk_ivf_probe",
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
     "sim_topk_bruteforce",

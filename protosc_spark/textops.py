@@ -122,3 +122,123 @@ def fingerprint(df: DataFrame) -> DataFrame:
         lambda acc, h: F.pmod(acc * F.lit(FP_BASE) + h, F.lit(FP_MOD)),
     )
     return df.select("doc_id", fp.alias("fingerprint"))
+
+
+def repetition_stats(df: DataFrame) -> DataFrame:
+    """Gopher-style repetition signals per document (repetitious text
+    is the #1 cut in LLM corpus curation):
+
+    * dup_token_frac   — 1 - |distinct| / n (overall repetition)
+    * top_token_frac   — occurrences of the most frequent token / n
+    * dup_bigram_frac  — fraction of adjacent equal-token pairs
+
+    Pure JVM array expressions, embarrassingly parallel; the per-doc
+    distinct-token scan is O(n_uniq * n) inside one row — fine for
+    document-sized n, no shuffle anywhere.
+    """
+    toks = _tokens()
+    n = F.size(toks)
+    top = F.array_max(
+        F.transform(
+            F.array_distinct(toks),
+            lambda t: F.size(F.filter(toks, lambda x: x == t)),
+        )
+    )
+    adj_dups = F.size(
+        F.filter(
+            F.zip_with(
+                F.slice(toks, 1, n - 1),
+                F.slice(toks, 2, n - 1),
+                lambda a, b: a == b,
+            ),
+            lambda v: v,
+        )
+    )
+    return df.select(
+        "doc_id",
+        F.round(1.0 - F.size(F.array_distinct(toks)) / n.cast("double"), 4).alias(
+            "dup_token_frac"
+        ),
+        F.round(top / n.cast("double"), 4).alias("top_token_frac"),
+        F.round(
+            F.when(n > 1, adj_dups / (n - 1).cast("double")).otherwise(0.0), 4
+        ).alias("dup_bigram_frac"),
+    )
+
+
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_IPV4 = r"\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}"
+PII_LONG_DIGITS = r"\d{7,}"
+
+
+def pii_scrub(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Redact emails, IPv4 addresses and long digit runs (phone/account
+    numbers) — the standard pre-training scrub pass. Returns
+    (doc_id, clean_text, n_redactions); patterns are RE2-compatible so
+    the DuckDB oracle runs the identical regexes.
+
+    Order matters: emails first (their domains contain dots that the
+    IP pattern must not see), IPs before bare digit runs.
+    """
+    c = F.col(text_col)
+    n_red = (
+        F.regexp_count(c, F.lit(PII_EMAIL))
+        + F.regexp_count(F.regexp_replace(c, PII_EMAIL, "<EMAIL>"), F.lit(PII_IPV4))
+        + F.regexp_count(
+            F.regexp_replace(
+                F.regexp_replace(c, PII_EMAIL, "<EMAIL>"), PII_IPV4, "<IP>"
+            ),
+            F.lit(PII_LONG_DIGITS),
+        )
+    )
+    clean = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(c, PII_EMAIL, "<EMAIL>"), PII_IPV4, "<IP>"
+        ),
+        PII_LONG_DIGITS,
+        "<NUM>",
+    )
+    return df.select(
+        "doc_id",
+        clean.alias("clean_text"),
+        n_red.cast("bigint").alias("n_redactions"),
+    )
+
+
+GOPHER_MIN_TOKENS = 10
+GOPHER_MAX_TOKENS = 100_000
+GOPHER_WORD_LEN_LO = 2.0
+GOPHER_WORD_LEN_HI = 10.0
+GOPHER_MIN_ALPHA_FRAC = 0.8
+GOPHER_MIN_STOPWORDS = 2
+
+
+def gopher_rules(df: DataFrame) -> DataFrame:
+    """Gopher-rule document filter signals + keep flag: token-count
+    bounds, mean word length band, fraction of words containing an
+    alphabetic character, and a minimum stopword count — the published
+    corpus-curation rules re-expressed as one codegen'd projection."""
+    toks = _tokens()
+    n = F.size(toks)
+    mean_len = F.aggregate(
+        toks, F.lit(0.0), lambda acc, t: acc + F.length(t)
+    ) / n.cast("double")
+    alpha_frac = F.size(
+        F.filter(toks, lambda t: t.rlike("[A-Za-z]"))
+    ) / n.cast("double")
+    n_stop = F.size(F.filter(toks, lambda t: F.lower(t).isin(*STOPWORDS)))
+    keep = (
+        (n >= GOPHER_MIN_TOKENS)
+        & (n <= GOPHER_MAX_TOKENS)
+        & (mean_len >= GOPHER_WORD_LEN_LO)
+        & (mean_len <= GOPHER_WORD_LEN_HI)
+        & (alpha_frac >= GOPHER_MIN_ALPHA_FRAC)
+        & (n_stop >= GOPHER_MIN_STOPWORDS)
+    )
+    return df.select(
+        "doc_id",
+        F.round(mean_len, 4).alias("mean_word_len"),
+        F.round(alpha_frac, 4).alias("alpha_word_frac"),
+        n_stop.cast("bigint").alias("n_stopwords"),
+        keep.cast("int").alias("keep"),
+    )

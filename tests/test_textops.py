@@ -166,3 +166,72 @@ def test_jvm_extractor_variants_bit_equal_numpy(spark, transcripts):
     exp = np.hstack([token_length_hist_np(texts), hashed_ngram_np(texts)])
     got = np.array([r.features for r in rows])
     assert np.array_equal(got, exp)
+
+
+def test_repetition_stats_hand_cases(spark):
+    from protosc_spark.textops import repetition_stats
+
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [0, 1, 2],
+            "text": [
+                "a a a a",                 # total repetition
+                "w x y z",                 # none
+                "p p q r q",               # one adjacent dup, top=2/5
+            ],
+        }
+    )
+    got = (
+        repetition_stats(spark.createDataFrame(pdf))
+        .orderBy("doc_id")
+        .toPandas()
+    )
+    assert got.loc[0, "dup_token_frac"] == 0.75
+    assert got.loc[0, "top_token_frac"] == 1.0
+    assert got.loc[0, "dup_bigram_frac"] == 1.0
+    assert got.loc[1, "dup_token_frac"] == 0.0
+    assert got.loc[1, "dup_bigram_frac"] == 0.0
+    assert got.loc[2, "top_token_frac"] == 0.4
+    assert got.loc[2, "dup_bigram_frac"] == 0.25
+
+
+def test_pii_scrub_hand_cases(spark):
+    from protosc_spark.textops import pii_scrub
+
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [0, 1, 2],
+            "text": [
+                "mail me at jo.doe+x@sub.example.org now",
+                "server 192.168.100.7 acct 123456789 pin 123",
+                "nothing sensitive here",
+            ],
+        }
+    )
+    got = pii_scrub(spark.createDataFrame(pdf)).orderBy("doc_id").toPandas()
+    assert got.loc[0, "clean_text"] == "mail me at <EMAIL> now"
+    assert got.loc[0, "n_redactions"] == 1
+    # IP first, then the long digit run; 3-digit pin untouched
+    assert got.loc[1, "clean_text"] == "server <IP> acct <NUM> pin 123"
+    assert got.loc[1, "n_redactions"] == 2
+    assert got.loc[2, "clean_text"] == "nothing sensitive here"
+    assert got.loc[2, "n_redactions"] == 0
+
+
+def test_gopher_rules_hand_cases(spark):
+    from protosc_spark.textops import gopher_rules
+
+    long_good = " ".join(["the", "and"] + ["table"] * 10)  # 12 toks, stopwords
+    too_short = "the and table"
+    no_alpha = " ".join(["123"] * 12 + ["the", "a"])
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [0, 1, 2],
+            "text": [long_good, too_short, no_alpha],
+        }
+    )
+    got = gopher_rules(spark.createDataFrame(pdf)).orderBy("doc_id").toPandas()
+    assert got.loc[0, "keep"] == 1
+    assert got.loc[1, "keep"] == 0  # under 10 tokens
+    assert got.loc[2, "keep"] == 0  # alpha fraction 2/14 < 0.8
+    assert got.loc[0, "n_stopwords"] == 2
