@@ -446,6 +446,81 @@ def _stream_sessions(spark, sf_dir):
     return run_to_memory_sink(sessions, name, tempfile.mkdtemp())
 
 
+def _stream_asof(spark, sf_dir):
+    """Streaming strict-past as-of join (stateful applyInPandasWithState,
+    watermark-finalized) over events arriving as time-ordered slices in
+    4 micro-batches — the streaming counterpart of asof_join_purchase,
+    sharing its exact DuckDB ASOF oracle (a bounded availableNow run's
+    final watermark reaches max ts, so every click finalizes)."""
+    import tempfile
+    import uuid
+
+    from protosc_spark.streaming import (
+        run_to_memory_sink,
+        stream_asof_join,
+        write_time_sliced_source,
+    )
+
+    ev = _read(spark, sf_dir, "events")
+    # heartbeat: one NULL-value purchase 2s past max ts — advances the
+    # (ms-truncated, filter-pushdown-respecting) watermark past every
+    # real click so the bounded run finalizes all of them; the state
+    # function treats NULL-value updates as time-only
+    sentinel = ev.orderBy(F.desc("ts")).limit(1).select(
+        (F.lit(10) ** 9).cast("long").alias("event_id"),
+        (F.col("ts") + F.expr("INTERVAL 2 SECONDS")).alias("ts"),
+        "user_id",
+        F.lit("purchase").alias("event_type"),
+        F.lit(None).cast("double").alias("value"),
+        F.lit(None).cast("string").alias("props"),
+    )
+    d = tempfile.mkdtemp(prefix="protosc_stream_asof_")
+    write_time_sliced_source(
+        ev.unionByName(sentinel), d, n_slices=4, scramble_col="event_id"
+    )
+    src = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d)
+    )
+    out = stream_asof_join(src)
+    name = f"stream_asof_{uuid.uuid4().hex[:8]}"
+    return run_to_memory_sink(out, name, tempfile.mkdtemp())
+
+
+def _stream_dedup(spark, sf_dir):
+    """Streaming exact dedup (dropDuplicatesWithinWatermark) over the
+    engine's dirty transcript table (each duplicate re-delivered with a
+    perturbed later ts): keeps one row per (conv_id, turn_idx).
+    Rows-only at the gate (engine-generated input); set-equality with
+    batch distinct is pinned in tests/test_streaming.py."""
+    import tempfile
+    import uuid
+
+    from protosc_spark.datagen import generate_transcripts_dirty
+    from protosc_spark.streaming import (
+        run_to_memory_sink,
+        stream_exact_dedup,
+        write_time_sliced_source,
+    )
+
+    dirty = generate_transcripts_dirty(spark, n_conversations=150, seed=42)
+    d = tempfile.mkdtemp(prefix="protosc_stream_dedup_")
+    write_time_sliced_source(dirty, d, n_slices=3, scramble_col="conv_id")
+    src = (
+        spark.readStream.schema(dirty.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d)
+    )
+    out = stream_exact_dedup(src, ["conv_id", "turn_idx"], watermark="1 minute")
+    name = f"stream_dedup_{uuid.uuid4().hex[:8]}"
+    sunk = run_to_memory_sink(out, name, tempfile.mkdtemp())
+    return sunk.groupBy("conv_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_turns"),
+        F.countDistinct("turn_idx").cast("bigint").alias("n_distinct_turns"),
+    ).orderBy("conv_id")
+
+
 def _mm_image_grey(spark, sf_dir):
     """Multimodal decode + feature UDF on the deterministic media table
     (sha2-chained payloads): per-image grey mean/std. The oracle
@@ -552,6 +627,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_cosine_neardup": _sim_neardup,
         "transcript_flagship": _transcript_flagship,
         "stream_sessions": _stream_sessions,
+        "stream_asof_purchase": _stream_asof,
+        "stream_dedup_exact": _stream_dedup,
         "mm_image_grey": _mm_image_grey,
         "mm_visual_features": _mm_visual_features,
         "filter_select": _filter_select,
@@ -874,6 +951,16 @@ def oracle_sql() -> dict[str, str]:
             WHERE round(list_cosine_similarity(a.embedding::DOUBLE[],
                                                b.embedding::DOUBLE[]), 6) >= 0.35
             ORDER BY id_a, id_b
+        """,
+        # the streaming as-of emits every click once the final watermark
+        # (max ts, 0s delay) passes it -> identical to the batch ASOF
+        "stream_asof_purchase": """
+            SELECT c.event_id, c.user_id, c.ts, p.purchase_value
+            FROM (SELECT event_id, user_id, ts FROM events
+                  WHERE event_type = 'click') c
+            ASOF LEFT JOIN (SELECT user_id, ts, value AS purchase_value
+                            FROM events WHERE event_type = 'purchase') p
+            ON c.user_id = p.user_id AND c.ts > p.ts
         """,
         # streaming gap sessionization == batch sessionization restricted
         # to watermark-finalized sessions (last_ts + gap <= max ts)

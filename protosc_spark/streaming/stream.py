@@ -2,7 +2,7 @@
 
 The reference is strictly batch/in-memory (one `execute()` pass over a
 list of files — reference protosc/pipeline.py:18-32); streaming is a
-north-rule addition with no reference counterpart. Three operator
+north-rule addition with no reference counterpart. Five operator
 families, all expressed on the streaming DataFrame API so the SAME
 feature definitions serve batch backfill and live ingestion:
 
@@ -22,6 +22,14 @@ feature definitions serve batch backfill and live ingestion:
    window features. State lives in the default HDFS-backed state
    store (RocksDB-free per the north rule) under the query's
    checkpointLocation, which is also what makes the stream resumable.
+4. **Streaming strict-past as-of join** — `stream_asof_join`:
+   applyInPandasWithState buffering out-of-order (turn | update)
+   events per entity; a turn finalizes once the watermark passes it
+   and gets the latest strictly-earlier update, row-atomically. A
+   bounded run with a heartbeat row equals the batch as-of EXACTLY
+   (shares the driver's DuckDB ASOF oracle).
+5. **Streaming exact dedup** — `dropDuplicatesWithinWatermark` over
+   re-delivered turns, state pruned by the watermark.
 
 Scale notes: session_window + watermark is a streaming aggregation
 whose state is pruned by the watermark — without `withWatermark`
@@ -37,8 +45,11 @@ from typing import Iterable
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+from protosc_spark.windows import _epoch_us
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
+    ArrayType,
     DoubleType,
     IntegerType,
     LongType,
@@ -231,3 +242,212 @@ def run_to_memory_sink(
     q.awaitTermination()
     spark = df.sparkSession
     return spark.table(name)
+
+
+# ---------------------------------------------------------------------------
+# streaming as-of join (stateful, watermark-finalized)
+# ---------------------------------------------------------------------------
+
+_ASOF_STATE = StructType(
+    [
+        StructField("turn_ids", ArrayType(LongType())),
+        StructField("turn_ts", ArrayType(LongType())),     # microseconds
+        StructField("upd_ts", ArrayType(LongType())),      # microseconds
+        StructField("upd_vals", ArrayType(DoubleType())),
+    ]
+)
+_ASOF_OUT = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("user_id", LongType()),
+        StructField("ts", TimestampType()),
+        StructField("purchase_value", DoubleType()),
+    ]
+)
+
+
+def _asof_state_fn(key: tuple, batches: Iterable[pd.DataFrame], state: GroupState):
+    """Per-entity streaming as-of: buffer out-of-order (turn | update)
+    events; a TURN is finalized once the watermark passes its event
+    time (any event still in flight then has ts >= watermark >= turn
+    ts, hence invisible under strict-past), and emitted with the
+    latest buffered update value strictly before it. Duplicate-ts
+    updates keep the max value — the batch kernels' tiebreak.
+
+    State compaction: after emission only updates that can still serve
+    a pending or future turn survive — everything at or after
+    min(pending turn ts, watermark), plus the single latest update
+    before that threshold.
+    """
+    import numpy as np
+
+    (user_id,) = key
+    if state.exists:
+        t_ids, t_ts, u_ts, u_vals = (list(x) for x in state.get)
+    else:
+        t_ids, t_ts, u_ts, u_vals = [], [], [], []
+
+    if not state.hasTimedOut:
+        for pdf in batches:
+            is_turn = pdf["kind"] == "turn"
+            t_ids.extend(int(v) for v in pdf.loc[is_turn, "event_id"])
+            t_ts.extend(int(v) for v in pdf.loc[is_turn, "ts_us"])
+            # NULL-value updates are HEARTBEATS: they advance the
+            # watermark (time passes) but carry no state
+            is_upd = (~is_turn) & pdf["value"].notna()
+            u_ts.extend(int(v) for v in pdf.loc[is_upd, "ts_us"])
+            u_vals.extend(float(v) for v in pdf.loc[is_upd, "value"])
+
+    wm_us = state.getCurrentWatermarkMs() * 1000
+
+    # sorted update view, duplicate ts -> max value
+    if u_ts:
+        ua = np.array(u_ts, dtype=np.int64)
+        va = np.array(u_vals, dtype=np.float64)
+        order = np.lexsort((va, ua))
+        ua, va = ua[order], va[order]
+        last_of_ts = np.append(ua[1:] != ua[:-1], True)
+        ua, va = ua[last_of_ts], va[last_of_ts]
+    else:
+        ua = np.empty(0, dtype=np.int64)
+        va = np.empty(0, dtype=np.float64)
+
+    emit_ids, emit_ts, emit_vals, keep_ids, keep_ts = [], [], [], [], []
+    for tid, tts in sorted(zip(t_ids, t_ts), key=lambda p: (p[1], p[0])):
+        if tts <= wm_us:
+            j = int(np.searchsorted(ua, tts, side="left")) - 1  # strict past
+            emit_ids.append(tid)
+            emit_ts.append(tts)
+            emit_vals.append(float(va[j]) if j >= 0 else None)
+        else:
+            keep_ids.append(tid)
+            keep_ts.append(tts)
+
+    threshold = min(keep_ts) if keep_ts else max(wm_us, 0)
+    j = int(np.searchsorted(ua, threshold, side="left")) - 1
+    keep_from = max(j, 0)
+    new_u_ts = [int(v) for v in ua[keep_from:]]
+    new_u_vals = [float(v) for v in va[keep_from:]]
+
+    state.update((keep_ids, keep_ts, new_u_ts, new_u_vals))
+    if keep_ts:
+        state.setTimeoutTimestamp(max(min(keep_ts) // 1000, wm_us // 1000 + 1))
+
+    if emit_ids:
+        yield pd.DataFrame(
+            {
+                "event_id": pd.array(emit_ids, dtype="int64"),
+                "user_id": pd.array([int(user_id)] * len(emit_ids), dtype="int64"),
+                "ts": pd.to_datetime(np.array(emit_ts, dtype="int64") * 1000),
+                "purchase_value": pd.array(emit_vals, dtype="float64"),
+            }
+        )
+
+
+def stream_asof_join(
+    events: DataFrame,
+    entity_col: str = "user_id",
+    ts_col: str = "ts",
+    turn_filter: str = "event_type = 'click'",
+    update_filter: str = "event_type = 'purchase'",
+    id_col: str = "event_id",
+    value_col: str = "value",
+    watermark: str = "0 seconds",
+) -> DataFrame:
+    """Streaming strict-past as-of join over ONE interleaved event
+    stream: rows matching ``turn_filter`` get the latest prior value of
+    rows matching ``update_filter`` for the same entity.
+
+    The batch equivalent (asof.asof_join on the filtered frames) is
+    this operator's oracle: with a bounded availableNow run the final
+    watermark reaches max(ts), so every turn finalizes and the output
+    equals the batch as-of exactly (pinned in tests AND the driver's
+    DuckDB ASOF oracle). State is per-entity and watermark-compacted.
+    """
+    # NOTE on finalizing the tail of a BOUNDED stream: the watermark
+    # only reaches max(ts of rows that SURVIVE the filters) — Catalyst
+    # legally pushes the type filter below the watermark node — and it
+    # is millisecond-truncated, so the very last turn/update can never
+    # finalize itself. The production-faithful remedy is a HEARTBEAT:
+    # append one update-typed row with a NULL value stamped past the
+    # data's max ts (stream sources emit such liveness markers
+    # routinely); the state function treats NULL-value updates as
+    # time-only. Watermarks need TIMESTAMP (UTC tz -> no NTZ shift).
+    tagged = (
+        events.withColumn("__ts", F.col(ts_col).cast("timestamp"))
+        .withWatermark("__ts", watermark)
+        .where(f"({turn_filter}) OR ({update_filter})")
+        .select(
+            F.col(entity_col).cast("long").alias("user_id"),
+            F.col(id_col).cast("long").alias("event_id"),
+            F.col("__ts").alias("ts"),
+            F.when(F.expr(turn_filter), F.lit("turn"))
+            .otherwise(F.lit("update"))
+            .alias("kind"),
+            F.col(value_col).cast("double").alias("value"),
+            _epoch_us(F.col(ts_col)).alias("ts_us"),  # NTZ-safe
+        )
+    )
+    return tagged.groupBy("user_id").applyInPandasWithState(
+        _asof_state_fn,
+        outputStructType=_ASOF_OUT,
+        stateStructType=_ASOF_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
+
+
+def stream_exact_dedup(
+    stream_df: DataFrame,
+    keys: list[str],
+    ts_col: str = "ts",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming exact dedup: keep the first arrival per key; repeated
+    deliveries within the watermark horizon are dropped and the
+    dedup state itself is watermark-pruned (bounded memory — the
+    property plain dropDuplicates lacks on streams)."""
+    return stream_df.withColumn(
+        ts_col, F.col(ts_col).cast("timestamp")
+    ).withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(keys)
+
+
+def write_time_sliced_source(
+    df: DataFrame,
+    out_dir: str,
+    n_slices: int = 4,
+    ts_col: str = "ts",
+    scramble_col: str | None = None,
+) -> None:
+    """Materialize a bounded DataFrame as a file-stream source whose
+    files arrive in EVENT-TIME order (one file per time slice, strictly
+    increasing modification times), with rows scrambled inside each
+    slice. This is the realistic arrival model watermarking is designed
+    for: disorder bounded within a slice (the operator sorts), zero
+    late data across slices — so `watermark="0 seconds"` finalizes
+    everything in a bounded availableNow run. Random file splits
+    instead create unbounded lateness and the watermark DROPS rows;
+    that is Spark's documented contract, not an operator bug."""
+    import time as _time
+
+    us = _epoch_us(F.col(ts_col))
+    qs = [i / n_slices for i in range(1, n_slices)]
+    bounds = [
+        r[0]
+        for r in df.select(
+            F.explode(
+                F.percentile(us, F.array(*[F.lit(q) for q in qs]))
+            ).alias("b")
+        ).collect()
+    ]
+    lo = None
+    for hi in bounds + [None]:
+        s = df
+        if lo is not None:
+            s = s.where(us > lo)
+        if hi is not None:
+            s = s.where(us <= hi)
+        order = F.xxhash64(scramble_col) if scramble_col else F.xxhash64(*df.columns[:1])
+        s.orderBy(order).coalesce(1).write.mode("append").parquet(out_dir)
+        _time.sleep(1.05)  # strictly increasing file mtimes = arrival order
+        lo = hi

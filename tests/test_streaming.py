@@ -198,3 +198,88 @@ def test_stateful_stream_resumes_from_checkpoint(spark, transcripts, tmp_path):
         ).collect()
     }
     assert got == exp
+
+
+def test_stream_asof_equals_batch_kernel(spark, tmp_path):
+    """Streaming stateful as-of (5 time-sliced micro-batches, rows
+    scrambled within each slice, heartbeat finalizer) == the batch
+    window kernel, row-exact."""
+    import pandas as pd
+
+    from protosc_spark.asof import asof_join
+    from protosc_spark.streaming import (
+        run_to_memory_sink,
+        stream_asof_join,
+        write_time_sliced_source,
+    )
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    heartbeat = ev.orderBy(F.desc("ts")).limit(1).select(
+        F.lit(10**9).cast("long").alias("event_id"),
+        (F.col("ts") + F.expr("INTERVAL 2 SECONDS")).alias("ts"),
+        "user_id",
+        F.lit("purchase").alias("event_type"),
+        F.lit(None).cast("double").alias("value"),
+        F.lit(None).cast("string").alias("props"),
+    )
+    d = str(tmp_path / "sasof_src")
+    write_time_sliced_source(
+        ev.unionByName(heartbeat), d, n_slices=5, scramble_col="event_id"
+    )
+    src = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d)
+    )
+    got = (
+        run_to_memory_sink(
+            stream_asof_join(src), "t_sasof", str(tmp_path / "cp")
+        )
+        .toPandas()
+        .sort_values("event_id")
+        .reset_index(drop=True)[["event_id", "user_id", "ts", "purchase_value"]]
+    )
+    clicks = ev.where("event_type = 'click'").select("event_id", "user_id", "ts")
+    purch = ev.where("event_type = 'purchase'").select(
+        "user_id", "ts", F.col("value").alias("purchase_value")
+    )
+    want = (
+        asof_join(clicks, purch, on="ts", by="user_id",
+                  value_cols=["purchase_value"])
+        .toPandas()
+        .sort_values("event_id")
+        .reset_index(drop=True)[["event_id", "user_id", "ts", "purchase_value"]]
+    )
+    assert len(got) == len(want)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_stream_exact_dedup_equals_batch_distinct(spark, tmp_path):
+    """dropDuplicatesWithinWatermark over re-delivered turns (dup sent
+    1-30s later): surviving (conv_id, turn_idx, text) set == batch
+    distinct; every key appears exactly once."""
+    from protosc_spark.datagen import generate_transcripts_dirty
+    from protosc_spark.streaming import (
+        run_to_memory_sink,
+        stream_exact_dedup,
+        write_time_sliced_source,
+    )
+
+    dirty = generate_transcripts_dirty(spark, n_conversations=60, seed=42)
+    assert dirty.count() > dirty.select("conv_id", "turn_idx").distinct().count()
+    d = str(tmp_path / "sdedup_src")
+    write_time_sliced_source(dirty, d, n_slices=3, scramble_col="conv_id")
+    src = (
+        spark.readStream.schema(dirty.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d)
+    )
+    out = stream_exact_dedup(src, ["conv_id", "turn_idx"], watermark="1 minute")
+    got = run_to_memory_sink(out, "t_sdedup", str(tmp_path / "cp2")).toPandas()
+    assert got.duplicated(["conv_id", "turn_idx"]).sum() == 0
+    want = (
+        dirty.select("conv_id", "turn_idx", "text").distinct().toPandas()
+    )
+    gset = set(map(tuple, got[["conv_id", "turn_idx", "text"]].to_numpy()))
+    wset = set(map(tuple, want.to_numpy()))
+    assert gset == wset
