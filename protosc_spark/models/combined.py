@@ -59,7 +59,16 @@ def _spread_null_distribution(results: dict, fold, rng, n_total: int = 100):
 
 class CombinedFoldModel:
     """Runs filter + fast/slow wrapper + random + pseudo-random per fold
-    and applies final selection per model (reference combined_fold.py)."""
+    and applies final selection per model (reference combined_fold.py).
+
+    Scope note: this search tier operates on a single-channel registry
+    (one column per logical feature). Multi-channel features (grouped
+    col_ids with the reference's tuple-max chi-square and block-max
+    corrcoef) are supported on the FilterModel path
+    (filter_model.FilterModel.execute(col_groups=...)), which is the
+    parity-critical selection route; extending the wrapper search to
+    channel groups is mechanical (expand ids at _accuracy time) but
+    not required by any reference behavior the tests pin."""
 
     def __init__(self, n_fold: int = 8):
         self.n_fold = n_fold
