@@ -283,3 +283,168 @@ def test_stream_exact_dedup_equals_batch_distinct(spark, tmp_path):
     gset = set(map(tuple, got[["conv_id", "turn_idx", "text"]].to_numpy()))
     wset = set(map(tuple, want.to_numpy()))
     assert gset == wset
+
+
+def test_stream_asof_zero_leakage_under_future_perturbation(spark, tmp_path):
+    """Zero temporal leakage, streaming edition: mutating every event
+    after a cutoff (values scaled, extra purchases injected) must not
+    change a single already-finalized output row before the cutoff."""
+    import pandas as pd
+
+    from protosc_spark.streaming import (
+        run_to_memory_sink,
+        stream_asof_join,
+        write_time_sliced_source,
+    )
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    cutoff = ev.selectExpr(
+        "percentile(unix_micros(cast(ts as timestamp)), 0.6) p"
+    ).first()["p"]
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+
+    def run(events, tag):
+        heartbeat = events.orderBy(F.desc("ts")).limit(1).select(
+            F.lit(10**9).cast("long").alias("event_id"),
+            (F.col("ts") + F.expr("INTERVAL 2 SECONDS")).alias("ts"),
+            "user_id",
+            F.lit("purchase").alias("event_type"),
+            F.lit(None).cast("double").alias("value"),
+            F.lit(None).cast("string").alias("props"),
+        )
+        d = str(tmp_path / f"leak_{tag}")
+        write_time_sliced_source(
+            events.unionByName(heartbeat), d, n_slices=4,
+            scramble_col="event_id",
+        )
+        src = (
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(d)
+        )
+        return (
+            run_to_memory_sink(
+                stream_asof_join(src), f"leak_{tag}", str(tmp_path / f"cp_{tag}")
+            )
+            .toPandas()
+            .sort_values("event_id")
+            .reset_index(drop=True)
+        )
+
+    base = run(ev, "base")
+    # perturb the future: scale all post-cutoff purchase values and
+    # inject one extra purchase per user far in the future
+    perturbed = ev.withColumn(
+        "value",
+        F.when(us > cutoff, F.col("value") * 7 + 1).otherwise(F.col("value")),
+    )
+    extra = (
+        ev.groupBy("user_id")
+        .agg(F.max("ts").alias("ts"))
+        .select(
+            (F.col("user_id") + 20000).cast("long").alias("event_id"),
+            (F.col("ts") + F.expr("INTERVAL 90 MINUTES")).alias("ts"),
+            "user_id",
+            F.lit("purchase").alias("event_type"),
+            F.lit(999.99).alias("value"),
+            F.lit(None).cast("string").alias("props"),
+        )
+    )
+    alt = run(perturbed.unionByName(extra), "alt")
+
+    past_base = base[base["ts"].map(lambda t: t.value // 1000) <= cutoff]
+    past_alt = alt[alt["event_id"].isin(set(past_base["event_id"]))]
+    past_alt = past_alt.sort_values("event_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        past_base.reset_index(drop=True), past_alt, check_dtype=False
+    )
+
+
+def test_stream_asof_resumes_from_checkpoint(spark, tmp_path):
+    """Kill-and-restart for the STREAMING AS-OF: drain the early time
+    slices to a parquet sink, stop, deliver the late slices + heartbeat,
+    restart with the SAME checkpoint. Buffered turns/updates must
+    survive in the state store so the union of both runs equals the
+    batch as-of exactly, with no duplicated emissions."""
+    import os
+    import time as _time
+
+    import pandas as pd
+
+    from protosc_spark.asof import asof_join
+    from protosc_spark.streaming import (
+        run_to_parquet_sink,
+        stream_asof_join,
+        write_time_sliced_source,
+    )
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    heartbeat = ev.orderBy(F.desc("ts")).limit(1).select(
+        F.lit(10**9).cast("long").alias("event_id"),
+        (F.col("ts") + F.expr("INTERVAL 2 SECONDS")).alias("ts"),
+        "user_id",
+        F.lit("purchase").alias("event_type"),
+        F.lit(None).cast("double").alias("value"),
+        F.lit(None).cast("string").alias("props"),
+    )
+    staged = str(tmp_path / "staged")
+    write_time_sliced_source(
+        ev.unionByName(heartbeat), staged, n_slices=4, scramble_col="event_id"
+    )
+    slices = sorted(
+        f for f in os.listdir(staged) if f.endswith(".parquet")
+    )
+    parts = sorted(
+        (os.path.getmtime(os.path.join(staged, f)), f) for f in slices
+    )
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    out = str(tmp_path / "out")
+    ck = str(tmp_path / "ck")
+
+    def _deliver(names, prefix):
+        for f in names:
+            os.link(os.path.join(staged, f), os.path.join(src, prefix + f))
+        _time.sleep(1.1)
+
+    # run 1: first two slices only, then "crash"
+    _deliver([f for _, f in parts[:2]], "a-")
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    run_to_parquet_sink(stream_asof_join(stream), out, ck)
+    n_run1 = len(spark.read.parquet(out).collect())
+
+    # run 2: late slices + heartbeat arrive; SAME checkpoint dir
+    _deliver([f for _, f in parts[2:]], "b-")
+    stream2 = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    run_to_parquet_sink(stream_asof_join(stream2), out, ck)
+
+    got = (
+        spark.read.parquet(out)
+        .toPandas()
+        .sort_values("event_id")
+        .reset_index(drop=True)[["event_id", "user_id", "ts", "purchase_value"]]
+    )
+    assert got["event_id"].duplicated().sum() == 0  # no re-emission
+    assert n_run1 < len(got)  # both runs contributed
+
+    clicks = ev.where("event_type = 'click'").select("event_id", "user_id", "ts")
+    purch = ev.where("event_type = 'purchase'").select(
+        "user_id", "ts", F.col("value").alias("purchase_value")
+    )
+    want = (
+        asof_join(clicks, purch, on="ts", by="user_id",
+                  value_cols=["purchase_value"])
+        .toPandas()
+        .sort_values("event_id")
+        .reset_index(drop=True)[["event_id", "user_id", "ts", "purchase_value"]]
+    )
+    assert len(got) == len(want)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
