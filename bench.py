@@ -59,6 +59,29 @@ def _materialize(df) -> None:
     df.write.mode("overwrite").format("noop").save()
 
 
+def _loadavg() -> list[float]:
+    """1/5/15-min load averages — recorded before every leg so a slow
+    number is attributable to host contention, not the engine (this
+    host's bench noise is documented in BENCH/BASELINE.md)."""
+    with open("/proc/loadavg") as fh:
+        return [float(x) for x in fh.read().split()[:3]]
+
+
+def _membw_1proc_gbps() -> float:
+    """Single-process memory-bandwidth probe (engine-independent): the
+    same streaming-sum kernel as tools/membw_probe.py at K=1. Drops in
+    lockstep with host steal, so a degraded bench leg can be cross-
+    checked against host physics."""
+    import numpy as np
+
+    a = np.ones(64_000_000)  # 512 MB
+    t0 = time.time()
+    acc = 0.0
+    for _ in range(6):
+        acc += float(a.sum())
+    return round(6 * a.nbytes / (time.time() - t0) / 1e9, 2)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").split("sf")[-1]
@@ -71,10 +94,14 @@ def main() -> None:
     # cold_total_sec reports warmup+measured for transparency.
     # The sandbox host shows heavy CPU steal (load swings 5-8x on
     # identical plans), so the measured number is min over 2 timed runs.
+    membw_start = _membw_1proc_gbps()
+    load_start = _loadavg()
     queries = entrymod.queries()
     timings: dict[str, float] = {}
     cold: dict[str, float] = {}
+    load_per_query: dict[str, float] = {}
     for name in HEADLINE:
+        load_per_query[name] = _loadavg()[0]
         t0 = time.time()
         _materialize(queries[name](spark, sf_dir))
         cold[name] = round(time.time() - t0, 3)
@@ -143,6 +170,15 @@ def main() -> None:
                 "filter_e2e_sec": filter_e2e_sec,
                 "filter_e2e_baseline_sec": 22.6,
                 "cpus": os.environ.get("SPARK_GRAFT_CPUS", "32"),
+                # host-contention audit trail (round-2 VERDICT #6): a
+                # regressed leg is attributable iff loadavg/membw moved
+                "host": {
+                    "loadavg_start": load_start,
+                    "loadavg_end": _loadavg(),
+                    "loadavg_1m_before_each_query": load_per_query,
+                    "membw_1proc_GBps_start": membw_start,
+                    "membw_1proc_GBps_end": _membw_1proc_gbps(),
+                },
             }
         )
     )

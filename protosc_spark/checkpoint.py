@@ -108,19 +108,14 @@ def input_lineage(df: DataFrame) -> dict:
         basis = "\n".join(sorted(files))
         kind = "files"
     else:
-        import re
-
-        # strip per-construction expression ids (`conv_id#123` ->
-        # `conv_id#`) and plan ids: two builds of the SAME pipeline must
-        # digest identically or every resume would see a false mismatch
-        basis = re.sub(
-            r"#\d+", "#", df._jdf.queryExecution().logical().toString()
-        )
-        basis = re.sub(r"plan_id=\d+", "plan_id=", basis)
-        # lambda-variable counters (`lambda x_2` vs `x_3`) are also
-        # per-construction
-        basis = re.sub(r"\blambda x_\d+\b", "lambda x_", basis)
-        basis = re.sub(r"\bx_\d+#", "x_#", basis)
+        # Catalyst's canonicalized plan normalizes per-construction
+        # expression ids / lambda-variable counters STRUCTURALLY
+        # (AttributeReference -> positional `none#N`), so two builds of
+        # the SAME pipeline digest identically while literals that merely
+        # contain '#<digits>' (text == 'item#42') or columns named x_2
+        # stay distinguishable — a raw-regex strip over the plan string
+        # conflated those and could silently accept stale buckets.
+        basis = df._jdf.queryExecution().analyzed().canonicalized().toString()
         kind = "plan"
     import hashlib
 

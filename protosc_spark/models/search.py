@@ -22,13 +22,23 @@ import numpy as np
 from protosc_spark.numerics import linear_classifier_accuracy
 
 
-def _accuracy(fold, feature_ids) -> float:
+def _expand(feature_ids, col_groups) -> list[int]:
+    """Logical feature ids -> physical channel columns (reference
+    get_slice expansion, protosc/feature_matrix.py:140-177); identity
+    on single-channel registries."""
+    if col_groups is None:
+        return [int(f) for f in feature_ids]
+    return [int(c) for f in feature_ids for c in col_groups[int(f)]]
+
+
+def _accuracy(fold, feature_ids, col_groups=None) -> float:
     """Reference compute_accuracy (protosc/model/utils.py:23-41):
-    empty selection scores 0."""
+    empty selection scores 0. The classifier sees the EXPANDED channel
+    columns of the selected logical features."""
     if len(feature_ids) == 0:
         return 0.0
     X_tr, y_tr, X_va, y_va = fold
-    ids = list(feature_ids)
+    ids = _expand(feature_ids, col_groups)
     return linear_classifier_accuracy(X_tr[:, ids], y_tr, X_va[:, ids], y_va)
 
 
@@ -84,9 +94,12 @@ def wrapper_fold(
     greedy: bool = False,
     exclusion_step: bool = False,
     max_nop_rounds: int = 10,
+    col_groups=None,
 ) -> dict:
     """One fold of greedy forward cluster selection (reference
-    WrapperModel._execute_fold, protosc/model/wrapper.py:117-176)."""
+    WrapperModel._execute_fold, protosc/model/wrapper.py:117-176).
+    ``col_groups``: multi-channel registry — cluster ids / max_features
+    stay LOGICAL, classifiers see expanded channel columns."""
     order = (
         range(len(clusters)) if reversed_clusters else reversed(range(len(clusters)))
     )
@@ -101,9 +114,13 @@ def wrapper_fold(
             continue
         space = selection.search_space(search_fraction)
         if greedy:
-            new_sel, new_acc = _add_direct(space, selection, accuracy, fold)
+            new_sel, new_acc = _add_direct(
+                space, selection, accuracy, fold, col_groups
+            )
         else:
-            new_sel, new_acc = _add_max(space, selection, accuracy, fold)
+            new_sel, new_acc = _add_max(
+                space, selection, accuracy, fold, col_groups
+            )
         if len(new_sel) - len(selection):
             n_nop = 0
         else:
@@ -112,27 +129,27 @@ def wrapper_fold(
 
     if exclusion_step:
         selection, accuracy = _remove_procedure(
-            fold, selection, accuracy, search_fraction
+            fold, selection, accuracy, search_fraction, col_groups
         )
     return {"features": selection.features, "accuracy": accuracy}
 
 
-def _add_direct(space, selection, accuracy, fold):
+def _add_direct(space, selection, accuracy, fold, col_groups=None):
     """Greedy: accept every cluster that improves accuracy."""
     best = accuracy
     for ci in space:
         cand = selection + ci
-        acc = _accuracy(fold, cand.features)
+        acc = _accuracy(fold, cand.features, col_groups)
         if acc > best:
             selection, best = cand, acc
     return selection, best
 
 
-def _add_max(space, selection, accuracy, fold):
+def _add_max(space, selection, accuracy, fold, col_groups=None):
     """Non-greedy: add only the single best-improving cluster."""
     best, best_ci = accuracy, -1
     for ci in space:
-        acc = _accuracy(fold, (selection + ci).features)
+        acc = _accuracy(fold, (selection + ci).features, col_groups)
         if acc > best:
             best, best_ci = acc, ci
     if best > accuracy:
@@ -140,21 +157,23 @@ def _add_max(space, selection, accuracy, fold):
     return selection, best
 
 
-def _remove_procedure(fold, selection, accuracy, search_fraction):
+def _remove_procedure(fold, selection, accuracy, search_fraction, col_groups=None):
     """Exclusion/replacement pass (reference wrapper.py:72-115)."""
     exclude: list[int] = []
     if len(selection) < 1:
         return selection, accuracy
     for ci in list(selection.clusters):
         reduced = selection - ci
-        acc = _accuracy(fold, reduced.features)
+        acc = _accuracy(fold, reduced.features, col_groups)
         if acc > accuracy:
             accuracy = acc
             exclude.append(ci)
             selection = reduced
         else:
             cands = selection.search_space(search_fraction, exclude=exclude)
-            new_sel, new_acc = _add_max(cands, reduced, accuracy, fold)
+            new_sel, new_acc = _add_max(
+                cands, reduced, accuracy, fold, col_groups
+            )
             diff = new_sel - reduced
             if len(diff):
                 accuracy = new_acc
@@ -163,7 +182,9 @@ def _remove_procedure(fold, selection, accuracy, search_fraction):
     return selection, accuracy
 
 
-def random_fold(fold, clusters, selected_features, rng: np.random.Generator) -> dict:
+def random_fold(
+    fold, clusters, selected_features, rng: np.random.Generator, col_groups=None
+) -> dict:
     """Shuffled-cluster control: take clusters until the selection is at
     least as large as the filter's (reference random.py:14-24)."""
     shuffled = [list(c) for c in clusters]
@@ -173,10 +194,12 @@ def random_fold(fold, clusters, selected_features, rng: np.random.Generator) -> 
         if len(chosen) >= len(selected_features):
             break
         chosen.extend(cluster)
-    return {"features": chosen, "accuracy": _accuracy(fold, chosen)}
+    return {"features": chosen, "accuracy": _accuracy(fold, chosen, col_groups)}
 
 
-def pseudo_random_fold(fold, clusters, selected_features, wrapper_features) -> dict:
+def pseudo_random_fold(
+    fold, clusters, selected_features, wrapper_features, col_groups=None
+) -> dict:
     """Control excluding filter- and wrapper-chosen features
     (reference pseudo_random.py:21-34)."""
     banned = set(selected_features) | set(wrapper_features)
@@ -187,26 +210,33 @@ def pseudo_random_fold(fold, clusters, selected_features, wrapper_features) -> d
         for f in cluster:
             if f not in banned:
                 chosen.append(f)
-    return {"features": chosen, "accuracy": _accuracy(fold, chosen)}
+    return {"features": chosen, "accuracy": _accuracy(fold, chosen, col_groups)}
 
 
-def combined_fold(fold, selected_features, clusters, rng: np.random.Generator) -> dict:
+def combined_fold(
+    fold, selected_features, clusters, rng: np.random.Generator, col_groups=None
+) -> dict:
     """All five models on one fold, sharing one select_features result
     (reference combined_fold.py:37-69)."""
     out = {}
     out["filter"] = {
         "features": list(selected_features),
-        "accuracy": _accuracy(fold, selected_features),
+        "accuracy": _accuracy(fold, selected_features, col_groups),
     }
     n_sel = len(selected_features)
     out["fast_wrapper"] = wrapper_fold(
-        fold, clusters, max_features=n_sel, greedy=True, exclusion_step=False
+        fold, clusters, max_features=n_sel, greedy=True, exclusion_step=False,
+        col_groups=col_groups,
     )
     out["slow_wrapper"] = wrapper_fold(
-        fold, clusters, max_features=n_sel, greedy=True, exclusion_step=True
+        fold, clusters, max_features=n_sel, greedy=True, exclusion_step=True,
+        col_groups=col_groups,
     )
-    out["random"] = random_fold(fold, clusters, selected_features, rng)
+    out["random"] = random_fold(
+        fold, clusters, selected_features, rng, col_groups
+    )
     out["pseudo_random"] = pseudo_random_fold(
-        fold, clusters, selected_features, out["fast_wrapper"]["features"]
+        fold, clusters, selected_features, out["fast_wrapper"]["features"],
+        col_groups,
     )
     return out

@@ -5,7 +5,8 @@ numpy in place of the distributed stages:
 
 * per-feature Kruskal–Wallis via numerics.kruskal_h (loop over
   features, like reference protosc/model/utils.py:56-89)
-* correlation via np.corrcoef
+* correlation via stats.corrcoef_guarded (np.corrcoef + the shared
+  zero-variance-channel := 0 rule)
 * identical driver-side selection (select.py is shared)
 * identical classifier, fold assignment and null-permutation protocol
 
@@ -107,7 +108,7 @@ def oracle_filter_model(
     Returns {"selected": [...], "fold_results": [...], "folds": array}.
     """
     scorer = scorer or linear_classifier_accuracy
-    from protosc_spark.stats import blockmax_reduce
+    from protosc_spark.stats import blockmax_reduce, corrcoef_guarded
 
     fold_id = balanced_fold_assignment(
         y, k=n_fold, rng=np.random.default_rng(fold_seed)
@@ -121,7 +122,9 @@ def oracle_filter_model(
         return [int(c) for f in feature_ids for c in col_groups[int(f)]]
 
     def _corr(Xtr, fs):
-        r = np.corrcoef(Xtr[:, _expand(fs)], rowvar=False)
+        # corrcoef_guarded, NOT raw np.corrcoef: a dead (zero-variance)
+        # channel must correlate 0 on BOTH the oracle and Gramian paths
+        r = corrcoef_guarded(Xtr[:, _expand(fs)])
         if col_groups is None:
             return r
         return blockmax_reduce(r, [len(col_groups[int(f)]) for f in fs])

@@ -92,24 +92,38 @@ def _planes(dim: int, n_planes: int, n_tables: int, seed: int) -> np.ndarray:
 
 def lsh_bucket_signatures(
     df: DataFrame,
-    planes: np.ndarray,
+    planes: np.ndarray | tuple[int, int, int],
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
     """(id, table, bucket) — sign-bit bucket per LSH table.
 
-    One Arrow pass; the plane tensor rides the closure (broadcast by
-    Spark's task serializer once per executor).
+    One Arrow pass; ``planes`` is either a precomputed [n_tables,
+    n_planes, dim] tensor riding the closure, or a lazy spec
+    ``(n_planes, n_tables, seed)`` — then each executor derives the
+    IDENTICAL tensor from (seed, batch dim) on first use, so no driver
+    action is ever needed to learn the embedding dimension.
     """
-    n_tables, n_planes, dim = planes.shape
+    lazy_spec = not isinstance(planes, np.ndarray)
+    cache: dict[int, np.ndarray] = {}
 
     @F.pandas_udf(T.ArrayType(T.LongType()))
     def buckets_udf(vecs: pd.Series) -> pd.Series:
         X = np.array(vecs.tolist(), dtype=np.float64)  # [batch, dim]
+        if lazy_spec:
+            n_planes, n_tables, seed = planes
+            P = cache.get(X.shape[1])
+            if P is None:
+                P = cache[X.shape[1]] = _planes(
+                    X.shape[1], n_planes, n_tables, seed
+                )
+        else:
+            P = planes
+            n_tables, n_planes, _dim = P.shape
         out = np.zeros((len(X), n_tables), dtype=np.int64)
         weights = (1 << np.arange(n_planes)).astype(np.int64)
         for t in range(n_tables):
-            bits = (X @ planes[t].T) > 0  # [batch, n_planes]
+            bits = (X @ P[t].T) > 0  # [batch, n_planes]
             out[:, t] = bits @ weights
         return pd.Series(list(out))
 
@@ -129,13 +143,16 @@ def lsh_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Approximate top-k: bucket-join candidates, exact cosine re-rank."""
-    dim = len(emb.select(vec_col).first()[0])
-    planes = _planes(dim, n_planes, n_tables, seed)
+    """Approximate top-k: bucket-join candidates, exact cosine re-rank.
+
+    No driver action before candidate generation: the plane tensor is
+    derived executor-side from (seed, dim) via the lazy spec."""
     base = with_unit_vectors(emb, vec_col).select(
         F.col(id_col).alias("neighbor_id"), "unit"
     ).cache()
-    sigs = lsh_bucket_signatures(emb, planes, id_col, vec_col)
+    sigs = lsh_bucket_signatures(
+        emb, (n_planes, n_tables, seed), id_col, vec_col
+    )
 
     qids = [int(q) for q in query_ids]
     q_sigs = sigs.where(F.col("id").isin(*qids)).select(
@@ -327,9 +344,9 @@ def cosine_neardup_pairs(
         )
         return pairs.where(F.col("cosine") >= tau)
 
-    dim = len(emb.select(vec_col).first()[0])
-    planes = _planes(dim, n_planes, n_tables, seed)
-    sigs = lsh_bucket_signatures(emb, planes, id_col, vec_col)
+    sigs = lsh_bucket_signatures(
+        emb, (n_planes, n_tables, seed), id_col, vec_col
+    )
     a, b = sigs.alias("a"), sigs.alias("b")
     cand = (
         a.join(

@@ -278,6 +278,29 @@ def chisquare_features_grouped(
     return out
 
 
+def corrcoef_guarded(X: np.ndarray) -> np.ndarray:
+    """np.corrcoef with the engine's degenerate-case rule, shared by
+    the numpy oracle path and tests: a ZERO-VARIANCE column correlates
+    0 with everything (including itself) instead of NaN.
+
+    The rule must live in ONE place: np.corrcoef emits NaN for a dead
+    channel (common with real extractors — an all-black image region,
+    a constant text feature) while the distributed Gramian path guards
+    sd==0 -> divide by 1 -> corr 0 (correlation_matrix below); a NaN on
+    one path poisons np.max inside blockmax_reduce and the two paths
+    silently diverge. Mirrors the round-2 H := 0 fix for constant
+    FEATURES (numerics.kruskal_h). Identical to np.corrcoef wherever
+    that is finite.
+    """
+    with np.errstate(invalid="ignore", divide="ignore"):
+        r = np.corrcoef(np.asarray(X, dtype=np.float64), rowvar=False)
+    r = np.atleast_2d(r)
+    # NaN appears exactly where a zero-variance column is involved
+    # (its deviations are exactly 0 -> cov 0 -> 0/0); the Gramian path
+    # computes 0/1 = 0 there.
+    return np.nan_to_num(r, nan=0.0, posinf=0.0, neginf=0.0)
+
+
 def blockmax_reduce(r_matrix: np.ndarray, cols_occ: list[int]) -> np.ndarray:
     """Reduce a column-level correlation matrix to feature level by
     taking the max over each feature-pair's channel block — verbatim

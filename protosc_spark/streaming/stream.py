@@ -271,8 +271,10 @@ def _asof_state_fn(key: tuple, batches: Iterable[pd.DataFrame], state: GroupStat
     events; a TURN is finalized once the watermark passes its event
     time (any event still in flight then has ts >= watermark >= turn
     ts, hence invisible under strict-past), and emitted with the
-    latest buffered update value strictly before it. Duplicate-ts
-    updates keep the max value — the batch kernels' tiebreak.
+    latest buffered update value strictly before it — NULL values
+    included (NaN-encoded in state). Duplicate-ts updates resolve
+    value-ascending-nulls-first, last wins — the batch kernels'
+    struct tiebreak.
 
     State compaction: after emission only updates that can still serve
     a pending or future turn survive — everything at or after
@@ -292,19 +294,29 @@ def _asof_state_fn(key: tuple, batches: Iterable[pd.DataFrame], state: GroupStat
             is_turn = pdf["kind"] == "turn"
             t_ids.extend(int(v) for v in pdf.loc[is_turn, "event_id"])
             t_ts.extend(int(v) for v in pdf.loc[is_turn, "ts_us"])
-            # NULL-value updates are HEARTBEATS: they advance the
-            # watermark (time passes) but carry no state
-            is_upd = (~is_turn) & pdf["value"].notna()
+            # heartbeats (kind tagged explicitly upstream) advance the
+            # watermark but carry no state; NULL-VALUED UPDATES ARE
+            # REAL UPDATES buffered with their NULL (encoded NaN in the
+            # double-array state) so batch and stream agree when the
+            # most recent prior row carries NULL (round-2 ADVICE)
+            is_upd = pdf["kind"] == "update"
             u_ts.extend(int(v) for v in pdf.loc[is_upd, "ts_us"])
-            u_vals.extend(float(v) for v in pdf.loc[is_upd, "value"])
+            u_vals.extend(
+                float(v) if pd.notna(v) else float("nan")
+                for v in pdf.loc[is_upd, "value"]
+            )
 
     wm_us = state.getCurrentWatermarkMs() * 1000
 
-    # sorted update view, duplicate ts -> max value
+    # sorted update view; duplicate ts -> value-ascending-NULLS-FIRST,
+    # last wins (the batch kernels' struct tiebreak: non-null beats
+    # null at equal ts, else max value). NaN encodes NULL, so sort on
+    # a -inf key while keeping NaN for emission.
     if u_ts:
         ua = np.array(u_ts, dtype=np.int64)
         va = np.array(u_vals, dtype=np.float64)
-        order = np.lexsort((va, ua))
+        sort_key = np.where(np.isnan(va), -np.inf, va)
+        order = np.lexsort((sort_key, ua))
         ua, va = ua[order], va[order]
         last_of_ts = np.append(ua[1:] != ua[:-1], True)
         ua, va = ua[last_of_ts], va[last_of_ts]
@@ -318,7 +330,10 @@ def _asof_state_fn(key: tuple, batches: Iterable[pd.DataFrame], state: GroupStat
             j = int(np.searchsorted(ua, tts, side="left")) - 1  # strict past
             emit_ids.append(tid)
             emit_ts.append(tts)
-            emit_vals.append(float(va[j]) if j >= 0 else None)
+            if j < 0 or np.isnan(va[j]):
+                emit_vals.append(None)  # no prior row / NULL-valued row
+            else:
+                emit_vals.append(float(va[j]))
         else:
             keep_ids.append(tid)
             keep_ts.append(tts)
@@ -353,6 +368,7 @@ def stream_asof_join(
     id_col: str = "event_id",
     value_col: str = "value",
     watermark: str = "0 seconds",
+    heartbeat_filter: str | None = None,
 ) -> DataFrame:
     """Streaming strict-past as-of join over ONE interleaved event
     stream: rows matching ``turn_filter`` get the latest prior value of
@@ -361,27 +377,40 @@ def stream_asof_join(
     The batch equivalent (asof.asof_join on the filtered frames) is
     this operator's oracle: with a bounded availableNow run the final
     watermark reaches max(ts), so every turn finalizes and the output
-    equals the batch as-of exactly (pinned in tests AND the driver's
-    DuckDB ASOF oracle). State is per-entity and watermark-compacted.
+    equals the batch as-of exactly — INCLUDING NULL-valued updates,
+    which are buffered and carried like any other update (a turn whose
+    most recent prior update has a NULL value gets NULL, the batch
+    kernels' row-atomic rule; pinned on a planted NULL purchase in
+    tests/test_streaming.py). Caveat of the NaN state encoding: a
+    genuine NaN update value is emitted as NULL. State is per-entity
+    and watermark-compacted.
+
+    ``heartbeat_filter`` marks liveness rows EXPLICITLY: they advance
+    the watermark but are neither turns nor updates. (Heartbeats used
+    to be inferred from NULL update values, which silently diverged
+    from batch on data with real NULL updates — round-2 ADVICE.)
     """
     # NOTE on finalizing the tail of a BOUNDED stream: the watermark
     # only reaches max(ts of rows that SURVIVE the filters) — Catalyst
     # legally pushes the type filter below the watermark node — and it
     # is millisecond-truncated, so the very last turn/update can never
     # finalize itself. The production-faithful remedy is a HEARTBEAT:
-    # append one update-typed row with a NULL value stamped past the
-    # data's max ts (stream sources emit such liveness markers
-    # routinely); the state function treats NULL-value updates as
-    # time-only. Watermarks need TIMESTAMP (UTC tz -> no NTZ shift).
+    # append one row matching heartbeat_filter stamped past the data's
+    # max ts (stream sources emit such liveness markers routinely).
+    # Watermarks need TIMESTAMP (UTC tz -> no NTZ shift).
+    hb = heartbeat_filter or "false"
     tagged = (
         events.withColumn("__ts", F.col(ts_col).cast("timestamp"))
         .withWatermark("__ts", watermark)
-        .where(f"({turn_filter}) OR ({update_filter})")
+        .where(f"({turn_filter}) OR ({update_filter}) OR ({hb})")
         .select(
             F.col(entity_col).cast("long").alias("user_id"),
             F.col(id_col).cast("long").alias("event_id"),
             F.col("__ts").alias("ts"),
-            F.when(F.expr(turn_filter), F.lit("turn"))
+            # heartbeat tagged FIRST: a liveness row may also match the
+            # update filter shape
+            F.when(F.expr(hb), F.lit("heartbeat"))
+            .when(F.expr(turn_filter), F.lit("turn"))
             .otherwise(F.lit("update"))
             .alias("kind"),
             F.col(value_col).cast("double").alias("value"),

@@ -57,11 +57,23 @@ def write_transcript_table(
     )
 
 
-def read_transcript_table(spark: SparkSession, path: str) -> DataFrame:
-    """Read back with partition columns dropped (callers see the exact
-    input_hint schema; pruning still applies to filters on ts/conv_id
-    routed through the helpers below)."""
-    return spark.read.parquet(path)
+def read_transcript_table(
+    spark: SparkSession, path: str, drop_partition_cols: bool = False
+) -> DataFrame:
+    """Read a written transcript table.
+
+    Partition discovery surfaces the layout columns (ts_day,
+    conv_bucket) IN ADDITION to the input_hint schema — they are
+    RETAINED by default because scan_days / scan_conversation prune on
+    them. Pass ``drop_partition_cols=True`` to get back the exact
+    input_hint schema (e.g. for unionByName / schema-equality checks);
+    predicates on ts_day/conv_bucket applied BEFORE the drop still
+    prune (Catalyst pushes the filter below the projection).
+    """
+    df = spark.read.parquet(path)
+    if drop_partition_cols:
+        df = df.drop("ts_day", "conv_bucket")
+    return df
 
 
 def scan_days(df: DataFrame, start_day: str, end_day: str) -> DataFrame:

@@ -132,17 +132,40 @@ def repetition_stats(df: DataFrame) -> DataFrame:
     * top_token_frac   — occurrences of the most frequent token / n
     * dup_bigram_frac  — fraction of adjacent equal-token pairs
 
-    Pure JVM array expressions, embarrassingly parallel; the per-doc
-    distinct-token scan is O(n_uniq * n) inside one row — fine for
-    document-sized n, no shuffle anywhere.
+    Pure JVM array expressions, embarrassingly parallel, no shuffle
+    anywhere. The top-token count is sort-based: array_sort once
+    (O(n log n)) then ONE aggregate fold tracking the longest run of
+    equal adjacent tokens — a mostly-unique 100k-token document (the
+    Gopher max) costs ~100k comparisons, not the ~10^10 of the naive
+    per-distinct-token rescan (O(n_uniq * n)) this replaces; bounded
+    runtime on a high-entropy 100k-token doc is pinned in
+    tests/test_textops.py.
     """
     toks = _tokens()
     n = F.size(toks)
-    top = F.array_max(
-        F.transform(
-            F.array_distinct(toks),
-            lambda t: F.size(F.filter(toks, lambda x: x == t)),
-        )
+    # longest equal-run in the sorted token array == max token count.
+    # split() never yields nulls and n >= 1 (split of '' is ['']), so
+    # the empty-string init sentinel is safe: run restarts at 1 on any
+    # first token, including ''. (acc.run starts 0 -> ''+1 = 1.)
+    run0 = F.struct(
+        F.lit("").alias("prev"),
+        F.lit(0).cast("int").alias("run"),
+        F.lit(0).cast("int").alias("best"),
+    )
+    top = F.aggregate(
+        F.array_sort(toks),
+        run0,
+        lambda acc, t: F.struct(
+            t.alias("prev"),
+            F.when(t == acc["prev"], acc["run"] + 1)
+            .otherwise(F.lit(1))
+            .alias("run"),
+            F.greatest(
+                acc["best"],
+                F.when(t == acc["prev"], acc["run"] + 1).otherwise(F.lit(1)),
+            ).alias("best"),
+        ),
+        lambda acc: acc["best"],
     )
     adj_dups = F.size(
         F.filter(

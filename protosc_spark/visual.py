@@ -22,12 +22,14 @@ in multimodal.py):
   protosc/feature_extraction/fourier_features.py:83-169; the sparse
   matrix is replaced by np.bincount over the same bin ids —
   bin-identical assignment, no scipy).
-* :func:`hog_features` — [-1,0,1] gradients, unsigned orientation
-  bins, per-cell magnitude-weighted histograms with 1x1
-  cells_per_block, feature count (h//ch)·(w//cw)·orientations
-  (reference protosc/feature_extraction/hog.py:9-43 via skimage;
-  same shape law, simple nearest-bin voting instead of skimage's
-  integral-histogram interpolation).
+* :func:`hog_features` — skimage.feature.hog VALUE parity for the
+  reference's exact call: per-channel [-1,0,1] gradients with
+  channel-max pixel votes, floor orientation binning, per-cell mean
+  histograms, L2-Hys 1x1-block normalization, feature count
+  (h//ch)·(w//cw)·orientations (reference
+  protosc/feature_extraction/hog.py:95-102; algorithm re-derived from
+  the published skimage source, values pinned against an independent
+  loop transcription in tests).
 
 All are plain numpy kernels so the SAME function runs inside the
 Arrow-batched Spark UDF (visual_feature_udf) and in the pandas oracle
@@ -215,30 +217,76 @@ def hog_width(shape, orientations: int = 9, cellsize=(4, 4)) -> int:
     return (shape[0] // cellsize[0]) * (shape[1] // cellsize[1]) * orientations
 
 
+_HOG_EPS = 1e-5  # skimage's block-normalization epsilon
+
+
 def hog_features(
     img: np.ndarray, orientations: int = 9, cellsize=(4, 4)
 ) -> np.ndarray:
-    """Grey -> [-1,0,1] gradients -> unsigned orientation -> per-cell
-    magnitude-weighted histogram; flattened (cells_y, cells_x, bins)."""
-    _require_ndarray(img, "hog_features")
-    grey = greyscale(img)[:, :, 0]
-    gy = np.zeros_like(grey)
-    gx = np.zeros_like(grey)
-    gy[1:-1, :] = grey[2:, :] - grey[:-2, :]
-    gx[:, 1:-1] = grey[:, 2:] - grey[:, :-2]
-    mag = np.sqrt(gx**2 + gy**2)
-    ori = np.rad2deg(np.arctan2(gy, gx)) % 180.0
-    bins = np.minimum((ori / (180.0 / orientations)).astype(int), orientations - 1)
+    """skimage.feature.hog VALUE parity for the reference's exact call
+    (cells_per_block=(1,1), block_norm='L2-Hys', multichannel=True —
+    reference protosc/feature_extraction/hog.py:95-102), re-derived in
+    vectorized numpy from the published algorithm (skimage
+    feature/_hog.py + _hoghistogram.pyx semantics):
 
+    * per-channel [-1,0,1] central-difference gradients, border rows/
+      cols 0; each PIXEL votes with the channel whose gradient
+      magnitude is largest (ties -> first channel, like argmax)
+    * unsigned orientation deg(arctan2(g_row, g_col)) % 180, floor
+      binning: bin i covers [i, i+1) * 180/orientations
+    * per-cell histogram over exact non-overlapping cy x cx blocks,
+      magnitude sum divided by the CELL AREA (skimage cell_hog's
+      `total / (cell_rows * cell_columns)`)
+    * per-cell L2-Hys normalization (L2 -> clip at 0.2 -> L2), the
+      1x1-block case of skimage's block normalizer, eps = 1e-5
+
+    Flattened row-major (cell_row, cell_col, orientation) — the layout
+    of skimage's normalized_blocks.ravel() at 1x1 blocks. Values are
+    pinned against an independent loop transcription of the pyx
+    algorithm + a hand-computed fixture in tests/test_visual.py
+    (skimage itself is absent from this container).
+    """
+    _require_ndarray(img, "hog_features")
+    h, w, n_ch = img.shape
+    g_row = np.zeros(img.shape, dtype=np.float64)
+    g_col = np.zeros(img.shape, dtype=np.float64)
+    g_row[1:-1] = img[2:] - img[:-2]
+    g_col[:, 1:-1] = img[:, 2:] - img[:, :-2]
+    if n_ch == 1:
+        gr, gc = g_row[..., 0], g_col[..., 0]
+    else:
+        mag_ch = np.hypot(g_row, g_col)
+        idx = mag_ch.argmax(axis=2)
+        rr, cc = np.meshgrid(
+            np.arange(h), np.arange(w), indexing="ij", sparse=True
+        )
+        gr, gc = g_row[rr, cc, idx], g_col[rr, cc, idx]
+    mag = np.hypot(gr, gc)
+    ori = np.rad2deg(np.arctan2(gr, gc)) % 180.0
+    unit = 180.0 / orientations
+    # bin = #{edges <= ori}; identical comparisons to skimage's
+    # per-bin [i*unit, (i+1)*unit) interval checks
+    edges = unit * np.arange(1, orientations + 1)
+    bins = np.searchsorted(edges, ori, side="right")
+    # float quirk preserved: a tiny negative angle mod 180 can round to
+    # exactly 180.0, which skimage's interval checks exclude from EVERY
+    # bin — zero the pixel's vote rather than clipping it into bin n-1
+    valid = bins < orientations
     cy, cx = cellsize
-    n_cy, n_cx = grey.shape[0] // cy, grey.shape[1] // cx
-    out = np.zeros((n_cy, n_cx, orientations))
-    for iy in range(n_cy):
-        for ix in range(n_cx):
-            b = bins[iy * cy : (iy + 1) * cy, ix * cx : (ix + 1) * cx].reshape(-1)
-            m = mag[iy * cy : (iy + 1) * cy, ix * cx : (ix + 1) * cx].reshape(-1)
-            out[iy, ix] = np.bincount(b, weights=m, minlength=orientations)
-    return out.reshape(-1)
+    n_cy, n_cx = h // cy, w // cx
+    m = np.where(valid, mag, 0.0)[: n_cy * cy, : n_cx * cx]
+    b = np.where(valid, bins, 0)[: n_cy * cy, : n_cx * cx]
+    cell_y = np.repeat(np.arange(n_cy), cy)[:, None]
+    cell_x = np.repeat(np.arange(n_cx), cx)[None, :]
+    flat = ((cell_y * n_cx + cell_x) * orientations + b).reshape(-1)
+    hist = np.bincount(
+        flat, weights=m.reshape(-1), minlength=n_cy * n_cx * orientations
+    ).reshape(n_cy, n_cx, orientations) / (cy * cx)
+    # L2-Hys per (1,1) block, vectorized across cells
+    norm = np.sqrt((hist**2).sum(axis=2, keepdims=True) + _HOG_EPS**2)
+    clipped = np.minimum(hist / norm, 0.2)
+    norm2 = np.sqrt((clipped**2).sum(axis=2, keepdims=True) + _HOG_EPS**2)
+    return (clipped / norm2).reshape(-1)
 
 
 # ---------------------------------------------------------------------------

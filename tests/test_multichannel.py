@@ -176,3 +176,61 @@ def test_per_channel_fourier_through_filter_model(spark):
         X, y, n_fold=4, fold_seed=3, seed=0, col_groups=reg.col_groups()
     )["selected"]
     assert sorted(got) == sorted(want)
+
+
+def test_dead_channel_correlation_defined_once(spark):
+    """Zero-variance (dead) channel — common with real extractors (an
+    all-black image region): raw np.corrcoef emits NaN there, which
+    poisons np.max inside blockmax_reduce, while the engine's Gramian
+    guards sd==0 -> 0. The degenerate case is now defined ONCE
+    (stats.corrcoef_guarded, mirror of the round-2 H := 0 fix):
+    engine == oracle, everything finite, no RuntimeWarnings."""
+    import warnings
+
+    from protosc_spark.stats import corrcoef_guarded
+
+    rng = np.random.default_rng(11)
+    n = 80
+    X = rng.normal(size=(n, 6))
+    X[:, 3] = 2.5  # dead channel inside logical feature 1
+    y = rng.integers(0, 2, size=n)
+    groups = [[0, 1], [2, 3], [4, 5]]
+    fs = np.array([0, 1, 2])
+    got = correlation_blockmax(_to_df(spark, X, y), fs, groups)
+    with warnings.catch_warnings():
+        warnings.simplefilter("error", RuntimeWarning)
+        want = blockmax_reduce(corrcoef_guarded(X), [2, 2, 2])
+    assert np.isfinite(got).all() and np.isfinite(want).all()
+    assert np.allclose(got, want, atol=1e-9)
+    # dead channel row/col contributes 0; live channels decide the max
+    assert want[1, 1] > 0.999  # block (1,1) still has the live diagonal
+
+
+def test_dead_channel_filter_model_engine_equals_oracle(spark):
+    """FilterModel end-to-end over a registry containing a dead channel:
+    selections identical, and the oracle path raises no numpy
+    RuntimeWarning (the round-2 green run had two)."""
+    import warnings
+
+    from protosc_spark.models.filter_model import FilterModel
+
+    rng = np.random.default_rng(1928)
+    n = 160
+    X = rng.normal(size=(n, 12))
+    y = rng.integers(0, 2, size=n)
+    for g in range(3):  # plant signal in groups 0..2
+        X[y == 1, 2 * g] += 1.5 + 0.3 * g
+        X[y == 1, 2 * g + 1] += 1.0
+    X[:, 7] = -1.0  # dead channel in (unplanted) logical feature 3
+    groups = [[2 * i, 2 * i + 1] for i in range(6)]
+    df = _to_df(spark, X, y)
+    got = FilterModel(n_fold=4).execute(
+        df, fold_seed=5, seed=1, col_groups=groups, mode="distributed"
+    )
+    with warnings.catch_warnings():
+        warnings.simplefilter("error", RuntimeWarning)
+        want = oracle_filter_model(
+            X, y, n_fold=4, fold_seed=5, seed=1, col_groups=groups
+        )["selected"]
+    assert sorted(got) == sorted(want)
+    assert len(got) > 0

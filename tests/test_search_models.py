@@ -116,3 +116,133 @@ def test_combined_deterministic(easy):
     a = CombinedFoldModel(n_fold=3).execute(df, fold_seed=7, seed=1)
     b = CombinedFoldModel(n_fold=3).execute(df, fold_seed=7, seed=1)
     assert a == b
+
+
+# ---------------------------------------------------------------------------
+# multi-channel registry through the search tier (round-2 VERDICT gap)
+# ---------------------------------------------------------------------------
+
+
+def _mc_fixture():
+    rng = np.random.default_rng(1928)
+    n = 120
+    X = rng.normal(size=(n, 16))
+    y = rng.integers(0, 2, size=n)
+    for g in range(3):  # plant signal in logical features 0..2
+        X[y == 1, 2 * g] += 1.5 + 0.3 * g
+        X[y == 1, 2 * g + 1] += 1.0
+    groups = [[2 * i, 2 * i + 1] for i in range(8)]
+    return X, y, groups
+
+
+def _oracle_wrapper_multichannel(
+    X, y, groups, n_fold, fold_seed, seed, **params
+):
+    """Numpy-statistics replica of _SearchFoldModel.execute for a
+    multi-channel registry — same shared driver code (wrapper_fold,
+    select_from_stats, final_feature_selection), numpy in place of the
+    distributed chi-square / Gramian stages."""
+    from protosc_spark.folds import balanced_fold_assignment
+    from protosc_spark.models.search import _expand, wrapper_fold
+    from protosc_spark.numerics import linear_classifier_accuracy
+    from protosc_spark.oracle.numpy_model import (
+        oracle_chisquare_grouped,
+        quantize,
+    )
+    from protosc_spark.select import (
+        final_feature_selection,
+        select_from_stats,
+    )
+    from protosc_spark.stats import blockmax_reduce, corrcoef_guarded
+
+    fold_id = balanced_fold_assignment(
+        y, k=n_fold, rng=np.random.default_rng(fold_seed)
+    )
+    rng = np.random.default_rng(seed)
+    fold_seeds = [int(rng.integers(0, 2**31 - 1)) for _ in range(n_fold)]
+    fold_results, null_dists = [], []
+    for i in range(n_fold):
+        tr = (fold_id >= 0) & (fold_id != i)
+        va = fold_id == i
+
+        def corr(fs, _tr=tr):
+            exp = [c for f in fs for c in groups[int(f)]]
+            return quantize(
+                blockmax_reduce(
+                    corrcoef_guarded(X[_tr][:, exp]),
+                    [len(groups[int(f)]) for f in fs],
+                )
+            )
+
+        chisq = quantize(oracle_chisquare_grouped(X[tr], y[tr], groups))
+        _, clusters = select_from_stats(chisq, corr, n_samples=int(tr.sum()))
+        fold = (X[tr], y[tr], X[va], y[va])
+        frng = np.random.default_rng(fold_seeds[i])
+        res = wrapper_fold(fold, clusters, col_groups=groups, **params)
+        ids = _expand(res["features"], groups)
+        nulls = []
+        for _ in range(100):
+            if ids:
+                nulls.append(
+                    linear_classifier_accuracy(
+                        fold[0][:, ids], frng.permutation(fold[1]),
+                        fold[2][:, ids], frng.permutation(fold[3]),
+                    )
+                )
+            else:
+                nulls.append(0.0)
+        fold_results.append(res)
+        null_dists.append(nulls)
+    return final_feature_selection(fold_results, null_dists)
+
+
+def _mc_df(spark, X, y):
+    pdf = pd.DataFrame(
+        {
+            "sample_id": np.arange(len(y), dtype=np.int64),
+            "features": list(X.astype(np.float64)),
+            "y": y.astype(np.int32),
+        }
+    )
+    return spark.createDataFrame(pdf)
+
+
+def test_wrapper_model_multichannel_matches_numpy_oracle(spark):
+    """WrapperModel over a two-channel registry == the numpy-statistics
+    oracle, feature-ID-exact: ids stay logical, classifiers see the
+    expanded channel columns (reference get_slice expansion)."""
+    X, y, groups = _mc_fixture()
+    df = _mc_df(spark, X, y).cache()
+    params = dict(max_features=6, search_fraction=1.0)
+    got = WrapperModel(n_fold=3, **params).execute(
+        df, fold_seed=5, seed=1, col_groups=groups
+    )
+    want = _oracle_wrapper_multichannel(
+        X, y, groups, n_fold=3, fold_seed=5, seed=1, **params
+    )
+    assert sorted(got) == sorted(want)
+    assert all(0 <= f < len(groups) for f in got)  # logical ids
+    assert len(set(got) & {0, 1, 2}) >= 1  # recovers planted groups
+
+
+def test_combined_model_multichannel_all_strategies(spark):
+    """CombinedFoldModel accepts col_groups: all five strategies return
+    LOGICAL ids, filter recovers the planted groups, deterministic."""
+    X, y, groups = _mc_fixture()
+    df = _mc_df(spark, X, y).cache()
+    out = CombinedFoldModel(n_fold=3).execute(
+        df, fold_seed=5, seed=1, col_groups=groups
+    )
+    assert set(out) == {
+        "filter", "fast_wrapper", "slow_wrapper", "random", "pseudo_random"
+    }
+    for sel in out.values():
+        assert all(0 <= f < len(groups) for f in sel)
+    # cross-fold significance keeps a subset of the planted groups (the
+    # weakest, 1.5-sigma group 0 can drop at the null gate)
+    assert len(out["filter"]) >= 2
+    assert set(out["filter"]) <= {0, 1, 2}
+    out2 = CombinedFoldModel(n_fold=3).execute(
+        df, fold_seed=5, seed=1, col_groups=groups
+    )
+    assert out == out2

@@ -149,3 +149,65 @@ class TestIVF:
         c2 = ivf_train_centroids(emb.repartition(5), n_centroids=8)
         assert np.array_equal(c1, c2)
         assert np.allclose(np.linalg.norm(c1, axis=1), 1.0)
+
+
+def test_ivf_production_shape_recall_and_balance(spark):
+    """IVF at realistic cell counts (256 cells, 50k clustered vectors,
+    the shape the degenerate 8-cell full-probe gate can't see): pins
+    the quantizer's per-cell balance and partial-probe recall@10 so the
+    scale path's behavior is regression-guarded, not just its exact
+    full-probe limit (round-2 VERDICT #9)."""
+    import pandas as pd
+
+    from protosc_spark.similarity import (
+        brute_force_topk,
+        ivf_assign,
+        ivf_topk,
+        ivf_train_centroids,
+    )
+
+    rng = np.random.default_rng(7)
+    n, dim, n_clu = 50_000, 16, 300
+    centers = rng.normal(size=(n_clu, dim))
+    asg = rng.integers(0, n_clu, size=n)
+    X = centers[asg] + 0.15 * rng.normal(size=(n, dim))
+    pdf = pd.DataFrame(
+        {
+            "vec_id": np.arange(n, dtype=np.int64),
+            "embedding": list(X.astype(np.float64)),
+        }
+    )
+    emb = spark.createDataFrame(pdf).repartition(16).cache()
+    emb.count()
+
+    C = ivf_train_centroids(emb, n_centroids=256, sample_n=4096)
+    counts = (
+        ivf_assign(emb, C).groupBy("cell").count().toPandas()["count"].to_numpy()
+    )
+    # balance: the sampled spherical k-means quantizer must spread the
+    # corpus — no dead quantizer, no catastrophic hot cell (measured:
+    # 249/256 non-empty, max/mean 3.3)
+    assert len(counts) >= 230
+    assert counts.max() / counts.mean() <= 6.0
+
+    qids = [0, 1, 2, 3, 4]
+    bf = brute_force_topk(emb, qids, k=10).toPandas()
+    truth = {q: set(bf[bf.query_id == q].neighbor_id) for q in qids}
+    recalls = {}
+    for n_probe in (8, 32):
+        got = ivf_topk(
+            emb, qids, k=10, n_centroids=256, n_probe=n_probe, centroids=C
+        ).toPandas()
+        recalls[n_probe] = float(
+            np.mean(
+                [
+                    len(set(got[got.query_id == q].neighbor_id) & truth[q]) / 10
+                    for q in qids
+                ]
+            )
+        )
+    # clustered corpus: probing 8/256 cells must already recover ~all
+    # true neighbors (measured 1.0); more probes never hurt
+    assert recalls[8] >= 0.9, recalls
+    assert recalls[32] >= recalls[8]
+    emb.unpersist()

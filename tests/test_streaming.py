@@ -448,3 +448,193 @@ def test_stream_asof_resumes_from_checkpoint(spark, tmp_path):
     )
     assert len(got) == len(want)
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_stream_asof_carries_genuine_null_update(spark, tmp_path):
+    """A REAL NULL-valued purchase mid-stream must be buffered and
+    carried, not treated as a heartbeat: a click whose most recent
+    prior purchase has value NULL gets NULL, exactly like the batch
+    kernels' row-atomic rule and the DuckDB ASOF oracle (round-2
+    ADVICE: the old NULL==heartbeat inference returned the OLDER
+    non-null purchase here). The explicit heartbeat_filter marks the
+    liveness row instead."""
+    import pandas as pd
+
+    from protosc_spark.asof import asof_join
+    from protosc_spark.streaming import (
+        run_to_memory_sink,
+        stream_asof_join,
+        write_time_sliced_source,
+    )
+
+    rows = [
+        # (event_id, ts_offset_s, user, type, value)
+        (1, 0, 1, "purchase", 5.0),
+        (2, 10, 1, "click", None),       # -> 5.0
+        (3, 20, 1, "purchase", None),    # genuine NULL update
+        (4, 30, 1, "click", None),       # -> NULL (not 5.0!)
+        (5, 40, 1, "purchase", 7.0),
+        (6, 50, 1, "click", None),       # -> 7.0
+        (7, 5, 2, "click", None),        # no prior -> NULL
+        (8, 15, 2, "purchase", None),    # NULL is user 2's only update
+        (9, 25, 2, "click", None),       # -> NULL
+    ]
+    from datetime import datetime, timedelta
+
+    t0 = datetime(2024, 1, 1)
+    ev = spark.createDataFrame(
+        [
+            (eid, t0 + timedelta(seconds=off), uid, et, val, None)
+            for eid, off, uid, et, val in rows
+        ],
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    heartbeat = ev.orderBy(F.desc("ts")).limit(1).select(
+        F.lit(10**9).cast("long").alias("event_id"),
+        (F.col("ts") + F.expr("INTERVAL 2 SECONDS")).alias("ts"),
+        "user_id",
+        F.lit("purchase").alias("event_type"),
+        F.lit(None).cast("double").alias("value"),
+        F.lit(None).cast("string").alias("props"),
+    )
+    d = str(tmp_path / "null_upd_src")
+    write_time_sliced_source(
+        ev.unionByName(heartbeat), d, n_slices=3, scramble_col="event_id"
+    )
+    src = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d)
+    )
+    got = (
+        run_to_memory_sink(
+            stream_asof_join(src, heartbeat_filter="event_id = 1000000000"),
+            "t_null_upd",
+            str(tmp_path / "cp_null_upd"),
+        )
+        .toPandas()
+        .sort_values("event_id")
+        .reset_index(drop=True)[["event_id", "purchase_value"]]
+    )
+    # hand-derived expectations
+    exp = {2: 5.0, 4: None, 6: 7.0, 7: None, 9: None}
+    assert list(got["event_id"]) == sorted(exp)
+    for eid, val in exp.items():
+        cell = got.loc[got.event_id == eid, "purchase_value"].iloc[0]
+        if val is None:
+            assert pd.isna(cell), (eid, cell)
+        else:
+            assert cell == val, (eid, cell)
+    # and the batch kernel agrees row-for-row
+    clicks = ev.where("event_type = 'click'").select("event_id", "user_id", "ts")
+    purch = ev.where("event_type = 'purchase'").select(
+        "user_id", "ts", F.col("value").alias("purchase_value")
+    )
+    want = (
+        asof_join(clicks, purch, on="ts", by="user_id",
+                  value_cols=["purchase_value"])
+        .toPandas()
+        .sort_values("event_id")
+        .reset_index(drop=True)[["event_id", "purchase_value"]]
+    )
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_stream_asof_bounded_lateness_accounting(spark, tmp_path):
+    """Off the happy path: NONZERO watermark delay (30s) with genuinely
+    late cross-slice rows. Pins the operator's actual contract (Spark
+    4.1: applyInPandasWithState does NOT pre-drop late input rows —
+    they reach the state function; the watermark governs FINALIZATION
+    only):
+
+    * a late TURN (ts already below the watermark at arrival) is still
+      emitted exactly once, with the correct strict-past value from the
+      updates buffered at that moment;
+    * a late UPDATE arriving while its turns are still pending is seen
+      by them — output equals the batch as-of;
+    * FINALITY: an update arriving after a turn already finalized does
+      NOT retro-change it — the one place a bounded-lateness stream
+      legitimately diverges from batch, by design.
+
+    Files are written manually in ARRIVAL order (late rows in later
+    files) — write_time_sliced_source can't produce cross-slice
+    lateness by construction.
+    """
+    import time
+    from datetime import datetime, timedelta
+
+    from protosc_spark.streaming import run_to_memory_sink, stream_asof_join
+
+    t0 = datetime(2024, 1, 1)
+
+    def mk(rows):
+        return spark.createDataFrame(
+            [
+                (eid, t0 + timedelta(seconds=off), 1, et, val, None)
+                for eid, off, et, val in rows
+            ],
+            "event_id long, ts timestamp, user_id long, event_type string, "
+            "value double, props string",
+        )
+
+    # batch 1: watermark DURING the batch is 0 -> nothing finalizes;
+    # after it, wm = 200 - 30 = 170
+    file_a = mk([
+        (101, 50, "purchase", 1.0),
+        (1, 100, "click", None),
+        (2, 200, "click", None),
+    ])
+    # batch 2 (wm = 170): the late purchase@150 and late click@120 are
+    # both BELOW the watermark but still delivered to state; click 1
+    # (ts 100 <= 170) finalizes THIS batch seeing p@50 and p@150 ->
+    # strict past of 100 -> 1.0; late click 5 finalizes immediately ->
+    # strict past of 120 -> 1.0 (not 2.0: p@150 is after 120).
+    # After: wm = 300 - 30 = 270.
+    file_b = mk([
+        (102, 150, "purchase", 2.0),   # late, but click 2 still pending
+        (5, 120, "click", None),       # late turn: emitted once, correct value
+        (103, 220, "purchase", 4.0),
+        (4, 300, "click", None),
+    ])
+    # batch 3 (wm = 270): click 2 (ts 200) finalizes -> p@150 -> 2.0
+    # (== batch as-of: the late update arrived before finalization);
+    # p@60 arrives AFTER click 1/5 already finalized -> must NOT
+    # retro-change them (batch would have given them 9.0 — finality).
+    # heartbeat pushes wm to 370 so click 4 finalizes -> p@220 -> 4.0.
+    file_c = mk([
+        (104, 60, "purchase", 9.0),    # retro update: arrives too late
+        (10**9, 400, "purchase", None),
+    ])
+
+    d = tmp_path / "late_src"
+    d.mkdir()
+    for f in [file_a, file_b, file_c]:
+        f.coalesce(1).write.mode("append").parquet(str(d))
+        time.sleep(1.05)  # strictly increasing mtimes = arrival order
+    src = (
+        spark.readStream.schema(file_a.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(d))
+    )
+    got = (
+        run_to_memory_sink(
+            stream_asof_join(
+                src,
+                watermark="30 seconds",
+                heartbeat_filter="event_id = 1000000000",
+            ),
+            "t_late",
+            str(tmp_path / "cp_late"),
+        )
+        .toPandas()
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    # exact accounting: every click emitted exactly once
+    assert list(got["event_id"]) == [1, 2, 4, 5]
+    vals = dict(zip(got["event_id"], got["purchase_value"]))
+    assert vals[1] == 1.0, "retro update must not rewrite a finalized turn"
+    assert vals[5] == 1.0, "late turn got a non-strict-past value"
+    assert vals[2] == 2.0, "in-horizon late update must be visible"
+    assert vals[4] == 4.0

@@ -235,3 +235,26 @@ def test_gopher_rules_hand_cases(spark):
     assert got.loc[1, "keep"] == 0  # under 10 tokens
     assert got.loc[2, "keep"] == 0  # alpha fraction 2/14 < 0.8
     assert got.loc[0, "n_stopwords"] == 2
+
+
+def test_repetition_stats_bounded_on_high_entropy_100k_doc(spark):
+    """The sort-based top-token kernel must stay linear-ish: a mostly-
+    unique 100k-token document (the Gopher token cap) is the worst case
+    for the naive O(n_uniq * n) rescan (~10^10 comparisons in ONE row,
+    a straggler-maker at corpus scale) but ~n log n here."""
+    import time
+
+    from protosc_spark.textops import repetition_stats
+
+    n = 100_000
+    # high-entropy: all tokens distinct except one planted 7x repeat
+    toks = [f"t{i}" for i in range(n - 6)] + ["dup"] * 7
+    pdf = pd.DataFrame({"doc_id": [0], "text": [" ".join(toks)]})
+    df = spark.createDataFrame(pdf)
+    t0 = time.time()
+    got = repetition_stats(df).collect()[0]
+    wall = time.time() - t0
+    n_tot = n + 1  # n-6 uniques + 7 dups
+    assert got.top_token_frac == round(7 / n_tot, 4)
+    assert got.dup_token_frac == round(1 - (n - 5) / n_tot, 4)
+    assert wall < 60, f"repetition_stats took {wall:.1f}s on a 100k-token doc"

@@ -145,3 +145,104 @@ def test_set_color_channels_matches_reference_contract():
     assert np.allclose(got[..., 0], rgb_to_cielab(img)[..., 0])
     with pytest.raises(TypeError):
         set_color_channels([1, 2, 3])
+
+
+def _skimage_hog_loop_oracle(img, orientations, cellsize):
+    """Independent SLOW transcription of skimage.feature.hog for the
+    reference's exact call (cells_per_block=(1,1), block_norm='L2-Hys',
+    multichannel) — per-pixel/per-bin loops written straight from the
+    published _hoghistogram.pyx semantics, deliberately sharing no code
+    with the vectorized engine kernel. skimage itself is absent from
+    this container, so this transcription + the hand-computed fixtures
+    below are the parity pins."""
+    h, w, n_ch = img.shape
+    g_row = np.zeros((h, w, n_ch))
+    g_col = np.zeros((h, w, n_ch))
+    for ch in range(n_ch):
+        g_row[1:-1, :, ch] = img[2:, :, ch] - img[:-2, :, ch]
+        g_col[:, 1:-1, ch] = img[:, 2:, ch] - img[:, :-2, ch]
+    gr = np.zeros((h, w))
+    gc = np.zeros((h, w))
+    for r in range(h):
+        for c in range(w):
+            mags = [
+                np.hypot(g_row[r, c, ch], g_col[r, c, ch])
+                for ch in range(n_ch)
+            ]
+            ch = int(np.argmax(mags))
+            gr[r, c], gc[r, c] = g_row[r, c, ch], g_col[r, c, ch]
+    magnitude = np.hypot(gc, gr)
+    orientation = np.rad2deg(np.arctan2(gr, gc)) % 180
+    cy, cx = cellsize
+    n_cy, n_cx = h // cy, w // cx
+    unit = 180.0 / orientations
+    hist = np.zeros((n_cy, n_cx, orientations))
+    for i in range(orientations):
+        start, end = unit * (i + 1), unit * i
+        for r_i in range(n_cy):
+            for c_i in range(n_cx):
+                total = 0.0
+                for rr in range(r_i * cy, (r_i + 1) * cy):
+                    for cc in range(c_i * cx, (c_i + 1) * cx):
+                        o = orientation[rr, cc]
+                        if o >= start or o < end:
+                            continue
+                        total += magnitude[rr, cc]
+                hist[r_i, c_i, i] = total / (cy * cx)
+    eps = 1e-5
+    out = np.zeros_like(hist)
+    for r_i in range(n_cy):
+        for c_i in range(n_cx):
+            blk = hist[r_i, c_i]
+            v = blk / np.sqrt(np.sum(blk**2) + eps**2)
+            v = np.minimum(v, 0.2)
+            out[r_i, c_i] = v / np.sqrt(np.sum(v**2) + eps**2)
+    return out.reshape(-1)
+
+
+def test_hog_matches_skimage_loop_oracle():
+    """Vectorized engine HOG == independent loop transcription of the
+    skimage algorithm: multi-channel (channel-max votes), odd cell
+    sizes, pixels beyond the last full cell ignored."""
+    for seed, shape, n_ori, cell in [
+        (0, (12, 10, 3), 9, (3, 5)),
+        (1, (16, 16, 1), 6, (4, 4)),
+        (2, (11, 13, 2), 5, (4, 3)),  # ragged: trailing pixels dropped
+    ]:
+        img = np.random.default_rng(seed).uniform(0, 255, shape)
+        got = hog_features(img, orientations=n_ori, cellsize=cell)
+        want = _skimage_hog_loop_oracle(img, n_ori, cell)
+        assert got.shape == want.shape == (
+            (shape[0] // cell[0]) * (shape[1] // cell[1]) * n_ori,
+        )
+        assert np.allclose(got, want, atol=1e-12), (seed, shape)
+
+
+def test_hog_hand_computed_fixtures():
+    """Hand-derived exact cases for the skimage semantics."""
+    # pure horizontal ramp img[r,c] = c: interior g_col = 2, g_row = 0,
+    # orientation 0 -> bin 0; cell mean = 2*2*4/16 = 1.0; L2-Hys of
+    # [1,0,0,0] ~ [1,0,0,0] (eps-small deviation)
+    ramp = np.tile(np.arange(4.0), (4, 1)).reshape(4, 4, 1)
+    out = hog_features(ramp, orientations=4, cellsize=(4, 4))
+    assert np.allclose(out, [1.0, 0, 0, 0], atol=1e-4)
+    # 45-degree diagonal img[r,c] = r + c, full hand derivation:
+    # 4 interior pixels g_row=g_col=2 -> orientation EXACTLY 45, which
+    # the boundary rule puts in bin 1 ([45,90)), mag 2*sqrt(2);
+    # 4 top/bottom edge pixels g_row=0 -> bin 0, mag 2; 4 left/right
+    # edge pixels g_col=0 -> bin 2 (90 deg), mag 2; corners mag 0.
+    # hist = [8, 8*sqrt(2), 8, 0]/16; L2 norm = 1 -> clip at 0.2 hits
+    # all three -> renorm: 0.2/sqrt(3*0.04) = 1/sqrt(3) each
+    diag = (np.arange(4.0)[:, None] + np.arange(4.0)[None, :]).reshape(4, 4, 1)
+    out = hog_features(diag, orientations=4, cellsize=(4, 4))
+    v = 1 / np.sqrt(3)
+    assert np.allclose(out, [v, v, v, 0], atol=1e-6)
+    # channel-max vote: channel 1's gradient dominates everywhere, so a
+    # 2-channel image scores identically to channel 1 alone
+    rng = np.random.default_rng(3)
+    weak = rng.uniform(0, 1, (8, 8, 1))
+    strong = rng.uniform(0, 255, (8, 8, 1)) * 100
+    both = np.concatenate([weak, strong], axis=2)
+    assert np.allclose(
+        hog_features(both, 6, (4, 4)), hog_features(strong, 6, (4, 4))
+    )
