@@ -734,7 +734,7 @@ for _lg in reversed(_LANGS):
 
 
 def oracle_sql() -> dict[str, str]:
-    return {
+    out = {
         "q1_pricing_summary": """
             SELECT l_returnflag, l_linestatus,
                    round(sum(l_quantity), 2) AS sum_qty,
@@ -1098,104 +1098,15 @@ def oracle_sql() -> dict[str, str]:
                    round(sqrt(var_pop(grey)), 6) AS grey_std
             FROM pix GROUP BY media_id ORDER BY media_id
         """,
-        # filter_select / genetic_select / mm_visual_features are fully
-        # deterministic (fixed seeds, deterministic solvers, sha2-chained
-        # payloads), so their outputs are FROZEN as literal VALUES
-        # oracles — the parity-flagship selections are hash-checked at
-        # the driver gate, not just row-counted (round-2 VERDICT #1).
-        # Regenerate by running the query and pasting its rows
-        # (tools/freeze_oracles.py).
-        "filter_select": """
-            SELECT * FROM (VALUES
-                (0::INT, true),
-                (1::INT, true),
-                (4::INT, true),
-                (6::INT, true),
-                (9::INT, true),
-                (10::INT, true),
-                (12::INT, true),
-                (14::INT, true),
-                (15::INT, true),
-                (18::INT, true)
-            ) t(feature_id, in_truth)
-            ORDER BY feature_id
-        """,
-        "genetic_select": """
-            SELECT * FROM (VALUES
-                (9::INT, true),
-                (18::INT, false)
-            ) t(feature_id, in_truth)
-            ORDER BY feature_id
-        """,
-        "mm_visual_features": """
-            SELECT * FROM (VALUES
-                ('im-00000', 32::INT, 23160.8906::DOUBLE),
-                ('im-00001', 32::INT, 23322.8267::DOUBLE),
-                ('im-00002', 32::INT, 19883.3543::DOUBLE),
-                ('im-00003', 32::INT, 27020.1774::DOUBLE),
-                ('im-00004', 32::INT, 21840.7559::DOUBLE),
-                ('im-00005', 32::INT, 22719.9538::DOUBLE),
-                ('im-00006', 32::INT, 24794.8797::DOUBLE),
-                ('im-00007', 32::INT, 23332.3464::DOUBLE),
-                ('im-00008', 32::INT, 19640.1565::DOUBLE),
-                ('im-00009', 32::INT, 25281.1022::DOUBLE),
-                ('im-00010', 32::INT, 21593.4051::DOUBLE),
-                ('im-00011', 32::INT, 20024.8112::DOUBLE),
-                ('im-00012', 32::INT, 23302.6929::DOUBLE),
-                ('im-00013', 32::INT, 24101.6185::DOUBLE),
-                ('im-00014', 32::INT, 19667.5981::DOUBLE),
-                ('im-00015', 32::INT, 25935.0425::DOUBLE),
-                ('im-00016', 32::INT, 26310.5229::DOUBLE),
-                ('im-00017', 32::INT, 20841.2793::DOUBLE),
-                ('im-00018', 32::INT, 23382.9114::DOUBLE),
-                ('im-00019', 32::INT, 24453.8272::DOUBLE),
-                ('im-00020', 32::INT, 19202.3296::DOUBLE),
-                ('im-00021', 32::INT, 26371.0457::DOUBLE),
-                ('im-00022', 32::INT, 24769.9098::DOUBLE),
-                ('im-00023', 32::INT, 22065.9757::DOUBLE),
-                ('im-00024', 32::INT, 21908.3701::DOUBLE),
-                ('im-00025', 32::INT, 21648.6091::DOUBLE),
-                ('im-00026', 32::INT, 18760.8678::DOUBLE),
-                ('im-00027', 32::INT, 24432.155::DOUBLE),
-                ('im-00028', 32::INT, 24016.6042::DOUBLE),
-                ('im-00029', 32::INT, 21042.5209::DOUBLE),
-                ('im-00030', 32::INT, 27568.5398::DOUBLE),
-                ('im-00031', 32::INT, 24554.2159::DOUBLE),
-                ('im-00032', 32::INT, 20980.805::DOUBLE),
-                ('im-00033', 32::INT, 28252.2524::DOUBLE),
-                ('im-00034', 32::INT, 22026.1938::DOUBLE),
-                ('im-00035', 32::INT, 20573.0344::DOUBLE),
-                ('im-00036', 32::INT, 26056.7972::DOUBLE),
-                ('im-00037', 32::INT, 24886.6901::DOUBLE),
-                ('im-00038', 32::INT, 18915.2334::DOUBLE),
-                ('im-00039', 32::INT, 27664.6809::DOUBLE),
-                ('im-00040', 32::INT, 27425.9698::DOUBLE),
-                ('im-00041', 32::INT, 18163.4665::DOUBLE),
-                ('im-00042', 32::INT, 20015.3559::DOUBLE),
-                ('im-00043', 32::INT, 23369.4905::DOUBLE),
-                ('im-00044', 32::INT, 21759.4691::DOUBLE),
-                ('im-00045', 32::INT, 24004.0072::DOUBLE),
-                ('im-00046', 32::INT, 19853.6138::DOUBLE),
-                ('im-00047', 32::INT, 20840.6685::DOUBLE),
-                ('im-00048', 32::INT, 25587.6257::DOUBLE),
-                ('im-00049', 32::INT, 27118.9203::DOUBLE),
-                ('im-00050', 32::INT, 21864.8342::DOUBLE),
-                ('im-00051', 32::INT, 26050.0406::DOUBLE),
-                ('im-00052', 32::INT, 21182.688::DOUBLE),
-                ('im-00053', 32::INT, 21068.419::DOUBLE),
-                ('im-00054', 32::INT, 27484.4324::DOUBLE),
-                ('im-00055', 32::INT, 23706.7169::DOUBLE),
-                ('im-00056', 32::INT, 19989.6356::DOUBLE),
-                ('im-00057', 32::INT, 25013.5549::DOUBLE),
-                ('im-00058', 32::INT, 21708.8907::DOUBLE),
-                ('im-00059', 32::INT, 17506.8753::DOUBLE),
-                ('im-00060', 32::INT, 26582.7575::DOUBLE),
-                ('im-00061', 32::INT, 25477.9993::DOUBLE),
-                ('im-00062', 32::INT, 20850.3001::DOUBLE),
-                ('im-00063', 32::INT, 28744.881::DOUBLE)
-            ) t(media_id, width, feature_sum)
-            ORDER BY media_id
-        """,
+        # filter_select / genetic_select / mm_visual_features /
+        # dedup_minhash_lsh / dedup_simhash / sim_topk_lsh /
+        # sim_topk_ivf_probe / stream_dedup_exact / resumable_flagship /
+        # transcript_flagship: no independent SQL derivation exists
+        # (engine-generated inputs, hash-defined candidate sets,
+        # iterative solvers) but every one is FULLY deterministic, so
+        # their expected outputs are FROZEN oracles (merged from
+        # frozen_oracles.py below; regenerate with
+        # tools/freeze_oracles.py) — hash-checked at the gate.
         "corpus_clean": f"""
             WITH t AS (
               SELECT doc_id, text, string_split(text, ' ') AS toks,
@@ -1223,3 +1134,7 @@ def oracle_sql() -> dict[str, str]:
             WHERE rn = 1 ORDER BY doc_id
         """,
     }
+    from frozen_oracles import FROZEN_SQL
+
+    out.update(FROZEN_SQL)
+    return out
