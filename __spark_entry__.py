@@ -370,6 +370,31 @@ def _mm_visual_features(spark, sf_dir):
     )
 
 
+def _mm_plot_saliency(spark, sf_dir):
+    """Plot-sink math at the gate: feature-space -> image-space
+    saliency for a fixed selection (reference FeatureMatrix.plot +
+    hog_plot/fourier_plot_func, protosc/feature_matrix.py:295-332,
+    feature_extraction/hog.py:68-91, fourier_features.py:65-80).
+    Driver-side by design (plots consume a selection, never
+    data-scale rows); pure function of the selection -> FROZEN oracle.
+    PNG byte-level output pinned in tests/test_plots.py.
+    """
+    from protosc_spark.plots import fourier_saliency, hog_saliency
+
+    shape = (8, 8, 1)
+    rows = []
+    for pipe, img in (
+        ("fourier", fourier_saliency([0, 1, 5], shape, 4, 2)),
+        ("hog", hog_saliency([0, 1, 2, 3, 4, 5, 6, 12], shape[:2], (4, 4), 6)),
+    ):
+        for y in range(img.shape[0]):
+            for x in range(img.shape[1]):
+                rows.append((pipe, y, x, round(float(img[y, x]), 6)))
+    return spark.createDataFrame(
+        rows, "pipeline string, y int, x int, value double"
+    )
+
+
 def _sim_topk_lsh(spark, sf_dir):
     """Approximate ANN: random-hyperplane LSH buckets -> candidate join
     -> exact cosine re-rank; rows-only (hash-function-defined candidate
@@ -701,6 +726,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_dedup_exact": _stream_dedup,
         "mm_image_grey": _mm_image_grey,
         "mm_visual_features": _mm_visual_features,
+        "mm_plot_saliency": _mm_plot_saliency,
         "filter_select": _filter_select,
         "genetic_select": _genetic_select,
         "asof_time_split_purchase": _asof_time_split,
