@@ -67,6 +67,22 @@ def _loadavg() -> list[float]:
         return [float(x) for x in fh.read().split()[:3]]
 
 
+def _cpu_ticks() -> tuple[int, int]:
+    """(busy, steal) jiffies from /proc/stat. Hypervisor steal is THE
+    engine-independent contention signal on this VM: the cumulative
+    counter shows steal ~15% of user time historically, arriving in
+    multi-minute bursts (a burst turned a 3.8 s flagship pass into
+    37.8 s with the membw probe reading normal before/after — steal is
+    invisible to loadavg and to start/end probes). Recording the
+    per-leg steal fraction makes every slow leg attributable."""
+    with open("/proc/stat") as fh:
+        f = fh.readline().split()
+    vals = [int(x) for x in f[1:]]
+    idle = vals[3] + vals[4]  # idle + iowait
+    steal = vals[7] if len(vals) > 7 else 0
+    return sum(vals) - idle, steal
+
+
 def _membw_1proc_gbps() -> float:
     """Single-process memory-bandwidth probe (engine-independent): the
     same streaming-sum kernel as tools/membw_probe.py at K=1. Drops in
@@ -90,26 +106,34 @@ def main() -> None:
     # Methodology: one warmup materialization per query (absorbs JVM
     # whole-stage-codegen compilation + Python UDF worker spin-up, which
     # are fixed costs that amortize to zero at production scale), then
-    # ONE timed materialization = the steady-state wall we optimize.
+    # the steady-state wall = min over 3 timed materializations.
     # cold_total_sec reports warmup+measured for transparency.
-    # The sandbox host shows heavy CPU steal (load swings 5-8x on
-    # identical plans), so the measured number is min over 2 timed runs.
+    # (min-of-2 until r3; this VM's hypervisor steal arrives in multi-
+    # minute bursts — /proc/stat shows steal ~15% of user time — so one
+    # burst can span two consecutive runs; the third sample plus the
+    # per-leg steal fraction below make a burst-hit leg attributable.)
     membw_start = _membw_1proc_gbps()
     load_start = _loadavg()
     queries = entrymod.queries()
     timings: dict[str, float] = {}
     cold: dict[str, float] = {}
     load_per_query: dict[str, float] = {}
+    steal_per_query: dict[str, float] = {}
     for name in HEADLINE:
         load_per_query[name] = _loadavg()[0]
         t0 = time.time()
         _materialize(queries[name](spark, sf_dir))
         cold[name] = round(time.time() - t0, 3)
         runs = []
-        for _ in range(2):
+        busy0, steal0 = _cpu_ticks()
+        for _ in range(3):
             t0 = time.time()
             _materialize(queries[name](spark, sf_dir))
             runs.append(time.time() - t0)
+        busy1, steal1 = _cpu_ticks()
+        steal_per_query[name] = round(
+            (steal1 - steal0) / max(1, busy1 - busy0), 4
+        )
         timings[name] = round(min(runs), 3)
 
     # FilterModel e2e at the reference's EXACT benchmark config (500
@@ -146,10 +170,15 @@ def main() -> None:
     _materialize(out)
     cold["transcript_flagship"] = round(time.time() - t0, 3)
     runs = []
-    for _ in range(2):
+    busy0, steal0 = _cpu_ticks()
+    for _ in range(3):
         t0 = time.time()
         _materialize(out)
         runs.append(time.time() - t0)
+    busy1, steal1 = _cpu_ticks()
+    steal_per_query["transcript_flagship"] = round(
+        (steal1 - steal0) / max(1, busy1 - busy0), 4
+    )
     flagship_sec = round(min(runs), 3)
     timings["transcript_flagship"] = flagship_sec
     turns_per_sec = round(n_turns / flagship_sec, 1)
@@ -176,6 +205,7 @@ def main() -> None:
                     "loadavg_start": load_start,
                     "loadavg_end": _loadavg(),
                     "loadavg_1m_before_each_query": load_per_query,
+                    "steal_frac_during_each_query": steal_per_query,
                     "membw_1proc_GBps_start": membw_start,
                     "membw_1proc_GBps_end": _membw_1proc_gbps(),
                 },

@@ -36,22 +36,32 @@ tr = generate_transcripts(spark, n_conversations=n_conv, seed=42).cache()
 n_turns = tr.count()
 up = generate_attribute_updates(spark, n_conversations=n_conv, seed=42)
 # warmup pass (codegen, python workers, shuffle services), then take the
-# best of 2 measured passes (the sandbox host is noisy)
+# best of 3 measured passes (hypervisor steal arrives in multi-minute
+# bursts that can span two consecutive passes; per-leg steal fraction
+# recorded so a burst-hit leg is attributable)
+def _ticks():
+    with open("/proc/stat") as fh:
+        v = [int(x) for x in fh.readline().split()[1:]]
+    return sum(v) - v[3] - v[4], (v[7] if len(v) > 7 else 0)
+
 out, _ = flagship_features(tr, up)
 out.write.mode("overwrite").format("noop").save()
 wall = float("inf")
-for _ in range(2):
+busy0, steal0 = _ticks()
+for _ in range(3):
     t0 = time.time()
     out, _ = flagship_features(tr, up)
     out.write.mode("overwrite").format("noop").save()
     wall = min(wall, time.time() - t0)
+busy1, steal1 = _ticks()
+steal_frac = round((steal1 - steal0) / max(1, busy1 - busy0), 4)
 # order-insensitive content digest for cross-parallelism equality
 digest = (out
     .select(F.xxhash64("conv_id", "turn_idx",
                        F.sha2(F.to_json(F.struct("features")), 256)).alias("h"))
     .agg(F.expr("bit_xor(h)").alias("s"), F.count("*").alias("n")).first())
 print(json.dumps({"cores": cores, "turns": n_turns, "wall": wall,
-                  "tps": n_turns / wall,
+                  "tps": n_turns / wall, "steal_frac": steal_frac,
                   "digest": [int(digest["s"]), int(digest["n"])]}))
 spark.stop()
 """
@@ -96,7 +106,10 @@ def main() -> None:
             ceiling = round(bw_by_k[hi_c] / bw_by_k[lo_c], 3)
         effs[f"{lo_c}->{hi_c}"] = {"eff": eff, "membw_ceiling": ceiling}
     for c, r in measured.items():
-        rows.append(f"| local[{c}] | {r['wall']:.2f} | {r['tps']:.0f} |")
+        rows.append(
+            f"| local[{c}] | {r['wall']:.2f} | {r['tps']:.0f} | "
+            f"{r.get('steal_frac', '-')} |"
+        )
         digests.add(tuple(r["digest"]))
     same = len(digests) == 1
 
@@ -126,12 +139,13 @@ def main() -> None:
 
 Same flagship job (dedup -> extract -> windows -> as-of -> assemble),
 same deterministic input ({turns} turns / {n_conv} conversations),
-one warmup pass, best of 2 measured passes per core count, separate
+one warmup pass, best of 3 measured passes per core count (per-leg
+hypervisor-steal fraction recorded alongside), separate
 JVM per core count; outputs digest-compared across ALL parallelism
 levels.
 
-| parallelism | wall (s) | turns/sec |
-|---|---|---|
+| parallelism | wall (s) | turns/sec | steal frac |
+|---|---|---|---|
 {table}
 
 ### Scaling efficiency per N -> 4N pair, against the host's own ceiling
