@@ -131,9 +131,18 @@ def main() -> None:
             _materialize(queries[name](spark, sf_dir))
             runs.append(time.time() - t0)
         busy1, steal1 = _cpu_ticks()
-        steal_per_query[name] = round(
-            (steal1 - steal0) / max(1, busy1 - busy0), 4
-        )
+        steal = (steal1 - steal0) / max(1, busy1 - busy0)
+        if steal > 0.15:
+            # burst-contaminated leg (a steal burst can outlast all 3
+            # passes on short queries): one retry round, min over all —
+            # trigger is engine-independent and recorded either way
+            for _ in range(2):
+                t0 = time.time()
+                _materialize(queries[name](spark, sf_dir))
+                runs.append(time.time() - t0)
+            busy1, steal1 = _cpu_ticks()
+            steal = (steal1 - steal0) / max(1, busy1 - busy0)
+        steal_per_query[name] = round(steal, 4)
         timings[name] = round(min(runs), 3)
 
     # FilterModel e2e at the reference's EXACT benchmark config (500
@@ -176,9 +185,15 @@ def main() -> None:
         _materialize(out)
         runs.append(time.time() - t0)
     busy1, steal1 = _cpu_ticks()
-    steal_per_query["transcript_flagship"] = round(
-        (steal1 - steal0) / max(1, busy1 - busy0), 4
-    )
+    steal = (steal1 - steal0) / max(1, busy1 - busy0)
+    if steal > 0.15:  # burst-contaminated: same retry rule as above
+        for _ in range(2):
+            t0 = time.time()
+            _materialize(out)
+            runs.append(time.time() - t0)
+        busy1, steal1 = _cpu_ticks()
+        steal = (steal1 - steal0) / max(1, busy1 - busy0)
+    steal_per_query["transcript_flagship"] = round(steal, 4)
     flagship_sec = round(min(runs), 3)
     timings["transcript_flagship"] = flagship_sec
     turns_per_sec = round(n_turns / flagship_sec, 1)

@@ -18,6 +18,38 @@ def test_average_ranks_ties():
     assert average_ranks(x).tolist() == [3.5, 1.0, 3.5, 2.0]
 
 
+def test_average_ranks_matches_scalar_reference():
+    """The vectorized tie-run ranking must be BIT-identical to the
+    scalar definition (positions i..j share rank 0.5*(i+j)+1) — the
+    filter-model selections are frozen oracles, so even 1-ulp rank
+    drift would shift H statistics and break the gate."""
+
+    def scalar_ranks(x):
+        order = np.argsort(x, kind="mergesort")
+        ranks = np.empty(len(x))
+        sx = x[order]
+        i = 0
+        while i < len(sx):
+            j = i
+            while j + 1 < len(sx) and sx[j + 1] == sx[i]:
+                j += 1
+            ranks[order[i : j + 1]] = 0.5 * (i + j) + 1.0
+            i = j + 1
+        return ranks
+
+    rng = np.random.default_rng(7)
+    for trial in range(100):
+        n = int(rng.integers(1, 60))
+        x = (
+            rng.integers(0, 6, n).astype(float)  # heavy ties
+            if trial % 2
+            else rng.random(n)  # no ties
+        )
+        assert np.array_equal(average_ranks(x), scalar_ranks(x))
+    assert average_ranks(np.array([])).size == 0
+    assert average_ranks(np.array([5.0])).tolist() == [1.0]
+
+
 def test_tie_correction():
     x = np.array([1.0, 1.0, 2.0, 3.0])
     # one tie group of 2: 1 - (8-2)/(64-4) = 0.9
