@@ -258,6 +258,29 @@ def _txt_pii_scrub(spark, sf_dir):
     return pii_scrub(docs)
 
 
+def _corpus_split(spark, sf_dir):
+    """Deterministic hash-bucketed train/val/test split (engine-
+    reproducible outside Spark by design: the oracle recomputes the
+    identical md5-bucket thresholding in DuckDB)."""
+    from protosc_spark.sampling import hash_split
+
+    docs = _read(spark, sf_dir, "documents")
+    return hash_split(
+        docs, ["doc_id"], {"train": 0.9, "val": 0.05, "test": 0.05}
+    ).select("doc_id", "split")
+
+
+def _txt_lm_score(spark, sf_dir):
+    """CCNet-style char-bigram LM quality scoring: train the smoothed
+    LM on the corpus, score every document (avg NLL + perplexity).
+    Exact DuckDB oracle recomputes the identical counts + smoothing."""
+    from protosc_spark.lm import lm_score, train_char_bigram_lm
+
+    docs = _read(spark, sf_dir, "documents")
+    lm = train_char_bigram_lm(docs, k=0.5)
+    return lm_score(docs, lm, k=0.5)
+
+
 def _dedup_exact(spark, sf_dir):
     return exact_dedup_groups(_read(spark, sf_dir, "documents")).orderBy("text_md5")
 
@@ -712,6 +735,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "txt_repetition": _txt_repetition,
         "txt_gopher_rules": _txt_gopher,
         "txt_pii_scrub": _txt_pii_scrub,
+        "txt_lm_score": _txt_lm_score,
+        "corpus_split": _corpus_split,
         "dedup_exact_groups": _dedup_exact,
         "dedup_ngram_jaccard": _dedup_jaccard,
         "dedup_minhash_lsh": _dedup_minhash,
@@ -757,6 +782,15 @@ for _lg in reversed(_LANGS):
         f"CASE WHEN {_HIT[_lg]} = {_BEST} AND {_BEST} > 0 "
         f"THEN '{_lg}' ELSE {_LANG_CASE} END"
     )
+
+
+def _corpus_split_oracle() -> str:
+    from protosc_spark.sampling import split_oracle_sql
+
+    case = split_oracle_sql(
+        "doc_id::VARCHAR", {"train": 0.9, "val": 0.05, "test": 0.05}
+    )
+    return f"SELECT doc_id, {case} AS split FROM documents"
 
 
 def oracle_sql() -> dict[str, str]:
@@ -981,6 +1015,42 @@ def oracle_sql() -> dict[str, str]:
                     + len(regexp_extract_all(t2, '\\d{7,}')))::BIGINT
                      AS n_redactions
             FROM s2
+        """,
+        "corpus_split": _corpus_split_oracle(),
+        "txt_lm_score": """
+            WITH bg AS (
+              SELECT unnest(list_transform(range(1, length(text)),
+                            i -> substr(text, i::INT, 2))) AS bigram
+              FROM documents
+            ), cnt AS (
+              SELECT bigram, count(*)::DOUBLE AS n FROM bg GROUP BY bigram
+            ), tot AS (
+              SELECT substr(bigram, 1, 1) AS c1, sum(n) AS n_c1
+              FROM cnt GROUP BY 1
+            ), voc AS (
+              SELECT count(DISTINCT ch)::DOUBLE AS v FROM (
+                SELECT unnest(list_transform(range(1, length(text) + 1),
+                              i -> substr(text, i::INT, 1))) AS ch
+                FROM documents)
+            ), doc_bg AS (
+              SELECT doc_id, unnest(list_transform(range(1, length(text)),
+                                    i -> substr(text, i::INT, 2))) AS bigram
+              FROM documents
+            ), nll AS (
+              SELECT doc_id,
+                     -coalesce(
+                        ln((cnt.n + 0.5) / (tot.n_c1 + 0.5 * voc.v)),
+                        ln(0.5 / (tot.n_c1 + 0.5 * voc.v)),
+                        ln(1.0 / voc.v)) AS nll
+              FROM doc_bg
+              LEFT JOIN cnt USING (bigram)
+              LEFT JOIN tot ON tot.c1 = substr(doc_bg.bigram, 1, 1)
+              CROSS JOIN voc
+            )
+            SELECT doc_id, round(avg(nll), 6) AS avg_nll,
+                   round(exp(avg(nll)), 4) AS ppl,
+                   count(*)::BIGINT AS n_bigrams
+            FROM nll GROUP BY doc_id
         """,
         "dedup_exact_groups": """
             SELECT md5(text) AS text_md5, count(*)::BIGINT AS n_docs,

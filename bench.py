@@ -42,6 +42,8 @@ HEADLINE = [
     "txt_repetition",
     "txt_gopher_rules",
     "txt_pii_scrub",
+    "txt_lm_score",
+    "corpus_split",
     "sim_topk_ivf_probe",
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",

@@ -1,0 +1,157 @@
+"""Character n-gram language-model scoring (CCNet-style quality
+filtering): train a smoothed char-bigram LM on a (clean) corpus, score
+every document by per-bigram average negative log-likelihood /
+perplexity, filter on the score.
+
+This is the standard web-corpus quality gate (CCNet / fastText-LM
+pipelines score Common Crawl against a Wikipedia-trained LM and keep
+the low-perplexity head); the engine provides it with the same
+Spark-first shape as the rest of textops: counts are ONE groupBy over
+exploded bigrams (map-side combined), the model is a provably-tiny
+broadcast (<= |charset|^2 rows — printable ASCII -> a few thousand),
+and scoring is a broadcast join + one aggregation, all JVM-side.
+
+No reference analog (the reference is image-only). Exact DuckDB-SQL
+oracle in __spark_entry__.oracle_sql() (lm_score query).
+
+Model: add-k smoothed bigram conditionals over the charset observed in
+the training corpus:
+
+    P(c2 | c1) = (count(c1c2) + k) / (count(c1.) + k * V)
+
+with V = |distinct chars in training text| (so unseen continuations
+and unseen first-chars both get mass: an unseen bigram under a seen
+first char scores k / (count(c1.) + kV); a wholly unseen first char
+scores 1 / V).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def _bigrams(text_col: str):
+    """Array of the len-1 overlapping 2-char substrings (empty for
+    texts shorter than 2 chars).
+
+    The trailing filter is load-bearing: Spark's ``sequence(1, 0)``
+    counts DOWN ([1, 0]), so a plain ``sequence(1, length - 1)`` would
+    fabricate bigrams for 0/1-char texts; clamping the end to 1 and
+    dropping non-2-char substrings handles every length exactly.
+    """
+    return F.expr(
+        f"filter(transform(sequence(1, greatest(length({text_col}) - 1, 1)),"
+        f" i -> substring({text_col}, i, 2)), x -> length(x) = 2)"
+    )
+
+
+def train_char_bigram_lm(
+    df: DataFrame, text_col: str = "text", k: float = 0.5
+) -> DataFrame:
+    """Train the smoothed bigram LM. Returns a small DataFrame
+    ``(bigram, log_prob)`` plus per-first-char fallbacks under key
+    ``(c1, NULL)``-style rows folded in as ``bigram = c1`` handled at
+    score time via the totals join; callers pass the result to
+    :func:`lm_score`.
+
+    Two aggregations over the exploded bigrams (both map-side
+    combined); output is bounded by |charset|^2 regardless of corpus
+    size, so downstream joins auto-broadcast.
+    """
+    bg = (
+        df.select(F.explode(_bigrams(text_col)).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    vocab = df.select(
+        F.explode(
+            # same descending-sequence guard as _bigrams: clamp to 1,
+            # drop the empty substring an empty text would produce
+            F.expr(
+                f"filter(transform(sequence(1, greatest(length({text_col}), 1)),"
+                f" i -> substring({text_col}, i, 1)), x -> x <> '')"
+            )
+        ).alias("ch")
+    ).agg(F.countDistinct("ch").alias("v"))
+    totals = bg.groupBy(F.substring("bigram", 1, 1).alias("c1")).agg(
+        F.sum("n").alias("n_c1")
+    )
+    return (
+        bg.withColumn("c1", F.substring("bigram", 1, 1))
+        .join(totals, "c1")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "bigram",
+            F.log(
+                (F.col("n") + F.lit(k))
+                / (F.col("n_c1") + F.lit(k) * F.col("v"))
+            ).alias("log_prob"),
+            "c1",
+            "n_c1",
+            "v",
+        )
+    )
+
+
+def lm_score(
+    df: DataFrame,
+    lm: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: float = 0.5,
+) -> DataFrame:
+    """Per-document avg negative log-likelihood + perplexity under the
+    trained LM. Docs shorter than 2 chars have no bigrams and score
+    NULL.
+
+    Plan shape: explode bigrams -> broadcast join the tiny LM (left,
+    with the smoothed-fallback COALESCE chain) -> one groupBy(doc).
+    The LM side is bounded by |charset|^2, so the join never shuffles
+    the corpus on anything but the one aggregation exchange.
+    """
+    fallbacks = F.broadcast(
+        lm.select("c1", "n_c1", "v").distinct().withColumnRenamed("c1", "fb_c1")
+    )
+    vocab = F.broadcast(lm.select(F.max("v").alias("v_all")))
+    exploded = df.select(
+        F.col(id_col), F.explode(_bigrams(text_col)).alias("bigram")
+    )
+    scored = (
+        exploded.join(
+            F.broadcast(lm.select("bigram", "log_prob")), "bigram", "left"
+        )
+        .withColumn("fb_c1", F.substring("bigram", 1, 1))
+        .join(fallbacks, "fb_c1", "left")
+        .crossJoin(vocab)
+        .withColumn(
+            "nll",
+            -F.coalesce(
+                # seen bigram
+                F.col("log_prob"),
+                # unseen continuation under a seen first char
+                F.log(F.lit(k) / (F.col("n_c1") + F.lit(k) * F.col("v"))),
+                # wholly unseen first char: uniform over the charset
+                F.log(F.lit(1.0) / F.col("v_all")),
+            ),
+        )
+    )
+    return scored.groupBy(id_col).agg(
+        F.round(F.avg("nll"), 6).alias("avg_nll"),
+        F.round(F.exp(F.avg("nll")), 4).alias("ppl"),
+        F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
+    )
+
+
+def lm_quality_filter(
+    df: DataFrame,
+    lm: DataFrame,
+    max_ppl: float,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Keep documents whose perplexity under the LM is at most
+    ``max_ppl`` (the CCNet "head" selection)."""
+    scores = lm_score(df, lm, text_col=text_col, id_col=id_col)
+    return df.join(
+        scores.where(F.col("ppl") <= max_ppl).select(id_col), id_col
+    )

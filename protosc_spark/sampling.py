@@ -1,0 +1,130 @@
+"""Deterministic corpus sampling / splitting operators.
+
+Training-data pipelines need reproducible, cluster-stable ways to cut
+a corpus: train/val/test splits that never move a document between
+splits when the corpus is re-partitioned or re-run, and down-samples
+that are a pure function of content keys rather than of Spark's RNG
+partition placement. Both are implemented as a content hash -> bucket
+-> threshold comparison, entirely in JVM expressions (whole-stage
+codegen, no shuffle, no Python), so they cost one projection at any
+scale and push down beneath joins.
+
+No reference analog (the reference's only split machinery is the
+balanced k-fold in protosc/feature_matrix.py:216-293, which is ported
+in folds.py); these close the corpus-management gap a 100-TB pipeline
+hits first.
+
+Why md5 and not xxhash64/rand: the bucket must be REPRODUCIBLE OUTSIDE
+Spark (the DuckDB oracle, a downstream pandas consumer, a different
+engine re-reading the split) — md5 is the one keyed hash every engine
+computes identically. 15 hex digits = 60 bits, exact in an int64 in
+both Spark (``conv(..., 16, 10)``) and DuckDB (``('0x' || ...)::
+BIGINT``).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Mapping, Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+N_BUCKETS = 10_000  # split resolution: 0.01% granularity
+
+
+def hash_bucket(
+    key_cols: Sequence[str], salt: str = "", n_buckets: int = N_BUCKETS
+) -> Column:
+    """Deterministic bucket in [0, n_buckets) from the concatenated key
+    columns + salt. Stable across partitioning, parallelism, engines.
+    """
+    key = F.concat_ws("\x1f", F.lit(salt), *[F.col(c) for c in key_cols])
+    return (
+        F.conv(F.substring(F.md5(key), 1, 15), 16, 10).cast("bigint")
+        % n_buckets
+    ).alias("bucket")
+
+
+def hash_split(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    weights: Mapping[str, float] | None = None,
+    salt: str = "v1",
+) -> DataFrame:
+    """Assign every row a named split by hash-bucket thresholding.
+
+    ``weights`` maps split name -> fraction (must sum to 1.0); splits
+    are assigned by cumulative bucket ranges in the given order, so the
+    assignment is a pure function of (key, salt, weights) — adding or
+    removing OTHER rows never moves a row between splits, and growing
+    one split's fraction only ever *adds* rows to it from its
+    neighbor's range (stable incremental re-splits). One codegen'd
+    projection: no shuffle, no RNG, no Python.
+    """
+    weights = dict(weights or {"train": 0.9, "val": 0.05, "test": 0.05})
+    total = sum(weights.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"split weights must sum to 1.0, got {total}")
+    bucket = hash_bucket(key_cols, salt=salt)
+    expr: Column | None = None
+    cum = 0.0
+    # iterate in insertion order; last split takes the remainder so
+    # float accumulation can never leave a bucket unassigned
+    names = list(weights)
+    for name in names[:-1]:
+        cum += weights[name]
+        hi = int(round(cum * N_BUCKETS))
+        cond = bucket < F.lit(hi)
+        expr = F.when(cond, F.lit(name)) if expr is None else expr.when(
+            cond, F.lit(name)
+        )
+    expr = (
+        F.lit(names[-1])
+        if expr is None
+        else expr.otherwise(F.lit(names[-1]))
+    )
+    return df.withColumn("split", expr)
+
+
+def stratified_sample(
+    df: DataFrame,
+    fraction: float,
+    key_cols: Sequence[str],
+    salt: str = "v1",
+) -> DataFrame:
+    """Keep a deterministic ~``fraction`` of rows by key hash.
+
+    Unlike ``df.sample``, the kept set is a pure function of content:
+    re-runs, re-partitions and different cluster sizes keep the SAME
+    rows, and nested samples are monotone (fraction 0.1 is a subset of
+    fraction 0.2 at the same salt). A filter beneath the scan at any
+    scale.
+    """
+    if not 0.0 <= fraction <= 1.0:
+        raise ValueError(f"fraction must be in [0, 1], got {fraction}")
+    hi = int(round(fraction * N_BUCKETS))
+    return df.where(hash_bucket(key_cols, salt=salt) < F.lit(hi))
+
+
+def split_oracle_sql(
+    key_sql: str,
+    weights: Mapping[str, float],
+    salt: str = "v1",
+) -> str:
+    """DuckDB CASE expression computing the identical split label —
+    used by the gate oracle and available to downstream consumers that
+    need to reproduce the split outside Spark."""
+    weights = dict(weights)
+    bucket = (
+        f"(('0x' || substr(md5('{salt}' || chr(31) || {key_sql}), 1, 15))"
+        f"::BIGINT % {N_BUCKETS})"
+    )
+    names = list(weights)
+    case = "CASE"
+    cum = 0.0
+    for name in names[:-1]:
+        cum += weights[name]
+        hi = int(round(cum * N_BUCKETS))
+        case += f" WHEN {bucket} < {hi} THEN '{name}'"
+    case += f" ELSE '{names[-1]}' END"
+    return case

@@ -1,0 +1,137 @@
+"""Char-bigram LM quality scoring: engine vs DuckDB oracle, smoothing
+semantics on hand-computed fixtures, plan shape."""
+
+import math
+
+import duckdb
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from protosc_spark.lm import lm_quality_filter, lm_score, train_char_bigram_lm
+
+DOCS = "/root/testdata/sf0.001/documents.parquet"
+K = 0.5
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(DOCS)
+
+
+def _duck(sql: str) -> pd.DataFrame:
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM '{DOCS}'")
+    return con.execute(sql).df()
+
+
+ORACLE = f"""
+WITH bg AS (
+  SELECT unnest(list_transform(range(1, length(text)),
+                i -> substr(text, i::INT, 2))) AS bigram
+  FROM documents
+), cnt AS (
+  SELECT bigram, count(*)::DOUBLE AS n FROM bg GROUP BY bigram
+), tot AS (
+  SELECT substr(bigram, 1, 1) AS c1, sum(n) AS n_c1 FROM cnt GROUP BY 1
+), voc AS (
+  SELECT count(DISTINCT ch)::DOUBLE AS v FROM (
+    SELECT unnest(list_transform(range(1, length(text) + 1),
+                  i -> substr(text, i::INT, 1))) AS ch
+    FROM documents)
+), doc_bg AS (
+  SELECT doc_id, unnest(list_transform(range(1, length(text)),
+                        i -> substr(text, i::INT, 2))) AS bigram
+  FROM documents
+), nll AS (
+  SELECT doc_id,
+         -coalesce(
+            ln((cnt.n + {K}) / (tot.n_c1 + {K} * voc.v)),
+            ln({K} / (tot.n_c1 + {K} * voc.v)),
+            ln(1.0 / voc.v)) AS nll
+  FROM doc_bg
+  LEFT JOIN cnt USING (bigram)
+  LEFT JOIN tot ON tot.c1 = substr(doc_bg.bigram, 1, 1)
+  CROSS JOIN voc
+)
+SELECT doc_id, round(avg(nll), 6) AS avg_nll,
+       round(exp(avg(nll)), 4) AS ppl,
+       count(*)::BIGINT AS n_bigrams
+FROM nll GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+def test_lm_score_vs_duckdb(docs):
+    lm = train_char_bigram_lm(docs, k=K)
+    got = lm_score(docs, lm, k=K).orderBy("doc_id").toPandas()
+    want = _duck(ORACLE)
+    pd.testing.assert_frame_equal(got, want)
+
+
+def test_lm_smoothing_hand_computed(spark):
+    """Tiny corpus where every probability is checkable by hand.
+
+    Train on one doc 'aab': bigrams aa, ab; chars {a, b} -> V=2.
+    counts: aa=1, ab=1; n_a. = 2.
+      P(a|a) = (1+0.5)/(2+0.5*2) = 0.5
+      P(b|a) = (1+0.5)/(2+0.5*2) = 0.5
+      unseen continuation 'ac'-> c unseen SECOND char, a seen:
+         0.5/(2+1) = 1/6
+      unseen first char 'xz' -> 1/V = 0.5
+    """
+    train = spark.createDataFrame([(0, "aab")], "doc_id long, text string")
+    lm = train_char_bigram_lm(train, k=0.5)
+    probs = {r["bigram"]: math.exp(r["log_prob"]) for r in lm.collect()}
+    assert probs["aa"] == pytest.approx(0.5)
+    assert probs["ab"] == pytest.approx(0.5)
+
+    score_df = spark.createDataFrame(
+        [(1, "aab"), (2, "ac"), (3, "xz"), (4, "a")],
+        "doc_id long, text string",
+    )
+    rows = {
+        r["doc_id"]: r
+        for r in lm_score(score_df, lm, k=0.5).collect()
+    }
+    # doc 1: avg(-ln .5, -ln .5) = ln 2
+    assert rows[1]["avg_nll"] == pytest.approx(math.log(2), abs=1e-6)
+    # doc 2: one bigram 'ac', unseen under seen 'a': -ln(1/6)
+    assert rows[2]["avg_nll"] == pytest.approx(math.log(6), abs=1e-6)
+    # doc 3: wholly unseen first char: -ln(1/2)
+    assert rows[3]["avg_nll"] == pytest.approx(math.log(2), abs=1e-6)
+    # doc 4: too short for bigrams -> absent from output
+    assert 4 not in rows
+    assert rows[1]["ppl"] == pytest.approx(2.0, abs=1e-3)
+
+
+def test_lm_filter_keeps_low_perplexity(docs):
+    lm = train_char_bigram_lm(docs, k=K)
+    scores = lm_score(docs, lm, k=K).toPandas().set_index("doc_id")
+    cutoff = float(scores["ppl"].median())
+    kept = lm_quality_filter(docs, lm, max_ppl=cutoff)
+    kept_ids = {r["doc_id"] for r in kept.select("doc_id").collect()}
+    want = set(scores.index[scores["ppl"] <= cutoff])
+    assert kept_ids == want
+    assert kept.columns == docs.columns
+
+
+def test_lm_model_is_bounded_and_plan_broadcasts(docs):
+    lm = train_char_bigram_lm(docs, k=K)
+    n_chars = (
+        docs.select(
+            F.explode(F.split(F.col("text"), "")).alias("c")
+        )
+        .agg(F.countDistinct("c"))
+        .first()[0]
+    )
+    assert lm.count() <= n_chars * n_chars  # |charset|^2 bound
+    plan = (
+        lm_score(docs, lm, k=K)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    # the corpus itself is never shuffled for the joins — only the
+    # final per-doc aggregation exchanges on doc_id
+    assert "SortMergeJoin" not in plan
