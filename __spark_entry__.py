@@ -305,6 +305,17 @@ def _dedup_simhash(spark, sf_dir):
     ).orderBy("doc_a", "doc_b")
 
 
+def _dedup_semantic(spark, sf_dir):
+    """SemDeDup embedding-space dedup in its oracle-checkable form
+    (n_clusters=1 == exact min-id-survivor rule, like sim_topk_ivf's
+    full-probe degeneration); the clustered scale path's superset +
+    recall contracts are pinned in tests/test_similarity.py."""
+    from protosc_spark.similarity import semantic_dedup
+
+    emb = _read(spark, sf_dir, "embeddings")
+    return semantic_dedup(emb, tau=0.35, n_clusters=1).select("id")
+
+
 def _sim_topk(spark, sf_dir):
     emb = _read(spark, sf_dir, "embeddings")
     return brute_force_topk(emb, query_ids=[0, 1, 2, 3, 4], k=10).select(
@@ -741,6 +752,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_jaccard": _dedup_jaccard,
         "dedup_minhash_lsh": _dedup_minhash,
         "dedup_simhash": _dedup_simhash,
+        "dedup_semantic": _dedup_semantic,
         "sim_topk_bruteforce": _sim_topk,
         "sim_topk_ivf": _sim_topk_ivf,
         "sim_topk_ivf_probe": _sim_topk_ivf_probe,
@@ -1111,6 +1123,15 @@ def oracle_sql() -> dict[str, str]:
               JOIN (SELECT * FROM embeddings WHERE vec_id IN (0,1,2,3,4)) q
                 ON e.vec_id <> q.vec_id)
             WHERE rank <= 10
+        """,
+        "dedup_semantic": """
+            SELECT e.vec_id AS id FROM embeddings e
+            WHERE NOT EXISTS (
+              SELECT 1 FROM embeddings a
+              WHERE a.vec_id < e.vec_id
+                AND round(list_cosine_similarity(a.embedding::DOUBLE[],
+                          e.embedding::DOUBLE[]), 6) >= 0.35)
+            ORDER BY id
         """,
         "sim_cosine_neardup": """
             SELECT a.vec_id AS id_a, b.vec_id AS id_b

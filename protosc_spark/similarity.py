@@ -15,6 +15,8 @@
   standard scale path; n_probe == n_centroids degenerates to exact.
 * :func:`cosine_neardup_pairs` — near-duplicate detection by embedding
   cosine (exact via self-join on LSH bucket prefilter).
+* :func:`semantic_dedup` — SemDeDup-style corpus deduplication:
+  k-means cells + within-cell pair comparison + min-id survivor rule.
 """
 
 from __future__ import annotations
@@ -369,4 +371,65 @@ def cosine_neardup_pairs(
             F.round(_dot(F.col("unit_a"), F.col("unit_b")), 6).alias("cosine"),
         )
         .where(F.col("cosine") >= tau)
+    )
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup-style semantic deduplication
+# ---------------------------------------------------------------------------
+
+
+def semantic_dedup(
+    emb: DataFrame,
+    tau: float = 0.95,
+    n_clusters: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: np.ndarray | None = None,
+) -> DataFrame:
+    """Embedding-space deduplication (the SemDeDup recipe): k-means
+    the corpus into cells, compare pairs ONLY within a cell, and drop
+    every vector that has a same-cell near-duplicate (cosine >= tau)
+    with a smaller id. Returns the surviving ``(id, cell)`` rows.
+
+    Semantics (deterministic, order-free): a vector is dropped iff
+    some same-cell vector with a smaller id is within tau — the
+    standard keep-one-representative rule (min-id survivor), expressed
+    as one within-cell pair join + one left-anti join. With
+    ``n_clusters=1`` the cell restriction vanishes and the result is
+    exactly "drop everything with a smaller tau-neighbor" — the form
+    the driver gate's DuckDB oracle recomputes; the clustered path is
+    pinned against it in tests (within-cell pairs are a subset of
+    exact pairs, so clustered survivors are a superset; recall of the
+    exact drop-set is the quality metric).
+
+    Scale shape: cost is sum over cells of |cell|^2 instead of n^2 —
+    n_clusters is the knob (SemDeDup used ~11k cells for LAION-scale;
+    choose n_clusters ~ n / sqrt(affordable_cell_pairs)). The join is
+    a plain equi-join on ``cell`` (shuffle both sides by cell, AQE
+    splits skewed cells); the quantizer trains on a hash-ordered
+    sample driver-side and assignment is one Arrow pass, identical to
+    the IVF index build.
+    """
+    if centroids is None:
+        centroids = ivf_train_centroids(
+            emb, n_clusters, id_col=id_col, vec_col=vec_col
+        )
+    assigned = ivf_assign(emb, centroids, id_col, vec_col)
+    a, b = assigned.alias("a"), assigned.alias("b")
+    dropped = (
+        a.join(
+            b,
+            (F.col("a.cell") == F.col("b.cell"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .where(
+            F.round(_dot(F.col("a.unit"), F.col("b.unit")), 6) >= F.lit(tau)
+        )
+        .select(F.col("b.id").alias("id"))
+        .distinct()
+    )
+    return (
+        assigned.join(dropped, "id", "left_anti")
+        .select("id", "cell")
     )

@@ -211,3 +211,80 @@ def test_ivf_production_shape_recall_and_balance(spark):
     assert recalls[8] >= 0.9, recalls
     assert recalls[32] >= recalls[8]
     emb.unpersist()
+
+
+class TestSemanticDedup:
+    def test_single_cell_equals_exact_rule(self, emb, emb_np):
+        """n_clusters=1: survivors == 'no smaller tau-neighbor' (the
+        gate oracle's form), checked against numpy."""
+        from protosc_spark.similarity import semantic_dedup
+
+        got = sorted(
+            r["id"] for r in semantic_dedup(emb, tau=0.35, n_clusters=1).collect()
+        )
+        ids, X = emb_np
+        U = X / np.linalg.norm(X, axis=1, keepdims=True)
+        S = np.round(U @ U.T, 6)
+        want = [
+            int(ids[i])
+            for i in range(len(ids))
+            if not any(
+                S[i, j] >= 0.35 for j in range(len(ids)) if ids[j] < ids[i]
+            )
+        ]
+        assert got == sorted(want)
+
+    def test_clustered_survivors_are_superset_of_exact(self, emb):
+        """Within-cell pairs are a subset of all pairs, so clustered
+        survivors must be a SUPERSET of exact survivors (at ANY tau —
+        here a loose one where cross-cell misses are common)."""
+        from protosc_spark.similarity import semantic_dedup
+
+        exact = {
+            r["id"] for r in semantic_dedup(emb, tau=0.35, n_clusters=1).collect()
+        }
+        clustered = {
+            r["id"] for r in semantic_dedup(emb, tau=0.35, n_clusters=8).collect()
+        }
+        assert exact <= clustered
+        assert len(exact) < emb.count()  # fixture actually drops rows
+
+    def test_clustered_drops_planted_near_identical_dups(self, spark, emb):
+        """The SemDeDup operating regime: true near-duplicates (cosine
+        ~1) quantize to the SAME cell, so the clustered path drops
+        them at full recall — plant perturbed copies of 20 vectors
+        and require every copy dropped, every original kept."""
+        from protosc_spark.similarity import semantic_dedup
+
+        dup = emb.where(F.col("vec_id") < 20).withColumn(
+            "vec_id", F.col("vec_id") + 5000
+        )
+        noisy = dup.withColumn(
+            "embedding",
+            F.transform(
+                "embedding",
+                lambda x, i: x + (F.lit(1e-4) * ((i % 3) - 1)).cast("float"),
+            ),
+        )
+        both = emb.unionByName(noisy)
+        survivors = {
+            r["id"]
+            for r in semantic_dedup(both, tau=0.99, n_clusters=8).collect()
+        }
+        planted = {5000 + i for i in range(20)}
+        assert survivors.isdisjoint(planted)  # every copy dropped
+        assert set(range(20)) <= survivors  # min-id originals kept
+
+    def test_deterministic_across_partitioning(self, spark, emb):
+        from protosc_spark.similarity import semantic_dedup
+
+        a = sorted(
+            r["id"] for r in semantic_dedup(emb, tau=0.35, n_clusters=8).collect()
+        )
+        b = sorted(
+            r["id"]
+            for r in semantic_dedup(
+                emb.repartition(13), tau=0.35, n_clusters=8
+            ).collect()
+        )
+        assert a == b
