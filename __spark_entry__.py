@@ -316,6 +316,18 @@ def _dedup_semantic(spark, sf_dir):
     return semantic_dedup(emb, tau=0.35, n_clusters=1).select("id")
 
 
+def _dedup_semantic_clustered(spark, sf_dir):
+    """The SemDeDup scale path (8 k-means cells, within-cell pairs
+    only). Quantizer-defined candidate set -> no SQL derivation, but
+    fully deterministic (hash-ordered sample, fixed init), so the
+    output is a FROZEN oracle; superset-of-exact + planted-dup recall
+    pinned in tests/test_similarity.py."""
+    from protosc_spark.similarity import semantic_dedup
+
+    emb = _read(spark, sf_dir, "embeddings")
+    return semantic_dedup(emb, tau=0.35, n_clusters=8)
+
+
 def _sim_topk(spark, sf_dir):
     emb = _read(spark, sf_dir, "embeddings")
     return brute_force_topk(emb, query_ids=[0, 1, 2, 3, 4], k=10).select(
@@ -753,6 +765,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_lsh": _dedup_minhash,
         "dedup_simhash": _dedup_simhash,
         "dedup_semantic": _dedup_semantic,
+        "dedup_semantic_clustered": _dedup_semantic_clustered,
         "sim_topk_bruteforce": _sim_topk,
         "sim_topk_ivf": _sim_topk_ivf,
         "sim_topk_ivf_probe": _sim_topk_ivf_probe,
