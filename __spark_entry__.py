@@ -739,6 +739,65 @@ def _resumable_flagship(spark, sf_dir):
     return cmp.select("bucket", "n_rows_resumed", "digest_equal")
 
 
+def _table_upsert(spark, sf_dir):
+    """Partition-level MERGE on the Iceberg-layout transcript table
+    (tables.upsert_transcripts): replace 3 turns' text + insert 2 new
+    turns + move 1 turn across days, then return per-partition row
+    counts and correction counts. SELF-CHECKS (raises on duplicate
+    keys / wrong rewrite scope); deterministic (seeded transcripts,
+    content-defined partitions) -> FROZEN oracle."""
+    import tempfile
+
+    from protosc_spark.tables import (
+        read_transcript_table,
+        upsert_transcripts,
+        write_transcript_table,
+    )
+
+    tr = generate_transcripts(spark, n_conversations=60, seed=42)
+    path = tempfile.mkdtemp(prefix="protosc_upsert_") + "/t"
+    write_transcript_table(tr, path)
+
+    first = tr.orderBy("conv_id", "turn_idx").limit(3)
+    repl = first.withColumn("text", F.lit("CORRECTED"))
+    ins = first.limit(2).select(
+        "conv_id",
+        (F.col("turn_idx") + 10_000).alias("turn_idx"),
+        "role",
+        F.lit("NEW").alias("text"),
+        "tool",
+        "ts",
+    )
+    mover = tr.orderBy(F.desc("conv_id"), F.desc("turn_idx")).limit(1)
+    moved = mover.withColumn(
+        "ts", F.col("ts") + F.expr("INTERVAL 3 DAYS")
+    ).withColumn("text", F.lit("MOVED"))
+    updates = repl.unionByName(ins.select(*repl.columns)).unionByName(
+        moved.select(*repl.columns)
+    )
+    m = upsert_transcripts(spark, path, updates)
+    if m["n_replaced"] != 4 or m["n_inserted"] != 2:
+        raise AssertionError(f"unexpected merge counts: {m}")
+    got = read_transcript_table(spark, path)
+    dups = (
+        got.groupBy("conv_id", "turn_idx").count().where("count > 1").count()
+    )
+    if dups or got.count() != tr.count() + 2:
+        raise AssertionError("upsert produced duplicates or lost rows")
+    return (
+        got.groupBy(
+            F.col("ts_day").cast("string").alias("ts_day"), "conv_bucket"
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.sum(
+                F.col("text").isin("CORRECTED", "NEW", "MOVED").cast("int")
+            ).cast("bigint").alias("n_corrected"),
+        )
+        .orderBy("ts_day", "conv_bucket")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q1_pricing_summary": _q1_pricing,
@@ -783,6 +842,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_topk_lsh": _sim_topk_lsh,
         "corpus_clean": _corpus_clean,
         "resumable_flagship": _resumable_flagship,
+        "table_upsert": _table_upsert,
     }
 
 

@@ -100,3 +100,94 @@ def scan_conversation(
         )
         & (F.col("conv_id") == conv_id)
     )
+
+
+def upsert_transcripts(
+    spark: SparkSession,
+    path: str,
+    updates: DataFrame,
+    n_buckets: int = DEFAULT_BUCKETS,
+) -> dict:
+    """Partition-level MERGE into a written transcript table: rows in
+    ``updates`` REPLACE existing rows with the same (conv_id,
+    turn_idx) and new keys are inserted, rewriting ONLY the touched
+    (ts_day, conv_bucket) partitions — the parquet equivalent of an
+    Iceberg ``MERGE INTO`` with copy-on-write at partition
+    granularity (on a cluster with the Iceberg runtime this whole
+    function becomes one ``MERGE INTO ... ON t.conv_id = s.conv_id
+    AND t.turn_idx = s.turn_idx``).
+
+    Correctness subtlety handled here: a correction may MOVE a turn
+    across days (ts edit), so the stale row's OLD partition must be
+    rewritten too or a duplicate survives. Old partitions are found by
+    scanning only the updated conversations' buckets (static pruning
+    on conv_bucket, 1/N of the table per distinct bucket) for the
+    updated keys.
+
+    Scale shape: everything is bounded by the update batch, never the
+    table — the touched-partition list is |update days + stale days| x
+    |update buckets| entries (collected; a daily incremental load
+    touches ~n_buckets partitions), and only those partitions' rows
+    are read, anti-joined and rewritten via dynamic partition
+    overwrite. Untouched partition files are byte-identical afterwards
+    (pinned in tests).
+
+    Returns {"partitions_rewritten", "n_replaced", "n_inserted"}.
+    """
+    up = updates.withColumn("ts_day", F.to_date("ts")).withColumn(
+        "conv_bucket",
+        F.pmod(F.xxhash64("conv_id"), F.lit(n_buckets)).cast("int"),
+    )
+    buckets = sorted(
+        r["conv_bucket"]
+        for r in up.select("conv_bucket").distinct().collect()
+    )
+    table = read_transcript_table(spark, path)
+    keys = up.select("conv_id", "turn_idx")
+    # stale copies of updated keys (their partitions need rewriting
+    # even if the update moved the turn to another day)
+    old_hit = (
+        table.where(F.col("conv_bucket").isin(buckets))
+        .join(F.broadcast(keys), ["conv_id", "turn_idx"], "left_semi")
+    )
+    touched = {
+        (r["ts_day"], r["conv_bucket"])
+        for r in old_hit.select("ts_day", "conv_bucket").distinct().collect()
+    } | {
+        (r["ts_day"], r["conv_bucket"])
+        for r in up.select("ts_day", "conv_bucket").distinct().collect()
+    }
+    n_replaced = old_hit.count()
+    n_inserted = up.count() - n_replaced
+    part_filter = F.lit(False)
+    for day, bucket in sorted(touched):
+        part_filter = part_filter | (
+            (F.col("ts_day") == F.lit(day))
+            & (F.col("conv_bucket") == F.lit(bucket))
+        )
+    survivors = (
+        table.where(part_filter)
+        .join(F.broadcast(keys), ["conv_id", "turn_idx"], "left_anti")
+    )
+    out = survivors.select(*up.columns).unionByName(up)
+    # materialize BEFORE writing: Spark refuses to overwrite a path
+    # its own plan reads from; the eager localCheckpoint truncates the
+    # lineage to the already-computed rows (bounded by the touched
+    # partitions, i.e. by the update batch — never table-scale)
+    out = out.localCheckpoint(eager=True)
+    # dynamic partition overwrite: ONLY partitions present in `out`
+    # are replaced; requires every touched partition to appear in the
+    # output, which part_filter guarantees (a partition emptied of all
+    # rows would need an explicit delete — not expressible in this
+    # parquet stand-in, documented limitation vs real Iceberg MERGE)
+    (
+        out.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("ts_day", "conv_bucket")
+        .parquet(path)
+    )
+    return {
+        "partitions_rewritten": len(touched),
+        "n_replaced": int(n_replaced),
+        "n_inserted": int(n_inserted),
+    }

@@ -89,3 +89,89 @@ def test_bucket_expression_matches_checkpoint_bucketing(spark, transcripts):
         .distinct()
     )
     assert a.subtract(b).count() == 0 and b.subtract(a).count() == 0
+
+
+class TestUpsert:
+    @pytest.fixture()
+    def upath(self, spark, transcripts, tmp_path):
+        path = str(tmp_path / "utab")
+        write_transcript_table(transcripts, path)
+        return path
+
+    def _files(self, path):
+        import glob
+        import os
+
+        return {
+            os.path.relpath(f, path): os.path.getmtime(f)
+            for f in glob.glob(f"{path}/**/*.parquet", recursive=True)
+        }
+
+    def test_replace_and_insert(self, spark, transcripts, upath):
+        from protosc_spark.tables import upsert_transcripts
+
+        # replace 2 existing turns' text, insert 1 brand-new turn in
+        # an existing conversation (same ts_day as its neighbors)
+        some = transcripts.orderBy("conv_id", "turn_idx").limit(2)
+        repl = some.withColumn("text", F.lit("CORRECTED"))
+        anchor = transcripts.orderBy("conv_id", "turn_idx").limit(1)
+        ins = anchor.select(
+            "conv_id",
+            (F.col("turn_idx") + 10_000).alias("turn_idx"),
+            "role",
+            F.lit("NEW TURN").alias("text"),
+            "tool",
+            "ts",
+        )
+        updates = repl.unionByName(ins.select(*repl.columns))
+        m = upsert_transcripts(spark, upath, updates)
+        assert m["n_replaced"] == 2 and m["n_inserted"] == 1
+
+        got = read_transcript_table(spark, upath, drop_partition_cols=True)
+        assert got.count() == transcripts.count() + 1
+        assert got.where(F.col("text") == "CORRECTED").count() == 2
+        assert got.where(F.col("text") == "NEW TURN").count() == 1
+        # no duplicate keys anywhere
+        assert (
+            got.groupBy("conv_id", "turn_idx").count().where("count > 1").count()
+            == 0
+        )
+
+    def test_untouched_partitions_not_rewritten(self, spark, transcripts, upath):
+        from protosc_spark.tables import upsert_transcripts
+
+        before = self._files(upath)
+        one = transcripts.orderBy("conv_id", "turn_idx").limit(1)
+        updates = one.withColumn("text", F.lit("X"))
+        m = upsert_transcripts(spark, upath, updates)
+        after = self._files(upath)
+        changed = {
+            f
+            for f in set(before) | set(after)
+            if before.get(f) != after.get(f)
+        }
+        # every changed file lives in a rewritten partition dir; at
+        # least one file outside them is untouched
+        parts = {f.split("/part-")[0] for f in changed}
+        assert len(parts) == m["partitions_rewritten"] == 1
+        untouched = set(before) & set(after) - changed
+        assert untouched and all(before[f] == after[f] for f in untouched)
+
+    def test_cross_day_move_removes_stale_row(self, spark, transcripts, upath):
+        from protosc_spark.tables import upsert_transcripts
+
+        one = transcripts.orderBy("conv_id", "turn_idx").limit(1)
+        moved = one.withColumn(
+            "ts", F.col("ts") + F.expr("INTERVAL 3 DAYS")
+        ).withColumn("text", F.lit("MOVED"))
+        m = upsert_transcripts(spark, upath, moved)
+        assert m["n_replaced"] == 1 and m["n_inserted"] == 0
+        assert m["partitions_rewritten"] == 2  # old day + new day
+        got = read_transcript_table(spark, upath, drop_partition_cols=True)
+        key = one.select("conv_id", "turn_idx").first()
+        rows = got.where(
+            (F.col("conv_id") == key["conv_id"])
+            & (F.col("turn_idx") == key["turn_idx"])
+        ).collect()
+        assert len(rows) == 1 and rows[0]["text"] == "MOVED"
+        assert got.count() == transcripts.count()
