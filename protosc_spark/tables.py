@@ -191,3 +191,80 @@ def upsert_transcripts(
         "n_replaced": int(n_replaced),
         "n_inserted": int(n_inserted),
     }
+
+
+def compact_partitions(
+    spark: SparkSession,
+    path: str,
+    target_bytes: int = 128 * 1024 * 1024,
+    min_files: int = 2,
+) -> dict:
+    """Small-file compaction (the Iceberg ``rewrite_data_files``
+    analog): rewrite every (ts_day, conv_bucket) partition whose file
+    count is >= ``min_files`` into ceil(partition_bytes /
+    target_bytes) files, leaving other partitions' files untouched
+    (dynamic partition overwrite again). Repeated upserts fragment
+    partitions — a daily MERGE leaves one new file per touched
+    partition per run — and at 100 TB a scan's task count follows the
+    file count, so compaction is what keeps read amortization flat.
+
+    Deterministic content: rows are re-sorted by (conv_id, turn_idx)
+    within each rewritten partition, so the table's logical content
+    (and every downstream digest) is unchanged — pinned in tests.
+
+    Driver work is one directory listing (file name/size metadata
+    only, no data reads) — the same metadata a table format serves
+    from its manifest.
+    """
+    import glob
+    import math
+    import os
+    from collections import defaultdict
+
+    sizes: dict[tuple[str, str], int] = defaultdict(int)
+    counts: dict[tuple[str, str], int] = defaultdict(int)
+    for f in glob.glob(f"{path}/ts_day=*/conv_bucket=*/*.parquet"):
+        day_dir, bucket_dir = f.split(os.sep)[-3:-1]
+        key = (day_dir.split("=", 1)[1], bucket_dir.split("=", 1)[1])
+        sizes[key] += os.path.getsize(f)
+        counts[key] += 1
+    victims = {k for k, c in counts.items() if c >= min_files}
+    if not victims:
+        return {"partitions_compacted": 0, "files_before": 0, "files_after": 0}
+
+    part_filter = F.lit(False)
+    for day, bucket in sorted(victims):
+        part_filter = part_filter | (
+            (F.col("ts_day") == F.lit(day).cast("date"))
+            & (F.col("conv_bucket") == F.lit(int(bucket)))
+        )
+    table = read_transcript_table(spark, path)
+    cols = table.columns
+    pieces = []
+    for day, bucket in sorted(victims):
+        n_out = max(1, math.ceil(sizes[(day, bucket)] / target_bytes))
+        piece = (
+            table.where(
+                (F.col("ts_day") == F.lit(day).cast("date"))
+                & (F.col("conv_bucket") == F.lit(int(bucket)))
+            )
+            .repartition(n_out)
+            .sortWithinPartitions("conv_id", "turn_idx")
+        )
+        pieces.append(piece)
+    out = pieces[0]
+    for p in pieces[1:]:
+        out = out.unionByName(p)
+    out = out.select(*cols).localCheckpoint(eager=True)
+    (
+        out.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("ts_day", "conv_bucket")
+        .parquet(path)
+    )
+    files_after = len(glob.glob(f"{path}/ts_day=*/conv_bucket=*/*.parquet"))
+    return {
+        "partitions_compacted": len(victims),
+        "files_before": sum(counts.values()),
+        "files_after": files_after,
+    }

@@ -175,3 +175,85 @@ class TestUpsert:
         ).collect()
         assert len(rows) == 1 and rows[0]["text"] == "MOVED"
         assert got.count() == transcripts.count()
+
+
+class TestCompaction:
+    def test_compaction_restores_file_count_and_content(
+        self, spark, transcripts, tmp_path
+    ):
+        """Fragment one partition via repeated single-row upserts, then
+        compact: file count drops back, logical content identical,
+        untouched partitions' files byte-identical."""
+        import glob
+
+        from protosc_spark.tables import (
+            compact_partitions,
+            read_transcript_table,
+            upsert_transcripts,
+            write_transcript_table,
+        )
+
+        path = str(tmp_path / "ctab")
+        write_transcript_table(transcripts, path)
+
+        one = transcripts.orderBy("conv_id", "turn_idx").limit(1)
+        for i in range(3):
+            upsert_transcripts(
+                spark, path, one.withColumn("text", F.lit(f"v{i}"))
+            )
+        before = read_transcript_table(spark, path, drop_partition_cols=True)
+        digest_before = sorted(
+            (r["conv_id"], r["turn_idx"], r["text"], r["ts"])
+            for r in before.collect()
+        )
+        n_files_before = len(
+            glob.glob(f"{path}/ts_day=*/conv_bucket=*/*.parquet")
+        )
+
+        import os
+
+        others_before = {
+            f: os.path.getmtime(f)
+            for f in glob.glob(f"{path}/ts_day=*/conv_bucket=*/*.parquet")
+        }
+        m = compact_partitions(spark, path, min_files=2)
+        assert m["partitions_compacted"] >= 1
+        assert m["files_after"] < n_files_before
+
+        after = read_transcript_table(spark, path, drop_partition_cols=True)
+        digest_after = sorted(
+            (r["conv_id"], r["turn_idx"], r["text"], r["ts"])
+            for r in after.collect()
+        )
+        assert digest_after == digest_before  # logical content unchanged
+        # every compacted partition now has exactly 1 file
+        from collections import Counter
+
+        per_part = Counter(
+            tuple(f.split(os.sep)[-3:-1])
+            for f in glob.glob(f"{path}/ts_day=*/conv_bucket=*/*.parquet")
+        )
+        assert max(per_part.values()) == 1
+        # untouched files (still present) kept their mtimes
+        survivors = {
+            f: t
+            for f, t in others_before.items()
+            if os.path.exists(f)
+        }
+        assert survivors and all(
+            os.path.getmtime(f) == t for f, t in survivors.items()
+        )
+
+    def test_second_compaction_is_noop(self, spark, transcripts, tmp_path):
+        """A fresh write leaves one file per TASK per partition, so the
+        first compaction has work; the second must find nothing."""
+        from protosc_spark.tables import (
+            compact_partitions,
+            write_transcript_table,
+        )
+
+        path = str(tmp_path / "ntab")
+        write_transcript_table(transcripts, path)
+        compact_partitions(spark, path, min_files=2)
+        m = compact_partitions(spark, path, min_files=2)
+        assert m["partitions_compacted"] == 0
