@@ -281,6 +281,14 @@ def _txt_lm_score(spark, sf_dir):
     return lm_score(docs, lm, k=0.5)
 
 
+def _txt_vocab_idf(spark, sf_dir):
+    """Corpus vocabulary + document frequency + smoothed IDF (min_df=2
+    prunes the hapax tail). Exact DuckDB oracle."""
+    from protosc_spark.textops import vocab_with_idf
+
+    return vocab_with_idf(_read(spark, sf_dir, "documents"), min_df=2)
+
+
 def _dedup_exact(spark, sf_dir):
     return exact_dedup_groups(_read(spark, sf_dir, "documents")).orderBy("text_md5")
 
@@ -818,6 +826,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "txt_gopher_rules": _txt_gopher,
         "txt_pii_scrub": _txt_pii_scrub,
         "txt_lm_score": _txt_lm_score,
+        "txt_vocab_idf": _txt_vocab_idf,
         "corpus_split": _corpus_split,
         "dedup_exact_groups": _dedup_exact,
         "dedup_ngram_jaccard": _dedup_jaccard,
@@ -1102,6 +1111,20 @@ def oracle_sql() -> dict[str, str]:
             FROM s2
         """,
         "corpus_split": _corpus_split_oracle(),
+        "txt_vocab_idf": """
+            WITH tok AS (
+              SELECT doc_id, unnest(list_distinct(string_split(text, ' ')))
+                     AS token
+              FROM documents
+            ), cnt AS (
+              SELECT token, count(*)::BIGINT AS df FROM tok
+              GROUP BY token HAVING count(*) >= 2
+            )
+            SELECT token, df,
+                   round(ln((1.0 + (SELECT count(*) FROM documents))
+                            / (1.0 + df)) + 1.0, 6) AS idf
+            FROM cnt
+        """,
         "txt_lm_score": """
             WITH bg AS (
               SELECT unnest(list_transform(range(1, length(text)),

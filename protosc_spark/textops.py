@@ -265,3 +265,33 @@ def gopher_rules(df: DataFrame) -> DataFrame:
         n_stop.cast("bigint").alias("n_stopwords"),
         keep.cast("int").alias("keep"),
     )
+
+
+def vocab_with_idf(df: DataFrame, min_df: int = 1) -> DataFrame:
+    """Corpus vocabulary with document frequencies and smoothed IDF
+    (the sklearn convention: ln((1 + n_docs) / (1 + df)) + 1) —
+    the vocabulary-building pass every tokenizer/TF-IDF pipeline
+    runs over a corpus.
+
+    One explode over per-doc DISTINCT tokens (so tf within a doc
+    never inflates df) -> one map-side-combined groupBy. The corpus
+    total rides a 1-row broadcast; no driver collect. ``min_df``
+    prunes the hapax tail (at web scale the tail IS the table —
+    pruning it in the same aggregation avoids a second pass).
+    """
+    n_docs = df.agg(F.count(F.lit(1)).alias("n_docs"))
+    counts = (
+        df.select(
+            "doc_id", F.explode(F.array_distinct(_tokens())).alias("token")
+        )
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("df"))
+        .where(F.col("df") >= min_df)
+    )
+    return counts.crossJoin(F.broadcast(n_docs)).select(
+        "token",
+        "df",
+        F.round(
+            F.log((1.0 + F.col("n_docs")) / (1.0 + F.col("df"))) + 1.0, 6
+        ).alias("idf"),
+    )

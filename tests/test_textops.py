@@ -258,3 +258,41 @@ def test_repetition_stats_bounded_on_high_entropy_100k_doc(spark):
     assert got.top_token_frac == round(7 / n_tot, 4)
     assert got.dup_token_frac == round(1 - (n - 5) / n_tot, 4)
     assert wall < 60, f"repetition_stats took {wall:.1f}s on a 100k-token doc"
+
+
+def test_vocab_with_idf_vs_duckdb(docs):
+    from protosc_spark.textops import vocab_with_idf
+
+    got = (
+        vocab_with_idf(docs, min_df=2).orderBy("token").toPandas()
+    )
+    want = _duck(
+        """
+        WITH tok AS (
+          SELECT doc_id, unnest(list_distinct(string_split(text, ' ')))
+                 AS token
+          FROM documents
+        ), cnt AS (
+          SELECT token, count(*)::BIGINT AS df FROM tok
+          GROUP BY token HAVING count(*) >= 2
+        )
+        SELECT token, df,
+               round(ln((1.0 + (SELECT count(*) FROM documents))
+                        / (1.0 + df)) + 1.0, 6) AS idf
+        FROM cnt ORDER BY token
+        """
+    )
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(got, want)
+
+
+def test_vocab_df_counts_docs_not_occurrences(spark):
+    """A token repeated inside one doc contributes df=1."""
+    from protosc_spark.textops import vocab_with_idf
+
+    df = spark.createDataFrame(
+        [(0, "x x x y"), (1, "x z")], "doc_id long, text string"
+    )
+    rows = {r["token"]: r["df"] for r in vocab_with_idf(df).collect()}
+    assert rows == {"x": 2, "y": 1, "z": 1}
