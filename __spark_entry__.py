@@ -806,6 +806,51 @@ def _table_upsert(spark, sf_dir):
     )
 
 
+def _dedup_components(spark, sf_dir):
+    """Near-dup pairs closed into duplicate CLUSTERS (hash-min +
+    pointer-jumping connected components) — the stage between LSH pair
+    generation and survivor selection. comp = min doc_id per cluster;
+    exact DuckDB oracle via a recursive-CTE transitive closure."""
+    from protosc_spark.dedup import connected_components
+
+    docs = _read(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, tau=0.15)
+    return connected_components(pairs).orderBy("id")
+
+
+def _txt_tfidf_topk(spark, sf_dir):
+    """Top-3 TF-IDF keywords per document (sklearn-smoothed IDF,
+    min_df=2, deterministic token-ascending tie-break)."""
+    from protosc_spark.textops import tfidf_topk
+
+    return tfidf_topk(_read(spark, sf_dir, "documents"), k=3, min_df=2)
+
+
+def _corpus_line_dedup(spark, sf_dir):
+    """CCNet-style corpus-wide line dedup. The synthetic corpus is
+    single-line, so lines are derived deterministically as 8-token
+    chunks (the oracle derives the identical chunking in SQL); each
+    distinct line keeps exactly one instance corpus-wide — the one at
+    the smallest (doc_id, line_idx)."""
+    from protosc_spark.dedup import line_dedup
+
+    docs = _read(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    relined = docs.select(
+        "doc_id",
+        F.array_join(
+            F.transform(
+                F.sequence(
+                    F.lit(0), F.ceil(F.size(toks) / F.lit(8)).cast("int") - 1
+                ),
+                lambda i: F.array_join(F.slice(toks, i * 8 + 1, 8), " "),
+            ),
+            "\n",
+        ).alias("text"),
+    )
+    return line_dedup(relined).orderBy("doc_id")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q1_pricing_summary": _q1_pricing,
@@ -852,6 +897,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_clean": _corpus_clean,
         "resumable_flagship": _resumable_flagship,
         "table_upsert": _table_upsert,
+        "dedup_components": _dedup_components,
+        "txt_tfidf_topk": _txt_tfidf_topk,
+        "corpus_line_dedup": _corpus_line_dedup,
     }
 
 
@@ -1190,6 +1238,96 @@ def oracle_sql() -> dict[str, str]:
             JOIN cnt cb ON cb.doc_id = doc_b
             WHERE n_inter / (ca.n_sh + cb.n_sh - n_inter)::DOUBLE >= 0.2
             ORDER BY doc_a, doc_b
+        """,
+        "dedup_components": """
+            WITH RECURSIVE sh AS (
+              SELECT doc_id, unnest(list_distinct(
+                       list_transform(
+                         range(1, greatest(len(string_split(text,' ')) - 2, 1) + 1),
+                         i -> array_to_string(
+                                string_split(text,' ')[i:i+2], ' '))))
+                     AS shingle
+              FROM documents
+            ), cnt AS (
+              SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id
+            ), inter AS (
+              SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+              FROM sh a JOIN sh b
+                ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+              GROUP BY 1, 2
+            ), pairs AS (
+              SELECT doc_a, doc_b FROM inter
+              JOIN cnt ca ON ca.doc_id = doc_a
+              JOIN cnt cb ON cb.doc_id = doc_b
+              WHERE n_inter / (ca.n_sh + cb.n_sh - n_inter)::DOUBLE >= 0.15
+            ), edges AS (
+              SELECT doc_a AS u, doc_b AS v FROM pairs
+              UNION SELECT doc_b, doc_a FROM pairs
+            ), nodes AS (SELECT DISTINCT u AS id FROM edges),
+            reach(id, r) AS (
+              SELECT id, id FROM nodes
+              UNION
+              SELECT e.v, reach.r FROM reach JOIN edges e ON e.u = reach.id
+            )
+            SELECT id, min(r) AS comp FROM reach GROUP BY id ORDER BY id
+        """,
+        "txt_tfidf_topk": """
+            WITH tok AS (
+              SELECT doc_id, unnest(string_split(text,' ')) AS token
+              FROM documents
+            ), tf AS (
+              SELECT doc_id, token, count(*)::BIGINT AS tf
+              FROM tok GROUP BY 1, 2
+            ), dtok AS (
+              SELECT doc_id, unnest(list_distinct(string_split(text,' ')))
+                     AS token
+              FROM documents
+            ), idf AS (
+              SELECT token,
+                     round(ln((1.0 + (SELECT count(*) FROM documents))
+                              / (1.0 + count(*))) + 1.0, 6) AS idf
+              FROM dtok GROUP BY token HAVING count(*) >= 2
+            ), ranked AS (
+              SELECT doc_id, token, tf, tf * idf AS score,
+                     row_number() OVER (PARTITION BY doc_id
+                                        ORDER BY tf * idf DESC, token) AS rnk
+              FROM tf JOIN idf USING (token)
+            )
+            SELECT doc_id, rnk, token, tf, round(score, 6) AS tfidf
+            FROM ranked WHERE rnk <= 3
+        """,
+        "corpus_line_dedup": """
+            WITH sp AS (
+              SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+            ), ix AS (
+              SELECT doc_id, toks,
+                     unnest(range(0, (len(toks) + 7) // 8)) AS i
+              FROM sp
+            ), ln AS (
+              SELECT doc_id, i AS line_idx,
+                     array_to_string(toks[(i*8+1)::INT : (i*8+8)::INT], ' ')
+                       AS line
+              FROM ix
+            ), ranked AS (
+              SELECT doc_id, line_idx, line,
+                     row_number() OVER (PARTITION BY line
+                                        ORDER BY doc_id, line_idx) AS rn
+              FROM ln
+            ), kept AS (
+              SELECT doc_id, line_idx, line FROM ranked WHERE rn = 1
+            ), agg AS (
+              SELECT doc_id, count(*)::BIGINT AS n_kept,
+                     string_agg(line, chr(10) ORDER BY line_idx)
+                       AS text_clean
+              FROM kept GROUP BY doc_id
+            ), tot AS (
+              SELECT doc_id, count(*)::BIGINT AS n_lines
+              FROM ln GROUP BY doc_id
+            )
+            SELECT t.doc_id, t.n_lines,
+                   coalesce(a.n_kept, 0)::BIGINT AS n_kept,
+                   coalesce(a.text_clean, '') AS text_clean
+            FROM tot t LEFT JOIN agg a USING (doc_id) ORDER BY doc_id
         """,
         # dedup_minhash_lsh / dedup_simhash: approximate, hash-function-
         # defined ops — not SQL-expressible; rows-only check by design.

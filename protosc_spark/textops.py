@@ -295,3 +295,43 @@ def vocab_with_idf(df: DataFrame, min_df: int = 1) -> DataFrame:
             F.log((1.0 + F.col("n_docs")) / (1.0 + F.col("df"))) + 1.0, 6
         ).alias("idf"),
     )
+
+
+def tfidf_topk(df: DataFrame, k: int = 3, min_df: int = 2) -> DataFrame:
+    """Top-k TF-IDF terms per document — the keyword/topic-signal pass
+    of a corpus pipeline (and the dense end of a TF-IDF vectorizer).
+
+    tf = raw term count per (doc, token); idf from
+    :func:`vocab_with_idf` (sklearn smoothing, min_df prunes hapax);
+    ties broken deterministically by token ascending so the output is
+    oracle-checkable.
+
+    Scale shape: one explode + map-side-combined groupBy for tf, one
+    equi-join on token with the vocabulary (NOT force-broadcast — at
+    web scale the vocabulary tail is itself a large table; AQE
+    broadcasts it when small), one per-doc window for the top-k. No
+    Python anywhere.
+    """
+    from pyspark.sql import Window as W
+
+    tf = (
+        df.select("doc_id", F.explode(_tokens()).alias("token"))
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
+    )
+    idf = vocab_with_idf(df, min_df=min_df)
+    scored = tf.join(idf, "token").withColumn(
+        "score", F.col("tf") * F.col("idf")
+    )
+    w = W.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("token"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= k)
+        .select(
+            "doc_id",
+            "rnk",
+            "token",
+            "tf",
+            F.round("score", 6).alias("tfidf"),
+        )
+    )

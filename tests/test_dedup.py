@@ -214,3 +214,148 @@ def test_exact_groups_vs_duckdb(docs_with_dups):
         """
     ).df()
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+# ---------------------------------------------------------------------------
+# connected components / survivors / line dedup
+# ---------------------------------------------------------------------------
+
+def _pairs_df(spark, pairs):
+    return spark.createDataFrame(
+        pd.DataFrame(pairs, columns=["doc_a", "doc_b"]).astype("int64")
+    )
+
+
+def _uf_oracle(pairs):
+    """Plain-python union-find: comp = min id per component."""
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return sorted((x, find(x)) for x in list(parent))
+
+
+def test_cc_chain_converges_logarithmically(spark):
+    from protosc_spark.dedup import connected_components
+
+    chain = [(i, i + 1) for i in range(63)]  # 64-node path, diameter 63
+    cc = connected_components(_pairs_df(spark, chain))
+    rows = sorted(map(tuple, cc.collect()))
+    assert rows == [(i, 0) for i in range(64)]
+    # pointer jumping: O(log diameter) rounds, not O(diameter)
+    assert cc._cc_iterations <= 8
+
+
+def test_cc_matches_union_find_on_random_graph(spark):
+    from protosc_spark.dedup import connected_components
+
+    rng = np.random.default_rng(7)
+    pairs = {
+        (int(min(a, b)), int(max(a, b)))
+        for a, b in rng.integers(0, 200, size=(150, 2))
+        if a != b
+    }
+    pairs = sorted(pairs)
+    cc = connected_components(_pairs_df(spark, pairs))
+    assert sorted(map(tuple, cc.collect())) == _uf_oracle(pairs)
+
+
+def test_cc_clique_and_empty(spark):
+    from protosc_spark.dedup import connected_components
+
+    clique = [(a, b) for a in range(10) for b in range(a + 1, 10)]
+    cc = connected_components(_pairs_df(spark, clique))
+    assert sorted(map(tuple, cc.collect())) == [(i, 0) for i in range(10)]
+    assert cc._cc_iterations <= 3
+
+    empty = _pairs_df(spark, [(1, 2)]).where(F.col("doc_a") < 0)
+    assert connected_components(empty).count() == 0
+
+
+def test_cc_nonconvergence_raises(spark):
+    from protosc_spark.dedup import connected_components
+
+    chain = [(i, i + 1) for i in range(63)]
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(_pairs_df(spark, chain), max_iter=2)
+
+
+def test_dedup_survivors_end_to_end(spark, docs_with_dups):
+    """pairs -> components -> one survivor per cluster; untouched rows
+    kept. The near-copy clusters are (orig, orig+20000): survivor is
+    always the original."""
+    from protosc_spark.dedup import dedup_survivors
+
+    pairs = ngram_jaccard_pairs(docs_with_dups, tau=0.8)
+    kept = dedup_survivors(docs_with_dups, pairs)
+    ids = {r["doc_id"] for r in kept.select("doc_id").collect()}
+    # exact oracle: union-find over the same pairs
+    pair_rows = [
+        (r["doc_a"], r["doc_b"]) for r in pairs.select("doc_a", "doc_b").collect()
+    ]
+    losers = {i for i, c in _uf_oracle(pair_rows) if i != c}
+    all_ids = {r["doc_id"] for r in docs_with_dups.select("doc_id").collect()}
+    assert ids == all_ids - losers
+    # every clone (exact at +10000, near at +20000) is removed: its
+    # original has the smaller id in the same component
+    assert not {i for i in ids if i >= 10000}
+
+
+def test_line_dedup_hand_fixture(spark):
+    """Cross-doc dup keeps the (min doc, min line_idx) instance;
+    within-doc repeats collapse; a fully-duplicated doc survives with
+    empty text_clean."""
+    from protosc_spark.dedup import line_dedup
+
+    rows = [
+        (0, "alpha\nboiler\nbeta"),
+        (1, "boiler\ngamma\nboiler"),   # within-doc repeat too
+        (2, "boiler"),                  # fully deduped away
+        (3, "delta\ndelta"),            # within-doc only
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["doc_id"]: (r["n_lines"], r["n_kept"], r["text_clean"])
+        for r in line_dedup(df).collect()
+    }
+    assert out[0] == (3, 3, "alpha\nboiler\nbeta")
+    assert out[1] == (3, 1, "gamma")
+    assert out[2] == (1, 0, "")
+    assert out[3] == (2, 1, "delta")
+
+
+def test_line_dedup_total_instance_accounting(spark):
+    """Across the corpus each distinct line contributes exactly one
+    kept instance: sum(n_kept) == #distinct lines."""
+    from protosc_spark.dedup import line_dedup
+
+    docs = spark.read.parquet(DOCS)
+    toks = F.split("text", " ")
+    relined = docs.select(
+        "doc_id",
+        F.array_join(
+            F.transform(
+                F.sequence(
+                    F.lit(0), F.ceil(F.size(toks) / F.lit(8)).cast("int") - 1
+                ),
+                lambda i: F.array_join(F.slice(toks, i * 8 + 1, 8), " "),
+            ),
+            "\n",
+        ).alias("text"),
+    )
+    out = line_dedup(relined).toPandas()
+    n_distinct = (
+        relined.select(F.explode(F.split("text", "\n")).alias("l"))
+        .select("l").distinct().count()
+    )
+    assert int(out["n_kept"].sum()) == n_distinct
+    assert (out["n_kept"] <= out["n_lines"]).all()

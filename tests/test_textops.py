@@ -296,3 +296,57 @@ def test_vocab_df_counts_docs_not_occurrences(spark):
     )
     rows = {r["token"]: r["df"] for r in vocab_with_idf(df).collect()}
     assert rows == {"x": 2, "y": 1, "z": 1}
+
+
+def test_tfidf_topk_vs_duckdb(docs):
+    from protosc_spark.textops import tfidf_topk
+
+    eng = sorted(map(tuple, tfidf_topk(docs, k=3, min_df=2).collect()))
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM '{DOCS}'")
+    oracle = con.execute("""
+        WITH tok AS (
+          SELECT doc_id, unnest(string_split(text,' ')) AS token
+          FROM documents
+        ), tf AS (
+          SELECT doc_id, token, count(*)::BIGINT AS tf FROM tok GROUP BY 1, 2
+        ), dtok AS (
+          SELECT doc_id, unnest(list_distinct(string_split(text,' ')))
+                 AS token
+          FROM documents
+        ), idf AS (
+          SELECT token,
+                 round(ln((1.0 + (SELECT count(*) FROM documents))
+                          / (1.0 + count(*))) + 1.0, 6) AS idf
+          FROM dtok GROUP BY token HAVING count(*) >= 2
+        ), ranked AS (
+          SELECT doc_id, token, tf, tf * idf AS score,
+                 row_number() OVER (PARTITION BY doc_id
+                                    ORDER BY tf * idf DESC, token) AS rnk
+          FROM tf JOIN idf USING (token)
+        )
+        SELECT doc_id, rnk, token, tf, round(score, 6) AS tfidf
+        FROM ranked WHERE rnk <= 3
+    """).fetchall()
+    assert eng == sorted(oracle)
+
+
+def test_tfidf_topk_deterministic_ties(spark):
+    """Equal scores break by token ascending; rarer terms outrank
+    common ones at equal tf."""
+    from protosc_spark.textops import tfidf_topk
+
+    rows = [
+        (0, "zz aa zz aa common"),   # aa and zz tie at tf=2
+        (1, "common rare"),
+        (2, "common rare"),
+        (3, "common other"),
+        (4, "aa zz filler"),         # gives aa/zz df=2 so min_df keeps them
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = tfidf_topk(df, k=2, min_df=2).toPandas()
+    d0 = out[out.doc_id == 0].sort_values("rnk")
+    assert list(d0.token) == ["aa", "zz"]  # tie -> lexicographic
+    d1 = out[out.doc_id == 1].sort_values("rnk")
+    # rare (df=2) outranks common (df=4) at equal tf
+    assert list(d1.token) == ["rare", "common"]
