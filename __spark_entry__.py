@@ -851,6 +851,40 @@ def _corpus_line_dedup(spark, sf_dir):
     return line_dedup(relined).orderBy("doc_id")
 
 
+def _dedup_minhash_components(spark, sf_dir):
+    """The full approximate near-dup pipeline end-to-end: MinHash
+    signatures -> banded LSH candidate pairs -> connected components.
+    Candidate set is hash-family-defined (no SQL derivation) but fully
+    deterministic (seeded permutations, min-id labels) -> FROZEN
+    oracle, like dedup_minhash_lsh itself."""
+    from protosc_spark.dedup import connected_components
+
+    docs = _read(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(docs, tau=0.5)
+    return connected_components(pairs).orderBy("id")
+
+
+def _corpus_stats_by_source(spark, sf_dir):
+    """Corpus audit: per (source, lang) doc counts and EXACT length
+    percentiles (Spark `percentile` == DuckDB `quantile_cont`, both
+    linear-interpolated over the sorted values — no approx sketch, so
+    the oracle hash-matches). The grouped-aggregation reporting query
+    every curation pipeline runs before/after each cleaning stage."""
+    docs = _read(spark, sf_dir, "documents")
+    return (
+        docs.groupBy("source", "lang")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+            F.round(F.expr("percentile(n_chars, 0.5)"), 4).alias("p50_chars"),
+            F.round(F.expr("percentile(n_chars, 0.9)"), 4).alias("p90_chars"),
+            F.min("n_chars").cast("bigint").alias("min_chars"),
+            F.max("n_chars").cast("bigint").alias("max_chars"),
+        )
+        .orderBy("source", "lang")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q1_pricing_summary": _q1_pricing,
@@ -900,6 +934,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_components": _dedup_components,
         "txt_tfidf_topk": _txt_tfidf_topk,
         "corpus_line_dedup": _corpus_line_dedup,
+        "dedup_minhash_components": _dedup_minhash_components,
+        "corpus_stats_by_source": _corpus_stats_by_source,
     }
 
 
@@ -1238,6 +1274,15 @@ def oracle_sql() -> dict[str, str]:
             JOIN cnt cb ON cb.doc_id = doc_b
             WHERE n_inter / (ca.n_sh + cb.n_sh - n_inter)::DOUBLE >= 0.2
             ORDER BY doc_a, doc_b
+        """,
+        "corpus_stats_by_source": """
+            SELECT source, lang, count(*)::BIGINT AS n_docs,
+                   round(avg(n_chars), 4) AS avg_chars,
+                   round(quantile_cont(n_chars, 0.5), 4) AS p50_chars,
+                   round(quantile_cont(n_chars, 0.9), 4) AS p90_chars,
+                   min(n_chars)::BIGINT AS min_chars,
+                   max(n_chars)::BIGINT AS max_chars
+            FROM documents GROUP BY source, lang ORDER BY source, lang
         """,
         "dedup_components": """
             WITH RECURSIVE sh AS (

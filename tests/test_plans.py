@@ -100,3 +100,52 @@ def test_asof_window_impl_single_shuffle(spark, queries):
     p = plan(queries["asof_join_purchase"](spark, SF))
     assert n_shuffles(p) == 1
     assert "SortMergeJoin" not in p  # it's a union + window, not a join
+
+
+def test_tfidf_topk_plan_no_python_no_cartesian(spark):
+    from protosc_spark.textops import tfidf_topk
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    p = plan(tfidf_topk(docs, k=3, min_df=2))
+    # pure JVM: no Python evaluation nodes anywhere
+    assert "ArrowEvalPython" not in p and "BatchEvalPython" not in p
+    # the ONLY product allowed is vocab_with_idf's 1-row n_docs
+    # broadcast cross join; a second one means a real join regressed
+    assert p.count("CartesianProduct") + p.count("BroadcastNestedLoop") <= 1
+    # tf agg + vocab agg + token join + per-doc window: bounded budget
+    assert n_shuffles(p) <= 6
+
+
+def test_line_dedup_plan_shape(spark):
+    from protosc_spark.dedup import line_dedup
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select(
+        "doc_id", F.regexp_replace("text", " ", "\n").alias("text")
+    )
+    p = plan(line_dedup(docs))
+    assert "ArrowEvalPython" not in p and "BatchEvalPython" not in p
+    assert "CartesianProduct" not in p
+    # line window + two per-doc aggs + reassembly join
+    assert n_shuffles(p) <= 4
+
+
+def test_corpus_stats_single_aggregation_exchange(spark, queries):
+    p = plan(queries["corpus_stats_by_source"](spark, SF))
+    # one hash shuffle for the groupBy (+ range exchange for ORDER BY)
+    assert p.count("Exchange hashpartitioning") == 1
+    assert "ArrowEvalPython" not in p
+
+
+def test_connected_components_lineage_is_cut(spark):
+    """Each CC round localCheckpoints, so the RETURNED plan must be a
+    flat scan of materialized partitions — no O(rounds) nested plan,
+    no re-executable exchanges."""
+    import pandas as pd
+    from protosc_spark.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        pd.DataFrame([(0, 1), (1, 2), (5, 6)], columns=["doc_a", "doc_b"])
+    )
+    p = plan(connected_components(pairs))
+    assert "ExistingRDD" in p or "Scan ExistingRDD" in p
+    assert n_shuffles(p) == 0
