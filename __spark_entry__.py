@@ -864,6 +864,20 @@ def _dedup_minhash_components(spark, sf_dir):
     return connected_components(pairs).orderBy("id")
 
 
+def _sim_topk_sq8(spark, sf_dir):
+    """Scalar-int8-quantized ANN (Faiss-SQ8 analog): corpus scanned as
+    dim-byte codes, asymmetric scoring, exact re-rank of 4k candidates.
+    Deterministic AND empirically exact-recovering at this config, so
+    it shares the brute-force SQL oracle — a real independent check
+    (pinned in tests/test_similarity.py)."""
+    from protosc_spark.similarity import sq8_topk
+
+    emb = _read(spark, sf_dir, "embeddings")
+    return sq8_topk(emb, query_ids=[0, 1, 2, 3, 4], k=10).select(
+        "query_id", "neighbor_id", "rank"
+    )
+
+
 def _corpus_stats_by_source(spark, sf_dir):
     """Corpus audit: per (source, lang) doc counts and EXACT length
     percentiles (Spark `percentile` == DuckDB `quantile_cont`, both
@@ -936,6 +950,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_line_dedup": _corpus_line_dedup,
         "dedup_minhash_components": _dedup_minhash_components,
         "corpus_stats_by_source": _corpus_stats_by_source,
+        "sim_topk_sq8": _sim_topk_sq8,
     }
 
 
@@ -1392,6 +1407,18 @@ def oracle_sql() -> dict[str, str]:
         # full-probe IVF == exact top-k, so it shares the brute-force
         # oracle; sim_topk_ivf_probe (partial probing) is rows-only.
         "sim_topk_ivf": """
+            SELECT query_id, neighbor_id, rank FROM (
+              SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+                     row_number() OVER (PARTITION BY q.vec_id
+                       ORDER BY round(list_cosine_similarity(
+                                 e.embedding::DOUBLE[], q.embedding::DOUBLE[]), 6) DESC,
+                                e.vec_id) AS rank
+              FROM embeddings e
+              JOIN (SELECT * FROM embeddings WHERE vec_id IN (0,1,2,3,4)) q
+                ON e.vec_id <> q.vec_id)
+            WHERE rank <= 10
+        """,
+        "sim_topk_sq8": """
             SELECT query_id, neighbor_id, rank FROM (
               SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
                      row_number() OVER (PARTITION BY q.vec_id

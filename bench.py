@@ -52,6 +52,11 @@ HEADLINE = [
     "mm_image_grey",
     "asof_time_split_purchase",
     "corpus_clean",
+    # round-3 additions
+    "dedup_components",
+    "txt_tfidf_topk",
+    "corpus_line_dedup",
+    "corpus_stats_by_source",
 ]
 
 BENCH_CONVERSATIONS = int(os.environ.get("PROTOSC_BENCH_CONVS", "20000"))

@@ -194,9 +194,16 @@ def connected_components(
     Raises RuntimeError if not converged within ``max_iter`` — at
     corpus scale a silently-unconverged labeling is data corruption.
     """
-    edges = pairs.select(F.col(src).alias("u"), F.col(dst).alias("v")).union(
-        pairs.select(F.col(dst).alias("u"), F.col(src).alias("v"))
-    )
+    # materialize `pairs` ONCE before anything else: it is usually an
+    # expensive plan (an LSH/Jaccard self-join), every round joins
+    # against the edges, and the symmetrization union alone would
+    # execute the plan twice (unmaterialized input measured 5x slower
+    # end-to-end on the sf0.1 Jaccard graph). The flipped side below
+    # reads the materialized partitions, not the plan.
+    fwd = pairs.select(
+        F.col(src).alias("u"), F.col(dst).alias("v")
+    ).localCheckpoint(eager=True)
+    edges = fwd.union(fwd.select(F.col("v").alias("u"), F.col("u").alias("v")))
     labels = (
         edges.select(F.col("u").alias("id"))
         .distinct()

@@ -288,3 +288,63 @@ class TestSemanticDedup:
             ).collect()
         )
         assert a == b
+
+
+# ---------------------------------------------------------------------------
+# SQ8 scalar quantization
+# ---------------------------------------------------------------------------
+
+def test_sq8_codes_are_dim_bytes_and_error_bounded(spark, emb):
+    """Codes are exactly dim uint8 bytes (8x smaller than the float64
+    array) and dequantization error is within scale/2 per dimension."""
+    import numpy as np
+    from protosc_spark.similarity import sq8_encode, sq8_train, with_unit_vectors
+
+    lo, hi = sq8_train(emb)
+    scale = (hi - lo) / 255.0
+    dim = len(lo)
+    rows = (
+        sq8_encode(emb, lo, hi)
+        .join(
+            with_unit_vectors(emb).select(
+                emb["vec_id"].alias("id"), "unit"
+            ),
+            "id",
+        )
+        .limit(50)
+        .collect()
+    )
+    for r in rows:
+        code = np.frombuffer(r["code"], dtype=np.uint8).astype(np.float64)
+        assert len(code) == dim
+        err = np.abs((code * scale + lo) - np.array(r["unit"]))
+        assert (err <= scale / 2 + 1e-12).all()
+
+
+def test_sq8_topk_recovers_exact_topk(spark, emb):
+    """With exact re-rank over 4k quantized candidates, SQ8 returns the
+    EXACT brute-force top-10 on this corpus (deterministic — no hash
+    family, no RNG — so this is a stable contract, and the driver gate
+    reuses the brute-force SQL oracle for sim_topk_sq8)."""
+    from protosc_spark.similarity import brute_force_topk, sq8_topk
+
+    a = sorted(map(tuple, sq8_topk(emb, [0, 1, 2, 3, 4], k=10).collect()))
+    e = sorted(map(tuple, brute_force_topk(emb, [0, 1, 2, 3, 4], k=10).collect()))
+    assert a == e
+
+
+def test_sq8_rerank1_still_high_recall(spark, emb):
+    """Without the re-rank cushion (rerank_factor=1 ranks purely on
+    quantized scores) recall stays high — pins that the quantizer
+    itself carries the signal, not just the re-rank."""
+    from protosc_spark.similarity import brute_force_topk, sq8_topk
+
+    a = {
+        (r["query_id"], r["neighbor_id"])
+        for r in sq8_topk(emb, [0, 1, 2, 3, 4], k=10, rerank_factor=1).collect()
+    }
+    e = {
+        (r["query_id"], r["neighbor_id"])
+        for r in brute_force_topk(emb, [0, 1, 2, 3, 4], k=10).collect()
+    }
+    assert len(a & e) / len(e) >= 0.8
