@@ -864,6 +864,30 @@ def _dedup_minhash_components(spark, sf_dir):
     return connected_components(pairs).orderBy("id")
 
 
+def _corpus_chunks(spark, sf_dir):
+    """Sliding-window chunking (12-token windows, stride 8): the
+    context-window splitting pass of a training/RAG pipeline. Map-only,
+    pure JVM; exact DuckDB oracle re-derives the identical windows."""
+    from protosc_spark.textops import chunk_documents
+
+    return chunk_documents(
+        _read(spark, sf_dir, "documents"), chunk_tokens=12, stride=8
+    ).orderBy("doc_id", "chunk_idx")
+
+
+def _corpus_pack(spark, sf_dir):
+    """GPT-style sequence packing: concatenate docs in id order into
+    one token stream, cut every 64 tokens. The engine computes the
+    global prefix sum TWO-PHASE (bucketed window + tiny bucket-offset
+    broadcast — never a global single-partition window); the oracle
+    recomputes it with a plain global window cumsum in SQL."""
+    from protosc_spark.textops import pack_sequences
+
+    return pack_sequences(
+        _read(spark, sf_dir, "documents"), target_tokens=64
+    ).orderBy("doc_id")
+
+
 def _sim_topk_sq8(spark, sf_dir):
     """Scalar-int8-quantized ANN (Faiss-SQ8 analog): corpus scanned as
     dim-byte codes, asymmetric scoring, exact re-rank of 4k candidates.
@@ -951,6 +975,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_components": _dedup_minhash_components,
         "corpus_stats_by_source": _corpus_stats_by_source,
         "sim_topk_sq8": _sim_topk_sq8,
+        "corpus_chunks": _corpus_chunks,
+        "corpus_pack": _corpus_pack,
     }
 
 
@@ -1289,6 +1315,37 @@ def oracle_sql() -> dict[str, str]:
             JOIN cnt cb ON cb.doc_id = doc_b
             WHERE n_inter / (ca.n_sh + cb.n_sh - n_inter)::DOUBLE >= 0.2
             ORDER BY doc_a, doc_b
+        """,
+        "corpus_chunks": """
+            WITH sp AS (
+              SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+            ), ix AS (
+              SELECT doc_id, toks,
+                     unnest(range(0, (len(toks) + 7) // 8)) AS i
+              FROM sp
+            )
+            SELECT doc_id, i::INT AS chunk_idx,
+                   len(toks[(i*8+1)::INT : (i*8+12)::INT])::BIGINT
+                     AS n_chunk_tokens,
+                   array_to_string(toks[(i*8+1)::INT : (i*8+12)::INT], ' ')
+                     AS chunk_text
+            FROM ix ORDER BY doc_id, chunk_idx
+        """,
+        "corpus_pack": """
+            WITH n AS (
+              SELECT doc_id,
+                     len(string_split(text, ' '))::BIGINT AS n_tokens
+              FROM documents
+            ), c AS (
+              SELECT doc_id, n_tokens,
+                     sum(n_tokens) OVER (ORDER BY doc_id
+                       ROWS UNBOUNDED PRECEDING) - n_tokens AS before
+              FROM n
+            )
+            SELECT doc_id, n_tokens,
+                   (before // 64)::BIGINT AS bin_id,
+                   (before % 64)::BIGINT AS bin_offset
+            FROM c ORDER BY doc_id
         """,
         "corpus_stats_by_source": """
             SELECT source, lang, count(*)::BIGINT AS n_docs,

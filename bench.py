@@ -57,6 +57,7 @@ HEADLINE = [
     "txt_tfidf_topk",
     "corpus_line_dedup",
     "corpus_stats_by_source",
+    "sim_topk_sq8",
 ]
 
 BENCH_CONVERSATIONS = int(os.environ.get("PROTOSC_BENCH_CONVS", "20000"))

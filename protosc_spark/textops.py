@@ -335,3 +335,107 @@ def tfidf_topk(df: DataFrame, k: int = 3, min_df: int = 2) -> DataFrame:
             F.round("score", 6).alias("tfidf"),
         )
     )
+
+
+def chunk_documents(
+    df: DataFrame, chunk_tokens: int = 128, stride: int | None = None
+) -> DataFrame:
+    """Split each document into fixed-size token windows — the
+    context-window chunking pass of a training/RAG pipeline. Chunk i
+    covers tokens [i*stride, i*stride + chunk_tokens); the default
+    stride == chunk_tokens gives disjoint chunks, smaller strides give
+    sliding-window overlap. The last chunk may be short; every token
+    appears in >= 1 chunk.
+
+    Output: (doc_id, chunk_idx, n_chunk_tokens, chunk_text). Pure JVM
+    (sequence + slice + posexplode), whole-stage codegen, no shuffle —
+    a map-only operator at any scale. Exact DuckDB oracle.
+    """
+    if stride is None:
+        stride = chunk_tokens
+    if stride <= 0 or chunk_tokens <= 0 or stride > chunk_tokens:
+        raise ValueError("need 0 < stride <= chunk_tokens")
+    toks = _tokens()
+    n = F.size(toks)
+    n_chunks = F.ceil(n / F.lit(stride)).cast("int")
+    return df.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), n_chunks - 1),
+                lambda i: F.slice(toks, i * stride + 1, chunk_tokens),
+            )
+        ).alias("chunk_idx", "__chunk"),
+    ).select(
+        "doc_id",
+        "chunk_idx",
+        F.size("__chunk").cast("bigint").alias("n_chunk_tokens"),
+        F.array_join("__chunk", " ").alias("chunk_text"),
+    )
+
+
+def pack_sequences(
+    df: DataFrame, target_tokens: int = 512, bucket_width: int = 1000
+) -> DataFrame:
+    """Sequence packing: concatenate all documents in doc_id order into
+    one conceptual token stream and cut it every ``target_tokens`` —
+    the GPT-style pretraining packing where documents cross bin
+    boundaries. Each doc reports where its first token lands.
+
+    Output: (doc_id, n_tokens, bin_id, bin_offset) with
+    bin_id = floor(tokens_before / target), offset = tokens_before %
+    target, tokens_before = exact prefix sum of n_tokens in doc_id
+    order.
+
+    Scale shape — the global prefix sum is TWO-PHASE, never a global
+    window (``Window.orderBy`` with no partition key funnels the whole
+    corpus through ONE task): (1) cumsum within doc_id//bucket_width
+    buckets (hash-partitioned window), (2) per-bucket totals (one tiny
+    aggregate, bucket count = ids/bucket_width) cumsum'd and joined
+    back broadcast. The bucketing key is monotone in doc order, so
+    bucket-offset + within-bucket prefix == the global prefix exactly;
+    the oracle recomputes it with a plain global window in SQL.
+    """
+    from pyspark.sql import Window as W
+
+    n_tok = df.select(
+        "doc_id",
+        F.col("doc_id").cast("long").alias("__did"),
+        F.size(_tokens()).cast("bigint").alias("n_tokens"),
+    ).withColumn(
+        "bucket", F.floor(F.col("__did") / F.lit(bucket_width))
+    )
+    w_in = (
+        W.partitionBy("bucket")
+        .orderBy("__did")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    within = n_tok.withColumn("cum_in", F.sum("n_tokens").over(w_in))
+    # bucket totals are ONE row per bucket — cumsum over them via a
+    # broadcast-joined running total (bucket table is tiny by
+    # construction, |ids| / bucket_width rows)
+    w_b = W.orderBy("bucket").rowsBetween(
+        W.unboundedPreceding, -1
+    )
+    totals = (
+        n_tok.groupBy("bucket")
+        .agg(F.sum("n_tokens").alias("tot"))
+        .withColumn(
+            "bucket_offset",
+            F.coalesce(F.sum("tot").over(w_b), F.lit(0).cast("bigint")),
+        )
+        .select("bucket", "bucket_offset")
+    )
+    out = within.join(F.broadcast(totals), "bucket").select(
+        "doc_id",
+        "n_tokens",
+        (
+            (F.col("bucket_offset") + F.col("cum_in") - F.col("n_tokens"))
+            / F.lit(target_tokens)
+        ).cast("bigint").alias("bin_id"),
+        (
+            (F.col("bucket_offset") + F.col("cum_in") - F.col("n_tokens"))
+            % F.lit(target_tokens)
+        ).alias("bin_offset"),
+    )
+    return out

@@ -350,3 +350,94 @@ def test_tfidf_topk_deterministic_ties(spark):
     d1 = out[out.doc_id == 1].sort_values("rnk")
     # rare (df=2) outranks common (df=4) at equal tf
     assert list(d1.token) == ["rare", "common"]
+
+
+def test_chunk_documents_hand_fixture(spark):
+    from protosc_spark.textops import chunk_documents
+
+    df = spark.createDataFrame(
+        [(0, "a b c d e f g h i j")], "doc_id long, text string"
+    )
+    # disjoint: 4+4+2
+    out = sorted(
+        map(tuple, chunk_documents(df, chunk_tokens=4).collect())
+    )
+    assert out == [
+        (0, 0, 4, "a b c d"),
+        (0, 1, 4, "e f g h"),
+        (0, 2, 2, "i j"),
+    ]
+    # sliding: stride 2, window 4
+    out2 = sorted(
+        map(tuple, chunk_documents(df, chunk_tokens=4, stride=2).collect())
+    )
+    assert [r[3] for r in out2] == [
+        "a b c d", "c d e f", "e f g h", "g h i j", "i j",
+    ]
+    with pytest.raises(ValueError):
+        chunk_documents(df, chunk_tokens=4, stride=5)
+
+
+def test_chunk_documents_covers_every_token(docs):
+    """Disjoint chunking partitions each doc exactly: chunk sizes sum
+    to n_tokens and concatenating chunks restores the text."""
+    from pyspark.sql import functions as F
+    from protosc_spark.textops import chunk_documents
+
+    chunks = chunk_documents(docs, chunk_tokens=16)
+    re = (
+        chunks.groupBy("doc_id")
+        .agg(
+            F.sum("n_chunk_tokens").alias("n"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("chunk_idx", "chunk_text"))
+                    ),
+                    lambda s: s["chunk_text"],
+                ),
+                " ",
+            ).alias("re_text"),
+        )
+        .join(docs.select("doc_id", "text"), "doc_id")
+    )
+    bad = re.where(
+        (F.col("re_text") != F.col("text"))
+        | (F.col("n") != F.size(F.split("text", " ")))
+    )
+    assert bad.count() == 0
+
+
+def test_pack_sequences_hand_fixture(spark):
+    from protosc_spark.textops import pack_sequences
+
+    df = spark.createDataFrame(
+        [
+            (0, "a b c"),          # 3 tokens, starts at 0  -> bin 0 off 0
+            (1, "a b c d"),        # 4 tokens, starts at 3  -> bin 0 off 3
+            (2, "a b c d e"),      # 5 tokens, starts at 7  -> bin 1 off 1
+        ],
+        "doc_id long, text string",
+    )
+    out = sorted(map(tuple, pack_sequences(df, target_tokens=6).collect()))
+    assert out == [(0, 3, 0, 0), (1, 4, 0, 3), (2, 5, 1, 1)]
+
+
+def test_pack_sequences_two_phase_equals_global_cumsum(docs):
+    """The bucketed two-phase prefix sum must equal a plain global
+    cumsum (pandas oracle), for a bucket width that forces many
+    buckets AND for one that degenerates to a single bucket."""
+    import pandas as pd
+    from protosc_spark.textops import pack_sequences
+
+    pdf = docs.select("doc_id", "text").toPandas().sort_values("doc_id")
+    n = pdf["text"].str.split(" ").str.len().to_numpy()
+    before = n.cumsum() - n
+    want = sorted(
+        zip(pdf["doc_id"], n, before // 100, before % 100)
+    )
+    for bw in (7, 10**9):
+        got = sorted(
+            map(tuple, pack_sequences(docs, 100, bucket_width=bw).collect())
+        )
+        assert got == [tuple(int(v) for v in r) for r in want], bw
