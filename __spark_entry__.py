@@ -888,6 +888,24 @@ def _corpus_pack(spark, sf_dir):
     ).orderBy("doc_id")
 
 
+def _corpus_decontaminate(spark, sf_dir):
+    """Benchmark decontamination: deterministic hash split, then every
+    (test doc, train doc) pair sharing a 4-token shingle — the n-gram
+    overlap check run before training (GPT-3-style, small w because
+    the synthetic corpus is small; mechanics are w-independent)."""
+    from protosc_spark.dedup import cross_split_contamination
+    from protosc_spark.sampling import hash_split
+
+    docs = hash_split(
+        _read(spark, sf_dir, "documents"),
+        ["doc_id"],
+        {"train": 0.9, "val": 0.05, "test": 0.05},
+    )
+    return cross_split_contamination(docs, w=4).orderBy(
+        "test_doc_id", "train_doc_id"
+    )
+
+
 def _sim_topk_sq8(spark, sf_dir):
     """Scalar-int8-quantized ANN (Faiss-SQ8 analog): corpus scanned as
     dim-byte codes, asymmetric scoring, exact re-rank of 4k candidates.
@@ -977,6 +995,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_topk_sq8": _sim_topk_sq8,
         "corpus_chunks": _corpus_chunks,
         "corpus_pack": _corpus_pack,
+        "corpus_decontaminate": _corpus_decontaminate,
     }
 
 
@@ -1001,6 +1020,32 @@ for _lg in reversed(_LANGS):
         f"CASE WHEN {_HIT[_lg]} = {_BEST} AND {_BEST} > 0 "
         f"THEN '{_lg}' ELSE {_LANG_CASE} END"
     )
+
+
+def _corpus_decontaminate_oracle() -> str:
+    from protosc_spark.sampling import split_oracle_sql
+
+    case = split_oracle_sql(
+        "doc_id::VARCHAR", {"train": 0.9, "val": 0.05, "test": 0.05}
+    )
+    return f"""
+        WITH d AS (
+          SELECT doc_id, text, {case} AS split FROM documents
+        ), sh AS (
+          SELECT doc_id, split, unnest(list_distinct(
+                   list_transform(
+                     range(1, greatest(len(string_split(text,' ')) - 3, 1) + 1),
+                     i -> array_to_string(
+                            string_split(text,' ')[i:i+3], ' '))))
+                 AS shingle
+          FROM d WHERE split IN ('train', 'test')
+        )
+        SELECT te.doc_id AS test_doc_id, tr.doc_id AS train_doc_id,
+               count(*)::BIGINT AS n_shared
+        FROM sh te JOIN sh tr ON te.shingle = tr.shingle
+        WHERE te.split = 'test' AND tr.split = 'train'
+        GROUP BY 1, 2 ORDER BY 1, 2
+    """
 
 
 def _corpus_split_oracle() -> str:
@@ -1236,6 +1281,7 @@ def oracle_sql() -> dict[str, str]:
             FROM s2
         """,
         "corpus_split": _corpus_split_oracle(),
+        "corpus_decontaminate": _corpus_decontaminate_oracle(),
         "txt_vocab_idf": """
             WITH tok AS (
               SELECT doc_id, unnest(list_distinct(string_split(text, ' ')))

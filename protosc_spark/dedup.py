@@ -527,3 +527,46 @@ def simhash_neardup_pairs(
         .dropDuplicates(["doc_a", "doc_b"])
         .where(F.col("hamming") <= max_hamming)
     )
+
+
+def cross_split_contamination(
+    df: DataFrame,
+    split_col: str = "split",
+    train: str = "train",
+    test: str = "test",
+    w: int = SHINGLE_W,
+    min_shared: int = 1,
+    text_col: str = "text",
+) -> DataFrame:
+    """Benchmark decontamination: find (test doc, train doc) pairs
+    sharing >= ``min_shared`` distinct w-token shingles — the standard
+    n-gram-overlap check run before training so that evaluation data
+    is not memorized verbatim (GPT-3-style 13-gram decontamination;
+    use a large ``w`` in production, the mechanics are w-independent).
+
+    Output: (test_doc_id, train_doc_id, n_shared). Plan: one shingle
+    explode per side from the SAME scan (the split filter prunes
+    before the join), equi-join on xxhash64(shingle) — identical scale
+    shape to ngram_jaccard_pairs, cost follows shared shingles, never
+    |test| x |train|. Hot boilerplate shingles can be capped exactly
+    like ngram_jaccard's max_df if a viral shingle appears.
+    """
+    sh = df.select(
+        "doc_id",
+        F.col(split_col),
+        F.explode(
+            F.transform(_shingles(text_col, w), lambda s: F.xxhash64(s))
+        ).alias("shingle"),
+    )
+    te = sh.where(F.col(split_col) == test).select(
+        F.col("doc_id").alias("test_doc_id"), "shingle"
+    )
+    tr = sh.where(F.col(split_col) == train).select(
+        F.col("doc_id").alias("train_doc_id"), "shingle"
+    )
+    return (
+        te.join(tr, "shingle")
+        .groupBy("test_doc_id", "train_doc_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_shared"))
+        .where(F.col("n_shared") >= min_shared)
+    )

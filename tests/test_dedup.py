@@ -359,3 +359,35 @@ def test_line_dedup_total_instance_accounting(spark):
     )
     assert int(out["n_kept"].sum()) == n_distinct
     assert (out["n_kept"] <= out["n_lines"]).all()
+
+
+def test_cross_split_contamination_planted(spark):
+    """A test doc quoting a train doc's 4-gram is flagged with the
+    right shared-shingle count; clean docs are not; train-train and
+    test-test overlap is never reported."""
+    from protosc_spark.dedup import cross_split_contamination
+
+    rows = [
+        (0, "train", "the quick brown fox jumps over the lazy dog"),
+        (1, "train", "completely unrelated content here today ok"),
+        (2, "test", "he said the quick brown fox jumps again"),   # 2 shared 4-grams
+        (3, "test", "nothing in common with training data"),
+        (4, "test", "completely unrelated content here today ok"), # verbatim copy
+        (5, "val", "the quick brown fox jumps over whatever"),     # val ignored
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, split string, text string")
+    got = {
+        (r["test_doc_id"], r["train_doc_id"]): r["n_shared"]
+        for r in cross_split_contamination(df, w=4).collect()
+    }
+    # doc2 shares 'the quick brown fox' and 'quick brown fox jumps'
+    assert got[(2, 0)] == 2
+    # verbatim copy: all 3 distinct 4-grams of the 7-token doc shared
+    assert got[(4, 1)] == 3
+    assert set(got) == {(2, 0), (4, 1)}
+    # min_shared raises the bar
+    got2 = {
+        (r["test_doc_id"], r["train_doc_id"])
+        for r in cross_split_contamination(df, w=4, min_shared=3).collect()
+    }
+    assert got2 == {(4, 1)}
