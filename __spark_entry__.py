@@ -888,6 +888,34 @@ def _corpus_pack(spark, sf_dir):
     ).orderBy("doc_id")
 
 
+def _dedup_incremental(spark, sf_dir):
+    """Ingest-time dedup of a new batch against a historical corpus:
+    Bloom prefilter (guaranteed-new rows skip the join) + exact verify
+    of the maybes. The Bloom is plan optimization only, so the oracle
+    is the plain anti-join in SQL."""
+    from protosc_spark.dedup import incremental_dedup
+
+    docs = _read(spark, sf_dir, "documents")
+    existing = docs.where(F.col("doc_id") < 400)
+    incoming = docs.where(F.col("doc_id") >= 400).unionByName(
+        docs.where((F.col("doc_id") % 8 == 0) & (F.col("doc_id") < 400))
+        .withColumn("doc_id", F.col("doc_id") + 10000)
+    )
+    return incremental_dedup(existing, incoming).select("doc_id").orderBy(
+        "doc_id"
+    )
+
+
+def _events_funnel(spark, sf_dir):
+    """Ordered funnel view -> click -> purchase per user: first
+    completion of each step strictly after the previous one. One
+    exchange (chained conditional window mins); exact SQL oracle."""
+    from protosc_spark.windows import funnel
+
+    ev = _read(spark, sf_dir, "events")
+    return funnel(ev, ["view", "click", "purchase"]).orderBy("user_id")
+
+
 def _corpus_decontaminate(spark, sf_dir):
     """Benchmark decontamination: deterministic hash split, then every
     (test doc, train doc) pair sharing a 4-token shingle — the n-gram
@@ -996,6 +1024,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_chunks": _corpus_chunks,
         "corpus_pack": _corpus_pack,
         "corpus_decontaminate": _corpus_decontaminate,
+        "events_funnel": _events_funnel,
+        "dedup_incremental": _dedup_incremental,
     }
 
 
@@ -1392,6 +1422,42 @@ def oracle_sql() -> dict[str, str]:
                    (before // 64)::BIGINT AS bin_id,
                    (before % 64)::BIGINT AS bin_offset
             FROM c ORDER BY doc_id
+        """,
+        "dedup_incremental": """
+            WITH existing AS (
+              SELECT * FROM documents WHERE doc_id < 400
+            ), incoming AS (
+              SELECT doc_id, text FROM documents WHERE doc_id >= 400
+              UNION ALL
+              SELECT doc_id + 10000 AS doc_id, text FROM documents
+              WHERE doc_id % 8 = 0 AND doc_id < 400
+            )
+            SELECT i.doc_id FROM incoming i
+            WHERE NOT EXISTS (
+              SELECT 1 FROM existing e WHERE e.text = i.text)
+            ORDER BY doc_id
+        """,
+        "events_funnel": """
+            WITH w1 AS (
+              SELECT user_id, ts, event_type,
+                     min(CASE WHEN event_type = 'view' THEN ts END)
+                       OVER (PARTITION BY user_id) AS view_ts
+              FROM events
+            ), w2 AS (
+              SELECT *, min(CASE WHEN event_type = 'click' AND ts > view_ts
+                                 THEN ts END)
+                          OVER (PARTITION BY user_id) AS click_ts
+              FROM w1
+            ), w3 AS (
+              SELECT *, min(CASE WHEN event_type = 'purchase'
+                                      AND ts > click_ts THEN ts END)
+                          OVER (PARTITION BY user_id) AS purchase_ts
+              FROM w2
+            )
+            SELECT DISTINCT user_id, view_ts, click_ts, purchase_ts,
+                   ((view_ts IS NOT NULL)::INT + (click_ts IS NOT NULL)::INT
+                    + (purchase_ts IS NOT NULL)::INT)::BIGINT AS stages
+            FROM w3 ORDER BY user_id
         """,
         "corpus_stats_by_source": """
             SELECT source, lang, count(*)::BIGINT AS n_docs,

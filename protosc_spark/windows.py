@@ -186,3 +186,47 @@ def session_summary(
     for name, agg in (extra_aggs or {}).items():
         aggs.append(agg.alias(name))
     return df.groupBy(*entity, session_col).agg(*aggs)
+
+
+def funnel(
+    df: DataFrame,
+    steps: Sequence[str],
+    entity: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Ordered-funnel analysis: per entity, the first time each step
+    completed STRICTLY AFTER the previous step's completion (the
+    classic view -> click -> purchase sequence query). A step with no
+    qualifying event leaves its timestamp (and all later steps) NULL.
+
+    Output: (entity, <step>_ts ..., stages bigint) where stages is the
+    number of consecutive completed steps.
+
+    Scale shape: ONE exchange on the entity — each step is a
+    conditional min over the same window partition (chained Window
+    nodes share the hash partitioning), then one distinct projection.
+    No self-joins, no per-step aggregation passes; works unchanged
+    whether an entity has 10 events or 10 million.
+    """
+    if not steps:
+        raise ValueError("need at least one funnel step")
+    w = W.partitionBy(entity)
+    out = df
+    prev: Column | None = None
+    ts_cols = []
+    for step in steps:
+        cond = F.col(type_col) == step
+        if prev is not None:
+            cond = cond & (F.col(ts_col) > prev)
+        c = f"{step}_ts"
+        out = out.withColumn(
+            c, F.min(F.when(cond, F.col(ts_col))).over(w)
+        )
+        prev = F.col(c)
+        ts_cols.append(c)
+    stages = sum(
+        (F.col(c).isNotNull().cast("bigint") for c in ts_cols),
+        F.lit(0).cast("bigint"),
+    )
+    return out.select(entity, *ts_cols, stages.alias("stages")).distinct()

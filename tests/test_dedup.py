@@ -391,3 +391,69 @@ def test_cross_split_contamination_planted(spark):
         for r in cross_split_contamination(df, w=4, min_shared=3).collect()
     }
     assert got2 == {(4, 1)}
+
+
+def test_incremental_dedup_equals_plain_antijoin(spark):
+    """The Bloom prefilter is plan optimization only: kept rows must
+    equal the plain anti-join exactly, true dups always caught (no
+    false negatives), and the maybe-rate stays near the true-dup rate
+    (bounded FPR)."""
+    from protosc_spark.dedup import _bloom_positions, incremental_dedup
+
+    docs = spark.read.parquet(DOCS)
+    existing = docs.where(F.col("doc_id") < 400).cache()
+    dups = (
+        docs.where((F.col("doc_id") % 8 == 0) & (F.col("doc_id") < 400))
+        .withColumn("doc_id", F.col("doc_id") + 10000)
+    )
+    incoming = docs.where(F.col("doc_id") >= 400).unionByName(dups).cache()
+
+    kept = incremental_dedup(existing, incoming)
+    got = {r["doc_id"] for r in kept.select("doc_id").collect()}
+    want = {
+        r["doc_id"]
+        for r in incoming.join(
+            existing.select("text").distinct(), "text", "left_anti"
+        ).select("doc_id").collect()
+    }
+    assert got == want
+    # every planted dup is dropped
+    assert not {i for i in got if i >= 10000 and (i - 10000) % 8 == 0}
+
+    # FPR bound: among genuinely-new incoming rows, the fraction that
+    # still needed the verify join must be small (theory ~0.24% at 16
+    # bits/item, 4 hashes; allow 5%)
+    import numpy as np
+    n = existing.count()
+    m = 8
+    while m < max(64, n * 16):
+        m *= 2
+    # recompute maybe flags via the same positions + a collected bitmap
+    pos_rows = existing.select(
+        F.explode(_bloom_positions("text", m, 4)).alias("p")
+    ).collect()
+    bloom = np.zeros(m // 8, dtype=np.uint8)
+    for r in pos_rows:
+        p = r["p"]
+        bloom[p >> 3] |= np.uint8(1 << (p & 7))
+    inc = incoming.select(
+        "doc_id", _bloom_positions("text", m, 4).alias("pos")
+    ).collect()
+    truly_new_and_flagged = 0
+    truly_new = 0
+    dup_texts_missing = 0
+    existing_texts = {
+        r["text"] for r in existing.select("text").collect()
+    }
+    inc_rows = {r["doc_id"]: r for r in inc}
+    texts = {r["doc_id"]: r["text"] for r in incoming.collect()}
+    for did, r in inc_rows.items():
+        maybe = all(bloom[p >> 3] & (1 << (p & 7)) for p in r["pos"])
+        if texts[did] in existing_texts:
+            if not maybe:
+                dup_texts_missing += 1  # would be a false negative
+        else:
+            truly_new += 1
+            truly_new_and_flagged += int(maybe)
+    assert dup_texts_missing == 0
+    assert truly_new_and_flagged / truly_new < 0.05

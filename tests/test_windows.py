@@ -199,3 +199,47 @@ def test_session_summary(transcripts):
     total = summ.agg(F.sum("n_rows")).first()[0]
     assert total == transcripts.count()
     assert summ.where(F.col("duration_s") < 0).count() == 0
+
+
+def test_funnel_hand_fixture(spark):
+    """Strict ordering: a click BEFORE the first view does not count;
+    later steps stay NULL once a step is missing."""
+    from protosc_spark.windows import funnel
+
+    rows = [
+        # user 0: full funnel in order
+        (0, "2024-01-01 10:00:00", "view"),
+        (0, "2024-01-01 10:05:00", "click"),
+        (0, "2024-01-01 10:10:00", "purchase"),
+        # user 1: click precedes the first view -> funnel stops at view
+        (1, "2024-01-01 09:00:00", "click"),
+        (1, "2024-01-01 09:30:00", "view"),
+        (1, "2024-01-01 08:00:00", "purchase"),
+        # user 2: view+click, purchase before click -> stages 2
+        (2, "2024-01-01 11:00:00", "view"),
+        (2, "2024-01-01 11:30:00", "click"),
+        (2, "2024-01-01 11:10:00", "purchase"),
+        # user 3: no view at all
+        (3, "2024-01-01 12:00:00", "click"),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts string, event_type string"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    out = {r["user_id"]: r for r in funnel(df, ["view", "click", "purchase"]).collect()}
+    assert out[0]["stages"] == 3
+    assert out[1]["stages"] == 1 and out[1]["click_ts"] is None
+    assert out[2]["stages"] == 2 and out[2]["purchase_ts"] is None
+    assert out[3]["stages"] == 0 and out[3]["view_ts"] is None
+    assert len(out) == 4
+
+
+def test_funnel_single_exchange(spark, events):
+    """All chained conditional mins share ONE user_id exchange."""
+    from protosc_spark.windows import funnel
+
+    p = (
+        funnel(events, ["view", "click", "purchase"])
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert p.count("Exchange hashpartitioning(user_id") <= 2  # windows + distinct
+    assert "CartesianProduct" not in p and "SortMergeJoin" not in p
