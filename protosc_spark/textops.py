@@ -306,11 +306,11 @@ def tfidf_topk(df: DataFrame, k: int = 3, min_df: int = 2) -> DataFrame:
     ties broken deterministically by token ascending so the output is
     oracle-checkable.
 
-    Scale shape: one explode + map-side-combined groupBy for tf, one
-    equi-join on token with the vocabulary (NOT force-broadcast — at
-    web scale the vocabulary tail is itself a large table; AQE
-    broadcasts it when small), one per-doc window for the top-k. No
-    Python anywhere.
+    Scale shape: ONE corpus explode + map-side-combined groupBy for
+    tf, document frequency as a token-window count over the tf table
+    itself (no second scan, no vocabulary join — the window shuffles
+    the same bytes on the same key a join would), one per-doc window
+    for the top-k. No Python anywhere.
     """
     from pyspark.sql import Window as W
 
@@ -319,9 +319,26 @@ def tfidf_topk(df: DataFrame, k: int = 3, min_df: int = 2) -> DataFrame:
         .groupBy("doc_id", "token")
         .agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
     )
-    idf = vocab_with_idf(df, min_df=min_df)
-    scored = tf.join(idf, "token").withColumn(
-        "score", F.col("tf") * F.col("idf")
+    # document frequency FROM the tf table via a token window (a tf
+    # row per (doc, token) == one count per doc): ONE corpus explode
+    # total and no vocabulary join — the window shuffles the same
+    # bytes on the same key the join would, without the second scan.
+    # idf formula identical to vocab_with_idf (sklearn smoothing).
+    n_docs = df.agg(F.count(F.lit(1)).alias("n_docs"))
+    w_tok = W.partitionBy("token")
+    scored = (
+        tf.withColumn(
+            "df", F.count(F.lit(1)).over(w_tok).cast("bigint")
+        )
+        .where(F.col("df") >= min_df)
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "idf",
+            F.round(
+                F.log((1.0 + F.col("n_docs")) / (1.0 + F.col("df"))) + 1.0, 6
+            ),
+        )
+        .withColumn("score", F.col("tf") * F.col("idf"))
     )
     w = W.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("token"))
     return (
