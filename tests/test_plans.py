@@ -109,11 +109,14 @@ def test_tfidf_topk_plan_no_python_no_cartesian(spark):
     p = plan(tfidf_topk(docs, k=3, min_df=2))
     # pure JVM: no Python evaluation nodes anywhere
     assert "ArrowEvalPython" not in p and "BatchEvalPython" not in p
-    # the ONLY product allowed is vocab_with_idf's 1-row n_docs
-    # broadcast cross join; a second one means a real join regressed
+    # the ONLY product allowed is the 1-row n_docs broadcast cross
+    # join; a second one means a real join regressed
     assert p.count("CartesianProduct") + p.count("BroadcastNestedLoop") <= 1
-    # tf agg + vocab agg + token join + per-doc window: bounded budget
-    assert n_shuffles(p) <= 6
+    # df comes from a token window over the tf table, NOT a second
+    # corpus explode: exactly one Generate node in the whole plan
+    assert p.count("Generate explode") == 1
+    # tf agg + token window + per-doc window: bounded budget
+    assert n_shuffles(p) <= 5
 
 
 def test_line_dedup_plan_shape(spark):
