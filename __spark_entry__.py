@@ -906,6 +906,25 @@ def _dedup_incremental(spark, sf_dir):
     )
 
 
+def _asof_tolerance(spark, sf_dir):
+    """Strict-past as-of with a 1-hour staleness bound: a purchase
+    older than the tolerance is nulled (feature-freshness contract).
+    Same one-exchange window plan; oracle = DuckDB ASOF + staleness
+    CASE (the most recent match is unique, so post-filtering it equals
+    tolerance-aware matching)."""
+    ev = _read(spark, sf_dir, "events")
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    purch = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.col("value").alias("purchase_value")
+    )
+    return asof_join(
+        clicks, purch, by="user_id", value_cols=["purchase_value"],
+        tolerance_seconds=3600,
+    ).orderBy("event_id")
+
+
 def _events_funnel(spark, sf_dir):
     """Ordered funnel view -> click -> purchase per user: first
     completion of each step strictly after the previous one. One
@@ -1026,6 +1045,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_decontaminate": _corpus_decontaminate,
         "events_funnel": _events_funnel,
         "dedup_incremental": _dedup_incremental,
+        "asof_tolerance_purchase": _asof_tolerance,
     }
 
 
@@ -1436,6 +1456,18 @@ def oracle_sql() -> dict[str, str]:
             WHERE NOT EXISTS (
               SELECT 1 FROM existing e WHERE e.text = i.text)
             ORDER BY doc_id
+        """,
+        "asof_tolerance_purchase": """
+            SELECT c.event_id, c.user_id, c.ts,
+                   CASE WHEN epoch_us(c.ts) - epoch_us(p.ts)
+                             <= 3600::BIGINT * 1000000
+                        THEN p.purchase_value END AS purchase_value
+            FROM (SELECT event_id, user_id, ts FROM events
+                  WHERE event_type = 'click') c
+            ASOF LEFT JOIN (SELECT user_id, ts, value AS purchase_value
+                            FROM events WHERE event_type = 'purchase') p
+            ON c.user_id = p.user_id AND c.ts > p.ts
+            ORDER BY event_id
         """,
         "events_funnel": """
             WITH w1 AS (

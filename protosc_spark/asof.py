@@ -44,12 +44,20 @@ def asof_join(
     by: str | Sequence[str] = "conv_id",
     value_cols: Sequence[str] | None = None,
     allow_exact_matches: bool = False,
+    tolerance_seconds: float | None = None,
 ) -> DataFrame:
     """Backward as-of join, window implementation (the scale path).
 
     ``left`` keeps all its columns; for each name in ``value_cols``
     (default: every right column not in the key) a column with the
     as-of value is appended.
+
+    ``tolerance_seconds`` bounds feature STALENESS (pandas merge_asof
+    semantics): a match older than the tolerance is nulled out row-
+    atomically — the standard point-in-time knob for "an attribute
+    update from last month must not leak into today's feature". The
+    matched right ts rides inside the carried struct, so this costs no
+    extra shuffle: same one-exchange plan, one extra comparison.
     """
     by = [by] if isinstance(by, str) else list(by)
     value_cols = list(
@@ -70,9 +78,14 @@ def asof_join(
     # same row semantics as the merge_asof kernels (pinned in
     # tests/test_asof.py on a null-valued update).
     right_src = 1 if not allow_exact_matches else -1
-    vrow_type = T.StructType(
-        [T.StructField(c, right.schema[c].dataType, True) for c in value_cols]
-    )
+    vrow_fields = [
+        T.StructField(c, right.schema[c].dataType, True) for c in value_cols
+    ]
+    if tolerance_seconds is not None:
+        vrow_fields.append(
+            T.StructField("__rts", right.schema[on].dataType, True)
+        )
+    vrow_type = T.StructType(vrow_fields)
     lhs = left.select(
         *by,
         F.col(on).alias("__ts"),
@@ -85,7 +98,14 @@ def asof_join(
         F.col(on).alias("__ts"),
         F.lit(right_src).alias("__src"),
         F.lit(None).cast(lhs.schema["__row"].dataType).alias("__row"),
-        F.struct(*[F.col(c) for c in value_cols]).alias("__vrow"),
+        F.struct(
+            *[F.col(c) for c in value_cols],
+            # matched-right-ts rider for the tolerance check; placed
+            # LAST so the duplicate-row tiebreak still compares the
+            # value columns first (rows tied on (by, ts) share __rts)
+            *([F.col(on).alias("__rts")] if tolerance_seconds is not None
+              else []),
+        ).alias("__vrow"),
     )
     unioned = lhs.unionByName(rhs)
 
@@ -106,9 +126,23 @@ def asof_join(
         F.last(F.col("__vrow"), ignorenulls=True).over(w).alias("__f"),
     ).where(F.col("__row").isNotNull())
 
+    if tolerance_seconds is None:
+        return filled.select(
+            *[F.col(f"__row.{c}").alias(c) for c in left.columns],
+            *[F.col(f"__f.{c}").alias(c) for c in value_cols],
+        )
+    from protosc_spark.windows import _epoch_us
+
+    fresh = F.col("__f.__rts").isNotNull() & (
+        _epoch_us(F.col(f"__row.{on}")) - _epoch_us(F.col("__f.__rts"))
+        <= F.lit(int(tolerance_seconds * 1_000_000)).cast("long")
+    )
     return filled.select(
         *[F.col(f"__row.{c}").alias(c) for c in left.columns],
-        *[F.col(f"__f.{c}").alias(c) for c in value_cols],
+        *[
+            F.when(fresh, F.col(f"__f.{c}")).alias(c)
+            for c in value_cols
+        ],
     )
 
 

@@ -208,3 +208,69 @@ class TestTimeSplit:
         assert got[("giant", 25)] == 1.0   # day 2, after 01-02 00:30 update
         assert got[("giant", 24)] == 0.0   # day 2 00:00, before its update
         assert got[("giant", 0)] is None
+
+
+def test_asof_tolerance_bounds_staleness(spark):
+    """A match older than the tolerance is nulled row-atomically; a
+    fresh one passes; the no-tolerance result is unchanged."""
+    from protosc_spark.asof import asof_join
+
+    left = spark.createDataFrame(
+        [
+            ("c1", "2024-01-01 10:00:00"),
+            ("c1", "2024-01-01 13:00:00"),
+            ("c2", "2024-01-01 10:00:00"),
+        ],
+        "conv_id string, ts string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    right = spark.createDataFrame(
+        [
+            ("c1", "2024-01-01 09:30:00", 1.0),  # fresh for 10:00, stale for 13:00
+            ("c2", "2024-01-01 05:00:00", 2.0),  # stale at 1h tolerance
+        ],
+        "conv_id string, ts string, v double",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+
+    out = {
+        (r["conv_id"], str(r["ts"])): r["v"]
+        for r in asof_join(left, right, tolerance_seconds=3600).collect()
+    }
+    assert out[("c1", "2024-01-01 10:00:00")] == 1.0
+    assert out[("c1", "2024-01-01 13:00:00")] is None
+    assert out[("c2", "2024-01-01 10:00:00")] is None
+
+    base = {
+        (r["conv_id"], str(r["ts"])): r["v"]
+        for r in asof_join(left, right).collect()
+    }
+    assert base[("c1", "2024-01-01 13:00:00")] == 1.0
+    assert base[("c2", "2024-01-01 10:00:00")] == 2.0
+
+
+def test_asof_tolerance_matches_pandas_merge_asof(spark, events):
+    """Tolerance semantics vs pandas merge_asof on the real events
+    table (strict past + 1h tolerance)."""
+    import pandas as pd
+    from protosc_spark.asof import asof_join
+
+    clicks = events.where(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    purch = events.where(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.col("value").alias("pv")
+    )
+    got = (
+        asof_join(
+            clicks, purch, by="user_id", value_cols=["pv"],
+            tolerance_seconds=3600,
+        )
+        .orderBy("event_id")
+        .toPandas()
+    )
+    lc = clicks.orderBy("ts", "event_id").toPandas()
+    rp = purch.orderBy("ts").toPandas().rename(columns={"ts": "rts"})
+    want = pd.merge_asof(
+        lc, rp, left_on="ts", right_on="rts", by="user_id",
+        allow_exact_matches=False, tolerance=pd.Timedelta("1h"),
+    ).sort_values("event_id")
+    assert list(got["pv"].fillna(-1)) == list(want["pv"].fillna(-1))
