@@ -953,6 +953,19 @@ def _corpus_decontaminate(spark, sf_dir):
     )
 
 
+def _sim_topk_pq(spark, sf_dir):
+    """Product-quantized ANN (Faiss-PQ analog): 8-byte codes (64x
+    compression at dim 64), ADC lookup-table scan, exact re-rank.
+    Deterministic but lossy (recall 0.98 at this config, pinned >= 0.9
+    in tests) -> FROZEN oracle like the other approximate ANN paths."""
+    from protosc_spark.similarity import pq_topk
+
+    emb = _read(spark, sf_dir, "embeddings")
+    return pq_topk(emb, query_ids=[0, 1, 2, 3, 4], k=10).select(
+        "query_id", "neighbor_id", "rank"
+    )
+
+
 def _sim_topk_sq8(spark, sf_dir):
     """Scalar-int8-quantized ANN (Faiss-SQ8 analog): corpus scanned as
     dim-byte codes, asymmetric scoring, exact re-rank of 4k candidates.
@@ -1046,6 +1059,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_funnel": _events_funnel,
         "dedup_incremental": _dedup_incremental,
         "asof_tolerance_purchase": _asof_tolerance,
+        "sim_topk_pq": _sim_topk_pq,
     }
 
 

@@ -586,3 +586,172 @@ def sq8_topk(
         .where(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", "cosine")
     )
+
+
+# ---------------------------------------------------------------------------
+# PQ — product quantization (ADC lookup-scan scale path)
+# ---------------------------------------------------------------------------
+
+
+def pq_train(
+    emb: DataFrame,
+    m: int = 8,
+    ksub: int = 256,
+    n_iter: int = 5,
+    sample_n: int = 2048,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> np.ndarray:
+    """Deterministic product-quantizer codebooks: the unit-vector space
+    is split into ``m`` contiguous subspaces and each gets its own
+    k-means codebook of ``ksub`` centroids (Faiss PQ analog; codes are
+    m bytes per vector — 64x smaller than a 64-dim float64 array).
+
+    Same determinism recipe as ivf_train_centroids: sample = first
+    ``sample_n`` vectors in xxhash64(id) order, init = first ksub
+    sample rows per subspace, Lloyd with empty cells keeping their
+    centroid. Returns [m, ksub, dim/m] float64.
+    """
+    sample = (
+        with_unit_vectors(emb, vec_col)
+        .select(F.col(id_col).alias("id"), "unit")
+        .orderBy(F.xxhash64(F.col("id")), F.col("id"))
+        .limit(sample_n)
+        .toPandas()
+    )
+    X = np.array(sample["unit"].tolist(), dtype=np.float64)
+    n, dim = X.shape
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    k = min(ksub, n)
+    dsub = dim // m
+    books = np.zeros((m, k, dsub))
+    for j in range(m):
+        S = X[:, j * dsub : (j + 1) * dsub]
+        C = S[:k].copy()
+        for _ in range(n_iter):
+            d2 = ((S[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+            assign = d2.argmin(axis=1)
+            for c in range(k):
+                members = S[assign == c]
+                if len(members):
+                    C[c] = members.mean(axis=0)
+        books[j] = C
+    return books
+
+
+def pq_encode(
+    emb: DataFrame,
+    books: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, code: binary) — per subspace, the nearest-codeword index as
+    one uint8 byte. One Arrow pass; the [m, ksub, dsub] codebook rides
+    the closure (executor-broadcast)."""
+    B = np.asarray(books, dtype=np.float64)
+    m, k, dsub = B.shape
+
+    @F.pandas_udf(T.BinaryType())
+    def enc_udf(units: pd.Series) -> pd.Series:
+        X = np.array(units.tolist(), dtype=np.float64)
+        codes = np.empty((len(X), m), dtype=np.uint8)
+        for j in range(m):
+            S = X[:, j * dsub : (j + 1) * dsub]
+            d2 = ((S[:, None, :] - B[j][None, :, :]) ** 2).sum(axis=2)
+            codes[:, j] = d2.argmin(axis=1).astype(np.uint8)
+        return pd.Series([c.tobytes() for c in codes])
+
+    return with_unit_vectors(emb, vec_col).select(
+        F.col(id_col).alias("id"), enc_udf(F.col("unit")).alias("code")
+    )
+
+
+def pq_topk(
+    emb: DataFrame,
+    query_ids: Sequence[int],
+    k: int = 10,
+    m: int = 8,
+    rerank_factor: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate cosine top-k over PQ codes with exact re-rank —
+    asymmetric distance computation (ADC): per query, a [m, ksub]
+    lookup table of query-subvector x codeword dot products is built
+    once on the driver (tiny) and the corpus scan is m byte-indexed
+    table lookups per row, never a float dot product. Deterministic
+    end-to-end (sampled k-means with fixed init, no RNG).
+
+    Same output contract and tie rule as brute_force_topk; candidates
+    = top (k * rerank_factor) by ADC score, exact-cosine re-ranked.
+    """
+    books = pq_train(emb, m=m, id_col=id_col, vec_col=vec_col)
+    codes = pq_encode(emb, books, id_col, vec_col)
+    mm, ksub, dsub = books.shape
+
+    qids = [int(q) for q in query_ids]
+    base = with_unit_vectors(emb, vec_col).select(
+        F.col(id_col).alias("neighbor_id"), "unit"
+    )
+    q_pdf = (
+        base.where(F.col("neighbor_id").isin(*qids))
+        .orderBy("neighbor_id")
+        .toPandas()
+    )
+    Q = np.array(q_pdf["unit"].tolist(), dtype=np.float64)  # [nq, dim]
+    q_order = q_pdf["neighbor_id"].to_numpy()
+    # ADC tables: lut[qi, j, c] = q_sub . codeword  (cosine = sum_j lut)
+    lut = np.einsum(
+        "qjd,jcd->qjc", Q.reshape(len(Q), mm, dsub), books
+    )  # [nq, m, ksub]
+
+    @F.pandas_udf(T.ArrayType(T.DoubleType()))
+    def adc_udf(code_s: pd.Series) -> pd.Series:
+        C = (
+            np.frombuffer(b"".join(code_s), dtype=np.uint8)
+            .reshape(len(code_s), mm)
+            .astype(np.int64)
+        )
+        # S[b, q] = sum_j lut[q, j, C[b, j]]
+        S = np.zeros((len(C), lut.shape[0]))
+        for j in range(mm):
+            S += lut[:, j, C[:, j]].T
+        return pd.Series(list(S))
+
+    scored = codes.select(
+        F.col("id").alias("neighbor_id"),
+        F.posexplode(adc_udf(F.col("code"))).alias("qi", "approx"),
+    ).withColumn(
+        "query_id",
+        F.element_at(
+            F.array(*[F.lit(int(q)) for q in q_order]), F.col("qi") + 1
+        ).cast("long"),
+    ).where(F.col("neighbor_id") != F.col("query_id"))
+
+    w_cand = W.partitionBy("query_id").orderBy(
+        F.desc("approx"), F.asc("neighbor_id")
+    )
+    cand = (
+        scored.withColumn("crank", F.row_number().over(w_cand))
+        .where(F.col("crank") <= k * rerank_factor)
+        .select("query_id", "neighbor_id")
+    )
+    q_vec = base.where(F.col("neighbor_id").isin(*qids)).select(
+        F.col("neighbor_id").alias("query_id"), F.col("unit").alias("q_unit")
+    )
+    rer = (
+        cand.join(base, "neighbor_id")
+        .join(F.broadcast(q_vec), "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(_dot(F.col("q_unit"), F.col("unit")), 6).alias("cosine"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        rer.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cosine")
+    )

@@ -348,3 +348,30 @@ def test_sq8_rerank1_still_high_recall(spark, emb):
         for r in brute_force_topk(emb, [0, 1, 2, 3, 4], k=10).collect()
     }
     assert len(a & e) / len(e) >= 0.8
+
+
+def test_pq_codes_and_recall(spark, emb):
+    """PQ codes are m bytes (64x smaller than the float64 array for
+    dim 64); ADC + exact re-rank recovers >= 0.9 of the exact top-10;
+    output is deterministic across runs (sampled k-means, fixed init,
+    no RNG — the basis for the frozen gate oracle)."""
+    from protosc_spark.similarity import (
+        brute_force_topk,
+        pq_encode,
+        pq_topk,
+        pq_train,
+    )
+
+    books = pq_train(emb, m=8)
+    assert books.shape[0] == 8 and books.shape[2] == 8  # dim 64 / m 8
+    r = pq_encode(emb, books).first()
+    assert len(r["code"]) == 8
+
+    a = sorted(map(tuple, pq_topk(emb, [0, 1, 2, 3, 4], k=10).collect()))
+    e = sorted(
+        map(tuple, brute_force_topk(emb, [0, 1, 2, 3, 4], k=10).collect())
+    )
+    recall = len({x[:2] for x in a} & {x[:2] for x in e}) / len(e)
+    assert recall >= 0.9
+    a2 = sorted(map(tuple, pq_topk(emb, [0, 1, 2, 3, 4], k=10).collect()))
+    assert a == a2
