@@ -906,6 +906,30 @@ def _dedup_incremental(spark, sf_dir):
     )
 
 
+def _txt_bpe_tokenize(spark, sf_dir):
+    """BPE tokenizer trained on the corpus (40 merges: distributed
+    word-count pass + driver merge loop on the vocabulary-sized table),
+    then applied in one Arrow pass. Deterministic (lexicographic tie
+    rule) -> FROZEN oracle; merge-order/round-trip/compression
+    contracts pinned in tests/test_bpe.py."""
+    from protosc_spark.bpe import bpe_tokenize, bpe_train
+
+    docs = _read(spark, sf_dir, "documents")
+    merges = bpe_train(docs, n_merges=40)
+    return bpe_tokenize(docs, merges).select(
+        "doc_id",
+        "n_bpe",
+        F.array_join(F.slice("tokens", 1, 5), "|").alias("tokens_head"),
+    ).orderBy("doc_id")
+
+
+def _txt_top_ngrams(spark, sf_dir):
+    """Corpus-wide 20 most frequent bigrams (collocation audit)."""
+    from protosc_spark.textops import top_ngrams
+
+    return top_ngrams(_read(spark, sf_dir, "documents"), n=2, k=20)
+
+
 def _asof_tolerance(spark, sf_dir):
     """Strict-past as-of with a 1-hour staleness bound: a purchase
     older than the tolerance is nulled (feature-freshness contract).
@@ -1060,6 +1084,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_incremental": _dedup_incremental,
         "asof_tolerance_purchase": _asof_tolerance,
         "sim_topk_pq": _sim_topk_pq,
+        "txt_top_ngrams": _txt_top_ngrams,
+        "txt_bpe_tokenize": _txt_bpe_tokenize,
     }
 
 
@@ -1504,6 +1530,25 @@ def oracle_sql() -> dict[str, str]:
                    ((view_ts IS NOT NULL)::INT + (click_ts IS NOT NULL)::INT
                     + (purchase_ts IS NOT NULL)::INT)::BIGINT AS stages
             FROM w3 ORDER BY user_id
+        """,
+        "txt_top_ngrams": """
+            WITH g AS (
+              SELECT unnest(list_transform(
+                       range(1, greatest(len(string_split(text,' ')) - 1, 0) + 1),
+                       i -> array_to_string(
+                              string_split(text,' ')[i:i+1], ' ')))
+                     AS ngram
+              FROM documents
+              WHERE len(string_split(text,' ')) >= 2
+            ), c AS (
+              SELECT ngram, count(*)::BIGINT AS n_occurrences
+              FROM g GROUP BY ngram
+            )
+            SELECT rnk, ngram, n_occurrences FROM (
+              SELECT *, row_number() OVER (ORDER BY n_occurrences DESC,
+                                           ngram) AS rnk
+              FROM c)
+            WHERE rnk <= 20 ORDER BY rnk
         """,
         "corpus_stats_by_source": """
             SELECT source, lang, count(*)::BIGINT AS n_docs,

@@ -456,3 +456,36 @@ def pack_sequences(
         ).alias("bin_offset"),
     )
     return out
+
+
+def top_ngrams(df: DataFrame, n: int = 2, k: int = 20) -> DataFrame:
+    """Corpus-wide most frequent n-grams — the vocabulary/collocation
+    audit every corpus build runs. One explode + map-side-combined
+    groupBy + global top-k (rank window over the aggregated table,
+    which is vocabulary-sized, not corpus-sized). Deterministic ties
+    by ngram ascending.
+    """
+    toks = _tokens()
+    size = F.size(toks)
+    # guard short docs explicitly: sequence(1, 0) DESCENDS in Spark,
+    # so a doc with < n tokens must yield an empty gram array instead
+    grams = F.when(
+        size >= n,
+        F.transform(
+            F.sequence(F.lit(1), size - F.lit(n - 1)),
+            lambda i: F.array_join(F.slice(toks, i, n), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    from pyspark.sql import Window as W
+
+    counts = (
+        df.select(F.explode(grams).alias("ngram"))
+        .groupBy("ngram")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_occurrences"))
+    )
+    w = W.orderBy(F.desc("n_occurrences"), F.asc("ngram"))
+    return (
+        counts.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= k)
+        .select("rnk", "ngram", "n_occurrences")
+    )

@@ -441,3 +441,16 @@ def test_pack_sequences_two_phase_equals_global_cumsum(docs):
             map(tuple, pack_sequences(docs, 100, bucket_width=bw).collect())
         )
         assert got == [tuple(int(v) for v in r) for r in want], bw
+
+
+def test_top_ngrams_hand_fixture(spark):
+    from protosc_spark.textops import top_ngrams
+
+    rows = [
+        (0, "a b a b c"),     # bigrams: 'a b' x2, 'b a', 'b c'
+        (1, "a b"),           # 'a b'
+        (2, "x"),             # too short -> no bigrams (not [1,0] descend)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = [tuple(r) for r in top_ngrams(df, n=2, k=3).collect()]
+    assert out == [(1, "a b", 3), (2, "b a", 1), (3, "b c", 1)]
