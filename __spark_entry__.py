@@ -906,6 +906,16 @@ def _dedup_incremental(spark, sf_dir):
     )
 
 
+def _sim_label_centroids(spark, sf_dir):
+    """Per-label embedding centroids (class prototypes), long form.
+    One posexplode + map-side-combined groupBy; exact SQL oracle."""
+    from protosc_spark.similarity import label_centroids
+
+    return label_centroids(_read(spark, sf_dir, "embeddings")).orderBy(
+        "label", "dim"
+    )
+
+
 def _txt_bpe_tokenize(spark, sf_dir):
     """BPE tokenizer trained on the corpus (40 merges: distributed
     word-count pass + driver merge loop on the vocabulary-sized table),
@@ -1086,6 +1096,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_topk_pq": _sim_topk_pq,
         "txt_top_ngrams": _txt_top_ngrams,
         "txt_bpe_tokenize": _txt_bpe_tokenize,
+        "sim_label_centroids": _sim_label_centroids,
     }
 
 
@@ -1677,6 +1688,14 @@ def oracle_sql() -> dict[str, str]:
               JOIN (SELECT * FROM embeddings WHERE vec_id IN (0,1,2,3,4)) q
                 ON e.vec_id <> q.vec_id)
             WHERE rank <= 10
+        """,
+        "sim_label_centroids": """
+            SELECT label, (dim - 1)::INT AS dim,
+                   round(avg(v), 6) AS centroid
+            FROM (SELECT label, unnest(embedding::DOUBLE[]) AS v,
+                         generate_subscripts(embedding, 1) AS dim
+                  FROM embeddings)
+            GROUP BY label, dim ORDER BY label, dim
         """,
         "sim_topk_sq8": """
             SELECT query_id, neighbor_id, rank FROM (

@@ -755,3 +755,27 @@ def pq_topk(
         .where(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", "cosine")
     )
+
+
+def label_centroids(
+    emb: DataFrame,
+    label_col: str = "label",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-group embedding centroid, long form: (label, dim, centroid).
+    The grouped-vector-mean reduction behind class prototypes /
+    nearest-centroid classifiers / cluster drift audits.
+
+    Shape: posexplode to (label, dim, value) -> ONE map-side-combined
+    groupBy(label, dim) average. No driver collect, no UDF; works for
+    any dim because the reduction is per-(group, dim) scalar, and the
+    output is |labels| x dim rows — tiny relative to the corpus.
+    """
+    return (
+        emb.select(
+            F.col(label_col).alias("label"),
+            F.posexplode(vec_col).alias("dim", "v"),
+        )
+        .groupBy("label", "dim")
+        .agg(F.round(F.avg(F.col("v").cast("double")), 6).alias("centroid"))
+    )

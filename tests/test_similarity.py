@@ -375,3 +375,20 @@ def test_pq_codes_and_recall(spark, emb):
     assert recall >= 0.9
     a2 = sorted(map(tuple, pq_topk(emb, [0, 1, 2, 3, 4], k=10).collect()))
     assert a == a2
+
+
+def test_label_centroids_vs_numpy(spark, emb, emb_np):
+    import numpy as np
+    from protosc_spark.similarity import label_centroids
+
+    got = {
+        (r["label"], r["dim"]): r["centroid"]
+        for r in label_centroids(emb).collect()
+    }
+    rows = emb.select("vec_id", "label").orderBy("vec_id").collect()
+    labels = np.array([r["label"] for r in rows])
+    _ids, X = emb_np  # ordered by vec_id in the fixture
+    for lb in set(labels.tolist()):
+        want = X[labels == lb].mean(axis=0)
+        for d in range(X.shape[1]):
+            assert abs(got[(lb, d)] - round(float(want[d]), 6)) < 1e-9
