@@ -58,6 +58,15 @@ HEADLINE = [
     "corpus_line_dedup",
     "corpus_stats_by_source",
     "sim_topk_sq8",
+    "sim_topk_pq",
+    "sim_label_centroids",
+    "corpus_chunks",
+    "corpus_pack",
+    "corpus_decontaminate",
+    "dedup_incremental",
+    "events_funnel",
+    "txt_top_ngrams",
+    "txt_bpe_tokenize",
 ]
 
 BENCH_CONVERSATIONS = int(os.environ.get("PROTOSC_BENCH_CONVS", "20000"))
