@@ -906,6 +906,17 @@ def _dedup_incremental(spark, sf_dir):
     )
 
 
+def _txt_pmi(spark, sf_dir):
+    """Top-20 collocations by PMI over directional skip-gram pairs
+    (window 2, min_count 5) — word2vec-era co-occurrence statistics,
+    exactly re-derivable in SQL."""
+    from protosc_spark.textops import pmi_collocations
+
+    return pmi_collocations(
+        _read(spark, sf_dir, "documents"), window=2, min_count=5, k=20
+    )
+
+
 def _sim_label_centroids(spark, sf_dir):
     """Per-label embedding centroids (class prototypes), long form.
     One posexplode + map-side-combined groupBy; exact SQL oracle."""
@@ -1097,6 +1108,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "txt_top_ngrams": _txt_top_ngrams,
         "txt_bpe_tokenize": _txt_bpe_tokenize,
         "sim_label_centroids": _sim_label_centroids,
+        "txt_pmi_collocations": _txt_pmi,
     }
 
 
@@ -1688,6 +1700,48 @@ def oracle_sql() -> dict[str, str]:
               JOIN (SELECT * FROM embeddings WHERE vec_id IN (0,1,2,3,4)) q
                 ON e.vec_id <> q.vec_id)
             WHERE rank <= 10
+        """,
+        "txt_pmi_collocations": """
+            WITH sp AS (
+              SELECT string_split(text, ' ') AS toks FROM documents
+            ), pr AS (
+              SELECT unnest(list_concat(
+                CASE WHEN len(toks) > 1 THEN
+                  list_transform(range(1, len(toks)),
+                    i -> toks[i::INT] || ' ' || toks[(i+1)::INT])
+                ELSE []::VARCHAR[] END,
+                CASE WHEN len(toks) > 2 THEN
+                  list_transform(range(1, len(toks) - 1),
+                    i -> toks[i::INT] || ' ' || toks[(i+2)::INT])
+                ELSE []::VARCHAR[] END)) AS pair
+              FROM sp
+            ), pc AS (
+              SELECT string_split(pair, ' ')[1] AS tok_a,
+                     string_split(pair, ' ')[2] AS tok_b,
+                     count(*)::BIGINT AS c_ab
+              FROM pr GROUP BY 1, 2 HAVING count(*) >= 5
+            ), uc AS (
+              SELECT tok, count(*)::BIGINT AS c
+              FROM (SELECT unnest(toks) AS tok FROM sp) GROUP BY tok
+            ), tt AS (
+              SELECT sum(len(toks))::DOUBLE AS t_tok,
+                     sum(greatest(len(toks) - 1, 0)
+                         + greatest(len(toks) - 2, 0))::DOUBLE AS t_pairs
+              FROM sp
+            )
+            SELECT rnk, tok_a, tok_b, c_ab, round(pmi, 6) AS pmi FROM (
+              SELECT tok_a, tok_b, c_ab,
+                     ln((c_ab / t_pairs)
+                        / ((ca.c / t_tok) * (cb.c / t_tok))) AS pmi,
+                     row_number() OVER (
+                       ORDER BY ln((c_ab / t_pairs)
+                         / ((ca.c / t_tok) * (cb.c / t_tok))) DESC,
+                         tok_a, tok_b) AS rnk
+              FROM pc
+              JOIN uc ca ON ca.tok = pc.tok_a
+              JOIN uc cb ON cb.tok = pc.tok_b
+              CROSS JOIN tt)
+            WHERE rnk <= 20 ORDER BY rnk
         """,
         "sim_label_centroids": """
             SELECT label, (dim - 1)::INT AS dim,

@@ -489,3 +489,89 @@ def top_ngrams(df: DataFrame, n: int = 2, k: int = 20) -> DataFrame:
         .where(F.col("rnk") <= k)
         .select("rnk", "ngram", "n_occurrences")
     )
+
+
+def pmi_collocations(
+    df: DataFrame, window: int = 2, min_count: int = 5, k: int = 20
+) -> DataFrame:
+    """Top-k collocations by pointwise mutual information over
+    directional skip-gram pairs (offsets 1..window) — the classic
+    distributional-statistics pass (word2vec-era co-occurrence
+    counting) and a phrase-mining primitive.
+
+    pmi(a,b) = ln( (c_ab / T_pairs) / ((c_a / T_tok) * (c_b / T_tok)) )
+    with c_ab counted over all (token_i, token_{i+off}) pairs,
+    off in 1..window, and unigram counts over all tokens. Pairs with
+    c_ab < min_count are pruned (rare-pair PMI is noise). Deterministic
+    ties by (tok_a, tok_b).
+
+    Scale shape: pair generation is a per-doc JVM expression (zip of
+    the token array with its own shifted slices — no self-join), ONE
+    map-side-combined groupBy for pair counts, one for unigrams, two
+    broadcast-able marginal joins on single tokens, 1-row totals ride
+    broadcasts. Exact DuckDB oracle.
+    """
+    from pyspark.sql import Window as W
+
+    toks = _tokens()
+    n = F.size(toks)
+    pair_arrays = [
+        F.when(
+            n > off,
+            F.zip_with(
+                F.slice(toks, 1, n - off),
+                F.slice(toks, off + 1, n - off),
+                lambda a, b: F.concat(a, F.lit(" "), b),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+        for off in range(1, window + 1)
+    ]
+    pairs = (
+        df.select(F.explode(F.flatten(F.array(*pair_arrays))).alias("pair"))
+        .groupBy("pair")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c_ab"))
+        .where(F.col("c_ab") >= min_count)
+        .select(
+            F.split("pair", " ")[0].alias("tok_a"),
+            F.split("pair", " ")[1].alias("tok_b"),
+            "c_ab",
+        )
+    )
+    uni = (
+        df.select(F.explode(toks).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    t_tok = df.agg(F.sum(n).cast("double").alias("t_tok"))
+    t_pairs = df.agg(
+        F.sum(
+            sum(
+                (F.greatest(n - off, F.lit(0)) for off in range(1, window + 1)),
+                F.lit(0),
+            )
+        ).cast("double").alias("t_pairs")
+    )
+    scored = (
+        pairs.join(uni.select(F.col("tok").alias("tok_a"),
+                              F.col("c").alias("c_a")), "tok_a")
+        .join(uni.select(F.col("tok").alias("tok_b"),
+                         F.col("c").alias("c_b")), "tok_b")
+        .crossJoin(F.broadcast(t_tok))
+        .crossJoin(F.broadcast(t_pairs))
+        .withColumn(
+            "pmi",
+            F.log(
+                (F.col("c_ab") / F.col("t_pairs"))
+                / ((F.col("c_a") / F.col("t_tok"))
+                   * (F.col("c_b") / F.col("t_tok")))
+            ),
+        )
+    )
+    w = W.orderBy(F.desc("pmi"), F.asc("tok_a"), F.asc("tok_b"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= k)
+        .select(
+            "rnk", "tok_a", "tok_b", "c_ab", F.round("pmi", 6).alias("pmi")
+        )
+    )

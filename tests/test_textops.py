@@ -454,3 +454,29 @@ def test_top_ngrams_hand_fixture(spark):
     df = spark.createDataFrame(rows, "doc_id long, text string")
     out = [tuple(r) for r in top_ngrams(df, n=2, k=3).collect()]
     assert out == [(1, "a b", 3), (2, "b a", 1), (3, "b c", 1)]
+
+
+def test_pmi_collocations_hand_fixture(spark):
+    """'x y' always adjacent (high PMI) vs 'a b' common but
+    independent tokens; short docs produce no pairs."""
+    from protosc_spark.textops import pmi_collocations
+    import math
+
+    rows = (
+        [(i, "x y filler%d pad%d" % (i, i)) for i in range(5)]
+        + [(100 + i, "a c%d b d%d" % (i, i)) for i in range(5)]
+        + [(200, "solo")]
+    )
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = pmi_collocations(df, window=2, min_count=5, k=5).toPandas()
+    # only pairs occurring >= 5 times survive: ('x','y') adjacent x5
+    # and ('a','b') at offset 2 x5
+    got = {(r.tok_a, r.tok_b): (r.c_ab, r.pmi) for r in out.itertuples()}
+    assert set(got) == {("x", "y"), ("a", "b")}
+    # exact PMI: T_tok = 10 docs x 4 tokens + 1 = 41,
+    # T_pairs = 5*(3+2) + 5*(3+2) + 0 = 50
+    t_tok, t_pairs = 41.0, 50.0
+    for pair, (ca, cb) in {("x", "y"): (5, 5), ("a", "b"): (5, 5)}.items():
+        want = math.log((5 / t_pairs) / ((ca / t_tok) * (cb / t_tok)))
+        assert abs(got[pair][1] - round(want, 6)) < 1e-9
+    assert got[("x", "y")][0] == 5
