@@ -67,6 +67,7 @@ HEADLINE = [
     "events_funnel",
     "txt_top_ngrams",
     "txt_bpe_tokenize",
+    "txt_pmi_collocations",
 ]
 
 BENCH_CONVERSATIONS = int(os.environ.get("PROTOSC_BENCH_CONVS", "20000"))
