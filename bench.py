@@ -217,35 +217,61 @@ def main() -> None:
     turns_per_sec = round(n_turns / flagship_sec, 1)
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_suite_wall_seconds",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "cold_first_run_sec": cold,
-                "cold_total_sec": round(sum(cold.values()) + total, 3),
-                "sf": sf,
-                "flagship_turns": n_turns,
-                "turns_per_sec": turns_per_sec,
-                "filter_e2e_sec": filter_e2e_sec,
-                "filter_e2e_baseline_sec": 22.6,
-                "cpus": os.environ.get("SPARK_GRAFT_CPUS", "32"),
-                # host-contention audit trail (round-2 VERDICT #6): a
-                # regressed leg is attributable iff loadavg/membw moved
-                "host": {
-                    "loadavg_start": load_start,
-                    "loadavg_end": _loadavg(),
-                    "loadavg_1m_before_each_query": load_per_query,
-                    "steal_frac_during_each_query": steal_per_query,
-                    "membw_1proc_GBps_start": membw_start,
-                    "membw_1proc_GBps_end": _membw_1proc_gbps(),
-                },
-            }
-        )
-    )
-    spark.stop()
+    # Round-3 verdict #1: the driver captures only a ~2000-char stdout
+    # tail, and the full record (per-query cold timings + the three
+    # per-query host-contention maps) overflowed it, losing the round's
+    # bench signal. Fix: the COMPLETE record goes to BENCH/last_run.json;
+    # stdout gets one compact line (<~1.8 KB) with everything the driver
+    # grades on, printed LAST with compact separators.
+    full = {
+        "metric": "headline_suite_wall_seconds",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "cold_first_run_sec": cold,
+        "cold_total_sec": round(sum(cold.values()) + total, 3),
+        "sf": sf,
+        "flagship_turns": n_turns,
+        "turns_per_sec": turns_per_sec,
+        "filter_e2e_sec": filter_e2e_sec,
+        "filter_e2e_baseline_sec": 22.6,
+        "cpus": os.environ.get("SPARK_GRAFT_CPUS", "32"),
+        # host-contention audit trail (round-2 VERDICT #6): a
+        # regressed leg is attributable iff loadavg/steal/membw moved
+        "host": {
+            "loadavg_start": load_start,
+            "loadavg_end": _loadavg(),
+            "loadavg_1m_before_each_query": load_per_query,
+            "steal_frac_during_each_query": steal_per_query,
+            "membw_1proc_GBps_start": membw_start,
+            "membw_1proc_GBps_end": _membw_1proc_gbps(),
+        },
+    }
+    bench_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH")
+    os.makedirs(bench_dir, exist_ok=True)
+    with open(os.path.join(bench_dir, "last_run.json"), "w") as fh:
+        json.dump(full, fh, indent=2)
+    compact = {
+        "metric": "headline_suite_wall_seconds",
+        "value": total,
+        "unit": "sec",
+        "queries": {k: round(v, 2) for k, v in timings.items()},
+        "sf": sf,
+        "turns_per_sec": turns_per_sec,
+        "filter_e2e_sec": filter_e2e_sec,
+        "filter_e2e_baseline_sec": 22.6,
+        "max_steal_frac": max(steal_per_query.values()),
+        "full_record": "BENCH/last_run.json",
+    }
+    line = json.dumps(compact, separators=(",", ":"))
+    if len(line) >= 1900:  # never overflow the driver's tail capture:
+        # keep only the slowest queries inline; the file has them all
+        top = dict(sorted(timings.items(), key=lambda kv: -kv[1])[:20])
+        compact["queries"] = {k: round(v, 2) for k, v in top.items()}
+        compact["queries_truncated_to_slowest"] = len(top)
+        line = json.dumps(compact, separators=(",", ":"))
+    spark.stop()  # stop BEFORE printing so no JVM shutdown noise follows the line
+    print(line)
 
 
 if __name__ == "__main__":

@@ -86,11 +86,37 @@ def bpe_train_on_counts(
 
 
 def bpe_train(
-    df: DataFrame, n_merges: int = 50, text_col: str = "text"
+    df: DataFrame,
+    n_merges: int = 50,
+    text_col: str = "text",
+    min_count: int = 2,
+    max_words: int | None = 1_000_000,
 ) -> list[tuple[str, str]]:
     """Distributed word counting + driver merge loop. Returns the
-    ordered merge list (rank = position)."""
-    counts = word_counts(df, text_col).toPandas()
+    ordered merge list (rank = position).
+
+    Scale bound (round-3 verdict #2): the collected table must be
+    vocabulary-sized, never distinct-word-sized — at web scale the
+    distinct-word tail is 10^8-10^9 rows (Heaps' law), dominated by
+    hapax noise that contributes a vanishing fraction of pair mass.
+    Two pushed-down bounds before the collect:
+      * ``min_count`` — drop words rarer than this (a plain filter,
+        fully pushed into the count aggregation's output);
+      * ``max_words`` — keep only the top-N words by (count desc,
+        word) — Spark plans orderBy+limit as TakeOrderedAndProject
+        (per-partition top-N + single merge), so the shuffle carries
+        at most N rows per partition, never the full table.
+    ``min_count=2`` is the default (standard practice: the hapax tail
+    carries negligible pair mass at corpus scale; the gate corpus's
+    merges are verified identical at min_count 1 vs 2). Pass
+    ``min_count=1`` for exact-tail training on small corpora.
+    """
+    wc = word_counts(df, text_col)
+    if min_count > 1:
+        wc = wc.where(F.col("n") >= int(min_count))
+    if max_words is not None:
+        wc = wc.orderBy(F.desc("n"), F.asc("word")).limit(int(max_words))
+    counts = wc.toPandas()
     return bpe_train_on_counts(counts, n_merges)
 
 

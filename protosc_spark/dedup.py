@@ -589,6 +589,7 @@ def incremental_dedup(
     text_col: str = "text",
     bits_per_item: int = 16,
     n_hashes: int = 4,
+    max_bloom_bytes: int = 64 * 2**20,
 ) -> DataFrame:
     """Ingest-time dedup: drop every incoming row whose text already
     exists in the historical corpus — WITHOUT joining the whole batch
@@ -605,14 +606,31 @@ def incremental_dedup(
        rows with any unset bit are GUARANTEED new (Bloom has no false
        negatives) and skip the join entirely.
     3. Only the maybe-duplicates (true dups + FPR-rate survivors) are
-       exact-verified with a left-anti join against the history.
+       exact-verified with a left-anti join against the history ON THE
+       TEXT COLUMN ITSELF — never on a digest. (md5(a)==md5(b) does
+       not imply a==b, and md5 collisions are constructible for
+       adversarial web text; a digest-only verify could silently drop
+       a genuinely-new doc. The anti-join's shuffle carries the
+       history's distinct texts either way — joining on a digest
+       column would not reduce the number of shuffled rows.)
 
     Result is EXACTLY the plain anti-join (pinned in tests); the Bloom
     is pure plan optimization, so the gate oracle is plain SQL.
+
+    Driver-memory bound (round-3 verdict #3): the bitmap is sized at
+    ``bits_per_item`` bits per existing row but HARD-CAPPED at
+    ``max_bloom_bytes`` (default 64 MB — 5.4e8 bits, power-of-two
+    rounded), so driver + per-executor footprint is constant no matter
+    how large the history grows. Past the cap the FPR rises (at 1e11
+    history rows and 64 MB, the filter saturates and ~everything
+    becomes a "maybe"), which costs only verify-join traffic — never
+    correctness, because Bloom filters have no false negatives and the
+    exact anti-join absorbs every false positive. Callers at extreme
+    history sizes raise the budget or shard the filter per partition.
     """
     n = existing.count()  # index-build action, like sq8_train/ivf_train
     m = 8
-    while m < max(64, n * bits_per_item):
+    while m < max(64, n * bits_per_item) and m < max_bloom_bytes * 8:
         m *= 2
     pos = _bloom_positions(text_col, m, n_hashes)
 
@@ -646,8 +664,8 @@ def incremental_dedup(
     certain_new = probed.where(~F.col("__maybe")).drop("__maybe")
     maybes = probed.where(F.col("__maybe")).drop("__maybe")
     verified_new = maybes.join(
-        existing.select(F.md5(F.col(text_col)).alias("__d")).distinct(),
-        F.md5(F.col(text_col)) == F.col("__d"),
-        "left_anti",
+        existing.select(F.col(text_col)).distinct(),
+        on=text_col,
+        how="left_anti",
     )
     return certain_new.unionByName(verified_new)

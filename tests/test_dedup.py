@@ -457,3 +457,30 @@ def test_incremental_dedup_equals_plain_antijoin(spark):
             truly_new_and_flagged += int(maybe)
     assert dup_texts_missing == 0
     assert truly_new_and_flagged / truly_new < 0.05
+
+
+def test_incremental_dedup_undersized_bloom_zero_false_negatives(spark):
+    """Round-3 verdict #3: the bitmap is hard-capped by max_bloom_bytes.
+    With a deliberately absurd cap (8 bytes = 64 bits for 400 history
+    rows — the filter saturates, FPR -> ~1) the result must STILL equal
+    the plain anti-join: a saturated Bloom degrades to 'verify
+    everything', never to a wrong answer."""
+    from protosc_spark.dedup import incremental_dedup
+
+    docs = spark.read.parquet(DOCS)
+    existing = docs.where(F.col("doc_id") < 400).cache()
+    dups = (
+        docs.where((F.col("doc_id") % 8 == 0) & (F.col("doc_id") < 400))
+        .withColumn("doc_id", F.col("doc_id") + 10000)
+    )
+    incoming = docs.where(F.col("doc_id") >= 400).unionByName(dups).cache()
+
+    kept = incremental_dedup(existing, incoming, max_bloom_bytes=8)
+    got = {r["doc_id"] for r in kept.select("doc_id").collect()}
+    want = {
+        r["doc_id"]
+        for r in incoming.join(
+            existing.select("text").distinct(), "text", "left_anti"
+        ).select("doc_id").collect()
+    }
+    assert got == want
