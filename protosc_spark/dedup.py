@@ -273,9 +273,15 @@ def line_dedup(
     """
     from pyspark.sql import Window as W
 
+    # F.split takes a Java REGEX but array_join reassembles with the
+    # LITERAL separator — escape the split side so a metacharacter
+    # separator ('|', '.', ...) splits literally and the round trip is
+    # symmetric. re.escape emits Java-regex-compatible escapes.
+    import re as _re
+
     lines = df.select(
         "doc_id",
-        F.posexplode(F.split(F.col(text_col), line_sep)).alias(
+        F.posexplode(F.split(F.col(text_col), _re.escape(line_sep))).alias(
             "line_idx", "line"
         ),
     )

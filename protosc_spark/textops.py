@@ -361,8 +361,11 @@ def chunk_documents(
     context-window chunking pass of a training/RAG pipeline. Chunk i
     covers tokens [i*stride, i*stride + chunk_tokens); the default
     stride == chunk_tokens gives disjoint chunks, smaller strides give
-    sliding-window overlap. The last chunk may be short; every token
-    appears in >= 1 chunk.
+    sliding-window overlap. Standard sliding-window stop rule: window
+    generation ends once a window reaches the end of the document
+    (n_chunks = 1 + ceil((n - chunk_tokens)/stride), floored at 1), so
+    no trailing window is fully contained in its predecessor. The last
+    chunk may be short; every token appears in >= 1 chunk.
 
     Output: (doc_id, chunk_idx, n_chunk_tokens, chunk_text). Pure JVM
     (sequence + slice + posexplode), whole-stage codegen, no shuffle —
@@ -374,7 +377,13 @@ def chunk_documents(
         raise ValueError("need 0 < stride <= chunk_tokens")
     toks = _tokens()
     n = F.size(toks)
-    n_chunks = F.ceil(n / F.lit(stride)).cast("int")
+    # per-doc token counts are int32 — exact in the double ceil below
+    n_chunks = (
+        F.lit(1)
+        + F.greatest(
+            F.lit(0), F.ceil((n - F.lit(chunk_tokens)) / F.lit(stride))
+        )
+    ).cast("int")
     return df.select(
         "doc_id",
         F.posexplode(
@@ -443,17 +452,27 @@ def pack_sequences(
         )
         .select("bucket", "bucket_offset")
     )
-    out = within.join(F.broadcast(totals), "bucket").select(
-        "doc_id",
-        "n_tokens",
-        (
-            (F.col("bucket_offset") + F.col("cum_in") - F.col("n_tokens"))
-            / F.lit(target_tokens)
-        ).cast("bigint").alias("bin_id"),
-        (
-            (F.col("bucket_offset") + F.col("cum_in") - F.col("n_tokens"))
-            % F.lit(target_tokens)
-        ).alias("bin_offset"),
+    # bin arithmetic stays in BIGINT end to end: '/' on longs yields
+    # DOUBLE, which loses integer precision past 2^53 — a real risk for
+    # a global token prefix sum at the 100 TB design point. DIV is
+    # Spark's integer division; tokens_before is nonnegative, so
+    # DIV/pmod agree with floor/mod exactly.
+    out = (
+        within.join(F.broadcast(totals), "bucket")
+        .withColumn(
+            "__tokens_before",
+            (F.col("bucket_offset") + F.col("cum_in") - F.col("n_tokens")),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.expr(f"__tokens_before DIV {int(target_tokens)}").alias(
+                "bin_id"
+            ),
+            F.pmod(F.col("__tokens_before"), F.lit(target_tokens))
+            .cast("bigint")
+            .alias("bin_offset"),
+        )
     )
     return out
 

@@ -484,3 +484,20 @@ def test_incremental_dedup_undersized_bloom_zero_false_negatives(spark):
         ).select("doc_id").collect()
     }
     assert got == want
+
+
+def test_line_dedup_metacharacter_separator(spark):
+    """line_sep is treated LITERALLY even when it is a regex
+    metacharacter ('|'): split and reassembly must be symmetric."""
+    from protosc_spark.dedup import line_dedup
+
+    df = spark.createDataFrame(
+        [(0, "keep|shared|tail"), (1, "shared|only here")],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: (r["n_lines"], r["n_kept"], r["text_clean"])
+        for r in line_dedup(df, line_sep="|").collect()
+    }
+    assert out[0] == (3, 3, "keep|shared|tail")
+    assert out[1] == (2, 1, "only here")  # 'shared' kept only in doc 0

@@ -367,13 +367,31 @@ def test_chunk_documents_hand_fixture(spark):
         (0, 1, 4, "e f g h"),
         (0, 2, 2, "i j"),
     ]
-    # sliding: stride 2, window 4
+    # sliding: stride 2, window 4 — generation stops once a window
+    # reaches the end (standard rule): no degenerate trailing "i j"
+    # fully contained in "g h i j"
     out2 = sorted(
         map(tuple, chunk_documents(df, chunk_tokens=4, stride=2).collect())
     )
     assert [r[3] for r in out2] == [
-        "a b c d", "c d e f", "e f g h", "g h i j", "i j",
+        "a b c d", "c d e f", "e f g h", "g h i j",
     ]
+    # short doc (n < chunk_tokens): exactly one (short) window
+    short = spark.createDataFrame([(0, "a b")], "doc_id long, text string")
+    assert [
+        tuple(r)
+        for r in chunk_documents(short, chunk_tokens=4, stride=2).collect()
+    ] == [(0, 0, 2, "a b")]
+    # tail not on a stride boundary: last window covers it, short
+    df7 = spark.createDataFrame(
+        [(0, "a b c d e f g")], "doc_id long, text string"
+    )
+    assert [
+        r["chunk_text"]
+        for r in chunk_documents(df7, chunk_tokens=4, stride=3)
+        .orderBy("chunk_idx")
+        .collect()
+    ] == ["a b c d", "d e f g"]
     with pytest.raises(ValueError):
         chunk_documents(df, chunk_tokens=4, stride=5)
 
