@@ -473,6 +473,22 @@ def _sim_topk_ivf(spark, sf_dir):
     ).select("query_id", "neighbor_id", "rank")
 
 
+def _sim_knn_graph(spark, sf_dir):
+    """Corpus-as-queries kNN graph (round-3 verdict #4): the fully
+    distributed IVF batch path — probe cells derived executor-side in
+    the assignment Arrow pass, candidates via ONE equi-join on cell,
+    zero per-query driver artifacts. Gate config probes every cell
+    (n_probe == n_centroids), degenerating to exact all-pairs top-k,
+    so the oracle is the independent brute-force SQL; pruned-probe
+    recall is pinned in tests/test_similarity.py."""
+    from protosc_spark.similarity import knn_graph
+
+    emb = _read(spark, sf_dir, "embeddings")
+    return knn_graph(emb, k=5, n_centroids=8, n_probe=8).select(
+        "query_id", "neighbor_id", "rank"
+    )
+
+
 def _sim_topk_ivf_probe(spark, sf_dir):
     """The real IVF scale path: probe the 4 nearest of 8 cells per
     query (half the corpus scored). Rows-only (candidate set is
@@ -1080,6 +1096,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_topk_bruteforce": _sim_topk,
         "sim_topk_ivf": _sim_topk_ivf,
         "sim_topk_ivf_probe": _sim_topk_ivf_probe,
+        "sim_knn_graph": _sim_knn_graph,
         "sim_cosine_neardup": _sim_neardup,
         "transcript_flagship": _transcript_flagship,
         "stream_sessions": _stream_sessions,
@@ -1692,6 +1709,18 @@ def oracle_sql() -> dict[str, str]:
               JOIN (SELECT * FROM embeddings WHERE vec_id IN (0,1,2,3,4)) q
                 ON e.vec_id <> q.vec_id)
             WHERE rank <= 10
+        """,
+        # full-probe kNN graph == exact all-pairs top-k per vector
+        "sim_knn_graph": """
+            SELECT query_id, neighbor_id, rank FROM (
+              SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+                     row_number() OVER (PARTITION BY q.vec_id
+                       ORDER BY round(list_cosine_similarity(
+                                 e.embedding::DOUBLE[], q.embedding::DOUBLE[]), 6) DESC,
+                                e.vec_id) AS rank
+              FROM embeddings e
+              JOIN embeddings q ON e.vec_id <> q.vec_id)
+            WHERE rank <= 5
         """,
         # full-probe IVF == exact top-k, so it shares the brute-force
         # oracle; sim_topk_ivf_probe (partial probing) is rows-only.

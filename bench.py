@@ -68,6 +68,8 @@ HEADLINE = [
     "txt_top_ngrams",
     "txt_bpe_tokenize",
     "txt_pmi_collocations",
+    # round-4 additions
+    "sim_knn_graph",
 ]
 
 BENCH_CONVERSATIONS = int(os.environ.get("PROTOSC_BENCH_CONVS", "20000"))

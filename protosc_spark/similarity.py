@@ -13,6 +13,10 @@
   numpy), distributed cell assignment, per-query probing of the
   nearest n_probe cells, exact re-rank of cell members. The other
   standard scale path; n_probe == n_centroids degenerates to exact.
+* :func:`ivf_topk_batch` / :func:`knn_graph` — the DISTRIBUTED query
+  path: queries as a DataFrame (probe cells derived executor-side, no
+  per-query driver artifacts), so the query set can be the corpus
+  itself — kNN-graph construction at retrieval scale.
 * :func:`cosine_neardup_pairs` — near-duplicate detection by embedding
   cosine (exact via self-join on LSH bucket prefilter).
 * :func:`semantic_dedup` — SemDeDup-style corpus deduplication:
@@ -318,6 +322,129 @@ def ivf_topk(
         scored.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", "cosine")
+    )
+
+
+def ivf_assign_probes(
+    emb: DataFrame,
+    centroids: np.ndarray,
+    n_probe: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(query_id, cell, q_unit): each vector's ``n_probe`` nearest
+    coarse cells — the DISTRIBUTED query-side of IVF search. One Arrow
+    pass; the centroid matrix rides the closure (executor-broadcast),
+    so unlike :func:`ivf_topk`'s bounded-query-set path there is NO
+    per-query driver artifact: a 10^11-row corpus can be the query set.
+    Tie rule matches ivf_topk (score desc, cell asc — stable argsort).
+    """
+    C = np.asarray(centroids, dtype=np.float64)
+    npb = int(n_probe)
+
+    @F.pandas_udf(T.ArrayType(T.IntegerType()))
+    def probes_udf(units: pd.Series) -> pd.Series:
+        X = np.array(units.tolist(), dtype=np.float64)
+        S = X @ C.T  # [batch, n_centroids]
+        order = np.argsort(-S, axis=1, kind="stable")[:, :npb]
+        return pd.Series(list(order.astype(np.int32)))
+
+    base = with_unit_vectors(emb, vec_col)
+    return base.select(
+        F.col(id_col).alias("query_id"),
+        F.explode(probes_udf(F.col("unit"))).alias("cell"),
+        F.col("unit").alias("q_unit"),
+    )
+
+
+def ivf_topk_batch(
+    emb: DataFrame,
+    queries: DataFrame | None = None,
+    k: int = 10,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: np.ndarray | None = None,
+) -> DataFrame:
+    """IVF top-k with the query set as a DATAFRAME — the retrieval
+    shape for corpus-scale query sets (kNN-graph construction,
+    all-corpus retrieval audits), where :func:`ivf_topk`'s
+    driver-built probe rows would not fit. ``queries=None`` searches
+    the corpus against itself with self-matches excluded (the kNN
+    graph); pass any (id, vec) DataFrame otherwise.
+
+    Scale shape — every stage is distributed and bounded:
+    1. coarse quantizer trained on a fixed-size hash-ordered sample
+       (the only driver work, 2048 rows regardless of corpus size);
+    2. corpus cell assignment: one Arrow pass;
+    3. query probe expansion: one Arrow pass emitting n_probe
+       (query, cell) rows per query — no collect, no driver lut;
+    4. candidate generation: ONE equi-join on ``cell`` (both sides
+       shuffle-partitioned by cell; AQE splits skewed cells). A member
+       belongs to exactly one cell and probe cells are distinct, so a
+       (query, member) pair arises at most once — no distinct needed;
+    5. exact-cosine scoring JVM-side + per-query top-k window.
+    Cost ~ (n_probe / n_centroids) x |queries| x |corpus| / (cell
+    balance), never the n^2 cross join. ``n_probe == n_centroids``
+    degenerates to exact brute force — the driver-gate config
+    (independent SQL oracle); pruned-recall behavior is pinned in
+    tests/test_similarity.py.
+    """
+    if centroids is None:
+        centroids = ivf_train_centroids(
+            emb, n_centroids, id_col=id_col, vec_col=vec_col
+        )
+    members = ivf_assign(emb, centroids, id_col, vec_col).select(
+        F.col("id").alias("neighbor_id"), "cell", "unit"
+    )
+    probes = ivf_assign_probes(
+        emb if queries is None else queries,
+        centroids,
+        n_probe,
+        id_col,
+        vec_col,
+    )
+    scored = (
+        probes.join(members, "cell")
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(_dot(F.col("q_unit"), F.col("unit")), 6).alias("cosine"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cosine")
+    )
+
+
+def knn_graph(
+    emb: DataFrame,
+    k: int = 10,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """k-nearest-neighbor graph of the corpus against itself (the
+    100 TB retrieval/curation primitive behind SemDeDup-style analyses
+    and graph-based sampling): :func:`ivf_topk_batch` with
+    queries == corpus. Returns (query_id, neighbor_id, rank, cosine),
+    k rows per vector, self excluded."""
+    return ivf_topk_batch(
+        emb,
+        None,
+        k=k,
+        n_centroids=n_centroids,
+        n_probe=n_probe,
+        id_col=id_col,
+        vec_col=vec_col,
     )
 
 
