@@ -221,21 +221,28 @@ def asof_join_time_split(
     value_cols: Sequence[str] | None = None,
     allow_exact_matches: bool = False,
     split_seconds: int = 86400,
-    n_salt: int = 16,
 ) -> DataFrame:
     """Backward as-of join with TIME-RANGE SPLITTING and boundary
     carry-in — the skew path for conversations too large for one task.
 
-    Group key is ``(time bucket, salt(entity))`` instead of the entity,
+    Partition key is ``(entity, time bucket)`` instead of the entity,
     so a single giant conversation spreads over ``duration /
-    split_seconds`` independent tasks. Correctness across bucket
+    split_seconds`` independent partitions. Correctness across bucket
     boundaries: for every (entity, left bucket) the latest right row
     from any EARLIER bucket is computed with one window pass over
     per-bucket right maxima (one tiny row per (entity, bucket)) and
-    injected into the bucket's group as a synthetic right row — the
-    "carry the last pre-boundary state row into the next bucket" design
-    from SURVEY.md §7.3. Inside each group, ``pandas.merge_asof``
-    per entity as in :func:`asof_join_grouped`.
+    injected into the bucket as a synthetic right row — the "carry the
+    last pre-boundary state row into the next bucket" design from
+    SURVEY.md §7.3. Inside each (entity, bucket), the merge is the
+    SAME fully-JVM union-tag + ``last(ignorenulls)`` window as
+    :func:`asof_join`, just at (entity, bucket) granularity.
+
+    (Until round 4 the in-bucket merge was a cogrouped pandas
+    ``merge_asof`` kernel over (bucket, salt) groups; profiling at
+    sf0.1 showed 90% of its 5.1 s wall was per-group Arrow/pandas
+    fixed cost on thousands of tiny groups — the carry pass was
+    0.4 s. Replacing the kernel with the JVM window removed the
+    Python stage entirely; see BENCH/BASELINE.md round-4 note.)
 
     Equality with :func:`asof_join` for every split_seconds is pinned
     in tests/test_asof.py.
@@ -245,11 +252,6 @@ def asof_join_time_split(
         if value_cols is not None
         else [c for c in right.columns if c not in {by, on}]
     )
-    left_cols = list(left.columns)
-    out_schema = T.StructType(
-        list(left.schema.fields)
-        + [T.StructField(c, right.schema[c].dataType, True) for c in value_cols]
-    )
     from protosc_spark.windows import _epoch_us  # NTZ-safe microseconds
 
     us = F.lit(int(split_seconds) * 1_000_000)
@@ -257,7 +259,7 @@ def asof_join_time_split(
     def _bucketed(df: DataFrame) -> DataFrame:
         return df.withColumn(
             "__t", F.floor(_epoch_us(F.col(on)) / us).cast("long")
-        ).withColumn("__b", F.pmod(F.xxhash64(F.col(by)), F.lit(n_salt)))
+        )
 
     lb = _bucketed(left)
     rb = _bucketed(right.select(by, on, *value_cols))
@@ -274,7 +276,7 @@ def asof_join_time_split(
     rlast = (
         rb.withColumn("__rn", F.row_number().over(w_last))
         .where(F.col("__rn") == 1)
-        .drop("__rn", "__b")
+        .drop("__rn")
     )
     lkeys = lb.select(by, "__t").distinct()
     # Carry the latest earlier-bucket right row as ONE struct (ts +
@@ -326,37 +328,18 @@ def asof_join_time_split(
         )
     )
     # synthetic right rows land in the LEFT bucket they serve; their ts is
-    # the original update ts (< bucket start by construction)
-    rhs_all = rb.drop("__b").unionByName(carry).withColumn(
-        "__b", F.pmod(F.xxhash64(F.col(by)), F.lit(n_salt))
-    )
+    # the original update ts (< bucket start by construction), so they
+    # sort before every in-bucket left row and never tie an in-bucket
+    # right row.
+    rhs_all = rb.unionByName(carry)
 
-    def merge(lpdf: pd.DataFrame, rpdf: pd.DataFrame) -> pd.DataFrame:
-        lpdf = lpdf.drop(columns=["__b", "__t"]).sort_values(
-            on, kind="mergesort"
-        )
-        if len(lpdf) == 0:
-            return lpdf.reindex(columns=left_cols + value_cols)
-        rpdf = (
-            rpdf.drop(columns=["__b", "__t"])[[by, on] + value_cols]
-            # value tiebreak for duplicate ts (nulls first, as in the
-            # window implementation's struct ordering): backward merge
-            # picks the sort-last row == last-over-(ts, values-asc)
-            .sort_values([on] + value_cols, kind="mergesort", na_position="first")
-            .drop_duplicates([by, on], keep="last")
-        )
-        merged = pd.merge_asof(
-            lpdf,
-            rpdf,
-            on=on,
-            by=by,
-            direction="backward",
-            allow_exact_matches=allow_exact_matches,
-        )
-        return merged[left_cols + value_cols]
-
-    return (
-        lb.groupBy("__t", "__b")
-        .cogroup(rhs_all.groupBy("__t", "__b"))
-        .applyInPandas(merge, schema=out_schema)
-    )
+    # In-bucket merge: asof_join partitioned by (entity, bucket) — one
+    # exchange on the split key, zero Python. Same strict-< / tie rules.
+    return asof_join(
+        lb,
+        rhs_all,
+        on=on,
+        by=[by, "__t"],
+        value_cols=value_cols,
+        allow_exact_matches=allow_exact_matches,
+    ).drop("__t")
