@@ -142,15 +142,62 @@ def cut_circle(img: np.ndarray) -> np.ndarray:
     return out
 
 
-def detect_crop(img: np.ndarray, add_perc: int = 20, out_size: int = 16) -> np.ndarray:
-    """Deterministic ViolaJones stand-in: "detect" the centered box of
-    half the image size, apply the reference's +/-add_perc% margin
-    arithmetic, nearest-neighbor resize to (out_size, out_size, c)."""
+def detect_crop(
+    img: np.ndarray,
+    add_perc: int = 20,
+    out_size: int = 16,
+    cascade=None,
+    scale_factor: float = 1.3,
+    min_neighbors: int = 3,
+    min_size: int = 30,
+) -> np.ndarray:
+    """ViolaJones face-crop (reference protosc/preprocessing.py:75-107).
+
+    With ``cascade`` (a :class:`protosc_spark.haar.HaarCascade`, a list
+    of them, or a cascade XML path — the published OpenCV format) the
+    REAL Viola–Jones pipeline runs: detectMultiScale at the reference's
+    settings, the escalating-scale retry of ``_search_face`` when the
+    first pass finds nothing, the last detection kept (the reference's
+    loop quirk), the +/-add_perc% margin arithmetic, and a
+    nearest-neighbor resize to (out_size, out_size, c).
+
+    Without a cascade (the sandbox default — no cascade file ships in
+    the test data) the detection box is the deterministic centered
+    half-size stand-in, with identical margin/resize arithmetic.
+    """
     _require_ndarray(img, "detect_crop")
     h, w = img.shape[:2]
-    x, y, bw, bh = w // 4, h // 4, w // 2, h // 2  # fake detection box
+    if cascade is None:
+        faces = [(w // 4, h // 4, w // 2, h // 2)]  # fake detection box
+    else:
+        from protosc_spark.haar import (
+            detect_multiscale,
+            load_cascade_xml,
+            search_object,
+        )
+
+        cascades = cascade if isinstance(cascade, (list, tuple)) else [cascade]
+        cascades = [
+            load_cascade_xml(c) if isinstance(c, str) else c
+            for c in cascades
+        ]
+        faces = detect_multiscale(
+            img,
+            cascades[0],
+            scale_factor=scale_factor,
+            min_neighbors=min_neighbors,
+            min_size=min_size,
+        )
+        if len(faces) == 0:
+            faces = search_object(
+                img, cascades, min_neighbors=min_neighbors, min_size=min_size
+            )
     mplus, mmin = 1 + add_perc / 100, 1 - add_perc / 100
-    roi = img[int(y * mmin) : int(y * mplus) + bh, int(x * mmin) : int(x * mplus) + bw]
+    for x, y, bw, bh in faces:  # reference keeps the LAST detection
+        roi = img[
+            int(y * mmin) : int(y * mplus) + bh,
+            int(x * mmin) : int(x * mplus) + bw,
+        ]
     yy = (np.arange(out_size) * roi.shape[0] // out_size).clip(0, roi.shape[0] - 1)
     xx = (np.arange(out_size) * roi.shape[1] // out_size).clip(0, roi.shape[1] - 1)
     return roi[np.ix_(yy, xx)]
