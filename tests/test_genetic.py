@@ -132,3 +132,29 @@ def test_dataframe_entry_point(spark, planted):
     got = _small_model().execute(df, seed=11)
     exp = _small_model().execute_matrix(X, y, seed=11)
     assert list(got) == list(exp)
+
+
+def test_ga_at_reference_example_shape(spark):
+    """Round-3 verdict #7: the GA at the reference's published data
+    shape — examples/genetic.ipynb runs GeneticModel(n_random_features=
+    200, mutation_rate=0.1) on create_independent_data(n_features=300,
+    n_true_features=50) (500 samples, deviations 0.25-0.5). Planted-
+    truth recovery pinned: every selected feature is planted (the
+    probe/ElasticNet thresholding admits no noise feature at this
+    config) and a substantial fraction of the 50 planted features is
+    found (the weak-deviation tail is genuinely hard at dev 0.25; the
+    reference example itself reports ~this hit rate without asserting).
+    Deterministic by seed, so the measured (22 selected, 22 hits) run
+    is reproducible; bounds leave margin only for numeric drift.
+    Runs distributed (Spark fanout) like the example's n_jobs=-1.
+    """
+    np.random.seed(1928374)
+    X, y, truth = make_independent(n_features=300, n_samples=500, n_true=50)
+    model = GeneticModel(n_random_features=200, mutation_rate=0.1)
+    sel = model.execute_matrix(X, y, seed=11, spark=spark)
+    assert len(sel) > 0
+    assert np.all(sel < 300)  # never a probe column
+    true_set = set(truth["selected_features"].tolist())
+    hits = len(set(sel.tolist()) & true_set)
+    assert hits / len(sel) >= 0.9   # precision (measured: 1.0)
+    assert hits >= 15               # recall floor (measured: 22/50)
