@@ -31,15 +31,18 @@ def _expand(feature_ids, col_groups) -> list[int]:
     return [int(c) for f in feature_ids for c in col_groups[int(f)]]
 
 
-def _accuracy(fold, feature_ids, col_groups=None) -> float:
+def _accuracy(fold, feature_ids, col_groups=None, scorer=None) -> float:
     """Reference compute_accuracy (protosc/model/utils.py:23-41):
     empty selection scores 0. The classifier sees the EXPANDED channel
-    columns of the selected logical features."""
+    columns of the selected logical features. ``scorer`` swaps the
+    classifier (default: the engine-wide ridge; the scorer-agreement
+    study passes the deterministic linear SVM)."""
     if len(feature_ids) == 0:
         return 0.0
     X_tr, y_tr, X_va, y_va = fold
     ids = _expand(feature_ids, col_groups)
-    return linear_classifier_accuracy(X_tr[:, ids], y_tr, X_va[:, ids], y_va)
+    fn = scorer if scorer is not None else linear_classifier_accuracy
+    return fn(X_tr[:, ids], y_tr, X_va[:, ids], y_va)
 
 
 class ClusteredSelection:
@@ -95,6 +98,7 @@ def wrapper_fold(
     exclusion_step: bool = False,
     max_nop_rounds: int = 10,
     col_groups=None,
+    scorer=None,
 ) -> dict:
     """One fold of greedy forward cluster selection (reference
     WrapperModel._execute_fold, protosc/model/wrapper.py:117-176).
@@ -115,11 +119,11 @@ def wrapper_fold(
         space = selection.search_space(search_fraction)
         if greedy:
             new_sel, new_acc = _add_direct(
-                space, selection, accuracy, fold, col_groups
+                space, selection, accuracy, fold, col_groups, scorer
             )
         else:
             new_sel, new_acc = _add_max(
-                space, selection, accuracy, fold, col_groups
+                space, selection, accuracy, fold, col_groups, scorer
             )
         if len(new_sel) - len(selection):
             n_nop = 0
@@ -129,27 +133,32 @@ def wrapper_fold(
 
     if exclusion_step:
         selection, accuracy = _remove_procedure(
-            fold, selection, accuracy, search_fraction, col_groups
+            fold, selection, accuracy, search_fraction, col_groups, scorer
         )
     return {"features": selection.features, "accuracy": accuracy}
 
 
-def _add_direct(space, selection, accuracy, fold, col_groups=None):
-    """Greedy: accept every cluster that improves accuracy."""
+def _add_direct(space, selection, accuracy, fold, col_groups=None, scorer=None):
+    """Greedy: accept every cluster that STRICTLY improves accuracy —
+    on a tie the incumbent selection is kept (reference
+    wrapper.py:180-190 uses the same strict >), so earlier clusters
+    win ties at any scorer. Pinned in tests/test_scorer_agreement.py."""
     best = accuracy
     for ci in space:
         cand = selection + ci
-        acc = _accuracy(fold, cand.features, col_groups)
+        acc = _accuracy(fold, cand.features, col_groups, scorer)
         if acc > best:
             selection, best = cand, acc
     return selection, best
 
 
-def _add_max(space, selection, accuracy, fold, col_groups=None):
-    """Non-greedy: add only the single best-improving cluster."""
+def _add_max(space, selection, accuracy, fold, col_groups=None, scorer=None):
+    """Non-greedy: add only the single best-improving cluster. Strict
+    > means ties resolve to the FIRST cluster in search-space order —
+    deterministic at any scorer (pinned in test_scorer_agreement)."""
     best, best_ci = accuracy, -1
     for ci in space:
-        acc = _accuracy(fold, (selection + ci).features, col_groups)
+        acc = _accuracy(fold, (selection + ci).features, col_groups, scorer)
         if acc > best:
             best, best_ci = acc, ci
     if best > accuracy:
@@ -157,14 +166,15 @@ def _add_max(space, selection, accuracy, fold, col_groups=None):
     return selection, best
 
 
-def _remove_procedure(fold, selection, accuracy, search_fraction, col_groups=None):
+def _remove_procedure(fold, selection, accuracy, search_fraction,
+                      col_groups=None, scorer=None):
     """Exclusion/replacement pass (reference wrapper.py:72-115)."""
     exclude: list[int] = []
     if len(selection) < 1:
         return selection, accuracy
     for ci in list(selection.clusters):
         reduced = selection - ci
-        acc = _accuracy(fold, reduced.features, col_groups)
+        acc = _accuracy(fold, reduced.features, col_groups, scorer)
         if acc > accuracy:
             accuracy = acc
             exclude.append(ci)
@@ -172,7 +182,7 @@ def _remove_procedure(fold, selection, accuracy, search_fraction, col_groups=Non
         else:
             cands = selection.search_space(search_fraction, exclude=exclude)
             new_sel, new_acc = _add_max(
-                cands, reduced, accuracy, fold, col_groups
+                cands, reduced, accuracy, fold, col_groups, scorer
             )
             diff = new_sel - reduced
             if len(diff):
