@@ -489,6 +489,21 @@ def _sim_knn_graph(spark, sf_dir):
     )
 
 
+def _sim_knn_graph_ivfpq(spark, sf_dir):
+    """IVF-PQ kNN graph (Faiss IVFx,PQy analog), fully distributed:
+    inverted file prunes candidates, 8-byte PQ codes score them via
+    in-kernel ADC reconstruction (no per-query driver luts), exact
+    re-rank. Gate config degenerates to exact (full probing + a
+    shortlist covering the whole corpus) so the independent brute-force
+    SQL oracle applies; pruned recall pinned in tests."""
+    from protosc_spark.similarity import ivfpq_topk_batch
+
+    emb = _read(spark, sf_dir, "embeddings")
+    return ivfpq_topk_batch(
+        emb, None, k=5, n_centroids=8, n_probe=8, rerank_factor=100
+    ).select("query_id", "neighbor_id", "rank")
+
+
 def _sim_topk_ivf_probe(spark, sf_dir):
     """The real IVF scale path: probe the 4 nearest of 8 cells per
     query (half the corpus scored). Rows-only (candidate set is
@@ -1097,6 +1112,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_topk_ivf": _sim_topk_ivf,
         "sim_topk_ivf_probe": _sim_topk_ivf_probe,
         "sim_knn_graph": _sim_knn_graph,
+        "sim_knn_graph_ivfpq": _sim_knn_graph_ivfpq,
         "sim_cosine_neardup": _sim_neardup,
         "transcript_flagship": _transcript_flagship,
         "stream_sessions": _stream_sessions,
@@ -1712,6 +1728,18 @@ def oracle_sql() -> dict[str, str]:
         """,
         # full-probe kNN graph == exact all-pairs top-k per vector
         "sim_knn_graph": """
+            SELECT query_id, neighbor_id, rank FROM (
+              SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+                     row_number() OVER (PARTITION BY q.vec_id
+                       ORDER BY round(list_cosine_similarity(
+                                 e.embedding::DOUBLE[], q.embedding::DOUBLE[]), 6) DESC,
+                                e.vec_id) AS rank
+              FROM embeddings e
+              JOIN embeddings q ON e.vec_id <> q.vec_id)
+            WHERE rank <= 5
+        """,
+        # full-probe IVF-PQ with a corpus-covering shortlist == exact
+        "sim_knn_graph_ivfpq": """
             SELECT query_id, neighbor_id, rank FROM (
               SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
                      row_number() OVER (PARTITION BY q.vec_id

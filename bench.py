@@ -70,6 +70,7 @@ HEADLINE = [
     "txt_pmi_collocations",
     # round-4 additions
     "sim_knn_graph",
+    "sim_knn_graph_ivfpq",
 ]
 
 BENCH_CONVERSATIONS = int(os.environ.get("PROTOSC_BENCH_CONVS", "20000"))

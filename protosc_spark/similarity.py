@@ -17,6 +17,9 @@
   path: queries as a DataFrame (probe cells derived executor-side, no
   per-query driver artifacts), so the query set can be the corpus
   itself — kNN-graph construction at retrieval scale.
+* :func:`ivfpq_topk_batch` — IVF-PQ composition (Faiss ``IVFx,PQy``):
+  inverted-file candidate pruning + in-kernel ADC scoring over m-byte
+  PQ codes + exact re-rank, queries as a DataFrame.
 * :func:`cosine_neardup_pairs` — near-duplicate detection by embedding
   cosine (exact via self-join on LSH bucket prefilter).
 * :func:`semantic_dedup` — SemDeDup-style corpus deduplication:
@@ -419,6 +422,106 @@ def ivf_topk_batch(
     )
     return (
         scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cosine")
+    )
+
+
+def ivfpq_topk_batch(
+    emb: DataFrame,
+    queries: DataFrame | None = None,
+    k: int = 10,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    m: int = 8,
+    rerank_factor: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-PQ retrieval with a DataFrame query set — the Faiss
+    ``IVFx,PQy`` composition: the inverted file prunes WHICH vectors
+    are scored (n_probe/n_centroids of the corpus per query) and
+    product quantization compresses HOW they are scored (m-byte codes,
+    64x smaller than float64 at dim 64). ``queries=None`` = corpus as
+    queries (compressed-index kNN graph).
+
+    ADC is computed IN THE KERNEL, never on the driver: the candidate
+    join carries (q_unit, code) pairs, and one Arrow pass reconstructs
+    candidates from the codebook (a [m, ksub, dsub] gather riding the
+    closure) and dots them with their query — mathematically identical
+    to the per-query lookup-table formulation but with no per-query
+    driver artifact, so the query set can be the corpus. Exact-cosine
+    re-rank of each query's top (k * rerank_factor) ADC candidates,
+    same tie rule as brute_force_topk.
+    """
+    centroids = ivf_train_centroids(
+        emb, n_centroids, id_col=id_col, vec_col=vec_col
+    )
+    books = pq_train(emb, m=m, id_col=id_col, vec_col=vec_col)
+    B = np.asarray(books, dtype=np.float64)
+    mm, ksub, dsub = B.shape
+
+    members = ivf_assign(emb, centroids, id_col, vec_col).select(
+        F.col("id").alias("neighbor_id"), "cell", "unit"
+    )
+    codes = pq_encode(emb, books, id_col, vec_col).select(
+        F.col("id").alias("neighbor_id"), "code"
+    )
+    members = members.join(codes, "neighbor_id").select(
+        "neighbor_id", "cell", "code"
+    )
+    probes = ivf_assign_probes(
+        emb if queries is None else queries,
+        centroids,
+        n_probe,
+        id_col,
+        vec_col,
+    )
+
+    @F.pandas_udf(T.DoubleType())
+    def adc_udf(q_units: pd.Series, code_s: pd.Series) -> pd.Series:
+        Q = np.array(q_units.tolist(), dtype=np.float64)  # [batch, dim]
+        C = (
+            np.frombuffer(b"".join(code_s), dtype=np.uint8)
+            .reshape(len(code_s), mm)
+            .astype(np.int64)
+        )
+        # reconstruct candidates from their codes: [batch, m, dsub]
+        R = B[np.arange(mm)[None, :], C]  # gather per subspace
+        S = np.einsum("bmd,bmd->b", Q.reshape(len(Q), mm, dsub), R)
+        return pd.Series(S)
+
+    cand = (
+        probes.join(members, "cell")
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            "q_unit",
+            adc_udf(F.col("q_unit"), F.col("code")).alias("approx"),
+        )
+    )
+    w_cand = W.partitionBy("query_id").orderBy(
+        F.desc("approx"), F.asc("neighbor_id")
+    )
+    shortlist = (
+        cand.withColumn("crank", F.row_number().over(w_cand))
+        .where(F.col("crank") <= k * rerank_factor)
+        .select("query_id", "neighbor_id", "q_unit")
+    )
+    base = with_unit_vectors(emb, vec_col).select(
+        F.col(id_col).alias("neighbor_id"), "unit"
+    )
+    rer = shortlist.join(base, "neighbor_id").select(
+        "query_id",
+        "neighbor_id",
+        F.round(_dot(F.col("q_unit"), F.col("unit")), 6).alias("cosine"),
+    )
+    w = W.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    return (
+        rer.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", "cosine")
     )

@@ -467,3 +467,49 @@ def test_ivf_topk_batch_external_queries(spark, emb):
         for rank, j in enumerate(order[:10], start=1):
             want.append((100000 + q, int(ids[j]), rank, float(cos[j])))
     assert got == sorted(want)
+
+
+def test_ivfpq_knn_graph_exact_at_degenerate_config(spark, emb):
+    """IVF-PQ batch path at full probing + corpus-covering shortlist ==
+    exact all-pairs top-k (the gate config)."""
+    from protosc_spark.similarity import brute_force_topk, ivfpq_topk_batch
+
+    got = sorted(
+        map(
+            tuple,
+            ivfpq_topk_batch(
+                emb, None, k=5, n_centroids=8, n_probe=8, rerank_factor=100
+            ).collect(),
+        )
+    )
+    all_ids = [r["vec_id"] for r in emb.select("vec_id").collect()]
+    want = sorted(map(tuple, brute_force_topk(emb, all_ids, k=5).collect()))
+    assert got == want
+
+
+def test_ivfpq_knn_graph_pruned_recall_and_determinism(spark, emb):
+    """The compressed scale config (pruned probing, 4x shortlist):
+    high recall of the exact graph, deterministic across runs."""
+    from protosc_spark.similarity import brute_force_topk, ivfpq_topk_batch
+
+    a = sorted(
+        map(
+            tuple,
+            ivfpq_topk_batch(
+                emb, None, k=5, n_centroids=8, n_probe=4, rerank_factor=4
+            ).collect(),
+        )
+    )
+    all_ids = [r["vec_id"] for r in emb.select("vec_id").collect()]
+    e = sorted(map(tuple, brute_force_topk(emb, all_ids, k=5).collect()))
+    recall = len({x[:2] for x in a} & {x[:2] for x in e}) / len(e)
+    assert recall >= 0.6  # bounded by the same IVF pruning as knn_graph
+    a2 = sorted(
+        map(
+            tuple,
+            ivfpq_topk_batch(
+                emb, None, k=5, n_centroids=8, n_probe=4, rerank_factor=4
+            ).collect(),
+        )
+    )
+    assert a == a2
