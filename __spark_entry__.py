@@ -649,6 +649,60 @@ def _mm_image_grey(spark, sf_dir):
     )
 
 
+def _mm_png_roundtrip(spark, sf_dir):
+    """REAL image decode, end to end distributed: each document's
+    first 64 chars (space-padded) become an 8x8 grey image, encoded to
+    actual PNG bytes with Paeth (filter 4) scanlines in one Arrow
+    pass, then decoded by decode_images(codec='png') — the stdlib-zlib
+    + numpy PNG decoder — and reduced JVM-side to dims + mean pixel.
+    The DuckDB oracle never touches a PNG: it derives the same mean
+    straight from the text's codepoints, so any codec defect (filter
+    math, palette, scanline order) breaks the hash match."""
+    import numpy as np
+
+    from protosc_spark.multimodal import decode_images
+    from protosc_spark.png import encode_png
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+
+    @F.pandas_udf("binary")
+    def enc_udf(texts):
+        import pandas as pd
+
+        out = []
+        for t in texts.fillna(""):
+            s = (t + " " * 64)[:64]
+            img = np.fromiter(
+                (min(ord(ch), 255) for ch in s), dtype=np.uint8, count=64
+            ).reshape(8, 8)
+            out.append(encode_png(img, filter_type=4))
+        return pd.Series(out)
+
+    blobs = docs.select(
+        F.col("doc_id").cast("string").alias("media_id"),
+        enc_udf("text").alias("data"),
+        F.struct(
+            F.lit(8).alias("width"),
+            F.lit(8).alias("height"),
+            F.lit(1).alias("channels"),
+        ).alias("meta"),
+    )
+    dec = decode_images(blobs, codec="png")
+    return dec.select(
+        F.col("media_id").cast("long").alias("doc_id"),
+        "width",
+        "height",
+        "channels",
+        F.round(
+            F.aggregate(
+                "pixels", F.lit(0.0), lambda acc, v: acc + v
+            )
+            / F.lit(64.0),
+            6,
+        ).alias("mean_px"),
+    ).orderBy("doc_id")
+
+
 def _filter_select(spark, sf_dir):
     """FilterModel (chi-square -> clusters -> cumsum threshold -> SVM
     significance) on the reference's easy-data fixture. Fully
@@ -1119,6 +1173,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_asof_purchase": _stream_asof,
         "stream_dedup_exact": _stream_dedup,
         "mm_image_grey": _mm_image_grey,
+        "mm_png_roundtrip": _mm_png_roundtrip,
         "mm_visual_features": _mm_visual_features,
         "mm_plot_saliency": _mm_plot_saliency,
         "filter_select": _filter_select,
@@ -1886,6 +1941,22 @@ def oracle_sql() -> dict[str, str]:
         """,
         # multimodal fake decode is a pure function of sha2-chained
         # payload bytes -> DuckDB recomputes the identical pixels
+        # independent check of the real PNG codec: the oracle derives
+        # the mean pixel straight from the text's codepoints, never
+        # decoding a PNG — encode(Paeth) o decode must be the identity
+        "mm_png_roundtrip": """
+            WITH padded AS (
+              SELECT doc_id, substr(text || repeat(' ', 64), 1, 64) AS s
+              FROM documents
+            ), ch AS (
+              SELECT doc_id,
+                     least(unicode(substr(s, i::INT, 1)), 255) AS v
+              FROM padded, range(1, 65) t(i)
+            )
+            SELECT doc_id, 8::INT AS width, 8::INT AS height,
+                   1::INT AS channels, round(avg(v), 6) AS mean_px
+            FROM ch GROUP BY doc_id ORDER BY doc_id
+        """,
         "mm_image_grey": """
             WITH ids AS (
               SELECT i::BIGINT AS id, printf('im-%05d', i) AS media_id,

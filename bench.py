@@ -71,6 +71,7 @@ HEADLINE = [
     # round-4 additions
     "sim_knn_graph",
     "sim_knn_graph_ivfpq",
+    "mm_png_roundtrip",
 ]
 
 BENCH_CONVERSATIONS = int(os.environ.get("PROTOSC_BENCH_CONVS", "20000"))

@@ -147,11 +147,47 @@ DECODED_IMAGE_SCHEMA = StructType(
 
 def decode_images(df: DataFrame, codec: str = "fake") -> DataFrame:
     """binary -> flat pixel array (row-major h,w,c) + dims, via ONE
-    mapInPandas pass (the ReadImage analog, protosc/io.py:5-26)."""
+    mapInPandas pass (the ReadImage analog, protosc/io.py:5-26).
+
+    ``codec="png"`` decodes REAL PNG blobs (protosc_spark.png — pure
+    stdlib-zlib + numpy, all five scanline filters, grey/RGB/RGBA/
+    palette); dims come from the blob's IHDR, not the meta column.
+    ``codec="real"`` (JPEG & friends) still needs cv2 and raises with
+    the production call documented. ``codec="fake"`` is the
+    deterministic sandbox codec the gate uses.
+    """
     if codec == "real":
         raise NotImplementedError(
-            "real image decode needs cv2 (cv2.imdecode(np.frombuffer(data, "
-            "np.uint8), cv2.IMREAD_COLOR)); not available in this container"
+            "general image decode needs cv2 (cv2.imdecode(np.frombuffer("
+            "data, np.uint8), cv2.IMREAD_COLOR)); not available in this "
+            "container — PNG inputs are decoded for real via codec='png'"
+        )
+    if codec == "png":
+        from protosc_spark.png import decode_png
+
+        def _decode_png(
+            batches: Iterator[pd.DataFrame],
+        ) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                px, ws, hs, cs = [], [], [], []
+                for blob in pdf["data"]:
+                    img = decode_png(bytes(blob))
+                    px.append(img.astype(np.float64).ravel())
+                    hs.append(img.shape[0])
+                    ws.append(img.shape[1])
+                    cs.append(img.shape[2])
+                yield pd.DataFrame(
+                    {
+                        "media_id": pdf["media_id"],
+                        "pixels": px,
+                        "width": pd.Series(ws, dtype="int32"),
+                        "height": pd.Series(hs, dtype="int32"),
+                        "channels": pd.Series(cs, dtype="int32"),
+                    }
+                )
+
+        return df.select("media_id", "data", "meta").mapInPandas(
+            _decode_png, schema=DECODED_IMAGE_SCHEMA
         )
     if codec != "fake":
         raise ValueError(codec)
