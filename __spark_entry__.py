@@ -270,6 +270,23 @@ def _corpus_split(spark, sf_dir):
     ).select("doc_id", "split")
 
 
+def _corpus_mixture_sample(spark, sf_dir):
+    """Temperature-scaled language-mixture downsampling (alpha=0.5,
+    half the corpus; lang is the skewed group in the synthetic corpus —
+    218 en vs 64 fr — so rare languages get visibly up-weighted): kept
+    per-lang counts ~ n_lang**0.5, rates derived from one tiny count
+    aggregate + broadcast totals, row decisions by the engine's
+    md5-bucket rule. The DuckDB oracle re-derives counts, rates, and
+    bucket thresholding end to end (boundary margins verified: every
+    rate is >= 0.03 buckets away from its floor threshold)."""
+    from protosc_spark.sampling import mixture_sample
+
+    docs = _read(spark, sf_dir, "documents")
+    return mixture_sample(
+        docs, group_col="lang", alpha=0.5, total_frac=0.5
+    ).select("doc_id", "lang").orderBy("doc_id")
+
+
 def _txt_lm_score(spark, sf_dir):
     """CCNet-style char-bigram LM quality scoring: train the smoothed
     LM on the corpus, score every document (avg NLL + perplexity).
@@ -1156,6 +1173,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "txt_lm_score": _txt_lm_score,
         "txt_vocab_idf": _txt_vocab_idf,
         "corpus_split": _corpus_split,
+        "corpus_mixture_sample": _corpus_mixture_sample,
         "dedup_exact_groups": _dedup_exact,
         "dedup_ngram_jaccard": _dedup_jaccard,
         "dedup_minhash_lsh": _dedup_minhash,
@@ -1263,6 +1281,26 @@ def _corpus_split_oracle() -> str:
 
 def oracle_sql() -> dict[str, str]:
     out = {
+        # mixture sampling: counts -> temperature rates -> md5-bucket
+        # thresholding, all re-derived independently in SQL
+        "corpus_mixture_sample": """
+            WITH c AS (
+              SELECT lang, count(*)::DOUBLE AS n
+              FROM documents GROUP BY lang
+            ), t AS (
+              SELECT sum(n) AS N_tot, sum(pow(n, 0.5)) AS S FROM c
+            ), r AS (
+              SELECT lang,
+                     least(1.0, (0.5 * N_tot / S) * pow(n, -0.5)) AS rate
+              FROM c, t
+            )
+            SELECT d.doc_id, d.lang
+            FROM documents d JOIN r USING (lang)
+            WHERE (('0x' || substr(md5('v1' || chr(31)
+                     || d.doc_id::VARCHAR), 1, 15))::BIGINT % 10000)
+                  < floor(rate * 10000)
+            ORDER BY doc_id
+        """,
         "q1_pricing_summary": """
             SELECT l_returnflag, l_linestatus,
                    round(sum(l_quantity), 2) AS sum_qty,

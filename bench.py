@@ -72,6 +72,7 @@ HEADLINE = [
     "sim_knn_graph",
     "sim_knn_graph_ivfpq",
     "mm_png_roundtrip",
+    "corpus_mixture_sample",
 ]
 
 BENCH_CONVERSATIONS = int(os.environ.get("PROTOSC_BENCH_CONVS", "20000"))

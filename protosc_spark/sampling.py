@@ -128,3 +128,67 @@ def split_oracle_sql(
         case += f" WHEN {bucket} < {hi} THEN '{name}'"
     case += f" ELSE '{names[-1]}' END"
     return case
+
+
+def mixture_sample(
+    df: DataFrame,
+    group_col: str = "source",
+    alpha: float = 0.5,
+    total_frac: float = 0.5,
+    key_cols: Sequence[str] = ("doc_id",),
+    salt: str = "v1",
+) -> DataFrame:
+    """Temperature-scaled data-mixture downsampling (the GPT-3 /
+    multilingual-pretraining recipe): keep a deterministic subset whose
+    per-group sizes are proportional to ``n_g ** alpha`` instead of
+    ``n_g`` — ``alpha < 1`` up-weights rare sources/languages relative
+    to dominant ones, ``alpha = 1`` is plain uniform sampling,
+    ``alpha = 0`` targets equal counts per group. ``total_frac`` sets
+    the overall corpus fraction kept; per-group keep rates are capped
+    at 1 (a saturated rare group keeps everything and the realized
+    total undershoots — rates are NOT redistributed, keeping the rate
+    a pure per-group function).
+
+    Per-group rate: ``r_g = min(1, C * n_g**(alpha-1))`` with
+    ``C = total_frac * N / sum_g n_g**alpha``. Row decisions reuse the
+    engine's content-hash bucket rule, so the kept set is a pure
+    function of (content key, salt, counts) — identical at any
+    parallelism and reproducible outside Spark (the gate's DuckDB
+    oracle re-derives it end to end, including the rates).
+
+    Scale shape: ONE tiny groupBy(group) count aggregate, a broadcast
+    1-row-totals cross join to form rates (|groups| rows), one
+    broadcast join back to the corpus, and a JVM-only filter — no
+    collect, no Python, no corpus shuffle.
+    """
+    if not 0.0 <= total_frac <= 1.0:
+        raise ValueError(f"total_frac must be in [0, 1], got {total_frac}")
+    counts = df.groupBy(group_col).agg(
+        F.count(F.lit(1)).cast("double").alias("__n")
+    )
+    totals = counts.agg(
+        F.sum("__n").alias("__N"),
+        F.sum(F.pow("__n", F.lit(float(alpha)))).alias("__S"),
+    )
+    # explicit aliases: counts and totals share lineage (totals is an
+    # aggregate OF counts), so unqualified refs are ambiguous
+    rates = (
+        counts.alias("c")
+        .crossJoin(F.broadcast(totals.alias("t")))
+        .select(
+            F.col(f"c.{group_col}").alias(group_col),
+            F.least(
+                F.lit(1.0),
+                (F.lit(float(total_frac)) * F.col("t.__N") / F.col("t.__S"))
+                * F.pow(F.col("c.__n"), F.lit(float(alpha) - 1.0)),
+            ).alias("__rate"),
+        )
+    )
+    return (
+        df.join(F.broadcast(rates), group_col)
+        .where(
+            hash_bucket(key_cols, salt=salt)
+            < F.floor(F.col("__rate") * F.lit(N_BUCKETS))
+        )
+        .drop("__rate")
+    )

@@ -119,3 +119,74 @@ def test_split_plan_has_no_shuffle_or_python(docs):
     plan = hash_split(docs, ["doc_id"], WEIGHTS)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+class TestMixtureSample:
+    """Temperature-scaled mixture sampling: kept counts follow
+    n_group**alpha, alpha=1 degenerates to uniform sampling, rates cap
+    at 1, and the kept set is a pure content function (stable across
+    partitioning)."""
+
+    @staticmethod
+    def _skewed(spark):
+        rows = []
+        sizes = {"en": 3200, "de": 800, "fr": 200, "rare": 8}
+        i = 0
+        for g, n in sizes.items():
+            for _ in range(n):
+                rows.append((i, g))
+                i += 1
+        return (
+            spark.createDataFrame(rows, "doc_id long, lang string"),
+            sizes,
+        )
+
+    def test_alpha_half_upweights_rare_groups(self, spark):
+        from protosc_spark.sampling import mixture_sample
+
+        df, sizes = self._skewed(spark)
+        kept = (
+            mixture_sample(df, group_col="lang", alpha=0.5, total_frac=0.5)
+            .groupBy("lang")
+            .count()
+            .toPandas()
+            .set_index("lang")["count"]
+        )
+        import numpy as np
+
+        # expected kept_g ~ C * n_g**0.5 for unsaturated groups
+        # (C ~ 20.7 here, so fr at rate 20.7/sqrt(200)=1.46 and rare
+        # both cap at 1 and keep everything)
+        n = np.array([sizes[g] for g in ("en", "de")], dtype=float)
+        got = np.array([kept[g] for g in ("en", "de")], dtype=float)
+        ratios = got / np.sqrt(n)
+        assert ratios.max() / ratios.min() < 1.15  # ~ proportional
+        assert kept["fr"] == 200 and kept["rare"] == 8  # capped at 1
+        # dominant group is downsampled far below 0.5
+        assert kept["en"] / sizes["en"] < 0.45
+
+    def test_alpha_one_is_uniform(self, spark):
+        from protosc_spark.sampling import mixture_sample, stratified_sample
+
+        df, _ = self._skewed(spark)
+        mix = mixture_sample(df, group_col="lang", alpha=1.0, total_frac=0.3)
+        uni = stratified_sample(df, 0.3, ["doc_id"])
+        a = {r["doc_id"] for r in mix.select("doc_id").collect()}
+        b = {r["doc_id"] for r in uni.select("doc_id").collect()}
+        assert a == b  # identical rows, not just identical sizes
+
+    def test_deterministic_across_partitioning(self, spark):
+        from protosc_spark.sampling import mixture_sample
+
+        df, _ = self._skewed(spark)
+        a = {
+            r["doc_id"]
+            for r in mixture_sample(df, group_col="lang").collect()
+        }
+        b = {
+            r["doc_id"]
+            for r in mixture_sample(
+                df.repartition(13), group_col="lang"
+            ).collect()
+        }
+        assert a == b
