@@ -167,7 +167,8 @@ scaling of memory-bound work on this host.
 ### host physics, not engine serial fraction)
 
 Stage-level breakdown of one warm flagship pass (tools/stage_profile.py,
-REST stage timeline; measured this round at 200k conversations):
+REST stage timeline; measured in round 3 at the same 200k conversations
+— re-run tools/stage_profile.py if a flagship stage changes):
 
 | cores | wall | stage CPU-s | slot-seconds | utilization | driver gaps |
 |---|---|---|---|---|---|
@@ -201,11 +202,21 @@ benchmark scale.
     existing = ""
     if os.path.exists(path):
         existing = open(path).read()
+    # Replace ONLY this tool's section: from its marker up to the next
+    # top-level "## " heading. (The old split-once logic threw away
+    # every section AFTER the marker too — it destroyed the archived
+    # analyses and per-round profile notes in round 4.)
     marker = "## Measured: two-parallelism scaling evidence"
     if marker in existing:
-        existing = existing.split(marker)[0].rstrip() + "\n"
+        head, rest = existing.split(marker, 1)
+        nxt = rest.find("\n## ")
+        tail = rest[nxt:] if nxt != -1 else ""
+        existing = head.rstrip() + "\n" + "{BLOCK}" + tail
+        content = existing.replace("{BLOCK}", block)
+    else:
+        content = existing + block
     with open(path, "w") as f:
-        f.write(existing + block)
+        f.write(content)
 
 
 if __name__ == "__main__":
