@@ -270,6 +270,40 @@ def _corpus_split(spark, sf_dir):
     ).select("doc_id", "split")
 
 
+def _txt_quality_classifier(spark, sf_dir):
+    """Trainable quality/language classifier (GPT-3/CCNet filtering
+    stage): hashed bag-of-words logistic regression trained ON the
+    cluster (each iteration = one corpus scan + one n_features-sized
+    gradient reduction; driver holds only (w, b)), applied in one
+    Arrow pass. Labels derive deterministically from the corpus
+    (lang == 'en'), training is fixed-init/fixed-iteration full-batch
+    GD -> fully deterministic -> FROZEN oracle; planted-vocabulary
+    recovery, held-out generalization, and parallelism-independence
+    are pinned in tests/test_classifier.py."""
+    from protosc_spark.classifier import (
+        score_quality,
+        train_quality_classifier,
+    )
+
+    docs = _read(spark, sf_dir, "documents")
+    labeled = docs.withColumn(
+        "label", (F.col("lang") == "en").cast("int")
+    )
+    w, b = train_quality_classifier(
+        labeled, n_features=1 << 14, n_iter=10
+    )
+    return (
+        score_quality(labeled, w, b, n_features=1 << 14)
+        .select(
+            "doc_id",
+            "label",
+            "quality_prob",
+            (F.col("quality_prob") >= 0.5).cast("int").alias("pred"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 def _corpus_mixture_sample(spark, sf_dir):
     """Temperature-scaled language-mixture downsampling (alpha=0.5,
     half the corpus; lang is the skewed group in the synthetic corpus —
@@ -1174,6 +1208,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "txt_vocab_idf": _txt_vocab_idf,
         "corpus_split": _corpus_split,
         "corpus_mixture_sample": _corpus_mixture_sample,
+        "txt_quality_classifier": _txt_quality_classifier,
         "dedup_exact_groups": _dedup_exact,
         "dedup_ngram_jaccard": _dedup_jaccard,
         "dedup_minhash_lsh": _dedup_minhash,

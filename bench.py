@@ -73,6 +73,7 @@ HEADLINE = [
     "sim_knn_graph_ivfpq",
     "mm_png_roundtrip",
     "corpus_mixture_sample",
+    "txt_quality_classifier",
 ]
 
 BENCH_CONVERSATIONS = int(os.environ.get("PROTOSC_BENCH_CONVS", "20000"))
