@@ -555,6 +555,21 @@ def _sim_knn_graph_ivfpq(spark, sf_dir):
     ).select("query_id", "neighbor_id", "rank")
 
 
+def _sim_knn_graph_probe(spark, sf_dir):
+    """The kNN graph at its SCALE configuration (64 coarse cells,
+    8 probed -> each vector scores ~1/8 of the corpus instead of all
+    of it). Approximate by design (recall pinned in tests), fully
+    deterministic -> FROZEN oracle. This is the config the benchmark
+    times; sim_knn_graph / sim_knn_graph_ivfpq gate the degenerate
+    exact configs against the independent brute-force SQL oracle."""
+    from protosc_spark.similarity import knn_graph
+
+    emb = _read(spark, sf_dir, "embeddings")
+    return knn_graph(emb, k=5, n_centroids=64, n_probe=8).select(
+        "query_id", "neighbor_id", "rank"
+    )
+
+
 def _sim_topk_ivf_probe(spark, sf_dir):
     """The real IVF scale path: probe the 4 nearest of 8 cells per
     query (half the corpus scored). Rows-only (candidate set is
@@ -1220,6 +1235,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_topk_ivf_probe": _sim_topk_ivf_probe,
         "sim_knn_graph": _sim_knn_graph,
         "sim_knn_graph_ivfpq": _sim_knn_graph_ivfpq,
+        "sim_knn_graph_probe": _sim_knn_graph_probe,
         "sim_cosine_neardup": _sim_neardup,
         "transcript_flagship": _transcript_flagship,
         "stream_sessions": _stream_sessions,

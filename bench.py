@@ -68,9 +68,13 @@ HEADLINE = [
     "txt_top_ngrams",
     "txt_bpe_tokenize",
     "txt_pmi_collocations",
-    # round-4 additions
-    "sim_knn_graph",
-    "sim_knn_graph_ivfpq",
+    # round-4 additions. The kNN graph is benched at its pruned SCALE
+    # config (sim_knn_graph_probe); the exact full-probe configs
+    # (sim_knn_graph, sim_knn_graph_ivfpq) exist to hash-check the
+    # machinery against the brute-force SQL oracle at sf0.01 and are
+    # deliberately quadratic — same split as sim_topk_ivf vs
+    # sim_topk_ivf_probe.
+    "sim_knn_graph_probe",
     "mm_png_roundtrip",
     "corpus_mixture_sample",
     "txt_quality_classifier",
