@@ -154,6 +154,7 @@ def asof_join_grouped(
     value_cols: Sequence[str] | None = None,
     allow_exact_matches: bool = False,
     n_buckets: int = 64,
+    tolerance_seconds: float | None = None,
 ) -> DataFrame:
     """Backward as-of join via cogrouped ``pandas.merge_asof`` kernel.
 
@@ -203,6 +204,13 @@ def asof_join_grouped(
             by=by,
             direction="backward",
             allow_exact_matches=allow_exact_matches,
+            # same inclusive staleness rule as asof_join's
+            # tolerance_seconds (left.ts - right.ts <= tol keeps)
+            tolerance=(
+                pd.Timedelta(seconds=tolerance_seconds)
+                if tolerance_seconds is not None
+                else None
+            ),
         )
         return merged[left_cols + value_cols]
 
@@ -221,6 +229,7 @@ def asof_join_time_split(
     value_cols: Sequence[str] | None = None,
     allow_exact_matches: bool = False,
     split_seconds: int = 86400,
+    tolerance_seconds: float | None = None,
 ) -> DataFrame:
     """Backward as-of join with TIME-RANGE SPLITTING and boundary
     carry-in — the skew path for conversations too large for one task.
@@ -334,7 +343,10 @@ def asof_join_time_split(
     rhs_all = rb.unionByName(carry)
 
     # In-bucket merge: asof_join partitioned by (entity, bucket) — one
-    # exchange on the split key, zero Python. Same strict-< / tie rules.
+    # exchange on the split key, zero Python. Same strict-< / tie rules;
+    # tolerance also passes straight through, because carry rows keep
+    # their ORIGINAL update ts (< bucket start), so the staleness check
+    # measures true update age across bucket boundaries too.
     return asof_join(
         lb,
         rhs_all,
@@ -342,4 +354,5 @@ def asof_join_time_split(
         by=[by, "__t"],
         value_cols=value_cols,
         allow_exact_matches=allow_exact_matches,
+        tolerance_seconds=tolerance_seconds,
     ).drop("__t")

@@ -274,3 +274,42 @@ def test_asof_tolerance_matches_pandas_merge_asof(spark, events):
         allow_exact_matches=False, tolerance=pd.Timedelta("1h"),
     ).sort_values("event_id")
     assert list(got["pv"].fillna(-1)) == list(want["pv"].fillna(-1))
+
+
+def test_tolerance_equal_across_all_three_kernels(transcripts, updates):
+    """tolerance_seconds now exists on every kernel: window, grouped
+    merge_asof, and time-split (where carry rows keep their ORIGINAL
+    update ts, so staleness is measured across bucket boundaries too).
+    All three must null the same matches."""
+    from protosc_spark.asof import (
+        asof_join,
+        asof_join_grouped,
+        asof_join_time_split,
+    )
+
+    tol = 6 * 3600  # stale after 6 hours
+
+    def key_rows(df):
+        return {
+            (r.conv_id, r.turn_idx): r.attr_value
+            for r in df.select("conv_id", "turn_idx", "attr_value").collect()
+        }
+
+    base = key_rows(
+        asof_join(transcripts, updates, value_cols=["attr_value"],
+                  tolerance_seconds=tol)
+    )
+    grouped = key_rows(
+        asof_join_grouped(transcripts, updates, value_cols=["attr_value"],
+                          tolerance_seconds=tol)
+    )
+    split = key_rows(
+        asof_join_time_split(transcripts, updates, value_cols=["attr_value"],
+                             split_seconds=3600, tolerance_seconds=tol)
+    )
+    assert base == grouped == split
+    # the tolerance actually bites: strictly fewer non-null matches
+    loose = key_rows(asof_join(transcripts, updates, value_cols=["attr_value"]))
+    n_loose = sum(v is not None for v in loose.values())
+    n_tight = sum(v is not None for v in base.values())
+    assert 0 < n_tight < n_loose
