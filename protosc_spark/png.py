@@ -119,10 +119,14 @@ def decode_png(data: bytes) -> np.ndarray:
     return img
 
 
-def encode_png(img: np.ndarray, filter_type: int = 0) -> bytes:
+def encode_png(
+    img: np.ndarray, filter_type: int = 0, level: int = 6
+) -> bytes:
     """(h, w[, c]) uint8 -> PNG bytes (8-bit grey/grey+alpha/RGB/RGBA).
     ``filter_type`` applies one filter to every scanline — the round-
-    trip fixture knob for exercising the decoder's unfilter paths."""
+    trip fixture knob for exercising the decoder's unfilter paths.
+    ``level`` is the zlib effort (6 = zlib default; 9 buys ~nothing on
+    filtered scanlines and costs ~2x CPU in this per-row hot path)."""
     a = np.asarray(img, dtype=np.uint8)
     if a.ndim == 2:
         a = a[:, :, None]
@@ -170,6 +174,6 @@ def encode_png(img: np.ndarray, filter_type: int = 0) -> bytes:
     return (
         _SIG
         + chunk(b"IHDR", ihdr)
-        + chunk(b"IDAT", zlib.compress(raw, 9))
+        + chunk(b"IDAT", zlib.compress(raw, level))
         + chunk(b"IEND", b"")
     )
