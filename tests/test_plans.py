@@ -152,3 +152,40 @@ def test_connected_components_lineage_is_cut(spark):
     p = plan(connected_components(pairs))
     assert "ExistingRDD" in p or "Scan ExistingRDD" in p
     assert n_shuffles(p) == 0
+
+
+def test_mixture_sample_broadcasts_rates_no_sortmerge(spark):
+    """mixture_sample: the rate table joins back to the corpus as a
+    BROADCAST hash join (rates are |groups| rows); the corpus itself is
+    never sort-merge-joined or re-shuffled beyond the tiny count
+    aggregation, and the row filter stays JVM-only."""
+    from protosc_spark.sampling import mixture_sample
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    p = plan(mixture_sample(docs, group_col="lang"))
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+    assert "ArrowEvalPython" not in p and "BatchEvalPython" not in p
+
+
+def test_chunk_documents_is_map_only(spark):
+    """Context-window chunking: pure projection — zero exchanges,
+    zero Python, whole-stage codegen territory."""
+    from protosc_spark.textops import chunk_documents
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    p = plan(chunk_documents(docs, chunk_tokens=12, stride=8))
+    assert n_shuffles(p) == 0
+    assert "ArrowEvalPython" not in p and "BatchEvalPython" not in p
+
+
+def test_knn_batch_no_cartesian_one_candidate_path(spark):
+    """ivf_topk_batch: candidates come from the cell cogroup — never a
+    cartesian/broadcast-nested-loop product of queries x corpus."""
+    from protosc_spark.similarity import knn_graph
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    p = plan(knn_graph(emb, k=3, n_centroids=8, n_probe=2))
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "FlatMapCoGroupsInPandas" in p  # the per-cell BLAS kernel
