@@ -530,27 +530,62 @@ def ivfpq_topk_batch(
         vec_col,
     )
 
-    @F.pandas_udf(T.DoubleType())
-    def adc_udf(q_units: pd.Series, code_s: pd.Series) -> pd.Series:
-        Q = np.array(q_units.tolist(), dtype=np.float64)  # [batch, dim]
+    # Same per-cell kernel shape as ivf_topk_batch: codes are decoded
+    # ONCE per cell into reconstructed vectors (a codebook gather), one
+    # Q @ R.T matmul scores every (probe, member) pair in the cell, and
+    # only each query's per-cell top (k * rerank_factor) ADC candidates
+    # leave the kernel — the global shortlist window then sees
+    # n_probe * k * rerank rows per query, never every scored pair.
+    # Per-cell pruning uses the same (approx desc, neighbor_id asc)
+    # rule as the global shortlist, so it never drops a row the global
+    # top would keep.
+    cap = int(k) * int(rerank_factor)
+
+    def cell_adc_topk(ppdf: pd.DataFrame, mpdf: pd.DataFrame) -> pd.DataFrame:
+        if len(ppdf) == 0 or len(mpdf) == 0:
+            return pd.DataFrame(
+                {"query_id": [], "neighbor_id": [], "approx": []}
+            ).astype(
+                {
+                    "query_id": "int64",
+                    "neighbor_id": "int64",
+                    "approx": "float64",
+                }
+            )
+        Q = np.array(ppdf["q_unit"].tolist(), dtype=np.float64)
         C = (
-            np.frombuffer(b"".join(code_s), dtype=np.uint8)
-            .reshape(len(code_s), mm)
+            np.frombuffer(b"".join(mpdf["code"]), dtype=np.uint8)
+            .reshape(len(mpdf), mm)
             .astype(np.int64)
         )
-        # reconstruct candidates from their codes: [batch, m, dsub]
-        R = B[np.arange(mm)[None, :], C]  # gather per subspace
-        S = np.einsum("bmd,bmd->b", Q.reshape(len(Q), mm, dsub), R)
-        return pd.Series(S)
+        # [n_members, dim] reconstruction: per-subspace codebook gather
+        R = B[np.arange(mm)[None, :], C].reshape(len(mpdf), mm * dsub)
+        qids = ppdf["query_id"].to_numpy()
+        nids = mpdf["neighbor_id"].to_numpy()
+        out_q, out_n, out_a = [], [], []
+        step = max(1, (32 << 20) // max(1, len(nids) * 8))
+        for s in range(0, len(qids), step):
+            S = Q[s : s + step] @ R.T
+            for r in range(S.shape[0]):
+                mask = nids != qids[s + r]
+                cand_n, cand_a = nids[mask], S[r][mask]
+                part = np.lexsort((cand_n, -cand_a))[:cap]
+                out_q.extend([qids[s + r]] * len(part))
+                out_n.extend(cand_n[part])
+                out_a.extend(cand_a[part])
+        return pd.DataFrame(
+            {
+                "query_id": np.array(out_q, dtype=np.int64),
+                "neighbor_id": np.array(out_n, dtype=np.int64),
+                "approx": np.array(out_a, dtype=np.float64),
+            }
+        )
 
     cand = (
-        probes.join(members, "cell")
-        .where(F.col("neighbor_id") != F.col("query_id"))
-        .select(
-            "query_id",
-            "neighbor_id",
-            "q_unit",
-            adc_udf(F.col("q_unit"), F.col("code")).alias("approx"),
+        probes.groupBy("cell")
+        .cogroup(members.groupBy("cell"))
+        .applyInPandas(
+            cell_adc_topk, "query_id long, neighbor_id long, approx double"
         )
     )
     w_cand = W.partitionBy("query_id").orderBy(
@@ -558,16 +593,23 @@ def ivfpq_topk_batch(
     )
     shortlist = (
         cand.withColumn("crank", F.row_number().over(w_cand))
-        .where(F.col("crank") <= k * rerank_factor)
-        .select("query_id", "neighbor_id", "q_unit")
+        .where(F.col("crank") <= cap)
+        .select("query_id", "neighbor_id")
     )
     base = with_unit_vectors(emb, vec_col).select(
         F.col(id_col).alias("neighbor_id"), "unit"
     )
-    rer = shortlist.join(base, "neighbor_id").select(
-        "query_id",
-        "neighbor_id",
-        F.round(_dot(F.col("q_unit"), F.col("unit")), 6).alias("cosine"),
+    q_base = with_unit_vectors(
+        emb if queries is None else queries, vec_col
+    ).select(F.col(id_col).alias("query_id"), F.col("unit").alias("q_unit"))
+    rer = (
+        shortlist.join(base, "neighbor_id")
+        .join(q_base, "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(_dot(F.col("q_unit"), F.col("unit")), 6).alias("cosine"),
+        )
     )
     w = W.partitionBy("query_id").orderBy(
         F.desc("cosine"), F.asc("neighbor_id")
