@@ -744,18 +744,37 @@ def semantic_dedup(
             emb, n_clusters, id_col=id_col, vec_col=vec_col
         )
     assigned = ivf_assign(emb, centroids, id_col, vec_col)
-    a, b = assigned.alias("a"), assigned.alias("b")
+    # Within-cell pair comparison as ONE grouped BLAS kernel per cell
+    # (same backend shape as ivf_topk_batch): U @ U.T in row-chunks of
+    # bounded size instead of a per-pair JVM dot self-join — each unit
+    # vector crosses the wire once per cell, never once per pair, and
+    # only the dropped ids leave the kernel. Semantics identical
+    # (cosine rounded to 6 >= tau against any smaller-id same-cell
+    # vector); the round matches the SQL oracle's.
+    tau_f = float(tau)
+
+    def cell_dropped(pdf: pd.DataFrame) -> pd.DataFrame:
+        ids = pdf["id"].to_numpy()
+        order = np.argsort(ids, kind="stable")
+        ids = ids[order]
+        U = np.array(pdf["unit"].tolist(), dtype=np.float64)[order]
+        n = len(ids)
+        dropped_mask = np.zeros(n, dtype=bool)
+        step = max(1, (32 << 20) // max(1, n * 8))
+        for s in range(0, n, step):
+            S = np.round(U[s : s + step] @ U.T, 6)  # [chunk, n]
+            for r in range(S.shape[0]):
+                i = s + r
+                # neighbors with a SMALLER id: strictly earlier rows
+                hits = np.flatnonzero(S[r, :i] >= tau_f)
+                if len(hits):
+                    dropped_mask[i] = True
+        return pd.DataFrame({"id": ids[dropped_mask].astype(np.int64)})
+
     dropped = (
-        a.join(
-            b,
-            (F.col("a.cell") == F.col("b.cell"))
-            & (F.col("a.id") < F.col("b.id")),
-        )
-        .where(
-            F.round(_dot(F.col("a.unit"), F.col("b.unit")), 6) >= F.lit(tau)
-        )
-        .select(F.col("b.id").alias("id"))
-        .distinct()
+        assigned.select("cell", "id", "unit")
+        .groupBy("cell")
+        .applyInPandas(cell_dropped, "id long")
     )
     return (
         assigned.join(dropped, "id", "left_anti")
