@@ -513,3 +513,38 @@ def test_ivfpq_knn_graph_pruned_recall_and_determinism(spark, emb):
         )
     )
     assert a == a2
+
+
+def test_ivfpq_batch_external_queries(spark, emb):
+    """IVF-PQ batch path with a DataFrame query set disjoint from the
+    corpus (exercises the post-round-4 re-rank join of query vectors
+    by id): full probing + corpus-covering shortlist == each query's
+    exact corpus top-k, self-inclusion expected (ids never collide)."""
+    import numpy as np
+
+    from protosc_spark.similarity import ivfpq_topk_batch
+
+    queries = (
+        emb.where(F.col("vec_id") < 3)
+        .withColumn("vec_id", F.col("vec_id") + 200000)
+    )
+    got = sorted(
+        map(
+            tuple,
+            ivfpq_topk_batch(
+                emb, queries, k=10, n_centroids=8, n_probe=8,
+                rerank_factor=100,
+            ).collect(),
+        )
+    )
+    rows = emb.orderBy("vec_id").collect()
+    ids = np.array([r["vec_id"] for r in rows])
+    X = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    U = X / np.linalg.norm(X, axis=1, keepdims=True)
+    want = []
+    for q in range(3):
+        cos = np.round(U @ U[q], 6)
+        order = np.lexsort((ids, -cos))
+        for rank, j in enumerate(order[:10], start=1):
+            want.append((200000 + q, int(ids[j]), rank, float(cos[j])))
+    assert got == sorted(want)
