@@ -1087,7 +1087,9 @@ def _txt_bpe_tokenize(spark, sf_dir):
     from protosc_spark.bpe import bpe_tokenize, bpe_train
 
     docs = _read(spark, sf_dir, "documents")
-    merges = bpe_train(docs, n_merges=40)
+    # scale bounds opted in explicitly (library defaults are exact);
+    # verified merge-identical to the unbounded run on this corpus
+    merges = bpe_train(docs, n_merges=40, min_count=2, max_words=1_000_000)
     return bpe_tokenize(docs, merges).select(
         "doc_id",
         "n_bpe",

@@ -126,6 +126,29 @@ def _membw_1proc_gbps() -> float:
     return round(6 * a.nbytes / (time.time() - t0) / 1e9, 2)
 
 
+def write_records(full: dict, bench_dir: str) -> str:
+    """Persist one bench record. Round-4 verdict #4: last_run.json is
+    mutable, so a steal-storm driver run used to clobber the committed
+    clean record. Every run is archived APPEND-ONLY under
+    BENCH/history/ (UTC-stamped, never overwritten); last_run.json
+    stays a copy of the newest for the driver/judge. Returns the
+    history path."""
+    hist_dir = os.path.join(bench_dir, "history")
+    os.makedirs(hist_dir, exist_ok=True)
+    stamp = time.strftime("%Y%m%dT%H%M%SZ", time.gmtime())
+    hist_path = os.path.join(hist_dir, f"{stamp}.json")
+    n = 1
+    while os.path.exists(hist_path):  # same-second re-run
+        hist_path = os.path.join(hist_dir, f"{stamp}-{n}.json")
+        n += 1
+    full["history_record"] = os.path.relpath(hist_path, bench_dir)
+    with open(hist_path, "w") as fh:
+        json.dump(full, fh, indent=2)
+    with open(os.path.join(bench_dir, "last_run.json"), "w") as fh:
+        json.dump(full, fh, indent=2)
+    return hist_path
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").split("sf")[-1]
@@ -258,9 +281,7 @@ def main() -> None:
         },
     }
     bench_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH")
-    os.makedirs(bench_dir, exist_ok=True)
-    with open(os.path.join(bench_dir, "last_run.json"), "w") as fh:
-        json.dump(full, fh, indent=2)
+    write_records(full, bench_dir)
     compact = {
         "metric": "headline_suite_wall_seconds",
         "value": total,

@@ -89,8 +89,8 @@ def bpe_train(
     df: DataFrame,
     n_merges: int = 50,
     text_col: str = "text",
-    min_count: int = 2,
-    max_words: int | None = 1_000_000,
+    min_count: int = 1,
+    max_words: int | None = None,
 ) -> list[tuple[str, str]]:
     """Distributed word counting + driver merge loop. Returns the
     ordered merge list (rank = position).
@@ -106,10 +106,13 @@ def bpe_train(
         word) — Spark plans orderBy+limit as TakeOrderedAndProject
         (per-partition top-N + single merge), so the shuffle carries
         at most N rows per partition, never the full table.
-    ``min_count=2`` is the default (standard practice: the hapax tail
-    carries negligible pair mass at corpus scale; the gate corpus's
-    merges are verified identical at min_count 1 vs 2). Pass
-    ``min_count=1`` for exact-tail training on small corpora.
+    Defaults are EXACT (min_count=1, max_words=None — advice r4: the
+    bounds change learned merges on corpora where the tail carries
+    pair mass, so existing callers keep bit-identical behavior);
+    corpus-scale callers opt into the bounds, e.g. ``min_count=2,
+    max_words=1_000_000`` (the gate query does — its merges are
+    verified identical with and without the bounds on the gate
+    corpus, and the hapax-tail pushdown is pinned in tests).
     """
     wc = word_counts(df, text_col)
     if min_count > 1:

@@ -51,16 +51,48 @@ def _hash_tokens(tokens: list[str], n_features: int) -> np.ndarray:
     )
 
 
-def _doc_vector(text: str, n_features: int) -> tuple[np.ndarray, np.ndarray]:
-    """(bucket ids, L2-normalized counts) for one document."""
-    toks = [t for t in text.split(" ") if t]
-    if not toks:
-        return np.zeros(0, dtype=np.int64), np.zeros(0)
-    ids = _hash_tokens(toks, n_features)
-    uniq, counts = np.unique(ids, return_counts=True)
+def _featurize_batch(
+    texts, n_features: int
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, int]:
+    """Hashed-unigram CSR triplets for a WHOLE Arrow batch of texts:
+    (row, ids, vals) with per-document unique bucket ids (ascending)
+    and L2-normalized counts, plus the batch row count. One np.unique
+    over (row * n_features + id) composite keys replaces the old
+    per-document loop (round-4 verdict #2): tokenization stays a list
+    comprehension (inherently per-doc), but dedup, normalization and
+    everything downstream (forward pass, gradient scatter) are single
+    vectorized calls over the batch."""
+    tok_lists = [
+        [t for t in (s or "").split(" ") if t] for s in texts
+    ]
+    lens = np.fromiter(map(len, tok_lists), dtype=np.int64, count=len(tok_lists))
+    total = int(lens.sum())
+    if total == 0:
+        return (
+            np.zeros(0, dtype=np.int64),
+            np.zeros(0, dtype=np.int64),
+            np.zeros(0),
+            len(tok_lists),
+        )
+    flat = [t for tl in tok_lists for t in tl]
+    ids_all = _hash_tokens(flat, n_features)
+    row_all = np.repeat(np.arange(len(tok_lists), dtype=np.int64), lens)
+    keys, counts = np.unique(row_all * n_features + ids_all, return_counts=True)
+    row = keys // n_features
+    ids = keys % n_features
     vals = counts.astype(np.float64)
-    vals /= np.linalg.norm(vals)
-    return uniq, vals
+    norms = np.sqrt(
+        np.bincount(row, weights=vals * vals, minlength=len(tok_lists))
+    )
+    vals /= norms[row]
+    return row, ids, vals, len(tok_lists)
+
+
+def _doc_vector(text: str, n_features: int) -> tuple[np.ndarray, np.ndarray]:
+    """(bucket ids, L2-normalized counts) for one document — the
+    batch kernel at batch size 1 (kept for tests/direct use)."""
+    _, ids, vals, _ = _featurize_batch([text], n_features)
+    return ids, vals
 
 
 def train_quality_classifier(
@@ -88,13 +120,20 @@ def train_quality_classifier(
     # to disk, which still beats re-tokenizing the corpus per epoch).
     def featurize(batches):
         for pdf in batches:
-            ids_col, vals_col = [], []
-            for text in pdf["__t"].fillna(""):
-                ids, vals = _doc_vector(text, n_features)
-                ids_col.append(ids)
-                vals_col.append(vals)
+            if len(pdf) == 0:
+                yield pd.DataFrame({"ids": [], "vals": [], "y": []})
+                continue
+            row, ids, vals, n = _featurize_batch(
+                pdf["__t"].tolist(), n_features
+            )
+            nnz = np.bincount(row, minlength=n)
+            offs = np.cumsum(nnz)[:-1]
             yield pd.DataFrame(
-                {"ids": ids_col, "vals": vals_col, "y": pdf["__y"]}
+                {
+                    "ids": np.split(ids, offs),
+                    "vals": np.split(vals, offs),
+                    "y": pdf["__y"],
+                }
             )
 
     feat = (
@@ -118,19 +157,43 @@ def train_quality_classifier(
             w_cur, b_cur = w, b  # ride the closure, executor-broadcast
 
             def grad_partial(batches):
+                # CSR-batch forward pass + gradient scatter (round-4
+                # verdict #2): the per-document Python loop is gone —
+                # per batch, TWO np.bincount calls (a sparse
+                # matrix-vector product and its transpose scatter)
+                # do the same math in C
                 gw = np.zeros(n_features)
                 gb = 0.0
                 for pdf in batches:
-                    for ids, vals, y in zip(
-                        pdf["ids"], pdf["vals"], pdf["y"]
-                    ):
-                        ids = np.asarray(ids, dtype=np.int64)
-                        vals = np.asarray(vals, dtype=np.float64)
-                        z = float(vals @ w_cur[ids]) + b_cur
-                        p = 1.0 / (1.0 + np.exp(-z))
-                        err = p - float(y)
-                        np.add.at(gw, ids, err * vals)
-                        gb += err
+                    n = len(pdf)
+                    if n == 0:
+                        continue
+                    nnz = np.fromiter(
+                        map(len, pdf["ids"]), dtype=np.int64, count=n
+                    )
+                    ids = (
+                        np.concatenate(pdf["ids"].tolist())
+                        .astype(np.int64)
+                        if nnz.sum()
+                        else np.zeros(0, dtype=np.int64)
+                    )
+                    vals = (
+                        np.concatenate(pdf["vals"].tolist())
+                        if nnz.sum()
+                        else np.zeros(0)
+                    )
+                    row = np.repeat(np.arange(n, dtype=np.int64), nnz)
+                    z = (
+                        np.bincount(row, weights=vals * w_cur[ids], minlength=n)
+                        + b_cur
+                    )
+                    err = 1.0 / (1.0 + np.exp(-z)) - pdf["y"].to_numpy(
+                        dtype=np.float64
+                    )
+                    gw += np.bincount(
+                        ids, weights=err[row] * vals, minlength=n_features
+                    )
+                    gb += float(err.sum())
                 yield pd.DataFrame({"gw": [gw.tobytes()], "gb": [gb]})
 
             parts = feat.mapInPandas(
@@ -163,11 +226,10 @@ def score_quality(
 
     @F.pandas_udf(T.DoubleType())
     def score_udf(texts: pd.Series) -> pd.Series:
-        out = np.empty(len(texts))
-        for i, t in enumerate(texts.fillna("")):
-            ids, vals = _doc_vector(t, nf)
-            z = float(vals @ w[ids]) + b
-            out[i] = 1.0 / (1.0 + np.exp(-z))
-        return pd.Series(out)
+        # batch-CSR forward pass: one hash/unique pass + one bincount
+        # per Arrow batch, no per-document Python (round-4 verdict #2)
+        row, ids, vals, n = _featurize_batch(texts.tolist(), nf)
+        z = np.bincount(row, weights=vals * w[ids], minlength=n) + b
+        return pd.Series(1.0 / (1.0 + np.exp(-z)))
 
     return df.withColumn("quality_prob", F.round(score_udf(F.col(text_col)), 6))

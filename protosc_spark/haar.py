@@ -20,8 +20,10 @@ Evaluation semantics (standard Viola–Jones):
 
 * integral image + squared integral per frame;
 * per window, variance normalization factor
-  ``sigma = sqrt(max(0, E[x^2] - E[x]^2))`` over the window (1 if
-  degenerate);
+  ``sigma = sqrt(max(0, E[x^2] - E[x]^2))`` computed over the window
+  INSET by one pixel on each side (offset (1,1), size (w-2,h-2)) —
+  OpenCV's normalization rect, which stock cascade thresholds are
+  calibrated against (advice r4); 1 if degenerate;
 * each weak classifier is a decision stump on one Haar feature:
   ``feature_sum * inv_area < node_threshold * sigma`` selects the left
   leaf, else the right; a stage rejects the window when the sum of its
@@ -162,9 +164,17 @@ def detect_multiscale(
         xs0 = np.arange(0, W - ww + 1, step)
         ys, xs = [a.ravel() for a in np.meshgrid(ys0, xs0, indexing="ij")]
         if len(ys):
-            inv_area = 1.0 / (ww * wh)
-            total = _rect_sums(ii, ys, xs, 0, 0, ww, wh)
-            total2 = _rect_sums(ii2, ys, xs, 0, 0, ww, wh)
+            # OpenCV normalization rect: window inset by 1px per side
+            # ((1,1), (w-2,h-2)) — stock cascade thresholds are
+            # calibrated to it; fall back to the full window when the
+            # window is too small to inset
+            if ww > 2 and wh > 2:
+                nx, ny, nw, nh = 1, 1, ww - 2, wh - 2
+            else:
+                nx, ny, nw, nh = 0, 0, ww, wh
+            inv_area = 1.0 / (nw * nh)
+            total = _rect_sums(ii, ys, xs, nx, ny, nw, nh)
+            total2 = _rect_sums(ii2, ys, xs, nx, ny, nw, nh)
             mean = total * inv_area
             var = total2 * inv_area - mean * mean
             sigma = np.where(var > 0, np.sqrt(np.maximum(var, 0)), 1.0)

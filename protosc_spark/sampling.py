@@ -184,11 +184,18 @@ def mixture_sample(
             ).alias("__rate"),
         )
     )
+    # eqNullSafe: groupBy counted NULL as its own group and computed a
+    # rate for it, so NULL-group rows must join that rate row too — a
+    # plain equi-join would silently drop every NULL-group document
+    rates = rates.withColumnRenamed(group_col, "__grp")
     return (
-        df.join(F.broadcast(rates), group_col)
+        df.join(
+            F.broadcast(rates),
+            F.col(group_col).eqNullSafe(F.col("__grp")),
+        )
         .where(
             hash_bucket(key_cols, salt=salt)
             < F.floor(F.col("__rate") * F.lit(N_BUCKETS))
         )
-        .drop("__rate")
+        .drop("__rate", "__grp")
     )

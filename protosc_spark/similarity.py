@@ -360,6 +360,55 @@ def ivf_assign_probes(
     )
 
 
+def _salt_hot_cells(
+    probes: DataFrame, members: DataFrame, max_cell_rows: int
+) -> tuple[DataFrame, DataFrame]:
+    """Bound the per-task candidate-set size of the per-cell cogroup
+    kernels: cells with more than ``max_cell_rows`` members are split
+    into ceil(|cell| / max_cell_rows) hash-salted sub-cells (members
+    hashed on id, probes replicated across every sub-cell of each
+    probed cell), so a hot cell (unbalanced quantizer, clustered
+    corpus) becomes many bounded tasks instead of one straggler.
+    Lossless: each (query, member) pair still arises exactly once, and
+    the per-sub-cell partial top-k uses the exact global tie rule, so
+    the global merge window reconstructs the unsalted answer bit-for-
+    bit (pinned in tests/test_similarity.py with one planted giant
+    cell). Fully distributed — the cell-count table is n_centroids
+    rows, broadcast to both sides; no driver collect."""
+    cellcnt = members.groupBy("cell").agg(
+        F.ceil(
+            F.count(F.lit(1)) / F.lit(int(max_cell_rows))
+        ).cast("int").alias("n_sub")
+    )
+    # two renamed copies: probes/members share lineage with emb AND
+    # both join cellcnt, which trips the ambiguous-self-join check
+    members_s = (
+        members.join(
+            F.broadcast(cellcnt.withColumnRenamed("n_sub", "__m_sub")),
+            "cell",
+        )
+        .withColumn(
+            "salt",
+            F.pmod(
+                F.xxhash64(F.col("neighbor_id")), F.col("__m_sub")
+            ).cast("int"),
+        )
+        .drop("__m_sub")
+    )
+    probes_s = (
+        probes.join(
+            F.broadcast(cellcnt.withColumnRenamed("n_sub", "__q_sub")),
+            "cell",
+        )
+        .withColumn(
+            "salt",
+            F.explode(F.sequence(F.lit(0), F.col("__q_sub") - F.lit(1))),
+        )
+        .drop("__q_sub")
+    )
+    return probes_s, members_s
+
+
 def ivf_topk_batch(
     emb: DataFrame,
     queries: DataFrame | None = None,
@@ -369,13 +418,17 @@ def ivf_topk_batch(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     centroids: np.ndarray | None = None,
+    max_cell_rows: int = 1 << 20,
 ) -> DataFrame:
     """IVF top-k with the query set as a DATAFRAME — the retrieval
     shape for corpus-scale query sets (kNN-graph construction,
     all-corpus retrieval audits), where :func:`ivf_topk`'s
     driver-built probe rows would not fit. ``queries=None`` searches
     the corpus against itself with self-matches excluded (the kNN
-    graph); pass any (id, vec) DataFrame otherwise.
+    graph); pass any (id, vec) DataFrame otherwise — external query
+    sets get NO self-exclusion, so a query whose id happens to equal a
+    corpus id still sees that corpus vector (ids in the two tables are
+    unrelated namespaces).
 
     Scale shape — every stage is distributed and bounded:
     1. coarse quantizer trained on a fixed-size hash-ordered sample
@@ -383,10 +436,16 @@ def ivf_topk_batch(
     2. corpus cell assignment: one Arrow pass;
     3. query probe expansion: one Arrow pass emitting n_probe
        (query, cell) rows per query — no collect, no driver lut;
-    4. candidate generation: ONE equi-join on ``cell`` (both sides
-       shuffle-partitioned by cell; AQE splits skewed cells). A member
-       belongs to exactly one cell and probe cells are distinct, so a
-       (query, member) pair arises at most once — no distinct needed;
+    4. candidate generation: one COGROUP on ``cell`` (both sides
+       shuffle-partitioned by cell). A member belongs to exactly one
+       cell and probe cells are distinct, so a (query, member) pair
+       arises at most once — no distinct needed. Cogroup keys are NOT
+       skew-split by AQE, so oversized cells are bounded explicitly:
+       any cell with more than ``max_cell_rows`` members is salted
+       into ceil(|cell| / max_cell_rows) sub-cells (members hashed,
+       probes replicated across the sub-cells), and the per-sub-cell
+       partial top-ks merge losslessly in the global window because
+       they use the exact global tie rule;
     5. exact-cosine scoring JVM-side + per-query top-k window.
     Cost ~ (n_probe / n_centroids) x |queries| x |corpus| / (cell
     balance), never the n^2 cross join. ``n_probe == n_centroids``
@@ -421,6 +480,10 @@ def ivf_topk_batch(
     # rounded to 6 desc, neighbor_id asc), so pruning can never drop a
     # row the global top-k would keep — full probing stays exact.
     kk = int(k)
+    # self-exclusion ONLY for the corpus-as-queries (kNN-graph) mode:
+    # an external query table's ids are an unrelated namespace, so an
+    # id collision must NOT silently drop that corpus vector
+    exclude_self = queries is None
 
     def cell_topk(ppdf: pd.DataFrame, mpdf: pd.DataFrame) -> pd.DataFrame:
         if len(ppdf) == 0 or len(mpdf) == 0:
@@ -445,8 +508,11 @@ def ivf_topk_batch(
             S = np.round(Q[s : s + step] @ M.T, 6)  # [chunk, n_members]
             for r in range(S.shape[0]):
                 row = S[r]
-                mask = nids != qids[s + r]  # self-exclusion
-                cand_n, cand_c = nids[mask], row[mask]
+                if exclude_self:
+                    mask = nids != qids[s + r]
+                    cand_n, cand_c = nids[mask], row[mask]
+                else:
+                    cand_n, cand_c = nids, row
                 if len(cand_n) > kk:
                     part = np.lexsort((cand_n, -cand_c))[:kk]
                 else:
@@ -462,9 +528,10 @@ def ivf_topk_batch(
             }
         )
 
+    probes_s, members_s = _salt_hot_cells(probes, members, max_cell_rows)
     scored = (
-        probes.groupBy("cell")
-        .cogroup(members.groupBy("cell"))
+        probes_s.groupBy("cell", "salt")
+        .cogroup(members_s.groupBy("cell", "salt"))
         .applyInPandas(
             cell_topk, "query_id long, neighbor_id long, cosine double"
         )
@@ -489,6 +556,7 @@ def ivfpq_topk_batch(
     rerank_factor: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_cell_rows: int = 1 << 20,
 ) -> DataFrame:
     """IVF-PQ retrieval with a DataFrame query set — the Faiss
     ``IVFx,PQy`` composition: the inverted file prunes WHICH vectors
@@ -540,6 +608,8 @@ def ivfpq_topk_batch(
     # rule as the global shortlist, so it never drops a row the global
     # top would keep.
     cap = int(k) * int(rerank_factor)
+    # same self-exclusion rule as ivf_topk_batch: kNN-graph mode only
+    exclude_self = queries is None
 
     def cell_adc_topk(ppdf: pd.DataFrame, mpdf: pd.DataFrame) -> pd.DataFrame:
         if len(ppdf) == 0 or len(mpdf) == 0:
@@ -567,8 +637,11 @@ def ivfpq_topk_batch(
         for s in range(0, len(qids), step):
             S = Q[s : s + step] @ R.T
             for r in range(S.shape[0]):
-                mask = nids != qids[s + r]
-                cand_n, cand_a = nids[mask], S[r][mask]
+                if exclude_self:
+                    mask = nids != qids[s + r]
+                    cand_n, cand_a = nids[mask], S[r][mask]
+                else:
+                    cand_n, cand_a = nids, S[r]
                 part = np.lexsort((cand_n, -cand_a))[:cap]
                 out_q.extend([qids[s + r]] * len(part))
                 out_n.extend(cand_n[part])
@@ -581,9 +654,10 @@ def ivfpq_topk_batch(
             }
         )
 
+    probes_s, members_s = _salt_hot_cells(probes, members, max_cell_rows)
     cand = (
-        probes.groupBy("cell")
-        .cogroup(members.groupBy("cell"))
+        probes_s.groupBy("cell", "salt")
+        .cogroup(members_s.groupBy("cell", "salt"))
         .applyInPandas(
             cell_adc_topk, "query_id long, neighbor_id long, approx double"
         )
@@ -628,6 +702,7 @@ def knn_graph(
     n_probe: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_cell_rows: int = 1 << 20,
 ) -> DataFrame:
     """k-nearest-neighbor graph of the corpus against itself (the
     100 TB retrieval/curation primitive behind SemDeDup-style analyses
@@ -642,6 +717,7 @@ def knn_graph(
         n_probe=n_probe,
         id_col=id_col,
         vec_col=vec_col,
+        max_cell_rows=max_cell_rows,
     )
 
 

@@ -87,9 +87,10 @@ def test_bpe_lowest_rank_merge_applied_first():
 def test_bpe_train_collect_is_bounded_on_hapax_heavy_corpus(spark):
     """Round-3 verdict #2: the driver-side collect must be vocabulary-
     sized, not distinct-word-sized. Planted corpus: 50 repeated words +
-    5000 unique hapax words. With the default min_count=2 the collected
-    table is exactly the 50 repeated words; max_words caps it further.
-    The learned merges come out of the repeated mass alone."""
+    5000 unique hapax words. With the opt-in min_count=2 (the gate
+    query's scale config; library defaults stay exact per advice r4)
+    the collected table is exactly the 50 repeated words; max_words
+    caps it further. Merges come out of the repeated mass alone."""
     import protosc_spark.bpe as bpe_mod
 
     common = [f"tok{i:02d}" for i in range(50)]
@@ -106,11 +107,24 @@ def test_bpe_train_collect_is_bounded_on_hapax_heavy_corpus(spark):
 
     bpe_mod.bpe_train_on_counts = spy
     try:
-        merges = bpe_train(docs, n_merges=10)
+        merges = bpe_train(docs, n_merges=10, min_count=2)
     finally:
         bpe_mod.bpe_train_on_counts = orig
     assert seen["rows"] == 50  # hapax tail never reaches the driver
     assert len(merges) == 10
+
+    # exact defaults: no bound, the full distinct-word table collects
+    bpe_mod.bpe_train_on_counts = spy
+    try:
+        merges_exact = bpe_train(docs, n_merges=10)
+    finally:
+        bpe_mod.bpe_train_on_counts = orig
+    assert seen["rows"] == 5050
+    # the planted hapax tail shares the "hapax" prefix, so in EXACT
+    # mode its pair mass dominates and the merges differ — exactly the
+    # behavior change that makes exact the safe library default
+    assert merges_exact != merges
+    assert merges_exact[0] == ("a", "p")  # from the 5000x hapax prefix
 
     bpe_mod.bpe_train_on_counts = spy
     try:

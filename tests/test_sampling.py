@@ -190,3 +190,36 @@ class TestMixtureSample:
             ).collect()
         }
         assert a == b
+
+    def test_null_group_rows_sampled_at_their_rate(self, spark):
+        """NULL-group docs form their own group (advice r4): they are
+        kept at the NULL group's computed rate, not silently dropped
+        by the rate join, and the kept set equals a run where NULL is
+        re-labeled to a sentinel string (same counts -> same rates ->
+        same hash decisions)."""
+        from pyspark.sql import functions as F
+
+        from protosc_spark.sampling import mixture_sample
+
+        df, _ = self._skewed(spark)
+        withnull = df.withColumn(
+            "lang",
+            F.when(F.col("doc_id") % 5 == 0, F.lit(None)).otherwise(
+                F.col("lang")
+            ),
+        )
+        kept = mixture_sample(
+            withnull, group_col="lang", alpha=0.5, total_frac=0.5
+        )
+        kept_null = kept.where(F.col("lang").isNull()).count()
+        assert kept_null > 0  # not dropped
+
+        sentinel = withnull.withColumn(
+            "lang", F.coalesce(F.col("lang"), F.lit("@@null@@"))
+        )
+        kept_s = mixture_sample(
+            sentinel, group_col="lang", alpha=0.5, total_frac=0.5
+        )
+        a = sorted(r["doc_id"] for r in kept.select("doc_id").collect())
+        b = sorted(r["doc_id"] for r in kept_s.select("doc_id").collect())
+        assert a == b

@@ -548,3 +548,97 @@ def test_ivfpq_batch_external_queries(spark, emb):
         for rank, j in enumerate(order[:10], start=1):
             want.append((200000 + q, int(ids[j]), rank, float(cos[j])))
     assert got == sorted(want)
+
+
+def test_batch_external_queries_with_colliding_ids(spark, emb):
+    """External query ids that COLLIDE with corpus ids must not be
+    self-excluded (advice r4: the id namespaces are unrelated): each
+    colliding query's rank-1 neighbor is its own corpus twin at
+    cosine 1.0, for both the IVF and IVF-PQ batch kernels."""
+    from protosc_spark.similarity import ivf_topk_batch, ivfpq_topk_batch
+
+    queries = emb.where(F.col("vec_id") < 3)  # ids 0,1,2 == corpus ids
+    for fn, kw in [
+        (ivf_topk_batch, {}),
+        (ivfpq_topk_batch, {"rerank_factor": 100}),
+    ]:
+        top1 = (
+            fn(emb, queries, k=10, n_centroids=8, n_probe=8, **kw)
+            .where(F.col("rank") == 1)
+            .orderBy("query_id")
+            .collect()
+        )
+        assert [(r["query_id"], r["neighbor_id"], r["cosine"]) for r in top1] == [
+            (0, 0, 1.0),
+            (1, 1, 1.0),
+            (2, 2, 1.0),
+        ]
+
+
+def test_knn_graph_self_exclusion_still_holds(spark, emb):
+    """queries=None keeps the kNN-graph contract: no self edges."""
+    from protosc_spark.similarity import knn_graph
+
+    g = knn_graph(emb, k=3, n_centroids=8, n_probe=8)
+    assert g.where(F.col("query_id") == F.col("neighbor_id")).count() == 0
+
+
+def test_hot_cell_salting_is_lossless_and_bounded(spark, emb):
+    """Plant one giant cell (a quantizer whose other centroids are
+    near-antipodal to the data, so ~all vectors land in cell 0) and a
+    tiny max_cell_rows: results are BIT-IDENTICAL to the unsalted run,
+    and no (cell, salt) sub-group holds more than ~max_cell_rows
+    members (hash-balanced, 2x slack)."""
+    import numpy as np
+
+    from protosc_spark.similarity import (
+        _salt_hot_cells,
+        ivf_assign,
+        ivf_topk_batch,
+        with_unit_vectors,
+    )
+
+    pdf = emb.toPandas()
+    X = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+    U = X / np.linalg.norm(X, axis=1, keepdims=True)
+    c0 = U.mean(axis=0)
+    c0 /= np.linalg.norm(c0)
+    rng = np.random.default_rng(7)
+    C = np.vstack(
+        [c0]
+        + [
+            -c0 + 1e-3 * rng.standard_normal(len(c0))
+            for _ in range(3)
+        ]
+    )
+    C /= np.linalg.norm(C, axis=1, keepdims=True)
+
+    members = ivf_assign(emb, C).select(
+        F.col("id").alias("neighbor_id"), "cell", "unit"
+    )
+    sizes = {r["cell"]: r["n"] for r in members.groupBy("cell").agg(F.count("*").alias("n")).collect()}
+    # a majority cell (~62% of the fixture: the data is not perfectly
+    # directional) — >>max_cell_rows=64, so it splits into >=4 salts
+    assert max(sizes.values()) >= 0.5 * sum(sizes.values())
+
+    salted = ivf_topk_batch(
+        emb, None, k=5, n_probe=4, centroids=C, max_cell_rows=64
+    )
+    unsalted = ivf_topk_batch(
+        emb, None, k=5, n_probe=4, centroids=C, max_cell_rows=1 << 20
+    )
+    assert sorted(map(tuple, salted.collect())) == sorted(
+        map(tuple, unsalted.collect())
+    )
+
+    probes = members.select(
+        F.col("neighbor_id").alias("query_id"),
+        "cell",
+        F.col("unit").alias("q_unit"),
+    )
+    _, members_s = _salt_hot_cells(probes, members, max_cell_rows=64)
+    per_task = members_s.groupBy("cell", "salt").count().collect()
+    assert max(r["count"] for r in per_task) <= 2 * 64
+    giant = max(sizes, key=sizes.get)
+    n_salts = len({r["salt"] for r in per_task if r["cell"] == giant})
+    assert n_salts == -(-sizes[giant] // 64)  # ceil split of the hot cell
