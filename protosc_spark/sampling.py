@@ -130,6 +130,41 @@ def split_oracle_sql(
     return case
 
 
+def mixture_rates(
+    df: DataFrame,
+    group_col: str = "source",
+    alpha: float = 0.5,
+    total_frac: float = 0.5,
+) -> DataFrame:
+    """Per-group temperature keep rates (group_col, rate) — the tiny
+    |groups|-row table :func:`mixture_sample` thresholds against.
+    Split out so the rates can come from a STATIC reference corpus and
+    the sampling filter applied to a STREAM (stream-static broadcast
+    join + JVM filter, a supported Structured Streaming shape; pinned
+    stream==batch in tests/test_streaming.py)."""
+    counts = df.groupBy(group_col).agg(
+        F.count(F.lit(1)).cast("double").alias("__n")
+    )
+    totals = counts.agg(
+        F.sum("__n").alias("__N"),
+        F.sum(F.pow("__n", F.lit(float(alpha)))).alias("__S"),
+    )
+    # explicit aliases: counts and totals share lineage (totals is an
+    # aggregate OF counts), so unqualified refs are ambiguous
+    return (
+        counts.alias("c")
+        .crossJoin(F.broadcast(totals.alias("t")))
+        .select(
+            F.col(f"c.{group_col}").alias(group_col),
+            F.least(
+                F.lit(1.0),
+                (F.lit(float(total_frac)) * F.col("t.__N") / F.col("t.__S"))
+                * F.pow(F.col("c.__n"), F.lit(float(alpha) - 1.0)),
+            ).alias("rate"),
+        )
+    )
+
+
 def mixture_sample(
     df: DataFrame,
     group_col: str = "source",
@@ -137,6 +172,7 @@ def mixture_sample(
     total_frac: float = 0.5,
     key_cols: Sequence[str] = ("doc_id",),
     salt: str = "v1",
+    rates: DataFrame | None = None,
 ) -> DataFrame:
     """Temperature-scaled data-mixture downsampling (the GPT-3 /
     multilingual-pretraining recipe): keep a deterministic subset whose
@@ -163,31 +199,14 @@ def mixture_sample(
     """
     if not 0.0 <= total_frac <= 1.0:
         raise ValueError(f"total_frac must be in [0, 1], got {total_frac}")
-    counts = df.groupBy(group_col).agg(
-        F.count(F.lit(1)).cast("double").alias("__n")
-    )
-    totals = counts.agg(
-        F.sum("__n").alias("__N"),
-        F.sum(F.pow("__n", F.lit(float(alpha)))).alias("__S"),
-    )
-    # explicit aliases: counts and totals share lineage (totals is an
-    # aggregate OF counts), so unqualified refs are ambiguous
-    rates = (
-        counts.alias("c")
-        .crossJoin(F.broadcast(totals.alias("t")))
-        .select(
-            F.col(f"c.{group_col}").alias(group_col),
-            F.least(
-                F.lit(1.0),
-                (F.lit(float(total_frac)) * F.col("t.__N") / F.col("t.__S"))
-                * F.pow(F.col("c.__n"), F.lit(float(alpha) - 1.0)),
-            ).alias("__rate"),
-        )
-    )
+    if rates is None:
+        rates = mixture_rates(df, group_col, alpha, total_frac)
     # eqNullSafe: groupBy counted NULL as its own group and computed a
     # rate for it, so NULL-group rows must join that rate row too — a
     # plain equi-join would silently drop every NULL-group document
-    rates = rates.withColumnRenamed(group_col, "__grp")
+    rates = rates.withColumnRenamed(group_col, "__grp").withColumnRenamed(
+        "rate", "__rate"
+    )
     return (
         df.join(
             F.broadcast(rates),
