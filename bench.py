@@ -78,6 +78,8 @@ HEADLINE = [
     "mm_png_roundtrip",
     "corpus_mixture_sample",
     "txt_quality_classifier",
+    # round-5 additions
+    "mm_jpeg_roundtrip",
 ]
 
 BENCH_CONVERSATIONS = int(os.environ.get("PROTOSC_BENCH_CONVS", "20000"))

@@ -151,27 +151,35 @@ def decode_images(df: DataFrame, codec: str = "fake") -> DataFrame:
 
     ``codec="png"`` decodes REAL PNG blobs (protosc_spark.png — pure
     stdlib-zlib + numpy, all five scanline filters, grey/RGB/RGBA/
-    palette); dims come from the blob's IHDR, not the meta column.
-    ``codec="real"`` (JPEG & friends) still needs cv2 and raises with
-    the production call documented. ``codec="fake"`` is the
-    deterministic sandbox codec the gate uses.
+    palette); ``codec="jpeg"`` decodes REAL baseline/extended-
+    sequential JPEG blobs (protosc_spark.jpeg — pure numpy: Huffman,
+    dequant, exact IDCT, 4:2:0/4:2:2 upsample, YCbCr). Dims come from
+    the blob's own header, not the meta column. ``codec="real"``
+    (progressive JPEG & exotic formats) still needs cv2 and raises
+    with the production call documented. ``codec="fake"`` is the
+    deterministic sandbox codec.
     """
     if codec == "real":
         raise NotImplementedError(
-            "general image decode needs cv2 (cv2.imdecode(np.frombuffer("
-            "data, np.uint8), cv2.IMREAD_COLOR)); not available in this "
-            "container — PNG inputs are decoded for real via codec='png'"
+            "progressive/arithmetic JPEG and other exotic formats need "
+            "cv2 (cv2.imdecode(np.frombuffer(data, np.uint8), "
+            "cv2.IMREAD_COLOR)); not available in this container — PNG "
+            "decodes for real via codec='png', baseline/extended-"
+            "sequential JPEG via codec='jpeg'"
         )
-    if codec == "png":
-        from protosc_spark.png import decode_png
+    if codec in ("png", "jpeg"):
+        if codec == "png":
+            from protosc_spark.png import decode_png as _decode_fn
+        else:
+            from protosc_spark.jpeg import decode_jpeg as _decode_fn
 
-        def _decode_png(
+        def _decode_real(
             batches: Iterator[pd.DataFrame],
         ) -> Iterator[pd.DataFrame]:
             for pdf in batches:
                 px, ws, hs, cs = [], [], [], []
                 for blob in pdf["data"]:
-                    img = decode_png(bytes(blob))
+                    img = _decode_fn(bytes(blob))
                     px.append(img.astype(np.float64).ravel())
                     hs.append(img.shape[0])
                     ws.append(img.shape[1])
@@ -187,7 +195,7 @@ def decode_images(df: DataFrame, codec: str = "fake") -> DataFrame:
                 )
 
         return df.select("media_id", "data", "meta").mapInPandas(
-            _decode_png, schema=DECODED_IMAGE_SCHEMA
+            _decode_real, schema=DECODED_IMAGE_SCHEMA
         )
     if codec != "fake":
         raise ValueError(codec)

@@ -1,0 +1,226 @@
+"""Baseline JPEG codec (protosc_spark.jpeg): spec conformance via a
+HAND-BUILT byte stream (independent of the encoder), exact round trips
+for DC-only content, bounded quantization error for general content,
+restart markers, and the Spark decode_images(codec='jpeg') path."""
+
+import struct
+
+import numpy as np
+import pytest
+
+from protosc_spark.jpeg import ZZ, decode_jpeg, encode_jpeg
+
+
+def _handmade_dc_only_jpeg() -> bytes:
+    """8x8 grey, every pixel 130, built byte-by-byte from T.81:
+    quant steps all 8 -> level-shifted value 2 -> DC coefficient
+    8*2=16 -> quantized 2 (category 2, bits '10'). Huffman DC table:
+    single symbol 2 at code length 1 (code '0'); AC table: single
+    symbol EOB (0x00) at code '0'. Entropy bits: 0 10 0 + 1-padding
+    = 0b01001111 = 0x4F."""
+    out = bytearray(b"\xff\xd8")
+    # DQT: table 0, 8-bit, all steps 8 (zigzag order of a flat table
+    # is the flat table)
+    out += b"\xff\xdb" + struct.pack(">HB", 67, 0x00) + bytes([8] * 64)
+    # SOF0: 8-bit, 8x8, 1 component (id 1, 1x1 sampling, qt 0)
+    sof = struct.pack(">BHHB", 8, 8, 8, 1) + bytes([1, 0x11, 0])
+    out += b"\xff\xc0" + struct.pack(">H", 2 + len(sof)) + sof
+    # DHT class 0 (DC) id 0: one code of length 1 -> symbol 2
+    out += b"\xff\xc4" + struct.pack(">H", 2 + 17 + 1)
+    out += bytes([0x00]) + bytes([1] + [0] * 15) + bytes([2])
+    # DHT class 1 (AC) id 0: one code of length 1 -> symbol 0x00 (EOB)
+    out += b"\xff\xc4" + struct.pack(">H", 2 + 17 + 1)
+    out += bytes([0x10]) + bytes([1] + [0] * 15) + bytes([0])
+    # SOS: 1 component, DC table 0 / AC table 0, Ss=0 Se=63 AhAl=0
+    sos = bytes([1, 1, 0x00, 0, 63, 0])
+    out += b"\xff\xda" + struct.pack(">H", 2 + len(sos)) + sos
+    out += bytes([0x4F])
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def test_decoder_against_handmade_spec_stream():
+    img = decode_jpeg(_handmade_dc_only_jpeg())
+    assert img.shape == (8, 8, 1)
+    assert (img == 130).all()
+
+
+def test_zigzag_is_the_published_sequence():
+    """First and last entries of T.81's zigzag order, transcribed from
+    the spec figure — pins the derived construction."""
+    assert list(ZZ[:10]) == [0, 1, 8, 16, 9, 2, 3, 10, 17, 24]
+    assert list(ZZ[-6:]) == [61, 54, 47, 55, 62, 63]
+    assert sorted(ZZ) == list(range(64))
+
+
+@pytest.mark.parametrize("v", [0, 1, 37, 128, 200, 255])
+def test_constant_blocks_roundtrip_exactly(v):
+    """DC quantization step 8 divides the DC coefficient 8*(v-128)
+    exactly, so constant blocks are bit-exact through the lossy path —
+    the property the gate oracle keys on."""
+    img = np.full((8, 8), v, dtype=np.uint8)
+    dec = decode_jpeg(encode_jpeg(img))
+    assert dec.shape == (8, 8, 1)
+    assert (dec[:, :, 0] == v).all()
+
+
+def test_dc_prediction_chain_across_blocks():
+    img = np.zeros((16, 16), dtype=np.uint8)
+    img[:8, :8], img[:8, 8:], img[8:, :8], img[8:, 8:] = 10, 200, 130, 55
+    dec = decode_jpeg(encode_jpeg(img))[:, :, 0]
+    assert (dec == img).all()
+
+
+def test_general_grey_roundtrip_error_bounded():
+    """Non-multiple-of-8 dims (edge-replication padding + crop);
+    reconstruction error bounded by the quantization step."""
+    rng = np.random.default_rng(0)
+    img = rng.integers(0, 256, (24, 17)).astype(np.uint8)
+    dec = decode_jpeg(encode_jpeg(img))[:, :, 0]
+    err = np.abs(dec.astype(int) - img.astype(int))
+    assert err.max() <= 16 and err.mean() < 4
+
+
+def test_near_lossless_at_unit_quant():
+    rng = np.random.default_rng(1)
+    img = rng.integers(0, 256, (16, 16)).astype(np.uint8)
+    dec = decode_jpeg(encode_jpeg(img, q=np.ones((8, 8))))[:, :, 0]
+    assert np.abs(dec.astype(int) - img.astype(int)).max() <= 1
+
+
+def test_rgb_roundtrip_error_bounded():
+    x, y = np.meshgrid(np.arange(40), np.arange(30))
+    img = np.stack(
+        [x * 5 % 256, y * 7 % 256, (x + y) * 3 % 256], axis=-1
+    ).astype(np.uint8)
+    dec = decode_jpeg(encode_jpeg(img))
+    assert dec.shape == img.shape
+    err = np.abs(dec.astype(int) - img.astype(int))
+    assert err.max() <= 16 and err.mean() < 3
+
+
+def test_byte_stuffing_survives_ff_bytes_in_entropy_stream():
+    """An image whose entropy stream necessarily contains 0xFF bytes
+    (high-entropy content) must decode — exercises 0xFF00 stuffing in
+    both writer and reader."""
+    rng = np.random.default_rng(7)
+    for _ in range(5):
+        img = rng.integers(0, 256, (16, 16)).astype(np.uint8)
+        blob = encode_jpeg(img, q=np.ones((8, 8)))
+        dec = decode_jpeg(blob)[:, :, 0]
+        assert np.abs(dec.astype(int) - img.astype(int)).max() <= 1
+
+
+def test_restart_markers_and_dri():
+    """Inject DRI + RSTn into a handmade 2-MCU stream: predictors
+    reset at the restart, so both blocks carry ABSOLUTE DC values."""
+    out = bytearray(b"\xff\xd8")
+    out += b"\xff\xdb" + struct.pack(">HB", 67, 0x00) + bytes([8] * 64)
+    sof = struct.pack(">BHHB", 8, 8, 16, 1) + bytes([1, 0x11, 0])
+    out += b"\xff\xc0" + struct.pack(">H", 2 + len(sof)) + sof
+    out += b"\xff\xdd" + struct.pack(">HH", 4, 1)  # DRI: every 1 MCU
+    out += b"\xff\xc4" + struct.pack(">H", 2 + 17 + 1)
+    out += bytes([0x00]) + bytes([1] + [0] * 15) + bytes([2])
+    out += b"\xff\xc4" + struct.pack(">H", 2 + 17 + 1)
+    out += bytes([0x10]) + bytes([1] + [0] * 15) + bytes([0])
+    sos = bytes([1, 1, 0x00, 0, 63, 0])
+    out += b"\xff\xda" + struct.pack(">H", 2 + len(sos)) + sos
+    out += bytes([0x4F])  # MCU 0: DC diff +2 -> value 130
+    out += b"\xff\xd0"  # RST0 (resets the DC predictor)
+    out += bytes([0x4F])  # MCU 1: same bits -> ALSO 130 (not 132)
+    out += b"\xff\xd9"
+    img = decode_jpeg(bytes(out))
+    assert img.shape == (8, 16, 1)
+    assert (img == 130).all()
+
+
+def test_progressive_raises_with_documented_boundary():
+    blob = bytearray(encode_jpeg(np.full((8, 8), 9, dtype=np.uint8)))
+    idx = blob.find(b"\xff\xc0")
+    blob[idx + 1] = 0xC2  # rewrite SOF0 -> SOF2 (progressive)
+    with pytest.raises(NotImplementedError, match="progressive"):
+        decode_jpeg(bytes(blob))
+
+
+def test_not_a_jpeg_raises():
+    with pytest.raises(ValueError, match="SOI"):
+        decode_jpeg(b"\x89PNG\r\n")
+
+
+def test_spark_decode_images_jpeg_path(spark):
+    """decode_images(codec='jpeg'): dims from the blob's SOF, pixel
+    payload matches the local decode exactly."""
+    from protosc_spark.multimodal import decode_images
+
+    rng = np.random.default_rng(3)
+    rows = []
+    imgs = {}
+    for i in range(6):
+        img = rng.integers(0, 256, (16, 8 + i)).astype(np.uint8)
+        imgs[str(i)] = img
+        rows.append(
+            (str(i), bytearray(encode_jpeg(img)),
+             {"width": 8 + i, "height": 16, "channels": 1})
+        )
+    df = spark.createDataFrame(
+        rows,
+        "media_id string, data binary, "
+        "meta struct<width:int,height:int,channels:int>",
+    )
+    got = decode_images(df, codec="jpeg").collect()
+    assert len(got) == 6
+    for r in got:
+        img = imgs[r["media_id"]]
+        assert (r["height"], r["width"], r["channels"]) == (
+            img.shape[0], img.shape[1], 1,
+        )
+        local = decode_jpeg(encode_jpeg(img)).astype(np.float64).ravel()
+        assert np.array_equal(np.array(r["pixels"]), local)
+
+
+def test_handmade_420_chroma_subsampled_stream():
+    """16x16 4:2:0 YCbCr stream built by hand (the encoder is 4:4:4-
+    only, so this pins the subsampled-MCU layout + replication
+    upsample independently): Y=130 constant (4 Y blocks per MCU, DC
+    chain 2,0,0,0), Cb=Cr=128 (zero DC) -> RGB all 130."""
+    bits = []
+
+    def put(s):
+        bits.extend(int(c) for c in s)
+
+    # DC lum table: vals [2, 0] at length 2 -> '00'->2, '01'->0
+    # AC lum/chroma + DC chroma: single '0' codes
+    put("00"); put("10"); put("0")      # Y1: DC sym2 val 2, EOB
+    for _ in range(3):
+        put("01"); put("0")             # Y2..Y4: DC diff 0, EOB
+    for _ in range(2):
+        put("0"); put("0")              # Cb, Cr: DC 0, EOB
+    while len(bits) % 8:
+        bits.append(1)                  # 1-padding
+    payload = bytes(
+        int("".join(map(str, bits[i : i + 8])), 2)
+        for i in range(0, len(bits), 8)
+    )
+
+    out = bytearray(b"\xff\xd8")
+    out += b"\xff\xdb" + struct.pack(">HB", 67, 0x00) + bytes([8] * 64)
+    sof = struct.pack(">BHHB", 8, 16, 16, 3)
+    sof += bytes([1, 0x22, 0])  # Y: 2x2 sampling
+    sof += bytes([2, 0x11, 0])  # Cb: 1x1
+    sof += bytes([3, 0x11, 0])  # Cr: 1x1
+    out += b"\xff\xc0" + struct.pack(">H", 2 + len(sof)) + sof
+    out += b"\xff\xc4" + struct.pack(">H", 2 + 17 + 2)
+    out += bytes([0x00]) + bytes([0, 2] + [0] * 14) + bytes([2, 0])
+    out += b"\xff\xc4" + struct.pack(">H", 2 + 17 + 1)
+    out += bytes([0x10]) + bytes([1] + [0] * 15) + bytes([0])
+    out += b"\xff\xc4" + struct.pack(">H", 2 + 17 + 1)
+    out += bytes([0x01]) + bytes([1] + [0] * 15) + bytes([0])
+    out += b"\xff\xc4" + struct.pack(">H", 2 + 17 + 1)
+    out += bytes([0x11]) + bytes([1] + [0] * 15) + bytes([0])
+    sos = bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0])
+    out += b"\xff\xda" + struct.pack(">H", 2 + len(sos)) + sos
+    out += payload
+    out += b"\xff\xd9"
+    img = decode_jpeg(bytes(out))
+    assert img.shape == (16, 16, 3)
+    assert (img == 130).all()
