@@ -555,6 +555,21 @@ def _sim_knn_graph_ivfpq(spark, sf_dir):
     ).select("query_id", "neighbor_id", "rank")
 
 
+def _sim_knn_graph_sq8(spark, sf_dir):
+    """IVF-SQ8 kNN graph (Faiss IVFx,SQ8 analog): inverted file prunes
+    candidates, dim-byte scalar-quantized codes score them in the
+    per-cell ADC kernel, exact re-rank. Completes corpus-as-queries
+    batch support for every compressed-index family (round-4 verdict
+    #6). Gate config degenerates to exact (full probing + shortlist
+    margin), so the independent brute-force SQL oracle applies."""
+    from protosc_spark.similarity import ivfsq8_topk_batch
+
+    emb = _read(spark, sf_dir, "embeddings")
+    return ivfsq8_topk_batch(
+        emb, None, k=5, n_centroids=8, n_probe=8, rerank_factor=100
+    ).select("query_id", "neighbor_id", "rank")
+
+
 def _sim_knn_graph_probe(spark, sf_dir):
     """The kNN graph at its SCALE configuration (64 coarse cells,
     8 probed -> each vector scores ~1/8 of the corpus instead of all
@@ -1270,6 +1285,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- round 5 ---
         "mm_jpeg_roundtrip": _mm_jpeg_roundtrip,
+        "sim_knn_graph_sq8": _sim_knn_graph_sq8,
         # --- round 3-4 tail that never had a driver row / was pushed
         # --- out of the round-4 window (judge-verified r4) ---
         "dedup_components": _dedup_components,
@@ -1944,6 +1960,18 @@ def oracle_sql() -> dict[str, str]:
         """,
         # full-probe kNN graph == exact all-pairs top-k per vector
         "sim_knn_graph": """
+            SELECT query_id, neighbor_id, rank FROM (
+              SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+                     row_number() OVER (PARTITION BY q.vec_id
+                       ORDER BY round(list_cosine_similarity(
+                                 e.embedding::DOUBLE[], q.embedding::DOUBLE[]), 6) DESC,
+                                e.vec_id) AS rank
+              FROM embeddings e
+              JOIN embeddings q ON e.vec_id <> q.vec_id)
+            WHERE rank <= 5
+        """,
+        # full-probe IVF-SQ8 with a shortlist margin == exact
+        "sim_knn_graph_sq8": """
             SELECT query_id, neighbor_id, rank FROM (
               SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
                      row_number() OVER (PARTITION BY q.vec_id

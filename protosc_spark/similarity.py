@@ -695,6 +695,138 @@ def ivfpq_topk_batch(
     )
 
 
+def ivfsq8_topk_batch(
+    emb: DataFrame,
+    queries: DataFrame | None = None,
+    k: int = 10,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    rerank_factor: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_cell_rows: int = 1 << 20,
+) -> DataFrame:
+    """IVF + SQ8 retrieval with a DataFrame query set — the scalar-
+    quantized sibling of :func:`ivfpq_topk_batch`, completing batch
+    (corpus-as-queries) support for every compressed-index family
+    (round-4 verdict #6; :func:`sq8_topk` remains the bounded
+    driver-built query-ID path). The inverted file prunes WHICH codes
+    are scored; SQ8 compresses HOW (dim uint8 bytes, 8x smaller than
+    float64). ADC in the per-cell kernel: codes dequantize once per
+    cell ((code * scale + lo), re-normalized), one Q @ X.T matmul, per-
+    cell partial top-(k*rerank) with the global tie rule; exact-cosine
+    re-rank of the global shortlist. Same hot-cell salting and
+    self-exclusion rules as the IVF/IVF-PQ kernels."""
+    centroids = ivf_train_centroids(
+        emb, n_centroids, id_col=id_col, vec_col=vec_col
+    )
+    lo, hi = sq8_train(emb, vec_col)
+    lo = np.asarray(lo, dtype=np.float64)
+    scale = (np.asarray(hi, dtype=np.float64) - lo) / 255.0
+
+    members = ivf_assign(emb, centroids, id_col, vec_col).select(
+        F.col("id").alias("neighbor_id"), "cell"
+    )
+    codes = sq8_encode(emb, lo, lo + scale * 255.0, id_col, vec_col).select(
+        F.col("id").alias("neighbor_id"), "code"
+    )
+    members = members.join(codes, "neighbor_id")
+    probes = ivf_assign_probes(
+        emb if queries is None else queries,
+        centroids,
+        n_probe,
+        id_col,
+        vec_col,
+    )
+    cap = int(k) * int(rerank_factor)
+    exclude_self = queries is None
+
+    def cell_sq8_topk(ppdf: pd.DataFrame, mpdf: pd.DataFrame) -> pd.DataFrame:
+        if len(ppdf) == 0 or len(mpdf) == 0:
+            return pd.DataFrame(
+                {"query_id": [], "neighbor_id": [], "approx": []}
+            ).astype(
+                {
+                    "query_id": "int64",
+                    "neighbor_id": "int64",
+                    "approx": "float64",
+                }
+            )
+        Q = np.array(ppdf["q_unit"].tolist(), dtype=np.float64)
+        D = (
+            np.frombuffer(b"".join(mpdf["code"]), dtype=np.uint8)
+            .reshape(len(mpdf), -1)
+            .astype(np.float64)
+        )
+        X = D * scale + lo  # dequantize once per cell
+        nrm = np.linalg.norm(X, axis=1, keepdims=True)
+        nrm[nrm == 0] = 1.0
+        X /= nrm
+        qids = ppdf["query_id"].to_numpy()
+        nids = mpdf["neighbor_id"].to_numpy()
+        out_q, out_n, out_a = [], [], []
+        step = max(1, (32 << 20) // max(1, len(nids) * 8))
+        for s in range(0, len(qids), step):
+            S = Q[s : s + step] @ X.T
+            for r in range(S.shape[0]):
+                if exclude_self:
+                    mask = nids != qids[s + r]
+                    cand_n, cand_a = nids[mask], S[r][mask]
+                else:
+                    cand_n, cand_a = nids, S[r]
+                part = np.lexsort((cand_n, -cand_a))[:cap]
+                out_q.extend([qids[s + r]] * len(part))
+                out_n.extend(cand_n[part])
+                out_a.extend(cand_a[part])
+        return pd.DataFrame(
+            {
+                "query_id": np.array(out_q, dtype=np.int64),
+                "neighbor_id": np.array(out_n, dtype=np.int64),
+                "approx": np.array(out_a, dtype=np.float64),
+            }
+        )
+
+    probes_s, members_s = _salt_hot_cells(probes, members, max_cell_rows)
+    cand = (
+        probes_s.groupBy("cell", "salt")
+        .cogroup(members_s.groupBy("cell", "salt"))
+        .applyInPandas(
+            cell_sq8_topk, "query_id long, neighbor_id long, approx double"
+        )
+    )
+    w_cand = W.partitionBy("query_id").orderBy(
+        F.desc("approx"), F.asc("neighbor_id")
+    )
+    shortlist = (
+        cand.withColumn("crank", F.row_number().over(w_cand))
+        .where(F.col("crank") <= cap)
+        .select("query_id", "neighbor_id")
+    )
+    base = with_unit_vectors(emb, vec_col).select(
+        F.col(id_col).alias("neighbor_id"), "unit"
+    )
+    q_base = with_unit_vectors(
+        emb if queries is None else queries, vec_col
+    ).select(F.col(id_col).alias("query_id"), F.col("unit").alias("q_unit"))
+    rer = (
+        shortlist.join(base, "neighbor_id")
+        .join(q_base, "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(_dot(F.col("q_unit"), F.col("unit")), 6).alias("cosine"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    return (
+        rer.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cosine")
+    )
+
+
 def knn_graph(
     emb: DataFrame,
     k: int = 10,

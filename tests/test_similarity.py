@@ -642,3 +642,65 @@ def test_hot_cell_salting_is_lossless_and_bounded(spark, emb):
     giant = max(sizes, key=sizes.get)
     n_salts = len({r["salt"] for r in per_task if r["cell"] == giant})
     assert n_salts == -(-sizes[giant] // 64)  # ceil split of the hot cell
+
+
+def test_ivfsq8_knn_graph_exact_at_degenerate_config(spark, emb):
+    """IVF-SQ8 batch path at full probing + corpus-covering shortlist
+    == exact all-pairs top-k (the gate config)."""
+    from protosc_spark.similarity import brute_force_topk, ivfsq8_topk_batch
+
+    got = sorted(
+        map(
+            tuple,
+            ivfsq8_topk_batch(
+                emb, None, k=5, n_centroids=8, n_probe=8, rerank_factor=100
+            ).collect(),
+        )
+    )
+    all_ids = [r["vec_id"] for r in emb.select("vec_id").collect()]
+    want = sorted(map(tuple, brute_force_topk(emb, all_ids, k=5).collect()))
+    assert got == want
+
+
+def test_ivfsq8_batch_pruned_recall_determinism_and_collisions(spark, emb):
+    """Compressed scale config: bounded-recall, deterministic; and an
+    external query set with COLLIDING ids keeps its corpus twin (no
+    self-exclusion outside kNN-graph mode)."""
+    from protosc_spark.similarity import brute_force_topk, ivfsq8_topk_batch
+
+    a = sorted(
+        map(
+            tuple,
+            ivfsq8_topk_batch(
+                emb, None, k=5, n_centroids=8, n_probe=4, rerank_factor=4
+            ).collect(),
+        )
+    )
+    all_ids = [r["vec_id"] for r in emb.select("vec_id").collect()]
+    e = sorted(map(tuple, brute_force_topk(emb, all_ids, k=5).collect()))
+    recall = len({x[:2] for x in a} & {x[:2] for x in e}) / len(e)
+    assert recall >= 0.6
+    a2 = sorted(
+        map(
+            tuple,
+            ivfsq8_topk_batch(
+                emb, None, k=5, n_centroids=8, n_probe=4, rerank_factor=4
+            ).collect(),
+        )
+    )
+    assert a == a2
+
+    queries = emb.where(F.col("vec_id") < 3)
+    top1 = (
+        ivfsq8_topk_batch(
+            emb, queries, k=5, n_centroids=8, n_probe=8, rerank_factor=100
+        )
+        .where(F.col("rank") == 1)
+        .orderBy("query_id")
+        .collect()
+    )
+    assert [(r["query_id"], r["neighbor_id"], r["cosine"]) for r in top1] == [
+        (0, 0, 1.0),
+        (1, 1, 1.0),
+        (2, 2, 1.0),
+    ]
