@@ -21,6 +21,13 @@ Design (every stage bounded and distributed):
   init — identical weights at any parallelism (pinned in tests).
 * **Apply**: one Arrow pass computing sigmoid(w.x + b).
 
+Latency note (local mode): each GD iteration is one Spark job, and a
+Python-stage job costs ~0.3 s to launch/collect regardless of kernel
+speed, so n_iter sequential jobs put a ~0.3*n_iter floor under the
+small-scale wall clock. On a real cluster with corpus-sized scans per
+iteration this constant amortizes to noise; the kernels themselves
+are fully vectorized (CSR blobs + bincount, zero per-document Python).
+
 The reference has no text classifier (it is an image-feature library);
 this operator comes from the LLM-data-pipeline mandate. At 10^12 docs
 the per-iteration cost is one corpus scan + an n_features-sized
@@ -118,38 +125,75 @@ def train_quality_classifier(
     # iterations then scan pre-hashed features instead of re-running
     # the text kernel n_iter times (at larger scale this cache spills
     # to disk, which still beats re-tokenizing the corpus per epoch).
+    # The cached feature table is PACKED: one row per Arrow batch,
+    # the whole batch's CSR triplets as binary blobs. Per-row array
+    # columns would cost every iteration ~10k object allocations in
+    # the cache->Arrow->pandas conversion (measured ~0.25 s/iteration
+    # floor at 5k docs); blobs deserialize with zero-copy np.frombuffer.
     def featurize(batches):
         for pdf in batches:
             if len(pdf) == 0:
-                yield pd.DataFrame({"ids": [], "vals": [], "y": []})
                 continue
             row, ids, vals, n = _featurize_batch(
                 pdf["__t"].tolist(), n_features
             )
             nnz = np.bincount(row, minlength=n)
-            offs = np.cumsum(nnz)[:-1]
+            indptr = np.concatenate(
+                [np.zeros(1, dtype=np.int64), np.cumsum(nnz)]
+            )
             yield pd.DataFrame(
                 {
-                    "ids": np.split(ids, offs),
-                    "vals": np.split(vals, offs),
-                    "y": pdf["__y"],
+                    "ids": [ids.astype(np.int64).tobytes()],
+                    "vals": [vals.tobytes()],
+                    "indptr": [indptr.astype(np.int64).tobytes()],
+                    "ys": [
+                        pdf["__y"]
+                        .to_numpy(dtype=np.float64)
+                        .tobytes()
+                    ],
+                    "n": [n],
                 }
             )
 
+    src = df.select(
+        F.col(text_col).alias("__t"),
+        F.col(label_col).cast("double").alias("__y"),
+    )
+    # A small input often arrives as ONE file partition; tokenization
+    # is the dominant cost of the whole train (measured 5.9 s of a
+    # 9 s gate leg at sf0.1), so spread it across the cluster before
+    # the featurize pass. Large corpora already have >= default
+    # parallelism partitions and skip the shuffle (text is tiny
+    # relative to the tokenized output either way).
+    default_par = df.sparkSession.sparkContext.defaultParallelism
+    if src.rdd.getNumPartitions() < default_par:
+        src = src.repartition(default_par)
     feat = (
-        df.select(
-            F.col(text_col).alias("__t"),
-            F.col(label_col).cast("double").alias("__y"),
-        )
+        src
         .mapInPandas(
-            featurize, "ids array<bigint>, vals array<double>, y double"
+            featurize,
+            "ids binary, vals binary, indptr binary, ys binary, n long",
         )
         .persist()
     )
     try:
-        n_docs = feat.count()  # also materializes the cache
+        n_docs = int(
+            feat.agg(F.sum("n").alias("s")).collect()[0]["s"] or 0
+        )  # also materializes the cache
         if n_docs == 0:
             raise ValueError("empty training set")
+        # Repack the (small, binary-blob) feature table onto as few
+        # partitions as ~100k docs each needs: every iteration job
+        # pays per-task overhead + one n_features-sized partial per
+        # partition, so fewer partitions = cheaper iterations. A
+        # repartition (not coalesce) keeps the featurize stage wide.
+        cur = feat.rdd.getNumPartitions()
+        want = max(1, min(cur, -(-n_docs // 100_000)))
+        if want < cur:
+            feat2 = feat.repartition(want).persist()
+            feat2.count()
+            feat.unpersist()
+            feat = feat2
         w = np.zeros(n_features)
         b = 0.0
 
@@ -158,42 +202,36 @@ def train_quality_classifier(
 
             def grad_partial(batches):
                 # CSR-batch forward pass + gradient scatter (round-4
-                # verdict #2): the per-document Python loop is gone —
-                # per batch, TWO np.bincount calls (a sparse
-                # matrix-vector product and its transpose scatter)
-                # do the same math in C
+                # verdict #2): per stored CSR blob, TWO np.bincount
+                # calls (a sparse matrix-vector product and its
+                # transpose scatter) do the same math in C; the blobs
+                # deserialize with zero-copy np.frombuffer
                 gw = np.zeros(n_features)
                 gb = 0.0
                 for pdf in batches:
-                    n = len(pdf)
-                    if n == 0:
-                        continue
-                    nnz = np.fromiter(
-                        map(len, pdf["ids"]), dtype=np.int64, count=n
-                    )
-                    ids = (
-                        np.concatenate(pdf["ids"].tolist())
-                        .astype(np.int64)
-                        if nnz.sum()
-                        else np.zeros(0, dtype=np.int64)
-                    )
-                    vals = (
-                        np.concatenate(pdf["vals"].tolist())
-                        if nnz.sum()
-                        else np.zeros(0)
-                    )
-                    row = np.repeat(np.arange(n, dtype=np.int64), nnz)
-                    z = (
-                        np.bincount(row, weights=vals * w_cur[ids], minlength=n)
-                        + b_cur
-                    )
-                    err = 1.0 / (1.0 + np.exp(-z)) - pdf["y"].to_numpy(
-                        dtype=np.float64
-                    )
-                    gw += np.bincount(
-                        ids, weights=err[row] * vals, minlength=n_features
-                    )
-                    gb += float(err.sum())
+                    for ids_b, vals_b, ind_b, ys_b in zip(
+                        pdf["ids"], pdf["vals"], pdf["indptr"], pdf["ys"]
+                    ):
+                        ids = np.frombuffer(ids_b, dtype=np.int64)
+                        vals = np.frombuffer(vals_b, dtype=np.float64)
+                        indptr = np.frombuffer(ind_b, dtype=np.int64)
+                        y = np.frombuffer(ys_b, dtype=np.float64)
+                        n = len(y)
+                        row = np.repeat(
+                            np.arange(n, dtype=np.int64), np.diff(indptr)
+                        )
+                        z = (
+                            np.bincount(
+                                row, weights=vals * w_cur[ids], minlength=n
+                            )
+                            + b_cur
+                        )
+                        err = 1.0 / (1.0 + np.exp(-z)) - y
+                        gw += np.bincount(
+                            ids, weights=err[row] * vals,
+                            minlength=n_features,
+                        )
+                        gb += float(err.sum())
                 yield pd.DataFrame({"gw": [gw.tobytes()], "gb": [gb]})
 
             parts = feat.mapInPandas(

