@@ -555,6 +555,19 @@ def _sim_knn_graph_ivfpq(spark, sf_dir):
     ).select("query_id", "neighbor_id", "rank")
 
 
+def _corpus_dup_spans(spark, sf_dir):
+    """Exact duplicated-span statistics (Lee et al. 2021 substring-
+    dedup signal): every 8-token window hashed JVM-side, corpus-wide
+    duplicate windows found with one shuffle, duplicated-token
+    coverage = exact union of flagged windows via one lag window. The
+    DuckDB oracle re-derives windows, hashes (md5 of the joined span)
+    and the interval union independently in SQL."""
+    from protosc_spark.dedup import duplicated_span_stats
+
+    docs = _read(spark, sf_dir, "documents")
+    return duplicated_span_stats(docs, l=8).orderBy("doc_id")
+
+
 def _sim_knn_graph_sq8(spark, sf_dir):
     """IVF-SQ8 kNN graph (Faiss IVFx,SQ8 analog): inverted file prunes
     candidates, dim-byte scalar-quantized codes score them in the
@@ -1286,6 +1299,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- round 5 ---
         "mm_jpeg_roundtrip": _mm_jpeg_roundtrip,
         "sim_knn_graph_sq8": _sim_knn_graph_sq8,
+        "corpus_dup_spans": _corpus_dup_spans,
         # --- round 3-4 tail that never had a driver row / was pushed
         # --- out of the round-4 window (judge-verified r4) ---
         "dedup_components": _dedup_components,
@@ -2133,6 +2147,48 @@ def oracle_sql() -> dict[str, str]:
         # independent check of the real PNG codec: the oracle derives
         # the mean pixel straight from the text's codepoints, never
         # decoding a PNG — encode(Paeth) o decode must be the identity
+        "corpus_dup_spans": """
+            WITH t AS (
+              SELECT doc_id, string_split(text, ' ') AS toks
+              FROM documents
+            ), base AS (
+              SELECT doc_id, len(toks)::BIGINT AS n_tokens, toks FROM t
+            ), w AS (
+              SELECT doc_id, (i - 1)::BIGINT AS pos,
+                     md5(array_to_string(toks[i:i+7], ' ')) AS h
+              FROM (
+                SELECT doc_id, toks,
+                       unnest(generate_series(1, len(toks) - 7)) AS i
+                FROM base WHERE len(toks) >= 8
+              )
+            ), totals AS (
+              SELECT b.doc_id, any_value(b.n_tokens) AS n_tokens,
+                     count(w.h)::BIGINT AS n_windows
+              FROM base b LEFT JOIN w ON b.doc_id = w.doc_id
+              GROUP BY b.doc_id
+            ), duph AS (
+              SELECT h FROM w GROUP BY h HAVING count(*) >= 2
+            ), dupw AS (
+              SELECT w.doc_id, w.pos FROM w JOIN duph USING (h)
+            ), cov AS (
+              SELECT doc_id, pos,
+                     least(8, pos - coalesce(lag(pos) OVER (
+                       PARTITION BY doc_id ORDER BY pos), pos - 8))
+                     AS c
+              FROM dupw
+            ), dstats AS (
+              SELECT doc_id, count(*)::BIGINT AS n_dup_windows,
+                     sum(c)::BIGINT AS dup_tokens
+              FROM cov GROUP BY doc_id
+            )
+            SELECT t.doc_id, t.n_tokens, t.n_windows,
+                   coalesce(d.n_dup_windows, 0)::BIGINT AS n_dup_windows,
+                   coalesce(d.dup_tokens, 0)::BIGINT AS dup_tokens,
+                   round(coalesce(d.dup_tokens, 0)
+                         / greatest(t.n_tokens, 1), 6) AS dup_frac
+            FROM totals t LEFT JOIN dstats d USING (doc_id)
+            ORDER BY doc_id
+        """,
         "mm_jpeg_roundtrip": """
             WITH padded AS (
               SELECT doc_id, substr(text || '    ', 1, 4) AS s

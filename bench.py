@@ -80,6 +80,7 @@ HEADLINE = [
     "txt_quality_classifier",
     # round-5 additions
     "mm_jpeg_roundtrip",
+    "corpus_dup_spans",
 ]
 
 BENCH_CONVERSATIONS = int(os.environ.get("PROTOSC_BENCH_CONVS", "20000"))

@@ -30,6 +30,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+from pyspark.sql import Window as W
 
 from protosc_spark.features.text import _fnv1a
 
@@ -675,3 +676,113 @@ def incremental_dedup(
         how="left_anti",
     )
     return certain_new.unionByName(verified_new)
+
+
+def duplicated_span_stats(
+    df: DataFrame,
+    l: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_count: int = 2,
+) -> DataFrame:
+    """Exact duplicated-SPAN statistics per document — the signal
+    behind exact-substring deduplication (Lee et al. 2021,
+    "Deduplicating Training Data Makes Language Models Better"):
+    boilerplate, licence blocks and templated text recur VERBATIM
+    across (and within) documents at spans shorter than the whole
+    document, so document-level dedup never sees them. Every l-token
+    window is hashed; a window whose hash occurs >= min_count times
+    CORPUS-WIDE (same-doc repeats included — boilerplate repeats
+    inside a page too) is duplicated, and the duplicated-token
+    coverage is the exact size of the UNION of duplicated windows
+    (interval merge via one lag window: each window contributes
+    min(l, pos - prev_pos) tokens).
+
+    Returns (id, n_tokens, n_windows, n_dup_windows, dup_tokens,
+    dup_frac). Documents shorter than l tokens have zero windows and
+    frac 0. Tokenization is the engine's raw single-space split (same
+    convention as the shingle family).
+
+    Scale shape — linear in corpus tokens, no Python anywhere:
+    window hashes are a JVM transform over the token array (md5 of
+    the joined span, reproducible in the SQL oracle); ONE shuffle
+    groups hashes to find duplicated ones; the windows->counts join
+    shuffles on the hash; the coverage union is one window over
+    (id, pos). No driver state, no collect.
+    """
+    toks = F.split(F.col(text_col), " ")
+    n = F.size(toks)
+    hashes = F.when(
+        n >= l,
+        F.transform(
+            F.sequence(F.lit(1), n - F.lit(l - 1)),
+            lambda i: F.md5(F.array_join(F.slice(toks, i, l), " ")),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    wins = df.select(
+        F.col(id_col).alias("__id"),
+        n.alias("n_tokens"),
+        F.posexplode_outer(hashes).alias("pos", "h"),
+    )
+    totals = wins.groupBy("__id").agg(
+        F.first("n_tokens").alias("n_tokens"),
+        F.count("h").alias("n_windows"),  # count() skips the null row
+    )
+    dup_h = (
+        wins.where(F.col("h").isNotNull())
+        .groupBy("h")
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .where(F.col("__c") >= int(min_count))
+        .select("h")
+    )
+    dupwins = wins.join(dup_h, "h")
+    w_cov = W.partitionBy("__id").orderBy("pos")
+    cov = dupwins.withColumn(
+        "__cov",
+        F.least(
+            F.lit(l),
+            F.col("pos") - F.coalesce(
+                F.lag("pos").over(w_cov), F.col("pos") - F.lit(l)
+            ),
+        ),
+    )
+    dstats = cov.groupBy("__id").agg(
+        F.count(F.lit(1)).alias("n_dup_windows"),
+        F.sum("__cov").alias("dup_tokens"),
+    )
+    return (
+        totals.join(dstats, "__id", "left")
+        .select(
+            F.col("__id").alias(id_col),
+            "n_tokens",
+            "n_windows",
+            F.coalesce("n_dup_windows", F.lit(0)).alias("n_dup_windows"),
+            F.coalesce("dup_tokens", F.lit(0)).alias("dup_tokens"),
+            F.round(
+                F.coalesce("dup_tokens", F.lit(0))
+                / F.greatest(F.col("n_tokens"), F.lit(1)),
+                6,
+            ).alias("dup_frac"),
+        )
+    )
+
+
+def filter_duplicated_spans(
+    df: DataFrame,
+    max_frac: float = 0.5,
+    l: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_count: int = 2,
+) -> DataFrame:
+    """Keep documents whose duplicated-span token coverage is at most
+    ``max_frac`` — the standard cleanup filter over
+    :func:`duplicated_span_stats` (drops boilerplate-dominated pages
+    while document-level dedup keeps unique-but-templated ones)."""
+    stats = duplicated_span_stats(df, l, text_col, id_col, min_count)
+    keep = stats.where(F.col("dup_frac") <= float(max_frac)).select(
+        F.col(id_col).alias("__keep_id")
+    )
+    return df.join(
+        keep, F.col(id_col) == F.col("__keep_id"), "left_semi"
+    )

@@ -501,3 +501,98 @@ def test_line_dedup_metacharacter_separator(spark):
     }
     assert out[0] == (3, 3, "keep|shared|tail")
     assert out[1] == (2, 1, "only here")  # 'shared' kept only in doc 0
+
+
+class TestDuplicatedSpans:
+    """Exact duplicated-span stats (Lee et al. 2021-style substring
+    dedup signal): planted cross-doc boilerplate, within-doc repeats,
+    short-doc edge, and EXACT coverage vs a brute-force python union
+    oracle."""
+
+    @staticmethod
+    def _docs(spark):
+        boiler = " ".join(f"b{i}" for i in range(10))  # 10-token block
+        rows = [
+            (0, boiler + " " + " ".join(f"u0x{i}" for i in range(20))),
+            (1, " ".join(f"u1x{i}" for i in range(15)) + " " + boiler),
+            (2, " ".join(f"u2x{i}" for i in range(30))),  # clean
+            (3, "tiny doc"),  # < l tokens
+            # within-doc repetition: the same 8-token phrase twice
+            (4, " ".join(f"p{i}" for i in range(8)) + " mid "
+                + " ".join(f"p{i}" for i in range(8))),
+        ]
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    def test_planted_boilerplate_and_edges(self, spark):
+        from protosc_spark.dedup import duplicated_span_stats
+
+        got = {
+            r["doc_id"]: r
+            for r in duplicated_span_stats(self._docs(spark), l=8).collect()
+        }
+        # doc 3: shorter than l -> no windows, frac 0
+        assert got[3]["n_windows"] == 0 and got[3]["dup_frac"] == 0.0
+        # doc 2: clean -> no duplicated windows
+        assert got[2]["n_dup_windows"] == 0 and got[2]["dup_frac"] == 0.0
+        # docs 0,1 share the 10-token boilerplate -> 3 duplicated
+        # 8-token windows each, covering exactly the 10 boiler tokens
+        for d in (0, 1):
+            assert got[d]["n_dup_windows"] == 3
+            assert got[d]["dup_tokens"] == 10
+        # doc 4: phrase repeated WITHIN the doc -> both copies flagged
+        assert got[4]["n_dup_windows"] == 2
+        assert got[4]["dup_tokens"] == 16
+
+    def test_coverage_matches_bruteforce_union(self, spark):
+        """Random docs with injected repeats: dup_tokens equals the
+        exact union-of-intervals size computed in plain python."""
+        import numpy as np
+
+        from protosc_spark.dedup import duplicated_span_stats
+
+        rng = np.random.default_rng(3)
+        L = 5
+        vocab = [f"w{i}" for i in range(30)]  # small vocab -> collisions
+        docs = [
+            (i, " ".join(rng.choice(vocab, rng.integers(3, 60)).tolist()))
+            for i in range(40)
+        ]
+        df = spark.createDataFrame(docs, "doc_id long, text string")
+        got = {
+            r["doc_id"]: r
+            for r in duplicated_span_stats(df, l=L).collect()
+        }
+
+        # brute-force oracle
+        from collections import Counter
+
+        wins = {}
+        cnt = Counter()
+        for i, t in docs:
+            toks = t.split(" ")
+            ws = [
+                " ".join(toks[p : p + L])
+                for p in range(len(toks) - L + 1)
+            ] if len(toks) >= L else []
+            wins[i] = ws
+            cnt.update(ws)
+        for i, t in docs:
+            dup_pos = [p for p, w in enumerate(wins[i]) if cnt[w] >= 2]
+            covered = set()
+            for p in dup_pos:
+                covered.update(range(p, p + L))
+            assert got[i]["n_dup_windows"] == len(dup_pos), i
+            assert got[i]["dup_tokens"] == len(covered), i
+
+    def test_filter_keeps_clean_docs(self, spark):
+        from protosc_spark.dedup import filter_duplicated_spans
+
+        kept = {
+            r["doc_id"]
+            for r in filter_duplicated_spans(
+                self._docs(spark), max_frac=0.3, l=8
+            ).collect()
+        }
+        # docs 0 (10/30 dup), 1 (10/25) and 4 (16/17) exceed 0.3 and
+        # drop; the clean and short docs stay
+        assert kept == {2, 3}, kept
