@@ -555,6 +555,26 @@ def _sim_knn_graph_ivfpq(spark, sf_dir):
     ).select("query_id", "neighbor_id", "rank")
 
 
+def _corpus_dsir_sample(spark, sf_dir):
+    """DSIR importance resampling (Xie et al. 2023): raw corpus =
+    documents, target = the English subset; hashed-unigram importance
+    log-weights with add-1 smoothing over 4096 md5 buckets, kept set =
+    min(1, frac*n*softmax(w)) thresholded by the engine's content-hash
+    bucket rule. The DuckDB oracle re-derives the distributions, the
+    log-weights, the softmax and the keep decision end to end."""
+    from protosc_spark.sampling import dsir_sample
+
+    docs = _read(spark, sf_dir, "documents")
+    target = docs.where(F.col("lang") == "en")
+    kept = dsir_sample(docs, target, frac=0.3, n_buckets=1 << 12)
+    return kept.select(
+        "doc_id",
+        "n_tokens",
+        F.round("log_weight", 6).alias("log_weight"),
+        F.round("keep_prob", 6).alias("keep_prob"),
+    ).orderBy("doc_id")
+
+
 def _corpus_dup_spans(spark, sf_dir):
     """Exact duplicated-span statistics (Lee et al. 2021 substring-
     dedup signal): every 8-token window hashed JVM-side, corpus-wide
@@ -1300,6 +1320,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_jpeg_roundtrip": _mm_jpeg_roundtrip,
         "sim_knn_graph_sq8": _sim_knn_graph_sq8,
         "corpus_dup_spans": _corpus_dup_spans,
+        "corpus_dsir_sample": _corpus_dsir_sample,
         # --- round 3-4 tail that never had a driver row / was pushed
         # --- out of the round-4 window (judge-verified r4) ---
         "dedup_components": _dedup_components,
@@ -2147,6 +2168,56 @@ def oracle_sql() -> dict[str, str]:
         # independent check of the real PNG codec: the oracle derives
         # the mean pixel straight from the text's codepoints, never
         # decoding a PNG — encode(Paeth) o decode must be the identity
+        "corpus_dsir_sample": """
+            WITH tok_r AS (
+              SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+              FROM documents
+            ), tok_t AS (
+              SELECT unnest(string_split(text, ' ')) AS tok
+              FROM documents WHERE lang = 'en'
+            ), br AS (
+              SELECT doc_id,
+                     (('0x' || substr(md5(tok), 1, 15))::BIGINT % 4096) AS b
+              FROM tok_r
+            ), bt AS (
+              SELECT (('0x' || substr(md5(tok), 1, 15))::BIGINT % 4096) AS b
+              FROM tok_t
+            ), tc AS (
+              SELECT b, count(*)::DOUBLE AS tn FROM bt GROUP BY b
+            ), rc AS (
+              SELECT b, count(*)::DOUBLE AS rn FROM br GROUP BY b
+            ), tot AS (
+              SELECT (SELECT sum(tn) FROM tc) AS T,
+                     (SELECT sum(rn) FROM rc) AS R
+            ), ratios AS (
+              SELECT coalesce(tc.b, rc.b) AS b,
+                     ln((coalesce(tn, 0) + 1) / (T + 4096))
+                     - ln((coalesce(rn, 0) + 1) / (R + 4096)) AS lr
+              FROM tc FULL JOIN rc ON tc.b = rc.b, tot
+            ), lw AS (
+              SELECT br.doc_id, count(*)::BIGINT AS n_tokens,
+                     sum(lr) AS log_weight
+              FROM br JOIN ratios USING (b) GROUP BY br.doc_id
+            ), agg AS (
+              SELECT max(log_weight) AS mx, count(*)::DOUBLE AS n FROM lw
+            ), u AS (
+              SELECT doc_id, n_tokens, log_weight,
+                     exp(log_weight - mx) AS uu, n
+              FROM lw, agg
+            ), z AS (
+              SELECT sum(uu) AS Z FROM u
+            ), probs AS (
+              SELECT doc_id, n_tokens, log_weight,
+                     least(1.0, 0.3 * n * uu / Z) AS keep_prob
+              FROM u, z
+            )
+            SELECT doc_id, n_tokens, round(log_weight, 6) AS log_weight,
+                   round(keep_prob, 6) AS keep_prob
+            FROM probs
+            WHERE (('0x' || substr(md5('v1' || chr(31) || doc_id::VARCHAR),
+                    1, 15))::BIGINT % 10000) < floor(keep_prob * 10000)
+            ORDER BY doc_id
+        """,
         "corpus_dup_spans": """
             WITH t AS (
               SELECT doc_id, string_split(text, ' ') AS toks

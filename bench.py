@@ -81,6 +81,7 @@ HEADLINE = [
     # round-5 additions
     "mm_jpeg_roundtrip",
     "corpus_dup_spans",
+    "corpus_dsir_sample",
 ]
 
 BENCH_CONVERSATIONS = int(os.environ.get("PROTOSC_BENCH_CONVS", "20000"))

@@ -218,3 +218,137 @@ def mixture_sample(
         )
         .drop("__rate", "__grp")
     )
+
+
+def dsir_log_weights(
+    raw: DataFrame,
+    target: DataFrame,
+    n_buckets: int = 1 << 14,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    alpha: float = 1.0,
+) -> DataFrame:
+    """Hashed-unigram importance log-weights of ``raw`` documents
+    toward a ``target`` corpus — the DSIR recipe (Xie et al. 2023,
+    "Data Selection for Language Models via Importance Resampling"):
+    estimate bag-of-hashed-token distributions p_target and p_raw with
+    add-``alpha`` smoothing over ``n_buckets`` md5 buckets, then
+    log w_i = sum over doc tokens of log(p_target(b) / p_raw(b)).
+
+    Returns (id, n_tokens, log_weight). All JVM: tokens hash with the
+    engine's md5-bucket construction (reproducible in the DuckDB
+    oracle), the two distributions are two groupBy counts (bounded by
+    n_buckets rows), and the per-document sum is one explode + one
+    BROADCAST join against the bucket-ratio table + one groupBy(id) —
+    linear in corpus tokens, no Python, no driver state beyond the
+    broadcast ratio table (n_buckets rows).
+    """
+    B = int(n_buckets)
+    a = float(alpha)
+
+    def tok_buckets(df: DataFrame) -> DataFrame:
+        return df.select(
+            F.col(id_col).alias("__id"),
+            F.explode(F.split(F.col(text_col), " ")).alias("__tok"),
+        ).select(
+            "__id",
+            (
+                F.conv(
+                    F.substring(F.md5(F.col("__tok")), 1, 15), 16, 10
+                ).cast("bigint")
+                % B
+            ).alias("b"),
+        )
+
+    t_counts = tok_buckets(target).groupBy("b").agg(
+        F.count(F.lit(1)).cast("double").alias("__tn")
+    )
+    r_toks = tok_buckets(raw)
+    r_counts = r_toks.groupBy("b").agg(
+        F.count(F.lit(1)).cast("double").alias("__rn")
+    )
+    t_tot = t_counts.agg(F.sum("__tn").alias("__T"))
+    r_tot = r_counts.agg(F.sum("__rn").alias("__R"))
+    ratios = (
+        t_counts.join(r_counts, "b", "full")
+        .crossJoin(F.broadcast(t_tot))
+        .crossJoin(F.broadcast(r_tot))
+        .select(
+            "b",
+            (
+                F.log(
+                    (F.coalesce("__tn", F.lit(0.0)) + F.lit(a))
+                    / (F.col("__T") + F.lit(a * B))
+                )
+                - F.log(
+                    (F.coalesce("__rn", F.lit(0.0)) + F.lit(a))
+                    / (F.col("__R") + F.lit(a * B))
+                )
+            ).alias("__lr"),
+        )
+    )
+    return (
+        r_toks.join(F.broadcast(ratios), "b")
+        .groupBy("__id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("__lr").alias("log_weight"),
+        )
+        .select(
+            F.col("__id").alias(id_col), "n_tokens", "log_weight"
+        )
+    )
+
+
+def dsir_sample(
+    raw: DataFrame,
+    target: DataFrame,
+    frac: float = 0.25,
+    n_buckets: int = 1 << 14,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    alpha: float = 1.0,
+    key_cols: Sequence[str] = ("doc_id",),
+    salt: str = "v1",
+) -> DataFrame:
+    """Importance-resample ``raw`` toward ``target``: keep each
+    document with probability min(1, frac * n * softmax(log_weight)) —
+    documents whose hashed-token distribution looks like the target
+    are kept preferentially, at an expected overall rate of ``frac``
+    (saturated high-weight docs cap at 1 and the realized total
+    undershoots; rates are NOT redistributed, keeping the decision a
+    pure per-document function, same contract as mixture_sample).
+    Row decisions reuse the engine's content-hash bucket rule, so the
+    kept set is deterministic at any parallelism and reproducible in
+    the DuckDB oracle end to end.
+
+    Scale shape: dsir_log_weights (linear, broadcast ratio table) +
+    two 1-row aggregates (max for a stable softmax, then the sum) +
+    one broadcast of the tiny (id, prob) decision inputs back onto the
+    corpus — no global sort, no rank window, no collect."""
+    lw = dsir_log_weights(raw, target, n_buckets, text_col, id_col, alpha)
+    mx = lw.agg(
+        F.max("log_weight").alias("__mx"),
+        F.count(F.lit(1)).cast("double").alias("__n"),
+    )
+    u = lw.crossJoin(F.broadcast(mx)).withColumn(
+        "__u", F.exp(F.col("log_weight") - F.col("__mx"))
+    )
+    z = u.agg(F.sum("__u").alias("__Z"))
+    probs = (
+        u.crossJoin(F.broadcast(z))
+        .select(
+            F.col(id_col),
+            "n_tokens",
+            "log_weight",
+            F.least(
+                F.lit(1.0),
+                F.lit(float(frac)) * F.col("__n") * F.col("__u")
+                / F.col("__Z"),
+            ).alias("keep_prob"),
+        )
+    )
+    return probs.where(
+        hash_bucket(key_cols, salt=salt)
+        < F.floor(F.col("keep_prob") * N_BUCKETS)
+    )

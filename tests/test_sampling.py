@@ -223,3 +223,105 @@ class TestMixtureSample:
         a = sorted(r["doc_id"] for r in kept.select("doc_id").collect())
         b = sorted(r["doc_id"] for r in kept_s.select("doc_id").collect())
         assert a == b
+
+
+class TestDSIR:
+    """DSIR importance resampling (Xie et al. 2023): planted target-
+    like docs outrank off-distribution ones, log-weights match a
+    brute-force python re-derivation exactly, and the kept set is
+    partition-stable."""
+
+    @staticmethod
+    def _corpora(spark):
+        import numpy as np
+
+        rng = np.random.default_rng(11)
+        tgt_vocab = [f"good{i}" for i in range(40)]
+        raw_vocab = [f"junk{i}" for i in range(40)]
+        target = [
+            (i, " ".join(rng.choice(tgt_vocab, 20).tolist()))
+            for i in range(60)
+        ]
+        raw = []
+        for i in range(100):
+            vocab = tgt_vocab if i % 2 == 0 else raw_vocab
+            raw.append((i, " ".join(rng.choice(vocab, 20).tolist())))
+        schema = "doc_id long, text string"
+        return (
+            spark.createDataFrame(raw, schema),
+            spark.createDataFrame(target, schema),
+        )
+
+    def test_target_like_docs_outrank(self, spark):
+        from protosc_spark.sampling import dsir_log_weights, dsir_sample
+
+        raw, target = self._corpora(spark)
+        lw = {
+            r["doc_id"]: r["log_weight"]
+            for r in dsir_log_weights(raw, target, n_buckets=1 << 12).collect()
+        }
+        like = [v for k, v in lw.items() if k % 2 == 0]
+        unlike = [v for k, v in lw.items() if k % 2 == 1]
+        assert min(like) > max(unlike)  # clean separation on this fixture
+
+        kept = {
+            r["doc_id"]
+            for r in dsir_sample(
+                raw, target, frac=0.4, n_buckets=1 << 12
+            ).collect()
+        }
+        # importance mass concentrates on the target-like half
+        frac_like = sum(1 for k in kept if k % 2 == 0) / max(len(kept), 1)
+        assert frac_like >= 0.95
+        assert 20 <= len(kept) <= 60  # ~frac * n with cap undershoot
+
+    def test_log_weights_match_bruteforce(self, spark):
+        import hashlib
+        import math
+        from collections import Counter
+
+        from protosc_spark.sampling import dsir_log_weights
+
+        raw, target = self._corpora(spark)
+        B, a = 1 << 12, 1.0
+
+        def bucket(tok):
+            return int(hashlib.md5(tok.encode()).hexdigest()[:15], 16) % B
+
+        t_rows = {r["doc_id"]: r["text"] for r in target.collect()}
+        r_rows = {r["doc_id"]: r["text"] for r in raw.collect()}
+        tc = Counter(bucket(t) for s in t_rows.values() for t in s.split(" "))
+        rc = Counter(bucket(t) for s in r_rows.values() for t in s.split(" "))
+        T, R = sum(tc.values()), sum(rc.values())
+        want = {}
+        for i, s in r_rows.items():
+            w = 0.0
+            for t in s.split(" "):
+                b = bucket(t)
+                w += math.log((tc[b] + a) / (T + a * B)) - math.log(
+                    (rc[b] + a) / (R + a * B)
+                )
+            want[i] = w
+        got = {
+            r["doc_id"]: r["log_weight"]
+            for r in dsir_log_weights(raw, target, n_buckets=B).collect()
+        }
+        assert set(got) == set(want)
+        for i in want:
+            assert abs(got[i] - want[i]) < 1e-9, i
+
+    def test_deterministic_across_partitioning(self, spark):
+        from protosc_spark.sampling import dsir_sample
+
+        raw, target = self._corpora(spark)
+        a = {
+            r["doc_id"]
+            for r in dsir_sample(raw, target, frac=0.3).collect()
+        }
+        b = {
+            r["doc_id"]
+            for r in dsir_sample(
+                raw.repartition(13), target.repartition(7), frac=0.3
+            ).collect()
+        }
+        assert a == b
