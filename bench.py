@@ -82,6 +82,7 @@ HEADLINE = [
     "mm_jpeg_roundtrip",
     "corpus_dup_spans",
     "corpus_dsir_sample",
+    "mm_wav_features",
 ]
 
 BENCH_CONVERSATIONS = int(os.environ.get("PROTOSC_BENCH_CONVS", "20000"))

@@ -316,10 +316,22 @@ AUDIO_WIN = 100
 
 
 def audio_features(df: DataFrame, codec: str = "fake") -> DataFrame:
-    """binary PCM -> [rms, zero-crossing rate, 8-window rms envelope];
-    one mapInPandas pass, width fixed at 10."""
+    """binary audio -> [rms, zero-crossing rate, 8-window rms
+    envelope]; one mapInPandas pass, width fixed at 10.
+
+    ``codec="wav"`` decodes REAL RIFF/WAVE blobs (protosc_spark.wav —
+    pure numpy, PCM 8/16/24/32 + IEEE float, multi-channel averaged to
+    mono); ``codec="real"`` (MP3/OGG/FLAC & friends) still needs
+    soundfile/librosa and raises with the production call documented;
+    ``codec="fake"`` is the deterministic sandbox codec."""
     if codec == "real":
-        raise NotImplementedError("real audio decode needs soundfile/librosa")
+        raise NotImplementedError(
+            "compressed audio decode needs soundfile (soundfile.read("
+            "io.BytesIO(data))) or librosa; not available in this "
+            "container — WAV inputs are decoded for real via codec='wav'"
+        )
+    if codec not in ("fake", "wav"):
+        raise ValueError(codec)
 
     schema = StructType(
         [
@@ -327,13 +339,19 @@ def audio_features(df: DataFrame, codec: str = "fake") -> DataFrame:
             StructField("audio_features", ArrayType(DoubleType())),
         ]
     )
+    if codec == "wav":
+        from protosc_spark.wav import decode_wav
 
     def _feats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             vecs = []
             for data, m in zip(pdf["data"], pdf["meta"]):
-                sr = int(m["sample_rate"])
-                pcm = _fake_pcm(bytes(data), sr)  # 1 second
+                if codec == "wav":
+                    _sr, ch = decode_wav(bytes(data))
+                    pcm = ch.mean(axis=1)  # mono mixdown
+                else:
+                    sr = int(m["sample_rate"])
+                    pcm = _fake_pcm(bytes(data), sr)  # 1 second
                 rms = float(np.sqrt(np.mean(pcm**2)))
                 zcr = float(np.mean(np.abs(np.diff(np.sign(pcm))) > 0))
                 env = (
