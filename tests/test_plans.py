@@ -189,3 +189,50 @@ def test_knn_batch_no_cartesian_one_candidate_path(spark):
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p
     assert "FlatMapCoGroupsInPandas" in p  # the per-cell BLAS kernel
+
+
+def test_dup_spans_plan_no_python_bounded_shuffles(spark, queries):
+    """duplicated_span_stats must stay all-JVM (window hashing is a
+    codegen'd transform, not a UDF) and keep a bounded shuffle budget:
+    the hash groupBy, the windows->dup-hash join, the coverage window
+    and the final per-doc joins — no Python stage, no cartesian."""
+    p = plan(queries["corpus_dup_spans"](spark, SF))
+    assert "ArrowEvalPython" not in p and "BatchEvalPython" not in p
+    assert "CartesianProduct" not in p
+    assert n_shuffles(p) <= 8
+
+
+def test_dsir_plan_broadcast_ratio_table_no_python(spark):
+    """dsir_log_weights: the bucket-ratio table joins onto the corpus
+    tokens as a BROADCAST (n_buckets rows), never a sort-merge; no
+    Python anywhere."""
+    from protosc_spark.sampling import dsir_log_weights
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    target = docs.where(F.col("lang") == "en")
+    p = plan(dsir_log_weights(docs, target, n_buckets=1 << 12))
+    assert "ArrowEvalPython" not in p and "BatchEvalPython" not in p
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p
+
+
+def test_dsir_sample_keep_rule_is_jvm_filter(spark, queries):
+    """The final keep decision is a codegen'd md5-bucket filter over
+    broadcast 1-row aggregates — no rank window over all docs (the
+    scale-killer the softmax formulation avoids), no Python."""
+    p = plan(queries["corpus_dsir_sample"](spark, SF))
+    assert "ArrowEvalPython" not in p and "BatchEvalPython" not in p
+    # a global top-frac ranking would need a Window; the softmax
+    # keep-prob formulation needs none at all
+    assert "Window" not in p
+    assert p.count("CartesianProduct") == 0
+
+
+def test_wav_gate_single_python_stage(spark, queries):
+    """mm_wav_features: encode UDF + decode/feature kernel are the
+    only Python stages (2), everything else JVM."""
+    p = plan(queries["mm_wav_features"](spark, SF))
+    assert (
+        p.count("ArrowEvalPython") + p.count("MapInPandas")
+        + p.count("BatchEvalPython") <= 2
+    )
