@@ -52,6 +52,20 @@ def _read(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{table}.parquet")
 
 
+def _read_wide(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+    """Like _read, but spread across the cluster: the test tables are
+    single parquet files with one row group, so a scan is ONE task and
+    every downstream Arrow/Python pass (unit vectors, code encoding,
+    cell assignment, codecs) would run on one core. Per-row values are
+    pure functions of the row plus broadcast state (partitioning-
+    independence is pinned in tests), so the shuffle only buys
+    parallelism. At production scale inputs arrive already-split and
+    the repartition is a no-op choice the caller can drop."""
+    return _read(spark, sf_dir, table).repartition(
+        spark.sparkContext.defaultParallelism
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: per-turn feature vectors on deterministic transcripts
     + strict-past as-of attributes. Driver checks rows > 0."""
@@ -371,7 +385,7 @@ def _dedup_semantic(spark, sf_dir):
     recall contracts are pinned in tests/test_similarity.py."""
     from protosc_spark.similarity import semantic_dedup
 
-    emb = _read(spark, sf_dir, "embeddings")
+    emb = _read_wide(spark, sf_dir, "embeddings")
     return semantic_dedup(emb, tau=0.35, n_clusters=1).select("id")
 
 
@@ -383,19 +397,19 @@ def _dedup_semantic_clustered(spark, sf_dir):
     pinned in tests/test_similarity.py."""
     from protosc_spark.similarity import semantic_dedup
 
-    emb = _read(spark, sf_dir, "embeddings")
+    emb = _read_wide(spark, sf_dir, "embeddings")
     return semantic_dedup(emb, tau=0.35, n_clusters=8)
 
 
 def _sim_topk(spark, sf_dir):
-    emb = _read(spark, sf_dir, "embeddings")
+    emb = _read_wide(spark, sf_dir, "embeddings")
     return brute_force_topk(emb, query_ids=[0, 1, 2, 3, 4], k=10).select(
         "query_id", "neighbor_id", "rank"
     )
 
 
 def _sim_neardup(spark, sf_dir):
-    emb = _read(spark, sf_dir, "embeddings")
+    emb = _read_wide(spark, sf_dir, "embeddings")
     return cosine_neardup_pairs(emb, tau=0.35, exact=True).select(
         "id_a", "id_b"
     ).orderBy("id_a", "id_b")
@@ -506,7 +520,7 @@ def _sim_topk_lsh(spark, sf_dir):
     set; recall-vs-bruteforce pinned in tests/test_similarity.py)."""
     from protosc_spark.similarity import lsh_topk
 
-    emb = _read(spark, sf_dir, "embeddings")
+    emb = _read_wide(spark, sf_dir, "embeddings")
     return lsh_topk(emb, query_ids=[0, 1, 2, 3, 4], k=10)
 
 
@@ -518,7 +532,7 @@ def _sim_topk_ivf(spark, sf_dir):
     tests/test_similarity.py."""
     from protosc_spark.similarity import ivf_topk
 
-    emb = _read(spark, sf_dir, "embeddings")
+    emb = _read_wide(spark, sf_dir, "embeddings")
     return ivf_topk(
         emb, query_ids=[0, 1, 2, 3, 4], k=10, n_centroids=8, n_probe=8
     ).select("query_id", "neighbor_id", "rank")
@@ -534,7 +548,7 @@ def _sim_knn_graph(spark, sf_dir):
     recall is pinned in tests/test_similarity.py."""
     from protosc_spark.similarity import knn_graph
 
-    emb = _read(spark, sf_dir, "embeddings")
+    emb = _read_wide(spark, sf_dir, "embeddings")
     return knn_graph(emb, k=5, n_centroids=8, n_probe=8).select(
         "query_id", "neighbor_id", "rank"
     )
@@ -549,7 +563,7 @@ def _sim_knn_graph_ivfpq(spark, sf_dir):
     SQL oracle applies; pruned recall pinned in tests."""
     from protosc_spark.similarity import ivfpq_topk_batch
 
-    emb = _read(spark, sf_dir, "embeddings")
+    emb = _read_wide(spark, sf_dir, "embeddings")
     return ivfpq_topk_batch(
         emb, None, k=5, n_centroids=8, n_probe=8, rerank_factor=100
     ).select("query_id", "neighbor_id", "rank")
@@ -570,7 +584,14 @@ def _mm_wav_features(spark, sf_dir):
     from protosc_spark.multimodal import audio_features
     from protosc_spark.wav import encode_wav
 
-    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    # the documents table arrives as ONE file partition at test SFs;
+    # spread the per-row codec work across the cluster (values are
+    # per-row pure functions — partitioning cannot change them)
+    docs = (
+        _read(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
 
     @F.pandas_udf("binary")
     def enc_udf(texts):
@@ -644,7 +665,7 @@ def _sim_knn_graph_sq8(spark, sf_dir):
     margin), so the independent brute-force SQL oracle applies."""
     from protosc_spark.similarity import ivfsq8_topk_batch
 
-    emb = _read(spark, sf_dir, "embeddings")
+    emb = _read_wide(spark, sf_dir, "embeddings")
     return ivfsq8_topk_batch(
         emb, None, k=5, n_centroids=8, n_probe=8, rerank_factor=100
     ).select("query_id", "neighbor_id", "rank")
@@ -659,7 +680,7 @@ def _sim_knn_graph_probe(spark, sf_dir):
     exact configs against the independent brute-force SQL oracle."""
     from protosc_spark.similarity import knn_graph
 
-    emb = _read(spark, sf_dir, "embeddings")
+    emb = _read_wide(spark, sf_dir, "embeddings")
     return knn_graph(emb, k=5, n_centroids=64, n_probe=8).select(
         "query_id", "neighbor_id", "rank"
     )
@@ -671,7 +692,7 @@ def _sim_topk_ivf_probe(spark, sf_dir):
     quantizer-defined); recall-vs-bruteforce pinned in tests."""
     from protosc_spark.similarity import ivf_topk
 
-    emb = _read(spark, sf_dir, "embeddings")
+    emb = _read_wide(spark, sf_dir, "embeddings")
     return ivf_topk(
         emb, query_ids=[0, 1, 2, 3, 4], k=10, n_centroids=8, n_probe=4
     )
@@ -824,7 +845,14 @@ def _mm_png_roundtrip(spark, sf_dir):
     from protosc_spark.multimodal import decode_images
     from protosc_spark.png import encode_png
 
-    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    # the documents table arrives as ONE file partition at test SFs;
+    # spread the per-row codec work across the cluster (values are
+    # per-row pure functions — partitioning cannot change them)
+    docs = (
+        _read(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
 
     @F.pandas_udf("binary")
     def enc_udf(texts):
@@ -881,7 +909,14 @@ def _mm_jpeg_roundtrip(spark, sf_dir):
     from protosc_spark.jpeg import encode_jpeg
     from protosc_spark.multimodal import decode_images
 
-    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    # the documents table arrives as ONE file partition at test SFs;
+    # spread the per-row codec work across the cluster (values are
+    # per-row pure functions — partitioning cannot change them)
+    docs = (
+        _read(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
 
     @F.pandas_udf("binary")
     def enc_udf(texts):
@@ -1226,7 +1261,7 @@ def _sim_label_centroids(spark, sf_dir):
     One posexplode + map-side-combined groupBy; exact SQL oracle."""
     from protosc_spark.similarity import label_centroids
 
-    return label_centroids(_read(spark, sf_dir, "embeddings")).orderBy(
+    return label_centroids(_read_wide(spark, sf_dir, "embeddings")).orderBy(
         "label", "dim"
     )
 
@@ -1311,7 +1346,7 @@ def _sim_topk_pq(spark, sf_dir):
     in tests) -> FROZEN oracle like the other approximate ANN paths."""
     from protosc_spark.similarity import pq_topk
 
-    emb = _read(spark, sf_dir, "embeddings")
+    emb = _read_wide(spark, sf_dir, "embeddings")
     return pq_topk(emb, query_ids=[0, 1, 2, 3, 4], k=10).select(
         "query_id", "neighbor_id", "rank"
     )
@@ -1328,7 +1363,7 @@ def _sim_topk_sq8(spark, sf_dir):
     pinned separately in tests/test_similarity.py."""
     from protosc_spark.similarity import sq8_topk
 
-    emb = _read(spark, sf_dir, "embeddings")
+    emb = _read_wide(spark, sf_dir, "embeddings")
     return sq8_topk(
         emb, query_ids=[0, 1, 2, 3, 4], k=10, rerank_factor=20
     ).select("query_id", "neighbor_id", "rank")
