@@ -222,31 +222,31 @@ def _events_json(spark, sf_dir):
 
 
 def _txt_token_stats(spark, sf_dir):
-    return token_stats(_read(spark, sf_dir, "documents"))
+    return token_stats(_read_wide(spark, sf_dir, "documents"))
 
 
 def _txt_quality(spark, sf_dir):
-    return quality_score(_read(spark, sf_dir, "documents"))
+    return quality_score(_read_wide(spark, sf_dir, "documents"))
 
 
 def _txt_langid(spark, sf_dir):
-    return language_id(_read(spark, sf_dir, "documents"))
+    return language_id(_read_wide(spark, sf_dir, "documents"))
 
 
 def _txt_fingerprint(spark, sf_dir):
-    return fingerprint(_read(spark, sf_dir, "documents"))
+    return fingerprint(_read_wide(spark, sf_dir, "documents"))
 
 
 def _txt_repetition(spark, sf_dir):
     from protosc_spark.textops import repetition_stats
 
-    return repetition_stats(_read(spark, sf_dir, "documents"))
+    return repetition_stats(_read_wide(spark, sf_dir, "documents"))
 
 
 def _txt_gopher(spark, sf_dir):
     from protosc_spark.textops import gopher_rules
 
-    return gopher_rules(_read(spark, sf_dir, "documents"))
+    return gopher_rules(_read_wide(spark, sf_dir, "documents"))
 
 
 def _txt_pii_scrub(spark, sf_dir):
@@ -256,7 +256,7 @@ def _txt_pii_scrub(spark, sf_dir):
     the scrubbed text and counts."""
     from protosc_spark.textops import pii_scrub
 
-    docs = _read(spark, sf_dir, "documents").select(
+    docs = _read_wide(spark, sf_dir, "documents").select(
         "doc_id",
         F.concat(
             F.col("text"),
@@ -278,7 +278,7 @@ def _corpus_split(spark, sf_dir):
     identical md5-bucket thresholding in DuckDB)."""
     from protosc_spark.sampling import hash_split
 
-    docs = _read(spark, sf_dir, "documents")
+    docs = _read_wide(spark, sf_dir, "documents")
     return hash_split(
         docs, ["doc_id"], {"train": 0.9, "val": 0.05, "test": 0.05}
     ).select("doc_id", "split")
@@ -299,7 +299,7 @@ def _txt_quality_classifier(spark, sf_dir):
         train_quality_classifier,
     )
 
-    docs = _read(spark, sf_dir, "documents")
+    docs = _read_wide(spark, sf_dir, "documents")
     labeled = docs.withColumn(
         "label", (F.col("lang") == "en").cast("int")
     )
@@ -329,7 +329,7 @@ def _corpus_mixture_sample(spark, sf_dir):
     rate is >= 0.03 buckets away from its floor threshold)."""
     from protosc_spark.sampling import mixture_sample
 
-    docs = _read(spark, sf_dir, "documents")
+    docs = _read_wide(spark, sf_dir, "documents")
     return mixture_sample(
         docs, group_col="lang", alpha=0.5, total_frac=0.5
     ).select("doc_id", "lang").orderBy("doc_id")
@@ -341,7 +341,7 @@ def _txt_lm_score(spark, sf_dir):
     Exact DuckDB oracle recomputes the identical counts + smoothing."""
     from protosc_spark.lm import lm_score, train_char_bigram_lm
 
-    docs = _read(spark, sf_dir, "documents")
+    docs = _read_wide(spark, sf_dir, "documents")
     lm = train_char_bigram_lm(docs, k=0.5)
     return lm_score(docs, lm, k=0.5)
 
@@ -351,21 +351,21 @@ def _txt_vocab_idf(spark, sf_dir):
     prunes the hapax tail). Exact DuckDB oracle."""
     from protosc_spark.textops import vocab_with_idf
 
-    return vocab_with_idf(_read(spark, sf_dir, "documents"), min_df=2)
+    return vocab_with_idf(_read_wide(spark, sf_dir, "documents"), min_df=2)
 
 
 def _dedup_exact(spark, sf_dir):
-    return exact_dedup_groups(_read(spark, sf_dir, "documents")).orderBy("text_md5")
+    return exact_dedup_groups(_read_wide(spark, sf_dir, "documents")).orderBy("text_md5")
 
 
 def _dedup_jaccard(spark, sf_dir):
     return ngram_jaccard_pairs(
-        _read(spark, sf_dir, "documents"), tau=0.2
+        _read_wide(spark, sf_dir, "documents"), tau=0.2
     ).orderBy("doc_a", "doc_b")
 
 
 def _dedup_minhash(spark, sf_dir):
-    return minhash_lsh_pairs(_read(spark, sf_dir, "documents"), tau=0.2).orderBy(
+    return minhash_lsh_pairs(_read_wide(spark, sf_dir, "documents"), tau=0.2).orderBy(
         "doc_a", "doc_b"
     )
 
@@ -374,7 +374,7 @@ def _dedup_simhash(spark, sf_dir):
     # max_hamming=7 -> 8 bands of 8 bits: the band guarantee covers the
     # threshold exactly (recall 1.0 by pigeonhole; pinned in tests)
     return simhash_neardup_pairs(
-        _read(spark, sf_dir, "documents"), max_hamming=7
+        _read_wide(spark, sf_dir, "documents"), max_hamming=7
     ).orderBy("doc_a", "doc_b")
 
 
@@ -437,7 +437,7 @@ def _corpus_clean(spark, sf_dir):
     that are individually oracle-checked; this pins their composition."""
     from protosc_spark.dedup import exact_dedup
 
-    docs = _read(spark, sf_dir, "documents")
+    docs = _read_wide(spark, sf_dir, "documents")
     q = quality_score(docs).select("doc_id", "quality")
     lg = language_id(docs).select("doc_id", "lang_pred")
     kept = (
@@ -584,14 +584,7 @@ def _mm_wav_features(spark, sf_dir):
     from protosc_spark.multimodal import audio_features
     from protosc_spark.wav import encode_wav
 
-    # the documents table arrives as ONE file partition at test SFs;
-    # spread the per-row codec work across the cluster (values are
-    # per-row pure functions — partitioning cannot change them)
-    docs = (
-        _read(spark, sf_dir, "documents")
-        .select("doc_id", "text")
-        .repartition(spark.sparkContext.defaultParallelism)
-    )
+    docs = _read_wide(spark, sf_dir, "documents").select("doc_id", "text")
 
     @F.pandas_udf("binary")
     def enc_udf(texts):
@@ -632,7 +625,7 @@ def _corpus_dsir_sample(spark, sf_dir):
     log-weights, the softmax and the keep decision end to end."""
     from protosc_spark.sampling import dsir_sample
 
-    docs = _read(spark, sf_dir, "documents")
+    docs = _read_wide(spark, sf_dir, "documents")
     target = docs.where(F.col("lang") == "en")
     kept = dsir_sample(docs, target, frac=0.3, n_buckets=1 << 12)
     return kept.select(
@@ -652,7 +645,7 @@ def _corpus_dup_spans(spark, sf_dir):
     and the interval union independently in SQL."""
     from protosc_spark.dedup import duplicated_span_stats
 
-    docs = _read(spark, sf_dir, "documents")
+    docs = _read_wide(spark, sf_dir, "documents")
     return duplicated_span_stats(docs, l=8).orderBy("doc_id")
 
 
@@ -845,14 +838,7 @@ def _mm_png_roundtrip(spark, sf_dir):
     from protosc_spark.multimodal import decode_images
     from protosc_spark.png import encode_png
 
-    # the documents table arrives as ONE file partition at test SFs;
-    # spread the per-row codec work across the cluster (values are
-    # per-row pure functions — partitioning cannot change them)
-    docs = (
-        _read(spark, sf_dir, "documents")
-        .select("doc_id", "text")
-        .repartition(spark.sparkContext.defaultParallelism)
-    )
+    docs = _read_wide(spark, sf_dir, "documents").select("doc_id", "text")
 
     @F.pandas_udf("binary")
     def enc_udf(texts):
@@ -909,14 +895,7 @@ def _mm_jpeg_roundtrip(spark, sf_dir):
     from protosc_spark.jpeg import encode_jpeg
     from protosc_spark.multimodal import decode_images
 
-    # the documents table arrives as ONE file partition at test SFs;
-    # spread the per-row codec work across the cluster (values are
-    # per-row pure functions — partitioning cannot change them)
-    docs = (
-        _read(spark, sf_dir, "documents")
-        .select("doc_id", "text")
-        .repartition(spark.sparkContext.defaultParallelism)
-    )
+    docs = _read_wide(spark, sf_dir, "documents").select("doc_id", "text")
 
     @F.pandas_udf("binary")
     def enc_udf(texts):
@@ -1152,7 +1131,7 @@ def _dedup_components(spark, sf_dir):
     exact DuckDB oracle via a recursive-CTE transitive closure."""
     from protosc_spark.dedup import connected_components
 
-    docs = _read(spark, sf_dir, "documents")
+    docs = _read_wide(spark, sf_dir, "documents")
     pairs = ngram_jaccard_pairs(docs, tau=0.15)
     return connected_components(pairs).orderBy("id")
 
@@ -1162,7 +1141,7 @@ def _txt_tfidf_topk(spark, sf_dir):
     min_df=2, deterministic token-ascending tie-break)."""
     from protosc_spark.textops import tfidf_topk
 
-    return tfidf_topk(_read(spark, sf_dir, "documents"), k=3, min_df=2)
+    return tfidf_topk(_read_wide(spark, sf_dir, "documents"), k=3, min_df=2)
 
 
 def _corpus_line_dedup(spark, sf_dir):
@@ -1173,7 +1152,7 @@ def _corpus_line_dedup(spark, sf_dir):
     the smallest (doc_id, line_idx)."""
     from protosc_spark.dedup import line_dedup
 
-    docs = _read(spark, sf_dir, "documents")
+    docs = _read_wide(spark, sf_dir, "documents")
     toks = F.split("text", " ")
     relined = docs.select(
         "doc_id",
@@ -1198,7 +1177,7 @@ def _dedup_minhash_components(spark, sf_dir):
     oracle, like dedup_minhash_lsh itself."""
     from protosc_spark.dedup import connected_components
 
-    docs = _read(spark, sf_dir, "documents")
+    docs = _read_wide(spark, sf_dir, "documents")
     pairs = minhash_lsh_pairs(docs, tau=0.5)
     return connected_components(pairs).orderBy("id")
 
@@ -1210,7 +1189,7 @@ def _corpus_chunks(spark, sf_dir):
     from protosc_spark.textops import chunk_documents
 
     return chunk_documents(
-        _read(spark, sf_dir, "documents"), chunk_tokens=12, stride=8
+        _read_wide(spark, sf_dir, "documents"), chunk_tokens=12, stride=8
     ).orderBy("doc_id", "chunk_idx")
 
 
@@ -1223,7 +1202,7 @@ def _corpus_pack(spark, sf_dir):
     from protosc_spark.textops import pack_sequences
 
     return pack_sequences(
-        _read(spark, sf_dir, "documents"), target_tokens=64
+        _read_wide(spark, sf_dir, "documents"), target_tokens=64
     ).orderBy("doc_id")
 
 
@@ -1234,7 +1213,7 @@ def _dedup_incremental(spark, sf_dir):
     is the plain anti-join in SQL."""
     from protosc_spark.dedup import incremental_dedup
 
-    docs = _read(spark, sf_dir, "documents")
+    docs = _read_wide(spark, sf_dir, "documents")
     existing = docs.where(F.col("doc_id") < 400)
     incoming = docs.where(F.col("doc_id") >= 400).unionByName(
         docs.where((F.col("doc_id") % 8 == 0) & (F.col("doc_id") < 400))
@@ -1252,7 +1231,7 @@ def _txt_pmi(spark, sf_dir):
     from protosc_spark.textops import pmi_collocations
 
     return pmi_collocations(
-        _read(spark, sf_dir, "documents"), window=2, min_count=5, k=20
+        _read_wide(spark, sf_dir, "documents"), window=2, min_count=5, k=20
     )
 
 
@@ -1274,7 +1253,7 @@ def _txt_bpe_tokenize(spark, sf_dir):
     contracts pinned in tests/test_bpe.py."""
     from protosc_spark.bpe import bpe_tokenize, bpe_train
 
-    docs = _read(spark, sf_dir, "documents")
+    docs = _read_wide(spark, sf_dir, "documents")
     # scale bounds opted in explicitly (library defaults are exact);
     # verified merge-identical to the unbounded run on this corpus
     merges = bpe_train(docs, n_merges=40, min_count=2, max_words=1_000_000)
@@ -1289,7 +1268,7 @@ def _txt_top_ngrams(spark, sf_dir):
     """Corpus-wide 20 most frequent bigrams (collocation audit)."""
     from protosc_spark.textops import top_ngrams
 
-    return top_ngrams(_read(spark, sf_dir, "documents"), n=2, k=20)
+    return top_ngrams(_read_wide(spark, sf_dir, "documents"), n=2, k=20)
 
 
 def _asof_tolerance(spark, sf_dir):
@@ -1330,7 +1309,7 @@ def _corpus_decontaminate(spark, sf_dir):
     from protosc_spark.sampling import hash_split
 
     docs = hash_split(
-        _read(spark, sf_dir, "documents"),
+        _read_wide(spark, sf_dir, "documents"),
         ["doc_id"],
         {"train": 0.9, "val": 0.05, "test": 0.05},
     )
@@ -1375,7 +1354,7 @@ def _corpus_stats_by_source(spark, sf_dir):
     linear-interpolated over the sorted values — no approx sketch, so
     the oracle hash-matches). The grouped-aggregation reporting query
     every curation pipeline runs before/after each cleaning stage."""
-    docs = _read(spark, sf_dir, "documents")
+    docs = _read_wide(spark, sf_dir, "documents")
     return (
         docs.groupBy("source", "lang")
         .agg(
