@@ -569,6 +569,54 @@ def _sim_knn_graph_ivfpq(spark, sf_dir):
     ).select("query_id", "neighbor_id", "rank")
 
 
+def _mm_g711_features(spark, sf_dir):
+    """REAL compressed-audio decode (G.711 mu-law, WAV format tag 7 —
+    the telephony companding codec, protosc_spark.wav:_ULAW): each
+    document's first 64 chars become 64 mu-law CODE BYTES written
+    into an actual RIFF/WAVE container, decoded by
+    audio_features(codec='wav') through the CCITT expand table, and
+    reduced to rms / zero-crossing rate / envelope endpoints. The
+    DuckDB oracle never touches a WAV or the table: it re-derives the
+    G.711 expansion ARITHMETIC (ones-complement, 3-bit exponent,
+    4-bit mantissa, bias 0x84) from the text's codepoints with
+    integer bit ops, so a single wrong table entry, sign convention
+    or chunk-walk defect breaks the hash match."""
+    import struct as _struct
+
+    from protosc_spark.multimodal import audio_features
+    from protosc_spark.wav import _riff
+
+    docs = _read_wide(spark, sf_dir, "documents").select("doc_id", "text")
+
+    fmt_body = _struct.pack("<HHIIHHH", 7, 1, 8000, 8000, 1, 8, 0)
+
+    @F.pandas_udf("binary")
+    def enc_udf(texts):
+        import pandas as pd
+
+        out = []
+        for t in texts.fillna(""):
+            s = (t + " " * 64)[:64]
+            out.append(
+                _riff(fmt_body, bytes(min(ord(ch), 255) for ch in s))
+            )
+        return pd.Series(out)
+
+    blobs = docs.select(
+        F.col("doc_id").cast("string").alias("media_id"),
+        enc_udf("text").alias("data"),
+        F.struct(F.lit(8_000).alias("sample_rate")).alias("meta"),
+    )
+    feats = audio_features(blobs, codec="wav")
+    return feats.select(
+        F.col("media_id").cast("long").alias("doc_id"),
+        F.round(F.element_at("audio_features", 1), 6).alias("rms"),
+        F.round(F.element_at("audio_features", 2), 6).alias("zcr"),
+        F.round(F.element_at("audio_features", 3), 6).alias("env_first"),
+        F.round(F.element_at("audio_features", 10), 6).alias("env_last"),
+    ).orderBy("doc_id")
+
+
 def _mm_wav_features(spark, sf_dir):
     """REAL audio decode, end to end distributed: each document's
     first 64 chars become 64 PCM16 samples ((codepoint-128), exactly
@@ -1378,6 +1426,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     full-surface green regardless of this ordering."""
     return {
         # --- round 5 ---
+        "mm_g711_features": _mm_g711_features,
         "mm_jpeg_roundtrip": _mm_jpeg_roundtrip,
         "sim_knn_graph_sq8": _sim_knn_graph_sq8,
         "corpus_dup_spans": _corpus_dup_spans,
@@ -1517,6 +1566,39 @@ def _corpus_split_oracle() -> str:
 
 def oracle_sql() -> dict[str, str]:
     out = {
+        # G.711 mu-law expansion re-derived from the CCITT arithmetic
+        # (ones-complement byte, 3-bit exponent, 4-bit mantissa, bias
+        # 0x84) with SQL integer bit ops — no table, no WAV parsing
+        "mm_g711_features": """
+            WITH padded AS (
+              SELECT doc_id, substr(text || repeat(' ', 64), 1, 64) AS s
+              FROM documents
+            ), expanded AS (
+              SELECT doc_id, i,
+                     255 - least(unicode(substr(s, i::INT, 1)), 255) AS u
+              FROM padded, range(1, 65) t(i)
+            ), smp AS (
+              SELECT doc_id, i,
+                     (CASE WHEN (u & 128) != 0
+                        THEN 132 - (((u & 15) * 8 + 132) << ((u >> 4) & 7))
+                        ELSE (((u & 15) * 8 + 132) << ((u >> 4) & 7)) - 132
+                      END) / 32768.0 AS v
+              FROM expanded
+            ), pairs AS (
+              SELECT doc_id,
+                     abs(sign(v) - lag(sign(v)) OVER (
+                       PARTITION BY doc_id ORDER BY i)) > 0 AS crossed
+              FROM smp
+            )
+            SELECT s.doc_id,
+                   round(sqrt(avg(v * v)), 6) AS rms,
+                   round((SELECT avg(crossed::INT) FROM pairs p
+                          WHERE p.doc_id = s.doc_id
+                            AND crossed IS NOT NULL), 6) AS zcr,
+                   round(sqrt(avg(v * v) FILTER (i <= 8)), 6) AS env_first,
+                   round(sqrt(avg(v * v) FILTER (i > 56)), 6) AS env_last
+            FROM smp s GROUP BY s.doc_id ORDER BY s.doc_id
+        """,
         # mixture sampling: counts -> temperature rates -> md5-bucket
         # thresholding, all re-derived independently in SQL
         "corpus_mixture_sample": """

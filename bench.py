@@ -83,6 +83,7 @@ HEADLINE = [
     "corpus_dup_spans",
     "corpus_dsir_sample",
     "mm_wav_features",
+    "mm_g711_features",
 ]
 
 BENCH_CONVERSATIONS = int(os.environ.get("PROTOSC_BENCH_CONVS", "20000"))

@@ -320,15 +320,17 @@ def audio_features(df: DataFrame, codec: str = "fake") -> DataFrame:
     envelope]; one mapInPandas pass, width fixed at 10.
 
     ``codec="wav"`` decodes REAL RIFF/WAVE blobs (protosc_spark.wav —
-    pure numpy, PCM 8/16/24/32 + IEEE float, multi-channel averaged to
-    mono); ``codec="real"`` (MP3/OGG/FLAC & friends) still needs
-    soundfile/librosa and raises with the production call documented;
-    ``codec="fake"`` is the deterministic sandbox codec."""
+    pure numpy, PCM 8/16/24/32 + IEEE float, G.711 mu-law/A-law and
+    IMA ADPCM telephony compression, multi-channel averaged to mono);
+    ``codec="real"`` (the PERCEPTUAL codecs: MP3/AAC/OGG/FLAC) still
+    needs soundfile/librosa and raises with the production call
+    documented; ``codec="fake"`` is the deterministic sandbox codec."""
     if codec == "real":
         raise NotImplementedError(
-            "compressed audio decode needs soundfile (soundfile.read("
-            "io.BytesIO(data))) or librosa; not available in this "
-            "container — WAV inputs are decoded for real via codec='wav'"
+            "perceptual-codec audio decode needs soundfile (soundfile."
+            "read(io.BytesIO(data))) or librosa; not available in this "
+            "container — WAV (PCM/float/G.711/IMA-ADPCM) inputs are "
+            "decoded for real via codec='wav'"
         )
     if codec not in ("fake", "wav"):
         raise ValueError(codec)

@@ -236,3 +236,13 @@ def test_wav_gate_single_python_stage(spark, queries):
         p.count("ArrowEvalPython") + p.count("MapInPandas")
         + p.count("BatchEvalPython") <= 2
     )
+
+
+def test_g711_gate_single_python_stage(spark, queries):
+    """mm_g711_features: same shape as the WAV gate — encode UDF +
+    decode/feature kernel are the only Python stages (2)."""
+    p = plan(queries["mm_g711_features"](spark, SF))
+    assert (
+        p.count("ArrowEvalPython") + p.count("MapInPandas")
+        + p.count("BatchEvalPython") <= 2
+    )
