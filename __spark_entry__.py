@@ -664,6 +664,56 @@ def _mm_wav_features(spark, sf_dir):
     ).orderBy("doc_id")
 
 
+def _mm_flac_features(spark, sf_dir):
+    """REAL FLAC decode, end to end distributed: each document's
+    first 64 chars become 64 PCM16 samples ((codepoint-128), exactly
+    representable through the encode/decode scale pair), compressed
+    into actual FLAC bytes (fixed-order-2 predictor + rice residuals,
+    protosc_spark.flac) in one Arrow pass, decoded by
+    audio_features(codec='flac'), and reduced to rms / zero-crossing
+    rate / envelope endpoints. FLAC is LOSSLESS, so the DuckDB oracle
+    — which never touches a FLAC, deriving the same numbers straight
+    from the text's codepoints — hash-matches; any codec defect
+    (frame/subframe headers, rice coding, fixed-predictor
+    reconstruction, CRC framing) breaks it."""
+    import numpy as np
+
+    from protosc_spark.flac import encode_flac
+    from protosc_spark.multimodal import audio_features
+
+    docs = _read_wide(spark, sf_dir, "documents").select("doc_id", "text")
+
+    @F.pandas_udf("binary")
+    def enc_udf(texts):
+        import pandas as pd
+
+        out = []
+        for t in texts.fillna(""):
+            s = (t + " " * 64)[:64]
+            pcm = np.fromiter(
+                ((min(ord(ch), 255) - 128) / 32767.0 for ch in s),
+                dtype=np.float64,
+                count=64,
+            )
+            out.append(encode_flac(pcm, 16_000, subframe="fixed",
+                                   fixed_order=2))
+        return pd.Series(out)
+
+    blobs = docs.select(
+        F.col("doc_id").cast("string").alias("media_id"),
+        enc_udf("text").alias("data"),
+        F.struct(F.lit(16_000).alias("sample_rate")).alias("meta"),
+    )
+    feats = audio_features(blobs, codec="flac")
+    return feats.select(
+        F.col("media_id").cast("long").alias("doc_id"),
+        F.round(F.element_at("audio_features", 1), 6).alias("rms"),
+        F.round(F.element_at("audio_features", 2), 6).alias("zcr"),
+        F.round(F.element_at("audio_features", 3), 6).alias("env_first"),
+        F.round(F.element_at("audio_features", 10), 6).alias("env_last"),
+    ).orderBy("doc_id")
+
+
 def _corpus_dsir_sample(spark, sf_dir):
     """DSIR importance resampling (Xie et al. 2023): raw corpus =
     documents, target = the English subset; hashed-unigram importance
@@ -929,28 +979,30 @@ def _mm_png_roundtrip(spark, sf_dir):
 def _mm_jpeg_roundtrip(spark, sf_dir):
     """REAL JPEG decode, end to end distributed: each document's first
     4 chars become a 16x16 grey image of four constant 8x8 blocks,
-    encoded to actual baseline JPEG bytes (numpy FDCT + Huffman,
-    protosc_spark.jpeg) in one Arrow pass, then decoded by
-    decode_images(codec='jpeg') and reduced JVM-side to dims + mean
-    pixel. Constant blocks are BIT-EXACT through the lossy path (the
-    flat-8 quant table divides the DC coefficient 8*(v-128) exactly),
-    so the DuckDB oracle — which never touches a JPEG, deriving the
-    mean straight from the text's codepoints — hash-matches; any codec
-    defect (Huffman canon, zigzag, IDCT, DC prediction, byte
-    stuffing) breaks it."""
+    encoded to actual JPEG bytes (numpy FDCT + Huffman,
+    protosc_spark.jpeg) in one Arrow pass — even doc_ids as BASELINE
+    (SOF0), odd doc_ids as PROGRESSIVE (SOF2: DC first/refine + AC
+    first/refine scans) — then decoded by decode_images(codec='jpeg')
+    and reduced JVM-side to dims + mean pixel. Constant blocks are
+    BIT-EXACT through the lossy path (the flat-8 quant table divides
+    the DC coefficient 8*(v-128) exactly), so the DuckDB oracle —
+    which never touches a JPEG, deriving the mean straight from the
+    text's codepoints — hash-matches; any codec defect (Huffman canon,
+    zigzag, IDCT, DC prediction, byte stuffing, progressive
+    successive-approximation reassembly) breaks it."""
     import numpy as np
 
-    from protosc_spark.jpeg import encode_jpeg
+    from protosc_spark.jpeg import encode_jpeg, encode_jpeg_progressive
     from protosc_spark.multimodal import decode_images
 
     docs = _read_wide(spark, sf_dir, "documents").select("doc_id", "text")
 
     @F.pandas_udf("binary")
-    def enc_udf(texts):
+    def enc_udf(doc_ids, texts):
         import pandas as pd
 
         out = []
-        for t in texts.fillna(""):
+        for did, t in zip(doc_ids, texts.fillna("")):
             s = (t + " " * 4)[:4]
             img = np.zeros((16, 16), dtype=np.uint8)
             vals = [min(ord(ch), 255) for ch in s]
@@ -958,12 +1010,13 @@ def _mm_jpeg_roundtrip(spark, sf_dir):
             img[:8, 8:] = vals[1]
             img[8:, :8] = vals[2]
             img[8:, 8:] = vals[3]
-            out.append(encode_jpeg(img))
+            enc = encode_jpeg if int(did) % 2 == 0 else encode_jpeg_progressive
+            out.append(enc(img))
         return pd.Series(out)
 
     blobs = docs.select(
         F.col("doc_id").cast("string").alias("media_id"),
-        enc_udf("text").alias("data"),
+        enc_udf("doc_id", "text").alias("data"),
         F.struct(
             F.lit(16).alias("width"),
             F.lit(16).alias("height"),
@@ -1426,6 +1479,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     full-surface green regardless of this ordering."""
     return {
         # --- round 5 ---
+        "mm_flac_features": _mm_flac_features,
         "mm_g711_features": _mm_g711_features,
         "mm_jpeg_roundtrip": _mm_jpeg_roundtrip,
         "sim_knn_graph_sq8": _sim_knn_graph_sq8,
@@ -2312,6 +2366,33 @@ def oracle_sql() -> dict[str, str]:
         # independent check of the real PNG codec: the oracle derives
         # the mean pixel straight from the text's codepoints, never
         # decoding a PNG — encode(Paeth) o decode must be the identity
+        # FLAC is lossless and shares the WAV scale pair, so the
+        # codepoint-derived oracle is the same math — the Spark side
+        # still exercises the whole FLAC codec (encode+decode).
+        "mm_flac_features": """
+            WITH padded AS (
+              SELECT doc_id, substr(text || repeat(' ', 64), 1, 64) AS s
+              FROM documents
+            ), smp AS (
+              SELECT doc_id, i,
+                     (least(unicode(substr(s, i::INT, 1)), 255) - 128)
+                     / 32768.0 AS v
+              FROM padded, range(1, 65) t(i)
+            ), pairs AS (
+              SELECT doc_id,
+                     abs(sign(v) - lag(sign(v)) OVER (
+                       PARTITION BY doc_id ORDER BY i)) > 0 AS crossed
+              FROM smp
+            )
+            SELECT s.doc_id,
+                   round(sqrt(avg(v * v)), 6) AS rms,
+                   round((SELECT avg(crossed::INT) FROM pairs p
+                          WHERE p.doc_id = s.doc_id
+                            AND crossed IS NOT NULL), 6) AS zcr,
+                   round(sqrt(avg(v * v) FILTER (i <= 8)), 6) AS env_first,
+                   round(sqrt(avg(v * v) FILTER (i > 56)), 6) AS env_last
+            FROM smp s GROUP BY s.doc_id ORDER BY s.doc_id
+        """,
         "mm_wav_features": """
             WITH padded AS (
               SELECT doc_id, substr(text || repeat(' ', 64), 1, 64) AS s

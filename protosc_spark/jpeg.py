@@ -4,16 +4,23 @@ cv2/PIL are verified absent in this container). JPEG is a fully
 published format (ITU-T T.81 / ISO 10918-1), so like the PNG path
 (protosc_spark.png) the engine decodes it for real:
 
-* **decode_jpeg**: baseline + extended-sequential Huffman JPEGs
-  (SOF0/SOF1) — DQT (8/16-bit), multi-table DHT, DRI/RSTn restart
-  markers, byte stuffing, arbitrary sampling factors (4:4:4, 4:2:0,
-  4:2:2 via replication upsample), 1-component greyscale and
-  3-component YCbCr (BT.601). Progressive (SOF2) and arithmetic
-  coding raise with the production call documented.
-* **encode_jpeg**: the fixture/round-trip companion — 4:4:4 baseline
-  with deterministic uniform-length Huffman tables built from the
-  image's own symbol set (valid DHT by construction, no Annex-K
-  transcription), orthonormal FDCT, selectable quantization tables.
+* **decode_jpeg**: baseline + extended-sequential (SOF0/SOF1) AND
+  progressive (SOF2) Huffman JPEGs — DQT (8/16-bit), multi-table DHT,
+  DRI/RSTn restart markers, byte stuffing, arbitrary sampling factors
+  (4:4:4, 4:2:0, 4:2:2 via replication upsample), 1-component
+  greyscale and 3-component YCbCr (BT.601). Progressive covers all
+  four scan kinds of T.81 Annex G: DC first/refinement (interleaved
+  or not), AC first with EOB runs, AC successive-approximation
+  refinement. Lossless/hierarchical/arithmetic coding raise with the
+  production call documented.
+* **encode_jpeg** / **encode_jpeg_progressive**: the fixture/
+  round-trip companions — 4:4:4 with deterministic uniform-length
+  Huffman tables built from the image's own symbol set (valid DHT by
+  construction, no Annex-K transcription), orthonormal FDCT,
+  selectable quantization tables. The progressive encoder's fixed
+  scan script exercises every decoder scan kind and quantizes
+  identically to the baseline encoder, so both encodings of an image
+  decode to identical pixels.
 
 Numerics: the FDCT/IDCT use the exact orthonormal DCT-II matrix (the
 spec's Annex-A definition, not a fast integer approximation), so
@@ -160,6 +167,231 @@ def _extend(v: int, s: int) -> int:
 # decoder
 # ---------------------------------------------------------------------------
 
+def _entropy_segments(buf: bytes, p: int) -> tuple[list[bytes], int]:
+    """Entropy-coded data from ``p`` to the next real marker, split on
+    RSTn, 0xFF00 stuffing dropped. Returns (segments, end position)."""
+    segments, cur = [], bytearray()
+    while p < len(buf):
+        b = buf[p]
+        if b == 0xFF and p + 1 < len(buf):
+            nxt = buf[p + 1]
+            if nxt == 0x00:
+                cur.append(0xFF)
+                p += 2
+                continue
+            if 0xD0 <= nxt <= 0xD7:  # restart
+                segments.append(bytes(cur))
+                cur = bytearray()
+                p += 2
+                continue
+            break  # real marker ends the scan
+        cur.append(b)
+        p += 1
+    segments.append(bytes(cur))
+    return segments, p
+
+
+def _assemble(frame, planes) -> np.ndarray:
+    """Component planes (MCU-padded, centered at 0) -> (h, w, c) uint8:
+    level shift, replication upsample, crop, colour convert."""
+    h, w = frame["h"], frame["w"]
+    comps = frame["comps"]
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    if len(comps) == 1:
+        plane = np.clip(np.rint(planes[comps[0]["id"]] + 128.0), 0, 255)
+        return plane[:h, :w].astype(np.uint8)[:, :, None]
+    ups = []
+    for c in comps:
+        p = planes[c["id"]] + 128.0
+        p = np.repeat(np.repeat(p, vmax // c["v"], axis=0), hmax // c["h"],
+                      axis=1)
+        ups.append(p[:h, :w])
+    return _ycbcr_to_rgb(*ups)
+
+
+def _alloc_coeffs(frame) -> dict[int, np.ndarray]:
+    """Per-component coefficient store for progressive decoding:
+    cid -> int32 [block_rows, block_cols, 64] in ZIGZAG order, sized to
+    the MCU-padded grid (so interleaved DC scans always fit)."""
+    hmax = max(c["h"] for c in frame["comps"])
+    vmax = max(c["v"] for c in frame["comps"])
+    mcux = -(-frame["w"] // (8 * hmax))
+    mcuy = -(-frame["h"] // (8 * vmax))
+    return {
+        c["id"]: np.zeros((mcuy * c["v"], mcux * c["h"], 64),
+                          dtype=np.int32)
+        for c in frame["comps"]
+    }
+
+
+def _comp_block_dims(frame, comp) -> tuple[int, int]:
+    """(block_rows, block_cols) of one component for NON-interleaved
+    scans (T.81 A.1.1: component dims are ceil(w*h_i/hmax) etc.)."""
+    hmax = max(c["h"] for c in frame["comps"])
+    vmax = max(c["v"] for c in frame["comps"])
+    cw = -(-(frame["w"] * comp["h"]) // hmax)
+    ch = -(-(frame["h"] * comp["v"]) // vmax)
+    return -(-ch // 8), -(-cw // 8)
+
+
+def _ac_first_block(reader, act, block, ss, se, al, eobrun) -> int:
+    """One block of a progressive AC FIRST scan (Ah=0, T.81 G.1.2.2):
+    run/size coding over the spectral band with EOB-run extension;
+    new coefficients enter at magnitude << Al."""
+    if eobrun:
+        return eobrun - 1
+    k = ss
+    while k <= se:
+        rs = reader.decode_symbol(act)
+        r, s = rs >> 4, rs & 0x0F
+        if s == 0:
+            if r == 15:  # ZRL: 16 zero coefficients
+                k += 16
+                continue
+            eobrun = (1 << r) - 1  # EOBn: run of 2^r + extension bits
+            if r:
+                eobrun += reader.read_bits(r)
+            break
+        k += r
+        if k > se:
+            raise ValueError("AC run overflows spectral band")
+        block[k] = _extend(reader.read_bits(s), s) << al
+        k += 1
+    return eobrun
+
+
+def _ac_refine_block(reader, act, block, ss, se, al, eobrun) -> int:
+    """One block of a progressive AC REFINEMENT scan (Ah=Al+1, T.81
+    G.1.2.3): already-nonzero coefficients receive a correction bit;
+    zero-history positions are run-length coded and may turn on at
+    ±2^Al; EOB runs refine every remaining nonzero coefficient."""
+    p1, m1 = 1 << al, -(1 << al)
+    k = ss
+    if eobrun == 0:
+        while k <= se:
+            rs = reader.decode_symbol(act)
+            r, s = rs >> 4, rs & 0x0F
+            val = 0
+            if s == 0:
+                if r != 15:  # EOBn
+                    eobrun = 1 << r
+                    if r:
+                        eobrun += reader.read_bits(r)
+                    break
+                # r == 15: ZRL — skip 16 zero-history coefficients
+            else:
+                # s is always 1 in a refinement scan (new coefficient)
+                val = p1 if reader.read_bit() else m1
+            # advance past r zero-history positions, emitting a
+            # correction bit at every nonzero coefficient on the way
+            while k <= se:
+                c = int(block[k])
+                if c != 0:
+                    if reader.read_bit() and (c & p1) == 0:
+                        block[k] = c + (p1 if c > 0 else m1)
+                else:
+                    if r == 0:
+                        break
+                    r -= 1
+                k += 1
+            if val and k <= se:
+                block[k] = val
+            k += 1
+    if eobrun > 0:
+        while k <= se:  # refine every remaining nonzero coefficient
+            c = int(block[k])
+            if c != 0:
+                if reader.read_bit() and (c & p1) == 0:
+                    block[k] = c + (p1 if c > 0 else m1)
+            k += 1
+        eobrun -= 1
+    return eobrun
+
+
+def _decode_progressive_scan(frame, scan, huff, restart_interval,
+                             segments, ss, se, ah, al, coeffs) -> None:
+    """Decode one progressive scan into the coefficient store. DC
+    scans (Ss=0) may be interleaved; AC scans are single-component by
+    definition (T.81 G.1.1.1.1). Restart markers reset predictors and
+    the EOB run."""
+    reader = _BitReader(segments)
+    hmax = max(c["h"] for c in frame["comps"])
+    vmax = max(c["v"] for c in frame["comps"])
+    mcux = -(-frame["w"] // (8 * hmax))
+    mcuy = -(-frame["h"] // (8 * vmax))
+
+    if ss == 0:  # DC scan
+        if se != 0:
+            raise ValueError("progressive DC scan must have Se=0")
+        if len(scan) == 1:  # non-interleaved: component's own grid
+            comp = scan[0][0]
+            bh, bw = _comp_block_dims(frame, comp)
+            groups = [[(scan[0], by, bx)]
+                      for by in range(bh) for bx in range(bw)]
+        else:  # interleaved MCU order
+            groups = []
+            for m in range(mcux * mcuy):
+                my, mx = divmod(m, mcux)
+                groups.append([
+                    (sc, my * sc[0]["v"] + by, mx * sc[0]["h"] + bx)
+                    for sc in scan
+                    for by in range(sc[0]["v"])
+                    for bx in range(sc[0]["h"])
+                ])
+        pred = {sc[0]["id"]: 0 for sc in scan}
+        for m, g in enumerate(groups):
+            if restart_interval and m and m % restart_interval == 0:
+                if not reader.next_segment():
+                    raise ValueError("missing restart segment")
+                pred = {cid: 0 for cid in pred}
+            for (comp, dc_id, _), by, bx in g:
+                block = coeffs[comp["id"]][by, bx]
+                if ah == 0:  # first scan: diff-coded, point-transformed
+                    s = reader.decode_symbol(huff[(0, dc_id)])
+                    pred[comp["id"]] += _extend(reader.read_bits(s), s)
+                    block[0] = pred[comp["id"]] << al
+                else:  # refinement: one raw bit per block
+                    if reader.read_bit():
+                        block[0] |= 1 << al
+        return
+
+    if len(scan) != 1:
+        raise ValueError("progressive AC scan must be non-interleaved")
+    comp, _, ac_id = scan[0]
+    act = huff[(1, ac_id)]
+    cblocks = coeffs[comp["id"]]
+    bh, bw = _comp_block_dims(frame, comp)
+    eobrun = 0
+    for m in range(bh * bw):
+        if restart_interval and m and m % restart_interval == 0:
+            if not reader.next_segment():
+                raise ValueError("missing restart segment")
+            eobrun = 0
+        by, bx = divmod(m, bw)
+        if ah == 0:
+            eobrun = _ac_first_block(reader, act, cblocks[by, bx],
+                                     ss, se, al, eobrun)
+        else:
+            eobrun = _ac_refine_block(reader, act, cblocks[by, bx],
+                                      ss, se, al, eobrun)
+
+
+def _reconstruct_progressive(frame, coeffs, qt) -> np.ndarray:
+    """Coefficient store -> pixels: de-zigzag, dequantize, IDCT (one
+    einsum per component), assemble/upsample/colour-convert."""
+    planes = {}
+    for c in frame["comps"]:
+        zzb = coeffs[c["id"]]
+        bh, bw = zzb.shape[:2]
+        nat = np.zeros((bh, bw, 64))
+        nat[:, :, ZZ] = zzb  # de-zigzag: scatter into natural order
+        blocks = nat.reshape(bh, bw, 8, 8) * qt[c["q"]]
+        pix = np.einsum("ji,abjk,kl->abil", _T, blocks, _T)
+        planes[c["id"]] = pix.transpose(0, 2, 1, 3).reshape(bh * 8, bw * 8)
+    return _assemble(frame, planes)
+
+
 def decode_jpeg(buf: bytes) -> np.ndarray:
     """JPEG bytes -> (h, w, c) uint8 (c = 1 grey or 3 RGB)."""
     if buf[:2] != b"\xff\xd8":
@@ -170,6 +402,7 @@ def decode_jpeg(buf: bytes) -> np.ndarray:
     restart_interval = 0
     frame = None
     out = None
+    coeffs = None  # progressive: cid -> int32 [bh, bw, 64] (zigzag)
 
     while pos < len(buf):
         if buf[pos] != 0xFF:
@@ -208,7 +441,7 @@ def decode_jpeg(buf: bytes) -> np.ndarray:
                 p += 17 + n
         elif marker == 0xDD:  # DRI
             (restart_interval,) = struct.unpack(">H", seg[:2])
-        elif marker in (0xC0, 0xC1):  # SOF0 baseline / SOF1 extended
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/SOF1 sequential, SOF2 progressive
             _prec, h, w, nc = struct.unpack(">BHHB", seg[:6])
             comps = []
             for i in range(nc):
@@ -216,13 +449,14 @@ def decode_jpeg(buf: bytes) -> np.ndarray:
                 comps.append(
                     {"id": cid, "h": samp >> 4, "v": samp & 0x0F, "q": qid}
                 )
-            frame = {"h": h, "w": w, "comps": comps}
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+            frame = {"h": h, "w": w, "comps": comps,
+                     "progressive": marker == 0xC2}
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
                         0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
-                "only baseline/extended-sequential Huffman JPEG (SOF0/"
-                "SOF1) is implemented; progressive/arithmetic inputs "
-                "need cv2.imdecode in production"
+                "only sequential (SOF0/SOF1) and progressive (SOF2) "
+                "Huffman JPEG are implemented; lossless/arithmetic "
+                "inputs need cv2.imdecode in production"
             )
         elif marker == 0xDA:  # SOS
             if frame is None:
@@ -233,37 +467,31 @@ def decode_jpeg(buf: bytes) -> np.ndarray:
                 cid, tabs = seg[1 + 2 * i : 3 + 2 * i]
                 comp = next(c for c in frame["comps"] if c["id"] == cid)
                 scan.append((comp, tabs >> 4, tabs & 0x0F))
+            if frame["progressive"]:
+                ss, se = seg[1 + 2 * ns], seg[2 + 2 * ns]
+                ahal = seg[3 + 2 * ns]
+                if coeffs is None:
+                    coeffs = _alloc_coeffs(frame)
+                segments, p = _entropy_segments(buf, pos + seglen)
+                _decode_progressive_scan(
+                    frame, scan, huff, restart_interval, segments,
+                    ss, se, ahal >> 4, ahal & 0x0F, coeffs,
+                )
+                pos = p
+                continue
             if ns != len(frame["comps"]):
                 raise NotImplementedError(
                     "multi-scan non-interleaved baseline JPEG not "
                     "supported"
                 )
-            # entropy-coded data: from end of SOS header to next real
-            # marker; split on RSTn, drop 0xFF00 stuffing
-            p = pos + seglen
-            segments, cur = [], bytearray()
-            while p < len(buf):
-                b = buf[p]
-                if b == 0xFF and p + 1 < len(buf):
-                    nxt = buf[p + 1]
-                    if nxt == 0x00:
-                        cur.append(0xFF)
-                        p += 2
-                        continue
-                    if 0xD0 <= nxt <= 0xD7:  # restart
-                        segments.append(bytes(cur))
-                        cur = bytearray()
-                        p += 2
-                        continue
-                    break  # real marker ends the scan
-                cur.append(b)
-                p += 1
-            segments.append(bytes(cur))
+            segments, p = _entropy_segments(buf, pos + seglen)
             out = _decode_scan(frame, scan, qt, huff, restart_interval,
                                segments)
             pos = p
             continue
         pos += seglen
+    if out is None and coeffs is not None:
+        out = _reconstruct_progressive(frame, coeffs, qt)
     if out is None:
         raise ValueError("no scan decoded")
     return out
@@ -319,18 +547,7 @@ def _decode_scan(frame, scan, qt, huff, restart_interval, segments):
                     y0 = (my * comp["v"] + by) * 8
                     x0 = (mx * comp["h"] + bx) * 8
                     planes[comp["id"]][y0 : y0 + 8, x0 : x0 + 8] = block
-    # level shift, upsample, color convert, crop
-    comps = frame["comps"]
-    if len(comps) == 1:
-        plane = np.clip(np.rint(planes[comps[0]["id"]] + 128.0), 0, 255)
-        return plane[:h, :w].astype(np.uint8)[:, :, None]
-    ups = []
-    for c in comps:
-        p = planes[c["id"]] + 128.0
-        p = np.repeat(np.repeat(p, vmax // c["v"], axis=0), hmax // c["h"],
-                      axis=1)
-        ups.append(p[:h, :w])
-    return _ycbcr_to_rgb(*ups)
+    return _assemble(frame, planes)
 
 
 # ---------------------------------------------------------------------------
@@ -436,6 +653,239 @@ def _encode_table_codes(bits: list[int], vals: list[int]) -> dict:
             code += 1
         code <<= 1
     return table
+
+
+class _SymbolCollector:
+    """Pass-1 sink: records which Huffman symbols a scan emits."""
+
+    def __init__(self):
+        self.symbols: set[int] = set()
+
+    def symbol(self, sym: int):
+        self.symbols.add(sym)
+
+    def bits(self, value: int, length: int):
+        pass
+
+
+class _ScanEmitter:
+    """Pass-2 sink: Huffman-encodes symbols and writes raw bits."""
+
+    def __init__(self, codes: dict):
+        self.codes = codes
+        self.w = _BitWriter()
+
+    def symbol(self, sym: int):
+        code, length = self.codes[sym]
+        self.w.write(code, length)
+
+    def bits(self, value: int, length: int):
+        self.w.write(value, length)
+
+
+def _dc_first_scan(blocks, al, sink):
+    """Interleaved DC first scan (1x1 sampling): diff-code the
+    point-transformed DC of every component per MCU, shared table."""
+    by, bx = blocks[0].shape[:2]
+    prev = [0] * len(blocks)
+    for m in range(by * bx):
+        y, x = divmod(m, bx)
+        for ci, bl in enumerate(blocks):
+            v = int(bl[y, x, 0]) >> al
+            diff = v - prev[ci]
+            prev[ci] = v
+            s = _category(diff)
+            sink.symbol(s)
+            sink.bits(diff if diff >= 0 else diff + (1 << s) - 1, s)
+
+
+def _dc_refine_scan(blocks, al, sink):
+    """DC refinement: one raw bit (bit ``al`` of the DC) per block,
+    MCU order. Uses no Huffman table."""
+    by, bx = blocks[0].shape[:2]
+    for m in range(by * bx):
+        y, x = divmod(m, bx)
+        for bl in blocks:
+            sink.bits((int(bl[y, x, 0]) >> al) & 1, 1)
+
+
+def _ac_first_scan(bl, ss, se, al, sink):
+    """Single-component AC first scan over band [ss, se] at precision
+    ``al``: run/size coding with cross-block EOB runs (T.81 G.1.2.2)."""
+    eobrun = 0
+
+    def flush_eob():
+        nonlocal eobrun
+        if eobrun > 0:
+            nbits = eobrun.bit_length() - 1
+            sink.symbol(nbits << 4)
+            if nbits:
+                sink.bits(eobrun - (1 << nbits), nbits)
+            eobrun = 0
+
+    for zz in bl.reshape(-1, 64):
+        band = [int(v) for v in zz[ss : se + 1]]
+        # point transform: integer division toward zero (T.81 G.1.2.1)
+        t = [(v >> al) if v >= 0 else -((-v) >> al) for v in band]
+        nz = [i for i, v in enumerate(t) if v]
+        if not nz:
+            eobrun += 1
+            if eobrun == 0x7FFF:
+                flush_eob()
+            continue
+        flush_eob()
+        r = 0
+        for i in range(nz[-1] + 1):
+            v = t[i]
+            if v == 0:
+                r += 1
+                continue
+            while r > 15:
+                sink.symbol(0xF0)  # ZRL
+                r -= 16
+            s = _category(v)
+            sink.symbol((r << 4) | s)
+            sink.bits(v if v >= 0 else v + (1 << s) - 1, s)
+            r = 0
+        if nz[-1] < se - ss:
+            eobrun += 1
+            if eobrun == 0x7FFF:
+                flush_eob()
+    flush_eob()
+
+
+def _ac_refine_scan(bl, ss, se, al, sink):
+    """Single-component AC refinement scan (T.81 G.1.2.3): correction
+    bits for history-nonzero coefficients, run-coded newly-nonzero
+    positions, correction bits deferred across EOB runs."""
+    eobrun = 0
+    be: list[int] = []  # correction bits deferred with the EOB run
+
+    def flush_eob():
+        nonlocal eobrun, be
+        if eobrun > 0:
+            nbits = eobrun.bit_length() - 1
+            sink.symbol(nbits << 4)
+            if nbits:
+                sink.bits(eobrun - (1 << nbits), nbits)
+            eobrun = 0
+            for b in be:
+                sink.bits(b, 1)
+            be = []
+
+    for zz in bl.reshape(-1, 64):
+        band = [int(v) for v in zz[ss : se + 1]]
+        absval = [abs(v) >> al for v in band]
+        eob = -1  # index of the last NEWLY-nonzero coefficient
+        for i, a in enumerate(absval):
+            if a == 1:
+                eob = i
+        r = 0
+        br: list[int] = []  # correction bits pending in this block
+        for i, a in enumerate(absval):
+            if a == 0:
+                r += 1
+                continue
+            while r > 15 and i <= eob:
+                flush_eob()
+                sink.symbol(0xF0)
+                r -= 16
+                for b in br:
+                    sink.bits(b, 1)
+                br = []
+            if a > 1:  # history-nonzero: correction bit only
+                br.append(a & 1)
+                continue
+            flush_eob()
+            sink.symbol((r << 4) | 1)
+            sink.bits(1 if band[i] >= 0 else 0, 1)  # sign of new coef
+            for b in br:
+                sink.bits(b, 1)
+            br = []
+            r = 0
+        if r > 0 or br:
+            eobrun += 1
+            be.extend(br)
+            if eobrun == 0x7FFF:
+                flush_eob()
+    flush_eob()
+
+
+def encode_jpeg_progressive(
+    img: np.ndarray, q: np.ndarray | None = None
+) -> bytes:
+    """(h, w[, c]) uint8 -> progressive (SOF2) JPEG bytes, 4:4:4.
+    Fixed scan script exercising all four progressive scan kinds:
+    interleaved DC first (Al=1), DC refinement, per-component AC first
+    scans in two spectral bands (Al=1), per-component AC refinement
+    (Ah=1, Al=0). Quantizes identically to encode_jpeg, so progressive
+    and baseline encodings of the same image decode identically."""
+    a = np.asarray(img, dtype=np.uint8)
+    if a.ndim == 2:
+        a = a[:, :, None]
+    h, w, c = a.shape
+    if c not in (1, 3):
+        raise ValueError("encode_jpeg_progressive supports 1 or 3 channels")
+    q = _DEFAULT_Q if q is None else np.asarray(q, dtype=np.float64)
+    if c == 3:
+        ycc = _rgb_to_ycbcr(a)
+        chans = [ycc[:, :, i] for i in range(3)]
+    else:
+        chans = [a[:, :, 0].astype(np.float64)]
+    blocks = [_quantize_blocks(ch, q) for ch in chans]
+
+    out = bytearray(b"\xff\xd8")
+    zz_q = q.reshape(64)[ZZ]
+    out += b"\xff\xdb" + struct.pack(">HB", 67, 0x00)
+    out += bytes(int(v) for v in zz_q)
+    sof = struct.pack(">BHHB", 8, h, w, c)
+    for i in range(c):
+        sof += bytes([i + 1, 0x11, 0])
+    out += b"\xff\xc2" + struct.pack(">H", 2 + len(sof)) + sof
+
+    def run_scan(encode, cls):
+        """Collect the scan's symbols, build a uniform table, emit.
+        Returns (DHT segment or b'', entropy-coded bytes)."""
+        coll = _SymbolCollector()
+        encode(coll)
+        dht, codes = b"", {}
+        if coll.symbols:
+            bits, vals = _uniform_huffman(coll.symbols)
+            body = bytes([(cls << 4) | 0]) + bytes(bits) + bytes(vals)
+            dht = b"\xff\xc4" + struct.pack(">H", 2 + len(body)) + body
+            codes = _encode_table_codes(bits, vals)
+        em = _ScanEmitter(codes)
+        encode(em)
+        em.w.flush()
+        return dht, bytes(em.w.out)
+
+    def sos(comp_ids, ss, se, ah, al):
+        hdr = bytes([len(comp_ids)])
+        for cid in comp_ids:
+            hdr += bytes([cid, 0x00])  # DC/AC table 0
+        hdr += bytes([ss, se, (ah << 4) | al])
+        return b"\xff\xda" + struct.pack(">H", 2 + len(hdr)) + hdr
+
+    all_ids = list(range(1, c + 1))
+    dht, data = run_scan(lambda s: _dc_first_scan(blocks, 1, s), 0)
+    out += dht + sos(all_ids, 0, 0, 0, 1) + data
+    _, data = run_scan(lambda s: _dc_refine_scan(blocks, 0, s), 0)
+    out += sos(all_ids, 0, 0, 1, 0) + data
+    for ci in range(c):
+        for lo, hi in ((1, 5), (6, 63)):
+            dht, data = run_scan(
+                lambda s, b=blocks[ci], lo=lo, hi=hi:
+                    _ac_first_scan(b, lo, hi, 1, s),
+                1,
+            )
+            out += dht + sos([ci + 1], lo, hi, 0, 1) + data
+    for ci in range(c):
+        dht, data = run_scan(
+            lambda s, b=blocks[ci]: _ac_refine_scan(b, 1, 63, 0, s), 1
+        )
+        out += dht + sos([ci + 1], 1, 63, 1, 0) + data
+    out += b"\xff\xd9"
+    return bytes(out)
 
 
 def encode_jpeg(img: np.ndarray, q: np.ndarray | None = None) -> bytes:

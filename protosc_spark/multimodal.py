@@ -152,20 +152,21 @@ def decode_images(df: DataFrame, codec: str = "fake") -> DataFrame:
     ``codec="png"`` decodes REAL PNG blobs (protosc_spark.png — pure
     stdlib-zlib + numpy, all five scanline filters, grey/RGB/RGBA/
     palette); ``codec="jpeg"`` decodes REAL baseline/extended-
-    sequential JPEG blobs (protosc_spark.jpeg — pure numpy: Huffman,
-    dequant, exact IDCT, 4:2:0/4:2:2 upsample, YCbCr). Dims come from
-    the blob's own header, not the meta column. ``codec="real"``
-    (progressive JPEG & exotic formats) still needs cv2 and raises
-    with the production call documented. ``codec="fake"`` is the
-    deterministic sandbox codec.
+    sequential AND progressive JPEG blobs (protosc_spark.jpeg — pure
+    numpy: Huffman, dequant, exact IDCT, 4:2:0/4:2:2 upsample, YCbCr,
+    all four T.81 Annex-G progressive scan kinds). Dims come from the
+    blob's own header, not the meta column. ``codec="real"``
+    (lossless/arithmetic JPEG & exotic formats) still needs cv2 and
+    raises with the production call documented. ``codec="fake"`` is
+    the deterministic sandbox codec.
     """
     if codec == "real":
         raise NotImplementedError(
-            "progressive/arithmetic JPEG and other exotic formats need "
+            "lossless/arithmetic JPEG and other exotic formats need "
             "cv2 (cv2.imdecode(np.frombuffer(data, np.uint8), "
             "cv2.IMREAD_COLOR)); not available in this container — PNG "
-            "decodes for real via codec='png', baseline/extended-"
-            "sequential JPEG via codec='jpeg'"
+            "decodes for real via codec='png', sequential + "
+            "progressive JPEG via codec='jpeg'"
         )
     if codec in ("png", "jpeg"):
         if codec == "png":
@@ -322,17 +323,20 @@ def audio_features(df: DataFrame, codec: str = "fake") -> DataFrame:
     ``codec="wav"`` decodes REAL RIFF/WAVE blobs (protosc_spark.wav —
     pure numpy, PCM 8/16/24/32 + IEEE float, G.711 mu-law/A-law and
     IMA ADPCM telephony compression, multi-channel averaged to mono);
-    ``codec="real"`` (the PERCEPTUAL codecs: MP3/AAC/OGG/FLAC) still
-    needs soundfile/librosa and raises with the production call
-    documented; ``codec="fake"`` is the deterministic sandbox codec."""
+    ``codec="flac"`` decodes REAL FLAC blobs (protosc_spark.flac —
+    pure numpy, full subframe/residual surface, losslessly bit-exact);
+    ``codec="real"`` (the lossy PERCEPTUAL codecs: MP3/AAC/Opus/
+    Vorbis) still needs soundfile/librosa and raises with the
+    production call documented; ``codec="fake"`` is the deterministic
+    sandbox codec."""
     if codec == "real":
         raise NotImplementedError(
             "perceptual-codec audio decode needs soundfile (soundfile."
             "read(io.BytesIO(data))) or librosa; not available in this "
             "container — WAV (PCM/float/G.711/IMA-ADPCM) inputs are "
-            "decoded for real via codec='wav'"
+            "decoded for real via codec='wav', FLAC via codec='flac'"
         )
-    if codec not in ("fake", "wav"):
+    if codec not in ("fake", "wav", "flac"):
         raise ValueError(codec)
 
     schema = StructType(
@@ -342,14 +346,16 @@ def audio_features(df: DataFrame, codec: str = "fake") -> DataFrame:
         ]
     )
     if codec == "wav":
-        from protosc_spark.wav import decode_wav
+        from protosc_spark.wav import decode_wav as _decode_audio
+    elif codec == "flac":
+        from protosc_spark.flac import decode_flac as _decode_audio
 
     def _feats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             vecs = []
             for data, m in zip(pdf["data"], pdf["meta"]):
-                if codec == "wav":
-                    _sr, ch = decode_wav(bytes(data))
+                if codec in ("wav", "flac"):
+                    _sr, ch = _decode_audio(bytes(data))
                     pcm = ch.mean(axis=1)  # mono mixdown
                 else:
                     sr = int(m["sample_rate"])

@@ -3,10 +3,11 @@ container (verified absent), but PNG is a fully published format
 (RFC 2083 / ISO 15948), so the engine decodes it for real rather than
 stubbing: :func:`decode_png` handles 8-bit greyscale, grey+alpha,
 RGB, RGBA and palette images with all five scanline filters. This
-closes the "real image decode" boundary for PNG inputs; baseline JPEG
-is likewise decoded for real in :mod:`protosc_spark.jpeg` (only
-progressive/arithmetic JPEG remains behind the documented cv2
-boundary, cited in multimodal.decode_images).
+closes the "real image decode" boundary for PNG inputs; sequential
+AND progressive JPEG are likewise decoded for real in
+:mod:`protosc_spark.jpeg` (only lossless/arithmetic JPEG remains
+behind the documented cv2 boundary, cited in
+multimodal.decode_images).
 
 Encoding lives in :mod:`protosc_spark.plots` (write_png_grey, the plot
 sink); :func:`encode_png` here is the general-purpose companion used

@@ -17,7 +17,8 @@ RFC 2361 wave formats), so the engine decodes it for real:
   predictor/step-index header, so the inherently sequential
   per-sample recurrence runs as ~samples_per_block numpy steps over
   ALL blocks x channels at once, not a Python loop per sample).
-  Only perceptual codecs (MP3/AAC/Opus/FLAC) remain behind the
+  FLAC decodes for real too (:mod:`protosc_spark.flac`); only the
+  lossy perceptual codecs (MP3/AAC/Opus/Vorbis) remain behind the
   documented soundfile boundary.
 * :func:`encode_wav` — PCM16 fixture/round-trip companion;
   :func:`encode_wav_g711` / :func:`encode_wav_ima_adpcm` — fixture

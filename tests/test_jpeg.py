@@ -8,7 +8,12 @@ import struct
 import numpy as np
 import pytest
 
-from protosc_spark.jpeg import ZZ, decode_jpeg, encode_jpeg
+from protosc_spark.jpeg import (
+    ZZ,
+    decode_jpeg,
+    encode_jpeg,
+    encode_jpeg_progressive,
+)
 
 
 def _handmade_dc_only_jpeg() -> bytes:
@@ -134,12 +139,126 @@ def test_restart_markers_and_dri():
     assert (img == 130).all()
 
 
-def test_progressive_raises_with_documented_boundary():
+def test_lossless_sof_raises_with_documented_boundary():
     blob = bytearray(encode_jpeg(np.full((8, 8), 9, dtype=np.uint8)))
     idx = blob.find(b"\xff\xc0")
-    blob[idx + 1] = 0xC2  # rewrite SOF0 -> SOF2 (progressive)
-    with pytest.raises(NotImplementedError, match="progressive"):
+    blob[idx + 1] = 0xC3  # rewrite SOF0 -> SOF3 (lossless)
+    with pytest.raises(NotImplementedError, match="lossless"):
         decode_jpeg(bytes(blob))
+
+
+# ---------------------------------------------------------------------------
+# progressive (SOF2)
+# ---------------------------------------------------------------------------
+
+
+def _handmade_progressive_dc_jpeg() -> bytes:
+    """8x8 grey, every pixel 130, progressive, built byte-by-byte from
+    T.81 Annex G — INDEPENDENT of encode_jpeg_progressive. Quantized
+    DC = 2 (as in the baseline handmade stream). Scan 1 (DC first,
+    Al=1): sends DC>>1 = 1 as diff 1 — category 1 (code '0'),
+    magnitude bit '1' -> 0b01 + 1-padding = 0x7F. Scan 2 (DC refine,
+    Al=0): one raw bit, bit0 of 2 = '0' -> 0x7F. No AC scans (all AC
+    coefficients stay zero)."""
+    out = bytearray(b"\xff\xd8")
+    out += b"\xff\xdb" + struct.pack(">HB", 67, 0x00) + bytes([8] * 64)
+    sof = struct.pack(">BHHB", 8, 8, 8, 1) + bytes([1, 0x11, 0])
+    out += b"\xff\xc2" + struct.pack(">H", 2 + len(sof)) + sof
+    # DHT class 0 id 0: one code of length 1 -> symbol 1 (category 1)
+    out += b"\xff\xc4" + struct.pack(">H", 2 + 17 + 1)
+    out += bytes([0x00]) + bytes([1] + [0] * 15) + bytes([1])
+    # scan 1: DC first, Ss=0 Se=0 Ah=0 Al=1
+    sos = bytes([1, 1, 0x00, 0, 0, 0x01])
+    out += b"\xff\xda" + struct.pack(">H", 2 + len(sos)) + sos
+    out += bytes([0x7F])
+    # scan 2: DC refinement, Ss=0 Se=0 Ah=1 Al=0 (no Huffman table)
+    sos = bytes([1, 1, 0x00, 0, 0, 0x10])
+    out += b"\xff\xda" + struct.pack(">H", 2 + len(sos)) + sos
+    out += bytes([0x7F])
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def test_progressive_decoder_against_handmade_spec_stream():
+    img = decode_jpeg(_handmade_progressive_dc_jpeg())
+    assert img.shape == (8, 8, 1)
+    assert (img == 130).all()
+
+
+@pytest.mark.parametrize("v", [0, 1, 37, 128, 200, 255])
+def test_progressive_constant_blocks_roundtrip_exactly(v):
+    img = np.full((8, 8), v, dtype=np.uint8)
+    dec = decode_jpeg(encode_jpeg_progressive(img))
+    assert dec.shape == (8, 8, 1)
+    assert (dec[:, :, 0] == v).all()
+
+
+@pytest.mark.parametrize("shape", [(8, 8), (16, 16), (24, 17), (40, 33)])
+def test_progressive_grey_decodes_identically_to_baseline(shape):
+    """Progressive and baseline encodings share the quantizer, so
+    decoding both must give IDENTICAL pixels — pins all four scan
+    kinds (DC first/refine, AC first with EOB runs, AC refine)
+    against the independently-tested sequential path."""
+    rng = np.random.default_rng(sum(shape))
+    img = rng.integers(0, 256, shape).astype(np.uint8)
+    base = decode_jpeg(encode_jpeg(img))
+    prog = decode_jpeg(encode_jpeg_progressive(img))
+    assert np.array_equal(base, prog)
+
+
+def test_progressive_rgb_decodes_identically_to_baseline():
+    rng = np.random.default_rng(11)
+    img = rng.integers(0, 256, (30, 41, 3)).astype(np.uint8)
+    assert np.array_equal(
+        decode_jpeg(encode_jpeg(img)),
+        decode_jpeg(encode_jpeg_progressive(img)),
+    )
+
+
+def test_progressive_sparse_image_exercises_eob_runs():
+    """Mostly-flat image -> most blocks end in long EOB runs (and the
+    AC-refine correction-bit deferral across the run); a few hot
+    pixels plant nonzero ACs mid-run."""
+    img = np.full((48, 48), 100, dtype=np.uint8)
+    img[5, 7], img[20, 33], img[41, 2] = 255, 0, 180
+    base = decode_jpeg(encode_jpeg(img))
+    prog = decode_jpeg(encode_jpeg_progressive(img))
+    assert np.array_equal(base, prog)
+
+
+def test_progressive_unit_quant_near_lossless():
+    rng = np.random.default_rng(5)
+    img = rng.integers(0, 256, (16, 16)).astype(np.uint8)
+    dec = decode_jpeg(encode_jpeg_progressive(img, q=np.ones((8, 8))))
+    err = np.abs(dec[:, :, 0].astype(int) - img.astype(int))
+    assert err.max() <= 1
+
+
+def test_spark_decode_images_handles_progressive_blobs(spark):
+    """decode_images(codec='jpeg') accepts a MIX of sequential and
+    progressive blobs in one pass (format sniffed per row from SOF)."""
+    from protosc_spark.multimodal import decode_images
+
+    rng = np.random.default_rng(9)
+    rows, expect = [], {}
+    for i in range(4):
+        img = rng.integers(0, 256, (16, 8 + i)).astype(np.uint8)
+        blob = (encode_jpeg(img) if i % 2 == 0
+                else encode_jpeg_progressive(img))
+        expect[str(i)] = decode_jpeg(blob).astype(np.float64).ravel()
+        rows.append(
+            (str(i), bytearray(blob),
+             {"width": 8 + i, "height": 16, "channels": 1})
+        )
+    df = spark.createDataFrame(
+        rows,
+        "media_id string, data binary, "
+        "meta struct<width:int,height:int,channels:int>",
+    )
+    got = decode_images(df, codec="jpeg").collect()
+    assert len(got) == 4
+    for r in got:
+        assert np.array_equal(np.array(r["pixels"]), expect[r["media_id"]])
 
 
 def test_not_a_jpeg_raises():
