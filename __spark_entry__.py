@@ -714,6 +714,74 @@ def _mm_flac_features(spark, sf_dir):
     ).orderBy("doc_id")
 
 
+def _mm_video_frames(spark, sf_dir):
+    """REAL video path, end to end distributed: each document's first
+    4 chars become 4 constant 16x16 JPEG frames muxed into an actual
+    AVI/Motion-JPEG container (protosc_spark.avi) in one Arrow pass;
+    sample_frames(codec='mjpeg') walks the RIFF chunks and explodes
+    every 2nd frame; decode_images(codec='jpeg') decodes the sampled
+    JPEGs; the tail reduces JVM-side to the per-frame mean pixel.
+    Constant blocks are BIT-EXACT through the JPEG path, so the DuckDB
+    oracle — which never touches an AVI or a JPEG, deriving the means
+    straight from codepoints 1 and 3 — hash-matches; any container
+    defect (chunk walk, alignment, stream filter, frame order) or
+    codec defect breaks it."""
+    import numpy as np
+
+    from protosc_spark.avi import encode_avi_mjpeg
+    from protosc_spark.jpeg import encode_jpeg
+    from protosc_spark.multimodal import decode_images, sample_frames
+
+    docs = _read_wide(spark, sf_dir, "documents").select("doc_id", "text")
+
+    @F.pandas_udf("binary")
+    def enc_udf(texts):
+        import pandas as pd
+
+        out = []
+        for t in texts.fillna(""):
+            s = (t + " " * 4)[:4]
+            frames = [
+                encode_jpeg(
+                    np.full((16, 16), min(ord(ch), 255), dtype=np.uint8)
+                )
+                for ch in s
+            ]
+            out.append(encode_avi_mjpeg(frames, 16, 16, fps=10))
+        return pd.Series(out)
+
+    vids = docs.select(
+        F.col("doc_id").cast("string").alias("media_id"),
+        enc_udf("text").alias("data"),
+        F.struct(
+            F.lit(16).alias("width"),
+            F.lit(16).alias("height"),
+            F.lit(1).alias("channels"),
+            F.lit(4).alias("n_frames"),
+        ).alias("meta"),
+    )
+    frames = sample_frames(vids, every_k=2, codec="mjpeg")
+    blobs = frames.select(
+        F.concat_ws("#", "media_id", "frame_idx").alias("media_id"),
+        F.col("frame").alias("data"),
+        F.struct(
+            F.lit(16).alias("width"),
+            F.lit(16).alias("height"),
+            F.lit(1).alias("channels"),
+        ).alias("meta"),
+    )
+    dec = decode_images(blobs, codec="jpeg")
+    return dec.select(
+        F.split("media_id", "#")[0].cast("long").alias("doc_id"),
+        F.split("media_id", "#")[1].cast("int").alias("frame_idx"),
+        F.round(
+            F.aggregate("pixels", F.lit(0.0), lambda acc, v: acc + v)
+            / F.lit(256.0),
+            6,
+        ).alias("mean_px"),
+    ).orderBy("doc_id", "frame_idx")
+
+
 def _corpus_dsir_sample(spark, sf_dir):
     """DSIR importance resampling (Xie et al. 2023): raw corpus =
     documents, target = the English subset; hashed-unigram importance
@@ -1479,6 +1547,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     full-surface green regardless of this ordering."""
     return {
         # --- round 5 ---
+        "mm_video_frames": _mm_video_frames,
         "mm_flac_features": _mm_flac_features,
         "mm_g711_features": _mm_g711_features,
         "mm_jpeg_roundtrip": _mm_jpeg_roundtrip,
@@ -2366,6 +2435,24 @@ def oracle_sql() -> dict[str, str]:
         # independent check of the real PNG codec: the oracle derives
         # the mean pixel straight from the text's codepoints, never
         # decoding a PNG — encode(Paeth) o decode must be the identity
+        # Constant 16x16 frames are bit-exact through the JPEG path,
+        # so the video oracle derives each sampled frame's mean pixel
+        # straight from the document's codepoints (chars 1 and 3,
+        # frame indices 0 and 2 after every-2nd sampling) — it never
+        # touches an AVI or a JPEG.
+        "mm_video_frames": """
+            WITH padded AS (
+              SELECT doc_id, substr(text || '    ', 1, 4) AS s
+              FROM documents
+            )
+            SELECT doc_id,
+                   (i - 1)::INT AS frame_idx,
+                   round(least(unicode(substr(s, i::INT, 1)), 255)
+                         ::DOUBLE, 6) AS mean_px
+            FROM padded, range(1, 5) t(i)
+            WHERE (i - 1) % 2 = 0
+            ORDER BY doc_id, frame_idx
+        """,
         # FLAC is lossless and shares the WAV scale pair, so the
         # codepoint-derived oracle is the same math — the Spark side
         # still exercises the whole FLAC codec (encode+decode).

@@ -232,11 +232,24 @@ FRAME_SCHEMA = StructType(
 def sample_frames(df: DataFrame, every_k: int = 2, codec: str = "fake") -> DataFrame:
     """Video frame sampling: explode every k-th frame to its own row
     (media_id, frame_idx, frame bytes) inside one mapInPandas pass —
-    the blob is sliced where it is scanned, never shuffled whole."""
+    the blob is sliced where it is scanned, never shuffled whole.
+
+    ``codec="mjpeg"`` parses REAL AVI/Motion-JPEG containers
+    (protosc_spark.avi — RIFF chunk walk; each sampled frame is one
+    complete JPEG blob, decodable by decode_images(codec='jpeg'));
+    ``codec="real"`` (inter-frame codecs: H.264/VP9/AV1) still needs
+    cv2/pyav and raises with the production call documented;
+    ``codec="fake"`` is the deterministic sandbox codec."""
     if codec == "real":
         raise NotImplementedError(
-            "real frame extraction needs cv2.VideoCapture / pyav"
+            "inter-frame video codecs need cv2.VideoCapture / pyav; "
+            "not available in this container — AVI/MJPEG inputs are "
+            "parsed for real via codec='mjpeg'"
         )
+    if codec not in ("fake", "mjpeg"):
+        raise ValueError(codec)
+    if codec == "mjpeg":
+        from protosc_spark.avi import parse_avi
 
     def _frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -245,6 +258,13 @@ def sample_frames(df: DataFrame, every_k: int = 2, codec: str = "fake") -> DataF
             # iteration inside Arrow kernels; zip over columns is the
             # decode_images pattern)
             for mid, data, m in zip(pdf["media_id"], pdf["data"], pdf["meta"]):
+                if codec == "mjpeg":
+                    _meta, frames = parse_avi(bytes(data))
+                    for fi in range(0, len(frames), every_k):
+                        ids.append(mid)
+                        idxs.append(fi)
+                        blobs.append(frames[fi])
+                    continue
                 n_frames = int(m["n_frames"])
                 frame_bytes = int(m["width"]) * int(m["height"]) * int(m["channels"])
                 raw = bytes(data)
