@@ -84,6 +84,8 @@ HEADLINE = [
     "corpus_dsir_sample",
     "mm_wav_features",
     "mm_g711_features",
+    "mm_flac_features",
+    "mm_video_frames",
 ]
 
 BENCH_CONVERSATIONS = int(os.environ.get("PROTOSC_BENCH_CONVS", "20000"))

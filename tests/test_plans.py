@@ -246,3 +246,26 @@ def test_g711_gate_single_python_stage(spark, queries):
         p.count("ArrowEvalPython") + p.count("MapInPandas")
         + p.count("BatchEvalPython") <= 2
     )
+
+
+def test_flac_gate_single_python_stage(spark, queries):
+    """mm_flac_features: same shape as the WAV gate — encode UDF +
+    decode/feature kernel are the only Python stages (2)."""
+    p = plan(queries["mm_flac_features"](spark, SF))
+    assert (
+        p.count("ArrowEvalPython") + p.count("MapInPandas")
+        + p.count("BatchEvalPython") <= 2
+    )
+
+
+def test_video_gate_three_python_stages(spark, queries):
+    """mm_video_frames: mux UDF + frame-sampling kernel + JPEG decode
+    kernel are the only Python stages (3); the per-frame mean-pixel
+    reduction is JVM (F.aggregate), and no shuffle beyond the final
+    orderBy (frames explode WHERE the blob is scanned)."""
+    p = plan(queries["mm_video_frames"](spark, SF))
+    assert (
+        p.count("ArrowEvalPython") + p.count("MapInPandas")
+        + p.count("BatchEvalPython") <= 3
+    )
+    assert p.count("CartesianProduct") == 0
