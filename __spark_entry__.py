@@ -1048,19 +1048,25 @@ def _mm_jpeg_roundtrip(spark, sf_dir):
     """REAL JPEG decode, end to end distributed: each document's first
     4 chars become a 16x16 grey image of four constant 8x8 blocks,
     encoded to actual JPEG bytes (numpy FDCT + Huffman,
-    protosc_spark.jpeg) in one Arrow pass — even doc_ids as BASELINE
-    (SOF0), odd doc_ids as PROGRESSIVE (SOF2: DC first/refine + AC
-    first/refine scans) — then decoded by decode_images(codec='jpeg')
-    and reduced JVM-side to dims + mean pixel. Constant blocks are
-    BIT-EXACT through the lossy path (the flat-8 quant table divides
-    the DC coefficient 8*(v-128) exactly), so the DuckDB oracle —
-    which never touches a JPEG, deriving the mean straight from the
-    text's codepoints — hash-matches; any codec defect (Huffman canon,
-    zigzag, IDCT, DC prediction, byte stuffing, progressive
-    successive-approximation reassembly) breaks it."""
+    protosc_spark.jpeg) in one Arrow pass — doc_id % 3 rotates the
+    coding process: BASELINE (SOF0), PROGRESSIVE (SOF2: DC
+    first/refine + AC first/refine scans), LOSSLESS (SOF3, predictor
+    4) — then decoded by decode_images(codec='jpeg') and reduced
+    JVM-side to dims + mean pixel. Constant blocks are BIT-EXACT
+    through the lossy paths (the flat-8 quant table divides the DC
+    coefficient 8*(v-128) exactly) and lossless is exact by
+    definition, so the DuckDB oracle — which never touches a JPEG,
+    deriving the mean straight from the text's codepoints —
+    hash-matches; any codec defect (Huffman canon, zigzag, IDCT, DC
+    prediction, byte stuffing, progressive successive-approximation
+    reassembly, lossless predictor chain) breaks it."""
     import numpy as np
 
-    from protosc_spark.jpeg import encode_jpeg, encode_jpeg_progressive
+    from protosc_spark.jpeg import (
+        encode_jpeg,
+        encode_jpeg_lossless,
+        encode_jpeg_progressive,
+    )
     from protosc_spark.multimodal import decode_images
 
     docs = _read_wide(spark, sf_dir, "documents").select("doc_id", "text")
@@ -1069,6 +1075,8 @@ def _mm_jpeg_roundtrip(spark, sf_dir):
     def enc_udf(doc_ids, texts):
         import pandas as pd
 
+        encoders = [encode_jpeg, encode_jpeg_progressive,
+                    encode_jpeg_lossless]
         out = []
         for did, t in zip(doc_ids, texts.fillna("")):
             s = (t + " " * 4)[:4]
@@ -1078,8 +1086,7 @@ def _mm_jpeg_roundtrip(spark, sf_dir):
             img[:8, 8:] = vals[1]
             img[8:, :8] = vals[2]
             img[8:, 8:] = vals[3]
-            enc = encode_jpeg if int(did) % 2 == 0 else encode_jpeg_progressive
-            out.append(enc(img))
+            out.append(encoders[int(did) % 3](img))
         return pd.Series(out)
 
     blobs = docs.select(

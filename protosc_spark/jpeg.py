@@ -4,15 +4,17 @@ cv2/PIL are verified absent in this container). JPEG is a fully
 published format (ITU-T T.81 / ISO 10918-1), so like the PNG path
 (protosc_spark.png) the engine decodes it for real:
 
-* **decode_jpeg**: baseline + extended-sequential (SOF0/SOF1) AND
-  progressive (SOF2) Huffman JPEGs — DQT (8/16-bit), multi-table DHT,
-  DRI/RSTn restart markers, byte stuffing, arbitrary sampling factors
-  (4:4:4, 4:2:0, 4:2:2 via replication upsample), 1-component
-  greyscale and 3-component YCbCr (BT.601). Progressive covers all
-  four scan kinds of T.81 Annex G: DC first/refinement (interleaved
-  or not), AC first with EOB runs, AC successive-approximation
-  refinement. Lossless/hierarchical/arithmetic coding raise with the
-  production call documented.
+* **decode_jpeg**: baseline + extended-sequential (SOF0/SOF1),
+  progressive (SOF2) AND lossless (SOF3) Huffman JPEGs — DQT
+  (8/16-bit), multi-table DHT, DRI/RSTn restart markers, byte
+  stuffing, arbitrary sampling factors (4:4:4, 4:2:0, 4:2:2 via
+  replication upsample), 1-component greyscale and 3-component YCbCr
+  (BT.601). Progressive covers all four scan kinds of T.81 Annex G:
+  DC first/refinement (interleaved or not), AC first with EOB runs,
+  AC successive-approximation refinement. Lossless covers all 7
+  Annex-H predictors with point transform (greyscale).
+  Hierarchical/arithmetic coding raise with the production call
+  documented.
 * **encode_jpeg** / **encode_jpeg_progressive**: the fixture/
   round-trip companions — 4:4:4 with deterministic uniform-length
   Huffman tables built from the image's own symbol set (valid DHT by
@@ -377,6 +379,70 @@ def _decode_progressive_scan(frame, scan, huff, restart_interval,
                                       ss, se, al, eobrun)
 
 
+def _decode_lossless_scan(frame, scan, huff, restart_interval,
+                          segments, pred_sel, pt) -> np.ndarray:
+    """Lossless (SOF3, T.81 Annex H) scan: per-sample Huffman-coded
+    prediction differences, 7 fixed predictors, point transform Pt,
+    mod-2^16 arithmetic. Greyscale only (the practical lossless
+    surface: medical/raw sensor data); first line falls back to the
+    left predictor, first column to the above predictor, and the first
+    sample predicts 2^(P-Pt-1), all per H.1.2.1."""
+    if len(frame["comps"]) != 1 or len(scan) != 1:
+        raise NotImplementedError(
+            "multi-component lossless JPEG not supported (no colour "
+            "transform is defined for it; greyscale covers the "
+            "practical surface)"
+        )
+    if restart_interval:
+        raise NotImplementedError(
+            "restart markers in lossless scans not supported"
+        )
+    p = frame["precision"]
+    if not 2 <= p <= 8:
+        raise ValueError(
+            f"lossless precision {p} unsupported (2-8 decode to uint8)"
+        )
+    if not 1 <= pred_sel <= 7:
+        raise ValueError(f"invalid lossless predictor {pred_sel}")
+    h, w = frame["h"], frame["w"]
+    table = huff[(0, scan[0][1])]
+    reader = _BitReader(segments)
+    default = 1 << (p - pt - 1)
+    out = np.zeros((h, w), dtype=np.int64)
+    for y in range(h):
+        row = out[y]
+        above = out[y - 1] if y else None
+        for x in range(w):
+            if y == 0:
+                pred = int(row[x - 1]) if x else default
+            elif x == 0:
+                pred = int(above[0])
+            else:
+                a, b, c = int(row[x - 1]), int(above[x]), int(above[x - 1])
+                if pred_sel == 1:
+                    pred = a
+                elif pred_sel == 2:
+                    pred = b
+                elif pred_sel == 3:
+                    pred = c
+                elif pred_sel == 4:
+                    pred = a + b - c
+                elif pred_sel == 5:
+                    pred = a + ((b - c) >> 1)
+                elif pred_sel == 6:
+                    pred = b + ((a - c) >> 1)
+                else:
+                    pred = (a + b) >> 1
+            s = reader.decode_symbol(table)
+            if s == 16:
+                diff = 32768
+            else:
+                diff = _extend(reader.read_bits(s), s)
+            row[x] = (pred + diff) & 0xFFFF
+    img = (out << pt).astype(np.int64)
+    return np.clip(img, 0, 255).astype(np.uint8)[:, :, None]
+
+
 def _reconstruct_progressive(frame, coeffs, qt) -> np.ndarray:
     """Coefficient store -> pixels: de-zigzag, dequantize, IDCT (one
     einsum per component), assemble/upsample/colour-convert."""
@@ -441,22 +507,25 @@ def decode_jpeg(buf: bytes) -> np.ndarray:
                 p += 17 + n
         elif marker == 0xDD:  # DRI
             (restart_interval,) = struct.unpack(">H", seg[:2])
-        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/SOF1 sequential, SOF2 progressive
-            _prec, h, w, nc = struct.unpack(">BHHB", seg[:6])
+        elif marker in (0xC0, 0xC1, 0xC2, 0xC3):
+            # SOF0/SOF1 sequential, SOF2 progressive, SOF3 lossless
+            prec, h, w, nc = struct.unpack(">BHHB", seg[:6])
             comps = []
             for i in range(nc):
                 cid, samp, qid = seg[6 + 3 * i : 9 + 3 * i]
                 comps.append(
                     {"id": cid, "h": samp >> 4, "v": samp & 0x0F, "q": qid}
                 )
-            frame = {"h": h, "w": w, "comps": comps,
-                     "progressive": marker == 0xC2}
-        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+            frame = {"h": h, "w": w, "comps": comps, "precision": prec,
+                     "progressive": marker == 0xC2,
+                     "lossless": marker == 0xC3}
+        elif marker in (0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
                         0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
-                "only sequential (SOF0/SOF1) and progressive (SOF2) "
-                "Huffman JPEG are implemented; lossless/arithmetic "
-                "inputs need cv2.imdecode in production"
+                "only sequential (SOF0/SOF1), progressive (SOF2) and "
+                "lossless (SOF3) Huffman JPEG are implemented; "
+                "hierarchical/arithmetic inputs need cv2.imdecode in "
+                "production"
             )
         elif marker == 0xDA:  # SOS
             if frame is None:
@@ -467,6 +536,16 @@ def decode_jpeg(buf: bytes) -> np.ndarray:
                 cid, tabs = seg[1 + 2 * i : 3 + 2 * i]
                 comp = next(c for c in frame["comps"] if c["id"] == cid)
                 scan.append((comp, tabs >> 4, tabs & 0x0F))
+            if frame["lossless"]:
+                pred_sel = seg[1 + 2 * ns]
+                pt = seg[3 + 2 * ns] & 0x0F
+                segments, p = _entropy_segments(buf, pos + seglen)
+                out = _decode_lossless_scan(
+                    frame, scan, huff, restart_interval, segments,
+                    pred_sel, pt,
+                )
+                pos = p
+                continue
             if frame["progressive"]:
                 ss, se = seg[1 + 2 * ns], seg[2 + 2 * ns]
                 ahal = seg[3 + 2 * ns]
@@ -884,6 +963,64 @@ def encode_jpeg_progressive(
             lambda s, b=blocks[ci]: _ac_refine_scan(b, 1, 63, 0, s), 1
         )
         out += dht + sos([ci + 1], 1, 63, 1, 0) + data
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def encode_jpeg_lossless(
+    img: np.ndarray, predictor: int = 4, pt: int = 0
+) -> bytes:
+    """(h, w) uint8 greyscale -> lossless (SOF3) JPEG bytes, T.81
+    Annex H: per-sample prediction differences Huffman-coded with a
+    deterministic uniform-length table. decode_jpeg recovers the
+    input BIT-EXACTLY (with pt=0; a nonzero point transform drops the
+    pt low bits, also per spec). Prediction is fully vectorized here
+    because the encoder sees the true samples."""
+    a = np.asarray(img, dtype=np.uint8)
+    if a.ndim != 2:
+        raise ValueError("encode_jpeg_lossless supports greyscale only")
+    if not 1 <= predictor <= 7:
+        raise ValueError(f"invalid lossless predictor {predictor}")
+    h, w = a.shape
+    x = a.astype(np.int64) >> pt
+    pred = np.empty((h, w), dtype=np.int64)
+    pred[0, 0] = 1 << (8 - pt - 1)
+    if w > 1:
+        pred[0, 1:] = x[0, :-1]  # first line: left predictor (H.1.2.1)
+    if h > 1:
+        pred[1:, 0] = x[:-1, 0]  # first column: above predictor
+        if w > 1:
+            pa, pb, pc = x[1:, :-1], x[:-1, 1:], x[:-1, :-1]
+            pred[1:, 1:] = {
+                1: pa, 2: pb, 3: pc, 4: pa + pb - pc,
+                5: pa + ((pb - pc) >> 1), 6: pb + ((pa - pc) >> 1),
+                7: (pa + pb) >> 1,
+            }[predictor]
+    d = ((x - pred + 32768) & 0xFFFF) - 32768  # mod-2^16 differences
+
+    syms = set()
+    flat = d.ravel()
+    for v in flat:
+        syms.add(_category(int(v)))
+    bits, vals = _uniform_huffman(syms)
+    codes = _encode_table_codes(bits, vals)
+
+    out = bytearray(b"\xff\xd8")
+    sof = struct.pack(">BHHB", 8, h, w, 1) + bytes([1, 0x11, 0])
+    out += b"\xff\xc3" + struct.pack(">H", 2 + len(sof)) + sof
+    body = bytes([0x00]) + bytes(bits) + bytes(vals)
+    out += b"\xff\xc4" + struct.pack(">H", 2 + len(body)) + body
+    sos = bytes([1, 1, 0x00, predictor, 0, pt])
+    out += b"\xff\xda" + struct.pack(">H", 2 + len(sos)) + sos
+    wtr = _BitWriter()
+    for v in flat:
+        v = int(v)
+        s = _category(v)
+        code, length = codes[s]
+        wtr.write(code, length)
+        wtr.write(v if v >= 0 else v + (1 << s) - 1, s)
+    wtr.flush()
+    out += wtr.out
     out += b"\xff\xd9"
     return bytes(out)
 

@@ -154,19 +154,20 @@ def decode_images(df: DataFrame, codec: str = "fake") -> DataFrame:
     palette); ``codec="jpeg"`` decodes REAL baseline/extended-
     sequential AND progressive JPEG blobs (protosc_spark.jpeg — pure
     numpy: Huffman, dequant, exact IDCT, 4:2:0/4:2:2 upsample, YCbCr,
-    all four T.81 Annex-G progressive scan kinds). Dims come from the
-    blob's own header, not the meta column. ``codec="real"``
-    (lossless/arithmetic JPEG & exotic formats) still needs cv2 and
-    raises with the production call documented. ``codec="fake"`` is
-    the deterministic sandbox codec.
+    all four T.81 Annex-G progressive scan kinds, plus lossless SOF3
+    with all 7 Annex-H predictors). Dims come from the blob's own
+    header, not the meta column. ``codec="real"``
+    (hierarchical/arithmetic JPEG & exotic formats) still needs cv2
+    and raises with the production call documented. ``codec="fake"``
+    is the deterministic sandbox codec.
     """
     if codec == "real":
         raise NotImplementedError(
-            "lossless/arithmetic JPEG and other exotic formats need "
-            "cv2 (cv2.imdecode(np.frombuffer(data, np.uint8), "
+            "hierarchical/arithmetic JPEG and other exotic formats "
+            "need cv2 (cv2.imdecode(np.frombuffer(data, np.uint8), "
             "cv2.IMREAD_COLOR)); not available in this container — PNG "
             "decodes for real via codec='png', sequential + "
-            "progressive JPEG via codec='jpeg'"
+            "progressive + lossless JPEG via codec='jpeg'"
         )
     if codec in ("png", "jpeg"):
         if codec == "png":

@@ -3,9 +3,9 @@ container (verified absent), but PNG is a fully published format
 (RFC 2083 / ISO 15948), so the engine decodes it for real rather than
 stubbing: :func:`decode_png` handles 8-bit greyscale, grey+alpha,
 RGB, RGBA and palette images with all five scanline filters. This
-closes the "real image decode" boundary for PNG inputs; sequential
-AND progressive JPEG are likewise decoded for real in
-:mod:`protosc_spark.jpeg` (only lossless/arithmetic JPEG remains
+closes the "real image decode" boundary for PNG inputs; sequential,
+progressive AND lossless JPEG are likewise decoded for real in
+:mod:`protosc_spark.jpeg` (only hierarchical/arithmetic JPEG remains
 behind the documented cv2 boundary, cited in
 multimodal.decode_images).
 

@@ -12,6 +12,7 @@ from protosc_spark.jpeg import (
     ZZ,
     decode_jpeg,
     encode_jpeg,
+    encode_jpeg_lossless,
     encode_jpeg_progressive,
 )
 
@@ -139,12 +140,65 @@ def test_restart_markers_and_dri():
     assert (img == 130).all()
 
 
-def test_lossless_sof_raises_with_documented_boundary():
+def test_hierarchical_sof_raises_with_documented_boundary():
     blob = bytearray(encode_jpeg(np.full((8, 8), 9, dtype=np.uint8)))
     idx = blob.find(b"\xff\xc0")
-    blob[idx + 1] = 0xC3  # rewrite SOF0 -> SOF3 (lossless)
-    with pytest.raises(NotImplementedError, match="lossless"):
+    blob[idx + 1] = 0xC5  # rewrite SOF0 -> SOF5 (differential sequential)
+    with pytest.raises(NotImplementedError, match="hierarchical"):
         decode_jpeg(bytes(blob))
+
+
+# ---------------------------------------------------------------------------
+# lossless (SOF3)
+# ---------------------------------------------------------------------------
+
+
+def _handmade_lossless_jpeg() -> bytes:
+    """2x2 grey, every pixel 130, lossless predictor 1, built
+    byte-by-byte from T.81 Annex H — independent of the encoder.
+    Sample order: (0,0) predicts 128 (default 2^(P-1)), diff 2
+    (category 2, bits '10'); the rest predict their neighbour, diff 0
+    (category 0). Huffman table {0, 2} at length 2: '00'->0, '01'->2.
+    Bits: 01 10 00 00 00 + 1-padding -> 0x60 0x3F."""
+    out = bytearray(b"\xff\xd8")
+    sof = struct.pack(">BHHB", 8, 2, 2, 1) + bytes([1, 0x11, 0])
+    out += b"\xff\xc3" + struct.pack(">H", 2 + len(sof)) + sof
+    out += b"\xff\xc4" + struct.pack(">H", 2 + 17 + 2)
+    out += bytes([0x00]) + bytes([0, 2] + [0] * 14) + bytes([0, 2])
+    sos = bytes([1, 1, 0x00, 1, 0, 0])  # Ss=predictor 1, Se=0, AhAl=0
+    out += b"\xff\xda" + struct.pack(">H", 2 + len(sos)) + sos
+    out += bytes([0x60, 0x3F])
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def test_lossless_decoder_against_handmade_spec_stream():
+    img = decode_jpeg(_handmade_lossless_jpeg())
+    assert img.shape == (2, 2, 1)
+    assert (img == 130).all()
+
+
+@pytest.mark.parametrize("pred", list(range(1, 8)))
+def test_lossless_roundtrip_all_predictors(pred):
+    rng = np.random.default_rng(pred)
+    img = rng.integers(0, 256, (24, 17)).astype(np.uint8)
+    dec = decode_jpeg(encode_jpeg_lossless(img, predictor=pred))
+    assert np.array_equal(dec[:, :, 0], img)
+
+
+def test_lossless_point_transform_drops_low_bits():
+    rng = np.random.default_rng(99)
+    img = rng.integers(0, 256, (16, 16)).astype(np.uint8)
+    dec = decode_jpeg(encode_jpeg_lossless(img, predictor=4, pt=2))
+    assert np.array_equal(dec[:, :, 0], (img >> 2) << 2)
+
+
+@pytest.mark.parametrize("shape", [(1, 9), (9, 1), (1, 1), (200, 3)])
+def test_lossless_degenerate_shapes(shape):
+    rng = np.random.default_rng(sum(shape))
+    img = rng.integers(0, 256, shape).astype(np.uint8)
+    dec = decode_jpeg(encode_jpeg_lossless(img))
+    assert np.array_equal(dec[:, :, 0], img)
 
 
 # ---------------------------------------------------------------------------
