@@ -495,6 +495,11 @@ def _enc_subframe(w: _BitW, x: np.ndarray, bps: int, mode: str,
             w.write(int(v), eff)
     elif mode == "fixed":
         order = min(fixed_order, bs - 1, 4)
+        # decoder requires bs % 2^po == 0 and bs >> po > order
+        while partition_order and (
+            bs % (1 << partition_order) or (bs >> partition_order) <= order
+        ):
+            partition_order -= 1
         if (bs >> partition_order) <= order:
             order = max(0, (bs >> partition_order) - 1)
         header(8 + order)
@@ -503,7 +508,18 @@ def _enc_subframe(w: _BitW, x: np.ndarray, bps: int, mode: str,
         res = np.diff(x, n=order) if order else x
         _enc_residual(w, res, order, bs, partition_order, force_escape)
     elif mode == "lpc":
+        if bs < 2:  # an order-1 LPC needs at least one residual sample
+            header(1)
+            for v in x:
+                w.write(int(v), eff)
+            return
         order = max(1, min(lpc_order or 4, bs - 1, 32))
+        while partition_order and (
+            bs % (1 << partition_order) or (bs >> partition_order) <= order
+        ):
+            partition_order -= 1
+        if (bs >> partition_order) <= order:
+            order = max(1, (bs >> partition_order) - 1)
         prec = 12
         win = np.lib.stride_tricks.sliding_window_view(
             x[:-1].astype(np.float64), order
