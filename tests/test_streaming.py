@@ -757,3 +757,82 @@ def test_round4_stateless_ops_are_streaming_safe(spark, tmp_path):
         .reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(want_m, want_self)
+
+
+def test_media_decode_ops_are_streaming_safe(spark, tmp_path):
+    """The media decode operators are stateless Arrow projections
+    (decode_images / audio_features / sample_frames explode or map
+    each row independently, no global state), so they run unchanged on
+    a readStream source; streaming output == batch exactly. Pins the
+    round-5 media surface (JPEG incl. progressive+lossless, FLAC,
+    AVI/MJPEG) as streaming-safe."""
+    import numpy as np
+    import pandas as pd
+
+    from protosc_spark.avi import encode_avi_mjpeg
+    from protosc_spark.flac import encode_flac
+    from protosc_spark.jpeg import (
+        encode_jpeg,
+        encode_jpeg_lossless,
+        encode_jpeg_progressive,
+    )
+    from protosc_spark.multimodal import (
+        audio_features,
+        decode_images,
+        sample_frames,
+    )
+    from protosc_spark.streaming import run_to_memory_sink
+
+    rng = np.random.default_rng(0)
+    img_rows, aud_rows, vid_rows = [], [], []
+    encoders = [encode_jpeg, encode_jpeg_progressive, encode_jpeg_lossless]
+    for i in range(9):
+        img = rng.integers(0, 256, (16, 16)).astype(np.uint8)
+        img_rows.append(
+            (str(i), bytearray(encoders[i % 3](img)),
+             {"width": 16, "height": 16, "channels": 1})
+        )
+        pcm = rng.uniform(-1, 1, 128)
+        aud_rows.append(
+            (str(i), bytearray(encode_flac(pcm, 16_000)),
+             {"sample_rate": 16_000})
+        )
+        frames = [
+            encode_jpeg(np.full((8, 8), int(v), dtype=np.uint8))
+            for v in rng.integers(0, 256, 4)
+        ]
+        vid_rows.append(
+            (str(i), bytearray(encode_avi_mjpeg(frames, 8, 8)),
+             {"n_frames": 4})
+        )
+
+    cases = [
+        ("img", img_rows,
+         "media_id string, data binary, "
+         "meta struct<width:int,height:int,channels:int>",
+         lambda df: decode_images(df, codec="jpeg")),
+        ("aud", aud_rows,
+         "media_id string, data binary, meta struct<sample_rate:int>",
+         lambda df: audio_features(df, codec="flac")),
+        ("vid", vid_rows,
+         "media_id string, data binary, meta struct<n_frames:int>",
+         lambda df: sample_frames(df, every_k=2, codec="mjpeg")),
+    ]
+    for name, rows, schema, op in cases:
+        batch_df = spark.createDataFrame(rows, schema)
+        d = str(tmp_path / f"{name}_src")
+        batch_df.repartition(3).write.parquet(d)
+        stored = spark.read.parquet(d)
+        src = spark.readStream.schema(stored.schema).option(
+            "maxFilesPerTrigger", 1
+        ).parquet(d)
+        got = (
+            run_to_memory_sink(op(src), f"t_media_{name}",
+                               str(tmp_path / f"cp_media_{name}"))
+            .toPandas()
+        )
+        want = op(stored).toPandas()
+        sort_cols = [c for c in ("media_id", "frame_idx") if c in want.columns]
+        got = got.sort_values(sort_cols).reset_index(drop=True)
+        want = want.sort_values(sort_cols).reset_index(drop=True)
+        pd.testing.assert_frame_equal(got, want)
