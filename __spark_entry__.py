@@ -664,6 +664,25 @@ def _mm_wav_features(spark, sf_dir):
     ).orderBy("doc_id")
 
 
+def _txt_backoff_lm_score(spark, sf_dir):
+    """Word-trigram LM with STUPID BACKOFF (Brants et al. 2007 — the
+    published web-scale smoothing: pure counts, no discounting):
+    train on the English subset, score every document by average
+    trigram log-score / perplexity. Trigram construction is pure
+    array ops (no shuffle, no Python); scoring is 5 equi-joins
+    against the pruned model levels + one aggregation. The DuckDB
+    oracle re-derives the counts, the backoff chain and the add-k
+    unigram floor end to end."""
+    from protosc_spark.lm import (
+        stupid_backoff_score,
+        train_stupid_backoff_lm,
+    )
+
+    docs = _read_wide(spark, sf_dir, "documents")
+    model = train_stupid_backoff_lm(docs.where(F.col("lang") == "en"))
+    return stupid_backoff_score(docs, model).orderBy("doc_id")
+
+
 def _mm_flac_features(spark, sf_dir):
     """REAL FLAC decode, end to end distributed: each document's
     first 64 chars become 64 PCM16 samples ((codepoint-128), exactly
@@ -1554,6 +1573,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     full-surface green regardless of this ordering."""
     return {
         # --- round 5 ---
+        "txt_backoff_lm_score": _txt_backoff_lm_score,
         "mm_video_frames": _mm_video_frames,
         "mm_flac_features": _mm_flac_features,
         "mm_g711_features": _mm_g711_features,
@@ -2442,6 +2462,72 @@ def oracle_sql() -> dict[str, str]:
         # independent check of the real PNG codec: the oracle derives
         # the mean pixel straight from the text's codepoints, never
         # decoding a PNG — encode(Paeth) o decode must be the identity
+        # Stupid backoff re-derived end to end: token streams via
+        # zipped unnests, n-gram counts via lag windows, the
+        # trigram->bigram->smoothed-unigram CASE chain, totals from
+        # the unigram table. alpha=0.4, alpha^2=0.16, add-k floor k=1.
+        "txt_backoff_lm_score": """
+            WITH tok_t AS (
+              SELECT doc_id, unnest(ws) AS tok,
+                     unnest(range(1, len(ws) + 1)) AS ord
+              FROM (SELECT doc_id,
+                           list_filter(string_split(text, ' '),
+                                       x -> x <> '') AS ws
+                    FROM documents WHERE lang = 'en') d
+            ), uni AS (
+              SELECT tok AS gram, count(*)::DOUBLE AS cnt
+              FROM tok_t GROUP BY tok
+            ), bi AS (
+              SELECT w1 || ' ' || w2 AS gram, count(*)::DOUBLE AS cnt
+              FROM (SELECT lag(tok) OVER w AS w1, tok AS w2
+                    FROM tok_t
+                    WINDOW w AS (PARTITION BY doc_id ORDER BY ord))
+              WHERE w1 IS NOT NULL GROUP BY 1
+            ), tri AS (
+              SELECT w1 || ' ' || w2 || ' ' || w3 AS gram,
+                     count(*)::DOUBLE AS cnt
+              FROM (SELECT lag(tok, 2) OVER w AS w1,
+                           lag(tok, 1) OVER w AS w2, tok AS w3
+                    FROM tok_t
+                    WINDOW w AS (PARTITION BY doc_id ORDER BY ord))
+              WHERE w1 IS NOT NULL GROUP BY 1
+            ), tot AS (
+              SELECT sum(cnt) AS N, count(*)::DOUBLE AS V FROM uni
+            ), pos AS (
+              SELECT doc_id, lag(tok, 2) OVER w AS w1,
+                     lag(tok, 1) OVER w AS w2, tok AS w3
+              FROM (SELECT doc_id, unnest(ws) AS tok,
+                           unnest(range(1, len(ws) + 1)) AS ord
+                    FROM (SELECT doc_id,
+                                 list_filter(string_split(text, ' '),
+                                             x -> x <> '') AS ws
+                          FROM documents) d)
+              WINDOW w AS (PARTITION BY doc_id ORDER BY ord)
+            ), sc AS (
+              SELECT p.doc_id,
+                     CASE
+                       WHEN t.cnt IS NOT NULL AND c.cnt IS NOT NULL
+                         THEN ln(t.cnt / c.cnt)
+                       WHEN b.cnt IS NOT NULL AND u2.cnt IS NOT NULL
+                         THEN ln(0.4 * b.cnt / u2.cnt)
+                       ELSE ln(0.16 * (coalesce(u3.cnt, 0) + 1.0)
+                               / (tot.N + tot.V))
+                     END AS ls
+              FROM pos p
+              LEFT JOIN tri t
+                ON t.gram = p.w1 || ' ' || p.w2 || ' ' || p.w3
+              LEFT JOIN bi c ON c.gram = p.w1 || ' ' || p.w2
+              LEFT JOIN bi b ON b.gram = p.w2 || ' ' || p.w3
+              LEFT JOIN uni u2 ON u2.gram = p.w2
+              LEFT JOIN uni u3 ON u3.gram = p.w3, tot
+              WHERE p.w1 IS NOT NULL
+            )
+            SELECT doc_id,
+                   round(avg(ls), 6) AS avg_logscore,
+                   round(exp(-avg(ls)), 4) AS ppl,
+                   count(*)::BIGINT AS n_trigrams
+            FROM sc GROUP BY doc_id ORDER BY doc_id
+        """,
         # Constant 16x16 frames are bit-exact through the JPEG path,
         # so the video oracle derives each sampled frame's mean pixel
         # straight from the document's codepoints (chars 1 and 3,

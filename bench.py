@@ -86,6 +86,7 @@ HEADLINE = [
     "mm_g711_features",
     "mm_flac_features",
     "mm_video_frames",
+    "txt_backoff_lm_score",
 ]
 
 BENCH_CONVERSATIONS = int(os.environ.get("PROTOSC_BENCH_CONVS", "20000"))

@@ -165,3 +165,189 @@ def lm_quality_filter(
     return df.join(
         scores.where(F.col("ppl") <= max_ppl).select(id_col), id_col
     )
+
+
+# ---------------------------------------------------------------------------
+# word-trigram LM with stupid backoff (Brants et al. 2007, "Large
+# Language Models in Machine Translation" — THE published web-scale
+# smoothing: no discounting to tune, counts only, built for
+# distributed training over trillions of tokens)
+# ---------------------------------------------------------------------------
+
+def _word_tokens(text_col: str):
+    """Space-split tokens with empties dropped (doubled spaces and
+    leading/trailing spaces produce no tokens) — matches the engine's
+    corpus tokenization convention (textops/DSIR)."""
+    return F.expr(f"filter(split({text_col}, ' '), w -> w != '')")
+
+
+def _word_trigrams(text_col: str):
+    """Array of space-joined word trigrams, built with PURE array ops
+    (one split, three slices, two zip_withs) — no shuffle, no window,
+    no Python; tokens cannot contain spaces, so the join key is
+    injective. Docs with fewer than 3 tokens yield an empty array."""
+    return F.expr(
+        f"""element_at(transform(
+              array(filter(split({text_col}, ' '), w -> w != '')),
+              ws -> zip_with(
+                      zip_with(
+                        slice(ws, 1, greatest(size(ws) - 2, 0)),
+                        slice(ws, 2, greatest(size(ws) - 2, 0)),
+                        (x, y) -> concat(x, ' ', y)),
+                      slice(ws, 3, greatest(size(ws) - 2, 0)),
+                      (x, y) -> concat(x, ' ', y))), 1)"""
+    )
+
+
+def train_stupid_backoff_lm(
+    df: DataFrame,
+    text_col: str = "text",
+    min_count: int = 1,
+    max_ngrams: int | None = None,
+) -> DataFrame:
+    """Count-based trigram model: one tall DataFrame
+    ``(gram, order, cnt)`` with order 1/2/3 — three groupBys over
+    exploded n-grams (map-side combined), nothing collected.
+    ``min_count`` prunes rare bigrams/trigrams (unigrams are always
+    kept: they are the backoff floor); ``max_ngrams`` caps each of
+    the bi/tri tables to the most frequent entries (ties broken by
+    gram for determinism) — the web-scale entropy-pruning stand-in.
+    """
+    toks = df.select(_word_tokens(text_col).alias("ws"))
+    levels = []
+    for order, expr in (
+        (1, F.explode("ws")),
+        (2, F.explode(F.expr(
+            """zip_with(slice(ws, 1, greatest(size(ws) - 1, 0)),
+                        slice(ws, 2, greatest(size(ws) - 1, 0)),
+                        (x, y) -> concat(x, ' ', y))"""))),
+        (3, F.explode(F.expr(
+            """zip_with(zip_with(slice(ws, 1, greatest(size(ws) - 2, 0)),
+                                 slice(ws, 2, greatest(size(ws) - 2, 0)),
+                                 (x, y) -> concat(x, ' ', y)),
+                        slice(ws, 3, greatest(size(ws) - 2, 0)),
+                        (x, y) -> concat(x, ' ', y))"""))),
+    ):
+        cnt = (
+            toks.select(expr.alias("gram"))
+            .groupBy("gram")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .withColumn("order", F.lit(order))
+        )
+        if order > 1:
+            if min_count > 1:
+                cnt = cnt.where(F.col("cnt") >= min_count)
+            if max_ngrams is not None:
+                from pyspark.sql import Window
+
+                wnd = Window.partitionBy("order").orderBy(
+                    F.desc("cnt"), F.asc("gram")
+                )
+                cnt = (
+                    cnt.withColumn("__rn", F.row_number().over(wnd))
+                    .where(F.col("__rn") <= max_ngrams)
+                    .drop("__rn")
+                )
+        levels.append(cnt.select("gram", "order", "cnt"))
+    out = levels[0]
+    for lv in levels[1:]:
+        out = out.unionByName(lv)
+    return out
+
+
+def stupid_backoff_score(
+    df: DataFrame,
+    model: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    alpha: float = 0.4,
+    k: float = 1.0,
+    broadcast_model: bool = False,
+) -> DataFrame:
+    """Per-document average log-score under stupid backoff:
+
+        S(w3 | w1 w2) = cnt(w1 w2 w3) / cnt(w1 w2)        if trigram seen
+                      = a * cnt(w2 w3) / cnt(w2)          elif bigram seen
+                      = a^2 * (cnt(w3) + k) / (N + k*V)   otherwise
+
+    (the unigram floor is add-k smoothed so unseen words score finite,
+    N = training token count, V = training vocabulary size). Returns
+    ``(doc_id, avg_logscore, ppl, n_trigrams)``; docs with fewer than
+    3 tokens have no trigram positions and are absent (the caller
+    left-joins if it needs them).
+
+    Plan shape: trigram construction is pure array ops on the corpus
+    side (no shuffle); scoring is 4 equi-joins against the pruned
+    model levels (broadcast when ``broadcast_model``, else shuffle
+    joins that AQE sizes; common-token skew is bounded because the
+    model side is unique per gram) + ONE aggregation exchange.
+    """
+    uni = model.where(F.col("order") == 1).select(
+        F.col("gram").alias("u_gram"), F.col("cnt").alias("u_cnt")
+    )
+    bi = model.where(F.col("order") == 2).select(
+        F.col("gram").alias("b_gram"), F.col("cnt").alias("b_cnt")
+    )
+    tri = model.where(F.col("order") == 3).select(
+        F.col("gram").alias("t_gram"), F.col("cnt").alias("t_cnt")
+    )
+    if broadcast_model:
+        uni, bi, tri = F.broadcast(uni), F.broadcast(bi), F.broadcast(tri)
+    totals = F.broadcast(
+        model.where(F.col("order") == 1).agg(
+            F.sum("cnt").cast("double").alias("n_total"),
+            F.count(F.lit(1)).cast("double").alias("v_total"),
+        )
+    )
+
+    pos = df.select(
+        F.col(id_col), F.explode(_word_trigrams(text_col)).alias("tri")
+    )
+    ws = F.split("tri", " ")
+    pos = pos.select(
+        id_col,
+        "tri",
+        F.concat_ws(" ", ws[0], ws[1]).alias("ctx12"),
+        F.concat_ws(" ", ws[1], ws[2]).alias("bi23"),
+        ws[1].alias("w2"),
+        ws[2].alias("w3"),
+    )
+    scored = (
+        pos.join(tri, pos["tri"] == tri["t_gram"], "left")
+        .join(
+            bi.select(F.col("b_gram").alias("c_gram"),
+                      F.col("b_cnt").alias("c_cnt")),
+            F.col("ctx12") == F.col("c_gram"), "left",
+        )
+        .join(bi, F.col("bi23") == bi["b_gram"], "left")
+        .join(
+            uni.select(F.col("u_gram").alias("w2_gram"),
+                       F.col("u_cnt").alias("w2_cnt")),
+            F.col("w2") == F.col("w2_gram"), "left",
+        )
+        .join(uni, F.col("w3") == uni["u_gram"], "left")
+        .crossJoin(totals)
+        .withColumn(
+            "logscore",
+            F.when(
+                F.col("t_cnt").isNotNull() & F.col("c_cnt").isNotNull(),
+                F.log(F.col("t_cnt") / F.col("c_cnt")),
+            )
+            .when(
+                F.col("b_cnt").isNotNull() & F.col("w2_cnt").isNotNull(),
+                F.log(F.lit(alpha) * F.col("b_cnt") / F.col("w2_cnt")),
+            )
+            .otherwise(
+                F.log(
+                    F.lit(alpha * alpha)
+                    * (F.coalesce(F.col("u_cnt"), F.lit(0)) + F.lit(k))
+                    / (F.col("n_total") + F.lit(k) * F.col("v_total"))
+                )
+            ),
+        )
+    )
+    return scored.groupBy(id_col).agg(
+        F.round(F.avg("logscore"), 6).alias("avg_logscore"),
+        F.round(F.exp(-F.avg("logscore")), 4).alias("ppl"),
+        F.count(F.lit(1)).cast("bigint").alias("n_trigrams"),
+    )

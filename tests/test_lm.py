@@ -135,3 +135,132 @@ def test_lm_model_is_bounded_and_plan_broadcasts(docs):
     # the corpus itself is never shuffled for the joins — only the
     # final per-doc aggregation exchanges on doc_id
     assert "SortMergeJoin" not in plan
+
+
+# ---------------------------------------------------------------------------
+# word-trigram stupid backoff (Brants et al. 2007)
+# ---------------------------------------------------------------------------
+
+
+def _sb_oracle(train_texts, score_texts, alpha=0.4, k=1.0,
+               min_count=1, max_ngrams=None):
+    """Brute-force python stupid backoff, written independently of
+    lm.py (dict counts, per-position chain)."""
+    uni, bi, tri = {}, {}, {}
+    for t in train_texts:
+        ws = [w for w in t.split(" ") if w]
+        for w in ws:
+            uni[w] = uni.get(w, 0) + 1
+        for i in range(1, len(ws)):
+            g = ws[i - 1] + " " + ws[i]
+            bi[g] = bi.get(g, 0) + 1
+        for i in range(2, len(ws)):
+            g = " ".join(ws[i - 2 : i + 1])
+            tri[g] = tri.get(g, 0) + 1
+    if min_count > 1:
+        bi = {g: c for g, c in bi.items() if c >= min_count}
+        tri = {g: c for g, c in tri.items() if c >= min_count}
+    if max_ngrams is not None:
+        def top(d):
+            return dict(sorted(d.items(), key=lambda kv: (-kv[1], kv[0]))
+                        [:max_ngrams])
+        bi, tri = top(bi), top(tri)
+    n_tot, v_tot = sum(uni.values()), len(uni)
+    out = {}
+    for di, t in enumerate(score_texts):
+        ws = [w for w in (t or "").split(" ") if w]
+        ls = []
+        for i in range(2, len(ws)):
+            w1, w2, w3 = ws[i - 2], ws[i - 1], ws[i]
+            tg, cg, bg = f"{w1} {w2} {w3}", f"{w1} {w2}", f"{w2} {w3}"
+            if tg in tri and cg in bi:
+                s = tri[tg] / bi[cg]
+            elif bg in bi and w2 in uni:
+                s = alpha * bi[bg] / uni[w2]
+            else:
+                s = alpha * alpha * (uni.get(w3, 0) + k) / (n_tot + k * v_tot)
+            ls.append(math.log(s))
+        if ls:
+            out[di] = round(sum(ls) / len(ls), 6)
+    return out
+
+
+def _rand_corpus(rng, n, vocab=12, max_len=14):
+    return [
+        " ".join(f"w{rng.integers(0, vocab)}"
+                 for _ in range(rng.integers(0, max_len)))
+        for _ in range(n)
+    ]
+
+
+def test_stupid_backoff_matches_bruteforce(spark):
+    import numpy as np
+
+    from protosc_spark.lm import (
+        stupid_backoff_score,
+        train_stupid_backoff_lm,
+    )
+
+    rng = np.random.default_rng(7)
+    train = _rand_corpus(rng, 60)
+    score = _rand_corpus(rng, 40, vocab=16) + [None, "", "one", "a b"]
+    tdf = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(train)], "doc_id long, text string"
+    )
+    sdf = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(score)], "doc_id long, text string"
+    )
+    model = train_stupid_backoff_lm(tdf)
+    got = {
+        r["doc_id"]: r["avg_logscore"]
+        for r in stupid_backoff_score(sdf, model).collect()
+    }
+    want = _sb_oracle(train, score)
+    assert got == want  # exact float match after the shared round(6)
+    # short/empty/null docs have no trigram positions -> absent
+    for di in (len(score) - 4, len(score) - 3, len(score) - 2,
+               len(score) - 1):
+        assert di not in got
+
+
+def test_stupid_backoff_pruning_matches_bruteforce(spark):
+    import numpy as np
+
+    from protosc_spark.lm import (
+        stupid_backoff_score,
+        train_stupid_backoff_lm,
+    )
+
+    rng = np.random.default_rng(11)
+    train = _rand_corpus(rng, 80, vocab=8)
+    score = _rand_corpus(rng, 30, vocab=10)
+    tdf = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(train)], "doc_id long, text string"
+    )
+    sdf = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(score)], "doc_id long, text string"
+    )
+    model = train_stupid_backoff_lm(tdf, min_count=2, max_ngrams=25)
+    got = {
+        r["doc_id"]: r["avg_logscore"]
+        for r in stupid_backoff_score(sdf, model).collect()
+    }
+    want = _sb_oracle(train, score, min_count=2, max_ngrams=25)
+    assert got == want
+
+
+def test_stupid_backoff_plan_no_python(spark):
+    from protosc_spark.lm import (
+        stupid_backoff_score,
+        train_stupid_backoff_lm,
+    )
+
+    docs = spark.createDataFrame(
+        [(0, "a b c d"), (1, "a b c")], "doc_id long, text string"
+    )
+    model = train_stupid_backoff_lm(docs)
+    p = stupid_backoff_score(
+        docs, model
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" not in p and "BatchEvalPython" not in p
+    assert "CartesianProduct" not in p
