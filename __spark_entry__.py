@@ -664,6 +664,18 @@ def _mm_wav_features(spark, sf_dir):
     ).orderBy("doc_id")
 
 
+def _events_transition_matrix(spark, sf_dir):
+    """Markov transition matrix over per-user ordered event streams
+    (sequence mining: which event type follows which): one lag window
+    on the sessionize/funnel partitioning, one aggregation to at most
+    |states|^2 rows, conditional rate per from_state. Deterministic
+    total order via (ts, event_id) tie-break; exact SQL oracle."""
+    from protosc_spark.windows import transition_counts
+
+    ev = _read(spark, sf_dir, "events")
+    return transition_counts(ev).orderBy("from_state", "to_state")
+
+
 def _txt_backoff_lm_score(spark, sf_dir):
     """Word-trigram LM with STUPID BACKOFF (Brants et al. 2007 — the
     published web-scale smoothing: pure counts, no discounting):
@@ -1573,6 +1585,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     full-surface green regardless of this ordering."""
     return {
         # --- round 5 ---
+        "events_transition_matrix": _events_transition_matrix,
         "txt_backoff_lm_score": _txt_backoff_lm_score,
         "mm_video_frames": _mm_video_frames,
         "mm_flac_features": _mm_flac_features,
@@ -2462,6 +2475,23 @@ def oracle_sql() -> dict[str, str]:
         # independent check of the real PNG codec: the oracle derives
         # the mean pixel straight from the text's codepoints, never
         # decoding a PNG — encode(Paeth) o decode must be the identity
+        "events_transition_matrix": """
+            WITH pairs AS (
+              SELECT lag(event_type) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                     ) AS from_state,
+                     event_type AS to_state
+              FROM events
+            ), counts AS (
+              SELECT from_state, to_state, count(*)::BIGINT AS n_transitions
+              FROM pairs WHERE from_state IS NOT NULL
+              GROUP BY from_state, to_state
+            )
+            SELECT from_state, to_state, n_transitions,
+                   round(n_transitions::DOUBLE / sum(n_transitions) OVER (
+                     PARTITION BY from_state), 6) AS rate
+            FROM counts ORDER BY from_state, to_state
+        """,
         # Stupid backoff re-derived end to end: token streams via
         # zipped unnests, n-gram counts via lag windows, the
         # trigram->bigram->smoothed-unigram CASE chain, totals from

@@ -230,3 +230,46 @@ def funnel(
         F.lit(0).cast("bigint"),
     )
     return out.select(entity, *ts_cols, stages.alias("stages")).distinct()
+
+
+def transition_counts(
+    df: DataFrame,
+    entity: str = "user_id",
+    state_col: str = "event_type",
+    order_cols: Sequence[str] = ("ts", "event_id"),
+) -> DataFrame:
+    """Markov transition matrix over per-entity ordered state streams
+    (the sequence-mining analog of funnel: which state follows which,
+    corpus-wide): for every consecutive pair within an entity's
+    stream, count (from_state, to_state) and its conditional rate
+    P(to | from). ``order_cols`` must be a deterministic total order
+    (default ts + event_id tie-break).
+
+    Output: (from_state, to_state, n_transitions, rate), rate summing
+    to 1 per from_state.
+
+    Scale shape: ONE exchange on the entity for the lag window (the
+    same partitioning sessionize/funnel use, so it co-schedules with
+    them), one map-side-combined aggregation down to at most
+    |states|^2 rows, and a rate window over that tiny aggregate. No
+    self-joins; per-entity stream length is unbounded.
+    """
+    w = W.partitionBy(entity).orderBy(*[F.col(c) for c in order_cols])
+    pairs = df.select(
+        F.lag(state_col).over(w).alias("from_state"),
+        F.col(state_col).alias("to_state"),
+    ).where(F.col("from_state").isNotNull())
+    counts = pairs.groupBy("from_state", "to_state").agg(
+        F.count(F.lit(1)).alias("n_transitions")
+    )
+    total = W.partitionBy("from_state")
+    return counts.select(
+        "from_state",
+        "to_state",
+        "n_transitions",
+        F.round(
+            F.col("n_transitions")
+            / F.sum("n_transitions").over(total),
+            6,
+        ).alias("rate"),
+    )

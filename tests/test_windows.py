@@ -243,3 +243,45 @@ def test_funnel_single_exchange(spark, events):
     )
     assert p.count("Exchange hashpartitioning(user_id") <= 2  # windows + distinct
     assert "CartesianProduct" not in p and "SortMergeJoin" not in p
+
+
+def test_transition_counts_matches_pandas_with_ties(spark):
+    """transition_counts == a pandas groupby/shift oracle, including
+    same-timestamp events disambiguated by the event_id tie-break and
+    single-event users (no pairs)."""
+    import pandas as pd
+
+    from protosc_spark.windows import transition_counts
+
+    rows = [
+        # user 1: a -> b -> b -> c ; ties on ts resolved by event_id
+        (1, 1, "2024-01-01 00:00:00", "a"),
+        (2, 1, "2024-01-01 00:00:01", "b"),
+        (3, 1, "2024-01-01 00:00:01", "b"),
+        (4, 1, "2024-01-01 00:00:02", "c"),
+        # user 2: c -> a
+        (5, 2, "2024-01-01 00:00:00", "c"),
+        (6, 2, "2024-01-01 00:00:05", "a"),
+        # user 3: single event, no transitions
+        (7, 3, "2024-01-01 00:00:00", "a"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts string, event_type string"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    got = {
+        (r["from_state"], r["to_state"]): (r["n_transitions"], r["rate"])
+        for r in transition_counts(df).collect()
+    }
+    pdf = pd.DataFrame(
+        rows, columns=["event_id", "user_id", "ts", "event_type"]
+    ).sort_values(["user_id", "ts", "event_id"])
+    pdf["prev"] = pdf.groupby("user_id")["event_type"].shift(1)
+    pairs = pdf.dropna(subset=["prev"])
+    want_counts = pairs.groupby(["prev", "event_type"]).size()
+    assert len(got) == len(want_counts)
+    for (f, t), n in want_counts.items():
+        n_from = want_counts[want_counts.index.get_level_values(0) == f].sum()
+        assert got[(f, t)] == (n, round(n / n_from, 6))
+    # rates sum to 1 per from_state
+    for f in {k[0] for k in got}:
+        assert abs(sum(v[1] for k, v in got.items() if k[0] == f) - 1.0) < 1e-9
