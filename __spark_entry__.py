@@ -664,6 +664,21 @@ def _mm_wav_features(spark, sf_dir):
     ).orderBy("doc_id")
 
 
+def _events_retention_cohorts(spark, sf_dir):
+    """Retention triangle: users cohorted by the ISO week of their
+    first event; (cohort, week_offset) -> active-user count. Both
+    engines truncate to Monday boundaries, so the week division is
+    exact; exact SQL oracle."""
+    from protosc_spark.windows import retention_cohorts
+
+    ev = _read(spark, sf_dir, "events")
+    return retention_cohorts(ev, period="week").select(
+        F.date_format("cohort", "yyyy-MM-dd").alias("cohort_week"),
+        "period_offset",
+        "n_active",
+    ).orderBy("cohort_week", "period_offset")
+
+
 def _events_transition_matrix(spark, sf_dir):
     """Markov transition matrix over per-user ordered event streams
     (sequence mining: which event type follows which): one lag window
@@ -1585,6 +1600,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     full-surface green regardless of this ordering."""
     return {
         # --- round 5 ---
+        "events_retention_cohorts": _events_retention_cohorts,
         "events_transition_matrix": _events_transition_matrix,
         "txt_backoff_lm_score": _txt_backoff_lm_score,
         "mm_video_frames": _mm_video_frames,
@@ -2475,6 +2491,22 @@ def oracle_sql() -> dict[str, str]:
         # independent check of the real PNG codec: the oracle derives
         # the mean pixel straight from the text's codepoints, never
         # decoding a PNG — encode(Paeth) o decode must be the identity
+        "events_retention_cohorts": """
+            WITH cohorts AS (
+              SELECT user_id,
+                     date_trunc('week', min(ts)) AS cohort
+              FROM events GROUP BY user_id
+            ), activity AS (
+              SELECT DISTINCT user_id, date_trunc('week', ts) AS p
+              FROM events
+            )
+            SELECT strftime(c.cohort, '%Y-%m-%d') AS cohort_week,
+                   (date_diff('day', c.cohort, a.p) / 7)::INT
+                     AS period_offset,
+                   count(*)::BIGINT AS n_active
+            FROM activity a JOIN cohorts c USING (user_id)
+            GROUP BY 1, 2 ORDER BY 1, 2
+        """,
         "events_transition_matrix": """
             WITH pairs AS (
               SELECT lag(event_type) OVER (

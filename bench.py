@@ -87,6 +87,8 @@ HEADLINE = [
     "mm_flac_features",
     "mm_video_frames",
     "txt_backoff_lm_score",
+    "events_transition_matrix",
+    "events_retention_cohorts",
 ]
 
 BENCH_CONVERSATIONS = int(os.environ.get("PROTOSC_BENCH_CONVS", "20000"))

@@ -273,3 +273,47 @@ def transition_counts(
             6,
         ).alias("rate"),
     )
+
+
+def retention_cohorts(
+    df: DataFrame,
+    entity: str = "user_id",
+    ts_col: str = "ts",
+    period: str = "week",
+) -> DataFrame:
+    """Cohort retention: entities are cohorted by the period of their
+    FIRST event; for every (cohort, offset) cell, how many of the
+    cohort's entities were active ``offset`` periods later (offset 0 =
+    the cohort size itself). The classic retention-triangle query.
+
+    Output: (cohort, period_offset, n_active), period_offset in whole
+    periods (date_trunc'd boundaries, so the division is exact).
+
+    Scale shape: one aggregation per entity for the cohort (map-side
+    combined), one distinct over (entity, period) for activity, one
+    co-partitioned equi-join on the entity, one final aggregation.
+    No windows over unbounded frames; every exchange is keyed on the
+    entity or on the tiny (cohort, offset) grid.
+    """
+    days = {"day": 1, "week": 7}
+    if period not in days:
+        raise ValueError(f"unsupported period {period!r} (day/week)")
+    cohorts = df.groupBy(entity).agg(
+        F.date_trunc(period, F.min(ts_col)).alias("cohort")
+    )
+    activity = (
+        df.select(entity, F.date_trunc(period, F.col(ts_col)).alias("p"))
+        .distinct()
+    )
+    joined = activity.join(cohorts, entity)
+    return (
+        joined.select(
+            "cohort",
+            (
+                F.datediff(F.col("p"), F.col("cohort"))
+                / F.lit(days[period])
+            ).cast("int").alias("period_offset"),
+        )
+        .groupBy("cohort", "period_offset")
+        .agg(F.count(F.lit(1)).alias("n_active"))
+    )

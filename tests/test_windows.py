@@ -285,3 +285,42 @@ def test_transition_counts_matches_pandas_with_ties(spark):
     # rates sum to 1 per from_state
     for f in {k[0] for k in got}:
         assert abs(sum(v[1] for k, v in got.items() if k[0] == f) - 1.0) < 1e-9
+
+
+def test_retention_cohorts_matches_pandas(spark):
+    """retention_cohorts == a pandas oracle on a fixture with two
+    cohorts, skipped weeks, and multi-event weeks (distinct per
+    (entity, week) counted once)."""
+    import pandas as pd
+
+    from protosc_spark.windows import retention_cohorts
+
+    rows = [
+        # user 1: first event week of Jan 1 (Mon), active weeks 0, 1, 3
+        (1, "2024-01-03 10:00:00"), (1, "2024-01-04 11:00:00"),
+        (1, "2024-01-09 10:00:00"), (1, "2024-01-24 10:00:00"),
+        # user 2: same cohort, only week 0
+        (2, "2024-01-05 09:00:00"),
+        # user 3: cohort week of Jan 8, active weeks 0 and 2
+        (3, "2024-01-10 08:00:00"), (3, "2024-01-22 08:00:00"),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts string").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    got = {
+        (str(r["cohort"])[:10], r["period_offset"]): r["n_active"]
+        for r in retention_cohorts(df).collect()
+    }
+    pdf = pd.DataFrame(rows, columns=["user_id", "ts"])
+    pdf["ts"] = pd.to_datetime(pdf["ts"])
+    pdf["week"] = pdf["ts"].dt.to_period("W-SUN").dt.start_time
+    cohort = pdf.groupby("user_id")["week"].min().rename("cohort")
+    act = pdf[["user_id", "week"]].drop_duplicates().join(
+        cohort, on="user_id"
+    )
+    act["off"] = ((act["week"] - act["cohort"]).dt.days // 7)
+    want = act.groupby([act["cohort"].dt.strftime("%Y-%m-%d"), "off"]).size()
+    assert got == {(c, o): n for (c, o), n in want.items()}
+    # cohort sizes: week-0 cell equals the number of entities cohorted
+    assert got[("2024-01-01", 0)] == 2 and got[("2024-01-08", 0)] == 1
+    assert ("2024-01-01", 2) not in got  # skipped week absent
