@@ -664,6 +664,70 @@ def _mm_wav_features(spark, sf_dir):
     ).orderBy("doc_id")
 
 
+def _table_time_travel(spark, sf_dir):
+    """Snapshot-isolated MERGE + TIME TRAVEL on the Iceberg-metadata
+    transcript table (tables.snapshot_write/upsert/read): commit
+    snapshot 1, MERGE the same correction batch as table_upsert
+    (replace 3 texts + insert 2 turns + move 1 across days) as
+    snapshot 2, then read BOTH snapshots back and summarize each —
+    snapshot 1 must still show the pre-merge state exactly (no
+    corrections visible), snapshot 2 the post-merge state.
+    SELF-CHECKS (merge counts, duplicate keys); deterministic (seeded
+    transcripts, content-only aggregates) -> FROZEN oracle."""
+    import tempfile
+
+    from protosc_spark.tables import (
+        snapshot_read,
+        snapshot_upsert,
+        snapshot_write,
+    )
+
+    tr = generate_transcripts(spark, n_conversations=60, seed=42)
+    path = tempfile.mkdtemp(prefix="protosc_tt_") + "/t"
+    snapshot_write(tr, path)
+
+    first = tr.orderBy("conv_id", "turn_idx").limit(3)
+    repl = first.withColumn("text", F.lit("CORRECTED"))
+    ins = first.limit(2).select(
+        "conv_id",
+        (F.col("turn_idx") + 10_000).alias("turn_idx"),
+        "role",
+        F.lit("NEW").alias("text"),
+        "tool",
+        "ts",
+    )
+    mover = tr.orderBy(F.desc("conv_id"), F.desc("turn_idx")).limit(1)
+    moved = mover.withColumn(
+        "ts", F.col("ts") + F.expr("INTERVAL 3 DAYS")
+    ).withColumn("text", F.lit("MOVED"))
+    updates = repl.unionByName(ins.select(*repl.columns)).unionByName(
+        moved.select(*repl.columns)
+    )
+    m = snapshot_upsert(spark, path, updates)
+    if m["n_replaced"] != 4 or m["n_inserted"] != 2:
+        raise AssertionError(f"unexpected merge counts: {m}")
+
+    def summary(snap_id):
+        df = snapshot_read(spark, path, snap_id)
+        dups = (
+            df.groupBy("conv_id", "turn_idx").count()
+            .where("count > 1").count()
+        )
+        if dups:
+            raise AssertionError(f"snapshot {snap_id} has duplicate keys")
+        return df.agg(
+            F.lit(snap_id).alias("snap_id"),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum((F.col("text") == "CORRECTED").cast("bigint")).alias(
+                "n_corrected"
+            ),
+            F.sum((F.col("text") == "NEW").cast("bigint")).alias("n_new"),
+            F.sum((F.col("text") == "MOVED").cast("bigint")).alias("n_moved"),
+            F.sum(F.length("text")).alias("total_chars"),
+        )
+    return summary(1).unionByName(summary(2)).orderBy("snap_id")
+
+
 def _events_retention_cohorts(spark, sf_dir):
     """Retention triangle: users cohorted by the ISO week of their
     first event; (cohort, week_offset) -> active-user count. Both
@@ -1600,6 +1664,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     full-surface green regardless of this ordering."""
     return {
         # --- round 5 ---
+        "table_time_travel": _table_time_travel,
         "events_retention_cohorts": _events_retention_cohorts,
         "events_transition_matrix": _events_transition_matrix,
         "txt_backoff_lm_score": _txt_backoff_lm_score,

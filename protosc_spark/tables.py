@@ -268,3 +268,312 @@ def compact_partitions(
         "files_before": sum(counts.values()),
         "files_after": files_after,
     }
+
+
+# ---------------------------------------------------------------------------
+# snapshot layer: snapshot-isolated MERGE, time travel, rollback,
+# expiration (the Iceberg metadata model on the same parquet layout)
+# ---------------------------------------------------------------------------
+#
+# Iceberg's durability model is append-only data files + immutable
+# manifests: a commit never mutates or deletes data files, it writes a
+# new manifest that references a different file set. The stand-in here
+# is byte-compatible with that idea on plain parquet:
+#
+#   path/data/ts_day=D/conv_bucket=B/s<snap>-part-*.parquet
+#   path/_snapshots/<snap>.json   {snapshot_id, operation, parent,
+#                                  files: [relative paths], summary}
+#
+# Every writer stages through Spark's normal partitioned write, then
+# the driver MOVES part files into the shared partition directories
+# under snapshot-prefixed names (metadata-scale work: one rename per
+# file) and commits one manifest atomically (tmp + rename). Readers
+# resolve a manifest to an explicit file list and read it with
+# basePath = path/data, so partition columns (and partition pruning)
+# work exactly as on the live layout. Because old files are never
+# touched, reads of ANY retained snapshot are consistent while new
+# commits land — snapshot isolation — and rollback is just a new
+# manifest referencing an old file set, as in Iceberg. This also
+# expresses the one thing the dynamic-overwrite stand-in could not: a
+# MERGE that empties a partition simply drops its files from the new
+# manifest (upsert_transcripts' documented limitation).
+
+
+def _manifest_dir(path: str) -> str:
+    import os
+
+    return os.path.join(path, "_snapshots")
+
+
+def _load_manifests(path: str) -> list[dict]:
+    import json
+    import os
+
+    d = _manifest_dir(path)
+    if not os.path.isdir(d):
+        return []
+    out = []
+    for fn in sorted(os.listdir(d)):
+        if fn.endswith(".json"):
+            with open(os.path.join(d, fn)) as fh:
+                out.append(json.load(fh))
+    return out
+
+
+def _commit_manifest(path: str, snap: dict) -> None:
+    import json
+    import os
+
+    d = _manifest_dir(path)
+    os.makedirs(d, exist_ok=True)
+    final = os.path.join(d, f"{snap['snapshot_id']:08d}.json")
+    tmp = final + ".tmp"
+    with open(tmp, "w") as fh:
+        json.dump(snap, fh, indent=2, sort_keys=True)
+    os.rename(tmp, final)  # the atomic commit point
+
+
+def _ingest_staged(path: str, snap_id: int, staged: str) -> list[str]:
+    """Move staged part files into the shared partition directories
+    under snapshot-prefixed names; returns their manifest-relative
+    paths. Driver metadata work only (one rename per file)."""
+    import os
+    import shutil
+
+    files = []
+    for root, _dirs, fns in os.walk(staged):
+        for fn in fns:
+            if not fn.endswith(".parquet"):
+                continue
+            rel_part = os.path.relpath(root, staged)
+            dest_dir = os.path.join(path, "data", rel_part)
+            os.makedirs(dest_dir, exist_ok=True)
+            dest = f"s{snap_id:08d}-{fn}"
+            os.rename(os.path.join(root, fn), os.path.join(dest_dir, dest))
+            files.append(f"{rel_part}/{dest}")
+    shutil.rmtree(staged, ignore_errors=True)
+    return sorted(files)
+
+
+def _partition_cols(df: DataFrame, n_buckets: int) -> DataFrame:
+    return df.withColumn("ts_day", F.to_date("ts")).withColumn(
+        "conv_bucket",
+        F.pmod(F.xxhash64("conv_id"), F.lit(n_buckets)).cast("int"),
+    )
+
+
+def snapshot_write(
+    df: DataFrame, path: str, n_buckets: int = DEFAULT_BUCKETS
+) -> int:
+    """Create snapshot 1 (or a full-replace snapshot on an existing
+    table): stage a normal partitioned write, ingest, commit one
+    manifest referencing only the new files. Returns the snapshot id."""
+    import os
+
+    prev = _load_manifests(path)
+    snap_id = (prev[-1]["snapshot_id"] + 1) if prev else 1
+    staged = os.path.join(path, "_staging")
+    (
+        _partition_cols(df, n_buckets)
+        .write.mode("overwrite")
+        .partitionBy("ts_day", "conv_bucket")
+        .parquet(staged)
+    )
+    files = _ingest_staged(path, snap_id, staged)
+    _commit_manifest(
+        path,
+        {
+            "snapshot_id": snap_id,
+            "parent": prev[-1]["snapshot_id"] if prev else None,
+            "operation": "replace" if prev else "write",
+            "files": files,
+            "n_buckets": n_buckets,
+        },
+    )
+    return snap_id
+
+
+def snapshot_read(
+    spark: SparkSession, path: str, snapshot_id: int | None = None
+) -> DataFrame:
+    """Read the table AS OF a snapshot (latest when omitted) — time
+    travel. The manifest's explicit file list is read with basePath =
+    the shared data root, so partition columns and pruning behave
+    exactly as on a live scan."""
+    import os
+
+    mans = _load_manifests(path)
+    if not mans:
+        raise ValueError(f"no snapshots at {path}")
+    if snapshot_id is None:
+        man = mans[-1]
+    else:
+        try:
+            man = next(
+                m for m in mans if m["snapshot_id"] == snapshot_id
+            )
+        except StopIteration:
+            raise ValueError(
+                f"snapshot {snapshot_id} not found (have "
+                f"{[m['snapshot_id'] for m in mans]})"
+            ) from None
+    base = os.path.join(path, "data")
+    if not man["files"]:
+        raise ValueError(f"snapshot {man['snapshot_id']} is empty")
+    return spark.read.option("basePath", base).parquet(
+        *(os.path.join(base, f) for f in man["files"])
+    )
+
+
+def snapshot_upsert(
+    spark: SparkSession,
+    path: str,
+    updates: DataFrame,
+    n_buckets: int = DEFAULT_BUCKETS,
+) -> dict:
+    """Snapshot-isolated MERGE (the Iceberg ``MERGE INTO`` with
+    copy-on-write at partition granularity): same key/partition
+    semantics as upsert_transcripts — updates REPLACE rows with the
+    same (conv_id, turn_idx), new keys insert, a ts edit that moves a
+    turn across days rewrites the stale partition too — but the commit
+    NEVER mutates existing files: rewritten partitions get new
+    snapshot-prefixed files and the new manifest simply drops the old
+    ones, so every prior snapshot stays readable (time travel) and a
+    partition emptied by the merge genuinely disappears from the new
+    snapshot. Returns the merge summary + new snapshot id."""
+    import os
+
+    mans = _load_manifests(path)
+    if not mans:
+        raise ValueError(f"no snapshots at {path}")
+    prev = mans[-1]
+    snap_id = prev["snapshot_id"] + 1
+    up = _partition_cols(updates, n_buckets)
+    buckets = sorted(
+        r["conv_bucket"] for r in up.select("conv_bucket").distinct().collect()
+    )
+    table = snapshot_read(spark, path)
+    keys = up.select("conv_id", "turn_idx")
+    old_hit = table.where(F.col("conv_bucket").isin(buckets)).join(
+        F.broadcast(keys), ["conv_id", "turn_idx"], "left_semi"
+    )
+    touched = {
+        (str(r["ts_day"]), int(r["conv_bucket"]))
+        for r in old_hit.select("ts_day", "conv_bucket").distinct().collect()
+    } | {
+        (str(r["ts_day"]), int(r["conv_bucket"]))
+        for r in up.select("ts_day", "conv_bucket").distinct().collect()
+    }
+    n_replaced = old_hit.count()
+    n_inserted = up.count() - n_replaced
+    part_filter = F.lit(False)
+    for day, bucket in sorted(touched):
+        part_filter = part_filter | (
+            (F.col("ts_day") == F.lit(day).cast("date"))
+            & (F.col("conv_bucket") == F.lit(bucket))
+        )
+    survivors = table.where(part_filter).join(
+        F.broadcast(keys), ["conv_id", "turn_idx"], "left_anti"
+    )
+    out = survivors.select(*up.columns).unionByName(up)
+    staged = os.path.join(path, "_staging")
+    (
+        out.write.mode("overwrite")
+        .partitionBy("ts_day", "conv_bucket")
+        .parquet(staged)
+    )
+    new_files = _ingest_staged(path, snap_id, staged)
+    touched_dirs = {
+        f"ts_day={day}/conv_bucket={bucket}" for day, bucket in touched
+    }
+    kept = [
+        f for f in prev["files"]
+        if "/".join(f.split("/")[:2]) not in touched_dirs
+    ]
+    _commit_manifest(
+        path,
+        {
+            "snapshot_id": snap_id,
+            "parent": prev["snapshot_id"],
+            "operation": "merge",
+            "files": sorted(kept + new_files),
+            "n_buckets": n_buckets,
+        },
+    )
+    return {
+        "snapshot_id": snap_id,
+        "partitions_rewritten": len(touched),
+        "n_replaced": int(n_replaced),
+        "n_inserted": int(n_inserted),
+    }
+
+
+def snapshot_rollback(path: str, snapshot_id: int) -> int:
+    """Roll the table back to an earlier snapshot the Iceberg way: a
+    NEW snapshot whose file list is the old one (history is preserved;
+    nothing is deleted). Returns the new snapshot id."""
+    mans = _load_manifests(path)
+    src = next(
+        (m for m in mans if m["snapshot_id"] == snapshot_id), None
+    )
+    if src is None:
+        raise ValueError(f"snapshot {snapshot_id} not found")
+    new_id = mans[-1]["snapshot_id"] + 1
+    _commit_manifest(
+        path,
+        {
+            "snapshot_id": new_id,
+            "parent": mans[-1]["snapshot_id"],
+            "operation": "rollback",
+            "rolled_back_to": snapshot_id,
+            "files": src["files"],
+            "n_buckets": src.get("n_buckets", DEFAULT_BUCKETS),
+        },
+    )
+    return new_id
+
+
+def snapshots(path: str) -> list[dict]:
+    """Snapshot history (id, operation, parent, file count) — the
+    metadata table a catalog would serve."""
+    return [
+        {
+            "snapshot_id": m["snapshot_id"],
+            "operation": m["operation"],
+            "parent": m["parent"],
+            "n_files": len(m["files"]),
+            **(
+                {"rolled_back_to": m["rolled_back_to"]}
+                if "rolled_back_to" in m
+                else {}
+            ),
+        }
+        for m in _load_manifests(path)
+    ]
+
+
+def expire_snapshots(path: str, keep_last: int = 1) -> dict:
+    """Expire all but the newest ``keep_last`` snapshots and delete
+    every data file no retained snapshot references (the Iceberg
+    ``expire_snapshots`` + orphan-file cleanup). Time travel to
+    expired snapshots is gone afterwards; retained reads are
+    untouched."""
+    import glob
+    import os
+
+    mans = _load_manifests(path)
+    if len(mans) <= keep_last:
+        return {"snapshots_expired": 0, "files_deleted": 0}
+    kept, dropped = mans[-keep_last:], mans[:-keep_last]
+    referenced = {f for m in kept for f in m["files"]}
+    base = os.path.join(path, "data")
+    deleted = 0
+    for f in glob.glob(f"{base}/ts_day=*/conv_bucket=*/*.parquet"):
+        if os.path.relpath(f, base) not in referenced:
+            os.remove(f)
+            deleted += 1
+    for m in dropped:
+        os.remove(
+            os.path.join(_manifest_dir(path), f"{m['snapshot_id']:08d}.json")
+        )
+    return {"snapshots_expired": len(dropped), "files_deleted": deleted}

@@ -257,3 +257,155 @@ class TestCompaction:
         compact_partitions(spark, path, min_files=2)
         m = compact_partitions(spark, path, min_files=2)
         assert m["partitions_compacted"] == 0
+
+
+# ---------------------------------------------------------------------------
+# snapshot layer (Iceberg metadata model: time travel, rollback, expire)
+# ---------------------------------------------------------------------------
+
+
+def _snapshot_fixture(spark, tmp_path):
+    from protosc_spark.datagen import generate_transcripts
+    from protosc_spark.tables import snapshot_upsert, snapshot_write
+
+    tr = generate_transcripts(spark, n_conversations=40, seed=42)
+    path = str(tmp_path / "snap_t")
+    snapshot_write(tr, path)
+    first = tr.orderBy("conv_id", "turn_idx").limit(3)
+    repl = first.withColumn("text", F.lit("CORRECTED"))
+    ins = first.limit(2).select(
+        "conv_id", (F.col("turn_idx") + 10_000).alias("turn_idx"),
+        "role", F.lit("NEW").alias("text"), "tool", "ts",
+    )
+    mover = tr.orderBy(F.desc("conv_id"), F.desc("turn_idx")).limit(1)
+    moved = mover.withColumn(
+        "ts", F.col("ts") + F.expr("INTERVAL 3 DAYS")
+    ).withColumn("text", F.lit("MOVED"))
+    updates = repl.unionByName(ins.select(*repl.columns)).unionByName(
+        moved.select(*repl.columns)
+    )
+    m = snapshot_upsert(spark, path, updates)
+    return tr, path, m
+
+
+def test_snapshot_merge_and_time_travel(spark, tmp_path):
+    """MERGE semantics match upsert_transcripts AND every prior
+    snapshot stays exactly readable (snapshot isolation)."""
+    import pandas as pd
+
+    from protosc_spark.tables import snapshot_read
+
+    tr, path, m = _snapshot_fixture(spark, tmp_path)
+    assert m["n_replaced"] == 4 and m["n_inserted"] == 2
+    latest = snapshot_read(spark, path)
+    assert latest.count() == tr.count() + 2
+    assert latest.where("text='CORRECTED'").count() == 3
+    assert latest.where("text='MOVED'").count() == 1
+    assert (
+        latest.groupBy("conv_id", "turn_idx").count()
+        .where("count > 1").count() == 0
+    )
+    # time travel: snapshot 1 is byte-for-byte the original content
+    a = (
+        snapshot_read(spark, path, 1)
+        .select("conv_id", "turn_idx", "text").toPandas()
+        .sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    )
+    b = (
+        tr.select("conv_id", "turn_idx", "text").toPandas()
+        .sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_snapshot_rollback_and_expire(spark, tmp_path):
+    import pandas as pd
+    import pytest
+
+    from protosc_spark.tables import (
+        expire_snapshots,
+        snapshot_read,
+        snapshot_rollback,
+        snapshots,
+    )
+
+    tr, path, _ = _snapshot_fixture(spark, tmp_path)
+    new_id = snapshot_rollback(path, 1)
+    assert new_id == 3
+    hist = snapshots(path)
+    assert [h["operation"] for h in hist] == ["write", "merge", "rollback"]
+    assert hist[-1]["rolled_back_to"] == 1
+    c = (
+        snapshot_read(spark, path).select("conv_id", "turn_idx", "text")
+        .toPandas().sort_values(["conv_id", "turn_idx"])
+        .reset_index(drop=True)
+    )
+    b = (
+        tr.select("conv_id", "turn_idx", "text").toPandas()
+        .sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(c, b)
+    # expire everything but the rollback: merge-only files get deleted
+    ex = expire_snapshots(path, keep_last=1)
+    assert ex["snapshots_expired"] == 2 and ex["files_deleted"] > 0
+    assert snapshot_read(spark, path).count() == tr.count()
+    with pytest.raises(ValueError, match="not found"):
+        snapshot_read(spark, path, 2)
+
+
+def test_snapshot_merge_can_empty_a_partition(spark, tmp_path):
+    """A MERGE that moves EVERY row out of a (day, bucket) partition
+    drops that partition from the new snapshot (the delete the
+    dynamic-overwrite stand-in could not express) while time travel
+    still shows it."""
+    from protosc_spark.datagen import generate_transcripts
+    from protosc_spark.tables import (
+        snapshot_read,
+        snapshot_upsert,
+        snapshot_write,
+    )
+
+    tr = generate_transcripts(spark, n_conversations=20, seed=7)
+    path = str(tmp_path / "snap_e")
+    snapshot_write(tr, path)
+    live = snapshot_read(spark, path)
+    # pick the smallest partition and move all of its rows +30 days
+    day, bucket, _n = (
+        live.groupBy("ts_day", "conv_bucket").count()
+        .orderBy("count", "ts_day", "conv_bucket").first()
+    )
+    victim = live.where(
+        (F.col("ts_day") == F.lit(day)) & (F.col("conv_bucket") == bucket)
+    ).select(*tr.columns)
+    updates = victim.withColumn("ts", F.col("ts") + F.expr("INTERVAL 30 DAYS"))
+    snapshot_upsert(spark, path, updates)
+    after = snapshot_read(spark, path)
+    assert (
+        after.where(
+            (F.col("ts_day") == F.lit(day))
+            & (F.col("conv_bucket") == bucket)
+        ).count() == 0
+    )
+    assert after.count() == tr.count()  # rows moved, none lost
+    assert (
+        snapshot_read(spark, path, 1).where(
+            (F.col("ts_day") == F.lit(day))
+            & (F.col("conv_bucket") == bucket)
+        ).count() > 0
+    )
+
+
+def test_snapshot_read_keeps_partition_pruning(spark, tmp_path):
+    from protosc_spark.datagen import generate_transcripts
+    from protosc_spark.tables import snapshot_read, snapshot_write
+
+    tr = generate_transcripts(spark, n_conversations=20, seed=7)
+    path = str(tmp_path / "snap_p")
+    snapshot_write(tr, path)
+    plan = (
+        snapshot_read(spark, path)
+        .where(F.col("ts_day") == "2024-01-02")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "PartitionFilters" in plan
+    assert "ts_day" in plan.split("PartitionFilters", 1)[1][:120]
