@@ -664,6 +664,59 @@ def _mm_wav_features(spark, sf_dir):
     ).orderBy("doc_id")
 
 
+def _incremental_backfill_day(spark, sf_dir):
+    """Incremental daily feature backfill (backfill.py): transcripts
+    through the last day land as a snapshot MERGE, then ONE
+    incremental_backfill(day) refreshes only the affected
+    conversations' features. SELF-CHECKS the core invariant — the
+    feature table after the backfill is ROW-IDENTICAL to a
+    from-scratch flagship run over the full transcript table
+    (exceptAll both ways == 0) — and raises otherwise. Deterministic
+    (seeded transcripts, integer-only summary) -> FROZEN oracle."""
+    import tempfile
+
+    from protosc_spark.backfill import incremental_backfill
+    from protosc_spark.pipeline import flagship_features
+    from protosc_spark.tables import (
+        snapshot_read,
+        snapshot_upsert,
+        snapshot_write,
+    )
+
+    tr = generate_transcripts(spark, n_conversations=30, seed=42)
+    tr = tr.localCheckpoint(eager=True)
+    days = sorted(
+        r["d"]
+        for r in tr.select(F.to_date("ts").alias("d")).distinct().collect()
+    )
+    last = str(days[-1])
+    early = tr.where(F.to_date("ts") < last)
+    base = tempfile.mkdtemp(prefix="protosc_backfill_")
+    tpath, fpath = base + "/transcripts", base + "/features"
+    snapshot_write(early, tpath)
+    feats0, _ = flagship_features(early)
+    snapshot_write(feats0, fpath)
+    snapshot_upsert(spark, tpath, tr.where(F.to_date("ts") == last))
+    m = incremental_backfill(spark, tpath, fpath, last)
+    full, _ = flagship_features(tr)
+    got = snapshot_read(spark, fpath).select(*full.columns)
+    if got.exceptAll(full).count() or full.exceptAll(got).count():
+        raise AssertionError(
+            "incremental backfill != full recompute (invariant broken)"
+        )
+    return spark.createDataFrame(
+        [(
+            last,
+            int(m["n_convs"]),
+            int(m["n_rows_refreshed"]),
+            int(got.count()),
+            int(got.select("conv_id").distinct().count()),
+        )],
+        "day string, n_convs int, n_rows_refreshed int, "
+        "total_rows int, total_convs int",
+    )
+
+
 def _table_time_travel(spark, sf_dir):
     """Snapshot-isolated MERGE + TIME TRAVEL on the Iceberg-metadata
     transcript table (tables.snapshot_write/upsert/read): commit
@@ -1664,6 +1717,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     full-surface green regardless of this ordering."""
     return {
         # --- round 5 ---
+        "incremental_backfill_day": _incremental_backfill_day,
         "table_time_travel": _table_time_travel,
         "events_retention_cohorts": _events_retention_cohorts,
         "events_transition_matrix": _events_transition_matrix,
