@@ -14,6 +14,14 @@ path; parquet in this sandbox), runs the flagship feature pipeline,
 and writes resumably with per-bucket lineage manifests + metrics
 (protosc_spark.checkpoint). Re-submitting after a failure resumes
 from the last committed wave.
+
+Incremental mode (the daily production job):
+    spark-submit --py-files protosc_spark.zip jobs/run.py \
+        --backfill-day 2025-06-01 --snapshot-table /path/transcripts \
+        --output /path/features
+refreshes ONLY the day's affected conversations in the feature table
+(snapshot-isolated MERGE, protosc_spark.backfill) — O(blast radius),
+never O(table).
 """
 
 from __future__ import annotations
@@ -44,9 +52,27 @@ def main(argv: list[str] | None = None) -> None:
     p.add_argument("--n-buckets", type=int, default=64)
     p.add_argument("--buckets-per-wave", type=int, default=16)
     p.add_argument("--seed", type=int, default=42)
+    p.add_argument("--backfill-day",
+                   help="incremental mode: refresh features for this "
+                        "day (YYYY-MM-DD) only")
+    p.add_argument("--snapshot-table",
+                   help="snapshot transcript table for --backfill-day")
     args = p.parse_args(argv)
 
     spark = get_spark("protosc_spark_run")
+
+    if args.backfill_day:
+        if not args.snapshot_table:
+            p.error("--backfill-day requires --snapshot-table")
+        from protosc_spark.backfill import incremental_backfill
+
+        summary = incremental_backfill(
+            spark, args.snapshot_table, args.output, args.backfill_day,
+            n_buckets=args.n_buckets,
+        )
+        print(json.dumps(summary, sort_keys=True))
+        spark.stop()
+        return
 
     def _read(ref: str):
         if os.path.isdir(ref) or ref.endswith(".parquet"):
