@@ -577,3 +577,68 @@ def expire_snapshots(path: str, keep_last: int = 1) -> dict:
             os.path.join(_manifest_dir(path), f"{m['snapshot_id']:08d}.json")
         )
     return {"snapshots_expired": len(dropped), "files_deleted": deleted}
+
+
+def snapshot_compact(
+    spark: SparkSession, path: str, min_files: int = 2
+) -> dict:
+    """Small-file compaction under the snapshot model (the Iceberg
+    ``rewrite_data_files`` action): every partition that the LATEST
+    snapshot reads from >= ``min_files`` files is rewritten into
+    fresh snapshot-prefixed files (rows re-sorted by (conv_id,
+    turn_idx), so logical content — and every downstream digest — is
+    unchanged), and a new manifest swaps them in. Nothing is deleted:
+    prior snapshots keep reading the fragmented files until
+    expire_snapshots reclaims them.
+
+    The fragmentation census comes from the MANIFEST (no filesystem
+    listing): repeated daily MERGEs leave one new file per touched
+    partition per run, and at 100 TB a scan's task count follows the
+    file count, so compaction is what keeps read amortization flat.
+    """
+    import os
+    from collections import defaultdict
+
+    mans = _load_manifests(path)
+    if not mans:
+        raise ValueError(f"no snapshots at {path}")
+    prev = mans[-1]
+    per_part: dict[str, list[str]] = defaultdict(list)
+    for f in prev["files"]:
+        per_part["/".join(f.split("/")[:2])].append(f)
+    victims = {p: fs for p, fs in per_part.items() if len(fs) >= min_files}
+    if not victims:
+        return {"partitions_compacted": 0, "files_before": 0,
+                "files_after": 0, "snapshot_id": prev["snapshot_id"]}
+    snap_id = prev["snapshot_id"] + 1
+    base = os.path.join(path, "data")
+    victim_files = [f for fs in victims.values() for f in fs]
+    df = spark.read.option("basePath", base).parquet(
+        *(os.path.join(base, f) for f in victim_files)
+    )
+    staged = os.path.join(path, "_staging")
+    (
+        df.repartition(len(victims), "ts_day", "conv_bucket")
+        .sortWithinPartitions("conv_id", "turn_idx")
+        .write.mode("overwrite")
+        .partitionBy("ts_day", "conv_bucket")
+        .parquet(staged)
+    )
+    new_files = _ingest_staged(path, snap_id, staged)
+    kept = [f for f in prev["files"] if f not in set(victim_files)]
+    _commit_manifest(
+        path,
+        {
+            "snapshot_id": snap_id,
+            "parent": prev["snapshot_id"],
+            "operation": "compact",
+            "files": sorted(kept + new_files),
+            "n_buckets": prev.get("n_buckets", DEFAULT_BUCKETS),
+        },
+    )
+    return {
+        "partitions_compacted": len(victims),
+        "files_before": len(victim_files),
+        "files_after": len(new_files),
+        "snapshot_id": snap_id,
+    }

@@ -409,3 +409,55 @@ def test_snapshot_read_keeps_partition_pruning(spark, tmp_path):
     )
     assert "PartitionFilters" in plan
     assert "ts_day" in plan.split("PartitionFilters", 1)[1][:120]
+
+
+def test_snapshot_compact_preserves_content_and_history(spark, tmp_path):
+    """Two MERGEs fragment partitions; compaction rewrites them into
+    fewer files under a NEW snapshot with identical logical content,
+    while the pre-compaction snapshot still reads the old files."""
+    import pandas as pd
+
+    from protosc_spark.datagen import generate_transcripts
+    from protosc_spark.tables import (
+        snapshot_compact,
+        snapshot_read,
+        snapshot_upsert,
+        snapshot_write,
+        snapshots,
+    )
+
+    tr = generate_transcripts(spark, n_conversations=30, seed=11)
+    path = str(tmp_path / "snap_c")
+    snapshot_write(tr, path)
+    for salt in ("X", "Y"):  # two merges -> touched partitions gain files
+        upd = (
+            tr.orderBy("conv_id", "turn_idx").limit(6)
+            .withColumn("text", F.concat(F.lit(salt + " "), F.col("text")))
+        )
+        snapshot_upsert(spark, path, upd)
+    pre = snapshots(path)[-1]
+    before = (
+        snapshot_read(spark, path)
+        .select("conv_id", "turn_idx", "text").toPandas()
+        .sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    )
+    m = snapshot_compact(spark, path, min_files=2)
+    assert m["partitions_compacted"] >= 1
+    assert m["files_after"] < m["files_before"]
+    hist = snapshots(path)
+    assert hist[-1]["operation"] == "compact"
+    assert hist[-1]["n_files"] < pre["n_files"]
+    after = (
+        snapshot_read(spark, path)
+        .select("conv_id", "turn_idx", "text").toPandas()
+        .sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(after, before)
+    # the pre-compaction snapshot still reads its fragmented files
+    assert (
+        snapshot_read(spark, path, pre["snapshot_id"]).count()
+        == len(before)
+    )
+    # idempotent: nothing left to compact
+    again = snapshot_compact(spark, path, min_files=2)
+    assert again["partitions_compacted"] == 0
