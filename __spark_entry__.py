@@ -664,6 +664,21 @@ def _mm_wav_features(spark, sf_dir):
     ).orderBy("doc_id")
 
 
+def _events_funnel_windowed(spark, sf_dir):
+    """Windowed-conversion funnel (the product-analytics variant):
+    view -> click -> purchase where every later step must land within
+    7 days of the user's first view (the funnel anchor). Same
+    single-exchange chained-conditional-window plan as events_funnel;
+    the 7-day bound splits the gate corpus into a 126/18/6
+    three/two/one-stage mix. Exact SQL oracle."""
+    from protosc_spark.windows import funnel
+
+    ev = _read(spark, sf_dir, "events")
+    return funnel(
+        ev, ["view", "click", "purchase"], within_seconds=7 * 86400
+    ).orderBy("user_id")
+
+
 def _incremental_backfill_day(spark, sf_dir):
     """Incremental daily feature backfill (backfill.py): transcripts
     through the last day land as a snapshot MERGE, then ONE
@@ -1717,6 +1732,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     full-surface green regardless of this ordering."""
     return {
         # --- round 5 ---
+        "events_funnel_7d": _events_funnel_windowed,
         "incremental_backfill_day": _incremental_backfill_day,
         "table_time_travel": _table_time_travel,
         "events_retention_cohorts": _events_retention_cohorts,
@@ -2610,6 +2626,31 @@ def oracle_sql() -> dict[str, str]:
         # independent check of the real PNG codec: the oracle derives
         # the mean pixel straight from the text's codepoints, never
         # decoding a PNG — encode(Paeth) o decode must be the identity
+        "events_funnel_7d": """
+            WITH w1 AS (
+              SELECT user_id, ts, event_type,
+                     min(CASE WHEN event_type = 'view' THEN ts END)
+                       OVER (PARTITION BY user_id) AS view_ts
+              FROM events
+            ), w2 AS (
+              SELECT *, min(CASE WHEN event_type = 'click' AND ts > view_ts
+                                 AND ts <= view_ts + INTERVAL 7 DAY
+                                 THEN ts END)
+                          OVER (PARTITION BY user_id) AS click_ts
+              FROM w1
+            ), w3 AS (
+              SELECT *, min(CASE WHEN event_type = 'purchase'
+                                      AND ts > click_ts
+                                      AND ts <= view_ts + INTERVAL 7 DAY
+                                 THEN ts END)
+                          OVER (PARTITION BY user_id) AS purchase_ts
+              FROM w2
+            )
+            SELECT DISTINCT user_id, view_ts, click_ts, purchase_ts,
+                   ((view_ts IS NOT NULL)::INT + (click_ts IS NOT NULL)::INT
+                    + (purchase_ts IS NOT NULL)::INT)::BIGINT AS stages
+            FROM w3 ORDER BY user_id
+        """,
         "events_retention_cohorts": """
             WITH cohorts AS (
               SELECT user_id,

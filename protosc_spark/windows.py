@@ -194,11 +194,16 @@ def funnel(
     entity: str = "user_id",
     ts_col: str = "ts",
     type_col: str = "event_type",
+    within_seconds: int | None = None,
 ) -> DataFrame:
     """Ordered-funnel analysis: per entity, the first time each step
     completed STRICTLY AFTER the previous step's completion (the
     classic view -> click -> purchase sequence query). A step with no
     qualifying event leaves its timestamp (and all later steps) NULL.
+    ``within_seconds`` adds the conversion-window variant: every step
+    beyond the first must also land within that many seconds of the
+    FIRST step's timestamp (the funnel anchor), the standard
+    product-analytics windowed-conversion semantics.
 
     Output: (entity, <step>_ts ..., stages bigint) where stages is the
     number of consecutive completed steps.
@@ -219,6 +224,15 @@ def funnel(
         cond = F.col(type_col) == step
         if prev is not None:
             cond = cond & (F.col(ts_col) > prev)
+            if within_seconds is not None:
+                # conversion window anchored at the FIRST step's
+                # timestamp (the product-analytics convention: the
+                # whole funnel must complete within the window)
+                cond = cond & (
+                    F.col(ts_col)
+                    <= F.col(ts_cols[0])
+                    + F.expr(f"INTERVAL {int(within_seconds)} SECONDS")
+                )
         c = f"{step}_ts"
         out = out.withColumn(
             c, F.min(F.when(cond, F.col(ts_col))).over(w)

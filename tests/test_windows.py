@@ -324,3 +324,43 @@ def test_retention_cohorts_matches_pandas(spark):
     # cohort sizes: week-0 cell equals the number of entities cohorted
     assert got[("2024-01-01", 0)] == 2 and got[("2024-01-08", 0)] == 1
     assert ("2024-01-01", 2) not in got  # skipped week absent
+
+
+def test_windowed_funnel_anchor_semantics(spark):
+    """within_seconds bounds every later step to the FIRST step's
+    timestamp: a click inside the window converts, a purchase outside
+    it does not — and an early view anchors the window even when a
+    later view would have allowed the conversion."""
+    from protosc_spark.windows import funnel
+
+    rows = [
+        # user 1: view@0, click@+60s, purchase@+2h -> purchase outside 1h
+        (1, "2024-01-01 00:00:00", "view"),
+        (1, "2024-01-01 00:01:00", "click"),
+        (1, "2024-01-01 02:00:00", "purchase"),
+        # user 2: all inside the hour
+        (2, "2024-01-01 00:00:00", "view"),
+        (2, "2024-01-01 00:30:00", "click"),
+        (2, "2024-01-01 00:59:00", "purchase"),
+        # user 3: FIRST view anchors; the later view is ignored, so
+        # the click lands outside the window
+        (3, "2024-01-01 00:00:00", "view"),
+        (3, "2024-01-01 05:00:00", "view"),
+        (3, "2024-01-01 05:01:00", "click"),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts string, event_type string"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    got = {
+        r["user_id"]: r["stages"]
+        for r in funnel(
+            df, ["view", "click", "purchase"], within_seconds=3600
+        ).collect()
+    }
+    assert got == {1: 2, 2: 3, 3: 1}
+    # and without the window, user 1 fully converts
+    unb = {
+        r["user_id"]: r["stages"]
+        for r in funnel(df, ["view", "click", "purchase"]).collect()
+    }
+    assert unb == {1: 3, 2: 3, 3: 2}
