@@ -89,6 +89,7 @@ HEADLINE = [
     "txt_backoff_lm_score",
     "events_transition_matrix",
     "events_retention_cohorts",
+    "events_funnel_7d",
 ]
 
 BENCH_CONVERSATIONS = int(os.environ.get("PROTOSC_BENCH_CONVS", "20000"))
