@@ -1498,6 +1498,27 @@ def _txt_tfidf_topk(spark, sf_dir):
     return tfidf_topk(_read_wide(spark, sf_dir, "documents"), k=3, min_df=2)
 
 
+# literal query set for the BM25 gate, mirrored verbatim in the
+# oracle SQL's VALUES list — terms drawn from the synthetic corpus
+# vocabulary so every query has real matches.
+_BM25_QUERIES = [
+    (0, "spark window join"),
+    (1, "fast table scan"),
+    (2, "data column order batch"),
+]
+
+
+def _txt_bm25_topk(spark, sf_dir):
+    """Okapi BM25 top-5 retrieval (Lucene idf) for a fixed 3-query
+    set over the corpus: vocabulary-filtered tf, window-derived df,
+    broadcast query terms, two-phase skew-safe per-query top-k."""
+    from protosc_spark.textops import bm25_topk
+
+    return bm25_topk(
+        _read_wide(spark, sf_dir, "documents"), _BM25_QUERIES, k=5
+    )
+
+
 def _corpus_line_dedup(spark, sf_dir):
     """CCNet-style corpus-wide line dedup. The synthetic corpus is
     single-line, so lines are derived deterministically as 8-token
@@ -1732,6 +1753,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     full-surface green regardless of this ordering."""
     return {
         # --- round 5 ---
+        "txt_bm25_topk": _txt_bm25_topk,
         "events_funnel_7d": _events_funnel_windowed,
         "incremental_backfill_day": _incremental_backfill_day,
         "table_time_travel": _table_time_travel,
@@ -2626,6 +2648,59 @@ def oracle_sql() -> dict[str, str]:
         # independent check of the real PNG codec: the oracle derives
         # the mean pixel straight from the text's codepoints, never
         # decoding a PNG — encode(Paeth) o decode must be the identity
+        "txt_bm25_topk": """
+            WITH q(qid, qtext) AS (VALUES
+              (0, 'spark window join'),
+              (1, 'fast table scan'),
+              (2, 'data column order batch')
+            ), qt AS (
+              SELECT qid::BIGINT AS qid,
+                     unnest(list_distinct(string_split(qtext, ' ')))
+                       AS token
+              FROM q
+            ), base AS (
+              SELECT doc_id, string_split(text, ' ') AS toks
+              FROM documents
+            ), stats AS (
+              SELECT count(*)::BIGINT AS n_docs,
+                     avg(len(toks)) AS avgdl
+              FROM base
+            ), tok AS (
+              SELECT doc_id, len(toks)::BIGINT AS dl,
+                     unnest(toks) AS token
+              FROM base
+            ), tf AS (
+              SELECT doc_id, dl, token, count(*)::BIGINT AS tf
+              FROM tok
+              WHERE token IN (SELECT token FROM qt)
+              GROUP BY 1, 2, 3
+            ), tfdf AS (
+              SELECT *, count(*) OVER (PARTITION BY token)::BIGINT
+                       AS dfreq
+              FROM tf
+            ), scored AS (
+              SELECT qid, doc_id,
+                     round(ln(1.0 + (n_docs - dfreq + 0.5)
+                                    / (dfreq + 0.5)), 6)
+                       * (tf * (1.2 + 1.0))
+                       / (tf + 1.2 * ((1.0 - 0.75)
+                                      + 0.75 * dl / avgdl))
+                       AS contrib
+              FROM tfdf JOIN qt USING (token) CROSS JOIN stats
+            ), agg AS (
+              SELECT qid, doc_id, sum(contrib) AS score
+              FROM scored GROUP BY 1, 2
+            ), ranked AS (
+              SELECT qid, doc_id, score,
+                     row_number() OVER (
+                       PARTITION BY qid
+                       ORDER BY round(score, 9) DESC, doc_id
+                     ) AS rnk
+              FROM agg
+            )
+            SELECT qid, rnk, doc_id, round(score, 6) AS bm25
+            FROM ranked WHERE rnk <= 5
+        """,
         "events_funnel_7d": """
             WITH w1 AS (
               SELECT user_id, ts, event_type,

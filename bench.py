@@ -90,6 +90,7 @@ HEADLINE = [
     "events_transition_matrix",
     "events_retention_cohorts",
     "events_funnel_7d",
+    "txt_bm25_topk",
 ]
 
 BENCH_CONVERSATIONS = int(os.environ.get("PROTOSC_BENCH_CONVS", "20000"))

@@ -594,3 +594,109 @@ def pmi_collocations(
             "rnk", "tok_a", "tok_b", "c_ab", F.round("pmi", 6).alias("pmi")
         )
     )
+
+
+def bm25_topk(
+    df: DataFrame,
+    queries: list[tuple[int, str]],
+    k: int = 5,
+    k1: float = 1.2,
+    b: float = 0.75,
+    bucket_factor: int = 32,
+) -> DataFrame:
+    """Okapi BM25 top-k retrieval over the corpus for a bounded query
+    set — the retrieval primitive behind decontamination-by-retrieval,
+    eval-set nearest-neighbor audits, and quality-by-query corpus
+    probes. Lucene idf variant: ln(1 + (N - df + 0.5)/(df + 0.5)).
+
+    Scale shape: query terms are a driver-side literal broadcast; the
+    corpus explode is filtered to the query VOCABULARY before the tf
+    groupBy, so the shuffled tf table is (docs containing a query
+    term) x (query terms), not the corpus vocabulary. Document
+    frequency comes from a token window over that same tf table (the
+    filter preserves every doc containing the term, so df is exact —
+    no second scan). Corpus stats (N, avgdl) are ONE 1-row broadcast
+    agg. The per-query top-k runs two-phase: a partial top-k per
+    (query, doc-bucket) bounds any single task at ~bucket_factor x k
+    rows per query, then a global window over the ≤ bucket_factor*k
+    survivors applies the same ordering — identical result to a
+    single global window without the single-reducer-per-query skew.
+    No Python anywhere.
+
+    Determinism contract with the SQL oracle: idf is rounded to 6
+    decimals (a pure function of integers), the per-term contribution
+    mirrors the oracle's arithmetic exactly, and ranking orders by
+    round(score, 9) with doc_id tie-break so the 1e-16 sum-order
+    noise of a distributed aggregation can't flip ranks.
+    """
+    from pyspark.sql import Window as W
+
+    spark = df.sparkSession
+    qterms = spark.createDataFrame(
+        [
+            (int(qid), tok)
+            for qid, qtext in queries
+            for tok in sorted(set(qtext.split(" ")))
+            if tok
+        ],
+        "qid bigint, token string",
+    )
+    vocab = sorted({t for _, qtext in queries for t in qtext.split(" ") if t})
+
+    base = df.select("doc_id", _tokens().alias("toks"))
+    stats = base.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.avg(F.size("toks")).alias("avgdl"),
+    )
+    tf = (
+        base.select(
+            "doc_id",
+            F.size("toks").cast("bigint").alias("dl"),
+            F.explode("toks").alias("token"),
+        )
+        .where(F.col("token").isin(vocab))
+        .groupBy("doc_id", "dl", "token")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
+    )
+    w_tok = W.partitionBy("token")
+    scored = (
+        tf.withColumn("df", F.count(F.lit(1)).over(w_tok).cast("bigint"))
+        .join(F.broadcast(qterms), "token")
+        .crossJoin(F.broadcast(stats))
+        .withColumn(
+            "idf",
+            F.round(
+                F.log(
+                    1.0
+                    + (F.col("n_docs") - F.col("df") + 0.5)
+                    / (F.col("df") + 0.5)
+                ),
+                6,
+            ),
+        )
+        .withColumn(
+            "contrib",
+            F.col("idf")
+            * (F.col("tf") * (k1 + 1.0))
+            / (
+                F.col("tf")
+                + k1 * ((1.0 - b) + b * F.col("dl") / F.col("avgdl"))
+            ),
+        )
+        .groupBy("qid", "doc_id")
+        .agg(F.sum("contrib").alias("score"))
+    )
+    order = [F.desc(F.round(F.col("score"), 9)), F.asc("doc_id")]
+    w_part = W.partitionBy(
+        "qid", F.pmod(F.col("doc_id"), F.lit(bucket_factor))
+    ).orderBy(*order)
+    w_full = W.partitionBy("qid").orderBy(*order)
+    return (
+        scored.withColumn("prnk", F.row_number().over(w_part))
+        .where(F.col("prnk") <= k)
+        .withColumn("rnk", F.row_number().over(w_full))
+        .where(F.col("rnk") <= k)
+        .select(
+            "qid", "rnk", "doc_id", F.round("score", 6).alias("bm25")
+        )
+    )

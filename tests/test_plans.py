@@ -269,3 +269,24 @@ def test_video_gate_three_python_stages(spark, queries):
         + p.count("BatchEvalPython") <= 3
     )
     assert p.count("CartesianProduct") == 0
+
+
+def test_bm25_topk_plan_no_python_broadcast_queries(spark):
+    from protosc_spark.textops import bm25_topk
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    p = plan(
+        bm25_topk(docs, [(0, "spark window join"), (1, "fast table scan")])
+    )
+    # pure JVM end-to-end
+    assert "ArrowEvalPython" not in p and "BatchEvalPython" not in p
+    # query-term join and the 1-row stats join are both broadcast;
+    # nothing sort-merges the corpus against the tiny sides
+    assert "SortMergeJoin" not in p
+    # the only nested-loop product allowed is the 1-row stats cross
+    assert p.count("CartesianProduct") + p.count("BroadcastNestedLoop") <= 1
+    # vocabulary filter must sit below the tf aggregation (one explode
+    # for tf, one for the stats-side size() pass at most)
+    assert p.count("Generate explode") <= 2
+    # tf agg + token window + qid aggs + two top-k windows: bounded
+    assert n_shuffles(p) <= 6

@@ -498,3 +498,136 @@ def test_pmi_collocations_hand_fixture(spark):
         want = math.log((5 / t_pairs) / ((ca / t_tok) * (cb / t_tok)))
         assert abs(got[pair][1] - round(want, 6)) < 1e-9
     assert got[("x", "y")][0] == 5
+
+
+# --- BM25 top-k retrieval ---
+
+
+def test_bm25_topk_hand_computed(spark):
+    """Tiny corpus with hand-derivable BM25 scores (Lucene idf)."""
+    import math
+
+    rows = [
+        (0, "apple banana apple"),
+        (1, "apple cherry"),
+        (2, "banana banana banana durian"),
+        (3, "cherry durian elderberry"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    from protosc_spark.textops import bm25_topk
+
+    got = (
+        bm25_topk(df, [(0, "apple banana")], k=4)
+        .orderBy("rnk")
+        .toPandas()
+    )
+    # N=4, avgdl = (3+2+4+3)/4 = 3.0
+    # df(apple)=2, df(banana)=2 -> idf = round(ln(1+(4-2+.5)/(2+.5)),6)
+    n, avgdl, k1, b = 4, 3.0, 1.2, 0.75
+    idf = round(math.log(1.0 + (n - 2 + 0.5) / (2 + 0.5)), 6)
+
+    def term(tf, dl):
+        return idf * (tf * (k1 + 1.0)) / (
+            tf + k1 * ((1.0 - b) + b * dl / avgdl)
+        )
+
+    want = {
+        0: term(2, 3) + term(1, 3),  # apple tf=2, banana tf=1
+        1: term(1, 2),               # apple tf=1
+        2: term(3, 4),               # banana tf=3
+    }
+    assert list(got["doc_id"]) == sorted(
+        want, key=lambda d: (-round(want[d], 9), d)
+    )
+    for _, r in got.iterrows():
+        assert abs(r["bm25"] - round(want[r["doc_id"]], 6)) < 1e-6
+
+
+def test_bm25_topk_tie_break_and_bucket_invariance(spark):
+    """Identical docs tie -> doc_id ascending; the two-phase bucketed
+    top-k must equal a degenerate single-bucket run exactly."""
+    rows = [(i, "same text here") for i in range(8)] + [
+        (8, "other words entirely"),
+        (9, "same other"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    from protosc_spark.textops import bm25_topk
+
+    queries = [(0, "same"), (1, "other")]
+    a = (
+        bm25_topk(df, queries, k=5, bucket_factor=32)
+        .orderBy("qid", "rnk")
+        .toPandas()
+    )
+    b_ = (
+        bm25_topk(df, queries, k=5, bucket_factor=1)
+        .orderBy("qid", "rnk")
+        .toPandas()
+    )
+    pd.testing.assert_frame_equal(a, b_)
+    # doc 9 is shorter (dl=2 < avgdl) so BM25 length normalization
+    # ranks it first; the 8 identical docs tie and must order by
+    # doc_id ascending after it.
+    q0 = a[a["qid"] == 0]
+    assert list(q0["doc_id"])[:5] == [9, 0, 1, 2, 3]
+
+
+def test_bm25_topk_vs_duckdb(docs):
+    from protosc_spark.textops import bm25_topk
+
+    queries = [(0, "spark window join"), (1, "fast table scan")]
+    got = (
+        bm25_topk(docs, queries, k=5)
+        .orderBy("qid", "rnk")
+        .toPandas()
+    )
+    want = _duck(
+        """
+        WITH q(qid, qtext) AS (VALUES
+          (0, 'spark window join'), (1, 'fast table scan')
+        ), qt AS (
+          SELECT qid::BIGINT AS qid,
+                 unnest(list_distinct(string_split(qtext, ' '))) AS token
+          FROM q
+        ), base AS (
+          SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+        ), stats AS (
+          SELECT count(*)::BIGINT AS n_docs, avg(len(toks)) AS avgdl
+          FROM base
+        ), tok AS (
+          SELECT doc_id, len(toks)::BIGINT AS dl, unnest(toks) AS token
+          FROM base
+        ), tf AS (
+          SELECT doc_id, dl, token, count(*)::BIGINT AS tf
+          FROM tok WHERE token IN (SELECT token FROM qt)
+          GROUP BY 1, 2, 3
+        ), tfdf AS (
+          SELECT *, count(*) OVER (PARTITION BY token)::BIGINT AS dfreq
+          FROM tf
+        ), scored AS (
+          SELECT qid, doc_id,
+                 round(ln(1.0 + (n_docs - dfreq + 0.5) / (dfreq + 0.5)), 6)
+                   * (tf * (1.2 + 1.0))
+                   / (tf + 1.2 * ((1.0 - 0.75) + 0.75 * dl / avgdl))
+                   AS contrib
+          FROM tfdf JOIN qt USING (token) CROSS JOIN stats
+        ), agg AS (
+          SELECT qid, doc_id, sum(contrib) AS score
+          FROM scored GROUP BY 1, 2
+        ), ranked AS (
+          SELECT qid, doc_id, score,
+                 row_number() OVER (
+                   PARTITION BY qid ORDER BY round(score, 9) DESC, doc_id
+                 ) AS rnk
+          FROM agg
+        )
+        SELECT qid, rnk, doc_id, round(score, 6) AS bm25
+        FROM ranked WHERE rnk <= 5 ORDER BY qid, rnk
+        """
+    )
+    pd.testing.assert_frame_equal(
+        got.reset_index(drop=True),
+        want.reset_index(drop=True),
+        check_dtype=False,
+        atol=1e-6,
+    )
