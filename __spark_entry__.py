@@ -430,6 +430,19 @@ def _transcript_flagship(spark, sf_dir):
     )
 
 
+def _transcript_conv_features(spark, sf_dir):
+    """Per-conversation summary features over the DIRTY transcript
+    table (injected duplicate turns) routed through stable_dedup
+    first — pins the cleanup -> conversation-rollup composition.
+    Input is engine-generated (seeded); oracle is frozen."""
+    from protosc_spark.datagen import generate_transcripts_dirty
+    from protosc_spark.ordering import stable_dedup
+    from protosc_spark.windows import conversation_features
+
+    tr = generate_transcripts_dirty(spark, n_conversations=120, seed=42)
+    return conversation_features(stable_dedup(tr))
+
+
 def _corpus_clean(spark, sf_dir):
     """End-to-end training-data cleaning pipeline: quality scoring ->
     language ID -> filter (prose-like English) -> exact dedup keeping
@@ -1754,6 +1767,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- round 5 ---
         "txt_bm25_topk": _txt_bm25_topk,
+        "transcript_conv_features": _transcript_conv_features,
         "events_funnel_7d": _events_funnel_windowed,
         "incremental_backfill_day": _incremental_backfill_day,
         "table_time_travel": _table_time_travel,

@@ -91,6 +91,7 @@ HEADLINE = [
     "events_retention_cohorts",
     "events_funnel_7d",
     "txt_bm25_topk",
+    "transcript_conv_features",
 ]
 
 BENCH_CONVERSATIONS = int(os.environ.get("PROTOSC_BENCH_CONVS", "20000"))

@@ -331,3 +331,93 @@ def retention_cohorts(
         .groupBy("cohort", "period_offset")
         .agg(F.count(F.lit(1)).alias("n_active"))
     )
+
+
+def conversation_features(
+    df: DataFrame,
+    entity: str = "conv_id",
+    order: str = "turn_idx",
+    role_col: str = "role",
+    tool_col: str = "tool",
+    text_col: str = "text",
+    ts_col: str = "ts",
+    session_gap_s: int = 1800,
+) -> DataFrame:
+    """Per-conversation summary features over an ordered transcript —
+    the conversation-level companion to the per-turn flagship vectors
+    (turn counts, role mix, tool usage, inter-turn gap statistics,
+    role-alternation rate, wall-clock span).
+
+    Scale shape: ONE window over (entity, order) for lag-derived gap
+    and previous-role columns, then a groupBy on the SAME key — the
+    aggregation reuses the window's hash partitioning, so the whole
+    operator is a single exchange. All expressions are JVM built-ins
+    (no Python); gap arithmetic goes through _epoch_us so sub-second
+    timestamps are exact. Doubles are rounded to 6 decimals in-query
+    so the output is freezable (gap sums are integer-microsecond
+    exact; the rounding guards the division results).
+    """
+    w = W.partitionBy(entity).orderBy(order)
+    gap_s = (
+        (_epoch_us("__ts") - F.lag(_epoch_us("__ts")).over(w)) / 1_000_000.0
+    )
+    enriched = df.select(
+        entity,
+        F.col(order),
+        F.col(role_col).alias("__role"),
+        F.col(tool_col).alias("__tool"),
+        F.size(F.split(F.col(text_col), " ")).cast("bigint").alias("__ntok"),
+        F.col(ts_col).alias("__ts"),
+    ).select(
+        entity,
+        "__role",
+        "__tool",
+        "__ntok",
+        "__ts",
+        F.lag("__role").over(w).alias("__prev_role"),
+        gap_s.alias("__gap_s"),
+    )
+    return enriched.groupBy(entity).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_turns"),
+        F.sum((F.col("__role") == "user").cast("bigint")).alias("n_user"),
+        F.sum((F.col("__role") == "assistant").cast("bigint")).alias(
+            "n_assistant"
+        ),
+        F.sum((F.col("__role") == "tool").cast("bigint")).alias("n_tool"),
+        F.countDistinct("__tool").cast("bigint").alias("n_distinct_tools"),
+        F.sum("__ntok").alias("total_tokens"),
+        F.round(F.avg("__gap_s"), 6).alias("mean_gap_s"),
+        F.round(F.max("__gap_s"), 6).alias("max_gap_s"),
+        F.sum(
+            (F.col("__gap_s") > F.lit(float(session_gap_s))).cast("bigint")
+        ).alias("n_session_breaks"),
+        F.round(
+            F.avg(
+                F.when(
+                    F.col("__prev_role").isNotNull(),
+                    (F.col("__role") != F.col("__prev_role")).cast("double"),
+                )
+            ),
+            6,
+        ).alias("alternation_rate"),
+        F.min(_epoch_us("__ts")).alias("__first_us"),
+        F.max(_epoch_us("__ts")).alias("__last_us"),
+    ).select(
+        entity,
+        "n_turns",
+        "n_user",
+        "n_assistant",
+        "n_tool",
+        "n_distinct_tools",
+        "total_tokens",
+        "mean_gap_s",
+        "max_gap_s",
+        "n_session_breaks",
+        "alternation_rate",
+        F.floor(F.col("__first_us") / 1_000_000).cast("bigint").alias(
+            "first_ts_s"
+        ),
+        F.floor((F.col("__last_us") - F.col("__first_us")) / 1_000_000)
+        .cast("bigint")
+        .alias("duration_s"),
+    )

@@ -364,3 +364,95 @@ def test_windowed_funnel_anchor_semantics(spark):
         for r in funnel(df, ["view", "click", "purchase"]).collect()
     }
     assert unb == {1: 3, 2: 3, 3: 2}
+
+
+# --- conversation_features ---
+
+
+def test_conversation_features_hand_fixture(spark):
+    """Two tiny conversations with hand-computed aggregates."""
+    import datetime as dt
+
+    from protosc_spark.windows import conversation_features
+
+    t0 = dt.datetime(2025, 1, 1, 0, 0, 0)
+
+    def ts(s):
+        return t0 + dt.timedelta(seconds=s)
+
+    rows = [
+        # conv a: user -> assistant -> tool(search) -> assistant
+        ("a", 0, "user", "hi there", None, ts(0)),
+        ("a", 1, "assistant", "hello", None, ts(10)),
+        ("a", 2, "tool", "result one two", "search", ts(40)),
+        ("a", 3, "assistant", "done", None, ts(2000)),
+        # conv b: user -> user (no alternation), one turn pair
+        ("b", 0, "user", "x y z", None, ts(100)),
+        ("b", 1, "user", "w", None, ts(100)),  # zero gap
+    ]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string,"
+        " tool string, ts timestamp"
+    )
+    got = (
+        conversation_features(df, session_gap_s=1800)
+        .orderBy("conv_id")
+        .toPandas()
+    )
+    a = got.iloc[0]
+    assert a["conv_id"] == "a"
+    assert a["n_turns"] == 4
+    assert (a["n_user"], a["n_assistant"], a["n_tool"]) == (1, 2, 1)
+    assert a["n_distinct_tools"] == 1
+    assert a["total_tokens"] == 2 + 1 + 3 + 1
+    assert abs(a["mean_gap_s"] - (10 + 30 + 1960) / 3) < 1e-6
+    assert abs(a["max_gap_s"] - 1960.0) < 1e-6
+    assert a["n_session_breaks"] == 1  # only the 1960 s gap
+    assert abs(a["alternation_rate"] - 1.0) < 1e-6  # every step switches
+    assert a["duration_s"] == 2000
+    b = got.iloc[1]
+    assert b["n_turns"] == 2
+    assert b["n_distinct_tools"] == 0
+    assert abs(b["alternation_rate"] - 0.0) < 1e-6
+    assert abs(b["mean_gap_s"] - 0.0) < 1e-6
+    assert b["n_session_breaks"] == 0
+    assert b["duration_s"] == 0
+
+
+def test_conversation_features_dirty_equals_clean(spark):
+    """stable_dedup(dirty) -> features must be row-identical to
+    clean -> features (the gate composition's invariant)."""
+    from protosc_spark.datagen import (
+        generate_transcripts,
+        generate_transcripts_dirty,
+    )
+    from protosc_spark.ordering import stable_dedup
+    from protosc_spark.windows import conversation_features
+
+    clean = generate_transcripts(spark, n_conversations=40, seed=7)
+    dirty = generate_transcripts_dirty(spark, n_conversations=40, seed=7)
+    a = (
+        conversation_features(clean).orderBy("conv_id").toPandas()
+    )
+    b = (
+        conversation_features(stable_dedup(dirty))
+        .orderBy("conv_id")
+        .toPandas()
+    )
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_conversation_features_single_exchange(spark):
+    """The window and the groupBy share the conv_id partitioning:
+    exactly ONE exchange in the whole plan, and no Python stages."""
+    from protosc_spark.datagen import generate_transcripts
+    from protosc_spark.windows import conversation_features
+
+    tr = generate_transcripts(spark, n_conversations=10, seed=7)
+    p = conversation_features(tr)._jdf.queryExecution().executedPlan().toString()
+    n_ex = p.count("Exchange") - p.count("Exchange SinglePartition")
+    # datagen itself contributes a conv_id window (cumulative gap sum);
+    # it partitions on the same key, so the whole job stays at one
+    # conv_id hash exchange.
+    assert n_ex == 1, p
+    assert "ArrowEvalPython" not in p and "BatchEvalPython" not in p
