@@ -443,6 +443,39 @@ def _transcript_conv_features(spark, sf_dir):
     return conversation_features(stable_dedup(tr))
 
 
+def _transcript_dedup_conversations(spark, sf_dir):
+    """Conversation-LEVEL dedup — the agent-transcript training-data
+    workflow: assemble one text per conversation in stable turn order
+    (conversation_texts), exact-dedup re-keyed replays, then
+    MinHash-LSH near-dup pairs over the survivors. Planted exact
+    replays (~1/5 of conversations, re-keyed copies) must vanish at
+    the exact stage; planted truncated replays (~1/7, last 10% of
+    turns dropped) must surface as near-dup pairs. Input is
+    engine-generated (seeded); oracle frozen."""
+    from protosc_spark.datagen import generate_transcripts
+    from protosc_spark.dedup import exact_dedup, minhash_lsh_pairs
+    from protosc_spark.ordering import conversation_texts
+
+    tr = generate_transcripts(spark, n_conversations=80, seed=42)
+    exact_r = tr.where(
+        F.pmod(F.xxhash64("conv_id"), F.lit(5)) == 0
+    ).withColumn("conv_id", F.concat("conv_id", F.lit("r")))
+    nmax = tr.groupBy("conv_id").agg(F.max("turn_idx").alias("mx"))
+    near_r = (
+        tr.where(F.pmod(F.xxhash64("conv_id"), F.lit(7)) == 1)
+        .join(F.broadcast(nmax), "conv_id")
+        .where(F.col("turn_idx") <= F.ceil(F.col("mx") * 0.9))
+        .drop("mx")
+        .withColumn("conv_id", F.concat("conv_id", F.lit("n")))
+    )
+    corpus = tr.unionByName(exact_r).unionByName(near_r)
+    texts = conversation_texts(corpus).withColumnRenamed(
+        "conv_id", "doc_id"
+    )
+    survivors = exact_dedup(texts.select("doc_id", "text"))
+    return minhash_lsh_pairs(survivors, tau=0.7)
+
+
 def _corpus_clean(spark, sf_dir):
     """End-to-end training-data cleaning pipeline: quality scoring ->
     language ID -> filter (prose-like English) -> exact dedup keeping
@@ -1767,6 +1800,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- round 5 ---
         "txt_bm25_topk": _txt_bm25_topk,
+        "transcript_dedup_conversations": _transcript_dedup_conversations,
         "transcript_conv_features": _transcript_conv_features,
         "events_funnel_7d": _events_funnel_windowed,
         "incremental_backfill_day": _incremental_backfill_day,

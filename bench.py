@@ -92,6 +92,7 @@ HEADLINE = [
     "events_funnel_7d",
     "txt_bm25_topk",
     "transcript_conv_features",
+    "transcript_dedup_conversations",
 ]
 
 BENCH_CONVERSATIONS = int(os.environ.get("PROTOSC_BENCH_CONVS", "20000"))

@@ -85,3 +85,48 @@ def range_partition_conversations(
     if num_partitions:
         return df.repartitionByRange(num_partitions, "conv_id", "turn_idx")
     return df.repartitionByRange("conv_id", "turn_idx")
+
+
+def conversation_texts(
+    df: DataFrame,
+    entity: str = "conv_id",
+    order: str = "turn_idx",
+    role_col: str = "role",
+    text_col: str = "text",
+) -> DataFrame:
+    """Assemble ONE row per conversation: the full transcript as a
+    single role-prefixed text in stable turn order — the projection
+    that lets every document-level corpus operator (exact dedup,
+    MinHash/LSH near-dup, quality scoring, BM25) run at CONVERSATION
+    granularity, which is the dedup unit that matters for agent-
+    transcript training data (retried/replayed conversations, shared
+    boilerplate sessions).
+
+    Determinism: the per-group ordering comes from sort_array over
+    (order, role, text) structs, not from any upstream sort — the
+    output is partitioning- and input-order-independent, so it is
+    freezable and safe downstream of any shuffle.
+
+    Scale shape: one map-side-combined groupBy on the conversation
+    key; a conversation's turns are bounded (the input contract the
+    as-of/window kernels already rely on), so the assembled text is
+    bounded too. All JVM built-ins — no Python.
+    """
+    return df.groupBy(entity).agg(
+        F.array_join(
+            F.transform(
+                F.sort_array(
+                    F.collect_list(
+                        F.struct(
+                            F.col(order).alias("i"),
+                            F.col(role_col).alias("r"),
+                            F.col(text_col).alias("t"),
+                        )
+                    )
+                ),
+                lambda s: F.concat(s["r"], F.lit(": "), s["t"]),
+            ),
+            "\n",
+        ).alias("text"),
+        F.count(F.lit(1)).cast("bigint").alias("n_turns"),
+    )

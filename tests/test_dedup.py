@@ -596,3 +596,86 @@ class TestDuplicatedSpans:
         # docs 0 (10/30 dup), 1 (10/25) and 4 (16/17) exceed 0.3 and
         # drop; the clean and short docs stay
         assert kept == {2, 3}, kept
+
+
+# --- conversation-level dedup ---
+
+
+def test_conversation_texts_assembly_and_order_independence(spark):
+    from protosc_spark.ordering import conversation_texts
+
+    rows = [
+        ("a", 1, "assistant", "hello"),
+        ("a", 0, "user", "hi"),
+        ("a", 2, "user", "bye"),
+        ("b", 0, "user", "solo"),
+    ]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string"
+    )
+    got = conversation_texts(df).orderBy("conv_id").toPandas()
+    assert got.iloc[0]["text"] == "user: hi\nassistant: hello\nuser: bye"
+    assert got.iloc[0]["n_turns"] == 3
+    assert got.iloc[1]["text"] == "user: solo"
+    # partitioning/order independence: shuffled input, same output
+    got2 = (
+        conversation_texts(df.orderBy(F.desc("turn_idx")).repartition(7))
+        .orderBy("conv_id")
+        .toPandas()
+    )
+    assert got.equals(got2)
+
+
+def test_conversation_dedup_planted_recovery(spark):
+    """The gate composition at a smaller size: every planted re-keyed
+    exact replay must vanish at the exact stage; every planted
+    truncated replay that actually lost turns must pair with its
+    source conversation in the near-dup output."""
+    from protosc_spark.datagen import generate_transcripts
+    from protosc_spark.dedup import exact_dedup, minhash_lsh_pairs
+    from protosc_spark.ordering import conversation_texts
+
+    tr = generate_transcripts(spark, n_conversations=40, seed=11)
+    exact_r = tr.where(
+        F.pmod(F.xxhash64("conv_id"), F.lit(5)) == 0
+    ).withColumn("conv_id", F.concat("conv_id", F.lit("r")))
+    nmax = tr.groupBy("conv_id").agg(F.max("turn_idx").alias("mx"))
+    near_r = (
+        tr.where(F.pmod(F.xxhash64("conv_id"), F.lit(7)) == 1)
+        .join(F.broadcast(nmax), "conv_id")
+        .where(F.col("turn_idx") <= F.ceil(F.col("mx") * 0.9))
+        .drop("mx")
+        .withColumn("conv_id", F.concat("conv_id", F.lit("n")))
+    )
+    corpus = tr.unionByName(exact_r).unionByName(near_r)
+    texts = conversation_texts(corpus).withColumnRenamed("conv_id", "doc_id")
+    survivors = exact_dedup(texts.select("doc_id", "text"))
+    surv_ids = {r.doc_id for r in survivors.select("doc_id").collect()}
+
+    planted_exact = {
+        r.conv_id for r in exact_r.select("conv_id").distinct().collect()
+    }
+    assert planted_exact, "fixture must plant exact replays"
+    # every re-keyed exact replay loses to its original (min doc_id)
+    assert not (planted_exact & surv_ids)
+
+    # truncated replays that genuinely lost >=2 turns must pair with
+    # their source at est_jaccard >= 0.7
+    pairs = minhash_lsh_pairs(survivors, tau=0.7).collect()
+    pair_set = {(r.doc_a, r.doc_b) for r in pairs}
+    n_by_conv = {r.conv_id: r.mx for r in nmax.collect()}
+    import math
+
+    planted_near = {
+        r.conv_id
+        for r in near_r.select("conv_id").distinct().collect()
+    }
+    for cid in planted_near:
+        src = cid[:-1]
+        mx = n_by_conv[src]
+        kept = math.ceil(mx * 0.9) + 1
+        if mx + 1 - kept >= 2 and cid in surv_ids:
+            assert (src, cid) in pair_set or (cid, src) in pair_set, (
+                f"{src} / {cid} (dropped {mx + 1 - kept} turns) "
+                "missing from near-dup pairs"
+            )
