@@ -1272,22 +1272,30 @@ def _mm_jpeg_roundtrip(spark, sf_dir):
     """REAL JPEG decode, end to end distributed: each document's first
     4 chars become a 16x16 grey image of four constant 8x8 blocks,
     encoded to actual JPEG bytes (numpy FDCT + Huffman,
-    protosc_spark.jpeg) in one Arrow pass — doc_id % 3 rotates the
+    protosc_spark.jpeg) in one Arrow pass — doc_id % 4 rotates the
     coding process: BASELINE (SOF0), PROGRESSIVE (SOF2: DC
     first/refine + AC first/refine scans), LOSSLESS (SOF3, predictor
-    4) — then decoded by decode_images(codec='jpeg') and reduced
+    4), HIERARCHICAL (T.81 Annex J: DHP, half-res SOF0 first frame,
+    EXP reference expansion, SOF7 differential-lossless final frame)
+    — then decoded by decode_images(codec='jpeg') and reduced
     JVM-side to dims + mean pixel. Constant blocks are BIT-EXACT
     through the lossy paths (the flat-8 quant table divides the DC
-    coefficient 8*(v-128) exactly) and lossless is exact by
-    definition, so the DuckDB oracle — which never touches a JPEG,
-    deriving the mean straight from the text's codepoints —
-    hash-matches; any codec defect (Huffman canon, zigzag, IDCT, DC
-    prediction, byte stuffing, progressive successive-approximation
-    reassembly, lossless predictor chain) breaks it."""
+    coefficient 8*(v-128) exactly), lossless is exact by definition,
+    and the hierarchical pyramid's differential-lossless final stage
+    makes ARBITRARY images exact, so the DuckDB oracle — which never
+    touches a JPEG, deriving the mean straight from the text's
+    codepoints — hash-matches; any codec defect (Huffman canon,
+    zigzag, IDCT, DC prediction, byte stuffing, progressive
+    successive-approximation reassembly, lossless predictor chain,
+    reference expansion filter, differential accumulation) breaks
+    it."""
     import numpy as np
+
+    from functools import partial
 
     from protosc_spark.jpeg import (
         encode_jpeg,
+        encode_jpeg_hierarchical,
         encode_jpeg_lossless,
         encode_jpeg_progressive,
     )
@@ -1300,7 +1308,8 @@ def _mm_jpeg_roundtrip(spark, sf_dir):
         import pandas as pd
 
         encoders = [encode_jpeg, encode_jpeg_progressive,
-                    encode_jpeg_lossless]
+                    encode_jpeg_lossless,
+                    partial(encode_jpeg_hierarchical, lossless=True)]
         out = []
         for did, t in zip(doc_ids, texts.fillna("")):
             s = (t + " " * 4)[:4]
@@ -1310,7 +1319,7 @@ def _mm_jpeg_roundtrip(spark, sf_dir):
             img[:8, 8:] = vals[1]
             img[8:, :8] = vals[2]
             img[8:, 8:] = vals[3]
-            out.append(encoders[int(did) % 3](img))
+            out.append(encoders[int(did) % 4](img))
         return pd.Series(out)
 
     blobs = docs.select(

@@ -157,17 +157,18 @@ def decode_images(df: DataFrame, codec: str = "fake") -> DataFrame:
     all four T.81 Annex-G progressive scan kinds, plus lossless SOF3
     with all 7 Annex-H predictors). Dims come from the blob's own
     header, not the meta column. ``codec="real"``
-    (hierarchical/arithmetic JPEG & exotic formats) still needs cv2
+    (arithmetic-coded JPEG & exotic formats) still needs cv2
     and raises with the production call documented. ``codec="fake"``
     is the deterministic sandbox codec.
     """
     if codec == "real":
         raise NotImplementedError(
-            "hierarchical/arithmetic JPEG and other exotic formats "
+            "arithmetic-coded JPEG and other exotic formats "
             "need cv2 (cv2.imdecode(np.frombuffer(data, np.uint8), "
             "cv2.IMREAD_COLOR)); not available in this container — PNG "
             "decodes for real via codec='png', sequential + "
-            "progressive + lossless JPEG via codec='jpeg'"
+            "progressive + lossless + hierarchical JPEG via "
+            "codec='jpeg'"
         )
     if codec in ("png", "jpeg"):
         if codec == "png":

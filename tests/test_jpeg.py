@@ -140,12 +140,16 @@ def test_restart_markers_and_dri():
     assert (img == 130).all()
 
 
-def test_hierarchical_sof_raises_with_documented_boundary():
+def test_unsupported_sof_raises_with_documented_boundary():
+    """SOF6 (differential progressive) and arithmetic-coded SOFs stay
+    behind the documented boundary; SOF5/SOF7 are now real (see the
+    hierarchical tests below)."""
     blob = bytearray(encode_jpeg(np.full((8, 8), 9, dtype=np.uint8)))
     idx = blob.find(b"\xff\xc0")
-    blob[idx + 1] = 0xC5  # rewrite SOF0 -> SOF5 (differential sequential)
-    with pytest.raises(NotImplementedError, match="hierarchical"):
-        decode_jpeg(bytes(blob))
+    for marker in (0xC6, 0xC9, 0xCA, 0xCB):
+        blob[idx + 1] = marker
+        with pytest.raises(NotImplementedError, match="arithmetic"):
+            decode_jpeg(bytes(blob))
 
 
 # ---------------------------------------------------------------------------
@@ -397,3 +401,108 @@ def test_handmade_420_chroma_subsampled_stream():
     img = decode_jpeg(bytes(out))
     assert img.shape == (16, 16, 3)
     assert (img == 130).all()
+
+
+# --- hierarchical (T.81 Annex J: DHP / EXP / SOF5 / SOF7) ---
+
+
+def _handmade_hierarchical_jpeg() -> bytes:
+    """16x16 grey built byte-by-byte from T.81 Annex J, independent of
+    the encoder: DHP(16x16), an 8x8 SOF0 first frame of constant 130
+    (the _handmade_dc_only_jpeg construction), EXP expanding the
+    reference 2x in both dims (constant stays constant through the
+    interpolation filter), then an SOF5 differential frame whose
+    top-left block carries DC coefficient +4 (dequant 32 -> +4 per
+    pixel after IDCT) and whose other three blocks are zero.
+    Expected: top-left 8x8 = 134, rest 130."""
+    out = bytearray(b"\xff\xd8")
+    out += b"\xff\xdb" + struct.pack(">HB", 67, 0x00) + bytes([8] * 64)
+    # DHP: SOF syntax, full dims 16x16
+    dhp = struct.pack(">BHHB", 8, 16, 16, 1) + bytes([1, 0x11, 0])
+    out += b"\xff\xde" + struct.pack(">H", 2 + len(dhp)) + dhp
+    # first frame: 8x8 constant 130 (DC sym 2, bits '10', EOB) ------
+    sof = struct.pack(">BHHB", 8, 8, 8, 1) + bytes([1, 0x11, 0])
+    out += b"\xff\xc0" + struct.pack(">H", 2 + len(sof)) + sof
+    out += b"\xff\xc4" + struct.pack(">H", 2 + 17 + 1)
+    out += bytes([0x00]) + bytes([1] + [0] * 15) + bytes([2])
+    out += b"\xff\xc4" + struct.pack(">H", 2 + 17 + 1)
+    out += bytes([0x10]) + bytes([1] + [0] * 15) + bytes([0])
+    sos = bytes([1, 1, 0x00, 0, 63, 0])
+    out += b"\xff\xda" + struct.pack(">H", 2 + len(sos)) + sos
+    out += bytes([0x4F])
+    # EXP: expand reference 2x horizontally and vertically ----------
+    out += b"\xff\xdf" + struct.pack(">H", 3) + bytes([0x11])
+    # differential frame: DC table {0 -> '0', 3 -> '10'}, AC = EOB
+    out += b"\xff\xc4" + struct.pack(">H", 2 + 17 + 2)
+    out += bytes([0x00]) + bytes([1, 1] + [0] * 14) + bytes([0, 3])
+    out += b"\xff\xc4" + struct.pack(">H", 2 + 17 + 1)
+    out += bytes([0x10]) + bytes([1] + [0] * 15) + bytes([0])
+    sof5 = struct.pack(">BHHB", 8, 16, 16, 1) + bytes([1, 0x11, 0])
+    out += b"\xff\xc5" + struct.pack(">H", 2 + len(sof5)) + sof5
+    out += b"\xff\xda" + struct.pack(">H", 2 + len(sos)) + sos
+    # block0: DC sym 3 ('10') + '100' (+4) + EOB ('0');
+    # blocks 1..3: DC sym 0 ('0') + EOB ('0'); pad with 1s
+    # -> 10 100 0 00 00 00 + 1111 = 0xA0 0x0F
+    out += bytes([0xA0, 0x0F])
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def test_hierarchical_decoder_against_handmade_spec_stream():
+    img = decode_jpeg(_handmade_hierarchical_jpeg())
+    assert img.shape == (16, 16, 1)
+    p = img[:, :, 0]
+    assert (p[:8, :8] == 134).all()
+    assert (p[:8, 8:] == 130).all()
+    assert (p[8:, :] == 130).all()
+
+
+def test_expand_ref_is_the_spec_interpolation_filter():
+    from protosc_spark.jpeg import _expand_ref
+
+    r = np.array([[0, 10]], dtype=np.int64)
+    # P(2x)=R(x), P(2x+1)=(R(x)+R(x+1)+1)>>1, edge replicated
+    assert _expand_ref(r, 1, 0).tolist() == [[0, 5, 10, 10]]
+    c = np.array([[3], [8]], dtype=np.int64)
+    assert _expand_ref(c, 0, 1).tolist() == [[3], [6], [8], [8]]
+
+
+@pytest.mark.parametrize("v", [0, 77, 128, 255])
+def test_hierarchical_constant_roundtrip_exact(v):
+    from protosc_spark.jpeg import encode_jpeg_hierarchical
+
+    img = np.full((16, 16), v, dtype=np.uint8)
+    out = decode_jpeg(encode_jpeg_hierarchical(img))
+    assert np.array_equal(out[:, :, 0], img)
+
+
+@pytest.mark.parametrize("shape", [(16, 16), (24, 31), (8, 8), (17, 9)])
+def test_hierarchical_lossless_roundtrip_bit_exact(shape):
+    """SOF7 differential-lossless final stage: arbitrary content is
+    exact regardless of first-stage quantization loss."""
+    from protosc_spark.jpeg import encode_jpeg_hierarchical
+
+    rng = np.random.default_rng(5)
+    img = rng.integers(0, 256, shape, dtype=np.uint8)
+    out = decode_jpeg(encode_jpeg_hierarchical(img, lossless=True))
+    assert np.array_equal(out[:, :, 0], img)
+
+
+def test_hierarchical_dct_differential_bounded_error():
+    """SOF5 unit-quantized difference stage: within IDCT integer
+    rounding (|err| <= 1) on arbitrary content."""
+    from protosc_spark.jpeg import encode_jpeg_hierarchical
+
+    rng = np.random.default_rng(3)
+    img = rng.integers(0, 256, (24, 31), dtype=np.uint8)
+    out = decode_jpeg(encode_jpeg_hierarchical(img))[:, :, 0]
+    assert np.abs(out.astype(int) - img.astype(int)).max() <= 1
+
+
+def test_differential_frame_before_dhp_raises():
+    buf = _handmade_hierarchical_jpeg()
+    # strip the DHP segment (19 bytes starting at its marker)
+    i = buf.index(b"\xff\xde")
+    broken = buf[:i] + buf[i + 19 :]
+    with pytest.raises(ValueError):
+        decode_jpeg(broken)
