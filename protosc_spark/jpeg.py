@@ -15,9 +15,9 @@ published format (ITU-T T.81 / ISO 10918-1), so like the PNG path
   Annex-H predictors with point transform (greyscale). HIERARCHICAL
   (Annex J) covers DHP, EXP reference expansion with the spec
   interpolation filter, and SOF5/SOF7 differential sequential/
-  lossless frames (greyscale pyramids). Differential progressive
-  (SOF6) and arithmetic coding raise with the production call
-  documented.
+  lossless frames plus SOF6 differential progressive (greyscale
+  pyramids) — every Huffman coding process of the spec. Arithmetic
+  coding raises with the production call documented.
 * **encode_jpeg** / **encode_jpeg_progressive** /
   **encode_jpeg_hierarchical**: the fixture/
   round-trip companions — 4:4:4 with deterministic uniform-length
@@ -316,11 +316,15 @@ def _ac_refine_block(reader, act, block, ss, se, al, eobrun) -> int:
 
 
 def _decode_progressive_scan(frame, scan, huff, restart_interval,
-                             segments, ss, se, ah, al, coeffs) -> None:
+                             segments, ss, se, ah, al, coeffs,
+                             differential: bool = False) -> None:
     """Decode one progressive scan into the coefficient store. DC
     scans (Ss=0) may be interleaved; AC scans are single-component by
     definition (T.81 G.1.1.1.1). Restart markers reset predictors and
-    the EOB run."""
+    the EOB run. ``differential`` (SOF6 frames, T.81 Annex J): DC
+    first scans code the coefficient DIRECTLY — prediction is zero
+    for every block (F.2.1.3.1); AC and refinement scans are
+    identical to the non-differential case."""
     reader = _BitReader(segments)
     hmax = max(c["h"] for c in frame["comps"])
     vmax = max(c["v"] for c in frame["comps"])
@@ -355,8 +359,14 @@ def _decode_progressive_scan(frame, scan, huff, restart_interval,
                 block = coeffs[comp["id"]][by, bx]
                 if ah == 0:  # first scan: diff-coded, point-transformed
                     s = reader.decode_symbol(huff[(0, dc_id)])
-                    pred[comp["id"]] += _extend(reader.read_bits(s), s)
-                    block[0] = pred[comp["id"]] << al
+                    v = 32768 if s == 16 else _extend(
+                        reader.read_bits(s), s
+                    )
+                    if differential:  # PRED = 0 for every block
+                        block[0] = v << al
+                    else:
+                        pred[comp["id"]] += v
+                        block[0] = pred[comp["id"]] << al
                 else:  # refinement: one raw bit per block
                     if reader.read_bit():
                         block[0] |= 1 << al
@@ -559,6 +569,36 @@ def _decode_lossless_diff_scan(frame, scan, huff, restart_interval,
     return out
 
 
+def _finalize_hier_progressive(frame, coeffs, qt, ref):
+    """End of a progressive frame inside a hierarchical stream (next
+    SOF/DHP/EXP/EOI seen): reconstruct the pending coefficient store.
+    Differential (SOF6): add the difference plane to the reference
+    modulo 2^16 (T.81 J.1.6); non-differential first frame: the
+    reconstructed pixels BECOME the reference."""
+    if frame.get("differential"):
+        if ref is None:
+            raise ValueError("differential frame with no reference")
+        diff = _reconstruct_progressive_diff(frame, coeffs, qt)
+        hh, ww = frame["h"], frame["w"]
+        return (ref[:hh, :ww] + diff) & 0xFFFF, None
+    out = _reconstruct_progressive(frame, coeffs, qt)
+    return out[:, :, 0].astype(np.int64), None
+
+
+def _reconstruct_progressive_diff(frame, coeffs, qt) -> np.ndarray:
+    """Differential progressive (SOF6) coefficient store -> rounded
+    int64 DIFFERENCE plane (greyscale, no level shift), cropped."""
+    c = frame["comps"][0]
+    zzb = coeffs[c["id"]]
+    bh, bw = zzb.shape[:2]
+    nat = np.zeros((bh, bw, 64))
+    nat[:, :, ZZ] = zzb
+    blocks = nat.reshape(bh, bw, 8, 8) * qt[c["q"]]
+    pix = np.einsum("ji,abjk,kl->abil", _T, blocks, _T)
+    plane = pix.transpose(0, 2, 1, 3).reshape(bh * 8, bw * 8)
+    return np.rint(plane[: frame["h"], : frame["w"]]).astype(np.int64)
+
+
 def decode_jpeg(buf: bytes) -> np.ndarray:
     """JPEG bytes -> (h, w, c) uint8 (c = 1 grey or 3 RGB)."""
     if buf[:2] != b"\xff\xd8":
@@ -610,11 +650,18 @@ def decode_jpeg(buf: bytes) -> np.ndarray:
                 p += 17 + n
         elif marker == 0xDD:  # DRI
             (restart_interval,) = struct.unpack(">H", seg[:2])
-        elif marker in (0xC0, 0xC1, 0xC2, 0xC3, 0xC5, 0xC7, 0xDE):
+        elif marker in (0xC0, 0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+                        0xDE):
             # SOF0/SOF1 sequential, SOF2 progressive, SOF3 lossless,
-            # SOF5/SOF7 differential sequential/lossless (hierarchical
-            # frames, T.81 Annex J), DHP (hierarchical progression —
-            # SOF syntax, defines the FULL-resolution dims)
+            # SOF5/SOF6/SOF7 differential sequential/progressive/
+            # lossless (hierarchical frames, T.81 Annex J), DHP
+            # (hierarchical progression — SOF syntax, defines the
+            # FULL-resolution dims)
+            if hier is not None and coeffs is not None:
+                # a new frame/DHP ends the pending progressive frame
+                ref, coeffs = _finalize_hier_progressive(
+                    frame, coeffs, qt, ref
+                )
             prec, h, w, nc = struct.unpack(">BHHB", seg[:6])
             comps = []
             for i in range(nc):
@@ -632,20 +679,24 @@ def decode_jpeg(buf: bytes) -> np.ndarray:
                 pos += seglen
                 continue
             frame = {"h": h, "w": w, "comps": comps, "precision": prec,
-                     "progressive": marker == 0xC2,
+                     "progressive": marker in (0xC2, 0xC6),
                      "lossless": marker in (0xC3, 0xC7),
-                     "differential": marker in (0xC5, 0xC7)}
+                     "differential": marker in (0xC5, 0xC6, 0xC7)}
             if frame["differential"] and hier is None:
                 raise ValueError("differential frame before DHP")
         elif marker == 0xDF:  # EXP: expand the hierarchical reference
+            if hier is not None and coeffs is not None:
+                ref, coeffs = _finalize_hier_progressive(
+                    frame, coeffs, qt, ref
+                )
             if ref is None:
                 raise ValueError("EXP with no reference frame decoded")
             ref = _expand_ref(ref, seg[0] >> 4, seg[0] & 0x0F)
-        elif marker in (0xC6, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+        elif marker in (0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
-                "sequential/progressive/lossless Huffman plus "
-                "hierarchical SOF5/SOF7 are implemented; differential "
-                "progressive (SOF6) and arithmetic-coded inputs need "
+                "every Huffman coding process (sequential, "
+                "progressive, lossless, hierarchical SOF5/SOF6/SOF7) "
+                "is implemented; arithmetic-coded inputs need "
                 "cv2.imdecode in production"
             )
         elif marker == 0xDA:  # SOS
@@ -657,7 +708,7 @@ def decode_jpeg(buf: bytes) -> np.ndarray:
                 cid, tabs = seg[1 + 2 * i : 3 + 2 * i]
                 comp = next(c for c in frame["comps"] if c["id"] == cid)
                 scan.append((comp, tabs >> 4, tabs & 0x0F))
-            if frame.get("differential"):
+            if frame.get("differential") and not frame["progressive"]:
                 if ref is None:
                     raise ValueError("differential scan with no "
                                      "reference (missing first frame)")
@@ -691,11 +742,6 @@ def decode_jpeg(buf: bytes) -> np.ndarray:
                 pos = p
                 continue
             if frame["progressive"]:
-                if hier is not None:
-                    raise NotImplementedError(
-                        "progressive first frames inside hierarchical "
-                        "streams not supported"
-                    )
                 ss, se = seg[1 + 2 * ns], seg[2 + 2 * ns]
                 ahal = seg[3 + 2 * ns]
                 if coeffs is None:
@@ -704,6 +750,7 @@ def decode_jpeg(buf: bytes) -> np.ndarray:
                 _decode_progressive_scan(
                     frame, scan, huff, restart_interval, segments,
                     ss, se, ahal >> 4, ahal & 0x0F, coeffs,
+                    differential=frame.get("differential", False),
                 )
                 pos = p
                 continue
@@ -722,6 +769,10 @@ def decode_jpeg(buf: bytes) -> np.ndarray:
             continue
         pos += seglen
     if hier is not None:
+        if coeffs is not None:
+            ref, coeffs = _finalize_hier_progressive(
+                frame, coeffs, qt, ref
+            )
         if ref is None:
             raise ValueError("hierarchical stream with no frames")
         final = ref[: hier["h"], : hier["w"]]
@@ -939,6 +990,20 @@ def _dc_first_scan(blocks, al, sink):
             s = _category(diff)
             sink.symbol(s)
             sink.bits(diff if diff >= 0 else diff + (1 << s) - 1, s)
+
+
+def _dc_first_scan_diff(blocks, al, sink):
+    """DC first scan of a DIFFERENTIAL progressive frame (SOF6): the
+    point-transformed DC coefficient is coded directly — prediction
+    is zero for every block (T.81 F.2.1.3.1)."""
+    by, bx = blocks[0].shape[:2]
+    for m in range(by * bx):
+        y, x = divmod(m, bx)
+        for bl in blocks:
+            v = int(bl[y, x, 0]) >> al
+            s = _category(v)
+            sink.symbol(s)
+            sink.bits(v if v >= 0 else v + (1 << s) - 1, s)
 
 
 def _dc_refine_scan(blocks, al, sink):
@@ -1268,7 +1333,8 @@ def encode_jpeg(img: np.ndarray, q: np.ndarray | None = None) -> bytes:
 
 
 def encode_jpeg_hierarchical(
-    img: np.ndarray, q: np.ndarray | None = None, lossless: bool = False
+    img: np.ndarray, q: np.ndarray | None = None,
+    lossless: bool = False, progressive: bool = False
 ) -> bytes:
     """(h, w) uint8 greyscale -> HIERARCHICAL JPEG bytes (T.81 Annex
     J): a two-level pyramid — DHP with the full dims, a baseline
@@ -1385,6 +1451,50 @@ def encode_jpeg_hierarchical(
             wtr.write(v if v >= 0 else v + (1 << s) - 1, s)
         wtr.flush()
         out += wtr.out
+    elif progressive:
+        # SOF6 differential PROGRESSIVE final stage: the same fixed
+        # scan script as encode_jpeg_progressive (DC first/refine, AC
+        # first in two bands, AC refine) over the unit-quantized
+        # difference coefficients, with zero DC prediction.
+        def run_scan(encode, cls):
+            coll = _SymbolCollector()
+            encode(coll)
+            dht, codes = b"", {}
+            if coll.symbols:
+                bits, vals = _uniform_huffman(coll.symbols)
+                body = bytes([(cls << 4) | 0]) + bytes(bits) + bytes(vals)
+                dht = b"\xff\xc4" + struct.pack(
+                    ">H", 2 + len(body)
+                ) + body
+                codes = _encode_table_codes(bits, vals)
+            em = _ScanEmitter(codes)
+            encode(em)
+            em.w.flush()
+            return dht, bytes(em.w.out)
+
+        def sos6(ss, se, ah, al):
+            hdr = bytes([1, 1, 0x00, ss, se, (ah << 4) | al])
+            return b"\xff\xda" + struct.pack(">H", 2 + len(hdr)) + hdr
+
+        sof = struct.pack(">BHHB", 8, h, w, 1) + bytes([1, 0x11, 1])
+        out += b"\xff\xc6" + struct.pack(">H", 2 + len(sof)) + sof
+        dht, data = run_scan(
+            lambda sk: _dc_first_scan_diff([bl2], 1, sk), 0
+        )
+        out += dht + sos6(0, 0, 0, 1) + data
+        _, data = run_scan(lambda sk: _dc_refine_scan([bl2], 0, sk), 0)
+        out += sos6(0, 0, 1, 0) + data
+        for lo, hi in ((1, 5), (6, 63)):
+            dht, data = run_scan(
+                lambda sk, lo=lo, hi=hi:
+                    _ac_first_scan(bl2, lo, hi, 1, sk),
+                1,
+            )
+            out += dht + sos6(lo, hi, 0, 1) + data
+        dht, data = run_scan(
+            lambda sk: _ac_refine_scan(bl2, 1, 63, 0, sk), 1
+        )
+        out += dht + sos6(1, 63, 1, 0) + data
     else:
         out += frame_bytes(bl2, 0xC5, h, w, 1, chain_dc=False)
     out += b"\xff\xd9"

@@ -141,12 +141,11 @@ def test_restart_markers_and_dri():
 
 
 def test_unsupported_sof_raises_with_documented_boundary():
-    """SOF6 (differential progressive) and arithmetic-coded SOFs stay
-    behind the documented boundary; SOF5/SOF7 are now real (see the
-    hierarchical tests below)."""
+    """Arithmetic-coded SOFs stay behind the documented boundary;
+    every Huffman process (SOF0-3, SOF5-7) is now real."""
     blob = bytearray(encode_jpeg(np.full((8, 8), 9, dtype=np.uint8)))
     idx = blob.find(b"\xff\xc0")
-    for marker in (0xC6, 0xC9, 0xCA, 0xCB):
+    for marker in (0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
         blob[idx + 1] = marker
         with pytest.raises(NotImplementedError, match="arithmetic"):
             decode_jpeg(bytes(blob))
@@ -506,3 +505,55 @@ def test_differential_frame_before_dhp_raises():
     broken = buf[:i] + buf[i + 19 :]
     with pytest.raises(ValueError):
         decode_jpeg(broken)
+
+
+def _handmade_hierarchical_sof6_jpeg() -> bytes:
+    """Same construction as _handmade_hierarchical_jpeg but the
+    differential frame is SOF6 (differential PROGRESSIVE) with a
+    single DC-first scan (Ss=Se=0, Ah=Al=0), no AC scans: block0
+    codes DC +4 directly (no prediction), blocks 1..3 code 0.
+    Entropy: '10'+'100' + '0'+'0'+'0' = 0xA0 exactly one byte."""
+    buf = bytearray(_handmade_hierarchical_jpeg())
+    i = buf.index(b"\xff\xc5")
+    buf[i + 1] = 0xC6  # SOF5 -> SOF6
+    # rewrite the SOS progression params Ss=0 Se=0 AhAl=0 and the
+    # entropy byte: the SOF5 stream's SOS is ...[1,1,0x00,0,63,0]
+    j = buf.index(b"\xff\xda", i)
+    assert buf[j + 7 : j + 10] == bytes([0, 63, 0])
+    buf[j + 8] = 0  # Se: 63 -> 0 (DC scan)
+    # entropy was 0xA0 0x0F (DC+EOB per block); DC-only needs 0xA0
+    assert buf[j + 10 : j + 12] == bytes([0xA0, 0x0F])
+    del buf[j + 11]  # drop the second byte (no AC symbols now)
+    return bytes(buf)
+
+
+def test_hierarchical_sof6_decoder_against_handmade_spec_stream():
+    img = decode_jpeg(_handmade_hierarchical_sof6_jpeg())
+    assert img.shape == (16, 16, 1)
+    p = img[:, :, 0]
+    assert (p[:8, :8] == 134).all()
+    assert (p[:8, 8:] == 130).all()
+    assert (p[8:, :] == 130).all()
+
+
+@pytest.mark.parametrize("shape", [(16, 16), (24, 31), (17, 9)])
+def test_hierarchical_sof6_decodes_identically_to_sof5(shape):
+    """The SOF6 scan script carries the same quantized coefficients
+    as the SOF5 frame, so both pyramids decode to identical pixels —
+    pins the whole differential-progressive reassembly path."""
+    from protosc_spark.jpeg import encode_jpeg_hierarchical
+
+    rng = np.random.default_rng(7)
+    img = rng.integers(0, 256, shape, dtype=np.uint8)
+    a = decode_jpeg(encode_jpeg_hierarchical(img))
+    b = decode_jpeg(encode_jpeg_hierarchical(img, progressive=True))
+    assert np.array_equal(a, b)
+
+
+@pytest.mark.parametrize("v", [0, 99, 255])
+def test_hierarchical_sof6_constant_roundtrip_exact(v):
+    from protosc_spark.jpeg import encode_jpeg_hierarchical
+
+    img = np.full((16, 16), v, dtype=np.uint8)
+    out = decode_jpeg(encode_jpeg_hierarchical(img, progressive=True))
+    assert np.array_equal(out[:, :, 0], img)
