@@ -472,6 +472,14 @@ def _reconstruct_progressive(frame, coeffs, qt) -> np.ndarray:
     return _assemble(frame, planes)
 
 
+def _fold_mod16(x: np.ndarray) -> np.ndarray:
+    """Modulo-2^16 accumulation (T.81 J.1.6) interpreted as SIGNED:
+    without the signed fold, a reference pixel whose differential sum
+    lands at -1 would wrap to 65535 and the final 0-255 clip would
+    emit 255 where the true value is 0."""
+    return ((x + 32768) & 0xFFFF) - 32768
+
+
 def _expand_ref(ref: np.ndarray, eh: int, ev: int) -> np.ndarray:
     """T.81 J.1.1.2 reference expansion: double the indicated
     dimension(s) with the spec interpolation filter
@@ -580,7 +588,7 @@ def _finalize_hier_progressive(frame, coeffs, qt, ref):
             raise ValueError("differential frame with no reference")
         diff = _reconstruct_progressive_diff(frame, coeffs, qt)
         hh, ww = frame["h"], frame["w"]
-        return (ref[:hh, :ww] + diff) & 0xFFFF, None
+        return _fold_mod16(ref[:hh, :ww] + diff), None
     out = _reconstruct_progressive(frame, coeffs, qt)
     return out[:, :, 0].astype(np.int64), None
 
@@ -588,6 +596,10 @@ def _finalize_hier_progressive(frame, coeffs, qt, ref):
 def _reconstruct_progressive_diff(frame, coeffs, qt) -> np.ndarray:
     """Differential progressive (SOF6) coefficient store -> rounded
     int64 DIFFERENCE plane (greyscale, no level shift), cropped."""
+    if len(frame["comps"]) != 1:
+        raise NotImplementedError(
+            "multi-component differential frames not supported"
+        )
     c = frame["comps"][0]
     zzb = coeffs[c["id"]]
     bh, bw = zzb.shape[:2]
@@ -725,7 +737,7 @@ def decode_jpeg(buf: bytes) -> np.ndarray:
                     )
                 hh, ww = frame["h"], frame["w"]
                 # T.81 J.1.6: differential output adds modulo 2^16
-                ref = (ref[:hh, :ww] + diff) & 0xFFFF
+                ref = _fold_mod16(ref[:hh, :ww] + diff)
                 pos = p
                 continue
             if frame["lossless"]:
@@ -976,6 +988,24 @@ class _ScanEmitter:
         self.w.write(value, length)
 
 
+def _run_scan(encode, cls: int) -> tuple[bytes, bytes]:
+    """Two-pass progressive scan emission: collect the scan's Huffman
+    symbols, build a deterministic uniform-length table, then emit.
+    Returns (DHT segment or b'', entropy-coded bytes)."""
+    coll = _SymbolCollector()
+    encode(coll)
+    dht, codes = b"", {}
+    if coll.symbols:
+        bits, vals = _uniform_huffman(coll.symbols)
+        body = bytes([(cls << 4) | 0]) + bytes(bits) + bytes(vals)
+        dht = b"\xff\xc4" + struct.pack(">H", 2 + len(body)) + body
+        codes = _encode_table_codes(bits, vals)
+    em = _ScanEmitter(codes)
+    encode(em)
+    em.w.flush()
+    return dht, bytes(em.w.out)
+
+
 def _dc_first_scan(blocks, al, sink):
     """Interleaved DC first scan (1x1 sampling): diff-code the
     point-transformed DC of every component per MCU, shared table."""
@@ -1150,21 +1180,7 @@ def encode_jpeg_progressive(
         sof += bytes([i + 1, 0x11, 0])
     out += b"\xff\xc2" + struct.pack(">H", 2 + len(sof)) + sof
 
-    def run_scan(encode, cls):
-        """Collect the scan's symbols, build a uniform table, emit.
-        Returns (DHT segment or b'', entropy-coded bytes)."""
-        coll = _SymbolCollector()
-        encode(coll)
-        dht, codes = b"", {}
-        if coll.symbols:
-            bits, vals = _uniform_huffman(coll.symbols)
-            body = bytes([(cls << 4) | 0]) + bytes(bits) + bytes(vals)
-            dht = b"\xff\xc4" + struct.pack(">H", 2 + len(body)) + body
-            codes = _encode_table_codes(bits, vals)
-        em = _ScanEmitter(codes)
-        encode(em)
-        em.w.flush()
-        return dht, bytes(em.w.out)
+    run_scan = _run_scan
 
     def sos(comp_ids, ss, se, ah, al):
         hdr = bytes([len(comp_ids)])
@@ -1456,21 +1472,7 @@ def encode_jpeg_hierarchical(
         # scan script as encode_jpeg_progressive (DC first/refine, AC
         # first in two bands, AC refine) over the unit-quantized
         # difference coefficients, with zero DC prediction.
-        def run_scan(encode, cls):
-            coll = _SymbolCollector()
-            encode(coll)
-            dht, codes = b"", {}
-            if coll.symbols:
-                bits, vals = _uniform_huffman(coll.symbols)
-                body = bytes([(cls << 4) | 0]) + bytes(bits) + bytes(vals)
-                dht = b"\xff\xc4" + struct.pack(
-                    ">H", 2 + len(body)
-                ) + body
-                codes = _encode_table_codes(bits, vals)
-            em = _ScanEmitter(codes)
-            encode(em)
-            em.w.flush()
-            return dht, bytes(em.w.out)
+        run_scan = _run_scan
 
         def sos6(ss, se, ah, al):
             hdr = bytes([1, 1, 0x00, ss, se, (ah << 4) | al])

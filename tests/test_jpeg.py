@@ -487,15 +487,23 @@ def test_hierarchical_lossless_roundtrip_bit_exact(shape):
     assert np.array_equal(out[:, :, 0], img)
 
 
-def test_hierarchical_dct_differential_bounded_error():
+@pytest.mark.parametrize("seed", [0, 1, 2, 3, 7])
+def test_hierarchical_dct_differential_bounded_error(seed):
     """SOF5 unit-quantized difference stage: within IDCT integer
-    rounding (|err| <= 1) on arbitrary content."""
+    rounding (|err| <= 1) on arbitrary content — INCLUDING forced
+    0/255 pixels, where an unsigned mod-2^16 reconstruction would
+    wrap a -1 differential sum to 255 (the bug a single lucky seed
+    used to mask)."""
     from protosc_spark.jpeg import encode_jpeg_hierarchical
 
-    rng = np.random.default_rng(3)
+    rng = np.random.default_rng(seed)
     img = rng.integers(0, 256, (24, 31), dtype=np.uint8)
-    out = decode_jpeg(encode_jpeg_hierarchical(img))[:, :, 0]
-    assert np.abs(out.astype(int) - img.astype(int)).max() <= 1
+    img[0, :5] = 0
+    img[-1, -5:] = 255
+    img[7, 7] = 0
+    for kw in ({}, {"progressive": True}):
+        out = decode_jpeg(encode_jpeg_hierarchical(img, **kw))[:, :, 0]
+        assert np.abs(out.astype(int) - img.astype(int)).max() <= 1
 
 
 def test_differential_frame_before_dhp_raises():
