@@ -443,6 +443,27 @@ def _transcript_conv_features(spark, sf_dir):
     return conversation_features(stable_dedup(tr))
 
 
+def _corpus_distinct_hll(spark, sf_dir):
+    """Per-source distinct-token counts two ways: the MERGEABLE
+    HyperLogLog sketch estimate (classic HLL over the engine-stable
+    md5-prefix hash — every register and the estimate formula are
+    reproduced bit-for-bit by the DuckDB oracle, so this is an exact
+    computation check, not a tolerance) next to the exact distinct
+    count. The sketch path is what incremental rollups store and
+    merge instead of rescanning the corpus."""
+    from protosc_spark.sketches import hll_distinct
+
+    docs = _read_wide(spark, sf_dir, "documents")
+    toks = docs.select(
+        "source", F.explode(F.split("text", " ")).alias("tok")
+    )
+    est = hll_distinct(toks, "source", "tok")
+    exact = toks.groupBy("source").agg(
+        F.countDistinct("tok").cast("bigint").alias("exact_distinct")
+    )
+    return est.join(exact, "source").orderBy("source")
+
+
 def _transcript_dedup_conversations(spark, sf_dir):
     """Conversation-LEVEL dedup — the agent-transcript training-data
     workflow: assemble one text per conversation in stable turn order
@@ -1808,6 +1829,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     full-surface green regardless of this ordering."""
     return {
         # --- round 5 ---
+        "corpus_distinct_hll": _corpus_distinct_hll,
         "txt_bm25_topk": _txt_bm25_topk,
         "transcript_dedup_conversations": _transcript_dedup_conversations,
         "transcript_conv_features": _transcript_conv_features,
@@ -2705,6 +2727,44 @@ def oracle_sql() -> dict[str, str]:
         # independent check of the real PNG codec: the oracle derives
         # the mean pixel straight from the text's codepoints, never
         # decoding a PNG — encode(Paeth) o decode must be the identity
+        "corpus_distinct_hll": """
+            WITH tok AS (
+              SELECT source, unnest(string_split(text, ' ')) AS tok
+              FROM documents
+            ), h AS (
+              SELECT source, tok,
+                     ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h
+              FROM tok
+            ), reg AS (
+              SELECT source, h // 281474976710656 AS idx,
+                     max(49 - length(ltrim(
+                           bin(h % 281474976710656), '0'))) AS rank
+              FROM h GROUP BY 1, 2
+            ), agg AS (
+              SELECT source,
+                     sum(pow(2.0, -rank)) AS z,
+                     count(*)::BIGINT AS occ
+              FROM reg GROUP BY 1
+            ), est AS (
+              SELECT source,
+                     CASE WHEN (0.7213 / (1.0 + 1.079 / 4096))
+                               * 4096 * 4096 / (z + (4096 - occ))
+                               <= 2.5 * 4096
+                          AND occ < 4096
+                          THEN 4096.0 * ln(4096.0 / (4096 - occ))
+                          ELSE (0.7213 / (1.0 + 1.079 / 4096))
+                               * 4096 * 4096 / (z + (4096 - occ))
+                     END AS e
+              FROM agg
+            ), exact AS (
+              SELECT source, count(DISTINCT tok)::BIGINT
+                       AS exact_distinct
+              FROM tok GROUP BY 1
+            )
+            SELECT source, round(e, 4) AS hll_distinct, exact_distinct
+            FROM est JOIN exact USING (source)
+            ORDER BY source
+        """,
         "txt_bm25_topk": """
             WITH q(qid, qtext) AS (VALUES
               (0, 'spark window join'),

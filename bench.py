@@ -93,6 +93,7 @@ HEADLINE = [
     "txt_bm25_topk",
     "transcript_conv_features",
     "transcript_dedup_conversations",
+    "corpus_distinct_hll",
 ]
 
 BENCH_CONVERSATIONS = int(os.environ.get("PROTOSC_BENCH_CONVS", "20000"))

@@ -1,0 +1,170 @@
+"""Mergeable distinct-count sketches (classic HyperLogLog, Flajolet et
+al. 2007) — the incremental-rollup primitive the snapshot tables
+exist for: compute a sketch per (day, source) once, store it as an
+ordinary array column, and answer "distinct tokens this quarter"
+by MERGING stored sketches (register-wise max, O(m) per group) instead
+of rescanning the corpus. Spark's built-in approx_count_distinct
+cannot persist or merge its state across runs; this one can.
+
+Engine-stable hashing: the same md5-prefix BIGINT hash the sampling
+rules use (``conv(substr(md5(v),1,15),16,10)``, 60 bits), so a DuckDB
+oracle reproduces every register and the estimate bit-for-bit — the
+gate checks the full computation, not a tolerance.
+
+Layout: p index bits (m = 2^p registers), rank = leading-zero count
+of the remaining 60-p bits + 1. Estimate = alpha_m * m^2 /
+sum(2^-rank) with the small-range linear-counting correction
+(E <= 2.5m and empty registers present -> m * ln(m / V)). The
+HLL++ empirical bias tables are deliberately not transcribed; classic
+HLL keeps every constant derivable from the published formula.
+
+All pure JVM expressions — no Python anywhere.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+HLL_P = 12  # 4096 registers, ~1.6% standard error
+_HASH_BITS = 60
+
+
+def _alpha(m: int) -> float:
+    # published alpha_m for m >= 128 (Flajolet et al. 2007, Fig. 3)
+    return 0.7213 / (1.0 + 1.079 / m)
+
+
+def _hash60(col: Column) -> Column:
+    """60-bit engine-stable hash: BIGINT of the first 15 hex chars of
+    md5 — reproducible in DuckDB as ('0x'||substr(md5(v),1,15))::BIGINT."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("bigint")
+
+
+def _registers(df: DataFrame, keys: list[str], value_col: str,
+               p: int) -> DataFrame:
+    """(keys..., idx, rank): max rank per occupied register. One
+    explode-free projection + one map-side-combined groupBy."""
+    w_bits = _HASH_BITS - p
+    two_w = 1 << w_bits
+    base = df.select(*keys, _hash60(F.col(value_col)).alias("__h"))
+    w = F.pmod(F.col("__h"), F.lit(two_w))
+    # highest-set-bit position of w via the base-2 string (no clz
+    # builtin): bin(w) prints no leading zeros, so its length IS the
+    # bit position; w = 0 -> 0 occupied bits -> rank = w_bits + 1
+    bits = F.when(w == 0, F.lit(0)).otherwise(F.length(F.bin(w)))
+    return (
+        base.select(
+            *keys,
+            F.expr(f"__h DIV {two_w}").cast("bigint").alias("idx"),
+            (F.lit(w_bits) - bits + 1).cast("int").alias("rank"),
+        )
+        .groupBy(*keys, "idx")
+        .agg(F.max("rank").alias("rank"))
+    )
+
+
+def _estimate_from_stats(m: int) -> Column:
+    """Estimate from per-group aggregates ``__z`` (sum of 2^-rank over
+    OCCUPIED registers) and ``__occ`` (occupied-register count):
+    empty registers each contribute 2^0 = 1 to the harmonic sum."""
+    z = F.col("__z") + (F.lit(m) - F.col("__occ"))
+    raw = F.lit(_alpha(m) * m * m) / z
+    v = F.lit(m) - F.col("__occ")  # empty registers
+    linear = F.lit(float(m)) * F.log(F.lit(float(m)) / v)
+    return F.when(
+        (raw <= F.lit(2.5 * m)) & (v > 0), linear
+    ).otherwise(raw)
+
+
+def hll_distinct(df: DataFrame, keys: list[str] | str, value_col: str,
+                 p: int = HLL_P) -> DataFrame:
+    """Per-group distinct-count estimate, straight from the register
+    table (no sketch materialization): (keys..., hll_distinct double).
+    """
+    keys = [keys] if isinstance(keys, str) else list(keys)
+    m = 1 << p
+    regs = _registers(df, keys, value_col, p)
+    return (
+        regs.groupBy(*keys)
+        .agg(
+            F.sum(F.pow(F.lit(2.0), -F.col("rank"))).alias("__z"),
+            F.count(F.lit(1)).cast("bigint").alias("__occ"),
+        )
+        .select(
+            *keys,
+            F.round(_estimate_from_stats(m), 4).alias("hll_distinct"),
+        )
+    )
+
+
+def hll_sketch(df: DataFrame, keys: list[str] | str, value_col: str,
+               p: int = HLL_P) -> DataFrame:
+    """Materialize the MERGEABLE sketch: (keys..., sketch array<int>
+    of length 2^p). Store it next to a rollup (e.g. per day x source
+    in the snapshot tables); later periods merge with
+    :func:`hll_merge` without touching the raw rows again."""
+    keys = [keys] if isinstance(keys, str) else list(keys)
+    m = 1 << p
+    regs = _registers(df, keys, value_col, p)
+    pairs = regs.groupBy(*keys).agg(
+        F.map_from_entries(
+            F.collect_list(F.struct("idx", "rank"))
+        ).alias("__m")
+    )
+    sketch = F.transform(
+        F.sequence(F.lit(0), F.lit(m - 1)),
+        lambda i: F.coalesce(
+            F.element_at("__m", i.cast("bigint")), F.lit(0)
+        ).cast("int"),
+    )
+    return pairs.select(*keys, sketch.alias("sketch"))
+
+
+def hll_merge(df: DataFrame, keys: list[str] | str,
+              sketch_col: str = "sketch") -> DataFrame:
+    """Merge sketch rows into one sketch per key group: register-wise
+    max. Explode-based (scales with rows x m, no per-group collect):
+    posexplode -> (keys, pos) max -> reassemble."""
+    keys = [keys] if isinstance(keys, str) else list(keys)
+    exploded = df.select(
+        *keys, F.posexplode(sketch_col).alias("idx", "rank")
+    ).groupBy(*keys, "idx").agg(F.max("rank").alias("rank"))
+    merged = exploded.groupBy(*keys).agg(
+        F.map_from_entries(
+            F.collect_list(F.struct("idx", "rank"))
+        ).alias("__m")
+    )
+    m = F.size(F.map_keys("__m"))  # registers all present post-explode
+    sketch = F.transform(
+        F.sequence(F.lit(0), m - 1),
+        lambda i: F.element_at("__m", i.cast("bigint")).cast("int"),
+    )
+    return merged.select(*keys, sketch.alias("sketch"))
+
+
+def hll_estimate(sketch: Column | str, p: int = HLL_P) -> Column:
+    """Estimate column from a stored sketch array (pure expression):
+    usable in any select over sketch rollups."""
+    m = 1 << p
+    s = F.col(sketch) if isinstance(sketch, str) else sketch
+    z = F.aggregate(
+        s,
+        F.lit(0.0),
+        lambda acc, r: acc + F.pow(F.lit(2.0), -r.cast("double")),
+    )
+    occ = F.size(F.filter(s, lambda r: r > 0))
+    raw = F.lit(_alpha(m) * m * m) / z
+    v = (F.lit(m) - occ).cast("double")
+    linear = F.lit(float(m)) * F.log(F.lit(float(m)) / v)
+    return F.round(
+        F.when((raw <= F.lit(2.5 * m)) & (v > 0), linear).otherwise(raw),
+        4,
+    )
+
+
+def hll_error_bound(p: int = HLL_P) -> float:
+    """Published standard error of classic HLL: 1.04 / sqrt(m)."""
+    return 1.04 / math.sqrt(1 << p)
