@@ -443,6 +443,27 @@ def _transcript_conv_features(spark, sf_dir):
     return conversation_features(stable_dedup(tr))
 
 
+def _corpus_length_quantiles_hdr(spark, sf_dir):
+    """Per-source token-length percentiles from the MERGEABLE
+    HDR-histogram sketch (integer-exact bucketing, <0.8% relative
+    error) — the incremental path for the percentile rollups
+    corpus_stats_by_source computes by full scan. The DuckDB oracle
+    reproduces bucket ids, cumulative ranks and representative
+    values with pure integer arithmetic — an exact computation
+    check."""
+    from protosc_spark.sketches import hdr_histogram, hdr_quantiles
+
+    docs = _read_wide(spark, sf_dir, "documents")
+    t = docs.select(
+        "source",
+        F.size(F.split("text", " ")).cast("bigint").alias("n_tokens"),
+    )
+    hist = hdr_histogram(t, "source", "n_tokens")
+    return hdr_quantiles(hist, "source", [0.5, 0.9, 0.99]).orderBy(
+        "source", "q"
+    )
+
+
 def _corpus_distinct_hll(spark, sf_dir):
     """Per-source distinct-token counts two ways: the MERGEABLE
     HyperLogLog sketch estimate (classic HLL over the engine-stable
@@ -1829,6 +1850,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     full-surface green regardless of this ordering."""
     return {
         # --- round 5 ---
+        "corpus_length_quantiles_hdr": _corpus_length_quantiles_hdr,
         "corpus_distinct_hll": _corpus_distinct_hll,
         "txt_bm25_topk": _txt_bm25_topk,
         "transcript_dedup_conversations": _transcript_dedup_conversations,
@@ -2727,6 +2749,42 @@ def oracle_sql() -> dict[str, str]:
         # independent check of the real PNG codec: the oracle derives
         # the mean pixel straight from the text's codepoints, never
         # decoding a PNG — encode(Paeth) o decode must be the identity
+        "corpus_length_quantiles_hdr": """
+            WITH t AS (
+              SELECT source,
+                     len(string_split(text, ' '))::BIGINT AS x
+              FROM documents
+            ), b AS (
+              SELECT source,
+                     CASE WHEN length(bin(x)) - 1 <= 7 THEN x
+                          ELSE (length(bin(x)) - 1 - 7) * 128
+                               + x // (1::BIGINT
+                                       << (length(bin(x)) - 1 - 7))
+                     END AS bucket
+              FROM t
+            ), h AS (
+              SELECT source, bucket, count(*)::BIGINT AS n
+              FROM b GROUP BY 1, 2
+            ), c AS (
+              SELECT source, bucket, n,
+                     sum(n) OVER (PARTITION BY source
+                                  ORDER BY bucket) AS cum,
+                     sum(n) OVER (PARTITION BY source) AS total
+              FROM h
+            ), q(q) AS (VALUES (0.5), (0.9), (0.99)),
+            hit AS (
+              SELECT source, q, min(bucket) AS bucket
+              FROM c CROSS JOIN q
+              WHERE cum >= ceil(q * total)
+              GROUP BY 1, 2
+            )
+            SELECT source, q,
+                   CASE WHEN bucket < 256 THEN bucket
+                        ELSE (bucket - (bucket // 128 - 1) * 128)
+                             * (1::BIGINT << (bucket // 128 - 1))
+                   END AS value
+            FROM hit ORDER BY source, q
+        """,
         "corpus_distinct_hll": """
             WITH tok AS (
               SELECT source, unnest(string_split(text, ' ')) AS tok

@@ -94,6 +94,7 @@ HEADLINE = [
     "transcript_conv_features",
     "transcript_dedup_conversations",
     "corpus_distinct_hll",
+    "corpus_length_quantiles_hdr",
 ]
 
 BENCH_CONVERSATIONS = int(os.environ.get("PROTOSC_BENCH_CONVS", "20000"))

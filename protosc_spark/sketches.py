@@ -168,3 +168,95 @@ def hll_estimate(sketch: Column | str, p: int = HLL_P) -> Column:
 def hll_error_bound(p: int = HLL_P) -> float:
     """Published standard error of classic HLL: 1.04 / sqrt(m)."""
     return 1.04 / math.sqrt(1 << p)
+
+
+# ---------------------------------------------------------------------------
+# HDR-histogram quantile sketch (mergeable, integer-exact bucketing)
+# ---------------------------------------------------------------------------
+
+HDR_S = 7  # sub-bucket precision bits: relative error <= 2^-7 < 0.8%
+
+
+def _hdr_bucket(x: Column, s: int) -> Column:
+    """Bucket id for positive integer x — HDR-histogram layout: exact
+    ids below 2^(s+1), then (exponent, s-bit mantissa prefix) buckets.
+    Integer-exact and reproducible in DuckDB (highest set bit via the
+    base-2 string, shifts via exact small-power division), unlike a
+    log-gamma DDSketch index whose float boundary rounding could
+    differ between engines. Monotone in x; relative bucket width
+    <= 2^-s."""
+    e = F.length(F.bin(x)) - 1  # floor(log2 x), x >= 1
+    shift = (e - F.lit(s)).cast("int")
+    m = F.floor(
+        x / F.pow(F.lit(2.0), shift.cast("double"))
+    ).cast("bigint")
+    return F.when(e <= s, x.cast("bigint")).otherwise(
+        shift.cast("bigint") * (1 << s) + m
+    )
+
+
+def _hdr_lower(bucket: Column, s: int) -> Column:
+    """Lower bound (representative value) of a bucket id — the exact
+    inverse of :func:`_hdr_bucket`'s lower edge."""
+    shift = (bucket / (1 << s)).cast("bigint") - 1
+    m = bucket - shift * (1 << s)
+    return F.when(bucket < (1 << (s + 1)), bucket).otherwise(
+        (m * F.pow(F.lit(2.0), shift.cast("double"))).cast("bigint")
+    )
+
+
+def hdr_histogram(df: DataFrame, keys: list[str] | str, value_col: str,
+                  s: int = HDR_S) -> DataFrame:
+    """Mergeable quantile summary: (keys..., bucket, n) counts per HDR
+    bucket. Merge across periods = groupBy(keys, bucket) sum(n) —
+    store one histogram per (day, source) and answer quarter
+    percentiles without rescanning raw rows. Values must be positive
+    integers (token counts, byte sizes, latencies)."""
+    keys = [keys] if isinstance(keys, str) else list(keys)
+    return (
+        df.select(
+            *keys, _hdr_bucket(F.col(value_col), s).alias("bucket")
+        )
+        .groupBy(*keys, "bucket")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+
+
+def hdr_merge(df: DataFrame, keys: list[str] | str) -> DataFrame:
+    """Merge histogram rows (from several periods) bucket-wise."""
+    keys = [keys] if isinstance(keys, str) else list(keys)
+    return df.groupBy(*keys, "bucket").agg(F.sum("n").alias("n"))
+
+
+def hdr_quantiles(hist: DataFrame, keys: list[str] | str,
+                  qs: list[float], s: int = HDR_S) -> DataFrame:
+    """Quantiles from a histogram: for each q, the representative
+    (bucket lower bound) of the first bucket whose cumulative count
+    reaches ceil(q * n) — the classic discrete rank rule, identical
+    in the DuckDB oracle. Output: (keys..., q, value). Relative error
+    vs the true order statistic <= 2^-s.
+
+    Scale shape: one window cumsum over the (small) bucket table per
+    group + a broadcast-sized quantile list crossJoin; never touches
+    raw rows."""
+    from pyspark.sql import Window as W
+
+    keys = [keys] if isinstance(keys, str) else list(keys)
+    w = W.partitionBy(*keys).orderBy("bucket").rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    cum = hist.withColumn("cum", F.sum("n").over(w)).withColumn(
+        "total", F.sum("n").over(W.partitionBy(*keys))
+    )
+    qdf = hist.sparkSession.createDataFrame(
+        [(float(q),) for q in qs], "q double"
+    )
+    hit = (
+        cum.crossJoin(F.broadcast(qdf))
+        .where(F.col("cum") >= F.ceil(F.col("q") * F.col("total")))
+        .groupBy(*keys, "q")
+        .agg(F.min("bucket").alias("bucket"))
+    )
+    return hit.select(
+        *keys, "q", _hdr_lower(F.col("bucket"), s).alias("value")
+    )

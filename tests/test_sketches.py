@@ -85,3 +85,101 @@ def test_hll_plan_no_python_no_cartesian(spark):
     )
     assert "ArrowEvalPython" not in p and "BatchEvalPython" not in p
     assert "CartesianProduct" not in p and "BroadcastNestedLoop" not in p
+
+
+# --- HDR-histogram quantile sketch ---
+
+
+def _hdr_vals(spark, seed=0, n=20000, hi=5000):
+    rng = np.random.default_rng(seed)
+    vals = rng.integers(1, hi, n).tolist()
+    return (
+        spark.createDataFrame(
+            [("a", int(v)) for v in vals], "g string, v long"
+        ),
+        np.sort(np.array(vals)),
+    )
+
+
+def test_hdr_quantiles_within_relative_error_bound(spark):
+    import math
+
+    from protosc_spark.sketches import HDR_S, hdr_histogram, hdr_quantiles
+
+    df, exact = _hdr_vals(spark)
+    qs = [0.5, 0.9, 0.99]
+    out = hdr_quantiles(hdr_histogram(df, "g", "v"), "g", qs).collect()
+    assert len(out) == 3
+    for r in out:
+        true = exact[math.ceil(r.q * len(exact)) - 1]
+        assert abs(r.value - true) / true <= 2 ** -HDR_S, (r, true)
+
+
+def test_hdr_small_values_are_exact(spark):
+    """Values below 2^(s+1) = 256 occupy exact unit buckets: any
+    quantile of small-valued data is the TRUE order statistic."""
+    import math
+
+    from protosc_spark.sketches import hdr_histogram, hdr_quantiles
+
+    df, exact = _hdr_vals(spark, seed=3, hi=250)
+    out = hdr_quantiles(
+        hdr_histogram(df, "g", "v"), "g", [0.25, 0.5, 0.75, 0.99]
+    ).collect()
+    for r in out:
+        assert r.value == exact[math.ceil(r.q * len(exact)) - 1]
+
+
+def test_hdr_merge_equals_histogram_of_union(spark):
+    from protosc_spark.sketches import hdr_histogram, hdr_merge
+
+    df, _ = _hdr_vals(spark, seed=5)
+    a = df.where(F.col("v") % 2 == 0)
+    b = df.where(F.col("v") % 2 == 1)
+    merged = hdr_merge(
+        hdr_histogram(a, "g", "v").unionByName(hdr_histogram(b, "g", "v")),
+        "g",
+    )
+    full = hdr_histogram(df, "g", "v")
+    got = [(r.bucket, r.n) for r in merged.orderBy("bucket").collect()]
+    want = [(r.bucket, r.n) for r in full.orderBy("bucket").collect()]
+    assert got == want
+
+
+def test_hdr_bucket_monotone_and_invertible():
+    """Pure-python transcription of the bucket/lower rules: monotone
+    in x, lower(bucket(x)) <= x, relative width <= 2^-s."""
+    s = 7
+
+    def bucket(x):
+        e = x.bit_length() - 1
+        if e <= s:
+            return x
+        return (e - s) * (1 << s) + (x >> (e - s))
+
+    def lower(b):
+        if b < 1 << (s + 1):
+            return b
+        shift = b // (1 << s) - 1
+        return (b - shift * (1 << s)) << shift
+
+    prev = 0
+    for x in list(range(1, 5000)) + [10**6, 10**9, 2**40]:
+        bkt = bucket(x)
+        assert bkt >= prev
+        prev = bkt
+        lo = lower(bkt)
+        assert lo <= x and (x - lo) / x <= 2 ** -s
+
+
+def test_hdr_plan_no_python(spark):
+    from protosc_spark.sketches import hdr_histogram, hdr_quantiles
+
+    df, _ = _hdr_vals(spark, n=200)
+    p = (
+        hdr_quantiles(hdr_histogram(df, "g", "v"), "g", [0.5])
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "ArrowEvalPython" not in p and "BatchEvalPython" not in p
