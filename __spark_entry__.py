@@ -443,6 +443,47 @@ def _transcript_conv_features(spark, sf_dir):
     return conversation_features(stable_dedup(tr))
 
 
+def _corpus_source_overlap_kmv(spark, sf_dir):
+    """Shared-vocabulary cardinality for every source pair via KMV
+    (bottom-k theta) sketch INTERSECTIONS — the set operation HLL
+    registers cannot express — next to the exact shared counts. The
+    sketches are deterministic (k smallest md5-prefix hashes), so the
+    DuckDB oracle reproduces every sketch, every theta and every
+    estimate exactly."""
+    from protosc_spark.sketches import kmv_intersect_estimate, kmv_sketch
+
+    docs = _read_wide(spark, sf_dir, "documents")
+    toks = docs.select(
+        "source", F.explode(F.split("text", " ")).alias("tok")
+    )
+    sk = kmv_sketch(toks, "source", "tok")
+    pairs = (
+        sk.select(F.col("source").alias("source_a"), F.col("kmv").alias("ka"))
+        .join(
+            sk.select(
+                F.col("source").alias("source_b"), F.col("kmv").alias("kb")
+            ),
+            F.col("source_a") < F.col("source_b"),
+        )
+        .select(
+            "source_a",
+            "source_b",
+            kmv_intersect_estimate("ka", "kb").alias("est_shared"),
+        )
+    )
+    st = toks.distinct()
+    exact = (
+        st.select(F.col("source").alias("source_a"), "tok")
+        .join(st.select(F.col("source").alias("source_b"), "tok"), "tok")
+        .where(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("exact_shared"))
+    )
+    return pairs.join(exact, ["source_a", "source_b"]).orderBy(
+        "source_a", "source_b"
+    )
+
+
 def _corpus_length_quantiles_hdr(spark, sf_dir):
     """Per-source token-length percentiles from the MERGEABLE
     HDR-histogram sketch (integer-exact bucketing, <0.8% relative
@@ -1850,6 +1891,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     full-surface green regardless of this ordering."""
     return {
         # --- round 5 ---
+        "corpus_source_overlap_kmv": _corpus_source_overlap_kmv,
         "corpus_length_quantiles_hdr": _corpus_length_quantiles_hdr,
         "corpus_distinct_hll": _corpus_distinct_hll,
         "txt_bm25_topk": _txt_bm25_topk,
@@ -2749,6 +2791,60 @@ def oracle_sql() -> dict[str, str]:
         # independent check of the real PNG codec: the oracle derives
         # the mean pixel straight from the text's codepoints, never
         # decoding a PNG — encode(Paeth) o decode must be the identity
+        "corpus_source_overlap_kmv": """
+            WITH st AS (
+              SELECT DISTINCT source,
+                     unnest(string_split(text, ' ')) AS tok
+              FROM documents
+            ), h AS (
+              SELECT DISTINCT source,
+                     ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h
+              FROM st
+            ), r AS (
+              SELECT source, h,
+                     row_number() OVER (PARTITION BY source
+                                        ORDER BY h) AS rn
+              FROM h
+            ), sk AS (
+              SELECT source, h FROM r WHERE rn <= 256
+            ), th AS (
+              SELECT source,
+                     CASE WHEN count(*) >= 256
+                          THEN max(h)::DOUBLE
+                          ELSE 1152921504606846976.0 END AS theta
+              FROM sk GROUP BY 1
+            ), allpairs AS (
+              SELECT ta.source AS source_a, tb.source AS source_b,
+                     least(ta.theta, tb.theta) AS theta
+              FROM th ta JOIN th tb ON ta.source < tb.source
+            ), shared AS (
+              SELECT a.source AS source_a, b.source AS source_b,
+                     count(*)::DOUBLE AS cnt
+              FROM sk a
+              JOIN sk b ON a.h = b.h AND a.source < b.source
+              JOIN allpairs p
+                ON p.source_a = a.source AND p.source_b = b.source
+              WHERE a.h < p.theta
+              GROUP BY 1, 2
+            ), est AS (
+              SELECT p.source_a, p.source_b,
+                     round(coalesce(s.cnt, 0.0)
+                           * 1152921504606846976.0 / p.theta, 4)
+                       AS est_shared
+              FROM allpairs p
+              LEFT JOIN shared s
+                ON s.source_a = p.source_a AND s.source_b = p.source_b
+            ), exact AS (
+              SELECT a.source AS source_a, b.source AS source_b,
+                     count(*)::BIGINT AS exact_shared
+              FROM st a JOIN st b
+                ON a.tok = b.tok AND a.source < b.source
+              GROUP BY 1, 2
+            )
+            SELECT source_a, source_b, est_shared, exact_shared
+            FROM est JOIN exact USING (source_a, source_b)
+            ORDER BY source_a, source_b
+        """,
         "corpus_length_quantiles_hdr": """
             WITH t AS (
               SELECT source,

@@ -95,6 +95,7 @@ HEADLINE = [
     "transcript_dedup_conversations",
     "corpus_distinct_hll",
     "corpus_length_quantiles_hdr",
+    "corpus_source_overlap_kmv",
 ]
 
 BENCH_CONVERSATIONS = int(os.environ.get("PROTOSC_BENCH_CONVS", "20000"))

@@ -260,3 +260,108 @@ def hdr_quantiles(hist: DataFrame, keys: list[str] | str,
     return hit.select(
         *keys, "q", _hdr_lower(F.col("bucket"), s).alias("value")
     )
+
+
+# ---------------------------------------------------------------------------
+# KMV (k-minimum-values / bottom-k theta) sketch: mergeable distinct
+# sketches that also support SET OPERATIONS (intersection cardinality),
+# which HLL registers cannot express.
+# ---------------------------------------------------------------------------
+
+KMV_K = 256
+_TWO60 = float(1 << _HASH_BITS)
+
+
+def kmv_sketch(df: DataFrame, keys: list[str] | str, value_col: str,
+               k: int = KMV_K, bucket_factor: int = 32) -> DataFrame:
+    """(keys..., kmv array<bigint>): the k smallest DISTINCT 60-bit
+    hashes per group, ascending. Deterministic (no sampling coin —
+    the hash order IS the sample), so the DuckDB oracle reproduces
+    the sketch value-for-value.
+
+    Scale shape: distinct-hash groupBy, then the k-smallest per group
+    runs two-phase ((keys, hash-bucket) partial top-k, then global
+    over <= bucket_factor*k survivors) — same skew-safe pattern as
+    bm25_topk; the final collect_list is k-bounded."""
+    keys = [keys] if isinstance(keys, str) else list(keys)
+    dh = (
+        df.select(*keys, _hash60(F.col(value_col)).alias("h"))
+        .groupBy(*keys, "h")
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .drop("__c")
+    )
+    return _bottom_k(dh, keys, k, bucket_factor)
+
+
+def _bottom_k(dh: DataFrame, keys: list[str], k: int,
+              bucket_factor: int) -> DataFrame:
+    """k smallest DISTINCT values of column ``h`` per key group,
+    two-phase skew-safe, assembled ascending into ``kmv``."""
+    from pyspark.sql import Window as W
+
+    w1 = W.partitionBy(
+        *keys, F.pmod(F.col("h"), F.lit(bucket_factor))
+    ).orderBy("h")
+    w2 = W.partitionBy(*keys).orderBy("h")
+    topk = (
+        dh.withColumn("__r1", F.row_number().over(w1))
+        .where(F.col("__r1") <= k)
+        .withColumn("__r2", F.row_number().over(w2))
+        .where(F.col("__r2") <= k)
+    )
+    return topk.groupBy(*keys).agg(
+        F.sort_array(F.collect_list("h")).alias("kmv")
+    )
+
+
+def kmv_estimate(sketch: Column | str, k: int = KMV_K) -> Column:
+    """Distinct-count estimate from a KMV sketch: exact when fewer
+    than k distinct hashes were seen, else (k-1) * 2^60 / theta with
+    theta = the k-th smallest hash."""
+    s = F.col(sketch) if isinstance(sketch, str) else sketch
+    n = F.size(s)
+    theta = F.element_at(s, k).cast("double")
+    return F.round(
+        F.when(n < k, n.cast("double")).otherwise(
+            F.lit(float(k - 1)) * F.lit(_TWO60) / theta
+        ),
+        4,
+    )
+
+
+def kmv_merge(df: DataFrame, keys: list[str] | str,
+              sketch_col: str = "kmv", k: int = KMV_K) -> DataFrame:
+    """Merge sketch rows per key group: union of hash sets, keep the
+    k smallest — the sketch of the union, exactly (explode-based,
+    same two-phase k-smallest kernel)."""
+    keys = [keys] if isinstance(keys, str) else list(keys)
+    dh = (
+        df.select(*keys, F.explode(sketch_col).alias("h"))
+        .groupBy(*keys, "h")
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .drop("__c")
+    )
+    return _bottom_k(dh, keys, k, bucket_factor=32)
+
+
+def kmv_intersect_estimate(a: Column | str, b: Column | str,
+                           k: int = KMV_K) -> Column:
+    """Intersection-cardinality estimate of two KMV sketches (theta
+    semantics): candidates = shared hashes below theta_min; estimate
+    = |candidates| * 2^60 / theta_min, exact when both sketches are
+    under-full (every distinct hash present)."""
+    ca = F.col(a) if isinstance(a, str) else a
+    cb = F.col(b) if isinstance(b, str) else b
+    theta_a = F.when(
+        F.size(ca) < k, F.lit(_TWO60)
+    ).otherwise(F.element_at(ca, k).cast("double"))
+    theta_b = F.when(
+        F.size(cb) < k, F.lit(_TWO60)
+    ).otherwise(F.element_at(cb, k).cast("double"))
+    theta = F.least(theta_a, theta_b)
+    shared = F.size(
+        F.filter(
+            F.array_intersect(ca, cb), lambda h: h.cast("double") < theta
+        )
+    )
+    return F.round(shared.cast("double") * F.lit(_TWO60) / theta, 4)

@@ -183,3 +183,131 @@ def test_hdr_plan_no_python(spark):
         .toString()
     )
     assert "ArrowEvalPython" not in p and "BatchEvalPython" not in p
+
+
+# --- KMV (bottom-k theta) sketch ---
+
+
+def _two_groups(spark):
+    """Group a: 5000 distinct values; group b: 4000 distinct values,
+    2000 of them shared with a."""
+    return spark.range(9000).select(
+        F.when(F.col("id") < 5000, "a").otherwise("b").alias("g"),
+        F.concat(
+            F.lit("v"),
+            F.when(F.col("id") < 5000, F.col("id"))
+            .otherwise(F.col("id") - 2000)
+            .cast("string"),
+        ).alias("v"),
+    )
+
+
+def test_kmv_estimate_accuracy_and_exact_underfull(spark):
+    from protosc_spark.sketches import kmv_estimate, kmv_sketch
+
+    df = _two_groups(spark)
+    est = {
+        r.g: r.e
+        for r in kmv_sketch(df, "g", "v")
+        .select("g", kmv_estimate("kmv").alias("e"))
+        .collect()
+    }
+    # k=256 -> sigma ~ 1/sqrt(254) ~ 6.3%; allow 3 sigma
+    assert abs(est["a"] - 5000) / 5000 < 0.19
+    assert abs(est["b"] - 4000) / 4000 < 0.19
+    # under-full sketch: exact by construction
+    small = spark.createDataFrame(
+        [("s", f"x{i}") for i in range(40)], "g string, v string"
+    )
+    e = (
+        kmv_sketch(small, "g", "v")
+        .select(kmv_estimate("kmv").alias("e"))
+        .collect()[0]
+        .e
+    )
+    assert e == 40.0
+
+
+def test_kmv_merge_equals_sketch_of_union(spark):
+    from protosc_spark.sketches import kmv_merge, kmv_sketch
+
+    df = _two_groups(spark)
+    sk = kmv_sketch(df, "g", "v")
+    merged = kmv_merge(
+        sk.select(F.lit("all").alias("g"), "kmv"), "g"
+    ).collect()[0].kmv
+    union = kmv_sketch(
+        df.select(F.lit("all").alias("g"), "v"), "g", "v"
+    ).collect()[0].kmv
+    assert list(merged) == list(union)
+
+
+def test_kmv_intersection_estimate(spark):
+    from protosc_spark.sketches import kmv_intersect_estimate, kmv_sketch
+
+    df = _two_groups(spark)
+    sk = kmv_sketch(df, "g", "v")
+    pair = (
+        sk.where(F.col("g") == "a")
+        .select(F.col("kmv").alias("ka"))
+        .crossJoin(
+            sk.where(F.col("g") == "b").select(F.col("kmv").alias("kb"))
+        )
+    )
+    i = pair.select(kmv_intersect_estimate("ka", "kb").alias("i")).collect()[
+        0
+    ].i
+    assert abs(i - 2000) / 2000 < 0.35, i
+    # disjoint groups -> exactly 0
+    dj = spark.createDataFrame(
+        [("p", f"l{i}") for i in range(300)]
+        + [("q", f"r{i}") for i in range(300)],
+        "g string, v string",
+    )
+    sk2 = kmv_sketch(dj, "g", "v")
+    pair2 = (
+        sk2.where(F.col("g") == "p")
+        .select(F.col("kmv").alias("ka"))
+        .crossJoin(
+            sk2.where(F.col("g") == "q").select(F.col("kmv").alias("kb"))
+        )
+    )
+    assert (
+        pair2.select(kmv_intersect_estimate("ka", "kb").alias("i"))
+        .collect()[0]
+        .i
+        == 0.0
+    )
+
+
+def test_kmv_underfull_intersection_is_exact(spark):
+    """Both sketches under-full -> every distinct hash is present and
+    theta = 2^60, so the intersection estimate IS the exact count."""
+    from protosc_spark.sketches import kmv_intersect_estimate, kmv_sketch
+
+    rows = [("x", f"s{i}") for i in range(100)] + [
+        ("y", f"s{i}") for i in range(60, 160)
+    ]
+    sk = kmv_sketch(
+        spark.createDataFrame(rows, "g string, v string"), "g", "v"
+    )
+    pair = (
+        sk.where(F.col("g") == "x")
+        .select(F.col("kmv").alias("ka"))
+        .crossJoin(
+            sk.where(F.col("g") == "y").select(F.col("kmv").alias("kb"))
+        )
+    )
+    i = pair.select(kmv_intersect_estimate("ka", "kb").alias("i")).collect()[
+        0
+    ].i
+    assert i == 40.0
+
+
+def test_kmv_partitioning_independence(spark):
+    from protosc_spark.sketches import kmv_sketch
+
+    df = _two_groups(spark)
+    a = kmv_sketch(df.repartition(1), "g", "v").orderBy("g").collect()
+    b = kmv_sketch(df.repartition(13), "g", "v").orderBy("g").collect()
+    assert [list(r.kmv) for r in a] == [list(r.kmv) for r in b]
