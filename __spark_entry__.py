@@ -443,6 +443,38 @@ def _transcript_conv_features(spark, sf_dir):
     return conversation_features(stable_dedup(tr))
 
 
+def _corpus_heavy_hitters_cms(spark, sf_dir):
+    """Count-min frequency estimates for the corpus's 20 most
+    frequent tokens (exact top-20 by count desc / token asc) next to
+    their exact counts — the mergeable heavy-hitter rollup. The
+    DuckDB oracle reproduces the row-salted buckets, every counter
+    and the min-over-rows estimate exactly; CMS never underestimates,
+    and at this (d=4, w=1024) size the gate corpus collides, so the
+    est/exact columns also document the published overestimate
+    behavior rather than pretending the sketch is exact."""
+    from protosc_spark.sketches import cms_estimate, cms_table
+
+    from pyspark.sql import Window as W
+
+    docs = _read_wide(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(F.split("text", " ")).alias("tok"))
+    counts = toks.groupBy("tok").agg(
+        F.count(F.lit(1)).cast("bigint").alias("exact_count")
+    )
+    wtop = W.orderBy(F.desc("exact_count"), F.asc("tok"))
+    top = (
+        counts.withColumn("rnk", F.row_number().over(wtop))
+        .where(F.col("rnk") <= 20)
+    )
+    table = cms_table(toks, [], "tok")
+    est = cms_estimate(table, top.select("tok"), "tok")
+    return (
+        top.join(est, "tok")
+        .select("rnk", "tok", "est_count", "exact_count")
+        .orderBy("rnk")
+    )
+
+
 def _corpus_source_overlap_kmv(spark, sf_dir):
     """Shared-vocabulary cardinality for every source pair via KMV
     (bottom-k theta) sketch INTERSECTIONS — the set operation HLL
@@ -1891,6 +1923,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     full-surface green regardless of this ordering."""
     return {
         # --- round 5 ---
+        "corpus_heavy_hitters_cms": _corpus_heavy_hitters_cms,
         "corpus_source_overlap_kmv": _corpus_source_overlap_kmv,
         "corpus_length_quantiles_hdr": _corpus_length_quantiles_hdr,
         "corpus_distinct_hll": _corpus_distinct_hll,
@@ -2791,6 +2824,41 @@ def oracle_sql() -> dict[str, str]:
         # independent check of the real PNG codec: the oracle derives
         # the mean pixel straight from the text's codepoints, never
         # decoding a PNG — encode(Paeth) o decode must be the identity
+        "corpus_heavy_hitters_cms": """
+            WITH tok AS (
+              SELECT unnest(string_split(text, ' ')) AS tok
+              FROM documents
+            ), counts AS (
+              SELECT tok, count(*)::BIGINT AS exact_count
+              FROM tok GROUP BY 1
+            ), top AS (
+              SELECT tok, exact_count,
+                     row_number() OVER (
+                       ORDER BY exact_count DESC, tok
+                     ) AS rnk
+              FROM counts QUALIFY rnk <= 20
+            ), cms AS (
+              SELECT r.row,
+                     ('0x' || substr(md5(r.row || ':' || t.tok), 1, 15)
+                     )::BIGINT % 1024 AS bucket,
+                     count(*)::BIGINT AS c
+              FROM tok t, range(0, 4) r(row)
+              GROUP BY 1, 2
+            ), qb AS (
+              SELECT p.tok, r.row,
+                     ('0x' || substr(md5(r.row || ':' || p.tok), 1, 15)
+                     )::BIGINT % 1024 AS bucket
+              FROM top p, range(0, 4) r(row)
+            ), est AS (
+              SELECT q.tok, min(c.c) AS est_count
+              FROM qb q JOIN cms c
+                ON c.row = q.row AND c.bucket = q.bucket
+              GROUP BY 1
+            )
+            SELECT t.rnk, t.tok, e.est_count, t.exact_count
+            FROM top t JOIN est e USING (tok)
+            ORDER BY t.rnk
+        """,
         "corpus_source_overlap_kmv": """
             WITH st AS (
               SELECT DISTINCT source,

@@ -96,6 +96,7 @@ HEADLINE = [
     "corpus_distinct_hll",
     "corpus_length_quantiles_hdr",
     "corpus_source_overlap_kmv",
+    "corpus_heavy_hitters_cms",
 ]
 
 BENCH_CONVERSATIONS = int(os.environ.get("PROTOSC_BENCH_CONVS", "20000"))

@@ -365,3 +365,82 @@ def kmv_intersect_estimate(a: Column | str, b: Column | str,
         )
     )
     return F.round(shared.cast("double") * F.lit(_TWO60) / theta, 4)
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch: mergeable frequency summaries / heavy hitters
+# ---------------------------------------------------------------------------
+
+CMS_D = 4     # hash rows: error probability ~ e^-d
+CMS_W = 1024  # counters per row: overestimate ~ n_total / w
+
+
+def _cms_bucket(row: Column, value: Column, w: int) -> Column:
+    """Row-salted engine-stable bucket: md5(row ':' value) % w —
+    reproducible in DuckDB."""
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(row.cast("string"), F.lit(":"), value)), 1, 15
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    return F.pmod(h, F.lit(w))
+
+
+def cms_table(df: DataFrame, keys: list[str] | str, value_col: str,
+              d: int = CMS_D, w: int = CMS_W) -> DataFrame:
+    """Mergeable count-min sketch as a (keys..., row, bucket, c)
+    counter table (<= d*w rows per key group). Merge across periods =
+    groupBy(keys, row, bucket) sum(c) — store one per (day, source)
+    and answer \"how often did X occur this quarter\" from counters.
+
+    Scale shape: a d-way sequence explode before ONE map-side-combined
+    groupBy; counters, never raw values, cross the wire."""
+    keys = ([keys] if isinstance(keys, str) else list(keys or []))
+    rows = df.select(
+        *keys,
+        F.col(value_col).alias("__v"),
+        F.explode(F.sequence(F.lit(0), F.lit(d - 1))).alias("row"),
+    )
+    return (
+        rows.select(
+            *keys,
+            "row",
+            _cms_bucket(F.col("row"), F.col("__v"), w).alias("bucket"),
+        )
+        .groupBy(*keys, "row", "bucket")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+
+
+def cms_merge(df: DataFrame, keys: list[str] | str) -> DataFrame:
+    """Merge counter tables from several periods: elementwise sum."""
+    keys = ([keys] if isinstance(keys, str) else list(keys or []))
+    return df.groupBy(*keys, "row", "bucket").agg(
+        F.sum("c").alias("c")
+    )
+
+
+def cms_estimate(table: DataFrame, queries: DataFrame,
+                 value_col: str, d: int = CMS_D,
+                 w: int = CMS_W) -> DataFrame:
+    """Frequency estimates for a bounded query set: min over the d
+    row counters at each query's buckets (the classic CMS upper
+    bound — never an underestimate). Queries broadcast; one join
+    against the counter table."""
+    q = queries.select(F.col(value_col).alias("__q")).distinct()
+    qb = q.select(
+        "__q",
+        F.explode(F.sequence(F.lit(0), F.lit(d - 1))).alias("row"),
+    ).select(
+        "__q",
+        "row",
+        _cms_bucket(F.col("row"), F.col("__q"), w).alias("bucket"),
+    )
+    joined = table.join(F.broadcast(qb), ["row", "bucket"])
+    return (
+        joined.groupBy("__q")
+        .agg(F.min("c").alias("est_count"))
+        .select(F.col("__q").alias(value_col), "est_count")
+    )

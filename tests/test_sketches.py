@@ -311,3 +311,79 @@ def test_kmv_partitioning_independence(spark):
     a = kmv_sketch(df.repartition(1), "g", "v").orderBy("g").collect()
     b = kmv_sketch(df.repartition(13), "g", "v").orderBy("g").collect()
     assert [list(r.kmv) for r in a] == [list(r.kmv) for r in b]
+
+
+# --- count-min sketch ---
+
+
+def test_cms_never_underestimates_and_mostly_exact_when_sparse(spark):
+    from protosc_spark.sketches import cms_estimate, cms_table
+
+    rng = np.random.default_rng(4)
+    vals = [f"t{rng.integers(0, 100)}" for _ in range(1000)]
+    df = spark.createDataFrame([(v,) for v in vals], "v string")
+    exact = {}
+    for v in vals:
+        exact[v] = exact.get(v, 0) + 1
+    table = cms_table(df, [], "v")
+    est = {
+        r.v: r.est_count
+        for r in cms_estimate(table, df.select("v").distinct(), "v").collect()
+    }
+    n_exact = 0
+    for v, c in exact.items():
+        assert est[v] >= c, (v, est[v], c)  # CMS upper bound, always
+        n_exact += est[v] == c
+    # 100 distinct into 1024 buckets x 4 rows: the min over rows is
+    # exact for the vast majority (deterministic for this fixed data)
+    assert n_exact >= 90, n_exact
+
+
+def test_cms_merge_equals_table_of_union(spark):
+    from protosc_spark.sketches import cms_merge, cms_table
+
+    df = spark.createDataFrame(
+        [(i, f"u{i % 37}") for i in range(500)], "id long, v string"
+    )
+    a = df.where(F.col("id") < 250)
+    b = df.where(F.col("id") >= 250)
+    merged = cms_merge(
+        cms_table(a, [], "v").unionByName(cms_table(b, [], "v")), []
+    )
+    full = cms_table(df, [], "v")
+    got = sorted(
+        (r.row, r.bucket, r.c) for r in merged.collect()
+    )
+    want = sorted((r.row, r.bucket, r.c) for r in full.collect())
+    assert got == want
+
+
+def test_cms_partitioning_independence(spark):
+    from protosc_spark.sketches import cms_table
+
+    df = spark.createDataFrame(
+        [(f"w{i % 61}",) for i in range(800)], "v string"
+    )
+    a = sorted(
+        (r.row, r.bucket, r.c)
+        for r in cms_table(df.repartition(1), [], "v").collect()
+    )
+    b = sorted(
+        (r.row, r.bucket, r.c)
+        for r in cms_table(df.repartition(19), [], "v").collect()
+    )
+    assert a == b
+
+
+def test_cms_plan_no_python(spark):
+    from protosc_spark.sketches import cms_estimate, cms_table
+
+    df = spark.createDataFrame([("x",), ("y",)], "v string")
+    t = cms_table(df, [], "v")
+    p = (
+        cms_estimate(t, df, "v")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "ArrowEvalPython" not in p and "BatchEvalPython" not in p
