@@ -443,6 +443,42 @@ def _transcript_conv_features(spark, sf_dir):
     return conversation_features(stable_dedup(tr))
 
 
+def _events_wau_hll(spark, sf_dir):
+    """Weekly-active-users per day (7-day sliding window) from DAILY
+    HLL register tables — overlapping windows merge stored registers
+    instead of rescanning events (the DAU/WAU rollup pattern). Exact
+    windowed distinct counts alongside; the DuckDB oracle reproduces
+    daily registers, the window merge and the estimate exactly."""
+    from protosc_spark.sketches import hll_window_distinct
+
+    ev = _read(spark, sf_dir, "events")
+    daily = ev.select(
+        F.to_date("ts").alias("day"),
+        F.col("user_id").cast("string").alias("u"),
+    )
+    est = hll_window_distinct(daily, "day", "u", window_days=7)
+    days = daily.select(F.col("day").alias("target_day")).distinct()
+    exact = (
+        daily.distinct()
+        .join(
+            F.broadcast(days),
+            (F.col("day") <= F.col("target_day"))
+            & (F.col("day") >= F.date_sub(F.col("target_day"), 6)),
+        )
+        .groupBy("target_day")
+        .agg(F.countDistinct("u").cast("bigint").alias("exact_distinct"))
+    )
+    return (
+        est.join(exact, "target_day")
+        .select(
+            F.col("target_day").cast("string").alias("target_day"),
+            "hll_distinct",
+            "exact_distinct",
+        )
+        .orderBy("target_day")
+    )
+
+
 def _corpus_heavy_hitters_cms(spark, sf_dir):
     """Count-min frequency estimates for the corpus's 20 most
     frequent tokens (exact top-20 by count desc / token asc) next to
@@ -1923,6 +1959,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     full-surface green regardless of this ordering."""
     return {
         # --- round 5 ---
+        "events_wau_hll": _events_wau_hll,
         "corpus_heavy_hitters_cms": _corpus_heavy_hitters_cms,
         "corpus_source_overlap_kmv": _corpus_source_overlap_kmv,
         "corpus_length_quantiles_hdr": _corpus_length_quantiles_hdr,
@@ -2824,6 +2861,56 @@ def oracle_sql() -> dict[str, str]:
         # independent check of the real PNG codec: the oracle derives
         # the mean pixel straight from the text's codepoints, never
         # decoding a PNG — encode(Paeth) o decode must be the identity
+        "events_wau_hll": """
+            WITH daily AS (
+              SELECT DISTINCT ts::DATE AS day, user_id::VARCHAR AS u
+              FROM events
+            ), h AS (
+              SELECT day,
+                     ('0x' || substr(md5(u), 1, 15))::BIGINT AS h
+              FROM daily
+            ), reg AS (
+              SELECT day, h // 281474976710656 AS idx,
+                     max(49 - length(ltrim(
+                           bin(h % 281474976710656), '0'))) AS rank
+              FROM h GROUP BY 1, 2
+            ), days AS (
+              SELECT DISTINCT day AS target_day FROM daily
+            ), win AS (
+              SELECT d.target_day, r.idx, max(r.rank) AS rank
+              FROM reg r JOIN days d
+                ON r.day <= d.target_day
+               AND r.day >= d.target_day - INTERVAL 6 DAY
+              GROUP BY 1, 2
+            ), agg AS (
+              SELECT target_day,
+                     sum(pow(2.0, -rank)) AS z,
+                     count(*)::BIGINT AS occ
+              FROM win GROUP BY 1
+            ), est AS (
+              SELECT target_day,
+                     CASE WHEN (0.7213 / (1.0 + 1.079 / 4096))
+                               * 4096 * 4096 / (z + (4096 - occ))
+                               <= 2.5 * 4096
+                          AND occ < 4096
+                          THEN 4096.0 * ln(4096.0 / (4096 - occ))
+                          ELSE (0.7213 / (1.0 + 1.079 / 4096))
+                               * 4096 * 4096 / (z + (4096 - occ))
+                     END AS e
+              FROM agg
+            ), exact AS (
+              SELECT d.target_day,
+                     count(DISTINCT a.u)::BIGINT AS exact_distinct
+              FROM daily a JOIN days d
+                ON a.day <= d.target_day
+               AND a.day >= d.target_day - INTERVAL 6 DAY
+              GROUP BY 1
+            )
+            SELECT target_day::VARCHAR AS target_day,
+                   round(e, 4) AS hll_distinct, exact_distinct
+            FROM est JOIN exact USING (target_day)
+            ORDER BY target_day
+        """,
         "corpus_heavy_hitters_cms": """
             WITH tok AS (
               SELECT unnest(string_split(text, ' ')) AS tok

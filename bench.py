@@ -97,6 +97,7 @@ HEADLINE = [
     "corpus_length_quantiles_hdr",
     "corpus_source_overlap_kmv",
     "corpus_heavy_hitters_cms",
+    "events_wau_hll",
 ]
 
 BENCH_CONVERSATIONS = int(os.environ.get("PROTOSC_BENCH_CONVS", "20000"))

@@ -444,3 +444,45 @@ def cms_estimate(table: DataFrame, queries: DataFrame,
         .agg(F.min("c").alias("est_count"))
         .select(F.col("__q").alias(value_col), "est_count")
     )
+
+
+def hll_window_distinct(df: DataFrame, day_col: str, value_col: str,
+                        window_days: int = 7,
+                        p: int = HLL_P) -> DataFrame:
+    """Sliding-window distinct counts from DAILY register tables —
+    the DAU/WAU pattern: each day's registers are built once and
+    every overlapping window position merges register rows
+    (register-wise max) instead of rescanning raw rows. Output:
+    (target_day, hll_distinct) for every day present.
+
+    Scale shape: the register table is <= days x m rows; the window
+    expansion is a broadcast range join against the (tiny) distinct-
+    day list, then one groupBy per (target_day, register). Raw rows
+    are touched exactly once."""
+    m = 1 << p
+    regs = _registers(df, [day_col], value_col, p)
+    days = df.select(
+        F.col(day_col).alias("target_day")
+    ).distinct()
+    joined = regs.join(
+        F.broadcast(days),
+        (F.col(day_col) <= F.col("target_day"))
+        & (
+            F.col(day_col)
+            >= F.date_sub(F.col("target_day"), window_days - 1)
+        ),
+    )
+    merged = joined.groupBy("target_day", "idx").agg(
+        F.max("rank").alias("rank")
+    )
+    return (
+        merged.groupBy("target_day")
+        .agg(
+            F.sum(F.pow(F.lit(2.0), -F.col("rank"))).alias("__z"),
+            F.count(F.lit(1)).cast("bigint").alias("__occ"),
+        )
+        .select(
+            "target_day",
+            F.round(_estimate_from_stats(m), 4).alias("hll_distinct"),
+        )
+    )

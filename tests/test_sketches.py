@@ -387,3 +387,43 @@ def test_cms_plan_no_python(spark):
         .toString()
     )
     assert "ArrowEvalPython" not in p and "BatchEvalPython" not in p
+
+
+def test_hll_window_distinct_matches_per_window_direct(spark):
+    """Each sliding-window estimate from merged DAILY registers must
+    EQUAL the direct hll_distinct of that window's raw rows (register
+    max commutes with union) — and stay within the error bound of the
+    exact windowed count."""
+    import datetime as dt
+
+    from protosc_spark.sketches import (
+        hll_distinct,
+        hll_error_bound,
+        hll_window_distinct,
+    )
+
+    rows = []
+    base = dt.date(2025, 3, 1)
+    rng = np.random.default_rng(9)
+    for d in range(10):
+        day = base + dt.timedelta(days=d)
+        for u in rng.integers(0, 2000, 800):
+            rows.append((day, f"u{u}"))
+    df = spark.createDataFrame(rows, "day date, u string")
+    out = {
+        r.target_day: r.hll_distinct
+        for r in hll_window_distinct(df, "day", "u", window_days=3).collect()
+    }
+    assert len(out) == 10
+    for d in range(10):
+        day = base + dt.timedelta(days=d)
+        lo = day - dt.timedelta(days=2)
+        win = df.where((F.col("day") >= lo) & (F.col("day") <= day))
+        direct = (
+            hll_distinct(win.select(F.lit("g").alias("g"), "u"), "g", "u")
+            .collect()[0]
+            .hll_distinct
+        )
+        assert abs(out[day] - direct) < 1e-6, (day, out[day], direct)
+        exact = win.select("u").distinct().count()
+        assert abs(out[day] - exact) / exact < 3 * hll_error_bound()
