@@ -443,6 +443,20 @@ def _transcript_conv_features(spark, sf_dir):
     return conversation_features(stable_dedup(tr))
 
 
+def _corpus_weighted_sample(spark, sf_dir):
+    """100 documents sampled WITHOUT replacement with probability
+    proportional to n_chars (Efraimidis-Spirtakis exponential race,
+    deterministic md5 uniforms; ranks by round(key, 9) + doc_id so a
+    last-ulp ln() difference can't flip ranks) — the weighted
+    training-mix draw. DuckDB oracle reproduces u, key, and rank."""
+    from protosc_spark.sampling import weighted_sample
+
+    docs = _read_wide(spark, sf_dir, "documents")
+    return weighted_sample(docs, k=100, weight_col="n_chars").select(
+        "rnk", "doc_id", F.col("n_chars").alias("weight")
+    ).orderBy("rnk")
+
+
 def _events_wau_hll(spark, sf_dir):
     """Weekly-active-users per day (7-day sliding window) from DAILY
     HLL register tables — overlapping windows merge stored registers
@@ -1959,6 +1973,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     full-surface green regardless of this ordering."""
     return {
         # --- round 5 ---
+        "corpus_weighted_sample": _corpus_weighted_sample,
         "events_wau_hll": _events_wau_hll,
         "corpus_heavy_hitters_cms": _corpus_heavy_hitters_cms,
         "corpus_source_overlap_kmv": _corpus_source_overlap_kmv,
@@ -2861,6 +2876,27 @@ def oracle_sql() -> dict[str, str]:
         # independent check of the real PNG codec: the oracle derives
         # the mean pixel straight from the text's codepoints, never
         # decoding a PNG — encode(Paeth) o decode must be the identity
+        "corpus_weighted_sample": """
+            WITH h AS (
+              SELECT doc_id, n_chars,
+                     ('0x' || substr(md5(doc_id::VARCHAR || '#0'),
+                                     1, 15))::BIGINT AS h
+              FROM documents
+              WHERE n_chars > 0
+            ), keyed AS (
+              SELECT doc_id, n_chars,
+                     round(-ln((h::DOUBLE + 1.0)
+                               / 1152921504606846976.0)
+                           / n_chars::DOUBLE, 9) AS key
+              FROM h
+            ), ranked AS (
+              SELECT doc_id, n_chars,
+                     row_number() OVER (ORDER BY key, doc_id) AS rnk
+              FROM keyed
+            )
+            SELECT rnk, doc_id, n_chars AS weight
+            FROM ranked WHERE rnk <= 100 ORDER BY rnk
+        """,
         "events_wau_hll": """
             WITH daily AS (
               SELECT DISTINCT ts::DATE AS day, user_id::VARCHAR AS u

@@ -98,6 +98,7 @@ HEADLINE = [
     "corpus_source_overlap_kmv",
     "corpus_heavy_hitters_cms",
     "events_wau_hll",
+    "corpus_weighted_sample",
 ]
 
 BENCH_CONVERSATIONS = int(os.environ.get("PROTOSC_BENCH_CONVS", "20000"))

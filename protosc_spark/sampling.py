@@ -352,3 +352,59 @@ def dsir_sample(
         hash_bucket(key_cols, salt=salt)
         < F.floor(F.col("keep_prob") * N_BUCKETS)
     )
+
+
+def weighted_sample(
+    df: DataFrame,
+    k: int,
+    weight_col: str,
+    id_col: str = "doc_id",
+    salt: int = 0,
+    bucket_factor: int = 32,
+) -> DataFrame:
+    """Weighted sampling WITHOUT replacement (Efraimidis & Spirtakis
+    2006, the exponential-race / A-ES scheme): each row draws a
+    deterministic uniform u from the engine-stable md5 hash of its id
+    (plus ``salt`` for independent draws) and races with key
+    -ln(u) / w; the k smallest keys win, which selects each item with
+    probability proportional to its weight — the "sample documents
+    by quality/length for a training mix" primitive that per-group
+    rate sampling (mixture_sample) and importance reweighting
+    (dsir_sample) don't cover.
+
+    Determinism contract: u is a pure function of (id, salt), keys
+    are ranked by (round(key, 9), id) so a last-ulp difference
+    between the JVM's and the oracle's ln() cannot flip ranks, and
+    the top-k runs two-phase ((id-bucket) partial then global) —
+    skew-safe, identical result to a single global window. Rows with
+    non-positive weight are excluded (they'd never win the race).
+    All pure JVM."""
+    from pyspark.sql import Window as W
+
+    two60 = float(1 << 60)
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.col(id_col).cast("string"), F.lit(f"#{salt}"))),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    u = (h.cast("double") + 1.0) / F.lit(two60)
+    key = -F.log(u) / F.col(weight_col).cast("double")
+    scored = df.where(F.col(weight_col) > 0).withColumn(
+        "__key", F.round(key, 9)
+    )
+    order = [F.asc("__key"), F.asc(id_col)]
+    w1 = W.partitionBy(
+        F.pmod(F.xxhash64(F.col(id_col)), F.lit(bucket_factor))
+    ).orderBy(*order)
+    w2 = W.orderBy(*order)
+    return (
+        scored.withColumn("__r1", F.row_number().over(w1))
+        .where(F.col("__r1") <= k)
+        .withColumn("rnk", F.row_number().over(w2))
+        .where(F.col("rnk") <= k)
+        .drop("__key", "__r1")
+    )

@@ -325,3 +325,84 @@ class TestDSIR:
             ).collect()
         }
         assert a == b
+
+
+# --- weighted sampling without replacement (A-ES) ---
+
+
+def test_weighted_sample_prefers_heavy_items(spark):
+    """5000 heavy (w=10) + 5000 light (w=1) docs, k=1000: expected
+    heavy share ~91%; the draw is deterministic, so the assertion is
+    a fixed fact about the hash, not a flaky statistical test."""
+    from protosc_spark.sampling import weighted_sample
+
+    df = spark.range(10000).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") < 5000, 10).otherwise(1).alias("w"),
+    )
+    got = weighted_sample(df, k=1000, weight_col="w").collect()
+    assert len(got) == 1000
+    heavy = sum(1 for r in got if r.doc_id < 5000)
+    assert heavy > 800, heavy
+
+
+def test_weighted_sample_equal_weights_is_hash_bottom_k(spark):
+    """All weights equal -> the race reduces to plain bottom-k of
+    -ln(u), i.e. a uniform deterministic sample; doubling every
+    weight must not change the selection (scale invariance)."""
+    from protosc_spark.sampling import weighted_sample
+
+    df = spark.range(2000).select(
+        F.col("id").alias("doc_id"), F.lit(3).alias("w")
+    )
+    a = sorted(r.doc_id for r in weighted_sample(df, 50, "w").collect())
+    df2 = df.withColumn("w", F.lit(6))
+    b = sorted(r.doc_id for r in weighted_sample(df2, 50, "w").collect())
+    assert a == b
+
+
+def test_weighted_sample_salt_gives_independent_draws(spark):
+    from protosc_spark.sampling import weighted_sample
+
+    df = spark.range(2000).select(
+        F.col("id").alias("doc_id"), F.lit(1).alias("w")
+    )
+    a = {r.doc_id for r in weighted_sample(df, 100, "w", salt=0).collect()}
+    b = {r.doc_id for r in weighted_sample(df, 100, "w", salt=1).collect()}
+    assert a != b
+    # overlap of two independent 5% draws should be small
+    assert len(a & b) < 30
+
+
+def test_weighted_sample_nonpositive_weights_excluded(spark):
+    from protosc_spark.sampling import weighted_sample
+
+    df = spark.range(100).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") < 10, 0).otherwise(1).alias("w"),
+    )
+    got = weighted_sample(df, 200, "w").collect()
+    assert len(got) == 90
+    assert all(r.doc_id >= 10 for r in got)
+
+
+def test_weighted_sample_partitioning_independence(spark):
+    from protosc_spark.sampling import weighted_sample
+
+    df = spark.range(3000).select(
+        F.col("doc_id") if False else F.col("id").alias("doc_id"),
+        (F.pmod(F.col("id"), F.lit(7)) + 1).alias("w"),
+    )
+    a = [
+        r.doc_id
+        for r in weighted_sample(df.repartition(1), 80, "w")
+        .orderBy("rnk")
+        .collect()
+    ]
+    b = [
+        r.doc_id
+        for r in weighted_sample(df.repartition(23), 80, "w")
+        .orderBy("rnk")
+        .collect()
+    ]
+    assert a == b
