@@ -443,6 +443,22 @@ def _transcript_conv_features(spark, sf_dir):
     return conversation_features(stable_dedup(tr))
 
 
+def _corpus_drift_psi(spark, sf_dir):
+    """Population Stability Index of each source's token-length
+    distribution vs the corpus-wide distribution (HDR-bucket bins,
+    standard 1e-6 empty-bin floor) — the per-slice drift monitor for
+    a corpus pipeline. DuckDB oracle reproduces bins, proportions
+    and the PSI sum exactly."""
+    from protosc_spark.sketches import psi_by_group
+
+    docs = _read_wide(spark, sf_dir, "documents")
+    t = docs.select(
+        "source",
+        F.size(F.split("text", " ")).cast("bigint").alias("n_tokens"),
+    )
+    return psi_by_group(t, "source", "n_tokens").orderBy("source")
+
+
 def _corpus_weighted_sample(spark, sf_dir):
     """100 documents sampled WITHOUT replacement with probability
     proportional to n_chars (Efraimidis-Spirtakis exponential race,
@@ -1973,6 +1989,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     full-surface green regardless of this ordering."""
     return {
         # --- round 5 ---
+        "corpus_drift_psi": _corpus_drift_psi,
         "corpus_weighted_sample": _corpus_weighted_sample,
         "events_wau_hll": _events_wau_hll,
         "corpus_heavy_hitters_cms": _corpus_heavy_hitters_cms,
@@ -2876,6 +2893,42 @@ def oracle_sql() -> dict[str, str]:
         # independent check of the real PNG codec: the oracle derives
         # the mean pixel straight from the text's codepoints, never
         # decoding a PNG — encode(Paeth) o decode must be the identity
+        "corpus_drift_psi": """
+            WITH t AS (
+              SELECT source,
+                     len(string_split(text, ' '))::BIGINT AS x
+              FROM documents
+            ), b AS (
+              SELECT source,
+                     CASE WHEN length(bin(x)) - 1 <= 7 THEN x
+                          ELSE (length(bin(x)) - 1 - 7) * 128
+                               + x // (1::BIGINT
+                                       << (length(bin(x)) - 1 - 7))
+                     END AS bucket
+              FROM t
+            ), grp AS (
+              SELECT source, bucket, count(*)::DOUBLE AS n
+              FROM b GROUP BY 1, 2
+            ), gtot AS (
+              SELECT source, sum(n) AS gn FROM grp GROUP BY 1
+            ), allb AS (
+              SELECT bucket, sum(n) AS an FROM grp GROUP BY 1
+            ), atot AS (SELECT sum(n) AS at FROM grp),
+            pairs AS (
+              SELECT g.source, a.bucket, g.gn, a.an, t.at
+              FROM gtot g CROSS JOIN allb a CROSS JOIN atot t
+            ), joined AS (
+              SELECT p.source,
+                     greatest(coalesce(x.n, 0.0) / p.gn, 1e-6) AS pg,
+                     greatest(p.an / p.at, 1e-6) AS pa
+              FROM pairs p
+              LEFT JOIN grp x
+                ON x.source = p.source AND x.bucket = p.bucket
+            )
+            SELECT source,
+                   round(sum((pg - pa) * ln(pg / pa)), 6) AS psi
+            FROM joined GROUP BY 1 ORDER BY source
+        """,
         "corpus_weighted_sample": """
             WITH h AS (
               SELECT doc_id, n_chars,

@@ -99,6 +99,7 @@ HEADLINE = [
     "corpus_heavy_hitters_cms",
     "events_wau_hll",
     "corpus_weighted_sample",
+    "corpus_drift_psi",
 ]
 
 BENCH_CONVERSATIONS = int(os.environ.get("PROTOSC_BENCH_CONVS", "20000"))

@@ -486,3 +486,59 @@ def hll_window_distinct(df: DataFrame, day_col: str, value_col: str,
             F.round(_estimate_from_stats(m), 4).alias("hll_distinct"),
         )
     )
+
+
+def psi_by_group(df: DataFrame, group_col: str, value_col: str,
+                 s: int = HDR_S, floor: float = 1e-6) -> DataFrame:
+    """Population Stability Index of each group's value distribution
+    against the GLOBAL distribution — the standard drift monitor for
+    corpus/feature pipelines (PSI < 0.1 stable, 0.1-0.25 moderate,
+    > 0.25 major shift). Bins are the integer-exact HDR buckets, so
+    the binning can never disagree between engines; empty-bin
+    proportions are floored at ``floor`` (the standard guard, PSI is
+    undefined at 0).
+
+    PSI_g = sum_bins (p_g - p_all) * ln(p_g / p_all).
+
+    Scale shape: ONE bucket groupBy per (group, bucket) + a global
+    rollup of the same table; the PSI sum runs over the (tiny)
+    bucket table. Pure JVM."""
+    grp = (
+        df.select(
+            F.col(group_col).alias("g"),
+            _hdr_bucket(F.col(value_col), s).alias("bucket"),
+        )
+        .groupBy("g", "bucket")
+        .agg(F.count(F.lit(1)).cast("double").alias("n"))
+    )
+    gtot = grp.groupBy("g").agg(F.sum("n").alias("gn"))
+    allb = grp.groupBy("bucket").agg(F.sum("n").alias("an"))
+    atot = grp.agg(F.sum("n").alias("at"))
+    # every (group, bucket-seen-anywhere) pair, so a bucket missing
+    # from one group still contributes (floor vs p_all)
+    pairs = gtot.crossJoin(F.broadcast(allb)).crossJoin(
+        F.broadcast(atot)
+    )
+    joined = pairs.join(grp, ["g", "bucket"], "left").select(
+        "g",
+        F.greatest(
+            F.coalesce(F.col("n"), F.lit(0.0)) / F.col("gn"),
+            F.lit(floor),
+        ).alias("pg"),
+        F.greatest(
+            (F.col("an") / F.col("at")), F.lit(floor)
+        ).alias("pa"),
+    )
+    return (
+        joined.groupBy("g")
+        .agg(
+            F.round(
+                F.sum(
+                    (F.col("pg") - F.col("pa"))
+                    * F.log(F.col("pg") / F.col("pa"))
+                ),
+                6,
+            ).alias("psi")
+        )
+        .select(F.col("g").alias(group_col), "psi")
+    )
