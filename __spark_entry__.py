@@ -443,6 +443,42 @@ def _transcript_conv_features(spark, sf_dir):
     return conversation_features(stable_dedup(tr))
 
 
+def _corpus_outliers_mad(spark, sf_dir):
+    """Robust per-source outlier audit: median + MAD of token counts
+    from the MERGEABLE HDR histogram (mad_robust_stats — no second
+    raw scan for the MAD), then the Iglewicz-Hoaglin modified z-score
+    |0.6745 (x - med) / mad| > 3.5 flags rows. Two extreme documents
+    are planted (401 tokens / 1 token in src0) so both tails of the
+    flag rule are exercised; max|z| per group pins the z arithmetic
+    for EVERY source. DuckDB oracle reproduces buckets, discrete-rank
+    medians, deviation re-bucketing and the z-score exactly."""
+    from protosc_spark.sketches import mad_outliers
+
+    docs = _read_wide(spark, sf_dir, "documents").select(
+        "source", "text"
+    )
+    planted = spark.createDataFrame(
+        [("src0", ("w " * 400) + "w"), ("src0", "w")],
+        "source string, text string",
+    )
+    t = docs.unionByName(planted).select(
+        "source",
+        F.size(F.split("text", " ")).cast("bigint").alias("n_tokens"),
+    )
+    out = mad_outliers(t, "source", "n_tokens", threshold=3.5)
+    return (
+        out.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.min("med").alias("med"),
+            F.min("mad").alias("mad"),
+            F.sum(F.col("is_outlier").cast("bigint")).alias("n_out"),
+            F.round(F.max(F.abs(F.col("z"))), 4).alias("max_abs_z"),
+        )
+        .orderBy("source")
+    )
+
+
 def _corpus_drift_psi(spark, sf_dir):
     """Population Stability Index of each source's token-length
     distribution vs the corpus-wide distribution (HDR-bucket bins,
@@ -1989,6 +2025,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     full-surface green regardless of this ordering."""
     return {
         # --- round 5 ---
+        "corpus_outliers_mad": _corpus_outliers_mad,
         "corpus_drift_psi": _corpus_drift_psi,
         "corpus_weighted_sample": _corpus_weighted_sample,
         "events_wau_hll": _events_wau_hll,
@@ -2893,6 +2930,94 @@ def oracle_sql() -> dict[str, str]:
         # independent check of the real PNG codec: the oracle derives
         # the mean pixel straight from the text's codepoints, never
         # decoding a PNG — encode(Paeth) o decode must be the identity
+        "corpus_outliers_mad": """
+            WITH t AS (
+              SELECT source,
+                     len(string_split(text, ' '))::BIGINT AS x
+              FROM documents
+              UNION ALL
+              SELECT 'src0',
+                     len(string_split(repeat('w ', 400) || 'w',
+                                      ' '))::BIGINT
+              UNION ALL
+              SELECT 'src0', 1::BIGINT
+            ), b AS (
+              SELECT source,
+                     CASE WHEN length(bin(x)) - 1 <= 7 THEN x
+                          ELSE (length(bin(x)) - 1 - 7) * 128
+                               + x // (1::BIGINT
+                                       << (length(bin(x)) - 1 - 7))
+                     END AS bucket
+              FROM t
+            ), h AS (
+              SELECT source, bucket, count(*)::BIGINT AS n
+              FROM b GROUP BY 1, 2
+            ), c AS (
+              SELECT source, bucket, n,
+                     sum(n) OVER (PARTITION BY source
+                                  ORDER BY bucket) AS cum,
+                     sum(n) OVER (PARTITION BY source) AS total
+              FROM h
+            ), med AS (
+              SELECT source,
+                     CASE WHEN bucket < 256 THEN bucket
+                          ELSE (bucket - (bucket // 128 - 1) * 128)
+                               * (1::BIGINT << (bucket // 128 - 1))
+                     END AS med
+              FROM (SELECT source, min(bucket) AS bucket
+                    FROM c WHERE cum >= ceil(0.5 * total)
+                    GROUP BY 1)
+            ), rep AS (
+              -- deviation of each bucket REPRESENTATIVE from med
+              SELECT h.source, med.med,
+                     abs(CASE WHEN h.bucket < 256 THEN h.bucket
+                          ELSE (h.bucket - (h.bucket // 128 - 1) * 128)
+                               * (1::BIGINT << (h.bucket // 128 - 1))
+                         END - med.med) AS dev,
+                     h.n
+              FROM h JOIN med USING (source)
+            ), db AS (
+              SELECT source, med,
+                     CASE WHEN length(bin(dev)) - 1 <= 7 THEN dev
+                          ELSE (length(bin(dev)) - 1 - 7) * 128
+                               + dev // (1::BIGINT
+                                       << (length(bin(dev)) - 1 - 7))
+                     END AS bucket,
+                     n
+              FROM rep
+            ), dh AS (
+              SELECT source, med, bucket, sum(n) AS n
+              FROM db GROUP BY 1, 2, 3
+            ), dc AS (
+              SELECT source, med, bucket, n,
+                     sum(n) OVER (PARTITION BY source
+                                  ORDER BY bucket) AS cum,
+                     sum(n) OVER (PARTITION BY source) AS total
+              FROM dh
+            ), mad AS (
+              SELECT source, med,
+                     CASE WHEN bucket < 256 THEN bucket
+                          ELSE (bucket - (bucket // 128 - 1) * 128)
+                               * (1::BIGINT << (bucket // 128 - 1))
+                     END AS mad
+              FROM (SELECT source, med, min(bucket) AS bucket
+                    FROM dc WHERE cum >= ceil(0.5 * total)
+                    GROUP BY 1, 2)
+            ), j AS (
+              SELECT t.source, t.x, m.med, m.mad,
+                     CASE WHEN m.mad > 0
+                          THEN 0.6745 * (t.x - m.med) / m.mad
+                     END AS z
+              FROM t JOIN mad m USING (source)
+            )
+            SELECT source, count(*)::BIGINT AS n,
+                   min(med)::BIGINT AS med, min(mad)::BIGINT AS mad,
+                   sum(CASE WHEN mad > 0 AND abs(z) > 3.5 THEN 1
+                            WHEN mad = 0 AND x <> med THEN 1
+                            ELSE 0 END)::BIGINT AS n_out,
+                   round(max(abs(z)), 4) AS max_abs_z
+            FROM j GROUP BY 1 ORDER BY 1
+        """,
         "corpus_drift_psi": """
             WITH t AS (
               SELECT source,

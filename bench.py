@@ -100,6 +100,7 @@ HEADLINE = [
     "events_wau_hll",
     "corpus_weighted_sample",
     "corpus_drift_psi",
+    "corpus_outliers_mad",
 ]
 
 BENCH_CONVERSATIONS = int(os.environ.get("PROTOSC_BENCH_CONVS", "20000"))

@@ -542,3 +542,71 @@ def psi_by_group(df: DataFrame, group_col: str, value_col: str,
         )
         .select(F.col("g").alias(group_col), "psi")
     )
+
+
+def mad_robust_stats(df: DataFrame, keys: list[str] | str,
+                     value_col: str, s: int = HDR_S) -> DataFrame:
+    """Median + MAD (median absolute deviation) per group, computed
+    ENTIRELY from the mergeable HDR histogram: med is the discrete-
+    rank bucket representative at q=0.5; the deviation histogram
+    re-buckets |representative - med| weighted by the bucket counts,
+    so the MAD needs NO second scan of raw rows — both statistics
+    come from the (tiny) bucket table and merge across periods like
+    any HDR rollup. Exact when values and deviations sit below
+    2^(s+1) (bucket = value there); relative error <= 2^-s above.
+    Output: (keys..., med, mad), both BIGINT.
+
+    Scale shape: one raw scan (the histogram groupBy); everything
+    after runs on group x bucket rows. Pure JVM."""
+    keys = [keys] if isinstance(keys, str) else list(keys)
+    hist = hdr_histogram(df, keys, value_col, s)
+    med = hdr_quantiles(hist, keys, [0.5], s).select(
+        *keys, F.col("value").alias("med")
+    )
+    dev_hist = (
+        hist.join(med, keys)
+        .select(
+            *keys,
+            "med",
+            _hdr_bucket(
+                F.abs(_hdr_lower(F.col("bucket"), s) - F.col("med")), s
+            ).alias("bucket"),
+            "n",
+        )
+        .groupBy(*keys, "med", "bucket")
+        .agg(F.sum("n").alias("n"))
+    )
+    return hdr_quantiles(dev_hist, keys + ["med"], [0.5], s).select(
+        *keys, "med", F.col("value").alias("mad")
+    )
+
+
+def mad_outliers(df: DataFrame, keys: list[str] | str, value_col: str,
+                 s: int = HDR_S, threshold: float = 3.5) -> DataFrame:
+    """Robust per-group outlier flags: the Iglewicz-Hoaglin modified
+    z-score z = 0.6745 * (x - med) / mad against the sketch-derived
+    med/mad of :func:`mad_robust_stats` (|z| > 3.5 is the published
+    cutoff). Degenerate mad = 0 (over half the mass at the median
+    representative): z is NULL and any x != med is flagged.
+
+    Input rows pass through with (med, mad, z, is_outlier) appended;
+    z is computed from the RAW value, only the med/mad statistics are
+    sketch approximations. Scale shape: the stats table is one row
+    per group — the join broadcasts under AQE; raw data is scanned
+    once here and once in the histogram."""
+    keys = [keys] if isinstance(keys, str) else list(keys)
+    stats = mad_robust_stats(df, keys, value_col, s)
+    x = F.col(value_col).cast("bigint")
+    z = F.when(
+        F.col("mad") > 0,
+        F.lit(0.6745) * (x - F.col("med")) / F.col("mad"),
+    )
+    return (
+        df.join(stats, keys)
+        .withColumn("z", z)
+        .withColumn(
+            "is_outlier",
+            F.when(F.col("mad") > 0, F.abs(F.col("z")) > threshold)
+            .otherwise(x != F.col("med")),
+        )
+    )

@@ -487,3 +487,55 @@ def test_psi_plan_no_python(spark):
         .toString()
     )
     assert "ArrowEvalPython" not in p and "BatchEvalPython" not in p
+
+
+# --- Robust median/MAD outlier flags ---
+
+
+def test_mad_stats_exact_small_values(spark):
+    """Values and deviations below 2^(s+1) sit in exact HDR buckets,
+    so med/mad equal the hand-computed discrete-rank medians:
+    [1,2,3,4,100] -> med 3 (rank ceil(2.5)=3), deviations
+    [2,1,0,1,97] -> mad 1."""
+    from protosc_spark.sketches import mad_robust_stats
+
+    df = spark.createDataFrame(
+        [("a", v) for v in (1, 2, 3, 4, 100)], "g string, v long"
+    )
+    r = mad_robust_stats(df, "g", "v").collect()[0]
+    assert (r.med, r.mad) == (3, 1), r
+
+
+def test_mad_outliers_flags_and_z(spark):
+    """z = 0.6745 (x - med) / mad; only x=100 crosses |z| > 3.5
+    (z = 65.4265), x=1 stays at |z| = 1.349."""
+    from protosc_spark.sketches import mad_outliers
+
+    df = spark.createDataFrame(
+        [("a", v) for v in (1, 2, 3, 4, 100)], "g string, v long"
+    )
+    out = {r.v: r for r in mad_outliers(df, "g", "v").collect()}
+    assert [v for v in out if out[v].is_outlier] == [100]
+    assert abs(out[100].z - 0.6745 * 97) < 1e-9
+    assert abs(out[1].z + 0.6745 * 2) < 1e-9
+
+
+def test_mad_zero_degenerate_flags_any_deviation(spark):
+    """mad = 0 (over half the mass at the median): z is NULL and the
+    rule falls back to flagging x != med."""
+    from protosc_spark.sketches import mad_outliers
+
+    df = spark.createDataFrame(
+        [("a", v) for v in (5, 5, 5, 9)], "g string, v long"
+    )
+    out = {r.v: r for r in mad_outliers(df, "g", "v").collect()}
+    assert out[9].mad == 0 and out[9].z is None
+    assert out[9].is_outlier and not out[5].is_outlier
+
+
+def test_mad_plan_no_python(spark):
+    from protosc_spark.sketches import mad_outliers
+
+    df = spark.createDataFrame([("a", 1)], "g string, v long")
+    plan = mad_outliers(df, "g", "v")._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
