@@ -443,6 +443,26 @@ def _transcript_conv_features(spark, sf_dir):
     return conversation_features(stable_dedup(tr))
 
 
+def _events_volume_trend(spark, sf_dir):
+    """Per-event-type daily-volume trend line (OLS slope / intercept
+    / r^2 over (epoch day, rows that day)) — the traffic-trend
+    monitor beside the PSI and MAD auditors. Sufficient statistics
+    accumulate as exact DECIMAL integers (order-independent,
+    overflow-safe), floating point only in the fixed closed-form
+    tail, so the DuckDB oracle reproduces every digit."""
+    from protosc_spark.windows import volume_trend
+
+    ev = _read(spark, sf_dir, "events")
+    t = volume_trend(ev, "event_type")
+    return t.select(
+        "event_type",
+        "n_days",
+        F.round("slope", 6).alias("slope"),
+        F.round("intercept", 6).alias("intercept"),
+        F.round("r2", 6).alias("r2"),
+    ).orderBy("event_type")
+
+
 def _corpus_outliers_mad(spark, sf_dir):
     """Robust per-source outlier audit: median + MAD of token counts
     from the MERGEABLE HDR histogram (mad_robust_stats — no second
@@ -2025,6 +2045,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     full-surface green regardless of this ordering."""
     return {
         # --- round 5 ---
+        "events_volume_trend": _events_volume_trend,
         "corpus_outliers_mad": _corpus_outliers_mad,
         "corpus_drift_psi": _corpus_drift_psi,
         "corpus_weighted_sample": _corpus_weighted_sample,
@@ -2930,6 +2951,43 @@ def oracle_sql() -> dict[str, str]:
         # independent check of the real PNG codec: the oracle derives
         # the mean pixel straight from the text's codepoints, never
         # decoding a PNG — encode(Paeth) o decode must be the identity
+        "events_volume_trend": """
+            WITH d AS (
+              SELECT event_type,
+                     (ts::DATE - DATE '1970-01-01')::BIGINT AS x,
+                     count(*)::BIGINT AS y
+              FROM events GROUP BY 1, 2
+            ), s AS (
+              SELECT event_type, count(*)::BIGINT AS n_days,
+                     sum(x) AS sx, sum(y) AS sy, sum(x * x) AS sxx,
+                     sum(x * y) AS sxy, sum(y * y) AS syy
+              FROM d GROUP BY 1
+            ), f AS (
+              SELECT event_type, n_days, n_days::DOUBLE AS n,
+                     sx::DOUBLE AS sx, sy::DOUBLE AS sy,
+                     sxx::DOUBLE AS sxx, sxy::DOUBLE AS sxy,
+                     syy::DOUBLE AS syy
+              FROM s
+            )
+            SELECT event_type, n_days,
+                   round(CASE WHEN n * sxx - sx * sx > 0
+                              THEN (n * sxy - sx * sy)
+                                   / (n * sxx - sx * sx) END,
+                         6) AS slope,
+                   round(CASE WHEN n * sxx - sx * sx > 0
+                              THEN (sy - (n * sxy - sx * sy)
+                                         / (n * sxx - sx * sx) * sx)
+                                   / n END,
+                         6) AS intercept,
+                   round(CASE WHEN n * sxx - sx * sx > 0
+                               AND n * syy - sy * sy > 0
+                              THEN (n * sxy - sx * sy)
+                                   * (n * sxy - sx * sy)
+                                   / ((n * sxx - sx * sx)
+                                      * (n * syy - sy * sy)) END,
+                         6) AS r2
+            FROM f ORDER BY event_type
+        """,
         "corpus_outliers_mad": """
             WITH t AS (
               SELECT source,

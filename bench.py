@@ -101,6 +101,7 @@ HEADLINE = [
     "corpus_weighted_sample",
     "corpus_drift_psi",
     "corpus_outliers_mad",
+    "events_volume_trend",
 ]
 
 BENCH_CONVERSATIONS = int(os.environ.get("PROTOSC_BENCH_CONVS", "20000"))

@@ -421,3 +421,57 @@ def conversation_features(
         .cast("bigint")
         .alias("duration_s"),
     )
+
+
+def volume_trend(df: DataFrame, group_col: str,
+                 ts_col: str = "ts") -> DataFrame:
+    """Per-slice daily-volume trend line: OLS slope / intercept / r^2
+    of (epoch day, rows that day) — the monitoring companion to the
+    PSI / MAD auditors (is this slice's traffic growing, flat, or
+    decaying, and how linear is it). All five sufficient statistics
+    (sum x, y, xy, x^2, y^2) accumulate as DECIMAL(38,0) over exact
+    integers, so they are order-independent and overflow-safe to
+    ~1e38 (BIGINT y^2 would overflow past ~3e9 rows/day); the only
+    floating-point happens AFTER aggregation, in a fixed expression
+    shape any engine reproduces bit-for-bit. Output: (group, n_days,
+    slope, intercept, r2); slope/intercept NULL when a slice has one
+    day, r2 NULL when either variance is zero.
+
+    Scale shape: one raw scan into a (group, day) count — map-side
+    combinable — then closed-form math on a rows-per-group-days
+    table. Pure JVM, no windows."""
+    dec = "decimal(19,0)"
+    daily = (
+        df.groupBy(
+            group_col,
+            F.datediff(F.to_date(ts_col), F.lit("1970-01-01"))
+            .cast("bigint")
+            .alias("x"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("y"))
+    )
+    xd, yd = F.col("x").cast(dec), F.col("y").cast(dec)
+    s = daily.groupBy(group_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+        F.sum(xd).alias("sx"),
+        F.sum(yd).alias("sy"),
+        F.sum(xd * xd).alias("sxx"),
+        F.sum(xd * yd).alias("sxy"),
+        F.sum(yd * yd).alias("syy"),
+    )
+    n, sx, sy, sxx, sxy, syy = (
+        F.col(c).cast("double")
+        for c in ("n_days", "sx", "sy", "sxx", "sxy", "syy")
+    )
+    cov = n * sxy - sx * sy
+    varx = n * sxx - sx * sx
+    vary = n * syy - sy * sy
+    slope = F.when(varx > 0, cov / varx)
+    return s.select(
+        group_col,
+        "n_days",
+        slope.alias("slope"),
+        F.when(varx > 0, (sy - slope * sx) / n).alias("intercept"),
+        F.when((varx > 0) & (vary > 0), cov * cov / (varx * vary))
+        .alias("r2"),
+    )

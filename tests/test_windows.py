@@ -456,3 +456,57 @@ def test_conversation_features_single_exchange(spark):
     # conv_id hash exchange.
     assert n_ex == 1, p
     assert "ArrowEvalPython" not in p and "BatchEvalPython" not in p
+
+
+# --- per-slice daily-volume trend ---
+
+
+def test_volume_trend_recovers_planted_line(spark):
+    """Daily counts 1/3/5 on days 0/1/2 lie exactly on y = 2x + 1:
+    slope 2, intercept 1, r2 1."""
+    from protosc_spark.windows import volume_trend
+
+    rows = []
+    for day, n in (("1970-01-01", 1), ("1970-01-02", 3),
+                   ("1970-01-03", 5)):
+        rows += [("a", f"{day} 0{i}:00:00") for i in range(n)]
+    df = spark.createDataFrame(rows, "g string, ts_s string").select(
+        "g", F.col("ts_s").cast("timestamp").alias("ts")
+    )
+    r = volume_trend(df, "g").collect()[0]
+    assert r.n_days == 3
+    assert abs(r.slope - 2.0) < 1e-12
+    assert abs(r.intercept - 1.0) < 1e-12
+    assert abs(r.r2 - 1.0) < 1e-12
+
+
+def test_volume_trend_degenerate_slices(spark):
+    """One-day slice: zero x-variance, slope/intercept/r2 NULL.
+    Flat slice (same count every day): slope 0 exactly, r2 NULL
+    (zero y-variance)."""
+    from protosc_spark.windows import volume_trend
+
+    rows = [("one", "1970-01-05 00:00:00")] + [
+        ("flat", f"1970-01-0{d} 00:00:00") for d in (1, 2, 3)
+    ]
+    df = spark.createDataFrame(rows, "g string, ts_s string").select(
+        "g", F.col("ts_s").cast("timestamp").alias("ts")
+    )
+    out = {r.g: r for r in volume_trend(df, "g").collect()}
+    assert out["one"].slope is None and out["one"].r2 is None
+    assert out["flat"].slope == 0.0 and out["flat"].r2 is None
+
+
+def test_volume_trend_plan_no_python_no_window(spark):
+    from protosc_spark.windows import volume_trend
+
+    df = spark.createDataFrame(
+        [("a", "1970-01-01 00:00:00")], "g string, ts_s string"
+    ).select("g", F.col("ts_s").cast("timestamp").alias("ts"))
+    plan = (
+        volume_trend(df, "g")._jdf.queryExecution().executedPlan()
+        .toString()
+    )
+    assert "ArrowEvalPython" not in plan
+    assert "BatchEvalPython" not in plan
+    assert "Window" not in plan
