@@ -443,6 +443,19 @@ def _transcript_conv_features(spark, sf_dir):
     return conversation_features(stable_dedup(tr))
 
 
+def _events_top_paths(spark, sf_dir):
+    """Top-25 three-step event-type paths over per-user ordered
+    streams — the journey-mining companion to the transition matrix
+    (bigram rates) and funnel (fixed target sequence): which n-step
+    paths actually dominate traffic. DuckDB oracle reproduces the
+    lead windows, path strings, counts and the deterministic
+    (count desc, path asc) ranking."""
+    from protosc_spark.windows import top_paths
+
+    ev = _read(spark, sf_dir, "events")
+    return top_paths(ev, n=3, k=25).orderBy("rnk")
+
+
 def _events_volume_trend(spark, sf_dir):
     """Per-event-type daily-volume trend line (OLS slope / intercept
     / r^2 over (epoch day, rows that day)) — the traffic-trend
@@ -2045,6 +2058,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     full-surface green regardless of this ordering."""
     return {
         # --- round 5 ---
+        "events_top_paths": _events_top_paths,
         "events_volume_trend": _events_volume_trend,
         "corpus_outliers_mad": _corpus_outliers_mad,
         "corpus_drift_psi": _corpus_drift_psi,
@@ -2951,6 +2965,30 @@ def oracle_sql() -> dict[str, str]:
         # independent check of the real PNG codec: the oracle derives
         # the mean pixel straight from the text's codepoints, never
         # decoding a PNG — encode(Paeth) o decode must be the identity
+        "events_top_paths": """
+            WITH s AS (
+              SELECT event_type,
+                     lead(event_type, 1) OVER w AS s1,
+                     lead(event_type, 2) OVER w AS s2
+              FROM events
+              WHERE event_type IS NOT NULL
+              WINDOW w AS (PARTITION BY user_id
+                           ORDER BY ts, event_id)
+            ), p AS (
+              SELECT event_type || ' > ' || s1 || ' > ' || s2 AS path
+              FROM s WHERE s2 IS NOT NULL
+            ), c AS (
+              SELECT path, count(*)::BIGINT AS n_occurrences
+              FROM p GROUP BY 1
+            ), r AS (
+              SELECT path, n_occurrences,
+                     row_number() OVER (ORDER BY n_occurrences DESC,
+                                        path) AS rnk
+              FROM c
+            )
+            SELECT rnk, path, n_occurrences
+            FROM r WHERE rnk <= 25 ORDER BY rnk
+        """,
         "events_volume_trend": """
             WITH d AS (
               SELECT event_type,

@@ -102,6 +102,7 @@ HEADLINE = [
     "corpus_drift_psi",
     "corpus_outliers_mad",
     "events_volume_trend",
+    "events_top_paths",
 ]
 
 BENCH_CONVERSATIONS = int(os.environ.get("PROTOSC_BENCH_CONVS", "20000"))

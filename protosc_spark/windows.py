@@ -475,3 +475,47 @@ def volume_trend(df: DataFrame, group_col: str,
         F.when((varx > 0) & (vary > 0), cov * cov / (varx * vary))
         .alias("r2"),
     )
+
+
+def top_paths(
+    df: DataFrame,
+    entity: str = "user_id",
+    state_col: str = "event_type",
+    order_cols: Sequence[str] = ("ts", "event_id"),
+    n: int = 3,
+    k: int = 20,
+) -> DataFrame:
+    """Top-k length-n state PATHS over per-entity ordered streams —
+    the sequence-mining step up from :func:`transition_counts`
+    (bigram rates): which n-step journeys dominate the traffic.
+    Windows never span entities (the last n-1 events of a stream
+    form no path); rows with a NULL state are dropped. Deterministic
+    ties by (count desc, path asc).
+
+    Output: (rnk, path, n_occurrences), path joined with " > ".
+
+    Scale shape: the SAME entity exchange transition_counts /
+    sessionize use (co-schedules with them), a map-side-combined
+    count down to at most |states|^n rows, and the rank window runs
+    over that aggregate — path-vocabulary-sized, not corpus-sized."""
+    w = W.partitionBy(entity).orderBy(*[F.col(c) for c in order_cols])
+    steps = [F.col(state_col)] + [
+        F.lead(state_col, i).over(w) for i in range(1, n)
+    ]
+    paths = (
+        df.where(F.col(state_col).isNotNull())
+        .select(
+            F.concat_ws(" > ", *steps).alias("path"),
+            steps[-1].isNotNull().alias("__full"),
+        )
+        .where("__full")
+    )
+    counts = paths.groupBy("path").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_occurrences")
+    )
+    rank = W.orderBy(F.desc("n_occurrences"), F.asc("path"))
+    return (
+        counts.withColumn("rnk", F.row_number().over(rank))
+        .where(F.col("rnk") <= k)
+        .select("rnk", "path", "n_occurrences")
+    )

@@ -510,3 +510,52 @@ def test_volume_trend_plan_no_python_no_window(spark):
     assert "ArrowEvalPython" not in plan
     assert "BatchEvalPython" not in plan
     assert "Window" not in plan
+
+
+# --- top-k n-step paths ---
+
+
+def test_top_paths_counts_and_entity_boundary(spark):
+    """Two users sharing the stream A,B,C,A,B,C: trigrams per user
+    are A>B>C, B>C>A, C>A>B, A>B>C — so A>B>C counts 4 across both,
+    the others 2 each; no path spans users (each stream yields
+    exactly len-2 paths)."""
+    from protosc_spark.windows import top_paths
+
+    rows = [
+        (u, i, f"1970-01-01 00:0{i}:00", s)
+        for u in (1, 2)
+        for i, s in enumerate("ABCABC")
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, event_id long, ts_s string, "
+        "event_type string"
+    ).select(
+        "user_id", "event_id",
+        F.col("ts_s").cast("timestamp").alias("ts"), "event_type",
+    )
+    out = top_paths(df, n=3, k=10).collect()
+    got = {r.path: r.n_occurrences for r in out}
+    assert got == {"A > B > C": 4, "B > C > A": 2, "C > A > B": 2}
+    assert sum(got.values()) == 2 * (6 - 2)
+    # deterministic ties: equal counts ranked by path ascending
+    assert [r.path for r in out] == [
+        "A > B > C", "B > C > A", "C > A > B"
+    ]
+
+
+def test_top_paths_plan_no_python(spark):
+    from protosc_spark.windows import top_paths
+
+    df = spark.createDataFrame(
+        [(1, 1, "1970-01-01 00:00:00", "A")],
+        "user_id long, event_id long, ts_s string, event_type string",
+    ).select(
+        "user_id", "event_id",
+        F.col("ts_s").cast("timestamp").alias("ts"), "event_type",
+    )
+    plan = (
+        top_paths(df)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "ArrowEvalPython" not in plan
+    assert "BatchEvalPython" not in plan
