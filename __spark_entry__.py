@@ -443,6 +443,39 @@ def _transcript_conv_features(spark, sf_dir):
     return conversation_features(stable_dedup(tr))
 
 
+def _events_cusum_volume(spark, sf_dir):
+    """Two-sided CUSUM change-point detection over each event type's
+    daily-volume series (Page 1954; k=0.5, h=4) — the step-shift
+    monitor beside PSI (distribution drift), MAD (row outliers) and
+    the OLS trend. A 20-day series with a 10->30 step is planted so
+    the alarm path is exercised (fires day 8 on the S- side: the
+    low half sits below the series' own mean). The DuckDB oracle
+    replays the exact fold with a recursive CTE — moments, both
+    CUSUM tracks, maxima and first-alarm day, digit for digit."""
+    from protosc_spark.windows import volume_cusum
+
+    ev = _read(spark, sf_dir, "events").select("event_type", "ts")
+    rows = []
+    for d in range(20):
+        ts = f"1970-01-{d + 1:02d} 00:00:00"
+        rows += [("planted", ts)] * (10 if d < 10 else 30)
+    planted = spark.createDataFrame(
+        rows, "event_type string, ts_s string"
+    ).select(
+        "event_type", F.col("ts_s").cast("timestamp").alias("ts")
+    )
+    t = volume_cusum(ev.unionByName(planted), "event_type")
+    return t.select(
+        "event_type",
+        "n_days",
+        F.round("mu", 6).alias("mu"),
+        F.round("sigma", 6).alias("sigma"),
+        F.round("max_sp", 6).alias("max_sp"),
+        F.round("max_sn", 6).alias("max_sn"),
+        "alarm_day",
+    ).orderBy("event_type")
+
+
 def _events_top_paths(spark, sf_dir):
     """Top-25 three-step event-type paths over per-user ordered
     streams — the journey-mining companion to the transition matrix
@@ -2058,6 +2091,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     full-surface green regardless of this ordering."""
     return {
         # --- round 5 ---
+        "events_cusum_volume": _events_cusum_volume,
         "events_top_paths": _events_top_paths,
         "events_volume_trend": _events_volume_trend,
         "corpus_outliers_mad": _corpus_outliers_mad,
@@ -2965,6 +2999,78 @@ def oracle_sql() -> dict[str, str]:
         # independent check of the real PNG codec: the oracle derives
         # the mean pixel straight from the text's codepoints, never
         # decoding a PNG — encode(Paeth) o decode must be the identity
+        "events_cusum_volume": """
+            WITH RECURSIVE daily AS (
+              SELECT event_type AS g,
+                     (ts::DATE - DATE '1970-01-01')::BIGINT AS x,
+                     count(*)::BIGINT AS y
+              FROM events GROUP BY 1, 2
+              UNION ALL
+              SELECT 'planted', d::BIGINT,
+                     (CASE WHEN d < 10 THEN 10 ELSE 30 END)::BIGINT
+              FROM range(20) t(d)
+            ), idx AS (
+              SELECT g, x, y,
+                     row_number() OVER (PARTITION BY g
+                                        ORDER BY x) AS rn
+              FROM daily
+            ), st AS (
+              SELECT g, count(*)::BIGINT AS n_days,
+                     sum(y) AS sy, sum(y * y) AS syy
+              FROM daily GROUP BY 1
+            ), mo AS (
+              SELECT g, n_days,
+                     sy::DOUBLE / n_days::DOUBLE AS mu,
+                     CASE WHEN n_days > 1
+                           AND n_days::DOUBLE * syy::DOUBLE
+                               - sy::DOUBLE * sy::DOUBLE > 0
+                          THEN sqrt((n_days::DOUBLE * syy::DOUBLE
+                                     - sy::DOUBLE * sy::DOUBLE)
+                                    / (n_days::DOUBLE
+                                       * (n_days::DOUBLE - 1)))
+                     END AS sigma
+              FROM st
+            ), zx AS (
+              SELECT i.g, i.rn, i.x,
+                     CASE WHEN m.sigma IS NOT NULL
+                          THEN (i.y::DOUBLE - m.mu) / m.sigma
+                          ELSE 0 END AS z
+              FROM idx i JOIN mo m USING (g)
+            ), c AS (
+              SELECT g, rn, x,
+                     greatest(0, z - 0.5) AS sp,
+                     greatest(0, -z - 0.5) AS sn,
+                     greatest(0, z - 0.5) AS msp,
+                     greatest(0, -z - 0.5) AS msn,
+                     CASE WHEN greatest(0, z - 0.5) > 4
+                           OR greatest(0, -z - 0.5) > 4
+                          THEN x END AS alarm
+              FROM zx WHERE rn = 1
+              UNION ALL
+              SELECT z.g, z.rn, z.x,
+                     greatest(0, c.sp + z.z - 0.5),
+                     greatest(0, c.sn - z.z - 0.5),
+                     greatest(c.msp, greatest(0, c.sp + z.z - 0.5)),
+                     greatest(c.msn, greatest(0, c.sn - z.z - 0.5)),
+                     coalesce(c.alarm,
+                              CASE WHEN greatest(0, c.sp + z.z - 0.5)
+                                        > 4
+                                    OR greatest(0, c.sn - z.z - 0.5)
+                                        > 4
+                                   THEN z.x END)
+              FROM c JOIN zx z ON z.g = c.g AND z.rn = c.rn + 1
+            ), last AS (
+              SELECT c.* FROM c JOIN st USING (g)
+              WHERE c.rn = st.n_days
+            )
+            SELECT l.g AS event_type, m.n_days,
+                   round(m.mu, 6) AS mu, round(m.sigma, 6) AS sigma,
+                   round(l.msp, 6) AS max_sp,
+                   round(l.msn, 6) AS max_sn,
+                   l.alarm AS alarm_day
+            FROM last l JOIN mo m USING (g)
+            ORDER BY event_type
+        """,
         "events_top_paths": """
             WITH s AS (
               SELECT event_type,

@@ -103,6 +103,7 @@ HEADLINE = [
     "corpus_outliers_mad",
     "events_volume_trend",
     "events_top_paths",
+    "events_cusum_volume",
 ]
 
 BENCH_CONVERSATIONS = int(os.environ.get("PROTOSC_BENCH_CONVS", "20000"))

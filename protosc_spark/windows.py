@@ -519,3 +519,97 @@ def top_paths(
         .where(F.col("rnk") <= k)
         .select("rnk", "path", "n_occurrences")
     )
+
+
+def volume_cusum(
+    df: DataFrame,
+    group_col: str,
+    ts_col: str = "ts",
+    slack: float = 0.5,
+    threshold: float = 4.0,
+) -> DataFrame:
+    """Per-slice CUSUM change-point detection over the daily-volume
+    series — the step-shift monitor beside volume_trend (gradual
+    drift) and psi_by_group (distribution drift): standardized
+    two-sided CUSUM S+_t = max(0, S+_{t-1} + z_t - k),
+    S-_t = max(0, S-_{t-1} - z_t - k) with z_t the slice's own
+    standardized daily count, alarm at the FIRST day either side
+    crosses h (Page 1954; k=0.5, h=4 are the textbook settings).
+    Zero/undefined sigma (one day, flat series) => z = 0, no alarm.
+
+    Output: (group, n_days, mu, sigma, max_sp, max_sn, alarm_day),
+    alarm_day the epoch day of the first crossing or NULL.
+
+    Scale shape: one raw scan into (group, day) counts; each group's
+    series is a DAYS-long array (bounded by the calendar, thousands
+    at most — never corpus-sized), folded by a Catalyst higher-order
+    ``aggregate`` — the recursion runs in the JVM, zero Python, and
+    the mu/sigma moments come from exact DECIMAL sums."""
+    dec = "decimal(19,0)"
+    daily = (
+        df.groupBy(
+            group_col,
+            F.datediff(F.to_date(ts_col), F.lit("1970-01-01"))
+            .cast("bigint")
+            .alias("x"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("y"))
+    )
+    yd = F.col("y").cast(dec)
+    g = daily.groupBy(group_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+        F.sum(yd).alias("sy"),
+        F.sum(yd * yd).alias("syy"),
+        F.sort_array(F.collect_list(F.struct("x", "y")))
+        .alias("series"),
+    )
+    n, sy, syy = (
+        F.col(c).cast("double") for c in ("n_days", "sy", "syy")
+    )
+    var_num = n * syy - sy * sy
+    g = g.withColumn("mu", sy / n).withColumn(
+        "sigma",
+        F.when(
+            (F.col("n_days") > 1) & (var_num > 0),
+            F.sqrt(var_num / (n * (n - 1))),
+        ),
+    )
+    init = F.struct(
+        F.lit(0.0).alias("sp"),
+        F.lit(0.0).alias("sn"),
+        F.lit(0.0).alias("msp"),
+        F.lit(0.0).alias("msn"),
+        F.lit(None).cast("bigint").alias("alarm"),
+    )
+
+    def step(acc, e):
+        z = F.when(
+            F.col("sigma").isNotNull(),
+            (e["y"].cast("double") - F.col("mu")) / F.col("sigma"),
+        ).otherwise(F.lit(0.0))
+        sp = F.greatest(F.lit(0.0), acc["sp"] + z - F.lit(slack))
+        sn = F.greatest(F.lit(0.0), acc["sn"] - z - F.lit(slack))
+        return F.struct(
+            sp.alias("sp"),
+            sn.alias("sn"),
+            F.greatest(acc["msp"], sp).alias("msp"),
+            F.greatest(acc["msn"], sn).alias("msn"),
+            F.coalesce(
+                acc["alarm"],
+                F.when(
+                    (sp > F.lit(threshold)) | (sn > F.lit(threshold)),
+                    e["x"],
+                ),
+            ).alias("alarm"),
+        )
+
+    res = F.aggregate("series", init, step)
+    return g.select(
+        group_col,
+        "n_days",
+        F.col("mu").alias("mu"),
+        F.col("sigma").alias("sigma"),
+        res["msp"].alias("max_sp"),
+        res["msn"].alias("max_sn"),
+        res["alarm"].alias("alarm_day"),
+    )

@@ -559,3 +559,64 @@ def test_top_paths_plan_no_python(spark):
     )
     assert "ArrowEvalPython" not in plan
     assert "BatchEvalPython" not in plan
+
+
+# --- CUSUM change-point detection ---
+
+
+def test_cusum_detects_planted_step(spark):
+    """10 days at 10 rows then 10 days at 30: mu=20,
+    sigma=sqrt(40000/380); |z|=10/sigma each day, both tracks climb
+    by |z|-0.5 per day on their half; S- crosses h=4 first at the
+    9th low day (epoch day 8)."""
+    import math
+
+    from protosc_spark.windows import volume_cusum
+
+    rows = []
+    for d in range(20):
+        ts = f"1970-01-{d + 1:02d} 00:00:00"
+        rows += [("g", ts)] * (10 if d < 10 else 30)
+    df = spark.createDataFrame(
+        rows, "g string, ts_s string"
+    ).select("g", F.col("ts_s").cast("timestamp").alias("ts"))
+    r = volume_cusum(df, "g").collect()[0]
+    sigma = math.sqrt(40000 / 380)
+    step = 10 / sigma - 0.5
+    assert r.n_days == 20 and abs(r.mu - 20.0) < 1e-12
+    assert abs(r.sigma - sigma) < 1e-12
+    assert abs(r.max_sn - 10 * step) < 1e-9
+    assert abs(r.max_sp - 10 * step) < 1e-9
+    assert r.alarm_day == 8
+
+
+def test_cusum_flat_and_single_day_never_alarm(spark):
+    """Flat series: sigma NULL (zero variance) => z=0, tracks stay
+    0, no alarm. Single day: same via the n>1 guard."""
+    from protosc_spark.windows import volume_cusum
+
+    rows = [
+        ("flat", f"1970-01-0{d} 00:00:00") for d in (1, 2, 3)
+    ] + [("one", "1970-01-01 00:00:00")]
+    df = spark.createDataFrame(
+        rows, "g string, ts_s string"
+    ).select("g", F.col("ts_s").cast("timestamp").alias("ts"))
+    out = {r.g: r for r in volume_cusum(df, "g").collect()}
+    for g in ("flat", "one"):
+        assert out[g].sigma is None
+        assert out[g].max_sp == 0.0 and out[g].max_sn == 0.0
+        assert out[g].alarm_day is None
+
+
+def test_cusum_plan_no_python(spark):
+    from protosc_spark.windows import volume_cusum
+
+    df = spark.createDataFrame(
+        [("g", "1970-01-01 00:00:00")], "g string, ts_s string"
+    ).select("g", F.col("ts_s").cast("timestamp").alias("ts"))
+    plan = (
+        volume_cusum(df, "g")._jdf.queryExecution().executedPlan()
+        .toString()
+    )
+    assert "ArrowEvalPython" not in plan
+    assert "BatchEvalPython" not in plan
