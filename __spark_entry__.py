@@ -443,6 +443,30 @@ def _transcript_conv_features(spark, sf_dir):
     return conversation_features(stable_dedup(tr))
 
 
+def _events_state_entropy(spark, sf_dir):
+    """Per-day diversity of the event-type mix: Shannon entropy +
+    Pielou evenness + distinct-type count — the mix-collapse audit
+    next to the volume monitors (a day whose traffic degenerates
+    into one event type shows evenness -> 0 before volume moves).
+    DuckDB oracle reproduces counts, proportions, the entropy sum
+    and the evenness normalization."""
+    from protosc_spark.windows import state_entropy
+
+    ev = _read(spark, sf_dir, "events")
+    t = ev.select(F.to_date("ts").alias("day"), "event_type")
+    return (
+        state_entropy(t, "day")
+        .select(
+            F.col("day").cast("string").alias("day"),
+            "n",
+            "k",
+            F.round("entropy", 6).alias("entropy"),
+            F.round("evenness", 6).alias("evenness"),
+        )
+        .orderBy("day")
+    )
+
+
 def _events_cusum_volume(spark, sf_dir):
     """Two-sided CUSUM change-point detection over each event type's
     daily-volume series (Page 1954; k=0.5, h=4) — the step-shift
@@ -2091,6 +2115,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     full-surface green regardless of this ordering."""
     return {
         # --- round 5 ---
+        "events_state_entropy": _events_state_entropy,
         "events_cusum_volume": _events_cusum_volume,
         "events_top_paths": _events_top_paths,
         "events_volume_trend": _events_volume_trend,
@@ -2999,6 +3024,31 @@ def oracle_sql() -> dict[str, str]:
         # independent check of the real PNG codec: the oracle derives
         # the mean pixel straight from the text's codepoints, never
         # decoding a PNG — encode(Paeth) o decode must be the identity
+        "events_state_entropy": """
+            WITH t AS (
+              SELECT ts::DATE AS day, event_type
+              FROM events WHERE event_type IS NOT NULL
+            ), c AS (
+              SELECT day, event_type, count(*)::BIGINT AS c
+              FROM t GROUP BY 1, 2
+            ), w AS (
+              SELECT day, c,
+                     sum(c) OVER (PARTITION BY day) AS n
+              FROM c
+            ), e AS (
+              SELECT day, min(n)::BIGINT AS n,
+                     count(*)::BIGINT AS k,
+                     sum(-(c::DOUBLE / n::DOUBLE)
+                         * ln(c::DOUBLE / n::DOUBLE)) AS entropy
+              FROM w GROUP BY 1
+            )
+            SELECT day::VARCHAR AS day, n, k,
+                   round(entropy, 6) AS entropy,
+                   round(CASE WHEN k > 1
+                              THEN entropy / ln(k::DOUBLE) END,
+                         6) AS evenness
+            FROM e ORDER BY day
+        """,
         "events_cusum_volume": """
             WITH RECURSIVE daily AS (
               SELECT event_type AS g,

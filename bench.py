@@ -104,6 +104,7 @@ HEADLINE = [
     "events_volume_trend",
     "events_top_paths",
     "events_cusum_volume",
+    "events_state_entropy",
 ]
 
 BENCH_CONVERSATIONS = int(os.environ.get("PROTOSC_BENCH_CONVS", "20000"))

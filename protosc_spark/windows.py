@@ -613,3 +613,45 @@ def volume_cusum(
         res["msn"].alias("max_sn"),
         res["alarm"].alias("alarm_day"),
     )
+
+
+def state_entropy(df: DataFrame, group_col: str,
+                  state_col: str = "event_type") -> DataFrame:
+    """Per-slice categorical diversity: Shannon entropy of the state
+    mix, Pielou evenness H / ln(k), and the distinct-state count —
+    the mix-collapse audit (a slice whose traffic degenerates into
+    one event type shows evenness -> 0 long before volume moves).
+    NULL states are dropped; k = 1 leaves evenness NULL (ln k = 0).
+
+    Output: (group, n, k, entropy, evenness), entropy in nats.
+
+    Scale shape: one map-side-combined (group, state) count, then
+    arithmetic over that |groups| x |states| aggregate. Pure JVM."""
+    counts = (
+        df.where(F.col(state_col).isNotNull())
+        .groupBy(group_col, state_col)
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    tot = W.partitionBy(group_col)
+    p = F.col("c").cast("double") / F.col("n").cast("double")
+    per = counts.withColumn(
+        "n", F.sum("c").over(tot)
+    ).withColumn("term", -p * F.log(p))
+    return (
+        per.groupBy(group_col)
+        .agg(
+            F.min("n").alias("n"),
+            F.count(F.lit(1)).cast("bigint").alias("k"),
+            F.sum("term").alias("entropy"),
+        )
+        .select(
+            group_col,
+            "n",
+            "k",
+            "entropy",
+            F.when(
+                F.col("k") > 1,
+                F.col("entropy") / F.log(F.col("k").cast("double")),
+            ).alias("evenness"),
+        )
+    )

@@ -620,3 +620,43 @@ def test_cusum_plan_no_python(spark):
     )
     assert "ArrowEvalPython" not in plan
     assert "BatchEvalPython" not in plan
+
+
+# --- state-mix entropy / evenness ---
+
+
+def test_state_entropy_known_mixes(spark):
+    """Uniform 4-way mix: H = ln 4, evenness 1. Single state:
+    H = 0, evenness NULL. 3:1 two-way mix: H = -(3/4)ln(3/4)
+    - (1/4)ln(1/4)."""
+    import math
+
+    from protosc_spark.windows import state_entropy
+
+    rows = (
+        [("u", s) for s in "ABCD"]
+        + [("one", "A")] * 5
+        + [("skew", "A")] * 3
+        + [("skew", "B")]
+    )
+    df = spark.createDataFrame(rows, "g string, event_type string")
+    out = {r.g: r for r in state_entropy(df, "g").collect()}
+    assert abs(out["u"].entropy - math.log(4)) < 1e-12
+    assert abs(out["u"].evenness - 1.0) < 1e-12
+    assert out["one"].entropy == 0.0 and out["one"].evenness is None
+    h = -(0.75 * math.log(0.75) + 0.25 * math.log(0.25))
+    assert abs(out["skew"].entropy - h) < 1e-12
+    assert abs(out["skew"].evenness - h / math.log(2)) < 1e-12
+    assert (out["u"].n, out["u"].k) == (4, 4)
+    assert (out["skew"].n, out["skew"].k) == (4, 2)
+
+
+def test_state_entropy_drops_null_states(spark):
+    from protosc_spark.windows import state_entropy
+
+    df = spark.createDataFrame(
+        [("g", "A"), ("g", None), ("g", "B")],
+        "g string, event_type string",
+    )
+    r = state_entropy(df, "g").collect()[0]
+    assert (r.n, r.k) == (2, 2)
