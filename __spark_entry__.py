@@ -443,6 +443,39 @@ def _transcript_conv_features(spark, sf_dir):
     return conversation_features(stable_dedup(tr))
 
 
+def _corpus_target_encode(spark, sf_dir):
+    """Leakage-safe target encoding of the high-cardinality source
+    key, both disciplines side by side: leave-one-out (each row's
+    own label subtracted from its group's smoothed mean) and
+    out-of-fold (md5-hash folds; only the other K-1 folds' labels
+    reach the feature) — the zero-leakage contract applied to
+    feature construction. Binary label (lang='en') keeps every sum
+    integer-exact. DuckDB oracle reproduces folds (same md5 bucket
+    rule), group/fold sums, prior, and both encodings."""
+    from protosc_spark.encoding import (
+        loo_target_encode,
+        oof_target_encode,
+    )
+
+    docs = _read_wide(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        (F.col("lang") == "en").cast("int").alias("y"),
+    )
+    a = loo_target_encode(docs, "source", "y", smoothing=10.0)
+    b = oof_target_encode(
+        a, "source", "y", "doc_id", n_folds=5, smoothing=10.0
+    )
+    return b.select(
+        "doc_id",
+        "source",
+        "y",
+        F.round("enc_loo", 6).alias("enc_loo"),
+        F.col("__fold").alias("fold"),
+        F.round("enc_oof", 6).alias("enc_oof"),
+    ).orderBy("doc_id")
+
+
 def _events_state_entropy(spark, sf_dir):
     """Per-day diversity of the event-type mix: Shannon entropy +
     Pielou evenness + distinct-type count — the mix-collapse audit
@@ -2115,6 +2148,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     full-surface green regardless of this ordering."""
     return {
         # --- round 5 ---
+        "corpus_target_encode": _corpus_target_encode,
         "events_state_entropy": _events_state_entropy,
         "events_cusum_volume": _events_cusum_volume,
         "events_top_paths": _events_top_paths,
@@ -3024,6 +3058,44 @@ def oracle_sql() -> dict[str, str]:
         # independent check of the real PNG codec: the oracle derives
         # the mean pixel straight from the text's codepoints, never
         # decoding a PNG — encode(Paeth) o decode must be the identity
+        "corpus_target_encode": """
+            WITH t AS (
+              SELECT doc_id, source,
+                     CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+              FROM documents
+            ), pr AS (
+              SELECT sum(y)::DOUBLE / count(*)::DOUBLE AS prior
+              FROM t
+            ), st AS (
+              SELECT source, sum(y)::DOUBLE AS sy,
+                     count(*)::DOUBLE AS n
+              FROM t GROUP BY 1
+            ), fold AS (
+              SELECT t.*,
+                     ('0x' || substr(md5('te1' || chr(31)
+                                         || doc_id::VARCHAR),
+                                     1, 15))::BIGINT % 5 AS fold
+              FROM t
+            ), pf AS (
+              SELECT source, fold, sum(y)::DOUBLE AS sf,
+                     count(*)::DOUBLE AS nf
+              FROM fold GROUP BY 1, 2
+            ), j AS (
+              SELECT f.doc_id, f.source, f.y, f.fold,
+                     st.sy, st.n, pf.sf, pf.nf, pr.prior
+              FROM fold f
+              JOIN st USING (source)
+              JOIN pf ON pf.source = f.source AND pf.fold = f.fold
+              CROSS JOIN pr
+            )
+            SELECT doc_id, source, y,
+                   round((sy - y + 10 * prior) / (n - 1 + 10),
+                         6) AS enc_loo,
+                   fold,
+                   round((sy - sf + 10 * prior) / (n - nf + 10),
+                         6) AS enc_oof
+            FROM j ORDER BY doc_id
+        """,
         "events_state_entropy": """
             WITH t AS (
               SELECT ts::DATE AS day, event_type

@@ -105,6 +105,7 @@ HEADLINE = [
     "events_top_paths",
     "events_cusum_volume",
     "events_state_entropy",
+    "corpus_target_encode",
 ]
 
 BENCH_CONVERSATIONS = int(os.environ.get("PROTOSC_BENCH_CONVS", "20000"))

@@ -1,0 +1,125 @@
+"""Leakage-safe categorical target encoding.
+
+The engine's core contract is zero temporal/target leakage in the
+feature path (reference: protosc's fold discipline — a fold's
+statistics never see held-out rows, protosc/model/utils.py
+train/validate split). Target encoding is the classic place the
+contract breaks in production feature pipelines: replacing a
+high-cardinality key with the mean label of its group leaks each
+row's OWN label into its own feature. Both encoders here remove that
+leak deterministically:
+
+* :func:`loo_target_encode` — leave-one-out: each row's encoding is
+  the smoothed mean label of its key EXCLUDING the row itself
+  (category_encoders' LeaveOneOutEncoder semantics: the global prior
+  keeps the standard definition, i.e. it is not re-derived per row).
+* :func:`oof_target_encode` — out-of-fold: rows are assigned to K
+  deterministic md5-hash folds (:func:`~protosc_spark.sampling
+  .hash_bucket` rule, engine-reproducible in SQL) and each row's
+  encoding uses only the OTHER folds' statistics — the K-fold
+  discipline protosc applies to model scoring, applied to feature
+  construction.
+
+Scale shape (both): one map-side-combined groupBy down to |keys| (or
+|keys| x K) rows, a broadcast-sized 1-row global aggregate, and a
+join back to the rows — the stats side is group-cardinality-sized,
+so AQE broadcasts it; no windows over raw data, pure JVM.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .sampling import hash_bucket
+
+
+def _prior(df: DataFrame, label_col: str):
+    return df.agg(
+        (
+            F.sum(F.col(label_col).cast("double"))
+            / F.count(F.lit(1)).cast("double")
+        ).alias("__prior")
+    )
+
+
+def loo_target_encode(
+    df: DataFrame,
+    key_col: str,
+    label_col: str,
+    smoothing: float = 10.0,
+    out_col: str = "enc_loo",
+) -> DataFrame:
+    """Leave-one-out smoothed target encoding:
+
+        enc_i = (sum_key(y) - y_i + m * prior) / (n_key - 1 + m)
+
+    with m = ``smoothing`` and prior the global label mean. Flipping
+    row i's own label never changes enc_i through the group term (the
+    leak the naive mean-encode has); a singleton key degrades to the
+    prior (m > 0 keeps the denominator alive)."""
+    stats = df.groupBy(key_col).agg(
+        F.sum(F.col(label_col).cast("double")).alias("__sy"),
+        F.count(F.lit(1)).cast("double").alias("__n"),
+    )
+    y = F.col(label_col).cast("double")
+    return (
+        df.join(stats, key_col)
+        .crossJoin(F.broadcast(_prior(df, label_col)))
+        .withColumn(
+            out_col,
+            (
+                F.col("__sy") - y + F.lit(smoothing) * F.col("__prior")
+            )
+            / (F.col("__n") - F.lit(1.0) + F.lit(smoothing)),
+        )
+        .drop("__sy", "__n", "__prior")
+    )
+
+
+def oof_target_encode(
+    df: DataFrame,
+    key_col: str,
+    label_col: str,
+    id_cols: list[str] | str,
+    n_folds: int = 5,
+    smoothing: float = 10.0,
+    salt: str = "te1",
+    out_col: str = "enc_oof",
+) -> DataFrame:
+    """Out-of-fold smoothed target encoding: row i in fold f gets
+
+        enc_i = (sum_key(y) - sum_{key,f}(y) + m * prior)
+                / (n_key - n_{key,f} + m)
+
+    — only the other K-1 folds' labels reach the feature. Folds are
+    the deterministic md5 ``hash_bucket`` of ``id_cols`` + ``salt``
+    (stable across partitioning, parallelism and engines), so the
+    encoding is a pure function of the dataset, not of scheduling.
+    Appends both the fold id (``__fold``) and ``out_col``."""
+    id_cols = [id_cols] if isinstance(id_cols, str) else list(id_cols)
+    with_fold = df.withColumn(
+        "__fold", hash_bucket(id_cols, salt=salt, n_buckets=n_folds)
+    )
+    per_fold = with_fold.groupBy(key_col, "__fold").agg(
+        F.sum(F.col(label_col).cast("double")).alias("__sf"),
+        F.count(F.lit(1)).cast("double").alias("__nf"),
+    )
+    totals = per_fold.groupBy(key_col).agg(
+        F.sum("__sf").alias("__sy"), F.sum("__nf").alias("__n")
+    )
+    return (
+        with_fold.join(per_fold, [key_col, "__fold"])
+        .join(totals, key_col)
+        .crossJoin(F.broadcast(_prior(df, label_col)))
+        .withColumn(
+            out_col,
+            (
+                F.col("__sy")
+                - F.col("__sf")
+                + F.lit(smoothing) * F.col("__prior")
+            )
+            / (F.col("__n") - F.col("__nf") + F.lit(smoothing)),
+        )
+        .drop("__sf", "__nf", "__sy", "__n", "__prior")
+    )

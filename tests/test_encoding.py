@@ -1,0 +1,91 @@
+"""Leakage-safe target encoding (encoding.py).
+
+The marquee property under test is the leakage contract itself:
+LOO — a row's encoding never sees its own label through the group
+term; OOF — a row's encoding never sees ANY label from its own fold.
+"""
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from protosc_spark.encoding import loo_target_encode, oof_target_encode
+from protosc_spark.session import get_spark
+
+
+@pytest.fixture(scope="module")
+def spark():
+    return get_spark("test_encoding")
+
+
+def test_loo_hand_computed(spark):
+    """Group a: y=[1,0,1], group b: y=[0]; prior=0.5, m=2.
+    enc(a, y=1) = (2-1+1)/4 = 0.5; enc(a, y=0) = (2-0+1)/4 = 0.75;
+    singleton b: (0-0+1)/(0+2) = 0.5 (degrades to prior)."""
+    df = spark.createDataFrame(
+        [(1, "a", 1), (2, "a", 0), (3, "a", 1), (4, "b", 0)],
+        "id long, k string, y int",
+    )
+    out = {
+        r.id: r.enc_loo
+        for r in loo_target_encode(df, "k", "y", smoothing=2.0)
+        .collect()
+    }
+    assert out[1] == 0.5 and out[3] == 0.5
+    assert out[2] == 0.75
+    assert out[4] == 0.5
+
+
+def test_loo_own_label_excluded(spark):
+    """Within a group, enc_i - enc_j == (y_j - y_i) / (n - 1 + m):
+    the own label enters only via subtraction — two same-label rows
+    encode identically regardless of position/partition."""
+    rows = [(i, "g", i % 3 == 0) for i in range(30)]
+    df = spark.createDataFrame(
+        [(i, k, int(y)) for i, k, y in rows], "id long, k string, y int"
+    )
+    out = {
+        r.id: (r.y, r.enc_loo)
+        for r in loo_target_encode(df, "k", "y", smoothing=7.0)
+        .collect()
+    }
+    ones = {v for y, v in out.values() if y == 1}
+    zeros = {v for y, v in out.values() if y == 0}
+    assert len(ones) == 1 and len(zeros) == 1
+    diff = next(iter(zeros)) - next(iter(ones))
+    assert abs(diff - 1.0 / (30 - 1 + 7.0)) < 1e-12
+
+
+def test_oof_excludes_own_fold(spark):
+    """Recompute every row's encoding in pure pandas from the OTHER
+    folds' rows only; the operator must match exactly. Also pins the
+    fold assignment to the deterministic md5 rule (same ids -> same
+    folds on every run/partitioning)."""
+    rows = [(i, "k%d" % (i % 4), int(i % 5 < 2)) for i in range(200)]
+    df = spark.createDataFrame(rows, "id long, k string, y int")
+    m, nf = 10.0, 5
+    out = oof_target_encode(
+        df, "k", "y", "id", n_folds=nf, smoothing=m
+    ).toPandas()
+    prior = out.y.mean()
+    for _, r in out.iterrows():
+        others = out[(out.k == r.k) & (out.__fold != r.__fold)]
+        want = (others.y.sum() + m * prior) / (len(others) + m)
+        assert abs(r.enc_oof - want) < 1e-12, (r.id, r.enc_oof, want)
+    out2 = oof_target_encode(
+        df.repartition(7), "k", "y", "id", n_folds=nf, smoothing=m
+    ).toPandas()
+    a = out.sort_values("id").reset_index(drop=True)
+    b = out2.sort_values("id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_encode_plan_no_python(spark):
+    df = spark.createDataFrame([(1, "a", 1)], "id long, k string, y int")
+    for enc in (
+        loo_target_encode(df, "k", "y"),
+        oof_target_encode(df, "k", "y", "id"),
+    ):
+        plan = enc._jdf.queryExecution().executedPlan().toString()
+        assert "ArrowEvalPython" not in plan
+        assert "BatchEvalPython" not in plan
