@@ -443,6 +443,29 @@ def _transcript_conv_features(spark, sf_dir):
     return conversation_features(stable_dedup(tr))
 
 
+def _events_ab_readout(spark, sf_dir):
+    """Deterministic A/B readout: users hash-split 50/50 (md5 rule),
+    conversion = >= 14 events of the type (the corpus averages ~13
+    per user-type, so rates sit interior and the z statistic is
+    live), two-proportion pooled z per event type. Users with zero
+    events of a type count in the denominator. DuckDB oracle
+    reproduces the split, the grid, counts, rates and z."""
+    from protosc_spark.experiment import ab_readout
+
+    ev = _read(spark, sf_dir, "events")
+    t = ab_readout(ev, threshold=14)
+    return t.select(
+        "event_type",
+        "n_a",
+        "n_b",
+        "conv_a",
+        "conv_b",
+        F.round("rate_a", 6).alias("rate_a"),
+        F.round("rate_b", 6).alias("rate_b"),
+        F.round("z", 6).alias("z"),
+    ).orderBy("event_type")
+
+
 def _corpus_target_encode(spark, sf_dir):
     """Leakage-safe target encoding of the high-cardinality source
     key, both disciplines side by side: leave-one-out (each row's
@@ -2148,6 +2171,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     full-surface green regardless of this ordering."""
     return {
         # --- round 5 ---
+        "events_ab_readout": _events_ab_readout,
         "corpus_target_encode": _corpus_target_encode,
         "events_state_entropy": _events_state_entropy,
         "events_cusum_volume": _events_cusum_volume,
@@ -3058,6 +3082,58 @@ def oracle_sql() -> dict[str, str]:
         # independent check of the real PNG codec: the oracle derives
         # the mean pixel straight from the text's codepoints, never
         # decoding a PNG — encode(Paeth) o decode must be the identity
+        "events_ab_readout": """
+            WITH u AS (
+              SELECT DISTINCT user_id FROM events
+            ), v AS (
+              SELECT user_id,
+                     ('0x' || substr(md5('exp1' || chr(31)
+                                         || user_id::VARCHAR),
+                                     1, 15))::BIGINT % 2 AS variant
+              FROM u
+            ), ty AS (
+              SELECT DISTINCT event_type FROM events
+              WHERE event_type IS NOT NULL
+            ), c AS (
+              SELECT user_id, event_type, count(*)::BIGINT AS c
+              FROM events GROUP BY 1, 2
+            ), g AS (
+              SELECT v.variant, ty.event_type,
+                     CASE WHEN coalesce(c.c, 0) >= 14
+                          THEN 1 ELSE 0 END AS conv
+              FROM v CROSS JOIN ty
+              LEFT JOIN c ON c.user_id = v.user_id
+                         AND c.event_type = ty.event_type
+            ), s AS (
+              SELECT event_type,
+                     sum(CASE WHEN variant = 0 THEN 1 ELSE 0
+                         END)::BIGINT AS n_a,
+                     sum(CASE WHEN variant = 1 THEN 1 ELSE 0
+                         END)::BIGINT AS n_b,
+                     sum(CASE WHEN variant = 0 THEN conv ELSE 0
+                         END)::BIGINT AS conv_a,
+                     sum(CASE WHEN variant = 1 THEN conv ELSE 0
+                         END)::BIGINT AS conv_b
+              FROM g GROUP BY 1
+            )
+            SELECT event_type, n_a, n_b, conv_a, conv_b,
+                   round(conv_a::DOUBLE / n_a::DOUBLE, 6) AS rate_a,
+                   round(conv_b::DOUBLE / n_b::DOUBLE, 6) AS rate_b,
+                   round(CASE WHEN n_a > 0 AND n_b > 0
+                               AND conv_a + conv_b > 0
+                               AND conv_a + conv_b < n_a + n_b
+                              THEN (conv_b::DOUBLE / n_b::DOUBLE
+                                    - conv_a::DOUBLE / n_a::DOUBLE)
+                                   / sqrt(
+                                       ((conv_a + conv_b)::DOUBLE
+                                        / (n_a + n_b)::DOUBLE)
+                                       * (1 - (conv_a + conv_b)::DOUBLE
+                                              / (n_a + n_b)::DOUBLE)
+                                       * (1.0 / n_a::DOUBLE
+                                          + 1.0 / n_b::DOUBLE))
+                         END, 6) AS z
+            FROM s ORDER BY event_type
+        """,
         "corpus_target_encode": """
             WITH t AS (
               SELECT doc_id, source,

@@ -106,6 +106,7 @@ HEADLINE = [
     "events_cusum_volume",
     "events_state_entropy",
     "corpus_target_encode",
+    "events_ab_readout",
 ]
 
 BENCH_CONVERSATIONS = int(os.environ.get("PROTOSC_BENCH_CONVS", "20000"))
