@@ -443,6 +443,31 @@ def _transcript_conv_features(spark, sf_dir):
     return conversation_features(stable_dedup(tr))
 
 
+def _events_key_skew(spark, sf_dir):
+    """Join-key skew audit of two shuffle keys side by side (the
+    near-uniform user_id vs the 5-value event_type): row/key counts,
+    worst single key's share, and the Gini of the key frequency
+    distribution — computed from the count-of-counts histogram so
+    the only window runs over distinct FREQUENCY values, never the
+    corpus-keys-sized count table. DuckDB oracle reproduces the
+    histogram collapse, the doubled integer rank-sum and the Gini."""
+    from protosc_spark.skew import key_skew_stats
+
+    ev = _read(spark, sf_dir, "events")
+    out = None
+    for key in ("user_id", "event_type"):
+        s = key_skew_stats(ev, key).select(
+            F.lit(key).alias("key_name"),
+            "n_rows",
+            "n_keys",
+            "max_count",
+            F.round("max_share", 6).alias("max_share"),
+            F.round("gini", 6).alias("gini"),
+        )
+        out = s if out is None else out.unionByName(s)
+    return out.orderBy("key_name")
+
+
 def _events_ab_readout(spark, sf_dir):
     """Deterministic A/B readout: users hash-split 50/50 (md5 rule),
     conversion = >= 14 events of the type (the corpus averages ~13
@@ -2171,6 +2196,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     full-surface green regardless of this ordering."""
     return {
         # --- round 5 ---
+        "events_key_skew": _events_key_skew,
         "events_ab_readout": _events_ab_readout,
         "corpus_target_encode": _corpus_target_encode,
         "events_state_entropy": _events_state_entropy,
@@ -3082,6 +3108,54 @@ def oracle_sql() -> dict[str, str]:
         # independent check of the real PNG codec: the oracle derives
         # the mean pixel straight from the text's codepoints, never
         # decoding a PNG — encode(Paeth) o decode must be the identity
+        "events_key_skew": """
+            WITH cnt_u AS (
+              SELECT user_id, count(*)::BIGINT AS c
+              FROM events GROUP BY 1
+            ), h_u AS (
+              SELECT c, count(*)::BIGINT AS m FROM cnt_u GROUP BY 1
+            ), w_u AS (
+              SELECT c, m,
+                     coalesce(sum(m) OVER (
+                       ORDER BY c ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND 1 PRECEDING), 0) AS rprev
+              FROM h_u
+            ), a_u AS (
+              SELECT sum(c * m) AS s, sum(m) AS n,
+                     sum(c * (2 * m * rprev + m * (m + 1))) AS t,
+                     max(c) AS mc
+              FROM w_u
+            ), cnt_e AS (
+              SELECT event_type, count(*)::BIGINT AS c
+              FROM events GROUP BY 1
+            ), h_e AS (
+              SELECT c, count(*)::BIGINT AS m FROM cnt_e GROUP BY 1
+            ), w_e AS (
+              SELECT c, m,
+                     coalesce(sum(m) OVER (
+                       ORDER BY c ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND 1 PRECEDING), 0) AS rprev
+              FROM h_e
+            ), a_e AS (
+              SELECT sum(c * m) AS s, sum(m) AS n,
+                     sum(c * (2 * m * rprev + m * (m + 1))) AS t,
+                     max(c) AS mc
+              FROM w_e
+            ), both_k AS (
+              SELECT 'user_id' AS key_name, * FROM a_u
+              UNION ALL
+              SELECT 'event_type' AS key_name, * FROM a_e
+            )
+            SELECT key_name, s::BIGINT AS n_rows, n::BIGINT AS n_keys,
+                   mc AS max_count,
+                   round(mc::DOUBLE / s::DOUBLE, 6) AS max_share,
+                   round(CASE WHEN n > 1 AND s > 0
+                              THEN t::DOUBLE
+                                   / (n::DOUBLE * s::DOUBLE)
+                                   - (n::DOUBLE + 1.0) / n::DOUBLE
+                         END, 6) AS gini
+            FROM both_k ORDER BY key_name
+        """,
         "events_ab_readout": """
             WITH u AS (
               SELECT DISTINCT user_id FROM events

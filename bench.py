@@ -107,6 +107,7 @@ HEADLINE = [
     "events_state_entropy",
     "corpus_target_encode",
     "events_ab_readout",
+    "events_key_skew",
 ]
 
 BENCH_CONVERSATIONS = int(os.environ.get("PROTOSC_BENCH_CONVS", "20000"))

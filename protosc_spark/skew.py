@@ -1,0 +1,85 @@
+"""Join-key skew diagnostics.
+
+Every shuffle in this engine groups or joins on some key; a skewed
+key distribution is the thing that turns a 1000-executor job into a
+one-straggler job (the engine salts/AQE-splits where it matters —
+ordering.py, similarity.py). This module measures the skew itself,
+so a pipeline can AUDIT a key before shuffling 100 TB on it:
+max-share (worst single key), and the Gini coefficient of the key
+frequency distribution (0 = uniform, ->1 = one key owns the table).
+
+The Gini needs ranks over keys sorted by frequency — naively a
+global window over the key-count table (corpus-keys-sized: 1e9 rows
+for user ids). Instead it is computed from the COUNT-OF-COUNTS
+histogram: for every distinct frequency c with m_c keys, the rank
+sum collapses to m_c * R_prev + m_c (m_c + 1) / 2 (R_prev = keys
+with smaller frequency), so
+
+    sum_i rank_i * c_i = sum_c c * (m_c R_prev + m_c (m_c + 1) / 2)
+
+and the only window runs over DISTINCT FREQUENCY VALUES — thousands
+of rows however many keys exist. Sums accumulate as DECIMAL(38,0)
+(exact, order-independent, overflow-safe); the Gini division is the
+only floating point.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+
+def key_skew_stats(df: DataFrame, key_cols: list[str] | str
+                   ) -> DataFrame:
+    """One-row skew audit of a key: (n_rows, n_keys, max_count,
+    max_share, gini) with
+
+        gini = T2 / (n S) - (n + 1) / n,
+        T2 = 2 sum_i rank_i * c_i  (ranks ascending by frequency)
+           = sum_c c (2 m_c R_prev + m_c (m_c + 1))
+
+    — the doubled form keeps every accumulated term an exact integer
+    (no decimal division). NULL key values count as a key (they land
+    in one shuffle partition too — that is exactly the skew this
+    audits)."""
+    key_cols = (
+        [key_cols] if isinstance(key_cols, str) else list(key_cols)
+    )
+    dec = "decimal(19,0)"
+    cnt = df.groupBy(*key_cols).agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    hist = cnt.groupBy("c").agg(
+        F.count(F.lit(1)).cast("bigint").alias("m")
+    )
+    w = W.orderBy("c").rowsBetween(W.unboundedPreceding, -1)
+    cd, md = F.col("c").cast(dec), F.col("m").cast(dec)
+    rprev = F.coalesce(
+        F.sum(md).over(w), F.lit(0).cast(dec)
+    )
+    term = cd * (
+        F.lit(2).cast(dec) * md * rprev
+        + md * (md + F.lit(1).cast(dec))
+    )
+    agg = hist.select(
+        "c", "m", term.alias("t"), (cd * md).alias("rows")
+    ).agg(
+        F.sum("rows").alias("__s"),
+        F.sum(F.col("m").cast(dec)).alias("__n"),
+        F.sum("t").alias("__t"),
+        F.max("c").alias("max_count"),
+    )
+    n, s, t = (
+        F.col(c).cast("double") for c in ("__n", "__s", "__t")
+    )
+    return agg.select(
+        F.col("__s").cast("bigint").alias("n_rows"),
+        F.col("__n").cast("bigint").alias("n_keys"),
+        F.col("max_count").alias("max_count"),
+        (F.col("max_count").cast("double") / s).alias("max_share"),
+        F.when(
+            (F.col("__n") > 1) & (F.col("__s") > 0),
+            t / (n * s) - (n + F.lit(1.0)) / n,
+        ).alias("gini"),
+    )
