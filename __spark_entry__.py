@@ -443,6 +443,30 @@ def _transcript_conv_features(spark, sf_dir):
     return conversation_features(stable_dedup(tr))
 
 
+def _corpus_benford(spark, sf_dir):
+    """Benford first-digit audit of the documents' n_chars column —
+    the forensic data-quality check (fabricated/truncated numeric
+    fields drift from Benford's law before summary stats move):
+    observed vs expected log10(1 + 1/d) share per leading digit,
+    plus the Pearson chi-square distance for the whole column.
+    DuckDB oracle reproduces digits, shares, expectations and the
+    chi-square."""
+    from protosc_spark.skew import benford_audit
+
+    docs = _read_wide(spark, sf_dir, "documents")
+    return (
+        benford_audit(docs, "n_chars")
+        .select(
+            "digit",
+            "n",
+            F.round("obs_share", 6).alias("obs_share"),
+            F.round("exp_share", 6).alias("exp_share"),
+            F.round("chi2", 6).alias("chi2"),
+        )
+        .orderBy("digit")
+    )
+
+
 def _events_key_skew(spark, sf_dir):
     """Join-key skew audit of two shuffle keys side by side (the
     near-uniform user_id vs the 5-value event_type): row/key counts,
@@ -2196,6 +2220,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     full-surface green regardless of this ordering."""
     return {
         # --- round 5 ---
+        "corpus_benford": _corpus_benford,
         "events_key_skew": _events_key_skew,
         "events_ab_readout": _events_ab_readout,
         "corpus_target_encode": _corpus_target_encode,
@@ -3108,6 +3133,37 @@ def oracle_sql() -> dict[str, str]:
         # independent check of the real PNG codec: the oracle derives
         # the mean pixel straight from the text's codepoints, never
         # decoding a PNG — encode(Paeth) o decode must be the identity
+        "corpus_benford": """
+            WITH v AS (
+              SELECT n_chars::BIGINT AS x FROM documents
+              WHERE n_chars::BIGINT > 0
+            ), o AS (
+              SELECT substr(x::VARCHAR, 1, 1)::INT AS digit,
+                     count(*)::BIGINT AS n
+              FROM v GROUP BY 1
+            ), d AS (
+              SELECT d::INT AS digit FROM range(1, 10) t(d)
+            ), f AS (
+              SELECT d.digit, coalesce(o.n, 0)::BIGINT AS n
+              FROM d LEFT JOIN o USING (digit)
+            ), tt AS (
+              SELECT sum(n) AS t FROM f
+            ), p AS (
+              SELECT digit, n,
+                     n::DOUBLE / t::DOUBLE AS obs_share,
+                     log10(1.0 + 1.0 / digit::DOUBLE) AS exp_share
+              FROM f CROSS JOIN tt
+            ), ch AS (
+              SELECT sum((obs_share - exp_share)
+                         * (obs_share - exp_share)
+                         / exp_share) AS cu
+              FROM p
+            )
+            SELECT digit, n, round(obs_share, 6) AS obs_share,
+                   round(exp_share, 6) AS exp_share,
+                   round(t::DOUBLE * cu, 6) AS chi2
+            FROM p CROSS JOIN ch CROSS JOIN tt ORDER BY digit
+        """,
         "events_key_skew": """
             WITH cnt_u AS (
               SELECT user_id, count(*)::BIGINT AS c

@@ -108,6 +108,7 @@ HEADLINE = [
     "corpus_target_encode",
     "events_ab_readout",
     "events_key_skew",
+    "corpus_benford",
 ]
 
 BENCH_CONVERSATIONS = int(os.environ.get("PROTOSC_BENCH_CONVS", "20000"))

@@ -83,3 +83,62 @@ def key_skew_stats(df: DataFrame, key_cols: list[str] | str
             t / (n * s) - (n + F.lit(1.0)) / n,
         ).alias("gini"),
     )
+
+
+def benford_audit(df: DataFrame, value_col: str) -> DataFrame:
+    """Benford first-digit audit of a positive numeric column — the
+    forensic data-quality check (fabricated / truncated / synthetic
+    numeric fields drift from Benford's law long before summary
+    stats move). For each leading digit d in 1..9: observed count
+    and share vs the Benford expectation log10(1 + 1/d), plus the
+    chi-square distance n * sum_d (obs_d - exp_d)^2 / exp_d repeated
+    on every row (it is a property of the whole column). Zero and
+    negative values are excluded (Benford applies to positive
+    magnitudes); digits with no observations still appear (share 0).
+
+    Output: (digit, n, obs_share, exp_share, chi2), 9 rows.
+
+    Scale shape: one map-side-combined 9-bucket count; everything
+    after runs on the 9-row table. Pure JVM."""
+    digits = df.sparkSession.range(1, 10).select(
+        F.col("id").cast("int").alias("digit")
+    )
+    first = F.substring(
+        F.col(value_col).cast("bigint").cast("string"), 1, 1
+    ).cast("int")
+    obs = (
+        df.where(F.col(value_col).cast("bigint") > 0)
+        .select(first.alias("digit"))
+        .groupBy("digit")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    full = digits.join(obs, "digit", "left").select(
+        "digit", F.coalesce("n", F.lit(0)).cast("bigint").alias("n")
+    )
+    tot = full.agg(F.sum("n").alias("__t"))
+    t = F.col("__t").cast("double")
+    exp = F.log10(F.lit(1.0) + F.lit(1.0) / F.col("digit").cast("double"))
+    per = full.crossJoin(F.broadcast(tot)).select(
+        "digit",
+        "n",
+        (F.col("n").cast("double") / t).alias("obs_share"),
+        exp.alias("exp_share"),
+    )
+    chi = per.agg(
+        F.sum(
+            (F.col("obs_share") - F.col("exp_share"))
+            * (F.col("obs_share") - F.col("exp_share"))
+            / F.col("exp_share")
+        ).alias("__chi_unit")
+    )
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(chi))
+        .select(
+            "digit",
+            "n",
+            "obs_share",
+            "exp_share",
+            (t * F.col("__chi_unit")).alias("chi2"),
+        )
+    )

@@ -62,3 +62,42 @@ def test_skew_plan_no_python(spark):
     )
     assert "ArrowEvalPython" not in plan
     assert "BatchEvalPython" not in plan
+
+
+# --- Benford first-digit audit ---
+
+
+def test_benford_exact_distribution_scores_zero(spark):
+    """A column whose first-digit counts are EXACTLY proportional to
+    Benford shares is impossible with integers, so instead pin the
+    arithmetic: a single-digit column (all values 1xx) puts all mass
+    on digit 1, and chi2 must equal n * sum_d (o_d - e_d)^2 / e_d
+    recomputed in python."""
+    import math
+
+    from protosc_spark.skew import benford_audit
+
+    df = spark.createDataFrame(
+        [(v,) for v in (100, 150, 199, 123)], "x long"
+    )
+    rows = benford_audit(df, "x").orderBy("digit").collect()
+    assert [r.digit for r in rows] == list(range(1, 10))
+    assert rows[0].n == 4 and all(r.n == 0 for r in rows[1:])
+    exp = [math.log10(1 + 1 / d) for d in range(1, 10)]
+    obs = [1.0] + [0.0] * 8
+    chi = 4 * sum(
+        (o - e) ** 2 / e for o, e in zip(obs, exp)
+    )
+    for r in rows:
+        assert abs(r.chi2 - chi) < 1e-9
+        assert abs(r.exp_share - exp[r.digit - 1]) < 1e-12
+
+
+def test_benford_excludes_nonpositive(spark):
+    from protosc_spark.skew import benford_audit
+
+    df = spark.createDataFrame(
+        [(0,), (-5,), (7,)], "x long"
+    )
+    rows = {r.digit: r.n for r in benford_audit(df, "x").collect()}
+    assert sum(rows.values()) == 1 and rows[7] == 1
