@@ -443,6 +443,45 @@ def _transcript_conv_features(spark, sf_dir):
     return conversation_features(stable_dedup(tr))
 
 
+def _corpus_auc_exact(spark, sf_dir):
+    """Exact ROC AUC of n_chars as a ranking score for lang='en' —
+    Mann-Whitney with full tie credit, computed from the score-value
+    histogram (the only window runs over distinct score values,
+    never corpus rows; sums in exact DECIMAL). DuckDB oracle
+    reproduces the histogram, the doubled U sum and the division."""
+    from protosc_spark.evaluation import auc_exact
+
+    docs = _read_wide(spark, sf_dir, "documents").select(
+        "n_chars", (F.col("lang") == "en").cast("int").alias("y")
+    )
+    return auc_exact(docs, "n_chars", "y").select(
+        "n_pos", "n_neg", F.round("auc", 6).alias("auc")
+    )
+
+
+def _corpus_calibration(spark, sf_dir):
+    """Reliability bins + Expected Calibration Error of a
+    deterministic pseudo-confidence ((n_chars mod 1000) / 1000)
+    against lang='en' — the calibration audit every scored corpus
+    filter needs. DuckDB oracle reproduces bins, confidences,
+    rates and the ECE sum."""
+    from protosc_spark.evaluation import calibration_bins
+
+    docs = _read_wide(spark, sf_dir, "documents").select(
+        ((F.col("n_chars") % 1000).cast("double") / F.lit(1000.0))
+        .alias("s"),
+        (F.col("lang") == "en").cast("int").alias("y"),
+    )
+    t = calibration_bins(docs, "s", "y", n_bins=10)
+    return t.select(
+        "bin",
+        "n",
+        F.round("conf", 6).alias("conf"),
+        F.round("rate", 6).alias("rate"),
+        F.round("ece", 6).alias("ece"),
+    ).orderBy("bin")
+
+
 def _corpus_benford(spark, sf_dir):
     """Benford first-digit audit of the documents' n_chars column —
     the forensic data-quality check (fabricated/truncated numeric
@@ -2220,6 +2259,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     full-surface green regardless of this ordering."""
     return {
         # --- round 5 ---
+        "corpus_auc_exact": _corpus_auc_exact,
+        "corpus_calibration": _corpus_calibration,
         "corpus_benford": _corpus_benford,
         "events_key_skew": _events_key_skew,
         "events_ab_readout": _events_ab_readout,
@@ -3133,6 +3174,55 @@ def oracle_sql() -> dict[str, str]:
         # independent check of the real PNG codec: the oracle derives
         # the mean pixel straight from the text's codepoints, never
         # decoding a PNG — encode(Paeth) o decode must be the identity
+        "corpus_auc_exact": """
+            WITH t AS (
+              SELECT n_chars::BIGINT AS s,
+                     CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+              FROM documents
+            ), g AS (
+              SELECT s, sum(y)::BIGINT AS pos,
+                     sum(1 - y)::BIGINT AS neg
+              FROM t GROUP BY 1
+            ), w AS (
+              SELECT s, pos, neg,
+                     coalesce(sum(neg) OVER (
+                       ORDER BY s ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND 1 PRECEDING), 0) AS below
+              FROM g
+            ), a AS (
+              SELECT sum(pos) AS p, sum(neg) AS n,
+                     sum(pos * (2 * below + neg)) AS u2
+              FROM w
+            )
+            SELECT p::BIGINT AS n_pos, n::BIGINT AS n_neg,
+                   round(CASE WHEN p > 0 AND n > 0
+                              THEN u2::DOUBLE
+                                   / (2.0 * p::DOUBLE * n::DOUBLE)
+                         END, 6) AS auc
+            FROM a
+        """,
+        "corpus_calibration": """
+            WITH t AS (
+              SELECT (n_chars % 1000)::DOUBLE / 1000.0 AS s,
+                     CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+              FROM documents
+            ), per AS (
+              SELECT least(floor(s * 10)::INT, 9) AS bin,
+                     count(*)::BIGINT AS n,
+                     sum(s) / count(*) AS conf,
+                     sum(y)::DOUBLE / count(*)::DOUBLE AS rate
+              FROM t GROUP BY 1
+            ), tt AS (
+              SELECT sum(n) AS t FROM per
+            ), e AS (
+              SELECT sum(n::DOUBLE / t::DOUBLE
+                         * abs(rate - conf)) AS ece
+              FROM per CROSS JOIN tt
+            )
+            SELECT bin, n, round(conf, 6) AS conf,
+                   round(rate, 6) AS rate, round(ece, 6) AS ece
+            FROM per CROSS JOIN e ORDER BY bin
+        """,
         "corpus_benford": """
             WITH v AS (
               SELECT n_chars::BIGINT AS x FROM documents

@@ -109,6 +109,8 @@ HEADLINE = [
     "events_ab_readout",
     "events_key_skew",
     "corpus_benford",
+    "corpus_auc_exact",
+    "corpus_calibration",
 ]
 
 BENCH_CONVERSATIONS = int(os.environ.get("PROTOSC_BENCH_CONVS", "20000"))
