@@ -443,6 +443,27 @@ def _transcript_conv_features(spark, sf_dir):
     return conversation_features(stable_dedup(tr))
 
 
+def _events_cooccurrence_lift(spark, sf_dir):
+    """Market-basket association over per-user event-type SETS:
+    support / directional confidence / lift per unordered type pair
+    — which behaviors travel together. DuckDB oracle reproduces the
+    presence table, pair counts and all three ratios."""
+    from protosc_spark.windows import cooccurrence_lift
+
+    ev = _read(spark, sf_dir, "events")
+    t = cooccurrence_lift(ev)
+    return t.select(
+        "state_a",
+        "state_b",
+        "n_a",
+        "n_b",
+        "n_ab",
+        F.round("support", 6).alias("support"),
+        F.round("confidence", 6).alias("confidence"),
+        F.round("lift", 6).alias("lift"),
+    ).orderBy("state_a", "state_b")
+
+
 def _corpus_auc_exact(spark, sf_dir):
     """Exact ROC AUC of n_chars as a ranking score for lang='en' —
     Mann-Whitney with full tie credit, computed from the score-value
@@ -2259,6 +2280,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     full-surface green regardless of this ordering."""
     return {
         # --- round 5 ---
+        "events_cooccurrence_lift": _events_cooccurrence_lift,
         "corpus_auc_exact": _corpus_auc_exact,
         "corpus_calibration": _corpus_calibration,
         "corpus_benford": _corpus_benford,
@@ -3174,6 +3196,35 @@ def oracle_sql() -> dict[str, str]:
         # independent check of the real PNG codec: the oracle derives
         # the mean pixel straight from the text's codepoints, never
         # decoding a PNG — encode(Paeth) o decode must be the identity
+        "events_cooccurrence_lift": """
+            WITH d AS (
+              SELECT DISTINCT user_id, event_type AS s
+              FROM events WHERE event_type IS NOT NULL
+            ), nt AS (
+              SELECT count(DISTINCT user_id)::BIGINT AS n FROM d
+            ), supp AS (
+              SELECT s, count(*)::BIGINT AS ns FROM d GROUP BY 1
+            ), pairs AS (
+              SELECT a.s AS state_a, b.s AS state_b,
+                     count(*)::BIGINT AS n_ab
+              FROM d a JOIN d b
+                ON a.user_id = b.user_id AND a.s < b.s
+              GROUP BY 1, 2
+            )
+            SELECT state_a, state_b,
+                   sa.ns AS n_a, sb.ns AS n_b, n_ab,
+                   round(n_ab::DOUBLE / n::DOUBLE, 6) AS support,
+                   round(n_ab::DOUBLE / sa.ns::DOUBLE,
+                         6) AS confidence,
+                   round(n_ab::DOUBLE * n::DOUBLE
+                         / (sa.ns::DOUBLE * sb.ns::DOUBLE),
+                         6) AS lift
+            FROM pairs
+            JOIN supp sa ON sa.s = state_a
+            JOIN supp sb ON sb.s = state_b
+            CROSS JOIN nt
+            ORDER BY state_a, state_b
+        """,
         "corpus_auc_exact": """
             WITH t AS (
               SELECT n_chars::BIGINT AS s,

@@ -111,6 +111,7 @@ HEADLINE = [
     "corpus_benford",
     "corpus_auc_exact",
     "corpus_calibration",
+    "events_cooccurrence_lift",
 ]
 
 BENCH_CONVERSATIONS = int(os.environ.get("PROTOSC_BENCH_CONVS", "20000"))

@@ -655,3 +655,79 @@ def state_entropy(df: DataFrame, group_col: str,
             ).alias("evenness"),
         )
     )
+
+
+def cooccurrence_lift(
+    df: DataFrame,
+    entity: str = "user_id",
+    state_col: str = "event_type",
+    min_pairs: int = 1,
+) -> DataFrame:
+    """Association mining over per-entity state SETS (presence, not
+    counts): for every unordered state pair a < b, the number of
+    entities exhibiting both, the pair's support, the directional
+    confidence P(b | a), and the lift
+
+        lift = P(a, b) / (P(a) P(b)) = n_ab N / (n_a n_b)
+
+    — the market-basket readout over whatever the entity is (which
+    tools co-occur in a conversation, which event types in a user).
+    Pairs below ``min_pairs`` entities are pruned. Deterministic:
+    pure counting, canonical a < b ordering.
+
+    Output: (state_a, state_b, n_a, n_b, n_ab, support, confidence,
+    lift); support = n_ab / N over N = all distinct entities,
+    confidence = P(state_b | state_a).
+
+    Scale shape: presence table is one distinct on (entity, state);
+    the self-join keys on entity, where each side holds at most
+    |states| rows per entity, so pair fan-out is bounded by
+    |states|^2 per entity — never quadratic in events; the final
+    aggregate is |states|^2-sized. Pure JVM."""
+    d = df.where(F.col(state_col).isNotNull()).select(
+        entity, F.col(state_col).alias("s")
+    ).distinct()
+    n_tot = d.select(entity).distinct().agg(
+        F.count(F.lit(1)).cast("bigint").alias("__n")
+    )
+    supp = d.groupBy("s").agg(
+        F.count(F.lit(1)).cast("bigint").alias("ns")
+    )
+    a = d.select(entity, F.col("s").alias("state_a"))
+    b = d.select(entity, F.col("s").alias("state_b"))
+    pairs = (
+        a.join(b, entity)
+        .where(F.col("state_a") < F.col("state_b"))
+        .groupBy("state_a", "state_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_ab"))
+        .where(F.col("n_ab") >= min_pairs)
+    )
+    out = (
+        pairs.join(
+            supp.select(
+                F.col("s").alias("state_a"), F.col("ns").alias("n_a")
+            ),
+            "state_a",
+        )
+        .join(
+            supp.select(
+                F.col("s").alias("state_b"), F.col("ns").alias("n_b")
+            ),
+            "state_b",
+        )
+        .crossJoin(F.broadcast(n_tot))
+    )
+    nab, na, nb, n = (
+        F.col(c).cast("double")
+        for c in ("n_ab", "n_a", "n_b", "__n")
+    )
+    return out.select(
+        "state_a",
+        "state_b",
+        "n_a",
+        "n_b",
+        "n_ab",
+        (nab / n).alias("support"),
+        (nab / na).alias("confidence"),
+        (nab * n / (na * nb)).alias("lift"),
+    )

@@ -660,3 +660,43 @@ def test_state_entropy_drops_null_states(spark):
     )
     r = state_entropy(df, "g").collect()[0]
     assert (r.n, r.k) == (2, 2)
+
+
+# --- co-occurrence association (support / confidence / lift) ---
+
+
+def test_cooccurrence_hand_computed(spark):
+    """4 entities: {A,B}, {A,B}, {A}, {B,C}. Pair (A,B): n_ab=2,
+    n_a=3, n_b=3, N=4 -> support .5, conf 2/3, lift 2*4/(3*3)=8/9.
+    Pair (B,C): n_ab=1, lift 4/3. Pair (A,C) absent (no co-entity).
+    Presence SETS: duplicate events collapse."""
+    from protosc_spark.windows import cooccurrence_lift
+
+    rows = (
+        [(1, "A"), (1, "B"), (1, "B")]  # dup B collapses
+        + [(2, "A"), (2, "B")]
+        + [(3, "A")]
+        + [(4, "B"), (4, "C")]
+    )
+    df = spark.createDataFrame(rows, "user_id long, event_type string")
+    out = {(r.state_a, r.state_b): r
+           for r in cooccurrence_lift(df).collect()}
+    assert set(out) == {("A", "B"), ("B", "C")}
+    ab = out[("A", "B")]
+    assert (ab.n_a, ab.n_b, ab.n_ab) == (3, 3, 2)
+    assert abs(ab.support - 0.5) < 1e-12
+    assert abs(ab.confidence - 2 / 3) < 1e-12
+    assert abs(ab.lift - 8 / 9) < 1e-12
+    bc = out[("B", "C")]
+    assert (bc.n_a, bc.n_b, bc.n_ab) == (3, 1, 1)
+    assert abs(bc.lift - 4 / 3) < 1e-12
+
+
+def test_cooccurrence_min_pairs_prunes(spark):
+    from protosc_spark.windows import cooccurrence_lift
+
+    rows = [(1, "A"), (1, "B"), (2, "A"), (2, "B"), (3, "B"),
+            (3, "C")]
+    df = spark.createDataFrame(rows, "user_id long, event_type string")
+    out = cooccurrence_lift(df, min_pairs=2).collect()
+    assert [(r.state_a, r.state_b) for r in out] == [("A", "B")]
