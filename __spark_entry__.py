@@ -443,6 +443,113 @@ def _transcript_conv_features(spark, sf_dir):
     return conversation_features(stable_dedup(tr))
 
 
+_EDIT_PLANT = [
+    (9100001, "the quick brown fox jumps over the lazy dog"),
+    (9100002, "the quick brown fox jumps over the hazy dog"),
+    (9100003, "the quick brown fox jumps over the hazy dig"),
+    (9100004, "pack my box with five dozen liquor jugs"),
+]
+
+
+def _corpus_drift_ks(spark, sf_dir):
+    """Two-sample Kolmogorov-Smirnov drift statistic: n_chars
+    distribution of lang='en' docs vs the rest — the binning-free
+    companion to the PSI drift gate. Integer-exact ECDF
+    cross-products over the value histogram; DuckDB oracle
+    reproduces histogram, cumulative counts, the sup and its
+    location."""
+    from protosc_spark.evaluation import ks_two_sample
+
+    docs = _read_wide(spark, sf_dir, "documents").select(
+        "n_chars", (F.col("lang") == "en").cast("int").alias("g")
+    )
+    return ks_two_sample(docs, "n_chars", "g").select(
+        "n_1", "n_0", F.round("ks", 6).alias("ks"), "ks_at"
+    )
+
+
+def _corpus_rater_agreement(spark, sf_dir):
+    """Cohen's kappa between the heuristic language classifier
+    (textops.language_id) and the gold lang column — the standard
+    chance-corrected agreement readout for any labeling stage.
+    DuckDB oracle re-derives the prediction (the txt_langid CASE
+    expression), the confusion matrix, both marginals and the exact
+    integer kappa arithmetic."""
+    from protosc_spark.evaluation import cohens_kappa
+    from protosc_spark.textops import language_id
+
+    docs = _read_wide(spark, sf_dir, "documents")
+    pred = language_id(docs).select("doc_id", "lang_pred")
+    j = docs.select("doc_id", "lang").join(pred, "doc_id")
+    return cohens_kappa(j, "lang", "lang_pred").select(
+        "n",
+        F.round("po", 6).alias("po"),
+        F.round("pe", 6).alias("pe"),
+        F.round("kappa", 6).alias("kappa"),
+    )
+
+
+def _dedup_edit_distance(spark, sf_dir):
+    """Exact Levenshtein near-dup pairs (dist <= 2) over short docs
+    (n_chars <= 300) plus a planted 3-variant cluster + 1 decoy
+    (planted in BOTH engines, the house extreme-row pattern) —
+    length-band blocking + Spark's banded JVM levenshtein. The
+    DuckDB oracle is a brute-force O(n^2) cross join with its own
+    levenshtein — fully independent of the blocking plan, so it
+    also proves the banding lossless."""
+    from protosc_spark.dedup import edit_distance_pairs
+
+    docs = (
+        _read_wide(spark, sf_dir, "documents")
+        .where(F.col("n_chars") <= 300)
+        .select("doc_id", "text")
+    )
+    planted = spark.createDataFrame(
+        _EDIT_PLANT, "doc_id bigint, text string"
+    )
+    return edit_distance_pairs(docs.unionByName(planted), max_dist=2)
+
+
+def _txt_rrf_fusion(spark, sf_dir):
+    """Reciprocal Rank Fusion of two document rankings (a length
+    prior and a deterministic pseudo-score) — the hybrid-retrieval
+    merge step. Ranks come from the value-histogram collapse (no
+    global row window); the DuckDB oracle uses plain ROW_NUMBER
+    rankings, so it independently proves the histogram+tie-window
+    rank construction."""
+    from protosc_spark.textops import rrf_fuse
+
+    docs = _read_wide(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.col("n_chars").alias("s1"),
+        (F.col("doc_id") * 2654435761 % 1000000).alias("s2"),
+    )
+    return (
+        rrf_fuse(docs, ["s1", "s2"])
+        .select(
+            "doc_id", "rank_s1", "rank_s2",
+            F.round("rrf", 6).alias("rrf"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _events_pagerank(spark, sf_dir):
+    """Weighted PageRank over the event-type transition graph —
+    integer micro-unit power iteration (5 rounds, d=0.85), exact at
+    any parallelism. DuckDB oracle replays all 5 iterations
+    digit-for-digit as unrolled CTEs over HUGEINT floor
+    arithmetic."""
+    from protosc_spark.windows import pagerank, transition_counts
+
+    ev = _read(spark, sf_dir, "events")
+    return (
+        pagerank(transition_counts(ev))
+        .select("node", "pr_int", F.round("pr", 6).alias("pr"))
+        .orderBy("node")
+    )
+
+
 def _events_cooccurrence_lift(spark, sf_dir):
     """Market-basket association over per-user event-type SETS:
     support / directional confidence / lift per unordered type pair
@@ -2280,6 +2387,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     full-surface green regardless of this ordering."""
     return {
         # --- round 5 ---
+        "events_pagerank": _events_pagerank,
+        "corpus_drift_ks": _corpus_drift_ks,
+        "corpus_rater_agreement": _corpus_rater_agreement,
+        "dedup_edit_distance": _dedup_edit_distance,
+        "txt_rrf_fusion": _txt_rrf_fusion,
         "events_cooccurrence_lift": _events_cooccurrence_lift,
         "corpus_auc_exact": _corpus_auc_exact,
         "corpus_calibration": _corpus_calibration,
@@ -2413,6 +2525,60 @@ for _lg in reversed(_LANGS):
     )
 
 
+def _events_pagerank_oracle(n_iter: int = 5, scale: int = 10**12
+                            ) -> str:
+    """Unrolled 5-iteration replay of windows.pagerank's integer
+    recurrence (HUGEINT floor arithmetic, non-negative operands, so
+    DuckDB // == Spark DIV digit-for-digit)."""
+    sql = f"""
+        WITH pairs AS (
+          SELECT lag(event_type) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                 ) AS u,
+                 event_type AS v
+          FROM events
+        ), e AS (
+          SELECT u, v, count(*)::HUGEINT AS w
+          FROM pairs WHERE u IS NOT NULL GROUP BY u, v
+        ), nodes AS (
+          SELECT DISTINCT node
+          FROM (SELECT u AS node FROM e UNION ALL SELECT v FROM e)
+        ), meta AS (SELECT count(*)::HUGEINT AS n FROM nodes),
+        outw AS (SELECT u, sum(w) AS out_w FROM e GROUP BY u),
+        p0 AS (
+          SELECT node, ({scale}::HUGEINT // meta.n) AS pr
+          FROM nodes, meta
+        )"""
+    for i in range(1, n_iter + 1):
+        prev = f"p{i - 1}"
+        sql += f""",
+        p{i} AS (
+          SELECT nodes.node,
+                 (15::HUGEINT * {scale}::HUGEINT)
+                   // (100::HUGEINT * meta.n)
+                 + (85::HUGEINT * (
+                     COALESCE(inf.inflow, 0::HUGEINT)
+                     + (SELECT COALESCE(sum(p.pr), 0::HUGEINT)
+                        FROM {prev} p
+                        LEFT JOIN outw o ON p.node = o.u
+                        WHERE o.u IS NULL) // meta.n
+                   )) // 100::HUGEINT AS pr
+          FROM nodes CROSS JOIN meta
+          LEFT JOIN (
+            SELECT e.v AS node, sum((p.pr * e.w) // o.out_w) AS inflow
+            FROM e
+            JOIN {prev} p ON e.u = p.node
+            JOIN outw o ON e.u = o.u
+            GROUP BY e.v
+          ) inf ON nodes.node = inf.node
+        )"""
+    sql += f"""
+        SELECT node, pr::BIGINT AS pr_int,
+               round(pr::DOUBLE / {float(scale)}, 6) AS pr
+        FROM p{n_iter} ORDER BY node"""
+    return sql
+
+
 def _corpus_decontaminate_oracle() -> str:
     from protosc_spark.sampling import split_oracle_sql
 
@@ -2449,7 +2615,91 @@ def _corpus_split_oracle() -> str:
 
 
 def oracle_sql() -> dict[str, str]:
+    _plant_values = ", ".join(
+        f"({i}, '{t}')" for i, t in _EDIT_PLANT
+    )
     out = {
+        "events_pagerank": _events_pagerank_oracle(),
+        "corpus_drift_ks": """
+            WITH base AS (
+              SELECT n_chars AS v, (lang = 'en')::INT AS g
+              FROM documents
+              WHERE n_chars IS NOT NULL AND lang IS NOT NULL
+            ), h AS (
+              SELECT v, SUM(g)::HUGEINT AS a, SUM(1 - g)::HUGEINT AS b
+              FROM base GROUP BY v
+            ), c AS (
+              SELECT v, SUM(a) OVER (ORDER BY v) AS ca,
+                     SUM(b) OVER (ORDER BY v) AS cb
+              FROM h
+            ), t AS (SELECT SUM(a) AS na, SUM(b) AS nb FROM h),
+            s AS (SELECT v, ABS(ca * nb - cb * na) AS d FROM c, t)
+            SELECT na::BIGINT AS n_1, nb::BIGINT AS n_0,
+                   round((SELECT MAX(d) FROM s)::DOUBLE / (na * nb), 6)
+                     AS ks,
+                   (SELECT MIN(v) FROM s
+                    WHERE d = (SELECT MAX(d) FROM s)) AS ks_at
+            FROM t
+        """,
+        "corpus_rater_agreement": f"""
+            WITH pred AS (
+              SELECT doc_id, {_LANG_CASE} AS b FROM documents
+            ), base AS (
+              SELECT d.lang AS a, p.b
+              FROM documents d JOIN pred p USING (doc_id)
+              WHERE d.lang IS NOT NULL AND p.b IS NOT NULL
+            ), cell AS (
+              SELECT a, b, count(*)::HUGEINT AS n
+              FROM base GROUP BY a, b
+            ), r AS (SELECT a, SUM(n) AS ra FROM cell GROUP BY a),
+            c AS (SELECT b, SUM(n) AS cb FROM cell GROUP BY b),
+            pe AS (
+              SELECT COALESCE(SUM(ra * cb), 0::HUGEINT) AS pe
+              FROM r JOIN c ON r.a = c.b
+            ), t AS (
+              SELECT SUM(n) AS t,
+                     COALESCE(SUM(n) FILTER (a = b), 0::HUGEINT) AS dg
+              FROM cell
+            )
+            SELECT t::BIGINT AS n,
+                   round(dg::DOUBLE / t, 6) AS po,
+                   round(pe::DOUBLE / (t * t), 6) AS pe,
+                   round((t * dg - pe)::DOUBLE / (t * t - pe), 6)
+                     AS kappa
+            FROM t, pe
+        """,
+        "dedup_edit_distance": f"""
+            WITH s AS (
+              SELECT doc_id, text FROM documents WHERE n_chars <= 300
+              UNION ALL
+              SELECT * FROM (VALUES {_plant_values}) v(doc_id, text)
+            )
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   levenshtein(a.text, b.text)::INT AS dist
+            FROM s a JOIN s b ON a.doc_id < b.doc_id
+            WHERE levenshtein(a.text, b.text) <= 2
+            ORDER BY doc_a, doc_b
+        """,
+        "txt_rrf_fusion": """
+            WITH b AS (
+              SELECT doc_id, n_chars AS s1,
+                     (doc_id * 2654435761) % 1000000 AS s2
+              FROM documents
+            ), r AS (
+              SELECT doc_id,
+                     ROW_NUMBER() OVER (
+                       ORDER BY s1 DESC NULLS LAST, doc_id
+                     ) AS rank_s1,
+                     ROW_NUMBER() OVER (
+                       ORDER BY s2 DESC NULLS LAST, doc_id
+                     ) AS rank_s2
+              FROM b
+            )
+            SELECT doc_id, rank_s1, rank_s2,
+                   round(1.0 / (60 + rank_s1)
+                         + 1.0 / (60 + rank_s2), 6) AS rrf
+            FROM r ORDER BY doc_id
+        """,
         # G.711 mu-law expansion re-derived from the CCITT arithmetic
         # (ones-complement byte, 3-bit exponent, 4-bit mantissa, bias
         # 0x84) with SQL integer bit ops — no table, no WAV parsing

@@ -112,6 +112,11 @@ HEADLINE = [
     "corpus_auc_exact",
     "corpus_calibration",
     "events_cooccurrence_lift",
+    "events_pagerank",
+    "corpus_drift_ks",
+    "corpus_rater_agreement",
+    "dedup_edit_distance",
+    "txt_rrf_fusion",
 ]
 
 BENCH_CONVERSATIONS = int(os.environ.get("PROTOSC_BENCH_CONVS", "20000"))

@@ -786,3 +786,84 @@ def filter_duplicated_spans(
     return df.join(
         keep, F.col(id_col) == F.col("__keep_id"), "left_semi"
     )
+
+
+def edit_distance_pairs(
+    df: DataFrame,
+    max_dist: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    band: int | None = None,
+) -> DataFrame:
+    """EXACT Levenshtein near-duplicate pairs: every unordered doc
+    pair with edit distance <= ``max_dist`` — the character-level
+    complement to shingle Jaccard (catches small in-place edits that
+    shift every w-gram) and the verify step record-linkage pipelines
+    run after LSH blocking.
+
+    Plan — length-band blocking, provably LOSSLESS for the
+    threshold: levenshtein(a, b) >= |len(a) - len(b)|, so a
+    qualifying pair's lengths differ by at most ``max_dist``. Docs
+    are bucketed by blk = len DIV W with W > max_dist (default
+    ``band`` = max(16, 4 * (max_dist + 1))); any qualifying pair
+    then sits in the same or adjacent bucket, so the LEFT side is
+    exploded to (blk-1, blk, blk+1) and equi-joined to the right
+    side's own bucket — each pair meets exactly once (the right
+    row's bucket is unique). Candidates are cut by the exact length
+    filter before the DP runs, and the DP itself is Spark's built-in
+    banded ``levenshtein(l, r, threshold)`` (JVM, O(len * max_dist),
+    early-exit) — no Python anywhere.
+
+    Scale shape: one equi-join shuffled on the length bucket; bucket
+    population is corpus_len_histogram-bounded and AQE splits hot
+    buckets (plain equi-join, not cogroup). Cost within a bucket is
+    pairs * O(len * max_dist); for corpora with heavy exact
+    duplication run :func:`exact_dedup_groups` first and pair only
+    group representatives. Output: (doc_a, doc_b, dist) with
+    doc_a < doc_b, ordered by (doc_a, doc_b).
+
+    Reference parity: protosc has no fuzzy text matching; this is
+    the standard dedup-stack member (cf. Lee et al. 2022
+    "Deduplicating Training Data Makes Language Models Better" —
+    edit-similarity near-dup class)."""
+    w_band = band if band is not None else max(16, 4 * (max_dist + 1))
+    if w_band <= max_dist:
+        raise ValueError(
+            f"band ({w_band}) must exceed max_dist ({max_dist}) for "
+            "adjacent-bucket blocking to be lossless"
+        )
+    ln = F.length(F.col(text_col))
+    base = df.select(
+        F.col(id_col).alias("__id"),
+        F.col(text_col).alias("__t"),
+        ln.alias("__len"),
+        (ln.cast("bigint") / F.lit(w_band)).cast("bigint").alias("__blk"),
+    )
+    left = base.select(
+        F.col("__id").alias("doc_a"),
+        F.col("__t").alias("__ta"),
+        F.col("__len").alias("__la"),
+        F.explode(
+            F.array(
+                F.col("__blk") - 1, F.col("__blk"), F.col("__blk") + 1
+            )
+        ).alias("__blk"),
+    ).where(F.col("__blk") >= 0)
+    right = base.select(
+        F.col("__id").alias("doc_b"),
+        F.col("__t").alias("__tb"),
+        F.col("__len").alias("__lb"),
+        "__blk",
+    )
+    cand = left.join(right, "__blk").where(
+        (F.col("doc_a") < F.col("doc_b"))
+        & (F.abs(F.col("__la") - F.col("__lb")) <= max_dist)
+    )
+    dist = F.levenshtein(F.col("__ta"), F.col("__tb"), max_dist)
+    return (
+        cand.select(
+            "doc_a", "doc_b", dist.cast("int").alias("dist")
+        )
+        .where((F.col("dist") >= 0) & (F.col("dist") <= max_dist))
+        .orderBy("doc_a", "doc_b")
+    )

@@ -19,6 +19,15 @@ EXACT and engine-reproducible:
 * :func:`calibration_bins` — fixed-width reliability bins with
   per-bin confidence vs empirical rate and the Expected Calibration
   Error sum_b (n_b / n) |rate_b - conf_b|.
+* :func:`ks_two_sample` — the two-sample Kolmogorov–Smirnov
+  statistic sup_x |F_a(x) - F_b(x)| from the same value-histogram
+  collapse, kept integer-exact by cross-multiplying the two ECDF
+  numerators (|cum_a * n_b - cum_b * n_a|) so the sup is found over
+  exact integers and divided once at the end.
+* :func:`cohens_kappa` — chance-corrected agreement between two
+  categorical columns from the integer confusion matrix:
+  kappa = (N * diag - sum_k row_k * col_k) / (N^2 - sum_k row_k *
+  col_k), one float division at the end.
 """
 
 from __future__ import annotations
@@ -132,4 +141,139 @@ def calibration_bins(df: DataFrame, score_col: str, label_col: str,
         .select("bin", "n", "conf", "rate",
                 F.col("__ece").alias("ece"))
         .orderBy("bin")
+    )
+
+
+def ks_two_sample(df: DataFrame, value_col: str, group_col: str
+                  ) -> DataFrame:
+    """Two-sample Kolmogorov–Smirnov statistic between the
+    ``value_col`` distributions of group 1 (``group_col`` truthy)
+    and group 0 — the standard train/serve drift test alongside PSI
+    (sketches.psi_by_group): PSI needs a binning choice, KS does
+    not.
+
+        ks = sup_x |F_1(x) - F_0(x)|
+
+    evaluated at every distinct value via the value-histogram
+    collapse (one groupBy(value) with map-side combine; the only
+    window runs over DISTINCT VALUES, never corpus rows — the same
+    shape as :func:`auc_exact`). The sup is found over the exact
+    integer cross-product |cum_1 * n_0 - cum_0 * n_1| accumulated in
+    DECIMAL(38,0); the single division happens at the end, so the
+    statistic is order-independent and engine-reproducible.
+
+    Rows with NULL value or group are dropped. Output: one row
+    (n_1, n_0, ks, ks_at) where ``ks_at`` is the smallest value
+    attaining the sup (NULL when either group is empty, along with
+    ks)."""
+    dec = "decimal(38,0)"
+    y = F.col(group_col).cast("int")
+    g = (
+        df.where(
+            F.col(value_col).isNotNull() & F.col(group_col).isNotNull()
+        )
+        .groupBy(value_col)
+        .agg(
+            F.sum(y).cast(dec).alias("__a"),
+            F.sum(1 - y).cast(dec).alias("__b"),
+        )
+    )
+    w = W.orderBy(value_col).rowsBetween(W.unboundedPreceding, 0)
+    h = g.select(
+        F.col(value_col).alias("__v"),
+        F.sum("__a").over(w).alias("__ca"),
+        F.sum("__b").over(w).alias("__cb"),
+    )
+    tot = g.agg(
+        F.sum("__a").alias("__na"), F.sum("__b").alias("__nb")
+    )
+    d = F.abs(
+        F.col("__ca") * F.col("__nb") - F.col("__cb") * F.col("__na")
+    )
+    scored = h.crossJoin(F.broadcast(tot)).withColumn("__d", d)
+    mx = scored.agg(F.max("__d").alias("__dmax"))
+    return (
+        scored.crossJoin(F.broadcast(mx))
+        .agg(
+            F.first("__na").alias("__fa"),
+            F.first("__nb").alias("__fb"),
+            F.first("__dmax").alias("__fd"),
+            F.min(
+                F.when(F.col("__d") == F.col("__dmax"), F.col("__v"))
+            ).alias("ks_at"),
+        )
+        .select(
+            F.col("__fa").cast("bigint").alias("n_1"),
+            F.col("__fb").cast("bigint").alias("n_0"),
+            F.when(
+                (F.col("__fa") > 0) & (F.col("__fb") > 0),
+                F.col("__fd").cast("double")
+                / (F.col("__fa") * F.col("__fb")).cast("double"),
+            ).alias("ks"),
+            F.when(
+                (F.col("__fa") > 0) & (F.col("__fb") > 0),
+                F.col("ks_at"),
+            ).alias("ks_at"),
+        )
+    )
+
+
+def cohens_kappa(df: DataFrame, a_col: str, b_col: str) -> DataFrame:
+    """Cohen's kappa — chance-corrected agreement between two
+    categorical columns (two annotators, or a classifier vs gold
+    labels):
+
+        kappa = (N * diag - sum_k row_k * col_k)
+                / (N^2  - sum_k row_k * col_k)
+
+    where ``diag`` counts exact agreements and row_k / col_k are the
+    per-category marginals of each side. Everything up to the final
+    division is integer (DECIMAL(38,0)), so the statistic is exact
+    and order-independent. Rows where either column is NULL are
+    dropped; kappa is NULL when the denominator is zero (both sides
+    constant and identical — agreement is undefined, po = pe = 1).
+
+    Scale shape: one groupBy(a, b) confusion-matrix aggregation with
+    map-side combine; marginals and the kappa arithmetic run on the
+    category-squared-sized table. Output: one row
+    (n, po, pe, kappa)."""
+    dec = "decimal(38,0)"
+    cell = (
+        df.where(F.col(a_col).isNotNull() & F.col(b_col).isNotNull())
+        .groupBy(
+            F.col(a_col).alias("__a"), F.col(b_col).alias("__b")
+        )
+        .agg(F.count(F.lit(1)).cast(dec).alias("__n"))
+    )
+    rows = cell.groupBy("__a").agg(F.sum("__n").alias("__ra"))
+    cols = cell.groupBy("__b").agg(F.sum("__n").alias("__cb"))
+    pe_num = (
+        rows.join(cols, rows["__a"] == cols["__b"], "inner")
+        .agg(
+            F.coalesce(
+                F.sum(F.col("__ra") * F.col("__cb")),
+                F.lit(0).cast(dec),
+            ).alias("__pe")
+        )
+    )
+    tot = cell.agg(
+        F.sum("__n").alias("__t"),
+        F.coalesce(
+            F.sum(F.when(F.col("__a") == F.col("__b"), F.col("__n"))),
+            F.lit(0).cast(dec),
+        ).alias("__diag"),
+    )
+    t, dg, pe = F.col("__t"), F.col("__diag"), F.col("__pe")
+    return (
+        tot.crossJoin(F.broadcast(pe_num))
+        .select(
+            t.cast("bigint").alias("n"),
+            (dg.cast("double") / t.cast("double")).alias("po"),
+            (pe.cast("double") / (t * t).cast("double")).alias("pe"),
+            F.when(
+                t * t != pe,
+                (t * dg - pe).cast("double")
+                / (t * t - pe).cast("double"),
+            ).alias("kappa"),
+        )
     )

@@ -700,3 +700,79 @@ def bm25_topk(
             "qid", "rnk", "doc_id", F.round("score", 6).alias("bm25")
         )
     )
+
+
+def rrf_fuse(
+    df: DataFrame,
+    score_cols: list[str],
+    id_col: str = "doc_id",
+    k: int = 60,
+) -> DataFrame:
+    """Reciprocal Rank Fusion (Cormack, Clarke & Buettcher, SIGIR
+    2009): combine several rankings of the same rows into one score
+
+        rrf(d) = sum_i 1 / (k + rank_i(d)),
+
+    the standard way hybrid retrieval stacks merge a lexical (BM25)
+    and an embedding ranking without score calibration. Each column
+    of ``score_cols`` defines one ranking: score DESCENDING, ties
+    broken by ``id_col`` ascending (total order, deterministic).
+    Rows with a NULL score rank after all non-NULL scores (NULLS
+    LAST), still tie-broken by id — every row gets a finite rank in
+    every ranking.
+
+    Scale shape — no global row window anywhere: each ranking is
+    computed as rank(d) = (# rows with a strictly better score) +
+    (row_number among score-ties). The first term comes from the
+    score-value histogram (groupBy(score) with map-side combine;
+    the only unpartitioned window runs over DISTINCT SCORE VALUES,
+    the house contract, cf. evaluation.auc_exact) joined back on
+    the score value; the second is a window PARTITIONED by the
+    score value (bounded by the largest tie class). The fused sum
+    is a fixed-order scalar expression over the per-row ranks — no
+    aggregation — so it is bit-reproducible by the SQL oracle.
+
+    Output: (id_col, rank_<c> for each score column, rrf), one row
+    per input row. Feed it to a top-n filter downstream; rrf is NOT
+    rounded here."""
+    from pyspark.sql import Window as W
+
+    if not score_cols:
+        raise ValueError("score_cols must be non-empty")
+    dec = "decimal(38,0)"
+    out = df.select(id_col, *score_cols)
+    for c in score_cols:
+        hist = (
+            out.groupBy(c)
+            .agg(F.count(F.lit(1)).cast(dec).alias("__n"))
+        )
+        # strictly-better count: cumulative histogram over distinct
+        # score values, best first, NULLs last
+        w_cum = W.orderBy(
+            F.desc_nulls_last(c)
+        ).rowsBetween(W.unboundedPreceding, -1)
+        hist = hist.select(
+            F.col(c).alias("__v"),
+            F.coalesce(
+                F.sum("__n").over(w_cum), F.lit(0).cast(dec)
+            ).cast("bigint").alias("__above"),
+        )
+        w_tie = W.partitionBy(c).orderBy(F.asc(id_col))
+        out = (
+            out.join(hist, out[c].eqNullSafe(hist["__v"]), "left")
+            .drop("__v")
+            .withColumn(
+                f"rank_{c}",
+                F.col("__above") + F.row_number().over(w_tie),
+            )
+            .drop("__above")
+        )
+    rrf = None
+    for c in score_cols:
+        term = F.lit(1.0) / (
+            F.lit(float(k)) + F.col(f"rank_{c}").cast("double")
+        )
+        rrf = term if rrf is None else rrf + term
+    return out.select(
+        id_col, *[f"rank_{c}" for c in score_cols], rrf.alias("rrf")
+    )

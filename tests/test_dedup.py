@@ -679,3 +679,71 @@ def test_conversation_dedup_planted_recovery(spark):
                 f"{src} / {cid} (dropped {mx + 1 - kept} turns) "
                 "missing from near-dup pairs"
             )
+
+
+# ---------------------------------------------------------------------------
+# edit_distance_pairs
+# ---------------------------------------------------------------------------
+
+def _lev(a, b):
+    import numpy as np
+
+    d = np.arange(len(b) + 1)
+    for i, ca in enumerate(a, 1):
+        prev, d[0] = d[0], i
+        for j, cb in enumerate(b, 1):
+            cur = min(d[j] + 1, d[j - 1] + 1,
+                      prev + (ca != cb))
+            prev, d[j] = d[j], cur
+    return int(d[len(b)])
+
+
+def test_edit_distance_matches_bruteforce(spark):
+    from protosc_spark.dedup import edit_distance_pairs
+
+    docs = [
+        (1, "kitten"), (2, "sitting"), (3, "kitten"), (4, "mitten"),
+        (5, "flaw"), (6, "lawn"), (7, "completely different text"),
+        (8, "kittens"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id bigint, text string")
+    for md in (1, 2, 3):
+        got = {
+            (r.doc_a, r.doc_b): r.dist
+            for r in edit_distance_pairs(df, max_dist=md).collect()
+        }
+        want = {
+            (a_id, b_id): _lev(a, b)
+            for a_id, a in docs
+            for b_id, b in docs
+            if a_id < b_id and _lev(a, b) <= md
+        }
+        assert got == want, (md, got, want)
+
+
+def test_edit_distance_blocking_lossless_across_bands(spark):
+    """Pairs whose lengths straddle a band boundary (len W-1 vs W+1,
+    landing in adjacent buckets) must still meet — the adjacent-
+    bucket explode is what makes length banding lossless."""
+    from protosc_spark.dedup import edit_distance_pairs
+
+    w = 16  # default band for max_dist=2 is max(16, 12) = 16
+    a = "x" * (w - 1)
+    b = "x" * (w + 1)        # dist 2, different buckets (0 vs 1)
+    c = "x" * (w - 1) + "yy"  # dist 2 from a, bucket 1
+    df = spark.createDataFrame(
+        [(1, a), (2, b), (3, c)], "doc_id bigint, text string"
+    )
+    got = {
+        (r.doc_a, r.doc_b): r.dist
+        for r in edit_distance_pairs(df, max_dist=2).collect()
+    }
+    assert got == {(1, 2): 2, (1, 3): 2, (2, 3): 2}
+
+
+def test_edit_distance_band_validation(spark):
+    from protosc_spark.dedup import edit_distance_pairs
+
+    df = spark.createDataFrame([(1, "x")], "doc_id bigint, text string")
+    with pytest.raises(ValueError):
+        edit_distance_pairs(df, max_dist=5, band=4)

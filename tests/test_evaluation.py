@@ -80,3 +80,146 @@ def test_evaluation_plan_no_python(spark):
         plan = out._jdf.queryExecution().executedPlan().toString()
         assert "ArrowEvalPython" not in plan
         assert "BatchEvalPython" not in plan
+
+
+# ---------------------------------------------------------------------------
+# ks_two_sample
+# ---------------------------------------------------------------------------
+
+def _ks_bruteforce(vals):
+    """sup_x |F1(x) - F0(x)| over the pooled support, exact via
+    Fraction; returns (ks, argmin value attaining it)."""
+    from fractions import Fraction
+
+    a = sorted(v for v, g in vals if g == 1)
+    b = sorted(v for v, g in vals if g == 0)
+    best, at = Fraction(0), None
+    for x in sorted(set(a) | set(b)):
+        fa = Fraction(sum(1 for v in a if v <= x), len(a))
+        fb = Fraction(sum(1 for v in b if v <= x), len(b))
+        d = abs(fa - fb)
+        if d > best or (d == best and at is None):
+            best, at = d, x
+    return float(best), at
+
+
+def test_ks_matches_bruteforce(spark):
+    from protosc_spark.evaluation import ks_two_sample
+
+    vals = [
+        (1, 1), (2, 1), (2, 1), (3, 1), (9, 1), (2, 0), (3, 0),
+        (3, 0), (4, 0), (5, 0), (5, 0), (9, 0), (1, 1), (7, 0),
+    ]
+    df = spark.createDataFrame(vals, "v long, g int")
+    r = ks_two_sample(df, "v", "g").collect()[0]
+    want_ks, want_at = _ks_bruteforce(vals)
+    assert r.n_1 == 6 and r.n_0 == 8
+    assert abs(r.ks - want_ks) < 1e-12
+    assert r.ks_at == want_at
+
+
+def test_ks_identical_and_disjoint(spark):
+    from protosc_spark.evaluation import ks_two_sample
+
+    same = spark.createDataFrame(
+        [(v, g) for v in (1, 2, 3) for g in (0, 1)], "v long, g int"
+    )
+    assert ks_two_sample(same, "v", "g").collect()[0].ks == 0.0
+    disj = spark.createDataFrame(
+        [(1, 1), (2, 1), (10, 0), (11, 0)], "v long, g int"
+    )
+    r = ks_two_sample(disj, "v", "g").collect()[0]
+    assert r.ks == 1.0 and r.ks_at == 2  # sup first reached at max of group 1
+
+
+def test_ks_null_and_empty_group(spark):
+    from protosc_spark.evaluation import ks_two_sample
+
+    df = spark.createDataFrame(
+        [(1, 1), (None, 1), (2, None), (3, 1)], "v long, g int"
+    )
+    r = ks_two_sample(df, "v", "g").collect()[0]
+    assert r.n_1 == 2 and r.n_0 == 0
+    assert r.ks is None and r.ks_at is None
+
+
+def test_ks_at_is_smallest_argmax(spark):
+    from protosc_spark.evaluation import ks_two_sample
+
+    # |F1-F0| hits the same sup at v=1 and v=3 (1/2 each); smallest wins
+    df = spark.createDataFrame(
+        [(1, 1), (2, 0), (3, 1), (4, 0)], "v long, g int"
+    )
+    r = ks_two_sample(df, "v", "g").collect()[0]
+    want_ks, want_at = _ks_bruteforce([(1, 1), (2, 0), (3, 1), (4, 0)])
+    assert abs(r.ks - want_ks) < 1e-12 and r.ks_at == want_at == 1
+
+
+# ---------------------------------------------------------------------------
+# cohens_kappa
+# ---------------------------------------------------------------------------
+
+def _kappa_bruteforce(pairs):
+    from fractions import Fraction
+
+    n = len(pairs)
+    cats = sorted({a for a, _ in pairs} | {b for _, b in pairs})
+    po = Fraction(sum(1 for a, b in pairs if a == b), n)
+    pe = sum(
+        Fraction(sum(1 for a, _ in pairs if a == k), n)
+        * Fraction(sum(1 for _, b in pairs if b == k), n)
+        for k in cats
+    )
+    return float((po - pe) / (1 - pe))
+
+
+def test_kappa_matches_bruteforce(spark):
+    from protosc_spark.evaluation import cohens_kappa
+
+    pairs = [
+        ("en", "en"), ("en", "de"), ("de", "de"), ("de", "de"),
+        ("es", "en"), ("es", "es"), ("en", "en"), ("de", "en"),
+        ("en", "en"), ("es", "es"), ("de", "de"), ("en", "es"),
+    ]
+    df = spark.createDataFrame(pairs, "a string, b string")
+    r = cohens_kappa(df, "a", "b").collect()[0]
+    assert r.n == 12
+    assert abs(r.kappa - _kappa_bruteforce(pairs)) < 1e-12
+    assert abs(r.po - 8 / 12) < 1e-12
+
+
+def test_kappa_perfect_and_orthogonal(spark):
+    from protosc_spark.evaluation import cohens_kappa
+
+    perfect = spark.createDataFrame(
+        [("x", "x"), ("y", "y"), ("z", "z"), ("x", "x")],
+        "a string, b string",
+    )
+    assert cohens_kappa(perfect, "a", "b").collect()[0].kappa == 1.0
+    # marginal-independent raters: kappa exactly 0
+    indep = spark.createDataFrame(
+        [(a, b) for a in ("x", "y") for b in ("x", "y")],
+        "a string, b string",
+    )
+    assert abs(cohens_kappa(indep, "a", "b").collect()[0].kappa) < 1e-12
+
+
+def test_kappa_degenerate_constant(spark):
+    from protosc_spark.evaluation import cohens_kappa
+
+    const = spark.createDataFrame(
+        [("x", "x"), ("x", "x")], "a string, b string"
+    )
+    r = cohens_kappa(const, "a", "b").collect()[0]
+    assert r.kappa is None and r.po == 1.0 and r.pe == 1.0
+
+
+def test_kappa_drops_nulls(spark):
+    from protosc_spark.evaluation import cohens_kappa
+
+    df = spark.createDataFrame(
+        [("x", "x"), (None, "x"), ("y", None), ("y", "x")],
+        "a string, b string",
+    )
+    r = cohens_kappa(df, "a", "b").collect()[0]
+    assert r.n == 2

@@ -631,3 +631,63 @@ def test_bm25_topk_vs_duckdb(docs):
         check_dtype=False,
         atol=1e-6,
     )
+
+
+# ---------------------------------------------------------------------------
+# rrf_fuse
+# ---------------------------------------------------------------------------
+
+def test_rrf_matches_rownumber_ranking(spark):
+    """Histogram+tie-window rank construction must equal plain
+    ROW_NUMBER semantics (score DESC NULLS LAST, id ASC) — incl.
+    ties and NULLs — and the fused score must be the fixed-order
+    reciprocal sum."""
+    from protosc_spark.textops import rrf_fuse
+
+    rows = [
+        (1, 10, 5), (2, 10, None), (3, 7, 5), (4, None, 9),
+        (5, 7, 5), (6, 20, 1), (7, None, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, s1 int, s2 int")
+    got = {
+        r.doc_id: (r.rank_s1, r.rank_s2, r.rrf)
+        for r in rrf_fuse(df, ["s1", "s2"]).collect()
+    }
+
+    def ranks(idx):
+        order = sorted(
+            rows,
+            key=lambda r: (r[idx] is None, -(r[idx] or 0), r[0]),
+        )
+        return {r[0]: i + 1 for i, r in enumerate(order)}
+
+    r1, r2 = ranks(1), ranks(2)
+    assert len(got) == len(rows)
+    for did, (g1, g2, rrf) in got.items():
+        assert (g1, g2) == (r1[did], r2[did])
+        assert rrf == 1.0 / (60 + g1) + 1.0 / (60 + g2)
+
+
+def test_rrf_single_column_and_k(spark):
+    from protosc_spark.textops import rrf_fuse
+
+    df = spark.createDataFrame(
+        [(1, 3), (2, 1), (3, 2)], "doc_id bigint, s int"
+    )
+    got = {
+        r.doc_id: (r.rank_s, r.rrf)
+        for r in rrf_fuse(df, ["s"], k=10).collect()
+    }
+    assert got == {
+        1: (1, 1.0 / 11), 3: (2, 1.0 / 12), 2: (3, 1.0 / 13)
+    }
+
+
+def test_rrf_empty_score_cols_raises(spark):
+    import pytest
+
+    from protosc_spark.textops import rrf_fuse
+
+    df = spark.createDataFrame([(1,)], "doc_id bigint")
+    with pytest.raises(ValueError):
+        rrf_fuse(df, [])

@@ -700,3 +700,86 @@ def test_cooccurrence_min_pairs_prunes(spark):
     df = spark.createDataFrame(rows, "user_id long, event_type string")
     out = cooccurrence_lift(df, min_pairs=2).collect()
     assert [(r.state_a, r.state_b) for r in out] == [("A", "B")]
+
+
+# ---------------------------------------------------------------------------
+# pagerank
+# ---------------------------------------------------------------------------
+
+def _pagerank_replay(edges, n_iter=5, scale=10**12, d=85):
+    """Independent integer replay of the documented recurrence."""
+    from collections import defaultdict
+
+    w = defaultdict(int)
+    for u, v, wt in edges:
+        w[(u, v)] += wt
+    nodes = sorted({u for u, _, _ in edges} | {v for _, v, _ in edges})
+    n = len(nodes)
+    outw = defaultdict(int)
+    for (u, _), wt in w.items():
+        outw[u] += wt
+    pr = {nd: scale // n for nd in nodes}
+    tele = ((100 - d) * scale) // (100 * n)
+    for _ in range(n_iter):
+        inflow = defaultdict(int)
+        for (u, v), wt in w.items():
+            inflow[v] += (pr[u] * wt) // outw[u]
+        dang = sum(pr[nd] for nd in nodes if nd not in outw)
+        share = dang // n
+        pr = {
+            nd: tele + (d * (inflow[nd] + share)) // 100
+            for nd in nodes
+        }
+    return pr
+
+
+def test_pagerank_matches_integer_replay_with_dangling(spark):
+    from protosc_spark.windows import pagerank
+
+    # c is dangling (no out-edges); parallel a->b edges test combining
+    edges = [
+        ("a", "b", 3), ("a", "b", 2), ("b", "c", 4), ("a", "c", 1),
+        ("b", "a", 2), ("d", "a", 7),
+    ]
+    df = spark.createDataFrame(edges, "src string, dst string, w int")
+    got = {
+        r.node: r.pr_int
+        for r in pagerank(
+            df, src="src", dst="dst", weight="w"
+        ).collect()
+    }
+    assert got == _pagerank_replay(edges)
+    # mass conservation within floor losses
+    assert 0 <= 10**12 - sum(got.values()) < 5 * (len(got) + 100)
+
+
+def test_pagerank_sink_attracts_mass(spark):
+    """Star into a sink: the sink must outrank every spoke."""
+    from protosc_spark.windows import pagerank
+
+    edges = [(f"s{i}", "hub", 1) for i in range(5)]
+    df = spark.createDataFrame(edges, "src string, dst string, w int")
+    got = {r.node: r.pr for r in pagerank(df, "src", "dst", "w").collect()}
+    assert all(got["hub"] > got[f"s{i}"] for i in range(5))
+    assert got == dict(
+        (k, v / 1e12)
+        for k, v in _pagerank_replay(edges).items()
+    )
+
+
+def test_pagerank_unweighted_and_validation(spark):
+    import pytest
+
+    from protosc_spark.windows import pagerank
+
+    df = spark.createDataFrame(
+        [("a", "b"), ("b", "a"), ("a", "b")], "src string, dst string"
+    )
+    # weight=None counts edge multiplicity: a->b weight 2, b->a 1
+    got = {
+        r.node: r.pr_int
+        for r in pagerank(df, "src", "dst", weight=None).collect()
+    }
+    assert got == _pagerank_replay([("a", "b", 2), ("b", "a", 1)])
+    with pytest.raises(ValueError):
+        pagerank(df, "src", "dst", None, damping_pct=100)
