@@ -451,6 +451,67 @@ _EDIT_PLANT = [
 ]
 
 
+def _events_welch_ttest(spark, sf_dir):
+    """Welch's unequal-variance t-test on the continuous `value`
+    metric per event type over the deterministic md5 50/50 split —
+    the continuous companion to events_ab_readout. Sufficient
+    statistics are exact DECIMAL(18,6) sums; DuckDB oracle
+    reproduces split, quantization, sums and the t/df formulas."""
+    from protosc_spark.experiment import welch_ttest
+
+    ev = _read(spark, sf_dir, "events")
+    t = welch_ttest(ev)
+    return t.select(
+        "state",
+        "n_a",
+        "n_b",
+        F.round("mean_a", 6).alias("mean_a"),
+        F.round("mean_b", 6).alias("mean_b"),
+        F.round("t", 6).alias("t"),
+        F.round("dof", 6).alias("dof"),
+    )
+
+
+def _corpus_rank_normalize(spark, sf_dir):
+    """Tie-aware midrank / percentile normalization of n_chars —
+    the leakage-free feature-scaling transform. Ranks come from the
+    value-histogram collapse; the DuckDB oracle derives midranks
+    INDEPENDENTLY as AVG(ROW_NUMBER) within each tie class."""
+    from protosc_spark.encoding import rank_normalize
+
+    docs = _read_wide(spark, sf_dir, "documents").select(
+        "doc_id", "n_chars"
+    )
+    return (
+        rank_normalize(docs, "n_chars")
+        .select(
+            "doc_id",
+            "n_chars",
+            F.round("midrank", 6).alias("midrank"),
+            F.round("pct_rank", 6).alias("pct_rank"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _corpus_mutual_info(spark, sf_dir):
+    """Mutual information + normalized MI between lang and source —
+    the categorical feature-selection signal. Per-cell terms are
+    quantized to integer 1e-15-nat units before summing (order-
+    independent); DuckDB oracle replays cells, marginals, the unit
+    quantization and both entropies."""
+    from protosc_spark.evaluation import mutual_information
+
+    docs = _read_wide(spark, sf_dir, "documents")
+    return mutual_information(docs, "lang", "source").select(
+        "n",
+        F.round("mi", 6).alias("mi"),
+        F.round("h_a", 6).alias("h_a"),
+        F.round("h_b", 6).alias("h_b"),
+        F.round("nmi", 6).alias("nmi"),
+    )
+
+
 def _corpus_drift_ks(spark, sf_dir):
     """Two-sample Kolmogorov-Smirnov drift statistic: n_chars
     distribution of lang='en' docs vs the rest — the binning-free
@@ -2387,6 +2448,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     full-surface green regardless of this ordering."""
     return {
         # --- round 5 ---
+        "events_welch_ttest": _events_welch_ttest,
+        "corpus_rank_normalize": _corpus_rank_normalize,
+        "corpus_mutual_info": _corpus_mutual_info,
         "events_pagerank": _events_pagerank,
         "corpus_drift_ks": _corpus_drift_ks,
         "corpus_rater_agreement": _corpus_rater_agreement,
@@ -2619,6 +2683,112 @@ def oracle_sql() -> dict[str, str]:
         f"({i}, '{t}')" for i, t in _EDIT_PLANT
     )
     out = {
+        "events_welch_ttest": """
+            WITH base AS (
+              SELECT event_type AS state,
+                     ('0x' || substr(md5('exp1' || chr(31)
+                                         || user_id::VARCHAR),
+                                     1, 15))::BIGINT % 2 AS v,
+                     value::DECIMAL(18,6) AS x
+              FROM events
+              WHERE event_type IS NOT NULL AND value IS NOT NULL
+            ), per AS (
+              SELECT state, v, count(*)::BIGINT AS n,
+                     sum(x) AS s, sum(x * x) AS q
+              FROM base GROUP BY 1, 2
+            ), side AS (
+              SELECT state,
+                     coalesce(sum(CASE WHEN v = 0 THEN n END), 0)
+                       AS n_a,
+                     sum(CASE WHEN v = 0 THEN s END) AS s_a,
+                     sum(CASE WHEN v = 0 THEN q END) AS q_a,
+                     coalesce(sum(CASE WHEN v = 1 THEN n END), 0)
+                       AS n_b,
+                     sum(CASE WHEN v = 1 THEN s END) AS s_b,
+                     sum(CASE WHEN v = 1 THEN q END) AS q_b
+              FROM per GROUP BY 1
+            ), calc AS (
+              SELECT state, n_a, n_b,
+                     s_a::DOUBLE / n_a AS mean_a,
+                     s_b::DOUBLE / n_b AS mean_b,
+                     (q_a::DOUBLE - s_a::DOUBLE * s_a::DOUBLE / n_a)
+                       / (n_a - 1.0) AS va,
+                     (q_b::DOUBLE - s_b::DOUBLE * s_b::DOUBLE / n_b)
+                       / (n_b - 1.0) AS vb
+              FROM side
+            )
+            SELECT state, n_a, n_b,
+                   CASE WHEN n_a > 0 THEN round(mean_a, 6) END
+                     AS mean_a,
+                   CASE WHEN n_b > 0 THEN round(mean_b, 6) END
+                     AS mean_b,
+                   CASE WHEN n_a >= 2 AND n_b >= 2
+                             AND va / n_a + vb / n_b > 0
+                        THEN round((mean_b - mean_a)
+                                   / sqrt(va / n_a + vb / n_b), 6)
+                   END AS t,
+                   CASE WHEN n_a >= 2 AND n_b >= 2
+                             AND va / n_a + vb / n_b > 0
+                        THEN round(
+                          (va / n_a + vb / n_b)
+                          * (va / n_a + vb / n_b)
+                          / ((va / n_a) * (va / n_a) / (n_a - 1.0)
+                             + (vb / n_b) * (vb / n_b) / (n_b - 1.0)),
+                          6)
+                   END AS dof
+            FROM calc ORDER BY state
+        """,
+        "corpus_rank_normalize": """
+            WITH r AS (
+              SELECT doc_id, n_chars,
+                     ROW_NUMBER() OVER (ORDER BY n_chars) AS rn
+              FROM documents WHERE n_chars IS NOT NULL
+            )
+            SELECT doc_id, n_chars,
+                   round(AVG(rn) OVER (PARTITION BY n_chars), 6)
+                     AS midrank,
+                   round(AVG(rn) OVER (PARTITION BY n_chars)
+                         / (SELECT COUNT(*) FROM r), 6) AS pct_rank
+            FROM r ORDER BY doc_id
+        """,
+        "corpus_mutual_info": """
+            WITH base AS (
+              SELECT lang AS a, source AS b FROM documents
+              WHERE lang IS NOT NULL AND source IS NOT NULL
+            ), cell AS (
+              SELECT a, b, count(*)::HUGEINT AS n
+              FROM base GROUP BY 1, 2
+            ), ra AS (SELECT a, sum(n) AS ra FROM cell GROUP BY 1),
+            cb AS (SELECT b, sum(n) AS cb FROM cell GROUP BY 1),
+            t AS (SELECT sum(n) AS t FROM cell),
+            mi AS (
+              SELECT sum(floor((n::DOUBLE / t)
+                         * ln((n * t)::DOUBLE / (ra * cb)::DOUBLE)
+                         * 1e15)::HUGEINT) AS u
+              FROM cell JOIN ra USING (a) JOIN cb USING (b), t
+            ), ha AS (
+              SELECT sum(floor(-((ra::DOUBLE / t)
+                                 * ln(ra::DOUBLE / t))
+                               * 1e15)::HUGEINT) AS u
+              FROM ra, t
+            ), hb AS (
+              SELECT sum(floor(-((cb::DOUBLE / t)
+                                 * ln(cb::DOUBLE / t))
+                               * 1e15)::HUGEINT) AS u
+              FROM cb, t
+            )
+            SELECT t::BIGINT AS n,
+                   round(mi.u::DOUBLE / 1e15, 6) AS mi,
+                   round(ha.u::DOUBLE / 1e15, 6) AS h_a,
+                   round(hb.u::DOUBLE / 1e15, 6) AS h_b,
+                   CASE WHEN ha.u > 0 AND hb.u > 0
+                        THEN round((mi.u::DOUBLE / 1e15)
+                                   / sqrt((ha.u::DOUBLE / 1e15)
+                                          * (hb.u::DOUBLE / 1e15)),
+                                   6)
+                   END AS nmi
+            FROM t, mi, ha, hb
+        """,
         "events_pagerank": _events_pagerank_oracle(),
         "corpus_drift_ks": """
             WITH base AS (

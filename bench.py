@@ -117,6 +117,9 @@ HEADLINE = [
     "corpus_rater_agreement",
     "dedup_edit_distance",
     "txt_rrf_fusion",
+    "events_welch_ttest",
+    "corpus_rank_normalize",
+    "corpus_mutual_info",
 ]
 
 BENCH_CONVERSATIONS = int(os.environ.get("PROTOSC_BENCH_CONVS", "20000"))

@@ -123,3 +123,58 @@ def oof_target_encode(
         )
         .drop("__sf", "__nf", "__sy", "__n", "__prior")
     )
+
+
+def rank_normalize(
+    df: DataFrame,
+    value_col: str,
+    out_col: str = "pct_rank",
+) -> DataFrame:
+    """Tie-aware rank (quantile) normalization of a numeric feature —
+    the leakage-free scaling step for heavy-tailed features (token
+    counts, durations) before linear/SVM-style models: each row gets
+    its MIDRANK (average competition rank over its tie class,
+    1-based) and ``out_col`` = midrank / n in (0, 1].
+
+    Scale shape — no global row window: midrank(v) = (# rows with a
+    strictly smaller value) + (tie_class_size + 1)/2 comes entirely
+    from the VALUE HISTOGRAM (one groupBy(value) with map-side
+    combine; the only window runs over distinct values, the house
+    collapse), joined back on the value — so ties get identical
+    output regardless of partitioning, and no single reducer ever
+    sees the corpus. Midranks are exact (.5 fractions of integers).
+
+    NULL values keep their rows with NULL midrank/out_col and are
+    excluded from n. Output: input columns + (midrank, out_col)."""
+    from pyspark.sql import Window as W
+
+    dec = "decimal(38,0)"
+    v = F.col(value_col)
+    hist = (
+        df.where(v.isNotNull())
+        .groupBy(value_col)
+        .agg(F.count(F.lit(1)).cast(dec).alias("__cnt"))
+    )
+    w_cum = W.orderBy(value_col).rowsBetween(W.unboundedPreceding, -1)
+    tot = hist.agg(F.sum("__cnt").alias("__n"))
+    scored = (
+        hist.select(
+            F.col(value_col).alias("__v"),
+            (
+                F.coalesce(F.sum("__cnt").over(w_cum),
+                           F.lit(0).cast(dec)).cast("double")
+                + (F.col("__cnt").cast("double") + F.lit(1.0))
+                / F.lit(2.0)
+            ).alias("midrank"),
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "__v",
+            "midrank",
+            (F.col("midrank") / F.col("__n").cast("double"))
+            .alias(out_col),
+        )
+    )
+    return df.join(
+        scored, df[value_col] == scored["__v"], "left"
+    ).drop("__v")

@@ -277,3 +277,90 @@ def cohens_kappa(df: DataFrame, a_col: str, b_col: str) -> DataFrame:
             ).alias("kappa"),
         )
     )
+
+
+def mutual_information(df: DataFrame, a_col: str, b_col: str,
+                       unit: int = 10**15) -> DataFrame:
+    """Mutual information (nats) between two categorical columns —
+    the feature-selection signal for categorical features that
+    chi-square (stats.calc_chisquare) gives for numeric ones — plus
+    both marginal entropies and the normalized MI
+    mi / sqrt(H_a * H_b).
+
+    Determinism contract: every per-cell term
+    (n_xy/N) * ln(n_xy*N / (n_x*n_y)) is a pure scalar of exact
+    integer counts, quantized to INTEGER units of 1/``unit`` nats
+    (floor, toward -inf in both engines) BEFORE summing, so the
+    cross-cell sums are order-independent integer sums at any
+    parallelism — a float sum over cells would drift with partial-
+    aggregation order. Quantization bias is < |cells|/unit = 1e-13
+    for a 100x100 grid, invisible at 6-decimal reporting.
+
+    Scale shape: one groupBy(a, b) confusion aggregation with
+    map-side combine; marginals, N and all term arithmetic run on
+    the category-squared-sized table. Rows with NULL in either
+    column are dropped. Output: one row
+    (n, mi, h_a, h_b, nmi) — nmi NULL when either entropy is 0."""
+    dec = "decimal(38,0)"
+    cell = (
+        df.where(F.col(a_col).isNotNull() & F.col(b_col).isNotNull())
+        .groupBy(
+            F.col(a_col).alias("__a"), F.col(b_col).alias("__b")
+        )
+        .agg(F.count(F.lit(1)).cast(dec).alias("__n"))
+    )
+    ra = cell.groupBy("__a").agg(F.sum("__n").alias("__ra"))
+    cb = cell.groupBy("__b").agg(F.sum("__n").alias("__cb"))
+    tot = cell.agg(F.sum("__n").alias("__t"))
+    nn = F.col("__n").cast("double")
+    t = F.col("__t").cast("double")
+    mi_term = (nn / t) * F.log(
+        (F.col("__n") * F.col("__t")).cast("double")
+        / (F.col("__ra") * F.col("__cb")).cast("double")
+    )
+    mi_units = (
+        cell.join(ra, "__a")
+        .join(cb, "__b")
+        .crossJoin(F.broadcast(tot))
+        .agg(
+            F.sum(
+                F.floor(mi_term * F.lit(float(unit))).cast(dec)
+            ).alias("__mi_u")
+        )
+    )
+
+    def _entropy_units(marg, col):
+        p = F.col(col).cast("double") / F.col("__t").cast("double")
+        return (
+            marg.crossJoin(F.broadcast(tot))
+            .agg(
+                F.sum(
+                    F.floor(-(p * F.log(p)) * F.lit(float(unit)))
+                    .cast(dec)
+                ).alias("__h_u")
+            )
+        )
+
+    ha_u = _entropy_units(ra, "__ra")
+    hb_u = _entropy_units(cb, "__cb")
+    u = F.lit(float(unit))
+    mi = F.col("__mi_u").cast("double") / u
+    return (
+        tot.crossJoin(F.broadcast(mi_units))
+        .crossJoin(F.broadcast(ha_u.withColumnRenamed("__h_u", "__ha")))
+        .crossJoin(F.broadcast(hb_u.withColumnRenamed("__h_u", "__hb")))
+        .select(
+            F.col("__t").cast("bigint").alias("n"),
+            mi.alias("mi"),
+            (F.col("__ha").cast("double") / u).alias("h_a"),
+            (F.col("__hb").cast("double") / u).alias("h_b"),
+            F.when(
+                (F.col("__ha") > 0) & (F.col("__hb") > 0),
+                (F.col("__mi_u").cast("double") / u)
+                / F.sqrt(
+                    (F.col("__ha").cast("double") / u)
+                    * (F.col("__hb").cast("double") / u)
+                ),
+            ).alias("nmi"),
+        )
+    )

@@ -107,3 +107,100 @@ def ab_readout(
         (cb / n_b).alias("rate_b"),
         z.alias("z"),
     )
+
+
+def welch_ttest(
+    df: DataFrame,
+    id_col: str = "user_id",
+    state_col: str = "event_type",
+    value_col: str = "value",
+    salt: str = "exp1",
+) -> DataFrame:
+    """Per-state Welch's unequal-variance t-test on a CONTINUOUS
+    metric over the same deterministic md5 50/50 split as
+    :func:`ab_readout` (which covers binary conversion) — the other
+    half of the standard experiment readout pair:
+
+        t  = (mean_b - mean_a) / sqrt(s2_a/n_a + s2_b/n_b)
+        df = (s2_a/n_a + s2_b/n_b)^2
+             / ((s2_a/n_a)^2/(n_a-1) + (s2_b/n_b)^2/(n_b-1))
+
+    Determinism contract: the metric is quantized to DECIMAL(18,6)
+    (1e-6 units) at the scan, so the per-variant sufficient
+    statistics (n, sum, sum of squares — the only aggregations) are
+    EXACT decimal sums, order-independent at any parallelism; all
+    mean/variance/t arithmetic happens on those exact stats in one
+    deterministic scalar expression. Metric magnitudes must fit
+    DECIMAL(18,6) (< 1e12 — squares stay within DECIMAL(38,12)).
+    t and dof are NULL when either variant has < 2 rows or both
+    sample variances are zero.
+
+    Scale shape: one groupBy(state, variant) with map-side combine
+    down to 2|states| rows; everything after runs on that table.
+    Pure JVM. Output: (state, n_a, n_b, mean_a, mean_b, t, dof)
+    ordered by state."""
+    dec = "decimal(18,6)"
+    v = F.col(value_col).cast(dec)
+    variant = hash_bucket([id_col], salt=salt, n_buckets=2)
+    per = (
+        df.where(
+            F.col(state_col).isNotNull() & F.col(value_col).isNotNull()
+        )
+        .select(
+            F.col(state_col).alias("state"),
+            variant.alias("__v"),
+            v.alias("__x"),
+            (v * v).alias("__x2"),
+        )
+        .groupBy("state", "__v")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("__n"),
+            F.sum("__x").alias("__s"),
+            F.sum("__x2").alias("__q"),
+        )
+    )
+    side = (
+        per.groupBy("state")
+        .agg(
+            *[
+                f(F.when(F.col("__v") == vv, F.col(c))).alias(
+                    f"{name}_{tag}"
+                )
+                for vv, tag in ((0, "a"), (1, "b"))
+                for f, c, name in (
+                    (F.sum, "__n", "n"),
+                    (F.sum, "__s", "s"),
+                    (F.sum, "__q", "q"),
+                )
+            ]
+        )
+        .na.fill({"n_a": 0, "n_b": 0})
+    )
+
+    def _stats(tag):
+        n = F.col(f"n_{tag}").cast("double")
+        s = F.col(f"s_{tag}").cast("double")
+        q = F.col(f"q_{tag}").cast("double")
+        mean = s / n
+        var = (q - s * s / n) / (n - F.lit(1.0))
+        return n, mean, var
+
+    na, ma, va = _stats("a")
+    nb, mb, vb = _stats("b")
+    se2 = va / na + vb / nb
+    t = (mb - ma) / F.sqrt(se2)
+    dof = (se2 * se2) / (
+        (va / na) * (va / na) / (na - F.lit(1.0))
+        + (vb / nb) * (vb / nb) / (nb - F.lit(1.0))
+    )
+    ok = (F.col("n_a") >= 2) & (F.col("n_b") >= 2)
+    live = ok & (se2 > 0)
+    return side.select(
+        "state",
+        "n_a",
+        "n_b",
+        F.when(F.col("n_a") > 0, ma).alias("mean_a"),
+        F.when(F.col("n_b") > 0, mb).alias("mean_b"),
+        F.when(live, t).alias("t"),
+        F.when(live, dof).alias("dof"),
+    ).orderBy("state")

@@ -89,3 +89,38 @@ def test_encode_plan_no_python(spark):
         plan = enc._jdf.queryExecution().executedPlan().toString()
         assert "ArrowEvalPython" not in plan
         assert "BatchEvalPython" not in plan
+
+
+# ---------------------------------------------------------------------------
+# rank_normalize
+# ---------------------------------------------------------------------------
+
+def test_rank_normalize_midranks_with_ties(spark):
+    from protosc_spark.encoding import rank_normalize
+
+    vals = [5, 3, 3, 8, 5, 5, 1, 8]
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vals)], "id bigint, v int"
+    )
+    got = {
+        r.id: (r.midrank, r.pct_rank)
+        for r in rank_normalize(df, "v").collect()
+    }
+    # sorted: 1,3,3,5,5,5,8,8 -> midranks 1, 2.5, 4+1=5? -> tie class
+    # of 5 spans ranks 4-6 (mid 5), 8 spans 7-8 (mid 7.5)
+    want_mid = {1: 1.0, 3: 2.5, 5: 5.0, 8: 7.5}
+    n = len(vals)
+    for i, v in enumerate(vals):
+        assert got[i] == (want_mid[v], want_mid[v] / n)
+
+
+def test_rank_normalize_nulls_and_identity(spark):
+    from protosc_spark.encoding import rank_normalize
+
+    df = spark.createDataFrame(
+        [(0, 10), (1, None), (2, 20)], "id bigint, v int"
+    )
+    got = {r.id: (r.midrank, r.pct_rank)
+           for r in rank_normalize(df, "v").collect()}
+    assert got[1] == (None, None)          # NULL rows kept, unranked
+    assert got[0] == (1.0, 0.5) and got[2] == (2.0, 1.0)  # n excludes NULL

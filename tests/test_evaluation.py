@@ -223,3 +223,70 @@ def test_kappa_drops_nulls(spark):
     )
     r = cohens_kappa(df, "a", "b").collect()[0]
     assert r.n == 2
+
+
+# ---------------------------------------------------------------------------
+# mutual_information
+# ---------------------------------------------------------------------------
+
+def _mi_bruteforce(pairs):
+    import math
+    from collections import Counter
+
+    n = len(pairs)
+    cxy, cx, cy = Counter(pairs), Counter(), Counter()
+    for a, b in pairs:
+        cx[a] += 1
+        cy[b] += 1
+    mi = sum(
+        (v / n) * math.log(v * n / (cx[a] * cy[b]))
+        for (a, b), v in cxy.items()
+    )
+    hx = -sum((v / n) * math.log(v / n) for v in cx.values())
+    hy = -sum((v / n) * math.log(v / n) for v in cy.values())
+    return mi, hx, hy
+
+
+def test_mi_matches_bruteforce(spark):
+    from protosc_spark.evaluation import mutual_information
+
+    pairs = [
+        ("en", "web"), ("en", "web"), ("en", "book"), ("de", "web"),
+        ("de", "book"), ("de", "book"), ("es", "web"), ("en", "code"),
+        ("de", "code"), ("es", "code"), ("es", "book"), ("en", "web"),
+    ]
+    df = spark.createDataFrame(pairs, "a string, b string")
+    r = mutual_information(df, "a", "b").collect()[0]
+    mi, hx, hy = _mi_bruteforce(pairs)
+    assert r.n == 12
+    assert abs(r.mi - mi) < 1e-9
+    assert abs(r.h_a - hx) < 1e-9 and abs(r.h_b - hy) < 1e-9
+    assert abs(r.nmi - mi / (hx * hy) ** 0.5) < 1e-9
+
+
+def test_mi_independent_and_identical(spark):
+    from protosc_spark.evaluation import mutual_information
+
+    # product distribution: MI exactly 0 (up to quantization 1e-15)
+    indep = spark.createDataFrame(
+        [(a, b) for a in "xy" for b in "pq" for _ in range(3)],
+        "a string, b string",
+    )
+    r = mutual_information(indep, "a", "b").collect()[0]
+    assert abs(r.mi) < 1e-12
+    # identical columns: mi == h_a == h_b, nmi == 1
+    same = spark.createDataFrame(
+        [(c, c) for c in "xxyyz"], "a string, b string"
+    )
+    r = mutual_information(same, "a", "b").collect()[0]
+    assert abs(r.mi - r.h_a) < 1e-12 and abs(r.nmi - 1.0) < 1e-12
+
+
+def test_mi_degenerate_constant_nmi_null(spark):
+    from protosc_spark.evaluation import mutual_information
+
+    const = spark.createDataFrame(
+        [("x", "p"), ("x", "q")], "a string, b string"
+    )
+    r = mutual_information(const, "a", "b").collect()[0]
+    assert r.h_a == 0.0 and r.nmi is None and abs(r.mi) < 1e-12

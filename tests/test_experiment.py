@@ -74,3 +74,84 @@ def test_ab_plan_no_python(spark):
     )
     assert "ArrowEvalPython" not in plan
     assert "BatchEvalPython" not in plan
+
+
+# ---------------------------------------------------------------------------
+# welch_ttest
+# ---------------------------------------------------------------------------
+
+def _welch_bruteforce(xs_a, xs_b):
+    import numpy as np
+
+    a, b = np.asarray(xs_a, float), np.asarray(xs_b, float)
+    va, vb = a.var(ddof=1), b.var(ddof=1)
+    na, nb = len(a), len(b)
+    se2 = va / na + vb / nb
+    t = (b.mean() - a.mean()) / se2 ** 0.5
+    dof = se2 ** 2 / (
+        (va / na) ** 2 / (na - 1) + (vb / nb) ** 2 / (nb - 1)
+    )
+    return t, dof
+
+
+def test_welch_matches_bruteforce(spark):
+    """Pin the statistic itself: ids chosen so the md5 rule puts
+    them in known variants (recomputed in-test), values exact at
+    1e-6 so quantization is the identity."""
+    import hashlib
+
+    from protosc_spark.experiment import welch_ttest
+
+    def variant(uid, salt="exp1"):
+        h = hashlib.md5(f"{salt}\x1f{uid}".encode()).hexdigest()
+        return int(h[:15], 16) % 2
+
+    rows = [
+        (uid, "m", float(v))
+        for uid, v in zip(range(1, 25), [
+            12.5, 9.25, 14.0, 8.75, 11.0, 13.5, 7.25, 10.0,
+            15.5, 9.0, 12.0, 8.5, 13.25, 10.75, 11.5, 9.75,
+            14.5, 8.0, 12.75, 10.25, 13.0, 9.5, 11.25, 10.5,
+        ])
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id bigint, event_type string, value double"
+    )
+    r = welch_ttest(df, "user_id", "event_type", "value").collect()[0]
+    xs_a = [v for uid, _, v in rows if variant(uid) == 0]
+    xs_b = [v for uid, _, v in rows if variant(uid) == 1]
+    t, dof = _welch_bruteforce(xs_a, xs_b)
+    assert r.n_a == len(xs_a) and r.n_b == len(xs_b)
+    assert abs(r.mean_a - sum(xs_a) / len(xs_a)) < 1e-9
+    assert abs(r.t - t) < 1e-9 and abs(r.dof - dof) < 1e-9
+
+
+def test_welch_degenerate_nulls(spark):
+    """< 2 rows in a variant, or zero variance on both sides, must
+    yield NULL t/dof (the statistic is undefined, not zero)."""
+    import hashlib
+
+    from protosc_spark.experiment import welch_ttest
+
+    def variant(uid):
+        h = hashlib.md5(f"exp1\x1f{uid}".encode()).hexdigest()
+        return int(h[:15], 16) % 2
+
+    a_ids = [u for u in range(1, 60) if variant(u) == 0]
+    b_ids = [u for u in range(1, 60) if variant(u) == 1]
+    # exactly one row in variant b
+    rows = [(u, "m", 1.0 * i) for i, u in enumerate(a_ids[:4])]
+    rows.append((b_ids[0], "m", 5.0))
+    df = spark.createDataFrame(
+        rows, "user_id bigint, event_type string, value double"
+    )
+    r = welch_ttest(df, "user_id", "event_type", "value").collect()[0]
+    assert r.n_b == 1 and r.t is None and r.dof is None
+    # constant metric on both sides: se2 = 0 -> NULL
+    rows = [(u, "m", 7.0) for u in a_ids[:3] + b_ids[:3]]
+    df = spark.createDataFrame(
+        rows, "user_id bigint, event_type string, value double"
+    )
+    r = welch_ttest(df, "user_id", "event_type", "value").collect()[0]
+    assert r.t is None and r.dof is None
+    assert r.mean_a == 7.0 and r.mean_b == 7.0
