@@ -451,6 +451,72 @@ _EDIT_PLANT = [
 ]
 
 
+def _events_interarrival(spark, sf_dir):
+    """Per-user inter-arrival gap features: mean gap, CV, and
+    Goh-Barabási burstiness from EXACT integer-microsecond gap
+    sufficient statistics. DuckDB oracle reproduces the lag window,
+    decimal sums and every formula."""
+    from protosc_spark.windows import interarrival_stats
+
+    ev = _read(spark, sf_dir, "events")
+    return (
+        interarrival_stats(ev)
+        .select(
+            "user_id",
+            "n_gaps",
+            F.round("mean_gap_s", 6).alias("mean_gap_s"),
+            F.round("cv", 6).alias("cv"),
+            F.round("burstiness", 6).alias("burstiness"),
+        )
+        .orderBy("user_id")
+    )
+
+
+def _corpus_winsorize(spark, sf_dir):
+    """Winsorize n_chars at its [p5, p95] HDR-histogram quantiles —
+    heavy-tail clipping without sorting the corpus. DuckDB oracle
+    re-derives the integer-exact HDR bucketing, discrete-rank
+    thresholds and the clip."""
+    from protosc_spark.sketches import winsorize
+
+    docs = _read_wide(spark, sf_dir, "documents").select(
+        "doc_id", "n_chars"
+    )
+    return winsorize(docs, "n_chars", 0.05, 0.95).orderBy("doc_id")
+
+
+def _events_survival(spark, sf_dir):
+    """Kaplan-Meier retention curve over per-user activity
+    lifetimes (days between first and last event), right-censoring
+    users whose last event falls within 7 days of the corpus max ts
+    (still active — naive curves understate their retention).
+    DuckDB oracle reproduces durations, censoring, risk sets and
+    the running product (as exp-sum-log in the same order)."""
+    from protosc_spark.windows import _epoch_us, kaplan_meier
+
+    ev = _read(spark, sf_dir, "events")
+    per = ev.groupBy("user_id").agg(
+        F.min(_epoch_us("ts")).alias("__first"),
+        F.max(_epoch_us("ts")).alias("__last"),
+    )
+    mx = per.agg(F.max("__last").alias("__mx"))
+    durs = per.crossJoin(F.broadcast(mx)).select(
+        F.expr("(__last - __first) DIV 86400000000")
+        .cast("int").alias("duration"),
+        (
+            F.col("__last")
+            < F.col("__mx") - F.lit(7 * 86_400_000_000)
+        ).cast("int").alias("event"),
+    )
+    return kaplan_meier(durs).select(
+        "t",
+        "n_risk",
+        "n_events",
+        "n_censored",
+        F.round("survival", 6).alias("survival"),
+    )
+
+
 def _events_welch_ttest(spark, sf_dir):
     """Welch's unequal-variance t-test on the continuous `value`
     metric per event type over the deterministic md5 50/50 split —
@@ -2448,6 +2514,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     full-surface green regardless of this ordering."""
     return {
         # --- round 5 ---
+        "events_interarrival": _events_interarrival,
+        "corpus_winsorize": _corpus_winsorize,
+        "events_survival": _events_survival,
         "events_welch_ttest": _events_welch_ttest,
         "corpus_rank_normalize": _corpus_rank_normalize,
         "corpus_mutual_info": _corpus_mutual_info,
@@ -2683,6 +2752,116 @@ def oracle_sql() -> dict[str, str]:
         f"({i}, '{t}')" for i, t in _EDIT_PLANT
     )
     out = {
+        "events_interarrival": """
+            WITH g AS (
+              SELECT user_id,
+                     (epoch_us(ts) - lag(epoch_us(ts)) OVER (
+                        PARTITION BY user_id ORDER BY ts, event_id
+                      ))::HUGEINT AS gp
+              FROM events
+            ), gg AS (
+              SELECT user_id, gp FROM g WHERE gp IS NOT NULL
+            ), a AS (
+              SELECT user_id, count(*)::BIGINT AS n_gaps,
+                     sum(gp) AS s, sum(gp * gp) AS q
+              FROM gg GROUP BY 1
+            ), c AS (
+              SELECT user_id, n_gaps,
+                     s::DOUBLE / n_gaps AS mu,
+                     CASE WHEN n_gaps >= 2 THEN
+                       sqrt((q::DOUBLE - s::DOUBLE * s::DOUBLE
+                             / n_gaps) / (n_gaps - 1.0))
+                     END AS sd,
+                     s > 0 AS pos
+              FROM a
+            )
+            SELECT user_id, n_gaps,
+                   round(mu / 1e6, 6) AS mean_gap_s,
+                   CASE WHEN n_gaps >= 2 AND pos
+                        THEN round(sd / mu, 6) END AS cv,
+                   CASE WHEN n_gaps >= 2 AND pos
+                        THEN round((sd - mu) / (sd + mu), 6)
+                   END AS burstiness
+            FROM c ORDER BY user_id
+        """,
+        "corpus_winsorize": """
+            WITH t AS (
+              SELECT n_chars AS x FROM documents
+              WHERE n_chars IS NOT NULL
+            ), b AS (
+              SELECT CASE WHEN length(bin(x)) - 1 <= 7 THEN x
+                          ELSE (length(bin(x)) - 1 - 7) * 128
+                               + x // (1::BIGINT
+                                       << (length(bin(x)) - 1 - 7))
+                     END AS bucket
+              FROM t
+            ), h AS (
+              SELECT bucket, count(*)::BIGINT AS n FROM b GROUP BY 1
+            ), c AS (
+              SELECT bucket, n,
+                     sum(n) OVER (ORDER BY bucket) AS cum,
+                     sum(n) OVER () AS total
+              FROM h
+            ), q(q) AS (VALUES (0.05), (0.95)),
+            hit AS (
+              SELECT q, min(bucket) AS bucket
+              FROM c CROSS JOIN q
+              WHERE cum >= ceil(q * total) GROUP BY 1
+            ), thr AS (
+              SELECT q,
+                     CASE WHEN bucket < 256 THEN bucket
+                          ELSE (bucket - (bucket // 128 - 1) * 128)
+                               * (1::BIGINT << (bucket // 128 - 1))
+                     END AS value
+              FROM hit
+            ), lohi AS (
+              SELECT min(CASE WHEN q = 0.05 THEN value END) AS lo,
+                     min(CASE WHEN q = 0.95 THEN value END) AS hi
+              FROM thr
+            )
+            SELECT doc_id, n_chars,
+                   CASE WHEN n_chars IS NOT NULL
+                        THEN least(greatest(n_chars, lo), hi)
+                   END AS winsorized
+            FROM documents, lohi ORDER BY doc_id
+        """,
+        "events_survival": """
+            WITH per AS (
+              SELECT user_id, min(epoch_us(ts)) AS f,
+                     max(epoch_us(ts)) AS l
+              FROM events GROUP BY 1
+            ), mx AS (SELECT max(l) AS mx FROM per),
+            durs AS (
+              SELECT ((l - f) // 86400000000)::INT AS t,
+                     (l < mx - 7 * 86400000000)::INT AS ev
+              FROM per, mx
+            ), g AS (
+              SELECT t, sum(ev)::HUGEINT AS d,
+                     sum(1 - ev)::HUGEINT AS c
+              FROM durs GROUP BY 1
+            ), tot AS (SELECT sum(d + c) AS tot FROM g),
+            b AS (
+              SELECT t, d, c,
+                     tot - coalesce(sum(d + c) OVER (
+                       ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND 1 PRECEDING), 0) AS nr
+              FROM g, tot
+            ), s AS (
+              SELECT t, nr, d, c,
+                     CASE WHEN max((d = nr)::INT) OVER (
+                            ORDER BY t) = 1 THEN 0.0
+                          ELSE exp(sum(
+                            CASE WHEN d > 0 AND d < nr
+                                 THEN ln(1 - d::DOUBLE / nr::DOUBLE)
+                                 ELSE 0.0 END) OVER (ORDER BY t))
+                     END AS surv
+              FROM b
+            )
+            SELECT t, nr::BIGINT AS n_risk, d::BIGINT AS n_events,
+                   c::BIGINT AS n_censored,
+                   round(surv, 6) AS survival
+            FROM s ORDER BY t
+        """,
         "events_welch_ttest": """
             WITH base AS (
               SELECT event_type AS state,

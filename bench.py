@@ -120,6 +120,9 @@ HEADLINE = [
     "events_welch_ttest",
     "corpus_rank_normalize",
     "corpus_mutual_info",
+    "events_interarrival",
+    "corpus_winsorize",
+    "events_survival",
 ]
 
 BENCH_CONVERSATIONS = int(os.environ.get("PROTOSC_BENCH_CONVS", "20000"))

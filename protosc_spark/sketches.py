@@ -610,3 +610,42 @@ def mad_outliers(df: DataFrame, keys: list[str] | str, value_col: str,
             .otherwise(x != F.col("med")),
         )
     )
+
+
+def winsorize(
+    df: DataFrame,
+    value_col: str,
+    lo: float = 0.01,
+    hi: float = 0.99,
+    out_col: str = "winsorized",
+    s: int = HDR_S,
+) -> DataFrame:
+    """Winsorize (clip) a positive-integer column at its [lo, hi]
+    quantiles — the standard heavy-tail taming transform before
+    mean-based statistics — with the thresholds read off the HDR
+    HISTOGRAM (integer-exact bucketing, discrete-rank rule, relative
+    error <= 2^-s), so no sort or global row window ever touches the
+    corpus: one histogram aggregation + a 1-row broadcast of the two
+    thresholds + a map-only clip.
+
+    NULL values pass through as NULL. Thresholds are bucket lower
+    bounds (the hdr_quantiles contract). Output: input columns +
+    ``out_col``."""
+    v = F.col(value_col)
+    hist = hdr_histogram(df.where(v.isNotNull()), [], value_col, s)
+    qs = hdr_quantiles(hist, [], [lo, hi], s)
+    b = qs.groupBy().agg(
+        F.min(F.when(F.col("q") == lo, F.col("value"))).alias("__lo"),
+        F.min(F.when(F.col("q") == hi, F.col("value"))).alias("__hi"),
+    )
+    return (
+        df.crossJoin(F.broadcast(b))
+        .withColumn(
+            out_col,
+            F.when(
+                v.isNotNull(),
+                F.least(F.greatest(v, F.col("__lo")), F.col("__hi")),
+            ),
+        )
+        .drop("__lo", "__hi")
+    )

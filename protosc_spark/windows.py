@@ -868,3 +868,134 @@ def pagerank(
         (F.col("pr_int").cast("double") / F.lit(float(scale)))
         .alias("pr"),
     )
+
+
+def interarrival_stats(
+    df: DataFrame,
+    entity: str = "user_id",
+    ts_col: str = "ts",
+    order_cols: Sequence[str] = ("ts", "event_id"),
+) -> DataFrame:
+    """Per-entity inter-arrival (gap) statistics — the temporal-
+    texture features of an activity stream: mean gap, coefficient of
+    variation, and the Goh–Barabási burstiness
+
+        B = (sigma - mu) / (sigma + mu)   in [-1, 1)
+
+    (B < 0 regular/periodic, B ~ 0 Poisson, B -> 1 bursty) — the
+    standard one-number regular-vs-bursty readout alongside the
+    structural views (sessionize, funnel, transitions).
+
+    Determinism contract: gaps are EXACT integer microseconds
+    (_epoch_us difference), and the per-entity sufficient statistics
+    (n, sum, sum of squares) are exact DECIMAL sums — order-
+    independent at any parallelism; mean/sigma/CV/B arithmetic is
+    one deterministic scalar expression on those stats (sample
+    std, ddof=1). CV and B are NULL below 2 gaps or at zero mean.
+
+    Scale shape: ONE exchange on the entity for the lag window (the
+    sessionize/funnel partitioning), one map-side-combined groupBy
+    per entity. Pure JVM. Output: (entity, n_gaps, mean_gap_s, cv,
+    burstiness)."""
+    dec = "decimal(38,0)"
+    w = W.partitionBy(entity).orderBy(*[F.col(c) for c in order_cols])
+    us = _epoch_us(ts_col)
+    gaps = df.select(
+        F.col(entity),
+        (us - F.lag(us).over(w)).alias("__g"),
+    ).where(F.col("__g").isNotNull())
+    g = F.col("__g").cast(dec)
+    agg = gaps.groupBy(entity).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_gaps"),
+        F.sum(g).alias("__s"),
+        F.sum(g * g).alias("__q"),
+    )
+    n = F.col("n_gaps").cast("double")
+    s = F.col("__s").cast("double")
+    q = F.col("__q").cast("double")
+    mu = s / n
+    var = (q - s * s / n) / (n - F.lit(1.0))
+    sd = F.sqrt(var)
+    live = (F.col("n_gaps") >= 2) & (s > 0)
+    return agg.select(
+        entity,
+        "n_gaps",
+        (mu / F.lit(1e6)).alias("mean_gap_s"),
+        F.when(live, sd / mu).alias("cv"),
+        F.when(live, (sd - mu) / (sd + mu)).alias("burstiness"),
+    )
+
+
+def kaplan_meier(
+    df: DataFrame,
+    duration_col: str = "duration",
+    event_col: str = "event",
+) -> DataFrame:
+    """Kaplan–Meier product-limit survival estimator over per-subject
+    (duration, event) rows — ``event`` 1 = the terminal event was
+    observed at ``duration``, 0 = right-censored there (still alive
+    when observation ended). The standard retention/churn curve with
+    correct censoring handling (naive "fraction still active" curves
+    understate retention when recent users haven't had time to
+    churn).
+
+        S(t) = prod_{t_i <= t, d_i > 0} (1 - d_i / n_i),
+        n_i  = subjects with duration >= t_i   (the risk set)
+
+    Scale shape: one groupBy(duration) with map-side combine; the
+    risk set comes from the cumulative histogram, and the product is
+    a RUNNING exp-sum-log over the distinct-duration table (the only
+    window, the house collapse — sequential in duration order, so
+    float evaluation order is pinned and engine-reproducible).
+    Once a step has d_i = n_i (everyone at risk dies) survival is
+    exactly 0 from there on (flagged, not computed through log 0).
+
+    Output: (t, n_risk, n_events, n_censored, survival) per distinct
+    duration, ordered by t. Rows with NULL duration/event are
+    dropped."""
+    dec = "decimal(38,0)"
+    y = F.col(event_col).cast("int")
+    g = (
+        df.where(
+            F.col(duration_col).isNotNull()
+            & F.col(event_col).isNotNull()
+        )
+        .groupBy(F.col(duration_col).alias("t"))
+        .agg(
+            F.sum(y).cast(dec).alias("__d"),
+            F.sum(1 - y).cast(dec).alias("__c"),
+        )
+    )
+    w_prev = W.orderBy("t").rowsBetween(W.unboundedPreceding, -1)
+    w_run = W.orderBy("t").rowsBetween(W.unboundedPreceding, 0)
+    tot = g.agg(F.sum(F.col("__d") + F.col("__c")).alias("__tot"))
+    base = g.crossJoin(F.broadcast(tot)).withColumn(
+        "__nr",
+        F.col("__tot")
+        - F.coalesce(
+            F.sum(F.col("__d") + F.col("__c")).over(w_prev),
+            F.lit(0).cast(dec),
+        ),
+    )
+    dd = F.col("__d").cast("double")
+    nr = F.col("__nr").cast("double")
+    term = F.when(
+        (F.col("__d") > 0) & (F.col("__d") < F.col("__nr")),
+        F.log(F.lit(1.0) - dd / nr),
+    ).otherwise(F.lit(0.0))
+    dead = F.max(
+        (F.col("__d") == F.col("__nr")).cast("int")
+    ).over(w_run)
+    surv = F.when(dead == 1, F.lit(0.0)).otherwise(
+        F.exp(F.sum(term).over(w_run))
+    )
+    return (
+        base.select(
+            "t",
+            F.col("__nr").cast("bigint").alias("n_risk"),
+            F.col("__d").cast("bigint").alias("n_events"),
+            F.col("__c").cast("bigint").alias("n_censored"),
+            surv.alias("survival"),
+        )
+        .orderBy("t")
+    )

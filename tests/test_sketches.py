@@ -539,3 +539,41 @@ def test_mad_plan_no_python(spark):
     df = spark.createDataFrame([("a", 1)], "g string, v long")
     plan = mad_outliers(df, "g", "v")._jdf.queryExecution().executedPlan().toString()
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+# ---------------------------------------------------------------------------
+# winsorize
+# ---------------------------------------------------------------------------
+
+def test_winsorize_clips_to_hdr_thresholds(spark):
+    """Exact-bucket regime (values < 256 are their own HDR bucket),
+    so the thresholds ARE the discrete-rank order statistics and the
+    clip is checkable by hand."""
+    import numpy as np
+
+    from protosc_spark.sketches import winsorize
+
+    vals = list(range(1, 101))  # 1..100, all exact buckets
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vals)], "id bigint, v int"
+    )
+    got = {
+        r.id: r.winsorized
+        for r in winsorize(df, "v", 0.10, 0.90).collect()
+    }
+    lo = int(np.ceil(0.10 * 100))  # rank rule: first cum >= ceil(q n)
+    hi = int(np.ceil(0.90 * 100))
+    for i, v in enumerate(vals):
+        assert got[i] == min(max(v, lo), hi)
+
+
+def test_winsorize_null_passthrough_and_identity(spark):
+    from protosc_spark.sketches import winsorize
+
+    df = spark.createDataFrame(
+        [(0, 5), (1, None), (2, 9)], "id bigint, v int"
+    )
+    got = {r.id: r.winsorized for r in winsorize(df, "v", 0.0, 1.0).collect()}
+    assert got[1] is None
+    # degenerate full range: clip is identity on the bucket bounds
+    assert got[0] == 5 and got[2] == 9

@@ -783,3 +783,91 @@ def test_pagerank_unweighted_and_validation(spark):
     assert got == _pagerank_replay([("a", "b", 2), ("b", "a", 1)])
     with pytest.raises(ValueError):
         pagerank(df, "src", "dst", None, damping_pct=100)
+
+
+# ---------------------------------------------------------------------------
+# interarrival_stats
+# ---------------------------------------------------------------------------
+
+def test_interarrival_matches_bruteforce(spark):
+    import datetime as dt
+
+    import numpy as np
+
+    from protosc_spark.windows import interarrival_stats
+
+    base = dt.datetime(2024, 1, 1)
+    # user 1: irregular gaps incl. sub-second; user 2: perfectly
+    # periodic (burstiness -> -1 is approached, CV = 0 exact);
+    # user 3: single event (no gaps)
+    offs = {1: [0.0, 1.5, 2.0, 10.25, 11.0], 2: [0.0, 5.0, 10.0, 15.0],
+            3: [3.0]}
+    rows = [
+        (eid, base + dt.timedelta(seconds=s), uid)
+        for eid, (uid, s) in enumerate(
+            (u, s) for u, ss in offs.items() for s in ss
+        )
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id bigint, ts timestamp, user_id bigint"
+    )
+    got = {
+        r.user_id: r
+        for r in interarrival_stats(df).collect()
+    }
+    for uid in (1, 2):
+        gaps = np.diff(np.array(offs[uid]) * 1e6).astype("int64")
+        mu, sd = gaps.mean(), gaps.std(ddof=1)
+        r = got[uid]
+        assert r.n_gaps == len(gaps)
+        assert abs(r.mean_gap_s - mu / 1e6) < 1e-12
+        assert abs(r.cv - sd / mu) < 1e-12
+        assert abs(r.burstiness - (sd - mu) / (sd + mu)) < 1e-12
+    assert 3 not in got  # no gaps -> no row
+    assert got[2].cv == 0.0 and got[2].burstiness == -1.0
+
+
+# ---------------------------------------------------------------------------
+# kaplan_meier
+# ---------------------------------------------------------------------------
+
+def test_kaplan_meier_hand_fixture(spark):
+    from protosc_spark.windows import kaplan_meier
+
+    durs = [(3, 1), (3, 1), (3, 0), (5, 1), (7, 0), (9, 1), (9, 1),
+            (11, 0), (2, 0)]
+    df = spark.createDataFrame(durs, "duration int, event int")
+    got = {r.t: r for r in kaplan_meier(df).collect()}
+    # censor at 2 leaves S=1; t=3: n=8,d=2 -> .75; t=5: n=5,d=1 -> .6;
+    # t=7 censor-only keeps .6; t=9: n=3,d=2 -> .2; t=11 censor keeps
+    assert [got[t].n_risk for t in (2, 3, 5, 7, 9, 11)] == [9, 8, 5, 4, 3, 1]
+    for t, s in [(2, 1.0), (3, 0.75), (5, 0.6), (7, 0.6), (9, 0.2),
+                 (11, 0.2)]:
+        assert abs(got[t].survival - s) < 1e-12, t
+    assert got[3].n_events == 2 and got[3].n_censored == 1
+
+
+def test_kaplan_meier_all_die_reaches_exact_zero(spark):
+    from protosc_spark.windows import kaplan_meier
+
+    df = spark.createDataFrame(
+        [(1, 1), (2, 1), (2, 1)], "duration int, event int"
+    )
+    got = {r.t: r.survival for r in kaplan_meier(df).collect()}
+    assert abs(got[1] - 2 / 3) < 1e-12
+    assert got[2] == 0.0  # d == n_risk handled as exact zero, no log(0)
+
+
+def test_kaplan_meier_no_censoring_matches_ecdf(spark):
+    """With zero censoring KM reduces to 1 - ECDF (staircase)."""
+    from protosc_spark.windows import kaplan_meier
+
+    durs = [1, 1, 2, 4, 4, 4, 6]
+    df = spark.createDataFrame(
+        [(d, 1) for d in durs], "duration int, event int"
+    )
+    got = {r.t: r.survival for r in kaplan_meier(df).collect()}
+    n = len(durs)
+    for t in sorted(set(durs)):
+        want = sum(1 for d in durs if d > t) / n
+        assert abs(got[t] - want) < 1e-12, t
