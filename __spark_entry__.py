@@ -451,6 +451,22 @@ _EDIT_PLANT = [
 ]
 
 
+def _corpus_chi2_independence(spark, sf_dir):
+    """Pearson chi-square independence test + Cramér's V between
+    lang and source over the FULL category grid (zero-observed
+    cells contribute their expected count). DuckDB oracle replays
+    grid, exact-integer numerators and the unit quantization."""
+    from protosc_spark.evaluation import chi2_independence
+
+    docs = _read_wide(spark, sf_dir, "documents")
+    return chi2_independence(docs, "lang", "source").select(
+        "n",
+        "dof",
+        F.round("chi2", 6).alias("chi2"),
+        F.round("cramers_v", 6).alias("cramers_v"),
+    )
+
+
 def _events_interarrival(spark, sf_dir):
     """Per-user inter-arrival gap features: mean gap, CV, and
     Goh-Barabási burstiness from EXACT integer-microsecond gap
@@ -2514,6 +2530,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     full-surface green regardless of this ordering."""
     return {
         # --- round 5 ---
+        "corpus_chi2_independence": _corpus_chi2_independence,
         "events_interarrival": _events_interarrival,
         "corpus_winsorize": _corpus_winsorize,
         "events_survival": _events_survival,
@@ -2752,6 +2769,42 @@ def oracle_sql() -> dict[str, str]:
         f"({i}, '{t}')" for i, t in _EDIT_PLANT
     )
     out = {
+        "corpus_chi2_independence": """
+            WITH base AS (
+              SELECT lang AS a, source AS b FROM documents
+              WHERE lang IS NOT NULL AND source IS NOT NULL
+            ), cell AS (
+              SELECT a, b, count(*)::HUGEINT AS n
+              FROM base GROUP BY 1, 2
+            ), ra AS (SELECT a, sum(n) AS ra FROM cell GROUP BY 1),
+            cb AS (SELECT b, sum(n) AS cb FROM cell GROUP BY 1),
+            t AS (
+              SELECT sum(n) AS t, count(DISTINCT a) AS ka,
+                     count(DISTINCT b) AS kb
+              FROM cell
+            ), grid AS (
+              SELECT ra.ra, cb.cb, coalesce(cell.n, 0) AS n
+              FROM ra CROSS JOIN cb
+              LEFT JOIN cell ON cell.a = ra.a AND cell.b = cb.b
+            ), s AS (
+              SELECT sum(floor(
+                       ((n * t - ra * cb)::DOUBLE
+                        * (n * t - ra * cb)::DOUBLE)
+                       / ((t * ra * cb)::DOUBLE) * 1e9
+                     )::HUGEINT) AS u
+              FROM grid, t
+            )
+            SELECT t::BIGINT AS n,
+                   ((ka - 1) * (kb - 1))::BIGINT AS dof,
+                   CASE WHEN (ka - 1) * (kb - 1) > 0
+                        THEN round(s.u::DOUBLE / 1e9, 6) END AS chi2,
+                   CASE WHEN (ka - 1) * (kb - 1) > 0
+                        THEN round(sqrt((s.u::DOUBLE / 1e9)
+                                        / (t * (least(ka, kb) - 1))),
+                                   6)
+                   END AS cramers_v
+            FROM t, s
+        """,
         "events_interarrival": """
             WITH g AS (
               SELECT user_id,

@@ -123,6 +123,7 @@ HEADLINE = [
     "events_interarrival",
     "corpus_winsorize",
     "events_survival",
+    "corpus_chi2_independence",
 ]
 
 BENCH_CONVERSATIONS = int(os.environ.get("PROTOSC_BENCH_CONVS", "20000"))

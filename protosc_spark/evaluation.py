@@ -364,3 +364,77 @@ def mutual_information(df: DataFrame, a_col: str, b_col: str,
             ).alias("nmi"),
         )
     )
+
+
+def chi2_independence(df: DataFrame, a_col: str, b_col: str,
+                      unit: int = 10**9) -> DataFrame:
+    """Pearson chi-square test of independence between two
+    categorical columns, plus Cramér's V effect size — the classic
+    companion to :func:`mutual_information` (chi2 gives a calibrated
+    test statistic, MI a magnitude in nats):
+
+        chi2 = sum_cells (o*N - r_a*c_b)^2 / (N * r_a * c_b),
+        v    = sqrt(chi2 / (N * (min(|A|, |B|) - 1)))
+
+    over the FULL |A| x |B| grid (zero-observed cells still
+    contribute their expected count — a groupBy alone would silently
+    drop them and understate chi2). Each term is a pure scalar of
+    exact integer counts (the numerator difference stays exact in
+    DECIMAL before the one float division), quantized to integer
+    1/``unit`` units before summing — order-independent at any
+    parallelism, bias < |cells|/unit. The p-value is
+    ``numerics.chi2_sf(chi2, dof)`` driver-side (DuckDB cannot
+    reproduce an incomplete-gamma tail, so the gate pins stat + dof
+    and the tail function is pinned by tests/test_numerics.py).
+
+    Scale shape: one groupBy(a, b) with map-side combine; the grid
+    is a join of the two category-sized marginal tables. Rows with
+    NULL in either column are dropped. Output: one row
+    (n, dof, chi2, cramers_v) — NULL chi2/v when dof is 0."""
+    dec = "decimal(38,0)"
+    cell = (
+        df.where(F.col(a_col).isNotNull() & F.col(b_col).isNotNull())
+        .groupBy(
+            F.col(a_col).alias("__a"), F.col(b_col).alias("__b")
+        )
+        .agg(F.count(F.lit(1)).cast(dec).alias("__n"))
+    )
+    ra = cell.groupBy("__a").agg(F.sum("__n").alias("__ra"))
+    cb = cell.groupBy("__b").agg(F.sum("__n").alias("__cb"))
+    tot = cell.agg(
+        F.sum("__n").alias("__t"),
+        F.count_distinct("__a").alias("__ka"),
+        F.count_distinct("__b").alias("__kb"),
+    )
+    grid = (
+        ra.crossJoin(cb)
+        .join(cell, ["__a", "__b"], "left")
+        .na.fill({"__n": 0})
+        .crossJoin(F.broadcast(tot))
+    )
+    diff = (
+        F.col("__n") * F.col("__t") - F.col("__ra") * F.col("__cb")
+    ).cast(dec)
+    term = (diff.cast("double") * diff.cast("double")) / (
+        (F.col("__t") * F.col("__ra") * F.col("__cb")).cast("double")
+    )
+    agg = grid.agg(
+        F.sum(
+            F.floor(term * F.lit(float(unit))).cast(dec)
+        ).alias("__u"),
+        F.first("__t").alias("__t"),
+        F.first("__ka").alias("__ka"),
+        F.first("__kb").alias("__kb"),
+    )
+    dof = (F.col("__ka") - 1) * (F.col("__kb") - 1)
+    chi2 = F.col("__u").cast("double") / F.lit(float(unit))
+    vden = (
+        F.col("__t").cast("double")
+        * (F.least("__ka", "__kb") - F.lit(1)).cast("double")
+    )
+    return agg.select(
+        F.col("__t").cast("bigint").alias("n"),
+        dof.cast("bigint").alias("dof"),
+        F.when(dof > 0, chi2).alias("chi2"),
+        F.when(dof > 0, F.sqrt(chi2 / vden)).alias("cramers_v"),
+    )

@@ -290,3 +290,74 @@ def test_mi_degenerate_constant_nmi_null(spark):
     )
     r = mutual_information(const, "a", "b").collect()[0]
     assert r.h_a == 0.0 and r.nmi is None and abs(r.mi) < 1e-12
+
+
+# ---------------------------------------------------------------------------
+# chi2_independence
+# ---------------------------------------------------------------------------
+
+def _chi2_bruteforce(pairs):
+    from collections import Counter
+
+    n = len(pairs)
+    cxy, cx, cy = Counter(pairs), Counter(), Counter()
+    for a, b in pairs:
+        cx[a] += 1
+        cy[b] += 1
+    chi2 = sum(
+        (cxy.get((a, b), 0) - cx[a] * cy[b] / n) ** 2
+        / (cx[a] * cy[b] / n)
+        for a in cx
+        for b in cy
+    )
+    return chi2, (len(cx) - 1) * (len(cy) - 1), min(len(cx), len(cy))
+
+
+def test_chi2_matches_bruteforce_with_empty_cells(spark):
+    from protosc_spark.evaluation import chi2_independence
+
+    # ("es", "code") never observed -> its expected count must still
+    # contribute (the full-grid requirement)
+    pairs = [
+        ("en", "web"), ("en", "web"), ("en", "book"), ("de", "web"),
+        ("de", "book"), ("de", "code"), ("es", "web"), ("es", "book"),
+        ("en", "code"), ("de", "web"), ("es", "book"), ("en", "book"),
+    ]
+    df = spark.createDataFrame(pairs, "a string, b string")
+    r = chi2_independence(df, "a", "b").collect()[0]
+    chi2, dof, kmin = _chi2_bruteforce(pairs)
+    assert r.n == 12 and r.dof == dof
+    assert abs(r.chi2 - chi2) < 1e-6
+    assert abs(r.cramers_v - (chi2 / (12 * (kmin - 1))) ** 0.5) < 1e-6
+
+
+def test_chi2_independent_is_zero_and_degenerate_null(spark):
+    from protosc_spark.evaluation import chi2_independence
+
+    indep = spark.createDataFrame(
+        [(a, b) for a in "xy" for b in "pq" for _ in range(4)],
+        "a string, b string",
+    )
+    r = chi2_independence(indep, "a", "b").collect()[0]
+    assert abs(r.chi2) < 1e-8
+    const = spark.createDataFrame(
+        [("x", "p"), ("x", "q")], "a string, b string"
+    )
+    r = chi2_independence(const, "a", "b").collect()[0]
+    assert r.dof == 0 and r.chi2 is None and r.cramers_v is None
+
+
+def test_chi2_pvalue_tail_composes(spark):
+    """The driver-side tail: chi2_sf on the collected statistic —
+    perfect association at n >> dof must be significant, independence
+    must not."""
+    from protosc_spark.evaluation import chi2_independence
+    from protosc_spark.numerics import chi2_sf
+
+    same = spark.createDataFrame(
+        [(c, c) for c in "xy" * 20], "a string, b string"
+    )
+    r = same.transform(
+        lambda d: chi2_independence(d, "a", "b")
+    ).collect()[0]
+    assert chi2_sf(r.chi2, int(r.dof)) < 1e-6
