@@ -467,6 +467,83 @@ def _corpus_chi2_independence(spark, sf_dir):
     )
 
 
+def _corpus_spearman(spark, sf_dir):
+    """Exact tie-aware Spearman rank correlation between document
+    length (n_chars) and whitespace-token count — a strongly
+    monotone, tie-ridden pair, so both the midrank math and the
+    sign/magnitude path are exercised. The DuckDB oracle replays
+    the joint-histogram collapse, doubled midranks and the exact
+    integer sufficient statistics."""
+    from protosc_spark.evaluation import spearman_corr
+
+    docs = _read(spark, sf_dir, "documents")
+    base = docs.select(
+        F.col("n_chars").alias("a"),
+        (
+            F.length("text")
+            - F.length(F.replace(F.col("text"), F.lit(" "), F.lit("")))
+        ).alias("b"),
+    )
+    return spearman_corr(base, "a", "b").select(
+        "n", F.round("rho", 6).alias("rho")
+    )
+
+
+def _corpus_jsd_by_source(spark, sf_dir):
+    """Per-source Jensen-Shannon divergence of the lang mix vs the
+    REST of the corpus — the bounded drift readout beside PSI/KS.
+    DuckDB oracle replays the full grid (langs absent from a source
+    still carry Q-side mass), the exact float term shapes and the
+    1e-15-unit quantized per-group sums."""
+    from protosc_spark.evaluation import js_divergence
+
+    docs = _read(spark, sf_dir, "documents")
+    return (
+        js_divergence(docs, "source", "lang")
+        .select(
+            "source",
+            "n_group",
+            "n_rest",
+            F.round("jsd", 6).alias("jsd"),
+            F.round("jsd_bits", 6).alias("jsd_bits"),
+        )
+        .orderBy("source")
+    )
+
+
+def _events_ewma_volume(spark, sf_dir):
+    """EWMA control chart (Roberts; alpha=0.3, L=3) over each event
+    type's daily-volume series — the small-sustained-shift monitor
+    beside CUSUM. A 16-days-at-20 / 4-days-at-40 burst series is
+    planted so the alarm path is exercised (the track crosses L=3 on
+    the final day). The DuckDB oracle replays the exact fold with a
+    recursive CTE — the (1-alpha)^(2t) running product, both
+    moments, the max deviation and first-alarm day, digit for
+    digit."""
+    from protosc_spark.windows import volume_ewma
+
+    ev = _read(spark, sf_dir, "events").select("event_type", "ts")
+    rows = []
+    for d in range(20):
+        ts = f"1970-01-{d + 1:02d} 00:00:00"
+        rows += [("planted", ts)] * (20 if d < 16 else 40)
+    planted = spark.createDataFrame(
+        rows, "event_type string, ts_s string"
+    ).select(
+        "event_type", F.col("ts_s").cast("timestamp").alias("ts")
+    )
+    t = volume_ewma(ev.unionByName(planted), "event_type")
+    return t.select(
+        "event_type",
+        "n_days",
+        F.round("mu", 6).alias("mu"),
+        F.round("sigma", 6).alias("sigma"),
+        F.round("ewma_final", 6).alias("ewma_final"),
+        F.round("max_dev", 6).alias("max_dev"),
+        "alarm_day",
+    ).orderBy("event_type")
+
+
 def _events_interarrival(spark, sf_dir):
     """Per-user inter-arrival gap features: mean gap, CV, and
     Goh-Barabási burstiness from EXACT integer-microsecond gap
@@ -2530,6 +2607,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     full-surface green regardless of this ordering."""
     return {
         # --- round 5 ---
+        "corpus_spearman": _corpus_spearman,
+        "corpus_jsd_by_source": _corpus_jsd_by_source,
+        "events_ewma_volume": _events_ewma_volume,
         "corpus_chi2_independence": _corpus_chi2_independence,
         "events_interarrival": _events_interarrival,
         "corpus_winsorize": _corpus_winsorize,
@@ -2769,6 +2849,203 @@ def oracle_sql() -> dict[str, str]:
         f"({i}, '{t}')" for i, t in _EDIT_PLANT
     )
     out = {
+        "corpus_spearman": """
+            WITH base AS (
+              SELECT n_chars::BIGINT AS a,
+                     (length(text)
+                      - length(replace(text, ' ', '')))::BIGINT AS b
+              FROM documents
+              WHERE n_chars IS NOT NULL AND text IS NOT NULL
+            ), joint AS (
+              SELECT a, b, count(*)::HUGEINT AS n
+              FROM base GROUP BY 1, 2
+            ), ma0 AS (
+              SELECT a, sum(n)::HUGEINT AS c FROM joint GROUP BY 1
+            ), ma AS (
+              SELECT a, c,
+                     2 * coalesce(sum(c) OVER (
+                           ORDER BY a
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND 1 PRECEDING), 0)
+                       + c + 1 AS r
+              FROM ma0
+            ), mb0 AS (
+              SELECT b, sum(n)::HUGEINT AS c FROM joint GROUP BY 1
+            ), mb AS (
+              SELECT b, c,
+                     2 * coalesce(sum(c) OVER (
+                           ORDER BY b
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND 1 PRECEDING), 0)
+                       + c + 1 AS r
+              FROM mb0
+            ), s AS (
+              SELECT (SELECT sum(c) FROM ma0) AS t,
+                     (SELECT sum(c * r) FROM ma) AS s1a,
+                     (SELECT sum(c * r * r) FROM ma) AS s2a,
+                     (SELECT sum(c * r) FROM mb) AS s1b,
+                     (SELECT sum(c * r * r) FROM mb) AS s2b,
+                     (SELECT sum(j.n * ma.r * mb.r)
+                      FROM joint j
+                      JOIN ma ON ma.a = j.a
+                      JOIN mb ON mb.b = j.b) AS sab
+            )
+            SELECT t::BIGINT AS n,
+                   CASE WHEN t * s2a - s1a * s1a > 0
+                         AND t * s2b - s1b * s1b > 0
+                        THEN round(
+                          (t * sab - s1a * s1b)::DOUBLE
+                          / sqrt((t * s2a - s1a * s1a)::DOUBLE
+                                 * (t * s2b - s1b * s1b)::DOUBLE),
+                          6)
+                   END AS rho
+            FROM s
+        """,
+        "corpus_jsd_by_source": """
+            WITH base AS (
+              SELECT source AS g, lang AS v FROM documents
+              WHERE source IS NOT NULL AND lang IS NOT NULL
+            ), cell AS (
+              SELECT g, v, count(*)::HUGEINT AS n
+              FROM base GROUP BY 1, 2
+            ), gt AS (SELECT g, sum(n) AS ng FROM cell GROUP BY 1),
+            vt AS (SELECT v, sum(n) AS nv FROM cell GROUP BY 1),
+            t AS (SELECT sum(n) AS t FROM cell),
+            grid AS (
+              SELECT gt.g, gt.ng, vt.v, vt.nv,
+                     coalesce(cell.n, 0) AS n
+              FROM gt CROSS JOIN vt
+              LEFT JOIN cell ON cell.g = gt.g AND cell.v = vt.v
+            ), terms AS (
+              SELECT g, ng, t.t,
+                     (CASE WHEN n > 0
+                           THEN (n::DOUBLE / ng::DOUBLE)
+                                * ln((n::DOUBLE / ng::DOUBLE)
+                                     / (((n::DOUBLE / ng::DOUBLE)
+                                         + ((nv - n)::DOUBLE
+                                            / (t.t - ng)::DOUBLE))
+                                        / 2))
+                           ELSE 0 END
+                      + CASE WHEN nv > n
+                             THEN ((nv - n)::DOUBLE
+                                   / (t.t - ng)::DOUBLE)
+                                  * ln(((nv - n)::DOUBLE
+                                        / (t.t - ng)::DOUBLE)
+                                       / (((n::DOUBLE / ng::DOUBLE)
+                                           + ((nv - n)::DOUBLE
+                                              / (t.t - ng)::DOUBLE))
+                                          / 2))
+                             ELSE 0 END) / 2 AS term
+              FROM grid, t WHERE t.t > ng
+            ), u AS (
+              SELECT g, any_value(ng) AS ng, any_value(t) AS t,
+                     sum(floor(term * 1e15)::HUGEINT) AS u
+              FROM terms GROUP BY g
+            )
+            SELECT gt.g AS source,
+                   gt.ng::BIGINT AS n_group,
+                   ((SELECT t FROM t) - gt.ng)::BIGINT AS n_rest,
+                   round(u.u::DOUBLE / 1e15, 6) AS jsd,
+                   round(u.u::DOUBLE / 1e15 / ln(2), 6) AS jsd_bits
+            FROM gt LEFT JOIN u ON u.g = gt.g
+            ORDER BY source
+        """,
+        "events_ewma_volume": """
+            WITH RECURSIVE k AS (
+              SELECT 0.3::DOUBLE AS al,
+                     (1 - 0.3::DOUBLE) AS be,
+                     ((1 - 0.3::DOUBLE) * (1 - 0.3::DOUBLE)) AS b2,
+                     0.3::DOUBLE / (2 - 0.3::DOUBLE) AS ratio,
+                     3::DOUBLE AS lim
+            ), daily AS (
+              SELECT event_type AS g,
+                     (ts::DATE - DATE '1970-01-01')::BIGINT AS x,
+                     count(*)::BIGINT AS y
+              FROM events GROUP BY 1, 2
+              UNION ALL
+              SELECT 'planted', d::BIGINT,
+                     (CASE WHEN d < 16 THEN 20 ELSE 40 END)::BIGINT
+              FROM range(20) t(d)
+            ), idx AS (
+              SELECT g, x, y,
+                     row_number() OVER (PARTITION BY g
+                                        ORDER BY x) AS rn
+              FROM daily
+            ), st AS (
+              SELECT g, count(*)::BIGINT AS n_days,
+                     sum(y) AS sy, sum(y * y) AS syy
+              FROM daily GROUP BY 1
+            ), mo AS (
+              SELECT g, n_days,
+                     sy::DOUBLE / n_days::DOUBLE AS mu,
+                     CASE WHEN n_days > 1
+                           AND n_days::DOUBLE * syy::DOUBLE
+                               - sy::DOUBLE * sy::DOUBLE > 0
+                          THEN sqrt((n_days::DOUBLE * syy::DOUBLE
+                                     - sy::DOUBLE * sy::DOUBLE)
+                                    / (n_days::DOUBLE
+                                       * (n_days::DOUBLE - 1)))
+                     END AS sigma
+            FROM st
+            ), c AS (
+              SELECT i.g, i.rn, i.x,
+                     k.al * i.y::DOUBLE + k.be * m.mu AS z,
+                     1.0 * k.b2 AS w,
+                     CASE WHEN m.sigma IS NOT NULL
+                          THEN abs(k.al * i.y::DOUBLE
+                                   + k.be * m.mu - m.mu)
+                               / (m.sigma
+                                  * sqrt(k.ratio
+                                         * (1 - 1.0 * k.b2)))
+                          ELSE 0 END AS maxd,
+                     CASE WHEN (CASE WHEN m.sigma IS NOT NULL
+                                THEN abs(k.al * i.y::DOUBLE
+                                         + k.be * m.mu - m.mu)
+                                     / (m.sigma
+                                        * sqrt(k.ratio
+                                               * (1 - 1.0 * k.b2)))
+                                ELSE 0 END) > k.lim
+                          THEN i.x END AS alarm
+              FROM idx i JOIN mo m USING (g) CROSS JOIN k
+              WHERE i.rn = 1
+              UNION ALL
+              SELECT z.g, z.rn, z.x,
+                     k.al * z.y::DOUBLE + k.be * c.z,
+                     c.w * k.b2,
+                     greatest(c.maxd,
+                       CASE WHEN m.sigma IS NOT NULL
+                            THEN abs(k.al * z.y::DOUBLE
+                                     + k.be * c.z - m.mu)
+                                 / (m.sigma
+                                    * sqrt(k.ratio
+                                           * (1 - c.w * k.b2)))
+                            ELSE 0 END),
+                     coalesce(c.alarm,
+                       CASE WHEN (CASE WHEN m.sigma IS NOT NULL
+                                  THEN abs(k.al * z.y::DOUBLE
+                                           + k.be * c.z - m.mu)
+                                       / (m.sigma
+                                          * sqrt(k.ratio
+                                                 * (1 - c.w
+                                                      * k.b2)))
+                                  ELSE 0 END) > k.lim
+                            THEN z.x END)
+              FROM c
+              JOIN idx z ON z.g = c.g AND z.rn = c.rn + 1
+              JOIN mo m ON m.g = c.g
+              CROSS JOIN k
+            ), last AS (
+              SELECT c.* FROM c JOIN st USING (g)
+              WHERE c.rn = st.n_days
+            )
+            SELECT l.g AS event_type, m.n_days,
+                   round(m.mu, 6) AS mu, round(m.sigma, 6) AS sigma,
+                   round(l.z, 6) AS ewma_final,
+                   round(l.maxd, 6) AS max_dev,
+                   l.alarm AS alarm_day
+            FROM last l JOIN mo m USING (g)
+            ORDER BY event_type
+        """,
         "corpus_chi2_independence": """
             WITH base AS (
               SELECT lang AS a, source AS b FROM documents

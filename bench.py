@@ -124,6 +124,9 @@ HEADLINE = [
     "corpus_winsorize",
     "events_survival",
     "corpus_chi2_independence",
+    "corpus_spearman",
+    "corpus_jsd_by_source",
+    "events_ewma_volume",
 ]
 
 BENCH_CONVERSATIONS = int(os.environ.get("PROTOSC_BENCH_CONVS", "20000"))

@@ -999,3 +999,109 @@ def kaplan_meier(
         )
         .orderBy("t")
     )
+
+
+def volume_ewma(
+    df: DataFrame,
+    group_col: str,
+    ts_col: str = "ts",
+    alpha: float = 0.3,
+    limit: float = 3.0,
+) -> DataFrame:
+    """Per-slice EWMA control chart over the daily-volume series —
+    the SMALL-SUSTAINED-SHIFT monitor beside volume_cusum (step
+    shifts) and volume_trend (gradual drift): z_t = alpha * y_t +
+    (1 - alpha) * z_{t-1} with z_0 = mu, alarmed at the FIRST day the
+    standardized deviation |z_t - mu| / sigma_z(t) crosses ``limit``,
+    where sigma_z(t) = sigma * sqrt(alpha / (2 - alpha) *
+    (1 - (1 - alpha)^(2t))) is the exact time-varying EWMA control
+    limit (Roberts 1959 / Lucas-Saccucci 1990; alpha=0.3, L=3 are
+    the textbook settings). mu/sigma are the slice's own sample
+    moments from exact DECIMAL sums, as volume_cusum. Zero/undefined
+    sigma => deviation 0, no alarm.
+
+    Engine-reproducibility: (1 - alpha)^(2t) is carried IN the fold
+    accumulator as a running product (w' = w * beta^2) rather than
+    pow() — multiplication, division, sqrt and abs are all
+    correctly-rounded IEEE ops, so a SQL engine replaying the same
+    recursion reproduces every track bit for bit (pow() is
+    NOT correctly rounded and may differ across libm builds).
+
+    Output: (group, n_days, mu, sigma, ewma_final, max_dev,
+    alarm_day), alarm_day the epoch day of the first crossing or
+    NULL.
+
+    Scale shape: identical to volume_cusum — one raw scan into
+    (group, day) counts; each slice's series is a calendar-bounded
+    array folded by a Catalyst higher-order ``aggregate``, zero
+    Python."""
+    dec = "decimal(19,0)"
+    beta = 1.0 - alpha
+    daily = (
+        df.groupBy(
+            group_col,
+            F.datediff(F.to_date(ts_col), F.lit("1970-01-01"))
+            .cast("bigint")
+            .alias("x"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("y"))
+    )
+    yd = F.col("y").cast(dec)
+    g = daily.groupBy(group_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+        F.sum(yd).alias("sy"),
+        F.sum(yd * yd).alias("syy"),
+        F.sort_array(F.collect_list(F.struct("x", "y")))
+        .alias("series"),
+    )
+    n, sy, syy = (
+        F.col(c).cast("double") for c in ("n_days", "sy", "syy")
+    )
+    var_num = n * syy - sy * sy
+    g = g.withColumn("mu", sy / n).withColumn(
+        "sigma",
+        F.when(
+            (F.col("n_days") > 1) & (var_num > 0),
+            F.sqrt(var_num / (n * (n - 1))),
+        ),
+    )
+    init = F.struct(
+        F.col("mu").alias("z"),
+        F.lit(1.0).alias("w"),
+        F.lit(0.0).alias("maxd"),
+        F.lit(None).cast("bigint").alias("alarm"),
+    )
+    ratio = alpha / (2.0 - alpha)
+
+    def step(acc, e):
+        z = F.lit(alpha) * e["y"].cast("double") + F.lit(beta) * acc[
+            "z"
+        ]
+        w = acc["w"] * F.lit(beta * beta)
+        d = F.when(
+            F.col("sigma").isNotNull(),
+            F.abs(z - F.col("mu"))
+            / (
+                F.col("sigma")
+                * F.sqrt(F.lit(ratio) * (F.lit(1.0) - w))
+            ),
+        ).otherwise(F.lit(0.0))
+        return F.struct(
+            z.alias("z"),
+            w.alias("w"),
+            F.greatest(acc["maxd"], d).alias("maxd"),
+            F.coalesce(
+                acc["alarm"], F.when(d > F.lit(limit), e["x"])
+            ).alias("alarm"),
+        )
+
+    res = F.aggregate("series", init, step)
+    return g.select(
+        group_col,
+        "n_days",
+        "mu",
+        "sigma",
+        res["z"].alias("ewma_final"),
+        res["maxd"].alias("max_dev"),
+        res["alarm"].alias("alarm_day"),
+    )

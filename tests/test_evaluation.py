@@ -361,3 +361,135 @@ def test_chi2_pvalue_tail_composes(spark):
         lambda d: chi2_independence(d, "a", "b")
     ).collect()[0]
     assert chi2_sf(r.chi2, int(r.dof)) < 1e-6
+
+
+# ---------------------------------------------------------------------------
+# spearman_corr
+# ---------------------------------------------------------------------------
+
+def _midranks(vals):
+    import numpy as np
+
+    vals = np.asarray(vals, dtype=float)
+    order = np.argsort(vals, kind="mergesort")
+    ranks = np.empty(len(vals))
+    i = 0
+    s = vals[order]
+    while i < len(s):
+        j = i
+        while j < len(s) and s[j] == s[i]:
+            j += 1
+        ranks[order[i:j]] = (i + j + 1) / 2.0
+        i = j
+    return ranks
+
+
+def _spearman_bruteforce(pairs):
+    import numpy as np
+
+    a = _midranks([p[0] for p in pairs])
+    b = _midranks([p[1] for p in pairs])
+    n = len(pairs)
+    num = n * (a * b).sum() - a.sum() * b.sum()
+    den = ((n * (a * a).sum() - a.sum() ** 2)
+           * (n * (b * b).sum() - b.sum() ** 2)) ** 0.5
+    return num / den
+
+
+def test_spearman_matches_bruteforce_heavy_ties(spark):
+    from protosc_spark.evaluation import spearman_corr
+
+    # deterministic tie-heavy data: both columns take few values
+    pairs = [((i * 7) % 5, ((i * i + 3) % 4)) for i in range(40)]
+    pairs += [(2, 1)] * 6 + [(4, 3)] * 5
+    df = spark.createDataFrame(pairs, "a int, b int")
+    r = spearman_corr(df, "a", "b").collect()[0]
+    assert r.n == 51
+    assert abs(r.rho - _spearman_bruteforce(pairs)) < 1e-12
+
+
+def test_spearman_monotone_and_degenerate(spark):
+    from protosc_spark.evaluation import spearman_corr
+
+    mono = spark.createDataFrame(
+        [(i, i * i + 1) for i in range(30)], "a int, b int"
+    )
+    assert spearman_corr(mono, "a", "b").collect()[0].rho == 1.0
+    rev = spark.createDataFrame(
+        [(i, -3 * i) for i in range(30)], "a int, b int"
+    )
+    assert spearman_corr(rev, "a", "b").collect()[0].rho == -1.0
+    const = spark.createDataFrame(
+        [(i, 7) for i in range(10)], "a int, b int"
+    )
+    r = spearman_corr(const, "a", "b").collect()[0]
+    assert r.rho is None and r.n == 10
+
+
+def test_spearman_null_rows_dropped(spark):
+    from protosc_spark.evaluation import spearman_corr
+
+    pairs = [(1, 2), (2, 4), (3, 5), (None, 9), (4, None)]
+    df = spark.createDataFrame(pairs, "a int, b int")
+    r = spearman_corr(df, "a", "b").collect()[0]
+    assert r.n == 3 and r.rho == 1.0
+
+
+# ---------------------------------------------------------------------------
+# js_divergence
+# ---------------------------------------------------------------------------
+
+def _jsd_bruteforce(rows, g):
+    import math
+    from collections import Counter
+
+    mine = Counter(v for gg, v in rows if gg == g)
+    rest = Counter(v for gg, v in rows if gg != g)
+    ng, nr = sum(mine.values()), sum(rest.values())
+    out = 0.0
+    for v in set(mine) | set(rest):
+        p, q = mine[v] / ng, rest[v] / nr
+        m = (p + q) / 2
+        out += 0.5 * (p * math.log(p / m) if p else 0.0)
+        out += 0.5 * (q * math.log(q / m) if q else 0.0)
+    return out
+
+
+def test_jsd_matches_bruteforce_with_absent_value(spark):
+    from protosc_spark.evaluation import js_divergence
+
+    # "z" never occurs in group g1 -> its Q-side mass must still count
+    rows = (
+        [("g1", "x")] * 8 + [("g1", "y")] * 2
+        + [("g2", "x")] * 3 + [("g2", "y")] * 4 + [("g2", "z")] * 5
+    )
+    df = spark.createDataFrame(rows, "g string, v string")
+    got = {
+        r.g: r for r in js_divergence(df, "g", "v").collect()
+    }
+    for g in ("g1", "g2"):
+        assert abs(got[g].jsd - _jsd_bruteforce(rows, g)) < 1e-9
+    assert got["g1"].n_group == 10 and got["g1"].n_rest == 12
+
+
+def test_jsd_identical_zero_disjoint_ln2_single_null(spark):
+    import math
+
+    from protosc_spark.evaluation import js_divergence
+
+    same = spark.createDataFrame(
+        [(g, v) for g in ("a", "b") for v in "xxy"], "g string, v string"
+    )
+    for r in js_divergence(same, "g", "v").collect():
+        assert abs(r.jsd) < 1e-12
+    disjoint = spark.createDataFrame(
+        [("a", "p")] * 3 + [("b", "q")] * 5, "g string, v string"
+    )
+    for r in js_divergence(disjoint, "g", "v").collect():
+        assert abs(r.jsd - math.log(2.0)) < 1e-9
+        assert abs(r.jsd_bits - 1.0) < 1e-9
+    single = spark.createDataFrame(
+        [("only", "x"), ("only", "y")], "g string, v string"
+    )
+    r = js_divergence(single, "g", "v").collect()[0]
+    assert r.n_rest == 0 and r.jsd is None and r.jsd_bits is None

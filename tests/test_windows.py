@@ -871,3 +871,91 @@ def test_kaplan_meier_no_censoring_matches_ecdf(spark):
     for t in sorted(set(durs)):
         want = sum(1 for d in durs if d > t) / n
         assert abs(got[t] - want) < 1e-12, t
+
+
+# --- EWMA control chart ---
+
+
+def _ewma_bruteforce(ys, alpha=0.3, limit=3.0):
+    """Python replay of the volume_ewma fold over one series."""
+    import math
+
+    n = len(ys)
+    mu = sum(ys) / n
+    var_num = n * sum(y * y for y in ys) - sum(ys) ** 2
+    sigma = (
+        math.sqrt(var_num / (n * (n - 1)))
+        if n > 1 and var_num > 0
+        else None
+    )
+    beta = 1.0 - alpha
+    z, w, maxd, alarm = mu, 1.0, 0.0, None
+    for x, y in enumerate(ys):
+        z = alpha * y + beta * z
+        w = w * (beta * beta)
+        if sigma is not None:
+            d = abs(z - mu) / (
+                sigma * math.sqrt(alpha / (2.0 - alpha) * (1.0 - w))
+            )
+        else:
+            d = 0.0
+        maxd = max(maxd, d)
+        if alarm is None and d > limit:
+            alarm = x
+    return mu, sigma, z, maxd, alarm
+
+
+def _daily_df(spark, counts, g="g"):
+    rows = []
+    for d, c in enumerate(counts):
+        ts = f"1970-01-{d + 1:02d} 00:00:00"
+        rows += [(g, ts)] * c
+    return spark.createDataFrame(
+        rows, "g string, ts_s string"
+    ).select("g", F.col("ts_s").cast("timestamp").alias("ts"))
+
+
+def test_ewma_matches_bruteforce_and_alarms_on_small_shift(spark):
+    """16 steady days then a 4-day elevated tail: the EWMA track
+    crosses L=3 on the final day (self-standardization against the
+    shift-contaminated in-series sigma caps symmetric splits below
+    3 — a SHORT anomaly is exactly what EWMA flags), and every
+    output must equal the exact Python replay of the fold."""
+    from protosc_spark.windows import volume_ewma
+
+    counts = [20] * 16 + [40] * 4
+    r = volume_ewma(_daily_df(spark, counts), "g").collect()[0]
+    mu, sigma, z, maxd, alarm = _ewma_bruteforce(counts)
+    assert r.n_days == 20
+    assert r.mu == mu and r.sigma == sigma
+    assert r.ewma_final == z and r.max_dev == maxd
+    assert alarm is not None and r.alarm_day == alarm
+
+
+def test_ewma_flat_single_day_and_steady_no_alarm(spark):
+    from protosc_spark.windows import volume_ewma
+
+    df = _daily_df(spark, [5, 5, 5], g="flat").unionByName(
+        _daily_df(spark, [9], g="one")
+    )
+    out = {r.g: r for r in volume_ewma(df, "g").collect()}
+    for g in ("flat", "one"):
+        assert out[g].sigma is None
+        assert out[g].max_dev == 0.0 and out[g].alarm_day is None
+    # a noisy-but-stationary series must not alarm
+    counts = [18, 22, 20, 19, 21, 20, 18, 22, 21, 19]
+    r = volume_ewma(_daily_df(spark, counts), "g").collect()[0]
+    mu, sigma, z, maxd, alarm = _ewma_bruteforce(counts)
+    assert alarm is None and r.alarm_day is None
+    assert r.max_dev == maxd and r.ewma_final == z
+
+
+def test_ewma_plan_no_python(spark):
+    from protosc_spark.windows import volume_ewma
+
+    plan = (
+        volume_ewma(_daily_df(spark, [1]), "g")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "ArrowEvalPython" not in plan
+    assert "BatchEvalPython" not in plan
