@@ -544,6 +544,82 @@ def _events_ewma_volume(spark, sf_dir):
     ).orderBy("event_type")
 
 
+def _corpus_kendall(spark, sf_dir):
+    """Exact tie-aware Kendall tau-b over the same (n_chars,
+    whitespace-token-count) pair as corpus_spearman — the
+    pair-concordance view of the same association. DuckDB oracle
+    replays the joint-histogram cell self-join, the tie terms and
+    the doubled-pair-count algebra."""
+    from protosc_spark.evaluation import kendall_tau
+
+    docs = _read(spark, sf_dir, "documents")
+    base = docs.select(
+        F.col("n_chars").alias("a"),
+        (
+            F.length("text")
+            - F.length(F.replace(F.col("text"), F.lit(" "), F.lit("")))
+        ).alias("b"),
+    )
+    return kendall_tau(base, "a", "b").select(
+        "n",
+        "n_concordant",
+        "n_discordant",
+        F.round("tau_b", 6).alias("tau_b"),
+    )
+
+
+def _events_acf_volume(spark, sf_dir):
+    """Per-event-type daily-volume autocorrelation at calendar lags
+    1..7 — the seasonality readout beside trend/CUSUM/EWMA. A
+    21-day period-7 rhythm series is planted so the lag-7 peak path
+    is exercised. DuckDB oracle replays the integer-deviation
+    collapse (d = n*y - S), the exact-calendar-lag pair join and the
+    one float division."""
+    from protosc_spark.windows import volume_acf
+
+    ev = _read(spark, sf_dir, "events").select("event_type", "ts")
+    rhythm = [30, 10, 12, 11, 13, 10, 28] * 3
+    rows = []
+    for d, c in enumerate(rhythm):
+        ts = f"1970-01-{d + 1:02d} 00:00:00"
+        rows += [("planted", ts)] * c
+    planted = spark.createDataFrame(
+        rows, "event_type string, ts_s string"
+    ).select(
+        "event_type", F.col("ts_s").cast("timestamp").alias("ts")
+    )
+    t = volume_acf(ev.unionByName(planted), "event_type")
+    return t.select(
+        "event_type",
+        "lag",
+        "n_pairs",
+        F.round("acf", 6).alias("acf"),
+    ).orderBy("event_type", "lag")
+
+
+def _txt_keyness_llr(spark, sf_dir):
+    """Top-25 Dunning G^2 keyness terms for the lang='en' slice vs
+    the rest of the corpus — calibrated slice-characterizing
+    vocabulary beside tf-idf/PMI. DuckDB oracle replays the
+    tokenization, the exact-integer 2x2 cells, the float term shapes
+    and the (G^2 desc, token asc) ranking."""
+    from protosc_spark.textops import keyness_llr
+
+    docs = _read(spark, sf_dir, "documents")
+    return keyness_llr(
+        docs.where(F.col("lang").isNotNull()),
+        F.col("lang") == "en",
+        k=25,
+    ).select(
+        "rnk",
+        "token",
+        "n_focus",
+        "n_rest",
+        F.round("llr", 6).alias("llr"),
+        "direction",
+    )
+
+
 def _events_interarrival(spark, sf_dir):
     """Per-user inter-arrival gap features: mean gap, CV, and
     Goh-Barabási burstiness from EXACT integer-microsecond gap
@@ -2607,6 +2683,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     full-surface green regardless of this ordering."""
     return {
         # --- round 5 ---
+        "corpus_kendall": _corpus_kendall,
+        "events_acf_volume": _events_acf_volume,
+        "txt_keyness_llr": _txt_keyness_llr,
         "corpus_spearman": _corpus_spearman,
         "corpus_jsd_by_source": _corpus_jsd_by_source,
         "events_ewma_volume": _events_ewma_volume,
@@ -2849,6 +2928,125 @@ def oracle_sql() -> dict[str, str]:
         f"({i}, '{t}')" for i, t in _EDIT_PLANT
     )
     out = {
+        "corpus_kendall": """
+            WITH base AS (
+              SELECT n_chars::BIGINT AS a,
+                     (length(text)
+                      - length(replace(text, ' ', '')))::BIGINT AS b
+              FROM documents
+              WHERE n_chars IS NOT NULL AND text IS NOT NULL
+            ), cell AS (
+              SELECT a, b, count(*)::HUGEINT AS n
+              FROM base GROUP BY 1, 2
+            ), cd AS (
+              SELECT sum(CASE WHEN c2.b > c1.b
+                              THEN c1.n * c2.n ELSE 0 END) AS c,
+                     sum(CASE WHEN c2.b < c1.b
+                              THEN c1.n * c2.n ELSE 0 END) AS d
+              FROM cell c1 JOIN cell c2 ON c2.a > c1.a
+            ), ma AS (
+              SELECT a, sum(n)::HUGEINT AS c FROM cell GROUP BY 1
+            ), mb AS (
+              SELECT b, sum(n)::HUGEINT AS c FROM cell GROUP BY 1
+            ), s AS (
+              SELECT (SELECT sum(c) FROM ma) AS t,
+                     (SELECT sum(c * (c - 1)) FROM ma) AS t1,
+                     (SELECT sum(c * (c - 1)) FROM mb) AS t2
+            )
+            SELECT s.t::BIGINT AS n,
+                   cd.c::BIGINT AS n_concordant,
+                   cd.d::BIGINT AS n_discordant,
+                   CASE WHEN (s.t * (s.t - 1) - s.t1)::DOUBLE
+                             * (s.t * (s.t - 1) - s.t2)::DOUBLE > 0
+                        THEN round(
+                          2 * (cd.c - cd.d)::DOUBLE
+                          / sqrt((s.t * (s.t - 1) - s.t1)::DOUBLE
+                                 * (s.t * (s.t - 1) - s.t2)::DOUBLE),
+                          6)
+                   END AS tau_b
+            FROM s, cd
+        """,
+        "events_acf_volume": """
+            WITH daily AS (
+              SELECT event_type AS g,
+                     (ts::DATE - DATE '1970-01-01')::BIGINT AS x,
+                     count(*)::HUGEINT AS y
+              FROM events GROUP BY 1, 2
+              UNION ALL
+              SELECT 'planted', d::BIGINT,
+                     ([30, 10, 12, 11, 13, 10, 28][(d % 7) + 1])
+                       ::HUGEINT
+              FROM range(21) t(d)
+            ), st AS (
+              SELECT g, count(*)::HUGEINT AS n,
+                     sum(y)::HUGEINT AS s
+              FROM daily GROUP BY 1
+            ), dev AS (
+              SELECT d.g, d.x, st.n * d.y - st.s AS dd
+              FROM daily d JOIN st USING (g)
+            ), den AS (
+              SELECT g, sum(dd * dd) AS den FROM dev GROUP BY 1
+            ), lags AS (
+              SELECT unnest(range(1, 8)) AS lag
+            ), num AS (
+              SELECT a.g, l.lag,
+                     count(*)::BIGINT AS n_pairs,
+                     sum(a.dd * b.dd) AS num
+              FROM dev a
+              CROSS JOIN lags l
+              JOIN dev b ON b.g = a.g AND b.x = a.x + l.lag
+              GROUP BY 1, 2
+            )
+            SELECT n.g AS event_type,
+                   n.lag::INT AS lag,
+                   n.n_pairs,
+                   CASE WHEN d.den > 0
+                        THEN round(n.num::DOUBLE / d.den::DOUBLE, 6)
+                   END AS acf
+            FROM num n JOIN den d USING (g)
+            ORDER BY event_type, lag
+        """,
+        "txt_keyness_llr": """
+            WITH base AS (
+              SELECT text, (lang = 'en') AS f FROM documents
+              WHERE text IS NOT NULL AND lang IS NOT NULL
+            ), tok AS (
+              SELECT f, unnest(string_split(text, ' ')) AS token
+              FROM base
+            ), per AS (
+              SELECT token,
+                     sum(CASE WHEN f THEN 1 ELSE 0 END)::HUGEINT AS a,
+                     sum(CASE WHEN f THEN 0 ELSE 1 END)::HUGEINT AS b
+              FROM tok GROUP BY 1
+            ), tot AS (
+              SELECT sum(a) AS ta, sum(b) AS tb FROM per
+            ), sc AS (
+              SELECT token, a, b,
+                     2 * (CASE WHEN a > 0
+                               THEN a::DOUBLE
+                                    * ln(a::DOUBLE
+                                         / ((a + b)::DOUBLE
+                                            * ta::DOUBLE
+                                            / (ta + tb)::DOUBLE))
+                               ELSE 0 END
+                        + CASE WHEN b > 0
+                               THEN b::DOUBLE
+                                    * ln(b::DOUBLE
+                                         / ((a + b)::DOUBLE
+                                            * tb::DOUBLE
+                                            / (ta + tb)::DOUBLE))
+                               ELSE 0 END) AS llr,
+                     CASE WHEN a * tb > b * ta THEN 1 ELSE -1 END
+                       AS direction
+              FROM per, tot
+            )
+            SELECT rnk, token, a::BIGINT AS n_focus,
+                   b::BIGINT AS n_rest, round(llr, 6) AS llr,
+                   direction
+            FROM (SELECT *, row_number() OVER (
+                    ORDER BY llr DESC, token) AS rnk FROM sc)
+            WHERE rnk <= 25 ORDER BY rnk
+        """,
         "corpus_spearman": """
             WITH base AS (
               SELECT n_chars::BIGINT AS a,

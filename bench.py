@@ -127,6 +127,9 @@ HEADLINE = [
     "corpus_spearman",
     "corpus_jsd_by_source",
     "events_ewma_volume",
+    "corpus_kendall",
+    "events_acf_volume",
+    "txt_keyness_llr",
 ]
 
 BENCH_CONVERSATIONS = int(os.environ.get("PROTOSC_BENCH_CONVS", "20000"))

@@ -618,3 +618,102 @@ def js_divergence(df: DataFrame, group_col: str, value_col: str,
             "jsd_bits"
         ),
     )
+
+
+def kendall_tau(df: DataFrame, a_col: str, b_col: str) -> DataFrame:
+    """Exact tie-aware Kendall tau-b between two numeric columns —
+    the pair-concordance companion to :func:`spearman_corr` (rank
+    covariance): with C/D the concordant/discordant pair counts and
+    n1/n2 the within-column tie pairs,
+
+        tau_b = (C - D) / sqrt((n0 - n1) * (n0 - n2)),
+        n0 = n * (n - 1) / 2
+
+    (Kendall 1945). No O(n^2) row pairs: rows collapse to the JOINT
+    VALUE HISTOGRAM first, then C and D come from one self-join of
+    the CELL table restricted to strictly-greater a (every unordered
+    row pair with distinct a falls in exactly one ordered cell pair;
+    pairs tying on a are neither concordant nor discordant), and the
+    tie terms from the marginal histograms. Everything is an exact
+    DECIMAL(38,0) integer sum of cell-count products —
+    order-independent at any parallelism, one float division at the
+    end.
+
+    Cost envelope: the self-join is |cells| x |cells per a-run|,
+    quadratic in DISTINCT-VALUE-PAIR count, not rows — for the
+    quantized scores the engine produces (counts, lengths, HDR
+    buckets) that is thousands of cells; for a continuous pair,
+    quantize first (tau over the quantized values is tau of the
+    quantized ranking, exactly).
+
+    Rows with NULL in either column are dropped. Output: one row
+    (n, n_concordant, n_discordant, tau_b) — tau_b NULL when either
+    column is constant."""
+    dec = "decimal(38,0)"
+    cell = (
+        df.where(F.col(a_col).isNotNull() & F.col(b_col).isNotNull())
+        .groupBy(
+            F.col(a_col).alias("__a"), F.col(b_col).alias("__b")
+        )
+        .agg(F.count(F.lit(1)).cast(dec).alias("__n"))
+    )
+    lo = cell.select(
+        F.col("__a").alias("__a1"),
+        F.col("__b").alias("__b1"),
+        F.col("__n").alias("__n1"),
+    )
+    hi = cell.select(
+        F.col("__a").alias("__a2"),
+        F.col("__b").alias("__b2"),
+        F.col("__n").alias("__n2"),
+    )
+    pairs = lo.join(hi, F.col("__a2") > F.col("__a1"), "inner")
+    cd = pairs.agg(
+        F.sum(
+            F.when(
+                F.col("__b2") > F.col("__b1"),
+                F.col("__n1") * F.col("__n2"),
+            ).otherwise(F.lit(0).cast(dec))
+        ).alias("__c"),
+        F.sum(
+            F.when(
+                F.col("__b2") < F.col("__b1"),
+                F.col("__n1") * F.col("__n2"),
+            ).otherwise(F.lit(0).cast(dec))
+        ).alias("__d"),
+    )
+
+    def _tiepairs(col, out):
+        m = cell.groupBy(col).agg(F.sum("__n").alias("__c"))
+        return m.agg(
+            F.sum(
+                F.col("__c") * (F.col("__c") - F.lit(1).cast(dec))
+            ).alias(out),
+            F.sum("__c").alias(out + "_n"),
+        )
+
+    ta = _tiepairs("__a", "__t1")
+    tb = _tiepairs("__b", "__t2")
+    g = (
+        cd.crossJoin(F.broadcast(ta))
+        .crossJoin(F.broadcast(tb.drop("__t2_n")))
+        .withColumnRenamed("__t1_n", "__t")
+    )
+    # doubled pair counts (x(x-1) not x(x-1)/2): the factor 2 cancels
+    # inside the sqrt product against (C - D)'s, so nothing divides
+    n0 = F.col("__t") * (F.col("__t") - F.lit(1).cast(dec))
+    den = (n0 - F.col("__t1")).cast("double") * (
+        n0 - F.col("__t2")
+    ).cast("double")
+    cc, dd = F.col("__c"), F.col("__d")
+    return g.select(
+        F.col("__t").cast("bigint").alias("n"),
+        cc.cast("bigint").alias("n_concordant"),
+        dd.cast("bigint").alias("n_discordant"),
+        F.when(
+            den > 0,
+            F.lit(2.0)
+            * (cc - dd).cast("double")
+            / F.sqrt(den),
+        ).alias("tau_b"),
+    )

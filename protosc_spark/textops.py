@@ -776,3 +776,85 @@ def rrf_fuse(
     return out.select(
         id_col, *[f"rank_{c}" for c in score_cols], rrf.alias("rrf")
     )
+
+
+def keyness_llr(
+    df: DataFrame,
+    focus: Column,
+    k: int = 25,
+) -> DataFrame:
+    """Top-k keyness terms by Dunning's log-likelihood ratio G^2
+    (Dunning 1993) between the FOCUS slice (rows where ``focus`` is
+    true) and the rest of the corpus — the calibrated "what words
+    characterize this slice" readout beside tf-idf (per-doc salience)
+    and PMI (collocation): per whitespace token with focus/rest
+    frequencies a/b and slice totals A/B,
+
+        G2 = 2 * (a * ln(a / Ea) + b * ln(b / Eb)),
+        Ea = (a + b) * A / (A + B),  Eb = (a + b) * B / (A + B)
+
+    zero cells contribute 0 (lim o->0 of o ln(o/e)); ``direction``
+    is +1 when the term is focus-overrepresented (a * B > b * A),
+    -1 otherwise. Every G2 is a pure scalar of four exact integer
+    counts — deterministic at any parallelism — and the ranking
+    (G2 desc, token asc) is therefore stable.
+
+    Scale shape: one explode -> groupBy(token) with map-side combine
+    (vocabulary-sized), a 1-row broadcast for the slice totals, and
+    the top-k window over the vocabulary table. Rows with NULL text
+    or NULL focus are dropped. Output: (rnk, token, n_focus, n_rest,
+    llr, direction)."""
+    from pyspark.sql import Window as W
+
+    dec = "decimal(38,0)"
+    base = df.where(F.col("text").isNotNull() & focus.isNotNull())
+    toks = base.select(
+        focus.alias("__f"),
+        F.explode(F.split(F.col("text"), " ")).alias("token"),
+    )
+    per = toks.groupBy("token").agg(
+        F.sum(F.when(F.col("__f"), 1).otherwise(0))
+        .cast(dec)
+        .alias("a"),
+        F.sum(F.when(F.col("__f"), 0).otherwise(1))
+        .cast(dec)
+        .alias("b"),
+    )
+    tot = per.agg(
+        F.sum("a").alias("__ta"), F.sum("b").alias("__tb")
+    )
+    g = per.crossJoin(F.broadcast(tot))
+    a, b = F.col("a").cast("double"), F.col("b").cast("double")
+    ta, tb = (
+        F.col("__ta").cast("double"),
+        F.col("__tb").cast("double"),
+    )
+    ab = (F.col("a") + F.col("b")).cast("double")
+    tt = (F.col("__ta") + F.col("__tb")).cast("double")
+    ea = ab * ta / tt
+    eb = ab * tb / tt
+    llr = F.lit(2.0) * (
+        F.when(F.col("a") > 0, a * F.log(a / ea)).otherwise(F.lit(0.0))
+        + F.when(F.col("b") > 0, b * F.log(b / eb)).otherwise(
+            F.lit(0.0)
+        )
+    )
+    scored = g.select(
+        "token",
+        F.col("a").cast("bigint").alias("n_focus"),
+        F.col("b").cast("bigint").alias("n_rest"),
+        llr.alias("llr"),
+        F.when(
+            F.col("a") * F.col("__tb") > F.col("b") * F.col("__ta"),
+            F.lit(1),
+        )
+        .otherwise(F.lit(-1))
+        .alias("direction"),
+    )
+    w = W.orderBy(F.desc("llr"), F.asc("token"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= k)
+        .select("rnk", "token", "n_focus", "n_rest", "llr",
+                "direction")
+    )

@@ -1105,3 +1105,95 @@ def volume_ewma(
         res["maxd"].alias("max_dev"),
         res["alarm"].alias("alarm_day"),
     )
+
+
+def volume_acf(
+    df: DataFrame,
+    group_col: str,
+    ts_col: str = "ts",
+    max_lag: int = 7,
+) -> DataFrame:
+    """Per-slice autocorrelation of the daily-volume series at
+    calendar lags 1..``max_lag`` — the seasonality/persistence
+    readout beside volume_trend (drift), volume_cusum/ewma (shifts):
+    a weekly-rhythmed slice shows a lag-7 peak, a bursty one fast
+    decay.
+
+        r_k = sum_t (y_t - ybar)(y_{t+k} - ybar)
+              / sum_t (y_t - ybar)^2
+
+    with ybar the slice's full-series mean and the denominator over
+    all days (the standard sample ACF); the numerator runs over the
+    pairs at EXACT calendar lag k — missing days contribute no pair
+    (gappy-series convention), pinned by ``n_pairs``.
+
+    Exactness: multiply through by n^2 — with integer deviations
+    d_t = n * y_t - S (S the count sum), r_k = sum d_t d_{t+k} /
+    sum d_t^2 is a ratio of exact DECIMAL(38,0) integer sums,
+    order-independent at any parallelism, one float division at the
+    end.
+
+    Scale shape: one raw scan into (group, day) counts; per-slice
+    moments via map-side combine; the lag pairs come from ONE
+    equi-join of the daily table with itself on (group, x + k)
+    across an exploded 1..max_lag lag dimension — everything
+    calendar-bounded, never corpus-sized. Output: (group, lag,
+    n_pairs, acf), acf NULL for a constant series (zero
+    denominator); slices shorter than lag+1 days emit no row for
+    that lag."""
+    dec = "decimal(38,0)"
+    daily = (
+        df.groupBy(
+            group_col,
+            F.datediff(F.to_date(ts_col), F.lit("1970-01-01"))
+            .cast("bigint")
+            .alias("x"),
+        )
+        .agg(F.count(F.lit(1)).cast(dec).alias("y"))
+    )
+    st = daily.groupBy(group_col).agg(
+        F.count(F.lit(1)).cast(dec).alias("__n"),
+        F.sum("y").alias("__s"),
+    )
+    dev = (
+        daily.join(st, group_col)
+        .select(
+            group_col,
+            "x",
+            (F.col("__n") * F.col("y") - F.col("__s")).alias("d"),
+        )
+    )
+    den = dev.groupBy(group_col).agg(
+        F.sum(F.col("d") * F.col("d")).alias("__den")
+    )
+    lags = F.explode(
+        F.sequence(F.lit(1), F.lit(int(max_lag)))
+    ).alias("lag")
+    left = dev.select(group_col, "x", F.col("d").alias("d1"), lags)
+    right = dev.select(
+        F.col(group_col).alias("__g2"),
+        F.col("x").alias("__x2"),
+        F.col("d").alias("d2"),
+    )
+    pairs = left.join(
+        right,
+        (F.col(group_col) == F.col("__g2"))
+        & (F.col("__x2") == F.col("x") + F.col("lag")),
+    )
+    num = pairs.groupBy(group_col, "lag").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+        F.sum(F.col("d1") * F.col("d2")).alias("__num"),
+    )
+    return (
+        num.join(den, group_col)
+        .select(
+            group_col,
+            F.col("lag").cast("int").alias("lag"),
+            "n_pairs",
+            F.when(
+                F.col("__den") > 0,
+                F.col("__num").cast("double")
+                / F.col("__den").cast("double"),
+            ).alias("acf"),
+        )
+    )

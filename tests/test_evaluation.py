@@ -493,3 +493,57 @@ def test_jsd_identical_zero_disjoint_ln2_single_null(spark):
     )
     r = js_divergence(single, "g", "v").collect()[0]
     assert r.n_rest == 0 and r.jsd is None and r.jsd_bits is None
+
+
+# ---------------------------------------------------------------------------
+# kendall_tau
+# ---------------------------------------------------------------------------
+
+def _kendall_bruteforce(pairs):
+    n = len(pairs)
+    c = d = n1 = n2 = 0
+    for i in range(n):
+        for j in range(i + 1, n):
+            da = pairs[i][0] - pairs[j][0]
+            db = pairs[i][1] - pairs[j][1]
+            if da == 0:
+                n1 += 1
+            if db == 0:
+                n2 += 1
+            if da * db > 0:
+                c += 1
+            elif da * db < 0:
+                d += 1
+    n0 = n * (n - 1) // 2
+    return c, d, (c - d) / ((n0 - n1) * (n0 - n2)) ** 0.5
+
+
+def test_kendall_matches_bruteforce_heavy_ties(spark):
+    from protosc_spark.evaluation import kendall_tau
+
+    pairs = [((i * 7) % 5, (i * i + 3) % 4) for i in range(40)]
+    pairs += [(2, 1)] * 6 + [(4, 3)] * 5
+    df = spark.createDataFrame(pairs, "a int, b int")
+    r = kendall_tau(df, "a", "b").collect()[0]
+    c, d, tau = _kendall_bruteforce(pairs)
+    assert r.n == 51
+    assert r.n_concordant == c and r.n_discordant == d
+    assert abs(r.tau_b - tau) < 1e-12
+
+
+def test_kendall_monotone_and_degenerate(spark):
+    from protosc_spark.evaluation import kendall_tau
+
+    mono = spark.createDataFrame(
+        [(i, 2 * i + 5) for i in range(25)], "a int, b int"
+    )
+    assert kendall_tau(mono, "a", "b").collect()[0].tau_b == 1.0
+    rev = spark.createDataFrame(
+        [(i, -i) for i in range(25)], "a int, b int"
+    )
+    assert kendall_tau(rev, "a", "b").collect()[0].tau_b == -1.0
+    const = spark.createDataFrame(
+        [(i, 3) for i in range(10)], "a int, b int"
+    )
+    r = kendall_tau(const, "a", "b").collect()[0]
+    assert r.tau_b is None and r.n_concordant == 0

@@ -691,3 +691,70 @@ def test_rrf_empty_score_cols_raises(spark):
     df = spark.createDataFrame([(1,)], "doc_id bigint")
     with pytest.raises(ValueError):
         rrf_fuse(df, [])
+
+
+# --- Dunning log-likelihood keyness ---
+
+
+def _llr_bruteforce(focus_texts, rest_texts, k=25):
+    import math
+    from collections import Counter
+
+    ca = Counter(t for s in focus_texts for t in s.split(" "))
+    cb = Counter(t for s in rest_texts for t in s.split(" "))
+    ta, tb = sum(ca.values()), sum(cb.values())
+    out = []
+    for tok in set(ca) | set(cb):
+        a, b = ca[tok], cb[tok]
+        ea = (a + b) * ta / (ta + tb)
+        eb = (a + b) * tb / (ta + tb)
+        g2 = 2 * ((a * math.log(a / ea) if a else 0.0)
+                  + (b * math.log(b / eb) if b else 0.0))
+        out.append((tok, a, b, g2, 1 if a * tb > b * ta else -1))
+    out.sort(key=lambda r: (-r[3], r[0]))
+    return out[:k]
+
+
+def test_keyness_matches_bruteforce(spark):
+    from pyspark.sql import functions as F
+
+    from protosc_spark.textops import keyness_llr
+
+    focus = ["spark shuffle join spark", "join broadcast spark",
+             "skew salt spark shuffle"]
+    rest = ["pandas loop python", "python loop loop pandas",
+            "join python pandas", "numpy loop"]
+    df = spark.createDataFrame(
+        [(t, True) for t in focus] + [(t, False) for t in rest],
+        "text string, f boolean",
+    )
+    got = keyness_llr(df, F.col("f"), k=25).collect()
+    want = _llr_bruteforce(focus, rest)
+    assert len(got) == len(want)
+    for g, w in zip(got, want):
+        assert (g.token, g.n_focus, g.n_rest, g.direction) == (
+            w[0], w[1], w[2], w[4]
+        )
+        assert abs(g.llr - w[3]) < 1e-9
+    # 'spark' is focus-only and frequent -> top keyness, direction +1
+    assert got[0].token == "spark" and got[0].direction == 1
+
+
+def test_keyness_balanced_token_zero_and_null_rows(spark):
+    from pyspark.sql import functions as F
+
+    from protosc_spark.textops import keyness_llr
+
+    # 'x' appears with identical rates on both sides -> llr exactly 0
+    df = spark.createDataFrame(
+        [("x y", True), ("x z", False)], "text string, f boolean"
+    )
+    got = {r.token: r for r in keyness_llr(df, F.col("f")).collect()}
+    assert abs(got["x"].llr) < 1e-12
+    # NULL text / NULL flag rows are dropped, not crash
+    df2 = spark.createDataFrame(
+        [("a b", True), (None, True), ("a", None)],
+        "text string, f boolean",
+    )
+    got2 = {r.token: r for r in keyness_llr(df2, F.col("f")).collect()}
+    assert got2["a"].n_focus == 1 and got2["a"].n_rest == 0

@@ -959,3 +959,70 @@ def test_ewma_plan_no_python(spark):
     )
     assert "ArrowEvalPython" not in plan
     assert "BatchEvalPython" not in plan
+
+
+# --- daily-volume autocorrelation ---
+
+
+def _acf_bruteforce(xs_ys, max_lag):
+    """Exact ACF over a possibly-gappy (x, y) daily series."""
+    n = len(xs_ys)
+    s = sum(y for _, y in xs_ys)
+    d = {x: n * y - s for x, y in xs_ys}
+    den = sum(v * v for v in d.values())
+    out = {}
+    for k in range(1, max_lag + 1):
+        ps = [(d[x], d[x + k]) for x in d if x + k in d]
+        if ps:
+            out[k] = (
+                len(ps),
+                sum(a * b for a, b in ps) / den if den else None,
+            )
+    return out
+
+
+def test_acf_matches_bruteforce_weekly_rhythm(spark):
+    """21 days with a period-7 rhythm: lag-7 ACF must dominate and
+    every lag must equal the exact integer-deviation replay."""
+    from protosc_spark.windows import volume_acf
+
+    counts = [30, 10, 12, 11, 13, 10, 28] * 3
+    r = {
+        row.lag: row
+        for row in volume_acf(_daily_df(spark, counts), "g").collect()
+    }
+    exp = _acf_bruteforce(list(enumerate(counts)), 7)
+    assert set(r) == set(exp)
+    for k, (npairs, acf) in exp.items():
+        assert r[k].n_pairs == npairs
+        assert abs(r[k].acf - acf) < 1e-12
+    assert r[7].acf > max(r[k].acf for k in range(2, 7))
+
+
+def test_acf_gappy_constant_and_short(spark):
+    from protosc_spark.windows import volume_acf
+    from pyspark.sql import functions as SF
+
+    # gappy: days 0,1,2,4,5 (day 3 missing) -> lag-1 has 3 pairs,
+    # lag-2 has 2 (0-2, 3?-no) wait: pairs (0,1),(1,2),(4,5) lag1;
+    # (0,2),(2,4)? day3 missing so (2,4) is lag 2: present
+    rows = []
+    for d, c in [(0, 5), (1, 9), (2, 4), (4, 7), (5, 2)]:
+        ts = f"1970-01-{d + 1:02d} 00:00:00"
+        rows += [("g", ts)] * c
+    df = spark.createDataFrame(
+        rows, "g string, ts_s string"
+    ).select("g", SF.col("ts_s").cast("timestamp").alias("ts"))
+    r = {row.lag: row for row in volume_acf(df, "g").collect()}
+    exp = _acf_bruteforce([(0, 5), (1, 9), (2, 4), (4, 7), (5, 2)], 7)
+    assert {k: v[0] for k, v in exp.items()} == {
+        k: r[k].n_pairs for k in r
+    }
+    for k in r:
+        assert abs(r[k].acf - exp[k][1]) < 1e-12
+    # constant series: zero denominator -> NULL acf, pairs counted
+    flat = volume_acf(_daily_df(spark, [4, 4, 4]), "g").collect()
+    assert {row.lag for row in flat} == {1, 2}
+    assert all(row.acf is None for row in flat)
+    # single day: no pair rows at all
+    assert volume_acf(_daily_df(spark, [9]), "g").count() == 0
