@@ -544,6 +544,68 @@ def _events_ewma_volume(spark, sf_dir):
     ).orderBy("event_type")
 
 
+def _events_trend_mk(spark, sf_dir):
+    """Mann-Kendall monotonic-trend test + Theil-Sen slope over each
+    event type's daily-volume series — the outlier-robust companion
+    to the OLS volume_trend. A 14-day tie-heavy staircase (y = 10 +
+    d // 2, gaps at days 6 and 11 removed) is planted to exercise the
+    tie-corrected variance and the even/odd median paths. DuckDB
+    oracle replays the pair join, sign sums, tie algebra and the
+    middle-pair Sen median."""
+    from protosc_spark.windows import trend_mk
+
+    ev = _read(spark, sf_dir, "events").select("event_type", "ts")
+    rows = []
+    for d in range(14):
+        if d in (6, 11):
+            continue
+        ts = f"1970-01-{d + 1:02d} 00:00:00"
+        rows += [("planted", ts)] * (10 + d // 2)
+    planted = spark.createDataFrame(
+        rows, "event_type string, ts_s string"
+    ).select(
+        "event_type", F.col("ts_s").cast("timestamp").alias("ts")
+    )
+    t = trend_mk(ev.unionByName(planted), "event_type")
+    return t.select(
+        "event_type",
+        "n_days",
+        "mk_s",
+        F.round("mk_z", 6).alias("mk_z"),
+        F.round("sen_slope", 6).alias("sen_slope"),
+    ).orderBy("event_type")
+
+
+def _events_weekday_anova(spark, sf_dir):
+    """One-way ANOVA of daily volume across day-of-week bins per
+    event type — the calibrated weekly-seasonality test beside the
+    ACF lag-7 peak. A 21-day noisy rhythm (base[d % 7] + d % 5) is
+    planted so a large-F path is exercised. DuckDB oracle replays
+    the bins, the quantized between-bin term and both float
+    statistics."""
+    from protosc_spark.windows import weekday_anova
+
+    ev = _read(spark, sf_dir, "events").select("event_type", "ts")
+    base = [30, 10, 12, 11, 13, 10, 28]
+    rows = []
+    for d in range(21):
+        ts = f"1970-01-{d + 1:02d} 00:00:00"
+        rows += [("planted", ts)] * (base[d % 7] + d % 5)
+    planted = spark.createDataFrame(
+        rows, "event_type string, ts_s string"
+    ).select(
+        "event_type", F.col("ts_s").cast("timestamp").alias("ts")
+    )
+    t = weekday_anova(ev.unionByName(planted), "event_type")
+    return t.select(
+        "event_type",
+        "n_days",
+        "k_bins",
+        F.round("f_stat", 6).alias("f_stat"),
+        F.round("eta_sq", 6).alias("eta_sq"),
+    ).orderBy("event_type")
+
+
 def _corpus_kendall(spark, sf_dir):
     """Exact tie-aware Kendall tau-b over the same (n_chars,
     whitespace-token-count) pair as corpus_spearman — the
@@ -2683,6 +2745,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     full-surface green regardless of this ordering."""
     return {
         # --- round 5 ---
+        "events_trend_mk": _events_trend_mk,
+        "events_weekday_anova": _events_weekday_anova,
         "corpus_kendall": _corpus_kendall,
         "events_acf_volume": _events_acf_volume,
         "txt_keyness_llr": _txt_keyness_llr,
@@ -2928,6 +2992,110 @@ def oracle_sql() -> dict[str, str]:
         f"({i}, '{t}')" for i, t in _EDIT_PLANT
     )
     out = {
+        "events_trend_mk": """
+            WITH daily AS (
+              SELECT event_type AS g,
+                     (ts::DATE - DATE '1970-01-01')::BIGINT AS x,
+                     count(*)::BIGINT AS y
+              FROM events GROUP BY 1, 2
+              UNION ALL
+              SELECT 'planted', d::BIGINT, (10 + d // 2)::BIGINT
+              FROM range(14) t(d) WHERE d NOT IN (6, 11)
+            ), pr AS (
+              SELECT a.g,
+                     sign(b.y - a.y)::BIGINT AS sgn,
+                     (b.y - a.y)::DOUBLE
+                       / (b.x - a.x)::DOUBLE AS slope
+              FROM daily a JOIN daily b
+                ON b.g = a.g AND b.x > a.x
+            ), agg AS (
+              SELECT g, sum(sgn) AS s, count(*)::BIGINT AS m
+              FROM pr GROUP BY 1
+            ), med AS (
+              SELECT g, slope,
+                     row_number() OVER (PARTITION BY g
+                                        ORDER BY slope) AS rn
+              FROM pr
+            ), sen AS (
+              SELECT a.g,
+                     ((SELECT slope FROM med
+                       WHERE med.g = a.g
+                         AND rn = (a.m + 1) // 2)
+                      + (SELECT slope FROM med
+                         WHERE med.g = a.g
+                           AND rn = a.m // 2 + 1)) / 2.0 AS sen
+              FROM agg a
+            ), ties AS (
+              SELECT g, count(*)::BIGINT AS nvals,
+                     sum(t * (t - 1) * (2 * t + 5)) AS tie,
+                     sum(t)::BIGINT AS n
+              FROM (SELECT g, y, count(*)::BIGINT AS t
+                    FROM daily GROUP BY 1, 2)
+              GROUP BY g
+            ), fin AS (
+              SELECT t.g, t.n,
+                     coalesce(a.s, 0) AS s,
+                     (t.n * (t.n - 1) * (2 * t.n + 5)
+                      - coalesce(t.tie, 0))::DOUBLE AS var18,
+                     sen.sen
+              FROM ties t
+              LEFT JOIN agg a ON a.g = t.g
+              LEFT JOIN sen ON sen.g = t.g
+            )
+            SELECT g AS event_type, n AS n_days, s AS mk_s,
+                   CASE WHEN n >= 2 THEN round(
+                     CASE WHEN s = 0 OR var18 <= 0 THEN 0
+                          ELSE (s::DOUBLE - sign(s::DOUBLE))
+                               / sqrt(var18 / 18.0)
+                     END, 6) END AS mk_z,
+                   CASE WHEN n >= 2 THEN round(sen, 6) END
+                     AS sen_slope
+            FROM fin ORDER BY event_type
+        """,
+        "events_weekday_anova": """
+            WITH daily AS (
+              SELECT event_type AS g,
+                     (ts::DATE - DATE '1970-01-01')::BIGINT AS x,
+                     count(*)::HUGEINT AS y
+              FROM events GROUP BY 1, 2
+              UNION ALL
+              SELECT 'planted', d::BIGINT,
+                     ([30, 10, 12, 11, 13, 10, 28][(d % 7) + 1]
+                      + d % 5)::HUGEINT
+              FROM range(21) t(d)
+            ), bins AS (
+              SELECT g, x % 7 AS w,
+                     count(*)::HUGEINT AS nw,
+                     sum(y) AS sw,
+                     sum(y * y) AS sww
+              FROM daily GROUP BY 1, 2
+            ), agg AS (
+              SELECT g, sum(nw) AS n, sum(sw) AS s,
+                     sum(sww) AS syy,
+                     count(*)::BIGINT AS k,
+                     sum(floor((sw * sw)::DOUBLE / nw::DOUBLE
+                               * 1e9)::HUGEINT) AS bu
+              FROM bins GROUP BY 1
+            ), fin AS (
+              SELECT g, n, k,
+                     bu::DOUBLE / 1e9
+                       - (s * s)::DOUBLE / n::DOUBLE AS ssb,
+                     syy::DOUBLE
+                       - bu::DOUBLE / 1e9 AS ssw
+              FROM agg
+            )
+            SELECT g AS event_type, n::BIGINT AS n_days,
+                   k AS k_bins,
+                   CASE WHEN k >= 2 AND n > k AND ssw > 0
+                        THEN round((ssb / (k::DOUBLE - 1))
+                                   / (ssw / (n::DOUBLE
+                                             - k::DOUBLE)), 6)
+                   END AS f_stat,
+                   CASE WHEN k >= 2 AND n > k AND ssw > 0
+                        THEN round(ssb / (ssb + ssw), 6)
+                   END AS eta_sq
+            FROM fin ORDER BY event_type
+        """,
         "corpus_kendall": """
             WITH base AS (
               SELECT n_chars::BIGINT AS a,

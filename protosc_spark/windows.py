@@ -1197,3 +1197,184 @@ def volume_acf(
             ).alias("acf"),
         )
     )
+
+
+def trend_mk(
+    df: DataFrame,
+    group_col: str,
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Per-slice Mann-Kendall monotonic-trend test + Theil-Sen slope
+    over the daily-volume series — the NONPARAMETRIC companion to
+    volume_trend's OLS (level-robust, outlier-robust: a single spike
+    day can flip an OLS slope but moves S by at most n-1):
+
+        S     = sum_{i<j} sgn(y_j - y_i)
+        VarS  = (n(n-1)(2n+5) - sum_t t(t-1)(2t+5)) / 18
+                (tie groups t over the COUNT values; Kendall 1975)
+        z     = (S -/+ 1) / sqrt(VarS)   (continuity-corrected,
+                0 when S = 0 or VarS = 0)
+        sen   = median over pairs of (y_j - y_i) / (x_j - x_i)
+
+    S, 18*VarS and every pairwise slope numerator/denominator are
+    exact integers; z is one float expression of them, and the Sen
+    median picks the middle slope(s) from the sorted pair array —
+    even counts average the two middles as (a + b) / 2. All
+    deterministic at any parallelism.
+
+    Scale shape: one raw scan into (group, day) counts, then ONE
+    self-join of the calendar-bounded daily table on (group, x_j >
+    x_i) — quadratic in DAYS (thousands at most), never in rows; the
+    tie term from the count-value histogram. Output: (group, n_days,
+    mk_s, mk_z, sen_slope); z/sen NULL when fewer than 2 days."""
+    daily = (
+        df.groupBy(
+            group_col,
+            F.datediff(F.to_date(ts_col), F.lit("1970-01-01"))
+            .cast("bigint")
+            .alias("x"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("y"))
+    )
+    right = daily.select(
+        F.col(group_col).alias("__g2"),
+        F.col("x").alias("__x2"),
+        F.col("y").alias("__y2"),
+    )
+    pairs = daily.join(
+        right,
+        (F.col(group_col) == F.col("__g2"))
+        & (F.col("__x2") > F.col("x")),
+    ).select(
+        group_col,
+        F.signum((F.col("__y2") - F.col("y")).cast("double"))
+        .cast("bigint")
+        .alias("sgn"),
+        (
+            (F.col("__y2") - F.col("y")).cast("double")
+            / (F.col("__x2") - F.col("x")).cast("double")
+        ).alias("slope"),
+    )
+    agg = pairs.groupBy(group_col).agg(
+        F.sum("sgn").alias("__s"),
+        F.sort_array(F.collect_list("slope")).alias("__slopes"),
+    )
+    ties = (
+        daily.groupBy(group_col, "y")
+        .agg(F.count(F.lit(1)).alias("t"))
+        .groupBy(group_col)
+        .agg(
+            F.count(F.lit(1)).alias("__nvals"),
+            F.sum(
+                F.col("t")
+                * (F.col("t") - 1)
+                * (2 * F.col("t") + 5)
+            ).alias("__tie"),
+            F.sum("t").alias("__n"),
+        )
+    )
+    # left join from ties: a single-day slice has NO pair row at all
+    # but must still emit (n_days=1, mk_s=0, NULL z/sen)
+    g = ties.join(agg, group_col, "left").withColumn(
+        "__s", F.coalesce(F.col("__s"), F.lit(0))
+    )
+    n = F.col("__n")
+    var18 = (
+        n * (n - 1) * (2 * n + 5) - F.coalesce(F.col("__tie"), F.lit(0))
+    ).cast("double")
+    s = F.col("__s").cast("double")
+    z = F.when(
+        (F.col("__s") == 0) | (var18 <= 0), F.lit(0.0)
+    ).otherwise(
+        (
+            s
+            - F.signum(s)
+        )
+        / F.sqrt(var18 / F.lit(18.0))
+    )
+    m = F.size("__slopes")
+    lo = F.element_at("__slopes", ((m + 1) / 2).cast("int"))
+    hi = F.element_at("__slopes", (m / 2 + 1).cast("int"))
+    sen = (lo + hi) / F.lit(2.0)
+    has = F.col("__n") >= 2
+    return g.select(
+        group_col,
+        F.col("__n").cast("bigint").alias("n_days"),
+        F.col("__s").cast("bigint").alias("mk_s"),
+        F.when(has, z).alias("mk_z"),
+        F.when(has, sen).alias("sen_slope"),
+    )
+
+
+def weekday_anova(
+    df: DataFrame,
+    group_col: str,
+    ts_col: str = "ts",
+    unit: int = 10**9,
+) -> DataFrame:
+    """Per-slice one-way ANOVA of daily volume across day-of-week
+    bins — the CALIBRATED weekly-seasonality test beside volume_acf's
+    lag-7 peak (ACF says "rhythm", the F statistic says "rhythm
+    larger than within-day noise"):
+
+        F = (SSB / (k - 1)) / (SSW / (n - k)),
+        SSB = sum_w S_w^2 / n_w - S^2 / n,
+        SSW = sum y^2 - sum_w S_w^2 / n_w
+
+    over the weekday bins w = day % 7 present in the slice. Every
+    S_w, n_w, sum y^2 is an exact integer; the per-bin term
+    S_w^2 / n_w is quantized to integer 1/``unit`` units before the
+    cross-bin sum (house rule — a float sum over bins would drift
+    with partial-aggregation order), then F and the eta-squared
+    effect size are one float expression each.
+
+    Scale shape: one raw scan into (group, day) counts, a weekday
+    rollup (at most 7 bins per slice), arithmetic on the bin table.
+    Output: (group, n_days, k_bins, f_stat, eta_sq) — NULL when
+    dof is empty (k < 2 or n = k)."""
+    dec = "decimal(38,0)"
+    daily = (
+        df.groupBy(
+            group_col,
+            F.datediff(F.to_date(ts_col), F.lit("1970-01-01"))
+            .cast("bigint")
+            .alias("x"),
+        )
+        .agg(F.count(F.lit(1)).cast(dec).alias("y"))
+    )
+    bins = daily.groupBy(
+        group_col, F.pmod(F.col("x"), F.lit(7)).alias("w")
+    ).agg(
+        F.count(F.lit(1)).cast(dec).alias("nw"),
+        F.sum("y").alias("sw"),
+        F.sum(F.col("y") * F.col("y")).alias("sww"),
+    )
+    term = (
+        (F.col("sw") * F.col("sw")).cast("double")
+        / F.col("nw").cast("double")
+    )
+    g = bins.groupBy(group_col).agg(
+        F.sum("nw").alias("__n"),
+        F.sum("sw").alias("__s"),
+        F.sum("sww").alias("__syy"),
+        F.count(F.lit(1)).alias("__k"),
+        F.sum(
+            F.floor(term * F.lit(float(unit))).cast(dec)
+        ).alias("__bu"),
+    )
+    u = F.lit(float(unit))
+    n, k = F.col("__n").cast("double"), F.col("__k").cast("double")
+    bterm = F.col("__bu").cast("double") / u
+    ssb = bterm - (F.col("__s") * F.col("__s")).cast("double") / n
+    ssw = F.col("__syy").cast("double") - bterm
+    valid = (F.col("__k") >= 2) & (F.col("__n") > F.col("__k")) & (
+        ssw > 0
+    )
+    fstat = (ssb / (k - F.lit(1.0))) / (ssw / (n - k))
+    return g.select(
+        group_col,
+        F.col("__n").cast("bigint").alias("n_days"),
+        F.col("__k").cast("bigint").alias("k_bins"),
+        F.when(valid, fstat).alias("f_stat"),
+        F.when(valid, ssb / (ssb + ssw)).alias("eta_sq"),
+    )

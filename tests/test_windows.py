@@ -1026,3 +1026,115 @@ def test_acf_gappy_constant_and_short(spark):
     assert all(row.acf is None for row in flat)
     # single day: no pair rows at all
     assert volume_acf(_daily_df(spark, [9]), "g").count() == 0
+
+
+# --- Mann-Kendall trend + Theil-Sen slope ---
+
+
+def _mk_bruteforce(xs_ys):
+    import math
+    from collections import Counter
+
+    n = len(xs_ys)
+    s = 0
+    slopes = []
+    for i in range(n):
+        for j in range(i + 1, n):
+            dy = xs_ys[j][1] - xs_ys[i][1]
+            s += (dy > 0) - (dy < 0)
+            slopes.append(dy / (xs_ys[j][0] - xs_ys[i][0]))
+    ties = Counter(y for _, y in xs_ys)
+    var18 = n * (n - 1) * (2 * n + 5) - sum(
+        t * (t - 1) * (2 * t + 5) for t in ties.values()
+    )
+    if s == 0 or var18 <= 0:
+        z = 0.0
+    else:
+        z = (s - (1 if s > 0 else -1)) / math.sqrt(var18 / 18.0)
+    slopes.sort()
+    m = len(slopes)
+    sen = (slopes[(m + 1) // 2 - 1] + slopes[m // 2]) / 2.0
+    return s, z, sen
+
+
+def test_mk_matches_bruteforce_with_ties_and_gaps(spark):
+    from protosc_spark.windows import trend_mk
+    from pyspark.sql import functions as SF
+
+    series = [(0, 5), (1, 9), (2, 9), (4, 7), (5, 12), (8, 12),
+              (9, 15)]
+    rows = []
+    for d, c in series:
+        ts = f"1970-01-{d + 1:02d} 00:00:00"
+        rows += [("g", ts)] * c
+    df = spark.createDataFrame(
+        rows, "g string, ts_s string"
+    ).select("g", SF.col("ts_s").cast("timestamp").alias("ts"))
+    r = trend_mk(df, "g").collect()[0]
+    s, z, sen = _mk_bruteforce(series)
+    assert r.n_days == 7 and r.mk_s == s
+    assert r.mk_z == z and r.sen_slope == sen
+
+
+def test_mk_monotone_flat_and_single_day(spark):
+    from protosc_spark.windows import trend_mk
+
+    up = trend_mk(_daily_df(spark, [1, 2, 3, 4, 5]), "g").collect()[0]
+    s, z, sen = _mk_bruteforce([(i, i + 1) for i in range(5)])
+    assert up.mk_s == 10 and up.mk_z == z and up.sen_slope == 1.0
+    flat = trend_mk(_daily_df(spark, [4, 4, 4]), "g").collect()[0]
+    assert flat.mk_s == 0 and flat.mk_z == 0.0 and flat.sen_slope == 0.0
+    one = trend_mk(_daily_df(spark, [9]), "g").collect()[0]
+    assert one.n_days == 1 and one.mk_s == 0
+    assert one.mk_z is None and one.sen_slope is None
+
+
+# --- weekday one-way ANOVA ---
+
+
+def _anova_bruteforce(xs_ys):
+    from collections import defaultdict
+
+    groups = defaultdict(list)
+    for x, y in xs_ys:
+        groups[x % 7].append(y)
+    n = len(xs_ys)
+    k = len(groups)
+    tot = sum(y for _, y in xs_ys)
+    bterm = sum(sum(g) ** 2 / len(g) for g in groups.values())
+    ssb = bterm - tot**2 / n
+    ssw = sum(y * y for _, y in xs_ys) - bterm
+    if k < 2 or n <= k or ssw <= 0:
+        return n, k, None, None
+    f = (ssb / (k - 1)) / (ssw / (n - k))
+    return n, k, f, ssb / (ssb + ssw)
+
+
+def test_weekday_anova_detects_planted_rhythm(spark):
+    from protosc_spark.windows import weekday_anova
+
+    base = [30, 10, 12, 11, 13, 10, 28]
+    # within-bin noise so SSW > 0 (a perfectly repeated rhythm is
+    # the degenerate-NULL case, tested below)
+    counts = [base[i % 7] + (i % 5) for i in range(21)]
+    r = weekday_anova(_daily_df(spark, counts), "g").collect()[0]
+    n, k, f, eta = _anova_bruteforce(list(enumerate(counts)))
+    assert (r.n_days, r.k_bins) == (21, 7)
+    assert abs(r.f_stat - f) < 1e-6 and abs(r.eta_sq - eta) < 1e-9
+    assert r.f_stat > 10  # the rhythm dwarfs within-day noise
+    # an arrhythmic series: small F
+    arr = [10, 11, 9, 12, 10, 11, 10, 12, 9, 11, 10, 10, 11, 9]
+    r2 = weekday_anova(_daily_df(spark, arr), "g").collect()[0]
+    n, k, f, eta = _anova_bruteforce(list(enumerate(arr)))
+    assert abs(r2.f_stat - f) < 1e-6
+
+
+def test_weekday_anova_degenerate_null(spark):
+    from protosc_spark.windows import weekday_anova
+
+    # 3 days -> k=3 bins of one day each: n == k, no within dof
+    r = weekday_anova(_daily_df(spark, [5, 6, 7]), "g").collect()[0]
+    assert r.f_stat is None and r.eta_sq is None
+    # perfectly repeated rhythm: ssw = 0 -> NULL
+    r2 = weekday_anova(_daily_df(spark, [30, 10, 12, 11, 13, 10, 28] * 2), "g").collect()[0]
+    assert r2.f_stat is None
