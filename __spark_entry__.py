@@ -659,6 +659,44 @@ def _events_acf_volume(spark, sf_dir):
     ).orderBy("event_type", "lag")
 
 
+_CCF_A = [30, 10, 12, 25, 13, 10, 28, 14, 22, 9, 17, 26, 11, 19,
+          24, 8]
+
+
+def _events_ccf_volume(spark, sf_dir):
+    """Lead-lag cross-correlation between every unordered pair of
+    event types' daily-volume series at calendar lags -7..7 — the
+    pairwise companion to events_acf_volume. Two planted series are
+    unioned in: planted_b repeats planted_a two days later plus a
+    period-3 jitter, so the pair (planted_a, planted_b) shows its
+    CCF peak at lag +2. DuckDB oracle replays the per-series
+    integer-deviation collapse, the cross-series pair join and the
+    one float division per (pair, lag)."""
+    from protosc_spark.windows import volume_ccf
+
+    ev = _read(spark, sf_dir, "events").select("event_type", "ts")
+    rows = []
+    for d, c in enumerate(_CCF_A):
+        ts = f"1970-01-{d + 1:02d} 00:00:00"
+        rows += [("planted_a", ts)] * c
+    for d in range(2, 18):
+        ts = f"1970-01-{d + 1:02d} 00:00:00"
+        rows += [("planted_b", ts)] * (_CCF_A[d - 2] + d % 3)
+    planted = spark.createDataFrame(
+        rows, "event_type string, ts_s string"
+    ).select(
+        "event_type", F.col("ts_s").cast("timestamp").alias("ts")
+    )
+    t = volume_ccf(ev.unionByName(planted), "event_type")
+    return t.select(
+        "g1",
+        "g2",
+        "lag",
+        "n_pairs",
+        F.round("ccf", 6).alias("ccf"),
+    ).orderBy("g1", "g2", "lag")
+
+
 def _txt_keyness_llr(spark, sf_dir):
     """Top-25 Dunning G^2 keyness terms for the lang='en' slice vs
     the rest of the corpus — calibrated slice-characterizing
@@ -2745,6 +2783,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     full-surface green regardless of this ordering."""
     return {
         # --- round 5 ---
+        "events_ccf_volume": _events_ccf_volume,
         "events_trend_mk": _events_trend_mk,
         "events_weekday_anova": _events_weekday_anova,
         "corpus_kendall": _corpus_kendall,
@@ -2991,7 +3030,52 @@ def oracle_sql() -> dict[str, str]:
     _plant_values = ", ".join(
         f"({i}, '{t}')" for i, t in _EDIT_PLANT
     )
+    ccf_a = "[" + ", ".join(str(c) for c in _CCF_A) + "]"
     out = {
+        "events_ccf_volume": f"""
+            WITH daily AS (
+              SELECT event_type AS g,
+                     (ts::DATE - DATE '1970-01-01')::BIGINT AS x,
+                     count(*)::HUGEINT AS y
+              FROM events GROUP BY 1, 2
+              UNION ALL
+              SELECT 'planted_a', d::BIGINT,
+                     ({ccf_a}[d + 1])::HUGEINT
+              FROM range(16) t(d)
+              UNION ALL
+              SELECT 'planted_b', d::BIGINT,
+                     ({ccf_a}[d - 1] + d % 3)::HUGEINT
+              FROM range(2, 18) t(d)
+            ), st AS (
+              SELECT g, count(*)::HUGEINT AS n, sum(y) AS s
+              FROM daily GROUP BY 1
+            ), dev AS (
+              SELECT d.g, d.x, st.n * d.y - st.s AS dv
+              FROM daily d JOIN st USING (g)
+            ), den AS (
+              SELECT g, sum(dv * dv) AS dn FROM dev GROUP BY 1
+            ), pr AS (
+              SELECT a.g AS g1, b.g AS g2,
+                     (b.x - a.x)::INT AS lag,
+                     a.dv AS d1, b.dv AS d2
+              FROM dev a JOIN dev b
+                ON a.g < b.g AND b.x - a.x BETWEEN -7 AND 7
+            ), num AS (
+              SELECT g1, g2, lag, count(*)::BIGINT AS n_pairs,
+                     sum(d1 * d2) AS nm
+              FROM pr GROUP BY 1, 2, 3
+            )
+            SELECT g1, g2, lag, n_pairs,
+                   CASE WHEN dn1.dn > 0 AND dn2.dn > 0
+                        THEN round(nm::DOUBLE
+                                   / sqrt(dn1.dn::DOUBLE
+                                          * dn2.dn::DOUBLE), 6)
+                   END AS ccf
+            FROM num
+            JOIN den dn1 ON dn1.g = num.g1
+            JOIN den dn2 ON dn2.g = num.g2
+            ORDER BY g1, g2, lag
+        """,
         "events_trend_mk": """
             WITH daily AS (
               SELECT event_type AS g,

@@ -130,6 +130,9 @@ HEADLINE = [
     "corpus_kendall",
     "events_acf_volume",
     "txt_keyness_llr",
+    "events_trend_mk",
+    "events_weekday_anova",
+    "events_ccf_volume",
 ]
 
 BENCH_CONVERSATIONS = int(os.environ.get("PROTOSC_BENCH_CONVS", "20000"))

@@ -1378,3 +1378,111 @@ def weekday_anova(
         F.when(valid, fstat).alias("f_stat"),
         F.when(valid, ssb / (ssb + ssw)).alias("eta_sq"),
     )
+
+
+def volume_ccf(
+    df: DataFrame,
+    group_col: str,
+    ts_col: str = "ts",
+    max_lag: int = 7,
+) -> DataFrame:
+    """Lead-lag cross-correlation between every unordered pair of
+    slices' daily-volume series at calendar lags -max_lag..max_lag —
+    the pairwise companion to volume_acf (ACF says "this slice has
+    rhythm", the CCF peak lag says "slice B follows slice A by k
+    days"):
+
+        r_ab(k) = sum_t (a_t - abar)(b_{t+k} - bbar)
+                  / sqrt(sum (a - abar)^2 * sum (b - bbar)^2)
+
+    with each series' mean/variance over its own full span and the
+    numerator over days where BOTH series have a row at exact
+    calendar offset k (gappy convention, pinned by ``n_pairs``).
+    Negative k = b leads a. Only unordered pairs g1 < g2 are
+    emitted: r_ba(k) = r_ab(-k).
+
+    Exactness: with integer deviations da_t = n_a * a_t - S_a and
+    db_t = n_b * b_t - S_b, both the numerator sum and each
+    denominator sum are exact DECIMAL(38,0) integers (the n_a * n_b
+    scale cancels between numerator and sqrt of the denominator
+    product), order-independent at any parallelism; one float
+    division at the end.
+
+    Scale shape: one raw scan into (group, day) counts; deviations
+    via a broadcast-sized per-group moment join; pairs from ONE join
+    of the calendar-bounded daily table with itself across an
+    exploded lag dimension — |groups|^2 x days x (2L+1) at most,
+    never row-sized. Output: (g1, g2, lag, n_pairs, ccf); ccf NULL
+    when either series is constant (zero variance)."""
+    dec = "decimal(38,0)"
+    daily = (
+        df.groupBy(
+            group_col,
+            F.datediff(F.to_date(ts_col), F.lit("1970-01-01"))
+            .cast("bigint")
+            .alias("x"),
+        )
+        .agg(F.count(F.lit(1)).cast(dec).alias("y"))
+    )
+    st = daily.groupBy(group_col).agg(
+        F.count(F.lit(1)).cast(dec).alias("__n"),
+        F.sum("y").alias("__s"),
+    )
+    dev = (
+        daily.join(st, group_col)
+        .select(
+            group_col,
+            "x",
+            (F.col("__n") * F.col("y") - F.col("__s")).alias("d"),
+        )
+    )
+    den = dev.groupBy(group_col).agg(
+        F.sum(F.col("d") * F.col("d")).alias("__den")
+    )
+    lags = F.explode(
+        F.sequence(F.lit(-int(max_lag)), F.lit(int(max_lag)))
+    ).alias("lag")
+    left = dev.select(
+        F.col(group_col).alias("g1"),
+        "x",
+        F.col("d").alias("d1"),
+        lags,
+    )
+    right = dev.select(
+        F.col(group_col).alias("g2"),
+        F.col("x").alias("__x2"),
+        F.col("d").alias("d2"),
+    )
+    pairs = left.join(
+        right,
+        (F.col("g1") < F.col("g2"))
+        & (F.col("__x2") == F.col("x") + F.col("lag")),
+    )
+    num = pairs.groupBy("g1", "g2", "lag").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+        F.sum(F.col("d1") * F.col("d2")).alias("__num"),
+    )
+    den1 = den.select(
+        F.col(group_col).alias("g1"), F.col("__den").alias("__den1")
+    )
+    den2 = den.select(
+        F.col(group_col).alias("g2"), F.col("__den").alias("__den2")
+    )
+    return (
+        num.join(den1, "g1")
+        .join(den2, "g2")
+        .select(
+            "g1",
+            "g2",
+            F.col("lag").cast("int").alias("lag"),
+            "n_pairs",
+            F.when(
+                (F.col("__den1") > 0) & (F.col("__den2") > 0),
+                F.col("__num").cast("double")
+                / F.sqrt(
+                    F.col("__den1").cast("double")
+                    * F.col("__den2").cast("double")
+                ),
+            ).alias("ccf"),
+        )
+    )

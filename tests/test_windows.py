@@ -1138,3 +1138,76 @@ def test_weekday_anova_degenerate_null(spark):
     # perfectly repeated rhythm: ssw = 0 -> NULL
     r2 = weekday_anova(_daily_df(spark, [30, 10, 12, 11, 13, 10, 28] * 2), "g").collect()[0]
     assert r2.f_stat is None
+
+
+# --- pairwise cross-correlation (CCF) ---
+
+
+def _ccf_bruteforce(sa, sb, max_lag=7):
+    """sa/sb: dicts day->count. Standard gappy CCF (each series'
+    own full-span mean/variance, pairs at exact offset)."""
+    import math
+
+    out = {}
+    na, nb = len(sa), len(sb)
+    ma = sum(sa.values()) / na
+    mb = sum(sb.values()) / nb
+    va = sum((v - ma) ** 2 for v in sa.values())
+    vb = sum((v - mb) ** 2 for v in sb.values())
+    for k in range(-max_lag, max_lag + 1):
+        num, n_pairs = 0.0, 0
+        for x, v in sa.items():
+            if x + k in sb:
+                num += (v - ma) * (sb[x + k] - mb)
+                n_pairs += 1
+        if n_pairs == 0:
+            continue
+        ccf = (
+            num / math.sqrt(va * vb) if va > 0 and vb > 0 else None
+        )
+        out[k] = (n_pairs, ccf)
+    return out
+
+
+def test_ccf_matches_bruteforce_and_peaks_at_planted_lag(spark):
+    from protosc_spark.windows import volume_ccf
+
+    a = [30, 10, 12, 25, 13, 10, 28, 14, 22, 9, 17, 26, 11, 19]
+    # b repeats a two days later with a small jitter; drop day 5 to
+    # exercise the gappy-pair convention
+    sa = {d: c for d, c in enumerate(a)}
+    sb = {
+        d + 2: c + (d % 3) for d, c in enumerate(a) if d != 5
+    }
+    rows = []
+    for d, c in sa.items():
+        rows += [("a", f"1970-01-{d + 1:02d} 00:00:00")] * c
+    for d, c in sb.items():
+        rows += [("b", f"1970-01-{d + 1:02d} 00:00:00")] * c
+    df = spark.createDataFrame(
+        rows, "g string, ts_s string"
+    ).select("g", F.col("ts_s").cast("timestamp").alias("ts"))
+    got = {
+        r.lag: (r.n_pairs, r.ccf)
+        for r in volume_ccf(df, "g").collect()
+    }
+    want = _ccf_bruteforce(sa, sb)
+    assert set(got) == set(want)
+    for k in want:
+        assert got[k][0] == want[k][0]
+        assert abs(got[k][1] - want[k][1]) < 1e-12
+    # the planted lead-lag structure dominates
+    assert max(want, key=lambda k: want[k][1]) == 2
+    assert got[2][1] > 0.9
+
+
+def test_ccf_constant_series_is_null_and_pairs_still_counted(spark):
+    from protosc_spark.windows import volume_ccf
+
+    df = _daily_df(spark, [5, 5, 5, 5], g="flat").unionByName(
+        _daily_df(spark, [1, 3, 2, 6], g="x")
+    )
+    rows = volume_ccf(df, "g").collect()
+    assert rows and all(r.g1 == "flat" and r.g2 == "x" for r in rows)
+    assert all(r.ccf is None for r in rows)
+    assert {r.lag: r.n_pairs for r in rows}[0] == 4
