@@ -697,6 +697,31 @@ def _events_ccf_volume(spark, sf_dir):
     ).orderBy("g1", "g2", "lag")
 
 
+def _corpus_woe_iv(spark, sf_dir):
+    """Weight-of-evidence + information-value screening of two
+    features (source; n_chars DIV-100 length bin) against the
+    is-English target — the credit-scoring sibling of the engine's
+    chi-square filter ranking. DuckDB oracle replays the stacked
+    bin counts, the Laplace-smoothed distributions, each bin's woe
+    and the 1e-9-quantized cross-bin iv sum."""
+    from protosc_spark.encoding import woe_iv
+
+    docs = _read(spark, sf_dir, "documents").select(
+        "source",
+        F.expr("n_chars DIV 100").alias("len_bin"),
+        (F.col("lang") == F.lit("en")).cast("int").alias("is_en"),
+    )
+    t = woe_iv(docs, ["source", "len_bin"], "is_en")
+    return t.select(
+        "feature",
+        "bin",
+        "n",
+        "n_pos",
+        F.round("woe", 6).alias("woe"),
+        F.round("iv", 6).alias("iv"),
+    ).orderBy("feature", "bin")
+
+
 def _txt_keyness_llr(spark, sf_dir):
     """Top-25 Dunning G^2 keyness terms for the lang='en' slice vs
     the rest of the corpus — calibrated slice-characterizing
@@ -2783,6 +2808,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     full-surface green regardless of this ordering."""
     return {
         # --- round 5 ---
+        "corpus_woe_iv": _corpus_woe_iv,
         "events_ccf_volume": _events_ccf_volume,
         "events_trend_mk": _events_trend_mk,
         "events_weekday_anova": _events_weekday_anova,
@@ -3032,6 +3058,43 @@ def oracle_sql() -> dict[str, str]:
     )
     ccf_a = "[" + ", ".join(str(c) for c in _CCF_A) + "]"
     out = {
+        "corpus_woe_iv": """
+            WITH stacked AS (
+              SELECT 'source' AS feature, source AS bin,
+                     (lang = 'en')::BIGINT AS y
+              FROM documents
+              UNION ALL
+              SELECT 'len_bin', (n_chars // 100)::VARCHAR,
+                     (lang = 'en')::BIGINT
+              FROM documents
+            ), bins AS (
+              SELECT feature, bin, count(*)::BIGINT AS n,
+                     sum(y)::BIGINT AS n_pos
+              FROM stacked GROUP BY 1, 2
+            ), tot AS (
+              SELECT feature, sum(n)::BIGINT AS nt,
+                     sum(n_pos)::BIGINT AS pt,
+                     count(*)::BIGINT AS k
+              FROM bins GROUP BY 1
+            ), t AS (
+              SELECT b.feature, b.bin, b.n, b.n_pos,
+                     (b.n_pos::DOUBLE + 0.5)
+                       / (t.pt::DOUBLE + 0.5 * t.k::DOUBLE) AS dp,
+                     ((b.n - b.n_pos)::DOUBLE + 0.5)
+                       / ((t.nt - t.pt)::DOUBLE
+                          + 0.5 * t.k::DOUBLE) AS dn
+              FROM bins b JOIN tot t USING (feature)
+            ), q AS (
+              SELECT feature, bin, n, n_pos, ln(dp / dn) AS w,
+                     floor((dp - dn) * ln(dp / dn)
+                           * 1e9)::HUGEINT AS qt
+              FROM t
+            )
+            SELECT feature, bin, n, n_pos, round(w, 6) AS woe,
+                   round((sum(qt) OVER (PARTITION BY feature))
+                         ::DOUBLE / 1e9, 6) AS iv
+            FROM q ORDER BY feature, bin
+        """,
         "events_ccf_volume": f"""
             WITH daily AS (
               SELECT event_type AS g,

@@ -133,6 +133,7 @@ HEADLINE = [
     "events_trend_mk",
     "events_weekday_anova",
     "events_ccf_volume",
+    "corpus_woe_iv",
 ]
 
 BENCH_CONVERSATIONS = int(os.environ.get("PROTOSC_BENCH_CONVS", "20000"))

@@ -178,3 +178,92 @@ def rank_normalize(
     return df.join(
         scored, df[value_col] == scored["__v"], "left"
     ).drop("__v")
+
+
+def woe_iv(
+    df: DataFrame,
+    feature_cols,
+    label_col: str,
+    alpha: float = 0.5,
+) -> DataFrame:
+    """Weight-of-evidence + information-value feature screening for a
+    binary target — the classic credit-scoring ranking of categorical
+    (or pre-binned numeric) features by predictive power, the
+    production sibling of protosc's chi-square filter ranking
+    (protosc/feature_extraction/selection.py: order features by a
+    per-feature association statistic, keep the top block):
+
+        woe_b = ln( dist_pos_b / dist_neg_b )
+        dist_pos_b = (pos_b + a) / (P + a*K)     (Laplace a > 0
+        dist_neg_b = (neg_b + a) / (N + a*K)      keeps empty cells
+        iv = sum_b (dist_pos_b - dist_neg_b) * woe_b     finite)
+
+    per feature, over that feature's K observed bins (NULL is its own
+    bin). |iv| rule of thumb: < 0.02 useless, > 0.3 strong.
+
+    Numeric features must be pre-binned by the caller with EXACT
+    integer arithmetic (e.g. ``F.expr("n_chars DIV 200")``) so a SQL
+    oracle can replay the bin edges; ``label_col`` must be non-null
+    0/1. Every count is an exact integer; each bin's woe/iv term is
+    one float expression of exact integers, and the cross-bin iv sum
+    is quantized to integer 1e-9 units first (house rule: a float sum
+    over bins would drift with partial-aggregation order).
+
+    Scale shape: ONE raw scan exploded |features| ways into a
+    map-side-combined groupBy down to |features| x |bins| rows;
+    everything after is arithmetic on that bin table (the per-feature
+    window is bin-count-sized — documented unpartitioned-window
+    exemption does not apply: it IS partitioned, by feature). Output:
+    (feature, bin, n, n_pos, woe, iv) — iv repeated on each of a
+    feature's rows so one table both ranks features and explains the
+    ranking."""
+    from pyspark.sql import Window as W
+
+    dec = "decimal(38,0)"
+    stacked = df.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("feature"),
+                        F.col(c).cast("string").alias("bin"),
+                    )
+                    for c in feature_cols
+                ]
+            )
+        ).alias("__fb"),
+        F.col(label_col).cast("bigint").alias("__y"),
+    ).select("__fb.feature", "__fb.bin", "__y")
+    bins = stacked.groupBy("feature", "bin").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("__y").cast("bigint").alias("n_pos"),
+    )
+    tot = bins.groupBy("feature").agg(
+        F.sum("n").alias("__nt"),
+        F.sum("n_pos").alias("__pt"),
+        F.count(F.lit(1)).alias("__k"),
+    )
+    a = F.lit(float(alpha))
+    j = bins.join(F.broadcast(tot), "feature")
+    dp = (F.col("n_pos").cast("double") + a) / (
+        F.col("__pt").cast("double") + a * F.col("__k").cast("double")
+    )
+    dn = (
+        (F.col("n") - F.col("n_pos")).cast("double") + a
+    ) / (
+        (F.col("__nt") - F.col("__pt")).cast("double")
+        + a * F.col("__k").cast("double")
+    )
+    woe = F.log(dp / dn)
+    term = (
+        F.floor((dp - dn) * woe * F.lit(1e9)).cast(dec)
+    )
+    w = W.partitionBy("feature")
+    return j.select(
+        "feature",
+        "bin",
+        "n",
+        "n_pos",
+        woe.alias("woe"),
+        (F.sum(term).over(w).cast("double") / F.lit(1e9)).alias("iv"),
+    )

@@ -124,3 +124,76 @@ def test_rank_normalize_nulls_and_identity(spark):
            for r in rank_normalize(df, "v").collect()}
     assert got[1] == (None, None)          # NULL rows kept, unranked
     assert got[0] == (1.0, 0.5) and got[2] == (2.0, 1.0)  # n excludes NULL
+
+
+# --- WOE / information value ---
+
+
+def _woe_bruteforce(rows, feature_idx, alpha=0.5):
+    """rows: (f1, f2, ..., y). Returns {bin: (n, pos, woe)} and iv
+    for the feature at feature_idx."""
+    import math
+    from collections import defaultdict
+
+    cnt = defaultdict(lambda: [0, 0])
+    for r in rows:
+        b = r[feature_idx]
+        b = None if b is None else str(b)
+        cnt[b][0] += 1
+        cnt[b][1] += r[-1]
+    nt = sum(v[0] for v in cnt.values())
+    pt = sum(v[1] for v in cnt.values())
+    k = len(cnt)
+    out, iv = {}, 0.0
+    for b, (n, pos) in cnt.items():
+        dp = (pos + alpha) / (pt + alpha * k)
+        dn = (n - pos + alpha) / ((nt - pt) + alpha * k)
+        w = math.log(dp / dn)
+        out[b] = (n, pos, w)
+        iv += (dp - dn) * w
+    return out, iv
+
+
+def test_woe_iv_bruteforce_and_ranking(spark):
+    from protosc_spark.encoding import woe_iv
+
+    # f_good perfectly tracks y; f_noise is independent of it
+    rows = [
+        ("hi" if i % 2 == 0 else "lo", f"n{i % 3}", 1 - (i % 2))
+        for i in range(60)
+    ]
+    df = spark.createDataFrame(rows, "f_good string, f_noise string, y int")
+    got = woe_iv(df, ["f_good", "f_noise"], "y").collect()
+    by_feat = {}
+    for r in got:
+        by_feat.setdefault(r.feature, {})[r.bin] = r
+    for idx, feat in [(0, "f_good"), (1, "f_noise")]:
+        want, iv = _woe_bruteforce(rows, idx)
+        assert set(by_feat[feat]) == set(want)
+        for b, (n, pos, w) in want.items():
+            r = by_feat[feat][b]
+            assert (r.n, r.n_pos) == (n, pos)
+            assert abs(r.woe - w) < 1e-12
+            # iv quantized to 1e-9 units before the cross-bin sum
+            assert abs(r.iv - iv) < 2e-9 * len(want)
+    # the screening property itself: predictive >> noise
+    iv_good = by_feat["f_good"]["hi"].iv
+    iv_noise = by_feat["f_noise"]["n0"].iv
+    assert iv_good > 1.0 and abs(iv_noise) < 0.05
+
+
+def test_woe_iv_null_bin_and_empty_cell(spark):
+    from protosc_spark.encoding import woe_iv
+
+    # NULL is its own bin; a bin with zero positives stays finite
+    rows = [("a", 1), ("a", 1), ("b", 0), ("b", 0), (None, 1)]
+    df = spark.createDataFrame(rows, "f string, y int")
+    got = {r.bin: r for r in woe_iv(df, ["f"], "y").collect()}
+    assert set(got) == {"a", "b", None}
+    want, iv = _woe_bruteforce([(b, y) for b, y in rows], 0)
+    for b, (n, pos, w) in want.items():
+        assert (got[b].n, got[b].n_pos) == (n, pos)
+        assert abs(got[b].woe - w) < 1e-12
+    import math
+    assert all(math.isfinite(r.woe) for r in got.values())
+    assert got["b"].woe < 0 < got["a"].woe
