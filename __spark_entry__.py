@@ -722,6 +722,37 @@ def _corpus_woe_iv(spark, sf_dir):
     ).orderBy("feature", "bin")
 
 
+def _corpus_ols2(spark, sf_dir):
+    """Per-source two-predictor OLS: n_chars ~ space-count +
+    'e'-count, fit via exact DECIMAL normal equations (the p=2
+    closed form; windows.volume_trend is the p=1 case). All three
+    columns are exact integers in both engines, so every moment,
+    centered cross-product and determinant matches DuckDB
+    digit-for-digit; coefficients are single float divisions of
+    those integers."""
+    from protosc_spark.stats import ols2_fit
+
+    docs = _read(spark, sf_dir, "documents").select(
+        "source",
+        F.col("n_chars").alias("y"),
+        F.expr(
+            "length(text) - length(replace(text, ' ', ''))"
+        ).alias("x1"),
+        F.expr(
+            "length(text) - length(replace(text, 'e', ''))"
+        ).alias("x2"),
+    )
+    t = ols2_fit(docs, "y", "x1", "x2", group_col="source")
+    return t.select(
+        "source",
+        "n",
+        F.round("b0", 6).alias("b0"),
+        F.round("b1", 6).alias("b1"),
+        F.round("b2", 6).alias("b2"),
+        F.round("r2", 6).alias("r2"),
+    ).orderBy("source")
+
+
 def _txt_keyness_llr(spark, sf_dir):
     """Top-25 Dunning G^2 keyness terms for the lang='en' slice vs
     the rest of the corpus — calibrated slice-characterizing
@@ -2808,6 +2839,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     full-surface green regardless of this ordering."""
     return {
         # --- round 5 ---
+        "corpus_ols2": _corpus_ols2,
         "corpus_woe_iv": _corpus_woe_iv,
         "events_ccf_volume": _events_ccf_volume,
         "events_trend_mk": _events_trend_mk,
@@ -3058,6 +3090,57 @@ def oracle_sql() -> dict[str, str]:
     )
     ccf_a = "[" + ", ".join(str(c) for c in _CCF_A) + "]"
     out = {
+        "corpus_ols2": """
+            WITH base AS (
+              SELECT source,
+                     n_chars::HUGEINT AS y,
+                     (length(text)
+                      - length(replace(text, ' ', '')))
+                       ::HUGEINT AS x1,
+                     (length(text)
+                      - length(replace(text, 'e', '')))
+                       ::HUGEINT AS x2
+              FROM documents
+            ), m AS (
+              SELECT source, count(*)::HUGEINT AS n,
+                     sum(x1) AS s1, sum(x2) AS s2, sum(y) AS sy,
+                     sum(x1 * x1) AS s11, sum(x2 * x2) AS s22,
+                     sum(x1 * x2) AS s12, sum(x1 * y) AS s1y,
+                     sum(x2 * y) AS s2y, sum(y * y) AS syy
+              FROM base GROUP BY 1
+            ), c AS (
+              SELECT source, n,
+                     n * s11 - s1 * s1 AS a,
+                     n * s12 - s1 * s2 AS b,
+                     n * s22 - s2 * s2 AS c,
+                     n * s1y - s1 * sy AS d,
+                     n * s2y - s2 * sy AS e,
+                     n * syy - sy * sy AS t,
+                     s1, s2, sy
+              FROM m
+            ), f AS (
+              SELECT source, n, a, b, c, d, e, t, s1, s2, sy,
+                     a * c - b * b AS det,
+                     (c * d - b * e)::DOUBLE
+                       / (a * c - b * b)::DOUBLE AS b1,
+                     (a * e - b * d)::DOUBLE
+                       / (a * c - b * b)::DOUBLE AS b2
+              FROM c
+            )
+            SELECT source, n::BIGINT AS n,
+                   CASE WHEN det != 0 AND n >= 3 THEN round(
+                     (sy::DOUBLE - b1 * s1::DOUBLE
+                      - b2 * s2::DOUBLE) / n::DOUBLE, 6) END AS b0,
+                   CASE WHEN det != 0 AND n >= 3
+                        THEN round(b1, 6) END AS b1,
+                   CASE WHEN det != 0 AND n >= 3
+                        THEN round(b2, 6) END AS b2,
+                   CASE WHEN det != 0 AND n >= 3 AND t > 0
+                        THEN round((b1 * d::DOUBLE
+                                    + b2 * e::DOUBLE)
+                                   / t::DOUBLE, 6) END AS r2
+            FROM f ORDER BY source
+        """,
         "corpus_woe_iv": """
             WITH stacked AS (
               SELECT 'source' AS feature, source AS bin,

@@ -134,6 +134,7 @@ HEADLINE = [
     "events_weekday_anova",
     "events_ccf_volume",
     "corpus_woe_iv",
+    "corpus_ols2",
 ]
 
 BENCH_CONVERSATIONS = int(os.environ.get("PROTOSC_BENCH_CONVS", "20000"))

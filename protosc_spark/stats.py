@@ -415,3 +415,87 @@ def correlation_submatrix(
         F.array(*[F.col(features_col)[i] for i in idx]).alias(features_col)
     )
     return correlation_matrix(sub, features_col)
+
+
+def ols2_fit(
+    df: DataFrame,
+    y_col: str,
+    x1_col: str,
+    x2_col: str,
+    group_col: str | None = None,
+) -> DataFrame:
+    """Two-predictor OLS fit y ~ b0 + b1*x1 + b2*x2 per group via
+    EXACT integer normal equations — the multivariate companion to
+    the engine's single-feature screens (windows.volume_trend is the
+    p=1 case over daily series; this is the p=2 case over raw rows,
+    the largest fit whose closed form stays one expression per
+    coefficient).
+
+    With centered cross-moments scaled by n (all exact integers
+    when the inputs are integer-valued):
+
+        A = n*Sx1x1 - Sx1^2    B = n*Sx1x2 - Sx1*Sx2
+        C = n*Sx2x2 - Sx2^2    D = n*Sx1y  - Sx1*Sy
+        E = n*Sx2y  - Sx2*Sy   T = n*Syy   - Sy^2
+
+        b1 = (C*D - B*E) / (A*C - B^2)
+        b2 = (A*E - B*D) / (A*C - B^2)
+        b0 = (Sy - b1*Sx1 - b2*Sx2) / n
+        r2 = (b1*D + b2*E) / T
+
+    Every numerator/denominator above is an exact DECIMAL(38,0)
+    product of map-side-combined integer sums — order-independent at
+    any parallelism; b1/b2 are each ONE float division of exact
+    integers, b0/r2 one float expression of them. Inputs MUST be
+    integer-valued (cast upstream; quantize floats to fixed-point
+    first) — that is what keeps the normal equations exact.
+
+    Scale shape: one raw scan into 9 map-side-combined sums per
+    group — no shuffle beyond the |groups|-sized aggregate; the
+    solve is arithmetic on that row. Output: (group?, n, b0, b1,
+    b2, r2); coefficients NULL when the design is collinear
+    (A*C = B^2) or n < 3, r2 NULL additionally when y is constant."""
+    dec = "decimal(38,0)"
+    y = F.col(y_col).cast(dec)
+    x1 = F.col(x1_col).cast(dec)
+    x2 = F.col(x2_col).cast(dec)
+    keys = [group_col] if group_col else []
+    g = df.groupBy(*keys).agg(
+        F.count(F.lit(1)).cast(dec).alias("__n"),
+        F.sum(x1).alias("__s1"),
+        F.sum(x2).alias("__s2"),
+        F.sum(y).alias("__sy"),
+        F.sum(x1 * x1).alias("__s11"),
+        F.sum(x2 * x2).alias("__s22"),
+        F.sum(x1 * x2).alias("__s12"),
+        F.sum(x1 * y).alias("__s1y"),
+        F.sum(x2 * y).alias("__s2y"),
+        F.sum(y * y).alias("__syy"),
+    )
+    n = F.col("__n")
+    A = n * F.col("__s11") - F.col("__s1") * F.col("__s1")
+    B = n * F.col("__s12") - F.col("__s1") * F.col("__s2")
+    C = n * F.col("__s22") - F.col("__s2") * F.col("__s2")
+    D = n * F.col("__s1y") - F.col("__s1") * F.col("__sy")
+    E = n * F.col("__s2y") - F.col("__s2") * F.col("__sy")
+    T = n * F.col("__syy") - F.col("__sy") * F.col("__sy")
+    det = A * C - B * B
+    b1 = (C * D - B * E).cast("double") / det.cast("double")
+    b2 = (A * E - B * D).cast("double") / det.cast("double")
+    b0 = (
+        F.col("__sy").cast("double")
+        - b1 * F.col("__s1").cast("double")
+        - b2 * F.col("__s2").cast("double")
+    ) / n.cast("double")
+    r2 = (b1 * D.cast("double") + b2 * E.cast("double")) / T.cast(
+        "double"
+    )
+    ok = (det != 0) & (n >= 3)
+    return g.select(
+        *keys,
+        n.cast("bigint").alias("n"),
+        F.when(ok, b0).alias("b0"),
+        F.when(ok, b1).alias("b1"),
+        F.when(ok, b2).alias("b2"),
+        F.when(ok & (T > 0), r2).alias("r2"),
+    )

@@ -146,3 +146,59 @@ def test_correlation_submatrix(planted):
     got = correlation_submatrix(df, ids)
     want = np.corrcoef(X[:, ids], rowvar=False)
     assert np.allclose(got, want, atol=1e-9)
+
+
+# --- exact two-predictor OLS ---
+
+
+def test_ols2_matches_numpy_lstsq(spark):
+    from protosc_spark.stats import ols2_fit
+
+    rng = np.random.default_rng(7)
+    x1 = rng.integers(0, 200, 400)
+    x2 = rng.integers(0, 50, 400)
+    noise = rng.integers(-10, 11, 400)
+    y = 17 + 3 * x1 + 11 * x2 + noise
+    df = spark.createDataFrame(
+        [(int(a), int(b), int(c)) for a, b, c in zip(x1, x2, y)],
+        "x1 long, x2 long, y long",
+    )
+    r = ols2_fit(df, "y", "x1", "x2").collect()[0]
+    A = np.column_stack([np.ones(400), x1, x2])
+    coef, *_ = np.linalg.lstsq(A, y.astype(float), rcond=None)
+    pred = A @ coef
+    ss_res = float(((y - pred) ** 2).sum())
+    ss_tot = float(((y - y.mean()) ** 2).sum())
+    want_r2 = 1 - ss_res / ss_tot
+    assert r.n == 400
+    assert abs(r.b0 - coef[0]) < 1e-8
+    assert abs(r.b1 - coef[1]) < 1e-10
+    assert abs(r.b2 - coef[2]) < 1e-10
+    assert abs(r.r2 - want_r2) < 1e-10
+    assert r.r2 > 0.99  # the planted signal dominates the noise
+
+
+def test_ols2_collinear_grouped_and_constant_y(spark):
+    from protosc_spark.stats import ols2_fit
+
+    rows = []
+    # group "col": x2 = 2*x1 exactly -> singular design -> NULLs
+    for i in range(10):
+        rows.append(("col", i, 2 * i, 5 + i))
+    # group "ok": clean plane y = 1 + 2*x1 + 3*x2, zero residual
+    for i in range(10):
+        x1, x2 = i, (i * 7) % 5
+        rows.append(("ok", x1, x2, 1 + 2 * x1 + 3 * x2))
+    # group "flat": constant y -> coefficients exist, r2 NULL
+    for i in range(10):
+        rows.append(("flat", i, (i * 3) % 4, 42))
+    df = spark.createDataFrame(rows, "g string, x1 long, x2 long, y long")
+    got = {r.g: r for r in ols2_fit(df, "y", "x1", "x2", "g").collect()}
+    assert got["col"].b1 is None and got["col"].r2 is None
+    ok = got["ok"]
+    assert abs(ok.b0 - 1) < 1e-9 and abs(ok.b1 - 2) < 1e-9
+    assert abs(ok.b2 - 3) < 1e-9 and abs(ok.r2 - 1.0) < 1e-12
+    flat = got["flat"]
+    assert flat.b1 is not None and flat.r2 is None
+    assert abs(flat.b0 - 42) < 1e-9
+    assert abs(flat.b1) < 1e-9 and abs(flat.b2) < 1e-9
