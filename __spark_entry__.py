@@ -753,6 +753,29 @@ def _corpus_ols2(spark, sf_dir):
     ).orderBy("source")
 
 
+def _txt_zipf(spark, sf_dir):
+    """Per-source Zipf slope: OLS of ln(freq) on ln(rank) over each
+    source's top-100 whitespace tokens with deterministic (count
+    desc, token asc) ranking — the corpus-health audit beside
+    Benford. DuckDB oracle replays the rank window, the quantized
+    log moments, the integer re-scaling and the final float
+    expressions."""
+    from protosc_spark.textops import zipf_fit
+
+    docs = _read(spark, sf_dir, "documents").select(
+        "source", "text"
+    )
+    t = zipf_fit(docs, "source", top_k=100)
+    return t.select(
+        "source",
+        "vocab",
+        "m",
+        F.round("slope", 6).alias("slope"),
+        F.round("intercept", 6).alias("intercept"),
+        F.round("r2", 6).alias("r2"),
+    ).orderBy("source")
+
+
 def _txt_keyness_llr(spark, sf_dir):
     """Top-25 Dunning G^2 keyness terms for the lang='en' slice vs
     the rest of the corpus — calibrated slice-characterizing
@@ -2839,6 +2862,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     full-surface green regardless of this ordering."""
     return {
         # --- round 5 ---
+        "txt_zipf": _txt_zipf,
         "corpus_ols2": _corpus_ols2,
         "corpus_woe_iv": _corpus_woe_iv,
         "events_ccf_volume": _events_ccf_volume,
@@ -3090,6 +3114,62 @@ def oracle_sql() -> dict[str, str]:
     )
     ccf_a = "[" + ", ".join(str(c) for c in _CCF_A) + "]"
     out = {
+        "txt_zipf": """
+            WITH toks AS (
+              SELECT source AS g,
+                     unnest(string_split(text, ' ')) AS token
+              FROM documents WHERE text IS NOT NULL
+            ), cnt AS (
+              SELECT g, token, count(*)::BIGINT AS c
+              FROM toks GROUP BY 1, 2
+            ), voc AS (
+              SELECT g, count(*)::BIGINT AS vocab FROM cnt GROUP BY 1
+            ), ranked AS (
+              SELECT g, c,
+                     row_number() OVER (PARTITION BY g
+                                        ORDER BY c DESC,
+                                                 token ASC) AS rnk
+              FROM cnt
+            ), q AS (
+              SELECT g,
+                     floor(ln(rnk::DOUBLE) * 1e9)::HUGEINT AS qx,
+                     floor(ln(c::DOUBLE) * 1e9)::HUGEINT AS qy,
+                     floor(ln(rnk::DOUBLE) * ln(rnk::DOUBLE)
+                           * 1e9)::HUGEINT AS qxx,
+                     floor(ln(rnk::DOUBLE) * ln(c::DOUBLE)
+                           * 1e9)::HUGEINT AS qxy,
+                     floor(ln(c::DOUBLE) * ln(c::DOUBLE)
+                           * 1e9)::HUGEINT AS qyy
+              FROM ranked WHERE rnk <= 100
+            ), a AS (
+              SELECT g, count(*)::HUGEINT AS m,
+                     sum(qx) AS sx, sum(qy) AS sy,
+                     sum(qxx) AS sxx, sum(qxy) AS sxy,
+                     sum(qyy) AS syy
+              FROM q GROUP BY 1
+            ), f AS (
+              SELECT g, m, sx, sy,
+                     (m * sxy * 1000000000
+                      - sx * sy)::DOUBLE AS cov,
+                     (m * sxx * 1000000000
+                      - sx * sx)::DOUBLE AS vx,
+                     (m * syy * 1000000000
+                      - sy * sy)::DOUBLE AS vy
+              FROM a
+            )
+            SELECT f.g AS source, v.vocab, f.m::BIGINT AS m,
+                   CASE WHEN f.m >= 2 AND vx > 0
+                        THEN round(cov / vx, 6) END AS slope,
+                   CASE WHEN f.m >= 2 AND vx > 0
+                        THEN round((sy::DOUBLE - cov / vx
+                                    * sx::DOUBLE)
+                                   / (f.m::DOUBLE * 1e9), 6)
+                   END AS intercept,
+                   CASE WHEN f.m >= 2 AND vx > 0 AND vy > 0
+                        THEN round(cov * cov / (vx * vy), 6)
+                   END AS r2
+            FROM f JOIN voc v ON v.g = f.g ORDER BY source
+        """,
         "corpus_ols2": """
             WITH base AS (
               SELECT source,

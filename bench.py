@@ -135,6 +135,7 @@ HEADLINE = [
     "events_ccf_volume",
     "corpus_woe_iv",
     "corpus_ols2",
+    "txt_zipf",
 ]
 
 BENCH_CONVERSATIONS = int(os.environ.get("PROTOSC_BENCH_CONVS", "20000"))

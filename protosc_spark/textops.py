@@ -858,3 +858,99 @@ def keyness_llr(
         .select("rnk", "token", "n_focus", "n_rest", "llr",
                 "direction")
     )
+
+
+def zipf_fit(
+    df: DataFrame,
+    group_col: str = "source",
+    top_k: int = 100,
+    unit: int = 10**9,
+) -> DataFrame:
+    """Per-slice Zipf fit over the word rank-frequency curve: OLS of
+    ln(freq) on ln(rank) across the slice's ``top_k`` whitespace
+    tokens — the corpus-health audit beside Benford (a natural-
+    language slice shows slope near -1; boilerplate/spam/template
+    slices go shallow or steep, so a drifting slope flags a source
+    before any model sees it).
+
+    Ranking is deterministic: (count desc, token asc). Each fitted
+    point contributes ln(rank), ln(freq) and their products QUANTIZED
+    to integer 1/``unit`` units before the cross-rank sums (house
+    rule: float sums over the rank table would drift with partial-
+    aggregation order); the slope's covariance/variance terms mix
+    single- and double-quantized sums, so the single-quantized ones
+    are re-scaled by ``unit`` IN INTEGER ARITHMETIC first —
+    everything up to the final float division is exact DECIMAL, so a
+    SQL oracle replays it digit-for-digit. All logs are of counts or
+    ranks >= 1, so every quantized term is non-negative and floor is
+    unambiguous.
+
+    Scale shape: one explode -> map-side-combined groupBy(group,
+    token) (vocabulary-sized), a per-group rank window over that
+    vocabulary table, and a |groups|-sized final aggregate. Output:
+    (group, vocab, m, slope, intercept, r2); fit columns NULL when
+    fewer than 2 ranks. Empty tokens from split() are kept (the
+    split convention all text kernels share)."""
+    from pyspark.sql import Window as W
+
+    dec = "decimal(38,0)"
+    toks = df.where(F.col("text").isNotNull()).select(
+        F.col(group_col),
+        F.explode(F.split(F.col("text"), " ")).alias("token"),
+    )
+    cnt = toks.groupBy(group_col, "token").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    w = W.partitionBy(group_col).orderBy(
+        F.col("c").desc(), F.col("token").asc()
+    )
+    vocab = cnt.groupBy(group_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("vocab")
+    )
+    ranked = cnt.withColumn("rnk", F.row_number().over(w)).where(
+        F.col("rnk") <= int(top_k)
+    )
+    u = F.lit(float(unit))
+    lx = F.log(F.col("rnk").cast("double"))
+    ly = F.log(F.col("c").cast("double"))
+    q = ranked.select(
+        group_col,
+        F.floor(lx * u).cast(dec).alias("qx"),
+        F.floor(ly * u).cast(dec).alias("qy"),
+        F.floor(lx * lx * u).cast(dec).alias("qxx"),
+        F.floor(lx * ly * u).cast(dec).alias("qxy"),
+        F.floor(ly * ly * u).cast(dec).alias("qyy"),
+    )
+    g = q.groupBy(group_col).agg(
+        F.count(F.lit(1)).cast(dec).alias("__m"),
+        F.sum("qx").alias("__sx"),
+        F.sum("qy").alias("__sy"),
+        F.sum("qxx").alias("__sxx"),
+        F.sum("qxy").alias("__sxy"),
+        F.sum("qyy").alias("__syy"),
+    )
+    ui = F.lit(int(unit)).cast(dec)
+    m = F.col("__m")
+    cov = (m * F.col("__sxy") * ui - F.col("__sx") * F.col("__sy")).cast(
+        "double"
+    )
+    vx = (m * F.col("__sxx") * ui - F.col("__sx") * F.col("__sx")).cast(
+        "double"
+    )
+    vy = (m * F.col("__syy") * ui - F.col("__sy") * F.col("__sy")).cast(
+        "double"
+    )
+    slope = cov / vx
+    intercept = (
+        F.col("__sy").cast("double")
+        - slope * F.col("__sx").cast("double")
+    ) / (m.cast("double") * u)
+    ok = (m >= 2) & (vx > 0)
+    return g.join(vocab, group_col).select(
+        group_col,
+        "vocab",
+        m.cast("bigint").alias("m"),
+        F.when(ok, slope).alias("slope"),
+        F.when(ok, intercept).alias("intercept"),
+        F.when(ok & (vy > 0), cov * cov / (vx * vy)).alias("r2"),
+    )

@@ -758,3 +758,65 @@ def test_keyness_balanced_token_zero_and_null_rows(spark):
     )
     got2 = {r.token: r for r in keyness_llr(df2, F.col("f")).collect()}
     assert got2["a"].n_focus == 1 and got2["a"].n_rest == 0
+
+
+# --- Zipf rank-frequency fit ---
+
+
+def _zipf_bruteforce(counts, top_k=100):
+    import math
+
+    pts = sorted(counts, reverse=True)[:top_k]
+    xs = [math.log(i + 1) for i in range(len(pts))]
+    ys = [math.log(c) for c in pts]
+    m = len(pts)
+    sx, sy = sum(xs), sum(ys)
+    sxx = sum(x * x for x in xs)
+    sxy = sum(x * y for x, y in zip(xs, ys))
+    syy = sum(y * y for y in ys)
+    cov = m * sxy - sx * sy
+    vx = m * sxx - sx * sx
+    vy = m * syy - sy * sy
+    slope = cov / vx
+    return slope, (sy - slope * sx) / m, cov * cov / (vx * vy)
+
+
+def test_zipf_planted_harmonic_corpus(spark):
+    from protosc_spark.textops import zipf_fit
+
+    # token w_r appears floor(600/r) times -> freq ~ 1/rank:
+    # slope ~ -1 with near-perfect fit
+    counts = [600 // r for r in range(1, 41)]
+    words = []
+    for r, c in enumerate(counts, start=1):
+        words += [f"w{r:02d}"] * c
+    # deterministic interleave so counts don't depend on order anyway
+    text = " ".join(words)
+    df = spark.createDataFrame([("s", text)], "source string, text string")
+    r = zipf_fit(df, "source", top_k=100).collect()[0]
+    slope, intercept, r2 = _zipf_bruteforce(counts)
+    assert (r.vocab, r.m) == (40, 40)
+    assert abs(r.slope - slope) < 1e-6
+    assert abs(r.intercept - intercept) < 1e-6
+    assert abs(r.r2 - r2) < 1e-6
+    assert -1.05 < r.slope < -0.95 and r.r2 > 0.99
+
+
+def test_zipf_topk_cut_ties_and_degenerate(spark):
+    from protosc_spark.textops import zipf_fit
+
+    # 6 distinct tokens, top_k=4 cuts the tail; ties broken by token
+    df = spark.createDataFrame(
+        [("s", "a a a b b c c d e f")], "source string, text string"
+    )
+    r = zipf_fit(df, "source", top_k=4).collect()[0]
+    slope, intercept, r2 = _zipf_bruteforce([3, 2, 2, 1], top_k=4)
+    assert (r.vocab, r.m) == (6, 4)
+    assert abs(r.slope - slope) < 1e-6 and abs(r.r2 - r2) < 1e-6
+    # single distinct token: vx = 0 -> NULL fit
+    one = spark.createDataFrame(
+        [("s", "x x x")], "source string, text string"
+    )
+    r1 = zipf_fit(one, "source").collect()[0]
+    assert (r1.vocab, r1.m) == (1, 1)
+    assert r1.slope is None and r1.r2 is None
