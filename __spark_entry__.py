@@ -753,6 +753,32 @@ def _corpus_ols2(spark, sf_dir):
     ).orderBy("source")
 
 
+def _corpus_bootstrap_ci(spark, sf_dir):
+    """Poisson-bootstrap 95% CI for each source's mean n_chars
+    (Chamandy 2012 — the web-scale bootstrap: every row derives its
+    own Poisson(1) replicate weights from the engine's md5 hash
+    rule, so the shuffle carries only |groups| x R partial sums).
+    DuckDB oracle replays the hash integers, the integer threshold
+    weights, each replicate's exact sums and the discrete-rank
+    percentile picks."""
+    from protosc_spark.sampling import poisson_bootstrap
+
+    docs = _read(spark, sf_dir, "documents").select(
+        "source", "doc_id", "n_chars"
+    )
+    t = poisson_bootstrap(
+        docs, "n_chars", ["doc_id"], group_col="source", n_reps=100
+    )
+    return t.select(
+        "source",
+        "n",
+        F.round("mean", 6).alias("mean"),
+        "eff_reps",
+        F.round("ci_lo", 6).alias("ci_lo"),
+        F.round("ci_hi", 6).alias("ci_hi"),
+    ).orderBy("source")
+
+
 def _txt_zipf(spark, sf_dir):
     """Per-source Zipf slope: OLS of ln(freq) on ln(rank) over each
     source's top-100 whitespace tokens with deterministic (count
@@ -2862,6 +2888,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     full-surface green regardless of this ordering."""
     return {
         # --- round 5 ---
+        "corpus_bootstrap_ci": _corpus_bootstrap_ci,
         "txt_zipf": _txt_zipf,
         "corpus_ols2": _corpus_ols2,
         "corpus_woe_iv": _corpus_woe_iv,
@@ -3113,7 +3140,58 @@ def oracle_sql() -> dict[str, str]:
         f"({i}, '{t}')" for i, t in _EDIT_PLANT
     )
     ccf_a = "[" + ", ".join(str(c) for c in _CCF_A) + "]"
+    from protosc_spark.sampling import POISSON1_T60
+
+    pois_w = " + ".join(
+        f"(CASE WHEN hv >= {t} THEN 1 ELSE 0 END)"
+        for t in POISSON1_T60
+    )
     out = {
+        "corpus_bootstrap_ci": f"""
+            WITH ex AS (
+              SELECT d.source, d.n_chars::HUGEINT AS x,
+                     ('0x' || substr(md5('boot' || chr(31)
+                                         || d.doc_id::VARCHAR
+                                         || chr(31)
+                                         || r.rep::VARCHAR),
+                                     1, 15))::BIGINT AS hv,
+                     r.rep
+              FROM documents d
+              CROSS JOIN (SELECT unnest(range(100)) AS rep) r
+            ), w AS (
+              SELECT source, rep, x,
+                     ({pois_w})::HUGEINT AS w
+              FROM ex
+            ), pr AS (
+              SELECT source, rep, sum(w) AS sw, sum(w * x) AS swx
+              FROM w GROUP BY 1, 2 HAVING sum(w) > 0
+            ), mr AS (
+              SELECT source, swx::DOUBLE / sw::DOUBLE AS m,
+                     row_number() OVER (
+                       PARTITION BY source
+                       ORDER BY swx::DOUBLE / sw::DOUBLE) AS rn,
+                     count(*) OVER (PARTITION BY source) AS eff
+              FROM pr
+            ), pick AS (
+              SELECT source, eff,
+                     max(CASE WHEN rn = floor(0.025 * eff)::BIGINT
+                                       + 1
+                              THEN m END) AS ci_lo,
+                     max(CASE WHEN rn = eff
+                                       - floor(0.025 * eff)::BIGINT
+                              THEN m END) AS ci_hi
+              FROM mr GROUP BY 1, 2
+            ), pt AS (
+              SELECT source, count(*)::BIGINT AS n,
+                     sum(n_chars)::DOUBLE / count(*)::DOUBLE AS mean
+              FROM documents GROUP BY 1
+            )
+            SELECT pt.source, pt.n, round(pt.mean, 6) AS mean,
+                   pick.eff::BIGINT AS eff_reps,
+                   round(ci_lo, 6) AS ci_lo,
+                   round(ci_hi, 6) AS ci_hi
+            FROM pt JOIN pick USING (source) ORDER BY source
+        """,
         "txt_zipf": """
             WITH toks AS (
               SELECT source AS g,

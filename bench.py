@@ -136,6 +136,7 @@ HEADLINE = [
     "corpus_woe_iv",
     "corpus_ols2",
     "txt_zipf",
+    "corpus_bootstrap_ci",
 ]
 
 BENCH_CONVERSATIONS = int(os.environ.get("PROTOSC_BENCH_CONVS", "20000"))

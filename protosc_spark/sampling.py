@@ -408,3 +408,118 @@ def weighted_sample(
         .where(F.col("rnk") <= k)
         .drop("__key", "__r1")
     )
+
+
+# Poisson(1) CDF at k = 0..9, scaled to the md5 hash-uniform's
+# integer domain [0, 2^60): T[k] = floor(P(X <= k) * 2^60). A row's
+# replicate weight is the number of thresholds at or below its hash
+# integer — pure integer comparisons, so Spark and any SQL oracle
+# agree bit-for-bit. Truncating at w = 10 ignores 1.1e-7 of mass
+# (deterministically, on both sides).
+POISSON1_T60 = (
+    424136118829305344,
+    848272237658610688,
+    1060340297073263360,
+    1131029650211480960,
+    1148701988496035328,
+    1152236456152946176,
+    1152825534095764608,
+    1152909688087595776,
+    1152920207336574720,
+    1152921376142016768,
+)
+
+
+def poisson_bootstrap(
+    df: DataFrame,
+    value_col: str,
+    key_cols: Sequence[str],
+    group_col: str | None = None,
+    n_reps: int = 100,
+    alpha: float = 0.05,
+) -> DataFrame:
+    """Percentile confidence interval for the per-group mean of an
+    integer-valued column via the POISSON BOOTSTRAP (Chamandy et al.
+    2012, "Estimating uncertainty for massive data streams" — the
+    standard resampling scheme when rows cannot be drawn jointly):
+    classic bootstrap needs n draws WITH replacement per replicate —
+    impossible to coordinate across partitions — but each row's
+    multiplicity in a replicate is asymptotically an independent
+    Poisson(1), so every row locally derives its own weight for all
+    R replicates and the shuffle only carries |groups| x R partial
+    sums.
+
+    Determinism/exactness: the weight is the count of
+    :data:`POISSON1_T60` thresholds at or below the row's md5
+    hash-uniform integer (the engine-wide ``hash_bucket`` rule keyed
+    by ``key_cols`` + the replicate index) — integer compares only;
+    per-replicate sum(w) and sum(w * x) are exact integers, each
+    replicate mean is one float division, and the percentile CI
+    picks discrete ranks floor(alpha/2 * R_eff) + 1 and its mirror
+    from the sorted replicate means (replicates whose sum(w) = 0 —
+    probability e^-n — are dropped and R_eff pinned). A SQL oracle
+    replays every step digit-for-digit.
+
+    Scale shape: one raw scan exploded R ways (map-only; the md5 per
+    (row, replicate) is embarrassingly parallel), a map-side-combined
+    groupBy down to |groups| x R cells, then an R-sized sorted array
+    per group — driver never sees more than the output. Output:
+    (group?, n, mean, eff_reps, ci_lo, ci_hi)."""
+    dec = "decimal(38,0)"
+    keys = [group_col] if group_col else []
+    ex = df.withColumn(
+        "__rep",
+        F.explode(F.sequence(F.lit(0), F.lit(int(n_reps) - 1))),
+    )
+    key = F.concat_ws(
+        "\x1f",
+        F.lit("boot"),
+        *[F.col(c) for c in key_cols],
+        F.col("__rep"),
+    )
+    h = F.conv(F.substring(F.md5(key), 1, 15), 16, 10).cast("bigint")
+    w = sum(
+        (h >= F.lit(t)).cast("int") for t in POISSON1_T60
+    ).cast("bigint")
+    x = F.col(value_col).cast(dec)
+    reps = (
+        ex.groupBy(*keys, "__rep")
+        .agg(
+            F.sum(w.cast(dec)).alias("__sw"),
+            F.sum(w.cast(dec) * x).alias("__swx"),
+        )
+        .where(F.col("__sw") > 0)
+        .select(
+            *keys,
+            (
+                F.col("__swx").cast("double")
+                / F.col("__sw").cast("double")
+            ).alias("__mean_r"),
+        )
+    )
+    ci = reps.groupBy(*keys).agg(
+        F.sort_array(F.collect_list("__mean_r")).alias("__ms")
+    )
+    eff = F.size("__ms")
+    lo_rank = (
+        F.floor(F.lit(float(alpha) / 2.0) * eff.cast("double"))
+        .cast("int")
+        + F.lit(1)
+    )
+    hi_rank = eff - lo_rank + F.lit(1)
+    point = df.groupBy(*keys).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        (
+            F.sum(x).cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("mean"),
+    )
+    joined = point.join(ci, keys) if keys else point.crossJoin(ci)
+    return joined.select(
+        *keys,
+        "n",
+        "mean",
+        eff.cast("bigint").alias("eff_reps"),
+        F.element_at("__ms", lo_rank).alias("ci_lo"),
+        F.element_at("__ms", hi_rank).alias("ci_hi"),
+    )

@@ -406,3 +406,98 @@ def test_weighted_sample_partitioning_independence(spark):
         .collect()
     ]
     assert a == b
+
+
+# --- Poisson bootstrap CI ---
+
+
+def test_poisson_bootstrap_weights_and_ci(spark):
+    from protosc_spark.sampling import poisson_bootstrap
+
+    # 400 rows around mean 100 with a deterministic spread
+    rows = [(i, 100 + (i * 37) % 21 - 10) for i in range(400)]
+    df = spark.createDataFrame(rows, "id long, v long")
+    r = poisson_bootstrap(
+        df, "v", ["id"], n_reps=200
+    ).collect()[0]
+    true_mean = sum(v for _, v in rows) / 400
+    assert r.n == 400 and abs(r.mean - true_mean) < 1e-9
+    assert r.eff_reps == 200
+    # the percentile CI brackets the point estimate, is a few
+    # standard errors wide (sd ~ 6.05, se ~ 0.30), and is ordered
+    assert r.ci_lo < r.mean < r.ci_hi
+    assert 0.5 < (r.ci_hi - r.ci_lo) < 2.5
+    # deterministic: a reshuffled input gives the identical CI
+    r2 = poisson_bootstrap(
+        df.repartition(13), "v", ["id"], n_reps=200
+    ).collect()[0]
+    assert (r2.ci_lo, r2.ci_hi) == (r.ci_lo, r.ci_hi)
+
+
+def test_poisson_bootstrap_groups_and_zero_weight_reps(spark):
+    from protosc_spark.sampling import poisson_bootstrap
+    import math
+
+    rows = [("big", i, 50 + (i % 7)) for i in range(300)]
+    rows += [("tiny", 1000, 5)]  # single row: P(rep all-zero)=e^-1
+    df = spark.createDataFrame(rows, "g string, id long, v long")
+    got = {
+        r.g: r
+        for r in poisson_bootstrap(
+            df, "v", ["id"], group_col="g", n_reps=100
+        ).collect()
+    }
+    assert got["big"].eff_reps == 100
+    tiny = got["tiny"]
+    # ~e^-1 of a singleton's replicates drop; all survivors have
+    # mean exactly v, so the CI collapses onto the point estimate
+    assert 40 <= tiny.eff_reps <= 90
+    assert tiny.ci_lo == tiny.ci_hi == tiny.mean == 5.0
+
+
+def test_poisson_bootstrap_weight_moments(spark):
+    """The hash-threshold weights behave like Poisson(1): over 40k
+    (row, rep) draws the mean and variance are both ~1 and the
+    zero-rate ~e^-1."""
+    from pyspark.sql import functions as SF
+    from protosc_spark.sampling import POISSON1_T60
+
+    ex = (
+        spark.range(400)
+        .withColumn(
+            "rep", SF.explode(SF.sequence(SF.lit(0), SF.lit(99)))
+        )
+        .select(
+            SF.conv(
+                SF.substring(
+                    SF.md5(
+                        SF.concat_ws(
+                            "\x1f",
+                            SF.lit("boot"),
+                            SF.col("id"),
+                            SF.col("rep"),
+                        )
+                    ),
+                    1,
+                    15,
+                ),
+                16,
+                10,
+            )
+            .cast("bigint")
+            .alias("h")
+        )
+    )
+    w = sum(
+        (SF.col("h") >= SF.lit(t)).cast("int") for t in POISSON1_T60
+    )
+    s = ex.select(
+        SF.mean(w).alias("m"),
+        SF.var_pop(w).alias("v"),
+        SF.mean((w == 0).cast("int")).alias("z"),
+    ).collect()[0]
+    import math
+
+    assert abs(s.m - 1.0) < 0.02
+    assert abs(s.v - 1.0) < 0.05
+    assert abs(s.z - math.exp(-1)) < 0.01
