@@ -753,6 +753,34 @@ def _corpus_ols2(spark, sf_dir):
     ).orderBy("source")
 
 
+def _events_cuped(spark, sf_dir):
+    """CUPED variance-reduced A/B readout (Deng et al. 2013) on the
+    deterministic md5 'exp1' split: per-user purchase count adjusted
+    by the pooled view-count covariate. DuckDB oracle replays the
+    per-user conditional counts, the exact pooled/per-arm decimal
+    moments, theta, both adjusted means and both z statistics."""
+    from protosc_spark.experiment import cuped_readout
+
+    ev = _read(spark, sf_dir, "events").select(
+        "user_id", "event_type"
+    )
+    t = cuped_readout(ev)
+    return t.select(
+        "n_a",
+        "n_b",
+        F.round("mean_a", 6).alias("mean_a"),
+        F.round("mean_b", 6).alias("mean_b"),
+        F.round("theta", 6).alias("theta"),
+        F.round("adj_mean_a", 6).alias("adj_mean_a"),
+        F.round("adj_mean_b", 6).alias("adj_mean_b"),
+        F.round("raw_diff", 6).alias("raw_diff"),
+        F.round("adj_diff", 6).alias("adj_diff"),
+        F.round("z_raw", 6).alias("z_raw"),
+        F.round("z_adj", 6).alias("z_adj"),
+        F.round("rho2", 6).alias("rho2"),
+    )
+
+
 def _corpus_bootstrap_ci(spark, sf_dir):
     """Poisson-bootstrap 95% CI for each source's mean n_chars
     (Chamandy 2012 — the web-scale bootstrap: every row derives its
@@ -2888,6 +2916,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     full-surface green regardless of this ordering."""
     return {
         # --- round 5 ---
+        "events_cuped": _events_cuped,
         "corpus_bootstrap_ci": _corpus_bootstrap_ci,
         "txt_zipf": _txt_zipf,
         "corpus_ols2": _corpus_ols2,
@@ -3147,6 +3176,111 @@ def oracle_sql() -> dict[str, str]:
         for t in POISSON1_T60
     )
     out = {
+        "events_cuped": """
+            WITH u AS (
+              SELECT user_id,
+                     sum(CASE WHEN event_type = 'purchase'
+                              THEN 1 ELSE 0 END)::HUGEINT AS y,
+                     sum(CASE WHEN event_type = 'view'
+                              THEN 1 ELSE 0 END)::HUGEINT AS x,
+                     ('0x' || substr(md5('exp1' || chr(31)
+                                         || user_id::VARCHAR),
+                                     1, 15))::BIGINT % 2 AS v
+              FROM events GROUP BY user_id
+            ), m AS (
+              SELECT
+                sum(CASE WHEN v = 0 THEN 1 ELSE 0 END)::HUGEINT
+                  AS na,
+                sum(CASE WHEN v = 0 THEN x ELSE 0 END) AS sxa,
+                sum(CASE WHEN v = 0 THEN y ELSE 0 END) AS sya,
+                sum(CASE WHEN v = 0 THEN x * x ELSE 0 END) AS sxxa,
+                sum(CASE WHEN v = 0 THEN x * y ELSE 0 END) AS sxya,
+                sum(CASE WHEN v = 0 THEN y * y ELSE 0 END) AS syya,
+                sum(CASE WHEN v = 1 THEN 1 ELSE 0 END)::HUGEINT
+                  AS nb,
+                sum(CASE WHEN v = 1 THEN x ELSE 0 END) AS sxb,
+                sum(CASE WHEN v = 1 THEN y ELSE 0 END) AS syb,
+                sum(CASE WHEN v = 1 THEN x * x ELSE 0 END) AS sxxb,
+                sum(CASE WHEN v = 1 THEN x * y ELSE 0 END) AS sxyb,
+                sum(CASE WHEN v = 1 THEN y * y ELSE 0 END) AS syyb,
+                count(*)::HUGEINT AS n,
+                sum(x) AS sx, sum(y) AS sy, sum(x * x) AS sxx,
+                sum(x * y) AS sxy, sum(y * y) AS syy
+              FROM u
+            ), c AS (
+              SELECT *,
+                n * sxx - sx * sx AS vx,
+                n * syy - sy * sy AS vy,
+                n * sxy - sx * sy AS cxy,
+                CASE WHEN n * sxx - sx * sx > 0
+                     THEN (n * sxy - sx * sy)::DOUBLE
+                          / (n * sxx - sx * sx)::DOUBLE
+                     ELSE 0.0 END AS theta,
+                sx::DOUBLE / n::DOUBLE AS xbar
+              FROM m
+            ), s AS (
+              SELECT *,
+                sya::DOUBLE / na::DOUBLE AS mya,
+                syb::DOUBLE / nb::DOUBLE AS myb,
+                sya::DOUBLE / na::DOUBLE
+                  - theta * (sxa::DOUBLE / na::DOUBLE - xbar)
+                  AS adja,
+                syb::DOUBLE / nb::DOUBLE
+                  - theta * (sxb::DOUBLE / nb::DOUBLE - xbar)
+                  AS adjb,
+                (syya::DOUBLE - sya::DOUBLE * sya::DOUBLE
+                                / na::DOUBLE) AS syyca,
+                (sxxa::DOUBLE - sxa::DOUBLE * sxa::DOUBLE
+                                / na::DOUBLE) AS sxxca,
+                (sxya::DOUBLE - sxa::DOUBLE * sya::DOUBLE
+                                / na::DOUBLE) AS sxyca,
+                (syyb::DOUBLE - syb::DOUBLE * syb::DOUBLE
+                                / nb::DOUBLE) AS syycb,
+                (sxxb::DOUBLE - sxb::DOUBLE * sxb::DOUBLE
+                                / nb::DOUBLE) AS sxxcb,
+                (sxyb::DOUBLE - sxb::DOUBLE * syb::DOUBLE
+                                / nb::DOUBLE) AS sxycb
+              FROM c
+            ), f AS (
+              SELECT *,
+                syyca / (na::DOUBLE - 1.0) AS vya,
+                syycb / (nb::DOUBLE - 1.0) AS vyb,
+                (syyca - 2.0 * theta * sxyca
+                 + theta * theta * sxxca)
+                  / (na::DOUBLE - 1.0) AS vaa,
+                (syycb - 2.0 * theta * sxycb
+                 + theta * theta * sxxcb)
+                  / (nb::DOUBLE - 1.0) AS vab
+              FROM s
+            )
+            SELECT na::BIGINT AS n_a, nb::BIGINT AS n_b,
+                   round(mya, 6) AS mean_a,
+                   round(myb, 6) AS mean_b,
+                   round(theta, 6) AS theta,
+                   round(adja, 6) AS adj_mean_a,
+                   round(adjb, 6) AS adj_mean_b,
+                   round(myb - mya, 6) AS raw_diff,
+                   round(adjb - adja, 6) AS adj_diff,
+                   CASE WHEN na >= 2 AND nb >= 2
+                             AND sqrt(vya / na::DOUBLE
+                                      + vyb / nb::DOUBLE) > 0
+                        THEN round((myb - mya)
+                                   / sqrt(vya / na::DOUBLE
+                                          + vyb / nb::DOUBLE), 6)
+                   END AS z_raw,
+                   CASE WHEN na >= 2 AND nb >= 2
+                             AND sqrt(vaa / na::DOUBLE
+                                      + vab / nb::DOUBLE) > 0
+                        THEN round((adjb - adja)
+                                   / sqrt(vaa / na::DOUBLE
+                                          + vab / nb::DOUBLE), 6)
+                   END AS z_adj,
+                   CASE WHEN vx > 0 AND vy > 0
+                        THEN round(cxy::DOUBLE * cxy::DOUBLE
+                                   / (vx::DOUBLE * vy::DOUBLE), 6)
+                   END AS rho2
+            FROM f
+        """,
         "corpus_bootstrap_ci": f"""
             WITH ex AS (
               SELECT d.source, d.n_chars::HUGEINT AS x,

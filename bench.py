@@ -137,6 +137,7 @@ HEADLINE = [
     "corpus_ols2",
     "txt_zipf",
     "corpus_bootstrap_ci",
+    "events_cuped",
 ]
 
 BENCH_CONVERSATIONS = int(os.environ.get("PROTOSC_BENCH_CONVS", "20000"))

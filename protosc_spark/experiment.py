@@ -204,3 +204,135 @@ def welch_ttest(
         F.when(live, t).alias("t"),
         F.when(live, dof).alias("dof"),
     ).orderBy("state")
+
+
+def cuped_readout(
+    df: DataFrame,
+    id_col: str = "user_id",
+    state_col: str = "event_type",
+    metric_state: str = "purchase",
+    covariate_state: str = "view",
+    salt: str = "exp1",
+) -> DataFrame:
+    """CUPED variance-reduced A/B readout (Deng, Xu, Kohavi, Walker
+    2013): per user, the metric y is the count of ``metric_state``
+    events and the covariate x the count of ``covariate_state``
+    events (users with neither still belong to their variant with
+    x = y = 0); the adjusted metric
+
+        y' = y - theta * (x - xbar),   theta = cov(x, y) / var(x)
+
+    (theta and xbar POOLED across both arms — the unbiasedness
+    condition: a covariate independent of assignment shifts both
+    arms equally, so E[diff] is unchanged while var shrinks by the
+    squared correlation rho^2) is compared across the deterministic
+    md5 50/50 split (same ``hash_bucket`` rule as ab_readout).
+
+    Exactness: every per-arm and pooled moment (n, Sx, Sy, Sxx,
+    Sxy, Syy) is an exact DECIMAL integer from ONE conditional-sum
+    aggregate; theta is one float ratio of exact n-scaled centered
+    integers (the ols2_fit p=1 algebra), and every downstream number
+    (adjusted means, Welch-style z on the adjusted metric, rho^2) is
+    a closed float expression of those integers — deterministic at
+    any parallelism and digit-replayable in SQL.
+
+    Scale shape: one (user, state)-conditional groupBy down to
+    |users| rows, then ONE map-side-combined aggregate to a single
+    row. Output: (n_a, n_b, mean_a, mean_b, theta, adj_mean_a,
+    adj_mean_b, raw_diff, adj_diff, z_raw, z_adj, rho2). theta = 0
+    when the covariate is constant (no adjustment possible); z NULL
+    when an arm has < 2 users or zero adjusted variance."""
+    dec = "decimal(38,0)"
+    users = (
+        df.groupBy(id_col)
+        .agg(
+            F.sum(
+                F.when(F.col(state_col) == metric_state, 1).otherwise(0)
+            )
+            .cast(dec)
+            .alias("y"),
+            F.sum(
+                F.when(F.col(state_col) == covariate_state, 1).otherwise(
+                    0
+                )
+            )
+            .cast(dec)
+            .alias("x"),
+        )
+        .withColumn(
+            "v", hash_bucket([id_col], salt=salt, n_buckets=2)
+        )
+    )
+
+    def arm(tag, cond):
+        one = F.when(cond, 1).otherwise(0).cast(dec)
+        x, y = F.col("x"), F.col("y")
+        return [
+            F.sum(one).alias(f"n{tag}"),
+            F.sum(one * x).alias(f"sx{tag}"),
+            F.sum(one * y).alias(f"sy{tag}"),
+            F.sum(one * x * x).alias(f"sxx{tag}"),
+            F.sum(one * x * y).alias(f"sxy{tag}"),
+            F.sum(one * y * y).alias(f"syy{tag}"),
+        ]
+
+    g = users.agg(
+        *arm("a", F.col("v") == 0),
+        *arm("b", F.col("v") == 1),
+        *arm("", F.lit(True)),
+    )
+    n = F.col("n")
+    vx = n * F.col("sxx") - F.col("sx") * F.col("sx")
+    vy = n * F.col("syy") - F.col("sy") * F.col("sy")
+    cxy = n * F.col("sxy") - F.col("sx") * F.col("sy")
+    theta = F.when(vx > 0, cxy.cast("double") / vx.cast("double")).otherwise(
+        F.lit(0.0)
+    )
+    xbar = F.col("sx").cast("double") / n.cast("double")
+
+    def d(c):
+        return F.col(c).cast("double")
+
+    def arm_stats(tag):
+        na = d(f"n{tag}")
+        mean_y = d(f"sy{tag}") / na
+        mean_x = d(f"sx{tag}") / na
+        adj = mean_y - theta * (mean_x - xbar)
+        syy_c = d(f"syy{tag}") - d(f"sy{tag}") * d(f"sy{tag}") / na
+        sxx_c = d(f"sxx{tag}") - d(f"sx{tag}") * d(f"sx{tag}") / na
+        sxy_c = d(f"sxy{tag}") - d(f"sx{tag}") * d(f"sy{tag}") / na
+        var_y = syy_c / (na - F.lit(1.0))
+        var_adj = (
+            syy_c
+            - F.lit(2.0) * theta * sxy_c
+            + theta * theta * sxx_c
+        ) / (na - F.lit(1.0))
+        return na, mean_y, adj, var_y, var_adj
+
+    na, my_a, adj_a, vy_a, va_a = arm_stats("a")
+    nb, my_b, adj_b, vy_b, va_b = arm_stats("b")
+    raw_diff = my_b - my_a
+    adj_diff = adj_b - adj_a
+    se_raw = F.sqrt(vy_a / na + vy_b / nb)
+    se_adj = F.sqrt(va_a / na + va_b / nb)
+    okn = (F.col("na") >= 2) & (F.col("nb") >= 2)
+    rho2 = F.when(
+        (vx > 0) & (vy > 0),
+        cxy.cast("double")
+        * cxy.cast("double")
+        / (vx.cast("double") * vy.cast("double")),
+    )
+    return g.select(
+        F.col("na").cast("bigint").alias("n_a"),
+        F.col("nb").cast("bigint").alias("n_b"),
+        my_a.alias("mean_a"),
+        my_b.alias("mean_b"),
+        theta.alias("theta"),
+        adj_a.alias("adj_mean_a"),
+        adj_b.alias("adj_mean_b"),
+        raw_diff.alias("raw_diff"),
+        adj_diff.alias("adj_diff"),
+        F.when(okn & (se_raw > 0), raw_diff / se_raw).alias("z_raw"),
+        F.when(okn & (se_adj > 0), adj_diff / se_adj).alias("z_adj"),
+        rho2.alias("rho2"),
+    )

@@ -155,3 +155,97 @@ def test_welch_degenerate_nulls(spark):
     r = welch_ttest(df, "user_id", "event_type", "value").collect()[0]
     assert r.t is None and r.dof is None
     assert r.mean_a == 7.0 and r.mean_b == 7.0
+
+
+# --- CUPED ---
+
+
+def _cuped_bruteforce(users):
+    """users: list of (variant, x, y). Returns the full readout."""
+    import math
+
+    import numpy as np
+
+    v = np.array([u[0] for u in users])
+    x = np.array([u[1] for u in users], dtype=float)
+    y = np.array([u[2] for u in users], dtype=float)
+    vx = len(x) * (x * x).sum() - x.sum() ** 2
+    vy = len(x) * (y * y).sum() - y.sum() ** 2
+    cxy = len(x) * (x * y).sum() - x.sum() * y.sum()
+    theta = cxy / vx if vx > 0 else 0.0
+    xbar = x.mean()
+    out = {}
+    for tag, m in (("a", v == 0), ("b", v == 1)):
+        xa, ya = x[m], y[m]
+        out[f"n_{tag}"] = int(m.sum())
+        out[f"mean_{tag}"] = ya.mean()
+        out[f"adj_{tag}"] = ya.mean() - theta * (xa.mean() - xbar)
+        adj_vals = ya - theta * (xa - xbar)
+        out[f"var_y_{tag}"] = ya.var(ddof=1)
+        out[f"var_adj_{tag}"] = adj_vals.var(ddof=1)
+    out["theta"] = theta
+    out["raw_diff"] = out["mean_b"] - out["mean_a"]
+    out["adj_diff"] = out["adj_b"] - out["adj_a"]
+    out["z_raw"] = out["raw_diff"] / math.sqrt(
+        out["var_y_a"] / out["n_a"] + out["var_y_b"] / out["n_b"]
+    )
+    out["z_adj"] = out["adj_diff"] / math.sqrt(
+        out["var_adj_a"] / out["n_a"] + out["var_adj_b"] / out["n_b"]
+    )
+    out["rho2"] = cxy**2 / (vx * vy) if vx > 0 and vy > 0 else None
+    return out
+
+
+def test_cuped_matches_bruteforce_and_reduces_variance(spark):
+    from protosc_spark.experiment import cuped_readout
+    from protosc_spark.sampling import hash_bucket
+
+    # y strongly tracks x (rho^2 high) so CUPED shrinks the SE a lot
+    rows = []
+    for uid in range(400):
+        x = (uid * 13) % 9  # "views"
+        y = x + (uid % 3)  # "purchases" track views + noise
+        rows += [(uid, "view")] * x + [(uid, "purchase")] * y
+        if x == 0 and y == 0:
+            rows.append((uid, "click"))  # user still in population
+    df = spark.createDataFrame(rows, "user_id long, event_type string")
+    r = cuped_readout(df).collect()[0]
+    # recover each user's true variant through the engine's own rule
+    variants = {
+        u.user_id: u.bucket
+        for u in df.select("user_id")
+        .distinct()
+        .select("user_id", hash_bucket(["user_id"], salt="exp1", n_buckets=2))
+        .collect()
+    }
+    users = [
+        (variants[uid], (uid * 13) % 9, ((uid * 13) % 9) + (uid % 3))
+        for uid in range(400)
+    ]
+    want = _cuped_bruteforce(users)
+    assert (r.n_a, r.n_b) == (want["n_a"], want["n_b"])
+    for got, key in [
+        (r.mean_a, "mean_a"), (r.mean_b, "mean_b"),
+        (r.theta, "theta"), (r.adj_mean_a, "adj_a"),
+        (r.adj_mean_b, "adj_b"), (r.raw_diff, "raw_diff"),
+        (r.adj_diff, "adj_diff"), (r.z_raw, "z_raw"),
+        (r.z_adj, "z_adj"), (r.rho2, "rho2"),
+    ]:
+        assert abs(got - want[key]) < 1e-9, key
+    # the point of CUPED: most of the metric variance is explained
+    assert r.rho2 > 0.8
+    assert want["var_adj_a"] < 0.3 * want["var_y_a"]
+
+
+def test_cuped_constant_covariate_degrades_to_raw(spark):
+    from protosc_spark.experiment import cuped_readout
+
+    rows = []
+    for uid in range(60):
+        rows += [(uid, "view")] * 2  # constant covariate
+        rows += [(uid, "purchase")] * (uid % 4)
+    df = spark.createDataFrame(rows, "user_id long, event_type string")
+    r = cuped_readout(df).collect()[0]
+    assert r.theta == 0.0
+    assert r.adj_mean_a == r.mean_a and r.adj_mean_b == r.mean_b
+    assert r.z_adj == r.z_raw and r.rho2 is None
