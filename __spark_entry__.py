@@ -753,6 +753,37 @@ def _corpus_ols2(spark, sf_dir):
     ).orderBy("source")
 
 
+def _events_holt_trend(spark, sf_dir):
+    """Per-event-type Holt linear-trend smoothing of the daily
+    volumes (Catalyst higher-order fold, pow-free IEEE arithmetic) —
+    an 18-day noisy y = 5 + 3d series is planted so the
+    trend-recovery path is exercised. DuckDB oracle replays the
+    two-state recursion digit for digit via a recursive CTE (the
+    volume_cusum/ewma contract)."""
+    from protosc_spark.windows import holt_trend
+
+    ev = _read(spark, sf_dir, "events").select("event_type", "ts")
+    rows = []
+    for d in range(18):
+        ts = f"1970-01-{d + 1:02d} 00:00:00"
+        rows += [("planted", ts)] * (5 + 3 * d + (d * 7) % 4)
+    planted = spark.createDataFrame(
+        rows, "event_type string, ts_s string"
+    ).select(
+        "event_type", F.col("ts_s").cast("timestamp").alias("ts")
+    )
+    t = holt_trend(ev.unionByName(planted), "event_type")
+    return t.select(
+        "event_type",
+        "n_days",
+        F.round("level", 6).alias("level"),
+        F.round("trend", 6).alias("trend"),
+        F.round("forecast", 6).alias("forecast"),
+        F.round("rmse", 6).alias("rmse"),
+        F.round("mae", 6).alias("mae"),
+    ).orderBy("event_type")
+
+
 def _events_cuped(spark, sf_dir):
     """CUPED variance-reduced A/B readout (Deng et al. 2013) on the
     deterministic md5 'exp1' split: per-user purchase count adjusted
@@ -2916,6 +2947,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     full-surface green regardless of this ordering."""
     return {
         # --- round 5 ---
+        "events_holt_trend": _events_holt_trend,
         "events_cuped": _events_cuped,
         "corpus_bootstrap_ci": _corpus_bootstrap_ci,
         "txt_zipf": _txt_zipf,
@@ -3176,6 +3208,72 @@ def oracle_sql() -> dict[str, str]:
         for t in POISSON1_T60
     )
     out = {
+        "events_holt_trend": """
+            WITH RECURSIVE k AS (
+              SELECT 0.3::DOUBLE AS al, (1 - 0.3::DOUBLE) AS be,
+                     0.1::DOUBLE AS ga, (1 - 0.1::DOUBLE) AS gb
+            ), daily AS (
+              SELECT event_type AS g,
+                     (ts::DATE - DATE '1970-01-01')::BIGINT AS x,
+                     count(*)::BIGINT AS y
+              FROM events GROUP BY 1, 2
+              UNION ALL
+              SELECT 'planted', d::BIGINT,
+                     (5 + 3 * d + (d * 7) % 4)::BIGINT
+              FROM range(18) t(d)
+            ), idx AS (
+              SELECT g, y,
+                     row_number() OVER (PARTITION BY g
+                                        ORDER BY x) AS rn
+              FROM daily
+            ), st AS (
+              SELECT g, count(*)::BIGINT AS n_days
+              FROM daily GROUP BY 1
+            ), c AS (
+              SELECT i2.g, 2::BIGINT AS rn,
+                     i2.y::DOUBLE AS l,
+                     i2.y::DOUBLE - i1.y::DOUBLE AS b,
+                     0.0::DOUBLE AS sse, 0.0::DOUBLE AS sae
+              FROM idx i2 JOIN idx i1
+                ON i1.g = i2.g AND i1.rn = 1
+              WHERE i2.rn = 2
+              UNION ALL
+              SELECT n.g, n.rn,
+                     k.al * n.y::DOUBLE + k.be * (c.l + c.b),
+                     k.ga * ((k.al * n.y::DOUBLE
+                              + k.be * (c.l + c.b)) - c.l)
+                       + k.gb * c.b,
+                     c.sse + (n.y::DOUBLE - (c.l + c.b))
+                             * (n.y::DOUBLE - (c.l + c.b)),
+                     c.sae + abs(n.y::DOUBLE - (c.l + c.b))
+              FROM c JOIN idx n
+                ON n.g = c.g AND n.rn = c.rn + 1
+              CROSS JOIN k
+            ), fin AS (
+              SELECT c.* FROM c
+              JOIN st ON st.g = c.g AND c.rn = st.n_days
+            )
+            SELECT st.g AS event_type, st.n_days,
+                   round(CASE WHEN st.n_days >= 2 THEN fin.l
+                              ELSE (SELECT y::DOUBLE FROM idx
+                                    WHERE idx.g = st.g
+                                      AND rn = 1) END, 6) AS level,
+                   CASE WHEN st.n_days >= 2
+                        THEN round(fin.b, 6) END AS trend,
+                   CASE WHEN st.n_days >= 2
+                        THEN round(fin.l + fin.b, 6)
+                   END AS forecast,
+                   CASE WHEN st.n_days >= 3
+                        THEN round(sqrt(fin.sse
+                                        / (st.n_days - 2)::DOUBLE),
+                                   6) END AS rmse,
+                   CASE WHEN st.n_days >= 3
+                        THEN round(fin.sae
+                                   / (st.n_days - 2)::DOUBLE, 6)
+                   END AS mae
+            FROM st LEFT JOIN fin ON fin.g = st.g
+            ORDER BY event_type
+        """,
         "events_cuped": """
             WITH u AS (
               SELECT user_id,

@@ -138,6 +138,7 @@ HEADLINE = [
     "txt_zipf",
     "corpus_bootstrap_ci",
     "events_cuped",
+    "events_holt_trend",
 ]
 
 BENCH_CONVERSATIONS = int(os.environ.get("PROTOSC_BENCH_CONVS", "20000"))

@@ -1486,3 +1486,92 @@ def volume_ccf(
             ).alias("ccf"),
         )
     )
+
+
+def holt_trend(
+    df: DataFrame,
+    group_col: str,
+    ts_col: str = "ts",
+    alpha: float = 0.3,
+    gamma: float = 0.1,
+) -> DataFrame:
+    """Per-slice Holt linear-trend (double exponential) smoothing of
+    the daily-volume series — the FORECASTING readout beside the
+    monitors (EWMA tracks level; Holt carries an explicit trend
+    state, so its one-step forecast leads a drifting series instead
+    of lagging it):
+
+        l_t = alpha * y_t + (1 - alpha) * (l_{t-1} + b_{t-1})
+        b_t = gamma * (l_t - l_{t-1}) + (1 - gamma) * b_{t-1}
+
+    with the classic init l = y_2, b = y_2 - y_1 (folding from t=3;
+    the t=2 step is an identity under this init and its fitted error
+    is identically zero, so it is excluded from the error averages).
+    One-step errors e_t = y_t - (l_{t-1} + b_{t-1}) accumulate into
+    sse/sae inside the same fold. Only +, -, *, /, sqrt, abs are
+    used — all correctly-rounded IEEE ops — so a SQL engine replaying
+    the same recursion reproduces every state bit for bit (the
+    volume_cusum/volume_ewma contract; no pow()).
+
+    Scale shape: one raw scan into (group, day) counts; each slice's
+    series is a calendar-bounded sorted array folded by a Catalyst
+    higher-order ``aggregate`` — zero Python, zero extra shuffle.
+    Output: (group, n_days, level, trend, forecast, rmse, mae);
+    trend/forecast NULL for single-day slices, rmse/mae NULL below
+    3 days. Forecast is the one-step-ahead l + b."""
+    daily = (
+        df.groupBy(
+            group_col,
+            F.datediff(F.to_date(ts_col), F.lit("1970-01-01"))
+            .cast("bigint")
+            .alias("x"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("y"))
+    )
+    g = daily.groupBy(group_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+        F.sort_array(F.collect_list(F.struct("x", "y"))).alias(
+            "series"
+        ),
+    )
+    n = F.col("n_days")
+    y1 = F.element_at("series", 1)["y"].cast("double")
+    y2 = F.element_at("series", 2)["y"].cast("double")
+    init = F.struct(
+        y2.alias("l"),
+        (y2 - y1).alias("b"),
+        F.lit(0.0).alias("sse"),
+        F.lit(0.0).alias("sae"),
+    )
+    al, be = F.lit(float(alpha)), F.lit(1.0 - float(alpha))
+    ga, gb = F.lit(float(gamma)), F.lit(1.0 - float(gamma))
+
+    def step(acc, e):
+        yd = e["y"].cast("double")
+        pred = acc["l"] + acc["b"]
+        err = yd - pred
+        l2 = al * yd + be * pred
+        b2 = ga * (l2 - acc["l"]) + gb * acc["b"]
+        return F.struct(
+            l2.alias("l"),
+            b2.alias("b"),
+            (acc["sse"] + err * err).alias("sse"),
+            (acc["sae"] + F.abs(err)).alias("sae"),
+        )
+
+    tail = F.slice(
+        F.col("series"),
+        F.lit(3),
+        F.greatest(F.size("series") - 2, F.lit(0)),
+    )
+    acc = F.aggregate(tail, init, step)
+    nf = (n - 2).cast("double")
+    return g.select(
+        group_col,
+        "n_days",
+        F.when(n >= 2, acc["l"]).otherwise(y1).alias("level"),
+        F.when(n >= 2, acc["b"]).alias("trend"),
+        F.when(n >= 2, acc["l"] + acc["b"]).alias("forecast"),
+        F.when(n >= 3, F.sqrt(acc["sse"] / nf)).alias("rmse"),
+        F.when(n >= 3, acc["sae"] / nf).alias("mae"),
+    )

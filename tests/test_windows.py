@@ -1211,3 +1211,53 @@ def test_ccf_constant_series_is_null_and_pairs_still_counted(spark):
     assert rows and all(r.g1 == "flat" and r.g2 == "x" for r in rows)
     assert all(r.ccf is None for r in rows)
     assert {r.lag: r.n_pairs for r in rows}[0] == 4
+
+
+# --- Holt linear trend ---
+
+
+def _holt_bruteforce(counts, alpha=0.3, gamma=0.1):
+    ys = [float(c) for c in counts]
+    l, b = ys[1], ys[1] - ys[0]
+    sse = sae = 0.0
+    for y in ys[2:]:
+        pred = l + b
+        err = y - pred
+        l2 = alpha * y + (1 - alpha) * pred
+        b = gamma * (l2 - l) + (1 - gamma) * b
+        l = l2
+        sse += err * err
+        sae += abs(err)
+    nf = len(ys) - 2
+    import math
+
+    return l, b, l + b, math.sqrt(sse / nf), sae / nf
+
+
+def test_holt_matches_bruteforce_and_tracks_linear_series(spark):
+    from protosc_spark.windows import holt_trend
+
+    # noisy upward series
+    counts = [5 + 3 * d + (d * 7) % 4 for d in range(18)]
+    r = holt_trend(_daily_df(spark, counts), "g").collect()[0]
+    l, b, fc, rmse, mae = _holt_bruteforce(counts)
+    assert r.n_days == 18
+    assert abs(r.level - l) < 1e-12 and abs(r.trend - b) < 1e-12
+    assert abs(r.forecast - fc) < 1e-12
+    assert abs(r.rmse - rmse) < 1e-12 and abs(r.mae - mae) < 1e-12
+    # exactly linear series: zero error, trend == slope
+    lin = [5 + 3 * d for d in range(12)]
+    r2 = holt_trend(_daily_df(spark, lin), "g").collect()[0]
+    assert abs(r2.trend - 3.0) < 1e-12 and r2.rmse < 1e-12
+    assert abs(r2.forecast - (5 + 3 * 12)) < 1e-10
+
+
+def test_holt_short_series_edges(spark):
+    from protosc_spark.windows import holt_trend
+
+    one = holt_trend(_daily_df(spark, [7]), "g").collect()[0]
+    assert one.level == 7.0 and one.trend is None
+    assert one.forecast is None and one.rmse is None
+    two = holt_trend(_daily_df(spark, [7, 11]), "g").collect()[0]
+    assert two.level == 11.0 and two.trend == 4.0
+    assert two.forecast == 15.0 and two.rmse is None
