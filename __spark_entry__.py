@@ -753,6 +753,23 @@ def _corpus_ols2(spark, sf_dir):
     ).orderBy("source")
 
 
+def _corpus_quantiles_exact(spark, sf_dir):
+    """Per-source EXACT discrete length quantiles via the
+    value-histogram collapse (cumulative window over distinct
+    values, never a raw-row sort) — the zero-error companion to
+    corpus_length_quantiles_hdr. DuckDB oracle replays the
+    histogram, the ceil(q*n) rank rule and the bracket join."""
+    from protosc_spark.sketches import quantiles_exact
+
+    docs = _read(spark, sf_dir, "documents").select(
+        "source", "n_chars"
+    )
+    t = quantiles_exact(docs, "n_chars", group_col="source")
+    return t.select(
+        "source", "q", "n", F.col("value").cast("bigint").alias("value")
+    ).orderBy("source", "q")
+
+
 def _events_holt_trend(spark, sf_dir):
     """Per-event-type Holt linear-trend smoothing of the daily
     volumes (Catalyst higher-order fold, pow-free IEEE arithmetic) —
@@ -2947,6 +2964,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     full-surface green regardless of this ordering."""
     return {
         # --- round 5 ---
+        "corpus_quantiles_exact": _corpus_quantiles_exact,
         "events_holt_trend": _events_holt_trend,
         "events_cuped": _events_cuped,
         "corpus_bootstrap_ci": _corpus_bootstrap_ci,
@@ -3208,6 +3226,33 @@ def oracle_sql() -> dict[str, str]:
         for t in POISSON1_T60
     )
     out = {
+        "corpus_quantiles_exact": """
+            WITH hist AS (
+              SELECT source, n_chars AS v, count(*)::BIGINT AS c
+              FROM documents GROUP BY 1, 2
+            ), cum AS (
+              SELECT source, v,
+                     sum(c) OVER (PARTITION BY source
+                                  ORDER BY v) AS cum,
+                     sum(c) OVER (PARTITION BY source
+                                  ORDER BY v) - c AS prev
+              FROM hist
+            ), tot AS (
+              SELECT source, sum(c)::BIGINT AS n
+              FROM hist GROUP BY 1
+            ), t AS (
+              SELECT source, n, q::DOUBLE AS q,
+                     greatest(ceil(q::DOUBLE * n)::BIGINT, 1) AS r
+              FROM tot CROSS JOIN (
+                SELECT unnest([0.25, 0.5, 0.75, 0.9, 0.99]) AS q
+              )
+            )
+            SELECT t.source, t.q, t.n, c.v::BIGINT AS value
+            FROM t JOIN cum c
+              ON c.source = t.source
+             AND c.cum >= t.r AND c.prev < t.r
+            ORDER BY t.source, t.q
+        """,
         "events_holt_trend": """
             WITH RECURSIVE k AS (
               SELECT 0.3::DOUBLE AS al, (1 - 0.3::DOUBLE) AS be,

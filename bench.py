@@ -139,6 +139,7 @@ HEADLINE = [
     "corpus_bootstrap_ci",
     "events_cuped",
     "events_holt_trend",
+    "corpus_quantiles_exact",
 ]
 
 BENCH_CONVERSATIONS = int(os.environ.get("PROTOSC_BENCH_CONVS", "20000"))

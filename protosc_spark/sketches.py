@@ -24,6 +24,7 @@ All pure JVM expressions — no Python anywhere.
 from __future__ import annotations
 
 import math
+from collections.abc import Sequence
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -648,4 +649,81 @@ def winsorize(
             ),
         )
         .drop("__lo", "__hi")
+    )
+
+
+def quantiles_exact(
+    df: DataFrame,
+    value_col: str,
+    group_col: str | None = None,
+    qs: Sequence[float] = (0.25, 0.5, 0.75, 0.9, 0.99),
+) -> DataFrame:
+    """EXACT discrete quantiles per group via the value-histogram
+    collapse — the exact companion to the HDR sketch (hdr_quantiles
+    is the mergeable approximate path for unbounded domains; this is
+    the zero-error path whenever the column's DISTINCT-value count is
+    bounded, which integer feature columns almost always are):
+
+        q-th quantile = the smallest value v whose cumulative count
+        reaches ceil(q * n)  (percentile_disc lower convention)
+
+    Scale shape: ONE map-side-combined groupBy(group, value) down to
+    the distinct-value histogram, a cumulative window over THAT
+    (distinct-value-sized, the rank_normalize trick — never a sort
+    of raw rows), and an explode of the q list against the
+    |groups|-sized count table. Everything is integer comparisons —
+    no interpolation, no floats except the q literals — so any SQL
+    engine replays it exactly. Output: (group?, q, n, value)."""
+    from pyspark.sql import Window as W
+
+    keys = [group_col] if group_col else []
+    hist = df.groupBy(*keys, value_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("__c")
+    )
+    w = (
+        W.partitionBy(*keys)
+        .orderBy(value_col)
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    cum = hist.select(
+        *keys,
+        F.col(value_col).alias("__v"),
+        F.sum("__c").over(w).alias("__cum"),
+        (F.sum("__c").over(w) - F.col("__c")).alias("__prev"),
+    )
+    tot = hist.groupBy(*keys).agg(
+        F.sum("__c").cast("bigint").alias("n")
+    )
+    qcol = F.explode(
+        F.array(*[F.lit(float(q)) for q in qs])
+    ).alias("q")
+    targets = tot.select(*keys, "n", qcol).select(
+        *keys,
+        "n",
+        "q",
+        F.greatest(
+            F.ceil(F.col("q") * F.col("n").cast("double")).cast(
+                "bigint"
+            ),
+            F.lit(1),
+        ).alias("__rank"),
+    )
+    j = targets.join(
+        cum,
+        on=(
+            [targets[k] == cum[k] for k in keys]
+            + [
+                (cum["__cum"] >= targets["__rank"])
+                & (cum["__prev"] < targets["__rank"]),
+            ]
+        )
+        if keys
+        else (cum["__cum"] >= targets["__rank"])
+        & (cum["__prev"] < targets["__rank"]),
+    )
+    return j.select(
+        *[targets[k] for k in keys],
+        targets["q"].alias("q"),
+        targets["n"].alias("n"),
+        cum["__v"].alias("value"),
     )

@@ -577,3 +577,37 @@ def test_winsorize_null_passthrough_and_identity(spark):
     assert got[1] is None
     # degenerate full range: clip is identity on the bucket bounds
     assert got[0] == 5 and got[2] == 9
+
+
+# --- exact discrete quantiles (value-histogram collapse) ---
+
+
+def _q_bruteforce(vals, q):
+    import math
+
+    s = sorted(vals)
+    return s[max(math.ceil(q * len(s)), 1) - 1]
+
+
+def test_quantiles_exact_matches_sorted_rank_rule(spark):
+    from protosc_spark.sketches import quantiles_exact
+
+    vals_a = [((i * 17) % 40) for i in range(101)]  # heavy ties
+    vals_b = [5] * 30  # constant column
+    rows = [("a", v) for v in vals_a] + [("b", v) for v in vals_b]
+    df = spark.createDataFrame(rows, "g string, v long")
+    qs = (0.01, 0.25, 0.5, 0.75, 0.9, 0.99, 1.0)
+    got = {
+        (r.g, r.q): (r.n, r.value)
+        for r in quantiles_exact(df, "v", "g", qs=qs).collect()
+    }
+    assert len(got) == 2 * len(qs)
+    for q in qs:
+        assert got[("a", q)] == (101, _q_bruteforce(vals_a, q))
+        assert got[("b", q)] == (30, 5)
+    # ungrouped path
+    one = {
+        r.q: r.value
+        for r in quantiles_exact(df, "v", qs=(0.5,)).collect()
+    }
+    assert one[0.5] == _q_bruteforce(vals_a + vals_b, 0.5)
