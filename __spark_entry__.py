@@ -753,6 +753,19 @@ def _corpus_ols2(spark, sf_dir):
     ).orderBy("source")
 
 
+def _corpus_profile(spark, sf_dir):
+    """One-scan column-profile audit of the documents table (row/
+    null counts, exact distinct, lexicographic min/max, modal value
+    with the (count desc, value asc) tie rule) — the describe-
+    before-train report. DuckDB oracle replays the stacked string
+    histogram and every aggregate including the mode tie rule."""
+    from protosc_spark.skew import profile_columns
+
+    docs = _read(spark, sf_dir, "documents")
+    t = profile_columns(docs, ["doc_id", "lang", "source", "n_chars"])
+    return t.orderBy("column")
+
+
 def _corpus_quantiles_exact(spark, sf_dir):
     """Per-source EXACT discrete length quantiles via the
     value-histogram collapse (cumulative window over distinct
@@ -2964,6 +2977,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     full-surface green regardless of this ordering."""
     return {
         # --- round 5 ---
+        "corpus_profile": _corpus_profile,
         "corpus_quantiles_exact": _corpus_quantiles_exact,
         "events_holt_trend": _events_holt_trend,
         "events_cuped": _events_cuped,
@@ -3226,6 +3240,42 @@ def oracle_sql() -> dict[str, str]:
         for t in POISSON1_T60
     )
     out = {
+        "corpus_profile": """
+            WITH stacked AS (
+              SELECT 'doc_id' AS col, doc_id::VARCHAR AS val
+              FROM documents
+              UNION ALL
+              SELECT 'lang', lang FROM documents
+              UNION ALL
+              SELECT 'source', source FROM documents
+              UNION ALL
+              SELECT 'n_chars', n_chars::VARCHAR FROM documents
+            ), hist AS (
+              SELECT col, val, count(*)::BIGINT AS c
+              FROM stacked GROUP BY 1, 2
+            ), rep AS (
+              SELECT col, sum(c)::BIGINT AS n_nn,
+                     count(*)::BIGINT AS n_distinct,
+                     min(val) AS min_val, max(val) AS max_val,
+                     min(struct_pack(nc := -c, val := val))
+                       AS top
+              FROM hist WHERE val IS NOT NULL GROUP BY 1
+            ), nulls AS (
+              SELECT col,
+                     sum(CASE WHEN val IS NULL THEN c
+                              ELSE 0 END)::BIGINT AS n_null
+              FROM hist GROUP BY 1
+            )
+            SELECT n.col AS "column",
+                   coalesce(r.n_nn, 0) + n.n_null AS n,
+                   n.n_null,
+                   coalesce(r.n_distinct, 0) AS n_distinct,
+                   r.min_val, r.max_val,
+                   r.top.val AS top_value,
+                   (-r.top.nc)::BIGINT AS top_count
+            FROM nulls n LEFT JOIN rep r ON r.col = n.col
+            ORDER BY "column"
+        """,
         "corpus_quantiles_exact": """
             WITH hist AS (
               SELECT source, n_chars AS v, count(*)::BIGINT AS c

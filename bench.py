@@ -140,6 +140,7 @@ HEADLINE = [
     "events_cuped",
     "events_holt_trend",
     "corpus_quantiles_exact",
+    "corpus_profile",
 ]
 
 BENCH_CONVERSATIONS = int(os.environ.get("PROTOSC_BENCH_CONVS", "20000"))

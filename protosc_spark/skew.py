@@ -142,3 +142,72 @@ def benford_audit(df: DataFrame, value_col: str) -> DataFrame:
             (t * F.col("__chi_unit")).alias("chi2"),
         )
     )
+
+
+def profile_columns(df: DataFrame, cols: list[str]) -> DataFrame:
+    """One-scan column-profile audit — the "describe this table
+    before you train on it" report every ingest pipeline runs: per
+    column, row/null counts, EXACT distinct count, lexicographic
+    min/max and the modal value with a deterministic tie rule.
+
+    All values are profiled AS STRINGS (one schema for any column
+    mix; numeric columns therefore get lexicographic min/max — use
+    the typed aggregates when numeric order matters). The mode is
+    picked by (count desc, value asc) via a single min over
+    (-count, value) structs — no window, no second scan. NULLs are
+    counted but excluded from distinct/min/max/mode.
+
+    Scale shape: ONE raw scan exploded |cols| ways into a map-side-
+    combined groupBy(column, value) histogram; both report aggregates
+    run over that histogram (distinct-value-sized), never over raw
+    rows. Output: (column, n, n_null, n_distinct, min_val, max_val,
+    top_value, top_count)."""
+    stacked = df.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("column"),
+                        F.col(c).cast("string").alias("val"),
+                    )
+                    for c in cols
+                ]
+            )
+        ).alias("__cv")
+    ).select("__cv.column", "__cv.val")
+    hist = stacked.groupBy("column", "val").agg(
+        F.count(F.lit(1)).cast("bigint").alias("__c")
+    )
+    nn = hist.where(F.col("val").isNotNull())
+    rep = nn.groupBy("column").agg(
+        F.sum("__c").cast("bigint").alias("__n_nn"),
+        F.count(F.lit(1)).cast("bigint").alias("n_distinct"),
+        F.min("val").alias("min_val"),
+        F.max("val").alias("max_val"),
+        F.min(F.struct((-F.col("__c")).alias("nc"), "val")).alias(
+            "__top"
+        ),
+    )
+    nulls = hist.groupBy("column").agg(
+        F.sum(
+            F.when(F.col("val").isNull(), F.col("__c")).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_null")
+    )
+    # left join FROM nulls: an all-null column has no non-null
+    # histogram rows but must still emit a profile line
+    return nulls.join(rep, "column", "left").select(
+        "column",
+        (
+            F.coalesce(F.col("__n_nn"), F.lit(0)) + F.col("n_null")
+        ).cast("bigint").alias("n"),
+        "n_null",
+        F.coalesce(F.col("n_distinct"), F.lit(0))
+        .cast("bigint")
+        .alias("n_distinct"),
+        "min_val",
+        "max_val",
+        F.col("__top")["val"].alias("top_value"),
+        (-F.col("__top")["nc"]).cast("bigint").alias("top_count"),
+    )

@@ -101,3 +101,36 @@ def test_benford_excludes_nonpositive(spark):
     )
     rows = {r.digit: r.n for r in benford_audit(df, "x").collect()}
     assert sum(rows.values()) == 1 and rows[7] == 1
+
+
+# --- column profile ---
+
+
+def test_profile_columns_counts_mode_and_all_null(spark):
+    from protosc_spark.skew import profile_columns
+
+    rows = [
+        (1, "b", None),
+        (2, "a", None),
+        (3, "a", None),
+        (4, None, None),
+        (5, "b", None),
+        (6, "c", None),
+    ]
+    df = spark.createDataFrame(rows, "id long, k string, dead string")
+    got = {
+        r.column: r
+        for r in profile_columns(df, ["id", "k", "dead"]).collect()
+    }
+    k = got["k"]
+    assert (k.n, k.n_null, k.n_distinct) == (6, 1, 3)
+    assert (k.min_val, k.max_val) == ("a", "c")
+    # a and b both appear twice: tie broken to the smaller value
+    assert (k.top_value, k.top_count) == ("a", 2)
+    i = got["id"]
+    assert (i.n, i.n_null, i.n_distinct) == (6, 0, 6)
+    assert (i.min_val, i.max_val) == ("1", "6")  # lexicographic
+    assert (i.top_value, i.top_count) == ("1", 1)
+    dead = got["dead"]
+    assert (dead.n, dead.n_null, dead.n_distinct) == (6, 6, 0)
+    assert dead.min_val is None and dead.top_value is None
