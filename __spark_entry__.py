@@ -753,6 +753,34 @@ def _corpus_ols2(spark, sf_dir):
     ).orderBy("source")
 
 
+def _corpus_cube_stats(spark, sf_dir):
+    """CUBE(source, lang) audit rollup with grouping_id — all four
+    aggregation granularities (grand total, per-source, per-lang,
+    per-cell) in ONE pass via Catalyst's native expand+partial-agg
+    plan (no self-union of four groupBys). DuckDB replays with
+    GROUP BY CUBE and the same GROUPING bitmask convention (first
+    argument = MSB)."""
+    docs = _read(spark, sf_dir, "documents")
+    return (
+        docs.cube("source", "lang")
+        .agg(
+            F.grouping_id().cast("bigint").alias("gid"),
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("sum_chars"),
+            F.round(
+                F.sum("n_chars").cast("double")
+                / F.count(F.lit(1)).cast("double"),
+                6,
+            ).alias("avg_chars"),
+        )
+        .orderBy(
+            "gid",
+            F.col("source").asc_nulls_first(),
+            F.col("lang").asc_nulls_first(),
+        )
+    )
+
+
 def _corpus_profile(spark, sf_dir):
     """One-scan column-profile audit of the documents table (row/
     null counts, exact distinct, lexicographic min/max, modal value
@@ -2977,6 +3005,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     full-surface green regardless of this ordering."""
     return {
         # --- round 5 ---
+        "corpus_cube_stats": _corpus_cube_stats,
         "corpus_profile": _corpus_profile,
         "corpus_quantiles_exact": _corpus_quantiles_exact,
         "events_holt_trend": _events_holt_trend,
@@ -3240,6 +3269,17 @@ def oracle_sql() -> dict[str, str]:
         for t in POISSON1_T60
     )
     out = {
+        "corpus_cube_stats": """
+            SELECT source, lang,
+                   GROUPING(source, lang)::BIGINT AS gid,
+                   count(*)::BIGINT AS n_docs,
+                   sum(n_chars)::BIGINT AS sum_chars,
+                   round(sum(n_chars)::DOUBLE
+                         / count(*)::DOUBLE, 6) AS avg_chars
+            FROM documents
+            GROUP BY CUBE (source, lang)
+            ORDER BY gid, source NULLS FIRST, lang NULLS FIRST
+        """,
         "corpus_profile": """
             WITH stacked AS (
               SELECT 'doc_id' AS col, doc_id::VARCHAR AS val

@@ -141,6 +141,7 @@ HEADLINE = [
     "events_holt_trend",
     "corpus_quantiles_exact",
     "corpus_profile",
+    "corpus_cube_stats",
 ]
 
 BENCH_CONVERSATIONS = int(os.environ.get("PROTOSC_BENCH_CONVS", "20000"))

@@ -290,3 +290,16 @@ def test_bm25_topk_plan_no_python_broadcast_queries(spark):
     assert p.count("Generate explode") <= 2
     # tf agg + token window + qid aggs + two top-k windows: bounded
     assert n_shuffles(p) <= 6
+
+
+def test_cube_stats_single_pass_expand(spark, queries):
+    """CUBE must compile to ONE Expand + aggregate over one scan —
+    not a 4-way union of groupBys (4 scans) a naive rollup would
+    run."""
+    p = plan(queries["corpus_cube_stats"](spark, SF))
+    assert "Expand" in p
+    assert p.count("FileScan parquet") == 1
+    assert "Union" not in p
+    # partial+final agg pair over the expanded rows: one exchange,
+    # plus the final orderBy's range exchange
+    assert n_shuffles(p) + p.count("Exchange rangepartitioning") <= 3
