@@ -753,6 +753,33 @@ def _corpus_ols2(spark, sf_dir):
     ).orderBy("source")
 
 
+def _events_response_latency(spark, sf_dir):
+    """Per-user view->purchase response latency over the
+    (ts, event_id)-ordered event stream: exact microsecond gaps for
+    every view whose IMMEDIATE successor is a purchase (the same
+    kernel profiles user->assistant answer delays on transcripts).
+    DuckDB oracle replays the lead window, the adjacency filter and
+    the integer latency aggregates."""
+    from protosc_spark.windows import response_latency
+
+    ev = _read(spark, sf_dir, "events")
+    t = response_latency(
+        ev,
+        entity="user_id",
+        order=("ts", "event_id"),
+        role_col="event_type",
+        from_role="view",
+        to_role="purchase",
+    )
+    return t.select(
+        "user_id",
+        "n_pairs",
+        "min_latency_us",
+        F.round("mean_latency_us", 6).alias("mean_latency_us"),
+        "max_latency_us",
+    ).orderBy("user_id")
+
+
 def _corpus_cube_stats(spark, sf_dir):
     """CUBE(source, lang) audit rollup with grouping_id — all four
     aggregation granularities (grand total, per-source, per-lang,
@@ -3005,6 +3032,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     full-surface green regardless of this ordering."""
     return {
         # --- round 5 ---
+        "events_response_latency": _events_response_latency,
         "corpus_cube_stats": _corpus_cube_stats,
         "corpus_profile": _corpus_profile,
         "corpus_quantiles_exact": _corpus_quantiles_exact,
@@ -3269,6 +3297,25 @@ def oracle_sql() -> dict[str, str]:
         for t in POISSON1_T60
     )
     out = {
+        "events_response_latency": """
+            WITH o AS (
+              SELECT user_id, event_type,
+                     lead(event_type) OVER w AS nr,
+                     lead(epoch_us(ts)) OVER w
+                       - epoch_us(ts) AS lat
+              FROM events
+              WINDOW w AS (PARTITION BY user_id
+                           ORDER BY ts, event_id)
+            )
+            SELECT user_id, count(*)::BIGINT AS n_pairs,
+                   min(lat)::BIGINT AS min_latency_us,
+                   round(sum(lat)::DOUBLE / count(*)::DOUBLE, 6)
+                     AS mean_latency_us,
+                   max(lat)::BIGINT AS max_latency_us
+            FROM o
+            WHERE event_type = 'view' AND nr = 'purchase'
+            GROUP BY user_id ORDER BY user_id
+        """,
         "corpus_cube_stats": """
             SELECT source, lang,
                    GROUPING(source, lang)::BIGINT AS gid,

@@ -142,6 +142,7 @@ HEADLINE = [
     "corpus_quantiles_exact",
     "corpus_profile",
     "corpus_cube_stats",
+    "events_response_latency",
 ]
 
 BENCH_CONVERSATIONS = int(os.environ.get("PROTOSC_BENCH_CONVS", "20000"))

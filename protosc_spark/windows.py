@@ -1575,3 +1575,57 @@ def holt_trend(
         F.when(n >= 3, F.sqrt(acc["sse"] / nf)).alias("rmse"),
         F.when(n >= 3, acc["sae"] / nf).alias("mae"),
     )
+
+
+def response_latency(
+    df: DataFrame,
+    entity: str = "conv_id",
+    order: str | Sequence[str] = ("turn_idx",),
+    role_col: str = "role",
+    from_role: str = "user",
+    to_role: str = "assistant",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Per-entity response-latency features over an ordered
+    per-entity stream: for every ``from_role`` turn whose IMMEDIATE
+    successor (in ``order``) is a ``to_role`` turn, the latency is
+    the exact microsecond timestamp gap; per entity the count and
+    min/mean/max of those latencies. On transcripts this is
+    "how fast does the assistant answer" (the per-conversation
+    latency profile beside conversation_features' inter-turn gaps,
+    which ignore roles); on event streams it is the state-to-state
+    transition delay (view -> purchase). Adjacent-only by design —
+    a from-turn followed by another from-turn contributes nothing
+    (that pair's delay is not a response).
+
+    Exactness: latencies are exact integer microseconds
+    (:func:`_epoch_us`); sums/min/max are integer aggregates and the
+    mean is one float division. One lead() window over the entity
+    ordering (the engine's standard skew-handled shape) and one
+    map-side-combined groupBy. Output: (entity, n_pairs,
+    min_latency_us, mean_latency_us, max_latency_us) — entities with
+    no qualifying pair emit NO row (count-zero rows would need the
+    full entity list; join against it when needed)."""
+    w = _w(entity, list(order) if not isinstance(order, str) else order)
+    nxt_role = F.lead(F.col(role_col)).over(w)
+    nxt_us = F.lead(_epoch_us(ts_col)).over(w)
+    lat = (
+        df.select(
+            entity,
+            F.col(role_col).alias("__r"),
+            nxt_role.alias("__nr"),
+            (nxt_us - _epoch_us(ts_col)).alias("__lat"),
+        )
+        .where(
+            (F.col("__r") == from_role) & (F.col("__nr") == to_role)
+        )
+    )
+    return lat.groupBy(entity).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+        F.min("__lat").cast("bigint").alias("min_latency_us"),
+        (
+            F.sum("__lat").cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("mean_latency_us"),
+        F.max("__lat").cast("bigint").alias("max_latency_us"),
+    )

@@ -1261,3 +1261,57 @@ def test_holt_short_series_edges(spark):
     two = holt_trend(_daily_df(spark, [7, 11]), "g").collect()[0]
     assert two.level == 11.0 and two.trend == 4.0
     assert two.forecast == 15.0 and two.rmse is None
+
+
+# --- response latency ---
+
+
+def test_response_latency_transcripts_hand_case(spark):
+    from protosc_spark.windows import response_latency
+
+    rows = [
+        # conv A: u@0s -> a@2s (2s), a -> u (not counted),
+        # u@10s -> u@11s (adjacent same-role: skipped),
+        # u@11s -> a@14.5s (3.5s, sub-second exactness)
+        ("A", 0, "user", "1970-01-01 00:00:00"),
+        ("A", 1, "assistant", "1970-01-01 00:00:02"),
+        ("A", 2, "user", "1970-01-01 00:00:10"),
+        ("A", 3, "user", "1970-01-01 00:00:11"),
+        ("A", 4, "assistant", "1970-01-01 00:00:14.5"),
+        # conv B: no qualifying pair -> no row
+        ("B", 0, "assistant", "1970-01-01 00:00:00"),
+        ("B", 1, "user", "1970-01-01 00:00:01"),
+    ]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, ts_s string"
+    ).select(
+        "conv_id",
+        "turn_idx",
+        "role",
+        F.col("ts_s").cast("timestamp").alias("ts"),
+    )
+    got = response_latency(df).collect()
+    assert len(got) == 1 and got[0].conv_id == "A"
+    r = got[0]
+    assert r.n_pairs == 2
+    assert r.min_latency_us == 2_000_000
+    assert r.max_latency_us == 3_500_000
+    assert r.mean_latency_us == 2_750_000.0
+
+
+def test_response_latency_on_generated_transcripts(spark):
+    from protosc_spark.datagen import generate_transcripts
+    from protosc_spark.windows import response_latency
+
+    tr = generate_transcripts(spark, n_conversations=60, seed=7)
+    out = response_latency(tr).collect()
+    assert out  # user->assistant adjacency exists in the generator
+    for r in out:
+        assert r.min_latency_us >= 0
+        assert r.min_latency_us <= r.mean_latency_us <= r.max_latency_us
+    # deterministic under repartitioning
+    again = {
+        r.conv_id: r
+        for r in response_latency(tr.repartition(17)).collect()
+    }
+    assert {r.conv_id: r for r in out} == again
