@@ -753,6 +753,28 @@ def _corpus_ols2(spark, sf_dir):
     ).orderBy("source")
 
 
+def _events_ratio_delta(spark, sf_dir):
+    """Delta-method A/B readout for the purchases-per-view ratio
+    metric on the md5 'exp1' split (unit of analysis != unit of
+    randomization, so the naive proportion variance is wrong).
+    DuckDB oracle replays the per-user counts, the exact per-arm
+    moments and the linearized variance."""
+    from protosc_spark.experiment import ratio_delta_readout
+
+    ev = _read(spark, sf_dir, "events").select(
+        "user_id", "event_type"
+    )
+    t = ratio_delta_readout(ev)
+    return t.select(
+        "n_a",
+        "n_b",
+        F.round("ratio_a", 6).alias("ratio_a"),
+        F.round("ratio_b", 6).alias("ratio_b"),
+        F.round("diff", 6).alias("diff"),
+        F.round("z", 6).alias("z"),
+    )
+
+
 def _events_response_latency(spark, sf_dir):
     """Per-user view->purchase response latency over the
     (ts, event_id)-ordered event stream: exact microsecond gaps for
@@ -3032,6 +3054,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     full-surface green regardless of this ordering."""
     return {
         # --- round 5 ---
+        "events_ratio_delta": _events_ratio_delta,
         "events_response_latency": _events_response_latency,
         "corpus_cube_stats": _corpus_cube_stats,
         "corpus_profile": _corpus_profile,
@@ -3297,6 +3320,58 @@ def oracle_sql() -> dict[str, str]:
         for t in POISSON1_T60
     )
     out = {
+        "events_ratio_delta": """
+            WITH u AS (
+              SELECT user_id,
+                     sum(CASE WHEN event_type = 'purchase'
+                              THEN 1 ELSE 0 END)::HUGEINT AS y,
+                     sum(CASE WHEN event_type = 'view'
+                              THEN 1 ELSE 0 END)::HUGEINT AS x,
+                     ('0x' || substr(md5('exp1' || chr(31)
+                                         || user_id::VARCHAR),
+                                     1, 15))::BIGINT % 2 AS v
+              FROM events GROUP BY user_id
+            ), m AS (
+              SELECT v, count(*)::HUGEINT AS n,
+                     sum(x) AS sx, sum(y) AS sy,
+                     sum(x * x) AS sxx, sum(x * y) AS sxy,
+                     sum(y * y) AS syy
+              FROM u GROUP BY v
+            ), s AS (
+              SELECT v, n, sx,
+                     CASE WHEN sx > 0
+                          THEN sy::DOUBLE / sx::DOUBLE END AS r,
+                     (syy::DOUBLE - sy::DOUBLE * sy::DOUBLE
+                                    / n::DOUBLE)
+                       / (n::DOUBLE - 1.0) AS s_yy,
+                     (sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE
+                                    / n::DOUBLE)
+                       / (n::DOUBLE - 1.0) AS s_xx,
+                     (sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE
+                                    / n::DOUBLE)
+                       / (n::DOUBLE - 1.0) AS s_xy,
+                     sx::DOUBLE / n::DOUBLE AS xbar
+              FROM m
+            ), f AS (
+              SELECT v, n, r,
+                     (s_yy - 2.0 * r * s_xy + r * r * s_xx)
+                       / (n::DOUBLE * xbar * xbar) AS var
+              FROM s
+            )
+            SELECT a.n::BIGINT AS n_a, b.n::BIGINT AS n_b,
+                   round(a.r, 6) AS ratio_a,
+                   round(b.r, 6) AS ratio_b,
+                   round(b.r - a.r, 6) AS diff,
+                   CASE WHEN a.n >= 2 AND b.n >= 2
+                             AND a.r IS NOT NULL
+                             AND b.r IS NOT NULL
+                             AND sqrt(a.var + b.var) > 0
+                        THEN round((b.r - a.r)
+                                   / sqrt(a.var + b.var), 6)
+                   END AS z
+            FROM (SELECT * FROM f WHERE v = 0) a
+            CROSS JOIN (SELECT * FROM f WHERE v = 1) b
+        """,
         "events_response_latency": """
             WITH o AS (
               SELECT user_id, event_type,

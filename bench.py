@@ -143,6 +143,7 @@ HEADLINE = [
     "corpus_profile",
     "corpus_cube_stats",
     "events_response_latency",
+    "events_ratio_delta",
 ]
 
 BENCH_CONVERSATIONS = int(os.environ.get("PROTOSC_BENCH_CONVS", "20000"))

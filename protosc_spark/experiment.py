@@ -336,3 +336,107 @@ def cuped_readout(
         F.when(okn & (se_adj > 0), adj_diff / se_adj).alias("z_adj"),
         rho2.alias("rho2"),
     )
+
+
+def ratio_delta_readout(
+    df: DataFrame,
+    id_col: str = "user_id",
+    state_col: str = "event_type",
+    num_state: str = "purchase",
+    den_state: str = "view",
+    salt: str = "exp1",
+) -> DataFrame:
+    """A/B readout for a RATIO-OF-SUMS metric (purchases per view)
+    with the delta-method variance (Deng, Knoblich, Lu 2018): the
+    per-arm metric is R = sum(y_u) / sum(x_u), whose unit of analysis
+    (events) differs from the unit of randomization (users), so the
+    naive binomial/proportion variance is wrong; the delta method
+    linearizes around the means:
+
+        Var(R) ~= (s_yy - 2 R s_xy + R^2 s_xx) / (n * xbar^2)
+
+    with s_** the per-USER sample (co)variances and xbar the mean
+    denominator per user. z = (R_b - R_a) / sqrt(Var_a + Var_b).
+
+    Exactness: per-user x/y counts and all five moments per arm are
+    exact DECIMAL integers from ONE conditional aggregate (the
+    cuped_readout shape); R, the covariances and z are closed float
+    expressions of them — parallelism-independent, SQL-replayable.
+    Output: (n_a, n_b, ratio_a, ratio_b, diff, z) — ratio NULL for
+    an arm with zero denominator events, z NULL when either ratio is
+    NULL, either arm has < 2 users, or the combined variance is 0."""
+    dec = "decimal(38,0)"
+    users = (
+        df.groupBy(id_col)
+        .agg(
+            F.sum(
+                F.when(F.col(state_col) == num_state, 1).otherwise(0)
+            )
+            .cast(dec)
+            .alias("y"),
+            F.sum(
+                F.when(F.col(state_col) == den_state, 1).otherwise(0)
+            )
+            .cast(dec)
+            .alias("x"),
+        )
+        .withColumn(
+            "v", hash_bucket([id_col], salt=salt, n_buckets=2)
+        )
+    )
+
+    def arm(tag, cond):
+        one = F.when(cond, 1).otherwise(0).cast(dec)
+        x, y = F.col("x"), F.col("y")
+        return [
+            F.sum(one).alias(f"n{tag}"),
+            F.sum(one * x).alias(f"sx{tag}"),
+            F.sum(one * y).alias(f"sy{tag}"),
+            F.sum(one * x * x).alias(f"sxx{tag}"),
+            F.sum(one * x * y).alias(f"sxy{tag}"),
+            F.sum(one * y * y).alias(f"syy{tag}"),
+        ]
+
+    g = users.agg(
+        *arm("a", F.col("v") == 0), *arm("b", F.col("v") == 1)
+    )
+
+    def d(c):
+        return F.col(c).cast("double")
+
+    def arm_stats(tag):
+        n = d(f"n{tag}")
+        sx, sy = d(f"sx{tag}"), d(f"sy{tag}")
+        ratio = F.when(
+            F.col(f"sx{tag}") > 0, sy / sx
+        )
+        xbar = sx / n
+        cm = n - F.lit(1.0)
+        s_xx = (d(f"sxx{tag}") - sx * sx / n) / cm
+        s_yy = (d(f"syy{tag}") - sy * sy / n) / cm
+        s_xy = (d(f"sxy{tag}") - sx * sy / n) / cm
+        var = (
+            s_yy
+            - F.lit(2.0) * ratio * s_xy
+            + ratio * ratio * s_xx
+        ) / (n * xbar * xbar)
+        return n, ratio, var
+
+    na, ra, va = arm_stats("a")
+    nb, rb, vb = arm_stats("b")
+    diff = rb - ra
+    se = F.sqrt(va + vb)
+    ok = (
+        (F.col("na") >= 2)
+        & (F.col("nb") >= 2)
+        & ra.isNotNull()
+        & rb.isNotNull()
+    )
+    return g.select(
+        F.col("na").cast("bigint").alias("n_a"),
+        F.col("nb").cast("bigint").alias("n_b"),
+        ra.alias("ratio_a"),
+        rb.alias("ratio_b"),
+        diff.alias("diff"),
+        F.when(ok & (se > 0), diff / se).alias("z"),
+    )

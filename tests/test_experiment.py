@@ -249,3 +249,72 @@ def test_cuped_constant_covariate_degrades_to_raw(spark):
     assert r.theta == 0.0
     assert r.adj_mean_a == r.mean_a and r.adj_mean_b == r.mean_b
     assert r.z_adj == r.z_raw and r.rho2 is None
+
+
+# --- delta-method ratio metric ---
+
+
+def _ratio_delta_bruteforce(users):
+    import math
+
+    import numpy as np
+
+    out = {}
+    for tag, vv in (("a", 0), ("b", 1)):
+        x = np.array([u[1] for u in users if u[0] == vv], dtype=float)
+        y = np.array([u[2] for u in users if u[0] == vv], dtype=float)
+        n = len(x)
+        r = y.sum() / x.sum()
+        xbar = x.mean()
+        s_xx = x.var(ddof=1)
+        s_yy = y.var(ddof=1)
+        s_xy = ((x - x.mean()) * (y - y.mean())).sum() / (n - 1)
+        var = (s_yy - 2 * r * s_xy + r * r * s_xx) / (n * xbar**2)
+        out[tag] = (n, r, var)
+    diff = out["b"][1] - out["a"][1]
+    z = diff / math.sqrt(out["a"][2] + out["b"][2])
+    return out, diff, z
+
+
+def test_ratio_delta_matches_bruteforce(spark):
+    from protosc_spark.experiment import ratio_delta_readout
+    from protosc_spark.sampling import hash_bucket
+
+    rows = []
+    for uid in range(300):
+        x = 1 + (uid * 7) % 5  # views (>=1 so ratios are defined)
+        y = (uid * 7) % 3  # purchases
+        rows += [(uid, "view")] * x + [(uid, "purchase")] * y
+    df = spark.createDataFrame(rows, "user_id long, event_type string")
+    r = ratio_delta_readout(df).collect()[0]
+    variants = {
+        u.user_id: u.bucket
+        for u in df.select("user_id")
+        .distinct()
+        .select(
+            "user_id", hash_bucket(["user_id"], salt="exp1", n_buckets=2)
+        )
+        .collect()
+    }
+    users = [
+        (variants[uid], 1 + (uid * 7) % 5, (uid * 7) % 3)
+        for uid in range(300)
+    ]
+    want, diff, z = _ratio_delta_bruteforce(users)
+    assert (r.n_a, r.n_b) == (want["a"][0], want["b"][0])
+    assert abs(r.ratio_a - want["a"][1]) < 1e-12
+    assert abs(r.ratio_b - want["b"][1]) < 1e-12
+    assert abs(r.diff - diff) < 1e-12
+    assert abs(r.z - z) < 1e-9
+    # the metric itself is a per-view rate, not a per-user mean
+    assert 0 < r.ratio_a < 1
+
+
+def test_ratio_delta_zero_denominator_arm(spark):
+    from protosc_spark.experiment import ratio_delta_readout
+
+    # only purchases: both arms have zero views -> NULL ratios/z
+    rows = [(uid, "purchase") for uid in range(40)]
+    df = spark.createDataFrame(rows, "user_id long, event_type string")
+    r = ratio_delta_readout(df).collect()[0]
+    assert r.ratio_a is None and r.ratio_b is None and r.z is None
