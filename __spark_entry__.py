@@ -753,6 +753,32 @@ def _corpus_ols2(spark, sf_dir):
     ).orderBy("source")
 
 
+def _corpus_lift_table(spark, sf_dir):
+    """Decile lift / cumulative-gains table ranking documents by
+    n_chars (descending) against the is-English label — the
+    model-eval readout beside corpus_auc_exact. DuckDB oracle
+    replays the score histogram, the integer ceil-division bin rule
+    and both cumulative windows."""
+    from protosc_spark.evaluation import lift_table
+
+    docs = _read(spark, sf_dir, "documents").select(
+        F.col("n_chars").alias("score"),
+        (F.col("lang") == F.lit("en")).cast("int").alias("y"),
+    )
+    t = lift_table(docs, "score", "y", n_bins=10)
+    return t.select(
+        "bin",
+        "n",
+        "n_pos",
+        F.round("rate", 6).alias("rate"),
+        F.round("lift", 6).alias("lift"),
+        "cum_n",
+        "cum_pos",
+        F.round("cum_gain", 6).alias("cum_gain"),
+        F.round("cum_lift", 6).alias("cum_lift"),
+    ).orderBy("bin")
+
+
 def _events_ratio_delta(spark, sf_dir):
     """Delta-method A/B readout for the purchases-per-view ratio
     metric on the md5 'exp1' split (unit of analysis != unit of
@@ -3054,6 +3080,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     full-surface green regardless of this ordering."""
     return {
         # --- round 5 ---
+        "corpus_lift_table": _corpus_lift_table,
         "events_ratio_delta": _events_ratio_delta,
         "events_response_latency": _events_response_latency,
         "corpus_cube_stats": _corpus_cube_stats,
@@ -3320,6 +3347,48 @@ def oracle_sql() -> dict[str, str]:
         for t in POISSON1_T60
     )
     out = {
+        "corpus_lift_table": """
+            WITH hist AS (
+              SELECT n_chars AS s, count(*)::BIGINT AS c,
+                     sum((lang = 'en')::BIGINT)::BIGINT AS p
+              FROM documents GROUP BY 1
+            ), tot AS (
+              SELECT sum(c)::BIGINT AS n, sum(p)::BIGINT AS tp
+              FROM hist
+            ), cum AS (
+              SELECT sum(c) OVER (ORDER BY s DESC) AS cumc, c, p
+              FROM hist
+            ), binned AS (
+              SELECT ((cumc * 10 + t.n - 1) // t.n)::BIGINT AS bin,
+                     c, p, t.n, t.tp
+              FROM cum CROSS JOIN tot t
+            ), bins AS (
+              SELECT bin, n, tp,
+                     sum(c)::BIGINT AS bn,
+                     sum(p)::BIGINT AS bp
+              FROM binned GROUP BY 1, 2, 3
+            )
+            SELECT bin::INT AS bin, bn AS n, bp AS n_pos,
+                   round(bp::DOUBLE / bn::DOUBLE, 6) AS rate,
+                   CASE WHEN tp > 0
+                        THEN round((bp::DOUBLE / bn::DOUBLE)
+                                   / (tp::DOUBLE / n::DOUBLE), 6)
+                   END AS lift,
+                   (sum(bn) OVER (ORDER BY bin))::BIGINT AS cum_n,
+                   (sum(bp) OVER (ORDER BY bin))::BIGINT AS cum_pos,
+                   CASE WHEN tp > 0
+                        THEN round((sum(bp) OVER (ORDER BY bin))
+                                   ::DOUBLE / tp::DOUBLE, 6)
+                   END AS cum_gain,
+                   CASE WHEN tp > 0
+                        THEN round(((sum(bp) OVER (ORDER BY bin))
+                                    ::DOUBLE
+                                    / (sum(bn) OVER (ORDER BY bin))
+                                      ::DOUBLE)
+                                   / (tp::DOUBLE / n::DOUBLE), 6)
+                   END AS cum_lift
+            FROM bins ORDER BY bin
+        """,
         "events_ratio_delta": """
             WITH u AS (
               SELECT user_id,

@@ -144,6 +144,7 @@ HEADLINE = [
     "corpus_cube_stats",
     "events_response_latency",
     "events_ratio_delta",
+    "corpus_lift_table",
 ]
 
 BENCH_CONVERSATIONS = int(os.environ.get("PROTOSC_BENCH_CONVS", "20000"))

@@ -717,3 +717,91 @@ def kendall_tau(df: DataFrame, a_col: str, b_col: str) -> DataFrame:
             / F.sqrt(den),
         ).alias("tau_b"),
     )
+
+
+def lift_table(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    n_bins: int = 10,
+) -> DataFrame:
+    """Decile lift / cumulative-gains table — the model-eval readout
+    between auc_exact (one number) and calibration_bins (probability
+    quality): rank rows by score DESCENDING, cut into ``n_bins``
+    rank bins, and report each bin's positive rate against the base
+    rate plus the cumulative gain curve ("the top 20% of scores
+    captures X% of all positives").
+
+    Tie rule (deterministic, SQL-replayable): all rows sharing a
+    score value live in the SAME bin — the bin of the value group's
+    cumulative endpoint, bin = ceil(cum * B / n) in pure integer
+    arithmetic ((cum * B + n - 1) DIV n). Heavy ties therefore make
+    uneven bins (n per bin is reported); no row-level rank is ever
+    materialized.
+
+    Scale shape: ONE map-side-combined groupBy(score) histogram, a
+    cumulative window over the distinct-score table (the
+    quantiles_exact trick), a second groupBy down to <= n_bins rows
+    and a bin-count-sized cumulative window. Counts are exact
+    integers; rate/lift/gain are float ratios of them. Output:
+    (bin, n, n_pos, rate, lift, cum_n, cum_pos, cum_gain,
+    cum_lift); lift/cum_lift NULL when the corpus has no
+    positives."""
+    hist = df.groupBy(score_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("__c"),
+        F.sum(F.col(label_col).cast("bigint"))
+        .cast("bigint")
+        .alias("__p"),
+    )
+    w = (
+        W.orderBy(F.col(score_col).desc())
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    cum = hist.select(
+        F.sum("__c").over(w).alias("__cum"),
+        "__c",
+        "__p",
+    )
+    tot = hist.agg(
+        F.sum("__c").cast("bigint").alias("__n"),
+        F.sum("__p").cast("bigint").alias("__tp"),
+    )
+    binned = cum.crossJoin(F.broadcast(tot)).select(
+        F.expr(
+            f"CAST((__cum * {int(n_bins)} + __n - 1) DIV __n "
+            "AS BIGINT)"
+        ).alias("bin"),
+        "__c",
+        "__p",
+        "__n",
+        "__tp",
+    )
+    bins = binned.groupBy("bin", "__n", "__tp").agg(
+        F.sum("__c").cast("bigint").alias("n"),
+        F.sum("__p").cast("bigint").alias("n_pos"),
+    )
+    wb = W.orderBy("bin").rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    base = F.col("__tp").cast("double") / F.col("__n").cast("double")
+    rate = F.col("n_pos").cast("double") / F.col("n").cast("double")
+    cum_n = F.sum("n").over(wb).cast("bigint")
+    cum_pos = F.sum("n_pos").over(wb).cast("bigint")
+    has_pos = F.col("__tp") > 0
+    return bins.select(
+        F.col("bin").cast("int").alias("bin"),
+        "n",
+        "n_pos",
+        rate.alias("rate"),
+        F.when(has_pos, rate / base).alias("lift"),
+        cum_n.alias("cum_n"),
+        cum_pos.alias("cum_pos"),
+        F.when(
+            has_pos,
+            cum_pos.cast("double") / F.col("__tp").cast("double"),
+        ).alias("cum_gain"),
+        F.when(
+            has_pos,
+            (cum_pos.cast("double") / cum_n.cast("double")) / base,
+        ).alias("cum_lift"),
+    )

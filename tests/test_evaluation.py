@@ -547,3 +547,40 @@ def test_kendall_monotone_and_degenerate(spark):
     )
     r = kendall_tau(const, "a", "b").collect()[0]
     assert r.tau_b is None and r.n_concordant == 0
+
+
+# --- lift / cumulative gains ---
+
+
+def test_lift_table_perfect_separation_and_tie_rule(spark):
+    from protosc_spark.evaluation import lift_table
+
+    # 100 unique scores desc; positives are exactly the top 20
+    rows = [(100 - i, 1 if i < 20 else 0) for i in range(100)]
+    df = spark.createDataFrame(rows, "score long, y int")
+    got = {r.bin: r for r in lift_table(df, "score", "y").collect()}
+    assert set(got) == set(range(1, 11))
+    assert all(got[b].n == 10 for b in got)
+    assert got[1].n_pos == 10 and got[2].n_pos == 10
+    assert got[3].n_pos == 0
+    # base rate 0.2: top decile lift = 5, full-table lift = 1
+    assert got[1].lift == 5.0 and got[10].cum_lift == 1.0
+    assert got[2].cum_gain == 1.0  # top 20% captures all positives
+    # heavy tie: one value straddling a boundary lands in ONE bin
+    tie = [(5, 1)] * 30 + [(3, 0)] * 70
+    df2 = spark.createDataFrame(tie, "score long, y int")
+    g2 = {r.bin: r for r in lift_table(df2, "score", "y").collect()}
+    # ceil(30*10/100)=3: the whole score-5 group sits in bin 3
+    assert set(g2) == {3, 10} and g2[3].n == 30 and g2[10].n == 70
+    assert g2[3].n_pos == 30 and g2[10].n_pos == 0
+
+
+def test_lift_table_no_positives(spark):
+    from protosc_spark.evaluation import lift_table
+
+    df = spark.createDataFrame(
+        [(i, 0) for i in range(50)], "score long, y int"
+    )
+    rows = lift_table(df, "score", "y").collect()
+    assert all(r.lift is None and r.cum_gain is None for r in rows)
+    assert sum(r.n for r in rows) == 50
