@@ -753,6 +753,31 @@ def _corpus_ols2(spark, sf_dir):
     ).orderBy("source")
 
 
+def _corpus_langid_report(spark, sf_dir):
+    """Per-class precision/recall/F1 + accuracy of the engine's own
+    marker-word language_id against the labeled lang column — the
+    classifier eval report composed over an engine kernel. DuckDB
+    oracle recomputes the predictions from raw text (the txt_langid
+    CASE) and replays the pair histogram and every ratio."""
+    from protosc_spark.evaluation import classification_report
+    from protosc_spark.textops import language_id
+
+    docs = _read(spark, sf_dir, "documents")
+    pred = language_id(docs).select("doc_id", "lang_pred")
+    j = docs.select("doc_id", "lang").join(pred, "doc_id")
+    t = classification_report(j, "lang", "lang_pred")
+    return t.select(
+        "class",
+        "n_true",
+        "n_pred",
+        "tp",
+        F.round("precision", 6).alias("precision"),
+        F.round("recall", 6).alias("recall"),
+        F.round("f1", 6).alias("f1"),
+        F.round("accuracy", 6).alias("accuracy"),
+    ).orderBy("class")
+
+
 def _corpus_lift_table(spark, sf_dir):
     """Decile lift / cumulative-gains table ranking documents by
     n_chars (descending) against the is-English label — the
@@ -3080,6 +3105,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     full-surface green regardless of this ordering."""
     return {
         # --- round 5 ---
+        "corpus_langid_report": _corpus_langid_report,
         "corpus_lift_table": _corpus_lift_table,
         "events_ratio_delta": _events_ratio_delta,
         "events_response_latency": _events_response_latency,
@@ -3347,6 +3373,45 @@ def oracle_sql() -> dict[str, str]:
         for t in POISSON1_T60
     )
     out = {
+        "corpus_langid_report": f"""
+            WITH pred AS (
+              SELECT lang AS t, {_LANG_CASE} AS p FROM documents
+            ), pairs AS (
+              SELECT t, p, count(*)::BIGINT AS c
+              FROM pred GROUP BY 1, 2
+            ), bt AS (
+              SELECT t AS class, sum(c)::BIGINT AS n_true,
+                     sum(CASE WHEN p = t THEN c
+                              ELSE 0 END)::BIGINT AS tp
+              FROM pairs GROUP BY 1
+            ), bp AS (
+              SELECT p AS class, sum(c)::BIGINT AS n_pred
+              FROM pairs GROUP BY 1
+            ), cls AS (
+              SELECT coalesce(bt.class, bp.class) AS class,
+                     coalesce(n_true, 0) AS n_true,
+                     coalesce(n_pred, 0) AS n_pred,
+                     coalesce(tp, 0) AS tp
+              FROM bt FULL JOIN bp ON bt.class = bp.class
+            ), tot AS (
+              SELECT sum(c)::BIGINT AS n,
+                     sum(CASE WHEN p = t THEN c
+                              ELSE 0 END)::BIGINT AS corr
+              FROM pairs
+            )
+            SELECT class, n_true, n_pred, tp,
+                   CASE WHEN n_pred > 0
+                        THEN round(tp::DOUBLE / n_pred::DOUBLE, 6)
+                   END AS precision,
+                   CASE WHEN n_true > 0
+                        THEN round(tp::DOUBLE / n_true::DOUBLE, 6)
+                   END AS recall,
+                   round(2.0 * tp::DOUBLE
+                         / (n_true::DOUBLE + n_pred::DOUBLE), 6)
+                     AS f1,
+                   round(corr::DOUBLE / n::DOUBLE, 6) AS accuracy
+            FROM cls CROSS JOIN tot ORDER BY class
+        """,
         "corpus_lift_table": """
             WITH hist AS (
               SELECT n_chars AS s, count(*)::BIGINT AS c,

@@ -145,6 +145,7 @@ HEADLINE = [
     "events_response_latency",
     "events_ratio_delta",
     "corpus_lift_table",
+    "corpus_langid_report",
 ]
 
 BENCH_CONVERSATIONS = int(os.environ.get("PROTOSC_BENCH_CONVS", "20000"))

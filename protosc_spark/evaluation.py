@@ -805,3 +805,81 @@ def lift_table(
             (cum_pos.cast("double") / cum_n.cast("double")) / base,
         ).alias("cum_lift"),
     )
+
+
+def classification_report(
+    df: DataFrame,
+    true_col: str,
+    pred_col: str,
+) -> DataFrame:
+    """Per-class confusion statistics for a multi-class classifier —
+    the sklearn-style report (precision/recall/F1 per class +
+    overall accuracy) the eval family was missing between auc_exact
+    (binary ranking) and cohens_kappa (chance-corrected agreement).
+
+    Per class c over the (true, pred) pair histogram:
+        tp = |true = c & pred = c|,  n_true = |true = c|,
+        n_pred = |pred = c|,
+        precision = tp / n_pred        (NULL when never predicted)
+        recall    = tp / n_true        (NULL when never occurs)
+        f1 = 2 tp / (n_true + n_pred)  (the 2PR/(P+R) identity in
+                                        exact integers)
+    accuracy = sum(tp) / n, repeated on every row. Classes are the
+    UNION of observed true and pred labels (a never-true predicted
+    class gets a row with n_true = 0). Rows with a NULL label on
+    either side are dropped.
+
+    Scale shape: one map-side-combined groupBy down to the
+    |classes|^2 pair histogram; everything after is arithmetic on
+    class-sized rollups plus one broadcast 1-row total. All counts
+    exact integers; the four ratios are single float divisions.
+    Output: (class, n_true, n_pred, tp, precision, recall, f1,
+    accuracy)."""
+    pairs = (
+        df.where(
+            F.col(true_col).isNotNull() & F.col(pred_col).isNotNull()
+        )
+        .groupBy(
+            F.col(true_col).alias("__t"), F.col(pred_col).alias("__p")
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("__c"))
+    )
+    by_true = pairs.groupBy(F.col("__t").alias("class")).agg(
+        F.sum("__c").cast("bigint").alias("n_true"),
+        F.sum(F.when(F.col("__p") == F.col("__t"), F.col("__c")))
+        .cast("bigint")
+        .alias("__tp_t"),
+    )
+    by_pred = pairs.groupBy(F.col("__p").alias("class")).agg(
+        F.sum("__c").cast("bigint").alias("n_pred")
+    )
+    cls = by_true.join(by_pred, "class", "full").select(
+        "class",
+        F.coalesce("n_true", F.lit(0)).cast("bigint").alias("n_true"),
+        F.coalesce("n_pred", F.lit(0)).cast("bigint").alias("n_pred"),
+        F.coalesce("__tp_t", F.lit(0)).cast("bigint").alias("tp"),
+    )
+    tot = pairs.agg(
+        F.sum("__c").cast("bigint").alias("__n"),
+        F.sum(F.when(F.col("__p") == F.col("__t"), F.col("__c")))
+        .cast("bigint")
+        .alias("__corr"),
+    )
+    tp, nt, np_ = (
+        F.col("tp").cast("double"),
+        F.col("n_true").cast("double"),
+        F.col("n_pred").cast("double"),
+    )
+    return cls.crossJoin(F.broadcast(tot)).select(
+        "class",
+        "n_true",
+        "n_pred",
+        "tp",
+        F.when(F.col("n_pred") > 0, tp / np_).alias("precision"),
+        F.when(F.col("n_true") > 0, tp / nt).alias("recall"),
+        (F.lit(2.0) * tp / (nt + np_)).alias("f1"),
+        (
+            F.coalesce(F.col("__corr"), F.lit(0)).cast("double")
+            / F.col("__n").cast("double")
+        ).alias("accuracy"),
+    )

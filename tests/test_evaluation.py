@@ -584,3 +584,35 @@ def test_lift_table_no_positives(spark):
     rows = lift_table(df, "score", "y").collect()
     assert all(r.lift is None and r.cum_gain is None for r in rows)
     assert sum(r.n for r in rows) == 50
+
+
+# --- classification report ---
+
+
+def test_classification_report_hand_case(spark):
+    from protosc_spark.evaluation import classification_report
+
+    # true: a a a b b c ; pred: a b a b c c, plus a never-true pred 'd'
+    rows = [
+        ("a", "a"), ("a", "b"), ("a", "a"),
+        ("b", "b"), ("b", "c"),
+        ("c", "c"),
+        ("a", "d"),
+        ("c", None),  # dropped
+    ]
+    df = spark.createDataFrame(rows, "t string, p string")
+    got = {
+        r["class"]: r
+        for r in classification_report(df, "t", "p").collect()
+    }
+    assert set(got) == {"a", "b", "c", "d"}
+    a = got["a"]
+    assert (a.n_true, a.n_pred, a.tp) == (4, 2, 2)
+    assert a.precision == 1.0 and a.recall == 0.5
+    assert abs(a.f1 - (2 * 2 / (4 + 2))) < 1e-12
+    d = got["d"]
+    assert (d.n_true, d.n_pred, d.tp) == (0, 1, 0)
+    assert d.precision == 0.0 and d.recall is None and d.f1 == 0.0
+    # accuracy over the 7 kept rows: a,a,b,c correct = 4/7
+    assert abs(a.accuracy - 4 / 7) < 1e-12
+    assert all(abs(r.accuracy - 4 / 7) < 1e-12 for r in got.values())
