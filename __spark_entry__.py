@@ -753,6 +753,55 @@ def _corpus_ols2(spark, sf_dir):
     ).orderBy("source")
 
 
+def _corpus_loo_influence(spark, sf_dir):
+    """Leave-one-source-out influence on the corpus mean n_chars +
+    the delete-one-group jackknife SE — the "is one source steering
+    this number" audit. DuckDB oracle replays the exact group sums,
+    each leave-out mean, the quantized jackknife sums and the final
+    float tree."""
+    from protosc_spark.skew import loo_influence
+
+    docs = _read(spark, sf_dir, "documents").select(
+        "source", "n_chars"
+    )
+    t = loo_influence(docs, "n_chars", "source")
+    return t.select(
+        "source",
+        "n",
+        F.round("mean_g", 6).alias("mean_g"),
+        F.round("mean_without", 6).alias("mean_without"),
+        F.round("influence", 6).alias("influence"),
+        F.round("jk_se", 6).alias("jk_se"),
+    ).orderBy("source")
+
+
+def _corpus_simpson(spark, sf_dir):
+    """Simpson's-paradox audit of the n_chars vs 'e'-count
+    association pooled vs within-lang strata — every direction
+    decision is the sign of an exact integer covariance numerator.
+    DuckDB oracle replays the per-stratum moments, the integer sign
+    algebra and the reversal flag."""
+    from protosc_spark.skew import simpson_audit
+
+    docs = _read(spark, sf_dir, "documents").select(
+        "lang",
+        F.col("n_chars").alias("x"),
+        F.expr(
+            "length(text) - length(replace(text, 'e', ''))"
+        ).alias("y"),
+    )
+    t = simpson_audit(docs, "x", "y", "lang")
+    return t.select(
+        "n",
+        "n_strata",
+        F.round("pooled_slope", 6).alias("pooled_slope"),
+        "n_pos_strata",
+        "n_neg_strata",
+        "n_zero_strata",
+        "all_reversed",
+    )
+
+
 def _corpus_langid_report(spark, sf_dir):
     """Per-class precision/recall/F1 + accuracy of the engine's own
     marker-word language_id against the labeled lang column — the
@@ -3105,6 +3154,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     full-surface green regardless of this ordering."""
     return {
         # --- round 5 ---
+        "corpus_loo_influence": _corpus_loo_influence,
+        "corpus_simpson": _corpus_simpson,
         "corpus_langid_report": _corpus_langid_report,
         "corpus_lift_table": _corpus_lift_table,
         "events_ratio_delta": _events_ratio_delta,
@@ -3373,6 +3424,105 @@ def oracle_sql() -> dict[str, str]:
         for t in POISSON1_T60
     )
     out = {
+        "corpus_loo_influence": """
+            WITH g AS (
+              SELECT source, count(*)::HUGEINT AS ng,
+                     sum(n_chars)::HUGEINT AS sg
+              FROM documents GROUP BY 1
+            ), tot AS (
+              SELECT sum(ng) AS n, sum(sg) AS s,
+                     count(*)::BIGINT AS gd
+              FROM g
+            ), j AS (
+              SELECT g.source, g.ng, g.sg, t.n, t.s, t.gd,
+                     CASE WHEN t.n - g.ng > 0
+                          THEN (t.s - g.sg)::DOUBLE
+                               / (t.n - g.ng)::DOUBLE END AS mwo
+              FROM g CROSS JOIN tot t
+            ), q AS (
+              SELECT sum(floor(mwo * 1e9)::HUGEINT) AS qsum
+              FROM j
+            ), j2 AS (
+              SELECT j.*, q.qsum FROM j CROSS JOIN q
+            ), se AS (
+              SELECT CASE WHEN max(gd) > 1 THEN
+                       sqrt((max(gd) - 1)::DOUBLE
+                            / max(gd)::DOUBLE
+                            * (sum(floor(
+                                (mwo - qsum::DOUBLE / 1e9
+                                       / gd::DOUBLE)
+                                * (mwo - qsum::DOUBLE / 1e9
+                                         / gd::DOUBLE)
+                                * 1e9)::HUGEINT)::DOUBLE / 1e9))
+                     END AS jk_se
+              FROM j2
+            )
+            SELECT j.source, j.ng::BIGINT AS n,
+                   round(j.sg::DOUBLE / j.ng::DOUBLE, 6) AS mean_g,
+                   round(j.mwo, 6) AS mean_without,
+                   round(j.s::DOUBLE / j.n::DOUBLE - j.mwo, 6)
+                     AS influence,
+                   round(se.jk_se, 6) AS jk_se
+            FROM j CROSS JOIN se ORDER BY j.source
+        """,
+        "corpus_simpson": """
+            WITH base AS (
+              SELECT lang, n_chars::HUGEINT AS x,
+                     (length(text)
+                      - length(replace(text, 'e', '')))
+                       ::HUGEINT AS y
+              FROM documents
+            ), st AS (
+              SELECT lang, count(*)::HUGEINT AS n,
+                     sum(x) AS sx, sum(y) AS sy,
+                     sum(x * x) AS sxx, sum(x * y) AS sxy
+              FROM base GROUP BY 1
+            ), m AS (
+              SELECT lang,
+                     CASE WHEN n * sxx - sx * sx > 0
+                          THEN sign((n * sxy
+                                     - sx * sy)::DOUBLE)::INT
+                     END AS sgn
+              FROM st
+            ), p AS (
+              SELECT count(*)::HUGEINT AS n, sum(x) AS sx,
+                     sum(y) AS sy, sum(x * x) AS sxx,
+                     sum(x * y) AS sxy
+              FROM base
+            ), pp AS (
+              SELECT n::BIGINT AS n,
+                     CASE WHEN n * sxx - sx * sx > 0
+                          THEN (n * sxy - sx * sy)::DOUBLE
+                               / (n * sxx - sx * sx)::DOUBLE
+                     END AS pooled_slope,
+                     CASE WHEN n * sxx - sx * sx > 0
+                          THEN sign((n * sxy
+                                     - sx * sy)::DOUBLE)::INT
+                     END AS psgn
+              FROM p
+            ), r AS (
+              SELECT count(*)::BIGINT AS n_strata,
+                     sum(CASE WHEN sgn > 0 THEN 1
+                              ELSE 0 END)::BIGINT AS np,
+                     sum(CASE WHEN sgn < 0 THEN 1
+                              ELSE 0 END)::BIGINT AS nn,
+                     sum(CASE WHEN sgn = 0 THEN 1
+                              ELSE 0 END)::BIGINT AS nz,
+                     count(sgn)::BIGINT AS defined
+              FROM m
+            )
+            SELECT pp.n, r.n_strata,
+                   round(pp.pooled_slope, 6) AS pooled_slope,
+                   r.np AS n_pos_strata, r.nn AS n_neg_strata,
+                   r.nz AS n_zero_strata,
+                   (pp.psgn IS NOT NULL AND r.defined > 0
+                    AND ((pp.psgn > 0 AND r.np = 0
+                          AND r.nn = r.defined)
+                         OR (pp.psgn < 0 AND r.nn = 0
+                             AND r.np = r.defined)))
+                     AS all_reversed
+            FROM pp CROSS JOIN r
+        """,
         "corpus_langid_report": f"""
             WITH pred AS (
               SELECT lang AS t, {_LANG_CASE} AS p FROM documents

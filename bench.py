@@ -146,6 +146,8 @@ HEADLINE = [
     "events_ratio_delta",
     "corpus_lift_table",
     "corpus_langid_report",
+    "corpus_loo_influence",
+    "corpus_simpson",
 ]
 
 BENCH_CONVERSATIONS = int(os.environ.get("PROTOSC_BENCH_CONVS", "20000"))

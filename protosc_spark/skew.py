@@ -211,3 +211,184 @@ def profile_columns(df: DataFrame, cols: list[str]) -> DataFrame:
         F.col("__top")["val"].alias("top_value"),
         (-F.col("__top")["nc"]).cast("bigint").alias("top_count"),
     )
+
+
+def loo_influence(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    unit: int = 10**9,
+) -> DataFrame:
+    """Leave-one-group-out influence audit: how much does each slice
+    (source, shard, day) pull the corpus mean of an integer-valued
+    column? For each group g with sum S_g over n_g rows and corpus
+    totals S over n:
+
+        mean_without_g = (S - S_g) / (n - n_g)
+        influence_g    = mean - mean_without_g
+
+    plus the delete-one-group jackknife standard error
+    sqrt((G-1)/G * sum_g (m_g - m_bar)^2) repeated on every row —
+    the "is any single source steering this statistic" check run
+    before trusting a corpus-level number. Group sums are exact
+    DECIMAL integers; each leave-one-out mean is one float division;
+    the jackknife's cross-group sums quantize every term to integer
+    1/``unit`` units first (house rule for float sums over groups).
+
+    Scale shape: ONE map-side-combined groupBy to |groups| rows, a
+    broadcast 1-row total, arithmetic on that table; the jackknife
+    aggregate is |groups|-sized. Output: (group, n, mean_g,
+    mean_without, influence, jk_se); mean_without/influence NULL for
+    a group that is the whole corpus."""
+    dec = "decimal(38,0)"
+    g = df.groupBy(group_col).agg(
+        F.count(F.lit(1)).cast(dec).alias("__ng"),
+        F.sum(F.col(value_col).cast(dec)).alias("__sg"),
+    )
+    tot = g.agg(
+        F.sum("__ng").alias("__n"),
+        F.sum("__sg").alias("__s"),
+        F.count(F.lit(1)).cast("bigint").alias("__G"),
+    )
+    j = g.crossJoin(F.broadcast(tot))
+    mean = F.col("__s").cast("double") / F.col("__n").cast("double")
+    rest_n = F.col("__n") - F.col("__ng")
+    m_wo = F.when(
+        rest_n > 0,
+        (F.col("__s") - F.col("__sg")).cast("double")
+        / rest_n.cast("double"),
+    )
+    j = j.withColumn("__mwo", m_wo)
+    u = float(unit)
+    qm = F.floor(F.col("__mwo") * F.lit(u)).cast(dec)
+    jk = j.agg(
+        F.sum(qm).alias("__qsum"),
+        F.count(F.lit(1)).cast("bigint").alias("__gd"),
+    )
+    # m_bar from the quantized loo means, then the squared deviations
+    # quantized again — both sides of the oracle replay this exactly
+    j2 = j.crossJoin(F.broadcast(jk))
+    m_bar = F.col("__qsum").cast("double") / F.lit(u) / F.col(
+        "__gd"
+    ).cast("double")
+    dev = F.col("__mwo") - m_bar
+    qdev = F.floor(dev * dev * F.lit(u)).cast(dec)
+    se = j2.agg(
+        F.sum(qdev).alias("__qss"),
+        F.max("__gd").alias("__gd2"),
+    ).select(
+        F.when(
+            F.col("__gd2") > 1,
+            F.sqrt(
+                (F.col("__gd2") - 1).cast("double")
+                / F.col("__gd2").cast("double")
+                * (F.col("__qss").cast("double") / F.lit(u))
+            ),
+        ).alias("jk_se")
+    )
+    return (
+        j.crossJoin(F.broadcast(se))
+        .select(
+            group_col,
+            F.col("__ng").cast("bigint").alias("n"),
+            (
+                F.col("__sg").cast("double")
+                / F.col("__ng").cast("double")
+            ).alias("mean_g"),
+            F.col("__mwo").alias("mean_without"),
+            (mean - F.col("__mwo")).alias("influence"),
+            "jk_se",
+        )
+    )
+
+
+def simpson_audit(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    stratum_col: str,
+) -> DataFrame:
+    """Simpson's-paradox audit: does the POOLED x-y association
+    direction contradict the within-stratum directions? The p=1
+    regression-slope sign per scope is the sign of the exact integer
+    covariance numerator n*Sxy - Sx*Sy (the denominator n*Sxx - Sx^2
+    is non-negative), so every direction decision here is pure
+    integer arithmetic — no float enters until the reported pooled
+    slope itself. Inputs must be integer-valued (the ols2_fit
+    contract).
+
+        all_reversed = every stratum with a defined slope disagrees
+                       in sign with a defined pooled slope
+
+    — the classic paradox flag; n_pos/n_neg/n_zero_strata expose the
+    milder mixtures. Scale shape: one scan into per-stratum exact
+    moments (map-side combined), a 1-row rollup of those, arithmetic
+    on |strata| rows. Output: one row (n, n_strata, pooled_slope,
+    n_pos_strata, n_neg_strata, n_zero_strata, all_reversed);
+    pooled_slope NULL when x is constant (undefined direction —
+    all_reversed false)."""
+    dec = "decimal(38,0)"
+    x = F.col(x_col).cast(dec)
+    y = F.col(y_col).cast(dec)
+    st = df.groupBy(stratum_col).agg(
+        F.count(F.lit(1)).cast(dec).alias("n"),
+        F.sum(x).alias("sx"),
+        F.sum(y).alias("sy"),
+        F.sum(x * x).alias("sxx"),
+        F.sum(x * y).alias("sxy"),
+    )
+    cov = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    var = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    sgn = F.when(var > 0, F.signum(cov.cast("double")).cast("int"))
+    marked = st.withColumn("__sgn", sgn)
+    pooled = df.agg(
+        F.count(F.lit(1)).cast(dec).alias("n"),
+        F.sum(x).alias("sx"),
+        F.sum(y).alias("sy"),
+        F.sum(x * x).alias("sxx"),
+        F.sum(x * y).alias("sxy"),
+    ).select(
+        F.col("n").cast("bigint").alias("n"),
+        F.when(
+            var > 0, cov.cast("double") / var.cast("double")
+        ).alias("pooled_slope"),
+        F.when(var > 0, F.signum(cov.cast("double")).cast("int"))
+        .alias("__psgn"),
+    )
+    rollup = marked.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_strata"),
+        F.sum(F.when(F.col("__sgn") > 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_pos_strata"),
+        F.sum(F.when(F.col("__sgn") < 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_neg_strata"),
+        F.sum(F.when(F.col("__sgn") == 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_zero_strata"),
+        F.count("__sgn").cast("bigint").alias("__defined"),
+    )
+    return pooled.crossJoin(F.broadcast(rollup)).select(
+        "n",
+        "n_strata",
+        "pooled_slope",
+        "n_pos_strata",
+        "n_neg_strata",
+        "n_zero_strata",
+        (
+            F.col("__psgn").isNotNull()
+            & (F.col("__defined") > 0)
+            & (
+                (
+                    (F.col("__psgn") > 0)
+                    & (F.col("n_pos_strata") == 0)
+                    & (F.col("n_neg_strata") == F.col("__defined"))
+                )
+                | (
+                    (F.col("__psgn") < 0)
+                    & (F.col("n_neg_strata") == 0)
+                    & (F.col("n_pos_strata") == F.col("__defined"))
+                )
+            )
+        ).alias("all_reversed"),
+    )

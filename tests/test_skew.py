@@ -134,3 +134,71 @@ def test_profile_columns_counts_mode_and_all_null(spark):
     dead = got["dead"]
     assert (dead.n, dead.n_null, dead.n_distinct) == (6, 6, 0)
     assert dead.min_val is None and dead.top_value is None
+
+
+# --- leave-one-group-out influence ---
+
+
+def test_loo_influence_hand_case(spark):
+    from protosc_spark.skew import loo_influence
+    import math
+
+    rows = (
+        [("a", 10)] * 4 + [("b", 20)] * 4 + [("c", 90)] * 2
+    )  # c is the outlier slice
+    df = spark.createDataFrame(rows, "g string, v long")
+    got = {r.g: r for r in loo_influence(df, "v", "g").collect()}
+    mean = (40 + 80 + 180) / 10
+    m_wo = {
+        "a": (300 - 40) / 6,
+        "b": (300 - 80) / 6,
+        "c": (300 - 180) / 8,
+    }
+    for g in ("a", "b", "c"):
+        assert abs(got[g].mean_without - m_wo[g]) < 1e-9
+        assert abs(got[g].influence - (mean - m_wo[g])) < 1e-9
+    # c pulls the mean UP, a/b pull it down
+    assert abs(got["c"].influence - 15.0) < 1e-9
+    assert got["a"].influence < 0 < got["c"].influence
+    ms = list(m_wo.values())
+    mbar = sum(ms) / 3
+    jk = math.sqrt(2 / 3 * sum((m - mbar) ** 2 for m in ms))
+    assert abs(got["a"].jk_se - jk) < 1e-4  # quantized at 1e-9
+    # single-group corpus: no leave-out population
+    one = loo_influence(
+        spark.createDataFrame([("x", 5)], "g string, v long"), "v", "g"
+    ).collect()[0]
+    assert one.mean_without is None and one.influence is None
+
+
+# --- Simpson's paradox audit ---
+
+
+def test_simpson_planted_paradox_and_consistent_case(spark):
+    from protosc_spark.skew import simpson_audit
+
+    rows = []
+    # within each stratum y falls with x; across strata both rise
+    for x in range(5):
+        rows.append(("s1", x, 10 - x))
+    for x in range(10, 15):
+        rows.append(("s2", x, 40 - x))
+    df = spark.createDataFrame(rows, "st string, x long, y long")
+    r = simpson_audit(df, "x", "y", "st").collect()[0]
+    assert r.n == 10 and r.n_strata == 2
+    assert r.n_neg_strata == 2 and r.n_pos_strata == 0
+    assert r.pooled_slope > 0 and r.all_reversed
+    # consistent data: no flag
+    rows2 = [("s1", x, x) for x in range(5)] + [
+        ("s2", x, x + 3) for x in range(5)
+    ]
+    df2 = spark.createDataFrame(rows2, "st string, x long, y long")
+    r2 = simpson_audit(df2, "x", "y", "st").collect()[0]
+    assert r2.n_pos_strata == 2 and not r2.all_reversed
+    # constant-x stratum: slope undefined there, excluded from the
+    # reversal test; constant-x corpus: pooled NULL, flag false
+    df3 = spark.createDataFrame(
+        [("s1", 1, 5), ("s1", 1, 9)], "st string, x long, y long"
+    )
+    r3 = simpson_audit(df3, "x", "y", "st").collect()[0]
+    assert r3.pooled_slope is None and not r3.all_reversed
