@@ -753,6 +753,22 @@ def _corpus_ols2(spark, sf_dir):
     ).orderBy("source")
 
 
+def _corpus_drift_w1(spark, sf_dir):
+    """Wasserstein-1 drift between en and non-en n_chars
+    distributions — the integral companion to corpus_drift_ks, exact
+    with no unit parameter (every CDF-gap x value-gap term is an
+    integer). DuckDB oracle replays histogram, cumulative counts,
+    gaps and the single division."""
+    from protosc_spark.evaluation import wasserstein_by_group
+
+    docs = _read(spark, sf_dir, "documents").select(
+        "n_chars", (F.col("lang") == "en").cast("int").alias("g")
+    )
+    return wasserstein_by_group(docs, "n_chars", "g").select(
+        "n_1", "n_0", F.round("w1", 6).alias("w1")
+    )
+
+
 def _corpus_loo_influence(spark, sf_dir):
     """Leave-one-source-out influence on the corpus mean n_chars +
     the delete-one-group jackknife SE — the "is one source steering
@@ -3154,6 +3170,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     full-surface green regardless of this ordering."""
     return {
         # --- round 5 ---
+        "corpus_drift_w1": _corpus_drift_w1,
         "corpus_loo_influence": _corpus_loo_influence,
         "corpus_simpson": _corpus_simpson,
         "corpus_langid_report": _corpus_langid_report,
@@ -3424,6 +3441,31 @@ def oracle_sql() -> dict[str, str]:
         for t in POISSON1_T60
     )
     out = {
+        "corpus_drift_w1": """
+            WITH g AS (
+              SELECT n_chars AS v,
+                     sum((lang = 'en')::INT)::HUGEINT AS a,
+                     sum((lang != 'en')::INT)::HUGEINT AS b
+              FROM documents GROUP BY 1
+            ), h AS (
+              SELECT v,
+                     sum(a) OVER (ORDER BY v) AS ca,
+                     sum(b) OVER (ORDER BY v) AS cb,
+                     coalesce(lead(v) OVER (ORDER BY v), v)
+                       - v AS gap
+              FROM g
+            ), tot AS (
+              SELECT sum(a) AS na, sum(b) AS nb FROM g
+            )
+            SELECT na::BIGINT AS n_1, nb::BIGINT AS n_0,
+                   CASE WHEN na > 0 AND nb > 0
+                        THEN round(sum(abs(ca * nb - cb * na)
+                                       * gap)::DOUBLE
+                                   / (na * nb)::DOUBLE, 6)
+                   END AS w1
+            FROM h CROSS JOIN tot
+            GROUP BY na, nb
+        """,
         "corpus_loo_influence": """
             WITH g AS (
               SELECT source, count(*)::HUGEINT AS ng,

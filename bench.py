@@ -148,6 +148,7 @@ HEADLINE = [
     "corpus_langid_report",
     "corpus_loo_influence",
     "corpus_simpson",
+    "corpus_drift_w1",
 ]
 
 BENCH_CONVERSATIONS = int(os.environ.get("PROTOSC_BENCH_CONVS", "20000"))

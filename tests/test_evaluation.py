@@ -616,3 +616,42 @@ def test_classification_report_hand_case(spark):
     # accuracy over the 7 kept rows: a,a,b,c correct = 4/7
     assert abs(a.accuracy - 4 / 7) < 1e-12
     assert all(abs(r.accuracy - 4 / 7) < 1e-12 for r in got.values())
+
+
+# --- Wasserstein-1 drift ---
+
+
+def test_wasserstein_matches_scipy_style_bruteforce(spark):
+    from protosc_spark.evaluation import wasserstein_by_group
+
+    a = [1, 1, 2, 5, 9, 9, 9]  # group 1
+    b = [1, 3, 3, 4, 9]  # group 0
+    rows = [(v, 1) for v in a] + [(v, 0) for v in b]
+    df = spark.createDataFrame(rows, "v long, g int")
+    r = wasserstein_by_group(df, "v", "g").collect()[0]
+
+    # brute force: integrate |F1 - F0| over the merged value grid
+    def cdf(xs, v):
+        return sum(1 for x in xs if x <= v) / len(xs)
+
+    grid = sorted(set(a + b))
+    want = sum(
+        abs(cdf(a, grid[i]) - cdf(b, grid[i]))
+        * (grid[i + 1] - grid[i])
+        for i in range(len(grid) - 1)
+    )
+    assert (r.n_1, r.n_0) == (7, 5)
+    assert abs(r.w1 - want) < 1e-12
+    # identical distributions: zero distance
+    same = spark.createDataFrame(
+        [(v, g) for v in a for g in (0, 1)], "v long, g int"
+    )
+    assert wasserstein_by_group(same, "v", "g").collect()[0].w1 == 0.0
+    # pure location shift by +3: W1 == 3 exactly
+    shift = spark.createDataFrame(
+        [(v, 0) for v in a] + [(v + 3, 1) for v in a], "v long, g int"
+    )
+    assert (
+        abs(wasserstein_by_group(shift, "v", "g").collect()[0].w1 - 3.0)
+        < 1e-12
+    )
