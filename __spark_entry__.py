@@ -753,6 +753,42 @@ def _corpus_ols2(spark, sf_dir):
     ).orderBy("source")
 
 
+def _events_conversion_lag(spark, sf_dir):
+    """Funnel-latency distribution: per user, the exact microsecond
+    lag from the FIRST view to the first purchase at-or-after it,
+    then exact discrete quantiles of those lags via the
+    value-histogram collapse — a composition of the funnel pairing
+    with quantiles_exact. DuckDB oracle replays the first-event
+    joins, the integer lags and the ceil-rank quantile rule."""
+    from protosc_spark.sketches import quantiles_exact
+    from protosc_spark.windows import _epoch_us
+
+    ev = _read(spark, sf_dir, "events")
+    fv = (
+        ev.where(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min(_epoch_us("ts")).alias("__fv"))
+    )
+    pu = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", _epoch_us("ts").alias("__pt")
+    )
+    lags = (
+        pu.join(fv, "user_id")
+        .where(F.col("__pt") >= F.col("__fv"))
+        .groupBy("user_id", "__fv")
+        .agg(F.min("__pt").alias("__mp"))
+        .select(
+            (F.col("__mp") - F.col("__fv")).alias("lag_us")
+        )
+    )
+    t = quantiles_exact(
+        lags, "lag_us", qs=(0.25, 0.5, 0.75, 0.9)
+    )
+    return t.select(
+        "q", "n", F.col("value").cast("bigint").alias("lag_us")
+    ).orderBy("q")
+
+
 def _corpus_drift_w1(spark, sf_dir):
     """Wasserstein-1 drift between en and non-en n_chars
     distributions — the integral companion to corpus_drift_ks, exact
@@ -3170,6 +3206,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     full-surface green regardless of this ordering."""
     return {
         # --- round 5 ---
+        "events_conversion_lag": _events_conversion_lag,
         "corpus_drift_w1": _corpus_drift_w1,
         "corpus_loo_influence": _corpus_loo_influence,
         "corpus_simpson": _corpus_simpson,
@@ -3441,6 +3478,38 @@ def oracle_sql() -> dict[str, str]:
         for t in POISSON1_T60
     )
     out = {
+        "events_conversion_lag": """
+            WITH fv AS (
+              SELECT user_id, min(epoch_us(ts)) AS fv
+              FROM events WHERE event_type = 'view'
+              GROUP BY 1
+            ), lags AS (
+              SELECT min(epoch_us(e.ts)) - fv.fv AS lag_us
+              FROM events e JOIN fv ON fv.user_id = e.user_id
+              WHERE e.event_type = 'purchase'
+                AND epoch_us(e.ts) >= fv.fv
+              GROUP BY e.user_id, fv.fv
+            ), hist AS (
+              SELECT lag_us AS v, count(*)::BIGINT AS c
+              FROM lags GROUP BY 1
+            ), cum AS (
+              SELECT v,
+                     sum(c) OVER (ORDER BY v) AS cum,
+                     sum(c) OVER (ORDER BY v) - c AS prev
+              FROM hist
+            ), tot AS (
+              SELECT sum(c)::BIGINT AS n FROM hist
+            ), t AS (
+              SELECT n, q::DOUBLE AS q,
+                     greatest(ceil(q::DOUBLE * n)::BIGINT, 1) AS r
+              FROM tot CROSS JOIN (
+                SELECT unnest([0.25, 0.5, 0.75, 0.9]) AS q
+              )
+            )
+            SELECT t.q, t.n, c.v::BIGINT AS lag_us
+            FROM t JOIN cum c ON c.cum >= t.r AND c.prev < t.r
+            ORDER BY t.q
+        """,
         "corpus_drift_w1": """
             WITH g AS (
               SELECT n_chars AS v,

@@ -149,6 +149,7 @@ HEADLINE = [
     "corpus_loo_influence",
     "corpus_simpson",
     "corpus_drift_w1",
+    "events_conversion_lag",
 ]
 
 BENCH_CONVERSATIONS = int(os.environ.get("PROTOSC_BENCH_CONVS", "20000"))
