@@ -1150,6 +1150,11 @@ def volume_acf(
             .alias("x"),
         )
         .agg(F.count(F.lit(1)).cast(dec).alias("y"))
+        # the calendar-bounded daily table feeds moments, deviations
+        # and both sides of the lag join — materialize it once so the
+        # raw scan runs once, not once per branch (the dedup.py
+        # lineage-cut precedent; the table is |groups| x days rows)
+        .localCheckpoint(eager=True)
     )
     st = daily.groupBy(group_col).agg(
         F.count(F.lit(1)).cast(dec).alias("__n"),
@@ -1235,6 +1240,9 @@ def trend_mk(
             .alias("x"),
         )
         .agg(F.count(F.lit(1)).cast("bigint").alias("y"))
+        # reused by the pair join (both sides) and the tie rollup —
+        # materialize once (calendar-bounded; see volume_acf note)
+        .localCheckpoint(eager=True)
     )
     right = daily.select(
         F.col(group_col).alias("__g2"),
@@ -1423,6 +1431,9 @@ def volume_ccf(
             .alias("x"),
         )
         .agg(F.count(F.lit(1)).cast(dec).alias("y"))
+        # feeds moments + deviations + both join sides (8 raw scans
+        # without this) — materialize once (calendar-bounded)
+        .localCheckpoint(eager=True)
     )
     st = daily.groupBy(group_col).agg(
         F.count(F.lit(1)).cast(dec).alias("__n"),
@@ -1435,6 +1446,8 @@ def volume_ccf(
             "x",
             (F.col("__n") * F.col("y") - F.col("__s")).alias("d"),
         )
+        # deviations feed the denominator and BOTH lag-join sides
+        .localCheckpoint(eager=True)
     )
     den = dev.groupBy(group_col).agg(
         F.sum(F.col("d") * F.col("d")).alias("__den")

@@ -303,3 +303,14 @@ def test_cube_stats_single_pass_expand(spark, queries):
     # partial+final agg pair over the expanded rows: one exchange,
     # plus the final orderBy's range exchange
     assert n_shuffles(p) + p.count("Exchange rangepartitioning") <= 3
+
+
+def test_daily_monitor_pair_joins_materialize_daily_once(spark, queries):
+    """ACF/CCF/MK reuse the calendar-bounded daily table across
+    moments + both pair-join sides; the localCheckpoint makes the
+    raw scan run ONCE (the visible plan reads the checkpointed
+    table, so zero parquet scans remain in it — previously 6/8/3)."""
+    for name in ("events_acf_volume", "events_ccf_volume",
+                 "events_trend_mk"):
+        p = plan(queries[name](spark, SF))
+        assert p.count("FileScan parquet") == 0, name
