@@ -763,18 +763,28 @@ def _events_conversion_lag(spark, sf_dir):
     from protosc_spark.sketches import quantiles_exact
     from protosc_spark.windows import _epoch_us
 
+    from pyspark.sql import Window as W
+
     ev = _read(spark, sf_dir, "events")
-    fv = (
-        ev.where(F.col("event_type") == "view")
-        .groupBy("user_id")
-        .agg(F.min(_epoch_us("ts")).alias("__fv"))
-    )
-    pu = ev.where(F.col("event_type") == "purchase").select(
-        "user_id", _epoch_us("ts").alias("__pt")
-    )
+    # single-scan shape: the per-user first-view timestamp comes from
+    # one window over the same scan the purchase rows are read from
+    # (no self-join of two filtered branches)
+    wu = W.partitionBy("user_id")
+    fv = F.min(
+        F.when(F.col("event_type") == "view", _epoch_us("ts"))
+    ).over(wu)
     lags = (
-        pu.join(fv, "user_id")
-        .where(F.col("__pt") >= F.col("__fv"))
+        ev.select(
+            "user_id",
+            "event_type",
+            _epoch_us("ts").alias("__pt"),
+            fv.alias("__fv"),
+        )
+        .where(
+            (F.col("event_type") == "purchase")
+            & F.col("__fv").isNotNull()
+            & (F.col("__pt") >= F.col("__fv"))
+        )
         .groupBy("user_id", "__fv")
         .agg(F.min("__pt").alias("__mp"))
         .select(

@@ -237,7 +237,7 @@ def woe_iv(
     bins = stacked.groupBy("feature", "bin").agg(
         F.count(F.lit(1)).cast("bigint").alias("n"),
         F.sum("__y").cast("bigint").alias("n_pos"),
-    )
+    ).localCheckpoint(eager=True)  # feeds totals + join: scan once
     tot = bins.groupBy("feature").agg(
         F.sum("n").alias("__nt"),
         F.sum("n_pos").alias("__pt"),

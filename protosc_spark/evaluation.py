@@ -752,7 +752,7 @@ def lift_table(
         F.sum(F.col(label_col).cast("bigint"))
         .cast("bigint")
         .alias("__p"),
-    )
+    ).localCheckpoint(eager=True)  # feeds cum + totals: scan once
     w = (
         W.orderBy(F.col(score_col).desc())
         .rowsBetween(W.unboundedPreceding, W.currentRow)
@@ -843,6 +843,8 @@ def classification_report(
             F.col(true_col).alias("__t"), F.col(pred_col).alias("__p")
         )
         .agg(F.count(F.lit(1)).cast("bigint").alias("__c"))
+        # classes^2-sized; feeds three rollups: scan once
+        .localCheckpoint(eager=True)
     )
     by_true = pairs.groupBy(F.col("__t").alias("class")).agg(
         F.sum("__c").cast("bigint").alias("n_true"),
@@ -920,6 +922,8 @@ def wasserstein_by_group(
             F.sum(y).cast(dec).alias("__a"),
             F.sum(1 - y).cast(dec).alias("__b"),
         )
+        # distinct-value-sized; feeds cum window + totals: scan once
+        .localCheckpoint(eager=True)
     )
     w = W.orderBy(value_col).rowsBetween(W.unboundedPreceding, 0)
     wl = W.orderBy(value_col)

@@ -482,13 +482,22 @@ def poisson_bootstrap(
         (h >= F.lit(t)).cast("int") for t in POISSON1_T60
     ).cast("bigint")
     x = F.col(value_col).cast(dec)
-    reps = (
+    per = (
         ex.groupBy(*keys, "__rep")
         .agg(
             F.sum(w.cast(dec)).alias("__sw"),
             F.sum(w.cast(dec) * x).alias("__swx"),
+            F.count(F.lit(1)).cast("bigint").alias("__nr"),
+            F.sum(x).alias("__sx"),
         )
-        .where(F.col("__sw") > 0)
+        # |groups| x R rows; feeds the CI AND the point estimate
+        # (each row appears exactly once per replicate, so any one
+        # replicate's count/sum(x) IS the group's n / exact sum) —
+        # ONE raw scan total
+        .localCheckpoint(eager=True)
+    )
+    reps = (
+        per.where(F.col("__sw") > 0)
         .select(
             *keys,
             (
@@ -507,11 +516,12 @@ def poisson_bootstrap(
         + F.lit(1)
     )
     hi_rank = eff - lo_rank + F.lit(1)
-    point = df.groupBy(*keys).agg(
-        F.count(F.lit(1)).cast("bigint").alias("n"),
+    point = per.where(F.col("__rep") == 0).select(
+        *keys,
+        F.col("__nr").alias("n"),
         (
-            F.sum(x).cast("double")
-            / F.count(F.lit(1)).cast("double")
+            F.col("__sx").cast("double")
+            / F.col("__nr").cast("double")
         ).alias("mean"),
     )
     joined = point.join(ci, keys) if keys else point.crossJoin(ci)

@@ -679,14 +679,14 @@ def quantiles_exact(
     keys = [group_col] if group_col else []
     hist = df.groupBy(*keys, value_col).agg(
         F.count(F.lit(1)).cast("bigint").alias("__c")
-    )
+    ).localCheckpoint(eager=True)  # feeds cum + totals: scan once
     w = (
         W.partitionBy(*keys)
         .orderBy(value_col)
         .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
     cum = hist.select(
-        *keys,
+        *[F.col(k).alias(f"__g_{k}") for k in keys],
         F.col(value_col).alias("__v"),
         F.sum("__c").over(w).alias("__cum"),
         (F.sum("__c").over(w) - F.col("__c")).alias("__prev"),
@@ -708,22 +708,16 @@ def quantiles_exact(
             F.lit(1),
         ).alias("__rank"),
     )
-    j = targets.join(
-        cum,
-        on=(
-            [targets[k] == cum[k] for k in keys]
-            + [
-                (cum["__cum"] >= targets["__rank"])
-                & (cum["__prev"] < targets["__rank"]),
-            ]
-        )
-        if keys
-        else (cum["__cum"] >= targets["__rank"])
-        & (cum["__prev"] < targets["__rank"]),
+    bracket = (F.col("__cum") >= F.col("__rank")) & (
+        F.col("__prev") < F.col("__rank")
     )
+    cond = bracket
+    for k in keys:
+        cond = (F.col(k) == F.col(f"__g_{k}")) & cond
+    j = targets.join(cum, on=cond)
     return j.select(
-        *[targets[k] for k in keys],
-        targets["q"].alias("q"),
-        targets["n"].alias("n"),
-        cum["__v"].alias("value"),
+        *keys,
+        "q",
+        "n",
+        F.col("__v").alias("value"),
     )

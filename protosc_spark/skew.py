@@ -177,7 +177,7 @@ def profile_columns(df: DataFrame, cols: list[str]) -> DataFrame:
     ).select("__cv.column", "__cv.val")
     hist = stacked.groupBy("column", "val").agg(
         F.count(F.lit(1)).cast("bigint").alias("__c")
-    )
+    ).localCheckpoint(eager=True)  # feeds report + null rollup: scan once
     nn = hist.where(F.col("val").isNotNull())
     rep = nn.groupBy("column").agg(
         F.sum("__c").cast("bigint").alias("__n_nn"),
@@ -244,7 +244,7 @@ def loo_influence(
     g = df.groupBy(group_col).agg(
         F.count(F.lit(1)).cast(dec).alias("__ng"),
         F.sum(F.col(value_col).cast(dec)).alias("__sg"),
-    )
+    ).localCheckpoint(eager=True)  # group-sized; feeds totals + rows
     tot = g.agg(
         F.sum("__ng").alias("__n"),
         F.sum("__sg").alias("__s"),
@@ -258,7 +258,9 @@ def loo_influence(
         (F.col("__s") - F.col("__sg")).cast("double")
         / rest_n.cast("double"),
     )
-    j = j.withColumn("__mwo", m_wo)
+    j = j.withColumn("__mwo", m_wo).localCheckpoint(
+        eager=True
+    )  # group-sized; feeds jackknife sums + the output rows
     u = float(unit)
     qm = F.floor(F.col("__mwo") * F.lit(u)).cast(dec)
     jk = j.agg(
@@ -336,17 +338,18 @@ def simpson_audit(
         F.sum(y).alias("sy"),
         F.sum(x * x).alias("sxx"),
         F.sum(x * y).alias("sxy"),
-    )
+    ).localCheckpoint(eager=True)  # strata-sized; pooled rolls up
+    # from it (exact integer sums), so the raw table scans ONCE
     cov = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
     var = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
     sgn = F.when(var > 0, F.signum(cov.cast("double")).cast("int"))
     marked = st.withColumn("__sgn", sgn)
-    pooled = df.agg(
-        F.count(F.lit(1)).cast(dec).alias("n"),
-        F.sum(x).alias("sx"),
-        F.sum(y).alias("sy"),
-        F.sum(x * x).alias("sxx"),
-        F.sum(x * y).alias("sxy"),
+    pooled = st.agg(
+        F.sum("n").alias("n"),
+        F.sum("sx").alias("sx"),
+        F.sum("sy").alias("sy"),
+        F.sum("sxx").alias("sxx"),
+        F.sum("sxy").alias("sxy"),
     ).select(
         F.col("n").cast("bigint").alias("n"),
         F.when(
