@@ -753,6 +753,23 @@ def _corpus_ols2(spark, sf_dir):
     ).orderBy("source")
 
 
+def _events_attribution(spark, sf_dir):
+    """First-touch and last-touch attribution of every purchase to
+    the prior non-purchase event over the (ts, event_id)-ordered
+    per-user stream — both single-touch marketing models from one
+    pass, organic (no-prior-touch) conversions kept as the NULL
+    row. DuckDB oracle replays both windows and the rollup."""
+    from protosc_spark.windows import conversion_attribution
+
+    ev = _read(spark, sf_dir, "events")
+    t = conversion_attribution(
+        ev, entity="user_id", order=("ts", "event_id")
+    )
+    return t.orderBy(
+        "model", F.col("touch").asc_nulls_first()
+    )
+
+
 def _events_conversion_lag(spark, sf_dir):
     """Funnel-latency distribution: per user, the exact microsecond
     lag from the FIRST view to the first purchase at-or-after it,
@@ -3216,6 +3233,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     full-surface green regardless of this ordering."""
     return {
         # --- round 5 ---
+        "events_attribution": _events_attribution,
         "events_conversion_lag": _events_conversion_lag,
         "corpus_drift_w1": _corpus_drift_w1,
         "corpus_loo_influence": _corpus_loo_influence,
@@ -3488,6 +3506,32 @@ def oracle_sql() -> dict[str, str]:
         for t in POISSON1_T60
     )
     out = {
+        "events_attribution": """
+            WITH c AS (
+              SELECT event_type AS s,
+                     first_value(CASE WHEN event_type != 'purchase'
+                                      THEN event_type END
+                                 IGNORE NULLS) OVER w AS ft,
+                     last_value(CASE WHEN event_type != 'purchase'
+                                     THEN event_type END
+                                IGNORE NULLS) OVER w AS lt
+              FROM events
+              WINDOW w AS (PARTITION BY user_id
+                           ORDER BY ts, event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND 1 PRECEDING)
+            ), conv AS (
+              SELECT ft, lt FROM c WHERE s = 'purchase'
+            )
+            SELECT model, touch, n_conversions FROM (
+              SELECT 'first' AS model, ft AS touch,
+                     count(*)::BIGINT AS n_conversions
+              FROM conv GROUP BY ft
+              UNION ALL
+              SELECT 'last', lt, count(*)::BIGINT
+              FROM conv GROUP BY lt
+            ) ORDER BY model, touch NULLS FIRST
+        """,
         "events_conversion_lag": """
             WITH fv AS (
               SELECT user_id, min(epoch_us(ts)) AS fv

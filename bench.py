@@ -150,6 +150,7 @@ HEADLINE = [
     "corpus_simpson",
     "corpus_drift_w1",
     "events_conversion_lag",
+    "events_attribution",
 ]
 
 BENCH_CONVERSATIONS = int(os.environ.get("PROTOSC_BENCH_CONVS", "20000"))

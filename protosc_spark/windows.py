@@ -1642,3 +1642,46 @@ def response_latency(
         ).alias("mean_latency_us"),
         F.max("__lat").cast("bigint").alias("max_latency_us"),
     )
+
+
+def conversion_attribution(
+    df: DataFrame,
+    entity: str = "user_id",
+    order: str | Sequence[str] = ("ts",),
+    state_col: str = "event_type",
+    convert_state: str = "purchase",
+) -> DataFrame:
+    """First-touch / last-touch conversion attribution over the
+    per-entity event stream: every ``convert_state`` event is
+    attributed to the FIRST and to the LAST non-conversion event
+    strictly before it (marketing's two standard single-touch
+    models, both from ONE pass); the output is the per-touch-state
+    conversion count under each model. A conversion with no prior
+    touch attributes to the NULL touch row — kept visible rather
+    than dropped (organic conversions are a real answer).
+
+    Exactness: pure window + conditional-count arithmetic — no
+    floats anywhere. One lead-free window over the entity ordering
+    (the engine's standard skew-handled shape: first/last with
+    ignorenulls over rows UNBOUNDED PRECEDING..-1), then one
+    map-side-combined groupBy to the |states| x 2 output. Output:
+    (model, touch, n_conversions) with model in {'first', 'last'},
+    ordered deterministically by the caller."""
+    w = _w(
+        entity, list(order) if not isinstance(order, str) else order
+    ).rowsBetween(W.unboundedPreceding, -1)
+    touch = F.when(
+        F.col(state_col) != convert_state, F.col(state_col)
+    )
+    conv = df.select(
+        F.col(state_col).alias("__s"),
+        F.first(touch, ignorenulls=True).over(w).alias("__ft"),
+        F.last(touch, ignorenulls=True).over(w).alias("__lt"),
+    ).where(F.col("__s") == convert_state)
+    first = conv.groupBy(F.col("__ft").alias("touch")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_conversions")
+    ).select(F.lit("first").alias("model"), "touch", "n_conversions")
+    last = conv.groupBy(F.col("__lt").alias("touch")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_conversions")
+    ).select(F.lit("last").alias("model"), "touch", "n_conversions")
+    return first.unionByName(last)

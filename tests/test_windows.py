@@ -1315,3 +1315,39 @@ def test_response_latency_on_generated_transcripts(spark):
         for r in response_latency(tr.repartition(17)).collect()
     }
     assert {r.conv_id: r for r in out} == again
+
+
+# --- conversion attribution ---
+
+
+def test_attribution_first_vs_last_touch_hand_case(spark):
+    from protosc_spark.windows import conversion_attribution
+
+    rows = [
+        # user 1: view -> click -> PURCHASE (first=view, last=click),
+        # then another PURCHASE right after (prior touch unchanged
+        # by the intervening purchase: first=view, last=click)
+        (1, 0, "view"), (1, 1, "click"), (1, 2, "purchase"),
+        (1, 3, "purchase"),
+        # user 2: organic purchase, no prior touch -> NULL
+        (2, 0, "purchase"),
+        # user 3: signup -> purchase
+        (3, 0, "signup"), (3, 1, "purchase"),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, t long, event_type string"
+    )
+    got = {
+        (r.model, r.touch): r.n_conversions
+        for r in conversion_attribution(
+            df, entity="user_id", order=("t",)
+        ).collect()
+    }
+    assert got == {
+        ("first", "view"): 2,
+        ("last", "click"): 2,
+        ("first", None): 1,
+        ("last", None): 1,
+        ("first", "signup"): 1,
+        ("last", "signup"): 1,
+    }
