@@ -1124,6 +1124,27 @@ def _corpus_bootstrap_ci(spark, sf_dir):
     ).orderBy("source")
 
 
+def _txt_heaps(spark, sf_dir):
+    """Heaps'-law vocabulary-growth fit over 8 integer doc-id
+    checkpoints (V = K·N^beta; prefix membership by id threshold —
+    no ordered scan). DuckDB oracle replays the checkpoints, both
+    conditional rollups and the quantized log-log fit."""
+    from protosc_spark.textops import heaps_fit
+
+    docs = _read(spark, sf_dir, "documents").select(
+        "doc_id", "text"
+    )
+    t = heaps_fit(docs)
+    return t.select(
+        "n_docs",
+        "vocab",
+        "m",
+        F.round("beta", 6).alias("beta"),
+        F.round("log_k", 6).alias("log_k"),
+        F.round("r2", 6).alias("r2"),
+    )
+
+
 def _txt_zipf(spark, sf_dir):
     """Per-source Zipf slope: OLS of ln(freq) on ln(rank) over each
     source's top-100 whitespace tokens with deterministic (count
@@ -3233,6 +3254,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     full-surface green regardless of this ordering."""
     return {
         # --- round 5 ---
+        "txt_heaps": _txt_heaps,
         "events_attribution": _events_attribution,
         "events_conversion_lag": _events_conversion_lag,
         "corpus_drift_w1": _corpus_drift_w1,
@@ -3506,6 +3528,79 @@ def oracle_sql() -> dict[str, str]:
         for t in POISSON1_T60
     )
     out = {
+        "txt_heaps": """
+            WITH toks AS (
+              SELECT doc_id AS id,
+                     unnest(string_split(text, ' ')) AS t
+              FROM documents
+              WHERE text IS NOT NULL AND doc_id IS NOT NULL
+            ), counts AS (
+              SELECT id, count(*)::BIGINT AS tn
+              FROM toks GROUP BY 1
+            ), firsts AS (
+              SELECT t, min(id) AS fid FROM toks GROUP BY 1
+            ), rng AS (
+              SELECT min(id) AS lo, max(id) AS hi,
+                     count(*)::BIGINT AS n_docs
+              FROM counts
+            ), cks AS (
+              SELECT DISTINCT
+                     lo + ((hi - lo) * k + 7) // 8 AS c
+              FROM rng CROSS JOIN (
+                SELECT unnest(range(1, 9)) AS k
+              )
+            ), nn AS (
+              SELECT c, sum(tn)::BIGINT AS n
+              FROM counts CROSS JOIN cks
+              WHERE id <= c GROUP BY c
+            ), vv AS (
+              SELECT c, count(*)::BIGINT AS v
+              FROM firsts CROSS JOIN cks
+              WHERE fid <= c GROUP BY c
+            ), pts AS (
+              SELECT nn.n AS n, vv.v AS v
+              FROM nn JOIN vv USING (c)
+            ), q AS (
+              SELECT floor(ln(n::DOUBLE) * 1e9)::HUGEINT AS qx,
+                     floor(ln(v::DOUBLE) * 1e9)::HUGEINT AS qy,
+                     floor(ln(n::DOUBLE) * ln(n::DOUBLE)
+                           * 1e9)::HUGEINT AS qxx,
+                     floor(ln(n::DOUBLE) * ln(v::DOUBLE)
+                           * 1e9)::HUGEINT AS qxy,
+                     floor(ln(v::DOUBLE) * ln(v::DOUBLE)
+                           * 1e9)::HUGEINT AS qyy
+              FROM pts
+            ), a AS (
+              SELECT count(*)::HUGEINT AS m,
+                     sum(qx) AS sx, sum(qy) AS sy,
+                     sum(qxx) AS sxx, sum(qxy) AS sxy,
+                     sum(qyy) AS syy
+              FROM q
+            ), f AS (
+              SELECT m, sx, sy,
+                     (m * sxy * 1000000000
+                      - sx * sy)::DOUBLE AS cov,
+                     (m * sxx * 1000000000
+                      - sx * sx)::DOUBLE AS vx,
+                     (m * syy * 1000000000
+                      - sy * sy)::DOUBLE AS vy
+              FROM a
+            )
+            SELECT (SELECT n_docs FROM rng) AS n_docs,
+                   (SELECT count(*) FROM firsts)::BIGINT AS vocab,
+                   m::BIGINT AS m,
+                   CASE WHEN m >= 2 AND vx > 0
+                        THEN round(cov / vx, 6) END AS beta,
+                   CASE WHEN m >= 2 AND vx > 0
+                        THEN round((sy::DOUBLE - cov / vx
+                                    * sx::DOUBLE)
+                                   / (m::DOUBLE * 1e9), 6)
+                   END AS log_k,
+                   CASE WHEN m >= 2 AND vx > 0 AND vy > 0
+                        THEN round(cov * cov / (vx * vy), 6)
+                   END AS r2
+            FROM f
+        """,
         "events_attribution": """
             WITH c AS (
               SELECT event_type AS s,

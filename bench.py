@@ -151,6 +151,7 @@ HEADLINE = [
     "corpus_drift_w1",
     "events_conversion_lag",
     "events_attribution",
+    "txt_heaps",
 ]
 
 BENCH_CONVERSATIONS = int(os.environ.get("PROTOSC_BENCH_CONVS", "20000"))

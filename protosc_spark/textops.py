@@ -954,3 +954,136 @@ def zipf_fit(
         F.when(ok, intercept).alias("intercept"),
         F.when(ok & (vy > 0), cov * cov / (vx * vy)).alias("r2"),
     )
+
+
+def heaps_fit(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_checkpoints: int = 8,
+    unit: int = 10**9,
+) -> DataFrame:
+    """Heaps'-law vocabulary-growth fit V(N) ~= K * N^beta — the
+    companion corpus-health audit to zipf_fit (Zipf reads the
+    frequency curve at one corpus size; Heaps reads how vocabulary
+    GROWS with corpus size — natural text sits near beta 0.4-0.6,
+    template/boilerplate corpora flatten, id-heavy corpora inflate):
+
+    The growth curve is sampled WITHOUT any ordered scan: prefix
+    membership is by ``id_col`` value against ``n_checkpoints``
+    integer thresholds c_k = min_id + ceil((max_id-min_id)*k/K)
+    (exact integer arithmetic), V(c) = |{words whose MIN doc id
+    <= c}| and N(c) = total tokens over docs with id <= c — both
+    conditional counts over bounded tables (vocabulary-sized /
+    doc-count-sized). beta is the OLS slope of ln V on ln N over the
+    K points, with the zipf_fit quantize-and-rescale rule so the fit
+    is SQL-replayable; log_k is the intercept (ln of Heaps' K).
+
+    Scale shape: ONE token explode feeding two map-side-combined
+    aggregations (per-doc token counts — checkpointed, doc-count-
+    sized and narrow — and per-word first doc id), a 1-row range
+    aggregate, K-way conditional rollups of those bounded tables,
+    and a K-point fit. Output: one row (n_docs, vocab, m, beta,
+    log_k, r2); fit NULL when fewer than 2 distinct checkpoints
+    carry mass or the N values are constant."""
+    dec = "decimal(38,0)"
+    toks = df.where(
+        F.col(text_col).isNotNull() & F.col(id_col).isNotNull()
+    ).select(
+        F.col(id_col).alias("__id"),
+        F.explode(F.split(F.col(text_col), " ")).alias("__t"),
+    )
+    counts = (
+        toks.groupBy("__id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("__tn"))
+        # doc-count-sized and narrow; feeds the range aggregate and
+        # the K-way rollup — materialize once
+        .localCheckpoint(eager=True)
+    )
+    firsts = toks.groupBy("__t").agg(
+        F.min("__id").alias("__fid")
+    )
+    rng = counts.agg(
+        F.min("__id").alias("__lo"),
+        F.max("__id").alias("__hi"),
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+    )
+    k_lit = F.lit(int(n_checkpoints))
+    cks = rng.select(
+        "n_docs",
+        F.explode(F.sequence(F.lit(1), k_lit)).alias("__k"),
+        "__lo",
+        "__hi",
+    ).select(
+        "n_docs",
+        (
+            F.col("__lo")
+            + F.expr(
+                f"CAST(((__hi - __lo) * __k + {int(n_checkpoints)}"
+                f" - 1) DIV {int(n_checkpoints)} AS BIGINT)"
+            )
+        ).alias("__c"),
+    ).distinct()
+    nN = (
+        counts.crossJoin(F.broadcast(cks))
+        .where(F.col("__id") <= F.col("__c"))
+        .groupBy("__c")
+        .agg(F.sum("__tn").cast("bigint").alias("__N"))
+    )
+    vV = (
+        firsts.crossJoin(F.broadcast(cks.select("__c")))
+        .where(F.col("__fid") <= F.col("__c"))
+        .groupBy("__c")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("__V"))
+    )
+    pts = nN.join(vV, "__c")
+    u = F.lit(float(unit))
+    lx = F.log(F.col("__N").cast("double"))
+    ly = F.log(F.col("__V").cast("double"))
+    q = pts.select(
+        F.floor(lx * u).cast(dec).alias("qx"),
+        F.floor(ly * u).cast(dec).alias("qy"),
+        F.floor(lx * lx * u).cast(dec).alias("qxx"),
+        F.floor(lx * ly * u).cast(dec).alias("qxy"),
+        F.floor(ly * ly * u).cast(dec).alias("qyy"),
+    )
+    g = q.agg(
+        F.count(F.lit(1)).cast(dec).alias("__m"),
+        F.sum("qx").alias("__sx"),
+        F.sum("qy").alias("__sy"),
+        F.sum("qxx").alias("__sxx"),
+        F.sum("qxy").alias("__sxy"),
+        F.sum("qyy").alias("__syy"),
+    )
+    ui = F.lit(int(unit)).cast(dec)
+    m = F.col("__m")
+    cov = (
+        m * F.col("__sxy") * ui - F.col("__sx") * F.col("__sy")
+    ).cast("double")
+    vx = (
+        m * F.col("__sxx") * ui - F.col("__sx") * F.col("__sx")
+    ).cast("double")
+    vy = (
+        m * F.col("__syy") * ui - F.col("__sy") * F.col("__sy")
+    ).cast("double")
+    beta = cov / vx
+    log_k = (
+        F.col("__sy").cast("double")
+        - beta * F.col("__sx").cast("double")
+    ) / (m.cast("double") * u)
+    ok = (m >= 2) & (vx > 0)
+    vocab = firsts.agg(
+        F.count(F.lit(1)).cast("bigint").alias("vocab")
+    )
+    return (
+        g.crossJoin(F.broadcast(rng.select("n_docs")))
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "n_docs",
+            "vocab",
+            m.cast("bigint").alias("m"),
+            F.when(ok, beta).alias("beta"),
+            F.when(ok, log_k).alias("log_k"),
+            F.when(ok & (vy > 0), cov * cov / (vx * vy)).alias("r2"),
+        )
+    )

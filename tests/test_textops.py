@@ -820,3 +820,74 @@ def test_zipf_topk_cut_ties_and_degenerate(spark):
     r1 = zipf_fit(one, "source").collect()[0]
     assert (r1.vocab, r1.m) == (1, 1)
     assert r1.slope is None and r1.r2 is None
+
+
+# --- Heaps' law vocabulary growth ---
+
+
+def _heaps_bruteforce(docs, k=8):
+    """docs: {id: token list}. Replays checkpoints + quantize-free
+    fit (the quantization error is ~1e-9, checked loosely)."""
+    import math
+
+    ids = sorted(docs)
+    lo, hi = ids[0], ids[-1]
+    cks = sorted({lo + -(-(hi - lo) * j // k) for j in range(1, k + 1)})
+    pts = []
+    for c in cks:
+        n = sum(len(t) for i, t in docs.items() if i <= c)
+        first = {}
+        for i in ids:
+            for t in docs[i]:
+                first.setdefault(t, i)
+        v = sum(1 for f in first.values() if f <= c)
+        if n > 0:
+            pts.append((math.log(n), math.log(v)))
+    m = len(pts)
+    sx = sum(x for x, _ in pts)
+    sy = sum(y for _, y in pts)
+    sxx = sum(x * x for x, _ in pts)
+    sxy = sum(x * y for x, y in pts)
+    cov = m * sxy - sx * sy
+    vx = m * sxx - sx * sx
+    beta = cov / vx
+    return beta, (sy - beta * sx) / m
+
+
+def test_heaps_planted_power_law(spark):
+    from protosc_spark.textops import heaps_fit
+
+    # doc i contributes tokens so that V(N) ~ N^0.5: doc i holds
+    # 2i+1 tokens of which the last ~sqrt window are new words
+    docs = {}
+    wid = 0
+    for i in range(1, 65):
+        toks = []
+        n_new = max(1, int((i + 1) ** 0.5 - i**0.5 + 1))
+        for _ in range(n_new):
+            toks.append(f"w{wid}")
+            wid += 1
+        while len(toks) < 5:
+            toks.append(f"w{(wid * 7) % max(wid, 1)}")
+        docs[i] = toks
+    rows = [(i, " ".join(t)) for i, t in docs.items()]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    r = heaps_fit(df).collect()[0]
+    beta, log_k = _heaps_bruteforce(docs)
+    assert r.n_docs == 64 and r.vocab == wid
+    assert abs(r.beta - beta) < 1e-6
+    assert abs(r.log_k - log_k) < 1e-6
+    assert 0 < r.beta < 1  # sublinear growth, the Heaps regime
+    assert r.r2 > 0.9
+
+
+def test_heaps_degenerate_single_doc(spark):
+    from protosc_spark.textops import heaps_fit
+
+    df = spark.createDataFrame(
+        [(5, "a b c")], "doc_id long, text string"
+    )
+    r = heaps_fit(df).collect()[0]
+    # one doc -> all checkpoints collapse to one point -> NULL fit
+    assert r.n_docs == 1 and r.vocab == 3
+    assert r.m == 1 and r.beta is None and r.r2 is None
