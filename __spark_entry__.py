@@ -1124,6 +1124,23 @@ def _corpus_bootstrap_ci(spark, sf_dir):
     ).orderBy("source")
 
 
+def _corpus_trend_ca(spark, sf_dir):
+    """Cochran-Armitage trend test: does the is-English rate move
+    monotonically with the DIV-100 length bin? Every sufficient
+    statistic an exact integer; one float expression. DuckDB oracle
+    replays the bin rollup and the multiplied-out z."""
+    from protosc_spark.evaluation import cochran_armitage
+
+    docs = _read(spark, sf_dir, "documents").select(
+        F.expr("n_chars DIV 100").alias("len_bin"),
+        (F.col("lang") == F.lit("en")).cast("int").alias("is_en"),
+    )
+    t = cochran_armitage(docs, "len_bin", "is_en")
+    return t.select(
+        "n", "n_pos", "k_bins", F.round("z", 6).alias("z")
+    )
+
+
 def _txt_heaps(spark, sf_dir):
     """Heaps'-law vocabulary-growth fit over 8 integer doc-id
     checkpoints (V = K·N^beta; prefix membership by id threshold —
@@ -3254,6 +3271,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     full-surface green regardless of this ordering."""
     return {
         # --- round 5 ---
+        "corpus_trend_ca": _corpus_trend_ca,
         "txt_heaps": _txt_heaps,
         "events_attribution": _events_attribution,
         "events_conversion_lag": _events_conversion_lag,
@@ -3528,6 +3546,31 @@ def oracle_sql() -> dict[str, str]:
         for t in POISSON1_T60
     )
     out = {
+        "corpus_trend_ca": """
+            WITH g AS (
+              SELECT (n_chars // 100)::HUGEINT AS w,
+                     count(*)::HUGEINT AS n,
+                     sum((lang = 'en')::INT)::HUGEINT AS y
+              FROM documents GROUP BY 1
+            ), a AS (
+              SELECT sum(n) AS nn, sum(y) AS yy,
+                     count(*)::BIGINT AS k_bins,
+                     sum(w * y) AS swy, sum(w * n) AS swn,
+                     sum(w * w * n) AS sww
+              FROM g
+            )
+            SELECT nn::BIGINT AS n, yy::BIGINT AS n_pos, k_bins,
+                   CASE WHEN yy > 0 AND yy < nn
+                             AND nn * sww - swn * swn > 0
+                        THEN round((nn * swy - yy * swn)::DOUBLE
+                                   * sqrt(nn::DOUBLE)
+                                   / sqrt((yy * (nn - yy)
+                                           * (nn * sww
+                                              - swn * swn))
+                                          ::DOUBLE), 6)
+                   END AS z
+            FROM a
+        """,
         "txt_heaps": """
             WITH toks AS (
               SELECT doc_id AS id,

@@ -152,6 +152,7 @@ HEADLINE = [
     "events_conversion_lag",
     "events_attribution",
     "txt_heaps",
+    "corpus_trend_ca",
 ]
 
 BENCH_CONVERSATIONS = int(os.environ.get("PROTOSC_BENCH_CONVS", "20000"))

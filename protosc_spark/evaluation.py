@@ -966,3 +966,66 @@ def wasserstein_by_group(
             ).alias("w1"),
         )
     )
+
+
+def cochran_armitage(
+    df: DataFrame, score_col: str, label_col: str
+) -> DataFrame:
+    """Cochran-Armitage trend test: does the positive rate move
+    MONOTONICALLY with an ordered integer score (length bin, star
+    rating, severity grade)? The ordered-alternative companion to
+    chi2_independence (which spends power on every permutation of
+    the categories; CA spends it all on the trend):
+
+    With per-score-group totals n_i / positives y_i, scores w_i and
+    corpus totals N / Y, the z statistic multiplies out to
+
+        z = (N*Swy - Y*Swn) * sqrt(N)
+            / sqrt( Y*(N-Y) * (N*Swww - Swn^2) )
+        Swy = sum w_i y_i,  Swn = sum w_i n_i,  Swww = sum w_i^2 n_i
+
+    — every term an exact DECIMAL integer (the score column must be
+    integer-valued), one float expression at the end; z > 0 means
+    the rate RISES with the score. NULL when the label or score is
+    constant (no trend is defined).
+
+    Scale shape: one map-side-combined groupBy(score) then
+    arithmetic on the |scores|-sized table. Output: one row
+    (n, n_pos, k_bins, z)."""
+    dec = "decimal(38,0)"
+    w = F.col(score_col).cast(dec)
+    y = F.col(label_col).cast(dec)
+    g = (
+        df.where(
+            F.col(score_col).isNotNull() & F.col(label_col).isNotNull()
+        )
+        .groupBy(score_col)
+        .agg(
+            F.count(F.lit(1)).cast(dec).alias("__n"),
+            F.sum(y).alias("__y"),
+        )
+    )
+    a = g.agg(
+        F.sum("__n").alias("N"),
+        F.sum("__y").alias("Y"),
+        F.count(F.lit(1)).cast("bigint").alias("k_bins"),
+        F.sum(w * F.col("__y")).alias("Swy"),
+        F.sum(w * F.col("__n")).alias("Swn"),
+        F.sum(w * w * F.col("__n")).alias("Sww"),
+    )
+    N, Y = F.col("N"), F.col("Y")
+    num = (N * F.col("Swy") - Y * F.col("Swn")).cast("double")
+    b = (
+        Y * (N - Y) * (N * F.col("Sww") - F.col("Swn") * F.col("Swn"))
+    ).cast("double")
+    ok = (Y > 0) & (Y < N) & (
+        N * F.col("Sww") - F.col("Swn") * F.col("Swn") > 0
+    )
+    return a.select(
+        N.cast("bigint").alias("n"),
+        Y.cast("bigint").alias("n_pos"),
+        "k_bins",
+        F.when(
+            ok, num * F.sqrt(N.cast("double")) / F.sqrt(b)
+        ).alias("z"),
+    )

@@ -655,3 +655,53 @@ def test_wasserstein_matches_scipy_style_bruteforce(spark):
         abs(wasserstein_by_group(shift, "v", "g").collect()[0].w1 - 3.0)
         < 1e-12
     )
+
+
+# --- Cochran-Armitage trend ---
+
+
+def _ca_bruteforce(pairs):
+    import math
+    from collections import defaultdict
+
+    g = defaultdict(lambda: [0, 0])
+    for w, y in pairs:
+        g[w][0] += 1
+        g[w][1] += y
+    N = sum(v[0] for v in g.values())
+    Y = sum(v[1] for v in g.values())
+    swy = sum(w * v[1] for w, v in g.items())
+    swn = sum(w * v[0] for w, v in g.items())
+    sww = sum(w * w * v[0] for w, v in g.items())
+    num = N * swy - Y * swn
+    b = Y * (N - Y) * (N * sww - swn * swn)
+    return num * math.sqrt(N) / math.sqrt(b)
+
+
+def test_cochran_armitage_planted_trend_and_null(spark):
+    from protosc_spark.evaluation import cochran_armitage
+
+    # rate rises with the score: p(w) = w/10 over w in 0..9
+    pairs = []
+    for w in range(10):
+        for i in range(40):
+            pairs.append((w, 1 if (i * 9257 + w * 31) % 10 < w else 0))
+    df = spark.createDataFrame(pairs, "w long, y int")
+    r = cochran_armitage(df, "w", "y").collect()[0]
+    want = _ca_bruteforce(pairs)
+    assert (r.n, r.k_bins) == (400, 10)
+    assert abs(r.z - want) < 1e-9
+    assert r.z > 5  # the planted trend is unmissable
+    # flat rate: |z| small; scrambled scores kill the trend
+    flat = [(w, (i * 7) % 2) for w in range(10) for i in range(40)]
+    r2 = cochran_armitage(
+        spark.createDataFrame(flat, "w long, y int"), "w", "y"
+    ).collect()[0]
+    assert abs(r2.z - _ca_bruteforce(flat)) < 1e-9
+    assert abs(r2.z) < 2
+    # constant label -> NULL
+    const = [(w, 1) for w in range(5) for _ in range(3)]
+    r3 = cochran_armitage(
+        spark.createDataFrame(const, "w long, y int"), "w", "y"
+    ).collect()[0]
+    assert r3.z is None
