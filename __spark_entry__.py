@@ -1124,6 +1124,28 @@ def _corpus_bootstrap_ci(spark, sf_dir):
     ).orderBy("source")
 
 
+def _events_cmh(spark, sf_dir):
+    """Cochran-Mantel-Haenszel stratified conversion test +
+    Mantel-Haenszel common odds ratio on the md5 'exp1' split,
+    stratified by an independent 5-way md5 bucket — the stratified
+    answer to a Simpson alarm. DuckDB oracle replays both hash
+    rules, every 2x2 cell, the quantized E/V/OR sums and the
+    continuity-corrected chi2."""
+    from protosc_spark.experiment import cmh_readout
+
+    ev = _read(spark, sf_dir, "events").select(
+        "user_id", "event_type"
+    )
+    t = cmh_readout(ev)
+    return t.select(
+        "n",
+        "n_conv",
+        "n_strata",
+        F.round("chi2", 6).alias("chi2"),
+        F.round("or_mh", 6).alias("or_mh"),
+    )
+
+
 def _corpus_trend_ca(spark, sf_dir):
     """Cochran-Armitage trend test: does the is-English rate move
     monotonically with the DIV-100 length bin? Every sufficient
@@ -3271,6 +3293,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     full-surface green regardless of this ordering."""
     return {
         # --- round 5 ---
+        "events_cmh": _events_cmh,
         "corpus_trend_ca": _corpus_trend_ca,
         "txt_heaps": _txt_heaps,
         "events_attribution": _events_attribution,
@@ -3546,6 +3569,60 @@ def oracle_sql() -> dict[str, str]:
         for t in POISSON1_T60
     )
     out = {
+        "events_cmh": """
+            WITH u AS (
+              SELECT user_id,
+                     max(CASE WHEN event_type = 'purchase'
+                              THEN 1 ELSE 0 END) AS conv,
+                     ('0x' || substr(md5('exp1' || chr(31)
+                                         || user_id::VARCHAR),
+                                     1, 15))::BIGINT % 2 AS v,
+                     ('0x' || substr(md5('strat' || chr(31)
+                                         || user_id::VARCHAR),
+                                     1, 15))::BIGINT % 5 AS s
+              FROM events GROUP BY user_id
+            ), cells AS (
+              SELECT s,
+                sum(CASE WHEN v = 1 THEN conv
+                         ELSE 0 END)::HUGEINT AS a,
+                sum(CASE WHEN v = 1 THEN 1
+                         ELSE 0 END)::HUGEINT AS n1,
+                sum(CASE WHEN v = 0 THEN conv
+                         ELSE 0 END)::HUGEINT AS c,
+                sum(CASE WHEN v = 0 THEN 1
+                         ELSE 0 END)::HUGEINT AS n0
+              FROM u GROUP BY s
+            ), q AS (
+              SELECT a, n1, c, n0, n1 + n0 AS t, a + c AS m1,
+                     n1 - a AS b, n0 - c AS dd
+              FROM cells WHERE n1 + n0 > 1
+            ), agg AS (
+              SELECT sum(a) AS sa,
+                sum(floor(n1::DOUBLE * m1::DOUBLE / t::DOUBLE
+                          * 1e9)::HUGEINT) AS qe,
+                sum(floor(n1::DOUBLE * n0::DOUBLE * m1::DOUBLE
+                          * (t - m1)::DOUBLE
+                          / (t::DOUBLE * t::DOUBLE
+                             * (t::DOUBLE - 1.0))
+                          * 1e9)::HUGEINT) AS qv,
+                sum(floor(a::DOUBLE * dd::DOUBLE / t::DOUBLE
+                          * 1e9)::HUGEINT) AS qon,
+                sum(floor(b::DOUBLE * c::DOUBLE / t::DOUBLE
+                          * 1e9)::HUGEINT) AS qod,
+                count(*)::BIGINT AS n_strata,
+                sum(t) AS n, sum(m1) AS m
+              FROM q
+            )
+            SELECT n::BIGINT AS n, m::BIGINT AS n_conv, n_strata,
+                   CASE WHEN qv::DOUBLE / 1e9 > 0 THEN round(
+                     (abs(sa::DOUBLE - qe::DOUBLE / 1e9) - 0.5)
+                     * (abs(sa::DOUBLE - qe::DOUBLE / 1e9) - 0.5)
+                     / (qv::DOUBLE / 1e9), 6) END AS chi2,
+                   CASE WHEN qod::DOUBLE / 1e9 > 0 THEN round(
+                     (qon::DOUBLE / 1e9)
+                     / (qod::DOUBLE / 1e9), 6) END AS or_mh
+            FROM agg
+        """,
         "corpus_trend_ca": """
             WITH g AS (
               SELECT (n_chars // 100)::HUGEINT AS w,

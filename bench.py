@@ -153,6 +153,7 @@ HEADLINE = [
     "events_attribution",
     "txt_heaps",
     "corpus_trend_ca",
+    "events_cmh",
 ]
 
 BENCH_CONVERSATIONS = int(os.environ.get("PROTOSC_BENCH_CONVS", "20000"))

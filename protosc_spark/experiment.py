@@ -440,3 +440,114 @@ def ratio_delta_readout(
         diff.alias("diff"),
         F.when(ok & (se > 0), diff / se).alias("z"),
     )
+
+
+def cmh_readout(
+    df: DataFrame,
+    id_col: str = "user_id",
+    state_col: str = "event_type",
+    convert_state: str = "purchase",
+    strata_buckets: int = 5,
+    salt: str = "exp1",
+    strat_salt: str = "strat",
+    unit: int = 10**9,
+) -> DataFrame:
+    """Cochran-Mantel-Haenszel stratified A/B readout — the pooled
+    2x2xK conversion test that controls for a confounding stratum
+    (the experiment-side answer to skew.simpson_audit's alarm: when
+    strata disagree with the pool, THIS is the statistic to trust):
+
+        chi2 = (|sum_k a_k - sum_k E_k| - 0.5)^2 / sum_k V_k
+        E_k = n1_k m1_k / T_k
+        V_k = n1_k n0_k m1_k (T_k - m1_k) / (T_k^2 (T_k - 1))
+        OR_MH = sum_k (a_k d_k / T_k) / sum_k (b_k c_k / T_k)
+
+    with a_k = treated converters in stratum k, the classic
+    continuity-corrected form and the Mantel-Haenszel common odds
+    ratio. Users split 50/50 by the engine's md5 ``hash_bucket``
+    (salt ``salt``); the stratum is a second independent md5 bucket
+    (salt ``strat_salt``) so both sides of a SQL oracle reproduce
+    every cell. Per-stratum cells are exact integers; each E/V/OR
+    term is one float of them, quantized to integer 1/``unit``
+    units before the cross-strata sums (house rule); chi2 NULL when
+    the variance sum is zero, OR NULL when its denominator is.
+
+    Scale shape: one (user, state) rollup to |users| rows, one
+    conditional groupBy to the K x 4 cell table, arithmetic there.
+    Output: one row (n, n_conv, n_strata, chi2, or_mh)."""
+    dec = "decimal(38,0)"
+    users = (
+        df.groupBy(id_col)
+        .agg(
+            F.max(
+                F.when(F.col(state_col) == convert_state, 1).otherwise(
+                    0
+                )
+            ).alias("conv")
+        )
+        .withColumn(
+            "v", hash_bucket([id_col], salt=salt, n_buckets=2)
+        )
+        .withColumn(
+            "s",
+            hash_bucket(
+                [id_col], salt=strat_salt, n_buckets=strata_buckets
+            ),
+        )
+    )
+    cells = users.groupBy("s").agg(
+        F.sum(F.when(F.col("v") == 1, F.col("conv")).otherwise(0))
+        .cast(dec)
+        .alias("a"),
+        F.sum(F.when(F.col("v") == 1, 1).otherwise(0))
+        .cast(dec)
+        .alias("n1"),
+        F.sum(F.when(F.col("v") == 0, F.col("conv")).otherwise(0))
+        .cast(dec)
+        .alias("c"),
+        F.sum(F.when(F.col("v") == 0, 1).otherwise(0))
+        .cast(dec)
+        .alias("n0"),
+    )
+
+    def d(col):
+        return col.cast("double")
+
+    a, n1, c, n0 = (F.col(x) for x in ("a", "n1", "c", "n0"))
+    t = n1 + n0
+    m1 = a + c
+    b, dd = n1 - a, n0 - c
+    e = d(n1) * d(m1) / d(t)
+    var = (
+        d(n1) * d(n0) * d(m1) * d(t - m1)
+        / (d(t) * d(t) * (d(t) - F.lit(1.0)))
+    )
+    u = F.lit(float(unit))
+    q = lambda x: F.floor(x * u).cast(dec)  # noqa: E731
+    agg = cells.where(t > 1).agg(
+        F.sum(a).alias("__a"),
+        F.sum(q(e)).alias("__qe"),
+        F.sum(q(var)).alias("__qv"),
+        F.sum(q(d(a) * d(dd) / d(t))).alias("__qor_n"),
+        F.sum(q(d(b) * d(c) / d(t))).alias("__qor_d"),
+        F.count(F.lit(1)).cast("bigint").alias("n_strata"),
+        F.sum(t).alias("__n"),
+        F.sum(m1).alias("__m"),
+    )
+    diff = F.abs(
+        F.col("__a").cast("double")
+        - F.col("__qe").cast("double") / u
+    )
+    vsum = F.col("__qv").cast("double") / u
+    chi2 = (
+        (diff - F.lit(0.5)) * (diff - F.lit(0.5)) / vsum
+    )
+    orn = F.col("__qor_n").cast("double") / u
+    ord_ = F.col("__qor_d").cast("double") / u
+    return agg.select(
+        F.col("__n").cast("bigint").alias("n"),
+        F.col("__m").cast("bigint").alias("n_conv"),
+        "n_strata",
+        F.when(vsum > 0, chi2).alias("chi2"),
+        F.when(ord_ > 0, orn / ord_).alias("or_mh"),
+    )

@@ -318,3 +318,75 @@ def test_ratio_delta_zero_denominator_arm(spark):
     df = spark.createDataFrame(rows, "user_id long, event_type string")
     r = ratio_delta_readout(df).collect()[0]
     assert r.ratio_a is None and r.ratio_b is None and r.z is None
+
+
+# --- Cochran-Mantel-Haenszel ---
+
+
+def _cmh_bruteforce(cells):
+    """cells: list of (a, n1, c, n0) per stratum."""
+    sa = se = sv = orn = ord_ = 0.0
+    n = m = 0
+    for a, n1, c, n0 in cells:
+        t = n1 + n0
+        if t <= 1:
+            continue
+        m1 = a + c
+        b, d = n1 - a, n0 - c
+        sa += a
+        se += n1 * m1 / t
+        sv += n1 * n0 * m1 * (t - m1) / (t * t * (t - 1))
+        orn += a * d / t
+        ord_ += b * c / t
+        n += t
+        m += m1
+    chi2 = (abs(sa - se) - 0.5) ** 2 / sv if sv > 0 else None
+    return n, m, chi2, (orn / ord_ if ord_ > 0 else None)
+
+
+def test_cmh_matches_bruteforce_with_planted_effect(spark):
+    from protosc_spark.experiment import cmh_readout
+    from protosc_spark.sampling import hash_bucket
+
+    # conversion depends on BOTH variant and stratum so chi2 and
+    # OR_MH are non-trivial; derive truth through the engine's rules
+    rows = []
+    for uid in range(600):
+        rows.append((uid, "view"))
+    df0 = spark.createDataFrame(rows, "user_id long, event_type string")
+    vs = {
+        r.user_id: r.bucket
+        for r in df0.select("user_id").distinct()
+        .select("user_id", hash_bucket(["user_id"], "exp1", 2))
+        .collect()
+    }
+    ss = {
+        r.user_id: r.bucket
+        for r in df0.select("user_id").distinct()
+        .select("user_id", hash_bucket(["user_id"], "strat", 5))
+        .collect()
+    }
+    rows = []
+    for uid in range(600):
+        rows.append((uid, "view"))
+        # treated convert more, and higher strata convert more
+        thr = 2 + (2 if vs[uid] == 1 else 0) + ss[uid]
+        if (uid * 37) % 10 < thr:
+            rows.append((uid, "purchase"))
+    df = spark.createDataFrame(rows, "user_id long, event_type string")
+    r = cmh_readout(df).collect()[0]
+    cells = {}
+    for uid in range(600):
+        k = ss[uid]
+        a, n1, c, n0 = cells.get(k, (0, 0, 0, 0))
+        conv = 1 if (uid * 37) % 10 < 2 + (2 if vs[uid] == 1 else 0) + k else 0
+        if vs[uid] == 1:
+            a, n1 = a + conv, n1 + 1
+        else:
+            c, n0 = c + conv, n0 + 1
+        cells[k] = (a, n1, c, n0)
+    n, m, chi2, or_mh = _cmh_bruteforce(list(cells.values()))
+    assert (r.n, r.n_conv, r.n_strata) == (n, m, 5)
+    assert abs(r.chi2 - chi2) < 1e-5  # 1e-9-quantized sums
+    assert abs(r.or_mh - or_mh) < 1e-5
+    assert r.chi2 > 3.84 and r.or_mh > 1.5  # the effect registers
