@@ -1124,6 +1124,25 @@ def _corpus_bootstrap_ci(spark, sf_dir):
     ).orderBy("source")
 
 
+def _events_daily_rate(spark, sf_dir):
+    """Daily purchase share with Wilson 95% bands — the
+    rate-with-uncertainty daily health series beside the volume
+    monitors. DuckDB oracle replays the day rollup and the Wilson
+    float expression with the same z literal."""
+    from protosc_spark.windows import daily_rate_wilson
+
+    ev = _read(spark, sf_dir, "events").select("event_type", "ts")
+    t = daily_rate_wilson(ev)
+    return t.select(
+        "day",
+        "n",
+        "k",
+        F.round("rate", 6).alias("rate"),
+        F.round("ci_lo", 6).alias("ci_lo"),
+        F.round("ci_hi", 6).alias("ci_hi"),
+    ).orderBy("day")
+
+
 def _events_cmh(spark, sf_dir):
     """Cochran-Mantel-Haenszel stratified conversion test +
     Mantel-Haenszel common odds ratio on the md5 'exp1' split,
@@ -3293,6 +3312,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     full-surface green regardless of this ordering."""
     return {
         # --- round 5 ---
+        "events_daily_rate": _events_daily_rate,
         "events_cmh": _events_cmh,
         "corpus_trend_ca": _corpus_trend_ca,
         "txt_heaps": _txt_heaps,
@@ -3569,6 +3589,54 @@ def oracle_sql() -> dict[str, str]:
         for t in POISSON1_T60
     )
     out = {
+        "events_daily_rate": """
+            WITH d AS (
+              SELECT (ts::DATE - DATE '1970-01-01')::BIGINT AS day,
+                     count(*)::BIGINT AS n,
+                     sum(CASE WHEN event_type = 'purchase'
+                              THEN 1 ELSE 0 END)::BIGINT AS k
+              FROM events GROUP BY 1
+            )
+            SELECT day, n, k,
+                   round(k::DOUBLE / n::DOUBLE, 6) AS rate,
+                   round((k::DOUBLE / n::DOUBLE
+                          + 1.959963984540054
+                            * 1.959963984540054
+                            / (2.0 * n::DOUBLE))
+                         / (1.0 + 1.959963984540054
+                                  * 1.959963984540054
+                                  / n::DOUBLE)
+                         - 1.959963984540054
+                           * sqrt(k::DOUBLE / n::DOUBLE
+                                  * (1.0 - k::DOUBLE / n::DOUBLE)
+                                  / n::DOUBLE
+                                  + 1.959963984540054
+                                    * 1.959963984540054
+                                    / (4.0 * n::DOUBLE
+                                       * n::DOUBLE))
+                           / (1.0 + 1.959963984540054
+                                    * 1.959963984540054
+                                    / n::DOUBLE), 6) AS ci_lo,
+                   round((k::DOUBLE / n::DOUBLE
+                          + 1.959963984540054
+                            * 1.959963984540054
+                            / (2.0 * n::DOUBLE))
+                         / (1.0 + 1.959963984540054
+                                  * 1.959963984540054
+                                  / n::DOUBLE)
+                         + 1.959963984540054
+                           * sqrt(k::DOUBLE / n::DOUBLE
+                                  * (1.0 - k::DOUBLE / n::DOUBLE)
+                                  / n::DOUBLE
+                                  + 1.959963984540054
+                                    * 1.959963984540054
+                                    / (4.0 * n::DOUBLE
+                                       * n::DOUBLE))
+                           / (1.0 + 1.959963984540054
+                                    * 1.959963984540054
+                                    / n::DOUBLE), 6) AS ci_hi
+            FROM d ORDER BY day
+        """,
         "events_cmh": """
             WITH u AS (
               SELECT user_id,

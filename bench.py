@@ -154,6 +154,7 @@ HEADLINE = [
     "txt_heaps",
     "corpus_trend_ca",
     "events_cmh",
+    "events_daily_rate",
 ]
 
 BENCH_CONVERSATIONS = int(os.environ.get("PROTOSC_BENCH_CONVS", "20000"))

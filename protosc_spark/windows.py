@@ -1685,3 +1685,61 @@ def conversion_attribution(
         F.count(F.lit(1)).cast("bigint").alias("n_conversions")
     ).select(F.lit("last").alias("model"), "touch", "n_conversions")
     return first.unionByName(last)
+
+
+def daily_rate_wilson(
+    df: DataFrame,
+    state_col: str = "event_type",
+    convert_state: str = "purchase",
+    ts_col: str = "ts",
+    z: float = 1.959963984540054,
+) -> DataFrame:
+    """Daily share of ``convert_state`` events with the Wilson score
+    interval — the rate-with-honest-uncertainty daily health series
+    the volume monitors (trend/CUSUM/EWMA) deliberately ignore: a
+    low-traffic day's rate swing is usually just its wide interval,
+    and Wilson (unlike the Wald +-z*sqrt(pq/n)) stays inside [0, 1]
+    and behaves at k = 0 / k = n:
+
+        center = (p + z^2/2n) / (1 + z^2/n)
+        half   = z * sqrt(p(1-p)/n + z^2/4n^2) / (1 + z^2/n)
+
+    with p = k/n. n and k are exact integers per calendar day (one
+    map-side-combined groupBy); the interval is one float expression
+    of them with z embedded as a literal, so a SQL oracle replays it
+    digit-for-digit. Output: (day, n, k, rate, ci_lo, ci_hi) with
+    ``day`` the epoch-day integer; rows for every day with any
+    event."""
+    daily = df.groupBy(
+        F.datediff(F.to_date(ts_col), F.lit("1970-01-01"))
+        .cast("bigint")
+        .alias("day")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(
+            F.when(F.col(state_col) == convert_state, 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("k"),
+    )
+    zz = F.lit(float(z))
+    n = F.col("n").cast("double")
+    p = F.col("k").cast("double") / n
+    denom = F.lit(1.0) + zz * zz / n
+    center = (p + zz * zz / (F.lit(2.0) * n)) / denom
+    half = (
+        zz
+        * F.sqrt(
+            p * (F.lit(1.0) - p) / n
+            + zz * zz / (F.lit(4.0) * n * n)
+        )
+        / denom
+    )
+    return daily.select(
+        "day",
+        "n",
+        "k",
+        p.alias("rate"),
+        (center - half).alias("ci_lo"),
+        (center + half).alias("ci_hi"),
+    )

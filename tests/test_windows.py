@@ -1351,3 +1351,42 @@ def test_attribution_first_vs_last_touch_hand_case(spark):
         ("first", "signup"): 1,
         ("last", "signup"): 1,
     }
+
+
+# --- daily rate with Wilson bands ---
+
+
+def test_daily_rate_wilson_hand_case_and_bounds(spark):
+    from protosc_spark.windows import daily_rate_wilson
+    import math
+
+    rows = []
+    # day 0: 3/4 purchases; day 1: 0/5; day 2: 2/2 (k=n edge)
+    for st in ("purchase", "purchase", "purchase", "view"):
+        rows.append((st, "1970-01-01 00:00:00"))
+    for _ in range(5):
+        rows.append(("view", "1970-01-02 00:00:00"))
+    rows += [("purchase", "1970-01-03 00:00:00")] * 2
+    df = spark.createDataFrame(
+        rows, "event_type string, ts_s string"
+    ).select(
+        "event_type", F.col("ts_s").cast("timestamp").alias("ts")
+    )
+    got = {r.day: r for r in daily_rate_wilson(df).collect()}
+
+    def wilson(k, n, z=1.959963984540054):
+        p = k / n
+        denom = 1 + z * z / n
+        c = (p + z * z / (2 * n)) / denom
+        h = z * math.sqrt(p * (1 - p) / n + z * z / (4 * n * n)) / denom
+        return c - h, c + h
+
+    for day, (k, n) in {0: (3, 4), 1: (0, 5), 2: (2, 2)}.items():
+        r = got[day]
+        lo, hi = wilson(k, n)
+        assert (r.n, r.k) == (n, k) and r.rate == k / n
+        assert abs(r.ci_lo - lo) < 1e-12 and abs(r.ci_hi - hi) < 1e-12
+        # Wilson stays in [0, 1] even at the k=0 / k=n edges
+        assert 0.0 <= r.ci_lo <= r.rate <= r.ci_hi <= 1.0
+    assert got[1].ci_lo == 0.0 or got[1].ci_lo > 0  # defined at k=0
+    assert got[2].ci_hi <= 1.0
