@@ -1143,6 +1143,44 @@ def _events_daily_rate(spark, sf_dir):
     ).orderBy("day")
 
 
+def _corpus_mannwhitney(spark, sf_dir):
+    """Mann-Whitney U rank-sum test: n_chars of lang='en' docs vs the
+    rest — the tie-robust location-shift companion to the KS drift
+    gate on the same split. Doubled-midrank sums and the cubic tie
+    correction accumulate as exact DECIMAL integers; the DuckDB
+    oracle replays the histogram, rank algebra and the identical
+    float z expression."""
+    from protosc_spark.evaluation import mannwhitney_u
+
+    docs = _read_wide(spark, sf_dir, "documents").select(
+        "n_chars", (F.col("lang") == "en").cast("int").alias("g")
+    )
+    return mannwhitney_u(docs, "n_chars", "g").select(
+        "n_1",
+        "n_0",
+        F.round("u1", 6).alias("u1"),
+        F.round("z", 6).alias("z"),
+        F.round("rank_biserial", 6).alias("rank_biserial"),
+    )
+
+
+def _corpus_drift_cvm(spark, sf_dir):
+    """Two-sample Cramer-von Mises drift statistic: n_chars of
+    lang='zh' docs vs the rest — the integrated-squared-gap member
+    of the drift trio (KS sup gap, Wasserstein-1 area, CvM squared
+    gap under the pooled measure). The sum of t*(ca*n0 - cb*n1)^2
+    terms is an exact DECIMAL integer; one division at the end, so
+    the DuckDB oracle reproduces it digit-for-digit."""
+    from protosc_spark.evaluation import cvm_two_sample
+
+    docs = _read_wide(spark, sf_dir, "documents").select(
+        "n_chars", (F.col("lang") == "zh").cast("int").alias("g")
+    )
+    return cvm_two_sample(docs, "n_chars", "g").select(
+        "n_1", "n_0", F.round("cvm", 6).alias("cvm")
+    )
+
+
 def _events_cmh(spark, sf_dir):
     """Cochran-Mantel-Haenszel stratified conversion test +
     Mantel-Haenszel common odds ratio on the md5 'exp1' split,
@@ -3312,6 +3350,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     full-surface green regardless of this ordering."""
     return {
         # --- round 5 ---
+        "corpus_mannwhitney": _corpus_mannwhitney,
+        "corpus_drift_cvm": _corpus_drift_cvm,
         "events_daily_rate": _events_daily_rate,
         "events_cmh": _events_cmh,
         "corpus_trend_ca": _corpus_trend_ca,
@@ -3589,6 +3629,68 @@ def oracle_sql() -> dict[str, str]:
         for t in POISSON1_T60
     )
     out = {
+        "corpus_mannwhitney": """
+            WITH base AS (
+              SELECT n_chars AS v, (lang = 'en')::INT AS g
+              FROM documents
+              WHERE n_chars IS NOT NULL AND lang IS NOT NULL
+            ), h AS (
+              SELECT v, SUM(g)::HUGEINT AS a, SUM(1 - g)::HUGEINT AS b,
+                     count(*)::HUGEINT AS t
+              FROM base GROUP BY v
+            ), r AS (
+              SELECT a, t,
+                     COALESCE(SUM(t) OVER (ORDER BY v
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND 1 PRECEDING), 0::HUGEINT) AS cum
+              FROM h
+            ), g AS (
+              SELECT (SELECT SUM(a) FROM h) AS n1,
+                     (SELECT SUM(b) FROM h) AS n0,
+                     SUM(a * (2 * cum + t + 1)) AS r1d,
+                     SUM(t * (t - 1) * (t + 1)) AS tie
+              FROM r
+            )
+            SELECT n1::BIGINT AS n_1, n0::BIGINT AS n_0,
+                   round((r1d - n1 * (n1 + 1))::DOUBLE / 2.0, 6)
+                     AS u1,
+                   round(
+                     (r1d - n1 * (n1 + 1) - n1 * n0)::DOUBLE
+                     / (2.0 * sqrt(
+                         n1::DOUBLE * n0::DOUBLE
+                         * ((n1 + n0) * (n1 + n0 - 1) * (n1 + n0 + 1)
+                            - tie)::DOUBLE
+                         / (12.0 * (n1 + n0)::DOUBLE
+                            * (n1 + n0 - 1)::DOUBLE))), 6) AS z,
+                   round((r1d - n1 * (n1 + 1) - n1 * n0)::DOUBLE
+                         / (n1 * n0)::DOUBLE, 6) AS rank_biserial
+            FROM g
+        """,
+        "corpus_drift_cvm": """
+            WITH base AS (
+              SELECT n_chars AS v, (lang = 'zh')::INT AS g
+              FROM documents
+              WHERE n_chars IS NOT NULL AND lang IS NOT NULL
+            ), h AS (
+              SELECT v, SUM(g)::HUGEINT AS a, SUM(1 - g)::HUGEINT AS b
+              FROM base GROUP BY v
+            ), t AS (SELECT SUM(a) AS n1, SUM(b) AS n0 FROM h),
+            c AS (
+              SELECT (a + b) AS tv,
+                     SUM(a) OVER (ORDER BY v) AS ca,
+                     SUM(b) OVER (ORDER BY v) AS cb
+              FROM h
+            ), s AS (
+              SELECT SUM(tv * (ca * n0 - cb * n1)
+                            * (ca * n0 - cb * n1)) AS s
+              FROM c, t
+            )
+            SELECT n1::BIGINT AS n_1, n0::BIGINT AS n_0,
+                   round(s::DOUBLE
+                         / ((n1 + n0)::DOUBLE * (n1 + n0)::DOUBLE
+                            * n1::DOUBLE * n0::DOUBLE), 6) AS cvm
+            FROM t, s
+        """,
         "events_daily_rate": """
             WITH d AS (
               SELECT (ts::DATE - DATE '1970-01-01')::BIGINT AS day,

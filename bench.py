@@ -155,6 +155,8 @@ HEADLINE = [
     "corpus_trend_ca",
     "events_cmh",
     "events_daily_rate",
+    "corpus_mannwhitney",
+    "corpus_drift_cvm",
 ]
 
 BENCH_CONVERSATIONS = int(os.environ.get("PROTOSC_BENCH_CONVS", "20000"))

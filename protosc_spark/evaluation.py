@@ -1029,3 +1029,190 @@ def cochran_armitage(
             ok, num * F.sqrt(N.cast("double")) / F.sqrt(b)
         ).alias("z"),
     )
+
+
+def mannwhitney_u(df: DataFrame, value_col: str, group_col: str
+                  ) -> DataFrame:
+    """Two-sample Mann-Whitney U (Wilcoxon rank-sum) test between the
+    ``value_col`` distributions of group 1 (``group_col`` truthy) and
+    group 0 — the location-shift companion to :func:`ks_two_sample`
+    (which is shape-sensitive but diffuse) and
+    :func:`wasserstein_by_group` (magnitude, not significance): the
+    standard "did the median move?" readout for the heavy-tailed,
+    tie-ridden quantities the engine produces (lengths, counts,
+    quantized scores), robust where Welch's t is not.
+
+    No per-row rank join and no corpus sort: every sufficient
+    statistic comes from the VALUE HISTOGRAM (one groupBy(value) with
+    map-side combine; the only window runs over distinct values).
+    Midranks are kept exact by DOUBLING (the house rule shared with
+    :func:`spearman_corr` and :func:`auc_exact`):
+
+        R1d  = sum_v a_v * (2*cum_t_below(v) + t_v + 1)   (= 2*R1)
+        2*U1 = R1d - n1*(n1+1)
+        z    = (2*U1 - n1*n0)
+               / (2 * sqrt(n1*n0 * (N^3 - N - T) / (12*N*(N-1))))
+
+    with t_v = a_v + b_v the pooled count at value v and
+    T = sum_v (t_v^3 - t_v) the standard tie correction — every
+    numerator an exact DECIMAL(38,0) integer, order-independent at
+    any parallelism; the float expression at the end is written
+    identically in the SQL oracle so z reproduces digit-for-digit.
+    Exactness envelope: N^3 stays inside DECIMAL(38) for N up to
+    ~2e12 rows per call (the n1*n0 factor is applied in DOUBLE,
+    outside the decimal product); beyond that, apply per-slice.
+
+    Rows with NULL value or group are dropped. Output: one row
+    (n_1, n_0, u1, z, rank_biserial) — u1 is group 1's U statistic
+    (can end in .5 under ties), rank_biserial = 2*U1/(n1*n0) - 1 the
+    effect size in [-1, 1]; z and rank_biserial NULL when either
+    group is empty or every row is one tie block."""
+    dec = "decimal(38,0)"
+    y = F.col(group_col).cast("int")
+    h = (
+        df.where(
+            F.col(value_col).isNotNull() & F.col(group_col).isNotNull()
+        )
+        .groupBy(F.col(value_col).alias("__v"))
+        .agg(
+            F.sum(y).cast(dec).alias("__a"),
+            F.sum(1 - y).cast(dec).alias("__b"),
+        )
+        .withColumn("__t", F.col("__a") + F.col("__b"))
+    )
+    w_cum = W.orderBy("__v").rowsBetween(W.unboundedPreceding, -1)
+    ranked = h.withColumn(
+        "__cum",
+        F.coalesce(F.sum("__t").over(w_cum), F.lit(0).cast(dec)),
+    )
+    g = ranked.agg(
+        F.sum("__a").alias("__n1"),
+        F.sum("__b").alias("__n0"),
+        F.sum(
+            F.col("__a")
+            * (
+                F.lit(2).cast(dec) * F.col("__cum")
+                + F.col("__t")
+                + F.lit(1).cast(dec)
+            )
+        ).alias("__r1d"),
+        F.sum(
+            F.col("__t")
+            * (F.col("__t") - F.lit(1).cast(dec))
+            * (F.col("__t") + F.lit(1).cast(dec))
+        ).alias("__tie"),
+    )
+    n1, n0 = F.col("__n1"), F.col("__n0")
+    N = n1 + n0
+    num2 = (
+        F.col("__r1d") - n1 * (n1 + F.lit(1).cast(dec)) - n1 * n0
+    )
+    cube = N * (N - F.lit(1).cast(dec)) * (N + F.lit(1).cast(dec))
+    vnum = cube - F.col("__tie")
+    ok = (n1 > 0) & (n0 > 0) & (vnum > 0)
+    var_u = (
+        n1.cast("double")
+        * n0.cast("double")
+        * vnum.cast("double")
+        / (
+            F.lit(12.0)
+            * N.cast("double")
+            * (N - F.lit(1).cast(dec)).cast("double")
+        )
+    )
+    return g.select(
+        n1.cast("bigint").alias("n_1"),
+        n0.cast("bigint").alias("n_0"),
+        F.when(
+            n1 > 0,
+            (
+                F.col("__r1d") - n1 * (n1 + F.lit(1).cast(dec))
+            ).cast("double")
+            / F.lit(2.0),
+        ).alias("u1"),
+        F.when(
+            ok, num2.cast("double") / (F.lit(2.0) * F.sqrt(var_u))
+        ).alias("z"),
+        F.when(
+            (n1 > 0) & (n0 > 0),
+            num2.cast("double") / (n1 * n0).cast("double"),
+        ).alias("rank_biserial"),
+    )
+
+
+def cvm_two_sample(df: DataFrame, value_col: str, group_col: str
+                   ) -> DataFrame:
+    """Two-sample Cramer-von Mises statistic between the
+    ``value_col`` distributions of group 1 (``group_col`` truthy) and
+    group 0 — the INTEGRAL companion that completes the drift trio:
+    KS (:func:`ks_two_sample`) reads the single worst ECDF gap,
+    Wasserstein-1 (:func:`wasserstein_by_group`) the area between
+    ECDFs in value units, CvM the squared gap integrated under the
+    POOLED empirical measure — sensitive to many small distributed
+    shifts KS's sup misses, scale-free where W1 is not:
+
+        T = n1*n0 / N^2 * sum_{i=1..N} (F1(x_i) - F2(x_i))^2
+          = sum_v t_v * (ca_v*n0 - cb_v*n1)^2 / (N^2 * n1 * n0)
+
+    over the pooled sample via the value-histogram collapse (ca/cb =
+    inclusive cumulative counts; the only window runs over DISTINCT
+    values). The sum S = sum_v t_v*(ca*n0 - cb*n1)^2 accumulates
+    exact DECIMAL(38,0) integers — order-independent, one float
+    division at the end, so the SQL oracle reproduces T digit-for-
+    digit. Exactness envelope: (ca*n0)^2 <= N^4/16, inside
+    DECIMAL(38) for N up to ~2e9 rows per call (the spearman_corr
+    n^4 envelope); at 10^12 scale apply per-slice or quantize first
+    (CvM over a quantized value is CvM of the quantized ECDFs,
+    exactly).
+
+    Rows with NULL value or group are dropped. Output: one row
+    (n_1, n_0, cvm) — NULL cvm when either group is empty."""
+    dec = "decimal(38,0)"
+    y = F.col(group_col).cast("int")
+    h = (
+        df.where(
+            F.col(value_col).isNotNull() & F.col(group_col).isNotNull()
+        )
+        .groupBy(F.col(value_col).alias("__v"))
+        .agg(
+            F.sum(y).cast(dec).alias("__a"),
+            F.sum(1 - y).cast(dec).alias("__b"),
+        )
+    )
+    w_cum = W.orderBy("__v").rowsBetween(W.unboundedPreceding, 0)
+    c = h.select(
+        (F.col("__a") + F.col("__b")).alias("__t"),
+        F.sum("__a").over(w_cum).alias("__ca"),
+        F.sum("__b").over(w_cum).alias("__cb"),
+    )
+    tot = h.agg(
+        F.sum("__a").alias("__n1"), F.sum("__b").alias("__n0")
+    )
+    d = (
+        F.col("__ca") * F.col("__n0")
+        - F.col("__cb") * F.col("__n1")
+    )
+    g = (
+        c.crossJoin(F.broadcast(tot))
+        .agg(
+            F.first("__n1").alias("__n1"),
+            F.first("__n0").alias("__n0"),
+            F.sum(F.col("__t") * d * d).alias("__s"),
+        )
+    )
+    n1, n0 = F.col("__n1"), F.col("__n0")
+    N = n1 + n0
+    return g.select(
+        n1.cast("bigint").alias("n_1"),
+        n0.cast("bigint").alias("n_0"),
+        F.when(
+            (n1 > 0) & (n0 > 0),
+            F.col("__s").cast("double")
+            / (
+                N.cast("double")
+                * N.cast("double")
+                * n1.cast("double")
+                * n0.cast("double")
+            ),
+        ).alias("cvm"),
+    )

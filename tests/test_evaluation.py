@@ -705,3 +705,143 @@ def test_cochran_armitage_planted_trend_and_null(spark):
         spark.createDataFrame(const, "w long, y int"), "w", "y"
     ).collect()[0]
     assert r3.z is None
+
+
+# ---------------------------------------------------------------------------
+# mannwhitney_u
+# ---------------------------------------------------------------------------
+
+def _mwu_bruteforce(vals):
+    """(u1, z, rank_biserial) by direct pair counting + the standard
+    tie-corrected normal approximation."""
+    import math
+    from collections import Counter
+
+    a = [v for v, g in vals if g == 1]
+    b = [v for v, g in vals if g == 0]
+    n1, n0 = len(a), len(b)
+    u1 = sum(
+        1.0 if x > y else 0.5 if x == y else 0.0
+        for x in a
+        for y in b
+    )
+    N = n1 + n0
+    ties = Counter(v for v, _ in vals)
+    tie_term = sum(t**3 - t for t in ties.values())
+    var = n1 * n0 * (N**3 - N - tie_term) / (12.0 * N * (N - 1))
+    z = (u1 - n1 * n0 / 2.0) / math.sqrt(var) if var > 0 else None
+    rb = 2.0 * u1 / (n1 * n0) - 1.0
+    return u1, z, rb
+
+
+def test_mwu_matches_bruteforce_with_ties(spark):
+    from protosc_spark.evaluation import mannwhitney_u
+
+    vals = [
+        (5, 1), (5, 0), (3, 1), (3, 1), (8, 0), (8, 0), (8, 1),
+        (1, 0), (2, 1), (9, 1), (9, 0), (4, 0), (4, 0), (7, 1),
+    ]
+    df = spark.createDataFrame(vals, "v long, g int")
+    r = mannwhitney_u(df, "v", "g").collect()[0]
+    u1, z, rb = _mwu_bruteforce(vals)
+    assert r.n_1 == 7 and r.n_0 == 7
+    assert abs(r.u1 - u1) < 1e-12
+    assert abs(r.z - z) < 1e-9
+    assert abs(r.rank_biserial - rb) < 1e-12
+
+
+def test_mwu_separated_and_sign(spark):
+    from protosc_spark.evaluation import mannwhitney_u
+
+    hi = spark.createDataFrame(
+        [(10, 1), (11, 1), (12, 1), (1, 0), (2, 0), (3, 0)],
+        "v long, g int",
+    )
+    r = mannwhitney_u(hi, "v", "g").collect()[0]
+    assert r.u1 == 9.0 and r.rank_biserial == 1.0 and r.z > 0
+    lo = spark.createDataFrame(
+        [(1, 1), (2, 1), (10, 0), (11, 0)], "v long, g int"
+    )
+    r = mannwhitney_u(lo, "v", "g").collect()[0]
+    assert r.u1 == 0.0 and r.rank_biserial == -1.0 and r.z < 0
+
+
+def test_mwu_degenerate(spark):
+    from protosc_spark.evaluation import mannwhitney_u
+
+    onegrp = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1)], "v long, g int"
+    )
+    r = mannwhitney_u(onegrp, "v", "g").collect()[0]
+    assert r.n_0 == 0 and r.z is None and r.rank_biserial is None
+    alltied = spark.createDataFrame(
+        [(7, 1), (7, 1), (7, 0), (7, 0)], "v long, g int"
+    )
+    r = mannwhitney_u(alltied, "v", "g").collect()[0]
+    # every pooled row one tie block: variance 0 -> z NULL, U = half
+    assert r.z is None and r.u1 == 2.0 and r.rank_biserial == 0.0
+    withnull = spark.createDataFrame(
+        [(1, 1), (None, 1), (2, 0), (3, None)], "v long, g int"
+    )
+    r = mannwhitney_u(withnull, "v", "g").collect()[0]
+    assert r.n_1 == 1 and r.n_0 == 1
+
+
+# ---------------------------------------------------------------------------
+# cvm_two_sample
+# ---------------------------------------------------------------------------
+
+def _cvm_bruteforce(vals):
+    from fractions import Fraction
+
+    a = [v for v, g in vals if g == 1]
+    b = [v for v, g in vals if g == 0]
+    n1, n0 = len(a), len(b)
+    N = n1 + n0
+    s = Fraction(0)
+    for x, _ in vals:
+        f1 = Fraction(sum(1 for v in a if v <= x), n1)
+        f0 = Fraction(sum(1 for v in b if v <= x), n0)
+        s += (f1 - f0) ** 2
+    return float(Fraction(n1 * n0, N * N) * s)
+
+
+def test_cvm_matches_bruteforce(spark):
+    from protosc_spark.evaluation import cvm_two_sample
+
+    vals = [
+        (5, 1), (5, 0), (3, 1), (8, 0), (8, 0), (1, 0), (2, 1),
+        (9, 1), (9, 0), (4, 0), (7, 1), (7, 1),
+    ]
+    df = spark.createDataFrame(vals, "v long, g int")
+    r = cvm_two_sample(df, "v", "g").collect()[0]
+    assert r.n_1 == 6 and r.n_0 == 6
+    assert abs(r.cvm - _cvm_bruteforce(vals)) < 1e-12
+
+
+def test_cvm_identical_zero_and_degenerate(spark):
+    from protosc_spark.evaluation import cvm_two_sample
+
+    same = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (1, 0), (2, 0), (3, 0)],
+        "v long, g int",
+    )
+    assert cvm_two_sample(same, "v", "g").collect()[0].cvm == 0.0
+    onegrp = spark.createDataFrame(
+        [(1, 0), (2, 0)], "v long, g int"
+    )
+    r = cvm_two_sample(onegrp, "v", "g").collect()[0]
+    assert r.n_1 == 0 and r.cvm is None
+
+
+def test_mwu_cvm_plan_no_python(spark):
+    from protosc_spark.evaluation import cvm_two_sample, mannwhitney_u
+
+    df = spark.createDataFrame([(1, 1), (2, 0)], "v long, g int")
+    for out in (
+        mannwhitney_u(df, "v", "g"),
+        cvm_two_sample(df, "v", "g"),
+    ):
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "ArrowEvalPython" not in plan
+        assert "BatchEvalPython" not in plan
