@@ -1181,6 +1181,44 @@ def _corpus_drift_cvm(spark, sf_dir):
     )
 
 
+def _events_logrank(spark, sf_dir):
+    """Two-group log-rank test: user activity-lifetime survival
+    (days from first to last event, censored within 7 days of the
+    corpus max ts) compared across the deterministic md5 'exp1'
+    50/50 split — the significance companion to the events_survival
+    KM curve. Risk sets from the cumulative duration histogram,
+    quantized E/V sums per the house rule; DuckDB oracle replays
+    hash split, durations, censoring, risk sets and the identical
+    float tree."""
+    from protosc_spark.sampling import hash_bucket
+    from protosc_spark.windows import _epoch_us, logrank_test
+
+    ev = _read(spark, sf_dir, "events")
+    per = ev.groupBy("user_id").agg(
+        F.min(_epoch_us("ts")).alias("__first"),
+        F.max(_epoch_us("ts")).alias("__last"),
+    )
+    mx = per.agg(F.max("__last").alias("__mx"))
+    durs = per.crossJoin(F.broadcast(mx)).select(
+        F.expr("(__last - __first) DIV 86400000000")
+        .cast("int").alias("duration"),
+        (
+            F.col("__last")
+            < F.col("__mx") - F.lit(7 * 86_400_000_000)
+        ).cast("int").alias("event"),
+        hash_bucket(["user_id"], salt="exp1", n_buckets=2)
+        .alias("group"),
+    )
+    return logrank_test(durs).select(
+        "n_1",
+        "n_0",
+        "o1",
+        F.round("e1", 6).alias("e1"),
+        F.round("z", 6).alias("z"),
+        F.round("chi2", 6).alias("chi2"),
+    )
+
+
 def _events_cmh(spark, sf_dir):
     """Cochran-Mantel-Haenszel stratified conversion test +
     Mantel-Haenszel common odds ratio on the md5 'exp1' split,
@@ -3350,6 +3388,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     full-surface green regardless of this ordering."""
     return {
         # --- round 5 ---
+        "events_logrank": _events_logrank,
         "corpus_mannwhitney": _corpus_mannwhitney,
         "corpus_drift_cvm": _corpus_drift_cvm,
         "events_daily_rate": _events_daily_rate,
@@ -3629,6 +3668,68 @@ def oracle_sql() -> dict[str, str]:
         for t in POISSON1_T60
     )
     out = {
+        "events_logrank": """
+            WITH per AS (
+              SELECT user_id, min(epoch_us(ts)) AS f,
+                     max(epoch_us(ts)) AS l,
+                     ('0x' || substr(md5('exp1' || chr(31)
+                                         || user_id::VARCHAR),
+                                     1, 15))::BIGINT % 2 AS v
+              FROM events GROUP BY user_id
+            ), mx AS (SELECT max(l) AS mx FROM per),
+            durs AS (
+              SELECT ((l - f) // 86400000000)::INT AS t,
+                     (l < mx - 7 * 86400000000)::INT AS ev, v
+              FROM per, mx
+            ), g AS (
+              SELECT t, sum(v * ev)::HUGEINT AS d1,
+                     sum((1 - v) * ev)::HUGEINT AS d0,
+                     sum(v)::HUGEINT AS t1,
+                     sum(1 - v)::HUGEINT AS t0
+              FROM durs GROUP BY t
+            ), tot AS (
+              SELECT sum(t1) AS tot1, sum(t0) AS tot0 FROM g
+            ), b AS (
+              SELECT t, d1, d0,
+                     tot1 - coalesce(sum(t1) OVER (ORDER BY t
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND 1 PRECEDING), 0) AS n1,
+                     tot0 - coalesce(sum(t0) OVER (ORDER BY t
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND 1 PRECEDING), 0) AS n0
+              FROM g, tot
+            ), agg AS (
+              SELECT sum(d1) AS o1,
+                sum(CASE WHEN d1 + d0 > 0 AND n1 + n0 > 1
+                    THEN floor((d1 + d0)::DOUBLE * n1::DOUBLE
+                               / (n1 + n0)::DOUBLE
+                               * 1000000000.0)::HUGEINT
+                    ELSE 0::HUGEINT END) AS qe,
+                sum(CASE WHEN d1 + d0 > 0 AND n1 + n0 > 1
+                    THEN floor((d1 + d0)::DOUBLE * n1::DOUBLE
+                               * n0::DOUBLE
+                               * (n1 + n0 - d1 - d0)::DOUBLE
+                               / ((n1 + n0)::DOUBLE * (n1 + n0)::DOUBLE
+                                  * ((n1 + n0)::DOUBLE - 1.0))
+                               * 1000000000.0)::HUGEINT
+                    ELSE 0::HUGEINT END) AS qv
+              FROM b
+            ), tt AS (
+              SELECT (SELECT tot1 FROM tot) AS s1,
+                     (SELECT tot0 FROM tot) AS s0,
+                     o1, qe::DOUBLE / 1000000000.0 AS e1,
+                     qv::DOUBLE / 1000000000.0 AS vv
+              FROM agg
+            )
+            SELECT s1::BIGINT AS n_1, s0::BIGINT AS n_0,
+                   o1::BIGINT AS o1, round(e1, 6) AS e1,
+                   round(CASE WHEN vv > 0 THEN
+                     (o1::DOUBLE - e1) / sqrt(vv) END, 6) AS z,
+                   round(CASE WHEN vv > 0 THEN
+                     (o1::DOUBLE - e1) / sqrt(vv)
+                     * ((o1::DOUBLE - e1) / sqrt(vv)) END, 6) AS chi2
+            FROM tt
+        """,
         "corpus_mannwhitney": """
             WITH base AS (
               SELECT n_chars AS v, (lang = 'en')::INT AS g

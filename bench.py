@@ -157,6 +157,7 @@ HEADLINE = [
     "events_daily_rate",
     "corpus_mannwhitney",
     "corpus_drift_cvm",
+    "events_logrank",
 ]
 
 BENCH_CONVERSATIONS = int(os.environ.get("PROTOSC_BENCH_CONVS", "20000"))

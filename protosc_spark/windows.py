@@ -1001,6 +1001,113 @@ def kaplan_meier(
     )
 
 
+def logrank_test(
+    df: DataFrame,
+    duration_col: str = "duration",
+    event_col: str = "event",
+    group_col: str = "group",
+    unit: int = 10**9,
+) -> DataFrame:
+    """Two-group log-rank test over per-subject (duration, event,
+    group) rows — the significance companion to
+    :func:`kaplan_meier`: "are these two survival curves the same?",
+    with right-censoring handled exactly (a censored subject leaves
+    the risk set without scoring an event, so naive rate comparisons
+    are biased whenever censoring differs between arms — precisely
+    the A/B case, where one arm's users joined later).
+
+    At each distinct event time t (Mantel-Haenszel over the implicit
+    2x2 table at every death time):
+
+        E1 += d_t * n1_t / n_t
+        V  += d_t * n1_t * n0_t * (n_t - d_t) / (n_t^2 * (n_t - 1))
+        z   = (O1 - E1) / sqrt(V),   chi2 = z^2
+
+    with d_t total events at t, n1/n0 the group risk sets (subjects
+    with duration >= t) and O1 = sum d1_t. Risk sets come from the
+    cumulative histogram over DISTINCT durations (the house collapse
+    — censor-only durations participate in the risk-set windows but
+    contribute zero terms); d/n counts are exact DECIMAL integers;
+    each E/V term is one float of them, quantized to integer
+    1/``unit`` units before the cross-time sums (the house rule
+    shared with experiment.cmh_readout), so the statistic is
+    order-independent and a SQL oracle replays it digit-for-digit.
+
+    z > 0 means group 1 saw MORE events than expected under the null
+    (worse survival). Rows with NULL duration/event/group dropped.
+    Output: one row (n_1, n_0, o1, e1, z, chi2) — z/chi2 NULL when
+    the variance sum is zero (no comparable risk sets)."""
+    dec = "decimal(38,0)"
+    y = F.col(group_col).cast("int")
+    e = F.col(event_col).cast("int")
+    g = (
+        df.where(
+            F.col(duration_col).isNotNull()
+            & F.col(event_col).isNotNull()
+            & F.col(group_col).isNotNull()
+        )
+        .groupBy(F.col(duration_col).alias("t"))
+        .agg(
+            F.sum(y * e).cast(dec).alias("__d1"),
+            F.sum((1 - y) * e).cast(dec).alias("__d0"),
+            F.sum(y).cast(dec).alias("__t1"),
+            F.sum(1 - y).cast(dec).alias("__t0"),
+        )
+    )
+    tot = g.agg(
+        F.sum("__t1").alias("__tot1"), F.sum("__t0").alias("__tot0")
+    )
+    w_prev = W.orderBy("t").rowsBetween(W.unboundedPreceding, -1)
+    zero = F.lit(0).cast(dec)
+    base = (
+        g.crossJoin(F.broadcast(tot))
+        .withColumn(
+            "__n1",
+            F.col("__tot1")
+            - F.coalesce(F.sum("__t1").over(w_prev), zero),
+        )
+        .withColumn(
+            "__n0",
+            F.col("__tot0")
+            - F.coalesce(F.sum("__t0").over(w_prev), zero),
+        )
+    )
+
+    def d(col):
+        return col.cast("double")
+
+    n1, n0 = F.col("__n1"), F.col("__n0")
+    dd = F.col("__d1") + F.col("__d0")
+    n = n1 + n0
+    e_term = d(dd) * d(n1) / d(n)
+    v_term = (
+        d(dd) * d(n1) * d(n0) * d(n - dd)
+        / (d(n) * d(n) * (d(n) - F.lit(1.0)))
+    )
+    u = F.lit(float(unit))
+    q = lambda x: F.floor(x * u).cast(dec)  # noqa: E731
+    live = (dd > 0) & (n > 1)
+    agg = base.agg(
+        F.first("__tot1").alias("__s1"),
+        F.first("__tot0").alias("__s0"),
+        F.sum("__d1").alias("__o1"),
+        F.sum(F.when(live, q(e_term)).otherwise(zero)).alias("__qe"),
+        F.sum(F.when(live, q(v_term)).otherwise(zero)).alias("__qv"),
+    )
+    o1 = F.col("__o1").cast("double")
+    e1 = F.col("__qe").cast("double") / u
+    v = F.col("__qv").cast("double") / u
+    z = (o1 - e1) / F.sqrt(v)
+    return agg.select(
+        F.col("__s1").cast("bigint").alias("n_1"),
+        F.col("__s0").cast("bigint").alias("n_0"),
+        F.col("__o1").cast("bigint").alias("o1"),
+        e1.alias("e1"),
+        F.when(v > 0, z).alias("z"),
+        F.when(v > 0, z * z).alias("chi2"),
+    )
+
+
 def volume_ewma(
     df: DataFrame,
     group_col: str,

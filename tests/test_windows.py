@@ -1390,3 +1390,119 @@ def test_daily_rate_wilson_hand_case_and_bounds(spark):
         assert 0.0 <= r.ci_lo <= r.rate <= r.ci_hi <= 1.0
     assert got[1].ci_lo == 0.0 or got[1].ci_lo > 0  # defined at k=0
     assert got[2].ci_hi <= 1.0
+
+
+# ---------------------------------------------------------------------------
+# logrank_test
+# ---------------------------------------------------------------------------
+
+def _logrank_bruteforce(rows):
+    """(o1, e1, z) by direct evaluation of the Mantel-Haenszel 2x2
+    table at every event time."""
+    import math
+
+    times = sorted({t for t, e, _ in rows if e == 1})
+    o1, e1, v = 0, 0.0, 0.0
+    for t in times:
+        d1 = sum(1 for tt, e, g in rows if tt == t and e and g == 1)
+        d0 = sum(1 for tt, e, g in rows if tt == t and e and g == 0)
+        n1 = sum(1 for tt, _, g in rows if tt >= t and g == 1)
+        n0 = sum(1 for tt, _, g in rows if tt >= t and g == 0)
+        d, n = d1 + d0, n1 + n0
+        o1 += d1
+        if d > 0 and n > 1:
+            e1 += d * n1 / n
+            v += d * n1 * n0 * (n - d) / (n * n * (n - 1))
+    z = (o1 - e1) / math.sqrt(v) if v > 0 else None
+    return o1, e1, z
+
+
+def test_logrank_matches_bruteforce(spark):
+    from protosc_spark.windows import logrank_test
+
+    rows = [
+        (3, 1, 1), (5, 1, 1), (5, 0, 1), (8, 1, 1), (9, 0, 1),
+        (2, 1, 0), (3, 1, 0), (3, 1, 0), (6, 0, 0), (7, 1, 0),
+        (8, 1, 0), (11, 0, 1),
+    ]
+    df = spark.createDataFrame(rows, "duration int, event int, group int")
+    r = logrank_test(df).collect()[0]
+    o1, e1, z = _logrank_bruteforce(rows)
+    assert r.n_1 == 6 and r.n_0 == 6 and r.o1 == o1
+    assert abs(r.e1 - e1) < 1e-6
+    assert abs(r.z - z) < 1e-6
+    assert abs(r.chi2 - z * z) < 1e-5
+
+
+def test_logrank_identical_curves_near_zero(spark):
+    from protosc_spark.windows import logrank_test
+
+    # the two groups have IDENTICAL duration/event multisets: every
+    # 2x2 table is balanced, so O1 - E1 = 0 exactly
+    rows = [(t, e, g) for g in (0, 1)
+            for t, e in [(1, 1), (2, 1), (4, 0), (5, 1), (7, 0)]]
+    df = spark.createDataFrame(rows, "duration int, event int, group int")
+    r = logrank_test(df).collect()[0]
+    assert abs(r.o1 - r.e1) < 1e-6 and abs(r.z) < 1e-5
+
+
+def test_logrank_planted_hazard_sign_and_censoring(spark):
+    from protosc_spark.windows import logrank_test
+
+    # group 1 dies early, group 0 late -> z strongly positive
+    rows = [(i % 3 + 1, 1, 1) for i in range(30)] + [
+        (i % 3 + 20, 1, 0) for i in range(30)
+    ]
+    df = spark.createDataFrame(rows, "duration int, event int, group int")
+    r = logrank_test(df).collect()[0]
+    assert r.z > 3.0
+    # censoring those early group-1 exits instead (no events): group 1
+    # has fully left the risk set before the first event time, so no
+    # 2x2 table ever has both groups at risk -> variance 0 -> z NULL
+    cens = [(t, 0, g) if g == 1 else (t, e, g) for t, e, g in rows]
+    dfc = spark.createDataFrame(
+        cens, "duration int, event int, group int"
+    )
+    rc = logrank_test(dfc).collect()[0]
+    assert rc.o1 == 0 and rc.z is None
+    # censor only HALF of group 1 early: overlap remains, and group
+    # 1's events still arriving early keeps z positive
+    half = [
+        (t, 0 if i < 15 else e, g) if g == 1 else (t, e, g)
+        for i, (t, e, g) in enumerate(rows)
+    ]
+    dfh = spark.createDataFrame(
+        half, "duration int, event int, group int"
+    )
+    rh = logrank_test(dfh).collect()[0]
+    assert rh.o1 == 15 and rh.z > 0
+
+
+def test_logrank_degenerate_and_nulls(spark):
+    from protosc_spark.windows import logrank_test
+
+    onegrp = spark.createDataFrame(
+        [(1, 1, 1), (2, 1, 1)], "duration int, event int, group int"
+    )
+    r = logrank_test(onegrp).collect()[0]
+    assert r.n_0 == 0 and r.z is None and r.chi2 is None
+    withnull = spark.createDataFrame(
+        [(1, 1, 1), (None, 1, 0), (2, None, 0), (3, 0, None),
+         (4, 1, 0)],
+        "duration int, event int, group int",
+    )
+    r = logrank_test(withnull).collect()[0]
+    assert r.n_1 == 1 and r.n_0 == 1
+
+
+def test_logrank_plan_no_python(spark):
+    from protosc_spark.windows import logrank_test
+
+    df = spark.createDataFrame(
+        [(1, 1, 1), (2, 0, 0)], "duration int, event int, group int"
+    )
+    plan = (
+        logrank_test(df)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "ArrowEvalPython" not in plan
+    assert "BatchEvalPython" not in plan
