@@ -1181,6 +1181,31 @@ def _corpus_drift_cvm(spark, sf_dir):
     )
 
 
+def _corpus_eb_rates(spark, sf_dir):
+    """Empirical-Bayes beta-binomial shrinkage of per-source
+    is-English rates: method-of-moments prior over the 20 source
+    rates, every group pulled toward the cross-source mean with
+    strength alpha+beta vs its own n — the honest per-slice
+    leaderboard. Exact k/n integers, quantized rate moments (house
+    rule); DuckDB oracle replays the moment fit and the identical
+    float tree."""
+    from protosc_spark.encoding import eb_shrink_rates
+
+    docs = _read_wide(spark, sf_dir, "documents").select(
+        "source", (F.col("lang") == "en").cast("int").alias("y")
+    )
+    t = eb_shrink_rates(docs, "source", "y")
+    return t.select(
+        "source",
+        "n",
+        "k",
+        F.round("rate", 6).alias("rate"),
+        F.round("alpha", 6).alias("alpha"),
+        F.round("beta", 6).alias("beta"),
+        F.round("shrunk", 6).alias("shrunk"),
+    ).orderBy("source")
+
+
 def _events_logrank(spark, sf_dir):
     """Two-group log-rank test: user activity-lifetime survival
     (days from first to last event, censored within 7 days of the
@@ -3388,6 +3413,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     full-surface green regardless of this ordering."""
     return {
         # --- round 5 ---
+        "corpus_eb_rates": _corpus_eb_rates,
         "events_logrank": _events_logrank,
         "corpus_mannwhitney": _corpus_mannwhitney,
         "corpus_drift_cvm": _corpus_drift_cvm,
@@ -3668,6 +3694,49 @@ def oracle_sql() -> dict[str, str]:
         for t in POISSON1_T60
     )
     out = {
+        "corpus_eb_rates": """
+            WITH g AS (
+              SELECT source, count(*)::HUGEINT AS n,
+                     sum((lang = 'en')::INT)::HUGEINT AS k
+              FROM documents
+              WHERE lang IS NOT NULL AND source IS NOT NULL
+              GROUP BY source
+            ), q AS (
+              SELECT source, n, k,
+                     floor(k::DOUBLE / n::DOUBLE
+                           * 1000000000.0)::HUGEINT AS qp
+              FROM g
+            ), pr AS (
+              SELECT count(*)::HUGEINT AS gg, sum(qp) AS s1,
+                     sum(qp * qp) AS s2
+              FROM q
+            ), m AS (
+              SELECT gg,
+                     s1::DOUBLE / 1000000000.0 / gg::DOUBLE AS m1,
+                     (s2::DOUBLE / 1000000000.0 / 1000000000.0
+                        / gg::DOUBLE
+                      - (s1::DOUBLE / 1000000000.0 / gg::DOUBLE)
+                        * (s1::DOUBLE / 1000000000.0 / gg::DOUBLE))
+                     * gg::DOUBLE / (gg::DOUBLE - 1.0) AS s2v
+              FROM pr
+            ), ab AS (
+              SELECT gg, m1, s2v,
+                     m1 * (1.0 - m1) / s2v - 1.0 AS c
+              FROM m
+            )
+            SELECT source, n::BIGINT AS n, k::BIGINT AS k,
+                   round(k::DOUBLE / n::DOUBLE, 6) AS rate,
+                   round(CASE WHEN gg > 1 AND s2v > 0 AND c > 0
+                     THEN m1 * c END, 6) AS alpha,
+                   round(CASE WHEN gg > 1 AND s2v > 0 AND c > 0
+                     THEN (1.0 - m1) * c END, 6) AS beta,
+                   round(CASE WHEN gg > 1 AND s2v > 0 AND c > 0
+                     THEN (k::DOUBLE + m1 * c)
+                          / (n::DOUBLE + m1 * c + (1.0 - m1) * c)
+                     WHEN gg <= 1 OR s2v <= 0 THEN m1
+                     ELSE k::DOUBLE / n::DOUBLE END, 6) AS shrunk
+            FROM q, ab ORDER BY source
+        """,
         "events_logrank": """
             WITH per AS (
               SELECT user_id, min(epoch_us(ts)) AS f,

@@ -158,6 +158,7 @@ HEADLINE = [
     "corpus_mannwhitney",
     "corpus_drift_cvm",
     "events_logrank",
+    "corpus_eb_rates",
 ]
 
 BENCH_CONVERSATIONS = int(os.environ.get("PROTOSC_BENCH_CONVS", "20000"))

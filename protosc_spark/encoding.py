@@ -267,3 +267,98 @@ def woe_iv(
         woe.alias("woe"),
         (F.sum(term).over(w).cast("double") / F.lit(1e9)).alias("iv"),
     )
+
+
+def eb_shrink_rates(
+    df: DataFrame,
+    group_cols: list[str] | str,
+    label_col: str,
+    unit: int = 10**9,
+) -> DataFrame:
+    """Empirical-Bayes (beta-binomial) shrinkage of per-group binary
+    rates — the standard fix for the "small slice tops the
+    leaderboard" artifact that raw per-group rates produce (a
+    3-of-4 slice beats a 700-of-1000 one): every group's rate is
+    pulled toward the cross-group mean with strength proportional to
+    the prior's evidence vs the group's own n.
+
+    Method-of-moments fit of Beta(alpha, beta) to the GROUP RATES:
+
+        m1 = mean(p_g),  s2 = sample var(p_g),
+        c  = m1 (1 - m1) / s2 - 1,
+        alpha = m1 c,  beta = (1 - m1) c,
+        shrunk_g = (k_g + alpha) / (n_g + alpha + beta)
+
+    Engine-reproducibility: k/n are exact integers from one
+    map-side-combined groupBy; each group's rate is quantized to
+    integer 1/``unit`` units (the house rule) and the cross-group
+    moment sums accumulate those integers exactly in DECIMAL, so the
+    one float expression at the end — written identically in the SQL
+    oracle — reproduces digit-for-digit at any parallelism. Scale
+    shape: |groups| rows after the rollup, one broadcast 1-row prior,
+    one join back; no raw-row windows.
+
+    Degenerate regimes: fewer than 2 groups or zero between-group
+    variance -> shrunk = m1 (the prior is everything); method-of-
+    moments c <= 0 (dispersion beyond what any beta prior explains)
+    -> shrunk = raw rate (no valid prior, shrink nothing). Rows with
+    NULL label or group are dropped. Output: one row per group
+    (group_cols..., n, k, rate, alpha, beta, shrunk)."""
+    keys = [group_cols] if isinstance(group_cols, str) else list(group_cols)
+    dec = "decimal(38,0)"
+    y = F.col(label_col).cast("int")
+    nn = F.col(label_col).isNotNull()
+    for k in keys:
+        nn = nn & F.col(k).isNotNull()
+    g = (
+        df.where(nn)
+        .groupBy(*keys)
+        .agg(
+            F.count(F.lit(1)).cast(dec).alias("__n"),
+            F.sum(y).cast(dec).alias("__k"),
+        )
+    )
+    u = F.lit(float(unit))
+    qp = F.floor(
+        F.col("__k").cast("double") / F.col("__n").cast("double") * u
+    ).cast(dec)
+    gq = g.withColumn("__qp", qp)
+    prior = gq.agg(
+        F.count(F.lit(1)).cast(dec).alias("__g"),
+        F.sum("__qp").alias("__s1"),
+        F.sum(F.col("__qp") * F.col("__qp")).alias("__s2"),
+    )
+    gd = F.col("__g").cast("double")
+    m1 = F.col("__s1").cast("double") / u / gd
+    ex2 = F.col("__s2").cast("double") / u / u / gd
+    # guard the divisions themselves: ANSI mode evaluates them even
+    # inside a false predicate branch (G=1 -> /0, s2=0 -> /0)
+    s2 = F.when(
+        F.col("__g") > 1,
+        (ex2 - m1 * m1) * gd / (gd - F.lit(1.0)),
+    ).otherwise(F.lit(0.0))
+    c = F.when(
+        s2 > 0, m1 * (F.lit(1.0) - m1) / s2 - F.lit(1.0)
+    ).otherwise(F.lit(-1.0))
+    alpha = m1 * c
+    beta = (F.lit(1.0) - m1) * c
+    nd = F.col("__n").cast("double")
+    kd = F.col("__k").cast("double")
+    rate = kd / nd
+    ok = (F.col("__g") > 1) & (s2 > 0) & (c > 0)
+    flat = (F.col("__g") <= 1) | (s2 <= 0)
+    return (
+        gq.crossJoin(F.broadcast(prior))
+        .select(
+            *keys,
+            F.col("__n").cast("bigint").alias("n"),
+            F.col("__k").cast("bigint").alias("k"),
+            rate.alias("rate"),
+            F.when(ok, alpha).alias("alpha"),
+            F.when(ok, beta).alias("beta"),
+            F.when(ok, (kd + alpha) / (nd + alpha + beta))
+            .when(flat, m1)
+            .otherwise(rate)
+            .alias("shrunk"),
+        )
+    )

@@ -197,3 +197,106 @@ def test_woe_iv_null_bin_and_empty_cell(spark):
     import math
     assert all(math.isfinite(r.woe) for r in got.values())
     assert got["b"].woe < 0 < got["a"].woe
+
+
+# ---------------------------------------------------------------------------
+# eb_shrink_rates
+# ---------------------------------------------------------------------------
+
+def _eb_bruteforce(groups, unit=10**9):
+    """MoM beta-binomial fit over quantized group rates, mirroring
+    the documented algebra."""
+    import math
+
+    qps = [math.floor(k / n * unit) for n, k in groups]
+    g = len(qps)
+    m1 = sum(qps) / unit / g
+    ex2 = sum(q * q for q in qps) / unit / unit / g
+    s2 = (ex2 - m1 * m1) * g / (g - 1) if g > 1 else 0.0
+    if g > 1 and s2 > 0:
+        c = m1 * (1 - m1) / s2 - 1.0
+        if c > 0:
+            a, b = m1 * c, (1 - m1) * c
+            return [(k + a) / (n + a + b) for n, k in groups], a, b
+    if g <= 1 or s2 <= 0:
+        return [m1 for _ in groups], None, None
+    return [k / n for n, k in groups], None, None
+
+
+def test_eb_shrink_matches_bruteforce(spark):
+    from protosc_spark.encoding import eb_shrink_rates
+
+    groups = [(1000, 700), (4, 3), (50, 10), (200, 90), (30, 21)]
+    rows = [
+        (f"g{i}", 1 if j < k else 0)
+        for i, (n, k) in enumerate(groups)
+        for j in range(n)
+    ]
+    df = spark.createDataFrame(rows, "g string, y int")
+    got = {
+        r.g: r
+        for r in eb_shrink_rates(df, "g", "y").collect()
+    }
+    want, a, b = _eb_bruteforce(groups)
+    assert a is not None and abs(got["g0"].alpha - a) < 1e-9
+    assert abs(got["g0"].beta - b) < 1e-9
+    for i, (n, k) in enumerate(groups):
+        r = got[f"g{i}"]
+        assert r.n == n and r.k == k
+        assert abs(r.shrunk - want[i]) < 1e-9
+        # shrunk lies between the raw rate and the prior mean
+        m1 = sum(x.rate for x in got.values()) / len(got)
+        lo, hi = sorted((r.rate, m1))
+        assert lo - 1e-9 <= r.shrunk <= hi + 1e-9
+    # the small extreme group moves proportionally further than the
+    # big one
+    assert abs(got["g1"].shrunk - got["g1"].rate) > abs(
+        got["g0"].shrunk - got["g0"].rate
+    )
+
+
+def test_eb_shrink_degenerate(spark):
+    from protosc_spark.encoding import eb_shrink_rates
+
+    # single group: prior IS the group -> shrunk = m1 = rate
+    one = spark.createDataFrame(
+        [("a", 1), ("a", 0), ("a", 1), ("a", 1)], "g string, y int"
+    )
+    r = eb_shrink_rates(one, "g", "y").collect()[0]
+    assert r.alpha is None and abs(r.shrunk - 0.75) < 1e-9
+    # zero between-group variance -> every group gets m1
+    flat = spark.createDataFrame(
+        [("a", 1), ("a", 0), ("b", 1), ("b", 0)], "g string, y int"
+    )
+    for r in eb_shrink_rates(flat, "g", "y").collect():
+        assert r.alpha is None and abs(r.shrunk - 0.5) < 1e-9
+    # beyond-beta overdispersion (rates 0 and 1): c < 0 -> raw rates
+    over = spark.createDataFrame(
+        [("a", 1), ("a", 1), ("b", 0), ("b", 0)], "g string, y int"
+    )
+    got = {r.g: r for r in eb_shrink_rates(over, "g", "y").collect()}
+    assert got["a"].shrunk == 1.0 and got["b"].shrunk == 0.0
+    assert got["a"].alpha is None
+    # NULL group / label rows dropped
+    withnull = spark.createDataFrame(
+        [("a", 1), (None, 1), ("a", None), ("b", 0), ("b", 1)],
+        "g string, y int",
+    )
+    got = {
+        r.g: r for r in eb_shrink_rates(withnull, "g", "y").collect()
+    }
+    assert got["a"].n == 1 and got["b"].n == 2 and len(got) == 2
+
+
+def test_eb_shrink_plan_no_python(spark):
+    from protosc_spark.encoding import eb_shrink_rates
+
+    df = spark.createDataFrame([("a", 1), ("b", 0)], "g string, y int")
+    plan = (
+        eb_shrink_rates(df, "g", "y")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "ArrowEvalPython" not in plan
+    assert "BatchEvalPython" not in plan
