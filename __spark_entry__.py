@@ -1181,6 +1181,49 @@ def _corpus_drift_cvm(spark, sf_dir):
     )
 
 
+def _corpus_readability(spark, sf_dir):
+    """ARI + Coleman-Liau readability per document from pure
+    regexp counting (no syllable dictionary) — boilerplate scores
+    absurdly high, keyboard mash negative. One codegen'd
+    projection; DuckDB oracle replays counts and both literal-
+    coefficient float trees."""
+    from protosc_spark.textops import readability
+
+    docs = _read_wide(spark, sf_dir, "documents").select(
+        "doc_id", "text"
+    )
+    return readability(docs).select(
+        "doc_id",
+        "n_letters",
+        "n_words",
+        "n_sentences",
+        F.round("ari", 6).alias("ari"),
+        F.round("cli", 6).alias("cli"),
+    ).orderBy("doc_id")
+
+
+def _txt_vocab_richness(spark, sf_dir):
+    """Chao1 vocabulary lower bound + Good-Turing unseen mass per
+    source from the count-of-counts tail — 'how much vocabulary
+    have we NOT seen yet', beside heaps (growth) and zipf (shape).
+    Exact integer f1/f2/V/N; DuckDB oracle replays the explode,
+    both rollups and the two divisions."""
+    from protosc_spark.textops import vocab_richness
+
+    docs = _read_wide(spark, sf_dir, "documents").select(
+        "source", "text"
+    )
+    return vocab_richness(docs, "source").select(
+        "source",
+        "n_tokens",
+        "vocab",
+        "f1",
+        "f2",
+        F.round("chao1", 6).alias("chao1"),
+        F.round("gt_unseen", 6).alias("gt_unseen"),
+    ).orderBy("source")
+
+
 def _corpus_eb_rates(spark, sf_dir):
     """Empirical-Bayes beta-binomial shrinkage of per-source
     is-English rates: method-of-moments prior over the 20 source
@@ -3413,6 +3456,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     full-surface green regardless of this ordering."""
     return {
         # --- round 5 ---
+        "corpus_readability": _corpus_readability,
+        "txt_vocab_richness": _txt_vocab_richness,
         "corpus_eb_rates": _corpus_eb_rates,
         "events_logrank": _events_logrank,
         "corpus_mannwhitney": _corpus_mannwhitney,
@@ -3694,6 +3739,54 @@ def oracle_sql() -> dict[str, str]:
         for t in POISSON1_T60
     )
     out = {
+        "corpus_readability": """
+            WITH c AS (
+              SELECT doc_id,
+                     len(regexp_extract_all(text, '[A-Za-z]'))
+                       ::BIGINT AS letters,
+                     len(regexp_extract_all(text, '[A-Za-z0-9]'))
+                       ::BIGINT AS chars,
+                     len(regexp_extract_all(text, '[A-Za-z0-9]+'))
+                       ::BIGINT AS words,
+                     greatest(len(regexp_extract_all(text,
+                       '[.!?]+')), 1)::BIGINT AS sents
+              FROM documents
+            )
+            SELECT doc_id, letters AS n_letters, words AS n_words,
+                   sents AS n_sentences,
+                   round(CASE WHEN words > 0 THEN
+                     4.71 * chars::DOUBLE / words::DOUBLE
+                     + 0.5 * words::DOUBLE / sents::DOUBLE
+                     - 21.43 END, 6) AS ari,
+                   round(CASE WHEN words > 0 THEN
+                     0.0588 * (letters::DOUBLE / words::DOUBLE
+                               * 100.0)
+                     - 0.296 * (sents::DOUBLE / words::DOUBLE
+                                * 100.0)
+                     - 15.8 END, 6) AS cli
+            FROM c ORDER BY doc_id
+        """,
+        "txt_vocab_richness": """
+            WITH toks AS (
+              SELECT source,
+                     unnest(string_split(text, ' ')) AS token
+              FROM documents WHERE text IS NOT NULL
+            ), cnt AS (
+              SELECT source, token, count(*)::HUGEINT AS c
+              FROM toks GROUP BY 1, 2
+            ), g AS (
+              SELECT source, sum(c) AS n, count(*)::HUGEINT AS v,
+                     sum((c = 1)::INT)::HUGEINT AS f1,
+                     sum((c = 2)::INT)::HUGEINT AS f2
+              FROM cnt GROUP BY source
+            )
+            SELECT source, n::BIGINT AS n_tokens, v::BIGINT AS vocab,
+                   f1::BIGINT AS f1, f2::BIGINT AS f2,
+                   round(v::DOUBLE + f1::DOUBLE * (f1::DOUBLE - 1.0)
+                         / (2.0 * (f2::DOUBLE + 1.0)), 6) AS chao1,
+                   round(f1::DOUBLE / n::DOUBLE, 6) AS gt_unseen
+            FROM g ORDER BY source
+        """,
         "corpus_eb_rates": """
             WITH g AS (
               SELECT source, count(*)::HUGEINT AS n,

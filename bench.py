@@ -159,6 +159,8 @@ HEADLINE = [
     "corpus_drift_cvm",
     "events_logrank",
     "corpus_eb_rates",
+    "corpus_readability",
+    "txt_vocab_richness",
 ]
 
 BENCH_CONVERSATIONS = int(os.environ.get("PROTOSC_BENCH_CONVS", "20000"))

@@ -1087,3 +1087,113 @@ def heaps_fit(
             F.when(ok & (vy > 0), cov * cov / (vx * vy)).alias("r2"),
         )
     )
+
+
+def readability(df: DataFrame) -> DataFrame:
+    """Per-document readability scores from pure character/word/
+    sentence counting — the corpus-quality signals that need NO
+    syllable dictionary (Flesch does), so they stay deterministic
+    and engine-reproducible:
+
+      ARI  = 4.71 * chars/words + 0.5 * words/sentences - 21.43
+             (Automated Readability Index, Senter & Smith 1967)
+      CLI  = 0.0588 * L - 0.296 * S - 15.8
+             (Coleman-Liau 1975; L = letters per 100 words,
+              S = sentences per 100 words)
+
+    with chars = alphanumeric characters, words = maximal
+    alphanumeric runs, sentences = maximal runs of ``.!?``
+    (floored at 1 — headline-style fragments score as one
+    sentence, the standard guard). Both scores approximate a US
+    grade level; in a cleaning pipeline they catch boilerplate
+    (absurdly high) and keyboard mash / tag soup (negative) that
+    length and stopword ratios miss.
+
+    Pure codegen'd projection (regexp counts + one float expression
+    with literal coefficients, shared verbatim with the SQL oracle);
+    streaming-safe. Output: (doc_id, n_letters, n_words,
+    n_sentences, ari, cli) — scores NULL when the text has no
+    words."""
+    letters = F.regexp_count(F.col("text"), F.lit("[A-Za-z]"))
+    chars = F.regexp_count(F.col("text"), F.lit("[A-Za-z0-9]"))
+    words = F.regexp_count(F.col("text"), F.lit("[A-Za-z0-9]+"))
+    sents = F.greatest(
+        F.regexp_count(F.col("text"), F.lit("[.!?]+")), F.lit(1)
+    )
+    wd = words.cast("double")
+    ari = (
+        F.lit(4.71) * chars.cast("double") / wd
+        + F.lit(0.5) * wd / sents.cast("double")
+        - F.lit(21.43)
+    )
+    cli = (
+        F.lit(0.0588) * (letters.cast("double") / wd * F.lit(100.0))
+        - F.lit(0.296) * (sents.cast("double") / wd * F.lit(100.0))
+        - F.lit(15.8)
+    )
+    return df.select(
+        "doc_id",
+        letters.cast("bigint").alias("n_letters"),
+        words.cast("bigint").alias("n_words"),
+        sents.cast("bigint").alias("n_sentences"),
+        F.when(words > 0, ari).alias("ari"),
+        F.when(words > 0, cli).alias("cli"),
+    )
+
+
+def vocab_richness(
+    df: DataFrame, group_col: str = "source"
+) -> DataFrame:
+    """Per-slice vocabulary-richness audit from the count-of-counts
+    tail: hapax/dis legomena, the Chao1 lower bound on TRUE
+    vocabulary size and the Good-Turing unseen-probability mass —
+    the "how much of this slice's vocabulary have we actually seen?"
+    companion to heaps_fit (growth curve) and zipf_fit (shape):
+
+        chao1     = V + f1 (f1 - 1) / (2 (f2 + 1))
+                    (bias-corrected Chao 1984, defined at f2 = 0)
+        gt_unseen = f1 / N
+                    (Good 1953: probability the NEXT token is novel)
+
+    with V distinct tokens, N total tokens, f1/f2 tokens seen
+    exactly once/twice. A slice where gt_unseen stays high after
+    millions of tokens is template/ID noise, not language; chao1 >>
+    V says sampling has not covered the slice yet.
+
+    Scale shape: one explode -> map-side-combined groupBy(group,
+    token) to the vocabulary table, then one |groups|-sized rollup;
+    every statistic is an exact integer until the two final float
+    divisions (identical in the SQL oracle). Empty tokens from
+    split() are kept (the split convention all text kernels share).
+    Output: (group, n_tokens, vocab, f1, f2, chao1, gt_unseen)."""
+    dec = "decimal(38,0)"
+    toks = df.where(F.col("text").isNotNull()).select(
+        F.col(group_col),
+        F.explode(F.split(F.col("text"), " ")).alias("token"),
+    )
+    cnt = toks.groupBy(group_col, "token").agg(
+        F.count(F.lit(1)).cast(dec).alias("c")
+    )
+    g = cnt.groupBy(group_col).agg(
+        F.sum("c").alias("__n"),
+        F.count(F.lit(1)).cast(dec).alias("__v"),
+        F.sum((F.col("c") == 1).cast("int")).cast(dec).alias("__f1"),
+        F.sum((F.col("c") == 2).cast("int")).cast(dec).alias("__f2"),
+    )
+    v = F.col("__v").cast("double")
+    f1 = F.col("__f1").cast("double")
+    f2 = F.col("__f2").cast("double")
+    n = F.col("__n").cast("double")
+    return g.select(
+        F.col(group_col),
+        F.col("__n").cast("bigint").alias("n_tokens"),
+        F.col("__v").cast("bigint").alias("vocab"),
+        F.col("__f1").cast("bigint").alias("f1"),
+        F.col("__f2").cast("bigint").alias("f2"),
+        (
+            v
+            + f1 * (f1 - F.lit(1.0))
+            / (F.lit(2.0) * (f2 + F.lit(1.0)))
+        ).alias("chao1"),
+        (f1 / n).alias("gt_unseen"),
+    )

@@ -891,3 +891,119 @@ def test_heaps_degenerate_single_doc(spark):
     # one doc -> all checkpoints collapse to one point -> NULL fit
     assert r.n_docs == 1 and r.vocab == 3
     assert r.m == 1 and r.beta is None and r.r2 is None
+
+
+# ---------------------------------------------------------------------------
+# readability
+# ---------------------------------------------------------------------------
+
+def _readability_ref(text):
+    import re
+
+    letters = len(re.findall(r"[A-Za-z]", text))
+    chars = len(re.findall(r"[A-Za-z0-9]", text))
+    words = len(re.findall(r"[A-Za-z0-9]+", text))
+    sents = max(len(re.findall(r"[.!?]+", text)), 1)
+    if words == 0:
+        return letters, words, sents, None, None
+    ari = 4.71 * chars / words + 0.5 * words / sents - 21.43
+    cli = (
+        0.0588 * (letters / words * 100.0)
+        - 0.296 * (sents / words * 100.0)
+        - 15.8
+    )
+    return letters, words, sents, ari, cli
+
+
+def test_readability_matches_reference(spark):
+    from protosc_spark.textops import readability
+
+    texts = [
+        "The cat sat. The dog ran!",
+        "Incomprehensibility characterizes bureaucratic "
+        "documentation; nevertheless, practitioners persevere.",
+        "a b c d e.",
+        "no terminal punctuation at all",
+        "v2 has 3 digits... and ellipses?! ok",
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = {r.doc_id: r for r in readability(df).collect()}
+    for i, t in enumerate(texts):
+        letters, words, sents, ari, cli = _readability_ref(t)
+        r = got[i]
+        assert (r.n_letters, r.n_words, r.n_sentences) == (
+            letters, words, sents,
+        )
+        assert abs(r.ari - ari) < 1e-9 and abs(r.cli - cli) < 1e-9
+    # long academic words score harder than the cat sentence on both
+    assert got[1].ari > got[0].ari and got[1].cli > got[0].cli
+
+
+def test_readability_degenerate(spark):
+    from protosc_spark.textops import readability
+
+    df = spark.createDataFrame(
+        [(0, ""), (1, "?!... --- ;;"), (2, "123")],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in readability(df).collect()}
+    assert got[0].n_words == 0 and got[0].ari is None
+    assert got[1].n_words == 0 and got[1].cli is None
+    assert got[2].n_words == 1 and got[2].n_letters == 0
+    assert got[2].ari is not None
+
+
+# ---------------------------------------------------------------------------
+# vocab_richness
+# ---------------------------------------------------------------------------
+
+def test_vocab_richness_hand_fixture(spark):
+    from protosc_spark.textops import vocab_richness
+
+    df = spark.createDataFrame(
+        [
+            ("a", "x x y z"),
+            ("b", "p p q q"),
+            ("c", None),
+            ("c", "only once each here"),
+        ],
+        "source string, text string",
+    )
+    got = {r.source: r for r in vocab_richness(df).collect()}
+    a = got["a"]  # tokens x,x,y,z: N=4 V=3 f1=2 f2=1
+    assert (a.n_tokens, a.vocab, a.f1, a.f2) == (4, 3, 2, 1)
+    assert abs(a.chao1 - (3 + 2 * 1 / (2 * 2))) < 1e-12
+    assert abs(a.gt_unseen - 0.5) < 1e-12
+    b = got["b"]  # all dis legomena: f1=0 -> chao1 == V exactly
+    assert (b.f1, b.f2) == (0, 2) and b.chao1 == 2.0
+    assert b.gt_unseen == 0.0
+    c = got["c"]  # NULL text dropped; every token a hapax
+    assert (c.n_tokens, c.vocab, c.f1, c.f2) == (4, 4, 4, 0)
+    assert abs(c.chao1 - (4 + 4 * 3 / 2)) < 1e-12
+    assert c.gt_unseen == 1.0
+
+
+def test_vocab_richness_empty_token_convention(spark):
+    from protosc_spark.textops import vocab_richness
+
+    # double space yields an empty token (the split convention all
+    # text kernels share)
+    df = spark.createDataFrame(
+        [("a", "x  y")], "source string, text string"
+    )
+    r = vocab_richness(df).collect()[0]
+    assert r.n_tokens == 3 and r.vocab == 3
+
+
+def test_readability_vocab_plan_no_python(spark):
+    from protosc_spark.textops import readability, vocab_richness
+
+    df = spark.createDataFrame(
+        [(1, "a b", "s")], "doc_id long, text string, source string"
+    )
+    for out in (readability(df), vocab_richness(df)):
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "ArrowEvalPython" not in plan
+        assert "BatchEvalPython" not in plan
