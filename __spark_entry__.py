@@ -1181,6 +1181,71 @@ def _corpus_drift_cvm(spark, sf_dir):
     )
 
 
+def _corpus_bh_fdr(spark, sf_dir):
+    """Multiple-testing-corrected drift screen: per-source 3-cell
+    goodness-of-fit chi-square of the language mix (en / zh / other)
+    against the corpus-wide mix — df=2, so p = exp(-chi2/2) EXACTLY
+    (no erf needed, SQL-replayable) — then Benjamini-Hochberg across
+    the 20 sources at FDR 0.1. DuckDB oracle replays cells, expected
+    counts, the chi-square float tree, p, and the full BH step-up
+    (ranks, m, running-min q)."""
+    from protosc_spark.evaluation import bh_fdr
+
+    docs = _read_wide(spark, sf_dir, "documents").select(
+        "source",
+        F.when(F.col("lang") == "en", "en")
+        .when(F.col("lang") == "zh", "zh")
+        .otherwise("ot")
+        .alias("cell"),
+    )
+    per = docs.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum((F.col("cell") == "en").cast("int"))
+        .cast("bigint")
+        .alias("o_en"),
+        F.sum((F.col("cell") == "zh").cast("int"))
+        .cast("bigint")
+        .alias("o_zh"),
+        F.sum((F.col("cell") == "ot").cast("int"))
+        .cast("bigint")
+        .alias("o_ot"),
+    )
+    glob = per.agg(
+        F.sum("n").alias("tot"),
+        F.sum("o_en").alias("g_en"),
+        F.sum("o_zh").alias("g_zh"),
+        F.sum("o_ot").alias("g_ot"),
+    )
+
+    def term(o, g):
+        e = (
+            F.col("n").cast("double")
+            * F.col(g).cast("double")
+            / F.col("tot").cast("double")
+        )
+        od = F.col(o).cast("double")
+        return (od - e) * (od - e) / e
+
+    scored = per.crossJoin(F.broadcast(glob)).withColumn(
+        "chi2",
+        term("o_en", "g_en") + term("o_ot", "g_ot")
+        + term("o_zh", "g_zh"),
+    ).withColumn(
+        "p", F.exp(F.col("chi2") / F.lit(-2.0))
+    )
+    t = bh_fdr(scored, "p", "source", alpha=0.1)
+    return t.select(
+        "source",
+        "n",
+        F.round("chi2", 6).alias("chi2"),
+        F.round("p", 6).alias("p"),
+        "rank",
+        "m",
+        F.round("q", 6).alias("q"),
+        "reject",
+    ).orderBy("source")
+
+
 def _corpus_readability(spark, sf_dir):
     """ARI + Coleman-Liau readability per document from pure
     regexp counting (no syllable dictionary) — boilerplate scores
@@ -3456,6 +3521,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     full-surface green regardless of this ordering."""
     return {
         # --- round 5 ---
+        "corpus_bh_fdr": _corpus_bh_fdr,
         "corpus_readability": _corpus_readability,
         "txt_vocab_richness": _txt_vocab_richness,
         "corpus_eb_rates": _corpus_eb_rates,
@@ -3739,6 +3805,49 @@ def oracle_sql() -> dict[str, str]:
         for t in POISSON1_T60
     )
     out = {
+        "corpus_bh_fdr": """
+            WITH per AS (
+              SELECT source, count(*)::BIGINT AS n,
+                     sum((lang = 'en')::INT)::BIGINT AS o_en,
+                     sum((lang = 'zh')::INT)::BIGINT AS o_zh,
+                     sum((lang IS NULL OR lang NOT IN
+                          ('en', 'zh'))::INT)::BIGINT AS o_ot
+              FROM documents GROUP BY source
+            ), gl AS (
+              SELECT sum(n) AS tot, sum(o_en) AS g_en,
+                     sum(o_zh) AS g_zh, sum(o_ot) AS g_ot
+              FROM per
+            ), sc AS (
+              SELECT source, n,
+                (o_en::DOUBLE - n::DOUBLE * g_en::DOUBLE / tot::DOUBLE)
+                * (o_en::DOUBLE - n::DOUBLE * g_en::DOUBLE / tot::DOUBLE)
+                / (n::DOUBLE * g_en::DOUBLE / tot::DOUBLE)
+                + (o_ot::DOUBLE - n::DOUBLE * g_ot::DOUBLE / tot::DOUBLE)
+                * (o_ot::DOUBLE - n::DOUBLE * g_ot::DOUBLE / tot::DOUBLE)
+                / (n::DOUBLE * g_ot::DOUBLE / tot::DOUBLE)
+                + (o_zh::DOUBLE - n::DOUBLE * g_zh::DOUBLE / tot::DOUBLE)
+                * (o_zh::DOUBLE - n::DOUBLE * g_zh::DOUBLE / tot::DOUBLE)
+                / (n::DOUBLE * g_zh::DOUBLE / tot::DOUBLE) AS chi2
+              FROM per, gl
+            ), pp AS (
+              SELECT source, n, chi2, exp(chi2 / -2.0) AS p FROM sc
+            ), rk AS (
+              SELECT source, n, chi2, p,
+                     row_number() OVER (ORDER BY p, source)::BIGINT
+                       AS rank,
+                     count(*) OVER ()::BIGINT AS m
+              FROM pp
+            ), qq AS (
+              SELECT *, least(min(p * m / rank) OVER (
+                       ORDER BY rank DESC ROWS BETWEEN UNBOUNDED
+                       PRECEDING AND CURRENT ROW), 1.0) AS q
+              FROM rk
+            )
+            SELECT source, n, round(chi2, 6) AS chi2,
+                   round(p, 6) AS p, rank, m, round(q, 6) AS q,
+                   (q <= 0.1) AS reject
+            FROM qq ORDER BY source
+        """,
         "corpus_readability": """
             WITH c AS (
               SELECT doc_id,

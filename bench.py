@@ -161,6 +161,7 @@ HEADLINE = [
     "corpus_eb_rates",
     "corpus_readability",
     "txt_vocab_richness",
+    "corpus_bh_fdr",
 ]
 
 BENCH_CONVERSATIONS = int(os.environ.get("PROTOSC_BENCH_CONVS", "20000"))

@@ -1216,3 +1216,58 @@ def cvm_two_sample(df: DataFrame, value_col: str, group_col: str
             ),
         ).alias("cvm"),
     )
+
+
+def bh_fdr(
+    df: DataFrame,
+    p_col: str,
+    key_cols: list[str] | str | None = None,
+    alpha: float = 0.05,
+) -> DataFrame:
+    """Benjamini-Hochberg false-discovery-rate control over a table
+    of hypotheses — the multiple-testing step protosc's filter model
+    implies but never performs (reference wrapper/utils.py
+    compute_pval ranks features by raw p; at corpus scale, screening
+    thousands of slices/features at raw alpha guarantees false
+    alarms). Standard step-up with adjusted q-values:
+
+        q_(i) = min_{j >= i} ( p_(j) * m / j ),  clipped to 1
+        reject <=> q <= alpha
+
+    so ``reject`` is exactly the BH step-up set at level ``alpha``.
+    Ordering ties on p are broken by ``key_cols`` (deterministic at
+    any parallelism); tied p's always share one q, so the tiebreak
+    never changes a decision, only the rank bookkeeping.
+
+    Scale shape: the two windows run over the HYPOTHESIS table (one
+    row per slice/feature — thousands, never the corpus; the same
+    bounded-window contract as textops' vocab windows). Rows with
+    NULL p are dropped (they carry no evidence and must not inflate
+    m). Output: input columns + (m, rank, q, reject) with rank the
+    ascending p rank."""
+    keys = (
+        [key_cols]
+        if isinstance(key_cols, str)
+        else list(key_cols or [])
+    )
+    base = df.where(F.col(p_col).isNotNull())
+    order = [F.col(p_col).asc()] + [F.col(k).asc() for k in keys]
+    w_rank = W.orderBy(*order)
+    m = F.count(F.lit(1)).over(
+        W.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    )
+    ranked = base.withColumn(
+        "rank", F.row_number().over(w_rank).cast("bigint")
+    ).withColumn("m", m.cast("bigint"))
+    raw = (
+        F.col(p_col).cast("double")
+        * F.col("m").cast("double")
+        / F.col("rank").cast("double")
+    )
+    w_tail = W.orderBy(F.col("rank").desc()).rowsBetween(
+        W.unboundedPreceding, 0
+    )
+    q = F.least(F.min(raw).over(w_tail), F.lit(1.0))
+    return ranked.withColumn("q", q).withColumn(
+        "reject", (F.col("q") <= F.lit(float(alpha)))
+    )

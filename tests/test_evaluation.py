@@ -845,3 +845,75 @@ def test_mwu_cvm_plan_no_python(spark):
         plan = out._jdf.queryExecution().executedPlan().toString()
         assert "ArrowEvalPython" not in plan
         assert "BatchEvalPython" not in plan
+
+
+# ---------------------------------------------------------------------------
+# bh_fdr
+# ---------------------------------------------------------------------------
+
+def _bh_bruteforce(ps, alpha):
+    m = len(ps)
+    order = sorted(range(m), key=lambda i: ps[i])
+    qs = [None] * m
+    run = 1.0
+    for pos in range(m - 1, -1, -1):
+        i = order[pos]
+        run = min(run, ps[i] * m / (pos + 1))
+        qs[i] = min(run, 1.0)
+    return qs, [q <= alpha for q in qs]
+
+
+def test_bh_fdr_matches_bruteforce(spark):
+    from protosc_spark.evaluation import bh_fdr
+
+    ps = [0.01, 0.04, 0.03, 0.005, 0.20, 0.001, 0.97, 0.04]
+    df = spark.createDataFrame(
+        [(f"h{i}", p) for i, p in enumerate(ps)], "h string, p double"
+    )
+    got = {r.h: r for r in bh_fdr(df, "p", "h", alpha=0.05).collect()}
+    qs, rej = _bh_bruteforce(ps, 0.05)
+    for i, p in enumerate(ps):
+        r = got[f"h{i}"]
+        assert r.m == len(ps)
+        assert abs(r.q - qs[i]) < 1e-12
+        assert r.reject == rej[i]
+    # tied p-values share one q
+    assert got["h1"].q == got["h7"].q
+    # q is monotone along the p order
+    rows = sorted(got.values(), key=lambda r: r.rank)
+    for a, b in zip(rows, rows[1:]):
+        assert a.q <= b.q + 1e-15
+
+
+def test_bh_fdr_null_p_and_edges(spark):
+    from protosc_spark.evaluation import bh_fdr
+
+    df = spark.createDataFrame(
+        [("a", 0.04), ("b", None), ("c", 0.5)], "h string, p double"
+    )
+    got = {r.h: r for r in bh_fdr(df, "p", "h").collect()}
+    assert len(got) == 2 and got["a"].m == 2  # NULL p never counts in m
+    # single hypothesis degrades to the raw-p test
+    one = spark.createDataFrame([("a", 0.03)], "h string, p double")
+    r = bh_fdr(one, "p", "h").collect()[0]
+    assert r.q == 0.03 and bool(r.reject)
+    # q clipped at 1
+    hi = spark.createDataFrame(
+        [("a", 0.99), ("b", 0.995)], "h string, p double"
+    )
+    for r in bh_fdr(hi, "p", "h").collect():
+        assert r.q <= 1.0
+
+
+def test_bh_fdr_plan_no_python(spark):
+    from protosc_spark.evaluation import bh_fdr
+
+    df = spark.createDataFrame([("a", 0.5)], "h string, p double")
+    plan = (
+        bh_fdr(df, "p", "h")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "ArrowEvalPython" not in plan
+    assert "BatchEvalPython" not in plan
