@@ -1181,6 +1181,31 @@ def _corpus_drift_cvm(spark, sf_dir):
     )
 
 
+def _events_rate_ratio(spark, sf_dir):
+    """Exposure-adjusted Poisson rate test: purchases per active
+    user-day across the md5 'exp1' split, conditioning on the total
+    event count (k1 ~ Binomial(K, T1/(T1+T0))) — the count-metric
+    A/B readout where arms differ in observed time. Exact integer
+    k/T sums; DuckDB oracle replays the hash split, per-user
+    exposures and the identical float tree."""
+    from protosc_spark.experiment import rate_ratio_test
+
+    ev = _read(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts"
+    )
+    t = rate_ratio_test(ev)
+    return t.select(
+        "n_1",
+        "n_0",
+        "k1",
+        "k0",
+        "t1",
+        "t0",
+        F.round("rate_ratio", 6).alias("rate_ratio"),
+        F.round("z", 6).alias("z"),
+    )
+
+
 def _corpus_bh_fdr(spark, sf_dir):
     """Multiple-testing-corrected drift screen: per-source 3-cell
     goodness-of-fit chi-square of the language mix (en / zh / other)
@@ -3521,6 +3546,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     full-surface green regardless of this ordering."""
     return {
         # --- round 5 ---
+        "events_rate_ratio": _events_rate_ratio,
         "corpus_bh_fdr": _corpus_bh_fdr,
         "corpus_readability": _corpus_readability,
         "txt_vocab_richness": _txt_vocab_richness,
@@ -3805,6 +3831,44 @@ def oracle_sql() -> dict[str, str]:
         for t in POISSON1_T60
     )
     out = {
+        "events_rate_ratio": """
+            WITH per AS (
+              SELECT user_id,
+                     sum(CASE WHEN event_type = 'purchase'
+                              THEN 1 ELSE 0 END)::HUGEINT AS k,
+                     ((max(ts::DATE) - min(ts::DATE)) + 1)::HUGEINT
+                       AS t,
+                     ('0x' || substr(md5('exp1' || chr(31)
+                                         || user_id::VARCHAR),
+                                     1, 15))::BIGINT % 2 AS v
+              FROM events GROUP BY user_id
+            ), a AS (
+              SELECT sum(CASE WHEN v = 1 THEN 1 ELSE 0 END)::BIGINT
+                       AS n_1,
+                     sum(CASE WHEN v = 0 THEN 1 ELSE 0 END)::BIGINT
+                       AS n_0,
+                     sum(CASE WHEN v = 1 THEN k ELSE 0 END) AS k1,
+                     sum(CASE WHEN v = 0 THEN k ELSE 0 END) AS k0,
+                     sum(CASE WHEN v = 1 THEN t ELSE 0 END) AS t1,
+                     sum(CASE WHEN v = 0 THEN t ELSE 0 END) AS t0
+              FROM per
+            )
+            SELECT n_1, n_0, k1::BIGINT AS k1, k0::BIGINT AS k0,
+                   t1::BIGINT AS t1, t0::BIGINT AS t0,
+                   round(CASE WHEN t1 > 0 AND t0 > 0 AND k0 > 0 THEN
+                     (k1::DOUBLE / t1::DOUBLE)
+                     / (k0::DOUBLE / t0::DOUBLE) END, 6)
+                     AS rate_ratio,
+                   round(CASE WHEN k1 + k0 > 0 AND t1 > 0 AND t0 > 0
+                     THEN (k1::DOUBLE - (k1::DOUBLE + k0::DOUBLE)
+                           * (t1::DOUBLE / (t1::DOUBLE + t0::DOUBLE)))
+                     / sqrt((k1::DOUBLE + k0::DOUBLE)
+                            * (t1::DOUBLE / (t1::DOUBLE + t0::DOUBLE))
+                            * (1.0 - t1::DOUBLE
+                               / (t1::DOUBLE + t0::DOUBLE)))
+                     END, 6) AS z
+            FROM a
+        """,
         "corpus_bh_fdr": """
             WITH per AS (
               SELECT source, count(*)::BIGINT AS n,

@@ -162,6 +162,7 @@ HEADLINE = [
     "corpus_readability",
     "txt_vocab_richness",
     "corpus_bh_fdr",
+    "events_rate_ratio",
 ]
 
 BENCH_CONVERSATIONS = int(os.environ.get("PROTOSC_BENCH_CONVS", "20000"))

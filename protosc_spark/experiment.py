@@ -551,3 +551,94 @@ def cmh_readout(
         F.when(vsum > 0, chi2).alias("chi2"),
         F.when(ord_ > 0, orn / ord_).alias("or_mh"),
     )
+
+
+def rate_ratio_test(
+    df: DataFrame,
+    id_col: str = "user_id",
+    state_col: str = "event_type",
+    convert_state: str = "purchase",
+    ts_col: str = "ts",
+    salt: str = "exp1",
+) -> DataFrame:
+    """Exposure-adjusted Poisson rate comparison across the
+    deterministic md5 50/50 split — the COUNT-metric companion to
+    :func:`ab_readout` (binary "did convert") and
+    :func:`ratio_delta_readout` (ratio of sums with delta variance):
+    when the metric is "events per user-DAY" and arms can differ in
+    observed time (late joiners, early quitters), comparing raw
+    per-user means is biased; the classic conditional test is exact
+    integer algebra:
+
+        k ~ Binomial(K, tau),  tau = T1 / (T1 + T0)
+        z = (k1 - K * tau) / sqrt(K * tau * (1 - tau))
+
+    conditioning on the total event count K = k1 + k0, with T the
+    summed per-user exposures (days from first to last event,
+    inclusive — the same lifetime the survival gates use). Every
+    sufficient statistic (k1, k0, T1, T0) is an exact integer from
+    one per-user rollup + one conditional sum; the z and the rate
+    ratio (k1/T1)/(k0/T0) are single float expressions of them,
+    written identically in the SQL oracle.
+
+    Output: one row (n_1, n_0, k1, k0, t1, t0, rate_ratio, z) —
+    rate_ratio NULL when either exposure or k0 is zero, z NULL when
+    K = 0 or either arm has zero exposure."""
+    dec = "decimal(38,0)"
+    per = (
+        df.groupBy(id_col)
+        .agg(
+            F.sum(
+                F.when(F.col(state_col) == convert_state, 1)
+                .otherwise(0)
+            ).cast(dec).alias("__k"),
+            (
+                F.datediff(F.max(F.to_date(ts_col)),
+                           F.min(F.to_date(ts_col)))
+                + F.lit(1)
+            ).cast(dec).alias("__t"),
+        )
+        .withColumn(
+            "__v", hash_bucket([id_col], salt=salt, n_buckets=2)
+        )
+    )
+    a = per.agg(
+        F.sum(F.when(F.col("__v") == 1, 1).otherwise(0))
+        .cast("bigint").alias("n_1"),
+        F.sum(F.when(F.col("__v") == 0, 1).otherwise(0))
+        .cast("bigint").alias("n_0"),
+        F.sum(F.when(F.col("__v") == 1, F.col("__k")).otherwise(0))
+        .alias("__k1"),
+        F.sum(F.when(F.col("__v") == 0, F.col("__k")).otherwise(0))
+        .alias("__k0"),
+        F.sum(F.when(F.col("__v") == 1, F.col("__t")).otherwise(0))
+        .alias("__t1"),
+        F.sum(F.when(F.col("__v") == 0, F.col("__t")).otherwise(0))
+        .alias("__t0"),
+    )
+    k1 = F.col("__k1").cast("double")
+    k0 = F.col("__k0").cast("double")
+    t1 = F.col("__t1").cast("double")
+    t0 = F.col("__t0").cast("double")
+    kk = k1 + k0
+    tau = t1 / (t1 + t0)
+    z = (k1 - kk * tau) / F.sqrt(kk * tau * (F.lit(1.0) - tau))
+    ok = (
+        (F.col("__k1") + F.col("__k0") > 0)
+        & (F.col("__t1") > 0)
+        & (F.col("__t0") > 0)
+    )
+    return a.select(
+        "n_1",
+        "n_0",
+        F.col("__k1").cast("bigint").alias("k1"),
+        F.col("__k0").cast("bigint").alias("k0"),
+        F.col("__t1").cast("bigint").alias("t1"),
+        F.col("__t0").cast("bigint").alias("t0"),
+        F.when(
+            (F.col("__t1") > 0) & (F.col("__t0") > 0)
+            & (F.col("__k0") > 0),
+            (k1 / t1) / (k0 / t0),
+        ).alias("rate_ratio"),
+        F.when(ok, z).alias("z"),
+    )

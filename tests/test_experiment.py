@@ -390,3 +390,134 @@ def test_cmh_matches_bruteforce_with_planted_effect(spark):
     assert abs(r.chi2 - chi2) < 1e-5  # 1e-9-quantized sums
     assert abs(r.or_mh - or_mh) < 1e-5
     assert r.chi2 > 3.84 and r.or_mh > 1.5  # the effect registers
+
+
+# ---------------------------------------------------------------------------
+# rate_ratio_test
+# ---------------------------------------------------------------------------
+
+def _rr_bruteforce(users):
+    """users: {id: (k_events, t_days, variant)}."""
+    import math
+
+    k1 = sum(k for k, t, v in users.values() if v == 1)
+    k0 = sum(k for k, t, v in users.values() if v == 0)
+    t1 = sum(t for k, t, v in users.values() if v == 1)
+    t0 = sum(t for k, t, v in users.values() if v == 0)
+    tau = t1 / (t1 + t0)
+    kk = k1 + k0
+    z = (k1 - kk * tau) / math.sqrt(kk * tau * (1 - tau))
+    rr = (k1 / t1) / (k0 / t0) if k0 else None
+    return k1, k0, t1, t0, rr, z
+
+
+def test_rate_ratio_matches_bruteforce(spark):
+    import datetime as dt
+
+    from protosc_spark.experiment import rate_ratio_test
+    from protosc_spark.sampling import hash_bucket
+
+    # deterministic per-user event streams; exposure = whole days
+    # from first to last event inclusive
+    rows = []
+    spec = {
+        f"u{i}": (i % 4, 1 + (i * 7) % 11) for i in range(40)
+    }  # (purchases, span_days)
+    for uid, (k, span) in spec.items():
+        d0 = dt.datetime(2024, 1, 1 + (hash(uid) % 3))
+        rows.append((uid, "view", d0))
+        rows.append((uid, "view", d0 + dt.timedelta(days=span - 1)))
+        for j in range(k):
+            rows.append(
+                (uid, "purchase", d0 + dt.timedelta(days=j % span))
+            )
+    df = spark.createDataFrame(
+        rows, "user_id string, event_type string, ts timestamp"
+    )
+    # recover each user's variant with the engine's own hash rule
+    vmap = {
+        r.user_id: r.v
+        for r in df.select("user_id")
+        .distinct()
+        .select(
+            "user_id",
+            hash_bucket(["user_id"], salt="exp1", n_buckets=2)
+            .alias("v"),
+        )
+        .collect()
+    }
+    users = {
+        uid: (k, span, vmap[uid]) for uid, (k, span) in spec.items()
+    }
+    k1, k0, t1, t0, rr, z = _rr_bruteforce(users)
+    r = rate_ratio_test(df).collect()[0]
+    assert (r.k1, r.k0, r.t1, r.t0) == (k1, k0, t1, t0)
+    assert abs(r.rate_ratio - rr) < 1e-12
+    assert abs(r.z - z) < 1e-9
+    assert r.n_1 + r.n_0 == 40
+
+
+def test_rate_ratio_null_effect_and_planted(spark):
+    import datetime as dt
+
+    from protosc_spark.experiment import rate_ratio_test
+
+    # equal per-day purchase rates in both arms -> |z| small; then
+    # triple arm-1 users' purchases (same exposures) -> z sign
+    # follows whichever arm got tripled
+    base = []
+    for i in range(200):
+        uid = f"w{i}"
+        d0 = dt.datetime(2024, 3, 1)
+        base.append((uid, "view", d0))
+        base.append((uid, "view", d0 + dt.timedelta(days=9)))
+        base.append((uid, "purchase", d0 + dt.timedelta(days=2)))
+    df = spark.createDataFrame(
+        base, "user_id string, event_type string, ts timestamp"
+    )
+    r0 = rate_ratio_test(df).collect()[0]
+    assert abs(r0.rate_ratio - 1.0) < 1e-9 and abs(r0.z) < 1.0
+    extra = [
+        (uid, "purchase", dt.datetime(2024, 3, 4))
+        for uid, _, _ in base
+    ]
+    from protosc_spark.sampling import hash_bucket as hb  # noqa: F401
+
+    # add purchases only for variant-1 users via the engine hash
+    v1 = {
+        r.user_id
+        for r in df.select("user_id").distinct().select(
+            "user_id",
+            hb(["user_id"], salt="exp1", n_buckets=2).alias("v"),
+        ).collect()
+        if r.v == 1
+    }
+    boosted = base + [
+        (uid, "purchase", dt.datetime(2024, 3, 4))
+        for uid in sorted(v1)
+        for _ in range(2)
+    ]
+    dfb = spark.createDataFrame(
+        boosted, "user_id string, event_type string, ts timestamp"
+    )
+    rb = rate_ratio_test(dfb).collect()[0]
+    assert rb.rate_ratio > 2.0 and rb.z > 3.0
+
+
+def test_rate_ratio_plan_no_python(spark):
+    import datetime as dt
+
+    from protosc_spark.experiment import rate_ratio_test
+
+    df = spark.createDataFrame(
+        [("u", "view", dt.datetime(2024, 1, 1))],
+        "user_id string, event_type string, ts timestamp",
+    )
+    plan = (
+        rate_ratio_test(df)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "ArrowEvalPython" not in plan
+    assert "BatchEvalPython" not in plan
