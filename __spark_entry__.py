@@ -1181,6 +1181,28 @@ def _corpus_drift_cvm(spark, sf_dir):
     )
 
 
+def _events_breakpoint(spark, sf_dir):
+    """Two-segment breakpoint regression per event type: exhaustive
+    least-squares split of the daily-volume series (where did the
+    regime change, and the slope on each side) — the localizer
+    beside the CUSUM detector. Exact DECIMAL prefix sums over the
+    day table; DuckDB oracle replays prefixes, every candidate's
+    closed-form SSEs and the (sse, day) argmin."""
+    from protosc_spark.windows import volume_breakpoint
+
+    ev = _read(spark, sf_dir, "events").select("event_type", "ts")
+    t = volume_breakpoint(ev, "event_type")
+    return t.select(
+        "event_type",
+        "n_days",
+        F.round("sse_single", 4).alias("sse_single"),
+        "bp",
+        F.round("slope_lo", 6).alias("slope_lo"),
+        F.round("slope_hi", 6).alias("slope_hi"),
+        F.round("sse_split", 4).alias("sse_split"),
+    ).orderBy("event_type")
+
+
 def _events_rate_ratio(spark, sf_dir):
     """Exposure-adjusted Poisson rate test: purchases per active
     user-day across the md5 'exp1' split, conditioning on the total
@@ -3546,6 +3568,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     full-surface green regardless of this ordering."""
     return {
         # --- round 5 ---
+        "events_breakpoint": _events_breakpoint,
         "events_rate_ratio": _events_rate_ratio,
         "corpus_bh_fdr": _corpus_bh_fdr,
         "corpus_readability": _corpus_readability,
@@ -3831,6 +3854,90 @@ def oracle_sql() -> dict[str, str]:
         for t in POISSON1_T60
     )
     out = {
+        "events_breakpoint": """
+            WITH daily AS (
+              SELECT event_type,
+                     (ts::DATE - DATE '1970-01-01')::BIGINT AS x,
+                     count(*)::BIGINT AS y
+              FROM events GROUP BY 1, 2
+            ), pref AS (
+              SELECT event_type, x,
+                count(*) OVER w::BIGINT AS ln,
+                sum(x::HUGEINT) OVER w AS lsx,
+                sum(y::HUGEINT) OVER w AS lsy,
+                sum((x::HUGEINT) * (x::HUGEINT)) OVER w AS lsxx,
+                sum((x::HUGEINT) * (y::HUGEINT)) OVER w AS lsxy,
+                sum((y::HUGEINT) * (y::HUGEINT)) OVER w AS lsyy
+              FROM daily
+              WINDOW w AS (PARTITION BY event_type ORDER BY x
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            ), tot AS (
+              SELECT event_type, count(*)::BIGINT AS n_days,
+                sum(x::HUGEINT) AS tsx, sum(y::HUGEINT) AS tsy,
+                sum((x::HUGEINT) * (x::HUGEINT)) AS tsxx,
+                sum((x::HUGEINT) * (y::HUGEINT)) AS tsxy,
+                sum((y::HUGEINT) * (y::HUGEINT)) AS tsyy
+              FROM daily GROUP BY event_type
+            ), cand AS (
+              SELECT p.event_type, p.x,
+                ((lsyy::DOUBLE - lsy::DOUBLE * lsy::DOUBLE
+                    / ln::DOUBLE)
+                 - (ln::DOUBLE * lsxy::DOUBLE
+                    - lsx::DOUBLE * lsy::DOUBLE)
+                   * (ln::DOUBLE * lsxy::DOUBLE
+                      - lsx::DOUBLE * lsy::DOUBLE)
+                   / (ln::DOUBLE * (ln::DOUBLE * lsxx::DOUBLE
+                      - lsx::DOUBLE * lsx::DOUBLE)))
+                + (((tsyy - lsyy)::DOUBLE
+                    - (tsy - lsy)::DOUBLE * (tsy - lsy)::DOUBLE
+                      / (n_days - ln)::DOUBLE)
+                   - ((n_days - ln)::DOUBLE * (tsxy - lsxy)::DOUBLE
+                      - (tsx - lsx)::DOUBLE * (tsy - lsy)::DOUBLE)
+                     * ((n_days - ln)::DOUBLE * (tsxy - lsxy)::DOUBLE
+                        - (tsx - lsx)::DOUBLE * (tsy - lsy)::DOUBLE)
+                     / ((n_days - ln)::DOUBLE
+                        * ((n_days - ln)::DOUBLE * (tsxx - lsxx)
+                             ::DOUBLE
+                           - (tsx - lsx)::DOUBLE * (tsx - lsx)
+                             ::DOUBLE)))
+                  AS sse_split,
+                (ln::DOUBLE * lsxy::DOUBLE - lsx::DOUBLE
+                   * lsy::DOUBLE)
+                / (ln::DOUBLE * lsxx::DOUBLE - lsx::DOUBLE
+                   * lsx::DOUBLE) AS slope_lo,
+                ((n_days - ln)::DOUBLE * (tsxy - lsxy)::DOUBLE
+                 - (tsx - lsx)::DOUBLE * (tsy - lsy)::DOUBLE)
+                / ((n_days - ln)::DOUBLE * (tsxx - lsxx)::DOUBLE
+                   - (tsx - lsx)::DOUBLE * (tsx - lsx)::DOUBLE)
+                  AS slope_hi
+              FROM pref p JOIN tot t USING (event_type)
+              WHERE ln >= 2 AND n_days - ln >= 2
+            ), best AS (
+              SELECT event_type, x AS bp, slope_lo, slope_hi,
+                     sse_split,
+                     row_number() OVER (PARTITION BY event_type
+                       ORDER BY sse_split, x) AS rn
+              FROM cand
+            )
+            SELECT t.event_type, t.n_days,
+                   round(CASE WHEN n_days >= 2 THEN
+                     (tsyy::DOUBLE - tsy::DOUBLE * tsy::DOUBLE
+                        / n_days::DOUBLE)
+                     - (n_days::DOUBLE * tsxy::DOUBLE
+                        - tsx::DOUBLE * tsy::DOUBLE)
+                       * (n_days::DOUBLE * tsxy::DOUBLE
+                          - tsx::DOUBLE * tsy::DOUBLE)
+                       / (n_days::DOUBLE * (n_days::DOUBLE
+                            * tsxx::DOUBLE
+                          - tsx::DOUBLE * tsx::DOUBLE))
+                     END, 4) AS sse_single,
+                   b.bp, round(b.slope_lo, 6) AS slope_lo,
+                   round(b.slope_hi, 6) AS slope_hi,
+                   round(b.sse_split, 4) AS sse_split
+            FROM tot t LEFT JOIN (SELECT * FROM best WHERE rn = 1) b
+              USING (event_type)
+            ORDER BY t.event_type
+        """,
         "events_rate_ratio": """
             WITH per AS (
               SELECT user_id,

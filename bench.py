@@ -163,6 +163,7 @@ HEADLINE = [
     "txt_vocab_richness",
     "corpus_bh_fdr",
     "events_rate_ratio",
+    "events_breakpoint",
 ]
 
 BENCH_CONVERSATIONS = int(os.environ.get("PROTOSC_BENCH_CONVS", "20000"))

@@ -1850,3 +1850,153 @@ def daily_rate_wilson(
         (center - half).alias("ci_lo"),
         (center + half).alias("ci_hi"),
     )
+
+
+def volume_breakpoint(
+    df: DataFrame,
+    group_col: str,
+    ts_col: str = "ts",
+    min_seg: int = 2,
+) -> DataFrame:
+    """Per-slice two-segment breakpoint regression over the daily
+    volume series — the LOCALIZER beside the detectors: volume_cusum
+    says "a step happened", volume_trend fits one global line; this
+    finds WHERE the regime changed and what the slope was on each
+    side, by exhaustive least-squares over every admissible split:
+
+        bp = argmin_b [ SSE(OLS on days <= b) + SSE(days > b) ]
+
+    (ties -> earliest day; each segment needs >= ``min_seg`` days).
+    Exhaustive search is exact and cheap here because candidates
+    live on the DAY table: per-group cumulative DECIMAL prefix sums
+    (n, Sx, Sy, Sxx, Sxy, Syy — exact integers) turn every split's
+    two SSEs into closed forms of prefix vs total-minus-prefix,
+
+        SSE = (Syy - Sy^2/n) - cov^2 / (n * varx),
+        cov = n Sxy - Sx Sy,  varx = n Sxx - Sx^2  (> 0: distinct
+        integer days)
+
+    so the only window runs over distinct days and the float
+    expressions are shared verbatim with the SQL oracle — both
+    engines pick the same argmin because they compare identical
+    doubles. Days with no rows are not zero-filled (the
+    volume_trend convention).
+
+    Output: one row per group (group, n_days, sse_single, bp,
+    slope_lo, slope_hi, sse_split) — bp the last day of the left
+    segment; bp/slopes/sse_split NULL when the slice has fewer than
+    2*min_seg days, sse_single NULL below 2 days."""
+    dec = "decimal(19,0)"
+    daily = (
+        df.groupBy(
+            group_col,
+            F.datediff(F.to_date(ts_col), F.lit("1970-01-01"))
+            .cast("bigint")
+            .alias("x"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("y"))
+    )
+    xd, yd = F.col("x").cast(dec), F.col("y").cast(dec)
+    pts = daily.select(
+        group_col,
+        "x",
+        xd.alias("__x"),
+        yd.alias("__y"),
+        (xd * xd).alias("__xx"),
+        (xd * yd).alias("__xy"),
+        (yd * yd).alias("__yy"),
+    )
+    w_cum = (
+        W.partitionBy(group_col)
+        .orderBy("x")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    pref = pts.select(
+        group_col,
+        "x",
+        F.count(F.lit(1)).over(w_cum).alias("ln"),
+        F.sum("__x").over(w_cum).alias("lsx"),
+        F.sum("__y").over(w_cum).alias("lsy"),
+        F.sum("__xx").over(w_cum).alias("lsxx"),
+        F.sum("__xy").over(w_cum).alias("lsxy"),
+        F.sum("__yy").over(w_cum).alias("lsyy"),
+    )
+    tot = pts.groupBy(group_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+        F.sum("__x").alias("tsx"),
+        F.sum("__y").alias("tsy"),
+        F.sum("__xx").alias("tsxx"),
+        F.sum("__xy").alias("tsxy"),
+        F.sum("__yy").alias("tsyy"),
+    )
+
+    def ols(n, sx, sy, sxx, sxy, syy):
+        nd = n.cast("double")
+        sxd, syd = sx.cast("double"), sy.cast("double")
+        sxxd = sxx.cast("double")
+        sxyd = sxy.cast("double")
+        syyd = syy.cast("double")
+        cov = nd * sxyd - sxd * syd
+        varx = nd * sxxd - sxd * sxd
+        sse = (syyd - syd * syd / nd) - cov * cov / (nd * varx)
+        return sse, cov / varx
+
+    cand = (
+        pref.join(tot, group_col)
+        .where(
+            (F.col("ln") >= int(min_seg))
+            & (F.col("n_days") - F.col("ln") >= int(min_seg))
+        )
+    )
+    sse_l, slope_l = ols(
+        F.col("ln"), F.col("lsx"), F.col("lsy"), F.col("lsxx"),
+        F.col("lsxy"), F.col("lsyy"),
+    )
+    sse_r, slope_r = ols(
+        F.col("n_days") - F.col("ln"),
+        F.col("tsx") - F.col("lsx"),
+        F.col("tsy") - F.col("lsy"),
+        F.col("tsxx") - F.col("lsxx"),
+        F.col("tsxy") - F.col("lsxy"),
+        F.col("tsyy") - F.col("lsyy"),
+    )
+    scored = cand.select(
+        group_col,
+        "x",
+        (sse_l + sse_r).alias("sse_split"),
+        slope_l.alias("slope_lo"),
+        slope_r.alias("slope_hi"),
+    )
+    w_best = W.partitionBy(group_col).orderBy(
+        F.col("sse_split").asc(), F.col("x").asc()
+    )
+    best = (
+        scored.withColumn("__rn", F.row_number().over(w_best))
+        .where(F.col("__rn") == 1)
+        .select(
+            group_col,
+            F.col("x").alias("bp"),
+            "slope_lo",
+            "slope_hi",
+            "sse_split",
+        )
+    )
+    sse_s, _ = ols(
+        F.col("n_days"), F.col("tsx"), F.col("tsy"), F.col("tsxx"),
+        F.col("tsxy"), F.col("tsyy"),
+    )
+    return (
+        tot.withColumn(
+            "sse_single", F.when(F.col("n_days") >= 2, sse_s)
+        )
+        .join(best, group_col, "left")
+        .select(
+            group_col,
+            "n_days",
+            "sse_single",
+            "bp",
+            "slope_lo",
+            "slope_hi",
+            "sse_split",
+        )
+    )

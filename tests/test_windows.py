@@ -1506,3 +1506,101 @@ def test_logrank_plan_no_python(spark):
     )
     assert "ArrowEvalPython" not in plan
     assert "BatchEvalPython" not in plan
+
+
+# ---------------------------------------------------------------------------
+# volume_breakpoint
+# ---------------------------------------------------------------------------
+
+def _bp_bruteforce(series, min_seg=2):
+    """series: [(day, count)]; exhaustive two-segment OLS."""
+    def sse_fit(pts):
+        n = len(pts)
+        sx = sum(x for x, _ in pts)
+        sy = sum(y for _, y in pts)
+        sxx = sum(x * x for x, _ in pts)
+        sxy = sum(x * y for x, y in pts)
+        syy = sum(y * y for _, y in pts)
+        cov = n * sxy - sx * sy
+        varx = n * sxx - sx * sx
+        return (syy - sy * sy / n) - cov * cov / (n * varx), cov / varx
+
+    series = sorted(series)
+    best = None
+    for i in range(min_seg, len(series) - min_seg + 1):
+        sl, gl = sse_fit(series[:i])
+        sr, gr = sse_fit(series[i:])
+        key = (sl + sr, series[i - 1][0])
+        if best is None or key < best[0]:
+            best = (key, series[i - 1][0], gl, gr)
+    single, _ = sse_fit(series)
+    return single, best[1], best[2], best[3], best[0][0]
+
+
+def test_breakpoint_recovers_planted_regime_change(spark):
+    import datetime as dt
+
+    from protosc_spark.windows import volume_breakpoint
+
+    # slope +1 for 10 days, then slope -2: breakpoint at day index 9
+    counts = [10 + i for i in range(10)] + [
+        40 - 2 * i for i in range(8)
+    ]
+    rows = [
+        ("a", dt.datetime(2024, 1, 1 + d, 12, 0, 0))
+        for d, c in enumerate(counts)
+        for _ in range(c)
+    ]
+    df = spark.createDataFrame(rows, "g string, ts timestamp")
+    r = volume_breakpoint(df, "g").collect()[0]
+    base = (dt.date(2024, 1, 1) - dt.date(1970, 1, 1)).days
+    series = [(base + d, c) for d, c in enumerate(counts)]
+    single, bp, gl, gr, split = _bp_bruteforce(series)
+    assert r.n_days == 18 and r.bp == bp
+    assert abs(r.slope_lo - gl) < 1e-9
+    assert abs(r.slope_hi - gr) < 1e-9
+    assert abs(r.sse_split - split) < 1e-6
+    assert abs(r.sse_single - single) < 1e-6
+    # the planted change sits at the true regime boundary and the
+    # split fits far better than one line
+    assert bp == base + 9 and r.sse_split < r.sse_single / 4
+    assert r.slope_lo > 0 > r.slope_hi
+
+
+def test_breakpoint_degenerate_short_series(spark):
+    import datetime as dt
+
+    from protosc_spark.windows import volume_breakpoint
+
+    # 3 days < 2*min_seg: no admissible split -> NULL bp, single SSE
+    rows = [
+        ("a", dt.datetime(2024, 1, 1 + d)) for d in range(3)
+    ]
+    df = spark.createDataFrame(rows, "g string, ts timestamp")
+    r = volume_breakpoint(df, "g").collect()[0]
+    assert r.n_days == 3 and r.bp is None and r.sse_split is None
+    assert r.sse_single is not None
+    # 1 day: even the single fit is undefined
+    one = spark.createDataFrame(
+        [("a", dt.datetime(2024, 1, 1))], "g string, ts timestamp"
+    )
+    r1 = volume_breakpoint(one, "g").collect()[0]
+    assert r1.sse_single is None and r1.bp is None
+
+
+def test_breakpoint_plan_no_python(spark):
+    import datetime as dt
+
+    from protosc_spark.windows import volume_breakpoint
+
+    df = spark.createDataFrame(
+        [("a", dt.datetime(2024, 1, 1))], "g string, ts timestamp"
+    )
+    plan = (
+        volume_breakpoint(df, "g")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "ArrowEvalPython" not in plan
+    assert "BatchEvalPython" not in plan
