@@ -1181,6 +1181,26 @@ def _corpus_drift_cvm(spark, sf_dir):
     )
 
 
+def _events_pacf_volume(spark, sf_dir):
+    """Partial autocorrelation (Durbin-Levinson over the exact-
+    integer ACF vector) of each event type's daily volumes at lags
+    1..5 — the AR-order identification readout beside the ACF gate:
+    is lag-k correlation NEW structure or lag-1 echo. The recursion
+    runs as one Catalyst higher-order aggregate; the DuckDB oracle
+    replays it with a list-state RECURSIVE CTE, digit for digit."""
+    from protosc_spark.windows import volume_pacf
+
+    ev = _read(spark, sf_dir, "events").select("event_type", "ts")
+    t = volume_pacf(ev, "event_type", max_lag=5)
+    return t.select(
+        "event_type",
+        "lag",
+        "n_pairs",
+        F.round("acf", 6).alias("acf"),
+        F.round("pacf", 6).alias("pacf"),
+    ).orderBy("event_type", "lag")
+
+
 def _events_breakpoint(spark, sf_dir):
     """Two-segment breakpoint regression per event type: exhaustive
     least-squares split of the daily-volume series (where did the
@@ -3568,6 +3588,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     full-surface green regardless of this ordering."""
     return {
         # --- round 5 ---
+        "events_pacf_volume": _events_pacf_volume,
         "events_breakpoint": _events_breakpoint,
         "events_rate_ratio": _events_rate_ratio,
         "corpus_bh_fdr": _corpus_bh_fdr,
@@ -3854,6 +3875,113 @@ def oracle_sql() -> dict[str, str]:
         for t in POISSON1_T60
     )
     out = {
+        "events_pacf_volume": """
+            WITH RECURSIVE daily AS (
+              SELECT event_type AS g,
+                     (ts::DATE - DATE '1970-01-01')::BIGINT AS x,
+                     count(*)::HUGEINT AS y
+              FROM events GROUP BY 1, 2
+            ), st AS (
+              SELECT g, count(*)::HUGEINT AS n,
+                     sum(y)::HUGEINT AS s
+              FROM daily GROUP BY 1
+            ), dev AS (
+              SELECT d.g, d.x, st.n * d.y - st.s AS dd
+              FROM daily d JOIN st USING (g)
+            ), den AS (
+              SELECT g, sum(dd * dd) AS den FROM dev GROUP BY 1
+            ), lags AS (SELECT unnest(range(1, 6)) AS lag),
+            num AS (
+              SELECT a.g, l.lag, count(*)::BIGINT AS n_pairs,
+                     sum(a.dd * b.dd) AS num
+              FROM dev a CROSS JOIN lags l
+              JOIN dev b ON b.g = a.g AND b.x = a.x + l.lag
+              GROUP BY 1, 2
+            ), acf AS (
+              SELECT n.g, n.lag, n.n_pairs,
+                     CASE WHEN d.den > 0
+                          THEN n.num::DOUBLE / d.den::DOUBLE
+                     END AS acf
+              FROM num n JOIN den d USING (g)
+            ), rs AS (
+              SELECT g, list(acf ORDER BY lag) AS r
+              FROM acf GROUP BY g
+              HAVING count(*) = 5
+                 AND sum((acf IS NULL)::INT) = 0
+            ), dl AS (
+              SELECT g, r, 1 AS k, [r[1]] AS phi, [r[1]] AS pacf
+              FROM rs
+              UNION ALL
+              SELECT g, r, k + 1,
+                list_append(
+                  list_transform(range(1, k + 1), j -> phi[j]
+                    - ((r[k + 1] - (0.0
+                        + CASE WHEN 1 <= k THEN phi[1] * r[k]
+                               ELSE 0.0 END
+                        + CASE WHEN 2 <= k THEN phi[2] * r[k - 1]
+                               ELSE 0.0 END
+                        + CASE WHEN 3 <= k THEN phi[3] * r[k - 2]
+                               ELSE 0.0 END
+                        + CASE WHEN 4 <= k THEN phi[4] * r[k - 3]
+                               ELSE 0.0 END))
+                       / (1.0 - (0.0
+                        + CASE WHEN 1 <= k THEN phi[1] * r[1]
+                               ELSE 0.0 END
+                        + CASE WHEN 2 <= k THEN phi[2] * r[2]
+                               ELSE 0.0 END
+                        + CASE WHEN 3 <= k THEN phi[3] * r[3]
+                               ELSE 0.0 END
+                        + CASE WHEN 4 <= k THEN phi[4] * r[4]
+                               ELSE 0.0 END)))
+                      * phi[k + 1 - j]),
+                  ((r[k + 1] - (0.0
+                        + CASE WHEN 1 <= k THEN phi[1] * r[k]
+                               ELSE 0.0 END
+                        + CASE WHEN 2 <= k THEN phi[2] * r[k - 1]
+                               ELSE 0.0 END
+                        + CASE WHEN 3 <= k THEN phi[3] * r[k - 2]
+                               ELSE 0.0 END
+                        + CASE WHEN 4 <= k THEN phi[4] * r[k - 3]
+                               ELSE 0.0 END))
+                   / (1.0 - (0.0
+                        + CASE WHEN 1 <= k THEN phi[1] * r[1]
+                               ELSE 0.0 END
+                        + CASE WHEN 2 <= k THEN phi[2] * r[2]
+                               ELSE 0.0 END
+                        + CASE WHEN 3 <= k THEN phi[3] * r[3]
+                               ELSE 0.0 END
+                        + CASE WHEN 4 <= k THEN phi[4] * r[4]
+                               ELSE 0.0 END)))),
+                list_append(pacf,
+                  ((r[k + 1] - (0.0
+                        + CASE WHEN 1 <= k THEN phi[1] * r[k]
+                               ELSE 0.0 END
+                        + CASE WHEN 2 <= k THEN phi[2] * r[k - 1]
+                               ELSE 0.0 END
+                        + CASE WHEN 3 <= k THEN phi[3] * r[k - 2]
+                               ELSE 0.0 END
+                        + CASE WHEN 4 <= k THEN phi[4] * r[k - 3]
+                               ELSE 0.0 END))
+                   / (1.0 - (0.0
+                        + CASE WHEN 1 <= k THEN phi[1] * r[1]
+                               ELSE 0.0 END
+                        + CASE WHEN 2 <= k THEN phi[2] * r[2]
+                               ELSE 0.0 END
+                        + CASE WHEN 3 <= k THEN phi[3] * r[3]
+                               ELSE 0.0 END
+                        + CASE WHEN 4 <= k THEN phi[4] * r[4]
+                               ELSE 0.0 END))))
+              FROM dl WHERE k < 5
+            ), pac AS (
+              SELECT g, unnest(range(1, 6))::INT AS lag,
+                     unnest(pacf) AS pacf
+              FROM dl WHERE k = 5
+            )
+            SELECT a.g AS event_type, a.lag::INT AS lag, a.n_pairs,
+                   round(a.acf, 6) AS acf, round(p.pacf, 6) AS pacf
+            FROM acf a JOIN pac p ON p.g = a.g AND p.lag = a.lag
+            ORDER BY event_type, lag
+        """,
         "events_breakpoint": """
             WITH daily AS (
               SELECT event_type,

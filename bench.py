@@ -164,6 +164,7 @@ HEADLINE = [
     "corpus_bh_fdr",
     "events_rate_ratio",
     "events_breakpoint",
+    "events_pacf_volume",
 ]
 
 BENCH_CONVERSATIONS = int(os.environ.get("PROTOSC_BENCH_CONVS", "20000"))

@@ -2000,3 +2000,107 @@ def volume_breakpoint(
             "sse_split",
         )
     )
+
+
+def volume_pacf(
+    df: DataFrame,
+    group_col: str,
+    ts_col: str = "ts",
+    max_lag: int = 5,
+) -> DataFrame:
+    """Per-slice PARTIAL autocorrelation of the daily-volume series
+    at calendar lags 1..``max_lag`` — the AR-order readout
+    completing :func:`volume_acf`: ACF says "lag k correlates",
+    PACF says whether that is NEW structure or just lag-1
+    persistence echoing (an AR(1) series has geometric ACF at every
+    lag but PACF cutting to ~0 after lag 1 — the standard Box-
+    Jenkins identification plot).
+
+    Computed from the slice's ACF vector r by the Durbin-Levinson
+    recursion, k = 2..K:
+
+        a_k     = (r_k - sum_j phi_j r_{k-j})
+                  / (1 - sum_j phi_j r_j),      pacf_k = a_k
+        phi'_j  = phi_j - a_k phi_{k-j}   (j = 1..k-1), phi'_k = a_k
+
+    run as ONE Catalyst higher-order ``aggregate`` over a struct of
+    arrays (phi, pacf) — zero Python, no extra shuffle; the inner
+    sums fold left in ascending j from an exact 0.0, so a SQL engine
+    replaying the same recursion (list-state recursive CTE)
+    reproduces every coefficient digit for digit. A singular step
+    (denominator exactly 0 — constant/degenerate ACF) yields NULL
+    from that lag onward instead of dividing by zero.
+
+    Slices are included only when ALL ``max_lag`` ACF lags exist and
+    are non-NULL (gappy calendar or constant series drop out —
+    Durbin-Levinson needs the contiguous r_1..r_K). Output: (group,
+    lag, n_pairs, acf, pacf) — pacf_1 = r_1 by definition."""
+    assert max_lag >= 2, "PACF needs max_lag >= 2"
+    acf = volume_acf(df, group_col, ts_col, max_lag)
+    per = (
+        acf.groupBy(group_col)
+        .agg(
+            F.count(F.lit(1)).alias("__nl"),
+            F.max(F.col("acf").isNull().cast("int")).alias("__bad"),
+            F.transform(
+                F.sort_array(
+                    F.collect_list(F.struct(F.col("lag"), F.col("acf")))
+                ),
+                lambda s: s["acf"],
+            ).alias("__r"),
+        )
+        .where(
+            (F.col("__nl") == int(max_lag)) & (F.col("__bad") == 0)
+        )
+    )
+    r = F.col("__r")
+    init = F.struct(
+        F.slice(r, 1, 1).alias("phi"), F.slice(r, 1, 1).alias("pacf")
+    )
+
+    def step(acc, k):
+        phi = acc["phi"]
+        num = F.aggregate(
+            F.transform(
+                F.sequence(F.lit(1), k - 1),
+                lambda j: F.element_at(phi, j)
+                * F.element_at(r, k - j),
+            ),
+            F.lit(0.0),
+            lambda a, b: a + b,
+        )
+        den = F.aggregate(
+            F.transform(
+                F.sequence(F.lit(1), k - 1),
+                lambda j: F.element_at(phi, j) * F.element_at(r, j),
+            ),
+            F.lit(0.0),
+            lambda a, b: a + b,
+        )
+        ak = F.when(
+            (F.lit(1.0) - den) != 0.0,
+            (F.element_at(r, k) - num) / (F.lit(1.0) - den),
+        )
+        newphi = F.concat(
+            F.transform(
+                F.sequence(F.lit(1), k - 1),
+                lambda j: F.element_at(phi, j)
+                - ak * F.element_at(phi, k - j),
+            ),
+            F.array(ak),
+        )
+        return F.struct(
+            newphi.alias("phi"),
+            F.concat(acc["pacf"], F.array(ak)).alias("pacf"),
+        )
+
+    pac_arr = F.aggregate(
+        F.sequence(F.lit(2), F.lit(int(max_lag))), init, step
+    )["pacf"]
+    pac = per.select(
+        group_col, F.posexplode(pac_arr).alias("__pos", "pacf")
+    ).withColumn("lag", (F.col("__pos") + 1).cast("int"))
+    return acf.join(pac.select(group_col, "lag", "pacf"),
+                    [group_col, "lag"]).select(
+        group_col, "lag", "n_pairs", "acf", "pacf"
+    )

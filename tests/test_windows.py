@@ -1604,3 +1604,108 @@ def test_breakpoint_plan_no_python(spark):
     )
     assert "ArrowEvalPython" not in plan
     assert "BatchEvalPython" not in plan
+
+
+# ---------------------------------------------------------------------------
+# volume_pacf
+# ---------------------------------------------------------------------------
+
+def _pacf_ref(rs):
+    phi = [rs[0]]
+    pacf = [rs[0]]
+    for k in range(2, len(rs) + 1):
+        num = rs[k - 1] - sum(
+            phi[j - 1] * rs[k - j - 1] for j in range(1, k)
+        )
+        den = 1.0 - sum(phi[j - 1] * rs[j - 1] for j in range(1, k))
+        a = num / den
+        phi = [
+            phi[j - 1] - a * phi[k - 1 - j] for j in range(1, k)
+        ] + [a]
+        pacf.append(a)
+    return pacf
+
+
+def _daily_df(spark, counts, g="a", start=(2024, 1, 1)):
+    import datetime as dt
+
+    rows = [
+        (g, dt.datetime(*start, 12) + dt.timedelta(days=d))
+        for d, c in enumerate(counts)
+        for _ in range(c)
+    ]
+    return spark.createDataFrame(rows, "g string, ts timestamp")
+
+
+def test_pacf_matches_durbin_levinson_exactly(spark):
+    from protosc_spark.windows import volume_acf, volume_pacf
+
+    counts, prev = [], 30
+    for d in range(40):
+        v = max(1, round(20 + 0.7 * (prev - 20))
+                + (8 if d % 7 == 0 else 0))
+        counts.append(v)
+        prev = v
+    df = _daily_df(spark, counts)
+    rs = [
+        r.acf
+        for r in sorted(
+            volume_acf(df, "g", max_lag=5).collect(),
+            key=lambda r: r.lag,
+        )
+    ]
+    want = _pacf_ref(rs)
+    got = {r.lag: r for r in volume_pacf(df, "g", max_lag=5).collect()}
+    assert len(got) == 5
+    for k in range(1, 6):
+        # bit-identical: same IEEE recursion, same order
+        assert got[k].pacf == want[k - 1]
+        assert got[k].acf == rs[k - 1]
+
+
+def test_pacf_ar1_cuts_off_after_lag_one(spark):
+    from protosc_spark.windows import volume_pacf
+
+    # strong planted AR(1): ACF decays geometrically but PACF
+    # collapses after lag 1 (the Box-Jenkins identification signal)
+    import hashlib
+
+    counts, prev = [], 60.0
+    for d in range(150):
+        noise = (
+            int(hashlib.md5(str(d).encode()).hexdigest()[:4], 16)
+            % 9 - 4
+        )  # deterministic white noise
+        prev = 50 + 0.8 * (prev - 50) + noise
+        counts.append(max(1, round(prev)))
+    df = _daily_df(spark, counts)
+    got = {r.lag: r for r in volume_pacf(df, "g", max_lag=5).collect()}
+    # ACF decays slowly (echoes of lag 1) but PACF collapses at 2+
+    assert got[1].pacf > 0.7 and got[2].acf > 0.6
+    for k in (2, 3, 4, 5):
+        assert abs(got[k].pacf) < got[1].pacf / 4
+
+
+def test_pacf_excludes_constant_and_short_slices(spark):
+    from protosc_spark.windows import volume_pacf
+
+    # constant series -> zero ACF denominator -> excluded entirely;
+    # 4-day series cannot produce lag-5 ACF -> excluded
+    const = _daily_df(spark, [5] * 30, g="const")
+    short = _daily_df(spark, [1, 2, 3, 4], g="short")
+    df = const.union(short)
+    assert volume_pacf(df, "g", max_lag=5).count() == 0
+
+
+def test_pacf_plan_no_python(spark):
+    from protosc_spark.windows import volume_pacf
+
+    df = _daily_df(spark, [1, 2, 3])
+    plan = (
+        volume_pacf(df, "g")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "ArrowEvalPython" not in plan
+    assert "BatchEvalPython" not in plan
