@@ -1181,6 +1181,27 @@ def _corpus_drift_cvm(spark, sf_dir):
     )
 
 
+def _events_markov_score(spark, sf_dir):
+    """Per-user Markov sequence log-likelihood under the corpus
+    transition matrix (Laplace alpha=1) — the journey-anomaly score
+    built on the transition-matrix gate: bot loops and broken
+    clients surface as low average log-likelihood. Quantized
+    per-pair ln P summed exactly per user; DuckDB oracle replays
+    the lag pairs, smoothed model and quantized sums."""
+    from protosc_spark.windows import transition_score
+
+    ev = _read(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts", "event_id"
+    )
+    t = transition_score(ev)
+    return t.select(
+        "user_id",
+        "n_transitions",
+        F.round("logprob", 6).alias("logprob"),
+        F.round("avg_logprob", 6).alias("avg_logprob"),
+    ).orderBy("user_id")
+
+
 def _events_pacf_volume(spark, sf_dir):
     """Partial autocorrelation (Durbin-Levinson over the exact-
     integer ACF vector) of each event type's daily volumes at lags
@@ -3588,6 +3609,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     full-surface green regardless of this ordering."""
     return {
         # --- round 5 ---
+        "events_markov_score": _events_markov_score,
         "events_pacf_volume": _events_pacf_volume,
         "events_breakpoint": _events_breakpoint,
         "events_rate_ratio": _events_rate_ratio,
@@ -3875,6 +3897,39 @@ def oracle_sql() -> dict[str, str]:
         for t in POISSON1_T60
     )
     out = {
+        "events_markov_score": """
+            WITH pairs AS (
+              SELECT user_id,
+                     lag(event_type) OVER (PARTITION BY user_id
+                       ORDER BY ts, event_id) AS a,
+                     event_type AS b
+              FROM events
+            ), p AS (
+              SELECT * FROM pairs
+              WHERE a IS NOT NULL AND b IS NOT NULL
+            ), counts AS (
+              SELECT a, b, count(*)::HUGEINT AS cab
+              FROM p GROUP BY 1, 2
+            ), ft AS (
+              SELECT a, sum(cab) AS ca FROM counts GROUP BY 1
+            ), st AS (
+              SELECT count(DISTINCT event_type)::BIGINT AS s
+              FROM events WHERE event_type IS NOT NULL
+            ), model AS (
+              SELECT a, b,
+                floor(ln((cab::DOUBLE + 1.0)
+                         / (ca::DOUBLE + 1.0 * s::DOUBLE))
+                      * 1000000000.0)::HUGEINT AS qlp
+              FROM counts JOIN ft USING (a), st
+            )
+            SELECT user_id, count(*)::BIGINT AS n_transitions,
+                   round(sum(qlp)::DOUBLE / 1000000000.0, 6)
+                     AS logprob,
+                   round(sum(qlp)::DOUBLE / 1000000000.0
+                         / count(*)::DOUBLE, 6) AS avg_logprob
+            FROM p JOIN model USING (a, b)
+            GROUP BY user_id ORDER BY user_id
+        """,
         "events_pacf_volume": """
             WITH RECURSIVE daily AS (
               SELECT event_type AS g,

@@ -165,6 +165,7 @@ HEADLINE = [
     "events_rate_ratio",
     "events_breakpoint",
     "events_pacf_volume",
+    "events_markov_score",
 ]
 
 BENCH_CONVERSATIONS = int(os.environ.get("PROTOSC_BENCH_CONVS", "20000"))

@@ -2104,3 +2104,93 @@ def volume_pacf(
                     [group_col, "lag"]).select(
         group_col, "lag", "n_pairs", "acf", "pacf"
     )
+
+
+def transition_score(
+    df: DataFrame,
+    entity: str = "user_id",
+    state_col: str = "event_type",
+    order_cols: Sequence[str] = ("ts", "event_id"),
+    alpha: float = 1.0,
+    unit: int = 10**9,
+) -> DataFrame:
+    """Score every entity's state sequence under the corpus Markov
+    transition model — the anomaly readout built on
+    :func:`transition_counts`: an entity whose journey is improbable
+    under the crowd's transition matrix (bot loops, scraper sweeps,
+    broken clients) gets a low average log-likelihood. Laplace
+    smoothing keeps unseen pairs finite:
+
+        P(b | a) = (c_ab + alpha) / (c_a + alpha * S)
+        score(e) = sum_{(a,b) in e's stream} ln P(b | a)
+
+    with S the corpus state-alphabet size. Engine-reproducibility:
+    counts are exact integers; each pair's ln P is quantized to
+    integer 1/``unit`` units and the per-entity sum accumulates
+    those integers exactly (the house rule — a float sum over an
+    entity's transitions would drift with partial-agg order), one
+    division at the end.
+
+    Scale shape: the same single entity-exchange the sessionize/
+    funnel family uses, a |states|^2 count rollup, a broadcast-sized
+    model join back onto the pair stream, one groupBy(entity).
+    Output: (entity, n_transitions, logprob, avg_logprob) — one row
+    per entity with >= 1 transition."""
+    dec = "decimal(38,0)"
+    w = W.partitionBy(entity).orderBy(
+        *[F.col(c) for c in order_cols]
+    )
+    pairs = df.select(
+        F.col(entity),
+        F.lag(state_col).over(w).alias("__a"),
+        F.col(state_col).alias("__b"),
+    ).where(F.col("__a").isNotNull() & F.col("__b").isNotNull())
+    counts = pairs.groupBy("__a", "__b").agg(
+        F.count(F.lit(1)).cast(dec).alias("__cab")
+    )
+    fromtot = counts.groupBy("__a").agg(
+        F.sum("__cab").alias("__ca")
+    )
+    nstates = df.where(F.col(state_col).isNotNull()).agg(
+        F.countDistinct(state_col).cast("bigint").alias("__s")
+    )
+    al = F.lit(float(alpha))
+    u = F.lit(float(unit))
+    model = (
+        counts.join(fromtot, "__a")
+        .crossJoin(F.broadcast(nstates))
+        .select(
+            "__a",
+            "__b",
+            F.floor(
+                F.log(
+                    (F.col("__cab").cast("double") + al)
+                    / (
+                        F.col("__ca").cast("double")
+                        + al * F.col("__s").cast("double")
+                    )
+                )
+                * u
+            )
+            .cast(dec)
+            .alias("__qlp"),
+        )
+    )
+    return (
+        pairs.join(model, ["__a", "__b"])
+        .groupBy(entity)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_transitions"),
+            F.sum("__qlp").alias("__sq"),
+        )
+        .select(
+            entity,
+            "n_transitions",
+            (F.col("__sq").cast("double") / u).alias("logprob"),
+            (
+                F.col("__sq").cast("double")
+                / u
+                / F.col("n_transitions").cast("double")
+            ).alias("avg_logprob"),
+        )
+    )

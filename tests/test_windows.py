@@ -1709,3 +1709,88 @@ def test_pacf_plan_no_python(spark):
     )
     assert "ArrowEvalPython" not in plan
     assert "BatchEvalPython" not in plan
+
+
+# ---------------------------------------------------------------------------
+# transition_score
+# ---------------------------------------------------------------------------
+
+def _markov_ref(streams, alpha=1.0, unit=10**9):
+    """streams: {entity: [state,...]} -> {entity: (n, logprob)}."""
+    import math
+    from collections import Counter
+
+    pairs = [
+        (e, a, b)
+        for e, seq in streams.items()
+        for a, b in zip(seq, seq[1:])
+    ]
+    cab = Counter((a, b) for _, a, b in pairs)
+    ca = Counter(a for _, a, _ in pairs)
+    states = {s for seq in streams.values() for s in seq}
+    out = {}
+    for e, seq in streams.items():
+        qs = [
+            math.floor(
+                math.log(
+                    (cab[(a, b)] + alpha)
+                    / (ca[a] + alpha * len(states))
+                )
+                * unit
+            )
+            for a, b in zip(seq, seq[1:])
+        ]
+        if qs:
+            out[e] = (len(qs), sum(qs) / unit)
+    return out
+
+
+def test_transition_score_matches_reference(spark):
+    import datetime as dt
+
+    from protosc_spark.windows import transition_score
+
+    streams = {
+        "u1": ["view", "view", "cart", "purchase"],
+        "u2": ["view", "cart", "view", "view"],
+        "u3": ["purchase", "purchase", "purchase"],  # weird journey
+        "u4": ["view"],  # no transition -> no row
+    }
+    rows = [
+        (e, s, dt.datetime(2024, 1, 1) + dt.timedelta(minutes=i), i)
+        for e, seq in streams.items()
+        for i, s in enumerate(seq)
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id string, event_type string, ts timestamp,"
+        " event_id long"
+    )
+    got = {r.user_id: r for r in transition_score(df).collect()}
+    want = _markov_ref(streams)
+    assert set(got) == set(want)
+    for e, (n, lp) in want.items():
+        assert got[e].n_transitions == n
+        assert abs(got[e].logprob - lp) < 1e-9
+        assert abs(got[e].avg_logprob - lp / n) < 1e-9
+    # smoothed probabilities are < 1, so every score is negative
+    assert all(r.avg_logprob < 0 for r in got.values())
+
+
+def test_transition_score_plan_single_entity_exchange(spark):
+    import datetime as dt
+
+    from protosc_spark.windows import transition_score
+
+    df = spark.createDataFrame(
+        [("u", "view", dt.datetime(2024, 1, 1), 1)],
+        "user_id string, event_type string, ts timestamp,"
+        " event_id long",
+    )
+    plan = (
+        transition_score(df)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "ArrowEvalPython" not in plan
+    assert "BatchEvalPython" not in plan
