@@ -1181,6 +1181,31 @@ def _corpus_drift_cvm(spark, sf_dir):
     )
 
 
+def _txt_good_turing(spark, sf_dir):
+    """Simple Good-Turing smoothing (Gale & Sampson 1995) of each
+    source's word frequencies: Turing estimates while significant,
+    log-log-fit LGT after the permanent switch, renormalized against
+    the Good-Turing unseen mass — the principled discount curve
+    behind vocab_richness's gt_unseen. DuckDB oracle replays the
+    count-of-counts, Z neighbors, quantized-log OLS, the switch rule
+    and the quantized renormalization."""
+    from protosc_spark.lm import good_turing
+
+    docs = _read_wide(spark, sf_dir, "documents").select(
+        "source", "text"
+    )
+    t = good_turing(docs, "source")
+    return t.select(
+        "source",
+        "r",
+        "n_r",
+        F.round("r_star", 6).alias("r_star"),
+        "used_turing",
+        F.round("p_r", 9).alias("p_r"),
+        F.round("p0", 9).alias("p0"),
+    ).orderBy("source", "r")
+
+
 def _events_markov_score(spark, sf_dir):
     """Per-user Markov sequence log-likelihood under the corpus
     transition matrix (Laplace alpha=1) — the journey-anomaly score
@@ -3609,6 +3634,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     full-surface green regardless of this ordering."""
     return {
         # --- round 5 ---
+        "txt_good_turing": _txt_good_turing,
         "events_markov_score": _events_markov_score,
         "events_pacf_volume": _events_pacf_volume,
         "events_breakpoint": _events_breakpoint,
@@ -3897,6 +3923,104 @@ def oracle_sql() -> dict[str, str]:
         for t in POISSON1_T60
     )
     out = {
+        "txt_good_turing": """
+            WITH toks AS (
+              SELECT source,
+                     unnest(string_split(text, ' ')) AS token
+              FROM documents WHERE text IS NOT NULL
+            ), words AS (
+              SELECT source, token, count(*)::BIGINT AS r
+              FROM toks GROUP BY 1, 2
+            ), coc AS (
+              SELECT source, r, count(*)::HUGEINT AS n_r
+              FROM words GROUP BY 1, 2
+            ), nb AS (
+              SELECT source, r, n_r,
+                coalesce(lag(r) OVER w, 0) AS q,
+                lead(r) OVER w AS t,
+                lead(n_r) OVER w AS n_next,
+                lead(r) OVER w AS r_next
+              FROM coc
+              WINDOW w AS (PARTITION BY source ORDER BY r)
+            ), zt AS (
+              SELECT source, r, n_r, n_next, r_next,
+                n_r::DOUBLE / (0.5 * (coalesce(t, 2 * r - q) - q)
+                  ::DOUBLE) AS z
+              FROM nb
+            ), qq AS (
+              SELECT source, r, n_r, n_next, r_next,
+                floor(ln(r::DOUBLE) * 1e9)::HUGEINT AS qx,
+                floor(ln(z) * 1e9)::HUGEINT AS qy,
+                floor(ln(r::DOUBLE) * ln(r::DOUBLE) * 1e9)::HUGEINT
+                  AS qxx,
+                floor(ln(r::DOUBLE) * ln(z) * 1e9)::HUGEINT AS qxy
+              FROM zt
+            ), fit AS (
+              SELECT source, count(*)::HUGEINT AS m,
+                sum(qx) AS sx, sum(qy) AS sy,
+                sum(qxx) AS sxx, sum(qxy) AS sxy
+              FROM qq GROUP BY source
+            ), sl AS (
+              SELECT source,
+                CASE WHEN m >= 2
+                     AND (m * sxx * 1000000000 - sx * sx) > 0
+                THEN (m * sxy * 1000000000 - sx * sy)::DOUBLE
+                     / (m * sxx * 1000000000 - sx * sx)::DOUBLE
+                END AS b
+              FROM fit
+            ), sc AS (
+              SELECT q.source, q.r, q.n_r, q.n_next, q.r_next, s.b,
+                (q.r + 1)::DOUBLE
+                  * exp(s.b * (ln((q.r + 1)::DOUBLE)
+                               - ln(q.r::DOUBLE))) AS r_lgt,
+                CASE WHEN q.r_next = q.r + 1 THEN
+                  (q.r + 1)::DOUBLE * q.n_next::DOUBLE
+                  / q.n_r::DOUBLE END AS r_tur,
+                coalesce(q.r_next = q.r + 1
+                  AND abs((q.r + 1)::DOUBLE * q.n_next::DOUBLE
+                            / q.n_r::DOUBLE
+                          - (q.r + 1)::DOUBLE
+                            * exp(s.b * (ln((q.r + 1)::DOUBLE)
+                                         - ln(q.r::DOUBLE))))
+                      > 1.65 * sqrt((q.r + 1)::DOUBLE
+                          * (q.r + 1)::DOUBLE
+                          * (q.n_next::DOUBLE
+                             / (q.n_r::DOUBLE * q.n_r::DOUBLE))
+                          * (1.0 + q.n_next::DOUBLE
+                             / q.n_r::DOUBLE)), FALSE) AS cand
+              FROM qq q JOIN sl s USING (source)
+              WHERE s.b IS NOT NULL
+            ), sw AS (
+              SELECT *, min(CASE WHEN NOT cand THEN r END)
+                          OVER (PARTITION BY source) AS switch_at
+              FROM sc
+            ), rs AS (
+              SELECT source, r, n_r,
+                CASE WHEN cand AND (switch_at IS NULL
+                                    OR r < switch_at)
+                     THEN r_tur ELSE r_lgt END AS r_star,
+                cand AND (switch_at IS NULL OR r < switch_at)
+                  AS used_turing
+              FROM sw
+            ), fin AS (
+              SELECT source, r, n_r, r_star, used_turing,
+                sum(floor(r_star * n_r::DOUBLE * 1e9)::HUGEINT)
+                  OVER (PARTITION BY source)::DOUBLE
+                  / 1000000000.0 AS nprime,
+                sum(n_r * r) OVER (PARTITION BY source)::DOUBLE
+                  AS ntot,
+                sum(CASE WHEN r = 1 THEN n_r
+                         ELSE 0::HUGEINT END)
+                  OVER (PARTITION BY source)::DOUBLE AS n1
+              FROM rs
+            )
+            SELECT source, r, n_r::BIGINT AS n_r,
+                   round(r_star, 6) AS r_star, used_turing,
+                   round((1.0 - n1 / ntot) * r_star / nprime, 9)
+                     AS p_r,
+                   round(n1 / ntot, 9) AS p0
+            FROM fin ORDER BY source, r
+        """,
         "events_markov_score": """
             WITH pairs AS (
               SELECT user_id,

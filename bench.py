@@ -166,6 +166,7 @@ HEADLINE = [
     "events_breakpoint",
     "events_pacf_volume",
     "events_markov_score",
+    "txt_good_turing",
 ]
 
 BENCH_CONVERSATIONS = int(os.environ.get("PROTOSC_BENCH_CONVS", "20000"))

@@ -351,3 +351,158 @@ def stupid_backoff_score(
         F.round(F.exp(-F.avg("logscore")), 4).alias("ppl"),
         F.count(F.lit(1)).cast("bigint").alias("n_trigrams"),
     )
+
+
+def good_turing(
+    df: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+    unit: int = 10**9,
+) -> DataFrame:
+    """Simple Good-Turing frequency smoothing (Gale & Sampson 1995)
+    over each slice's word count-of-counts — the principled answer
+    to "how much probability do unseen words deserve, and how much
+    must seen counts be discounted to pay for it": the third member
+    of the smoothing family beside add-k (lm_score) and stupid
+    backoff (stupid_backoff_score), and the estimator behind
+    textops.vocab_richness's gt_unseen number.
+
+    Per slice, over distinct frequencies r with N_r word types each:
+
+      Z_r    = N_r / (0.5 (t - q))     (q/t = neighbor frequencies;
+                                        q=0 first, t=2r-q last)
+      S(r)  ~= exp(a + b ln r)          (log-log OLS of Z on r)
+      r*_LGT = (r+1) exp(b (ln(r+1) - ln r))        (a cancels)
+      r*_T   = (r+1) N_{r+1} / N_r
+      switch: use Turing while N_{r+1} exists AND
+              |r*_T - r*_LGT| > 1.65 sqrt((r+1)^2 N_{r+1}/N_r^2
+                                          (1 + N_{r+1}/N_r)),
+              PERMANENTLY LGT from the first failure on
+      p_r    = (1 - p0) r* / sum_r N_r r*,   p0 = N_1 / N
+
+    Engine-reproducibility: the count-of-counts table is exact; the
+    OLS slope b uses the quantized-log house algebra (zipf_fit); the
+    switch rule compares identical doubles on both engines; r* is
+    re-quantized before the normalizing sum so the renormalization
+    is order-independent. The three windows (neighbors, switch
+    point, normalizer) all run over DISTINCT FREQUENCIES — dozens of
+    rows however large the corpus.
+
+    Output: (group, r, n_r, r_star, used_turing, p_r, p0) per
+    distinct frequency, ascending; slices with fewer than 2 distinct
+    frequencies emit no rows (no line to fit). Empty tokens from
+    split() are kept (the shared convention)."""
+    from pyspark.sql import Window as W
+
+    dec = "decimal(38,0)"
+    toks = df.where(F.col(text_col).isNotNull()).select(
+        F.col(group_col),
+        F.explode(F.split(F.col(text_col), " ")).alias("token"),
+    )
+    words = toks.groupBy(group_col, "token").agg(
+        F.count(F.lit(1)).alias("r")
+    )
+    coc = words.groupBy(group_col, "r").agg(
+        F.count(F.lit(1)).cast(dec).alias("n_r")
+    )
+    w_ord = W.partitionBy(group_col).orderBy("r")
+    nb = coc.select(
+        group_col,
+        "r",
+        "n_r",
+        F.coalesce(F.lag("r").over(w_ord), F.lit(0)).alias("__q"),
+        F.lead("r").over(w_ord).alias("__t"),
+        F.lead("n_r").over(w_ord).alias("__n_next"),
+        F.lead("r").over(w_ord).alias("__r_next"),
+    ).withColumn(
+        "__t2",
+        F.coalesce(
+            F.col("__t"), F.lit(2) * F.col("r") - F.col("__q")
+        ),
+    )
+    rd = F.col("r").cast("double")
+    z = F.col("n_r").cast("double") / (
+        F.lit(0.5) * (F.col("__t2") - F.col("__q")).cast("double")
+    )
+    u = F.lit(float(unit))
+    lx, ly = F.log(rd), F.log(z)
+    q = nb.select(
+        group_col,
+        "r",
+        "n_r",
+        "__n_next",
+        "__r_next",
+        F.floor(lx * u).cast(dec).alias("qx"),
+        F.floor(ly * u).cast(dec).alias("qy"),
+        F.floor(lx * lx * u).cast(dec).alias("qxx"),
+        F.floor(lx * ly * u).cast(dec).alias("qxy"),
+    )
+    fit = q.groupBy(group_col).agg(
+        F.count(F.lit(1)).cast(dec).alias("__m"),
+        F.sum("qx").alias("__sx"),
+        F.sum("qy").alias("__sy"),
+        F.sum("qxx").alias("__sxx"),
+        F.sum("qxy").alias("__sxy"),
+    )
+    ui = F.lit(int(unit)).cast(dec)
+    m = F.col("__m")
+    cov = (
+        m * F.col("__sxy") * ui - F.col("__sx") * F.col("__sy")
+    ).cast("double")
+    vx = (
+        m * F.col("__sxx") * ui - F.col("__sx") * F.col("__sx")
+    ).cast("double")
+    slope = F.when((m >= 2) & (vx > 0), cov / vx)
+    scored = q.join(
+        fit.select(group_col, slope.alias("__b")), group_col
+    ).where(F.col("__b").isNotNull())
+    rp1 = (F.col("r") + 1).cast("double")
+    r_lgt = rp1 * F.exp(
+        F.col("__b") * (F.log(rp1) - F.log(F.col("r").cast("double")))
+    )
+    nn = F.col("__n_next").cast("double")
+    nr = F.col("n_r").cast("double")
+    contiguous = F.col("__r_next") == F.col("r") + 1
+    r_tur = F.when(contiguous, rp1 * nn / nr)
+    thresh = F.lit(1.65) * F.sqrt(
+        rp1 * rp1 * (nn / (nr * nr)) * (F.lit(1.0) + nn / nr)
+    )
+    candidate = F.coalesce(
+        contiguous & (F.abs(r_tur - r_lgt) > thresh), F.lit(False)
+    )
+    # the switch is PERMANENT: Turing only below the first r where
+    # the candidate rule fails
+    switch_at = F.min(
+        F.when(~candidate, F.col("r"))
+    ).over(W.partitionBy(group_col))
+    used_turing = candidate & (
+        switch_at.isNull() | (F.col("r") < switch_at)
+    )
+    r_star = F.when(used_turing, r_tur).otherwise(r_lgt)
+    base = scored.select(
+        group_col,
+        "r",
+        F.col("n_r").cast("bigint").alias("n_r"),
+        r_star.alias("r_star"),
+        used_turing.alias("used_turing"),
+        F.floor(r_star * F.col("n_r").cast("double") * u)
+        .cast(dec)
+        .alias("__qmass"),
+        (F.col("n_r") * F.col("r")).alias("__rmass"),
+        F.when(F.col("r") == 1, F.col("n_r")).otherwise(
+            F.lit(0).cast(dec)
+        ).alias("__n1"),
+    )
+    wg = W.partitionBy(group_col)
+    nprime = F.sum("__qmass").over(wg).cast("double") / u
+    ntot = F.sum("__rmass").over(wg).cast("double")
+    p0 = F.sum("__n1").over(wg).cast("double") / ntot
+    return base.select(
+        group_col,
+        "r",
+        "n_r",
+        "r_star",
+        "used_turing",
+        ((F.lit(1.0) - p0) * F.col("r_star") / nprime).alias("p_r"),
+        p0.alias("p0"),
+    )

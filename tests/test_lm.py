@@ -264,3 +264,133 @@ def test_stupid_backoff_plan_no_python(spark):
     )._jdf.queryExecution().executedPlan().toString()
     assert "ArrowEvalPython" not in p and "BatchEvalPython" not in p
     assert "CartesianProduct" not in p
+
+
+# ---------------------------------------------------------------------------
+# good_turing (Simple Good-Turing, Gale & Sampson 1995)
+# ---------------------------------------------------------------------------
+
+def _sgt_ref(coc, unit=10**9):
+    """Python SGT over a count-of-counts dict {r: N_r}."""
+    import math
+
+    rs = sorted(coc)
+    Z = {}
+    for i, r in enumerate(rs):
+        q = rs[i - 1] if i > 0 else 0
+        t = rs[i + 1] if i + 1 < len(rs) else 2 * r - q
+        Z[r] = coc[r] / (0.5 * (t - q))
+    m = len(rs)
+    sx = sum(math.floor(math.log(r) * unit) for r in rs)
+    sy = sum(math.floor(math.log(Z[r]) * unit) for r in rs)
+    sxx = sum(
+        math.floor(math.log(r) * math.log(r) * unit) for r in rs
+    )
+    sxy = sum(
+        math.floor(math.log(r) * math.log(Z[r]) * unit) for r in rs
+    )
+    b = (m * sxy * unit - sx * sy) / (m * sxx * unit - sx * sx)
+    switch = None
+    rows = {}
+    for i, r in enumerate(rs):
+        rp1 = r + 1
+        lgt = rp1 * math.exp(b * (math.log(rp1) - math.log(r)))
+        contiguous = i + 1 < len(rs) and rs[i + 1] == r + 1
+        cand = False
+        tur = None
+        if contiguous:
+            nn = coc[r + 1]
+            tur = rp1 * nn / coc[r]
+            th = 1.65 * math.sqrt(
+                rp1 * rp1 * (nn / coc[r] ** 2) * (1 + nn / coc[r])
+            )
+            cand = abs(tur - lgt) > th
+        if not cand and switch is None:
+            switch = r
+        rows[r] = (lgt, tur, cand)
+    out = {}
+    qmass = 0
+    for r in rs:
+        lgt, tur, cand = rows[r]
+        used = cand and (switch is None or r < switch)
+        rstar = tur if used else lgt
+        qmass += math.floor(rstar * coc[r] * unit)
+        out[r] = (rstar, used)
+    N = sum(r * nr for r, nr in coc.items())
+    p0 = coc.get(1, 0) / N
+    return {
+        r: (rstar, used, (1 - p0) * rstar / (qmass / unit), p0)
+        for r, (rstar, used) in out.items()
+    }
+
+
+def test_good_turing_matches_reference_and_uses_turing_head(spark):
+    from protosc_spark.lm import good_turing
+
+    # classic hapax-heavy count-of-counts (Gale-Sampson shape);
+    # large enough that the Turing head is significant: Turing used
+    # for r = 1..3, permanent LGT switch at r = 4
+    coc = {1: 10000, 2: 2000, 3: 800, 4: 400, 5: 220, 6: 150,
+           7: 100, 10: 30}
+    words = []
+    wid = 0
+    for r, nr in coc.items():
+        for _ in range(nr):
+            words.extend([f"w{wid}"] * r)
+            wid += 1
+    # chunk into documents of 40 tokens
+    docs = [
+        ("a", " ".join(words[i:i + 40]))
+        for i in range(0, len(words), 40)
+    ]
+    df = spark.createDataFrame(docs, "source string, text string")
+    got = {r.r: r for r in good_turing(df, "source").collect()}
+    want = _sgt_ref(coc)
+    assert set(got) == set(want)
+    for r, (rstar, used, pr, p0) in want.items():
+        g = got[r]
+        assert g.n_r == coc[r]
+        assert abs(g.r_star - rstar) < 1e-9
+        assert g.used_turing == used
+        assert abs(g.p_r - pr) < 1e-12
+        assert abs(g.p0 - p0) < 1e-15
+    # the head of a hapax-heavy curve uses the Turing estimates and
+    # discounts (r* < r); the tail has switched to LGT permanently
+    assert got[1].used_turing and got[1].r_star < 1.0
+    assert got[2].used_turing and got[3].used_turing
+    assert not any(got[r].used_turing for r in (4, 5, 6, 7, 10))
+    assert abs(
+        got[1].p0 - 10000 / sum(r * n for r, n in coc.items())
+    ) < 1e-15
+    # probabilities of seen types + p0 sum to ~1
+    total = got[1].p0 + sum(
+        g.p_r * g.n_r for g in got.values()
+    )
+    assert abs(total - 1.0) < 1e-6
+
+
+def test_good_turing_degenerate_single_frequency(spark):
+    from protosc_spark.lm import good_turing
+
+    # every word appears exactly twice: one distinct frequency, no
+    # line to fit -> no rows
+    df = spark.createDataFrame(
+        [("a", "x x y y z z")], "source string, text string"
+    )
+    assert good_turing(df, "source").count() == 0
+
+
+def test_good_turing_plan_no_python(spark):
+    from protosc_spark.lm import good_turing
+
+    df = spark.createDataFrame(
+        [("a", "x x y")], "source string, text string"
+    )
+    plan = (
+        good_turing(df, "source")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "ArrowEvalPython" not in plan
+    assert "BatchEvalPython" not in plan
