@@ -1181,6 +1181,25 @@ def _corpus_drift_cvm(spark, sf_dir):
     )
 
 
+def _events_weekday_index(spark, sf_dir):
+    """Weekly seasonal index per event type: per-weekday mean daily
+    volume over the overall mean — the adjustment factors behind
+    the weekday-ANOVA verdict, cross-multiplied to one division.
+    DuckDB oracle replays the day rollup, weekday bins and the
+    integer cross-products."""
+    from protosc_spark.windows import weekday_index
+
+    ev = _read(spark, sf_dir, "events").select("event_type", "ts")
+    t = weekday_index(ev, "event_type")
+    return t.select(
+        "event_type",
+        "weekday",
+        "n_days",
+        F.round("mean_volume", 6).alias("mean_volume"),
+        F.round("seasonal_index", 6).alias("seasonal_index"),
+    ).orderBy("event_type", "weekday")
+
+
 def _txt_good_turing(spark, sf_dir):
     """Simple Good-Turing smoothing (Gale & Sampson 1995) of each
     source's word frequencies: Turing estimates while significant,
@@ -3634,6 +3653,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     full-surface green regardless of this ordering."""
     return {
         # --- round 5 ---
+        "events_weekday_index": _events_weekday_index,
         "txt_good_turing": _txt_good_turing,
         "events_markov_score": _events_markov_score,
         "events_pacf_volume": _events_pacf_volume,
@@ -3923,6 +3943,29 @@ def oracle_sql() -> dict[str, str]:
         for t in POISSON1_T60
     )
     out = {
+        "events_weekday_index": """
+            WITH daily AS (
+              SELECT event_type,
+                     (ts::DATE - DATE '1970-01-01')::BIGINT AS x,
+                     count(*)::HUGEINT AS y
+              FROM events GROUP BY 1, 2
+            ), byw AS (
+              SELECT event_type, (x % 7)::INT AS weekday,
+                     count(*)::HUGEINT AS nw, sum(y) AS sw
+              FROM daily GROUP BY 1, 2
+            ), tot AS (
+              SELECT event_type, sum(nw) AS n, sum(sw) AS s
+              FROM byw GROUP BY 1
+            )
+            SELECT b.event_type, b.weekday, b.nw::BIGINT AS n_days,
+                   round(b.sw::DOUBLE / b.nw::DOUBLE, 6)
+                     AS mean_volume,
+                   round(CASE WHEN t.s > 0 THEN
+                     (b.sw * t.n)::DOUBLE / (b.nw * t.s)::DOUBLE
+                     END, 6) AS seasonal_index
+            FROM byw b JOIN tot t USING (event_type)
+            ORDER BY event_type, weekday
+        """,
         "txt_good_turing": """
             WITH toks AS (
               SELECT source,

@@ -167,6 +167,7 @@ HEADLINE = [
     "events_pacf_volume",
     "events_markov_score",
     "txt_good_turing",
+    "events_weekday_index",
 ]
 
 BENCH_CONVERSATIONS = int(os.environ.get("PROTOSC_BENCH_CONVS", "20000"))

@@ -2194,3 +2194,65 @@ def transition_score(
             ).alias("avg_logprob"),
         )
     )
+
+
+def weekday_index(
+    df: DataFrame,
+    group_col: str,
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Per-slice weekly seasonal INDEX table — the adjustment
+    factors behind :func:`weekday_anova`'s verdict (ANOVA says
+    "weekly rhythm is real"; this says HOW MUCH each weekday runs
+    above/below trend so monitors can deseasonalize before
+    alarming):
+
+        index_w = mean(volume | weekday w) / mean(volume)
+
+    over the slice's observed days (day % 7 bins, 0 = Thursday for
+    epoch day 0 — the same bin rule weekday_anova uses). A day's
+    deseasonalized volume is y / index_w. Every count is an exact
+    integer; each output is one float expression of four integers
+    (S_w * n) / (n_w * S) — cross-multiplied so there is exactly
+    one division, replayed verbatim in the SQL oracle.
+
+    Scale shape: one raw scan to the (group, day) count table, one
+    rollup to at most 7 rows per slice. Output: (group, weekday,
+    n_days, mean_volume, seasonal_index) — NULL only for an
+    all-empty slice (S = 0)."""
+    dec = "decimal(38,0)"
+    daily = (
+        df.groupBy(
+            group_col,
+            F.datediff(F.to_date(ts_col), F.lit("1970-01-01"))
+            .cast("bigint")
+            .alias("x"),
+        )
+        .agg(F.count(F.lit(1)).cast(dec).alias("y"))
+    )
+    byw = daily.groupBy(
+        group_col, F.pmod(F.col("x"), F.lit(7)).cast("int").alias(
+            "weekday"
+        )
+    ).agg(
+        F.count(F.lit(1)).cast(dec).alias("__nw"),
+        F.sum("y").alias("__sw"),
+    )
+    tot = byw.groupBy(group_col).agg(
+        F.sum("__nw").alias("__n"), F.sum("__sw").alias("__s")
+    )
+    j = byw.join(tot, group_col)
+    return j.select(
+        group_col,
+        "weekday",
+        F.col("__nw").cast("bigint").alias("n_days"),
+        (
+            F.col("__sw").cast("double")
+            / F.col("__nw").cast("double")
+        ).alias("mean_volume"),
+        F.when(
+            F.col("__s") > 0,
+            (F.col("__sw") * F.col("__n")).cast("double")
+            / (F.col("__nw") * F.col("__s")).cast("double"),
+        ).alias("seasonal_index"),
+    )

@@ -1794,3 +1794,59 @@ def test_transition_score_plan_single_entity_exchange(spark):
     )
     assert "ArrowEvalPython" not in plan
     assert "BatchEvalPython" not in plan
+
+
+# ---------------------------------------------------------------------------
+# weekday_index
+# ---------------------------------------------------------------------------
+
+def test_weekday_index_hand_fixture(spark):
+    import datetime as dt
+
+    from protosc_spark.windows import weekday_index
+
+    # 3 full weeks; weekday bin w gets volume 10 + w (epoch-day % 7)
+    rows = []
+    start = dt.date(2024, 1, 1)
+    base = (start - dt.date(1970, 1, 1)).days
+    for d in range(21):
+        w = (base + d) % 7
+        for _ in range(10 + w):
+            rows.append(
+                ("a", dt.datetime(2024, 1, 1, 8) + dt.timedelta(days=d))
+            )
+    df = spark.createDataFrame(rows, "g string, ts timestamp")
+    got = {r.weekday: r for r in weekday_index(df, "g").collect()}
+    total = sum(10 + w for w in range(7)) * 3
+    overall = total / 21
+    assert len(got) == 7
+    for w in range(7):
+        assert got[w].n_days == 3
+        assert abs(got[w].mean_volume - (10 + w)) < 1e-12
+        assert abs(got[w].seasonal_index - (10 + w) / overall) \
+            < 1e-12
+    # indexes average to 1 over balanced weekday counts
+    assert abs(
+        sum(r.seasonal_index for r in got.values()) / 7 - 1.0
+    ) < 1e-12
+    # deseasonalization: y / index recovers the overall mean exactly
+    for w in range(7):
+        assert abs((10 + w) / got[w].seasonal_index - overall) < 1e-9
+
+
+def test_weekday_index_plan_no_python(spark):
+    import datetime as dt
+
+    from protosc_spark.windows import weekday_index
+
+    df = spark.createDataFrame(
+        [("a", dt.datetime(2024, 1, 1))], "g string, ts timestamp"
+    )
+    plan = (
+        weekday_index(df, "g")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "ArrowEvalPython" not in plan
+    assert "BatchEvalPython" not in plan
