@@ -1181,6 +1181,29 @@ def _corpus_drift_cvm(spark, sf_dir):
     )
 
 
+def _sim_centroid_affinity(spark, sf_dir):
+    """Pairwise cosine between per-label embedding centroids —
+    which classes occupy the same region of embedding space, from
+    |labels|^2 numbers instead of a corpus pair join. Components
+    quantized before the per-dim sums; cosine computed directly on
+    the integer sum vectors (scale-invariance cancels 1/n and
+    1/unit). DuckDB oracle replays quantization, sums, dot and
+    norms digit for digit."""
+    from protosc_spark.similarity import centroid_affinity
+
+    emb = _read(spark, sf_dir, "embeddings").select(
+        "label", "embedding"
+    )
+    t = centroid_affinity(emb)
+    return t.select(
+        "label_a",
+        "label_b",
+        "n_a",
+        "n_b",
+        F.round("cosine", 6).alias("cosine"),
+    ).orderBy("label_a", "label_b")
+
+
 def _events_weekday_index(spark, sf_dir):
     """Weekly seasonal index per event type: per-weekday mean daily
     volume over the overall mean — the adjustment factors behind
@@ -3653,6 +3676,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     full-surface green regardless of this ordering."""
     return {
         # --- round 5 ---
+        "sim_centroid_affinity": _sim_centroid_affinity,
         "events_weekday_index": _events_weekday_index,
         "txt_good_turing": _txt_good_turing,
         "events_markov_score": _events_markov_score,
@@ -3943,6 +3967,39 @@ def oracle_sql() -> dict[str, str]:
         for t in POISSON1_T60
     )
     out = {
+        "sim_centroid_affinity": """
+            WITH q AS (
+              SELECT label AS l,
+                     generate_subscripts(embedding, 1) AS d,
+                     floor(unnest(embedding::DOUBLE[])
+                           * 1000000000.0)::HUGEINT AS qv
+              FROM embeddings
+            ), cent AS (
+              SELECT l, d, sum(qv) AS s FROM q GROUP BY 1, 2
+            ), counts AS (
+              SELECT label AS l, count(*)::BIGINT AS n
+              FROM embeddings GROUP BY 1
+            ), norms AS (
+              SELECT l, sum(s * s) AS nrm FROM cent GROUP BY 1
+            ), dots AS (
+              SELECT a.l AS la, b.l AS lb, sum(a.s * b.s) AS dot
+              FROM cent a JOIN cent b
+                ON a.d = b.d AND a.l < b.l
+              GROUP BY 1, 2
+            )
+            SELECT la AS label_a, lb AS label_b,
+                   ca.n AS n_a, cb.n AS n_b,
+                   round(CASE WHEN na.nrm > 0 AND nb.nrm > 0 THEN
+                     dot::DOUBLE / (sqrt(na.nrm::DOUBLE)
+                                    * sqrt(nb.nrm::DOUBLE)) END, 6)
+                     AS cosine
+            FROM dots
+            JOIN norms na ON na.l = la
+            JOIN norms nb ON nb.l = lb
+            JOIN counts ca ON ca.l = la
+            JOIN counts cb ON cb.l = lb
+            ORDER BY label_a, label_b
+        """,
         "events_weekday_index": """
             WITH daily AS (
               SELECT event_type,

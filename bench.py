@@ -168,6 +168,7 @@ HEADLINE = [
     "events_markov_score",
     "txt_good_turing",
     "events_weekday_index",
+    "sim_centroid_affinity",
 ]
 
 BENCH_CONVERSATIONS = int(os.environ.get("PROTOSC_BENCH_CONVS", "20000"))

@@ -1353,3 +1353,102 @@ def label_centroids(
         .groupBy("label", "dim")
         .agg(F.round(F.avg(F.col("v").cast("double")), 6).alias("centroid"))
     )
+
+
+def centroid_affinity(
+    emb: DataFrame,
+    label_col: str = "label",
+    vec_col: str = "embedding",
+    unit: int = 10**9,
+) -> DataFrame:
+    """Pairwise cosine similarity between per-group embedding
+    centroids — the drift/affinity matrix on top of
+    :func:`label_centroids`: which sources/classes occupy the same
+    region of embedding space (near-duplicate SOURCES, label
+    confusion, domain collapse), read from |groups|^2 numbers
+    instead of a corpus-sized pair join.
+
+    Exactness: each component is quantized to integer 1/``unit``
+    units BEFORE the per-(group, dim) sum (house rule — float sums
+    drift with partial-agg order), and cosine is computed directly
+    on the integer sum vectors: cosine is scale-invariant, so the
+    1/n and 1/unit factors cancel and
+
+        cos(a, b) = sum_d qa_d qb_d
+                    / (sqrt(sum qa^2) * sqrt(sum qb^2))
+
+    is one float expression of exact DECIMAL integers, replayed
+    verbatim in the SQL oracle. Envelope: qa_d ~ unit * sum|v| stays
+    inside DECIMAL(38) products for ~1e9 rows x unit 1e9 per group.
+
+    Scale shape: posexplode -> one map-side-combined groupBy(group,
+    dim) -> a |groups| x dim table; the pair join runs over THAT
+    (groups^2 x dim intermediate, nothing corpus-sized). Output:
+    (label_a, label_b, n_a, n_b, cosine) for label_a < label_b;
+    cosine NULL for a zero centroid."""
+    dec = "decimal(38,0)"
+    u = F.lit(float(unit))
+    q = emb.select(
+        F.col(label_col).alias("__l"),
+        F.posexplode(vec_col).alias("__d", "__v"),
+    ).select(
+        "__l",
+        "__d",
+        F.floor(F.col("__v").cast("double") * u).cast(dec).alias(
+            "__q"
+        ),
+    )
+    cent = q.groupBy("__l", "__d").agg(
+        F.sum("__q").alias("__s"),
+        (F.count(F.lit(1))).alias("__cnt"),
+    )
+    counts = emb.groupBy(F.col(label_col).alias("__l")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("__n")
+    )
+    norms = cent.groupBy("__l").agg(
+        F.sum(F.col("__s") * F.col("__s")).alias("__nrm")
+    )
+    a = cent.select(
+        F.col("__l").alias("la"), "__d", F.col("__s").alias("sa")
+    )
+    b = cent.select(
+        F.col("__l").alias("lb"), "__d", F.col("__s").alias("sb")
+    )
+    dots = (
+        a.join(b, "__d")
+        .where(F.col("la") < F.col("lb"))
+        .groupBy("la", "lb")
+        .agg(F.sum(F.col("sa") * F.col("sb")).alias("__dot"))
+    )
+    na = norms.select(
+        F.col("__l").alias("la"), F.col("__nrm").alias("__na")
+    )
+    nb = norms.select(
+        F.col("__l").alias("lb"), F.col("__nrm").alias("__nb")
+    )
+    ca = counts.select(
+        F.col("__l").alias("la"), F.col("__n").alias("n_a")
+    )
+    cb = counts.select(
+        F.col("__l").alias("lb"), F.col("__n").alias("n_b")
+    )
+    return (
+        dots.join(na, "la")
+        .join(nb, "lb")
+        .join(ca, "la")
+        .join(cb, "lb")
+        .select(
+            F.col("la").alias("label_a"),
+            F.col("lb").alias("label_b"),
+            "n_a",
+            "n_b",
+            F.when(
+                (F.col("__na") > 0) & (F.col("__nb") > 0),
+                F.col("__dot").cast("double")
+                / (
+                    F.sqrt(F.col("__na").cast("double"))
+                    * F.sqrt(F.col("__nb").cast("double"))
+                ),
+            ).alias("cosine"),
+        )
+    )

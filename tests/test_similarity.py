@@ -704,3 +704,91 @@ def test_ivfsq8_batch_pruned_recall_determinism_and_collisions(spark, emb):
         (1, 1, 1.0),
         (2, 2, 1.0),
     ]
+
+
+# ---------------------------------------------------------------------------
+# centroid_affinity
+# ---------------------------------------------------------------------------
+
+def test_centroid_affinity_matches_numpy(spark):
+    import numpy as np
+
+    from protosc_spark.similarity import centroid_affinity
+
+    rng = np.random.default_rng(7)
+    rows, vecs = [], {}
+    base = rng.normal(size=8)  # shared direction: affinity near 1
+    for lbl in range(3):
+        vs = [base + 0.1 * rng.normal(size=8) for _ in range(5 + lbl)]
+        vecs[lbl] = vs
+        rows += [
+            (lbl, [float(x) for x in v]) for v in vs
+        ]
+    df = spark.createDataFrame(rows, "label int, embedding array<float>")
+    got = {
+        (r.label_a, r.label_b): r
+        for r in centroid_affinity(df).collect()
+    }
+    unit = 10**9
+    q = {
+        lbl: np.array([
+            sum(
+                int(np.floor(float(np.float32(v[d])) * unit))
+                for v in vs
+            )
+            for d in range(8)
+        ], dtype=object)
+        for lbl, vs in vecs.items()
+    }
+    for (a, b), r in got.items():
+        assert a < b
+        dot = int(sum(q[a] * q[b]))
+        na = int(sum(q[a] * q[a]))
+        nb = int(sum(q[b] * q[b]))
+        import math
+
+        want = dot / (math.sqrt(na) * math.sqrt(nb))
+        assert abs(r.cosine - want) < 1e-12
+        assert r.n_a == 5 + a and r.n_b == 5 + b
+    assert len(got) == 3
+    # same-region labels (all share `base`-ish direction at 0.1
+    # noise): affinity near 1
+    assert all(r.cosine > 0.9 for r in got.values())
+
+
+def test_centroid_affinity_orthogonal_and_zero(spark):
+    from protosc_spark.similarity import centroid_affinity
+
+    df = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0, 0.0]),
+            (0, [1.0, 0.0, 0.0]),
+            (1, [0.0, 2.0, 0.0]),
+            (2, [0.0, 0.0, 0.0]),  # zero centroid -> NULL cosine
+            (3, [-1.0, 0.0, 0.0]),
+        ],
+        "label int, embedding array<float>",
+    )
+    got = {
+        (r.label_a, r.label_b): r
+        for r in centroid_affinity(df).collect()
+    }
+    assert got[(0, 1)].cosine == 0.0
+    assert got[(0, 3)].cosine == -1.0
+    assert got[(0, 2)].cosine is None and got[(1, 2)].cosine is None
+
+
+def test_centroid_affinity_plan_no_python(spark):
+    from protosc_spark.similarity import centroid_affinity
+
+    df = spark.createDataFrame(
+        [(0, [1.0]), (1, [2.0])], "label int, embedding array<float>"
+    )
+    plan = (
+        centroid_affinity(df)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "ArrowEvalPython" not in plan
+    assert "BatchEvalPython" not in plan
