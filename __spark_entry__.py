@@ -1181,6 +1181,30 @@ def _corpus_drift_cvm(spark, sf_dir):
     )
 
 
+def _corpus_ndcg(spark, sf_dir):
+    """NDCG@100 of the n_chars 'model score' against is-English
+    relevance — the position-weighted head-of-ranking metric beside
+    exact AUC (position-free) and decile lift. Deterministic
+    (score desc, doc_id) ranking via Spark's top-k, quantized
+    ln-based discounts; DuckDB oracle replays ranking, discounts
+    and the IDCG fold."""
+    from protosc_spark.evaluation import ndcg_at_k
+
+    docs = _read_wide(spark, sf_dir, "documents").select(
+        "doc_id",
+        "n_chars",
+        (F.col("lang") == "en").cast("int").alias("rel"),
+    )
+    t = ndcg_at_k(docs, "n_chars", "rel", "doc_id", k=100)
+    return t.select(
+        "k",
+        "n_pos",
+        F.round("dcg", 6).alias("dcg"),
+        F.round("idcg", 6).alias("idcg"),
+        F.round("ndcg", 6).alias("ndcg"),
+    )
+
+
 def _sim_centroid_affinity(spark, sf_dir):
     """Pairwise cosine between per-label embedding centroids —
     which classes occupy the same region of embedding space, from
@@ -3676,6 +3700,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     full-surface green regardless of this ordering."""
     return {
         # --- round 5 ---
+        "corpus_ndcg": _corpus_ndcg,
         "sim_centroid_affinity": _sim_centroid_affinity,
         "events_weekday_index": _events_weekday_index,
         "txt_good_turing": _txt_good_turing,
@@ -3967,6 +3992,39 @@ def oracle_sql() -> dict[str, str]:
         for t in POISSON1_T60
     )
     out = {
+        "corpus_ndcg": """
+            WITH base AS (
+              SELECT doc_id, n_chars AS s, (lang = 'en')::INT AS rel
+              FROM documents
+              WHERE n_chars IS NOT NULL AND lang IS NOT NULL
+            ), top AS (
+              SELECT rel, row_number() OVER (ORDER BY s DESC,
+                doc_id) AS i
+              FROM base QUALIFY i <= 100
+            ), d AS (
+              SELECT sum(floor(rel::DOUBLE * 0.6931471805599453
+                               / ln(i::DOUBLE + 1.0)
+                               * 1000000000.0)::HUGEINT) AS qdcg
+              FROM top
+            ), p AS (
+              SELECT sum(rel)::BIGINT AS n_pos FROM base
+            ), idcg AS (
+              SELECT sum(floor(0.6931471805599453
+                               / ln(i::DOUBLE + 1.0)
+                               * 1000000000.0)::HUGEINT) AS qidcg
+              FROM range(1, 101) t(i), p
+              WHERE i <= least(100, n_pos)
+            )
+            SELECT 100::INT AS k, n_pos,
+                   round(coalesce(qdcg::DOUBLE / 1000000000.0, 0.0),
+                         6) AS dcg,
+                   round(qidcg::DOUBLE / 1000000000.0, 6) AS idcg,
+                   round(CASE WHEN n_pos > 0 THEN
+                     coalesce(qdcg::DOUBLE / 1000000000.0, 0.0)
+                     / (qidcg::DOUBLE / 1000000000.0) END, 6)
+                     AS ndcg
+            FROM d, p, idcg
+        """,
         "sim_centroid_affinity": """
             WITH q AS (
               SELECT label AS l,

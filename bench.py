@@ -169,6 +169,7 @@ HEADLINE = [
     "txt_good_turing",
     "events_weekday_index",
     "sim_centroid_affinity",
+    "corpus_ndcg",
 ]
 
 BENCH_CONVERSATIONS = int(os.environ.get("PROTOSC_BENCH_CONVS", "20000"))

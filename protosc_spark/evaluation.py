@@ -1271,3 +1271,94 @@ def bh_fdr(
     return ranked.withColumn("q", q).withColumn(
         "reject", (F.col("q") <= F.lit(float(alpha)))
     )
+
+
+def ndcg_at_k(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    id_cols: list[str] | str,
+    k: int = 100,
+    unit: int = 10**9,
+) -> DataFrame:
+    """NDCG@k of a score column against binary relevance — the
+    position-weighted ranking metric completing the evaluation
+    family (:func:`auc_exact` is threshold- and position-free,
+    :func:`lift_table` reads deciles; NDCG grades the HEAD, where
+    retrieval and curation actually consume the ranking):
+
+        DCG@k  = sum_{i<=k} rel_i / log2(i + 1)
+        IDCG@k = sum_{i<=min(k, P)} 1 / log2(i + 1)   (P = total
+                 relevant rows in the corpus)
+        NDCG   = DCG / IDCG
+
+    The ranking is made deterministic by tie-breaking on
+    ``id_cols`` (score desc, ids asc), so both engines rank
+    identically; each position's term is quantized to integer
+    1/``unit`` units before the sum (house rule). Rows with NULL
+    score or label are dropped.
+
+    Scale shape: the top-k comes from ``orderBy().limit(k)`` —
+    Spark's TakeOrderedAndProject (per-partition top-k then a
+    k-row merge on the driver, never a global sort); P is one
+    map-side-combined count; the rank window runs over k rows.
+    Output: one row (k, n_pos, dcg, idcg, ndcg) — NULL ndcg when
+    the corpus has no relevant rows."""
+    ids = [id_cols] if isinstance(id_cols, str) else list(id_cols)
+    dec = "decimal(38,0)"
+    base = df.where(
+        F.col(score_col).isNotNull() & F.col(label_col).isNotNull()
+    )
+    order = [F.col(score_col).desc()] + [
+        F.col(c).asc() for c in ids
+    ]
+    top = base.orderBy(*order).limit(int(k))
+    w = W.orderBy(*order)
+    u = F.lit(float(unit))
+    ranked = top.select(
+        F.col(label_col).cast("int").alias("__rel"),
+        F.row_number().over(w).alias("__i"),
+    )
+    # 1/log2(i+1) written as ln(2)/ln(i+1): ln is the one log both
+    # engines evaluate bit-identically across the oracle suite
+    ln2 = F.lit(0.6931471805599453)
+    dcg_q = ranked.agg(
+        F.sum(
+            F.floor(
+                F.col("__rel").cast("double")
+                * ln2
+                / F.log(F.col("__i").cast("double") + F.lit(1.0))
+                * u
+            ).cast(dec)
+        ).alias("__qdcg")
+    )
+    npos = base.agg(
+        F.sum(F.col(label_col).cast("int")).cast("bigint").alias(
+            "n_pos"
+        )
+    )
+    m = F.least(F.lit(int(k)).cast("bigint"), F.col("n_pos"))
+    idcg_q = F.aggregate(
+        F.sequence(F.lit(1).cast("bigint"), m),
+        F.lit(0).cast(dec),
+        lambda acc, i: acc
+        + F.floor(
+            ln2 / F.log(i.cast("double") + F.lit(1.0)) * u
+        ).cast(dec),
+    )
+    dcg = F.col("__qdcg").cast("double") / u
+    return (
+        dcg_q.crossJoin(F.broadcast(npos))
+        .withColumn("__qidcg", F.when(F.col("n_pos") > 0, idcg_q))
+        .select(
+            F.lit(int(k)).alias("k"),
+            "n_pos",
+            F.coalesce(dcg, F.lit(0.0)).alias("dcg"),
+            (F.col("__qidcg").cast("double") / u).alias("idcg"),
+            F.when(
+                F.col("n_pos") > 0,
+                F.coalesce(dcg, F.lit(0.0))
+                / (F.col("__qidcg").cast("double") / u),
+            ).alias("ndcg"),
+        )
+    )

@@ -917,3 +917,83 @@ def test_bh_fdr_plan_no_python(spark):
     )
     assert "ArrowEvalPython" not in plan
     assert "BatchEvalPython" not in plan
+
+
+# ---------------------------------------------------------------------------
+# ndcg_at_k
+# ---------------------------------------------------------------------------
+
+def _ndcg_ref(rows, k, unit=10**9):
+    """rows: [(id, score, rel)]; deterministic (score desc, id)."""
+    import math
+
+    ln2 = 0.6931471805599453
+    ranked = sorted(rows, key=lambda r: (-r[1], r[0]))[:k]
+    qdcg = sum(
+        math.floor(rel * ln2 / math.log(i + 2.0) * unit)
+        for i, (_, _, rel) in enumerate(ranked)
+    )
+    npos = sum(rel for _, _, rel in rows)
+    qidcg = sum(
+        math.floor(ln2 / math.log(i + 1.0) * unit)
+        for i in range(1, min(k, npos) + 1)
+    )
+    dcg = qdcg / unit
+    idcg = qidcg / unit if npos else None
+    return npos, dcg, idcg, (dcg / idcg if npos else None)
+
+
+def test_ndcg_matches_reference_with_ties(spark):
+    from protosc_spark.evaluation import ndcg_at_k
+
+    rows = [
+        (i, (i * 7) % 5, 1 if (i * 13) % 3 == 0 else 0)
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(rows, "id long, s long, y int")
+    r = ndcg_at_k(df, "s", "y", "id", k=10).collect()[0]
+    npos, dcg, idcg, ndcg = _ndcg_ref(rows, 10)
+    assert r.k == 10 and r.n_pos == npos
+    assert abs(r.dcg - dcg) < 1e-12
+    assert abs(r.idcg - idcg) < 1e-12
+    assert abs(r.ndcg - ndcg) < 1e-12
+
+
+def test_ndcg_perfect_and_inverted_and_empty(spark):
+    from protosc_spark.evaluation import ndcg_at_k
+
+    # perfect ranking: all positives score highest -> ndcg == 1
+    perfect = spark.createDataFrame(
+        [(i, 100 - i, 1 if i < 5 else 0) for i in range(20)],
+        "id long, s long, y int",
+    )
+    r = ndcg_at_k(perfect, "s", "y", "id", k=10).collect()[0]
+    assert abs(r.ndcg - 1.0) < 1e-9
+    # inverted: positives at the bottom, below the k cut -> dcg 0
+    inv = spark.createDataFrame(
+        [(i, 100 - i, 1 if i >= 15 else 0) for i in range(20)],
+        "id long, s long, y int",
+    )
+    r = ndcg_at_k(inv, "s", "y", "id", k=10).collect()[0]
+    assert r.dcg == 0.0 and r.ndcg == 0.0
+    # no positives anywhere -> NULL ndcg
+    none = spark.createDataFrame(
+        [(1, 5, 0), (2, 3, 0)], "id long, s long, y int"
+    )
+    r = ndcg_at_k(none, "s", "y", "id", k=10).collect()[0]
+    assert r.n_pos == 0 and r.ndcg is None and r.idcg is None
+
+
+def test_ndcg_plan_uses_take_ordered(spark):
+    from protosc_spark.evaluation import ndcg_at_k
+
+    df = spark.createDataFrame(
+        [(1, 5, 1), (2, 3, 0)], "id long, s long, y int"
+    )
+    out = ndcg_at_k(df, "s", "y", "id", k=10)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # the top-k must be Spark's per-partition TakeOrderedAndProject,
+    # never a global Sort
+    assert "TakeOrderedAndProject" in plan
+    assert "ArrowEvalPython" not in plan
+    assert "BatchEvalPython" not in plan
