@@ -1181,6 +1181,30 @@ def _corpus_drift_cvm(spark, sf_dir):
     )
 
 
+def _txt_vocab_overlap(spark, sf_dir):
+    """Exact pairwise vocabulary Jaccard + both containments
+    between sources — the ground truth the KMV sketch gate
+    approximates; one vocabulary-sized token self-join, exact
+    integer set sizes. DuckDB oracle replays the distinct
+    vocabulary, the token join and all three divisions."""
+    from protosc_spark.textops import vocab_overlap
+
+    docs = _read_wide(spark, sf_dir, "documents").select(
+        "source", "text"
+    )
+    t = vocab_overlap(docs, "source")
+    return t.select(
+        "group_a",
+        "group_b",
+        "v_a",
+        "v_b",
+        "n_common",
+        F.round("jaccard", 6).alias("jaccard"),
+        F.round("contain_a", 6).alias("contain_a"),
+        F.round("contain_b", 6).alias("contain_b"),
+    ).orderBy("group_a", "group_b")
+
+
 def _corpus_ndcg(spark, sf_dir):
     """NDCG@100 of the n_chars 'model score' against is-English
     relevance — the position-weighted head-of-ranking metric beside
@@ -3700,6 +3724,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     full-surface green regardless of this ordering."""
     return {
         # --- round 5 ---
+        "txt_vocab_overlap": _txt_vocab_overlap,
         "corpus_ndcg": _corpus_ndcg,
         "sim_centroid_affinity": _sim_centroid_affinity,
         "events_weekday_index": _events_weekday_index,
@@ -3992,6 +4017,35 @@ def oracle_sql() -> dict[str, str]:
         for t in POISSON1_T60
     )
     out = {
+        "txt_vocab_overlap": """
+            WITH voc AS (
+              SELECT DISTINCT source,
+                     unnest(string_split(text, ' ')) AS token
+              FROM documents WHERE text IS NOT NULL
+            ), sizes AS (
+              SELECT source, count(*)::BIGINT AS v
+              FROM voc GROUP BY 1
+            ), common AS (
+              SELECT a.source AS ga, b.source AS gb,
+                     count(*)::BIGINT AS n_common
+              FROM voc a JOIN voc b
+                ON a.token = b.token AND a.source < b.source
+              GROUP BY 1, 2
+            )
+            SELECT ga AS group_a, gb AS group_b,
+                   sa.v AS v_a, sb.v AS v_b, n_common,
+                   round(n_common::DOUBLE
+                         / (sa.v + sb.v - n_common)::DOUBLE, 6)
+                     AS jaccard,
+                   round(n_common::DOUBLE / sa.v::DOUBLE, 6)
+                     AS contain_a,
+                   round(n_common::DOUBLE / sb.v::DOUBLE, 6)
+                     AS contain_b
+            FROM common
+            JOIN sizes sa ON sa.source = ga
+            JOIN sizes sb ON sb.source = gb
+            ORDER BY group_a, group_b
+        """,
         "corpus_ndcg": """
             WITH base AS (
               SELECT doc_id, n_chars AS s, (lang = 'en')::INT AS rel

@@ -170,6 +170,7 @@ HEADLINE = [
     "events_weekday_index",
     "sim_centroid_affinity",
     "corpus_ndcg",
+    "txt_vocab_overlap",
 ]
 
 BENCH_CONVERSATIONS = int(os.environ.get("PROTOSC_BENCH_CONVS", "20000"))

@@ -1197,3 +1197,81 @@ def vocab_richness(
         ).alias("chao1"),
         (f1 / n).alias("gt_unseen"),
     )
+
+
+def vocab_overlap(
+    df: DataFrame, group_col: str = "source"
+) -> DataFrame:
+    """EXACT pairwise vocabulary overlap between slices — the
+    ground-truth companion to the KMV sketch overlap
+    (sketches.kmv_intersect_estimate): Jaccard and both containment
+    directions of the distinct-token sets, for "are these two
+    sources the same crawl under different names?" audits where the
+    sketch's ±6% band is too coarse.
+
+        jaccard(a,b)     = |Va n Vb| / |Va u Vb|
+        containment(a,b) = |Va n Vb| / |Va|       (and / |Vb|)
+
+    Scale shape: one explode -> distinct (group, token) vocabulary
+    table; the intersection comes from ONE self-equi-join ON TOKEN
+    over that table (vocabulary-sized, never corpus-sized; hot
+    tokens fan out at most |groups| ways, bounded); set sizes are
+    exact integers, three divisions at the end. Output: (group_a,
+    group_b, v_a, v_b, n_common, jaccard, contain_a, contain_b)
+    for group_a < group_b — pairs with an EMPTY intersection are
+    omitted (they never materialize in the join; a full
+    groups-cross-groups zero grid would say nothing the sizes
+    don't)."""
+    voc = (
+        df.where(F.col("text").isNotNull())
+        .select(
+            F.col(group_col),
+            F.explode(F.split(F.col("text"), " ")).alias("token"),
+        )
+        .distinct()
+    )
+    sizes = voc.groupBy(group_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("__v")
+    )
+    a = voc.select(
+        F.col(group_col).alias("ga"), F.col("token").alias("token")
+    )
+    b = voc.select(
+        F.col(group_col).alias("gb"), F.col("token").alias("token")
+    )
+    common = (
+        a.join(b, "token")
+        .where(F.col("ga") < F.col("gb"))
+        .groupBy("ga", "gb")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_common"))
+    )
+    sa = sizes.select(
+        F.col(group_col).alias("ga"), F.col("__v").alias("v_a")
+    )
+    sb = sizes.select(
+        F.col(group_col).alias("gb"), F.col("__v").alias("v_b")
+    )
+    return (
+        common.join(sa, "ga")
+        .join(sb, "gb")
+        .select(
+            F.col("ga").alias("group_a"),
+            F.col("gb").alias("group_b"),
+            "v_a",
+            "v_b",
+            "n_common",
+            (
+                F.col("n_common").cast("double")
+                / (F.col("v_a") + F.col("v_b") - F.col("n_common"))
+                .cast("double")
+            ).alias("jaccard"),
+            (
+                F.col("n_common").cast("double")
+                / F.col("v_a").cast("double")
+            ).alias("contain_a"),
+            (
+                F.col("n_common").cast("double")
+                / F.col("v_b").cast("double")
+            ).alias("contain_b"),
+        )
+    )

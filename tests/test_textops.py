@@ -1007,3 +1007,63 @@ def test_readability_vocab_plan_no_python(spark):
         plan = out._jdf.queryExecution().executedPlan().toString()
         assert "ArrowEvalPython" not in plan
         assert "BatchEvalPython" not in plan
+
+
+# ---------------------------------------------------------------------------
+# vocab_overlap
+# ---------------------------------------------------------------------------
+
+def test_vocab_overlap_hand_fixture(spark):
+    from protosc_spark.textops import vocab_overlap
+
+    df = spark.createDataFrame(
+        [
+            ("a", "x y z"),
+            ("a", "x w"),        # Va = {x,y,z,w}
+            ("b", "x y q"),      # Vb = {x,y,q}
+            ("c", "zz qq"),      # disjoint from a
+            ("c", "q"),          # shares q with b
+        ],
+        "source string, text string",
+    )
+    got = {
+        (r.group_a, r.group_b): r
+        for r in vocab_overlap(df).collect()
+    }
+    ab = got[("a", "b")]
+    assert (ab.v_a, ab.v_b, ab.n_common) == (4, 3, 2)
+    assert abs(ab.jaccard - 2 / 5) < 1e-12
+    assert abs(ab.contain_a - 2 / 4) < 1e-12
+    assert abs(ab.contain_b - 2 / 3) < 1e-12
+    bc = got[("b", "c")]
+    assert bc.n_common == 1 and abs(bc.jaccard - 1 / 5) < 1e-12
+    # empty intersections never materialize
+    assert ("a", "c") not in got
+
+
+def test_vocab_overlap_identical_sources(spark):
+    from protosc_spark.textops import vocab_overlap
+
+    df = spark.createDataFrame(
+        [("a", "p q r"), ("b", "p q r"), ("b", "p p")],
+        "source string, text string",
+    )
+    r = vocab_overlap(df).collect()[0]
+    assert r.jaccard == 1.0
+    assert r.contain_a == 1.0 and r.contain_b == 1.0
+
+
+def test_vocab_overlap_plan_no_python(spark):
+    from protosc_spark.textops import vocab_overlap
+
+    df = spark.createDataFrame(
+        [("a", "x"), ("b", "x")], "source string, text string"
+    )
+    plan = (
+        vocab_overlap(df)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "ArrowEvalPython" not in plan
+    assert "BatchEvalPython" not in plan
