@@ -1181,6 +1181,28 @@ def _corpus_drift_cvm(spark, sf_dir):
     )
 
 
+def _corpus_gini_lengths(spark, sf_dir):
+    """Per-source Gini coefficient + top-10%-rows mass share of the
+    document-length distribution — the mass-inequality audit beside
+    the Simpson category index; exact integer rank algebra over the
+    length-value histogram, never a corpus sort. DuckDB oracle
+    replays the histogram, the doubled tie-block rank sum, the
+    ceil(n/10) top-k clamp and both divisions."""
+    from protosc_spark.evaluation import gini_concentration
+
+    docs = _read(spark, sf_dir, "documents").select(
+        "source", "n_chars"
+    )
+    t = gini_concentration(docs, "n_chars", "source", top_frac=0.1)
+    return t.select(
+        "source",
+        "n",
+        "total",
+        F.round("gini", 6).alias("gini"),
+        F.round("top_share", 6).alias("top_share"),
+    ).orderBy("source")
+
+
 def _txt_vocab_overlap(spark, sf_dir):
     """Exact pairwise vocabulary Jaccard + both containments
     between sources — the ground truth the KMV sketch gate
@@ -3724,6 +3746,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     full-surface green regardless of this ordering."""
     return {
         # --- round 5 ---
+        "corpus_gini_lengths": _corpus_gini_lengths,
         "txt_vocab_overlap": _txt_vocab_overlap,
         "corpus_ndcg": _corpus_ndcg,
         "sim_centroid_affinity": _sim_centroid_affinity,
@@ -4017,6 +4040,43 @@ def oracle_sql() -> dict[str, str]:
         for t in POISSON1_T60
     )
     out = {
+        "corpus_gini_lengths": """
+            WITH hist AS (
+              SELECT source, n_chars::HUGEINT AS v,
+                     count(*)::HUGEINT AS f
+              FROM documents
+              WHERE n_chars IS NOT NULL AND n_chars >= 0
+              GROUP BY 1, 2
+            ), cum AS (
+              SELECT source, v, f,
+                     coalesce(sum(f) OVER (
+                       PARTITION BY source ORDER BY v
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND 1 PRECEDING), 0)::HUGEINT AS cb
+              FROM hist
+            ), tot AS (
+              SELECT source, sum(f)::HUGEINT AS n,
+                     sum(f * v)::HUGEINT AS s
+              FROM hist GROUP BY 1
+            ), terms AS (
+              SELECT c.source, n, s,
+                     sum(v * (2 * f * cb + f * (f + 1)))::HUGEINT
+                       AS r2,
+                     sum(v * greatest(
+                       0::HUGEINT,
+                       least(f, cb + f
+                             - (n - (n * 100000 + 999999)
+                                    // 1000000))))::HUGEINT AS t
+              FROM cum c JOIN tot USING (source)
+              GROUP BY 1, 2, 3
+            )
+            SELECT source, n::BIGINT AS n, s::BIGINT AS total,
+                   round(r2::DOUBLE / (n::DOUBLE * s::DOUBLE)
+                         - (n + 1)::DOUBLE / n::DOUBLE, 6) AS gini,
+                   round(t::DOUBLE / s::DOUBLE, 6) AS top_share
+            FROM terms
+            ORDER BY source
+        """,
         "txt_vocab_overlap": """
             WITH voc AS (
               SELECT DISTINCT source,

@@ -171,6 +171,7 @@ HEADLINE = [
     "sim_centroid_affinity",
     "corpus_ndcg",
     "txt_vocab_overlap",
+    "corpus_gini_lengths",
 ]
 
 BENCH_CONVERSATIONS = int(os.environ.get("PROTOSC_BENCH_CONVS", "20000"))

@@ -1362,3 +1362,104 @@ def ndcg_at_k(
             ).alias("ndcg"),
         )
     )
+
+
+def gini_concentration(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    top_frac: float = 0.1,
+) -> DataFrame:
+    """Per-slice Gini coefficient + top-share concentration of a
+    non-negative integer column — "is this source's length / token /
+    activity mass spread out or held by a few rows?", the inequality
+    audit beside the Simpson diversity index (corpus_simpson measures
+    CATEGORY concentration; this measures MASS concentration within a
+    numeric column):
+
+        G = 2 * sum_i i * x_(i)  / (n * S)  -  (n + 1) / n
+        top_share = (mass of the ceil(top_frac * n) largest rows) / S
+
+    with x_(1..n) ascending and S = sum x. Both are computed from the
+    VALUE HISTOGRAM, never a corpus-sized sort: a tied block of f rows
+    at value v occupying ranks cb+1..cb+f contributes
+    v * (2*f*cb + f*(f+1)) to the DOUBLED rank sum 2R (invariant to
+    intra-tie order, so the statistic is deterministic without a
+    tiebreak column; doubling keeps it integer-multiplies-only) and
+    min(f, max(0, cb + f - (n - k))) rows to the top-k mass. Every
+    term is an exact DECIMAL(38,0) integer; each slice performs
+    exactly two float divisions at the end.
+
+    Scale shape: one groupBy(group, value) histogram collapse, one
+    cumulative window over DISTINCT VALUES per slice (bounded by the
+    value domain, never the row count — the auc_exact/wasserstein
+    collapse), one small join of per-slice totals back onto the
+    histogram. Output: (group, n, total, gini, top_share); NULL
+    statistics when n = 0 or S = 0 (all-zero slice).
+
+    Gini here is the population (biased) form — multiply by
+    n/(n-1) for the sample-corrected variant; top_frac rows, not
+    mass (the "what do the biggest 10% of documents hold?" reading).
+    """
+    dec = "decimal(38,0)"
+    v = F.col(value_col).cast(dec)
+    hist = (
+        df.where(
+            F.col(value_col).isNotNull() & (F.col(value_col) >= 0)
+        )
+        .groupBy(group_col, v.alias("__v"))
+        .agg(F.count(F.lit(1)).cast(dec).alias("__f"))
+    )
+    w = (
+        W.partitionBy(group_col)
+        .orderBy("__v")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    hist = hist.withColumn(
+        "__cb", F.coalesce(F.sum("__f").over(w), F.lit(0).cast(dec))
+    )
+    tot = hist.groupBy(group_col).agg(
+        F.sum("__f").alias("__n"),
+        F.sum(F.col("__f") * F.col("__v")).alias("__s"),
+    )
+    j = hist.join(F.broadcast(tot), group_col)
+    # ceil(top_frac * n) as exact integer arithmetic on a rational
+    # top_frac = p / q (quantized to 6 decimal digits — the gate
+    # contract elsewhere): k = ceil(n * p / q) = -floor(-n*p / q)
+    p = int(round(top_frac * 10**6))
+    k = -F.floor(
+        (-F.col("__n") * F.lit(p).cast(dec))
+        / F.lit(10**6).cast(dec)
+    ).cast(dec)
+    f, cb, n = F.col("__f"), F.col("__cb"), F.col("__n")
+    # doubled rank sum 2R = sum v * (2*f*cb + f*(f+1)) — integer
+    # multiplies only, no decimal division anywhere
+    two = F.lit(2).cast(dec)
+    rank_term2 = F.col("__v") * (
+        two * f * cb + f * (f + F.lit(1).cast(dec))
+    )
+    in_top = F.greatest(
+        F.lit(0).cast(dec), F.least(f, cb + f - (n - k))
+    )
+    out = j.groupBy(group_col).agg(
+        F.max("__n").alias("__n"),
+        F.max("__s").alias("__s"),
+        F.sum(rank_term2.cast(dec)).alias("__r2"),
+        F.sum((F.col("__v") * in_top).cast(dec)).alias("__t"),
+    )
+    nn = F.col("__n").cast("double")
+    ss = F.col("__s").cast("double")
+    ok = (F.col("__n") > 0) & (F.col("__s") > 0)
+    return out.select(
+        group_col,
+        F.col("__n").cast("bigint").alias("n"),
+        F.col("__s").cast("bigint").alias("total"),
+        F.when(
+            ok,
+            F.col("__r2").cast("double") / (nn * ss)
+            - (nn + F.lit(1.0)) / nn,
+        ).alias("gini"),
+        F.when(ok, F.col("__t").cast("double") / ss).alias(
+            "top_share"
+        ),
+    )

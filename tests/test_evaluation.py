@@ -997,3 +997,83 @@ def test_ndcg_plan_uses_take_ordered(spark):
     assert "TakeOrderedAndProject" in plan
     assert "ArrowEvalPython" not in plan
     assert "BatchEvalPython" not in plan
+
+
+# ---------------------------------------------------------------------------
+# gini_concentration
+# ---------------------------------------------------------------------------
+
+def test_gini_hand_values(spark):
+    from protosc_spark.evaluation import gini_concentration
+
+    df = spark.createDataFrame(
+        [("a", 1), ("a", 2), ("a", 3), ("a", 4),
+         ("b", 5), ("b", 5), ("b", 5),
+         ("c", 0), ("c", 0), ("c", 0), ("c", 10)],
+        "g string, x long",
+    )
+    got = {
+        r.g: r
+        for r in gini_concentration(df, "x", "g").collect()
+    }
+    # 2*(1+4+9+16)/(4*10) - 5/4 = 0.25
+    assert abs(got["a"].gini - 0.25) < 1e-12
+    assert abs(got["a"].top_share - 0.4) < 1e-12  # k=1, top=4
+    # equal values -> perfectly equal
+    assert got["b"].gini == 0.0
+    # one row holds everything -> (n-1)/n
+    assert abs(got["c"].gini - 0.75) < 1e-12
+    assert got["c"].top_share == 1.0
+
+
+def test_gini_matches_numpy_reference(spark):
+    import numpy as np
+    from protosc_spark.evaluation import gini_concentration
+
+    rng = np.random.default_rng(7)
+    xs = rng.integers(0, 500, size=400).tolist()
+    # heavy ties: quantize a third of them
+    xs = [x - x % 50 if i % 3 == 0 else x for i, x in enumerate(xs)]
+    df = spark.createDataFrame(
+        [("g", int(x)) for x in xs], "g string, x long"
+    )
+    r = gini_concentration(df, "x", "g", top_frac=0.25).collect()[0]
+    v = np.sort(np.array(xs, dtype=np.float64))
+    n, s = len(v), v.sum()
+    ref = 2.0 * np.sum(np.arange(1, n + 1) * v) / (n * s) \
+        - (n + 1) / n
+    assert abs(r.gini - ref) < 1e-12
+    k = -(-n * 25 // 100)  # ceil(n/4)
+    assert abs(r.top_share - v[n - k:].sum() / s) < 1e-12
+    assert r.n == n and r.total == int(s)
+
+
+def test_gini_null_and_zero_guards(spark):
+    from protosc_spark.evaluation import gini_concentration
+
+    df = spark.createDataFrame(
+        [("z", 0), ("z", 0), ("n", None), ("p", 3)],
+        "g string, x long",
+    )
+    got = {
+        r.g: r
+        for r in gini_concentration(df, "x", "g").collect()
+    }
+    # all-zero slice: S = 0 -> NULL statistics, counts kept
+    assert got["z"].gini is None and got["z"].n == 2
+    # all-NULL slice never materializes
+    assert "n" not in got
+    # singleton: G = 2*1*x/(1*x) - 2 = 0
+    assert got["p"].gini == 0.0 and got["p"].top_share == 1.0
+
+
+def test_gini_plan_no_python(spark):
+    from protosc_spark.evaluation import gini_concentration
+
+    df = spark.createDataFrame(
+        [("a", 1), ("a", 2)], "g string, x long"
+    )
+    out = gini_concentration(df, "x", "g")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" not in plan
+    assert "BatchEvalPython" not in plan
