@@ -1181,6 +1181,41 @@ def _corpus_drift_cvm(spark, sf_dir):
     )
 
 
+def _events_dispersion(spark, sf_dir):
+    """Index of dispersion (Fano factor) of each event type's daily
+    volume over its calendar span (silent days count as zeros) — the
+    burstiness verdict beside weekday_anova. A 2-day burst (99+1
+    events across a 10-day span -> fano 97.8) and a metronome (1/day
+    x 10 -> fano 0) are planted to pin both verdict directions.
+    DuckDB oracle replays the span, integer moments, both divisions
+    and the sqrt z."""
+    from protosc_spark.windows import volume_dispersion
+
+    ev = _read(spark, sf_dir, "events").select("event_type", "ts")
+    rows = [("planted_burst", "1970-01-01 00:00:00")] * 99
+    rows += [("planted_burst", "1970-01-10 00:00:00")]
+    rows += [
+        ("planted_flat", f"1970-01-{d + 1:02d} 00:00:00")
+        for d in range(10)
+    ]
+    planted = spark.createDataFrame(
+        rows, "event_type string, ts_s string"
+    ).select(
+        "event_type", F.col("ts_s").cast("timestamp").alias("ts")
+    )
+    t = volume_dispersion(ev.unionByName(planted), "event_type")
+    return t.select(
+        "event_type",
+        "n_days",
+        "n_active_days",
+        "total",
+        F.round("fano", 6).alias("fano"),
+        F.round("dispersion", 6).alias("dispersion"),
+        F.round("z", 6).alias("z"),
+        "overdispersed",
+    ).orderBy("event_type")
+
+
 def _corpus_gini_lengths(spark, sf_dir):
     """Per-source Gini coefficient + top-10%-rows mass share of the
     document-length distribution — the mass-inequality audit beside
@@ -3746,6 +3781,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     full-surface green regardless of this ordering."""
     return {
         # --- round 5 ---
+        "events_dispersion": _events_dispersion,
         "corpus_gini_lengths": _corpus_gini_lengths,
         "txt_vocab_overlap": _txt_vocab_overlap,
         "corpus_ndcg": _corpus_ndcg,
@@ -4040,6 +4076,51 @@ def oracle_sql() -> dict[str, str]:
         for t in POISSON1_T60
     )
     out = {
+        "events_dispersion": """
+            WITH daily AS (
+              SELECT event_type AS g,
+                     (ts::DATE - DATE '1970-01-01')::BIGINT AS x,
+                     count(*)::HUGEINT AS y
+              FROM events GROUP BY 1, 2
+              UNION ALL
+              SELECT 'planted_burst', 0, 99::HUGEINT
+              UNION ALL
+              SELECT 'planted_burst', 9, 1::HUGEINT
+              UNION ALL
+              SELECT 'planted_flat', d::BIGINT, 1::HUGEINT
+              FROM range(10) t(d)
+            ), g AS (
+              SELECT g AS event_type,
+                     (max(x) - min(x) + 1)::HUGEINT AS n,
+                     count(*)::BIGINT AS n_active_days,
+                     sum(y)::HUGEINT AS s,
+                     sum(y * y)::HUGEINT AS ss
+              FROM daily GROUP BY 1
+            ), fin AS (
+              SELECT event_type, n, n_active_days, s,
+                     (n * ss - s * s)::DOUBLE AS num,
+                     (n >= 2 AND s > 0) AS ok
+              FROM g
+            )
+            SELECT event_type,
+                   n::BIGINT AS n_days,
+                   n_active_days,
+                   s::BIGINT AS total,
+                   CASE WHEN ok THEN round(num
+                     / (s::DOUBLE * (n - 1)::DOUBLE), 6) END AS fano,
+                   CASE WHEN ok THEN round(num / s::DOUBLE, 6)
+                     END AS dispersion,
+                   CASE WHEN ok THEN round(
+                     sqrt(2.0 * num / s::DOUBLE)
+                     - sqrt(2.0 * (n - 1)::DOUBLE - 1.0), 6)
+                     END AS z,
+                   CASE WHEN ok THEN
+                     (sqrt(2.0 * num / s::DOUBLE)
+                      - sqrt(2.0 * (n - 1)::DOUBLE - 1.0))
+                     > 1.644854 END AS overdispersed
+            FROM fin
+            ORDER BY event_type
+        """,
         "corpus_gini_lengths": """
             WITH hist AS (
               SELECT source, n_chars::HUGEINT AS v,

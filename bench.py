@@ -172,6 +172,7 @@ HEADLINE = [
     "corpus_ndcg",
     "txt_vocab_overlap",
     "corpus_gini_lengths",
+    "events_dispersion",
 ]
 
 BENCH_CONVERSATIONS = int(os.environ.get("PROTOSC_BENCH_CONVS", "20000"))

@@ -2256,3 +2256,74 @@ def weekday_index(
             / (F.col("__nw") * F.col("__s")).cast("double"),
         ).alias("seasonal_index"),
     )
+
+
+def volume_dispersion(
+    df: DataFrame,
+    group_col: str,
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Per-slice index of dispersion (Fano factor) of the daily-volume
+    series — the burstiness readout beside weekday_anova (rhythm) and
+    volume_cusum (level shifts): a Poisson-arrival slice has
+    variance ~ mean (fano ~ 1); fano >> 1 = bursty/clumped traffic,
+    fano << 1 = rate-limited/scheduled.
+
+        fano = s^2 / ybar,
+        D    = (n - 1) * fano  ~  chi2_{n-1} under Poisson,
+        z    = sqrt(2 D) - sqrt(2 (n - 1) - 1)
+
+    over the CALENDAR-BOUNDED series: n spans min..max observed day
+    inclusive, and missing days inside the span count as zero-volume
+    days (they contribute nothing to sum y or sum y^2, so the span
+    convention costs no extra rows — unlike the ACF's gappy pair
+    convention, a dispersion test that skipped silent days would
+    miss exactly the burstiness it measures). The z column is the
+    classical sqrt-approximation to the chi-square tail (exact df
+    emitted alongside for any finer reading); ``overdispersed`` is
+    the one-sided 5% verdict z > 1.644854.
+
+    Exactness: n, S = sum y, SS = sum y^2 are exact DECIMAL(38,0)
+    integers via map-side combine over (group, day) counts;
+    fano = (n*SS - S^2) / (S*(n-1)) and D = (n*SS - S^2)/S are each
+    ONE float division over integer terms, order-independent at any
+    parallelism. Scale shape: one raw scan into (group, day) counts,
+    one per-slice rollup — no window, no join. Output: (group,
+    n_days, n_active_days, total, fano, dispersion, z,
+    overdispersed); statistics NULL when n < 2 or total = 0."""
+    dec = "decimal(38,0)"
+    daily = df.groupBy(
+        group_col,
+        F.datediff(F.to_date(ts_col), F.lit("1970-01-01"))
+        .cast("bigint")
+        .alias("x"),
+    ).agg(F.count(F.lit(1)).cast(dec).alias("y"))
+    g = daily.groupBy(group_col).agg(
+        (
+            F.max("x") - F.min("x") + F.lit(1)
+        ).cast(dec).alias("__n"),
+        F.count(F.lit(1)).cast("bigint").alias("n_active_days"),
+        F.sum("y").alias("__s"),
+        F.sum(F.col("y") * F.col("y")).alias("__ss"),
+    )
+    n, s, ss = F.col("__n"), F.col("__s"), F.col("__ss")
+    num = (n * ss - s * s).cast("double")
+    ok = (F.col("__n") >= 2) & (F.col("__s") > 0)
+    fano = num / (
+        s.cast("double") * (n - F.lit(1).cast(dec)).cast("double")
+    )
+    disp = num / s.cast("double")
+    dfree = (n - F.lit(1).cast(dec)).cast("double")
+    z = F.sqrt(F.lit(2.0) * disp) - F.sqrt(
+        F.lit(2.0) * dfree - F.lit(1.0)
+    )
+    return g.select(
+        group_col,
+        F.col("__n").cast("bigint").alias("n_days"),
+        "n_active_days",
+        F.col("__s").cast("bigint").alias("total"),
+        F.when(ok, fano).alias("fano"),
+        F.when(ok, disp).alias("dispersion"),
+        F.when(ok, z).alias("z"),
+        F.when(ok, z > F.lit(1.644854)).alias("overdispersed"),
+    )

@@ -1850,3 +1850,95 @@ def test_weekday_index_plan_no_python(spark):
     )
     assert "ArrowEvalPython" not in plan
     assert "BatchEvalPython" not in plan
+
+
+# ---------------------------------------------------------------------------
+# volume_dispersion
+# ---------------------------------------------------------------------------
+
+def test_dispersion_hand_values(spark):
+    from protosc_spark.windows import volume_dispersion
+
+    rows = [("burst", "1970-01-01 00:00:00")] * 99
+    rows += [("burst", "1970-01-10 00:00:00")]
+    rows += [
+        ("flat", f"1970-01-{d + 1:02d} 00:00:00") for d in range(10)
+    ]
+    df = spark.createDataFrame(
+        rows, "g string, ts_s string"
+    ).select("g", F.col("ts_s").cast("timestamp").alias("ts"))
+    got = {r.g: r for r in volume_dispersion(df, "g").collect()}
+    b = got["burst"]
+    # span 10 days, 2 active; S=100, SS=99^2+1=9802
+    # fano = (10*9802 - 100^2) / (100 * 9) = 88020/900 = 97.8
+    assert (b.n_days, b.n_active_days, b.total) == (10, 2, 100)
+    assert abs(b.fano - 97.8) < 1e-9
+    assert abs(b.dispersion - 880.2) < 1e-9
+    assert b.overdispersed is True
+    f = got["flat"]
+    # metronome: variance 0 (zeros inside span don't exist here)
+    assert f.fano == 0.0 and f.dispersion == 0.0
+    import math
+    assert abs(f.z - (0.0 - math.sqrt(17.0))) < 1e-9
+    assert f.overdispersed is False
+
+
+def test_dispersion_counts_silent_days_as_zero(spark):
+    from protosc_spark.windows import volume_dispersion
+
+    # 3 events on day 0, 3 on day 4: span 5 with three zero days.
+    # S=6, SS=18, n=5 -> fano = (5*18-36)/(6*4) = 54/24 = 2.25
+    rows = [("g", "1970-01-01 00:00:00")] * 3
+    rows += [("g", "1970-01-05 00:00:00")] * 3
+    df = spark.createDataFrame(
+        rows, "g string, ts_s string"
+    ).select("g", F.col("ts_s").cast("timestamp").alias("ts"))
+    r = volume_dispersion(df, "g").collect()[0]
+    assert (r.n_days, r.n_active_days, r.total) == (5, 2, 6)
+    assert abs(r.fano - 2.25) < 1e-12
+
+
+def test_dispersion_single_day_guard(spark):
+    from protosc_spark.windows import volume_dispersion
+
+    df = spark.createDataFrame(
+        [("g", "1970-01-01 00:00:00")] * 4,
+        "g string, ts_s string",
+    ).select("g", F.col("ts_s").cast("timestamp").alias("ts"))
+    r = volume_dispersion(df, "g").collect()[0]
+    assert r.n_days == 1 and r.fano is None
+    assert r.overdispersed is None
+
+
+def test_dispersion_matches_numpy(spark):
+    import numpy as np
+    from protosc_spark.windows import volume_dispersion
+
+    rng = np.random.default_rng(11)
+    days = rng.integers(0, 30, size=300)
+    rows = [
+        ("g", f"1970-01-{int(d) + 1:02d} 00:00:00") for d in days
+    ]
+    df = spark.createDataFrame(
+        rows, "g string, ts_s string"
+    ).select("g", F.col("ts_s").cast("timestamp").alias("ts"))
+    r = volume_dispersion(df, "g").collect()[0]
+    lo, hi = int(days.min()), int(days.max())
+    y = np.zeros(hi - lo + 1)
+    for d in days:
+        y[int(d) - lo] += 1
+    ref = y.var(ddof=1) / y.mean()
+    assert abs(r.fano - ref) < 1e-9
+    assert r.n_days == hi - lo + 1
+
+
+def test_dispersion_plan_no_python(spark):
+    from protosc_spark.windows import volume_dispersion
+
+    df = spark.createDataFrame(
+        [("g", "1970-01-01 00:00:00")], "g string, ts_s string"
+    ).select("g", F.col("ts_s").cast("timestamp").alias("ts"))
+    out = volume_dispersion(df, "g")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" not in plan
+    assert "BatchEvalPython" not in plan
