@@ -1181,6 +1181,36 @@ def _corpus_drift_cvm(spark, sf_dir):
     )
 
 
+def _corpus_mcnemar_filters(spark, sf_dir):
+    """McNemar paired-filter asymmetry audit: does the heuristic
+    quality rule (quality >= 0.2) keep a systematically different
+    population than the is-English rule on the SAME documents? One
+    conditional-sum aggregation; exact integer cells, continuity-
+    corrected chi2, 5%% verdict. DuckDB oracle replays the quality
+    score, both flags, the cells and the corrected statistic."""
+    from protosc_spark.evaluation import mcnemar_test
+    from protosc_spark.textops import quality_score
+
+    docs = _read_wide(spark, sf_dir, "documents")
+    q = quality_score(docs).select(
+        "doc_id", (F.col("quality") >= 0.2).alias("pass_q")
+    )
+    flags = docs.select(
+        "doc_id", (F.col("lang") == "en").alias("pass_en")
+    ).join(q, "doc_id")
+    t = mcnemar_test(flags, "pass_q", "pass_en")
+    return t.select(
+        "n",
+        "n_null",
+        "n00",
+        "n01",
+        "n10",
+        "n11",
+        F.round("chi2", 6).alias("chi2"),
+        "significant",
+    )
+
+
 def _events_dispersion(spark, sf_dir):
     """Index of dispersion (Fano factor) of each event type's daily
     volume over its calendar span (silent days count as zeros) — the
@@ -3781,6 +3811,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     full-surface green regardless of this ordering."""
     return {
         # --- round 5 ---
+        "corpus_mcnemar_filters": _corpus_mcnemar_filters,
         "events_dispersion": _events_dispersion,
         "corpus_gini_lengths": _corpus_gini_lengths,
         "txt_vocab_overlap": _txt_vocab_overlap,
@@ -4076,6 +4107,47 @@ def oracle_sql() -> dict[str, str]:
         for t in POISSON1_T60
     )
     out = {
+        "corpus_mcnemar_filters": f"""
+            WITH t AS (
+              SELECT doc_id, text, lang,
+                     string_split(text, ' ') AS toks,
+                     len(string_split(text, ' '))::DOUBLE AS n_tok,
+                     length(text)::DOUBLE AS n_chars
+              FROM documents
+            ), flags AS (
+              SELECT doc_id,
+                     (round(
+                        len(list_filter(toks,
+                            x -> lower(x) IN ({_STOP}))) / n_tok
+                        - len(regexp_extract_all(text,
+                              '[^A-Za-z0-9\\s]')) / n_chars
+                        - len(regexp_extract_all(text,
+                              '[0-9]')) / n_chars
+                        + least(n_tok, 50) / 100, 4) >= 0.2)::INT
+                       AS a,
+                     (lang = 'en')::INT AS b
+              FROM t
+            ), cells AS (
+              SELECT count(*)::BIGINT AS n,
+                     0::BIGINT AS n_null,
+                     sum((a = 0 AND b = 0)::INT)::BIGINT AS n00,
+                     sum((a = 0 AND b = 1)::INT)::BIGINT AS n01,
+                     sum((a = 1 AND b = 0)::INT)::BIGINT AS n10,
+                     sum((a = 1 AND b = 1)::INT)::BIGINT AS n11
+              FROM flags
+            )
+            SELECT n, n_null, n00, n01, n10, n11,
+                   CASE WHEN n10 + n01 > 0 THEN round(
+                     (abs(n10 - n01) - 1.0)
+                     * (abs(n10 - n01) - 1.0)
+                     / (n10 + n01)::DOUBLE, 6) END AS chi2,
+                   CASE WHEN n10 + n01 > 0 THEN
+                     (abs(n10 - n01) - 1.0)
+                     * (abs(n10 - n01) - 1.0)
+                     / (n10 + n01)::DOUBLE > 3.841459
+                   END AS significant
+            FROM cells
+        """,
         "events_dispersion": """
             WITH daily AS (
               SELECT event_type AS g,

@@ -173,6 +173,7 @@ HEADLINE = [
     "txt_vocab_overlap",
     "corpus_gini_lengths",
     "events_dispersion",
+    "corpus_mcnemar_filters",
 ]
 
 BENCH_CONVERSATIONS = int(os.environ.get("PROTOSC_BENCH_CONVS", "20000"))

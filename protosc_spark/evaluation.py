@@ -1463,3 +1463,68 @@ def gini_concentration(
             "top_share"
         ),
     )
+
+
+def mcnemar_test(
+    df: DataFrame, a_col: str, b_col: str
+) -> DataFrame:
+    """McNemar's test for two PAIRED binary filters over the same
+    rows — "do these two keep-rules disagree more than chance in one
+    direction?", the marginal-homogeneity companion to
+    :func:`cohens_kappa` (kappa scores agreement strength; McNemar
+    scores the ASYMMETRY of the disagreements — a filter pair can
+    agree 99% yet still systematically leak in one direction):
+
+        chi2 = (|b - c| - 1)^2 / (b + c)
+
+    with b = a-only-keeps, c = b-only-keeps (the classical
+    continuity-corrected form; ~ chi2_1 under H0 b = c).
+    ``significant`` is the 5% verdict chi2 > 3.841459. For tiny
+    discordant counts (b + c < ~25) the exact binomial is the better
+    reading — at corpus scale discordant counts are large and the
+    corrected chi2 is standard; the exact cells are emitted so any
+    finer test can be run on them.
+
+    Scale shape: ONE conditional-sum aggregation over the pair
+    column — no window, no join, map-side combined; every cell is an
+    exact BIGINT and chi2 is one float division. Rows where either
+    flag is NULL are excluded (emitted as n_null). Output: one row
+    (n, n_null, n00, n01, n10, n11, chi2, significant); chi2 NULL
+    when b + c = 0 (the filters never disagree)."""
+    a = F.col(a_col).cast("int")
+    b = F.col(b_col).cast("int")
+    both = a.isNotNull() & b.isNotNull()
+
+    def cell(av, bv):
+        return F.sum(
+            F.when(both & (a == av) & (b == bv), 1).otherwise(0)
+        ).cast("bigint")
+
+    g = df.agg(
+        F.sum(F.when(both, 1).otherwise(0)).cast("bigint").alias(
+            "n"
+        ),
+        F.sum(F.when(both, 0).otherwise(1)).cast("bigint").alias(
+            "n_null"
+        ),
+        cell(0, 0).alias("n00"),
+        cell(0, 1).alias("n01"),
+        cell(1, 0).alias("n10"),
+        cell(1, 1).alias("n11"),
+    )
+    d = F.abs(F.col("n10") - F.col("n01")).cast("double")
+    tot = (F.col("n10") + F.col("n01")).cast("double")
+    chi2 = (
+        (d - F.lit(1.0)) * (d - F.lit(1.0)) / tot
+    )
+    ok = (F.col("n10") + F.col("n01")) > 0
+    return g.select(
+        "n",
+        "n_null",
+        "n00",
+        "n01",
+        "n10",
+        "n11",
+        F.when(ok, chi2).alias("chi2"),
+        F.when(ok, chi2 > F.lit(3.841459)).alias("significant"),
+    )

@@ -1077,3 +1077,66 @@ def test_gini_plan_no_python(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "ArrowEvalPython" not in plan
     assert "BatchEvalPython" not in plan
+
+
+# ---------------------------------------------------------------------------
+# mcnemar_test
+# ---------------------------------------------------------------------------
+
+def test_mcnemar_hand_cells_and_chi2(spark):
+    from protosc_spark.evaluation import mcnemar_test
+
+    # classic textbook table: b (a-only) = 15, c (b-only) = 5
+    rows = (
+        [(1, 1)] * 20 + [(0, 0)] * 10 + [(1, 0)] * 15 + [(0, 1)] * 5
+    )
+    df = spark.createDataFrame(rows, "a int, b int")
+    r = mcnemar_test(df, "a", "b").collect()[0]
+    assert (r.n00, r.n01, r.n10, r.n11) == (10, 5, 15, 20)
+    assert r.n == 50 and r.n_null == 0
+    # (|15-5|-1)^2 / 20 = 81/20 = 4.05 > 3.841459
+    assert abs(r.chi2 - 4.05) < 1e-12
+    assert r.significant is True
+
+
+def test_mcnemar_null_rows_excluded(spark):
+    from protosc_spark.evaluation import mcnemar_test
+
+    df = spark.createDataFrame(
+        [(1, 1), (1, None), (None, 0), (0, 1)],
+        "a int, b int",
+    )
+    r = mcnemar_test(df, "a", "b").collect()[0]
+    assert r.n == 2 and r.n_null == 2
+    assert (r.n11, r.n01) == (1, 1)
+
+
+def test_mcnemar_no_disagreement_guard(spark):
+    from protosc_spark.evaluation import mcnemar_test
+
+    df = spark.createDataFrame(
+        [(1, 1), (0, 0), (1, 1)], "a int, b int"
+    )
+    r = mcnemar_test(df, "a", "b").collect()[0]
+    assert r.chi2 is None and r.significant is None
+
+
+def test_mcnemar_boolean_columns_and_symmetry(spark):
+    from protosc_spark.evaluation import mcnemar_test
+
+    rows = [(True, False)] * 7 + [(False, True)] * 7
+    df = spark.createDataFrame(rows, "a boolean, b boolean")
+    r = mcnemar_test(df, "a", "b").collect()[0]
+    # b = c: corrected chi2 = 1/(b+c), the classical (unclamped) form
+    assert abs(r.chi2 - 1.0 / 14.0) < 1e-12
+    assert r.significant is False
+
+
+def test_mcnemar_plan_no_python(spark):
+    from protosc_spark.evaluation import mcnemar_test
+
+    df = spark.createDataFrame([(1, 0)], "a int, b int")
+    out = mcnemar_test(df, "a", "b")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" not in plan
+    assert "BatchEvalPython" not in plan
