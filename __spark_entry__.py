@@ -1181,6 +1181,27 @@ def _corpus_drift_cvm(spark, sf_dir):
     )
 
 
+def _corpus_tail_index(spark, sf_dir):
+    """Hill tail-index of the document-length distribution (k=50):
+    per-partition TakeOrderedAndProject top-(k+1) with doc_id
+    tiebreak, quantized per-row ln summed as exact integers, one
+    division. DuckDB oracle replays the ordered LIMIT, the
+    quantization and the integer algebra."""
+    from protosc_spark.evaluation import hill_tail_index
+
+    docs = _read(spark, sf_dir, "documents").select(
+        "doc_id", "n_chars"
+    )
+    t = hill_tail_index(docs, "n_chars", "doc_id", k=50)
+    return t.select(
+        "k",
+        "n_tail",
+        "x_tail",
+        F.round("gamma_hill", 6).alias("gamma_hill"),
+        F.round("alpha", 6).alias("alpha"),
+    )
+
+
 def _corpus_mcnemar_filters(spark, sf_dir):
     """McNemar paired-filter asymmetry audit: does the heuristic
     quality rule (quality >= 0.2) keep a systematically different
@@ -3811,6 +3832,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     full-surface green regardless of this ordering."""
     return {
         # --- round 5 ---
+        "corpus_tail_index": _corpus_tail_index,
         "corpus_mcnemar_filters": _corpus_mcnemar_filters,
         "events_dispersion": _events_dispersion,
         "corpus_gini_lengths": _corpus_gini_lengths,
@@ -4107,6 +4129,33 @@ def oracle_sql() -> dict[str, str]:
         for t in POISSON1_T60
     )
     out = {
+        "corpus_tail_index": """
+            WITH top AS (
+              SELECT n_chars::DOUBLE AS x
+              FROM documents
+              WHERE n_chars > 0
+              ORDER BY n_chars DESC, doc_id ASC
+              LIMIT 51
+            ), q AS (
+              SELECT x, floor(ln(x) * 1e9)::HUGEINT AS qln
+              FROM top
+            ), g AS (
+              SELECT count(*)::BIGINT AS n_tail,
+                     sum(qln)::HUGEINT AS qsum,
+                     min(qln)::HUGEINT AS qmin,
+                     min(x) AS xmin
+              FROM q
+            )
+            SELECT 50 AS k, n_tail, xmin AS x_tail,
+                   CASE WHEN n_tail = 51 AND qsum > 51 * qmin THEN
+                     round((qsum - 51 * qmin)::DOUBLE
+                           / (50.0 * 1e9), 6) END AS gamma_hill,
+                   CASE WHEN n_tail = 51 AND qsum > 51 * qmin THEN
+                     round(1.0 / ((qsum - 51 * qmin)::DOUBLE
+                           / (50.0 * 1e9)), 6)
+                     END AS alpha
+            FROM g
+        """,
         "corpus_mcnemar_filters": f"""
             WITH t AS (
               SELECT doc_id, text, lang,

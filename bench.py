@@ -174,6 +174,7 @@ HEADLINE = [
     "corpus_gini_lengths",
     "events_dispersion",
     "corpus_mcnemar_filters",
+    "corpus_tail_index",
 ]
 
 BENCH_CONVERSATIONS = int(os.environ.get("PROTOSC_BENCH_CONVS", "20000"))

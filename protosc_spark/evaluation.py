@@ -1528,3 +1528,72 @@ def mcnemar_test(
         F.when(ok, chi2).alias("chi2"),
         F.when(ok, chi2 > F.lit(3.841459)).alias("significant"),
     )
+
+
+def hill_tail_index(
+    df: DataFrame,
+    value_col: str,
+    id_col: str,
+    k: int = 100,
+    unit: int = 10**9,
+) -> DataFrame:
+    """Hill estimator of the power-law tail index of a positive
+    column — "how heavy is the document-length / user-activity
+    tail?", the extreme-value companion to the Zipf rank-frequency
+    fit (Zipf fits the WHOLE vocabulary curve; Hill reads just the
+    upper tail, where capacity planning and outlier budgets live):
+
+        gamma = (1/k) * sum_{i=1..k} ln x_(i)  -  ln x_(k+1),
+        alpha = 1 / gamma          (P(X > x) ~ x^-alpha)
+
+    over the k+1 largest values x_(1) >= ... >= x_(k+1), ties broken
+    by ``id_col`` so the selected set is deterministic (when the
+    boundary value is tied, every tied row has the same ln — any
+    representative yields the identical sum, and the estimator is
+    well-defined regardless of which tied row is "the" (k+1)-th).
+
+    Exactness: each ln is quantized to integer 1/``unit`` units
+    BEFORE summing (house rule — float sums drift with aggregation
+    order), so gamma = (qsum - (k+1)*qmin) / (k*unit) is a ratio of
+    exact integers and the result is identical at any parallelism.
+
+    Scale shape: the k+1 selection is a per-partition top-k
+    (TakeOrderedAndProject — never a global sort), then ONE tiny
+    aggregate over k+1 rows. Output: one row (k, n_tail, x_tail,
+    gamma_hill, alpha); NULL statistics when fewer than k+1 positive
+    rows exist or the top k+1 are all equal (gamma = 0)."""
+    dec = "decimal(38,0)"
+    u = F.lit(float(unit))
+    top = (
+        df.where(F.col(value_col) > 0)
+        .select(
+            F.col(value_col).cast("double").alias("__x"),
+            F.col(id_col).alias("__id"),
+        )
+        .orderBy(F.desc("__x"), F.asc("__id"))
+        .limit(int(k) + 1)
+    )
+    q = top.select(
+        "__x",
+        F.floor(F.log(F.col("__x")) * u).cast(dec).alias("__q"),
+    )
+    g = q.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_tail"),
+        F.sum("__q").alias("__qsum"),
+        F.min("__q").alias("__qmin"),
+        F.min("__x").alias("__xmin"),
+    )
+    kk = F.lit(int(k)).cast(dec)
+    gamma = (
+        F.col("__qsum") - (kk + F.lit(1).cast(dec)) * F.col("__qmin")
+    ).cast("double") / (F.lit(float(k)) * u)
+    ok = (F.col("n_tail") == int(k) + 1) & (
+        F.col("__qsum") > (kk + F.lit(1).cast(dec)) * F.col("__qmin")
+    )
+    return g.select(
+        F.lit(int(k)).alias("k"),
+        "n_tail",
+        F.col("__xmin").alias("x_tail"),
+        F.when(ok, gamma).alias("gamma_hill"),
+        F.when(ok, F.lit(1.0) / gamma).alias("alpha"),
+    )

@@ -1140,3 +1140,77 @@ def test_mcnemar_plan_no_python(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "ArrowEvalPython" not in plan
     assert "BatchEvalPython" not in plan
+
+
+# ---------------------------------------------------------------------------
+# hill_tail_index
+# ---------------------------------------------------------------------------
+
+def test_hill_recovers_planted_pareto(spark):
+    import numpy as np
+    from protosc_spark.evaluation import hill_tail_index
+
+    # exact Pareto(alpha=2) quantiles: x_i = (i/n)^(-1/2), scaled
+    n, alpha = 4000, 2.0
+    rng = np.random.default_rng(3)
+    u = rng.uniform(size=n)
+    xs = np.ceil(100.0 * u ** (-1.0 / alpha)).astype(np.int64)
+    df = spark.createDataFrame(
+        [(int(i), int(x)) for i, x in enumerate(xs)],
+        "doc_id long, x long",
+    )
+    r = hill_tail_index(df, "x", "doc_id", k=200).collect()[0]
+    assert r.n_tail == 201
+    # Hill on a planted alpha=2 tail: within 25% at k=200
+    assert abs(r.alpha - alpha) / alpha < 0.25
+
+
+def test_hill_matches_numpy_reference(spark):
+    import math
+
+    import numpy as np
+    from protosc_spark.evaluation import hill_tail_index
+
+    xs = [1000, 800, 800, 500, 400, 300, 250, 200, 150, 100, 90, 80]
+    df = spark.createDataFrame(
+        [(i, x) for i, x in enumerate(xs)], "doc_id long, x long"
+    )
+    k = 5
+    r = hill_tail_index(df, "x", "doc_id", k=k).collect()[0]
+    v = np.sort(np.array(xs, dtype=np.float64))[::-1]
+    # replay the quantization exactly
+    q = np.floor(np.log(v[: k + 1]) * 1e9)
+    ref_gamma = (q[:k].sum() - k * q[k]) / (k * 1e9)
+    assert abs(r.gamma_hill - ref_gamma) < 1e-12
+    assert r.x_tail == float(v[k])
+    assert abs(r.alpha - 1.0 / ref_gamma) < 1e-9
+    del math
+
+
+def test_hill_short_and_constant_guards(spark):
+    from protosc_spark.evaluation import hill_tail_index
+
+    # fewer than k+1 positive rows -> NULL
+    df = spark.createDataFrame(
+        [(i, 10) for i in range(5)], "doc_id long, x long"
+    )
+    r = hill_tail_index(df, "x", "doc_id", k=10).collect()[0]
+    assert r.gamma_hill is None and r.n_tail == 5
+    # top k+1 all equal -> gamma 0 -> NULL
+    df2 = spark.createDataFrame(
+        [(i, 7) for i in range(30)], "doc_id long, x long"
+    )
+    r2 = hill_tail_index(df2, "x", "doc_id", k=10).collect()[0]
+    assert r2.gamma_hill is None and r2.alpha is None
+
+
+def test_hill_plan_uses_take_ordered(spark):
+    from protosc_spark.evaluation import hill_tail_index
+
+    df = spark.createDataFrame(
+        [(i, i + 1) for i in range(40)], "doc_id long, x long"
+    )
+    out = hill_tail_index(df, "x", "doc_id", k=10)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    assert "ArrowEvalPython" not in plan
