@@ -1626,7 +1626,7 @@ def _pacf_ref(rs):
     return pacf
 
 
-def _daily_df(spark, counts, g="a", start=(2024, 1, 1)):
+def _pacf_daily_df(spark, counts, g="a", start=(2024, 1, 1)):
     import datetime as dt
 
     rows = [
@@ -1646,7 +1646,7 @@ def test_pacf_matches_durbin_levinson_exactly(spark):
                 + (8 if d % 7 == 0 else 0))
         counts.append(v)
         prev = v
-    df = _daily_df(spark, counts)
+    df = _pacf_daily_df(spark, counts)
     rs = [
         r.acf
         for r in sorted(
@@ -1678,7 +1678,7 @@ def test_pacf_ar1_cuts_off_after_lag_one(spark):
         )  # deterministic white noise
         prev = 50 + 0.8 * (prev - 50) + noise
         counts.append(max(1, round(prev)))
-    df = _daily_df(spark, counts)
+    df = _pacf_daily_df(spark, counts)
     got = {r.lag: r for r in volume_pacf(df, "g", max_lag=5).collect()}
     # ACF decays slowly (echoes of lag 1) but PACF collapses at 2+
     assert got[1].pacf > 0.7 and got[2].acf > 0.6
@@ -1691,8 +1691,8 @@ def test_pacf_excludes_constant_and_short_slices(spark):
 
     # constant series -> zero ACF denominator -> excluded entirely;
     # 4-day series cannot produce lag-5 ACF -> excluded
-    const = _daily_df(spark, [5] * 30, g="const")
-    short = _daily_df(spark, [1, 2, 3, 4], g="short")
+    const = _pacf_daily_df(spark, [5] * 30, g="const")
+    short = _pacf_daily_df(spark, [1, 2, 3, 4], g="short")
     df = const.union(short)
     assert volume_pacf(df, "g", max_lag=5).count() == 0
 
@@ -1700,7 +1700,7 @@ def test_pacf_excludes_constant_and_short_slices(spark):
 def test_pacf_plan_no_python(spark):
     from protosc_spark.windows import volume_pacf
 
-    df = _daily_df(spark, [1, 2, 3])
+    df = _pacf_daily_df(spark, [1, 2, 3])
     plan = (
         volume_pacf(df, "g")
         ._jdf.queryExecution()
