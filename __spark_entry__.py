@@ -1181,6 +1181,34 @@ def _corpus_drift_cvm(spark, sf_dir):
     )
 
 
+def _corpus_fisher_exact(spark, sf_dir):
+    """Fisher's exact independence test on a RARE 2x2: is the
+    smallest source (src3) associated with being English? The
+    chi-square family is unreliable at these cell sizes — this is
+    the exact path: hypergeometric weights from the ratio
+    recurrence, quantized-ln prefix sums, integer extremeness
+    compare. DuckDB oracle replays the cells, the support walk and
+    every quantization."""
+    from protosc_spark.evaluation import fisher_exact
+
+    docs = _read(spark, sf_dir, "documents").select(
+        (F.col("source") == "src3").alias("a"),
+        (F.col("lang") == "en").alias("b"),
+    )
+    t = fisher_exact(docs, "a", "b")
+    return t.select(
+        "n",
+        "n11",
+        "n10",
+        "n01",
+        "n00",
+        "support",
+        F.round("odds_ratio", 6).alias("odds_ratio"),
+        F.round("p_value", 6).alias("p_value"),
+        "significant",
+    )
+
+
 def _corpus_tail_index(spark, sf_dir):
     """Hill tail-index of the document-length distribution (k=50):
     per-partition TakeOrderedAndProject top-(k+1) with doc_id
@@ -3832,6 +3860,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     full-surface green regardless of this ordering."""
     return {
         # --- round 5 ---
+        "corpus_fisher_exact": _corpus_fisher_exact,
         "corpus_tail_index": _corpus_tail_index,
         "corpus_mcnemar_filters": _corpus_mcnemar_filters,
         "events_dispersion": _events_dispersion,
@@ -4129,6 +4158,66 @@ def oracle_sql() -> dict[str, str]:
         for t in POISSON1_T60
     )
     out = {
+        "corpus_fisher_exact": """
+            WITH flags AS (
+              SELECT (source = 'src3')::INT AS a,
+                     (lang = 'en')::INT AS b
+              FROM documents
+            ), cells AS (
+              SELECT count(*)::BIGINT AS n,
+                     sum((a = 1 AND b = 1)::INT)::BIGINT AS n11,
+                     sum((a = 1 AND b = 0)::INT)::BIGINT AS n10,
+                     sum((a = 0 AND b = 1)::INT)::BIGINT AS n01,
+                     sum((a = 0 AND b = 0)::INT)::BIGINT AS n00
+              FROM flags
+            ), m AS (
+              SELECT *, n11 + n10 AS ka, n11 + n01 AS mm,
+                     greatest(0, n11 + n10 + n11 + n01 - n) AS lo,
+                     least(n11 + n10, n11 + n01) AS hi
+              FROM cells
+            ), ks AS (
+              SELECT m.*, hi - lo + 1 AS support,
+                     unnest(range(lo, hi + 1)) AS kk
+              FROM m
+            ), t AS (
+              SELECT *, CASE WHEN kk = lo THEN 0::BIGINT ELSE
+                  floor(ln((ka - (kk - 1))::DOUBLE) * 1e12)::BIGINT
+                + floor(ln((mm - (kk - 1))::DOUBLE) * 1e12)::BIGINT
+                - floor(ln(kk::DOUBLE) * 1e12)::BIGINT
+                - floor(ln((n - ka - mm + kk)::DOUBLE)
+                        * 1e12)::BIGINT END AS trm
+              FROM ks
+            ), l AS (
+              SELECT *, sum(trm) OVER (ORDER BY kk
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS lw
+              FROM t
+            ), anchors AS (
+              SELECT max(lw) AS lwmax,
+                     max(CASE WHEN kk = n11 THEN lw END) AS lwobs
+              FROM l
+            ), e AS (
+              SELECT l.*, anchors.lwmax, anchors.lwobs,
+                     floor(exp((lw - lwmax)::DOUBLE / 1e12)
+                           * 1e15)::BIGINT AS ev
+              FROM l, anchors
+            ), sums AS (
+              SELECT max(n) AS n, max(n11) AS n11,
+                     max(n10) AS n10, max(n01) AS n01,
+                     max(n00) AS n00, max(support) AS support,
+                     sum(ev)::BIGINT AS tot,
+                     sum(CASE WHEN lw <= lwobs + 99999
+                         THEN ev ELSE 0 END)::BIGINT AS ext
+              FROM e
+            )
+            SELECT n, n11, n10, n01, n00, support,
+                   CASE WHEN n10 * n01 > 0 THEN round(
+                     (n11 * n00)::DOUBLE / (n10 * n01)::DOUBLE, 6)
+                   END AS odds_ratio,
+                   round(ext::DOUBLE / tot::DOUBLE, 6) AS p_value,
+                   ext::DOUBLE / tot::DOUBLE < 0.05 AS significant
+            FROM sums
+        """,
         "corpus_tail_index": """
             WITH top AS (
               SELECT n_chars::DOUBLE AS x

@@ -175,6 +175,7 @@ HEADLINE = [
     "events_dispersion",
     "corpus_mcnemar_filters",
     "corpus_tail_index",
+    "corpus_fisher_exact",
 ]
 
 BENCH_CONVERSATIONS = int(os.environ.get("PROTOSC_BENCH_CONVS", "20000"))

@@ -1597,3 +1597,160 @@ def hill_tail_index(
         F.when(ok, gamma).alias("gamma_hill"),
         F.when(ok, F.lit(1.0) / gamma).alias("alpha"),
     )
+
+
+def fisher_exact(
+    df: DataFrame,
+    a_col: str,
+    b_col: str,
+    max_support: int = 100_000,
+) -> DataFrame:
+    """Fisher's EXACT test of independence for two binary flags —
+    the small-cell companion to chi2_independence (the chi-square
+    approximation collapses exactly where curation questions get
+    interesting: rare sources, rare languages, planted-PII slivers).
+    Two-sided p = sum of hypergeometric table probabilities no more
+    likely than the observed table, conditioned on both margins.
+
+    NO factorials anywhere: the hypergeometric weights are built
+    from the pmf RATIO recurrence
+
+        w(k+1)/w(k) = (K - k)(n - k) / ((k + 1)(N - K - n + k + 1))
+
+    walked across the support [max(0, K+n-N), min(K, n)] as a PREFIX
+    SUM of per-step log-ratios — each ln is quantized to integer
+    1e-12 units BEFORE the cumulative sum (house rule), so every
+    log-weight is an exact BIGINT and the "as extreme as observed"
+    comparison (lw <= lw_obs + qln(1 + 1e-7), the classical relative
+    tolerance) is an integer compare, bit-identical at any
+    parallelism. Weights are then exponentiated relative to the
+    support maximum (never overflows), quantized to 1e-15 units and
+    summed as integers; p is ONE division.
+
+    Scale shape: one conditional-sum aggregation to the 2x2 cells,
+    then arithmetic over a SUPPORT-SIZED row set (min margin + 1
+    rows — the window is support-bounded, never corpus-bounded; for
+    support > ``max_support`` the exact path abstains with NULL p
+    and chi2_independence is the right tool anyway). Output: one row
+    (n, n11, n10, n01, n00, support, odds_ratio, p_value,
+    significant); odds_ratio NULL on a zero denominator, p NULL on
+    abstention."""
+    dec = "bigint"
+    a = F.col(a_col).cast("int")
+    b = F.col(b_col).cast("int")
+    both = a.isNotNull() & b.isNotNull()
+
+    def cell(av, bv):
+        return F.sum(
+            F.when(both & (a == av) & (b == bv), 1).otherwise(0)
+        ).cast(dec)
+
+    cells = df.agg(
+        F.sum(F.when(both, 1).otherwise(0)).cast(dec).alias("n"),
+        cell(1, 1).alias("n11"),
+        cell(1, 0).alias("n10"),
+        cell(0, 1).alias("n01"),
+        cell(0, 0).alias("n00"),
+    )
+    cells = cells.select(
+        "*",
+        (F.col("n11") + F.col("n10")).alias("__K"),
+        (F.col("n11") + F.col("n01")).alias("__m"),
+    ).select(
+        "*",
+        F.greatest(
+            F.lit(0).cast(dec),
+            F.col("__K") + F.col("__m") - F.col("n"),
+        ).alias("__lo"),
+        F.least(F.col("__K"), F.col("__m")).alias("__hi"),
+    )
+    cells = cells.select(
+        "*",
+        (F.col("__hi") - F.col("__lo") + 1).alias("support"),
+    ).localCheckpoint(eager=True)
+
+    u = F.lit(1e12)
+
+    def qln(x):
+        return F.floor(F.log(x.cast("double")) * u).cast(dec)
+
+    rows = cells.select(
+        "n",
+        "n11",
+        "__K",
+        "__m",
+        "__lo",
+        F.explode(
+            F.when(
+                F.col("support") <= int(max_support),
+                F.sequence(F.col("__lo"), F.col("__hi")),
+            ).otherwise(F.array().cast("array<bigint>"))
+        ).alias("k"),
+    )
+    K, m, n, k = (
+        F.col("__K"),
+        F.col("__m"),
+        F.col("n"),
+        F.col("k"),
+    )
+    term = F.when(k == F.col("__lo"), F.lit(0).cast(dec)).otherwise(
+        qln(K - (k - 1))
+        + qln(m - (k - 1))
+        - qln(k)
+        - qln(n - K - m + k)
+    )
+    w = (
+        W.partitionBy("n")  # cells is ONE row; support-sized window
+        .orderBy("k")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    rows = rows.select(
+        "n11", "k", F.sum(term).over(w).alias("lw")
+    )
+    anchors = rows.agg(
+        F.max("lw").alias("__lwmax"),
+        F.max(F.when(F.col("k") == F.col("n11"), F.col("lw"))).alias(
+            "__lwobs"
+        ),
+    )
+    e = F.floor(
+        F.exp(
+            (F.col("lw") - F.col("__lwmax")).cast("double") / u
+        )
+        * F.lit(1e15)
+    ).cast(dec)
+    # qln(1 + 1e-7) = floor(ln(1+1e-7) * 1e12) = 99999
+    tol = F.lit(99999).cast(dec)
+    sums = (
+        rows.crossJoin(F.broadcast(anchors))
+        .agg(
+            F.sum(e).alias("__tot"),
+            F.sum(
+                F.when(
+                    F.col("lw") <= F.col("__lwobs") + tol, e
+                ).otherwise(F.lit(0).cast(dec))
+            ).alias("__ext"),
+        )
+    )
+    orat = (F.col("n11") * F.col("n00")).cast("double") / (
+        F.col("n10") * F.col("n01")
+    ).cast("double")
+    p = F.col("__ext").cast("double") / F.col("__tot").cast(
+        "double"
+    )
+    return (
+        cells.crossJoin(F.broadcast(sums))
+        .select(
+            "n",
+            "n11",
+            "n10",
+            "n01",
+            "n00",
+            "support",
+            F.when(
+                (F.col("n10") * F.col("n01")) > 0, orat
+            ).alias("odds_ratio"),
+            p.alias("p_value"),
+            (p < F.lit(0.05)).alias("significant"),
+        )
+    )

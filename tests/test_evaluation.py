@@ -1214,3 +1214,77 @@ def test_hill_plan_uses_take_ordered(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan
     assert "ArrowEvalPython" not in plan
+
+
+# ---------------------------------------------------------------------------
+# fisher_exact
+# ---------------------------------------------------------------------------
+
+def _fisher_ref(n11, n10, n01, n00):
+    """Exact two-sided Fisher p via integer binomials (no scipy)."""
+    from math import comb
+
+    N, K, n, k = (
+        n11 + n10 + n01 + n00,
+        n11 + n10,
+        n11 + n01,
+        n11,
+    )
+    lo, hi = max(0, K + n - N), min(K, n)
+    ws = {j: comb(K, j) * comb(N - K, n - j) for j in range(lo, hi + 1)}
+    tot = sum(ws.values())
+    wobs = ws[k]
+    return sum(v for v in ws.values() if v <= wobs * (1 + 1e-7)) / tot
+
+
+def _mk_flags(spark, n11, n10, n01, n00):
+    rows = (
+        [(1, 1)] * n11 + [(1, 0)] * n10
+        + [(0, 1)] * n01 + [(0, 0)] * n00
+    )
+    return spark.createDataFrame(rows, "a int, b int")
+
+
+def test_fisher_matches_exact_fraction_reference(spark):
+    from protosc_spark.evaluation import fisher_exact
+
+    for cells in [(1, 9, 11, 3), (7, 2, 3, 8), (0, 10, 10, 0),
+                  (5, 5, 5, 5)]:
+        r = fisher_exact(
+            _mk_flags(spark, *cells), "a", "b"
+        ).collect()[0]
+        ref = _fisher_ref(*cells)
+        assert abs(r.p_value - ref) < 1e-9, (cells, r.p_value, ref)
+    # balanced table: no association, p = 1 exactly
+    r = fisher_exact(_mk_flags(spark, 5, 5, 5, 5), "a", "b")
+    assert abs(r.collect()[0].p_value - 1.0) < 1e-9
+
+
+def test_fisher_degenerate_margin(spark):
+    from protosc_spark.evaluation import fisher_exact
+
+    # K = 0: single-table support, p = 1, odds ratio NULL
+    r = fisher_exact(_mk_flags(spark, 0, 0, 6, 4), "a", "b")
+    row = r.collect()[0]
+    assert row.support == 1 and row.p_value == 1.0
+    assert row.odds_ratio is None
+
+
+def test_fisher_abstains_over_max_support(spark):
+    from protosc_spark.evaluation import fisher_exact
+
+    df = _mk_flags(spark, 10, 10, 10, 10)
+    r = fisher_exact(df, "a", "b", max_support=5).collect()[0]
+    assert r.p_value is None and r.significant is None
+    assert r.support == 21  # still reported
+
+
+def test_fisher_significant_direction(spark):
+    from protosc_spark.evaluation import fisher_exact
+
+    # strong association
+    r = fisher_exact(
+        _mk_flags(spark, 18, 2, 3, 17), "a", "b"
+    ).collect()[0]
+    assert r.significant is True and r.p_value < 1e-4
+    assert r.odds_ratio == (18 * 17) / (2 * 3)
