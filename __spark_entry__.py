@@ -1181,6 +1181,25 @@ def _corpus_drift_cvm(spark, sf_dir):
     )
 
 
+def _sim_silhouette_labels(spark, sf_dir):
+    """Simplified silhouette of the label partition over the
+    embeddings table — do points sit closer to their own label
+    centroid than to the nearest other one (cosine distance,
+    quantized-integer centroid algebra)? DuckDB oracle replays the
+    quantization, the corpus x labels dot table, the per-point
+    pivot and the quantized mean."""
+    from protosc_spark.similarity import silhouette_labels
+
+    emb = _read_wide(spark, sf_dir, "embeddings")
+    t = silhouette_labels(emb)
+    return t.select(
+        "label",
+        "n",
+        "n_scored",
+        F.round("mean_sil", 6).alias("mean_sil"),
+    ).orderBy("label")
+
+
 def _corpus_fisher_exact(spark, sf_dir):
     """Fisher's exact independence test on a RARE 2x2: is the
     smallest source (src3) associated with being English? The
@@ -3860,6 +3879,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     full-surface green regardless of this ordering."""
     return {
         # --- round 5 ---
+        "sim_silhouette_labels": _sim_silhouette_labels,
         "corpus_fisher_exact": _corpus_fisher_exact,
         "corpus_tail_index": _corpus_tail_index,
         "corpus_mcnemar_filters": _corpus_mcnemar_filters,
@@ -4158,6 +4178,55 @@ def oracle_sql() -> dict[str, str]:
         for t in POISSON1_T60
     )
     out = {
+        "sim_silhouette_labels": """
+            WITH q AS (
+              SELECT vec_id AS id, label AS own,
+                     generate_subscripts(embedding, 1) AS d,
+                     floor(unnest(embedding::DOUBLE[])
+                           * 1000000000.0)::HUGEINT AS qx
+              FROM embeddings
+            ), cent AS (
+              SELECT own AS cand, d, sum(qx) AS s
+              FROM q GROUP BY 1, 2
+            ), cnorm AS (
+              SELECT cand, sum(s * s) AS cn FROM cent GROUP BY 1
+            ), pairs AS (
+              SELECT q.id, q.own, cent.cand,
+                     sum(q.qx * cent.s) AS dot,
+                     sum(q.qx * q.qx) AS pn
+              FROM q JOIN cent ON q.d = cent.d
+              GROUP BY 1, 2, 3
+            ), dists AS (
+              SELECT p.id, p.own, p.cand,
+                     CASE WHEN p.pn > 0 AND c.cn > 0 THEN
+                       1.0 - p.dot::DOUBLE
+                         / (sqrt(p.pn::DOUBLE) * sqrt(c.cn::DOUBLE))
+                     END AS dist
+              FROM pairs p JOIN cnorm c ON c.cand = p.cand
+            ), per_pt AS (
+              SELECT id, own,
+                     max(CASE WHEN cand = own THEN dist END) AS a,
+                     min(CASE WHEN cand <> own THEN dist END) AS b
+              FROM dists GROUP BY 1, 2
+            ), scored AS (
+              SELECT own,
+                     CASE WHEN a IS NOT NULL AND b IS NOT NULL THEN
+                       floor(CASE WHEN greatest(a, b) > 0
+                             THEN (b - a) / greatest(a, b)
+                             ELSE 0.0 END
+                             * 1000000000.0)::HUGEINT END AS sq
+              FROM per_pt
+            )
+            SELECT own AS label,
+                   count(*)::BIGINT AS n,
+                   count(sq)::BIGINT AS n_scored,
+                   CASE WHEN count(sq) > 0 THEN round(
+                     sum(sq)::DOUBLE
+                     / (count(sq)::DOUBLE * 1000000000.0), 6)
+                   END AS mean_sil
+            FROM scored GROUP BY 1
+            ORDER BY label
+        """,
         "corpus_fisher_exact": """
             WITH flags AS (
               SELECT (source = 'src3')::INT AS a,

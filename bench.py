@@ -176,6 +176,7 @@ HEADLINE = [
     "corpus_mcnemar_filters",
     "corpus_tail_index",
     "corpus_fisher_exact",
+    "sim_silhouette_labels",
 ]
 
 BENCH_CONVERSATIONS = int(os.environ.get("PROTOSC_BENCH_CONVS", "20000"))

@@ -792,3 +792,84 @@ def test_centroid_affinity_plan_no_python(spark):
     )
     assert "ArrowEvalPython" not in plan
     assert "BatchEvalPython" not in plan
+
+
+# ---------------------------------------------------------------------------
+# silhouette_labels
+# ---------------------------------------------------------------------------
+
+def test_silhouette_separated_vs_blob(spark):
+    from protosc_spark.similarity import silhouette_labels
+
+    rows = []
+    for i in range(10):
+        rows.append((i, 0, [1.0, 0.01 * i, 0.0]))
+        rows.append((100 + i, 1, [0.0, 0.01 * i, 1.0]))
+    df = spark.createDataFrame(
+        rows, "vec_id long, label int, embedding array<float>"
+    )
+    got = {r.label: r for r in silhouette_labels(df).collect()}
+    assert got[0].mean_sil > 0.99 and got[1].mean_sil > 0.99
+    # one blob split arbitrarily: near zero (slightly negative)
+    rows2 = [(i, i % 2, [1.0, 0.001 * i]) for i in range(20)]
+    df2 = spark.createDataFrame(
+        rows2, "vec_id long, label int, embedding array<float>"
+    )
+    for r in silhouette_labels(df2).collect():
+        assert abs(r.mean_sil) < 0.1
+
+
+def test_silhouette_matches_numpy_reference(spark):
+    import numpy as np
+    from protosc_spark.similarity import silhouette_labels
+
+    rng = np.random.default_rng(5)
+    X = rng.normal(size=(60, 8))
+    X[:30] += 2.0
+    labels = [0] * 30 + [1] * 30
+    rows = [
+        (i, labels[i], [float(v) for v in X[i]])
+        for i in range(60)
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, label int, embedding array<float>"
+    )
+    got = {r.label: r for r in silhouette_labels(df).collect()}
+
+    # numpy replay with the same quantization
+    Q = np.floor(X.astype(np.float32).astype(np.float64) * 1e9)
+    cents = {g: Q[np.array(labels) == g].sum(axis=0) for g in (0, 1)}
+    sums = {0: [], 1: []}
+    for i in range(60):
+        ds = {}
+        for g, c in cents.items():
+            ds[g] = 1.0 - Q[i] @ c / (
+                np.sqrt(Q[i] @ Q[i]) * np.sqrt(c @ c)
+            )
+        a, b = ds[labels[i]], ds[1 - labels[i]]
+        s = (b - a) / max(a, b) if max(a, b) > 0 else 0.0
+        sums[labels[i]].append(np.floor(s * 1e9))
+    for g in (0, 1):
+        ref = sum(sums[g]) / (len(sums[g]) * 1e9)
+        assert abs(got[g].mean_sil - ref) < 1e-12
+        assert got[g].n_scored == 30
+
+
+def test_silhouette_single_label_and_zero_vectors(spark):
+    from protosc_spark.similarity import silhouette_labels
+
+    # single label: b undefined -> NULL mean, n kept
+    df = spark.createDataFrame(
+        [(i, 0, [1.0, 2.0]) for i in range(5)],
+        "vec_id long, label int, embedding array<float>",
+    )
+    r = silhouette_labels(df).collect()[0]
+    assert r.mean_sil is None and r.n == 5 and r.n_scored == 0
+    # zero vector excluded from scoring but counted in n
+    df2 = spark.createDataFrame(
+        [(0, 0, [1.0, 0.0]), (1, 0, [0.9, 0.1]),
+         (2, 1, [0.0, 1.0]), (3, 1, [0.0, 0.0])],
+        "vec_id long, label int, embedding array<float>",
+    )
+    got = {r.label: r for r in silhouette_labels(df2).collect()}
+    assert got[1].n == 2 and got[1].n_scored == 1
