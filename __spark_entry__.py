@@ -1181,6 +1181,31 @@ def _corpus_drift_cvm(spark, sf_dir):
     )
 
 
+def _sim_knn_triangles(spark, sf_dir):
+    """Triangle counts + local clustering coefficient over the
+    symmetrized exact kNN graph (k=5, full-probe IVF == exact, the
+    sim_knn_graph contract) — the community-structure audit of the
+    embedding neighborhood graph. Oriented wedge join (each
+    triangle found once, at its lowest-(degree,id) corner). DuckDB
+    oracle recomputes the brute-force kNN edges, symmetrizes and
+    counts triangles by the canonical a<b<c triple join."""
+    from protosc_spark.dedup import triangle_stats
+    from protosc_spark.similarity import knn_graph
+
+    emb = _read_wide(spark, sf_dir, "embeddings")
+    edges = knn_graph(emb, k=5, n_centroids=8, n_probe=8).select(
+        F.col("query_id").alias("src"),
+        F.col("neighbor_id").alias("dst"),
+    )
+    t = triangle_stats(edges)
+    return t.select(
+        "node",
+        "degree",
+        "triangles",
+        F.round("clustering", 6).alias("clustering"),
+    ).orderBy("node")
+
+
 def _sim_silhouette_labels(spark, sf_dir):
     """Simplified silhouette of the label partition over the
     embeddings table — do points sit closer to their own label
@@ -3879,6 +3904,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     full-surface green regardless of this ordering."""
     return {
         # --- round 5 ---
+        "sim_knn_triangles": _sim_knn_triangles,
         "sim_silhouette_labels": _sim_silhouette_labels,
         "corpus_fisher_exact": _corpus_fisher_exact,
         "corpus_tail_index": _corpus_tail_index,
@@ -4178,6 +4204,49 @@ def oracle_sql() -> dict[str, str]:
         for t in POISSON1_T60
     )
     out = {
+        "sim_knn_triangles": """
+            WITH knn AS (
+              SELECT query_id, neighbor_id FROM (
+                SELECT q.vec_id AS query_id,
+                       e.vec_id AS neighbor_id,
+                       row_number() OVER (PARTITION BY q.vec_id
+                         ORDER BY round(list_cosine_similarity(
+                             e.embedding::DOUBLE[],
+                             q.embedding::DOUBLE[]), 6) DESC,
+                           e.vec_id) AS rank
+                FROM embeddings e
+                JOIN embeddings q ON e.vec_id <> q.vec_id)
+              WHERE rank <= 5
+            ), e AS (
+              SELECT DISTINCT
+                     least(query_id, neighbor_id) AS a,
+                     greatest(query_id, neighbor_id) AS b
+              FROM knn
+            ), deg AS (
+              SELECT n, count(*)::BIGINT AS d FROM (
+                SELECT a AS n FROM e
+                UNION ALL SELECT b FROM e) GROUP BY 1
+            ), tri AS (
+              SELECT e1.a AS x, e1.b AS y, e2.b AS z
+              FROM e e1
+              JOIN e e2 ON e2.a = e1.b
+              JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+            ), corners AS (
+              SELECT x AS n FROM tri
+              UNION ALL SELECT y FROM tri
+              UNION ALL SELECT z FROM tri
+            ), tcnt AS (
+              SELECT n, count(*)::BIGINT AS t
+              FROM corners GROUP BY 1
+            )
+            SELECT deg.n AS node, d AS degree,
+                   coalesce(t, 0)::BIGINT AS triangles,
+                   CASE WHEN d >= 2 THEN round(
+                     2.0 * coalesce(t, 0)::DOUBLE
+                     / (d * (d - 1))::DOUBLE, 6) END AS clustering
+            FROM deg LEFT JOIN tcnt USING (n)
+            ORDER BY node
+        """,
         "sim_silhouette_labels": """
             WITH q AS (
               SELECT vec_id AS id, label AS own,

@@ -177,6 +177,7 @@ HEADLINE = [
     "corpus_tail_index",
     "corpus_fisher_exact",
     "sim_silhouette_labels",
+    "sim_knn_triangles",
 ]
 
 BENCH_CONVERSATIONS = int(os.environ.get("PROTOSC_BENCH_CONVS", "20000"))

@@ -867,3 +867,110 @@ def edit_distance_pairs(
         .where((F.col("dist") >= 0) & (F.col("dist") <= max_dist))
         .orderBy("doc_a", "doc_b")
     )
+
+
+def triangle_stats(
+    edges: DataFrame, src_col: str = "src", dst_col: str = "dst"
+) -> DataFrame:
+    """Per-node triangle count + local clustering coefficient over
+    an undirected graph given as an edge list — the community-
+    structure readout beside connected components (components say
+    "reachable"; triangles say "tightly knit": near-dup clusters,
+    kNN-graph neighborhoods, co-occurrence cliques).
+
+        clustering(v) = 2 * T(v) / (deg(v) * (deg(v) - 1))
+
+    Algorithm is the standard DISTRIBUTED triangle enumeration
+    (node-iterator++ / "oriented wedge join", as in Cohen's
+    MapReduce formulation and GraphFrames): canonicalize to a < b
+    undirected edges, then ORIENT every edge from its lower-
+    (degree, id) endpoint to the higher one — each triangle is then
+    produced by EXACTLY ONE wedge (at its lowest-key corner), and
+    the wedge fan-out per node is bounded by its oriented
+    OUT-degree, which the orientation caps at O(sqrt(m)) — the
+    skew-killer: a celebrity node of degree 10^6 generates no
+    10^12-wedge explosion, because almost all its edges point INTO
+    it. Two equi-joins total (wedge build, wedge close); everything
+    else is projections and counts. Self-loops dropped; duplicate /
+    reverse edges collapse in the canonical distinct.
+
+    Output: (node, degree, triangles, clustering); clustering NULL
+    for degree < 2. Every count is an exact BIGINT; the coefficient
+    is one float division."""
+    a, b = F.col(src_col), F.col(dst_col)
+    und = (
+        edges.where(a != b)
+        .select(
+            F.least(a, b).alias("a"), F.greatest(a, b).alias("b")
+        )
+        .distinct()
+    )
+    deg = (
+        und.select(F.col("a").alias("n"))
+        .unionAll(und.select(F.col("b").alias("n")))
+        .groupBy("n")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("degree"))
+    )
+    da = deg.select(
+        F.col("n").alias("a"), F.col("degree").alias("__da")
+    )
+    db = deg.select(
+        F.col("n").alias("b"), F.col("degree").alias("__db")
+    )
+    keyed = und.join(da, "a").join(db, "b")
+    lower_first = (F.col("__da") < F.col("__db")) | (
+        (F.col("__da") == F.col("__db")) & (F.col("a") < F.col("b"))
+    )
+    oriented = keyed.select(
+        F.when(lower_first, F.col("a")).otherwise(F.col("b")).alias(
+            "u"
+        ),
+        F.when(lower_first, F.col("b")).otherwise(F.col("a")).alias(
+            "v"
+        ),
+        F.when(lower_first, F.col("__db"))
+        .otherwise(F.col("__da"))
+        .alias("__dv"),
+    ).localCheckpoint(eager=True)
+    e1 = oriented.select(
+        "u", F.col("v").alias("x"), F.col("__dv").alias("__dx")
+    )
+    e2 = oriented.select(
+        F.col("u").alias("u2"),
+        F.col("v").alias("y"),
+        F.col("__dv").alias("__dy"),
+    )
+    wedges = e1.join(e2, F.col("u") == F.col("u2")).where(
+        (F.col("__dx") < F.col("__dy"))
+        | (
+            (F.col("__dx") == F.col("__dy"))
+            & (F.col("x") < F.col("y"))
+        )
+    )
+    closer = oriented.select(
+        F.col("u").alias("x"), F.col("v").alias("y")
+    )
+    tri = wedges.join(closer, ["x", "y"]).select("u", "x", "y")
+    corners = (
+        tri.select(F.col("u").alias("n"))
+        .unionAll(tri.select(F.col("x").alias("n")))
+        .unionAll(tri.select(F.col("y").alias("n")))
+        .groupBy("n")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("__t"))
+    )
+    t = F.coalesce(F.col("__t"), F.lit(0)).cast("bigint")
+    d = F.col("degree")
+    return (
+        deg.join(corners, "n", "left")
+        .select(
+            F.col("n").alias("node"),
+            "degree",
+            t.alias("triangles"),
+            F.when(
+                d >= 2,
+                F.lit(2.0)
+                * t.cast("double")
+                / (d * (d - F.lit(1))).cast("double"),
+            ).alias("clustering"),
+        )
+    )

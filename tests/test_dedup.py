@@ -747,3 +747,82 @@ def test_edit_distance_band_validation(spark):
     df = spark.createDataFrame([(1, "x")], "doc_id bigint, text string")
     with pytest.raises(ValueError):
         edit_distance_pairs(df, max_dist=5, band=4)
+
+
+# ---------------------------------------------------------------------------
+# triangle_stats
+# ---------------------------------------------------------------------------
+
+def test_triangles_k4_plus_pendant(spark):
+    from protosc_spark.dedup import triangle_stats
+
+    # K4 (every node in 3 triangles) + pendant 5; reversed and
+    # duplicate edges must collapse
+    edges = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4),
+             (4, 5), (2, 1), (3, 3)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r.node: r for r in triangle_stats(df).collect()}
+    for n in (1, 2, 3):
+        assert (got[n].degree, got[n].triangles) == (3, 3)
+        assert got[n].clustering == 1.0
+    assert (got[4].degree, got[4].triangles) == (4, 3)
+    assert got[4].clustering == 0.5
+    assert got[5].triangles == 0 and got[5].clustering is None
+
+
+def test_triangles_match_bruteforce_on_random_graph(spark):
+    import itertools
+
+    import numpy as np
+    from protosc_spark.dedup import triangle_stats
+
+    rng = np.random.default_rng(13)
+    nodes = list(range(40))
+    edges = [
+        (a, b)
+        for a, b in itertools.combinations(nodes, 2)
+        if rng.random() < 0.15
+    ]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r.node: r for r in triangle_stats(df).collect()}
+    adj = {n: set() for n in nodes}
+    for a, b in edges:
+        adj[a].add(b)
+        adj[b].add(a)
+    for n in nodes:
+        if not adj[n]:
+            assert n not in got
+            continue
+        t = sum(
+            1
+            for v, w in itertools.combinations(sorted(adj[n]), 2)
+            if w in adj[v]
+        )
+        assert got[n].degree == len(adj[n])
+        assert got[n].triangles == t, n
+        d = len(adj[n])
+        if d >= 2:
+            assert abs(
+                got[n].clustering - 2.0 * t / (d * (d - 1))
+            ) < 1e-12
+
+
+def test_triangles_skew_orientation_caps_wedges(spark):
+    from protosc_spark.dedup import triangle_stats
+
+    # star graph: hub degree 50, NO triangles — and the oriented
+    # wedge join must not generate hub-centered wedges (every edge
+    # points INTO the hub, out-degree 0 there)
+    edges = [(0, i) for i in range(1, 51)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r.node: r for r in triangle_stats(df).collect()}
+    assert got[0].degree == 50 and got[0].triangles == 0
+    assert got[0].clustering == 0.0
+    assert all(got[i].triangles == 0 for i in range(1, 51))
+
+
+def test_triangles_empty_edges(spark):
+    from protosc_spark.dedup import triangle_stats
+
+    df = spark.createDataFrame([], "src long, dst long")
+    assert triangle_stats(df).count() == 0
