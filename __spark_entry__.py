@@ -1181,6 +1181,28 @@ def _corpus_drift_cvm(spark, sf_dir):
     )
 
 
+def _corpus_brown_forsythe(spark, sf_dir):
+    """Brown-Forsythe variance-homogeneity test of document length
+    (n_chars) across sources — do the SPREADS differ, not just the
+    means? Median-centered Levene: per-source doubled-integer
+    medians off the value histogram, exact BIGINT deviations,
+    quantized per-group S^2/n terms, one-sided chi-square-limit
+    verdict. DuckDB oracle replays the histogram, the doubled
+    medians, every quantization and the final float tree."""
+    from protosc_spark.evaluation import brown_forsythe
+
+    docs = _read(spark, sf_dir, "documents")
+    t = brown_forsythe(docs, "n_chars", "source")
+    return t.select(
+        "n",
+        "k",
+        F.round("f_stat", 6).alias("f_stat"),
+        F.round("eta_sq", 6).alias("eta_sq"),
+        F.round("z", 6).alias("z"),
+        "heterogeneous",
+    )
+
+
 def _sim_knn_triangles(spark, sf_dir):
     """Triangle counts + local clustering coefficient over the
     symmetrized exact kNN graph (k=5, full-probe IVF == exact, the
@@ -3904,6 +3926,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     full-surface green regardless of this ordering."""
     return {
         # --- round 5 ---
+        "corpus_brown_forsythe": _corpus_brown_forsythe,
         "sim_knn_triangles": _sim_knn_triangles,
         "sim_silhouette_labels": _sim_silhouette_labels,
         "corpus_fisher_exact": _corpus_fisher_exact,
@@ -4204,6 +4227,73 @@ def oracle_sql() -> dict[str, str]:
         for t in POISSON1_T60
     )
     out = {
+        "corpus_brown_forsythe": """
+            WITH hist AS (
+              SELECT source AS g, n_chars::BIGINT AS x,
+                     count(*)::BIGINT AS c
+              FROM documents
+              WHERE n_chars IS NOT NULL AND source IS NOT NULL
+              GROUP BY 1, 2
+            ), cum AS (
+              SELECT g, x, c,
+                     sum(c) OVER (PARTITION BY g ORDER BY x
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND CURRENT ROW) AS cm
+              FROM hist
+            ), tot AS (
+              SELECT g, sum(c)::BIGINT AS ng FROM hist GROUP BY 1
+            ), med AS (
+              SELECT cum.g,
+                     min(CASE WHEN cm >= (ng + 1) // 2
+                              AND cm - c < (ng + 1) // 2
+                              THEN x END)
+                   + min(CASE WHEN cm >= ng // 2 + 1
+                              AND cm - c < ng // 2 + 1
+                              THEN x END) AS dmed
+              FROM cum JOIN tot ON cum.g = tot.g
+              GROUP BY cum.g
+            ), grp AS (
+              SELECT hist.g,
+                     sum(c)::HUGEINT AS ng,
+                     sum(c * abs(2 * x - dmed))::HUGEINT AS sg,
+                     sum(c * abs(2 * x - dmed)
+                           * abs(2 * x - dmed))::HUGEINT AS qg
+              FROM hist JOIN med ON hist.g = med.g
+              GROUP BY 1
+            ), gl AS (
+              SELECT sum(ng) AS n, sum(sg) AS t, sum(qg) AS qq,
+                     count(*) AS k,
+                     sum(floor((sg * sg)::DOUBLE / ng::DOUBLE
+                               * 1000000000.0)::HUGEINT) AS bu
+              FROM grp
+            ), fin AS (
+              SELECT n::BIGINT AS n, k::BIGINT AS k,
+                     n::DOUBLE AS nd, k::DOUBLE AS kd,
+                     greatest(bu::DOUBLE / 1000000000.0
+                              - (t * t)::DOUBLE / n::DOUBLE,
+                              0.0) AS ssb,
+                     qq::DOUBLE - bu::DOUBLE / 1000000000.0 AS ssw
+              FROM gl
+            ), f AS (
+              SELECT *, (ssb / (kd - 1.0)) / (ssw / (nd - kd)) AS fs,
+                     k >= 2 AND n > k AND ssw > 0 AS ok
+              FROM fin
+            )
+            SELECT n, k,
+                   CASE WHEN ok THEN round(fs, 6) END AS f_stat,
+                   CASE WHEN ok THEN round(ssb / (ssb + ssw), 6)
+                        END AS eta_sq,
+                   CASE WHEN ok THEN round(
+                       sqrt(2.0 * (kd - 1.0) * fs)
+                       - sqrt(2.0 * (kd - 1.0) - 1.0), 6)
+                        END AS z,
+                   CASE WHEN ok THEN
+                       sqrt(2.0 * (kd - 1.0) * fs)
+                       - sqrt(2.0 * (kd - 1.0) - 1.0)
+                       > 1.6448536269514722
+                        END AS heterogeneous
+            FROM f
+        """,
         "sim_knn_triangles": """
             WITH knn AS (
               SELECT query_id, neighbor_id FROM (

@@ -178,6 +178,7 @@ HEADLINE = [
     "corpus_fisher_exact",
     "sim_silhouette_labels",
     "sim_knn_triangles",
+    "corpus_brown_forsythe",
 ]
 
 BENCH_CONVERSATIONS = int(os.environ.get("PROTOSC_BENCH_CONVS", "20000"))

@@ -1754,3 +1754,142 @@ def fisher_exact(
             (p < F.lit(0.05)).alias("significant"),
         )
     )
+
+
+def brown_forsythe(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    unit: int = 10**9,
+) -> DataFrame:
+    """Brown-Forsythe variance-homogeneity test — the missing member
+    of the ANOVA family (weekday_anova asks "do the MEANS differ
+    across bins?"; this asks "do the SPREADS differ across groups?",
+    the prerequisite check every pooled-variance readout quietly
+    assumes). It is Levene's test with MEDIAN centering (the robust,
+    recommended variant): one-way ANOVA of the absolute deviations
+
+        z_ij = |x_ij - med_g|,
+        F = (SSB / (k - 1)) / (SSW / (N - k))
+
+    Exactness, the house way: medians come from the per-group VALUE
+    HISTOGRAM (cumulative window over distinct values — never a raw
+    sort) as DOUBLED integers dmed = v(ceil(N/2)) + v(floor(N/2)+1)
+    (lower + upper middle, so even-n averaging never leaves the
+    integers), deviations dz = |2x - dmed| are exact BIGINTs (the
+    factor 2 cancels inside F), per-group S_g = sum dz and
+    Q_g = sum dz^2 are exact DECIMAL(38,0), and the one non-integer
+    per-group term S_g^2 / n_g is quantized to integer 1/``unit``
+    units BEFORE the cross-group sum (house rule — a float sum over
+    groups would drift with partial-aggregation order). SSB is
+    clamped at 0 (quantization can push an exactly-homogeneous SSB
+    a hair negative). The verdict uses the large-df2 chi-square limit
+    (k-1) F -> chi2(k-1) through Fisher's sqrt approximation
+    z = sqrt(2 (k-1) F) - sqrt(2 (k-1) - 1), one-sided 5%
+    (z > 1.6448536269514722) — the same closed-form route as the
+    dispersion kernel, replayable by any SQL engine.
+
+    Scale shape: one raw scan into the (group, value) histogram;
+    everything after runs on distinct-value rows, then k group rows,
+    then ONE row. Output: (n, k, f_stat, eta_sq, z, heterogeneous);
+    f_stat NULL when k < 2, N = k, or SSW = 0."""
+    dec = "decimal(38,0)"
+    x = F.col(value_col).cast("bigint")
+    rows = df.where(
+        x.isNotNull() & F.col(group_col).isNotNull()
+    ).select(F.col(group_col).alias("g"), x.alias("x"))
+    hist = (
+        rows.groupBy("g", "x")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+        # feeds the median window AND the deviation rollup
+        .localCheckpoint(eager=True)
+    )
+    w = (
+        W.partitionBy("g")
+        .orderBy("x")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    cum = hist.select(
+        "g",
+        "x",
+        F.sum("c").over(w).alias("__cum"),
+        (F.sum("c").over(w) - F.col("c")).alias("__prev"),
+    )
+    tot = hist.groupBy("g").agg(F.sum("c").alias("__ng"))
+    ranks = tot.select(
+        "g",
+        "__ng",
+        F.expr("(__ng + 1) DIV 2").alias("__rlo"),
+        F.expr("__ng DIV 2 + 1").alias("__rhi"),
+    )
+    med = (
+        cum.join(ranks, "g")
+        .groupBy("g")
+        .agg(
+            (
+                F.min(
+                    F.when(
+                        (F.col("__cum") >= F.col("__rlo"))
+                        & (F.col("__prev") < F.col("__rlo")),
+                        F.col("x"),
+                    )
+                )
+                + F.min(
+                    F.when(
+                        (F.col("__cum") >= F.col("__rhi"))
+                        & (F.col("__prev") < F.col("__rhi")),
+                        F.col("x"),
+                    )
+                )
+            ).alias("__dmed")
+        )
+    )
+    dz = F.abs(
+        F.lit(2).cast("bigint") * F.col("x") - F.col("__dmed")
+    ).cast(dec)
+    grp = (
+        hist.join(med, "g")
+        .groupBy("g")
+        .agg(
+            F.sum("c").cast(dec).alias("__ng"),
+            F.sum(F.col("c").cast(dec) * dz).alias("__sg"),
+            F.sum(F.col("c").cast(dec) * dz * dz).alias("__qg"),
+        )
+    )
+    term = (F.col("__sg") * F.col("__sg")).cast("double") / F.col(
+        "__ng"
+    ).cast("double")
+    g = grp.agg(
+        F.sum("__ng").alias("__n"),
+        F.sum("__sg").alias("__t"),
+        F.sum("__qg").alias("__qq"),
+        F.count(F.lit(1)).alias("__k"),
+        F.sum(
+            F.floor(term * F.lit(float(unit))).cast(dec)
+        ).alias("__bu"),
+    )
+    u = F.lit(float(unit))
+    n, k = F.col("__n").cast("double"), F.col("__k").cast("double")
+    bterm = F.col("__bu").cast("double") / u
+    ssb = F.greatest(
+        bterm - (F.col("__t") * F.col("__t")).cast("double") / n,
+        F.lit(0.0),
+    )
+    ssw = F.col("__qq").cast("double") - bterm
+    valid = (
+        (F.col("__k") >= 2) & (F.col("__n") > F.col("__k")) & (ssw > 0)
+    )
+    fstat = (ssb / (k - F.lit(1.0))) / (ssw / (n - k))
+    z = F.sqrt(F.lit(2.0) * (k - F.lit(1.0)) * fstat) - F.sqrt(
+        F.lit(2.0) * (k - F.lit(1.0)) - F.lit(1.0)
+    )
+    return g.select(
+        F.col("__n").cast("bigint").alias("n"),
+        F.col("__k").cast("bigint").alias("k"),
+        F.when(valid, fstat).alias("f_stat"),
+        F.when(valid, ssb / (ssb + ssw)).alias("eta_sq"),
+        F.when(valid, z).alias("z"),
+        F.when(valid, z > F.lit(1.6448536269514722)).alias(
+            "heterogeneous"
+        ),
+    )

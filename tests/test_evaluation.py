@@ -1288,3 +1288,121 @@ def test_fisher_significant_direction(spark):
     ).collect()[0]
     assert r.significant is True and r.p_value < 1e-4
     assert r.odds_ratio == (18 * 17) / (2 * 3)
+
+
+# ---------------------------------------------------------------------------
+# brown_forsythe
+# ---------------------------------------------------------------------------
+
+def _bf_ref(groups):
+    """Plain-float Brown-Forsythe F (median-centered Levene), the
+    scipy formulation: z = |x - median|, one-way ANOVA on z."""
+    import statistics
+
+    zs = [
+        [abs(x - statistics.median(g)) for x in g] for g in groups
+    ]
+    N = sum(len(z) for z in zs)
+    k = len(zs)
+    zbar = sum(sum(z) for z in zs) / N
+    ssb = sum(len(z) * (sum(z) / len(z) - zbar) ** 2 for z in zs)
+    ssw = sum(
+        sum((v - sum(z) / len(z)) ** 2 for v in z) for z in zs
+    )
+    return (ssb / (k - 1)) / (ssw / (N - k))
+
+
+def _mk_groups(spark, groups):
+    rows = [
+        (f"g{i}", int(v))
+        for i, g in enumerate(groups)
+        for v in g
+    ]
+    return spark.createDataFrame(rows, "g string, x long")
+
+
+def test_brown_forsythe_planted_heteroscedastic(spark):
+    from protosc_spark.evaluation import brown_forsythe
+
+    import random
+
+    rng = random.Random(7)
+    tight = [100 + rng.randint(-2, 2) for _ in range(120)]
+    wide = [100 + rng.randint(-60, 60) for _ in range(120)]
+    r = brown_forsythe(
+        _mk_groups(spark, [tight, wide]), "x", "g"
+    ).collect()[0]
+    ref = _bf_ref([tight, wide])
+    assert r.n == 240 and r.k == 2
+    assert r.heterogeneous is True and r.z > 1.645
+    # quantization unit is 1e-9 on a per-group term: sub-ppm drift
+    assert abs(r.f_stat - ref) / ref < 1e-6, (r.f_stat, ref)
+
+
+def test_brown_forsythe_numpy_replay(spark):
+    """Digit-for-digit replay of the quantized pipeline in plain
+    Python ints/floats (the same IEEE doubles Spark uses)."""
+    from protosc_spark.evaluation import brown_forsythe
+
+    import math
+    import random
+    import statistics
+
+    rng = random.Random(42)
+    groups = [
+        [rng.randint(0, 50) for _ in range(37)],
+        [rng.randint(10, 200) for _ in range(61)],
+        [rng.randint(0, 9) for _ in range(23)],
+    ]
+    r = brown_forsythe(
+        _mk_groups(spark, groups), "x", "g"
+    ).collect()[0]
+
+    unit = 10**9
+    n_tot, t_tot, qq, bu = 0, 0, 0, 0
+    for g in groups:
+        sg_srt = sorted(g)
+        ng = len(g)
+        dmed = sg_srt[(ng + 1) // 2 - 1] + sg_srt[ng // 2]
+        dz = [abs(2 * x - dmed) for x in g]
+        sg, qg = sum(dz), sum(v * v for v in dz)
+        n_tot += ng
+        t_tot += sg
+        qq += qg
+        bu += math.floor(float(sg * sg) / float(ng) * float(unit))
+    k = len(groups)
+    bterm = float(bu) / float(unit)
+    ssb = max(bterm - float(t_tot * t_tot) / float(n_tot), 0.0)
+    ssw = float(qq) - bterm
+    fref = (ssb / (k - 1.0)) / (ssw / (n_tot - k))
+    zref = math.sqrt(2.0 * (k - 1.0) * fref) - math.sqrt(
+        2.0 * (k - 1.0) - 1.0
+    )
+    assert r.f_stat == fref and r.z == zref
+    # sanity vs the plain-float reference: same statistic
+    assert abs(r.f_stat - _bf_ref(groups)) / _bf_ref(groups) < 1e-6
+    # doubled-median parity with statistics.median
+    for g in groups:
+        s = sorted(g)
+        assert (s[(len(g) + 1) // 2 - 1] + s[len(g) // 2]) / 2 == (
+            statistics.median(g)
+        )
+
+
+def test_brown_forsythe_homogeneous_and_degenerate(spark):
+    from protosc_spark.evaluation import brown_forsythe
+
+    # identical multisets: SSB clamps to exactly 0
+    g = [3, 7, 7, 9, 12, 12, 12, 40]
+    r = brown_forsythe(_mk_groups(spark, [g, g]), "x", "g").collect()[0]
+    assert r.f_stat == 0.0 and r.heterogeneous is False
+
+    # one group: dof empty -> NULLs
+    r = brown_forsythe(_mk_groups(spark, [g]), "x", "g").collect()[0]
+    assert r.f_stat is None and r.heterogeneous is None
+
+    # all-constant groups: SSW = 0 -> NULLs
+    r = brown_forsythe(
+        _mk_groups(spark, [[5] * 4, [9] * 6]), "x", "g"
+    ).collect()[0]
+    assert r.f_stat is None
