@@ -1181,6 +1181,39 @@ def _corpus_drift_cvm(spark, sf_dir):
     )
 
 
+def _events_pettitt(spark, sf_dir):
+    """Pettitt rank-based change-point test per event type — the
+    nonparametric "did the daily-volume distribution shift, and
+    when?" beside the breakpoint-regression localizer. A 20-day
+    quiet->loud step is planted so the detection path is exercised.
+    Exact BIGINT U sweep off the volume-value histogram; DuckDB
+    oracle replays the histogram ranks, the prefix sum, the
+    earliest-argmax rule and the closed-form p."""
+    from protosc_spark.windows import volume_pettitt
+
+    ev = _read(spark, sf_dir, "events").select("event_type", "ts")
+    counts = [10, 12, 11, 10, 12, 11, 10, 12, 11, 10,
+              30, 33, 31, 30, 33, 31, 30, 33, 31, 30]
+    rows = []
+    for d, c in enumerate(counts):
+        ts = f"1970-01-{d + 1:02d} 00:00:00"
+        rows += [("planted", ts)] * c
+    planted = spark.createDataFrame(
+        rows, "event_type string, ts_s string"
+    ).select(
+        "event_type", F.col("ts_s").cast("timestamp").alias("ts")
+    )
+    t = volume_pettitt(ev.unionByName(planted), "event_type")
+    return t.select(
+        "event_type",
+        "n_days",
+        "k_stat",
+        "cp_day",
+        F.round("p_value", 6).alias("p_value"),
+        "significant",
+    ).orderBy("event_type")
+
+
 def _corpus_brown_forsythe(spark, sf_dir):
     """Brown-Forsythe variance-homogeneity test of document length
     (n_chars) across sources — do the SPREADS differ, not just the
@@ -3926,6 +3959,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     full-surface green regardless of this ordering."""
     return {
         # --- round 5 ---
+        "events_pettitt": _events_pettitt,
         "corpus_brown_forsythe": _corpus_brown_forsythe,
         "sim_knn_triangles": _sim_knn_triangles,
         "sim_silhouette_labels": _sim_silhouette_labels,
@@ -4227,6 +4261,67 @@ def oracle_sql() -> dict[str, str]:
         for t in POISSON1_T60
     )
     out = {
+        "events_pettitt": """
+            WITH daily AS (
+              SELECT event_type AS g,
+                     (ts::DATE - DATE '1970-01-01')::BIGINT AS x,
+                     count(*)::BIGINT AS y
+              FROM events GROUP BY 1, 2
+              UNION ALL
+              SELECT 'planted', d::BIGINT,
+                     ([10, 12, 11, 10, 12, 11, 10, 12, 11, 10,
+                       30, 33, 31, 30, 33, 31, 30, 33, 31, 30]
+                      [d + 1])::BIGINT
+              FROM range(20) tt(d)
+            ), hist AS (
+              SELECT g, y, count(*)::BIGINT AS c
+              FROM daily GROUP BY 1, 2
+            ), ranks AS (
+              SELECT g, y, c,
+                     sum(c) OVER (PARTITION BY g ORDER BY y
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND CURRENT ROW) - c AS lss
+              FROM hist
+            ), tot AS (
+              SELECT g, count(*)::BIGINT AS t, max(x) AS xmax
+              FROM daily GROUP BY 1
+            ), v AS (
+              SELECT daily.g, daily.x, tot.t, tot.xmax,
+                     2 * ranks.lss + ranks.c - tot.t AS vv
+              FROM daily
+              JOIN ranks ON daily.g = ranks.g AND daily.y = ranks.y
+              JOIN tot ON daily.g = tot.g
+            ), uw AS (
+              SELECT g, x, t, xmax,
+                     sum(vv) OVER (PARTITION BY g ORDER BY x
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND CURRENT ROW) AS u
+              FROM v
+            ), uf AS (
+              SELECT * FROM uw WHERE x < xmax
+            ), stats AS (
+              SELECT g, max(abs(u)) AS k FROM uf GROUP BY 1
+            ), cp AS (
+              SELECT uf.g, min(x) AS cp
+              FROM uf JOIN stats ON uf.g = stats.g
+              WHERE abs(u) = k GROUP BY 1
+            ), fin AS (
+              SELECT tot.g, tot.t, stats.k, cp.cp,
+                     least(2.0 * exp(-6.0 * k::DOUBLE * k::DOUBLE
+                       / (t::DOUBLE * t::DOUBLE * t::DOUBLE
+                          + t::DOUBLE * t::DOUBLE)), 1.0) AS p,
+                     tot.t >= 2 AND stats.k IS NOT NULL AS ok
+              FROM tot
+              LEFT JOIN stats ON tot.g = stats.g
+              LEFT JOIN cp ON tot.g = cp.g
+            )
+            SELECT g AS event_type, t AS n_days,
+                   CASE WHEN ok THEN k END AS k_stat,
+                   CASE WHEN ok THEN cp END AS cp_day,
+                   CASE WHEN ok THEN round(p, 6) END AS p_value,
+                   CASE WHEN ok THEN p < 0.05 END AS significant
+            FROM fin ORDER BY event_type
+        """,
         "corpus_brown_forsythe": """
             WITH hist AS (
               SELECT source AS g, n_chars::BIGINT AS x,

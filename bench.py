@@ -179,6 +179,7 @@ HEADLINE = [
     "sim_silhouette_labels",
     "sim_knn_triangles",
     "corpus_brown_forsythe",
+    "events_pettitt",
 ]
 
 BENCH_CONVERSATIONS = int(os.environ.get("PROTOSC_BENCH_CONVS", "20000"))

@@ -2327,3 +2327,126 @@ def volume_dispersion(
         F.when(ok, z).alias("z"),
         F.when(ok, z > F.lit(1.644854)).alias("overdispersed"),
     )
+
+
+def volume_pettitt(
+    df: DataFrame,
+    group_col: str,
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Pettitt rank-based change-point test per slice — the
+    NONPARAMETRIC companion to volume_breakpoint (the regression
+    localizer assumes lines + Gaussian noise; Pettitt asks "did the
+    DISTRIBUTION of daily volume shift, and when?" with no model at
+    all). The statistic is the Mann-Whitney sweep
+
+        U_t = sum_{i<=t} sum_{j>t} sign(y_i - y_j),
+        K = max_t |U_t|  (t = 1..T-1, earliest day on ties),
+        p ~= 2 exp(-6 K^2 / (T^3 + T^2))   (Pettitt 1979)
+
+    Exactness: the O(T^2) double sum collapses through the identity
+    U_t = sum_{tau<=t} V_tau with V_t = #{y_j < y_t} - #{y_j > y_t}
+    = 2 * less_t + ties_t - T, where less/ties come off the per-group
+    VALUE HISTOGRAM of daily volumes — every V and U is an exact
+    BIGINT, ties handled exactly (sign(0) = 0), order-independent at
+    any parallelism; p is ONE closed float expression of (K, T),
+    clamped at 1 — no lookup tables, replayable by any SQL engine.
+
+    Scale shape: one raw scan into (group, day) counts, a histogram
+    rollup over distinct volume VALUES, one day-table window for the
+    prefix sum, two day-table aggregations (K, then the earliest
+    argmax day). Days with no rows are not zero-filled (the
+    volume_trend convention). Output: (group, n_days, k_stat,
+    cp_day, p_value, significant); NULL statistics below 2 days."""
+    daily = (
+        df.groupBy(
+            group_col,
+            F.datediff(F.to_date(ts_col), F.lit("1970-01-01"))
+            .cast("bigint")
+            .alias("x"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("y"))
+        # feeds the value histogram AND the V join — scan once
+        .localCheckpoint(eager=True)
+    )
+    hist = daily.groupBy(group_col, "y").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    wv = (
+        W.partitionBy(group_col)
+        .orderBy("y")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    ranks = hist.select(
+        group_col,
+        "y",
+        "c",
+        (F.sum("c").over(wv) - F.col("c")).alias("__less"),
+    )
+    tot = daily.groupBy(group_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("__t"),
+        F.max("x").alias("__xmax"),
+    )
+    v = (
+        daily.join(ranks, [group_col, "y"])
+        .join(tot, group_col)
+        .select(
+            group_col,
+            "x",
+            "__t",
+            "__xmax",
+            (
+                F.lit(2).cast("bigint") * F.col("__less")
+                + F.col("c")
+                - F.col("__t")
+            ).alias("__v"),
+        )
+    )
+    wd = (
+        W.partitionBy(group_col)
+        .orderBy("x")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    u = (
+        v.select(
+            group_col,
+            "x",
+            "__t",
+            F.sum("__v").over(wd).alias("__u"),
+            "__xmax",
+        )
+        .where(F.col("x") < F.col("__xmax"))
+        # feeds the K aggregation AND the argmax join — scan once
+        .localCheckpoint(eager=True)
+    )
+    stats = u.groupBy(group_col).agg(
+        F.max(F.abs(F.col("__u"))).alias("__k"),
+    )
+    cp = (
+        u.join(stats, group_col)
+        .where(F.abs(F.col("__u")) == F.col("__k"))
+        .groupBy(group_col)
+        .agg(F.min("x").alias("__cp"))
+    )
+    kd = F.col("__k").cast("double")
+    td = F.col("__t").cast("double")
+    p = F.least(
+        F.lit(2.0)
+        * F.exp(
+            F.lit(-6.0) * kd * kd / (td * td * td + td * td)
+        ),
+        F.lit(1.0),
+    )
+    ok = (F.col("__t") >= 2) & F.col("__k").isNotNull()
+    return (
+        tot.join(stats, group_col, "left")
+        .join(cp, group_col, "left")
+        .select(
+            group_col,
+            F.col("__t").alias("n_days"),
+            F.when(ok, F.col("__k")).alias("k_stat"),
+            F.when(ok, F.col("__cp")).alias("cp_day"),
+            F.when(ok, p).alias("p_value"),
+            F.when(ok, p < F.lit(0.05)).alias("significant"),
+        )
+    )

@@ -1942,3 +1942,70 @@ def test_dispersion_plan_no_python(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "ArrowEvalPython" not in plan
     assert "BatchEvalPython" not in plan
+
+
+# ---------------------------------------------------------------------------
+# volume_pettitt
+# ---------------------------------------------------------------------------
+
+def _pettitt_bruteforce(counts):
+    """O(T^2) literal Pettitt from the definition: U_t as the full
+    double sign sum, K over t = 1..T-1 with earliest-day ties."""
+    import math
+
+    T = len(counts)
+    best_k, best_t = None, None
+    for t in range(1, T):  # t = index of last left element, 1-based
+        u = sum(
+            (counts[i] > counts[j]) - (counts[i] < counts[j])
+            for i in range(t)
+            for j in range(t, T)
+        )
+        if best_k is None or abs(u) > best_k:
+            best_k, best_t = abs(u), t - 1  # 0-based day index
+    p = min(
+        2.0 * math.exp(-6.0 * best_k * best_k / (T**3 + T**2)), 1.0
+    )
+    return best_k, best_t, p
+
+
+def test_pettitt_recovers_planted_shift(spark):
+    from protosc_spark.windows import volume_pettitt
+
+    # 10 quiet days then 10 loud days, with ties inside each regime
+    counts = [10, 12, 11, 10, 12, 11, 10, 12, 11, 10,
+              30, 33, 31, 30, 33, 31, 30, 33, 31, 30]
+    r = volume_pettitt(_daily_df(spark, counts), "g").collect()[0]
+    k, t, p = _pettitt_bruteforce(counts)
+    assert r.n_days == 20
+    assert r.k_stat == k == 100  # clean shift: U peaks at n1*n2
+    assert r.cp_day == t  # epoch day of the last quiet day
+    assert abs(r.p_value - p) < 1e-12 and r.significant is True
+
+
+def test_pettitt_matches_bruteforce_with_ties_and_no_shift(spark):
+    import random
+
+    from protosc_spark.windows import volume_pettitt
+
+    rng = random.Random(3)
+    counts = [rng.randint(5, 9) for _ in range(17)]
+    r = volume_pettitt(_daily_df(spark, counts), "g").collect()[0]
+    k, t, p = _pettitt_bruteforce(counts)
+    assert (r.k_stat, r.cp_day) == (k, t)
+    assert abs(r.p_value - p) < 1e-12
+    # i.i.d. noise: nothing significant
+    assert r.significant is False
+
+
+def test_pettitt_constant_and_degenerate(spark):
+    from protosc_spark.windows import volume_pettitt
+
+    # constant series: K = 0, p clamps to 1
+    r = volume_pettitt(_daily_df(spark, [7] * 9), "g").collect()[0]
+    assert r.k_stat == 0 and r.p_value == 1.0
+    assert r.significant is False
+
+    # single day: NULL statistics but the group row survives
+    r = volume_pettitt(_daily_df(spark, [5]), "g").collect()[0]
+    assert r.n_days == 1 and r.k_stat is None and r.p_value is None
