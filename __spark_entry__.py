@@ -1181,6 +1181,38 @@ def _corpus_drift_cvm(spark, sf_dir):
     )
 
 
+def _events_runs_test(spark, sf_dir):
+    """Wald-Wolfowitz runs test of daily volume around its median
+    per event type — the randomness audit beside the ACF (clumping
+    = too few runs, oscillation = too many). A perfectly
+    alternating 20-day series is planted so the non-random path is
+    exercised. Doubled-integer medians, exact BIGINT run counts;
+    DuckDB oracle replays the histogram medians, the lag window and
+    the closed z tree."""
+    from protosc_spark.windows import volume_runs_test
+
+    ev = _read(spark, sf_dir, "events").select("event_type", "ts")
+    rows = []
+    for d in range(20):
+        ts = f"1970-01-{d + 1:02d} 00:00:00"
+        rows += [("planted", ts)] * (10 if d % 2 == 0 else 30)
+    planted = spark.createDataFrame(
+        rows, "event_type string, ts_s string"
+    ).select(
+        "event_type", F.col("ts_s").cast("timestamp").alias("ts")
+    )
+    t = volume_runs_test(ev.unionByName(planted), "event_type")
+    return t.select(
+        "event_type",
+        "n_days",
+        "n_above",
+        "n_below",
+        "runs",
+        F.round("z", 6).alias("z"),
+        "nonrandom",
+    ).orderBy("event_type")
+
+
 def _events_pettitt(spark, sf_dir):
     """Pettitt rank-based change-point test per event type — the
     nonparametric "did the daily-volume distribution shift, and
@@ -3959,6 +3991,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     full-surface green regardless of this ordering."""
     return {
         # --- round 5 ---
+        "events_runs_test": _events_runs_test,
         "events_pettitt": _events_pettitt,
         "corpus_brown_forsythe": _corpus_brown_forsythe,
         "sim_knn_triangles": _sim_knn_triangles,
@@ -4261,6 +4294,77 @@ def oracle_sql() -> dict[str, str]:
         for t in POISSON1_T60
     )
     out = {
+        "events_runs_test": """
+            WITH daily AS (
+              SELECT event_type AS g,
+                     (ts::DATE - DATE '1970-01-01')::BIGINT AS x,
+                     count(*)::BIGINT AS y
+              FROM events GROUP BY 1, 2
+              UNION ALL
+              SELECT 'planted', d::BIGINT,
+                     (CASE WHEN d % 2 = 0 THEN 10 ELSE 30
+                      END)::BIGINT
+              FROM range(20) tt(d)
+            ), hist AS (
+              SELECT g, y, count(*)::BIGINT AS c
+              FROM daily GROUP BY 1, 2
+            ), cum AS (
+              SELECT g, y, c,
+                     sum(c) OVER (PARTITION BY g ORDER BY y
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND CURRENT ROW) AS cm
+              FROM hist
+            ), tot AS (
+              SELECT g, count(*)::BIGINT AS nd
+              FROM daily GROUP BY 1
+            ), med AS (
+              SELECT cum.g, max(nd) AS nd,
+                     min(CASE WHEN cm >= (nd + 1) // 2
+                              AND cm - c < (nd + 1) // 2
+                              THEN y END)
+                   + min(CASE WHEN cm >= nd // 2 + 1
+                              AND cm - c < nd // 2 + 1
+                              THEN y END) AS dmed
+              FROM cum JOIN tot ON cum.g = tot.g
+              GROUP BY cum.g
+            ), seq AS (
+              SELECT daily.g, x, (2 * y > dmed)::BIGINT AS b
+              FROM daily JOIN med ON daily.g = med.g
+              WHERE 2 * y <> dmed
+            ), lab AS (
+              SELECT g, b,
+                     lag(b) OVER (PARTITION BY g ORDER BY x) AS pb
+              FROM seq
+            ), agg AS (
+              SELECT g, sum(b)::BIGINT AS n1,
+                     sum(1 - b)::BIGINT AS n0,
+                     sum(CASE WHEN pb IS NULL OR b <> pb
+                         THEN 1 ELSE 0 END)::BIGINT AS r
+              FROM lab GROUP BY 1
+            ), fin AS (
+              SELECT tot.g, tot.nd, agg.n1, agg.n0, agg.r,
+                     n1::DOUBLE AS n1d, n0::DOUBLE AS n0d
+              FROM tot LEFT JOIN agg ON tot.g = agg.g
+            ), zc AS (
+              SELECT *,
+                     2.0 * n1d * n0d / (n1d + n0d) + 1.0 AS mu,
+                     2.0 * n1d * n0d
+                       * (2.0 * n1d * n0d - (n1d + n0d))
+                       / ((n1d + n0d) * (n1d + n0d)
+                          * ((n1d + n0d) - 1.0)) AS vr
+              FROM fin
+            )
+            SELECT g AS event_type, nd AS n_days,
+                   n1 AS n_above, n0 AS n_below, r AS runs,
+                   CASE WHEN n1 > 0 AND n0 > 0 AND vr > 0
+                        THEN round((r::DOUBLE - mu) / sqrt(vr), 6)
+                   END AS z,
+                   CASE WHEN n1 > 0 AND n0 > 0 AND vr > 0
+                        THEN abs((r::DOUBLE - mu) / sqrt(vr))
+                             > 1.959963984540054
+                   END AS nonrandom
+            FROM zc ORDER BY event_type
+        """,
         "events_pettitt": """
             WITH daily AS (
               SELECT event_type AS g,

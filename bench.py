@@ -180,6 +180,7 @@ HEADLINE = [
     "sim_knn_triangles",
     "corpus_brown_forsythe",
     "events_pettitt",
+    "events_runs_test",
 ]
 
 BENCH_CONVERSATIONS = int(os.environ.get("PROTOSC_BENCH_CONVS", "20000"))

@@ -2450,3 +2450,149 @@ def volume_pettitt(
             F.when(ok, p < F.lit(0.05)).alias("significant"),
         )
     )
+
+
+def volume_runs_test(
+    df: DataFrame,
+    group_col: str,
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Wald-Wolfowitz runs test per slice — the RANDOMNESS audit of
+    the daily-volume series around its own median (ACF measures
+    linear memory at fixed lags; the runs test catches ANY
+    clustering or alternation: too FEW runs = regime clumping, too
+    MANY = oscillation). Days are labeled above/below the per-group
+    median (median-equal days dropped, the standard convention) and
+
+        R  = number of maximal same-label runs in day order,
+        mu = 2 n1 n0 / n + 1,
+        var = 2 n1 n0 (2 n1 n0 - n) / (n^2 (n - 1)),
+        z  = (R - mu) / sqrt(var)      (|z| > 1.96: non-random)
+
+    Exactness: the median is the DOUBLED integer dmed = v(ceil(n/2))
+    + v(floor(n/2)+1) off the per-group volume-value histogram (the
+    brown_forsythe rule — even-n averaging never leaves the
+    integers; labels compare 2y vs dmed), R / n1 / n0 are exact
+    BIGINTs from one lag window over the day table, and z is ONE
+    closed float expression of them — replayable by any SQL engine,
+    identical at any parallelism.
+
+    Scale shape: one raw scan into (group, day) counts; histogram
+    rollup over distinct volume values; one day-table lag window.
+    Days with no rows are not zero-filled (the volume_trend
+    convention). Output: (group, n_days, n_above, n_below, runs, z,
+    nonrandom); z NULL when either side is empty or var = 0."""
+    daily = (
+        df.groupBy(
+            group_col,
+            F.datediff(F.to_date(ts_col), F.lit("1970-01-01"))
+            .cast("bigint")
+            .alias("x"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("y"))
+        # feeds the histogram AND the labeled sequence — scan once
+        .localCheckpoint(eager=True)
+    )
+    hist = daily.groupBy(group_col, "y").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    wv = (
+        W.partitionBy(group_col)
+        .orderBy("y")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    cum = hist.select(
+        group_col,
+        "y",
+        F.sum("c").over(wv).alias("__cum"),
+        (F.sum("c").over(wv) - F.col("c")).alias("__prev"),
+    )
+    tot = daily.groupBy(group_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("__nd")
+    )
+    ranks = tot.select(
+        group_col,
+        "__nd",
+        F.expr("(__nd + 1) DIV 2").alias("__rlo"),
+        F.expr("__nd DIV 2 + 1").alias("__rhi"),
+    )
+    med = (
+        cum.join(ranks, group_col)
+        .groupBy(group_col, "__nd")
+        .agg(
+            (
+                F.min(
+                    F.when(
+                        (F.col("__cum") >= F.col("__rlo"))
+                        & (F.col("__prev") < F.col("__rlo")),
+                        F.col("y"),
+                    )
+                )
+                + F.min(
+                    F.when(
+                        (F.col("__cum") >= F.col("__rhi"))
+                        & (F.col("__prev") < F.col("__rhi")),
+                        F.col("y"),
+                    )
+                )
+            ).alias("__dmed")
+        )
+    )
+    dy = F.lit(2).cast("bigint") * F.col("y")
+    seq = (
+        daily.join(med, group_col)
+        .where(dy != F.col("__dmed"))
+        .select(
+            group_col,
+            "__nd",
+            "x",
+            (dy > F.col("__dmed")).cast("bigint").alias("b"),
+        )
+    )
+    wd = W.partitionBy(group_col).orderBy("x")
+    lab = seq.select(
+        group_col,
+        "__nd",
+        "b",
+        F.lag("b").over(wd).alias("__pb"),
+    )
+    g = lab.groupBy(group_col).agg(
+        F.max("__nd").alias("__ndays"),
+        F.sum("b").alias("__n1"),
+        F.sum(F.lit(1) - F.col("b")).alias("__n0"),
+        F.sum(
+            F.when(
+                F.col("__pb").isNull()
+                | (F.col("b") != F.col("__pb")),
+                1,
+            ).otherwise(0)
+        ).cast("bigint").alias("__r"),
+    )
+    n1 = F.col("__n1").cast("double")
+    n0 = F.col("__n0").cast("double")
+    n = n1 + n0
+    mu = F.lit(2.0) * n1 * n0 / n + F.lit(1.0)
+    var = (
+        F.lit(2.0)
+        * n1
+        * n0
+        * (F.lit(2.0) * n1 * n0 - n)
+        / (n * n * (n - F.lit(1.0)))
+    )
+    z = (F.col("__r").cast("double") - mu) / F.sqrt(var)
+    ok = (F.col("__n1") > 0) & (F.col("__n0") > 0) & (var > 0)
+    out = (
+        tot.join(g, group_col, "left")
+        .select(
+            group_col,
+            F.col("__nd").alias("n_days"),
+            F.col("__n1").alias("n_above"),
+            F.col("__n0").alias("n_below"),
+            F.col("__r").alias("runs"),
+            F.when(ok, z).alias("z"),
+            F.when(ok, F.abs(z) > F.lit(1.959963984540054)).alias(
+                "nonrandom"
+            ),
+        )
+    )
+    return out

@@ -2009,3 +2009,81 @@ def test_pettitt_constant_and_degenerate(spark):
     # single day: NULL statistics but the group row survives
     r = volume_pettitt(_daily_df(spark, [5]), "g").collect()[0]
     assert r.n_days == 1 and r.k_stat is None and r.p_value is None
+
+
+# ---------------------------------------------------------------------------
+# volume_runs_test
+# ---------------------------------------------------------------------------
+
+def _runs_bruteforce(counts):
+    """Literal runs test: doubled-median labels, drop equals, count
+    maximal runs, closed-form z in plain floats."""
+    import math
+
+    s = sorted(counts)
+    n = len(counts)
+    dmed = s[(n + 1) // 2 - 1] + s[n // 2]
+    labs = [2 * c > dmed for c in counts if 2 * c != dmed]
+    n1 = sum(labs)
+    n0 = len(labs) - n1
+    if n1 == 0 or n0 == 0:
+        return n1, n0, None, None
+    r = 1 + sum(
+        1 for a, b in zip(labs, labs[1:]) if a != b
+    )
+    nn = float(n1 + n0)
+    mu = 2.0 * n1 * n0 / nn + 1.0
+    var = (
+        2.0 * n1 * n0 * (2.0 * n1 * n0 - nn)
+        / (nn * nn * (nn - 1.0))
+    )
+    if var <= 0:
+        return n1, n0, r, None
+    return n1, n0, r, (r - mu) / math.sqrt(var)
+
+
+def test_runs_alternating_and_clumped(spark):
+    from protosc_spark.windows import volume_runs_test
+
+    # perfect alternation: maximal runs, z >> 1.96
+    alt = [10, 30] * 10
+    r = volume_runs_test(_daily_df(spark, alt), "g").collect()[0]
+    n1, n0, runs, z = _runs_bruteforce(alt)
+    assert (r.n_above, r.n_below, r.runs) == (n1, n0, runs) == (
+        10, 10, 20
+    )
+    assert r.z == z and r.z > 1.96 and r.nonrandom is True
+
+    # one clean step: 2 runs, z << -1.96
+    step = [10] * 10 + [30] * 10
+    r = volume_runs_test(_daily_df(spark, step), "g").collect()[0]
+    n1, n0, runs, z = _runs_bruteforce(step)
+    assert r.runs == runs == 2
+    assert r.z == z and r.z < -1.96 and r.nonrandom is True
+
+
+def test_runs_matches_bruteforce_with_median_ties(spark):
+    import random
+
+    from protosc_spark.windows import volume_runs_test
+
+    rng = random.Random(11)
+    counts = [rng.randint(5, 9) for _ in range(25)]  # many ties
+    r = volume_runs_test(_daily_df(spark, counts), "g").collect()[0]
+    n1, n0, runs, z = _runs_bruteforce(counts)
+    assert (r.n_above, r.n_below, r.runs) == (n1, n0, runs)
+    assert r.z == z  # identical float trees
+    # median-equal days really are dropped
+    assert r.n_above + r.n_below < r.n_days
+
+
+def test_runs_degenerate_one_side_empty(spark):
+    from protosc_spark.windows import volume_runs_test
+
+    # 3 equal + 1 high: everything at/below the median band drops
+    # or lands on one side -> NULL z, row survives
+    r = volume_runs_test(
+        _daily_df(spark, [5, 5, 5, 7]), "g"
+    ).collect()[0]
+    assert r.z is None and r.nonrandom is None
+    assert r.n_days == 4
