@@ -1181,6 +1181,33 @@ def _corpus_drift_cvm(spark, sf_dir):
     )
 
 
+def _corpus_jt_trend(spark, sf_dir):
+    """Jonckheere-Terpstra ordered-trend test: is the whitespace
+    count stochastically INCREASING across n_chars DIV 200 length
+    bins (a positive control with real tie mass)? Doubled-JT cell
+    join over the (bin, value) histogram, quadrupled E, Lehmann
+    tie-corrected variance from exact integer aggregates. DuckDB
+    oracle replays the histogram join, every bracketed sum and the
+    identical float tree."""
+    from protosc_spark.evaluation import jonckheere_terpstra
+
+    docs = _read(spark, sf_dir, "documents").select(
+        F.expr("n_chars DIV 200").alias("len_bin"),
+        F.expr(
+            "length(text) - length(replace(text, ' ', ''))"
+        ).alias("spaces"),
+    )
+    t = jonckheere_terpstra(docs, "spaces", "len_bin")
+    return t.select(
+        "n",
+        "k",
+        "jt2",
+        F.round("z", 6).alias("z"),
+        "significant",
+        "direction",
+    )
+
+
 def _events_runs_test(spark, sf_dir):
     """Wald-Wolfowitz runs test of daily volume around its median
     per event type — the randomness audit beside the ACF (clumping
@@ -3991,6 +4018,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     full-surface green regardless of this ordering."""
     return {
         # --- round 5 ---
+        "corpus_jt_trend": _corpus_jt_trend,
         "events_runs_test": _events_runs_test,
         "events_pettitt": _events_pettitt,
         "corpus_brown_forsythe": _corpus_brown_forsythe,
@@ -4294,6 +4322,65 @@ def oracle_sql() -> dict[str, str]:
         for t in POISSON1_T60
     )
     out = {
+        "corpus_jt_trend": """
+            WITH rws AS (
+              SELECT n_chars // 200 AS g,
+                     (length(text)
+                      - length(replace(text, ' ', '')))::BIGINT
+                       AS v
+              FROM documents
+              WHERE n_chars IS NOT NULL AND text IS NOT NULL
+            ), hist AS (
+              SELECT g, v, count(*)::HUGEINT AS c
+              FROM rws GROUP BY 1, 2
+            ), jt AS (
+              SELECT coalesce(sum(a.c * b.c
+                       * (CASE WHEN a.v < b.v THEN 2
+                               WHEN a.v = b.v THEN 1
+                               ELSE 0 END)), 0)::HUGEINT AS jt2
+              FROM hist a JOIN hist b ON a.g < b.g
+            ), ni AS (
+              SELECT g, sum(c)::HUGEINT AS n FROM hist GROUP BY 1
+            ), gs AS (
+              SELECT sum(n) AS N, count(*)::BIGINT AS k,
+                     sum(n * n) AS s2,
+                     sum(n * (n - 1) * (2 * n + 5)) AS sa,
+                     sum(n * (n - 1) * (n - 2)) AS sb,
+                     sum(n * (n - 1)) AS sc
+              FROM ni
+            ), tj AS (
+              SELECT v, sum(c)::HUGEINT AS t FROM hist GROUP BY 1
+            ), tsum AS (
+              SELECT sum(t * (t - 1) * (2 * t + 5)) AS ta,
+                     sum(t * (t - 1) * (t - 2)) AS tb,
+                     sum(t * (t - 1)) AS tc
+              FROM tj
+            ), fin AS (
+              SELECT jt2, N, k,
+                     (N * (N - 1) * (2 * N + 5) - sa - ta)::DOUBLE
+                       / 72.0
+                     + sb::DOUBLE * tb::DOUBLE
+                       / (36.0 * (N * (N - 1) * (N - 2))::DOUBLE)
+                     + sc::DOUBLE * tc::DOUBLE
+                       / (8.0 * (N * (N - 1))::DOUBLE) AS vr,
+                     (2 * jt2 - (N * N - s2))::DOUBLE AS d
+              FROM jt, gs, tsum
+            ), zc AS (
+              SELECT *, d / (4.0 * sqrt(vr)) AS z,
+                     k >= 2 AND N >= 3 AND vr > 0 AS ok
+              FROM fin
+            )
+            SELECT N::BIGINT AS n, k, jt2::BIGINT AS jt2,
+                   CASE WHEN ok THEN round(z, 6) END AS z,
+                   CASE WHEN ok
+                        THEN abs(z) > 1.959963984540054
+                   END AS significant,
+                   CASE WHEN ok AND abs(z) > 1.959963984540054
+                        THEN CASE WHEN z > 0 THEN 'increasing'
+                             ELSE 'decreasing' END
+                   END AS direction
+            FROM zc
+        """,
         "events_runs_test": """
             WITH daily AS (
               SELECT event_type AS g,

@@ -181,6 +181,7 @@ HEADLINE = [
     "corpus_brown_forsythe",
     "events_pettitt",
     "events_runs_test",
+    "corpus_jt_trend",
 ]
 
 BENCH_CONVERSATIONS = int(os.environ.get("PROTOSC_BENCH_CONVS", "20000"))

@@ -1406,3 +1406,101 @@ def test_brown_forsythe_homogeneous_and_degenerate(spark):
         _mk_groups(spark, [[5] * 4, [9] * 6]), "x", "g"
     ).collect()[0]
     assert r.f_stat is None
+
+
+# ---------------------------------------------------------------------------
+# jonckheere_terpstra
+# ---------------------------------------------------------------------------
+
+def _jt_ref(groups):
+    """Literal JT from the definition + Lehmann tie-corrected var,
+    in plain Python ints/floats."""
+    import math
+    from collections import Counter
+
+    jt2 = 0
+    for i in range(len(groups)):
+        for j in range(i + 1, len(groups)):
+            for x in groups[i]:
+                for y in groups[j]:
+                    jt2 += 2 if x < y else (1 if x == y else 0)
+    ns = [len(g) for g in groups]
+    N = sum(ns)
+    ties = Counter(v for g in groups for v in g)
+    sa = sum(n * (n - 1) * (2 * n + 5) for n in ns)
+    sb = sum(n * (n - 1) * (n - 2) for n in ns)
+    sc = sum(n * (n - 1) for n in ns)
+    ta = sum(t * (t - 1) * (2 * t + 5) for t in ties.values())
+    tb = sum(t * (t - 1) * (t - 2) for t in ties.values())
+    tc = sum(t * (t - 1) for t in ties.values())
+    var = (
+        float(N * (N - 1) * (2 * N + 5) - sa - ta) / 72.0
+        + float(sb) * float(tb)
+        / (36.0 * float(N * (N - 1) * (N - 2)))
+        + float(sc) * float(tc) / (8.0 * float(N * (N - 1)))
+    )
+    if var <= 0:
+        return jt2, None
+    d = float(2 * jt2 - (N * N - sum(n * n for n in ns)))
+    return jt2, d / (4.0 * math.sqrt(var))
+
+
+def test_jt_planted_monotone_trend(spark):
+    from protosc_spark.evaluation import jonckheere_terpstra
+
+    import random
+
+    rng = random.Random(5)
+    groups = [
+        [rng.randint(0, 20) for _ in range(40)],
+        [rng.randint(10, 30) for _ in range(40)],
+        [rng.randint(20, 40) for _ in range(40)],
+    ]
+    df = _mk_groups(spark, groups)
+    r = jonckheere_terpstra(df, "x", "g").collect()[0]
+    jt2, z = _jt_ref(groups)
+    assert r.n == 120 and r.k == 3
+    assert r.jt2 == jt2 and r.z == z
+    assert r.significant is True and r.direction == "increasing"
+
+    # reversed group order flips the sign exactly
+    rev = jonckheere_terpstra(
+        _mk_groups(spark, groups[::-1]), "x", "g"
+    ).collect()[0]
+    assert rev.direction == "decreasing"
+    jt2r, zr = _jt_ref(groups[::-1])
+    assert rev.jt2 == jt2r and rev.z == zr
+
+
+def test_jt_null_case_heavy_ties(spark):
+    from protosc_spark.evaluation import jonckheere_terpstra
+
+    import random
+
+    rng = random.Random(13)
+    # same distribution in every group, tiny support -> massive ties
+    groups = [
+        [rng.randint(0, 3) for _ in range(30)] for _ in range(4)
+    ]
+    r = jonckheere_terpstra(
+        _mk_groups(spark, groups), "x", "g"
+    ).collect()[0]
+    jt2, z = _jt_ref(groups)
+    assert r.jt2 == jt2 and r.z == z
+    assert r.significant is False
+
+
+def test_jt_degenerate(spark):
+    from protosc_spark.evaluation import jonckheere_terpstra
+
+    # one group: no ordered pairs -> NULL z
+    r = jonckheere_terpstra(
+        _mk_groups(spark, [[1, 2, 3]]), "x", "g"
+    ).collect()[0]
+    assert r.jt2 == 0 and r.z is None
+
+    # all values identical: var = 0 -> NULL z
+    r = jonckheere_terpstra(
+        _mk_groups(spark, [[7] * 5, [7] * 5]), "x", "g"
+    ).collect()[0]
+    assert r.z is None and r.direction is None
