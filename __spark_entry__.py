@@ -1181,6 +1181,25 @@ def _corpus_drift_cvm(spark, sf_dir):
     )
 
 
+def _corpus_theil_u(spark, sf_dir):
+    """Theil's U between lang and source in BOTH directions — the
+    asymmetric association readout (nmi is symmetric and hides
+    which way the determinism runs). Same quantized-units core as
+    corpus_mutual_info; DuckDB oracle replays cells, marginals, the
+    1e-15-nat quantization and both entropy ratios."""
+    from protosc_spark.evaluation import theil_u
+
+    docs = _read_wide(spark, sf_dir, "documents")
+    return theil_u(docs, "lang", "source").select(
+        "n",
+        F.round("mi", 6).alias("mi"),
+        F.round("h_a", 6).alias("h_a"),
+        F.round("h_b", 6).alias("h_b"),
+        F.round("u_a_given_b", 6).alias("u_a_given_b"),
+        F.round("u_b_given_a", 6).alias("u_b_given_a"),
+    )
+
+
 def _corpus_jt_trend(spark, sf_dir):
     """Jonckheere-Terpstra ordered-trend test: is the whitespace
     count stochastically INCREASING across n_chars DIV 200 length
@@ -4018,6 +4037,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     full-surface green regardless of this ordering."""
     return {
         # --- round 5 ---
+        "corpus_theil_u": _corpus_theil_u,
         "corpus_jt_trend": _corpus_jt_trend,
         "events_runs_test": _events_runs_test,
         "events_pettitt": _events_pettitt,
@@ -4322,6 +4342,46 @@ def oracle_sql() -> dict[str, str]:
         for t in POISSON1_T60
     )
     out = {
+        "corpus_theil_u": """
+            WITH base AS (
+              SELECT lang AS a, source AS b FROM documents
+              WHERE lang IS NOT NULL AND source IS NOT NULL
+            ), cell AS (
+              SELECT a, b, count(*)::HUGEINT AS n
+              FROM base GROUP BY 1, 2
+            ), ra AS (SELECT a, sum(n) AS ra FROM cell GROUP BY 1),
+            cb AS (SELECT b, sum(n) AS cb FROM cell GROUP BY 1),
+            t AS (SELECT sum(n) AS t FROM cell),
+            mi AS (
+              SELECT sum(floor((n::DOUBLE / t)
+                         * ln((n * t)::DOUBLE / (ra * cb)::DOUBLE)
+                         * 1e15)::HUGEINT) AS u
+              FROM cell JOIN ra USING (a) JOIN cb USING (b), t
+            ), ha AS (
+              SELECT sum(floor(-((ra::DOUBLE / t)
+                                 * ln(ra::DOUBLE / t))
+                               * 1e15)::HUGEINT) AS u
+              FROM ra, t
+            ), hb AS (
+              SELECT sum(floor(-((cb::DOUBLE / t)
+                                 * ln(cb::DOUBLE / t))
+                               * 1e15)::HUGEINT) AS u
+              FROM cb, t
+            )
+            SELECT t::BIGINT AS n,
+                   round(mi.u::DOUBLE / 1e15, 6) AS mi,
+                   round(ha.u::DOUBLE / 1e15, 6) AS h_a,
+                   round(hb.u::DOUBLE / 1e15, 6) AS h_b,
+                   CASE WHEN ha.u > 0
+                        THEN round((mi.u::DOUBLE / 1e15)
+                                   / (ha.u::DOUBLE / 1e15), 6)
+                   END AS u_a_given_b,
+                   CASE WHEN hb.u > 0
+                        THEN round((mi.u::DOUBLE / 1e15)
+                                   / (hb.u::DOUBLE / 1e15), 6)
+                   END AS u_b_given_a
+            FROM t, mi, ha, hb
+        """,
         "corpus_jt_trend": """
             WITH rws AS (
               SELECT n_chars // 200 AS g,

@@ -182,6 +182,7 @@ HEADLINE = [
     "events_pettitt",
     "events_runs_test",
     "corpus_jt_trend",
+    "corpus_theil_u",
 ]
 
 BENCH_CONVERSATIONS = int(os.environ.get("PROTOSC_BENCH_CONVS", "20000"))

@@ -281,8 +281,8 @@ def cohens_kappa(df: DataFrame, a_col: str, b_col: str) -> DataFrame:
     )
 
 
-def mutual_information(df: DataFrame, a_col: str, b_col: str,
-                       unit: int = 10**15) -> DataFrame:
+def _mi_core(df: DataFrame, a_col: str, b_col: str,
+             unit: int) -> DataFrame:
     """Mutual information (nats) between two categorical columns —
     the feature-selection signal for categorical features that
     chi-square (stats.calc_chisquare) gives for numeric ones — plus
@@ -301,8 +301,9 @@ def mutual_information(df: DataFrame, a_col: str, b_col: str,
     Scale shape: one groupBy(a, b) confusion aggregation with
     map-side combine; marginals, N and all term arithmetic run on
     the category-squared-sized table. Rows with NULL in either
-    column are dropped. Output: one row
-    (n, mi, h_a, h_b, nmi) — nmi NULL when either entropy is 0."""
+    column are dropped. Returns the joined ONE-ROW units table
+    (__t, __mi_u, __ha, __hb) that :func:`mutual_information` and
+    :func:`theil_u` project."""
     dec = "decimal(38,0)"
     cell = (
         df.where(F.col(a_col).isNotNull() & F.col(b_col).isNotNull())
@@ -345,12 +346,24 @@ def mutual_information(df: DataFrame, a_col: str, b_col: str,
 
     ha_u = _entropy_units(ra, "__ra")
     hb_u = _entropy_units(cb, "__cb")
-    u = F.lit(float(unit))
-    mi = F.col("__mi_u").cast("double") / u
     return (
         tot.crossJoin(F.broadcast(mi_units))
         .crossJoin(F.broadcast(ha_u.withColumnRenamed("__h_u", "__ha")))
         .crossJoin(F.broadcast(hb_u.withColumnRenamed("__h_u", "__hb")))
+    )
+
+
+def mutual_information(df: DataFrame, a_col: str, b_col: str,
+                       unit: int = 10**15) -> DataFrame:
+    """Mutual information (nats) + marginal entropies + normalized
+    MI between two categoricals — the projection of :func:`_mi_core`
+    (see its docstring for the quantized-units determinism contract
+    and scale shape). Output: one row (n, mi, h_a, h_b, nmi); nmi
+    NULL when either entropy is 0."""
+    u = F.lit(float(unit))
+    mi = F.col("__mi_u").cast("double") / u
+    return (
+        _mi_core(df, a_col, b_col, unit)
         .select(
             F.col("__t").cast("bigint").alias("n"),
             mi.alias("mi"),
@@ -364,6 +377,41 @@ def mutual_information(df: DataFrame, a_col: str, b_col: str,
                     * (F.col("__hb").cast("double") / u)
                 ),
             ).alias("nmi"),
+        )
+    )
+
+
+def theil_u(df: DataFrame, a_col: str, b_col: str,
+            unit: int = 10**15) -> DataFrame:
+    """Theil's U (uncertainty coefficient) in BOTH directions — the
+    ASYMMETRIC association readout the symmetric nmi cannot give:
+    u_a_given_b = MI / H(a) is the fraction of a's uncertainty
+    removed by knowing b (and vice versa), so a near-deterministic
+    mapping source -> lang shows up as u_lang_given_a ~ 1 even when
+    lang says little about source. Same quantized-units core as
+    :func:`mutual_information` (:func:`_mi_core` — exact integer
+    cell counts, per-cell terms floored to 1/``unit`` nats before
+    the cross-cell integer sum), so both engines replay it
+    digit-for-digit. Output: one row (n, mi, h_a, h_b,
+    u_a_given_b, u_b_given_a); a direction is NULL when its
+    denominator entropy is 0."""
+    u = F.lit(float(unit))
+    mi = F.col("__mi_u").cast("double") / u
+    ha = F.col("__ha").cast("double") / u
+    hb = F.col("__hb").cast("double") / u
+    return (
+        _mi_core(df, a_col, b_col, unit)
+        .select(
+            F.col("__t").cast("bigint").alias("n"),
+            mi.alias("mi"),
+            ha.alias("h_a"),
+            hb.alias("h_b"),
+            F.when(F.col("__ha") > 0, mi / ha).alias(
+                "u_a_given_b"
+            ),
+            F.when(F.col("__hb") > 0, mi / hb).alias(
+                "u_b_given_a"
+            ),
         )
     )
 

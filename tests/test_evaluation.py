@@ -1504,3 +1504,48 @@ def test_jt_degenerate(spark):
         _mk_groups(spark, [[7] * 5, [7] * 5]), "x", "g"
     ).collect()[0]
     assert r.z is None and r.direction is None
+
+
+# ---------------------------------------------------------------------------
+# theil_u
+# ---------------------------------------------------------------------------
+
+def test_theil_u_directionality(spark):
+    """a -> b deterministic but b -> a not: U(b|a) = 1 exactly,
+    U(a|b) < 1, and both equal the literal entropy-ratio replay."""
+    import math
+    from collections import Counter
+
+    from protosc_spark.evaluation import theil_u
+
+    # b is a function of a (parity); a is NOT recoverable from b
+    pairs = [(i % 4, i % 2) for i in range(40)] + [(0, 0)] * 5
+    df = spark.createDataFrame(pairs, "a int, b int")
+    r = theil_u(df, "a", "b").collect()[0]
+
+    def h(xs):
+        n = len(xs)
+        return -sum(
+            c / n * math.log(c / n) for c in Counter(xs).values()
+        )
+
+    a = [p[0] for p in pairs]
+    b = [p[1] for p in pairs]
+    mi = h(a) + h(b) - h(pairs)
+    assert abs(r.mi - mi) < 1e-9
+    # b | a deterministic: knowing a removes ALL of b's uncertainty
+    assert abs(r.u_b_given_a - 1.0) < 1e-9
+    assert abs(r.u_a_given_b - mi / h(a)) < 1e-9
+    assert r.u_a_given_b < 0.999
+
+
+def test_theil_u_degenerate_constant(spark):
+    from protosc_spark.evaluation import theil_u
+
+    df = spark.createDataFrame(
+        [(1, x) for x in (1, 2, 3, 4)], "a int, b int"
+    )
+    r = theil_u(df, "a", "b").collect()[0]
+    # H(a) = 0: that direction abstains, the other is defined
+    assert r.u_a_given_b is None
+    assert r.u_b_given_a is not None and abs(r.u_b_given_a) < 1e-9
