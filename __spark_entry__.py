@@ -1181,6 +1181,32 @@ def _corpus_drift_cvm(spark, sf_dir):
     )
 
 
+def _events_benford(spark, sf_dir):
+    """Benford first-digit audit of per-user event counts per event
+    type — the fabricated/truncated-data screen. First digit off
+    the integer's decimal string (no float log10 at power-of-ten
+    boundaries), absent digits pay (0-e)^2/e on the exploded
+    9-digit dimension, per-digit terms quantized before the sum,
+    df=8 closed-form p. DuckDB oracle replays the per-user counts,
+    the digit dimension, the quantization and the p tree."""
+    from protosc_spark.evaluation import benford_audit
+
+    ev = _read(spark, sf_dir, "events").select(
+        "event_type", "user_id"
+    )
+    per = ev.groupBy("event_type", "user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("v")
+    )
+    t = benford_audit(per, "v", "event_type")
+    return t.select(
+        "event_type",
+        "n",
+        F.round("chi2", 6).alias("chi2"),
+        F.round("p_value", 6).alias("p_value"),
+        "deviates",
+    ).orderBy("event_type")
+
+
 def _corpus_theil_u(spark, sf_dir):
     """Theil's U between lang and source in BOTH directions — the
     asymmetric association readout (nmi is symmetric and hides
@@ -4037,6 +4063,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     full-surface green regardless of this ordering."""
     return {
         # --- round 5 ---
+        "events_benford": _events_benford,
         "corpus_theil_u": _corpus_theil_u,
         "corpus_jt_trend": _corpus_jt_trend,
         "events_runs_test": _events_runs_test,
@@ -4342,6 +4369,54 @@ def oracle_sql() -> dict[str, str]:
         for t in POISSON1_T60
     )
     out = {
+        "events_benford": """
+            WITH per AS (
+              SELECT event_type AS g, user_id,
+                     count(*)::BIGINT AS v
+              FROM events GROUP BY 1, 2
+            ), rws AS (
+              SELECT g, substring(v::VARCHAR, 1, 1)::INT AS d
+              FROM per WHERE v >= 1
+            ), obs AS (
+              SELECT g, d, count(*)::BIGINT AS o
+              FROM rws GROUP BY 1, 2
+            ), tot AS (
+              SELECT g, sum(o)::BIGINT AS n FROM obs GROUP BY 1
+            ), dim AS (
+              SELECT g, n, t.d::INT AS d
+              FROM tot, range(1, 10) t(d)
+            ), filled AS (
+              SELECT dim.g, dim.n, dim.d,
+                     coalesce(obs.o, 0)::BIGINT AS o
+              FROM dim LEFT JOIN obs
+                ON dim.g = obs.g AND dim.d = obs.d
+            ), ee AS (
+              SELECT g, n, o,
+                     n::DOUBLE * (ln(1.0 + 1.0 / d::DOUBLE)
+                                  / ln(10.0)) AS e
+              FROM filled
+            ), agg AS (
+              SELECT g, max(n) AS n,
+                     sum(floor((o::DOUBLE - e) * (o::DOUBLE - e)
+                               / e * 1000000000.0)::HUGEINT) AS cu
+              FROM ee GROUP BY 1
+            ), fin AS (
+              SELECT g, n, cu::DOUBLE / 1000000000.0 AS chi2,
+                     cu::DOUBLE / 1000000000.0 / 2.0 AS h
+              FROM agg
+            )
+            SELECT g AS event_type, n,
+                   CASE WHEN n > 0 THEN round(chi2, 6) END AS chi2,
+                   CASE WHEN n > 0 THEN round(
+                     exp(-h) * (1.0 + h + h * h / 2.0
+                                + h * h * h / 6.0), 6)
+                   END AS p_value,
+                   CASE WHEN n > 0 THEN
+                     exp(-h) * (1.0 + h + h * h / 2.0
+                                + h * h * h / 6.0) < 0.05
+                   END AS deviates
+            FROM fin ORDER BY event_type
+        """,
         "corpus_theil_u": """
             WITH base AS (
               SELECT lang AS a, source AS b FROM documents

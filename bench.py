@@ -183,6 +183,7 @@ HEADLINE = [
     "events_runs_test",
     "corpus_jt_trend",
     "corpus_theil_u",
+    "events_benford",
 ]
 
 BENCH_CONVERSATIONS = int(os.environ.get("PROTOSC_BENCH_CONVS", "20000"))

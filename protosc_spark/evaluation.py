@@ -2076,3 +2076,88 @@ def jonckheere_terpstra(
             ),
         ).alias("direction"),
     )
+
+
+def benford_audit(
+    df: DataFrame,
+    value_col: str,
+    group_col: str | None = None,
+    unit: int = 10**9,
+) -> DataFrame:
+    """Benford first-digit audit per slice — the classic fabricated-
+    or-truncated-data screen for positive count/amount columns: the
+    observed first-digit histogram is chi-square-tested against
+    Benford's law p_d = log10(1 + 1/d), d = 1..9.
+
+    Exactness: the first digit is taken off the DECIMAL STRING of
+    the integer value (no float log10 near power-of-ten boundaries),
+    observed counts are exact BIGINTs on an exploded 9-digit
+    dimension (absent digits count 0 — they still pay (0-e)^2/e),
+    each digit's (o - e)^2 / e term is quantized to integer
+    1/``unit`` units BEFORE the 9-term sum (house rule), and the
+    p-value uses the df=8 closed form
+
+        p = exp(-x/2) (1 + h + h^2/2 + h^3/6),  h = x/2
+
+    (chi-square with even df needs no incomplete gamma) — one float
+    tree, replayable by any SQL engine. Rows with NULL or values
+    < 1 are dropped (Benford is undefined there); n counts used
+    rows.
+
+    Scale shape: one raw scan into (group, digit) counts; the
+    dimension explode and all arithmetic run on 9 x |groups| rows.
+    Output: (group?, n, chi2, p_value, deviates); NULL statistics
+    when n = 0."""
+    dec = "decimal(38,0)"
+    keys = [group_col] if group_col else []
+    v = F.col(value_col).cast("bigint")
+    rows = df.where(v.isNotNull() & (v >= 1)).select(
+        *keys,
+        F.substring(v.cast("string"), 1, 1).cast("int").alias("d"),
+    )
+    obs = rows.groupBy(*keys, "d").agg(
+        F.count(F.lit(1)).cast("bigint").alias("o")
+    )
+    tot = obs.groupBy(*keys).agg(F.sum("o").alias("n"))
+    dim = tot.select(
+        *keys,
+        "n",
+        F.explode(
+            F.array(*[F.lit(i) for i in range(1, 10)])
+        ).alias("d"),
+    )
+    full = dim.join(obs, keys + ["d"], "left").select(
+        *keys,
+        "n",
+        "d",
+        F.coalesce(F.col("o"), F.lit(0)).cast("bigint").alias("o"),
+    )
+    nd = F.col("n").cast("double")
+    dd = F.col("d").cast("double")
+    e = nd * (
+        F.log(F.lit(1.0) + F.lit(1.0) / dd) / F.log(F.lit(10.0))
+    )
+    diff = F.col("o").cast("double") - e
+    term = diff * diff / e
+    g = full.groupBy(*keys).agg(
+        F.max("n").alias("n"),
+        F.sum(
+            F.floor(term * F.lit(float(unit))).cast(dec)
+        ).alias("__cu"),
+    )
+    chi2 = F.col("__cu").cast("double") / F.lit(float(unit))
+    h = chi2 / F.lit(2.0)
+    p = F.exp(-h) * (
+        F.lit(1.0)
+        + h
+        + h * h / F.lit(2.0)
+        + h * h * h / F.lit(6.0)
+    )
+    ok = F.col("n") > 0
+    return g.select(
+        *keys,
+        F.col("n").cast("bigint").alias("n"),
+        F.when(ok, chi2).alias("chi2"),
+        F.when(ok, p).alias("p_value"),
+        F.when(ok, p < F.lit(0.05)).alias("deviates"),
+    )

@@ -1549,3 +1549,92 @@ def test_theil_u_degenerate_constant(spark):
     # H(a) = 0: that direction abstains, the other is defined
     assert r.u_a_given_b is None
     assert r.u_b_given_a is not None and abs(r.u_b_given_a) < 1e-9
+
+
+# ---------------------------------------------------------------------------
+# benford_audit
+# ---------------------------------------------------------------------------
+
+def _benford_ref(values, unit=10**9):
+    """Digit-for-digit replay: string first digit, quantized
+    per-digit terms, df=8 closed-form p."""
+    import math
+    from collections import Counter
+
+    obs = Counter(
+        int(str(v)[0]) for v in values if v is not None and v >= 1
+    )
+    n = sum(obs.values())
+    if n == 0:
+        return 0, None, None
+    cu = 0
+    for d in range(1, 10):
+        e = float(n) * (
+            math.log(1.0 + 1.0 / float(d)) / math.log(10.0)
+        )
+        diff = float(obs.get(d, 0)) - e
+        cu += math.floor(diff * diff / e * float(unit))
+    chi2 = float(cu) / float(unit)
+    h = chi2 / 2.0
+    p = math.exp(-h) * (
+        1.0 + h + h * h / 2.0 + h * h * h / 6.0
+    )
+    return n, chi2, p
+
+
+def _mk_vals(spark, values):
+    return spark.createDataFrame([(v,) for v in values], "v long")
+
+
+def test_benford_conforming_sample(spark):
+    import math
+
+    from protosc_spark.evaluation import benford_audit
+
+    # counts proportional to Benford: chi2 tiny, no deviation flag
+    values = []
+    for d in range(1, 10):
+        c = round(1000 * math.log10(1 + 1 / d))
+        values += [d * 10] * c
+    r = benford_audit(_mk_vals(spark, values), "v").collect()[0]
+    n, chi2, p = _benford_ref(values)
+    assert r.n == n and r.chi2 == chi2 and r.p_value == p
+    assert r.deviates is False and r.p_value > 0.5
+
+
+def test_benford_uniform_digits_deviate(spark):
+    from protosc_spark.evaluation import benford_audit
+
+    values = [d * 100 + 7 for d in range(1, 10) for _ in range(50)]
+    r = benford_audit(_mk_vals(spark, values), "v").collect()[0]
+    n, chi2, p = _benford_ref(values)
+    assert r.chi2 == chi2 and r.p_value == p
+    assert r.deviates is True and r.p_value < 1e-6
+
+
+def test_benford_missing_digits_and_filters(spark):
+    from protosc_spark.evaluation import benford_audit
+
+    # all mass on digit 1, plus rows that must be dropped
+    values = [1, 10, 11, 19, 100, 150, 199, 0, -5, None]
+    r = benford_audit(_mk_vals(spark, values), "v").collect()[0]
+    n, chi2, p = _benford_ref(values)
+    assert r.n == n == 7
+    assert r.chi2 == chi2 and r.p_value == p
+    # absent digits 2..9 still contribute (0 - e)^2 / e = e
+    assert r.chi2 > 0
+
+
+def test_benford_grouped(spark):
+    from protosc_spark.evaluation import benford_audit
+
+    rows = [("a", 1), ("a", 12), ("a", 13), ("b", 9), ("b", 95)]
+    df = spark.createDataFrame(rows, "g string, v long")
+    out = {
+        r.g: r
+        for r in benford_audit(df, "v", "g").collect()
+    }
+    na, ca, pa = _benford_ref([1, 12, 13])
+    nb, cb, pb = _benford_ref([9, 95])
+    assert out["a"].n == na and out["a"].chi2 == ca
+    assert out["b"].n == nb and out["b"].p_value == pb
