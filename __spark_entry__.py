@@ -1181,6 +1181,40 @@ def _corpus_drift_cvm(spark, sf_dir):
     )
 
 
+def _events_hurst(spark, sf_dir):
+    """Hurst exponent (rescaled-range) of daily volume per event
+    type — long-memory audit beside the ACF. Real types span 30
+    days (one dyadic size -> NULL hurst, pinning the abstention
+    path); a deterministic 128-day pseudo-noise series
+    (y = 10 + 37d mod 23) is planted so the 4-size regression path
+    is exercised. Exact scaled-deviation walks, quantized per-block
+    ln(R/S); DuckDB oracle replays blocks, walks, both
+    quantizations and the OLS."""
+    import datetime as dt
+
+    from protosc_spark.windows import volume_hurst
+
+    ev = _read(spark, sf_dir, "events").select("event_type", "ts")
+    rows = []
+    for d in range(128):
+        ts = (
+            dt.datetime(1970, 1, 1) + dt.timedelta(days=d)
+        ).strftime("%Y-%m-%d 00:00:00")
+        rows += [("planted", ts)] * (10 + (d * 37) % 23)
+    planted = spark.createDataFrame(
+        rows, "event_type string, ts_s string"
+    ).select(
+        "event_type", F.col("ts_s").cast("timestamp").alias("ts")
+    )
+    t = volume_hurst(ev.unionByName(planted), "event_type")
+    return t.select(
+        "event_type",
+        "n_days",
+        "n_sizes",
+        F.round("hurst", 6).alias("hurst"),
+    ).orderBy("event_type")
+
+
 def _events_benford(spark, sf_dir):
     """Benford first-digit audit of per-user event counts per event
     type — the fabricated/truncated-data screen. First digit off
@@ -4063,6 +4097,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     full-surface green regardless of this ordering."""
     return {
         # --- round 5 ---
+        "events_hurst": _events_hurst,
         "events_benford": _events_benford,
         "corpus_theil_u": _corpus_theil_u,
         "corpus_jt_trend": _corpus_jt_trend,
@@ -4369,6 +4404,77 @@ def oracle_sql() -> dict[str, str]:
         for t in POISSON1_T60
     )
     out = {
+        "events_hurst": """
+            WITH daily AS (
+              SELECT event_type AS g,
+                     (ts::DATE - DATE '1970-01-01')::BIGINT AS x,
+                     count(*)::BIGINT AS y
+              FROM events GROUP BY 1, 2
+              UNION ALL
+              SELECT 'planted', d::BIGINT,
+                     (10 + (d * 37) % 23)::BIGINT
+              FROM range(128) tt(d)
+            ), seq AS (
+              SELECT g, y,
+                     row_number() OVER (PARTITION BY g
+                       ORDER BY x)::BIGINT AS rn
+              FROM daily
+            ), tot AS (
+              SELECT g, max(rn) AS t FROM seq GROUP BY 1
+            ), sizes AS (
+              SELECT g, t,
+                     (8 * (1::BIGINT << jj.j))::BIGINT AS m
+              FROM tot, range(0, 41) jj(j)
+              WHERE (8 * (1::BIGINT << jj.j)) * 2 <= t
+            ), blk AS (
+              SELECT seq.g, m, (rn - 1) // m AS b, rn, y, t
+              FROM seq JOIN sizes ON seq.g = sizes.g
+              WHERE (rn - 1) // m < t // m
+            ), dd AS (
+              SELECT g, m, b, rn,
+                     m * y - sum(y) OVER (PARTITION BY g, m, b)
+                       AS d
+              FROM blk
+            ), walked AS (
+              SELECT g, m, b, d,
+                     sum(d) OVER (PARTITION BY g, m, b ORDER BY rn
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND CURRENT ROW) AS w
+              FROM dd
+            ), per_block AS (
+              SELECT g, m, b, max(w) - min(w) AS r,
+                     sum(d::HUGEINT * d::HUGEINT) AS sd2
+              FROM walked GROUP BY 1, 2, 3
+            ), per_size AS (
+              SELECT g, m,
+                     sum(floor(ln(r::DOUBLE * sqrt(m::DOUBLE)
+                                  / sqrt(sd2::DOUBLE))
+                               * 1e12)::HUGEINT) AS ys,
+                     count(*)::BIGINT AS bn
+              FROM per_block WHERE sd2 > 0 GROUP BY 1, 2
+            ), pts AS (
+              SELECT g,
+                     floor(ln(m::DOUBLE) * 1e12)::HUGEINT AS xq,
+                     floor(ys::DOUBLE / bn::DOUBLE
+                           * 1e6)::HUGEINT AS yq
+              FROM per_size
+            ), reg AS (
+              SELECT g, count(*)::HUGEINT AS np,
+                     sum(xq) AS sx, sum(yq) AS sy,
+                     sum(xq * yq) AS sxy, sum(xq * xq) AS sxx
+              FROM pts GROUP BY 1
+            )
+            SELECT tot.g AS event_type, tot.t AS n_days,
+                   coalesce(reg.np, 0)::BIGINT AS n_sizes,
+                   CASE WHEN np >= 2
+                        AND (np * sxx - sx * sx) > 0
+                        THEN round((np * sxy - sx * sy)::DOUBLE
+                                   / (np * sxx - sx * sx)::DOUBLE
+                                   * 1e-6, 6)
+                   END AS hurst
+            FROM tot LEFT JOIN reg ON tot.g = reg.g
+            ORDER BY event_type
+        """,
         "events_benford": """
             WITH per AS (
               SELECT event_type AS g, user_id,

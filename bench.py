@@ -184,6 +184,7 @@ HEADLINE = [
     "corpus_jt_trend",
     "corpus_theil_u",
     "events_benford",
+    "events_hurst",
 ]
 
 BENCH_CONVERSATIONS = int(os.environ.get("PROTOSC_BENCH_CONVS", "20000"))

@@ -2596,3 +2596,165 @@ def volume_runs_test(
         )
     )
     return out
+
+
+def volume_hurst(
+    df: DataFrame,
+    group_col: str,
+    ts_col: str = "ts",
+    min_block: int = 8,
+    unit: int = 10**12,
+) -> DataFrame:
+    """Hurst exponent of the daily-volume series per slice via
+    classical rescaled-range (R/S) analysis — the LONG-MEMORY
+    readout beside the fixed-lag ACF (H ~ 0.5: no memory; H -> 1:
+    persistent trends; H -> 0: mean-reverting), Mandelbrot-Wallis
+    style: for each dyadic block size m (min_block, 2*min_block, ...
+    while at least 2 full blocks fit), split the day-ORDERED series
+    into full blocks and compute
+
+        R/S = (max_j W_j - min_j W_j) / (m * S_block),
+        W_j = sum_{i<=j} (y_i - mean),   H = slope of
+        mean-ln(R/S) against ln(m) over the sizes.
+
+    Exactness, the house way: deviations are scaled by m
+    (d_i = m*y_i - S, exact BIGINT), so the cumulative walk W and
+    its range R_int are exact integers and R/S collapses to
+    R_int * sqrt(m) / sqrt(sum d_i^2) — ONE float expression per
+    block of three exact integers. Per-block ln(R/S) is quantized
+    to integer 1/``unit`` units before the per-size sum; per-size
+    mean-lns are re-quantized (1e6 sub-units) so the final OLS over
+    the handful of size rows runs on exact DECIMAL sums — identical
+    at any parallelism, replayable by any SQL engine. Constant
+    blocks (zero variance) are excluded.
+
+    Scale shape: one raw scan into (group, day) counts; a
+    row-number window per group; the block table is |days| x
+    |sizes| (sizes ~ log2(T), so ~10x the day table, never
+    row-sized); per-block windows, then size rows, then one row per
+    group. Output: (group, n_days, n_sizes, hurst); hurst NULL
+    below 2 usable sizes."""
+    dec = "decimal(38,0)"
+    daily = (
+        df.groupBy(
+            group_col,
+            F.datediff(F.to_date(ts_col), F.lit("1970-01-01"))
+            .cast("bigint")
+            .alias("x"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("y"))
+    )
+    wrn = W.partitionBy(group_col).orderBy("x")
+    seq = daily.select(
+        group_col,
+        "y",
+        F.row_number().over(wrn).cast("bigint").alias("rn"),
+    ).localCheckpoint(eager=True)  # feeds tot AND the size join
+    tot = seq.groupBy(group_col).agg(
+        F.max("rn").alias("__t")
+    )
+    sizes = (
+        tot.select(
+            group_col,
+            "__t",
+            F.explode(F.sequence(F.lit(0), F.lit(40))).alias("j"),
+        )
+        .select(
+            group_col,
+            "__t",
+            (
+                F.lit(int(min_block)).cast("bigint")
+                * F.expr(
+                    "shiftleft(cast(1 as bigint), cast(j as int))"
+                )
+            ).alias("m"),
+        )
+        .where(F.col("m") * 2 <= F.col("__t"))
+    )
+    blk = (
+        seq.join(sizes, group_col)
+        .where(
+            F.expr("(rn - 1) DIV m") < F.expr("__t DIV m")
+        )
+        .select(
+            group_col,
+            "m",
+            F.expr("(rn - 1) DIV m").alias("b"),
+            "rn",
+            "y",
+        )
+    )
+    wb = W.partitionBy(group_col, "m", "b")
+    wc = (
+        W.partitionBy(group_col, "m", "b")
+        .orderBy("rn")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    d = (F.col("m") * F.col("y") - F.sum("y").over(wb)).alias("d")
+    dd = blk.select(group_col, "m", "b", "rn", d)
+    walked = dd.select(
+        group_col,
+        "m",
+        "b",
+        "d",
+        F.sum("d").over(wc).alias("w"),
+    )
+    per_block = walked.groupBy(group_col, "m", "b").agg(
+        (F.max("w") - F.min("w")).alias("__r"),
+        F.sum(
+            F.col("d").cast(dec) * F.col("d").cast(dec)
+        ).alias("__sd2"),
+    )
+    rs = (
+        F.col("__r").cast("double")
+        * F.sqrt(F.col("m").cast("double"))
+        / F.sqrt(F.col("__sd2").cast("double"))
+    )
+    u = F.lit(float(unit))
+    per_size = (
+        per_block.where(F.col("__sd2") > 0)
+        .groupBy(group_col, "m")
+        .agg(
+            F.sum(
+                F.floor(F.log(rs) * u).cast(dec)
+            ).alias("__ys"),
+            F.count(F.lit(1)).cast("bigint").alias("__bn"),
+        )
+    )
+    pts = per_size.select(
+        group_col,
+        F.floor(
+            F.log(F.col("m").cast("double")) * u
+        ).cast(dec).alias("__xq"),
+        F.floor(
+            F.col("__ys").cast("double")
+            / F.col("__bn").cast("double")
+            * F.lit(1e6)
+        ).cast(dec).alias("__yq"),
+    )
+    reg = pts.groupBy(group_col).agg(
+        F.count(F.lit(1)).cast(dec).alias("__np"),
+        F.sum("__xq").alias("__sx"),
+        F.sum("__yq").alias("__sy"),
+        F.sum(F.col("__xq") * F.col("__yq")).alias("__sxy"),
+        F.sum(F.col("__xq") * F.col("__xq")).alias("__sxx"),
+    )
+    den = F.col("__np") * F.col("__sxx") - F.col("__sx") * F.col(
+        "__sx"
+    )
+    num = F.col("__np") * F.col("__sxy") - F.col("__sx") * F.col(
+        "__sy"
+    )
+    hurst = num.cast("double") / den.cast("double") * F.lit(1e-6)
+    ok = (F.col("__np") >= 2) & (den > 0)
+    return (
+        tot.join(reg, group_col, "left")
+        .select(
+            group_col,
+            F.col("__t").alias("n_days"),
+            F.coalesce(
+                F.col("__np").cast("bigint"), F.lit(0)
+            ).alias("n_sizes"),
+            F.when(ok, hurst).alias("hurst"),
+        )
+    )

@@ -2087,3 +2087,119 @@ def test_runs_degenerate_one_side_empty(spark):
     ).collect()[0]
     assert r.z is None and r.nonrandom is None
     assert r.n_days == 4
+
+
+# ---------------------------------------------------------------------------
+# volume_hurst
+# ---------------------------------------------------------------------------
+
+def _long_daily_df(spark, counts, g="g"):
+    """_daily_df for series longer than one month."""
+    import datetime as dt
+
+    rows = []
+    for d, c in enumerate(counts):
+        ts = (
+            dt.datetime(1970, 1, 1) + dt.timedelta(days=d)
+        ).strftime("%Y-%m-%d 00:00:00")
+        rows += [(g, ts)] * c
+    return spark.createDataFrame(
+        rows, "g string, ts_s string"
+    ).select("g", F.col("ts_s").cast("timestamp").alias("ts"))
+
+
+def _hurst_bruteforce(counts, min_block=8, unit=10**12):
+    """Digit-for-digit replay of the quantized R/S pipeline."""
+    import math
+
+    T = len(counts)
+    sizes = []
+    m = min_block
+    while m * 2 <= T:
+        sizes.append(m)
+        m *= 2
+    pts = []
+    for m in sizes:
+        qlns = []
+        for b in range(T // m):
+            ys = counts[b * m:(b + 1) * m]
+            s = sum(ys)
+            dvs = [m * y - s for y in ys]
+            w, walk = 0, []
+            for dv in dvs:
+                w += dv
+                walk.append(w)
+            r = max(walk) - min(walk)
+            sd2 = sum(dv * dv for dv in dvs)
+            if sd2 > 0:
+                rs = (
+                    float(r) * math.sqrt(float(m))
+                    / math.sqrt(float(sd2))
+                )
+                qlns.append(math.floor(math.log(rs) * float(unit)))
+        if qlns:
+            xq = math.floor(math.log(float(m)) * float(unit))
+            yq = math.floor(
+                float(sum(qlns)) / float(len(qlns)) * 1e6
+            )
+            pts.append((xq, yq))
+    if len(pts) < 2:
+        return len(pts), None
+    n = len(pts)
+    sx = sum(x for x, _ in pts)
+    sy = sum(y for _, y in pts)
+    sxy = sum(x * y for x, y in pts)
+    sxx = sum(x * x for x, _ in pts)
+    den = n * sxx - sx * sx
+    if den <= 0:
+        return n, None
+    return n, float(n * sxy - sx * sy) / float(den) * 1e-6
+
+
+def test_hurst_iid_noise_near_half_and_replay(spark):
+    import random
+
+    from protosc_spark.windows import volume_hurst
+
+    rng = random.Random(9)
+    counts = [rng.randint(10, 90) for _ in range(128)]
+    r = volume_hurst(_long_daily_df(spark, counts), "g").collect()[0]
+    n_sizes, href = _hurst_bruteforce(counts)
+    assert r.n_days == 128 and r.n_sizes == n_sizes == 4
+    assert r.hurst == href  # digit-exact replay
+    # iid noise: H around 0.5 (R/S small-sample bias runs high)
+    assert 0.3 < r.hurst < 0.75
+
+
+def test_hurst_persistent_trend_high(spark):
+    from protosc_spark.windows import volume_hurst
+
+    # strong monotone trend: cumulative walk range grows ~ m
+    counts = [10 + 3 * i for i in range(128)]
+    r = volume_hurst(_long_daily_df(spark, counts), "g").collect()[0]
+    n_sizes, href = _hurst_bruteforce(counts)
+    assert r.hurst == href and r.hurst > 0.9
+
+
+def test_hurst_alternating_low(spark):
+    from protosc_spark.windows import volume_hurst
+
+    # perfectly mean-reverting alternation: H near 0
+    counts = [10, 30] * 64
+    r = volume_hurst(_long_daily_df(spark, counts), "g").collect()[0]
+    n_sizes, href = _hurst_bruteforce(counts)
+    assert r.hurst == href and r.hurst < 0.25
+
+
+def test_hurst_degenerate(spark):
+    from protosc_spark.windows import volume_hurst
+
+    # 20 days: only m=8 fits (8*2=16 <= 20 but 16*2=32 > 20)
+    # -> 1 size -> NULL
+    counts = [7 + (i % 3) for i in range(20)]
+    r = volume_hurst(_long_daily_df(spark, counts), "g").collect()[0]
+    assert r.n_sizes == 1 and r.hurst is None
+
+    # constant series: every block excluded -> 0 sizes, NULL
+    r = volume_hurst(_long_daily_df(spark, [5] * 64), "g").collect()[0]
+    assert r.n_sizes == 0 and r.hurst is None
