@@ -1181,6 +1181,25 @@ def _corpus_drift_cvm(spark, sf_dir):
     )
 
 
+def _sim_cronbach_alpha(spark, sf_dir):
+    """Cronbach's alpha of the embedding dimensions per label — the
+    feature-block reliability audit (do the dims covary as one
+    scale?). Quantized-integer per-dim and per-row moments, shared
+    normalization cancelled in the ratio, one float expression.
+    DuckDB oracle replays the quantization and every integer
+    moment."""
+    from protosc_spark.similarity import cronbach_alpha
+
+    emb = _read_wide(spark, sf_dir, "embeddings")
+    t = cronbach_alpha(emb)
+    return t.select(
+        "label",
+        "n",
+        "k_items",
+        F.round("alpha", 6).alias("alpha"),
+    ).orderBy("label")
+
+
 def _events_hurst(spark, sf_dir):
     """Hurst exponent (rescaled-range) of daily volume per event
     type — long-memory audit beside the ACF. Real types span 30
@@ -4097,6 +4116,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     full-surface green regardless of this ordering."""
     return {
         # --- round 5 ---
+        "sim_cronbach_alpha": _sim_cronbach_alpha,
         "events_hurst": _events_hurst,
         "events_benford": _events_benford,
         "corpus_theil_u": _corpus_theil_u,
@@ -4404,6 +4424,44 @@ def oracle_sql() -> dict[str, str]:
         for t in POISSON1_T60
     )
     out = {
+        "sim_cronbach_alpha": """
+            WITH q AS (
+              SELECT label, vec_id AS id,
+                     generate_subscripts(embedding, 1) AS d,
+                     floor(unnest(embedding::DOUBLE[])
+                           * 1000000.0)::HUGEINT AS qx
+              FROM embeddings
+            ), per_dim AS (
+              SELECT label, d, sum(qx) AS s,
+                     sum(qx * qx) AS q
+              FROM q GROUP BY 1, 2
+            ), per_id AS (
+              SELECT label, id, sum(qx) AS t
+              FROM q GROUP BY 1, 2
+            ), tot AS (
+              SELECT label, count(*)::HUGEINT AS n,
+                     sum(t) AS st, sum(t * t) AS qt
+              FROM per_id GROUP BY 1
+            ), sv AS (
+              SELECT per_dim.label,
+                     sum(n * q - s * s) AS sv,
+                     count(*)::BIGINT AS k
+              FROM per_dim JOIN tot
+                ON per_dim.label = tot.label
+              GROUP BY 1
+            )
+            SELECT tot.label AS label, n::BIGINT AS n,
+                   k AS k_items,
+                   CASE WHEN k >= 2 AND n >= 2
+                        AND (n * qt - st * st) > 0
+                        THEN round(
+                          (k::DOUBLE / (k::DOUBLE - 1.0))
+                          * (1.0 - sv.sv::DOUBLE
+                             / (n * qt - st * st)::DOUBLE), 6)
+                   END AS alpha
+            FROM tot JOIN sv ON tot.label = sv.label
+            ORDER BY tot.label
+        """,
         "events_hurst": """
             WITH daily AS (
               SELECT event_type AS g,

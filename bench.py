@@ -185,6 +185,7 @@ HEADLINE = [
     "corpus_theil_u",
     "events_benford",
     "events_hurst",
+    "sim_cronbach_alpha",
 ]
 
 BENCH_CONVERSATIONS = int(os.environ.get("PROTOSC_BENCH_CONVS", "20000"))

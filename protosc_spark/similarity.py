@@ -1564,3 +1564,95 @@ def silhouette_labels(
             / (F.col("n_scored").cast("double") * su),
         ).alias("mean_sil"),
     )
+
+
+def cronbach_alpha(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    group_col: str | None = "label",
+    vec_col: str = "embedding",
+    unit: int = 10**6,
+) -> DataFrame:
+    """Cronbach's alpha internal-consistency of the embedding
+    dimensions per group — the classic reliability readout for a
+    feature block (protosc's feature-matrix world): do the k
+    dimensions covary as ONE scale (alpha -> 1), or are they
+    independent measurements (alpha -> 0, negative when they
+    anti-covary)?
+
+        alpha = k/(k-1) * (1 - sum_d var_d / var_total)
+
+    with var_d the per-dimension variance and var_total the variance
+    of the per-row dimension SUM. Exactness: components are
+    quantized to integer 1/``unit`` units (floor), so per-dimension
+    moments (S_d, Q_d), per-row totals t_i and their moments are all
+    exact DECIMAL(38,0); the shared variance normalization cancels
+    in the ratio, leaving integer V_d = n Q_d - S_d^2 and
+    V_tot = n Q_tot - S_tot^2 and ONE float expression — identical
+    at any parallelism, replayable by any SQL engine. Exactness
+    envelope: n * (dim * unit)^2 * n must stay inside DECIMAL(38) —
+    with unit = 1e6 and dim = 64 that is ~1e11 rows per group;
+    shrink ``unit`` (or slice finer) beyond that.
+
+    Scale shape: posexplode -> (row, dim) rows, one groupBy(group,
+    dim) and one groupBy(group, row) over them (both map-side
+    combined), then |groups| x dim and |groups| rows. Output:
+    (group?, n, k_items, alpha); alpha NULL when k < 2, n < 2 or
+    var_total = 0."""
+    dec = "decimal(38,0)"
+    u = F.lit(float(unit))
+    keys = [group_col] if group_col else []
+    q = emb.select(
+        *keys,
+        F.col(id_col).alias("__id"),
+        F.posexplode(vec_col).alias("__d", "__v"),
+    ).select(
+        *keys,
+        "__id",
+        "__d",
+        F.floor(F.col("__v").cast("double") * u).cast(dec).alias(
+            "__qx"
+        ),
+    ).localCheckpoint(eager=True)  # feeds dim AND row rollups
+    per_dim = q.groupBy(*keys, "__d").agg(
+        F.sum("__qx").alias("__s"),
+        F.sum(F.col("__qx") * F.col("__qx")).alias("__q"),
+    )
+    per_id = q.groupBy(*keys, "__id").agg(
+        F.sum("__qx").alias("__t")
+    )
+    tot = per_id.groupBy(*keys).agg(
+        F.count(F.lit(1)).cast(dec).alias("__n"),
+        F.sum("__t").alias("__st"),
+        F.sum(F.col("__t") * F.col("__t")).alias("__qt"),
+    )
+    dims = (
+        per_dim.join(tot.select(*keys, "__n"), keys or None)
+        if keys
+        else per_dim.crossJoin(F.broadcast(tot.select("__n")))
+    )
+    sv = dims.groupBy(*keys).agg(
+        F.sum(
+            F.col("__n") * F.col("__q") - F.col("__s") * F.col("__s")
+        ).alias("__sv"),
+        F.count(F.lit(1)).cast("bigint").alias("__k"),
+    )
+    g = (
+        tot.join(sv, keys or None)
+        if keys
+        else tot.crossJoin(F.broadcast(sv))
+    )
+    vt = F.col("__n") * F.col("__qt") - F.col("__st") * F.col(
+        "__st"
+    )
+    kd = F.col("__k").cast("double")
+    alpha = (kd / (kd - F.lit(1.0))) * (
+        F.lit(1.0) - F.col("__sv").cast("double") / vt.cast("double")
+    )
+    ok = (F.col("__k") >= 2) & (F.col("__n") >= 2) & (vt > 0)
+    return g.select(
+        *keys,
+        F.col("__n").cast("bigint").alias("n"),
+        F.col("__k").alias("k_items"),
+        F.when(ok, alpha).alias("alpha"),
+    )

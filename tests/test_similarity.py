@@ -873,3 +873,115 @@ def test_silhouette_single_label_and_zero_vectors(spark):
     )
     got = {r.label: r for r in silhouette_labels(df2).collect()}
     assert got[1].n == 2 and got[1].n_scored == 1
+
+
+# ---------------------------------------------------------------------------
+# cronbach_alpha
+# ---------------------------------------------------------------------------
+
+def _alpha_ref(vectors, unit=10**6):
+    """Digit-for-digit replay: quantize, integer moments, one float."""
+    import math  # noqa: F401
+
+    n = len(vectors)
+    k = len(vectors[0])
+    qs = [
+        [math_floor(v * float(unit)) for v in vec]
+        for vec in vectors
+    ]
+    sv = 0
+    for d in range(k):
+        col = [q[d] for q in qs]
+        s, qq = sum(col), sum(c * c for c in col)
+        sv += n * qq - s * s
+    ts = [sum(q) for q in qs]
+    st, qt = sum(ts), sum(t * t for t in ts)
+    vt = n * qt - st * st
+    if k < 2 or n < 2 or vt <= 0:
+        return None
+    return (float(k) / (float(k) - 1.0)) * (
+        1.0 - float(sv) / float(vt)
+    )
+
+
+def math_floor(x):
+    import math
+
+    return math.floor(x)
+
+
+def _mk_emb(spark, vectors, labels=None):
+    rows = [
+        (i, [float(v) for v in vec],
+         0 if labels is None else labels[i])
+        for i, vec in enumerate(vectors)
+    ]
+    return spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+
+
+def test_alpha_consistent_scale_high(spark):
+    import random
+
+    from protosc_spark.similarity import cronbach_alpha
+
+    rng = random.Random(21)
+    # 4 dims = shared signal + small independent noise: alpha high
+    vecs = []
+    for _ in range(60):
+        sig = rng.uniform(-1, 1)
+        vecs.append(
+            [sig + rng.uniform(-0.1, 0.1) for _ in range(4)]
+        )
+    # float32 storage: replay from the values Spark actually reads
+    import numpy as np
+
+    vecs32 = [list(np.array(v, dtype=np.float32)) for v in vecs]
+    r = cronbach_alpha(_mk_emb(spark, vecs)).collect()[0]
+    ref = _alpha_ref([[float(x) for x in v] for v in vecs32])
+    assert r.n == 60 and r.k_items == 4
+    assert r.alpha == ref and r.alpha > 0.9
+
+
+def test_alpha_independent_dims_low(spark):
+    import random
+
+    import numpy as np
+
+    from protosc_spark.similarity import cronbach_alpha
+
+    rng = random.Random(4)
+    vecs = [
+        [rng.uniform(-1, 1) for _ in range(4)] for _ in range(80)
+    ]
+    vecs32 = [list(np.array(v, dtype=np.float32)) for v in vecs]
+    r = cronbach_alpha(_mk_emb(spark, vecs)).collect()[0]
+    ref = _alpha_ref([[float(x) for x in v] for v in vecs32])
+    assert r.alpha == ref and abs(r.alpha) < 0.45
+
+
+def test_alpha_grouped_and_degenerate(spark):
+    from protosc_spark.similarity import cronbach_alpha
+
+    # group 0: perfectly consistent (all dims equal -> alpha = 1)
+    # group 1: anti-covarying pair -> alpha < 0
+    vecs = [
+        [0.1, 0.1], [0.5, 0.5], [0.9, 0.9],   # label 0
+        [0.1, 0.9], [0.5, 0.5], [0.9, 0.1],   # label 1
+    ]
+    labels = [0, 0, 0, 1, 1, 1]
+    out = {
+        r.label: r
+        for r in cronbach_alpha(
+            _mk_emb(spark, vecs, labels)
+        ).collect()
+    }
+    assert abs(out[0].alpha - 1.0) < 1e-9
+    assert out[1].alpha < 0
+
+    # constant vectors: var_total = 0 -> NULL
+    r = cronbach_alpha(
+        _mk_emb(spark, [[0.5, 0.5]] * 4)
+    ).collect()[0]
+    assert r.alpha is None
