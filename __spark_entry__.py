@@ -1181,6 +1181,30 @@ def _corpus_drift_cvm(spark, sf_dir):
     )
 
 
+def _corpus_drift_kuiper(spark, sf_dir):
+    """Two-sample Kuiper drift test on n_chars, lang='zh' vs rest —
+    the tail-sensitive V = D+ + D- member of the drift family (KS
+    sup, CvM squared gap, Wasserstein area). Exact signed integer
+    cross-products off the shared value-histogram collapse, Stephens
+    finite-n factor, truncated asymptotic series with the small-lam
+    guard. DuckDB oracle replays the collapse and the whole float
+    tree."""
+    from protosc_spark.evaluation import kuiper_two_sample
+
+    docs = _read_wide(spark, sf_dir, "documents").select(
+        "n_chars", (F.col("lang") == "zh").cast("int").alias("g")
+    )
+    return kuiper_two_sample(docs, "n_chars", "g").select(
+        "n_1",
+        "n_0",
+        F.round("d_plus", 6).alias("d_plus"),
+        F.round("d_minus", 6).alias("d_minus"),
+        F.round("v", 6).alias("v"),
+        F.round("p_value", 6).alias("p_value"),
+        "significant",
+    )
+
+
 def _sim_cronbach_alpha(spark, sf_dir):
     """Cronbach's alpha of the embedding dimensions per label — the
     feature-block reliability audit (do the dims covary as one
@@ -4116,6 +4140,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     full-surface green regardless of this ordering."""
     return {
         # --- round 5 ---
+        "corpus_drift_kuiper": _corpus_drift_kuiper,
         "sim_cronbach_alpha": _sim_cronbach_alpha,
         "events_hurst": _events_hurst,
         "events_benford": _events_benford,
@@ -4424,6 +4449,61 @@ def oracle_sql() -> dict[str, str]:
         for t in POISSON1_T60
     )
     out = {
+        "corpus_drift_kuiper": """
+            WITH base AS (
+              SELECT n_chars AS v, (lang = 'zh')::INT AS y
+              FROM documents
+              WHERE n_chars IS NOT NULL AND lang IS NOT NULL
+            ), h AS (
+              SELECT v, sum(y)::HUGEINT AS a,
+                     sum(1 - y)::HUGEINT AS b
+              FROM base GROUP BY 1
+            ), cum AS (
+              SELECT sum(a) OVER w AS ca, sum(b) OVER w AS cb
+              FROM h WINDOW w AS (ORDER BY v
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            ), tot AS (
+              SELECT sum(a) AS na, sum(b) AS nb FROM h
+            ), agg AS (
+              SELECT max(ca * nb - cb * na) AS smax,
+                     min(ca * nb - cb * na) AS smin
+              FROM cum, tot
+            ), fin AS (
+              SELECT na, nb,
+                     smax::DOUBLE / (na * nb)::DOUBLE AS dp,
+                     -(smin::DOUBLE) / (na * nb)::DOUBLE AS dm,
+                     (na * nb)::DOUBLE
+                       / (na + nb)::DOUBLE AS ne
+              FROM tot, agg
+            ), lamc AS (
+              SELECT *, (dp + dm)
+                     * (sqrt(ne) + 0.155 + 0.24 / sqrt(ne)) AS lam
+              FROM fin
+            ), pc AS (
+              SELECT *, CASE WHEN lam < 0.4 THEN 1.0 ELSE
+                least(greatest(2.0 * (
+                    (4.0 * 1.0 * (lam * lam) - 1.0)
+                      * exp(-2.0 * 1.0 * (lam * lam))
+                  + (4.0 * 4.0 * (lam * lam) - 1.0)
+                      * exp(-2.0 * 4.0 * (lam * lam))
+                  + (4.0 * 9.0 * (lam * lam) - 1.0)
+                      * exp(-2.0 * 9.0 * (lam * lam))
+                ), 0.0), 1.0) END AS p
+              FROM lamc
+            )
+            SELECT na::BIGINT AS n_1, nb::BIGINT AS n_0,
+                   CASE WHEN na > 0 AND nb > 0
+                        THEN round(dp, 6) END AS d_plus,
+                   CASE WHEN na > 0 AND nb > 0
+                        THEN round(dm, 6) END AS d_minus,
+                   CASE WHEN na > 0 AND nb > 0
+                        THEN round(dp + dm, 6) END AS v,
+                   CASE WHEN na > 0 AND nb > 0
+                        THEN round(p, 6) END AS p_value,
+                   CASE WHEN na > 0 AND nb > 0
+                        THEN p < 0.05 END AS significant
+            FROM pc
+        """,
         "sim_cronbach_alpha": """
             WITH q AS (
               SELECT label, vec_id AS id,

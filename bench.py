@@ -186,6 +186,7 @@ HEADLINE = [
     "events_benford",
     "events_hurst",
     "sim_cronbach_alpha",
+    "corpus_drift_kuiper",
 ]
 
 BENCH_CONVERSATIONS = int(os.environ.get("PROTOSC_BENCH_CONVS", "20000"))

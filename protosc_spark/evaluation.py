@@ -2161,3 +2161,107 @@ def benford_audit(
         F.when(ok, p).alias("p_value"),
         F.when(ok, p < F.lit(0.05)).alias("deviates"),
     )
+
+
+def kuiper_two_sample(df: DataFrame, value_col: str, group_col: str
+                      ) -> DataFrame:
+    """Two-sample Kuiper statistic V = D+ + D- — the
+    rotation-invariant member of the drift trio's family: where KS's
+    sup gap under-weights the distribution TAILS, Kuiper weights all
+    positions equally (it is the circular-data / tail-sensitive
+    variant), catching shifts that push one tail up and the other
+    down and largely cancel in a single sup.
+
+        D+ = sup_x (F_1 - F_0),   D- = sup_x (F_0 - F_1),
+        V  = D+ + D-
+
+    evaluated on the same value-histogram collapse as
+    :func:`ks_two_sample`: the SIGNED exact integer cross-product
+    s(v) = cum_1 * n_0 - cum_0 * n_1 makes D+ = max s / (n_1 n_0)
+    and D- = -min s / (n_1 n_0) (both attained, the last value pins
+    s = 0 so neither is negative), order-independent at any
+    parallelism. The p-value is the standard asymptotic series with
+    Stephens' finite-n factor,
+
+        lam = V (sqrt(ne) + 0.155 + 0.24 / sqrt(ne)),
+        ne = n_1 n_0 / (n_1 + n_0),
+        p  = 2 sum_{j=1..3} (4 j^2 lam^2 - 1) exp(-2 j^2 lam^2)
+
+    (series truncated at j = 3 — terms decay like exp(-2j^2); the
+    truncation error is far below 6-decimal reporting for any lam
+    where the verdict is in play; p clamped to [0, 1], and for
+    lam < 0.4 — where the asymptotic series is invalid and the true
+    p is 1 to 7+ digits — p is pinned to 1, the standard Numerical
+    Recipes convention) — one float tree, replayable by any SQL
+    engine.
+
+    Rows with NULL value or group are dropped. Output: one row
+    (n_1, n_0, d_plus, d_minus, v, p_value, significant); NULL
+    statistics when either group is empty."""
+    dec = "decimal(38,0)"
+    y = F.col(group_col).cast("int")
+    g = (
+        df.where(
+            F.col(value_col).isNotNull() & F.col(group_col).isNotNull()
+        )
+        .groupBy(value_col)
+        .agg(
+            F.sum(y).cast(dec).alias("__a"),
+            F.sum(1 - y).cast(dec).alias("__b"),
+        )
+    )
+    w = W.orderBy(value_col).rowsBetween(W.unboundedPreceding, 0)
+    h = g.select(
+        F.sum("__a").over(w).alias("__ca"),
+        F.sum("__b").over(w).alias("__cb"),
+    )
+    tot = g.agg(
+        F.sum("__a").alias("__na"), F.sum("__b").alias("__nb")
+    )
+    s = F.col("__ca") * F.col("__nb") - F.col("__cb") * F.col(
+        "__na"
+    )
+    agg = (
+        h.crossJoin(F.broadcast(tot))
+        .agg(
+            F.first("__na").alias("__fa"),
+            F.first("__nb").alias("__fb"),
+            F.max(s).alias("__smax"),
+            F.min(s).alias("__smin"),
+        )
+    )
+    na, nb = F.col("__fa"), F.col("__fb")
+    prod = (na * nb).cast("double")
+    dp = F.col("__smax").cast("double") / prod
+    dm = -F.col("__smin").cast("double") / prod
+    v = dp + dm
+    ne = prod / (na + nb).cast("double")
+    lam = v * (
+        F.sqrt(ne) + F.lit(0.155) + F.lit(0.24) / F.sqrt(ne)
+    )
+    l2 = lam * lam
+
+    def t(j):
+        jj = F.lit(float(j * j))
+        return (
+            F.lit(4.0) * jj * l2 - F.lit(1.0)
+        ) * F.exp(F.lit(-2.0) * jj * l2)
+
+    p = F.when(lam < F.lit(0.4), F.lit(1.0)).otherwise(
+        F.least(
+            F.greatest(
+                F.lit(2.0) * (t(1) + t(2) + t(3)), F.lit(0.0)
+            ),
+            F.lit(1.0),
+        )
+    )
+    ok = (na > 0) & (nb > 0)
+    return agg.select(
+        na.cast("bigint").alias("n_1"),
+        nb.cast("bigint").alias("n_0"),
+        F.when(ok, dp).alias("d_plus"),
+        F.when(ok, dm).alias("d_minus"),
+        F.when(ok, v).alias("v"),
+        F.when(ok, p).alias("p_value"),
+        F.when(ok, p < F.lit(0.05)).alias("significant"),
+    )

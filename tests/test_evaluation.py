@@ -1638,3 +1638,95 @@ def test_benford_grouped(spark):
     nb, cb, pb = _benford_ref([9, 95])
     assert out["a"].n == na and out["a"].chi2 == ca
     assert out["b"].n == nb and out["b"].p_value == pb
+
+
+# ---------------------------------------------------------------------------
+# kuiper_two_sample
+# ---------------------------------------------------------------------------
+
+def _kuiper_ref(pairs):
+    """Literal Kuiper from ECDFs + the truncated series, plain
+    floats mirroring the kernel's tree."""
+    import math
+
+    a = sorted(v for v, y in pairs if y == 1)
+    b = sorted(v for v, y in pairs if y == 0)
+    na, nb = len(a), len(b)
+    vals = sorted(set(a) | set(b))
+    dp_i, dm_i = 0, 0
+    ca = cb = 0
+    ia = ib = 0
+    for v in vals:
+        while ia < na and a[ia] <= v:
+            ia += 1
+        while ib < nb and b[ib] <= v:
+            ib += 1
+        s = ia * nb - ib * na
+        dp_i = max(dp_i, s)
+        dm_i = min(dm_i, s)
+    prod = float(na * nb)
+    dp = float(dp_i) / prod
+    dm = -float(dm_i) / prod
+    vv = dp + dm
+    ne = prod / float(na + nb)
+    lam = vv * (
+        math.sqrt(ne) + 0.155 + 0.24 / math.sqrt(ne)
+    )
+    l2 = lam * lam
+    if lam < 0.4:
+        return dp, dm, vv, 1.0
+    p = 2.0 * sum(
+        (4.0 * (j * j) * l2 - 1.0)
+        * math.exp(-2.0 * (j * j) * l2)
+        for j in (1, 2, 3)
+    )
+    return dp, dm, vv, min(max(p, 0.0), 1.0)
+
+
+def test_kuiper_shift_and_replay(spark):
+    import random
+
+    from protosc_spark.evaluation import kuiper_two_sample
+
+    rng = random.Random(17)
+    pairs = [(rng.randint(0, 40), 1) for _ in range(120)] + [
+        (rng.randint(25, 65), 0) for _ in range(100)
+    ]
+    df = spark.createDataFrame(pairs, "v long, g int")
+    r = kuiper_two_sample(df, "v", "g").collect()[0]
+    dp, dm, vv, p = _kuiper_ref(pairs)
+    assert (r.n_1, r.n_0) == (120, 100)
+    assert abs(r.d_plus - dp) < 1e-15 and abs(r.d_minus - dm) < 1e-15
+    assert abs(r.v - vv) < 1e-15 and abs(r.p_value - p) < 1e-12
+    assert r.significant is True
+
+
+def test_kuiper_catches_symmetric_tail_swap(spark):
+    """A distribution with both tails fattened vs a middle-heavy
+    one: single-sup KS is much weaker than V = D+ + D-."""
+    from protosc_spark.evaluation import kuiper_two_sample
+
+    g1 = [0] * 30 + [50] * 40 + [100] * 30
+    g0 = [25] * 50 + [75] * 50
+    pairs = [(v, 1) for v in g1] + [(v, 0) for v in g0]
+    df = spark.createDataFrame(pairs, "v long, g int")
+    r = kuiper_two_sample(df, "v", "g").collect()[0]
+    dp, dm, vv, p = _kuiper_ref(pairs)
+    assert abs(r.v - vv) < 1e-15
+    # both directions contribute materially
+    assert r.d_plus > 0.2 and r.d_minus > 0.2
+    assert r.significant is True
+
+
+def test_kuiper_identical_and_degenerate(spark):
+    from protosc_spark.evaluation import kuiper_two_sample
+
+    pairs = [(v, y) for v in (1, 2, 3, 4, 5) for y in (0, 1)] * 8
+    df = spark.createDataFrame(pairs, "v long, g int")
+    r = kuiper_two_sample(df, "v", "g").collect()[0]
+    assert r.v == 0.0 and r.p_value == 1.0
+    assert r.significant is False
+
+    one = spark.createDataFrame([(3, 1), (4, 1)], "v long, g int")
+    r = kuiper_two_sample(one, "v", "g").collect()[0]
+    assert r.v is None and r.p_value is None
