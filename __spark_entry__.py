@@ -1181,6 +1181,33 @@ def _corpus_drift_cvm(spark, sf_dir):
     )
 
 
+def _corpus_agreement(spark, sf_dir):
+    """Lin's concordance + Bland-Altman agreement between two size
+    proxies (n_chars vs whitespace count): Pearson is near 1 but
+    ccc collapses under the scale gap — the exact point of the
+    kernel. Everything from ONE aggregation of exact DECIMAL
+    moments; DuckDB oracle replays the moments and the float
+    trees."""
+    from protosc_spark.evaluation import agreement_stats
+
+    docs = _read(spark, sf_dir, "documents").select(
+        F.col("n_chars").alias("a"),
+        F.expr(
+            "length(text) - length(replace(text, ' ', ''))"
+        ).alias("b"),
+    )
+    return agreement_stats(docs, "a", "b").select(
+        "n",
+        F.round("ccc", 6).alias("ccc"),
+        F.round("pearson_r", 6).alias("pearson_r"),
+        F.round("bias_c", 6).alias("bias_c"),
+        F.round("mean_diff", 6).alias("mean_diff"),
+        F.round("sd_diff", 6).alias("sd_diff"),
+        F.round("loa_lo", 6).alias("loa_lo"),
+        F.round("loa_hi", 6).alias("loa_hi"),
+    )
+
+
 def _corpus_drift_kuiper(spark, sf_dir):
     """Two-sample Kuiper drift test on n_chars, lang='zh' vs rest —
     the tail-sensitive V = D+ + D- member of the drift family (KS
@@ -4140,6 +4167,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     full-surface green regardless of this ordering."""
     return {
         # --- round 5 ---
+        "corpus_agreement": _corpus_agreement,
         "corpus_drift_kuiper": _corpus_drift_kuiper,
         "sim_cronbach_alpha": _sim_cronbach_alpha,
         "events_hurst": _events_hurst,
@@ -4449,6 +4477,59 @@ def oracle_sql() -> dict[str, str]:
         for t in POISSON1_T60
     )
     out = {
+        "corpus_agreement": """
+            WITH base AS (
+              SELECT n_chars::HUGEINT AS a,
+                     (length(text)
+                      - length(replace(text, ' ', '')))::HUGEINT
+                       AS b
+              FROM documents
+              WHERE n_chars IS NOT NULL AND text IS NOT NULL
+            ), g AS (
+              SELECT count(*)::HUGEINT AS n, sum(a) AS sa,
+                     sum(b) AS sb, sum(a * a) AS saa,
+                     sum(b * b) AS sbb, sum(a * b) AS sab
+              FROM base
+            ), fin AS (
+              SELECT n, n * sab - sa * sb AS cov,
+                     n * saa - sa * sa AS va,
+                     n * sbb - sb * sb AS vb,
+                     sa - sb AS sd,
+                     saa - 2 * sab + sbb AS sdd
+              FROM g
+            ), x AS (
+              SELECT n, va, vb, cov,
+                     n * sdd - sd * sd AS dnum,
+                     (2 * cov)::DOUBLE
+                       / (va + vb + sd * sd)::DOUBLE AS ccc,
+                     cov::DOUBLE / (sqrt(va::DOUBLE)
+                                    * sqrt(vb::DOUBLE)) AS r,
+                     sd::DOUBLE / n::DOUBLE AS mean_d,
+                     sqrt((n * sdd - sd * sd)::DOUBLE
+                          / (n::DOUBLE * (n::DOUBLE - 1.0)))
+                       AS sdf
+              FROM fin
+            )
+            SELECT n::BIGINT AS n,
+                   CASE WHEN va > 0 AND vb > 0 AND n >= 2
+                        THEN round(ccc, 6) END AS ccc,
+                   CASE WHEN va > 0 AND vb > 0 AND n >= 2
+                        THEN round(r, 6) END AS pearson_r,
+                   CASE WHEN va > 0 AND vb > 0 AND n >= 2
+                        AND cov <> 0
+                        THEN round(ccc / r, 6) END AS bias_c,
+                   CASE WHEN n > 0
+                        THEN round(mean_d, 6) END AS mean_diff,
+                   CASE WHEN n >= 2 AND dnum >= 0
+                        THEN round(sdf, 6) END AS sd_diff,
+                   CASE WHEN n >= 2 AND dnum >= 0
+                        THEN round(mean_d - 1.96 * sdf, 6)
+                   END AS loa_lo,
+                   CASE WHEN n >= 2 AND dnum >= 0
+                        THEN round(mean_d + 1.96 * sdf, 6)
+                   END AS loa_hi
+            FROM x
+        """,
         "corpus_drift_kuiper": """
             WITH base AS (
               SELECT n_chars AS v, (lang = 'zh')::INT AS y

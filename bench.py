@@ -187,6 +187,7 @@ HEADLINE = [
     "events_hurst",
     "sim_cronbach_alpha",
     "corpus_drift_kuiper",
+    "corpus_agreement",
 ]
 
 BENCH_CONVERSATIONS = int(os.environ.get("PROTOSC_BENCH_CONVS", "20000"))

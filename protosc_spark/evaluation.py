@@ -2265,3 +2265,85 @@ def kuiper_two_sample(df: DataFrame, value_col: str, group_col: str
         F.when(ok, p).alias("p_value"),
         F.when(ok, p < F.lit(0.05)).alias("significant"),
     )
+
+
+def agreement_stats(df: DataFrame, a_col: str, b_col: str
+                    ) -> DataFrame:
+    """Numeric agreement between two integer-valued columns — the
+    "do two feature pipelines produce the SAME number?" readout that
+    correlation alone cannot give (Pearson is blind to scale and
+    shift; a pipeline that doubles every value still gets r = 1):
+
+    * Lin's concordance correlation coefficient
+        ccc = 2 cov / (var_a + var_b + (mean_a - mean_b)^2)
+      and the bias factor C_b = ccc / r (how much of the
+      disagreement is pure scale/shift vs noise);
+    * Bland-Altman: mean difference and the 1.96-sd limits of
+      agreement of d = a - b.
+
+    Exactness: with exact DECIMAL sums (Sa, Sb, Saa, Sbb, Sab), ccc
+    collapses to ONE integer ratio
+
+        ccc = 2 (n Sab - Sa Sb)
+              / (n Saa - Sa^2 + n Sbb - Sb^2 + (Sa - Sb)^2)
+
+    (the n^2 normalizations cancel), Pearson to the usual integer
+    cross-moment ratio, and the Bland-Altman moments derive from
+    the same sums (Sd = Sa - Sb, Sdd = Saa - 2 Sab + Sbb) — every
+    numerator exact and order-independent, one float tree at the
+    end, replayable by any SQL engine.
+
+    Scale shape: ONE aggregation over the rows; arithmetic on one
+    row. Output: (n, ccc, pearson_r, bias_c, mean_diff, sd_diff,
+    loa_lo, loa_hi); ccc/r NULL when either variance is 0, sd/loa
+    NULL when n < 2."""
+    dec = "decimal(38,0)"
+    a = F.col(a_col).cast(dec)
+    b = F.col(b_col).cast(dec)
+    both = (
+        F.col(a_col).isNotNull() & F.col(b_col).isNotNull()
+    )
+    g = df.where(both).agg(
+        F.count(F.lit(1)).cast(dec).alias("__n"),
+        F.sum(a).alias("__sa"),
+        F.sum(b).alias("__sb"),
+        F.sum(a * a).alias("__saa"),
+        F.sum(b * b).alias("__sbb"),
+        F.sum(a * b).alias("__sab"),
+    )
+    n = F.col("__n")
+    sa, sb = F.col("__sa"), F.col("__sb")
+    saa, sbb, sab = F.col("__saa"), F.col("__sbb"), F.col("__sab")
+    cov = n * sab - sa * sb
+    va = n * saa - sa * sa
+    vb = n * sbb - sb * sb
+    two = F.lit(2).cast(dec)
+    ccc = (two * cov).cast("double") / (
+        va + vb + (sa - sb) * (sa - sb)
+    ).cast("double")
+    r = cov.cast("double") / (
+        F.sqrt(va.cast("double")) * F.sqrt(vb.cast("double"))
+    )
+    sd_ = sa - sb
+    sdd = saa - two * sab + sbb
+    nd = n.cast("double")
+    mean_d = sd_.cast("double") / nd
+    sd_diff = F.sqrt(
+        (n * sdd - sd_ * sd_).cast("double")
+        / (nd * (nd - F.lit(1.0)))
+    )
+    okv = (va > 0) & (vb > 0)
+    okn = n >= F.lit(2).cast(dec)
+    okd = okn & ((n * sdd - sd_ * sd_) >= 0)
+    loa_lo = mean_d - F.lit(1.96) * sd_diff
+    loa_hi = mean_d + F.lit(1.96) * sd_diff
+    return g.select(
+        n.cast("bigint").alias("n"),
+        F.when(okv & okn, ccc).alias("ccc"),
+        F.when(okv & okn, r).alias("pearson_r"),
+        F.when(okv & okn & (cov != 0), ccc / r).alias("bias_c"),
+        F.when(n > 0, mean_d).alias("mean_diff"),
+        F.when(okd, sd_diff).alias("sd_diff"),
+        F.when(okd, loa_lo).alias("loa_lo"),
+        F.when(okd, loa_hi).alias("loa_hi"),
+    )

@@ -1730,3 +1730,87 @@ def test_kuiper_identical_and_degenerate(spark):
     one = spark.createDataFrame([(3, 1), (4, 1)], "v long, g int")
     r = kuiper_two_sample(one, "v", "g").collect()[0]
     assert r.v is None and r.p_value is None
+
+
+# ---------------------------------------------------------------------------
+# agreement_stats
+# ---------------------------------------------------------------------------
+
+def _agree_ref(pairs):
+    """Integer-moment replay mirroring the kernel's float tree."""
+    import math
+
+    n = len(pairs)
+    sa = sum(a for a, _ in pairs)
+    sb = sum(b for _, b in pairs)
+    saa = sum(a * a for a, _ in pairs)
+    sbb = sum(b * b for _, b in pairs)
+    sab = sum(a * b for a, b in pairs)
+    cov = n * sab - sa * sb
+    va, vb = n * saa - sa * sa, n * sbb - sb * sb
+    ccc = float(2 * cov) / float(va + vb + (sa - sb) ** 2)
+    r = float(cov) / (
+        math.sqrt(float(va)) * math.sqrt(float(vb))
+    )
+    sd = sa - sb
+    sdd = saa - 2 * sab + sbb
+    mean_d = float(sd) / float(n)
+    sd_diff = math.sqrt(
+        float(n * sdd - sd * sd) / (float(n) * (float(n) - 1.0))
+    )
+    return ccc, r, mean_d, sd_diff
+
+
+def test_agreement_perfect_and_scaled(spark):
+    from protosc_spark.evaluation import agreement_stats
+
+    # perfect agreement: ccc = r = 1, zero diff band
+    pairs = [(v, v) for v in (3, 7, 11, 20, 41)]
+    df = spark.createDataFrame(pairs, "a long, b long")
+    r = agreement_stats(df, "a", "b").collect()[0]
+    assert r.ccc == 1.0 and r.pearson_r == 1.0
+    assert r.mean_diff == 0.0 and r.sd_diff == 0.0
+
+    # b = 2a: r stays 1, ccc collapses — the whole point of ccc
+    pairs = [(v, 2 * v) for v in (3, 7, 11, 20, 41)]
+    df = spark.createDataFrame(pairs, "a long, b long")
+    r = agreement_stats(df, "a", "b").collect()[0]
+    ccc, rr, md, sdd = _agree_ref(pairs)
+    assert r.pearson_r == rr == 1.0
+    assert r.ccc == ccc and r.ccc < 0.7
+    assert r.bias_c == r.ccc / r.pearson_r
+
+
+def test_agreement_noisy_replay(spark):
+    import random
+
+    from protosc_spark.evaluation import agreement_stats
+
+    rng = random.Random(31)
+    pairs = [
+        (v, v + rng.randint(-5, 9))
+        for v in (rng.randint(0, 100) for _ in range(200))
+    ]
+    df = spark.createDataFrame(pairs, "a long, b long")
+    r = agreement_stats(df, "a", "b").collect()[0]
+    ccc, rr, md, sdd = _agree_ref(pairs)
+    assert r.ccc == ccc and r.pearson_r == rr
+    assert r.mean_diff == md and r.sd_diff == sdd
+    assert r.loa_lo == md - 1.96 * sdd
+    assert r.loa_hi == md + 1.96 * sdd
+
+
+def test_agreement_degenerate(spark):
+    from protosc_spark.evaluation import agreement_stats
+
+    # constant a: variance 0 -> ccc/r NULL, diff band defined
+    pairs = [(5, v) for v in (1, 2, 3, 4)]
+    df = spark.createDataFrame(pairs, "a long, b long")
+    r = agreement_stats(df, "a", "b").collect()[0]
+    assert r.ccc is None and r.pearson_r is None
+    assert r.mean_diff == (5 * 4 - 10) / 4
+
+    # single row: no sd
+    df = spark.createDataFrame([(3, 4)], "a long, b long")
+    r = agreement_stats(df, "a", "b").collect()[0]
+    assert r.sd_diff is None and r.ccc is None
