@@ -1181,6 +1181,48 @@ def _corpus_drift_cvm(spark, sf_dir):
     )
 
 
+def _txt_rbo_sources(spark, sf_dir):
+    """Rank-biased overlap of the top-100 token-frequency rankings
+    of src0 vs src1 — ranking drift, top-weighted, where
+    vocab_overlap only sees set membership. Deterministic
+    (count desc, token) rankings, exact X_d off the max-rank
+    histogram, quantized per-depth terms, exp(d ln p) in both
+    engines. DuckDB oracle replays tokenization, rankings and the
+    whole quantized sum."""
+    from protosc_spark.evaluation import rbo_overlap
+
+    docs = _read(spark, sf_dir, "documents").where(
+        F.col("text").isNotNull()
+        & F.col("source").isin("src0", "src1")
+    )
+    toks = docs.select(
+        "source",
+        F.explode(F.split(F.col("text"), " ")).alias("token"),
+    )
+    cnt = toks.groupBy("token").agg(
+        F.sum(
+            (F.col("source") == "src0").cast("long")
+        ).alias("__ca"),
+        F.sum(
+            (F.col("source") == "src1").cast("long")
+        ).alias("__cb"),
+    )
+    scored = cnt.select(
+        "token",
+        F.when(F.col("__ca") > 0, F.col("__ca")).alias("a"),
+        F.when(F.col("__cb") > 0, F.col("__cb")).alias("b"),
+    )
+    t = rbo_overlap(scored, "token", "a", "b", depth=100)
+    return t.select(
+        "n_a",
+        "n_b",
+        "depth_used",
+        "overlap",
+        F.round("agreement", 6).alias("agreement"),
+        F.round("rbo", 6).alias("rbo"),
+    )
+
+
 def _corpus_agreement(spark, sf_dir):
     """Lin's concordance + Bland-Altman agreement between two size
     proxies (n_chars vs whitespace count): Pearson is near 1 but
@@ -4167,6 +4209,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     full-surface green regardless of this ordering."""
     return {
         # --- round 5 ---
+        "txt_rbo_sources": _txt_rbo_sources,
         "corpus_agreement": _corpus_agreement,
         "corpus_drift_kuiper": _corpus_drift_kuiper,
         "sim_cronbach_alpha": _sim_cronbach_alpha,
@@ -4477,6 +4520,67 @@ def oracle_sql() -> dict[str, str]:
         for t in POISSON1_T60
     )
     out = {
+        "txt_rbo_sources": """
+            WITH toks AS (
+              SELECT source,
+                     unnest(string_split(text, ' ')) AS token
+              FROM documents
+              WHERE text IS NOT NULL
+                AND source IN ('src0', 'src1')
+            ), cnt AS (
+              SELECT token,
+                     sum((source = 'src0')::INT)::BIGINT AS ca,
+                     sum((source = 'src1')::INT)::BIGINT AS cb
+              FROM toks GROUP BY 1
+            ), ra AS (
+              SELECT token, row_number() OVER (
+                       ORDER BY ca DESC, token ASC) AS r
+              FROM cnt WHERE ca > 0 QUALIFY r <= 100
+            ), rb AS (
+              SELECT token, row_number() OVER (
+                       ORDER BY cb DESC, token ASC) AS r
+              FROM cnt WHERE cb > 0 QUALIFY r <= 100
+            ), nn AS (
+              SELECT (SELECT coalesce(max(r), 0) FROM ra) AS na,
+                     (SELECT coalesce(max(r), 0) FROM rb) AS nb
+            ), dd AS (
+              SELECT na, nb, least(100, na, nb) AS d FROM nn
+            ), j AS (
+              SELECT greatest(ra.r, rb.r) AS m, d
+              FROM ra JOIN rb USING (token), dd
+              WHERE greatest(ra.r, rb.r) <= d
+            ), hist AS (
+              SELECT m, count(*)::BIGINT AS c FROM j GROUP BY 1
+            ), dims AS (
+              SELECT dep.dep::BIGINT AS dep, d
+              FROM dd, range(1, 101) dep(dep)
+              WHERE d >= 1 AND dep.dep <= d
+            ), xd AS (
+              SELECT dep, d, coalesce(sum(c), 0)::BIGINT AS x
+              FROM dims LEFT JOIN hist ON hist.m <= dims.dep
+              GROUP BY 1, 2
+            ), agg AS (
+              SELECT d,
+                     sum(floor(exp(dep::DOUBLE * ln(0.9))
+                               * x::DOUBLE / dep::DOUBLE
+                               * 1e15)::HUGEINT) AS su,
+                     max(CASE WHEN dep = d THEN x END) AS xd
+              FROM xd GROUP BY 1
+            )
+            SELECT na::BIGINT AS n_a, nb::BIGINT AS n_b,
+                   dd.d::BIGINT AS depth_used,
+                   agg.xd AS overlap,
+                   CASE WHEN dd.d >= 1 THEN round(
+                     agg.xd::DOUBLE / dd.d::DOUBLE, 6)
+                   END AS agreement,
+                   CASE WHEN dd.d >= 1 THEN round(
+                     ((1.0::DOUBLE - 0.9::DOUBLE) / 0.9::DOUBLE)
+                       * (su::DOUBLE / 1e15)
+                     + exp(dd.d::DOUBLE * ln(0.9))
+                       * (agg.xd::DOUBLE / dd.d::DOUBLE), 6)
+                   END AS rbo
+            FROM dd LEFT JOIN agg ON dd.d = agg.d
+        """,
         "corpus_agreement": """
             WITH base AS (
               SELECT n_chars::HUGEINT AS a,

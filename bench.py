@@ -188,6 +188,7 @@ HEADLINE = [
     "sim_cronbach_alpha",
     "corpus_drift_kuiper",
     "corpus_agreement",
+    "txt_rbo_sources",
 ]
 
 BENCH_CONVERSATIONS = int(os.environ.get("PROTOSC_BENCH_CONVS", "20000"))

@@ -2347,3 +2347,136 @@ def agreement_stats(df: DataFrame, a_col: str, b_col: str
         F.when(okd, loa_lo).alias("loa_lo"),
         F.when(okd, loa_hi).alias("loa_hi"),
     )
+
+
+def rbo_overlap(
+    df: DataFrame,
+    item_col: str,
+    score_a_col: str,
+    score_b_col: str,
+    depth: int = 100,
+    p: float = 0.9,
+    unit: int = 10**15,
+) -> DataFrame:
+    """Rank-biased overlap (Webber et al. 2010) between the top-k
+    rankings induced by two score columns — the RANKING-DRIFT
+    readout set-overlap cannot give (vocab_overlap says "same
+    tokens"; RBO says "same tokens in the same ORDER, weighted
+    toward the top, where ranking changes actually matter"):
+
+        RBO_ext = (X_D / D) p^D
+                  + ((1 - p) / p) sum_{d=1..D} (X_d / d) p^d
+
+    with X_d the overlap of the two depth-d prefixes and
+    D = min(depth, |A|, |B|). Rankings are deterministic:
+    (score DESC, item ASC) tiebreak, each side over its non-NULL
+    scores, via orderBy().limit(depth) (Spark plans
+    TakeOrderedAndProject — never a global sort) and a row_number
+    over the <= depth surviving rows.
+
+    Exactness: every X_d is an exact BIGINT off the cumulative
+    histogram of m = max(rank_a, rank_b); per-depth terms
+    (X_d / d) p^d are quantized to integer 1/``unit`` units BEFORE
+    the depth sum (house rule); p^d is computed as exp(d ln p) in
+    BOTH engines (the empirically bit-stable primitive pair — pow
+    is avoided by design). One float tree at the end.
+
+    Scale shape: two top-k selections (depth-bounded), then all
+    arithmetic on <= depth-sized tables. Input score tables are
+    typically vocabulary-sized (document the bound at the call
+    site). Output: one row (n_a, n_b, depth_used, overlap,
+    agreement, rbo); NULL when either ranking is empty."""
+    dec = "decimal(38,0)"
+    it = F.col(item_col)
+
+    def topk(col):
+        t = (
+            df.where(F.col(col).isNotNull())
+            .select(it.alias("__i"), F.col(col).alias("__s"))
+            .orderBy(F.col("__s").desc(), F.col("__i").asc())
+            .limit(int(depth))
+        )
+        w = W.orderBy(F.col("__s").desc(), F.col("__i").asc())
+        return t.select(
+            "__i", F.row_number().over(w).alias("__r")
+        )
+
+    ta = topk(score_a_col).localCheckpoint(eager=True)
+    tb = topk(score_b_col).localCheckpoint(eager=True)
+    na = ta.agg(F.coalesce(F.max("__r"), F.lit(0)).alias("__na"))
+    nb = tb.agg(F.coalesce(F.max("__r"), F.lit(0)).alias("__nb"))
+    dd = (
+        na.crossJoin(F.broadcast(nb))
+        .select(
+            "__na",
+            "__nb",
+            F.least(
+                F.lit(int(depth)).cast("int"),
+                F.col("__na"),
+                F.col("__nb"),
+            ).alias("__d"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    j = (
+        ta.join(tb.withColumnRenamed("__r", "__rb"), "__i")
+        .crossJoin(F.broadcast(dd))
+        .select(
+            F.greatest(F.col("__r"), F.col("__rb")).alias("__m"),
+            "__d",
+        )
+        .where(F.col("__m") <= F.col("__d"))
+    )
+    hist = j.groupBy("__m").agg(
+        F.count(F.lit(1)).cast("bigint").alias("__c")
+    )
+    dims = dd.where(F.col("__d") >= 1).select(
+        F.explode(
+            F.sequence(F.lit(1), F.col("__d"))
+        ).alias("__dep"),
+        "__d",
+    )
+    xd = (
+        dims.join(hist, F.col("__m") <= F.col("__dep"), "left")
+        .groupBy("__dep", "__d")
+        .agg(
+            F.coalesce(F.sum("__c"), F.lit(0))
+            .cast("bigint")
+            .alias("__x")
+        )
+    )
+    lnp = F.log(F.lit(float(p)))
+    pd_ = F.exp(F.col("__dep").cast("double") * lnp)
+    term = F.floor(
+        pd_
+        * F.col("__x").cast("double")
+        / F.col("__dep").cast("double")
+        * F.lit(float(unit))
+    ).cast(dec)
+    agg = xd.groupBy("__d").agg(
+        F.sum(term).alias("__su"),
+        F.max(
+            F.when(F.col("__dep") == F.col("__d"), F.col("__x"))
+        ).alias("__xd"),
+    )
+    u = F.lit(float(unit))
+    dD = F.col("__d").cast("double")
+    tail = F.exp(dD * lnp) * (
+        F.col("__xd").cast("double") / dD
+    )
+    head = (
+        F.lit((1.0 - float(p)) / float(p))
+        * (F.col("__su").cast("double") / u)
+    )
+    out = dd.join(agg, "__d", "left").select(
+        F.col("__na").cast("bigint").alias("n_a"),
+        F.col("__nb").cast("bigint").alias("n_b"),
+        F.col("__d").cast("bigint").alias("depth_used"),
+        F.col("__xd").alias("overlap"),
+        F.when(
+            F.col("__d") >= 1,
+            F.col("__xd").cast("double") / dD,
+        ).alias("agreement"),
+        F.when(F.col("__d") >= 1, head + tail).alias("rbo"),
+    )
+    return out

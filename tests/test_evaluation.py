@@ -1814,3 +1814,116 @@ def test_agreement_degenerate(spark):
     df = spark.createDataFrame([(3, 4)], "a long, b long")
     r = agreement_stats(df, "a", "b").collect()[0]
     assert r.sd_diff is None and r.ccc is None
+
+
+# ---------------------------------------------------------------------------
+# rbo_overlap
+# ---------------------------------------------------------------------------
+
+def _rbo_ref(sa, sb, depth=100, p=0.9, unit=10**15):
+    """Digit-for-digit replay: deterministic (score desc, item)
+    rankings, exact X_d, quantized terms, exp(d ln p)."""
+    import math
+
+    ra = [
+        i for i, _ in sorted(
+            sa.items(), key=lambda kv: (-kv[1], kv[0])
+        )
+    ][:depth]
+    rb = [
+        i for i, _ in sorted(
+            sb.items(), key=lambda kv: (-kv[1], kv[0])
+        )
+    ][:depth]
+    D = min(depth, len(ra), len(rb))
+    if D < 1:
+        return len(ra), len(rb), D, None, None, None
+    pos_a = {it: r + 1 for r, it in enumerate(ra)}
+    pos_b = {it: r + 1 for r, it in enumerate(rb)}
+    ms = sorted(
+        max(pos_a[i], pos_b[i])
+        for i in set(pos_a) & set(pos_b)
+        if max(pos_a[i], pos_b[i]) <= D
+    )
+    lnp = math.log(p)
+    su, xD = 0, 0
+    for d in range(1, D + 1):
+        x = sum(1 for m in ms if m <= d)
+        su += math.floor(
+            math.exp(float(d) * lnp)
+            * float(x) / float(d) * float(unit)
+        )
+        if d == D:
+            xD = x
+    head = ((1.0 - p) / p) * (float(su) / float(unit))
+    tail = math.exp(float(D) * lnp) * (float(xD) / float(D))
+    return (
+        len(ra), len(rb), D, xD, float(xD) / float(D),
+        head + tail,
+    )
+
+
+def _mk_scores(spark, sa, sb):
+    items = sorted(set(sa) | set(sb))
+    rows = [(i, sa.get(i), sb.get(i)) for i in items]
+    return spark.createDataFrame(rows, "item string, a long, b long")
+
+
+def test_rbo_identical_and_disjoint(spark):
+    from protosc_spark.evaluation import rbo_overlap
+
+    sa = {f"t{i}": 100 - i for i in range(20)}
+    r = rbo_overlap(
+        _mk_scores(spark, sa, dict(sa)), "item", "a", "b", depth=10
+    ).collect()[0]
+    ref = _rbo_ref(sa, dict(sa), depth=10)
+    assert r.rbo == ref[5] and abs(r.rbo - 1.0) < 1e-9
+    assert r.agreement == 1.0 and r.depth_used == 10
+
+    sb = {f"u{i}": 100 - i for i in range(20)}
+    r = rbo_overlap(
+        _mk_scores(spark, sa, sb), "item", "a", "b", depth=10
+    ).collect()[0]
+    assert r.rbo == 0.0 and r.overlap == 0
+
+
+def test_rbo_partial_reorder_replay(spark):
+    import random
+
+    from protosc_spark.evaluation import rbo_overlap
+
+    rng = random.Random(23)
+    items = [f"w{i}" for i in range(60)]
+    sa = {it: rng.randint(1, 500) for it in items}
+    # b: same scores on a shuffled subset + some exclusive items
+    sb = {
+        it: sa[it] + rng.randint(-40, 40)
+        for it in items[:45]
+    }
+    sb.update({f"x{i}": rng.randint(1, 500) for i in range(15)})
+    r = rbo_overlap(
+        _mk_scores(spark, sa, sb), "item", "a", "b", depth=25
+    ).collect()[0]
+    na, nb, D, xD, agr, rbo = _rbo_ref(sa, sb, depth=25)
+    assert (r.n_a, r.n_b, r.depth_used) == (na, nb, D)
+    assert r.overlap == xD and r.agreement == agr
+    assert r.rbo == rbo and 0.0 < r.rbo < 1.0
+
+
+def test_rbo_short_lists_and_empty(spark):
+    from protosc_spark.evaluation import rbo_overlap
+
+    # b has only 3 items: depth clamps to 3
+    sa = {f"t{i}": 50 - i for i in range(10)}
+    sb = {"t0": 9, "t1": 8, "zz": 7}
+    r = rbo_overlap(
+        _mk_scores(spark, sa, sb), "item", "a", "b", depth=10
+    ).collect()[0]
+    ref = _rbo_ref(sa, sb, depth=10)
+    assert r.depth_used == 3 and r.rbo == ref[5]
+
+    # one side empty -> NULL rbo
+    r = rbo_overlap(
+        _mk_scores(spark, sa, {}), "item", "a", "b"
+    ).collect()[0]
+    assert r.depth_used == 0 and r.rbo is None
