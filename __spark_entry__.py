@@ -1181,6 +1181,28 @@ def _corpus_drift_cvm(spark, sf_dir):
     )
 
 
+def _corpus_youden(spark, sf_dir):
+    """Youden-J optimal n_chars threshold for predicting
+    is-English — the operating-point companion to the exact-AUC
+    gate. Exact integer argmax TP*N - FP*P over the score
+    histogram, smallest-threshold ties; DuckDB oracle replays the
+    descending cumulative, the argmax and every division."""
+    from protosc_spark.evaluation import youden_threshold
+
+    docs = _read_wide(spark, sf_dir, "documents").select(
+        "n_chars", (F.col("lang") == "en").cast("int").alias("y")
+    )
+    return youden_threshold(docs, "n_chars", "y").select(
+        "n_pos",
+        "n_neg",
+        "threshold",
+        F.round("j", 6).alias("j"),
+        F.round("tpr", 6).alias("tpr"),
+        F.round("fpr", 6).alias("fpr"),
+        F.round("accuracy", 6).alias("accuracy"),
+    )
+
+
 def _txt_rbo_sources(spark, sf_dir):
     """Rank-biased overlap of the top-100 token-frequency rankings
     of src0 vs src1 — ranking drift, top-weighted, where
@@ -4209,6 +4231,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     full-surface green regardless of this ordering."""
     return {
         # --- round 5 ---
+        "corpus_youden": _corpus_youden,
         "txt_rbo_sources": _txt_rbo_sources,
         "corpus_agreement": _corpus_agreement,
         "corpus_drift_kuiper": _corpus_drift_kuiper,
@@ -4520,6 +4543,54 @@ def oracle_sql() -> dict[str, str]:
         for t in POISSON1_T60
     )
     out = {
+        "corpus_youden": """
+            WITH base AS (
+              SELECT n_chars AS v, (lang = 'en')::INT AS y
+              FROM documents
+              WHERE n_chars IS NOT NULL AND lang IS NOT NULL
+            ), h AS (
+              SELECT v, sum(y)::HUGEINT AS p,
+                     sum(1 - y)::HUGEINT AS q
+              FROM base GROUP BY 1
+            ), cum AS (
+              SELECT v, sum(p) OVER w AS tp, sum(q) OVER w AS fp
+              FROM h WINDOW w AS (ORDER BY v DESC
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            ), tot AS (
+              SELECT sum(p) AS pp, sum(q) AS nn FROM h
+            ), scored AS (
+              SELECT v, tp, fp, pp, nn,
+                     tp * nn - fp * pp AS jn
+              FROM cum, tot
+            ), best AS (
+              SELECT max(jn) AS jb FROM scored
+            ), pick AS (
+              SELECT min(v) AS threshold, max(pp) AS pp,
+                     max(nn) AS nn, max(jb) AS jb
+              FROM scored, best WHERE jn = jb
+            ), att AS (
+              SELECT pick.*, s.tp, s.fp
+              FROM pick JOIN scored s ON s.v = pick.threshold
+            )
+            SELECT pp::BIGINT AS n_pos, nn::BIGINT AS n_neg,
+                   CASE WHEN pp > 0 AND nn > 0
+                        THEN threshold END AS threshold,
+                   CASE WHEN pp > 0 AND nn > 0
+                        THEN round(jb::DOUBLE
+                                   / (pp * nn)::DOUBLE, 6)
+                   END AS j,
+                   CASE WHEN pp > 0 AND nn > 0
+                        THEN round(tp::DOUBLE / pp::DOUBLE, 6)
+                   END AS tpr,
+                   CASE WHEN pp > 0 AND nn > 0
+                        THEN round(fp::DOUBLE / nn::DOUBLE, 6)
+                   END AS fpr,
+                   CASE WHEN pp > 0 AND nn > 0
+                        THEN round((tp + (nn - fp))::DOUBLE
+                                   / (pp + nn)::DOUBLE, 6)
+                   END AS accuracy
+            FROM att
+        """,
         "txt_rbo_sources": """
             WITH toks AS (
               SELECT source,

@@ -189,6 +189,7 @@ HEADLINE = [
     "corpus_drift_kuiper",
     "corpus_agreement",
     "txt_rbo_sources",
+    "corpus_youden",
 ]
 
 BENCH_CONVERSATIONS = int(os.environ.get("PROTOSC_BENCH_CONVS", "20000"))

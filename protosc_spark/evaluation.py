@@ -2480,3 +2480,95 @@ def rbo_overlap(
         F.when(F.col("__d") >= 1, head + tail).alias("rbo"),
     )
     return out
+
+
+def youden_threshold(df: DataFrame, score_col: str, label_col: str
+                     ) -> DataFrame:
+    """Optimal decision threshold by Youden's J = TPR - FPR — the
+    operating-point companion to :func:`auc_exact` (AUC grades the
+    whole ranking; a pipeline that FILTERS needs one cut, and the
+    J-maximizing cut is the standard choice when both error types
+    weigh equally). Rule: predict positive when score >= t,
+    evaluated at every distinct score value off the value histogram:
+
+        J(t) = TP_t / P - FP_t / N
+             = (TP_t * N - FP_t * P) / (P * N)
+
+    The argmax runs over the exact integer numerator
+    TP_t * N - FP_t * P (DECIMAL(38,0), order-independent), ties ->
+    the SMALLEST threshold (the most inclusive optimal cut,
+    deterministic); TPR / FPR / J / accuracy at the chosen cut are
+    single float divisions of exact integers.
+
+    Scale shape: one map-side-combined groupBy(score); the only
+    window runs over distinct score values (the auc_exact shape).
+    Rows with NULL score or label are dropped. Output: one row
+    (n_pos, n_neg, threshold, j, tpr, fpr, accuracy); NULL when
+    either class is empty."""
+    dec = "decimal(38,0)"
+    y = F.col(label_col).cast("int")
+    h = (
+        df.where(
+            F.col(score_col).isNotNull() & F.col(label_col).isNotNull()
+        )
+        .groupBy(F.col(score_col).alias("__v"))
+        .agg(
+            F.sum(y).cast(dec).alias("__p"),
+            F.sum(1 - y).cast(dec).alias("__q"),
+        )
+    )
+    wd = W.orderBy(F.col("__v").desc()).rowsBetween(
+        W.unboundedPreceding, 0
+    )
+    cum = h.select(
+        "__v",
+        F.sum("__p").over(wd).alias("__tp"),
+        F.sum("__q").over(wd).alias("__fp"),
+    )
+    tot = h.agg(
+        F.sum("__p").alias("__P"), F.sum("__q").alias("__N")
+    )
+    scored = cum.crossJoin(F.broadcast(tot)).withColumn(
+        "__jn",
+        F.col("__tp") * F.col("__N") - F.col("__fp") * F.col("__P"),
+    )
+    best = scored.agg(F.max("__jn").alias("__jb"))
+    pick = (
+        scored.crossJoin(F.broadcast(best))
+        .where(F.col("__jn") == F.col("__jb"))
+        .agg(
+            F.min("__v").alias("threshold"),
+            F.first("__P").alias("__totp"),
+            F.first("__N").alias("__totn"),
+            F.first("__jb").alias("__jbest"),
+        )
+    )
+    at = (
+        pick.join(
+            scored.select(
+                F.col("__v").alias("threshold"),
+                "__tp",
+                "__fp",
+            ),
+            "threshold",
+        )
+    )
+    P, N = F.col("__totp"), F.col("__totn")
+    pn = (P * N).cast("double")
+    ok = (P > 0) & (N > 0)
+    acc = (F.col("__tp") + (N - F.col("__fp"))).cast("double") / (
+        P + N
+    ).cast("double")
+    return at.select(
+        P.cast("bigint").alias("n_pos"),
+        N.cast("bigint").alias("n_neg"),
+        F.when(ok, F.col("threshold")).alias("threshold"),
+        F.when(ok, F.col("__jbest").cast("double") / pn).alias("j"),
+        F.when(
+            ok, F.col("__tp").cast("double") / P.cast("double")
+        ).alias("tpr"),
+        F.when(
+            ok, F.col("__fp").cast("double") / N.cast("double")
+        ).alias("fpr"),
+        F.when(ok, acc).alias("accuracy"),
+    )

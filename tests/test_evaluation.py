@@ -1927,3 +1927,71 @@ def test_rbo_short_lists_and_empty(spark):
         _mk_scores(spark, sa, {}), "item", "a", "b"
     ).collect()[0]
     assert r.depth_used == 0 and r.rbo is None
+
+
+# ---------------------------------------------------------------------------
+# youden_threshold
+# ---------------------------------------------------------------------------
+
+def _youden_ref(pairs):
+    """Literal sweep over distinct thresholds, smallest-t ties."""
+    P = sum(1 for _, y in pairs if y == 1)
+    N = len(pairs) - P
+    best = None
+    for t in sorted({s for s, _ in pairs}):
+        tp = sum(1 for s, y in pairs if s >= t and y == 1)
+        fp = sum(1 for s, y in pairs if s >= t and y == 0)
+        jn = tp * N - fp * P
+        if best is None or jn > best[0] or (
+            jn == best[0] and t < best[1]
+        ):
+            best = (jn, t, tp, fp)
+    jn, t, tp, fp = best
+    return (
+        P, N, t, float(jn) / float(P * N),
+        float(tp) / float(P), float(fp) / float(N),
+        float(tp + (N - fp)) / float(P + N),
+    )
+
+
+def test_youden_separable_and_noisy(spark):
+    import random
+
+    from protosc_spark.evaluation import youden_threshold
+
+    # cleanly separable at 50
+    pairs = [(v, 1) for v in (60, 70, 80, 55)] + [
+        (v, 0) for v in (10, 20, 30, 45)
+    ]
+    df = spark.createDataFrame(pairs, "s long, y int")
+    r = youden_threshold(df, "s", "y").collect()[0]
+    assert r.j == 1.0 and r.tpr == 1.0 and r.fpr == 0.0
+    assert r.threshold == 55 and r.accuracy == 1.0
+
+    rng = random.Random(8)
+    pairs = [
+        (rng.randint(0, 60) + (25 if y else 0), y)
+        for y in (rng.randint(0, 1) for _ in range(300))
+    ]
+    df = spark.createDataFrame(pairs, "s long, y int")
+    r = youden_threshold(df, "s", "y").collect()[0]
+    P, N, t, j, tpr, fpr, acc = _youden_ref(pairs)
+    assert (r.n_pos, r.n_neg, r.threshold) == (P, N, t)
+    assert r.j == j and r.tpr == tpr and r.fpr == fpr
+    assert r.accuracy == acc
+
+
+def test_youden_tie_and_degenerate(spark):
+    from protosc_spark.evaluation import youden_threshold
+
+    # two thresholds attain the same J: smallest wins
+    pairs = [(1, 0), (2, 1), (3, 0), (4, 1), (5, 1)]
+    df = spark.createDataFrame(pairs, "s long, y int")
+    r = youden_threshold(df, "s", "y").collect()[0]
+    P, N, t, j, *_ = _youden_ref(pairs)
+    assert r.threshold == t and r.j == j
+
+    # one class empty -> NULLs
+    df = spark.createDataFrame([(1, 1), (2, 1)], "s long, y int")
+    r = youden_threshold(df, "s", "y").collect()[0]
+    assert r.j is None and r.threshold is None
