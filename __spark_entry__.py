@@ -1181,6 +1181,29 @@ def _corpus_drift_cvm(spark, sf_dir):
     )
 
 
+def _txt_lexical_diversity(spark, sf_dir):
+    """Yule's K, lexical Simpson's D and Herdan's C per source —
+    the length-robust repetitiveness constants beside the
+    vocab-richness tail audit (TTR comparisons across slices lie;
+    these don't). Exact integer count-of-counts moments, one float
+    expression each. DuckDB oracle replays tokenization, the
+    vocabulary rollup and all three trees."""
+    from protosc_spark.textops import lexical_diversity
+
+    docs = _read(spark, sf_dir, "documents").select(
+        "source", "text"
+    )
+    t = lexical_diversity(docs, "source")
+    return t.select(
+        "source",
+        "n_tokens",
+        "v_types",
+        F.round("yule_k", 6).alias("yule_k"),
+        F.round("simpson_d", 6).alias("simpson_d"),
+        F.round("herdan_c", 6).alias("herdan_c"),
+    ).orderBy("source")
+
+
 def _corpus_youden(spark, sf_dir):
     """Youden-J optimal n_chars threshold for predicting
     is-English — the operating-point companion to the exact-AUC
@@ -4231,6 +4254,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     full-surface green regardless of this ordering."""
     return {
         # --- round 5 ---
+        "txt_lexical_diversity": _txt_lexical_diversity,
         "corpus_youden": _corpus_youden,
         "txt_rbo_sources": _txt_rbo_sources,
         "corpus_agreement": _corpus_agreement,
@@ -4543,6 +4567,36 @@ def oracle_sql() -> dict[str, str]:
         for t in POISSON1_T60
     )
     out = {
+        "txt_lexical_diversity": """
+            WITH toks AS (
+              SELECT source,
+                     unnest(string_split(text, ' ')) AS token
+              FROM documents WHERE text IS NOT NULL
+            ), cnt AS (
+              SELECT source, token, count(*)::HUGEINT AS c
+              FROM toks GROUP BY 1, 2
+            ), g AS (
+              SELECT source, sum(c) AS n,
+                     count(*)::HUGEINT AS v,
+                     sum(c * c) AS m2,
+                     sum(c * (c - 1)) AS mm
+              FROM cnt GROUP BY 1
+            )
+            SELECT source, n::BIGINT AS n_tokens,
+                   v::BIGINT AS v_types,
+                   CASE WHEN n >= 2 THEN round(
+                     10000.0 * (m2 - n)::DOUBLE
+                     / (n::DOUBLE * n::DOUBLE), 6)
+                   END AS yule_k,
+                   CASE WHEN n >= 2 THEN round(
+                     mm::DOUBLE
+                     / (n::DOUBLE * (n::DOUBLE - 1.0)), 6)
+                   END AS simpson_d,
+                   CASE WHEN n > 1 AND v > 1 THEN round(
+                     ln(v::DOUBLE) / ln(n::DOUBLE), 6)
+                   END AS herdan_c
+            FROM g ORDER BY source
+        """,
         "corpus_youden": """
             WITH base AS (
               SELECT n_chars AS v, (lang = 'en')::INT AS y

@@ -190,6 +190,7 @@ HEADLINE = [
     "corpus_agreement",
     "txt_rbo_sources",
     "corpus_youden",
+    "txt_lexical_diversity",
 ]
 
 BENCH_CONVERSATIONS = int(os.environ.get("PROTOSC_BENCH_CONVS", "20000"))

@@ -1275,3 +1275,71 @@ def vocab_overlap(
             ).alias("contain_b"),
         )
     )
+
+
+def lexical_diversity(
+    df: DataFrame, group_col: str = "source"
+) -> DataFrame:
+    """Per-slice lexical-diversity constants from the same
+    count-of-counts collapse as :func:`vocab_richness` — the
+    LENGTH-ROBUST repetitiveness readouts (type-token ratio decays
+    with N, so cross-slice TTR comparisons lie; these three are the
+    standard corrections):
+
+        yule_k    = 10^4 (sum_m m^2 V_m - N) / N^2
+                    (Yule 1944 — repetitiveness of the token
+                    distribution, ~length-invariant)
+        simpson_d = sum_m m (m - 1) V_m / (N (N - 1))
+                    (probability two random tokens are the same
+                    type)
+        herdan_c  = ln V / ln N
+                    (log-log type-token slope)
+
+    with V_m = #types occurring exactly m times, V total types, N
+    total tokens. Every numerator (sum_m m^2 V_m = sum over the
+    vocabulary of c^2, etc.) is an exact DECIMAL integer off the
+    vocabulary table; each constant is ONE float expression —
+    replayable by any SQL engine. Empty tokens from split() are
+    kept (the shared split convention).
+
+    Scale shape: one explode -> map-side-combined groupBy(group,
+    token), then a |groups|-sized rollup. Output: (group, n_tokens,
+    v_types, yule_k, simpson_d, herdan_c); yule/simpson NULL when
+    N < 2, herdan NULL when N <= 1 or V <= 1."""
+    dec = "decimal(38,0)"
+    toks = df.where(F.col("text").isNotNull()).select(
+        F.col(group_col),
+        F.explode(F.split(F.col("text"), " ")).alias("token"),
+    )
+    cnt = toks.groupBy(group_col, "token").agg(
+        F.count(F.lit(1)).cast(dec).alias("c")
+    )
+    g = cnt.groupBy(group_col).agg(
+        F.sum("c").alias("__n"),
+        F.count(F.lit(1)).cast(dec).alias("__v"),
+        F.sum(F.col("c") * F.col("c")).alias("__m2"),
+        F.sum(
+            F.col("c") * (F.col("c") - F.lit(1).cast(dec))
+        ).alias("__mm"),
+    )
+    n = F.col("__n").cast("double")
+    v = F.col("__v").cast("double")
+    yule = (
+        F.lit(10000.0)
+        * (F.col("__m2") - F.col("__n")).cast("double")
+        / (n * n)
+    )
+    simpson = F.col("__mm").cast("double") / (
+        n * (n - F.lit(1.0))
+    )
+    herdan = F.log(v) / F.log(n)
+    return g.select(
+        F.col(group_col),
+        F.col("__n").cast("bigint").alias("n_tokens"),
+        F.col("__v").cast("bigint").alias("v_types"),
+        F.when(F.col("__n") >= 2, yule).alias("yule_k"),
+        F.when(F.col("__n") >= 2, simpson).alias("simpson_d"),
+        F.when(
+            (F.col("__n") > 1) & (F.col("__v") > 1), herdan
+        ).alias("herdan_c"),
+    )

@@ -1067,3 +1067,78 @@ def test_vocab_overlap_plan_no_python(spark):
     )
     assert "ArrowEvalPython" not in plan
     assert "BatchEvalPython" not in plan
+
+
+# ---------------------------------------------------------------------------
+# lexical_diversity
+# ---------------------------------------------------------------------------
+
+def _lexdiv_ref(texts):
+    """Literal replay: split(' ') keeping empties, exact integers,
+    the kernel's float trees."""
+    import math
+    from collections import Counter
+
+    cnt = Counter(
+        t for s in texts if s is not None for t in s.split(" ")
+    )
+    n = sum(cnt.values())
+    v = len(cnt)
+    m2 = sum(c * c for c in cnt.values())
+    mm = sum(c * (c - 1) for c in cnt.values())
+    yule = (
+        10000.0 * float(m2 - n) / (float(n) * float(n))
+        if n >= 2 else None
+    )
+    simpson = (
+        float(mm) / (float(n) * (float(n) - 1.0))
+        if n >= 2 else None
+    )
+    herdan = (
+        math.log(float(v)) / math.log(float(n))
+        if n > 1 and v > 1 else None
+    )
+    return n, v, yule, simpson, herdan
+
+
+def test_lexdiv_repetitive_vs_diverse(spark):
+    from protosc_spark.textops import lexical_diversity
+
+    rep = ["the the the the cat", "the the the dog the"]
+    div = ["alpha beta gamma delta", "epsilon zeta eta theta"]
+    rows = [("rep", t) for t in rep] + [("div", t) for t in div]
+    df = spark.createDataFrame(rows, "source string, text string")
+    out = {
+        r.source: r
+        for r in lexical_diversity(df).collect()
+    }
+    n, v, yule, simpson, herdan = _lexdiv_ref(rep)
+    assert out["rep"].n_tokens == n and out["rep"].v_types == v
+    assert out["rep"].yule_k == yule
+    assert out["rep"].simpson_d == simpson
+    # ln is a JVM intrinsic: 1-ulp vs libm is expected
+    assert abs(out["rep"].herdan_c - herdan) < 1e-12
+    nd, vd, yd, sd, hd = _lexdiv_ref(div)
+    assert out["div"].yule_k == yd == 0.0  # all hapax: K = 0
+    assert out["rep"].yule_k > 1000
+    assert out["rep"].simpson_d > out["div"].simpson_d == 0.0
+
+
+def test_lexdiv_empty_token_convention_and_degenerate(spark):
+    from protosc_spark.textops import lexical_diversity
+
+    # double space -> empty token type, counted like all kernels
+    df = spark.createDataFrame(
+        [("a", "x  y x")], "source string, text string"
+    )
+    r = lexical_diversity(df).collect()[0]
+    n, v, yule, simpson, herdan = _lexdiv_ref(["x  y x"])
+    assert r.n_tokens == n == 4 and r.v_types == v == 3
+    assert r.yule_k == yule and r.simpson_d == simpson
+
+    # single token: everything abstains
+    df = spark.createDataFrame(
+        [("a", "solo")], "source string, text string"
+    )
+    r = lexical_diversity(df).collect()[0]
+    assert r.yule_k is None and r.herdan_c is None
