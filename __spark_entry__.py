@@ -1181,6 +1181,29 @@ def _corpus_drift_cvm(spark, sf_dir):
     )
 
 
+def _corpus_weighted_kappa(spark, sf_dir):
+    """Weighted Cohen's kappa (linear + quadratic) between two
+    ordinal size raters — the n_chars DIV 200 bin vs the
+    whitespace-derived 6*spaces DIV 200 bin: near-diagonal
+    disagreement that nominal kappa over-penalizes. Exact DECIMAL
+    penalty sums with the 1/N deferred; DuckDB oracle replays the
+    confusion cells, marginal cross join and both divisions."""
+    from protosc_spark.evaluation import weighted_kappa
+
+    docs = _read(spark, sf_dir, "documents").select(
+        F.expr("n_chars DIV 200").alias("a"),
+        F.expr(
+            "(6 * (length(text) - length(replace(text, ' ', ''))))"
+            " DIV 200"
+        ).alias("b"),
+    )
+    return weighted_kappa(docs, "a", "b").select(
+        "n",
+        F.round("kappa_linear", 6).alias("kappa_linear"),
+        F.round("kappa_quadratic", 6).alias("kappa_quadratic"),
+    )
+
+
 def _txt_lexical_diversity(spark, sf_dir):
     """Yule's K, lexical Simpson's D and Herdan's C per source —
     the length-robust repetitiveness constants beside the
@@ -4254,6 +4277,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     full-surface green regardless of this ordering."""
     return {
         # --- round 5 ---
+        "corpus_weighted_kappa": _corpus_weighted_kappa,
         "txt_lexical_diversity": _txt_lexical_diversity,
         "corpus_youden": _corpus_youden,
         "txt_rbo_sources": _txt_rbo_sources,
@@ -4567,6 +4591,40 @@ def oracle_sql() -> dict[str, str]:
         for t in POISSON1_T60
     )
     out = {
+        "corpus_weighted_kappa": """
+            WITH base AS (
+              SELECT n_chars // 200 AS a,
+                     (6 * (length(text)
+                           - length(replace(text, ' ', ''))))
+                       // 200 AS b
+              FROM documents
+              WHERE n_chars IS NOT NULL AND text IS NOT NULL
+            ), cells AS (
+              SELECT a, b, count(*)::HUGEINT AS o
+              FROM base GROUP BY 1, 2
+            ), obs AS (
+              SELECT sum(o) AS n,
+                     sum(abs(a - b) * o) AS nl,
+                     sum((a - b) * (a - b) * o) AS nq
+              FROM cells
+            ), ra AS (
+              SELECT a, sum(o) AS r FROM cells GROUP BY 1
+            ), cb AS (
+              SELECT b, sum(o) AS c FROM cells GROUP BY 1
+            ), den AS (
+              SELECT sum(abs(a - b) * r * c) AS dl,
+                     sum((a - b) * (a - b) * r * c) AS dq
+              FROM ra, cb
+            )
+            SELECT n::BIGINT AS n,
+                   CASE WHEN dl > 0 THEN round(
+                     1.0 - (n * nl)::DOUBLE / dl::DOUBLE, 6)
+                   END AS kappa_linear,
+                   CASE WHEN dq > 0 THEN round(
+                     1.0 - (n * nq)::DOUBLE / dq::DOUBLE, 6)
+                   END AS kappa_quadratic
+            FROM obs, den
+        """,
         "txt_lexical_diversity": """
             WITH toks AS (
               SELECT source,

@@ -191,6 +191,7 @@ HEADLINE = [
     "txt_rbo_sources",
     "corpus_youden",
     "txt_lexical_diversity",
+    "corpus_weighted_kappa",
 ]
 
 BENCH_CONVERSATIONS = int(os.environ.get("PROTOSC_BENCH_CONVS", "20000"))

@@ -2572,3 +2572,70 @@ def youden_threshold(df: DataFrame, score_col: str, label_col: str
         ).alias("fpr"),
         F.when(ok, acc).alias("accuracy"),
     )
+
+
+def weighted_kappa(df: DataFrame, a_col: str, b_col: str
+                   ) -> DataFrame:
+    """Weighted Cohen's kappa for ORDINAL integer categories — the
+    agreement readout :func:`cohens_kappa` cannot give when being
+    off by one bin is better than being off by five (nominal kappa
+    charges both the same). Both standard weightings at once:
+
+        kappa_w = 1 - sum_ij w_ij O_ij / sum_ij w_ij E_ij,
+        w_ij = |i - j|        (linear)
+        w_ij = (i - j)^2      (quadratic; equals an ICC)
+
+    with E_ij = row_i col_j / N the chance table. Exactness: the
+    observed penalty sum and the marginal-product penalty sum are
+    exact DECIMAL integers (E's 1/N is deferred:
+    kappa = 1 - N * num / den), so each kappa is ONE float division
+    of two exact integers — order-independent, replayable by any
+    SQL engine.
+
+    Scale shape: one groupBy(a, b) confusion aggregation; penalties
+    on the category-squared-sized cell table; the chance side is a
+    |cats| x |cats| marginal cross join. Rows with NULL in either
+    column are dropped. Output: one row (n, kappa_linear,
+    kappa_quadratic); a kappa is NULL when its chance penalty is 0
+    (either rater constant)."""
+    dec = "decimal(38,0)"
+    a = F.col(a_col).cast("bigint")
+    b = F.col(b_col).cast("bigint")
+    cells = (
+        df.where(a.isNotNull() & b.isNotNull())
+        .groupBy(a.alias("__a"), b.alias("__b"))
+        .agg(F.count(F.lit(1)).cast(dec).alias("__o"))
+        .localCheckpoint(eager=True)  # feeds marginals + penalties
+    )
+    dl = F.abs(F.col("__a") - F.col("__b")).cast(dec)
+    dq = (
+        (F.col("__a") - F.col("__b"))
+        * (F.col("__a") - F.col("__b"))
+    ).cast(dec)
+    obs = cells.agg(
+        F.sum("__o").alias("__n"),
+        F.sum(dl * F.col("__o")).alias("__nl"),
+        F.sum(dq * F.col("__o")).alias("__nq"),
+    )
+    ra = cells.groupBy("__a").agg(F.sum("__o").alias("__r"))
+    cb = cells.groupBy("__b").agg(F.sum("__o").alias("__c"))
+    den = ra.crossJoin(cb).agg(
+        F.sum(dl * F.col("__r") * F.col("__c")).alias("__dl"),
+        F.sum(dq * F.col("__r") * F.col("__c")).alias("__dq"),
+    )
+    g = obs.crossJoin(F.broadcast(den))
+    n = F.col("__n")
+
+    def kap(num, d):
+        return F.when(
+            F.col(d) > 0,
+            F.lit(1.0)
+            - (n * F.col(num)).cast("double")
+            / F.col(d).cast("double"),
+        )
+
+    return g.select(
+        n.cast("bigint").alias("n"),
+        kap("__nl", "__dl").alias("kappa_linear"),
+        kap("__nq", "__dq").alias("kappa_quadratic"),
+    )

@@ -1995,3 +1995,84 @@ def test_youden_tie_and_degenerate(spark):
     df = spark.createDataFrame([(1, 1), (2, 1)], "s long, y int")
     r = youden_threshold(df, "s", "y").collect()[0]
     assert r.j is None and r.threshold is None
+
+
+# ---------------------------------------------------------------------------
+# weighted_kappa
+# ---------------------------------------------------------------------------
+
+def _wkappa_ref(pairs):
+    """Exact-integer replay mirroring the deferred-1/N form."""
+    from collections import Counter
+
+    cells = Counter(pairs)
+    n = len(pairs)
+    ra = Counter(a for a, _ in pairs)
+    cb = Counter(b for _, b in pairs)
+    nl = sum(abs(a - b) * c for (a, b), c in cells.items())
+    nq = sum((a - b) ** 2 * c for (a, b), c in cells.items())
+    dl = sum(
+        abs(i - j) * ra[i] * cb[j] for i in ra for j in cb
+    )
+    dq = sum(
+        (i - j) ** 2 * ra[i] * cb[j] for i in ra for j in cb
+    )
+    kl = 1.0 - float(n * nl) / float(dl) if dl > 0 else None
+    kq = 1.0 - float(n * nq) / float(dq) if dq > 0 else None
+    return n, kl, kq
+
+
+def test_wkappa_perfect_offbyone_random(spark):
+    import random
+
+    from protosc_spark.evaluation import weighted_kappa
+
+    # perfect agreement: both kappas exactly 1
+    pairs = [(v, v) for v in (0, 1, 2, 3, 4) * 10]
+    df = spark.createDataFrame(pairs, "a int, b int")
+    r = weighted_kappa(df, "a", "b").collect()[0]
+    assert r.kappa_linear == 1.0 and r.kappa_quadratic == 1.0
+
+    # off-by-one rater: quadratic forgives more than linear
+    rng = random.Random(2)
+    pairs = [
+        (v, min(4, v + rng.randint(0, 1)))
+        for v in (rng.randint(0, 4) for _ in range(400))
+    ]
+    df = spark.createDataFrame(pairs, "a int, b int")
+    r = weighted_kappa(df, "a", "b").collect()[0]
+    n, kl, kq = _wkappa_ref(pairs)
+    assert r.kappa_linear == kl and r.kappa_quadratic == kq
+    assert r.kappa_quadratic > r.kappa_linear > 0.5
+
+
+def test_wkappa_independent_near_zero(spark):
+    import random
+
+    from protosc_spark.evaluation import weighted_kappa
+
+    rng = random.Random(6)
+    pairs = [
+        (rng.randint(0, 4), rng.randint(0, 4)) for _ in range(600)
+    ]
+    df = spark.createDataFrame(pairs, "a int, b int")
+    r = weighted_kappa(df, "a", "b").collect()[0]
+    n, kl, kq = _wkappa_ref(pairs)
+    assert r.kappa_linear == kl and r.kappa_quadratic == kq
+    assert abs(r.kappa_linear) < 0.1 and abs(r.kappa_quadratic) < 0.1
+
+
+def test_wkappa_constant_rater_null(spark):
+    from protosc_spark.evaluation import weighted_kappa
+
+    pairs = [(2, v) for v in (0, 1, 2, 3)]
+    df = spark.createDataFrame(pairs, "a int, b int")
+    r = weighted_kappa(df, "a", "b").collect()[0]
+    # rater a constant: chance penalty still > 0 (b varies), defined
+    n, kl, kq = _wkappa_ref(pairs)
+    assert r.kappa_linear == kl
+
+    pairs = [(2, 2)] * 5
+    df = spark.createDataFrame(pairs, "a int, b int")
+    r = weighted_kappa(df, "a", "b").collect()[0]
+    assert r.kappa_linear is None and r.kappa_quadratic is None
