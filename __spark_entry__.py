@@ -1181,6 +1181,26 @@ def _corpus_drift_cvm(spark, sf_dir):
     )
 
 
+def _corpus_avg_precision(spark, sf_dir):
+    """Exact average precision of the n_chars ranking against
+    is-Chinese relevance — the rare-class companion to exact AUC
+    (zh is a small slice, exactly where ROC flatters and AP does
+    not). Tie-block step interpolation over distinct scores,
+    quantized per-threshold terms; DuckDB oracle replays the
+    descending cumulative and the quantized sum."""
+    from protosc_spark.evaluation import average_precision
+
+    docs = _read_wide(spark, sf_dir, "documents").select(
+        "n_chars", (F.col("lang") == "zh").cast("int").alias("y")
+    )
+    return average_precision(docs, "n_chars", "y").select(
+        "n_pos",
+        "n_neg",
+        F.round("ap", 6).alias("ap"),
+        F.round("baseline", 6).alias("baseline"),
+    )
+
+
 def _corpus_weighted_kappa(spark, sf_dir):
     """Weighted Cohen's kappa (linear + quadratic) between two
     ordinal size raters — the n_chars DIV 200 bin vs the
@@ -4277,6 +4297,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     full-surface green regardless of this ordering."""
     return {
         # --- round 5 ---
+        "corpus_avg_precision": _corpus_avg_precision,
         "corpus_weighted_kappa": _corpus_weighted_kappa,
         "txt_lexical_diversity": _txt_lexical_diversity,
         "corpus_youden": _corpus_youden,
@@ -4591,6 +4612,37 @@ def oracle_sql() -> dict[str, str]:
         for t in POISSON1_T60
     )
     out = {
+        "corpus_avg_precision": """
+            WITH base AS (
+              SELECT n_chars AS v, (lang = 'zh')::INT AS y
+              FROM documents
+              WHERE n_chars IS NOT NULL AND lang IS NOT NULL
+            ), h AS (
+              SELECT v, sum(y)::HUGEINT AS p,
+                     sum(1 - y)::HUGEINT AS q
+              FROM base GROUP BY 1
+            ), cum AS (
+              SELECT p AS dp, sum(p) OVER w AS tp,
+                     sum(q) OVER w AS fp
+              FROM h WINDOW w AS (ORDER BY v DESC
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            ), tot AS (
+              SELECT sum(p) AS pp, sum(q) AS nn FROM h
+            ), agg AS (
+              SELECT sum(floor(
+                       (dp::DOUBLE / pp::DOUBLE)
+                       * (tp::DOUBLE / (tp + fp)::DOUBLE)
+                       * 1e15)::HUGEINT) AS su
+              FROM cum, tot WHERE dp > 0
+            )
+            SELECT pp::BIGINT AS n_pos, nn::BIGINT AS n_neg,
+                   CASE WHEN pp > 0 THEN round(
+                     su::DOUBLE / 1e15, 6) END AS ap,
+                   CASE WHEN pp > 0 THEN round(
+                     pp::DOUBLE / (pp + nn)::DOUBLE, 6)
+                   END AS baseline
+            FROM tot, agg
+        """,
         "corpus_weighted_kappa": """
             WITH base AS (
               SELECT n_chars // 200 AS a,

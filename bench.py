@@ -192,6 +192,7 @@ HEADLINE = [
     "corpus_youden",
     "txt_lexical_diversity",
     "corpus_weighted_kappa",
+    "corpus_avg_precision",
 ]
 
 BENCH_CONVERSATIONS = int(os.environ.get("PROTOSC_BENCH_CONVS", "20000"))

@@ -2639,3 +2639,87 @@ def weighted_kappa(df: DataFrame, a_col: str, b_col: str
         kap("__nl", "__dl").alias("kappa_linear"),
         kap("__nq", "__dq").alias("kappa_quadratic"),
     )
+
+
+def average_precision(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    unit: int = 10**15,
+) -> DataFrame:
+    """Exact average precision (area under the precision-recall
+    curve, step interpolation — the scikit-learn
+    average_precision_score convention) — the imbalanced-class
+    companion to :func:`auc_exact`: ROC-AUC stays near 1 when
+    positives are rare and the head of the ranking is junk; AP
+    collapses, which is what a filtering pipeline needs to see.
+
+        AP = sum_k (R_k - R_{k-1}) P_k
+
+    over DISTINCT score values descending (ties enter as one block
+    — the tie-correct form), with P_k = TP_k / (TP_k + FP_k),
+    R_k = TP_k / P. Every TP/FP is an exact integer off the
+    score-value histogram's descending cumulative; each threshold's
+    term (dTP_k / P) * P_k is quantized to integer 1/``unit`` units
+    BEFORE the cross-threshold sum (house rule), so the result is
+    order-independent and SQL-replayable.
+
+    Scale shape: one map-side-combined groupBy(score); the only
+    window runs over distinct score values. Rows with NULL score or
+    label are dropped. Output: one row (n_pos, n_neg, ap,
+    baseline) — baseline = P/(P+N), the AP of a random ranking;
+    ap NULL when there are no positives."""
+    dec = "decimal(38,0)"
+    y = F.col(label_col).cast("int")
+    h = (
+        df.where(
+            F.col(score_col).isNotNull() & F.col(label_col).isNotNull()
+        )
+        .groupBy(F.col(score_col).alias("__v"))
+        .agg(
+            F.sum(y).cast(dec).alias("__p"),
+            F.sum(1 - y).cast(dec).alias("__q"),
+        )
+    )
+    wd = W.orderBy(F.col("__v").desc()).rowsBetween(
+        W.unboundedPreceding, 0
+    )
+    cum = h.select(
+        F.col("__p").alias("__dp"),
+        F.sum("__p").over(wd).alias("__tp"),
+        F.sum("__q").over(wd).alias("__fp"),
+    )
+    tot = h.agg(
+        F.sum("__p").alias("__P"), F.sum("__q").alias("__N")
+    )
+    u = F.lit(float(unit))
+    term = (
+        F.col("__dp").cast("double")
+        / F.col("__P").cast("double")
+    ) * (
+        F.col("__tp").cast("double")
+        / (F.col("__tp") + F.col("__fp")).cast("double")
+    )
+    agg = (
+        cum.crossJoin(F.broadcast(tot))
+        .where(F.col("__dp") > 0)
+        .agg(
+            F.first("__P").alias("__fp_"),
+            F.first("__N").alias("__fn_"),
+            F.sum(F.floor(term * u).cast(dec)).alias("__su"),
+        )
+    )
+    base = tot.crossJoin(F.broadcast(agg.drop("__fp_", "__fn_")))
+    ok = F.col("__P") > 0
+    return base.select(
+        F.col("__P").cast("bigint").alias("n_pos"),
+        F.col("__N").cast("bigint").alias("n_neg"),
+        F.when(
+            ok, F.col("__su").cast("double") / u
+        ).alias("ap"),
+        F.when(
+            ok,
+            F.col("__P").cast("double")
+            / (F.col("__P") + F.col("__N")).cast("double"),
+        ).alias("baseline"),
+    )

@@ -2076,3 +2076,78 @@ def test_wkappa_constant_rater_null(spark):
     df = spark.createDataFrame(pairs, "a int, b int")
     r = weighted_kappa(df, "a", "b").collect()[0]
     assert r.kappa_linear is None and r.kappa_quadratic is None
+
+
+# ---------------------------------------------------------------------------
+# average_precision
+# ---------------------------------------------------------------------------
+
+def _ap_ref(pairs, unit=10**15):
+    """Quantized replay of the distinct-threshold step AP."""
+    import math
+    from collections import Counter
+
+    pos = Counter(s for s, y in pairs if y == 1)
+    neg = Counter(s for s, y in pairs if y == 0)
+    P = sum(pos.values())
+    if P == 0:
+        return None
+    su, tp, fp = 0, 0, 0
+    for v in sorted(set(pos) | set(neg), reverse=True):
+        dp = pos.get(v, 0)
+        tp += dp
+        fp += neg.get(v, 0)
+        if dp > 0:
+            term = (float(dp) / float(P)) * (
+                float(tp) / float(tp + fp)
+            )
+            su += math.floor(term * float(unit))
+    return float(su) / float(unit)
+
+
+def test_ap_perfect_and_sklearn_convention(spark):
+    from protosc_spark.evaluation import average_precision
+
+    # perfect ranking: AP = 1
+    pairs = [(9, 1), (8, 1), (7, 0), (6, 0)]
+    df = spark.createDataFrame(pairs, "s long, y int")
+    r = average_precision(df, "s", "y").collect()[0]
+    assert abs(r.ap - 1.0) < 1e-12 and r.baseline == 0.5
+
+    # worst ranking: AP -> well below baseline... but never 0
+    pairs = [(1, 1), (2, 1), (8, 0), (9, 0)]
+    df = spark.createDataFrame(pairs, "s long, y int")
+    r = average_precision(df, "s", "y").collect()[0]
+    assert r.ap == _ap_ref(pairs) and r.ap < 0.5
+
+
+def test_ap_ties_and_imbalance_replay(spark):
+    import random
+
+    from protosc_spark.evaluation import average_precision
+
+    rng = random.Random(14)
+    # rare positives, tie-heavy integer scores
+    pairs = [
+        (rng.randint(0, 15) + (6 if y else 0), y)
+        for y in (1 if rng.random() < 0.07 else 0
+                  for _ in range(800))
+    ]
+    df = spark.createDataFrame(pairs, "s long, y int")
+    r = average_precision(df, "s", "y").collect()[0]
+    ref = _ap_ref(pairs)
+    assert r.ap == ref
+    P = sum(1 for _, y in pairs if y == 1)
+    assert r.n_pos == P and r.baseline == P / len(pairs)
+    # informative ranking: beats the prevalence baseline
+    assert r.ap > r.baseline
+
+
+def test_ap_no_positives_null(spark):
+    from protosc_spark.evaluation import average_precision
+
+    df = spark.createDataFrame(
+        [(3, 0), (5, 0)], "s long, y int"
+    )
+    r = average_precision(df, "s", "y").collect()[0]
+    assert r.ap is None and r.n_pos == 0
