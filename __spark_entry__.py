@@ -1181,6 +1181,40 @@ def _corpus_drift_cvm(spark, sf_dir):
     )
 
 
+def _corpus_brier(spark, sf_dir):
+    """Brier score + Murphy decomposition of a whitespace-ratio
+    'probability' s/(s+20) forecasting is-English: REL/RES/UNC with
+    the within-bin residual. Probabilities quantized once to 1e-9,
+    pure-integer bin rule, per-bin terms quantized before the
+    cross-bin sums. DuckDB oracle replays the quantization grid and
+    every term."""
+    from protosc_spark.evaluation import brier_decomposition
+
+    docs = _read(spark, sf_dir, "documents").where(
+        F.col("text").isNotNull() & F.col("lang").isNotNull()
+    ).select(
+        F.expr(
+            "length(text) - length(replace(text, ' ', ''))"
+        ).alias("s"),
+        (F.col("lang") == "en").cast("int").alias("y"),
+    ).select(
+        (
+            F.col("s").cast("double")
+            / (F.col("s") + F.lit(20)).cast("double")
+        ).alias("p"),
+        "y",
+    )
+    t = brier_decomposition(docs, "p", "y")
+    return t.select(
+        "n",
+        F.round("brier", 6).alias("brier"),
+        F.round("reliability", 6).alias("reliability"),
+        F.round("resolution", 6).alias("resolution"),
+        F.round("uncertainty", 6).alias("uncertainty"),
+        F.round("within_bin_var", 6).alias("within_bin_var"),
+    )
+
+
 def _corpus_avg_precision(spark, sf_dir):
     """Exact average precision of the n_chars ranking against
     is-Chinese relevance — the rare-class companion to exact AUC
@@ -4297,6 +4331,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     full-surface green regardless of this ordering."""
     return {
         # --- round 5 ---
+        "corpus_brier": _corpus_brier,
         "corpus_avg_precision": _corpus_avg_precision,
         "corpus_weighted_kappa": _corpus_weighted_kappa,
         "txt_lexical_diversity": _txt_lexical_diversity,
@@ -4612,6 +4647,73 @@ def oracle_sql() -> dict[str, str]:
         for t in POISSON1_T60
     )
     out = {
+        "corpus_brier": """
+            WITH base AS (
+              SELECT (length(text)
+                      - length(replace(text, ' ', '')))::BIGINT
+                       AS s,
+                     (lang = 'en')::INT AS y
+              FROM documents
+              WHERE text IS NOT NULL AND lang IS NOT NULL
+            ), rws AS (
+              SELECT floor(s::DOUBLE / (s + 20)::DOUBLE
+                           * 1000000000.0)::HUGEINT AS qp,
+                     y::HUGEINT AS y
+              FROM base
+            ), binned AS (
+              SELECT qp, y,
+                     least(floor((qp * 10)::DOUBLE
+                                 / 1000000000.0)::HUGEINT,
+                           9::HUGEINT) AS b
+              FROM rws
+            ), per_bin AS (
+              SELECT b, count(*)::HUGEINT AS nb, sum(qp) AS sp,
+                     sum(qp * qp) AS spp, sum(y) AS sy,
+                     sum(qp * y) AS spy
+              FROM binned GROUP BY 1
+            ), tot AS (
+              SELECT sum(nb) AS n, sum(spp) AS tspp,
+                     sum(sy) AS tsy, sum(spy) AS tspy
+              FROM per_bin
+            ), sums AS (
+              SELECT
+                sum(floor(
+                  ((sp - 1000000000::HUGEINT * sy)::DOUBLE
+                   / 1e9)
+                  * ((sp - 1000000000::HUGEINT * sy)::DOUBLE
+                     / 1e9)
+                  / nb::DOUBLE * 1e15)::HUGEINT) AS rel_u,
+                sum(floor(
+                  ((n * sy - nb * tsy)::DOUBLE / n::DOUBLE)
+                  * ((n * sy - nb * tsy)::DOUBLE / n::DOUBLE)
+                  / nb::DOUBLE * 1e15)::HUGEINT) AS res_u
+              FROM per_bin, tot
+            ), fin AS (
+              SELECT n,
+                (tspp - 2 * 1000000000::HUGEINT * tspy
+                 + 1000000000::HUGEINT * 1000000000::HUGEINT
+                   * tsy)::DOUBLE
+                  / (n::DOUBLE * 1e9 * 1e9) AS bs,
+                rel_u::DOUBLE / 1e15 / n::DOUBLE AS rel,
+                res_u::DOUBLE / 1e15 / n::DOUBLE AS res,
+                (tsy * (n - tsy))::DOUBLE
+                  / (n::DOUBLE * n::DOUBLE) AS unc
+              FROM tot, sums
+            )
+            SELECT n::BIGINT AS n,
+                   CASE WHEN n > 0 THEN round(bs, 6)
+                   END AS brier,
+                   CASE WHEN n > 0 THEN round(rel, 6)
+                   END AS reliability,
+                   CASE WHEN n > 0 THEN round(res, 6)
+                   END AS resolution,
+                   CASE WHEN n > 0 THEN round(unc, 6)
+                   END AS uncertainty,
+                   CASE WHEN n > 0 THEN round(
+                     bs - (rel - res + unc), 6)
+                   END AS within_bin_var
+            FROM fin
+        """,
         "corpus_avg_precision": """
             WITH base AS (
               SELECT n_chars AS v, (lang = 'zh')::INT AS y

@@ -193,6 +193,7 @@ HEADLINE = [
     "txt_lexical_diversity",
     "corpus_weighted_kappa",
     "corpus_avg_precision",
+    "corpus_brier",
 ]
 
 BENCH_CONVERSATIONS = int(os.environ.get("PROTOSC_BENCH_CONVS", "20000"))

@@ -2723,3 +2723,113 @@ def average_precision(
             / (F.col("__P") + F.col("__N")).cast("double"),
         ).alias("baseline"),
     )
+
+
+def brier_decomposition(
+    df: DataFrame,
+    prob_col: str,
+    label_col: str,
+    n_bins: int = 10,
+    unit: int = 10**9,
+    term_unit: int = 10**15,
+) -> DataFrame:
+    """Brier score with the Murphy decomposition — the probability-
+    quality readout calibration_bins only tables: REL (calibration
+    error mass), RES (how much the forecast separates the classes),
+    UNC (irreducible base-rate variance), with BS ~= REL - RES + UNC
+    (exact over bin-averaged forecasts; the raw BS additionally
+    carries the within-bin variance, reported as the residual).
+
+    Exactness: probabilities are quantized ONCE to integer
+    1/``unit`` units (floor) — everything downstream, including the
+    raw Brier score
+
+        BS = (sum qp^2 - 2 U sum_{y=1} qp + U^2 sum y) / (n U^2),
+
+    is exact integer arithmetic on that grid. Bins are
+    qp * B DIV U (clamped to B-1 — pure integer bin rule); per-bin
+    REL/RES terms are single float expressions of exact integers
+    quantized to 1/``term_unit`` BEFORE the cross-bin sums (house
+    rule). Replayable by any SQL engine.
+
+    Scale shape: one aggregation to B bin rows (+ one global),
+    arithmetic on the bin table. Rows with NULL prob/label or prob
+    outside [0, 1] are dropped. Output: one row (n, brier,
+    reliability, resolution, uncertainty, within_bin_var)."""
+    dec = "decimal(38,0)"
+    u = F.lit(float(unit))
+    ui = F.lit(int(unit)).cast(dec)
+    p = F.col(prob_col).cast("double")
+    y = F.col(label_col).cast("int")
+    rows = df.where(
+        p.isNotNull() & y.isNotNull() & (p >= 0) & (p <= 1)
+    ).select(
+        F.floor(p * u).cast(dec).alias("__qp"),
+        y.cast(dec).alias("__y"),
+    )
+    b = F.lit(int(n_bins)).cast(dec)
+    binned = rows.select(
+        "__qp",
+        "__y",
+        F.least(
+            F.floor(
+                (F.col("__qp") * b).cast("double")
+                / F.lit(float(unit))
+            ).cast(dec),
+            b - F.lit(1).cast(dec),
+        ).alias("__b"),
+    )
+    per_bin = binned.groupBy("__b").agg(
+        F.count(F.lit(1)).cast(dec).alias("__nb"),
+        F.sum("__qp").alias("__sp"),
+        F.sum(F.col("__qp") * F.col("__qp")).alias("__spp"),
+        F.sum("__y").alias("__sy"),
+        F.sum(F.col("__qp") * F.col("__y")).alias("__spy"),
+    )
+    tot = per_bin.agg(
+        F.sum("__nb").alias("__n"),
+        F.sum("__sp").alias("__tsp"),
+        F.sum("__spp").alias("__tspp"),
+        F.sum("__sy").alias("__tsy"),
+        F.sum("__spy").alias("__tspy"),
+    ).localCheckpoint(eager=True)
+    tu = F.lit(float(term_unit))
+    j = per_bin.crossJoin(F.broadcast(tot))
+    drel = (F.col("__sp") - ui * F.col("__sy")).cast("double") / u
+    rel_t = F.floor(
+        drel * drel / F.col("__nb").cast("double") * tu
+    ).cast(dec)
+    dres = (
+        F.col("__n") * F.col("__sy") - F.col("__nb") * F.col("__tsy")
+    ).cast("double") / F.col("__n").cast("double")
+    res_t = F.floor(
+        dres * dres / F.col("__nb").cast("double") * tu
+    ).cast(dec)
+    sums = j.agg(
+        F.sum(rel_t).alias("__rel_u"),
+        F.sum(res_t).alias("__res_u"),
+    )
+    g = tot.crossJoin(F.broadcast(sums))
+    n = F.col("__n")
+    nd = n.cast("double")
+    bs = (
+        F.col("__tspp")
+        - F.lit(2).cast(dec) * ui * F.col("__tspy")
+        + ui * ui * F.col("__tsy")
+    ).cast("double") / (nd * u * u)
+    rel = F.col("__rel_u").cast("double") / tu / nd
+    res = F.col("__res_u").cast("double") / tu / nd
+    unc = (F.col("__tsy") * (n - F.col("__tsy"))).cast(
+        "double"
+    ) / (nd * nd)
+    ok = n > 0
+    return g.select(
+        n.cast("bigint").alias("n"),
+        F.when(ok, bs).alias("brier"),
+        F.when(ok, rel).alias("reliability"),
+        F.when(ok, res).alias("resolution"),
+        F.when(ok, unc).alias("uncertainty"),
+        F.when(ok, bs - (rel - res + unc)).alias(
+            "within_bin_var"
+        ),
+    )

@@ -2151,3 +2151,100 @@ def test_ap_no_positives_null(spark):
     )
     r = average_precision(df, "s", "y").collect()[0]
     assert r.ap is None and r.n_pos == 0
+
+
+# ---------------------------------------------------------------------------
+# brier_decomposition
+# ---------------------------------------------------------------------------
+
+def _brier_ref(pairs, n_bins=10, unit=10**9, term_unit=10**15):
+    """Digit-for-digit replay of the quantized decomposition."""
+    import math
+    from collections import defaultdict
+
+    U, TU = unit, float(term_unit)
+    rows = [
+        (math.floor(p * float(U)), y)
+        for p, y in pairs
+        if 0 <= p <= 1
+    ]
+    n = len(rows)
+    bins = defaultdict(lambda: [0, 0, 0, 0, 0])
+    tspp = tspy = tsy = 0
+    for qp, y in rows:
+        bi = min(math.floor(float(qp * n_bins) / float(U)),
+                 n_bins - 1)
+        st = bins[bi]
+        st[0] += 1
+        st[1] += qp
+        st[2] += qp * qp
+        st[3] += y
+        st[4] += qp * y
+        tspp += qp * qp
+        tspy += qp * y
+        tsy += y
+    bs = float(tspp - 2 * U * tspy + U * U * tsy) / (
+        float(n) * float(U) * float(U)
+    )
+    rel_u = res_u = 0
+    for nb, sp, spp, sy, spy in bins.values():
+        drel = float(sp - U * sy) / float(U)
+        rel_u += math.floor(drel * drel / float(nb) * TU)
+        dres = float(n * sy - nb * tsy) / float(n)
+        res_u += math.floor(dres * dres / float(nb) * TU)
+    rel = float(rel_u) / TU / float(n)
+    res = float(res_u) / TU / float(n)
+    unc = float(tsy * (n - tsy)) / (float(n) * float(n))
+    return bs, rel, res, unc
+
+
+def test_brier_calibrated_vs_overconfident(spark):
+    import random
+
+    from protosc_spark.evaluation import brier_decomposition
+
+    rng = random.Random(19)
+    # perfectly calibrated: p drawn from {0.1..0.9}, y ~ Bern(p)
+    cal = []
+    for _ in range(2000):
+        p = rng.choice([0.1, 0.3, 0.5, 0.7, 0.9])
+        cal.append((p, 1 if rng.random() < p else 0))
+    df = spark.createDataFrame(cal, "p double, y int")
+    r = brier_decomposition(df, "p", "y").collect()[0]
+    bs, rel, res, unc = _brier_ref(cal)
+    assert r.brier == bs and r.reliability == rel
+    assert r.resolution == res and r.uncertainty == unc
+    assert r.reliability < 0.01  # calibrated: tiny REL
+
+    # same labels, overconfident forecasts: REL blows up
+    over = [(0.99 if y else 0.01, y) for _, y in cal[:1000]]
+    # ...but with labels flipped 30% of the time
+    rng2 = random.Random(3)
+    over = [
+        (p, y if rng2.random() > 0.3 else 1 - y)
+        for p, y in over
+    ]
+    df = spark.createDataFrame(over, "p double, y int")
+    r2 = brier_decomposition(df, "p", "y").collect()[0]
+    bs2, rel2, _, _ = _brier_ref(over)
+    assert r2.brier == bs2 and r2.reliability == rel2
+    assert r2.reliability > 0.05 and r2.brier > r.brier
+
+
+def test_brier_identity_and_degenerate(spark):
+    from protosc_spark.evaluation import brier_decomposition
+
+    # one forecast value per bin: BS == REL - RES + UNC exactly
+    # (no within-bin variance), up to the quantization units
+    pairs = [(0.25, 0), (0.25, 1), (0.25, 0), (0.75, 1),
+             (0.75, 1), (0.75, 0)]
+    df = spark.createDataFrame(pairs, "p double, y int")
+    r = brier_decomposition(df, "p", "y").collect()[0]
+    assert abs(r.within_bin_var) < 1e-9
+
+    # out-of-range rows dropped
+    df = spark.createDataFrame(
+        [(0.5, 1), (1.5, 0), (-0.2, 1)], "p double, y int"
+    )
+    r = brier_decomposition(df, "p", "y").collect()[0]
+    assert r.n == 1
