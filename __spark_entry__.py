@@ -1181,6 +1181,36 @@ def _corpus_drift_cvm(spark, sf_dir):
     )
 
 
+def _corpus_cochran_q(spark, sf_dir):
+    """Cochran's Q across three curation filters on the same docs
+    (is-English / length>=300 / spaces>=40) — do the rules pass
+    different fractions of the same corpus? Exact integer
+    row-sum/column-sum statistics from one aggregation, df=2
+    closed-form p. DuckDB oracle replays the flags and the float
+    tree."""
+    from protosc_spark.evaluation import cochran_q
+
+    docs = _read(spark, sf_dir, "documents").select(
+        (F.col("lang") == "en").cast("int").alias("f1"),
+        (F.col("n_chars") >= 300).cast("int").alias("f2"),
+        (
+            F.expr(
+                "length(text) - length(replace(text, ' ', ''))"
+            )
+            >= 40
+        ).cast("int").alias("f3"),
+    )
+    return cochran_q(docs, ["f1", "f2", "f3"]).select(
+        "n",
+        "c1",
+        "c2",
+        "c3",
+        F.round("q", 6).alias("q"),
+        F.round("p_value", 6).alias("p_value"),
+        "significant",
+    )
+
+
 def _corpus_brier(spark, sf_dir):
     """Brier score + Murphy decomposition of a whitespace-ratio
     'probability' s/(s+20) forecasting is-English: REL/RES/UNC with
@@ -4331,6 +4361,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     full-surface green regardless of this ordering."""
     return {
         # --- round 5 ---
+        "corpus_cochran_q": _corpus_cochran_q,
         "corpus_brier": _corpus_brier,
         "corpus_avg_precision": _corpus_avg_precision,
         "corpus_weighted_kappa": _corpus_weighted_kappa,
@@ -4647,6 +4678,46 @@ def oracle_sql() -> dict[str, str]:
         for t in POISSON1_T60
     )
     out = {
+        "corpus_cochran_q": """
+            WITH base AS (
+              SELECT (lang = 'en')::INT AS f1,
+                     (n_chars >= 300)::INT AS f2,
+                     ((length(text)
+                       - length(replace(text, ' ', ''))) >= 40
+                     )::INT AS f3
+              FROM documents
+            ), rws AS (
+              SELECT f1, f2, f3,
+                     (f1 + f2 + f3)::HUGEINT AS r
+              FROM base
+              WHERE f1 IS NOT NULL AND f2 IS NOT NULL
+                AND f3 IS NOT NULL
+            ), g AS (
+              SELECT count(*)::HUGEINT AS n,
+                     sum(f1)::HUGEINT AS c1,
+                     sum(f2)::HUGEINT AS c2,
+                     sum(f3)::HUGEINT AS c3,
+                     sum(r) AS sr, sum(r * r) AS sr2
+              FROM rws
+            ), fin AS (
+              SELECT *,
+                     (2 * (3 * (c1 * c1 + c2 * c2 + c3 * c3)
+                           - sr * sr))::DOUBLE
+                       / (3 * sr - sr2)::DOUBLE AS q,
+                     3 * sr - sr2 AS den
+              FROM g
+            )
+            SELECT n::BIGINT AS n, c1::BIGINT AS c1,
+                   c2::BIGINT AS c2, c3::BIGINT AS c3,
+                   CASE WHEN den > 0 THEN round(q, 6) END AS q,
+                   CASE WHEN den > 0
+                        THEN round(exp(-q / 2.0), 6)
+                   END AS p_value,
+                   CASE WHEN den > 0
+                        THEN exp(-q / 2.0) < 0.05
+                   END AS significant
+            FROM fin
+        """,
         "corpus_brier": """
             WITH base AS (
               SELECT (length(text)

@@ -194,6 +194,7 @@ HEADLINE = [
     "corpus_weighted_kappa",
     "corpus_avg_precision",
     "corpus_brier",
+    "corpus_cochran_q",
 ]
 
 BENCH_CONVERSATIONS = int(os.environ.get("PROTOSC_BENCH_CONVS", "20000"))

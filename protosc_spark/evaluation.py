@@ -2833,3 +2833,67 @@ def brier_decomposition(
             "within_bin_var"
         ),
     )
+
+
+def cochran_q(
+    df: DataFrame,
+    flag_cols: list[str],
+) -> DataFrame:
+    """Cochran's Q test for k RELATED binary filters on the same
+    rows — the k-filter extension of :func:`mcnemar_test` (McNemar
+    compares two filters; curation pipelines run many, and "do
+    these k rules pass different fractions of the same corpus?" is
+    the calibration question before combining them):
+
+        Q = (k - 1) (k sum_j C_j^2 - N^2) / (k N - sum_i R_i^2)
+
+    with C_j the per-filter pass totals, R_i the per-row pass
+    counts, N total passes. Every sufficient statistic is an exact
+    DECIMAL integer from ONE row-level aggregation (sum R_i^2 is
+    sum over rows of the squared flag sum — no per-filter shuffle),
+    so Q is one float division. p uses the df = k-1 chi-square
+    closed form for THREE filters (df = 2: p = exp(-Q/2)); for
+    other k the even-df series applies upstream — this kernel
+    requires exactly 3 flags and abstains otherwise by contract
+    (assert), keeping the p exact and SQL-replayable.
+
+    Rows with any NULL flag are dropped (complete-case, the
+    classical convention). Output: one row (n, c1, c2, c3, q,
+    p_value, significant); NULL statistics when the denominator is
+    0 (every row passes all or none)."""
+    assert len(flag_cols) == 3, "cochran_q: exactly 3 flags"
+    dec = "decimal(38,0)"
+    fs = [F.col(c).cast("int") for c in flag_cols]
+    ok_row = fs[0].isNotNull() & fs[1].isNotNull() & fs[2].isNotNull()
+    r = (fs[0] + fs[1] + fs[2]).cast(dec)
+    g = df.where(ok_row).agg(
+        F.count(F.lit(1)).cast(dec).alias("__n"),
+        *[
+            F.sum(fs[i]).cast(dec).alias(f"__c{i + 1}")
+            for i in range(3)
+        ],
+        F.sum(r).alias("__sr"),
+        F.sum(r * r).alias("__sr2"),
+    )
+    k = F.lit(3).cast(dec)
+    c2sum = (
+        F.col("__c1") * F.col("__c1")
+        + F.col("__c2") * F.col("__c2")
+        + F.col("__c3") * F.col("__c3")
+    )
+    num = (k - F.lit(1).cast(dec)) * (
+        k * c2sum - F.col("__sr") * F.col("__sr")
+    )
+    den = k * F.col("__sr") - F.col("__sr2")
+    q = num.cast("double") / den.cast("double")
+    p = F.exp(-q / F.lit(2.0))
+    ok = den > 0
+    return g.select(
+        F.col("__n").cast("bigint").alias("n"),
+        F.col("__c1").cast("bigint").alias("c1"),
+        F.col("__c2").cast("bigint").alias("c2"),
+        F.col("__c3").cast("bigint").alias("c3"),
+        F.when(ok, q).alias("q"),
+        F.when(ok, p).alias("p_value"),
+        F.when(ok, p < F.lit(0.05)).alias("significant"),
+    )

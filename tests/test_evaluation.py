@@ -2248,3 +2248,82 @@ def test_brier_identity_and_degenerate(spark):
     )
     r = brier_decomposition(df, "p", "y").collect()[0]
     assert r.n == 1
+
+
+# ---------------------------------------------------------------------------
+# cochran_q
+# ---------------------------------------------------------------------------
+
+def _cochran_ref(rows):
+    """Exact-integer replay + df=2 closed-form p."""
+    import math
+
+    rows = [r for r in rows if None not in r]
+    n = len(rows)
+    cs = [sum(r[j] for r in rows) for j in range(3)]
+    sr = sum(sum(r) for r in rows)
+    sr2 = sum(sum(r) ** 2 for r in rows)
+    den = 3 * sr - sr2
+    if den <= 0:
+        return n, cs, None, None
+    q = float(2 * (3 * sum(c * c for c in cs) - sr * sr)) / float(
+        den
+    )
+    return n, cs, q, math.exp(-q / 2.0)
+
+
+def test_cochran_planted_disagreement(spark):
+    import random
+
+    from protosc_spark.evaluation import cochran_q
+
+    rng = random.Random(27)
+    # filter 3 passes far less than 1 and 2
+    rows = [
+        (
+            1 if rng.random() < 0.8 else 0,
+            1 if rng.random() < 0.75 else 0,
+            1 if rng.random() < 0.3 else 0,
+        )
+        for _ in range(300)
+    ]
+    df = spark.createDataFrame(rows, "f1 int, f2 int, f3 int")
+    r = cochran_q(df, ["f1", "f2", "f3"]).collect()[0]
+    n, cs, q, p = _cochran_ref(rows)
+    assert (r.c1, r.c2, r.c3) == tuple(cs)
+    assert r.q == q and r.p_value == p
+    assert r.significant is True
+
+
+def test_cochran_equivalent_filters_null_case(spark):
+    import random
+
+    from protosc_spark.evaluation import cochran_q
+
+    rng = random.Random(41)
+    # same pass probability, independent noise: Q small
+    rows = [
+        tuple(1 if rng.random() < 0.5 else 0 for _ in range(3))
+        for _ in range(400)
+    ]
+    df = spark.createDataFrame(rows, "f1 int, f2 int, f3 int")
+    r = cochran_q(df, ["f1", "f2", "f3"]).collect()[0]
+    n, cs, q, p = _cochran_ref(rows)
+    assert r.q == q and r.p_value == p
+    assert r.significant is False
+
+
+def test_cochran_degenerate_and_nulls(spark):
+    from protosc_spark.evaluation import cochran_q
+
+    # unanimous rows only: denominator 0 -> NULL
+    rows = [(1, 1, 1)] * 5 + [(0, 0, 0)] * 5
+    df = spark.createDataFrame(rows, "f1 int, f2 int, f3 int")
+    r = cochran_q(df, ["f1", "f2", "f3"]).collect()[0]
+    assert r.q is None and r.significant is None
+
+    # NULL flags dropped (complete case)
+    rows = [(1, 0, 1), (1, None, 0), (0, 1, 1)]
+    df = spark.createDataFrame(rows, "f1 int, f2 int, f3 int")
+    r = cochran_q(df, ["f1", "f2", "f3"]).collect()[0]
+    assert r.n == 2
