@@ -1181,6 +1181,43 @@ def _corpus_drift_cvm(spark, sf_dir):
     )
 
 
+def _events_friedman(spark, sf_dir):
+    """Friedman rank test of the weekday effect per event type —
+    the nonparametric weekly-rhythm verdict immune to cross-week
+    level shifts (a +100/week trend is planted WITH the rhythm:
+    ANOVA's pooled variance drowns, within-week ranks don't).
+    Doubled midranks off within-week histograms, exact integer rank
+    sums, df=6 closed-form p. DuckDB oracle replays complete-week
+    selection, ranks and the float tree."""
+    import datetime as dt
+
+    from protosc_spark.windows import weekday_friedman
+
+    ev = _read(spark, sf_dir, "events").select("event_type", "ts")
+    base = [40, 10, 12, 14, 16, 18, 35]
+    rows = []
+    for d in range(28):
+        ts = (
+            dt.datetime(1970, 1, 1) + dt.timedelta(days=d)
+        ).strftime("%Y-%m-%d 00:00:00")
+        rows += [("planted", ts)] * (
+            base[d % 7] + (d // 7) * 100
+        )
+    planted = spark.createDataFrame(
+        rows, "event_type string, ts_s string"
+    ).select(
+        "event_type", F.col("ts_s").cast("timestamp").alias("ts")
+    )
+    t = weekday_friedman(ev.unionByName(planted), "event_type")
+    return t.select(
+        "event_type",
+        "n_weeks",
+        F.round("chi2", 6).alias("chi2"),
+        F.round("p_value", 6).alias("p_value"),
+        "significant",
+    ).orderBy("event_type")
+
+
 def _corpus_cochran_q(spark, sf_dir):
     """Cochran's Q across three curation filters on the same docs
     (is-English / length>=300 / spaces>=40) — do the rules pass
@@ -4361,6 +4398,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     full-surface green regardless of this ordering."""
     return {
         # --- round 5 ---
+        "events_friedman": _events_friedman,
         "corpus_cochran_q": _corpus_cochran_q,
         "corpus_brier": _corpus_brier,
         "corpus_avg_precision": _corpus_avg_precision,
@@ -4678,6 +4716,78 @@ def oracle_sql() -> dict[str, str]:
         for t in POISSON1_T60
     )
     out = {
+        "events_friedman": """
+            WITH daily AS (
+              SELECT event_type AS g,
+                     (ts::DATE - DATE '1970-01-01')::BIGINT AS x,
+                     count(*)::BIGINT AS y
+              FROM events GROUP BY 1, 2
+              UNION ALL
+              SELECT 'planted', d::BIGINT,
+                     ([40, 10, 12, 14, 16, 18, 35][(d % 7) + 1]
+                      + (d // 7) * 100)::BIGINT
+              FROM range(28) tt(d)
+            ), dd AS (
+              SELECT g, x, y, x // 7 AS wk, x % 7 AS wd
+              FROM daily
+            ), sz AS (
+              SELECT g, wk, count(*)::BIGINT AS bs
+              FROM dd GROUP BY 1, 2
+            ), fullw AS (
+              SELECT dd.* FROM dd
+              JOIN sz ON dd.g = sz.g AND dd.wk = sz.wk
+              WHERE bs = 7
+            ), hist AS (
+              SELECT g, wk, y, count(*)::BIGINT AS c
+              FROM fullw GROUP BY 1, 2, 3
+            ), ranked AS (
+              SELECT g, wk, y, c,
+                     sum(c) OVER (PARTITION BY g, wk ORDER BY y
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND CURRENT ROW) - c AS lss
+              FROM hist
+            ), rws AS (
+              SELECT f.g, f.wk, f.wd,
+                     (2 * lss + c + 1)::HUGEINT AS d
+              FROM fullw f JOIN ranked r
+                ON f.g = r.g AND f.wk = r.wk AND f.y = r.y
+            ), per_wd AS (
+              SELECT g, wd, sum(d) AS r2 FROM rws GROUP BY 1, 2
+            ), per_g AS (
+              SELECT g, count(DISTINCT wk)::HUGEINT AS n,
+                     sum(d * d) AS a4
+              FROM rws GROUP BY 1
+            ), s AS (
+              SELECT per_wd.g,
+                     sum((r2 - 8 * n) * (r2 - 8 * n)) AS s,
+                     max(n) AS n, max(a4) AS a4
+              FROM per_wd JOIN per_g ON per_wd.g = per_g.g
+              GROUP BY 1
+            ), bse AS (
+              SELECT DISTINCT g FROM daily
+            ), fin AS (
+              SELECT bse.g, s.n, a4 - 448 * n AS den,
+                     (6 * s.s)::DOUBLE
+                       / (a4 - 448 * n)::DOUBLE AS chi2
+              FROM bse LEFT JOIN s ON bse.g = s.g
+            )
+            SELECT g AS event_type,
+                   coalesce(n, 0)::BIGINT AS n_weeks,
+                   CASE WHEN n >= 1 AND den > 0
+                        THEN round(chi2, 6) END AS chi2,
+                   CASE WHEN n >= 1 AND den > 0 THEN round(
+                     exp(-(chi2 / 2.0))
+                     * (1.0 + chi2 / 2.0
+                        + (chi2 / 2.0) * (chi2 / 2.0) / 2.0), 6)
+                   END AS p_value,
+                   CASE WHEN n >= 1 AND den > 0 THEN
+                     exp(-(chi2 / 2.0))
+                     * (1.0 + chi2 / 2.0
+                        + (chi2 / 2.0) * (chi2 / 2.0) / 2.0)
+                     < 0.05
+                   END AS significant
+            FROM fin ORDER BY event_type
+        """,
         "corpus_cochran_q": """
             WITH base AS (
               SELECT (lang = 'en')::INT AS f1,

@@ -195,6 +195,7 @@ HEADLINE = [
     "corpus_avg_precision",
     "corpus_brier",
     "corpus_cochran_q",
+    "events_friedman",
 ]
 
 BENCH_CONVERSATIONS = int(os.environ.get("PROTOSC_BENCH_CONVS", "20000"))

@@ -2758,3 +2758,126 @@ def volume_hurst(
             F.when(ok, hurst).alias("hurst"),
         )
     )
+
+
+def weekday_friedman(
+    df: DataFrame,
+    group_col: str,
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Friedman rank test of the weekday effect per slice — the
+    NONPARAMETRIC companion to weekday_anova (the F test assumes
+    within-week noise is Gaussian and homoscedastic; Friedman only
+    asks "does the same weekday keep ranking high WITHIN its own
+    week?", immune to level shifts across weeks that inflate the
+    ANOVA's within-bin variance). Blocks are complete calendar
+    weeks (epoch-day DIV 7 with all 7 days present), treatments the
+    7 weekdays, ranks computed within each week:
+
+        chi2 = (k-1) sum_j (R_j - n(k+1)/2)^2 / (A - n k (k+1)^2/4)
+
+    (the tie-corrected form; k = 7, n = complete weeks, R_j rank
+    sums, A = sum of squared ranks). Exactness: midranks are
+    DOUBLED (dmid = 2*less + ties + 1 off the within-week value
+    histogram — even-split averaging never leaves the integers), so
+    rank sums and A are exact BIGINT/DECIMAL and the doubling
+    cancels between numerator and denominator:
+
+        chi2 = 6 sum_j (R2_j - 8n)^2 / (A4 - 448 n)
+
+    — one float division. p uses the df = 6 even-dof closed form
+    p = exp(-h)(1 + h + h^2/2), h = chi2/2. Replayable by any SQL
+    engine, identical at any parallelism.
+
+    Scale shape: one raw scan into (group, day) counts; block
+    histograms and ranks run on day-table rows; then 7 weekday rows
+    and one row per group. Output: (group, n_weeks, chi2, p_value,
+    significant); NULL statistics when no complete week or every
+    week is all-tied."""
+    dec = "decimal(38,0)"
+    daily = (
+        df.groupBy(
+            group_col,
+            F.datediff(F.to_date(ts_col), F.lit("1970-01-01"))
+            .cast("bigint")
+            .alias("x"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("y"))
+        .select(
+            group_col,
+            "x",
+            "y",
+            F.expr("x DIV 7").alias("wk"),
+            F.pmod(F.col("x"), F.lit(7)).alias("wd"),
+        )
+    )
+    sz = daily.groupBy(group_col, "wk").agg(
+        F.count(F.lit(1)).alias("__bs")
+    )
+    full = (
+        daily.join(sz, [group_col, "wk"])
+        .where(F.col("__bs") == 7)
+        .drop("__bs")
+        # feeds the within-week histogram AND the rank join
+        .localCheckpoint(eager=True)
+    )
+    hist = full.groupBy(group_col, "wk", "y").agg(
+        F.count(F.lit(1)).cast("bigint").alias("__c")
+    )
+    wv = (
+        W.partitionBy(group_col, "wk")
+        .orderBy("y")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    ranked = hist.select(
+        group_col,
+        "wk",
+        "y",
+        "__c",
+        (F.sum("__c").over(wv) - F.col("__c")).alias("__less"),
+    )
+    dmid = (
+        F.lit(2).cast("bigint") * F.col("__less")
+        + F.col("__c")
+        + F.lit(1)
+    )
+    rows = full.join(ranked, [group_col, "wk", "y"]).select(
+        group_col, "wk", "wd", dmid.cast(dec).alias("__d")
+    )
+    per_wd = rows.groupBy(group_col, "wd").agg(
+        F.sum("__d").alias("__r2")
+    )
+    per_g = rows.groupBy(group_col).agg(
+        F.countDistinct("wk").cast(dec).alias("__n"),
+        F.sum(F.col("__d") * F.col("__d")).alias("__a4"),
+    )
+    j = per_wd.join(per_g, group_col)
+    dev = F.col("__r2") - F.lit(8).cast(dec) * F.col("__n")
+    s = j.groupBy(group_col).agg(
+        F.sum(dev * dev).alias("__s"),
+        F.max("__n").alias("__n"),
+        F.max("__a4").alias("__a4"),
+    )
+    den = F.col("__a4") - F.lit(448).cast(dec) * F.col("__n")
+    chi2 = (F.lit(6).cast(dec) * F.col("__s")).cast(
+        "double"
+    ) / den.cast("double")
+    h = chi2 / F.lit(2.0)
+    p = F.exp(-h) * (
+        F.lit(1.0) + h + h * h / F.lit(2.0)
+    )
+    ok = (F.col("__n") >= 1) & (den > 0)
+    base = daily.groupBy(group_col).agg(F.count(F.lit(1)))
+    return (
+        base.select(group_col)
+        .join(s, group_col, "left")
+        .select(
+            group_col,
+            F.coalesce(
+                F.col("__n").cast("bigint"), F.lit(0)
+            ).alias("n_weeks"),
+            F.when(ok, chi2).alias("chi2"),
+            F.when(ok, p).alias("p_value"),
+            F.when(ok, p < F.lit(0.05)).alias("significant"),
+        )
+    )

@@ -2203,3 +2203,91 @@ def test_hurst_degenerate(spark):
     # constant series: every block excluded -> 0 sizes, NULL
     r = volume_hurst(_long_daily_df(spark, [5] * 64), "g").collect()[0]
     assert r.n_sizes == 0 and r.hurst is None
+
+
+# ---------------------------------------------------------------------------
+# weekday_friedman
+# ---------------------------------------------------------------------------
+
+def _friedman_ref(counts):
+    """Literal replay: complete epoch-weeks, doubled midranks,
+    tie-corrected chi2, df=6 closed-form p."""
+    import math
+    from collections import defaultdict
+
+    weeks = defaultdict(dict)
+    for d, c in enumerate(counts):
+        weeks[d // 7][d % 7] = c
+    full = {w: m for w, m in weeks.items() if len(m) == 7}
+    n = len(full)
+    if n == 0:
+        return 0, None, None
+    r2 = [0] * 7
+    a4 = 0
+    for m in full.values():
+        vals = sorted(m.values())
+        for wd, y in m.items():
+            less = sum(1 for v in vals if v < y)
+            ties = sum(1 for v in vals if v == y)
+            d = 2 * less + ties + 1
+            r2[wd] += d
+            a4 += d * d
+    den = a4 - 448 * n
+    if den <= 0:
+        return n, None, None
+    s = sum((r - 8 * n) ** 2 for r in r2)
+    chi2 = float(6 * s) / float(den)
+    h = chi2 / 2.0
+    return n, chi2, math.exp(-h) * (1.0 + h + h * h / 2.0)
+
+
+def test_friedman_planted_rhythm(spark):
+    from protosc_spark.windows import weekday_friedman
+
+    # 4 complete weeks of a strict weekday profile + noise-free
+    base = [40, 10, 12, 14, 16, 18, 35]
+    counts = [base[d % 7] + (d // 7) * 100 for d in range(28)]
+    # level shifts of +100/week would wreck ANOVA's pooled variance
+    # but within-week ranks are identical every week
+    r = weekday_friedman(
+        _long_daily_df(spark, counts), "g"
+    ).collect()[0]
+    n, chi2, p = _friedman_ref(counts)
+    assert r.n_weeks == n == 4
+    assert r.chi2 == chi2 and abs(r.p_value - p) < 1e-12
+    assert r.significant is True and r.chi2 > 20
+
+
+def test_friedman_no_rhythm_and_ties_replay(spark):
+    import random
+
+    from protosc_spark.windows import weekday_friedman
+
+    rng = random.Random(12)
+    counts = [rng.randint(5, 8) for _ in range(35)]  # tie-heavy
+    r = weekday_friedman(
+        _long_daily_df(spark, counts), "g"
+    ).collect()[0]
+    n, chi2, p = _friedman_ref(counts)
+    assert r.n_weeks == n == 5
+    # exp is a JVM intrinsic: 1-ulp vs libm is expected
+    assert r.chi2 == chi2 and abs(r.p_value - p) < 1e-12
+    assert r.significant is False
+
+
+def test_friedman_incomplete_weeks_and_degenerate(spark):
+    from protosc_spark.windows import weekday_friedman
+
+    # 10 days = 1 complete week + a 3-day stub
+    counts = [10, 20, 30, 40, 50, 60, 70, 1, 2, 3]
+    r = weekday_friedman(
+        _long_daily_df(spark, counts), "g"
+    ).collect()[0]
+    n, chi2, p = _friedman_ref(counts)
+    assert r.n_weeks == n == 1 and r.chi2 == chi2
+
+    # constant weeks: every rank tied -> denominator 0 -> NULL
+    r = weekday_friedman(
+        _long_daily_df(spark, [5] * 14), "g"
+    ).collect()[0]
+    assert r.n_weeks == 2 and r.chi2 is None
