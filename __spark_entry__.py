@@ -1181,6 +1181,28 @@ def _corpus_drift_cvm(spark, sf_dir):
     )
 
 
+def _txt_burrows_delta(spark, sf_dir):
+    """Burrows' Delta stylometric distance between every source
+    pair over the corpus's 150 most frequent words — the
+    register/boilerplate fingerprint. Quantized relative
+    frequencies (pure BIGINT DIV), exact cross-source moments,
+    per-word |z_a - z_b| quantized before the pair mean. DuckDB
+    oracle replays tokenization, the top-k list, quantization and
+    every moment."""
+    from protosc_spark.textops import burrows_delta
+
+    docs = _read(spark, sf_dir, "documents").select(
+        "source", "text"
+    )
+    t = burrows_delta(docs, "source", top_words=150)
+    return t.select(
+        "group_a",
+        "group_b",
+        "n_words",
+        F.round("delta", 6).alias("delta"),
+    ).orderBy("group_a", "group_b")
+
+
 def _events_friedman(spark, sf_dir):
     """Friedman rank test of the weekday effect per event type —
     the nonparametric weekly-rhythm verdict immune to cross-week
@@ -4398,6 +4420,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     full-surface green regardless of this ordering."""
     return {
         # --- round 5 ---
+        "txt_burrows_delta": _txt_burrows_delta,
         "events_friedman": _events_friedman,
         "corpus_cochran_q": _corpus_cochran_q,
         "corpus_brier": _corpus_brier,
@@ -4716,6 +4739,56 @@ def oracle_sql() -> dict[str, str]:
         for t in POISSON1_T60
     )
     out = {
+        "txt_burrows_delta": """
+            WITH toks AS (
+              SELECT source AS g,
+                     unnest(string_split(text, ' ')) AS token
+              FROM documents WHERE text IS NOT NULL
+            ), cnt AS (
+              SELECT g, token, count(*)::HUGEINT AS c
+              FROM toks GROUP BY 1, 2
+            ), tot AS (
+              SELECT g, sum(c) AS ng FROM cnt GROUP BY 1
+            ), topw AS (
+              SELECT token FROM (
+                SELECT token,
+                       row_number() OVER (ORDER BY sum(c) DESC,
+                         token ASC) AS r
+                FROM cnt GROUP BY token QUALIFY r <= 150
+              )
+            ), grid AS (
+              SELECT g, ng, token FROM tot, topw
+            ), freq AS (
+              SELECT grid.g, grid.token,
+                     (coalesce(cnt.c, 0)
+                      * 1000000000000::HUGEINT) // grid.ng AS fq
+              FROM grid LEFT JOIN cnt
+                ON grid.g = cnt.g AND grid.token = cnt.token
+            ), mom AS (
+              SELECT token, count(*)::HUGEINT AS k,
+                     sum(fq) AS s, sum(fq * fq) AS q
+              FROM freq GROUP BY 1
+            ), words AS (
+              SELECT token,
+                     sqrt((k * q - s * s)::DOUBLE)
+                       / k::DOUBLE AS sd
+              FROM mom WHERE k * q - s * s > 0
+            ), pairs AS (
+              SELECT a.g AS group_a, b.g AS group_b,
+                     count(*)::BIGINT AS n_words,
+                     sum(floor(abs(a.fq - b.fq)::DOUBLE / sd
+                               * 1000000000.0)::HUGEINT) AS su
+              FROM freq a
+              JOIN freq b
+                ON a.token = b.token AND a.g < b.g
+              JOIN words ON words.token = a.token
+              GROUP BY 1, 2
+            )
+            SELECT group_a, group_b, n_words,
+                   round(su::DOUBLE / 1000000000.0
+                         / n_words::DOUBLE, 6) AS delta
+            FROM pairs ORDER BY group_a, group_b
+        """,
         "events_friedman": """
             WITH daily AS (
               SELECT event_type AS g,

@@ -196,6 +196,7 @@ HEADLINE = [
     "corpus_brier",
     "corpus_cochran_q",
     "events_friedman",
+    "txt_burrows_delta",
 ]
 
 BENCH_CONVERSATIONS = int(os.environ.get("PROTOSC_BENCH_CONVS", "20000"))

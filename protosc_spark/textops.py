@@ -1343,3 +1343,123 @@ def lexical_diversity(
             (F.col("__n") > 1) & (F.col("__v") > 1), herdan
         ).alias("herdan_c"),
     )
+
+
+def burrows_delta(
+    df: DataFrame,
+    group_col: str = "source",
+    top_words: int = 150,
+    unit: int = 10**12,
+    z_unit: int = 10**9,
+) -> DataFrame:
+    """Burrows' Delta stylometric distance between every pair of
+    slices — the classic authorship/register fingerprint (Burrows
+    2002): over the corpus's ``top_words`` most frequent words,
+    z-score each slice's RELATIVE frequency against the cross-slice
+    distribution of that word, then
+
+        delta(a, b) = mean_w |z_aw - z_bw|
+
+    Two slices that use the same function words at the same rates
+    (same "voice") sit near 0 even when their topics differ; a
+    scraped slice full of boilerplate sticks out immediately.
+
+    Exactness: the word list is a deterministic top-k by corpus
+    count ((count DESC, token ASC), TakeOrderedAndProject);
+    relative frequencies are quantized ONCE to integer 1/``unit``
+    units (fq = floor(c * unit / N_g) — pure BIGINT DIV, exact past
+    2^53); per-word cross-slice mean and variance come from exact
+    integer sums of fq (population variance, k slices); each
+    |z_a - z_b| = |fq_a - fq_b| / sd is quantized to 1/``z_unit``
+    BEFORE the per-pair mean (house rule). Words with zero
+    cross-slice variance are skipped (every slice identical — no
+    signal, division guarded); the mean is over surviving words.
+
+    Scale shape: one explode -> (group, token) counts; the top-k
+    word list (<= top_words rows) joins back BROADCAST; z algebra
+    runs on k x top_words rows; pairs on the k^2-sized join.
+    Output: (group_a, group_b, n_words, delta) for a < b."""
+    dec = "decimal(38,0)"
+    toks = df.where(F.col("text").isNotNull()).select(
+        F.col(group_col).alias("g"),
+        F.explode(F.split(F.col("text"), " ")).alias("token"),
+    )
+    cnt = (
+        toks.groupBy("g", "token")
+        .agg(F.count(F.lit(1)).cast(dec).alias("c"))
+        .localCheckpoint(eager=True)  # feeds totals, top-k, freqs
+    )
+    tot = cnt.groupBy("g").agg(F.sum("c").alias("ng"))
+    top = (
+        cnt.groupBy("token")
+        .agg(F.sum("c").alias("tc"))
+        .orderBy(F.col("tc").desc(), F.col("token").asc())
+        .limit(int(top_words))
+        .select("token")
+    )
+    grid = tot.crossJoin(F.broadcast(top))
+    freq = (
+        grid.join(cnt, ["g", "token"], "left")
+        .select(
+            "g",
+            "token",
+            F.expr(
+                f"coalesce(c, 0) * {int(unit)} DIV ng"
+            ).cast(dec).alias("fq"),
+        )
+        .localCheckpoint(eager=True)  # feeds moments AND pairs
+    )
+    mom = freq.groupBy("token").agg(
+        F.count(F.lit(1)).cast(dec).alias("k"),
+        F.sum("fq").alias("s"),
+        F.sum(F.col("fq") * F.col("fq")).alias("q"),
+    )
+    # population variance * k^2 = k*q - s^2 (exact); sd in double
+    sd = F.sqrt(
+        (F.col("k") * F.col("q") - F.col("s") * F.col("s")).cast(
+            "double"
+        )
+    ) / F.col("k").cast("double")
+    words = mom.select(
+        "token",
+        (F.col("k") * F.col("q") - F.col("s") * F.col("s")).alias(
+            "__vn"
+        ),
+        sd.alias("__sd"),
+    ).where(F.col("__vn") > 0)
+    a = freq.select(
+        F.col("g").alias("group_a"),
+        "token",
+        F.col("fq").alias("__fa"),
+    )
+    b = freq.select(
+        F.col("g").alias("group_b"),
+        "token",
+        F.col("fq").alias("__fb"),
+    )
+    zu = F.lit(float(z_unit))
+    pair_term = F.floor(
+        F.abs(F.col("__fa") - F.col("__fb")).cast("double")
+        / F.col("__sd")
+        * zu
+    ).cast(dec)
+    pairs = (
+        a.join(b, "token")
+        .where(F.col("group_a") < F.col("group_b"))
+        .join(F.broadcast(words), "token")
+        .groupBy("group_a", "group_b")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum(pair_term).alias("__su"),
+        )
+    )
+    return pairs.select(
+        "group_a",
+        "group_b",
+        "n_words",
+        (
+            F.col("__su").cast("double")
+            / zu
+            / F.col("n_words").cast("double")
+        ).alias("delta"),
+    )

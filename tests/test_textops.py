@@ -1142,3 +1142,95 @@ def test_lexdiv_empty_token_convention_and_degenerate(spark):
     )
     r = lexical_diversity(df).collect()[0]
     assert r.yule_k is None and r.herdan_c is None
+
+
+# ---------------------------------------------------------------------------
+# burrows_delta
+# ---------------------------------------------------------------------------
+
+def _burrows_ref(groups, top_words=150, unit=10**12,
+                 z_unit=10**9):
+    """Digit-for-digit replay of the quantized Delta pipeline."""
+    import math
+    from collections import Counter
+
+    cnts = {
+        g: Counter(t for s in texts for t in s.split(" "))
+        for g, texts in groups.items()
+    }
+    tot = Counter()
+    for c in cnts.values():
+        tot.update(c)
+    top = sorted(
+        tot.items(), key=lambda kv: (-kv[1], kv[0])
+    )[:top_words]
+    toks = [t for t, _ in top]
+    ngs = {g: sum(c.values()) for g, c in cnts.items()}
+    fq = {
+        (g, t): cnts[g].get(t, 0) * unit // ngs[g]
+        for g in groups
+        for t in toks
+    }
+    k = len(groups)
+    out = {}
+    for t in toks:
+        vals = [fq[(g, t)] for g in groups]
+        s, q = sum(vals), sum(v * v for v in vals)
+        vn = k * q - s * s
+        if vn <= 0:
+            continue
+        sd = math.sqrt(float(vn)) / float(k)
+        out[t] = sd
+    gs = sorted(groups)
+    res = {}
+    for i, ga in enumerate(gs):
+        for gb in gs[i + 1:]:
+            su, nw = 0, 0
+            for t, sd in out.items():
+                su += math.floor(
+                    abs(fq[(ga, t)] - fq[(gb, t)]) / sd
+                    * float(z_unit)
+                )
+                nw += 1
+            res[(ga, gb)] = (
+                nw, float(su) / float(z_unit) / float(nw)
+            )
+    return res
+
+
+def test_burrows_same_voice_vs_boilerplate(spark):
+    from protosc_spark.textops import burrows_delta
+
+    groups = {
+        "a": ["the cat sat on the mat", "the dog ran to the cat"],
+        "b": ["the fox sat on the log", "the owl ran to the fox"],
+        "c": ["buy now click here buy now", "click here buy now"],
+    }
+    rows = [
+        (g, t) for g, texts in groups.items() for t in texts
+    ]
+    df = spark.createDataFrame(rows, "source string, text string")
+    out = {
+        (r.group_a, r.group_b): (r.n_words, r.delta)
+        for r in burrows_delta(df, top_words=20).collect()
+    }
+    ref = _burrows_ref(groups, top_words=20)
+    assert set(out) == set(ref)
+    for key in ref:
+        assert out[key][0] == ref[key][0]
+        assert out[key][1] == ref[key][1], key
+    # a and b share the function-word voice; c is boilerplate
+    assert out[("a", "b")][1] < out[("a", "c")][1]
+    assert out[("a", "b")][1] < out[("b", "c")][1]
+
+
+def test_burrows_identical_groups_zero(spark):
+    from protosc_spark.textops import burrows_delta
+
+    texts = ["alpha beta gamma alpha", "beta gamma delta"]
+    rows = [("x", t) for t in texts] + [("y", t) for t in texts]
+    df = spark.createDataFrame(rows, "source string, text string")
+    out = burrows_delta(df, top_words=10).collect()
+    # identical relative frequencies: every word has zero variance,
+    # so no word survives -> no pair rows at all (documented)
+    assert out == [] or all(r.delta == 0.0 for r in out)
