@@ -1181,6 +1181,34 @@ def _corpus_drift_cvm(spark, sf_dir):
     )
 
 
+def _corpus_partial_corr(spark, sf_dir):
+    """Partial correlation of n_chars and whitespace count
+    controlling the 'e' count — the confounder check beside the
+    two-predictor OLS gate (same triple). Nine exact DECIMAL
+    moments from one aggregation, closed float trees, ln-form
+    Fisher z. DuckDB oracle replays every moment and tree."""
+    from protosc_spark.stats import partial_corr
+
+    docs = _read(spark, sf_dir, "documents").select(
+        F.col("n_chars").alias("x"),
+        F.expr(
+            "length(text) - length(replace(text, ' ', ''))"
+        ).alias("y"),
+        F.expr(
+            "length(text) - length(replace(text, 'e', ''))"
+        ).alias("z"),
+    )
+    return partial_corr(docs, "x", "y", "z").select(
+        "n",
+        F.round("r_xy", 6).alias("r_xy"),
+        F.round("r_xz", 6).alias("r_xz"),
+        F.round("r_yz", 6).alias("r_yz"),
+        F.round("partial_r", 6).alias("partial_r"),
+        F.round("z", 6).alias("z"),
+        "significant",
+    )
+
+
 def _txt_burrows_delta(spark, sf_dir):
     """Burrows' Delta stylometric distance between every source
     pair over the corpus's 150 most frequent words — the
@@ -4420,6 +4448,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     full-surface green regardless of this ordering."""
     return {
         # --- round 5 ---
+        "corpus_partial_corr": _corpus_partial_corr,
         "txt_burrows_delta": _txt_burrows_delta,
         "events_friedman": _events_friedman,
         "corpus_cochran_q": _corpus_cochran_q,
@@ -4739,6 +4768,65 @@ def oracle_sql() -> dict[str, str]:
         for t in POISSON1_T60
     )
     out = {
+        "corpus_partial_corr": """
+            WITH base AS (
+              SELECT n_chars::HUGEINT AS x,
+                     (length(text)
+                      - length(replace(text, ' ', '')))::HUGEINT
+                       AS y,
+                     (length(text)
+                      - length(replace(text, 'e', '')))::HUGEINT
+                       AS z
+              FROM documents
+              WHERE n_chars IS NOT NULL AND text IS NOT NULL
+            ), g AS (
+              SELECT count(*)::HUGEINT AS n,
+                     sum(x) AS sx, sum(y) AS sy, sum(z) AS sz,
+                     sum(x * x) AS sxx, sum(y * y) AS syy,
+                     sum(z * z) AS szz, sum(x * y) AS sxy,
+                     sum(x * z) AS sxz, sum(y * z) AS syz
+              FROM base
+            ), r AS (
+              SELECT n,
+                n * sxx - sx * sx AS vx,
+                n * syy - sy * sy AS vy,
+                n * szz - sz * sz AS vz,
+                (n * sxy - sx * sy)::DOUBLE
+                  / (sqrt((n * sxx - sx * sx)::DOUBLE)
+                     * sqrt((n * syy - sy * sy)::DOUBLE)) AS rxy,
+                (n * sxz - sx * sz)::DOUBLE
+                  / (sqrt((n * sxx - sx * sx)::DOUBLE)
+                     * sqrt((n * szz - sz * sz)::DOUBLE)) AS rxz,
+                (n * syz - sy * sz)::DOUBLE
+                  / (sqrt((n * syy - sy * sy)::DOUBLE)
+                     * sqrt((n * szz - sz * sz)::DOUBLE)) AS ryz
+              FROM g
+            ), p AS (
+              SELECT *, sqrt((1.0 - rxz * rxz)
+                             * (1.0 - ryz * ryz)) AS den
+              FROM r
+            ), q AS (
+              SELECT *, (rxy - rxz * ryz) / den AS pr FROM p
+            ), f AS (
+              SELECT *,
+                0.5 * ln((1.0 + pr) / (1.0 - pr))
+                  * sqrt((n - 4)::DOUBLE) AS fish,
+                vx > 0 AND vy > 0 AND vz > 0 AND den > 0 AS ok
+              FROM q
+            )
+            SELECT n::BIGINT AS n,
+                   CASE WHEN ok THEN round(rxy, 6) END AS r_xy,
+                   CASE WHEN ok THEN round(rxz, 6) END AS r_xz,
+                   CASE WHEN ok THEN round(ryz, 6) END AS r_yz,
+                   CASE WHEN ok THEN round(pr, 6)
+                   END AS partial_r,
+                   CASE WHEN ok AND n >= 5 AND abs(pr) < 1
+                        THEN round(fish, 6) END AS z,
+                   CASE WHEN ok AND n >= 5 AND abs(pr) < 1
+                        THEN abs(fish) > 1.959963984540054
+                   END AS significant
+            FROM f
+        """,
         "txt_burrows_delta": """
             WITH toks AS (
               SELECT source AS g,

@@ -197,6 +197,7 @@ HEADLINE = [
     "corpus_cochran_q",
     "events_friedman",
     "txt_burrows_delta",
+    "corpus_partial_corr",
 ]
 
 BENCH_CONVERSATIONS = int(os.environ.get("PROTOSC_BENCH_CONVS", "20000"))

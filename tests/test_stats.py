@@ -202,3 +202,96 @@ def test_ols2_collinear_grouped_and_constant_y(spark):
     assert flat.b1 is not None and flat.r2 is None
     assert abs(flat.b0 - 42) < 1e-9
     assert abs(flat.b1) < 1e-9 and abs(flat.b2) < 1e-9
+
+
+# ---------------------------------------------------------------------------
+# partial_corr
+# ---------------------------------------------------------------------------
+
+def _pcorr_ref(rows):
+    """Integer-moment replay mirroring the kernel's float tree."""
+    import math
+
+    n = len(rows)
+    sx = sum(r[0] for r in rows)
+    sy = sum(r[1] for r in rows)
+    sz = sum(r[2] for r in rows)
+    sxx = sum(r[0] ** 2 for r in rows)
+    syy = sum(r[1] ** 2 for r in rows)
+    szz = sum(r[2] ** 2 for r in rows)
+    sxy = sum(r[0] * r[1] for r in rows)
+    sxz = sum(r[0] * r[2] for r in rows)
+    syz = sum(r[1] * r[2] for r in rows)
+
+    def rr(ab, aa, bb, a, b):
+        return float(n * ab - a * b) / (
+            math.sqrt(float(n * aa - a * a))
+            * math.sqrt(float(n * bb - b * b))
+        )
+
+    rxy = rr(sxy, sxx, syy, sx, sy)
+    rxz = rr(sxz, sxx, szz, sx, sz)
+    ryz = rr(syz, syy, szz, sy, sz)
+    den = math.sqrt((1.0 - rxz * rxz) * (1.0 - ryz * ryz))
+    pr = (rxy - rxz * ryz) / den
+    fish = (
+        0.5 * math.log((1.0 + pr) / (1.0 - pr))
+        * math.sqrt(float(n - 4))
+    )
+    return rxy, rxz, ryz, pr, fish
+
+
+def test_pcorr_confounder_collapse(spark):
+    import random
+
+    from protosc_spark.stats import partial_corr
+
+    rng = random.Random(33)
+    # x and y both driven by z: raw r high, partial near 0
+    rows = []
+    for _ in range(400):
+        zz = rng.randint(0, 100)
+        rows.append(
+            (zz + rng.randint(-5, 5), zz + rng.randint(-5, 5), zz)
+        )
+    df = spark.createDataFrame(rows, "x long, y long, z long")
+    r = partial_corr(df, "x", "y", "z").collect()[0]
+    rxy, rxz, ryz, pr, fish = _pcorr_ref(rows)
+    assert r.r_xy == rxy and r.partial_r == pr
+    # ln/sqrt are JVM intrinsics: 1-ulp drift allowed on z only
+    assert abs(r.z - fish) < 1e-9
+    assert r.r_xy > 0.9 and abs(r.partial_r) < 0.2
+
+
+def test_pcorr_direct_relation_survives(spark):
+    import random
+
+    from protosc_spark.stats import partial_corr
+
+    rng = random.Random(44)
+    rows = []
+    for _ in range(300):
+        xx = rng.randint(0, 50)
+        zz = rng.randint(0, 50)
+        rows.append((xx, 2 * xx + rng.randint(-3, 3), zz))
+    df = spark.createDataFrame(rows, "x long, y long, z long")
+    r = partial_corr(df, "x", "y", "z").collect()[0]
+    rxy, rxz, ryz, pr, fish = _pcorr_ref(rows)
+    assert r.partial_r == pr and r.partial_r > 0.9
+    assert r.significant is True
+
+
+def test_pcorr_degenerate(spark):
+    from protosc_spark.stats import partial_corr
+
+    # constant z: its variance is 0 -> NULL partial
+    rows = [(1, 2, 5), (3, 4, 5), (5, 7, 5)]
+    df = spark.createDataFrame(rows, "x long, y long, z long")
+    r = partial_corr(df, "x", "y", "z").collect()[0]
+    assert r.partial_r is None
+
+    # x == z exactly: r_xz = 1 -> denominator 0 -> NULL
+    rows = [(i, i * 2 + (i % 3), i) for i in range(10)]
+    df = spark.createDataFrame(rows, "x long, y long, z long")
+    r = partial_corr(df, "x", "y", "z").collect()[0]
+    assert r.partial_r is None
