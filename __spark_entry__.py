@@ -1181,6 +1181,32 @@ def _corpus_drift_cvm(spark, sf_dir):
     )
 
 
+def _corpus_rrf_fuse(spark, sf_dir):
+    """Reciprocal rank fusion of the n_chars and whitespace-count
+    document rankings (top-100 each, k=60, top-20 out) — the
+    zero-tuning multi-signal ranking combiner. Pure integer: each
+    reciprocal is unit DIV (k + r), the fused ordering is an
+    integer compare. DuckDB oracle replays both rankings, the
+    full-outer fuse and the integer arithmetic."""
+    from protosc_spark.evaluation import rrf_fuse
+
+    docs = _read(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("item"),
+        F.col("n_chars").alias("a"),
+        F.expr(
+            "length(text) - length(replace(text, ' ', ''))"
+        ).alias("b"),
+    )
+    t = rrf_fuse(docs, "item", "a", "b")
+    return t.select(
+        "rank",
+        "item",
+        F.round("rrf_score", 6).alias("rrf_score"),
+        "rank_a",
+        "rank_b",
+    ).orderBy("rank")
+
+
 def _corpus_partial_corr(spark, sf_dir):
     """Partial correlation of n_chars and whitespace count
     controlling the 'e' count — the confounder check beside the
@@ -4448,6 +4474,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     full-surface green regardless of this ordering."""
     return {
         # --- round 5 ---
+        "corpus_rrf_fuse": _corpus_rrf_fuse,
         "corpus_partial_corr": _corpus_partial_corr,
         "txt_burrows_delta": _txt_burrows_delta,
         "events_friedman": _events_friedman,
@@ -4768,6 +4795,40 @@ def oracle_sql() -> dict[str, str]:
         for t in POISSON1_T60
     )
     out = {
+        "corpus_rrf_fuse": """
+            WITH ra AS (
+              SELECT doc_id AS i,
+                     row_number() OVER (ORDER BY n_chars DESC,
+                       doc_id ASC) AS r
+              FROM documents WHERE n_chars IS NOT NULL
+              QUALIFY r <= 100
+            ), rb AS (
+              SELECT doc_id AS i,
+                     row_number() OVER (ORDER BY
+                       (length(text)
+                        - length(replace(text, ' ', ''))) DESC,
+                       doc_id ASC) AS r
+              FROM documents WHERE text IS NOT NULL
+              QUALIFY r <= 100
+            ), fused AS (
+              SELECT coalesce(ra.i, rb.i) AS item,
+                     ra.r AS rank_a, rb.r AS rank_b,
+                     coalesce(1000000000000000::HUGEINT
+                              // (60 + ra.r), 0)
+                   + coalesce(1000000000000000::HUGEINT
+                              // (60 + rb.r), 0) AS su
+              FROM ra FULL OUTER JOIN rb ON ra.i = rb.i
+            ), outq AS (
+              SELECT row_number() OVER (ORDER BY su DESC,
+                       item ASC) AS rank,
+                     item, su, rank_a, rank_b
+              FROM fused QUALIFY rank <= 20
+            )
+            SELECT rank, item,
+                   round(su::DOUBLE / 1e15, 6) AS rrf_score,
+                   rank_a, rank_b
+            FROM outq ORDER BY rank
+        """,
         "corpus_partial_corr": """
             WITH base AS (
               SELECT n_chars::HUGEINT AS x,

@@ -198,6 +198,7 @@ HEADLINE = [
     "events_friedman",
     "txt_burrows_delta",
     "corpus_partial_corr",
+    "corpus_rrf_fuse",
 ]
 
 BENCH_CONVERSATIONS = int(os.environ.get("PROTOSC_BENCH_CONVS", "20000"))

@@ -2897,3 +2897,78 @@ def cochran_q(
         F.when(ok, p).alias("p_value"),
         F.when(ok, p < F.lit(0.05)).alias("significant"),
     )
+
+
+def rrf_fuse(
+    df: DataFrame,
+    item_col: str,
+    score_a_col: str,
+    score_b_col: str,
+    k: int = 60,
+    depth: int = 100,
+    out_k: int = 20,
+    unit: int = 10**15,
+) -> DataFrame:
+    """Reciprocal rank fusion of two rankings (Cormack et al. 2009
+    — the standard zero-tuning way to combine heterogeneous
+    retrieval/scoring signals):
+
+        rrf(item) = sum_lists 1 / (k + rank_list(item))
+
+    over each list's top-``depth`` (missing from a list contributes
+    0). Rankings are deterministic ((score DESC, item ASC),
+    TakeOrderedAndProject — the rbo_overlap contract). PURE INTEGER
+    throughout: each reciprocal is unit DIV (k + r) (exact BIGINT
+    floor division), so the fused score is an exact integer sum and
+    the output ordering (score DESC, item ASC) is an integer
+    compare — bit-identical at any parallelism, no floats anywhere
+    until the reported rrf_score division.
+
+    Output: top ``out_k`` rows (rank, item, rrf_score, rank_a,
+    rank_b) — rank_a/rank_b NULL when the item missed that list."""
+    dec = "decimal(38,0)"
+    it = F.col(item_col)
+
+    def topk(col, rname):
+        t = (
+            df.where(F.col(col).isNotNull())
+            .select(it.alias("__i"), F.col(col).alias("__s"))
+            .orderBy(F.col("__s").desc(), F.col("__i").asc())
+            .limit(int(depth))
+        )
+        w = W.orderBy(F.col("__s").desc(), F.col("__i").asc())
+        return t.select(
+            "__i", F.row_number().over(w).alias(rname)
+        )
+
+    ta = topk(score_a_col, "rank_a")
+    tb = topk(score_b_col, "rank_b")
+    fused = ta.join(tb, "__i", "full_outer")
+    u = int(unit)
+
+    def rec(rname):
+        return F.coalesce(
+            F.expr(f"{u} DIV ({int(k)} + {rname})").cast(dec),
+            F.lit(0).cast(dec),
+        )
+
+    scored = fused.select(
+        F.col("__i").alias("item"),
+        "rank_a",
+        "rank_b",
+        (rec("rank_a") + rec("rank_b")).alias("__su"),
+    )
+    wout = W.orderBy(F.col("__su").desc(), F.col("item").asc())
+    out = (
+        scored.orderBy(F.col("__su").desc(), F.col("item").asc())
+        .limit(int(out_k))
+        .select(
+            F.row_number().over(wout).alias("rank"),
+            "item",
+            (F.col("__su").cast("double") / F.lit(float(unit)))
+            .alias("rrf_score"),
+            "rank_a",
+            "rank_b",
+        )
+    )
+    return out

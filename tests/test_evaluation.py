@@ -2327,3 +2327,68 @@ def test_cochran_degenerate_and_nulls(spark):
     df = spark.createDataFrame(rows, "f1 int, f2 int, f3 int")
     r = cochran_q(df, ["f1", "f2", "f3"]).collect()[0]
     assert r.n == 2
+
+
+# ---------------------------------------------------------------------------
+# rrf_fuse
+# ---------------------------------------------------------------------------
+
+def _rrf_ref(sa, sb, k=60, depth=100, out_k=20, unit=10**15):
+    """Pure-integer replay of the fusion."""
+    def ranks(sc):
+        ordered = sorted(sc.items(), key=lambda kv: (-kv[1], kv[0]))
+        return {i: r + 1 for r, (i, _) in enumerate(ordered[:depth])}
+
+    ra, rb = ranks(sa), ranks(sb)
+    items = set(ra) | set(rb)
+    scored = []
+    for i in items:
+        su = 0
+        if i in ra:
+            su += unit // (k + ra[i])
+        if i in rb:
+            su += unit // (k + rb[i])
+        scored.append((i, su))
+    scored.sort(key=lambda t: (-t[1], t[0]))
+    return [
+        (r + 1, i, su / unit, ra.get(i), rb.get(i))
+        for r, (i, su) in enumerate(scored[:out_k])
+    ]
+
+
+def test_rrf_consensus_wins(spark):
+    from protosc_spark.evaluation import rrf_fuse
+
+    # 'both' is rank 2 in each list; each list has a different #1.
+    # RRF puts the consensus item first.
+    sa = {"both": 90, "a_top": 100, "a3": 80, "a4": 70}
+    sb = {"both": 90, "b_top": 100, "b3": 80, "b4": 70}
+    items = sorted(set(sa) | set(sb))
+    rows = [(i, sa.get(i), sb.get(i)) for i in items]
+    df = spark.createDataFrame(rows, "item string, a long, b long")
+    out = rrf_fuse(df, "item", "a", "b", out_k=10).collect()
+    ref = _rrf_ref(sa, sb, out_k=10)
+    got = [(r.rank, r.item, r.rrf_score, r.rank_a, r.rank_b)
+           for r in out]
+    assert got == ref
+    assert got[0][1] == "both"
+
+
+def test_rrf_random_replay_and_missing(spark):
+    import random
+
+    from protosc_spark.evaluation import rrf_fuse
+
+    rng = random.Random(52)
+    sa = {f"w{i}": rng.randint(1, 1000) for i in range(150)}
+    sb = {f"w{i}": rng.randint(1, 1000) for i in range(140, 290)}
+    items = sorted(set(sa) | set(sb))
+    rows = [(i, sa.get(i), sb.get(i)) for i in items]
+    df = spark.createDataFrame(rows, "item string, a long, b long")
+    out = rrf_fuse(df, "item", "a", "b").collect()
+    ref = _rrf_ref(sa, sb)
+    got = [(r.rank, r.item, r.rrf_score, r.rank_a, r.rank_b)
+           for r in out]
+    assert got == ref
+    # items outside a list's top-depth carry a NULL rank there
+    assert any(r.rank_a is None or r.rank_b is None for r in out)
