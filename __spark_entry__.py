@@ -1181,6 +1181,29 @@ def _corpus_drift_cvm(spark, sf_dir):
     )
 
 
+def _events_topk_churn(spark, sf_dir):
+    """Day-over-day churn of the top-20 heavy users by event count
+    — heavy-hitter set stability (calendar gaps break the chain).
+    Deterministic (count desc, user) heads, exact integer set
+    algebra. DuckDB oracle replays ranks, the consecutive-day
+    equi-join and the divisions."""
+    from protosc_spark.windows import topk_churn
+
+    ev = _read(spark, sf_dir, "events").select("user_id", "ts")
+    t = topk_churn(ev, "user_id", k=20)
+    return t.select(
+        "day_a",
+        "day_b",
+        "n_a",
+        "n_b",
+        "overlap",
+        "entered",
+        "left",
+        F.round("jaccard", 6).alias("jaccard"),
+        F.round("churn", 6).alias("churn"),
+    ).orderBy("day_a")
+
+
 def _corpus_rrf_fuse(spark, sf_dir):
     """Reciprocal rank fusion of the n_chars and whitespace-count
     document rankings (top-100 each, k=60, top-20 out) — the
@@ -4474,6 +4497,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     full-surface green regardless of this ordering."""
     return {
         # --- round 5 ---
+        "events_topk_churn": _events_topk_churn,
         "corpus_rrf_fuse": _corpus_rrf_fuse,
         "corpus_partial_corr": _corpus_partial_corr,
         "txt_burrows_delta": _txt_burrows_delta,
@@ -4795,6 +4819,46 @@ def oracle_sql() -> dict[str, str]:
         for t in POISSON1_T60
     )
     out = {
+        "events_topk_churn": """
+            WITH daily AS (
+              SELECT (ts::DATE - DATE '1970-01-01')::BIGINT AS x,
+                     user_id AS e, count(*)::BIGINT AS y
+              FROM events GROUP BY 1, 2
+            ), topd AS (
+              SELECT x, e,
+                     row_number() OVER (PARTITION BY x
+                       ORDER BY y DESC, e ASC) AS r
+              FROM daily QUALIFY r <= 20
+            ), sz AS (
+              SELECT x, count(*)::BIGINT AS n
+              FROM topd GROUP BY 1
+            ), ov AS (
+              SELECT a.x AS day_a, b.x AS day_b,
+                     count(*)::BIGINT AS overlap
+              FROM topd a JOIN topd b
+                ON b.x = a.x + 1 AND a.e = b.e
+              GROUP BY 1, 2
+            ), pairs AS (
+              SELECT sa.x AS day_a, sb.x AS day_b,
+                     sa.n AS n_a, sb.n AS n_b,
+                     coalesce(ov.overlap, 0)::BIGINT AS overlap
+              FROM sz sa JOIN sz sb ON sb.x = sa.x + 1
+              LEFT JOIN ov
+                ON ov.day_a = sa.x AND ov.day_b = sb.x
+            )
+            SELECT day_a, day_b, n_a, n_b, overlap,
+                   (n_b - overlap)::BIGINT AS entered,
+                   (n_a - overlap)::BIGINT AS "left",
+                   CASE WHEN n_a + n_b - overlap > 0
+                        THEN round(overlap::DOUBLE
+                          / (n_a + n_b - overlap)::DOUBLE, 6)
+                   END AS jaccard,
+                   CASE WHEN n_a + n_b - overlap > 0
+                        THEN round(1.0 - overlap::DOUBLE
+                          / (n_a + n_b - overlap)::DOUBLE, 6)
+                   END AS churn
+            FROM pairs ORDER BY day_a
+        """,
         "corpus_rrf_fuse": """
             WITH ra AS (
               SELECT doc_id AS i,

@@ -199,6 +199,7 @@ HEADLINE = [
     "txt_burrows_delta",
     "corpus_partial_corr",
     "corpus_rrf_fuse",
+    "events_topk_churn",
 ]
 
 BENCH_CONVERSATIONS = int(os.environ.get("PROTOSC_BENCH_CONVS", "20000"))

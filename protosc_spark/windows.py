@@ -2881,3 +2881,100 @@ def weekday_friedman(
             F.when(ok, p < F.lit(0.05)).alias("significant"),
         )
     )
+
+
+def topk_churn(
+    df: DataFrame,
+    entity_col: str,
+    ts_col: str = "ts",
+    k: int = 20,
+) -> DataFrame:
+    """Day-over-day churn of the top-k entity set (by daily event
+    count) — the heavy-hitter STABILITY readout: a pipeline whose
+    top-20 users/domains/documents turn over 80% every day has a
+    crawl/dedup problem long before any aggregate drifts.
+
+    Per day, the top-k entities are the DETERMINISTIC head of
+    (count DESC, entity ASC); for every consecutive-day pair
+    (gaps in the calendar are NOT paired — a missing day breaks the
+    chain, the volume_trend convention):
+
+        jaccard = |A ∩ B| / |A ∪ B|,    churn = 1 - jaccard,
+        entered = |B \\ A|,  left = |A \\ B|
+
+    Everything is exact integer set algebra off one per-day rank
+    window (the window runs over day x entity COUNTS, never raw
+    rows); jaccard/churn are one division each. Output: one row per
+    paired day (day_a, day_b, n_a, n_b, overlap, entered, left,
+    jaccard, churn), day = epoch day."""
+    daily = (
+        df.groupBy(
+            F.datediff(F.to_date(ts_col), F.lit("1970-01-01"))
+            .cast("bigint")
+            .alias("x"),
+            F.col(entity_col).alias("e"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("y"))
+    )
+    wd = W.partitionBy("x").orderBy(
+        F.col("y").desc(), F.col("e").asc()
+    )
+    top = (
+        daily.select(
+            "x", "e", F.row_number().over(wd).alias("__r")
+        )
+        .where(F.col("__r") <= int(k))
+        # feeds both sides of the consecutive-day join + sizes
+        .localCheckpoint(eager=True)
+    )
+    sz = top.groupBy("x").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    # pair day x with day x+1 via a pure equi-join on (day, entity)
+    a = top.select(F.col("x").alias("day_a"), F.col("e"))
+    b = top.select(
+        (F.col("x") - F.lit(1)).cast("bigint").alias("day_a"),
+        F.col("e"),
+        F.col("x").alias("day_b"),
+    )
+    ov = (
+        a.join(b, ["day_a", "e"])
+        .groupBy("day_a", "day_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("overlap"))
+    )
+    pairs = (
+        sz.alias("sa")
+        .join(
+            sz.alias("sb"),
+            F.col("sb.x") == F.col("sa.x") + 1,
+        )
+        .select(
+            F.col("sa.x").alias("day_a"),
+            F.col("sb.x").alias("day_b"),
+            F.col("sa.n").alias("n_a"),
+            F.col("sb.n").alias("n_b"),
+        )
+        .join(ov, ["day_a", "day_b"], "left")
+        .select(
+            "day_a",
+            "day_b",
+            "n_a",
+            "n_b",
+            F.coalesce(F.col("overlap"), F.lit(0)).alias(
+                "overlap"
+            ),
+        )
+    )
+    uni = F.col("n_a") + F.col("n_b") - F.col("overlap")
+    jac = F.col("overlap").cast("double") / uni.cast("double")
+    return pairs.select(
+        "day_a",
+        "day_b",
+        "n_a",
+        "n_b",
+        "overlap",
+        (F.col("n_b") - F.col("overlap")).alias("entered"),
+        (F.col("n_a") - F.col("overlap")).alias("left"),
+        F.when(uni > 0, jac).alias("jaccard"),
+        F.when(uni > 0, F.lit(1.0) - jac).alias("churn"),
+    )

@@ -2291,3 +2291,70 @@ def test_friedman_incomplete_weeks_and_degenerate(spark):
         _long_daily_df(spark, [5] * 14), "g"
     ).collect()[0]
     assert r.n_weeks == 2 and r.chi2 is None
+
+
+# ---------------------------------------------------------------------------
+# topk_churn
+# ---------------------------------------------------------------------------
+
+def _churn_df(spark, day_entities):
+    """day_entities: {epoch_day: [(entity, count), ...]}"""
+    import datetime as dt
+
+    rows = []
+    for d, ents in day_entities.items():
+        ts = (
+            dt.datetime(1970, 1, 1) + dt.timedelta(days=int(d))
+        ).strftime("%Y-%m-%d 00:00:00")
+        for e, c in ents:
+            rows += [(e, ts)] * c
+    return spark.createDataFrame(
+        rows, "e string, ts_s string"
+    ).select("e", F.col("ts_s").cast("timestamp").alias("ts"))
+
+
+def test_churn_stable_vs_turnover(spark):
+    from protosc_spark.windows import topk_churn
+
+    days = {
+        0: [("u1", 9), ("u2", 8), ("u3", 7)],
+        1: [("u1", 9), ("u2", 8), ("u3", 7)],       # identical
+        2: [("v1", 9), ("v2", 8), ("v3", 7)],       # full swap
+    }
+    out = {
+        (r.day_a, r.day_b): r
+        for r in topk_churn(_churn_df(spark, days), "e", k=3)
+        .collect()
+    }
+    assert out[(0, 1)].jaccard == 1.0 and out[(0, 1)].churn == 0.0
+    assert out[(1, 2)].overlap == 0 and out[(1, 2)].churn == 1.0
+    assert out[(1, 2)].entered == 3 and out[(1, 2)].left == 3
+
+
+def test_churn_rank_ties_and_k_cut(spark):
+    from protosc_spark.windows import topk_churn
+
+    # ties at the k boundary: (count desc, entity asc) is the rule,
+    # so with k=2 day 0 keeps u1 (5) and u2 (4, beats u3 by name)
+    days = {
+        0: [("u1", 5), ("u2", 4), ("u3", 4)],
+        1: [("u3", 5), ("u2", 4), ("u1", 1)],
+    }
+    out = topk_churn(_churn_df(spark, days), "e", k=2).collect()
+    r = out[0]
+    assert (r.n_a, r.n_b) == (2, 2)
+    # day0 = {u1, u2}; day1 = {u3, u2} -> overlap u2 only
+    assert r.overlap == 1 and r.jaccard == 1 / 3
+    assert r.entered == 1 and r.left == 1
+
+
+def test_churn_calendar_gap_not_paired(spark):
+    from protosc_spark.windows import topk_churn
+
+    days = {
+        0: [("u1", 3)],
+        1: [("u1", 3)],
+        3: [("u1", 3)],  # day 2 missing: (1,3) must NOT pair
+    }
+    out = topk_churn(_churn_df(spark, days), "e", k=5).collect()
+    assert sorted((r.day_a, r.day_b) for r in out) == [(0, 1)]
