@@ -1181,6 +1181,25 @@ def _corpus_drift_cvm(spark, sf_dir):
     )
 
 
+def _corpus_trimmed_mean(spark, sf_dir):
+    """Exact 5%-trimmed and winsorized mean of n_chars per source —
+    the zero-error robust location off the value histogram (integer
+    interval-overlap kept-mass, quantile-bracket boundary values,
+    one division each). DuckDB oracle replays the histogram, the
+    trim arithmetic and the brackets."""
+    from protosc_spark.stats import trimmed_mean
+
+    docs = _read(spark, sf_dir, "documents")
+    t = trimmed_mean(docs, "n_chars", "source", trim_milli=50)
+    return t.select(
+        "source",
+        "n",
+        "n_trim_side",
+        F.round("trimmed_mean", 6).alias("trimmed_mean"),
+        F.round("winsorized_mean", 6).alias("winsorized_mean"),
+    ).orderBy("source")
+
+
 def _events_topk_churn(spark, sf_dir):
     """Day-over-day churn of the top-20 heavy users by event count
     — heavy-hitter set stability (calendar gaps break the chain).
@@ -4497,6 +4516,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     full-surface green regardless of this ordering."""
     return {
         # --- round 5 ---
+        "corpus_trimmed_mean": _corpus_trimmed_mean,
         "events_topk_churn": _events_topk_churn,
         "corpus_rrf_fuse": _corpus_rrf_fuse,
         "corpus_partial_corr": _corpus_partial_corr,
@@ -4819,6 +4839,49 @@ def oracle_sql() -> dict[str, str]:
         for t in POISSON1_T60
     )
     out = {
+        "corpus_trimmed_mean": """
+            WITH hist AS (
+              SELECT source, n_chars::BIGINT AS v,
+                     count(*)::HUGEINT AS c
+              FROM documents WHERE n_chars IS NOT NULL
+              GROUP BY 1, 2
+            ), cum AS (
+              SELECT source, v, c,
+                     sum(c) OVER w AS cm,
+                     sum(c) OVER w - c AS prev
+              FROM hist WINDOW w AS (PARTITION BY source
+                ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+                AND CURRENT ROW)
+            ), tot AS (
+              SELECT source, sum(c) AS n,
+                     (sum(c) * 50) // 1000 AS t
+              FROM hist GROUP BY 1
+            ), j AS (
+              SELECT cum.*, tot.n, tot.t FROM cum
+              JOIN tot ON cum.source = tot.source
+            ), g AS (
+              SELECT source, max(n) AS n, max(t) AS t,
+                sum(v * greatest(least(cm, n - t)
+                                 - greatest(prev, t), 0)) AS s,
+                sum(greatest(least(cm, n - t)
+                             - greatest(prev, t), 0)) AS k,
+                min(CASE WHEN cm >= t + 1 AND prev < t + 1
+                         THEN v END) AS vlo,
+                min(CASE WHEN cm >= n - t AND prev < n - t
+                         THEN v END) AS vhi
+              FROM j GROUP BY 1
+            )
+            SELECT source, n::BIGINT AS n,
+                   t::BIGINT AS n_trim_side,
+                   CASE WHEN k > 0 THEN round(
+                     s::DOUBLE / k::DOUBLE, 6)
+                   END AS trimmed_mean,
+                   CASE WHEN k > 0 THEN round(
+                     (s + t * vlo + t * vhi)::DOUBLE
+                     / n::DOUBLE, 6)
+                   END AS winsorized_mean
+            FROM g ORDER BY source
+        """,
         "events_topk_churn": """
             WITH daily AS (
               SELECT (ts::DATE - DATE '1970-01-01')::BIGINT AS x,

@@ -200,6 +200,7 @@ HEADLINE = [
     "corpus_partial_corr",
     "corpus_rrf_fuse",
     "events_topk_churn",
+    "corpus_trimmed_mean",
 ]
 
 BENCH_CONVERSATIONS = int(os.environ.get("PROTOSC_BENCH_CONVS", "20000"))

@@ -590,3 +590,97 @@ def partial_corr(
             "significant"
         ),
     )
+
+
+def trimmed_mean(
+    df: DataFrame,
+    value_col: str,
+    group_col: str | None = None,
+    trim_milli: int = 50,
+) -> DataFrame:
+    """EXACT trimmed and winsorized means per group — the robust
+    location statistics beside the sketch-based median/MAD
+    (mad_robust_stats approximates; this is the zero-error path off
+    the value histogram, the quantiles_exact shape): drop (trimmed)
+    or clamp (winsorized) the lowest and highest t rows, where
+    t = n * trim_milli DIV 1000 (pure integer — ``trim_milli`` is
+    the trim fraction in thousandths, 50 = 5% each side).
+
+    Every sufficient statistic is exact: per distinct value, the
+    kept multiplicity is the integer interval overlap
+    max(0, min(cum, n-t) - max(prev, t)); boundary values come from
+    the same cumulative bracket as quantiles_exact; each mean is
+    ONE division of exact DECIMAL sums. Order-independent,
+    SQL-replayable.
+
+    Scale shape: one map-side-combined groupBy(group, value); one
+    distinct-value window per group; a |groups|-sized rollup.
+    Output: (group?, n, n_trim_side, trimmed_mean,
+    winsorized_mean); NULL means when the trim leaves nothing
+    (n <= 2t)."""
+    dec = "decimal(38,0)"
+    keys = [group_col] if group_col else []
+    v = F.col(value_col).cast("bigint")
+    hist = (
+        df.where(v.isNotNull())
+        .groupBy(*keys, v.alias("__v"))
+        .agg(F.count(F.lit(1)).cast(dec).alias("__c"))
+    )
+    w = (
+        W.partitionBy(*keys)
+        .orderBy("__v")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    cum = hist.select(
+        *keys,
+        "__v",
+        "__c",
+        F.sum("__c").over(w).alias("__cum"),
+        (F.sum("__c").over(w) - F.col("__c")).alias("__prev"),
+    )
+    tot = hist.groupBy(*keys).agg(F.sum("__c").alias("__n"))
+    tq = tot.select(
+        *keys,
+        "__n",
+        F.expr(f"__n * {int(trim_milli)} DIV 1000").alias("__t"),
+    )
+    j = cum.join(tq, keys or None) if keys else cum.crossJoin(
+        F.broadcast(tq)
+    )
+    lo_kept = F.greatest(F.col("__prev"), F.col("__t"))
+    hi_kept = F.least(
+        F.col("__cum"), F.col("__n") - F.col("__t")
+    )
+    kept = F.greatest(
+        hi_kept - lo_kept, F.lit(0).cast(dec)
+    )
+    vlo_rank = F.col("__t") + 1
+    vhi_rank = F.col("__n") - F.col("__t")
+    bracket_lo = (F.col("__cum") >= vlo_rank) & (
+        F.col("__prev") < vlo_rank
+    )
+    bracket_hi = (F.col("__cum") >= vhi_rank) & (
+        F.col("__prev") < vhi_rank
+    )
+    g = j.groupBy(*keys).agg(
+        F.max("__n").alias("__n"),
+        F.max("__t").alias("__t"),
+        F.sum(F.col("__v").cast(dec) * kept).alias("__s"),
+        F.sum(kept).alias("__k"),
+        F.min(F.when(bracket_lo, F.col("__v"))).alias("__vlo"),
+        F.min(F.when(bracket_hi, F.col("__v"))).alias("__vhi"),
+    )
+    ok = F.col("__k") > 0
+    tm = F.col("__s").cast("double") / F.col("__k").cast("double")
+    wm = (
+        F.col("__s")
+        + F.col("__t") * F.col("__vlo").cast(dec)
+        + F.col("__t") * F.col("__vhi").cast(dec)
+    ).cast("double") / F.col("__n").cast("double")
+    return g.select(
+        *keys,
+        F.col("__n").cast("bigint").alias("n"),
+        F.col("__t").cast("bigint").alias("n_trim_side"),
+        F.when(ok, tm).alias("trimmed_mean"),
+        F.when(ok, wm).alias("winsorized_mean"),
+    )

@@ -295,3 +295,72 @@ def test_pcorr_degenerate(spark):
     df = spark.createDataFrame(rows, "x long, y long, z long")
     r = partial_corr(df, "x", "y", "z").collect()[0]
     assert r.partial_r is None
+
+
+# ---------------------------------------------------------------------------
+# trimmed_mean
+# ---------------------------------------------------------------------------
+
+def _trim_ref(values, trim_milli=50):
+    """Literal replay: sort, drop/clamp t each side."""
+    s = sorted(values)
+    n = len(s)
+    t = n * trim_milli // 1000
+    mid = s[t:n - t]
+    if not mid:
+        return n, t, None, None
+    tm = sum(mid) / len(mid)
+    wm = (sum(mid) + t * mid[0] + t * mid[-1]) / n
+    return n, t, tm, wm
+
+
+def test_trimmed_mean_outlier_resistance(spark):
+    import random
+
+    from protosc_spark.stats import trimmed_mean
+
+    rng = random.Random(61)
+    vals = [rng.randint(90, 110) for _ in range(95)] + [10**6] * 5
+    df = spark.createDataFrame([(v,) for v in vals], "v long")
+    r = trimmed_mean(df, "v").collect()[0]
+    n, t, tm, wm = _trim_ref(vals)
+    assert (r.n, r.n_trim_side) == (n, t) == (100, 5)
+    assert r.trimmed_mean == tm and r.winsorized_mean == wm
+    # the 5 planted outliers are fully absorbed
+    assert 90 <= r.trimmed_mean <= 110
+    assert 90 <= r.winsorized_mean <= 110
+
+
+def test_trimmed_mean_ties_and_groups(spark):
+    import random
+
+    from protosc_spark.stats import trimmed_mean
+
+    rng = random.Random(71)
+    ga = [rng.randint(0, 5) for _ in range(83)]      # tie-heavy
+    gb = [rng.randint(0, 1000) for _ in range(57)]
+    rows = [("a", v) for v in ga] + [("b", v) for v in gb]
+    df = spark.createDataFrame(rows, "g string, v long")
+    out = {
+        r.g: r
+        for r in trimmed_mean(df, "v", "g", trim_milli=100)
+        .collect()
+    }
+    for g, vals in (("a", ga), ("b", gb)):
+        n, t, tm, wm = _trim_ref(vals, trim_milli=100)
+        assert out[g].trimmed_mean == tm, g
+        assert out[g].winsorized_mean == wm, g
+
+
+def test_trimmed_mean_degenerate(spark):
+    from protosc_spark.stats import trimmed_mean
+
+    # trim everything: 1 row each side of a 2-row set at 50%
+    df = spark.createDataFrame([(1,), (9,)], "v long")
+    r = trimmed_mean(df, "v", trim_milli=500).collect()[0]
+    assert r.trimmed_mean is None
+
+    # zero trim: plain mean
+    df = spark.createDataFrame([(2,), (4,), (9,)], "v long")
+    r = trimmed_mean(df, "v", trim_milli=0).collect()[0]
+    assert r.trimmed_mean == 5.0 and r.winsorized_mean == 5.0
