@@ -1181,6 +1181,26 @@ def _corpus_drift_cvm(spark, sf_dir):
     )
 
 
+def _corpus_drift_tvd(spark, sf_dir):
+    """Total variation + Bhattacharyya/Hellinger between zh and
+    rest n_chars distributions — the bounded-metric members of the
+    drift family (TVD exact via cross-multiplied integers, BC's
+    sqrt terms quantized before the sum). DuckDB oracle replays the
+    histogram and all three trees."""
+    from protosc_spark.evaluation import distribution_distances
+
+    docs = _read_wide(spark, sf_dir, "documents").select(
+        "n_chars", (F.col("lang") == "zh").cast("int").alias("g")
+    )
+    return distribution_distances(docs, "n_chars", "g").select(
+        "n_1",
+        "n_0",
+        F.round("tvd", 6).alias("tvd"),
+        F.round("bc", 6).alias("bc"),
+        F.round("hellinger", 6).alias("hellinger"),
+    )
+
+
 def _corpus_trimmed_mean(spark, sf_dir):
     """Exact 5%-trimmed and winsorized mean of n_chars per source —
     the zero-error robust location off the value histogram (integer
@@ -4516,6 +4536,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     full-surface green regardless of this ordering."""
     return {
         # --- round 5 ---
+        "corpus_drift_tvd": _corpus_drift_tvd,
         "corpus_trimmed_mean": _corpus_trimmed_mean,
         "events_topk_churn": _events_topk_churn,
         "corpus_rrf_fuse": _corpus_rrf_fuse,
@@ -4839,6 +4860,40 @@ def oracle_sql() -> dict[str, str]:
         for t in POISSON1_T60
     )
     out = {
+        "corpus_drift_tvd": """
+            WITH base AS (
+              SELECT n_chars AS v, (lang = 'zh')::INT AS y
+              FROM documents
+              WHERE n_chars IS NOT NULL AND lang IS NOT NULL
+            ), h AS (
+              SELECT v, sum(y)::HUGEINT AS a,
+                     sum(1 - y)::HUGEINT AS b
+              FROM base GROUP BY 1
+            ), tot AS (
+              SELECT sum(a) AS na, sum(b) AS nb FROM h
+            ), agg AS (
+              SELECT sum(abs(a * nb - b * na)) AS tv,
+                     sum(floor(sqrt((a * b)::DOUBLE)
+                               * 1e15)::HUGEINT) AS bcu
+              FROM h, tot
+            ), fin AS (
+              SELECT na, nb,
+                tv::DOUBLE / (2 * na * nb)::DOUBLE AS tvd,
+                bcu::DOUBLE / 1e15
+                  / sqrt((na * nb)::DOUBLE) AS bc
+              FROM tot, agg
+            )
+            SELECT na::BIGINT AS n_1, nb::BIGINT AS n_0,
+                   CASE WHEN na > 0 AND nb > 0
+                        THEN round(tvd, 6) END AS tvd,
+                   CASE WHEN na > 0 AND nb > 0
+                        THEN round(bc, 6) END AS bc,
+                   CASE WHEN na > 0 AND nb > 0
+                        THEN round(sqrt(greatest(1.0 - bc, 0.0)),
+                                   6)
+                   END AS hellinger
+            FROM fin
+        """,
         "corpus_trimmed_mean": """
             WITH hist AS (
               SELECT source, n_chars::BIGINT AS v,

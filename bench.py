@@ -201,6 +201,7 @@ HEADLINE = [
     "corpus_rrf_fuse",
     "events_topk_churn",
     "corpus_trimmed_mean",
+    "corpus_drift_tvd",
 ]
 
 BENCH_CONVERSATIONS = int(os.environ.get("PROTOSC_BENCH_CONVS", "20000"))

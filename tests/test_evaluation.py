@@ -2392,3 +2392,72 @@ def test_rrf_random_replay_and_missing(spark):
     assert got == ref
     # items outside a list's top-depth carry a NULL rank there
     assert any(r.rank_a is None or r.rank_b is None for r in out)
+
+
+# ---------------------------------------------------------------------------
+# distribution_distances
+# ---------------------------------------------------------------------------
+
+def _dist_ref(pairs, unit=10**15):
+    """Replay: exact TVD, quantized BC, the kernel's float trees."""
+    import math
+    from collections import Counter
+
+    ca = Counter(v for v, y in pairs if y == 1)
+    cb = Counter(v for v, y in pairs if y == 0)
+    na, nb = sum(ca.values()), sum(cb.values())
+    tv = sum(
+        abs(ca.get(v, 0) * nb - cb.get(v, 0) * na)
+        for v in set(ca) | set(cb)
+    )
+    bcu = sum(
+        math.floor(
+            math.sqrt(float(ca.get(v, 0) * cb.get(v, 0)))
+            * float(unit)
+        )
+        for v in set(ca) | set(cb)
+    )
+    tvd = float(tv) / float(2 * na * nb)
+    bc = float(bcu) / float(unit) / math.sqrt(float(na * nb))
+    return tvd, bc, math.sqrt(max(1.0 - bc, 0.0))
+
+
+def test_distances_disjoint_identical_shifted(spark):
+    import random
+
+    from protosc_spark.evaluation import distribution_distances
+
+    # disjoint supports: TVD = 1, BC = 0, H = 1
+    pairs = [(v, 1) for v in (1, 2, 3) * 5] + [
+        (v, 0) for v in (10, 11) * 5
+    ]
+    df = spark.createDataFrame(pairs, "v long, g int")
+    r = distribution_distances(df, "v", "g").collect()[0]
+    assert r.tvd == 1.0 and r.bc == 0.0 and r.hellinger == 1.0
+
+    # identical multisets: TVD = 0, BC = 1 (up to quantization)
+    vals = [1, 1, 2, 5, 9]
+    pairs = [(v, 1) for v in vals] + [(v, 0) for v in vals]
+    df = spark.createDataFrame(pairs, "v long, g int")
+    r = distribution_distances(df, "v", "g").collect()[0]
+    assert r.tvd == 0.0 and abs(r.bc - 1.0) < 1e-9
+    assert r.hellinger < 1e-4
+
+    # noisy shifted: digit-exact replay
+    rng = random.Random(77)
+    pairs = [(rng.randint(0, 30), 1) for _ in range(200)] + [
+        (rng.randint(10, 45), 0) for _ in range(150)
+    ]
+    df = spark.createDataFrame(pairs, "v long, g int")
+    r = distribution_distances(df, "v", "g").collect()[0]
+    tvd, bc, hel = _dist_ref(pairs)
+    assert r.tvd == tvd and r.bc == bc and r.hellinger == hel
+    assert 0 < r.tvd < 1 and 0 < r.hellinger < 1
+
+
+def test_distances_empty_group_null(spark):
+    from protosc_spark.evaluation import distribution_distances
+
+    df = spark.createDataFrame([(1, 1), (2, 1)], "v long, g int")
+    r = distribution_distances(df, "v", "g").collect()[0]
+    assert r.tvd is None and r.hellinger is None
