@@ -1181,6 +1181,29 @@ def _corpus_drift_cvm(spark, sf_dir):
     )
 
 
+def _corpus_effect_size(spark, sf_dir):
+    """Cohen's d + Hedges g for n_chars, English vs rest — the
+    effect-size companion to the Welch/Mann-Whitney gates (at
+    corpus n everything is 'significant'; d says whether it
+    matters). Exact DECIMAL moments from one aggregation, closed
+    float trees, conventional magnitude label. DuckDB oracle
+    replays moments and trees."""
+    from protosc_spark.experiment import effect_size
+
+    docs = _read(spark, sf_dir, "documents").select(
+        "n_chars", (F.col("lang") == "en").cast("int").alias("y")
+    )
+    return effect_size(docs, "n_chars", "y").select(
+        "n_1",
+        "n_0",
+        F.round("mean_1", 6).alias("mean_1"),
+        F.round("mean_0", 6).alias("mean_0"),
+        F.round("d", 6).alias("d"),
+        F.round("g", 6).alias("g"),
+        "magnitude",
+    )
+
+
 def _corpus_drift_tvd(spark, sf_dir):
     """Total variation + Bhattacharyya/Hellinger between zh and
     rest n_chars distributions — the bounded-metric members of the
@@ -4536,6 +4559,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     full-surface green regardless of this ordering."""
     return {
         # --- round 5 ---
+        "corpus_effect_size": _corpus_effect_size,
         "corpus_drift_tvd": _corpus_drift_tvd,
         "corpus_trimmed_mean": _corpus_trimmed_mean,
         "events_topk_churn": _events_topk_churn,
@@ -4860,6 +4884,57 @@ def oracle_sql() -> dict[str, str]:
         for t in POISSON1_T60
     )
     out = {
+        "corpus_effect_size": """
+            WITH base AS (
+              SELECT n_chars::HUGEINT AS v,
+                     (lang = 'en')::INT AS y
+              FROM documents
+              WHERE n_chars IS NOT NULL AND lang IS NOT NULL
+            ), g AS (
+              SELECT sum(y)::HUGEINT AS n1,
+                     sum(1 - y)::HUGEINT AS n0,
+                     sum(CASE WHEN y = 1 THEN v
+                         ELSE 0 END) AS s1,
+                     sum(CASE WHEN y = 0 THEN v
+                         ELSE 0 END) AS s0,
+                     sum(CASE WHEN y = 1 THEN v * v
+                         ELSE 0 END) AS q1,
+                     sum(CASE WHEN y = 0 THEN v * v
+                         ELSE 0 END) AS q0
+              FROM base
+            ), f AS (
+              SELECT n1, n0,
+                s1::DOUBLE / n1::DOUBLE AS m1,
+                s0::DOUBLE / n0::DOUBLE AS m0,
+                sqrt((
+                  (n1 * q1 - s1 * s1)::DOUBLE / n1::DOUBLE
+                  + (n0 * q0 - s0 * s0)::DOUBLE / n0::DOUBLE
+                ) / (n1::DOUBLE + n0::DOUBLE - 2.0)) AS sp
+              FROM g
+            ), e AS (
+              SELECT *, (m1 - m0) / sp AS d,
+                (m1 - m0) / sp
+                  * (1.0 - 3.0
+                     / (4.0 * (n1::DOUBLE + n0::DOUBLE)
+                        - 9.0)) AS gg,
+                n1 >= 2 AND n0 >= 2 AND sp <> 0 AS ok
+              FROM f
+            )
+            SELECT n1::BIGINT AS n_1, n0::BIGINT AS n_0,
+                   CASE WHEN n1 > 0 THEN round(m1, 6)
+                   END AS mean_1,
+                   CASE WHEN n0 > 0 THEN round(m0, 6)
+                   END AS mean_0,
+                   CASE WHEN ok THEN round(d, 6) END AS d,
+                   CASE WHEN ok THEN round(gg, 6) END AS g,
+                   CASE WHEN ok THEN
+                     CASE WHEN abs(d) < 0.2 THEN 'negligible'
+                          WHEN abs(d) < 0.5 THEN 'small'
+                          WHEN abs(d) < 0.8 THEN 'medium'
+                          ELSE 'large' END
+                   END AS magnitude
+            FROM e
+        """,
         "corpus_drift_tvd": """
             WITH base AS (
               SELECT n_chars AS v, (lang = 'zh')::INT AS y

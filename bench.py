@@ -202,6 +202,7 @@ HEADLINE = [
     "events_topk_churn",
     "corpus_trimmed_mean",
     "corpus_drift_tvd",
+    "corpus_effect_size",
 ]
 
 BENCH_CONVERSATIONS = int(os.environ.get("PROTOSC_BENCH_CONVS", "20000"))

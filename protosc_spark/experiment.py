@@ -642,3 +642,82 @@ def rate_ratio_test(
         ).alias("rate_ratio"),
         F.when(ok, z).alias("z"),
     )
+
+
+def effect_size(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+) -> DataFrame:
+    """Standardized mean difference between group 1 (truthy
+    ``group_col``) and group 0 — Cohen's d with the Hedges small-
+    sample correction, the EFFECT-SIZE companion to welch_ttest
+    (p-values say "real"; d says "big enough to care", and at
+    corpus n everything is "real"):
+
+        d = (mean_1 - mean_0) / s_pooled,
+        s_pooled^2 = ((n1-1) s1^2 + (n0-1) s0^2) / (n1 + n0 - 2),
+        g = d * J,  J = 1 - 3 / (4 (n1 + n0) - 9)
+
+    (the standard closed-form J approximation — no gamma function
+    needed). Exactness: per-group sums and sum-of-squares are exact
+    DECIMAL(38,0) from ONE aggregation; every statistic is a closed
+    float tree of those integers, identical in the SQL oracle.
+
+    Rows with NULL value or group are dropped. Output: one row
+    (n_1, n_0, mean_1, mean_0, d, g, magnitude) — magnitude is the
+    conventional label (negligible < 0.2 <= small < 0.5 <= medium
+    < 0.8 <= large) on |d|; NULL d/g when either group has < 2 rows
+    or the pooled variance is 0."""
+    dec = "decimal(38,0)"
+    y = F.col(group_col).cast("int")
+    v = F.col(value_col).cast(dec)
+    rows = df.where(
+        F.col(value_col).isNotNull() & F.col(group_col).isNotNull()
+    )
+    g = rows.agg(
+        F.sum(y.cast(dec)).alias("__n1"),
+        F.sum((1 - y).cast(dec)).alias("__n0"),
+        F.sum(F.when(y == 1, v).otherwise(F.lit(0).cast(dec))
+              ).alias("__s1"),
+        F.sum(F.when(y == 0, v).otherwise(F.lit(0).cast(dec))
+              ).alias("__s0"),
+        F.sum(F.when(y == 1, v * v).otherwise(F.lit(0).cast(dec))
+              ).alias("__q1"),
+        F.sum(F.when(y == 0, v * v).otherwise(F.lit(0).cast(dec))
+              ).alias("__q0"),
+    )
+    n1, n0 = F.col("__n1"), F.col("__n0")
+    s1, s0 = F.col("__s1"), F.col("__s0")
+    q1, q0 = F.col("__q1"), F.col("__q0")
+    n1d, n0d = n1.cast("double"), n0.cast("double")
+    m1 = s1.cast("double") / n1d
+    m0 = s0.cast("double") / n0d
+    # (n-1) s^2 = (n q - s^2) / n, exact numerators
+    ss1 = (n1 * q1 - s1 * s1).cast("double") / n1d
+    ss0 = (n0 * q0 - s0 * s0).cast("double") / n0d
+    sp = F.sqrt(
+        (ss1 + ss0) / (n1d + n0d - F.lit(2.0))
+    )
+    d = (m1 - m0) / F.when(sp != 0, sp)
+    jf = F.lit(1.0) - F.lit(3.0) / (
+        F.lit(4.0) * (n1d + n0d) - F.lit(9.0)
+    )
+    gg = d * jf
+    ok = (
+        (n1 >= F.lit(2).cast(dec))
+        & (n0 >= F.lit(2).cast(dec))
+    )
+    ad = F.abs(d)
+    mag = F.when(ad < 0.2, F.lit("negligible")).when(
+        ad < 0.5, F.lit("small")
+    ).when(ad < 0.8, F.lit("medium")).otherwise(F.lit("large"))
+    return g.select(
+        n1.cast("bigint").alias("n_1"),
+        n0.cast("bigint").alias("n_0"),
+        F.when(n1 > 0, m1).alias("mean_1"),
+        F.when(n0 > 0, m0).alias("mean_0"),
+        F.when(ok, d).alias("d"),
+        F.when(ok, gg).alias("g"),
+        F.when(ok & d.isNotNull(), mag).alias("magnitude"),
+    )

@@ -521,3 +521,75 @@ def test_rate_ratio_plan_no_python(spark):
     )
     assert "ArrowEvalPython" not in plan
     assert "BatchEvalPython" not in plan
+
+
+# ---------------------------------------------------------------------------
+# effect_size
+# ---------------------------------------------------------------------------
+
+def _es_ref(pairs):
+    """Integer-moment replay of d and Hedges g."""
+    import math
+
+    a = [v for v, y in pairs if y == 1]
+    b = [v for v, y in pairs if y == 0]
+    n1, n0 = len(a), len(b)
+    s1, s0 = sum(a), sum(b)
+    q1, q0 = sum(v * v for v in a), sum(v * v for v in b)
+    m1, m0 = float(s1) / n1, float(s0) / n0
+    ss1 = float(n1 * q1 - s1 * s1) / float(n1)
+    ss0 = float(n0 * q0 - s0 * s0) / float(n0)
+    sp = math.sqrt((ss1 + ss0) / (float(n1) + float(n0) - 2.0))
+    d = (m1 - m0) / sp
+    j = 1.0 - 3.0 / (4.0 * (float(n1) + float(n0)) - 9.0)
+    return m1, m0, d, d * j
+
+
+def test_effect_size_planted_shift(spark):
+    import random
+
+    from protosc_spark.experiment import effect_size
+
+    rng = random.Random(55)
+    pairs = [(rng.randint(90, 110), 0) for _ in range(300)] + [
+        (rng.randint(95, 120), 1) for _ in range(250)
+    ]
+    df = spark.createDataFrame(pairs, "v long, y int")
+    r = effect_size(df, "v", "y").collect()[0]
+    m1, m0, d, g = _es_ref(pairs)
+    assert r.mean_1 == m1 and r.mean_0 == m0
+    assert r.d == d and r.g == g
+    assert r.d > 0 and abs(r.g) < abs(r.d)
+
+
+def test_effect_size_magnitude_labels(spark):
+    from protosc_spark.experiment import effect_size
+
+    # huge separation: large
+    pairs = [(10, 0)] * 20 + [(11, 0), (9, 0)] + [(100, 1)] * 20 \
+        + [(101, 1), (99, 1)]
+    df = spark.createDataFrame(pairs, "v long, y int")
+    r = effect_size(df, "v", "y").collect()[0]
+    assert r.magnitude == "large" and r.d > 5
+
+    # identical groups: d = 0, negligible
+    pairs = [(5, 0), (7, 0), (5, 1), (7, 1)]
+    df = spark.createDataFrame(pairs, "v long, y int")
+    r = effect_size(df, "v", "y").collect()[0]
+    assert r.d == 0.0 and r.magnitude == "negligible"
+
+
+def test_effect_size_degenerate(spark):
+    from protosc_spark.experiment import effect_size
+
+    # constant everything: pooled sd 0 -> NULL d
+    pairs = [(5, 0), (5, 0), (5, 1), (5, 1)]
+    df = spark.createDataFrame(pairs, "v long, y int")
+    r = effect_size(df, "v", "y").collect()[0]
+    assert r.d is None and r.magnitude is None
+
+    # single-row group
+    pairs = [(5, 0), (6, 0), (9, 1)]
+    df = spark.createDataFrame(pairs, "v long, y int")
+    r = effect_size(df, "v", "y").collect()[0]
+    assert r.d is None and r.mean_1 == 9.0
