@@ -1181,6 +1181,36 @@ def _corpus_drift_cvm(spark, sf_dir):
     )
 
 
+def _corpus_risk_table(spark, sf_dir):
+    """2x2 effect table (risk ratio / odds ratio / risk difference,
+    each with its standard 95% CI) for long-doc exposure ->
+    is-English outcome — the effect-size readout beside the
+    chi-square/Fisher significance gates. Exact integer cells from
+    one aggregation, ln/sqrt closed trees. DuckDB oracle replays
+    cells and every bound."""
+    from protosc_spark.experiment import risk_table
+
+    docs = _read(spark, sf_dir, "documents").select(
+        (F.col("n_chars") >= 300).cast("int").alias("e"),
+        (F.col("lang") == "en").cast("int").alias("y"),
+    )
+    return risk_table(docs, "e", "y").select(
+        "a",
+        "b",
+        "c",
+        "d",
+        F.round("rr", 6).alias("rr"),
+        F.round("rr_lo", 6).alias("rr_lo"),
+        F.round("rr_hi", 6).alias("rr_hi"),
+        F.round("orr", 6).alias("orr"),
+        F.round("or_lo", 6).alias("or_lo"),
+        F.round("or_hi", 6).alias("or_hi"),
+        F.round("rd", 6).alias("rd"),
+        F.round("rd_lo", 6).alias("rd_lo"),
+        F.round("rd_hi", 6).alias("rd_hi"),
+    )
+
+
 def _corpus_effect_size(spark, sf_dir):
     """Cohen's d + Hedges g for n_chars, English vs rest — the
     effect-size companion to the Welch/Mann-Whitney gates (at
@@ -4559,6 +4589,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     full-surface green regardless of this ordering."""
     return {
         # --- round 5 ---
+        "corpus_risk_table": _corpus_risk_table,
         "corpus_effect_size": _corpus_effect_size,
         "corpus_drift_tvd": _corpus_drift_tvd,
         "corpus_trimmed_mean": _corpus_trimmed_mean,
@@ -4884,6 +4915,68 @@ def oracle_sql() -> dict[str, str]:
         for t in POISSON1_T60
     )
     out = {
+        "corpus_risk_table": """
+            WITH base AS (
+              SELECT (n_chars >= 300)::INT AS e,
+                     (lang = 'en')::INT AS y
+              FROM documents
+              WHERE n_chars IS NOT NULL AND lang IS NOT NULL
+            ), g AS (
+              SELECT
+                sum((e = 1 AND y = 1)::INT)::HUGEINT AS a,
+                sum((e = 1 AND y = 0)::INT)::HUGEINT AS b,
+                sum((e = 0 AND y = 1)::INT)::HUGEINT AS c,
+                sum((e = 0 AND y = 0)::INT)::HUGEINT AS d
+              FROM base
+            ), f AS (
+              SELECT a, b, c, d,
+                a::DOUBLE + b::DOUBLE AS n1,
+                c::DOUBLE + d::DOUBLE AS n0,
+                a::DOUBLE / (a::DOUBLE + b::DOUBLE) AS p1,
+                c::DOUBLE / (c::DOUBLE + d::DOUBLE) AS p0
+              FROM g
+            ), e2 AS (
+              SELECT *,
+                p1 / p0 AS rr,
+                sqrt(1.0 / a::DOUBLE - 1.0 / n1
+                     + 1.0 / c::DOUBLE - 1.0 / n0) AS se_rr,
+                (a::DOUBLE * d::DOUBLE)
+                  / (b::DOUBLE * c::DOUBLE) AS orr,
+                sqrt(1.0 / a::DOUBLE + 1.0 / b::DOUBLE
+                     + 1.0 / c::DOUBLE + 1.0 / d::DOUBLE)
+                  AS se_or,
+                p1 - p0 AS rd,
+                sqrt(p1 * (1.0 - p1) / n1
+                     + p0 * (1.0 - p0) / n0) AS se_rd
+              FROM f
+            )
+            SELECT a::BIGINT AS a, b::BIGINT AS b,
+                   c::BIGINT AS c, d::BIGINT AS d,
+                   CASE WHEN a > 0 AND c > 0 THEN round(rr, 6)
+                   END AS rr,
+                   CASE WHEN a > 0 AND c > 0 THEN round(
+                     exp(ln(rr) - 1.959963984540054 * se_rr), 6)
+                   END AS rr_lo,
+                   CASE WHEN a > 0 AND c > 0 THEN round(
+                     exp(ln(rr) + 1.959963984540054 * se_rr), 6)
+                   END AS rr_hi,
+                   CASE WHEN a > 0 AND b > 0 AND c > 0 AND d > 0
+                        THEN round(orr, 6) END AS orr,
+                   CASE WHEN a > 0 AND b > 0 AND c > 0 AND d > 0
+                        THEN round(exp(ln(orr)
+                          - 1.959963984540054 * se_or), 6)
+                   END AS or_lo,
+                   CASE WHEN a > 0 AND b > 0 AND c > 0 AND d > 0
+                        THEN round(exp(ln(orr)
+                          + 1.959963984540054 * se_or), 6)
+                   END AS or_hi,
+                   round(rd, 6) AS rd,
+                   round(rd - 1.959963984540054 * se_rd, 6)
+                     AS rd_lo,
+                   round(rd + 1.959963984540054 * se_rd, 6)
+                     AS rd_hi
+            FROM e2
+        """,
         "corpus_effect_size": """
             WITH base AS (
               SELECT n_chars::HUGEINT AS v,

@@ -203,6 +203,7 @@ HEADLINE = [
     "corpus_trimmed_mean",
     "corpus_drift_tvd",
     "corpus_effect_size",
+    "corpus_risk_table",
 ]
 
 BENCH_CONVERSATIONS = int(os.environ.get("PROTOSC_BENCH_CONVS", "20000"))

@@ -721,3 +721,97 @@ def effect_size(
         F.when(ok, gg).alias("g"),
         F.when(ok & d.isNotNull(), mag).alias("magnitude"),
     )
+
+
+def risk_table(
+    df: DataFrame,
+    exposure_col: str,
+    outcome_col: str,
+) -> DataFrame:
+    """Epidemiology-style 2x2 effect table for binary exposure ->
+    binary outcome: risk ratio, odds ratio and risk difference,
+    each with its standard 95% CI — the EFFECT-SIZE readout beside
+    the chi-square / Fisher significance gates (a p-value without
+    an OR and its CI is half a result):
+
+        RR = (a/n1) / (c/n0),  ln-CI +- 1.96 sqrt(1/a - 1/n1
+                                                  + 1/c - 1/n0)
+        OR = ad / bc,          Woolf ln-CI +- 1.96 sqrt(1/a + 1/b
+                                                        + 1/c + 1/d)
+        RD = a/n1 - c/n0,      Wald CI +- 1.96 sqrt(p1(1-p1)/n1
+                                                    + p0(1-p0)/n0)
+
+    with a = exposed&outcome, b = exposed&not, c = unexposed&
+    outcome, d = neither. Exactness: the four cells come from ONE
+    aggregation as exact integers; every estimate and bound is a
+    closed float tree (ln/sqrt only), replayable by any SQL engine.
+    Zero cells: that statistic and its CI are NULL (no continuity
+    fudge — the exact fisher_exact kernel is the small-cell tool).
+
+    Rows with NULL exposure/outcome are dropped. Output: one row
+    (a, b, c, d, rr, rr_lo, rr_hi, orr, or_lo, or_hi, rd, rd_lo,
+    rd_hi)."""
+    dec = "decimal(38,0)"
+    e = F.col(exposure_col).cast("int")
+    y = F.col(outcome_col).cast("int")
+    both = e.isNotNull() & y.isNotNull()
+
+    def cell(ev, yv, name):
+        return F.sum(
+            F.when(both & (e == ev) & (y == yv), 1).otherwise(0)
+        ).cast(dec).alias(name)
+
+    g = df.agg(
+        cell(1, 1, "__a"), cell(1, 0, "__b"),
+        cell(0, 1, "__c"), cell(0, 0, "__d"),
+    )
+    a, b = F.col("__a"), F.col("__b")
+    c, d = F.col("__c"), F.col("__d")
+    ad_, bd, cd_, dd = (
+        a.cast("double"), b.cast("double"),
+        c.cast("double"), d.cast("double"),
+    )
+    n1, n0 = ad_ + bd, cd_ + dd
+    z = F.lit(1.959963984540054)
+    p1, p0 = ad_ / F.when(n1 != 0, n1), cd_ / F.when(n0 != 0, n0)
+    rr = p1 / F.when(p0 != 0, p0)
+    se_rr = F.sqrt(
+        F.lit(1.0) / ad_ - F.lit(1.0) / n1
+        + F.lit(1.0) / cd_ - F.lit(1.0) / n0
+    )
+    orr = (ad_ * dd) / F.when(bd * cd_ != 0, bd * cd_)
+    se_or = F.sqrt(
+        F.lit(1.0) / ad_ + F.lit(1.0) / bd
+        + F.lit(1.0) / cd_ + F.lit(1.0) / dd
+    )
+    rd = p1 - p0
+    se_rd = F.sqrt(
+        p1 * (F.lit(1.0) - p1) / n1
+        + p0 * (F.lit(1.0) - p0) / n0
+    )
+    ok_rr = (a > 0) & (c > 0) & (n1 > 0) & (n0 > 0)
+    ok_or = (a > 0) & (b > 0) & (c > 0) & (d > 0)
+    ok_rd = (n1 > 0) & (n0 > 0)
+    return g.select(
+        a.cast("bigint").alias("a"),
+        b.cast("bigint").alias("b"),
+        c.cast("bigint").alias("c"),
+        d.cast("bigint").alias("d"),
+        F.when(ok_rr, rr).alias("rr"),
+        F.when(ok_rr, F.exp(F.log(rr) - z * se_rr)).alias(
+            "rr_lo"
+        ),
+        F.when(ok_rr, F.exp(F.log(rr) + z * se_rr)).alias(
+            "rr_hi"
+        ),
+        F.when(ok_or, orr).alias("orr"),
+        F.when(ok_or, F.exp(F.log(orr) - z * se_or)).alias(
+            "or_lo"
+        ),
+        F.when(ok_or, F.exp(F.log(orr) + z * se_or)).alias(
+            "or_hi"
+        ),
+        F.when(ok_rd, rd).alias("rd"),
+        F.when(ok_rd, rd - z * se_rd).alias("rd_lo"),
+        F.when(ok_rd, rd + z * se_rd).alias("rd_hi"),
+    )

@@ -593,3 +593,73 @@ def test_effect_size_degenerate(spark):
     df = spark.createDataFrame(pairs, "v long, y int")
     r = effect_size(df, "v", "y").collect()[0]
     assert r.d is None and r.mean_1 == 9.0
+
+
+# ---------------------------------------------------------------------------
+# risk_table
+# ---------------------------------------------------------------------------
+
+def _risk_ref(a, b, c, d):
+    import math
+
+    z = 1.959963984540054
+    n1, n0 = float(a + b), float(c + d)
+    p1, p0 = a / n1, c / n0
+    rr = p1 / p0
+    se_rr = math.sqrt(1.0 / a - 1.0 / n1 + 1.0 / c - 1.0 / n0)
+    orr = (a * d) / (b * c)
+    se_or = math.sqrt(1.0 / a + 1.0 / b + 1.0 / c + 1.0 / d)
+    rd = p1 - p0
+    se_rd = math.sqrt(
+        p1 * (1.0 - p1) / n1 + p0 * (1.0 - p0) / n0
+    )
+    return (
+        rr, math.exp(math.log(rr) - z * se_rr),
+        math.exp(math.log(rr) + z * se_rr),
+        orr, math.exp(math.log(orr) - z * se_or),
+        math.exp(math.log(orr) + z * se_or),
+        rd, rd - z * se_rd, rd + z * se_rd,
+    )
+
+
+def _mk_22(spark, a, b, c, d):
+    rows = (
+        [(1, 1)] * a + [(1, 0)] * b + [(0, 1)] * c + [(0, 0)] * d
+    )
+    return spark.createDataFrame(rows, "e int, y int")
+
+
+def test_risk_table_replay_and_coverage(spark):
+    from protosc_spark.experiment import risk_table
+
+    a, b, c, d = 30, 70, 10, 90
+    r = risk_table(_mk_22(spark, a, b, c, d), "e", "y").collect()[0]
+    ref = _risk_ref(a, b, c, d)
+    got = (r.rr, r.rr_lo, r.rr_hi, r.orr, r.or_lo, r.or_hi,
+           r.rd, r.rd_lo, r.rd_hi)
+    for gv, rv in zip(got, ref):
+        # ln/exp are JVM intrinsics: 1-ulp vs libm allowed
+        assert abs(gv - rv) < 1e-12, (gv, rv)
+    assert (r.a, r.b, r.c, r.d) == (a, b, c, d)
+    # a genuine 3x risk: CI excludes 1
+    assert abs(r.rr - 3.0) < 1e-12 and r.rr_lo > 1.0
+    assert r.or_lo > 1.0 and r.rd_lo > 0.0
+
+
+def test_risk_table_null_effect_and_zero_cells(spark):
+    from protosc_spark.experiment import risk_table
+
+    # identical risks: RR = OR = 1, RD = 0, CIs straddle the null
+    r = risk_table(
+        _mk_22(spark, 20, 80, 20, 80), "e", "y"
+    ).collect()[0]
+    assert r.rr == 1.0 and r.orr == 1.0 and r.rd == 0.0
+    assert r.rr_lo < 1.0 < r.rr_hi
+    assert r.rd_lo < 0.0 < r.rd_hi
+
+    # zero cell: OR family abstains, RD still defined
+    r = risk_table(
+        _mk_22(spark, 0, 50, 10, 40), "e", "y"
+    ).collect()[0]
+    assert r.orr is None and r.rr is None
+    assert r.rd is not None and r.rd < 0
