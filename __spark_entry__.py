@@ -1211,6 +1211,83 @@ def _corpus_risk_table(spark, sf_dir):
     )
 
 
+def _corpus_kruskal(spark, sf_dir):
+    """Kruskal-Wallis H of n_chars across three language groups
+    (en / zh / other) — the k-sample location test that IS the
+    reference's per-feature statistic (protosc model/utils.py:56-89
+    runs scipy.stats.kruskal per feature), surfaced as a corpus
+    gate: doubled pooled midranks off the value histogram, per-group
+    R^2/n terms quantized before the cross-group sum, exact tie
+    correction, Fisher-sqrt significance. DuckDB oracle replays the
+    histogram, the quantization and every float tree."""
+    from protosc_spark.evaluation import kruskal_wallis
+
+    docs = _read(spark, sf_dir, "documents").select(
+        "n_chars",
+        F.when(
+            F.col("lang").isin("en", "zh"), F.col("lang")
+        ).otherwise(F.lit("other")).alias("g"),
+    )
+    t = kruskal_wallis(docs, "n_chars", "g")
+    return t.select(
+        "n",
+        "k",
+        F.round("tie_factor", 9).alias("tie_factor"),
+        F.round("h", 6).alias("h"),
+        F.round("epsilon_sq", 9).alias("epsilon_sq"),
+        F.round("z", 6).alias("z"),
+        "significant",
+    )
+
+
+def _corpus_dunn(spark, sf_dir):
+    """Dunn's post-hoc pairwise z after the Kruskal-Wallis gate —
+    WHICH of en / zh / other moved, on the same pooled doubled
+    midranks (re-ranking per pair would inflate alpha), Bonferroni
+    critical value for k = 3. DuckDB oracle replays the rank
+    machinery, the k-row self-join and the float trees."""
+    from protosc_spark.evaluation import dunn_posthoc
+
+    docs = _read(spark, sf_dir, "documents").select(
+        "n_chars",
+        F.when(
+            F.col("lang").isin("en", "zh"), F.col("lang")
+        ).otherwise(F.lit("other")).alias("g"),
+    )
+    t = dunn_posthoc(docs, "n_chars", "g")
+    return t.select(
+        "g_a",
+        "g_b",
+        "n_a",
+        "n_b",
+        F.round("mean_rank_a", 6).alias("mean_rank_a"),
+        F.round("mean_rank_b", 6).alias("mean_rank_b"),
+        F.round("z", 6).alias("z"),
+        "significant",
+    ).orderBy("g_a", "g_b")
+
+
+def _corpus_drift_energy(spark, sf_dir):
+    """Szekely energy distance between zh and rest n_chars — the
+    expected-pair-distance member of the drift family (KS/Kuiper
+    read ECDF gaps, CvM integrates squares, W1 integrates the gap;
+    energy metrizes equality through E|X-Y| pair distances with the
+    permutation-test normalization). All three pair sums exact
+    integers off histogram prefix sums — never an O(n^2) pair join.
+    DuckDB oracle replays the prefix sums and the one float tree."""
+    from protosc_spark.evaluation import energy_distance
+
+    docs = _read_wide(spark, sf_dir, "documents").select(
+        "n_chars", (F.col("lang") == "zh").cast("int").alias("g")
+    )
+    return energy_distance(docs, "n_chars", "g").select(
+        "n_1",
+        "n_0",
+        F.round("e_dist", 6).alias("e_dist"),
+        F.round("t_stat", 6).alias("t_stat"),
+    )
+
+
 def _corpus_effect_size(spark, sf_dir):
     """Cohen's d + Hedges g for n_chars, English vs rest — the
     effect-size companion to the Welch/Mann-Whitney gates (at
@@ -4589,6 +4666,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     full-surface green regardless of this ordering."""
     return {
         # --- round 5 ---
+        "corpus_kruskal": _corpus_kruskal,
+        "corpus_dunn": _corpus_dunn,
+        "corpus_drift_energy": _corpus_drift_energy,
         "corpus_risk_table": _corpus_risk_table,
         "corpus_effect_size": _corpus_effect_size,
         "corpus_drift_tvd": _corpus_drift_tvd,
@@ -4915,6 +4995,168 @@ def oracle_sql() -> dict[str, str]:
         for t in POISSON1_T60
     )
     out = {
+        "corpus_kruskal": """
+            WITH base AS (
+              SELECT n_chars::BIGINT AS v,
+                     CASE WHEN lang IN ('en', 'zh') THEN lang
+                          ELSE 'other' END AS g
+              FROM documents WHERE n_chars IS NOT NULL
+            ), hist AS (
+              SELECT g, v, count(*)::HUGEINT AS c
+              FROM base GROUP BY 1, 2
+            ), pooled AS (
+              SELECT v, sum(c)::HUGEINT AS t FROM hist GROUP BY 1
+            ), r2 AS (
+              SELECT v, t,
+                2 * coalesce(sum(t) OVER (ORDER BY v
+                  ROWS BETWEEN UNBOUNDED PRECEDING
+                  AND 1 PRECEDING), 0) + t + 1 AS r2v
+              FROM pooled
+            ), pg AS (
+              SELECT g, sum(c)::HUGEINT AS ng,
+                     sum(c * r2v)::HUGEINT AS r2g
+              FROM hist JOIN r2 USING (v) GROUP BY 1
+            ), tot AS (
+              SELECT sum(t)::HUGEINT AS n,
+                     sum(t * (t - 1) * (t + 1))::HUGEINT AS tie
+              FROM pooled
+            ), agg AS (
+              SELECT count(*)::HUGEINT AS k,
+                sum(floor(
+                  3.0 * (r2g - ng * (n + 1))::DOUBLE
+                      * (r2g - ng * (n + 1))::DOUBLE
+                  / (4.0 * ng::DOUBLE * n::DOUBLE
+                     * (n::DOUBLE + 1.0))
+                  * 1000000000.0)::HUGEINT) AS hu
+              FROM pg CROSS JOIN tot
+            ), f AS (
+              SELECT n, k, tie,
+                hu::DOUBLE / 1000000000.0 AS h_unc,
+                1.0 - tie::DOUBLE
+                  / ((n - 1) * n * (n + 1))::DOUBLE AS tf
+              FROM agg CROSS JOIN tot
+            ), e AS (
+              SELECT n, k, tf,
+                greatest(h_unc / tf, 0.0) AS h,
+                k >= 2 AND n > k AND tf > 0 AS ok
+              FROM f
+            ), z AS (
+              SELECT *,
+                sqrt(2.0 * h)
+                  - sqrt(2.0 * (k::DOUBLE - 1.0) - 1.0) AS zz
+              FROM e
+            )
+            SELECT n::BIGINT AS n, k::BIGINT AS k,
+              CASE WHEN n > 1 THEN round(tf, 9)
+                END AS tie_factor,
+              CASE WHEN ok THEN round(h, 6) END AS h,
+              CASE WHEN ok THEN
+                round(h / (n::DOUBLE - 1.0), 9)
+                END AS epsilon_sq,
+              CASE WHEN ok THEN round(zz, 6) END AS z,
+              CASE WHEN ok THEN zz > 1.6448536269514722
+                END AS significant
+            FROM z
+        """,
+        "corpus_dunn": """
+            WITH base AS (
+              SELECT n_chars::BIGINT AS v,
+                     CASE WHEN lang IN ('en', 'zh') THEN lang
+                          ELSE 'other' END AS g
+              FROM documents WHERE n_chars IS NOT NULL
+            ), hist AS (
+              SELECT g, v, count(*)::HUGEINT AS c
+              FROM base GROUP BY 1, 2
+            ), pooled AS (
+              SELECT v, sum(c)::HUGEINT AS t FROM hist GROUP BY 1
+            ), r2 AS (
+              SELECT v, t,
+                2 * coalesce(sum(t) OVER (ORDER BY v
+                  ROWS BETWEEN UNBOUNDED PRECEDING
+                  AND 1 PRECEDING), 0) + t + 1 AS r2v
+              FROM pooled
+            ), pg AS (
+              SELECT g, sum(c)::HUGEINT AS ng,
+                     sum(c * r2v)::HUGEINT AS r2g
+              FROM hist JOIN r2 USING (v) GROUP BY 1
+            ), tot AS (
+              SELECT sum(t)::HUGEINT AS n,
+                     sum(t * (t - 1) * (t + 1))::HUGEINT AS tie
+              FROM pooled
+            ), pairs AS (
+              SELECT a.g AS g_a, b.g AS g_b,
+                     a.ng AS na, a.r2g AS r2a,
+                     b.ng AS nb, b.r2g AS r2b, n, tie
+              FROM pg a JOIN pg b ON a.g < b.g CROSS JOIN tot
+            ), f AS (
+              SELECT g_a, g_b, na, nb, n,
+                r2a::DOUBLE / na::DOUBLE AS mda,
+                r2b::DOUBLE / nb::DOUBLE AS mdb,
+                sqrt(
+                  (n::DOUBLE * (n::DOUBLE + 1.0)
+                   - tie::DOUBLE / (n::DOUBLE - 1.0)) / 3.0
+                  * (1.0 / na::DOUBLE + 1.0 / nb::DOUBLE)
+                ) AS se
+              FROM pairs
+            ), e AS (
+              SELECT *, (mda - mdb) / se AS zz,
+                n > 1 AND se > 0 AS ok
+              FROM f
+            )
+            SELECT g_a, g_b, na::BIGINT AS n_a,
+              nb::BIGINT AS n_b,
+              round(mda / 2.0, 6) AS mean_rank_a,
+              round(mdb / 2.0, 6) AS mean_rank_b,
+              CASE WHEN ok THEN round(zz, 6) END AS z,
+              CASE WHEN ok THEN
+                abs(zz) > 2.393979154749041 END AS significant
+            FROM e ORDER BY g_a, g_b
+        """,
+        "corpus_drift_energy": """
+            WITH base AS (
+              SELECT n_chars::BIGINT AS v,
+                     (lang = 'zh')::INT AS y
+              FROM documents
+              WHERE n_chars IS NOT NULL AND lang IS NOT NULL
+            ), h AS (
+              SELECT v, sum(y)::HUGEINT AS a,
+                     sum(1 - y)::HUGEINT AS b
+              FROM base GROUP BY 1
+            ), cum AS (
+              SELECT v, a, b,
+                coalesce(sum(a) OVER w, 0) AS sa,
+                coalesce(sum(b) OVER w, 0) AS sb,
+                coalesce(sum(v::HUGEINT * a) OVER w, 0) AS sav,
+                coalesce(sum(v::HUGEINT * b) OVER w, 0) AS sbv
+              FROM h
+              WINDOW w AS (ORDER BY v ROWS BETWEEN
+                UNBOUNDED PRECEDING AND 1 PRECEDING)
+            ), g AS (
+              SELECT sum(a)::HUGEINT AS n1,
+                sum(b)::HUGEINT AS n0,
+                sum(a * (v::HUGEINT * sb - sbv)
+                    + b * (v::HUGEINT * sa - sav))::HUGEINT
+                  AS pab,
+                sum(a * (v::HUGEINT * sa - sav))::HUGEINT AS paa,
+                sum(b * (v::HUGEINT * sb - sbv))::HUGEINT AS pbb
+              FROM cum
+            ), f AS (
+              SELECT n1, n0,
+                2.0 * (pab::DOUBLE / (n1::DOUBLE * n0::DOUBLE))
+                - 2.0 * paa::DOUBLE / (n1::DOUBLE * n1::DOUBLE)
+                - 2.0 * pbb::DOUBLE / (n0::DOUBLE * n0::DOUBLE)
+                  AS e,
+                n1 > 0 AND n0 > 0 AS ok
+              FROM g
+            )
+            SELECT n1::BIGINT AS n_1, n0::BIGINT AS n_0,
+              CASE WHEN ok THEN round(e, 6) END AS e_dist,
+              CASE WHEN ok THEN round(
+                n1::DOUBLE * n0::DOUBLE
+                / (n1::DOUBLE + n0::DOUBLE) * e, 6)
+                END AS t_stat
+            FROM f
+        """,
         "corpus_risk_table": """
             WITH base AS (
               SELECT (n_chars >= 300)::INT AS e,

@@ -3049,3 +3049,329 @@ def distribution_distances(
         F.when(ok, bc).alias("bc"),
         F.when(ok, hel).alias("hellinger"),
     )
+
+
+def _kw_rank_stats(
+    df: DataFrame, value_col: str, group_col: str
+) -> tuple[DataFrame, DataFrame]:
+    """Shared rank machinery for :func:`kruskal_wallis` and
+    :func:`dunn_posthoc`: per-group doubled rank sums plus pooled
+    tie totals, all exact DECIMAL(38,0) off the (group, value)
+    HISTOGRAM (one raw scan; the only window runs over distinct
+    values, never rows — the house rank rule shared with
+    :func:`mannwhitney_u`).
+
+    Returns ``(per_group, totals)``: per_group has one row per group
+    (g, __ng, __r2g) where __r2g = 2 * (sum of pooled midranks of
+    the group's rows); totals is ONE row (__n, __k, __tie) with
+    __tie = sum_v (t_v^3 - t_v) the standard tie correction."""
+    dec = "decimal(38,0)"
+    v = F.col(value_col).cast("bigint")
+    rows = df.where(
+        v.isNotNull() & F.col(group_col).isNotNull()
+    ).select(F.col(group_col).alias("g"), v.alias("v"))
+    hist = (
+        rows.groupBy("g", "v")
+        .agg(F.count(F.lit(1)).cast(dec).alias("c"))
+        # feeds the pooled window AND the per-group rollup
+        .localCheckpoint(eager=True)
+    )
+    pooled = hist.groupBy("v").agg(F.sum("c").alias("t"))
+    w_cum = W.orderBy("v").rowsBetween(W.unboundedPreceding, -1)
+    r2 = pooled.select(
+        "v",
+        "t",
+        (
+            F.lit(2).cast(dec)
+            * F.coalesce(
+                F.sum("t").over(w_cum), F.lit(0).cast(dec)
+            )
+            + F.col("t")
+            + F.lit(1).cast(dec)
+        ).alias("__r2v"),
+    )
+    per_group = (
+        hist.join(r2.select("v", "__r2v"), "v")
+        .groupBy("g")
+        .agg(
+            F.sum("c").alias("__ng"),
+            F.sum(F.col("c") * F.col("__r2v")).alias("__r2g"),
+        )
+    )
+    totals = r2.agg(
+        F.sum("t").alias("__n"),
+        F.count(F.lit(1)).alias("__nv"),
+        F.sum(
+            F.col("t")
+            * (F.col("t") - F.lit(1).cast(dec))
+            * (F.col("t") + F.lit(1).cast(dec))
+        ).alias("__tie"),
+    )
+    return per_group, totals
+
+
+def kruskal_wallis(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    unit: int = 10**9,
+) -> DataFrame:
+    """Kruskal-Wallis H test — "did the LOCATION move across k
+    groups?", the k-sample extension of :func:`mannwhitney_u` and
+    the rank-robust sibling of the weekday ANOVA. This is THE
+    reference's core feature statistic (protosc
+    model/utils.py:56-89 calc_chisquare runs scipy.stats.kruskal
+    per feature); here it is the corpus-level readout of the same
+    machinery, computed distributed:
+
+        H = [ 12/(N(N+1)) * sum_g R_g^2/n_g - 3(N+1) ]
+            / (1 - sum_v (t_v^3 - t_v) / (N^3 - N))
+
+    Exactness, the house way: per-group rank sums use DOUBLED
+    pooled midranks (R2_g = 2 R_g, exact DECIMAL(38,0) off the
+    value histogram — no corpus sort, no per-row rank join). The
+    textbook form subtracts two O(N^3)-sized terms — quantizing
+    R_g^2/n_g would overflow the integer grid at corpus N — so H is
+    computed in the algebraically identical DEVIATION form: with
+    D2_g = R2_g - n_g (N + 1) (exact integer, sums to 0),
+
+        H_unc = sum_g 3 * D2_g^2 / (4 n_g N (N+1)),
+
+    and each group's contribution is BOUNDED by 12, so quantizing
+    it to integer 1/``unit`` units before the cross-group sum (a
+    float sum over groups would drift with partial-aggregation
+    order) can never overflow — at any N. The tie correction
+    divides two exact integers. D2_g enters as a double: exact
+    while |D2_g| < 2^53; past that the 1e-9 grid already dominates
+    the double's own granularity, identically in both engines.
+
+    The significance readout is Fisher's sqrt approximation
+    z = sqrt(2H) - sqrt(2(k-1) - 1), one-sided 5%
+    (z > 1.6448536269514722) — closed-form, replayable by any SQL
+    engine (the chi-square tail needs the incomplete gamma, which
+    neither Catalyst nor ANSI SQL has). Epsilon-squared
+    E^2 = H/(N-1) is the conventional effect size.
+
+    Output: ONE row (n, k, tie_factor, h, epsilon_sq, z,
+    significant); h NULL when k < 2, N <= k, or every row is one
+    tie block (tie_factor 0)."""
+    dec = "decimal(38,0)"
+    per_group, totals = _kw_rank_stats(df, value_col, group_col)
+    joined = per_group.crossJoin(F.broadcast(totals))
+    n = F.col("__n")
+    nd = n.cast("double")
+    d2 = F.col("__r2g") - F.col("__ng") * (n + F.lit(1).cast(dec))
+    d2d = d2.cast("double")
+    contrib = (
+        F.lit(3.0)
+        * d2d
+        * d2d
+        / (
+            F.lit(4.0)
+            * F.col("__ng").cast("double")
+            * nd
+            * (nd + F.lit(1.0))
+        )
+    )
+    # global agg (not groupBy) so an empty corpus still yields the
+    # one-row NULL readout, matching the SQL oracle's shape; __n and
+    # __tie are constant across the joined rows, min() just carries
+    # them through
+    g = joined.agg(
+        F.min("__n").alias("__n"),
+        F.min("__tie").alias("__tie"),
+        F.count(F.lit(1)).alias("__k"),
+        F.sum(
+            F.floor(contrib * F.lit(float(unit))).cast(dec)
+        ).alias("__hu"),
+    )
+    u = F.lit(float(unit))
+    k = F.col("__k").cast("double")
+    h_unc = F.col("__hu").cast("double") / u
+    cube = (n - F.lit(1).cast(dec)) * n * (n + F.lit(1).cast(dec))
+    tie_factor = (
+        F.lit(1.0)
+        - F.col("__tie").cast("double") / cube.cast("double")
+    )
+    h = F.greatest(h_unc / tie_factor, F.lit(0.0))
+    valid = (
+        (F.col("__k") >= 2)
+        & (n > F.col("__k").cast(dec))
+        & (tie_factor > 0)
+    )
+    z = F.sqrt(F.lit(2.0) * h) - F.sqrt(
+        F.lit(2.0) * (k - F.lit(1.0)) - F.lit(1.0)
+    )
+    return g.select(
+        n.cast("bigint").alias("n"),
+        F.col("__k").cast("bigint").alias("k"),
+        F.when(n > 1, tie_factor).alias("tie_factor"),
+        F.when(valid, h).alias("h"),
+        F.when(valid, h / (nd - F.lit(1.0))).alias("epsilon_sq"),
+        F.when(valid, z).alias("z"),
+        F.when(valid, z > F.lit(1.6448536269514722)).alias(
+            "significant"
+        ),
+    )
+
+
+def dunn_posthoc(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    z_crit: float = 2.393979154749041,
+) -> DataFrame:
+    """Dunn's post-hoc pairwise comparisons after
+    :func:`kruskal_wallis` — WHICH groups differ, once H says "some
+    do" (running pairwise Mann-Whitney instead would re-rank within
+    each pair and inflate alpha; Dunn reuses the POOLED ranks and a
+    Bonferroni-style critical value):
+
+        z_ab = (Rbar_a - Rbar_b)
+               / sqrt( (N(N+1)/12 - T/(12(N-1))) (1/n_a + 1/n_b) )
+
+    with T = sum_v (t_v^3 - t_v). Computed on DOUBLED rank sums
+    (numerator and denominator both double, so z is unchanged):
+    mean doubled ranks are one division per group, the variance is
+    one float tree of exact DECIMAL integers, and the pair table is
+    a self-join of the k-row per-group table (k groups — broadcast,
+    never a shuffle). Default ``z_crit`` is the two-sided Bonferroni
+    5% critical value for k = 3 (alpha' = 0.05/3,
+    z = Phi^-1(1 - 0.025/3)); pass the value for your k.
+
+    Output: one row per unordered pair (g_a < g_b lexicographically):
+    (g_a, g_b, n_a, n_b, mean_rank_a, mean_rank_b, z, significant);
+    z NULL when the pooled variance is 0 (every row one tie block)."""
+    per_group, totals = _kw_rank_stats(df, value_col, group_col)
+    a = per_group.select(
+        F.col("g").alias("g_a"),
+        F.col("__ng").alias("__na"),
+        F.col("__r2g").alias("__r2a"),
+    )
+    b = per_group.select(
+        F.col("g").alias("g_b"),
+        F.col("__ng").alias("__nb"),
+        F.col("__r2g").alias("__r2b"),
+    )
+    pairs = a.join(
+        F.broadcast(b), F.col("g_a") < F.col("g_b"), "inner"
+    ).crossJoin(F.broadcast(totals))
+    dec = "decimal(38,0)"
+    n = F.col("__n")
+    nd = n.cast("double")
+    na, nb = F.col("__na"), F.col("__nb")
+    mda = F.col("__r2a").cast("double") / na.cast("double")
+    mdb = F.col("__r2b").cast("double") / nb.cast("double")
+    # doubled-rank variance = 4 * (N(N+1)/12 - T/(12(N-1)))
+    var_d = (
+        nd * (nd + F.lit(1.0))
+        - F.col("__tie").cast("double")
+        / (nd - F.lit(1.0))
+    ) / F.lit(3.0)
+    se = F.sqrt(
+        var_d
+        * (
+            F.lit(1.0) / na.cast("double")
+            + F.lit(1.0) / nb.cast("double")
+        )
+    )
+    ok = (n > F.lit(1).cast(dec)) & (se > 0)
+    z = (mda - mdb) / se
+    return pairs.select(
+        "g_a",
+        "g_b",
+        na.cast("bigint").alias("n_a"),
+        nb.cast("bigint").alias("n_b"),
+        (mda / F.lit(2.0)).alias("mean_rank_a"),
+        (mdb / F.lit(2.0)).alias("mean_rank_b"),
+        F.when(ok, z).alias("z"),
+        F.when(ok, F.abs(z) > F.lit(z_crit)).alias("significant"),
+    )
+
+
+def energy_distance(
+    df: DataFrame, value_col: str, group_col: str
+) -> DataFrame:
+    """Szekely-Rizzo two-sample ENERGY distance between the
+    ``value_col`` distributions of group 1 (``group_col`` truthy)
+    and group 0 — the drift-family member that metrizes equality of
+    distributions through EXPECTED PAIR DISTANCES rather than ECDF
+    gaps (KS/Kuiper) or integrated squares (CvM): in 1-D,
+    E = 2 E|X-Y| - E|X-X'| - E|Y-Y'| = 2 * W2-like mass, zero iff
+    the distributions are identical, sensitive everywhere W1 is but
+    with the U/V-statistic normalization the permutation-test
+    literature uses.
+
+    All three pair sums are EXACT DECIMAL(38,0) integers off the
+    value histogram — never an O(n^2) pair join: with prefix sums
+    over distinct values v (ascending), SA = cum count, SAV = cum
+    count*value below v,
+
+        sum_{pairs} |x - y| = sum_v a_v (v * SB_v - SBV_v)
+                            + sum_v b_v (v * SA_v - SAV_v)
+
+    (ties contribute 0), and within-group sums reuse the same
+    window. The only non-integer step is the three final divisions:
+    A = Pab/(n1 n0), B = 2 Paa/n1^2, C = 2 Pbb/n0^2 (V-statistic
+    convention: |x-x| self-pairs count as 0 in the n^2
+    denominator), combined in one float tree identical in the SQL
+    oracle. The test statistic T = n1 n0 / N * E is what the
+    permutation test thresholds. Precision envelope: v * cum stays
+    inside DECIMAL(38) for |v| * N < 1e37.
+
+    Rows with NULL value or group are dropped. Output: ONE row
+    (n_1, n_0, e_dist, t_stat); NULL when either group is empty."""
+    dec = "decimal(38,0)"
+    y = F.col(group_col).cast("int")
+    v = F.col(value_col).cast("bigint")
+    h = (
+        df.where(v.isNotNull() & F.col(group_col).isNotNull())
+        .groupBy(v.alias("v"))
+        .agg(
+            F.sum(y).cast(dec).alias("a"),
+            F.sum(1 - y).cast(dec).alias("b"),
+        )
+    )
+    w_cum = W.orderBy("v").rowsBetween(W.unboundedPreceding, -1)
+    zero = F.lit(0).cast(dec)
+    vd = F.col("v").cast(dec)
+    cum = h.select(
+        "v",
+        "a",
+        "b",
+        F.coalesce(F.sum("a").over(w_cum), zero).alias("__sa"),
+        F.coalesce(F.sum("b").over(w_cum), zero).alias("__sb"),
+        F.coalesce(F.sum(vd * F.col("a")).over(w_cum), zero).alias(
+            "__sav"
+        ),
+        F.coalesce(F.sum(vd * F.col("b")).over(w_cum), zero).alias(
+            "__sbv"
+        ),
+    )
+    g = cum.agg(
+        F.sum("a").alias("__n1"),
+        F.sum("b").alias("__n0"),
+        F.sum(
+            F.col("a") * (vd * F.col("__sb") - F.col("__sbv"))
+            + F.col("b") * (vd * F.col("__sa") - F.col("__sav"))
+        ).alias("__pab"),
+        F.sum(
+            F.col("a") * (vd * F.col("__sa") - F.col("__sav"))
+        ).alias("__paa"),
+        F.sum(
+            F.col("b") * (vd * F.col("__sb") - F.col("__sbv"))
+        ).alias("__pbb"),
+    )
+    n1, n0 = F.col("__n1"), F.col("__n0")
+    n1d, n0d = n1.cast("double"), n0.cast("double")
+    aa = F.col("__pab").cast("double") / (n1d * n0d)
+    bb = F.lit(2.0) * F.col("__paa").cast("double") / (n1d * n1d)
+    cc = F.lit(2.0) * F.col("__pbb").cast("double") / (n0d * n0d)
+    e = F.lit(2.0) * aa - bb - cc
+    ok = (n1 > 0) & (n0 > 0)
+    return g.select(
+        n1.cast("bigint").alias("n_1"),
+        n0.cast("bigint").alias("n_0"),
+        F.when(ok, e).alias("e_dist"),
+        F.when(ok, n1d * n0d / (n1d + n0d) * e).alias("t_stat"),
+    )

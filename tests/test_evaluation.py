@@ -2461,3 +2461,217 @@ def test_distances_empty_group_null(spark):
     df = spark.createDataFrame([(1, 1), (2, 1)], "v long, g int")
     r = distribution_distances(df, "v", "g").collect()[0]
     assert r.tvd is None and r.hellinger is None
+
+
+# kruskal_wallis / dunn_posthoc ------------------------------------
+
+
+def _kw_machinery(groups):
+    """Python replay of the shared doubled-midrank machinery."""
+    from collections import Counter
+
+    allv = [v for g in groups for v in g]
+    n_tot = len(allv)
+    cnt = Counter(allv)
+    r2, cum = {}, 0
+    for v in sorted(cnt):
+        t = cnt[v]
+        r2[v] = 2 * cum + t + 1
+        cum += t
+    tie = sum(t * t * t - t for t in cnt.values())
+    per = [
+        (len(g), sum(r2[v] for v in g)) for g in groups
+    ]
+    return n_tot, tie, per
+
+
+def _kw_ref(groups, unit=10**9):
+    """Digit-for-digit replay of the quantized deviation-form H
+    (same IEEE doubles, same floor grid)."""
+    import math
+
+    n_tot, tie, per = _kw_machinery(groups)
+    nd = float(n_tot)
+    hu = 0
+    for ng, r2g in per:
+        d2 = float(r2g - ng * (n_tot + 1))
+        contrib = (
+            3.0 * d2 * d2
+            / (4.0 * float(ng) * nd * (nd + 1.0))
+        )
+        hu += math.floor(contrib * float(unit))
+    h_unc = float(hu) / float(unit)
+    tf = 1.0 - float(tie) / float(
+        (n_tot - 1) * n_tot * (n_tot + 1)
+    )
+    return max(h_unc / tf, 0.0), tf
+
+
+def test_kruskal_digit_exact_replay(spark):
+    from protosc_spark.evaluation import kruskal_wallis
+
+    import math
+    import random
+
+    rng = random.Random(13)
+    groups = [
+        [rng.randint(0, 40) for _ in range(83)],
+        [rng.randint(5, 55) for _ in range(47)],
+        [rng.randint(0, 40) for _ in range(129)],
+    ]
+    r = kruskal_wallis(
+        _mk_groups(spark, groups), "x", "g"
+    ).collect()[0]
+    h_ref, tf_ref = _kw_ref(groups)
+    n_tot = sum(len(g) for g in groups)
+    assert r.n == n_tot and r.k == 3
+    assert r.tie_factor == tf_ref
+    assert r.h == h_ref
+    assert r.epsilon_sq == h_ref / (float(n_tot) - 1.0)
+    z_ref = math.sqrt(2.0 * h_ref) - math.sqrt(2.0 * 2.0 - 1.0)
+    assert r.z == z_ref
+    assert r.significant == (z_ref > 1.6448536269514722)
+
+
+def test_kruskal_planted_shift_vs_null(spark):
+    from protosc_spark.evaluation import kruskal_wallis
+
+    import random
+
+    rng = random.Random(5)
+    base = [rng.randint(0, 100) for _ in range(150)]
+    shifted = [v + 60 for v in base]
+    r = kruskal_wallis(
+        _mk_groups(spark, [base, list(base), shifted]), "x", "g"
+    ).collect()[0]
+    assert r.significant is True and r.h > 50
+
+    null = kruskal_wallis(
+        _mk_groups(spark, [base, list(base), list(base)]),
+        "x",
+        "g",
+    ).collect()[0]
+    # three identical samples: H tiny, nowhere near the 5% line
+    assert null.significant is False and null.h < 2
+
+
+def test_kruskal_degenerate_all_tied(spark):
+    from protosc_spark.evaluation import kruskal_wallis
+
+    r = kruskal_wallis(
+        _mk_groups(spark, [[7] * 10, [7] * 12]), "x", "g"
+    ).collect()[0]
+    # one tie block: tie_factor 0, H undefined
+    assert r.tie_factor == 0.0
+    assert r.h is None and r.z is None and r.significant is None
+
+
+def test_dunn_digit_exact_and_selectivity(spark):
+    from protosc_spark.evaluation import dunn_posthoc
+
+    import math
+    import random
+
+    rng = random.Random(11)
+    same_a = [rng.randint(0, 100) for _ in range(90)]
+    same_b = [rng.randint(0, 100) for _ in range(70)]
+    far = [v + 500 for v in same_a[:80]]
+    groups = [same_a, same_b, far]
+    rows = dunn_posthoc(
+        _mk_groups(spark, groups), "x", "g"
+    ).orderBy("g_a", "g_b").collect()
+    assert [(r.g_a, r.g_b) for r in rows] == [
+        ("g0", "g1"), ("g0", "g2"), ("g1", "g2")
+    ]
+    # replay
+    n_tot, tie, per = _kw_machinery(groups)
+    nd = float(n_tot)
+    var_d = (
+        nd * (nd + 1.0) - float(tie) / (nd - 1.0)
+    ) / 3.0
+    for r, (ia, ib) in zip(rows, [(0, 1), (0, 2), (1, 2)]):
+        na, r2a = per[ia]
+        nb, r2b = per[ib]
+        mda = float(r2a) / float(na)
+        mdb = float(r2b) / float(nb)
+        se = math.sqrt(
+            var_d * (1.0 / float(na) + 1.0 / float(nb))
+        )
+        z_ref = (mda - mdb) / se
+        assert r.z == z_ref
+        assert r.mean_rank_a == mda / 2.0
+        assert r.n_a == na and r.n_b == nb
+    # only the pairs against the shifted group move
+    assert rows[0].significant is False
+    assert rows[1].significant is True
+    assert rows[2].significant is True
+
+
+# energy_distance ---------------------------------------------------
+
+
+def _mk_two(spark, xs, ys):
+    rows = [(int(v), 1) for v in xs] + [(int(v), 0) for v in ys]
+    return spark.createDataFrame(rows, "x long, g int")
+
+
+def test_energy_distance_brute_force(spark):
+    from protosc_spark.evaluation import energy_distance
+
+    import random
+
+    rng = random.Random(3)
+    xs = [rng.randint(0, 30) for _ in range(41)]
+    ys = [rng.randint(10, 60) for _ in range(29)]
+    r = energy_distance(
+        _mk_two(spark, xs, ys), "x", "g"
+    ).collect()[0]
+    n1, n0 = len(xs), len(ys)
+    pab = sum(abs(x - y) for x in xs for y in ys)
+    paa = sum(
+        abs(xs[i] - xs[j])
+        for i in range(n1)
+        for j in range(i + 1, n1)
+    )
+    pbb = sum(
+        abs(ys[i] - ys[j])
+        for i in range(n0)
+        for j in range(i + 1, n0)
+    )
+    aa = float(pab) / (float(n1) * float(n0))
+    bb = 2.0 * float(paa) / (float(n1) * float(n1))
+    cc = 2.0 * float(pbb) / (float(n0) * float(n0))
+    e_ref = 2.0 * aa - bb - cc
+    assert r.n_1 == n1 and r.n_0 == n0
+    assert r.e_dist == e_ref
+    assert r.t_stat == float(n1) * float(n0) / float(
+        n1 + n0
+    ) * e_ref
+
+
+def test_energy_distance_identical_is_zero(spark):
+    from protosc_spark.evaluation import energy_distance
+
+    vals = [1, 1, 2, 3, 5, 8, 13, 21] * 4
+    r = energy_distance(
+        _mk_two(spark, vals, list(vals)), "x", "g"
+    ).collect()[0]
+    assert r.e_dist == 0.0 and r.t_stat == 0.0
+
+
+def test_energy_distance_separated_and_empty(spark):
+    from protosc_spark.evaluation import energy_distance
+
+    r = energy_distance(
+        _mk_two(spark, [0, 1, 2] * 10, [1000, 1001, 1002] * 10),
+        "x",
+        "g",
+    ).collect()[0]
+    # supports ~1000 apart: E ~ 2 * gap
+    assert 1900 < r.e_dist < 2100 and r.t_stat > 0
+
+    empty = energy_distance(
+        _mk_two(spark, [1, 2, 3], []), "x", "g"
+    ).collect()[0]
+    assert empty.n_0 == 0
+    assert empty.e_dist is None and empty.t_stat is None
