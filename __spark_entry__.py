@@ -1211,6 +1211,57 @@ def _corpus_risk_table(spark, sf_dir):
     )
 
 
+def _corpus_ordinal_assoc(spark, sf_dir):
+    """Goodman-Kruskal gamma + Somers' D (both directions) +
+    Stuart's tau-c between the length bin (n_chars DIV 100) and the
+    whitespace bin (spaces DIV 20) — the coarse-bin ordinal
+    association readouts where tau-b's tie penalty washes the
+    signal out. Exact C/D/tie cell products, one division per
+    statistic. DuckDB oracle replays the cell join, the marginals
+    and every ratio."""
+    from protosc_spark.evaluation import ordinal_association
+
+    docs = _read(spark, sf_dir, "documents").select(
+        F.expr("n_chars DIV 100").alias("a"),
+        F.expr(
+            "(length(text) - length(replace(text, ' ', '')))"
+            " DIV 20"
+        ).alias("b"),
+    )
+    t = ordinal_association(docs, "a", "b")
+    return t.select(
+        "n",
+        "m",
+        "n_concordant",
+        "n_discordant",
+        F.round("gamma", 6).alias("gamma"),
+        F.round("somers_d_ba", 6).alias("somers_d_ba"),
+        F.round("somers_d_ab", 6).alias("somers_d_ab"),
+        F.round("tau_c", 6).alias("tau_c"),
+    )
+
+
+def _corpus_drift_ad(spark, sf_dir):
+    """Two-sample Anderson-Darling between zh and rest n_chars —
+    the tail-weighted drift-family member (KS reads the max gap,
+    CvM integrates it, AD divides by B(N-B) so far-tail gaps count
+    hardest — where contamination and truncation live). Exact
+    doubled-midrank integers per distinct value, per-value
+    contribution quantized before the sum, asymptotic 5% verdict.
+    DuckDB oracle replays the histogram and the quantized sum."""
+    from protosc_spark.evaluation import ad_two_sample
+
+    docs = _read(spark, sf_dir, "documents").select(
+        "n_chars", (F.col("lang") == "zh").cast("int").alias("g")
+    )
+    return ad_two_sample(docs, "n_chars", "g").select(
+        "n_1",
+        "n_0",
+        F.round("a2", 6).alias("a2"),
+        "significant",
+    )
+
+
 def _corpus_kruskal(spark, sf_dir):
     """Kruskal-Wallis H of n_chars across three language groups
     (en / zh / other) — the k-sample location test that IS the
@@ -4666,6 +4717,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     full-surface green regardless of this ordering."""
     return {
         # --- round 5 ---
+        "corpus_ordinal_assoc": _corpus_ordinal_assoc,
+        "corpus_drift_ad": _corpus_drift_ad,
         "corpus_kruskal": _corpus_kruskal,
         "corpus_dunn": _corpus_dunn,
         "corpus_drift_energy": _corpus_drift_energy,
@@ -4995,6 +5048,110 @@ def oracle_sql() -> dict[str, str]:
         for t in POISSON1_T60
     )
     out = {
+        "corpus_ordinal_assoc": """
+            WITH base AS (
+              SELECT n_chars // 100 AS a,
+                (length(text) - length(replace(text, ' ', '')))
+                  // 20 AS b
+              FROM documents
+              WHERE n_chars IS NOT NULL AND text IS NOT NULL
+            ), cell AS (
+              SELECT a, b, count(*)::HUGEINT AS n
+              FROM base GROUP BY 1, 2
+            ), cd AS (
+              SELECT
+                sum(CASE WHEN hi.b > lo.b
+                    THEN lo.n * hi.n ELSE 0 END)::HUGEINT AS c,
+                sum(CASE WHEN hi.b < lo.b
+                    THEN lo.n * hi.n ELSE 0 END)::HUGEINT AS d
+              FROM cell lo JOIN cell hi ON hi.a > lo.a
+            ), ma AS (
+              SELECT sum(cnt * (cnt - 1))::HUGEINT AS t1,
+                     count(*)::HUGEINT AS mka,
+                     sum(cnt)::HUGEINT AS nn
+              FROM (SELECT a, sum(n) AS cnt FROM cell GROUP BY 1)
+            ), mb AS (
+              SELECT sum(cnt * (cnt - 1))::HUGEINT AS t2,
+                     count(*)::HUGEINT AS mkb
+              FROM (SELECT b, sum(n) AS cnt FROM cell GROUP BY 1)
+            ), tb AS (
+              SELECT sum(n * (n - 1))::HUGEINT AS tb2 FROM cell
+            ), g AS (
+              SELECT c, d, t1, t2, tb2, nn,
+                least(mka, mkb) AS m,
+                (c - d)::DOUBLE AS num,
+                c + d AS s
+              FROM cd CROSS JOIN ma CROSS JOIN mb CROSS JOIN tb
+            )
+            SELECT nn::BIGINT AS n, m::BIGINT AS m,
+              c::BIGINT AS n_concordant,
+              d::BIGINT AS n_discordant,
+              CASE WHEN s > 0 THEN
+                round(num / s::DOUBLE, 6) END AS gamma,
+              CASE WHEN 2 * s + t2 - tb2 > 0 THEN
+                round(2.0 * num
+                  / (2 * s + t2 - tb2)::DOUBLE, 6)
+                END AS somers_d_ba,
+              CASE WHEN 2 * s + t1 - tb2 > 0 THEN
+                round(2.0 * num
+                  / (2 * s + t1 - tb2)::DOUBLE, 6)
+                END AS somers_d_ab,
+              CASE WHEN m > 1 AND nn > 0 THEN
+                round(2.0 * m::DOUBLE * num
+                  / ((nn * nn)::DOUBLE
+                     * (m::DOUBLE - 1.0)), 6)
+                END AS tau_c
+            FROM g
+        """,
+        "corpus_drift_ad": """
+            WITH base AS (
+              SELECT n_chars::BIGINT AS v,
+                     (lang = 'zh')::INT AS y
+              FROM documents
+              WHERE n_chars IS NOT NULL AND lang IS NOT NULL
+            ), h AS (
+              SELECT v, sum(y)::HUGEINT AS a,
+                     sum(1 - y)::HUGEINT AS b,
+                     count(*)::HUGEINT AS l
+              FROM base GROUP BY 1
+            ), cum AS (
+              SELECT v, a, l,
+                2 * coalesce(sum(l) OVER w, 0) + l AS db,
+                2 * coalesce(sum(a) OVER w, 0) + a AS dm
+              FROM h
+              WINDOW w AS (ORDER BY v ROWS BETWEEN
+                UNBOUNDED PRECEDING AND 1 PRECEDING)
+            ), tot AS (
+              SELECT sum(a)::HUGEINT AS n1,
+                     sum(b)::HUGEINT AS n0
+              FROM h
+            ), j AS (
+              SELECT l,
+                (n1 + n0) * dm - n1 * db AS e,
+                db * (2 * (n1 + n0) - db)
+                  - (n1 + n0) * l AS den,
+                n1, n0
+              FROM cum CROSS JOIN tot
+            ), g AS (
+              SELECT min(n1) AS n1, min(n0) AS n0,
+                sum(CASE WHEN den > 0 THEN
+                  floor(l::DOUBLE * e::DOUBLE * e::DOUBLE
+                    / (n1::DOUBLE * n0::DOUBLE * den::DOUBLE)
+                    * 1000000000.0)::HUGEINT
+                  ELSE 0 END) AS su
+              FROM j
+            ), f AS (
+              SELECT n1, n0,
+                ((n1 + n0)::DOUBLE - 1.0) / (n1 + n0)::DOUBLE
+                  * (su::DOUBLE / 1000000000.0) AS a2,
+                n1 > 0 AND n0 > 0 AS ok
+              FROM g
+            )
+            SELECT n1::BIGINT AS n_1, n0::BIGINT AS n_0,
+              CASE WHEN ok THEN round(a2, 6) END AS a2,
+              CASE WHEN ok THEN a2 > 2.492 END AS significant
+            FROM f
+        """,
         "corpus_kruskal": """
             WITH base AS (
               SELECT n_chars::BIGINT AS v,

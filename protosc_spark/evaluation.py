@@ -3375,3 +3375,236 @@ def energy_distance(
         F.when(ok, e).alias("e_dist"),
         F.when(ok, n1d * n0d / (n1d + n0d) * e).alias("t_stat"),
     )
+
+
+def ordinal_association(
+    df: DataFrame, a_col: str, b_col: str
+) -> DataFrame:
+    """Ordinal association beyond tau-b — Goodman-Kruskal GAMMA,
+    SOMERS' D (both directions) and Stuart's TAU-C from the same
+    concordant/discordant pair machinery as :func:`kendall_tau`
+    (one self-join of the joint value-histogram CELL table, never
+    O(n^2) row pairs):
+
+        gamma = (C - D) / (C + D)                (ties ignored)
+        d_ba  = (C - D) / (C + D + T_b)          (b dependent)
+        d_ab  = (C - D) / (C + D + T_a)          (a dependent)
+        tau_c = 2 m (C - D) / (n^2 (m - 1)),  m = min(#a, #b)
+
+    where T_b = pairs tied on b but NOT on a (and vice versa) —
+    gamma answers "of the pairs that ORDER, how many agree?" (the
+    PII-robust rank association for coarse bins, where tau-b's tie
+    penalty washes the signal out), Somers' D is the asymmetric
+    regression-flavoured variant (the effect size behind the
+    c-statistic: d_ba = 2 AUC - 1 for binary a), tau-c the
+    rectangular-table correction. Exactness: C, D and all tie
+    counts are exact DECIMAL(38,0) sums of cell-count products
+    (doubled tie pairs x(x-1), the doubling cancels in every
+    ratio); each statistic is ONE float division of exact integers.
+
+    Cost envelope: the cell self-join is quadratic in distinct-pair
+    count, not rows — bin/quantize continuous columns first.
+
+    Rows with NULL in either column are dropped. Output: one row
+    (n, m, n_concordant, n_discordant, gamma, somers_d_ba,
+    somers_d_ab, tau_c); each NULL when its denominator is 0."""
+    dec = "decimal(38,0)"
+    one = F.lit(1).cast(dec)
+    cell = (
+        df.where(F.col(a_col).isNotNull() & F.col(b_col).isNotNull())
+        .groupBy(
+            F.col(a_col).alias("__a"), F.col(b_col).alias("__b")
+        )
+        .agg(F.count(F.lit(1)).cast(dec).alias("__n"))
+        # feeds the pair join (twice) and both marginals
+        .localCheckpoint(eager=True)
+    )
+    lo = cell.select(
+        F.col("__a").alias("__a1"),
+        F.col("__b").alias("__b1"),
+        F.col("__n").alias("__n1"),
+    )
+    hi = cell.select(
+        F.col("__a").alias("__a2"),
+        F.col("__b").alias("__b2"),
+        F.col("__n").alias("__n2"),
+    )
+    pairs = lo.join(hi, F.col("__a2") > F.col("__a1"), "inner")
+    cd = pairs.agg(
+        F.sum(
+            F.when(
+                F.col("__b2") > F.col("__b1"),
+                F.col("__n1") * F.col("__n2"),
+            ).otherwise(F.lit(0).cast(dec))
+        ).alias("__c"),
+        F.sum(
+            F.when(
+                F.col("__b2") < F.col("__b1"),
+                F.col("__n1") * F.col("__n2"),
+            ).otherwise(F.lit(0).cast(dec))
+        ).alias("__d"),
+    )
+
+    def _marginal(col, t_out, m_out):
+        m = cell.groupBy(col).agg(F.sum("__n").alias("__c"))
+        return m.agg(
+            F.sum(F.col("__c") * (F.col("__c") - one)).alias(t_out),
+            F.count(F.lit(1)).cast(dec).alias(m_out),
+            F.sum("__c").alias(m_out + "_n"),
+        )
+
+    ta = _marginal("__a", "__t1", "__ma")
+    tb = _marginal("__b", "__t2", "__mb").drop("__mb_n")
+    tboth = cell.agg(
+        F.sum(F.col("__n") * (F.col("__n") - one)).alias("__tb2")
+    )
+    g = (
+        cd.crossJoin(F.broadcast(ta))
+        .crossJoin(F.broadcast(tb))
+        .crossJoin(F.broadcast(tboth))
+        .withColumnRenamed("__ma_n", "__nn")
+    )
+    cc, dd = F.col("__c"), F.col("__d")
+    n = F.col("__nn")
+    s = cc + dd
+    # doubled "tied on b only" pairs = t2 - tboth; C/D are single-
+    # counted, so double them where they meet a doubled tie term
+    two = F.lit(2).cast(dec)
+    den_ba = two * s + F.col("__t2") - F.col("__tb2")
+    den_ab = two * s + F.col("__t1") - F.col("__tb2")
+    m = F.least(F.col("__ma"), F.col("__mb"))
+    num = (cc - dd).cast("double")
+    tauc_den = (n * n).cast("double") * (
+        m.cast("double") - F.lit(1.0)
+    )
+    return g.select(
+        n.cast("bigint").alias("n"),
+        m.cast("bigint").alias("m"),
+        cc.cast("bigint").alias("n_concordant"),
+        dd.cast("bigint").alias("n_discordant"),
+        F.when(s > 0, num / s.cast("double")).alias("gamma"),
+        F.when(
+            den_ba > 0, F.lit(2.0) * num / den_ba.cast("double")
+        ).alias("somers_d_ba"),
+        F.when(
+            den_ab > 0, F.lit(2.0) * num / den_ab.cast("double")
+        ).alias("somers_d_ab"),
+        F.when(
+            (m > one) & (n > 0),
+            F.lit(2.0) * m.cast("double") * num / tauc_den,
+        ).alias("tau_c"),
+    )
+
+
+def ad_two_sample(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    unit: int = 10**9,
+) -> DataFrame:
+    """Two-sample Anderson-Darling drift test (Scholz-Stephens
+    tie-adjusted midrank version, k = 2) between the ``value_col``
+    distributions of group 1 (``group_col`` truthy) and group 0 —
+    the TAIL-WEIGHTED member of the drift family: KS/Kuiper read
+    the max ECDF gap, CvM integrates its square uniformly, AD
+    divides by B(N-B) so gaps in the far tails — exactly where
+    contamination and truncation live — count hardest.
+
+    The k = 2 statistic collapses to a single exact term per
+    distinct value: with DB_j = 2 B_j (doubled midrank pooled
+    count), DM_j = 2 M_1j (doubled group-1 count), both exact
+    integers off the value histogram, the two group terms are equal
+    (N DM - n1 DB = -(N DM0 - n0 DB)), so
+
+        A^2 = (N-1)/N * sum_j l_j E_j^2 / (n1 n0 den_j),
+        E_j = N DM_j - n1 DB_j,
+        den_j = DB_j (2N - DB_j) - N l_j
+
+    (the /4s from doubling cancel between numerator and
+    denominator; values with den_j = 0 — only possible when one
+    value holds the whole pooled sample — contribute nothing, per
+    the reference treatment). Each per-value contribution is
+    quantized to 1/``unit`` units before the sum (house rule); the
+    contribution is O(N) worst-case so the grid stays inside BIGINT
+    for N up to ~9e9 rows per call. Verdict: the asymptotic 5%
+    critical value 2.492 of the A^2 limit law (k = 2), a literal
+    compare replayable by any SQL engine.
+
+    Rows with NULL value or group are dropped. Output: ONE row
+    (n_1, n_0, a2, significant); NULL when either group is empty."""
+    dec = "decimal(38,0)"
+    y = F.col(group_col).cast("int")
+    v = F.col(value_col).cast("bigint")
+    h = (
+        df.where(v.isNotNull() & F.col(group_col).isNotNull())
+        .groupBy(v.alias("v"))
+        .agg(
+            F.sum(y).cast(dec).alias("a"),
+            F.sum(1 - y).cast(dec).alias("b"),
+        )
+        .withColumn("l", F.col("a") + F.col("b"))
+    )
+    zero = F.lit(0).cast(dec)
+    w_cum = W.orderBy("v").rowsBetween(W.unboundedPreceding, -1)
+    cum = h.select(
+        "v",
+        "a",
+        "l",
+        (
+            F.lit(2).cast(dec)
+            * F.coalesce(F.sum("l").over(w_cum), zero)
+            + F.col("l")
+        ).alias("__db"),
+        (
+            F.lit(2).cast(dec)
+            * F.coalesce(F.sum("a").over(w_cum), zero)
+            + F.col("a")
+        ).alias("__dm"),
+    )
+    tot = h.agg(
+        F.sum("a").alias("__n1"), F.sum("b").alias("__n0")
+    )
+    j = cum.crossJoin(F.broadcast(tot))
+    n1, n0 = F.col("__n1"), F.col("__n0")
+    nn = n1 + n0
+    e = nn * F.col("__dm") - n1 * F.col("__db")
+    den = F.col("__db") * (
+        F.lit(2).cast(dec) * nn - F.col("__db")
+    ) - nn * F.col("l")
+    # ANSI-safe: the when(den > 0) guard below does NOT protect the
+    # division — codegen hoists it as a common subexpression — so the
+    # divisor itself is NULL whenever it would be 0 (house rule from
+    # partial_corr)
+    prod = n1.cast("double") * n0.cast("double") * den.cast(
+        "double"
+    )
+    contrib = (
+        F.col("l").cast("double")
+        * e.cast("double")
+        * e.cast("double")
+        / F.when(prod > 0, prod)
+    )
+    g = j.agg(
+        F.min("__n1").alias("__n1"),
+        F.min("__n0").alias("__n0"),
+        F.sum(
+            F.when(
+                den > 0,
+                F.floor(contrib * F.lit(float(unit))).cast(dec),
+            ).otherwise(zero)
+        ).alias("__su"),
+    )
+    n1, n0 = F.col("__n1"), F.col("__n0")
+    nd = (n1 + n0).cast("double")
+    a2 = (
+        (nd - F.lit(1.0))
+        / nd
+        * (F.col("__su").cast("double") / F.lit(float(unit)))
+    )
+    ok = (n1 > 0) & (n0 > 0)
+    return g.select(
+        n1.cast("bigint").alias("n_1"),
+        n0.cast("bigint").alias("n_0"),
+        F.when(ok, a2).alias("a2"),
+        F.when(ok, a2 > F.lit(2.492)).alias("significant"),
+    )

@@ -2675,3 +2675,193 @@ def test_energy_distance_separated_and_empty(spark):
     ).collect()[0]
     assert empty.n_0 == 0
     assert empty.e_dist is None and empty.t_stat is None
+
+
+# ordinal_association ----------------------------------------------
+
+
+def _mk_pairs(spark, pairs):
+    return spark.createDataFrame(
+        [(int(a), int(b)) for a, b in pairs], "a long, b long"
+    )
+
+
+def _ordinal_ref(pairs):
+    """Brute-force O(n^2) replay over raw row pairs."""
+    n = len(pairs)
+    c = d = tb_only = ta_only = 0
+    for i in range(n):
+        for j in range(i + 1, n):
+            (a1, b1), (a2, b2) = pairs[i], pairs[j]
+            if a1 == a2 and b1 == b2:
+                continue
+            if a1 == a2:
+                ta_only += 1
+            elif b1 == b2:
+                tb_only += 1
+            elif (a2 - a1) * (b2 - b1) > 0:
+                c += 1
+            else:
+                d += 1
+    m = min(len({a for a, _ in pairs}), len({b for _, b in pairs}))
+    num = float(c - d)
+    s = c + d
+    gamma = num / float(s) if s else None
+    d_ba = (
+        2.0 * num / float(2 * s + 2 * tb_only)
+        if s + tb_only
+        else None
+    )
+    d_ab = (
+        2.0 * num / float(2 * s + 2 * ta_only)
+        if s + ta_only
+        else None
+    )
+    tau_c = (
+        2.0 * float(m) * num / (float(n * n) * (float(m) - 1.0))
+        if m > 1 and n
+        else None
+    )
+    return c, d, m, gamma, d_ba, d_ab, tau_c
+
+
+def test_ordinal_assoc_brute_force(spark):
+    from protosc_spark.evaluation import ordinal_association
+
+    import random
+
+    rng = random.Random(17)
+    pairs = [
+        (rng.randint(0, 4), rng.randint(0, 3)) for _ in range(120)
+    ]
+    r = ordinal_association(
+        _mk_pairs(spark, pairs), "a", "b"
+    ).collect()[0]
+    c, d, m, gamma, d_ba, d_ab, tau_c = _ordinal_ref(pairs)
+    assert (r.n_concordant, r.n_discordant) == (c, d)
+    assert r.n == 120 and r.m == m
+    assert r.gamma == gamma
+    assert r.somers_d_ba == d_ba and r.somers_d_ab == d_ab
+    assert r.tau_c == tau_c
+
+
+def test_ordinal_assoc_perfect_and_independent(spark):
+    from protosc_spark.evaluation import ordinal_association
+
+    # strictly monotone map: every ordering pair concordant
+    perfect = [(i, i * 2) for i in range(10)] * 3
+    r = ordinal_association(
+        _mk_pairs(spark, perfect), "a", "b"
+    ).collect()[0]
+    assert r.gamma == 1.0
+    assert r.somers_d_ba == 1.0 and r.somers_d_ab == 1.0
+    assert r.n_discordant == 0
+
+    # b constant: no ordering pairs at all -> gamma undefined,
+    # somers_d_ba 0/positive-denominator, tau_c needs m > 1
+    const = [(i % 3, 7) for i in range(30)]
+    r2 = ordinal_association(
+        _mk_pairs(spark, const), "a", "b"
+    ).collect()[0]
+    assert r2.gamma is None and r2.tau_c is None
+    assert r2.somers_d_ba == 0.0  # ties-on-b dominate denominator
+    assert r2.somers_d_ab is None  # C+D+T_a = 0
+
+
+def test_ordinal_assoc_reversed_sign(spark):
+    from protosc_spark.evaluation import ordinal_association
+
+    rev = [(i, 100 - i) for i in range(20)]
+    r = ordinal_association(
+        _mk_pairs(spark, rev), "a", "b"
+    ).collect()[0]
+    assert r.gamma == -1.0 and r.somers_d_ba == -1.0
+
+
+# ad_two_sample -----------------------------------------------------
+
+
+def _ad_ref(xs, ys, unit=10**9):
+    """Digit-for-digit replay of the quantized k=2 tie-adjusted
+    Anderson-Darling pipeline."""
+    import math
+    from collections import Counter
+
+    ca, cb = Counter(xs), Counter(ys)
+    n1, n0 = len(xs), len(ys)
+    nn = n1 + n0
+    su = 0
+    cum_l = cum_a = 0
+    for v in sorted(set(xs) | set(ys)):
+        a, b = ca.get(v, 0), cb.get(v, 0)
+        l = a + b
+        db = 2 * cum_l + l
+        dm = 2 * cum_a + a
+        e = nn * dm - n1 * db
+        den = db * (2 * nn - db) - nn * l
+        if den > 0:
+            contrib = (
+                float(l) * float(e) * float(e)
+                / (float(n1) * float(n0) * float(den))
+            )
+            su += math.floor(contrib * float(unit))
+        cum_l += l
+        cum_a += a
+    return (
+        (float(nn) - 1.0) / float(nn)
+        * (float(su) / float(unit))
+    )
+
+
+def test_ad_two_sample_digit_exact_replay(spark):
+    from protosc_spark.evaluation import ad_two_sample
+
+    import random
+
+    rng = random.Random(23)
+    xs = [rng.randint(0, 50) for _ in range(130)]
+    ys = [rng.randint(0, 50) for _ in range(90)]
+    r = ad_two_sample(
+        _mk_two(spark, xs, ys), "x", "g"
+    ).collect()[0]
+    a2_ref = _ad_ref(xs, ys)
+    assert r.n_1 == 130 and r.n_0 == 90
+    assert r.a2 == a2_ref
+    assert r.significant == (a2_ref > 2.492)
+
+
+def test_ad_two_sample_tail_sensitivity(spark):
+    from protosc_spark.evaluation import ad_two_sample
+
+    import random
+
+    rng = random.Random(9)
+    base = [rng.randint(40, 60) for _ in range(300)]
+    # same bulk, contaminated far tail: the AD signature case
+    tail = [rng.randint(40, 60) for _ in range(270)] + [
+        rng.randint(400, 500) for _ in range(30)
+    ]
+    r = ad_two_sample(
+        _mk_two(spark, tail, base), "x", "g"
+    ).collect()[0]
+    assert r.significant is True and r.a2 > 2.492
+
+    null = ad_two_sample(
+        _mk_two(spark, base, list(base)), "x", "g"
+    ).collect()[0]
+    assert null.significant is False
+
+
+def test_ad_two_sample_degenerate(spark):
+    from protosc_spark.evaluation import ad_two_sample
+
+    # one value holds the whole pooled sample: every den = 0
+    r = ad_two_sample(
+        _mk_two(spark, [5] * 10, [5] * 10), "x", "g"
+    ).collect()[0]
+    assert r.a2 == 0.0
+
+    empty = ad_two_sample(
+        _mk_two(spark, [], [1, 2]), "x", "g"
+    ).collect()[0]
+    assert empty.a2 is None and empty.significant is None
