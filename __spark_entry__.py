@@ -1211,6 +1211,50 @@ def _corpus_risk_table(spark, sf_dir):
     )
 
 
+def _events_entropy_rate(spark, sf_dir):
+    """Empirical entropy rate + perplexity of the corpus event-type
+    chain — given where journeys are, how predictable is the next
+    step (state_entropy reads mix diversity; a deterministic bot
+    loop can max the mix yet carry zero rate). Exact transition
+    counts off the one entity exchange, per-pair ln quantized before
+    the exact sum. DuckDB oracle replays the lag pairs, the
+    quantization and the one division."""
+    from protosc_spark.windows import entropy_rate
+
+    ev = _read(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts", "event_id"
+    )
+    return entropy_rate(ev).select(
+        "n_transitions",
+        "n_from_states",
+        F.round("entropy_nats", 6).alias("entropy_nats"),
+        F.round("perplexity", 6).alias("perplexity"),
+    )
+
+
+def _txt_burstiness(spark, sf_dir):
+    """Church-Gale burstiness / adaptation for the top-50 words by
+    collection frequency — the bag-of-words contagion audit
+    (function words scatter like Poisson; topical and boilerplate
+    words burst: df far under the Poisson expectation, adaptation
+    far above cf/N). Exact cf/df/df2 integers from one pass,
+    deterministic top-k. DuckDB oracle replays the explode, the
+    rollup and each float."""
+    from protosc_spark.textops import word_burstiness
+
+    docs = _read(spark, sf_dir, "documents")
+    t = word_burstiness(docs, k=50)
+    return t.select(
+        "token",
+        "cf",
+        "doc_freq",
+        "doc_freq2",
+        F.round("burstiness", 6).alias("burstiness"),
+        F.round("adaptation", 6).alias("adaptation"),
+        F.round("poisson_df", 6).alias("poisson_df"),
+    ).orderBy(F.col("cf").desc(), "token")
+
+
 def _corpus_ordinal_assoc(spark, sf_dir):
     """Goodman-Kruskal gamma + Somers' D (both directions) +
     Stuart's tau-c between the length bin (n_chars DIV 100) and the
@@ -4717,6 +4761,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     full-surface green regardless of this ordering."""
     return {
         # --- round 5 ---
+        "events_entropy_rate": _events_entropy_rate,
+        "txt_burstiness": _txt_burstiness,
         "corpus_ordinal_assoc": _corpus_ordinal_assoc,
         "corpus_drift_ad": _corpus_drift_ad,
         "corpus_kruskal": _corpus_kruskal,
@@ -5048,6 +5094,75 @@ def oracle_sql() -> dict[str, str]:
         for t in POISSON1_T60
     )
     out = {
+        "events_entropy_rate": """
+            WITH pairs AS (
+              SELECT lag(event_type) OVER (
+                       PARTITION BY user_id
+                       ORDER BY ts, event_id) AS a,
+                     event_type AS b
+              FROM events
+            ), p2 AS (
+              SELECT a, b FROM pairs
+              WHERE a IS NOT NULL AND b IS NOT NULL
+            ), counts AS (
+              SELECT a, b, count(*)::HUGEINT AS cab
+              FROM p2 GROUP BY 1, 2
+            ), ft AS (
+              SELECT a, sum(cab)::HUGEINT AS ca
+              FROM counts GROUP BY 1
+            ), q AS (
+              SELECT counts.a, cab,
+                floor(ln(cab::DOUBLE / ca::DOUBLE)
+                  * 1000000000.0)::HUGEINT AS lnq
+              FROM counts JOIN ft ON counts.a = ft.a
+            ), g AS (
+              SELECT sum(cab)::HUGEINT AS t,
+                     count(DISTINCT a)::BIGINT AS s,
+                     sum(cab * lnq)::HUGEINT AS ssum
+              FROM q
+            ), f AS (
+              SELECT t, s,
+                -(ssum::DOUBLE)
+                  / (t::DOUBLE * 1000000000.0) AS h,
+                t > 0 AS ok
+              FROM g
+            )
+            SELECT t::BIGINT AS n_transitions,
+              s AS n_from_states,
+              CASE WHEN ok THEN round(h, 6) END AS entropy_nats,
+              CASE WHEN ok THEN round(exp(h), 6)
+                END AS perplexity
+            FROM f
+        """,
+        "txt_burstiness": """
+            WITH tok AS (
+              SELECT doc_id,
+                unnest(string_split(text, ' ')) AS token
+              FROM documents
+            ), dt AS (
+              SELECT doc_id, token, count(*)::BIGINT AS c
+              FROM tok GROUP BY 1, 2
+            ), per AS (
+              SELECT token, sum(c)::BIGINT AS cf,
+                count(*)::BIGINT AS df1,
+                sum(CASE WHEN c >= 2 THEN 1 ELSE 0
+                    END)::BIGINT AS df2
+              FROM dt GROUP BY 1
+            ), top AS (
+              SELECT * FROM per
+              ORDER BY cf DESC, token ASC LIMIT 50
+            ), nd AS (
+              SELECT count(*)::DOUBLE AS n FROM documents
+            )
+            SELECT token, cf, df1 AS doc_freq,
+              df2 AS doc_freq2,
+              round(cf::DOUBLE / df1::DOUBLE, 6) AS burstiness,
+              round(df2::DOUBLE / df1::DOUBLE, 6) AS adaptation,
+              round(n * (1.0 - exp(-(cf::DOUBLE) / n)), 6)
+                AS poisson_df
+            FROM top CROSS JOIN nd
+            ORDER BY cf DESC, token
+        """,
         "corpus_ordinal_assoc": """
             WITH base AS (
               SELECT n_chars // 100 AS a,

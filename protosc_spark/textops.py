@@ -1463,3 +1463,61 @@ def burrows_delta(
             / F.col("n_words").cast("double")
         ).alias("delta"),
     )
+
+
+def word_burstiness(df: DataFrame, k: int = 50) -> DataFrame:
+    """Church-Gale word burstiness for the top-``k`` words by
+    collection frequency — the contagion audit behind every
+    bag-of-words independence assumption (and the signal content
+    filters exploit: function words scatter like Poisson, topical
+    and boilerplate words BURST):
+
+        burstiness = cf / df          (occurrences per containing doc)
+        adaptation = df2 / df         (Church 2000: P(again | once))
+        poisson_df = N (1 - e^(-cf/N))  (docs a Poisson word would hit)
+
+    A word with df far below poisson_df and adaptation far above
+    cf/N is bursty — seeing it once makes a second occurrence cheap.
+
+    Scale shape: one explode into (doc_id, token) counts with
+    map-side combine, one token rollup carrying cf / df / df2 in the
+    SAME aggregation (df2 = docs with >= 2 occurrences rides a
+    conditional sum, no second pass), deterministic top-k via
+    TakeOrderedAndProject (cf desc, token asc — never a global
+    sort), corpus size on a 1-row broadcast. cf / df / df2 are exact
+    BIGINTs; each statistic is one float expression of them.
+
+    Output: k rows (token, cf, doc_freq, doc_freq2, burstiness,
+    adaptation, poisson_df)."""
+    n_docs = df.agg(F.count(F.lit(1)).alias("__n"))
+    tok = (
+        df.select(
+            "doc_id", F.explode(_tokens()).alias("token")
+        )
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).alias("__c"))
+    )
+    per = tok.groupBy("token").agg(
+        F.sum("__c").cast("bigint").alias("cf"),
+        F.count(F.lit(1)).cast("bigint").alias("doc_freq"),
+        F.sum(
+            F.when(F.col("__c") >= 2, F.lit(1)).otherwise(F.lit(0))
+        ).cast("bigint").alias("doc_freq2"),
+    )
+    top = per.orderBy(
+        F.col("cf").desc(), F.col("token").asc()
+    ).limit(k)
+    cfd = F.col("cf").cast("double")
+    dfd = F.col("doc_freq").cast("double")
+    nd = F.col("__n").cast("double")
+    return top.crossJoin(F.broadcast(n_docs)).select(
+        "token",
+        "cf",
+        "doc_freq",
+        "doc_freq2",
+        (cfd / dfd).alias("burstiness"),
+        (F.col("doc_freq2").cast("double") / dfd).alias(
+            "adaptation"
+        ),
+        (nd * (F.lit(1.0) - F.exp(-cfd / nd))).alias("poisson_df"),
+    )

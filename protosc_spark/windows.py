@@ -2978,3 +2978,75 @@ def topk_churn(
         F.when(uni > 0, jac).alias("jaccard"),
         F.when(uni > 0, F.lit(1.0) - jac).alias("churn"),
     )
+
+
+def entropy_rate(
+    df: DataFrame,
+    entity: str = "user_id",
+    state_col: str = "event_type",
+    order_cols: Sequence[str] = ("ts", "event_id"),
+    unit: int = 10**9,
+) -> DataFrame:
+    """Empirical entropy RATE of the corpus state chain — how many
+    nats of genuine novelty each transition carries, the one-number
+    complement to the per-day mix entropy (state_entropy asks "how
+    diverse is the mix?"; this asks "given where journeys ARE, how
+    predictable is the next step?" — a corpus can have maximal mix
+    entropy yet near-zero rate when journeys are deterministic
+    loops, the classic bot signature):
+
+        H = - sum_ab (c_ab / T) ln(c_ab / c_a),
+        perplexity = e^H  (effective branching factor)
+
+    the MLE plug-in rate with visit weights c_a / T. Exactness, the
+    house rule shared with transition_score: counts are exact
+    integers off the same single entity-exchange lag-pair stream;
+    each pair's ln(c_ab / c_a) is quantized to integer 1/``unit``
+    units and the corpus sum accumulates c_ab * lnq exactly in
+    DECIMAL(38,0) (a float sum over pairs would drift with
+    partial-aggregation order); ONE division at the end.
+
+    Output: ONE row (n_transitions, n_from_states, entropy_nats,
+    perplexity); NULL statistics when no transitions exist."""
+    dec = "decimal(38,0)"
+    w = W.partitionBy(entity).orderBy(
+        *[F.col(c) for c in order_cols]
+    )
+    pairs = df.select(
+        F.col(entity),
+        F.lag(state_col).over(w).alias("__a"),
+        F.col(state_col).alias("__b"),
+    ).where(F.col("__a").isNotNull() & F.col("__b").isNotNull())
+    counts = pairs.groupBy("__a", "__b").agg(
+        F.count(F.lit(1)).cast(dec).alias("__cab")
+    )
+    fromtot = counts.groupBy("__a").agg(
+        F.sum("__cab").alias("__ca")
+    )
+    u = F.lit(float(unit))
+    lnq = F.floor(
+        F.log(
+            F.col("__cab").cast("double")
+            / F.col("__ca").cast("double")
+        )
+        * u
+    ).cast(dec)
+    g = (
+        counts.join(fromtot, "__a")
+        .agg(
+            F.sum("__cab").alias("__t"),
+            F.count_distinct(F.col("__a")).cast("bigint").alias(
+                "__s"
+            ),
+            F.sum(F.col("__cab") * lnq).alias("__sum"),
+        )
+    )
+    t = F.col("__t")
+    h = -F.col("__sum").cast("double") / (t.cast("double") * u)
+    ok = t > 0
+    return g.select(
+        t.cast("bigint").alias("n_transitions"),
+        F.col("__s").alias("n_from_states"),
+        F.when(ok, h).alias("entropy_nats"),
+        F.when(ok, F.exp(h)).alias("perplexity"),
+    )

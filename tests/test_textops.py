@@ -1234,3 +1234,79 @@ def test_burrows_identical_groups_zero(spark):
     # identical relative frequencies: every word has zero variance,
     # so no word survives -> no pair rows at all (documented)
     assert out == [] or all(r.delta == 0.0 for r in out)
+
+
+# word_burstiness ---------------------------------------------------
+
+
+def _bdocs(spark, texts):
+    return spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)],
+        "doc_id long, text string",
+    )
+
+
+def test_word_burstiness_exact_counts(spark):
+    from protosc_spark.textops import word_burstiness
+
+    texts = [
+        "the the the cat",   # 'the' bursts: 3 occurrences, 1 doc
+        "the dog",
+        "a dog barks",
+        "a cat naps",
+    ]
+    out = {
+        r.token: r
+        for r in word_burstiness(_bdocs(spark, texts), k=10
+                                 ).collect()
+    }
+    the = out["the"]
+    assert (the.cf, the.doc_freq, the.doc_freq2) == (4, 2, 1)
+    assert the.burstiness == 2.0 and the.adaptation == 0.5
+    import math
+
+    assert the.poisson_df == 4.0 * (1.0 - math.exp(-4.0 / 4.0))
+    dog = out["dog"]
+    assert (dog.cf, dog.doc_freq, dog.doc_freq2) == (2, 2, 0)
+    assert dog.burstiness == 1.0 and dog.adaptation == 0.0
+
+
+def test_word_burstiness_topk_deterministic(spark):
+    from protosc_spark.textops import word_burstiness
+
+    # cf ties broken by token asc at the k boundary
+    texts = ["aa bb", "aa bb", "cc dd", "cc dd"]
+    rows = word_burstiness(_bdocs(spark, texts), k=3).collect()
+    got = sorted(
+        [(r.cf, r.token) for r in rows],
+        key=lambda x: (-x[0], x[1]),
+    )
+    assert got == [(2, "aa"), (2, "bb"), (2, "cc")]
+
+
+def test_word_burstiness_poisson_vs_bursty(spark):
+    from protosc_spark.textops import word_burstiness
+
+    import random
+
+    rng = random.Random(7)
+    texts = []
+    for _ in range(200):
+        # 'flat' appears at most once per doc (Poisson-like);
+        # 'hot' appears 0 or 5 times (bursty)
+        words = ["pad"] * 3
+        if rng.random() < 0.5:
+            words.append("flat")
+        if rng.random() < 0.2:
+            words += ["hot"] * 5
+        texts.append(" ".join(words))
+    out = {
+        r.token: r
+        for r in word_burstiness(_bdocs(spark, texts), k=10
+                                 ).collect()
+    }
+    assert out["flat"].adaptation == 0.0
+    assert out["hot"].adaptation == 1.0
+    assert out["hot"].burstiness == 5.0
+    # bursty word hits far fewer docs than Poisson with its cf would
+    assert out["hot"].doc_freq < 0.5 * out["hot"].poisson_df

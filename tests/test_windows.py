@@ -2358,3 +2358,105 @@ def test_churn_calendar_gap_not_paired(spark):
     }
     out = topk_churn(_churn_df(spark, days), "e", k=5).collect()
     assert sorted((r.day_a, r.day_b) for r in out) == [(0, 1)]
+
+
+# entropy_rate ------------------------------------------------------
+
+
+def _chain_df(spark, streams):
+    """streams: {entity: [state, state, ...]} -> event rows with
+    increasing ts per entity."""
+    import datetime
+
+    rows = []
+    for ent, seq in streams.items():
+        for i, s in enumerate(seq):
+            rows.append(
+                (
+                    ent,
+                    s,
+                    datetime.datetime(2024, 1, 1)
+                    + datetime.timedelta(minutes=i),
+                    i,
+                )
+            )
+    return spark.createDataFrame(
+        rows, "user_id string, event_type string, ts timestamp,"
+        " event_id long"
+    )
+
+
+def _entropy_ref(streams, unit=10**9):
+    import math
+    from collections import Counter
+
+    cab = Counter()
+    for seq in streams.values():
+        for a, b in zip(seq, seq[1:]):
+            cab[(a, b)] += 1
+    ca = Counter()
+    for (a, _), c in cab.items():
+        ca[a] += c
+    t = sum(cab.values())
+    ssum = 0
+    for (a, _), c in cab.items():
+        lnq = math.floor(
+            math.log(float(c) / float(ca[a])) * float(unit)
+        )
+        ssum += c * lnq
+    return -float(ssum) / (float(t) * float(unit)), t, len(ca)
+
+
+def test_entropy_rate_deterministic_chain_is_zero(spark):
+    from protosc_spark.windows import entropy_rate
+
+    # a -> b -> a -> b ... : every transition certain
+    r = entropy_rate(
+        _chain_df(spark, {"u": ["a", "b"] * 20})
+    ).collect()[0]
+    assert r.entropy_nats == 0.0 and r.perplexity == 1.0
+    assert r.n_transitions == 39 and r.n_from_states == 2
+
+
+def test_entropy_rate_digit_exact_replay(spark):
+    from protosc_spark.windows import entropy_rate
+
+    import random
+
+    rng = random.Random(31)
+    streams = {
+        f"u{i}": [
+            rng.choice("abcd") for _ in range(rng.randint(2, 30))
+        ]
+        for i in range(25)
+    }
+    r = entropy_rate(_chain_df(spark, streams)).collect()[0]
+    h_ref, t_ref, s_ref = _entropy_ref(streams)
+    assert r.n_transitions == t_ref
+    assert r.n_from_states == s_ref
+    assert r.entropy_nats == h_ref
+    import math
+
+    assert r.perplexity == math.exp(h_ref)
+    # 4 uniform-ish states: rate near ln 4, never above
+    assert 0.5 < h_ref <= math.log(4.0) + 1e-9
+
+
+def test_entropy_rate_mix_vs_rate_divergence(spark):
+    from protosc_spark.windows import entropy_rate
+
+    # two entities, each a deterministic 3-cycle: the STATE MIX is
+    # uniform over 3 states (max mix entropy) but the chain is
+    # fully predictable -> rate exactly 0
+    streams = {
+        "u1": ["x", "y", "z"] * 15,
+        "u2": ["x", "y", "z"] * 15,
+    }
+    r = entropy_rate(_chain_df(spark, streams)).collect()[0]
+    assert r.entropy_nats == 0.0
+
+    empty = entropy_rate(
+        _chain_df(spark, {"u": ["only"]})
+    ).collect()[0]
+    assert empty.n_transitions is None or empty.n_transitions == 0
+    assert empty.entropy_nats is None
