@@ -1211,6 +1211,53 @@ def _corpus_risk_table(spark, sf_dir):
     )
 
 
+def _sim_graph_assortativity(spark, sf_dir):
+    """Newman degree assortativity of the symmetrized exact kNN
+    graph (k=5, full probe — the sim_knn_triangles contract) — do
+    embedding hubs link to hubs or to leaves (kNN graphs skew
+    negative: hubs absorb many leaves' edges). Three exact integer
+    degree moments, one division. DuckDB oracle recomputes the
+    brute-force kNN edges, the degree table and the moments."""
+    from protosc_spark.dedup import degree_assortativity
+    from protosc_spark.similarity import knn_graph
+
+    emb = _read_wide(spark, sf_dir, "embeddings")
+    edges = knn_graph(emb, k=5, n_centroids=8, n_probe=8).select(
+        F.col("query_id").alias("src"),
+        F.col("neighbor_id").alias("dst"),
+    )
+    return degree_assortativity(edges).select(
+        "n_nodes",
+        "n_edges",
+        F.round("mean_degree", 6).alias("mean_degree"),
+        F.round("assortativity", 6).alias("assortativity"),
+    )
+
+
+def _orders_rfm(spark, sf_dir):
+    """RFM quintile segmentation of customers by their orders — the
+    classic value grid, exact-histogram way (quintile boundaries
+    off value histograms, never a global ntile over the entity
+    corpus; ties land deterministically in the same bin). Monetary
+    is exact integer cents. DuckDB oracle replays the per-customer
+    metrics, all three boundary tables and the score compares."""
+    from protosc_spark.evaluation import rfm_segments
+
+    orders = _read(spark, sf_dir, "orders")
+    t = rfm_segments(
+        orders, "o_custkey", "o_orderdate", "o_totalprice"
+    )
+    return t.select(
+        "r_score",
+        "f_score",
+        "m_score",
+        "label",
+        "n_entities",
+        F.round("total_amount", 6).alias("total_amount"),
+        F.round("avg_amount", 6).alias("avg_amount"),
+    ).orderBy("r_score", "f_score", "m_score")
+
+
 def _events_entropy_rate(spark, sf_dir):
     """Empirical entropy rate + perplexity of the corpus event-type
     chain — given where journeys are, how predictable is the next
@@ -4761,6 +4808,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     full-surface green regardless of this ordering."""
     return {
         # --- round 5 ---
+        "sim_graph_assortativity": _sim_graph_assortativity,
+        "orders_rfm": _orders_rfm,
         "events_entropy_rate": _events_entropy_rate,
         "txt_burstiness": _txt_burstiness,
         "corpus_ordinal_assoc": _corpus_ordinal_assoc,
@@ -5094,6 +5143,161 @@ def oracle_sql() -> dict[str, str]:
         for t in POISSON1_T60
     )
     out = {
+        "sim_graph_assortativity": """
+            WITH knn AS (
+              SELECT query_id, neighbor_id FROM (
+                SELECT q.vec_id AS query_id,
+                       e.vec_id AS neighbor_id,
+                       row_number() OVER (PARTITION BY q.vec_id
+                         ORDER BY round(list_cosine_similarity(
+                             e.embedding::DOUBLE[],
+                             q.embedding::DOUBLE[]), 6) DESC,
+                           e.vec_id) AS rank
+                FROM embeddings e
+                JOIN embeddings q ON e.vec_id <> q.vec_id)
+              WHERE rank <= 5
+            ), e AS (
+              SELECT DISTINCT
+                     least(query_id, neighbor_id) AS a,
+                     greatest(query_id, neighbor_id) AS b
+              FROM knn
+            ), deg AS (
+              SELECT n, count(*)::HUGEINT AS d FROM (
+                SELECT a AS n FROM e
+                UNION ALL SELECT b FROM e) GROUP BY 1
+            ), k AS (
+              SELECT da.d AS da, db.d AS db
+              FROM e
+              JOIN deg da ON da.n = e.a
+              JOIN deg db ON db.n = e.b
+            ), g AS (
+              SELECT count(*)::HUGEINT AS m,
+                     sum(da + db)::HUGEINT AS sx,
+                     sum(da * da + db * db)::HUGEINT AS sxx,
+                     sum(2 * da * db)::HUGEINT AS sxy
+              FROM k
+            ), nn AS (
+              SELECT count(*)::HUGEINT AS c FROM deg
+            )
+            SELECT c::BIGINT AS n_nodes, m::BIGINT AS n_edges,
+              CASE WHEN c > 0 THEN
+                round((2 * m)::DOUBLE / c::DOUBLE, 6)
+                END AS mean_degree,
+              CASE WHEN 2 * m * sxx - sx * sx <> 0 THEN
+                round((2 * m * sxy - sx * sx)::DOUBLE
+                  / (2 * m * sxx - sx * sx)::DOUBLE, 6)
+                END AS assortativity
+            FROM g CROSS JOIN nn
+        """,
+        "orders_rfm": """
+            WITH maxd AS (
+              SELECT max(o_orderdate::DATE) AS md FROM orders
+            ), per AS (
+              SELECT o_custkey AS e,
+                min(date_diff('day', o_orderdate::DATE, md)
+                    )::BIGINT AS rec,
+                count(*)::BIGINT AS freq,
+                sum(floor(o_totalprice::DOUBLE * 100.0)::BIGINT
+                    )::BIGINT AS cents
+              FROM orders CROSS JOIN maxd GROUP BY 1
+            ), h_r AS (
+              SELECT -rec AS v, count(*)::BIGINT AS c
+              FROM per GROUP BY 1
+            ), c_r AS (
+              SELECT v, sum(c) OVER (ORDER BY v
+                ROWS BETWEEN UNBOUNDED PRECEDING
+                AND CURRENT ROW) AS cum,
+                (SELECT sum(c) FROM h_r) AS n
+              FROM h_r
+            ), b_r AS (
+              SELECT
+                min(CASE WHEN cum >= (1 * n + 4) // 5
+                    THEN v END) AS b1,
+                min(CASE WHEN cum >= (2 * n + 4) // 5
+                    THEN v END) AS b2,
+                min(CASE WHEN cum >= (3 * n + 4) // 5
+                    THEN v END) AS b3,
+                min(CASE WHEN cum >= (4 * n + 4) // 5
+                    THEN v END) AS b4
+              FROM c_r
+            ), h_f AS (
+              SELECT freq AS v, count(*)::BIGINT AS c
+              FROM per GROUP BY 1
+            ), c_f AS (
+              SELECT v, sum(c) OVER (ORDER BY v
+                ROWS BETWEEN UNBOUNDED PRECEDING
+                AND CURRENT ROW) AS cum,
+                (SELECT sum(c) FROM h_f) AS n
+              FROM h_f
+            ), b_f AS (
+              SELECT
+                min(CASE WHEN cum >= (1 * n + 4) // 5
+                    THEN v END) AS b1,
+                min(CASE WHEN cum >= (2 * n + 4) // 5
+                    THEN v END) AS b2,
+                min(CASE WHEN cum >= (3 * n + 4) // 5
+                    THEN v END) AS b3,
+                min(CASE WHEN cum >= (4 * n + 4) // 5
+                    THEN v END) AS b4
+              FROM c_f
+            ), h_m AS (
+              SELECT cents AS v, count(*)::BIGINT AS c
+              FROM per GROUP BY 1
+            ), c_m AS (
+              SELECT v, sum(c) OVER (ORDER BY v
+                ROWS BETWEEN UNBOUNDED PRECEDING
+                AND CURRENT ROW) AS cum,
+                (SELECT sum(c) FROM h_m) AS n
+              FROM h_m
+            ), b_m AS (
+              SELECT
+                min(CASE WHEN cum >= (1 * n + 4) // 5
+                    THEN v END) AS b1,
+                min(CASE WHEN cum >= (2 * n + 4) // 5
+                    THEN v END) AS b2,
+                min(CASE WHEN cum >= (3 * n + 4) // 5
+                    THEN v END) AS b3,
+                min(CASE WHEN cum >= (4 * n + 4) // 5
+                    THEN v END) AS b4
+              FROM c_m
+            ), scored AS (
+              SELECT cents,
+                1 + (CASE WHEN -rec > b_r.b1 THEN 1 ELSE 0 END)
+                  + (CASE WHEN -rec > b_r.b2 THEN 1 ELSE 0 END)
+                  + (CASE WHEN -rec > b_r.b3 THEN 1 ELSE 0 END)
+                  + (CASE WHEN -rec > b_r.b4 THEN 1 ELSE 0 END)
+                  AS r_score,
+                1 + (CASE WHEN freq > b_f.b1 THEN 1 ELSE 0 END)
+                  + (CASE WHEN freq > b_f.b2 THEN 1 ELSE 0 END)
+                  + (CASE WHEN freq > b_f.b3 THEN 1 ELSE 0 END)
+                  + (CASE WHEN freq > b_f.b4 THEN 1 ELSE 0 END)
+                  AS f_score,
+                1 + (CASE WHEN cents > b_m.b1 THEN 1 ELSE 0 END)
+                  + (CASE WHEN cents > b_m.b2 THEN 1 ELSE 0 END)
+                  + (CASE WHEN cents > b_m.b3 THEN 1 ELSE 0 END)
+                  + (CASE WHEN cents > b_m.b4 THEN 1 ELSE 0 END)
+                  AS m_score
+              FROM per CROSS JOIN b_r
+              CROSS JOIN b_f CROSS JOIN b_m
+            )
+            SELECT r_score, f_score, m_score,
+              CASE WHEN r_score >= 4 AND f_score >= 4
+                   THEN 'champion'
+                   WHEN r_score >= 4 AND f_score <= 2
+                   THEN 'new'
+                   WHEN r_score <= 2 AND f_score >= 4
+                   THEN 'at_risk'
+                   WHEN r_score <= 2 AND f_score <= 2
+                   THEN 'hibernating'
+                   ELSE 'core' END AS label,
+              count(*)::BIGINT AS n_entities,
+              round(sum(cents)::DOUBLE / 100.0, 6)
+                AS total_amount,
+              round(sum(cents)::DOUBLE
+                / (count(*)::DOUBLE * 100.0), 6) AS avg_amount
+            FROM scored GROUP BY 1, 2, 3
+            ORDER BY 1, 2, 3
+        """,
         "events_entropy_rate": """
             WITH pairs AS (
               SELECT lag(event_type) OVER (

@@ -974,3 +974,87 @@ def triangle_stats(
             ).alias("clustering"),
         )
     )
+
+
+def degree_assortativity(
+    edges: DataFrame, src_col: str = "src", dst_col: str = "dst"
+) -> DataFrame:
+    """Newman degree assortativity of an undirected graph given as
+    an edge list — do high-degree nodes link to high-degree nodes
+    (r > 0, social/core-periphery structure) or to leaves (r < 0,
+    hub-and-spoke; kNN graphs and star-shaped near-dup clusters
+    skew negative)? It is the Pearson correlation of the degree
+    pair over DIRECTED edge stubs; Pearson is shift-invariant, so
+    correlating raw degrees equals the textbook remaining-degree
+    form exactly.
+
+    Exactness: degrees are integers, so with each canonical a < b
+    edge contributing both stub directions the three moments
+
+        Sx  = sum (da + db),  Sxx = sum (da^2 + db^2),
+        Sxy = sum 2 da db,    M = 2 m  (stub count)
+
+    are exact DECIMAL(38,0) sums of integer products, and
+
+        r = (M Sxy - Sx^2) / (M Sxx - Sx^2)
+
+    is ONE float division of exact integers (the symmetry of the
+    stub set makes the x and y marginals identical, collapsing the
+    usual five-moment form to three). Self-loops dropped; duplicate
+    and reverse edges collapse in the canonical distinct; two tiny
+    joins against the degree table (same shape as triangle_stats).
+
+    Output: ONE row (n_nodes, n_edges, mean_degree, assortativity);
+    assortativity NULL for a degree-regular graph (denominator 0)
+    or an empty edge set."""
+    dec = "decimal(38,0)"
+    a, b = F.col(src_col), F.col(dst_col)
+    und = (
+        edges.where(a != b)
+        .select(
+            F.least(a, b).alias("a"), F.greatest(a, b).alias("b")
+        )
+        .distinct()
+    )
+    deg = (
+        und.select(F.col("a").alias("n"))
+        .unionAll(und.select(F.col("b").alias("n")))
+        .groupBy("n")
+        .agg(F.count(F.lit(1)).cast(dec).alias("degree"))
+    )
+    keyed = und.join(
+        deg.select(
+            F.col("n").alias("a"), F.col("degree").alias("__da")
+        ),
+        "a",
+    ).join(
+        deg.select(
+            F.col("n").alias("b"), F.col("degree").alias("__db")
+        ),
+        "b",
+    )
+    da, db = F.col("__da"), F.col("__db")
+    g = keyed.agg(
+        F.count(F.lit(1)).cast(dec).alias("__m"),
+        F.sum(da + db).alias("__sx"),
+        F.sum(da * da + db * db).alias("__sxx"),
+        F.sum(F.lit(2).cast(dec) * da * db).alias("__sxy"),
+    ).crossJoin(
+        F.broadcast(
+            deg.agg(F.count(F.lit(1)).alias("__nn"))
+        )
+    )
+    m2 = F.lit(2).cast(dec) * F.col("__m")
+    num = m2 * F.col("__sxy") - F.col("__sx") * F.col("__sx")
+    den = m2 * F.col("__sxx") - F.col("__sx") * F.col("__sx")
+    return g.select(
+        F.col("__nn").cast("bigint").alias("n_nodes"),
+        F.col("__m").cast("bigint").alias("n_edges"),
+        F.when(
+            F.col("__nn") > 0,
+            m2.cast("double") / F.col("__nn").cast("double"),
+        ).alias("mean_degree"),
+        F.when(
+            den != 0, num.cast("double") / den.cast("double")
+        ).alias("assortativity"),
+    )

@@ -3608,3 +3608,138 @@ def ad_two_sample(
         F.when(ok, a2).alias("a2"),
         F.when(ok, a2 > F.lit(2.492)).alias("significant"),
     )
+
+
+def rfm_segments(
+    df: DataFrame,
+    entity_col: str,
+    ts_col: str,
+    amount_col: str,
+    n_bins: int = 5,
+    cents: int = 100,
+) -> DataFrame:
+    """RFM (recency / frequency / monetary) quintile segmentation —
+    the classic customer-value grid, computed the exact-histogram
+    way: NO global ntile (an unpartitioned rank window over every
+    entity is the sort-the-corpus anti-pattern; at web scale the
+    entity table IS the corpus). Instead each metric's quintile
+    boundaries come from its VALUE HISTOGRAM (distinct-value rows,
+    one cumulative window each), and scores are boundary compares:
+
+        score(v) = 1 + #{k : v > b_k},
+        b_k = min value with cum_count >= ceil(k n / bins)
+
+    — so tied entities always land in the same bin (ntile splits
+    ties by partition order; this is deterministic by value).
+    Recency is scored on the NEGATED day gap (most recent = highest
+    score); monetary sums are exact integer cents (amounts
+    quantized once by floor(amount * cents)). Segment labels follow
+    the conventional R x F reading: champion (r,f >= 4), new
+    (r >= 4, f <= 2), at_risk (r <= 2, f >= 4), hibernating
+    (r,f <= 2), else core.
+
+    Output: one row per occupied (r_score, f_score, m_score) cell:
+    (r_score, f_score, m_score, label, n_entities, total_amount,
+    avg_amount) — at most bins^3 rows."""
+    dec = "decimal(38,0)"
+    maxd = df.agg(
+        F.max(F.to_date(ts_col)).alias("__maxd")
+    )
+    per = (
+        df.crossJoin(F.broadcast(maxd))
+        .groupBy(F.col(entity_col).alias("__e"))
+        .agg(
+            F.min(
+                F.datediff(F.col("__maxd"), F.to_date(ts_col))
+            ).cast("bigint").alias("__rec"),
+            F.count(F.lit(1)).cast("bigint").alias("__freq"),
+            F.sum(
+                F.floor(
+                    F.col(amount_col).cast("double")
+                    * F.lit(float(cents))
+                ).cast("bigint")
+            ).cast("bigint").alias("__cents"),
+        )
+        .withColumn("__negrec", -F.col("__rec"))
+        # feeds three histogram aggregations and the final score join
+        .localCheckpoint(eager=True)
+    )
+
+    def _boundaries(col: str):
+        hist = per.groupBy(F.col(col).alias("__v")).agg(
+            F.count(F.lit(1)).cast("bigint").alias("__c")
+        )
+        w = W.orderBy("__v").rowsBetween(W.unboundedPreceding, 0)
+        cum = hist.select(
+            "__v", F.sum("__c").over(w).alias("__cum")
+        )
+        tot = hist.agg(F.sum("__c").alias("__n"))
+        j = cum.crossJoin(F.broadcast(tot))
+        aggs = []
+        for k in range(1, n_bins):
+            # ceil(k n / bins) in pure integer arithmetic
+            rk = F.expr(
+                f"({k} * __n + {n_bins} - 1) DIV {n_bins}"
+            )
+            aggs.append(
+                F.min(
+                    F.when(F.col("__cum") >= rk, F.col("__v"))
+                ).alias(f"__b{k}")
+            )
+        return j.agg(*aggs)
+
+    def _score(col: str, bnd_prefix: str):
+        s = F.lit(1)
+        for k in range(1, n_bins):
+            s = s + F.when(
+                F.col(col) > F.col(f"{bnd_prefix}__b{k}"), 1
+            ).otherwise(0)
+        return s
+
+    scored = per
+    for col, name in (
+        ("__negrec", "r"),
+        ("__freq", "f"),
+        ("__cents", "m"),
+    ):
+        bnd = _boundaries(col)
+        renamed = bnd.select(
+            *[
+                F.col(f"__b{k}").alias(f"{name}__b{k}")
+                for k in range(1, n_bins)
+            ]
+        )
+        scored = scored.crossJoin(F.broadcast(renamed))
+        scored = scored.withColumn(
+            f"{name}_score", _score(col, name)
+        )
+    r, f_ = F.col("r_score"), F.col("f_score")
+    label = (
+        F.when((r >= 4) & (f_ >= 4), F.lit("champion"))
+        .when((r >= 4) & (f_ <= 2), F.lit("new"))
+        .when((r <= 2) & (f_ >= 4), F.lit("at_risk"))
+        .when((r <= 2) & (f_ <= 2), F.lit("hibernating"))
+        .otherwise(F.lit("core"))
+    )
+    cd = F.lit(float(cents))
+    return (
+        scored.groupBy("r_score", "f_score", "m_score")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_entities"),
+            F.sum("__cents").cast(dec).alias("__tc"),
+        )
+        .select(
+            "r_score",
+            "f_score",
+            "m_score",
+            label.alias("label"),
+            "n_entities",
+            (F.col("__tc").cast("double") / cd).alias(
+                "total_amount"
+            ),
+            (
+                F.col("__tc").cast("double")
+                / (F.col("n_entities").cast("double") * cd)
+            ).alias("avg_amount"),
+        )
+    )

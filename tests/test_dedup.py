@@ -826,3 +826,67 @@ def test_triangles_empty_edges(spark):
 
     df = spark.createDataFrame([], "src long, dst long")
     assert triangle_stats(df).count() == 0
+
+
+# degree_assortativity ----------------------------------------------
+
+
+def _edges_df(spark, pairs):
+    return spark.createDataFrame(
+        [(int(a), int(b)) for a, b in pairs], "src long, dst long"
+    )
+
+
+def test_assortativity_star_is_minus_one(spark):
+    from protosc_spark.dedup import degree_assortativity
+
+    star = [(0, i) for i in range(1, 8)]
+    r = degree_assortativity(_edges_df(spark, star)).collect()[0]
+    assert r.n_nodes == 8 and r.n_edges == 7
+    assert r.assortativity == -1.0
+    assert r.mean_degree == 14.0 / 8.0
+
+
+def test_assortativity_regular_graph_undefined(spark):
+    from protosc_spark.dedup import degree_assortativity
+
+    cycle = [(i, (i + 1) % 6) for i in range(6)]
+    r = degree_assortativity(_edges_df(spark, cycle)).collect()[0]
+    # every degree 2: zero variance, r undefined
+    assert r.assortativity is None and r.mean_degree == 2.0
+
+
+def test_assortativity_brute_force_pearson(spark):
+    from protosc_spark.dedup import degree_assortativity
+
+    import random
+
+    rng = random.Random(19)
+    pairs = set()
+    while len(pairs) < 40:
+        a, b = rng.randint(0, 14), rng.randint(0, 14)
+        if a != b:
+            pairs.add((min(a, b), max(a, b)))
+    # feed duplicates and reversed copies: must collapse
+    noisy = list(pairs) + [(b, a) for a, b in list(pairs)[:10]]
+    r = degree_assortativity(
+        _edges_df(spark, noisy)
+    ).collect()[0]
+    from collections import Counter
+
+    deg = Counter()
+    for a, b in pairs:
+        deg[a] += 1
+        deg[b] += 1
+    stubs = []
+    for a, b in pairs:
+        stubs.append((deg[a], deg[b]))
+        stubs.append((deg[b], deg[a]))
+    m = len(stubs)
+    sx = sum(x for x, _ in stubs)
+    sxx = sum(x * x for x, _ in stubs)
+    sxy = sum(x * y for x, y in stubs)
+    num = m * sxy - sx * sx
+    den = m * sxx - sx * sx
+    assert r.n_edges == len(pairs)
+    assert r.assortativity == float(num) / float(den)

@@ -2865,3 +2865,88 @@ def test_ad_two_sample_degenerate(spark):
         _mk_two(spark, [], [1, 2]), "x", "g"
     ).collect()[0]
     assert empty.a2 is None and empty.significant is None
+
+
+# rfm_segments ------------------------------------------------------
+
+
+def _orders_df(spark, rows):
+    """rows: (cust, day_offset, amount)"""
+    import datetime
+
+    base = datetime.datetime(2024, 1, 1)
+    return spark.createDataFrame(
+        [
+            (c, base + datetime.timedelta(days=d), float(a))
+            for c, d, a in rows
+        ],
+        "cust long, ts timestamp, amount double",
+    )
+
+
+def test_rfm_exact_grid_and_labels(spark):
+    from protosc_spark.evaluation import rfm_segments
+
+    # 10 customers: cust i orders (i+1) times, amounts 10*(i+1),
+    # most recent order day = i (cust 9 most recent)
+    rows = []
+    for i in range(10):
+        for j in range(i + 1):
+            rows.append((i, i - j, 10.0 * (i + 1)))
+    out = rfm_segments(
+        _orders_df(spark, rows), "cust", "ts", "amount"
+    ).collect()
+    # scores are perfectly aligned: recency, frequency and monetary
+    # all rank customers identically -> only diagonal cells occupied
+    cells = {(r.r_score, r.f_score, r.m_score): r for r in out}
+    assert all(r == f == m for (r, f, m) in cells)
+    assert set(cells) == {(k, k, k) for k in (1, 2, 3, 4, 5)}
+    assert cells[(5, 5, 5)].label == "champion"
+    assert cells[(1, 1, 1)].label == "hibernating"
+    assert cells[(3, 3, 3)].label == "core"
+    # each quintile holds exactly 2 of the 10 customers
+    assert all(r.n_entities == 2 for r in out)
+    # exact cents: cust 9 total = 10 orders x 100.00
+    top = cells[(5, 5, 5)]
+    # quintile 5 = customers 8 and 9: 9*90 + 10*100
+    assert top.total_amount == 9 * 90.0 + 10 * 100.0
+    assert top.avg_amount == top.total_amount / 2.0
+
+
+def test_rfm_ties_share_a_bin(spark):
+    from protosc_spark.evaluation import rfm_segments
+
+    # 10 identical customers: every metric constant -> everyone in
+    # bin 1 for all three scores (ntile would split them 2-2-2-2-2)
+    rows = [(i, 0, 50.0) for i in range(10)]
+    out = rfm_segments(
+        _orders_df(spark, rows), "cust", "ts", "amount"
+    ).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r.r_score, r.f_score, r.m_score) == (1, 1, 1)
+    assert r.n_entities == 10 and r.total_amount == 500.0
+
+
+def test_rfm_new_vs_at_risk(spark):
+    from protosc_spark.evaluation import rfm_segments
+
+    rows = []
+    # 8 background customers with mid recency/frequency
+    for i in range(8):
+        for j in range(3):
+            rows.append((i, 10 + j, 20.0))
+    # 'new': ordered once, yesterday (max recency score, low freq)
+    rows.append((100, 30, 20.0))
+    # 'at_risk': ordered 9 times, long ago
+    for j in range(9):
+        rows.append((200, j, 20.0))
+    out = rfm_segments(
+        _orders_df(spark, rows), "cust", "ts", "amount"
+    ).collect()
+    labels = {}
+    for r in out:
+        labels.setdefault(r.label, 0)
+        labels[r.label] += r.n_entities
+    assert labels.get("new", 0) >= 1
+    assert labels.get("at_risk", 0) >= 1
