@@ -1211,6 +1211,62 @@ def _corpus_risk_table(spark, sf_dir):
     )
 
 
+def _events_page_trend(spark, sf_dir):
+    """Page's L ordered-trend test of the weekday effect per event
+    type — Friedman's directional sibling: do volumes RISE
+    monotonically across the epoch week? A monotone rhythm riding a
+    +50/week level shift is planted (ranks shrug the shift off;
+    means don't). Doubled within-week midranks, exact L2, no-tie
+    normal verdict. DuckDB oracle replays complete-week selection,
+    ranks, the weight sum and the z tree."""
+    import datetime as dt
+
+    from protosc_spark.windows import weekday_page
+
+    ev = _read(spark, sf_dir, "events").select("event_type", "ts")
+    base = [10, 13, 16, 19, 22, 25, 28]
+    rows = []
+    for d in range(28):
+        ts = (
+            dt.datetime(1970, 1, 1) + dt.timedelta(days=d)
+        ).strftime("%Y-%m-%d 00:00:00")
+        rows += [("planted", ts)] * (base[d % 7] + (d // 7) * 50)
+    planted = spark.createDataFrame(
+        rows, "event_type string, ts_s string"
+    ).select(
+        "event_type", F.col("ts_s").cast("timestamp").alias("ts")
+    )
+    t = weekday_page(ev.unionByName(planted), "event_type")
+    return t.select(
+        "event_type",
+        "n_weeks",
+        F.round("l_stat", 6).alias("l_stat"),
+        F.round("z", 6).alias("z"),
+        "significant",
+    ).orderBy("event_type")
+
+
+def _events_durbin_watson(spark, sf_dir):
+    """Durbin-Watson on each event type's OLS-detrended daily
+    volumes — is anything LEFT after the line (weekly rhythm,
+    campaigns, regime residue)? Exact integer OLS moments,
+    residuals quantized once, both DW sums exact, rule-of-thumb
+    verdict. DuckDB oracle replays the moments, the quantization,
+    the lag window and the division."""
+    from protosc_spark.windows import durbin_watson
+
+    ev = _read(spark, sf_dir, "events").select("event_type", "ts")
+    t = durbin_watson(ev, "event_type")
+    return t.select(
+        "event_type",
+        "n_days",
+        F.round("slope", 6).alias("slope"),
+        F.round("dw", 6).alias("dw"),
+        F.round("rho1", 6).alias("rho1"),
+        "verdict",
+    ).orderBy("event_type")
+
+
 def _sim_graph_assortativity(spark, sf_dir):
     """Newman degree assortativity of the symmetrized exact kNN
     graph (k=5, full probe — the sim_knn_triangles contract) — do
@@ -4808,6 +4864,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     full-surface green regardless of this ordering."""
     return {
         # --- round 5 ---
+        "events_page_trend": _events_page_trend,
+        "events_durbin_watson": _events_durbin_watson,
         "sim_graph_assortativity": _sim_graph_assortativity,
         "orders_rfm": _orders_rfm,
         "events_entropy_rate": _events_entropy_rate,
@@ -5143,6 +5201,122 @@ def oracle_sql() -> dict[str, str]:
         for t in POISSON1_T60
     )
     out = {
+        "events_page_trend": """
+            WITH daily AS (
+              SELECT event_type AS g,
+                     (ts::DATE - DATE '1970-01-01')::BIGINT AS x,
+                     count(*)::BIGINT AS y
+              FROM events GROUP BY 1, 2
+              UNION ALL
+              SELECT 'planted', d::BIGINT,
+                     ([10, 13, 16, 19, 22, 25, 28][(d % 7) + 1]
+                      + (d // 7) * 50)::BIGINT
+              FROM range(28) tt(d)
+            ), dd AS (
+              SELECT g, x, y, x // 7 AS wk, x % 7 AS wd
+              FROM daily
+            ), sz AS (
+              SELECT g, wk, count(*)::BIGINT AS bs
+              FROM dd GROUP BY 1, 2
+            ), fullw AS (
+              SELECT dd.* FROM dd
+              JOIN sz ON dd.g = sz.g AND dd.wk = sz.wk
+              WHERE bs = 7
+            ), hist AS (
+              SELECT g, wk, y, count(*)::BIGINT AS c
+              FROM fullw GROUP BY 1, 2, 3
+            ), ranked AS (
+              SELECT g, wk, y, c,
+                     sum(c) OVER (PARTITION BY g, wk ORDER BY y
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND CURRENT ROW) - c AS lss
+              FROM hist
+            ), s AS (
+              SELECT f.g,
+                     count(DISTINCT wk)::HUGEINT AS n,
+                     sum((wd + 1)::HUGEINT * d) AS l2
+              FROM (SELECT fullw.g, fullw.wk, fullw.wd,
+                      (2 * lss + c + 1)::HUGEINT AS d
+                    FROM fullw JOIN ranked r
+                      ON fullw.g = r.g AND fullw.wk = r.wk
+                      AND fullw.y = r.y) f
+              GROUP BY 1
+            ), bse AS (
+              SELECT DISTINCT g FROM daily
+            ), fin AS (
+              SELECT bse.g, s.n, s.l2,
+                (l2::DOUBLE - 224.0 * n::DOUBLE)
+                  / (2.0 * sqrt(392.0 * n::DOUBLE / 3.0)) AS z
+              FROM bse LEFT JOIN s ON bse.g = s.g
+            )
+            SELECT g AS event_type,
+              coalesce(n, 0)::BIGINT AS n_weeks,
+              CASE WHEN n >= 1 THEN
+                round(l2::DOUBLE / 2.0, 6) END AS l_stat,
+              CASE WHEN n >= 1 THEN round(z, 6) END AS z,
+              CASE WHEN n >= 1 THEN z > 1.6448536269514722
+                END AS significant
+            FROM fin ORDER BY g
+        """,
+        "events_durbin_watson": """
+            WITH daily AS (
+              SELECT event_type AS g, ts::DATE AS day,
+                     count(*)::BIGINT AS y
+              FROM events GROUP BY 1, 2
+            ), witht AS (
+              SELECT g, day, y,
+                (day - min(day) OVER (PARTITION BY g))::BIGINT
+                  AS t
+              FROM daily
+            ), mom AS (
+              SELECT g, count(*)::HUGEINT AS n,
+                sum(t)::HUGEINT AS st, sum(y)::HUGEINT AS sy,
+                sum(t * t)::HUGEINT AS stt,
+                sum(t * y)::HUGEINT AS sty
+              FROM witht GROUP BY 1
+            ), coef AS (
+              SELECT g, n,
+                (n * sty - st * sy)::DOUBLE
+                  / (CASE WHEN n * stt - st * st <> 0
+                     THEN n * stt - st * st END)::DOUBLE AS b,
+                st, sy
+              FROM mom
+            ), coef2 AS (
+              SELECT g, n, b,
+                (sy::DOUBLE - b * st::DOUBLE) / n::DOUBLE AS a
+              FROM coef
+            ), res AS (
+              SELECT w.g, w.day, c.n, c.b AS slope,
+                floor((w.y::DOUBLE - (c.a + c.b * w.t::DOUBLE))
+                  * 1000000.0)::HUGEINT AS eq
+              FROM witht w JOIN coef2 c ON w.g = c.g
+            ), diff AS (
+              SELECT g, n, slope, eq,
+                eq - lag(eq) OVER (PARTITION BY g ORDER BY day)
+                  AS d
+              FROM res
+            ), agg AS (
+              SELECT g, max(n) AS n, max(slope) AS slope,
+                sum(eq * eq) AS den, sum(d * d) AS num
+              FROM diff GROUP BY 1
+            ), fin AS (
+              SELECT g, n, slope,
+                num::DOUBLE / den::DOUBLE AS dw,
+                n >= 3 AND den > 0 AS ok
+              FROM agg
+            )
+            SELECT g AS event_type, n::BIGINT AS n_days,
+              round(slope, 6) AS slope,
+              CASE WHEN ok THEN round(dw, 6) END AS dw,
+              CASE WHEN ok THEN round(1.0 - dw / 2.0, 6)
+                END AS rho1,
+              CASE WHEN ok THEN
+                CASE WHEN dw < 1.5 THEN 'positive'
+                     WHEN dw > 2.5 THEN 'negative'
+                     ELSE 'none' END
+                END AS verdict
+            FROM fin ORDER BY g
+        """,
         "sim_graph_assortativity": """
             WITH knn AS (
               SELECT query_id, neighbor_id FROM (

@@ -3050,3 +3050,225 @@ def entropy_rate(
         F.when(ok, h).alias("entropy_nats"),
         F.when(ok, F.exp(h)).alias("perplexity"),
     )
+
+
+def weekday_page(
+    df: DataFrame,
+    group_col: str,
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Page's L trend test for an ORDERED weekday alternative per
+    slice — the directional member of the within-week rank family:
+    Friedman asks "does SOME weekday differ?"; Page asks "do daily
+    volumes RISE monotonically across the week (Mon < Tue < ... <
+    Sun)?", and pays for the stronger hypothesis with more power
+    against exactly that ordering. Same block machinery as
+    weekday_friedman (complete epoch weeks, doubled within-week
+    midranks off block value histograms — every sum exact):
+
+        L  = sum_j m_j R_j   (m_j = 1..7 the hypothesized order),
+        z  = (L - n k (k+1)^2 / 4)
+             / sqrt(n k^2 (k+1) (k^2 - 1) / 144)
+
+    computed on DOUBLED rank sums (L2 = 2L exact DECIMAL(38,0);
+    k = 7 pins the null moments to E[L2] = 224 n and
+    Var[L2] = 4 * 392 n / 3). The variance is the standard NO-TIE
+    form; midranks under ties shrink the true variance, so z is
+    (slightly) conservative — the conventional treatment. One-sided
+    5% verdict (z > 1.6448536269514722); test the REVERSE ordering
+    by negating z.
+
+    Output: (group, n_weeks, l_stat, z, significant); NULL
+    statistics when no complete week exists."""
+    dec = "decimal(38,0)"
+    daily = (
+        df.groupBy(
+            group_col,
+            F.datediff(F.to_date(ts_col), F.lit("1970-01-01"))
+            .cast("bigint")
+            .alias("x"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("y"))
+        .select(
+            group_col,
+            "x",
+            "y",
+            F.expr("x DIV 7").alias("wk"),
+            F.pmod(F.col("x"), F.lit(7)).alias("wd"),
+        )
+    )
+    sz = daily.groupBy(group_col, "wk").agg(
+        F.count(F.lit(1)).alias("__bs")
+    )
+    full = (
+        daily.join(sz, [group_col, "wk"])
+        .where(F.col("__bs") == 7)
+        .drop("__bs")
+        .localCheckpoint(eager=True)
+    )
+    hist = full.groupBy(group_col, "wk", "y").agg(
+        F.count(F.lit(1)).cast("bigint").alias("__c")
+    )
+    wv = (
+        W.partitionBy(group_col, "wk")
+        .orderBy("y")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    ranked = hist.select(
+        group_col,
+        "wk",
+        "y",
+        "__c",
+        (F.sum("__c").over(wv) - F.col("__c")).alias("__less"),
+    )
+    dmid = (
+        F.lit(2).cast("bigint") * F.col("__less")
+        + F.col("__c")
+        + F.lit(1)
+    )
+    rows = full.join(ranked, [group_col, "wk", "y"]).select(
+        group_col, "wk", "wd", dmid.cast(dec).alias("__d")
+    )
+    s = rows.groupBy(group_col).agg(
+        F.countDistinct("wk").cast(dec).alias("__n"),
+        F.sum(
+            (F.col("wd").cast(dec) + F.lit(1).cast(dec))
+            * F.col("__d")
+        ).alias("__l2"),
+    )
+    nd = F.col("__n").cast("double")
+    l2d = F.col("__l2").cast("double")
+    z = (l2d - F.lit(224.0) * nd) / (
+        F.lit(2.0)
+        * F.sqrt(F.lit(392.0) * nd / F.lit(3.0))
+    )
+    ok = F.col("__n") >= 1
+    base = daily.groupBy(group_col).agg(F.count(F.lit(1)))
+    return (
+        base.select(group_col)
+        .join(s, group_col, "left")
+        .select(
+            group_col,
+            F.coalesce(
+                F.col("__n").cast("bigint"), F.lit(0)
+            ).alias("n_weeks"),
+            F.when(ok, l2d / F.lit(2.0)).alias("l_stat"),
+            F.when(ok, z).alias("z"),
+            F.when(ok, z > F.lit(1.6448536269514722)).alias(
+                "significant"
+            ),
+        )
+    )
+
+
+def durbin_watson(
+    df: DataFrame,
+    group_col: str,
+    ts_col: str = "ts",
+    unit: int = 10**6,
+) -> DataFrame:
+    """Durbin-Watson autocorrelation-of-residuals test on each
+    slice's daily volume series, detrended by its own OLS line —
+    the "is anything LEFT after the trend?" audit that closes the
+    regression family (volume_trend fits the line; DW asks whether
+    the residuals still carry day-to-day memory, the signature of
+    weekly rhythm, campaigns or regime changes the line can't
+    absorb):
+
+        DW = sum_t (e_t - e_{t-1})^2 / sum_t e_t^2   in [0, 4],
+        e_t = y_t - (a + b t),   DW ~ 2 (1 - rho_1)
+
+    Exactness, the house way: the OLS coefficients come from exact
+    integer moments (n, St, Sy, Stt, Sty); each residual is
+    quantized ONCE to integer 1/``unit`` units (floor(e * unit)),
+    and both DW sums then accumulate exact DECIMAL(38,0) integers —
+    order-independent at any parallelism, one float division at the
+    end. Verdict: the conventional rule-of-thumb bounds (DW < 1.5
+    positive autocorrelation, DW > 2.5 negative; exact critical
+    values depend on n and are table-bound) — a literal compare,
+    identical in the SQL oracle. Days are the OBSERVED days in
+    order; calendar gaps are treated as consecutive steps (the
+    standard practice for DW on irregular series — document gaps
+    with the interarrival kernel instead).
+
+    Output: (group, n_days, slope, dw, rho1, verdict) — verdict in
+    ('positive', 'none', 'negative'); NULL statistics when fewer
+    than 3 days or a zero residual vector (perfect line)."""
+    dec = "decimal(38,0)"
+    daily = df.groupBy(
+        group_col, F.to_date(ts_col).alias("__day")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("__y"))
+    wmin = W.partitionBy(group_col)
+    witht = daily.withColumn(
+        "__t",
+        F.datediff(
+            F.col("__day"), F.min("__day").over(wmin)
+        ).cast("bigint"),
+    )
+    mom = witht.groupBy(group_col).agg(
+        F.count(F.lit(1)).cast(dec).alias("__n"),
+        F.sum("__t").cast(dec).alias("__st"),
+        F.sum("__y").cast(dec).alias("__sy"),
+        F.sum(F.col("__t") * F.col("__t")).cast(dec).alias("__stt"),
+        F.sum(F.col("__t") * F.col("__y")).cast(dec).alias("__sty"),
+    )
+    n = F.col("__n")
+    bden = (n * F.col("__stt") - F.col("__st") * F.col("__st"))
+    b = (
+        (n * F.col("__sty") - F.col("__st") * F.col("__sy"))
+        .cast("double")
+        / F.when(bden != 0, bden).cast("double")
+    )
+    a = (
+        F.col("__sy").cast("double") - b * F.col("__st").cast(
+            "double"
+        )
+    ) / n.cast("double")
+    coef = mom.select(
+        group_col, b.alias("__b"), a.alias("__a"), "__n"
+    )
+    u = F.lit(float(unit))
+    res = witht.join(coef, group_col).select(
+        group_col,
+        "__day",
+        "__n",
+        F.col("__b").alias("slope"),
+        F.floor(
+            (
+                F.col("__y").cast("double")
+                - (
+                    F.col("__a")
+                    + F.col("__b") * F.col("__t").cast("double")
+                )
+            )
+            * u
+        ).cast(dec).alias("__eq"),
+    )
+    wlag = W.partitionBy(group_col).orderBy("__day")
+    diff = res.withColumn(
+        "__d", F.col("__eq") - F.lag("__eq").over(wlag)
+    )
+    g = diff.groupBy(group_col).agg(
+        F.max("__n").alias("__n"),
+        F.max("slope").alias("slope"),
+        F.sum(F.col("__eq") * F.col("__eq")).alias("__den"),
+        F.sum(F.col("__d") * F.col("__d")).alias("__num"),
+    )
+    ok = (
+        (F.col("__n") >= F.lit(3).cast(dec))
+        & (F.col("__den") > 0)
+    )
+    dw = F.col("__num").cast("double") / F.col("__den").cast(
+        "double"
+    )
+    verdict = F.when(dw < 1.5, F.lit("positive")).when(
+        dw > 2.5, F.lit("negative")
+    ).otherwise(F.lit("none"))
+    return g.select(
+        group_col,
+        F.col("__n").cast("bigint").alias("n_days"),
+        "slope",
+        F.when(ok, dw).alias("dw"),
+        F.when(ok, F.lit(1.0) - dw / F.lit(2.0)).alias("rho1"),
+        F.when(ok, verdict).alias("verdict"),
+    )

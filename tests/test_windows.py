@@ -2460,3 +2460,161 @@ def test_entropy_rate_mix_vs_rate_divergence(spark):
     ).collect()[0]
     assert empty.n_transitions is None or empty.n_transitions == 0
     assert empty.entropy_nats is None
+
+
+# weekday_page ------------------------------------------------------
+
+
+def _page_events(spark, day_counts, g="g"):
+    """day_counts: {epoch_day: n_events}"""
+    import datetime
+
+    rows = []
+    for d, n in day_counts.items():
+        ts = datetime.datetime(1970, 1, 1) + datetime.timedelta(
+            days=int(d)
+        )
+        rows += [(g, ts)] * int(n)
+    return spark.createDataFrame(
+        rows, "event_type string, ts timestamp"
+    )
+
+
+def test_page_monotone_rising_significant(spark):
+    from protosc_spark.windows import weekday_page
+
+    # 4 complete weeks, strictly rising within each week
+    counts = {}
+    for d in range(28):
+        counts[d] = 10 + 3 * (d % 7) + 50 * (d // 7)
+    r = weekday_page(
+        _page_events(spark, counts), "event_type"
+    ).collect()[0]
+    assert r.n_weeks == 4
+    # perfect ordering: L = n * sum j*j = 4 * 140 = 560
+    assert r.l_stat == 560.0
+    assert r.significant is True and r.z > 3
+
+
+def test_page_reversed_and_flat(spark):
+    from protosc_spark.windows import weekday_page
+
+    rev = {d: 40 - 3 * (d % 7) for d in range(28)}
+    r = weekday_page(
+        _page_events(spark, rev), "event_type"
+    ).collect()[0]
+    # perfectly decreasing: minimal L = n * sum j*(8-j) = 4*84
+    assert r.l_stat == 336.0
+    assert r.z < -3 and r.significant is False
+
+    import math
+
+    flat = {d: 20 for d in range(28)}
+    r2 = weekday_page(
+        _page_events(spark, flat), "event_type"
+    ).collect()[0]
+    # all tied: every doubled midrank = 8, L2 = n*sum m*8 = 4*224,
+    # L = 448... wait: all-tied L = n * mean = n*112? compute:
+    # dmid = 2*0 + 7 + 1 = 15? no: within a week all 7 values equal
+    # -> one histogram row c=7, less=0, dmid = 2*0+7+1 = 15,
+    # R2_wd = n*15 each, L2 = 15*n*sum(m) = 15*4*28 = 1680,
+    # L = 840? E[L2]=224n=896... hmm all-tied lands at the null
+    # MEAN of doubled ranks: dmid=8 would be (k+1); with ties the
+    # midrank of all-7-tied is (7+1)/2=4 -> doubled 8. Recheck:
+    # dmid = 2*less + c + 1 = 0 + 7 + 1 = 8. yes 8.
+    # L2 = 8 * 4 * 28 = 896 = E[L2] -> z = 0.
+    assert r2.l_stat == 448.0
+    assert r2.z == 0.0 and r2.significant is False
+
+
+def test_page_incomplete_weeks_excluded(spark):
+    from protosc_spark.windows import weekday_page
+
+    counts = {d: 10 + (d % 7) for d in range(26)}  # last week short
+    r = weekday_page(
+        _page_events(spark, counts), "event_type"
+    ).collect()[0]
+    assert r.n_weeks == 3
+
+    none = weekday_page(
+        _page_events(spark, {0: 5, 1: 6}), "event_type"
+    ).collect()[0]
+    assert none.n_weeks == 0 and none.l_stat is None
+
+
+# durbin_watson -----------------------------------------------------
+
+
+def test_dw_alternating_residuals_negative(spark):
+    from protosc_spark.windows import durbin_watson
+
+    # flat line + alternating residual: e flips sign every day,
+    # DW -> 4 (negative autocorrelation)
+    counts = {d: 50 + (10 if d % 2 == 0 else -10) for d in
+              range(40)}
+    r = durbin_watson(
+        _page_events(spark, counts), "event_type"
+    ).collect()[0]
+    assert r.verdict == "negative" and r.dw > 3.5
+    assert abs(r.slope) < 0.2
+
+
+def test_dw_smooth_wave_positive(spark):
+    from protosc_spark.windows import durbin_watson
+
+    import math
+
+    # slow sine on a trend: residuals move smoothly -> DW small
+    counts = {
+        d: int(200 + 5 * d + 80 * math.sin(2 * math.pi * d / 14))
+        for d in range(42)
+    }
+    r = durbin_watson(
+        _page_events(spark, counts), "event_type"
+    ).collect()[0]
+    assert r.verdict == "positive" and r.dw < 1.0
+    assert 3.5 < r.slope < 6.5
+
+
+def test_dw_digit_exact_replay(spark):
+    from protosc_spark.windows import durbin_watson
+
+    import math
+    import random
+
+    rng = random.Random(41)
+    counts = {d: rng.randint(10, 60) for d in range(30)}
+    r = durbin_watson(
+        _page_events(spark, counts), "event_type"
+    ).collect()[0]
+    days = sorted(counts)
+    n = len(days)
+    ts_ = list(range(n))
+    ys = [counts[d] for d in days]
+    st, sy = sum(ts_), sum(ys)
+    stt = sum(t * t for t in ts_)
+    sty = sum(t * y for t, y in zip(ts_, ys))
+    b = float(n * sty - st * sy) / float(n * stt - st * st)
+    a = (float(sy) - b * float(st)) / float(n)
+    eq = [
+        math.floor((float(y) - (a + b * float(t))) * 1e6)
+        for t, y in zip(ts_, ys)
+    ]
+    num = sum(
+        (e2 - e1) ** 2 for e1, e2 in zip(eq, eq[1:])
+    )
+    den = sum(e * e for e in eq)
+    assert r.dw == float(num) / float(den)
+    assert r.slope == b and r.n_days == n
+    assert r.rho1 == 1.0 - r.dw / 2.0
+
+
+def test_dw_perfect_line_null(spark):
+    from protosc_spark.windows import durbin_watson
+
+    counts = {d: 10 + 5 * d for d in range(10)}
+    r = durbin_watson(
+        _page_events(spark, counts), "event_type"
+    ).collect()[0]
+    # residuals exactly zero everywhere -> den 0 -> NULL readout
+    assert r.dw is None and r.verdict is None
