@@ -1211,6 +1211,30 @@ def _corpus_risk_table(spark, sf_dir):
     )
 
 
+def _events_seasonal_strength(spark, sf_dir):
+    """STL-style trend/seasonal strength per event type — how much
+    of each daily series' variance the OLS trend and the weekly
+    rhythm each own (the triage above weekday_anova/Friedman), plus
+    peak and trough weekdays. One quantization, exact remainder
+    moments, normalizations cancelled in the ratios. DuckDB oracle
+    replays the OLS, the weekday means and both variance ratios."""
+    from protosc_spark.windows import seasonal_strength
+
+    ev = _read(spark, sf_dir, "events").select("event_type", "ts")
+    t = seasonal_strength(ev, "event_type")
+    return t.select(
+        "event_type",
+        "n_days",
+        F.round("slope", 6).alias("slope"),
+        F.round("trend_strength", 6).alias("trend_strength"),
+        F.round("seasonal_strength", 6).alias(
+            "seasonal_strength"
+        ),
+        "peak_wd",
+        "trough_wd",
+    ).orderBy("event_type")
+
+
 def _events_page_trend(spark, sf_dir):
     """Page's L ordered-trend test of the weekday effect per event
     type — Friedman's directional sibling: do volumes RISE
@@ -4864,6 +4888,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     full-surface green regardless of this ordering."""
     return {
         # --- round 5 ---
+        "events_seasonal_strength": _events_seasonal_strength,
         "events_page_trend": _events_page_trend,
         "events_durbin_watson": _events_durbin_watson,
         "sim_graph_assortativity": _sim_graph_assortativity,
@@ -5201,6 +5226,101 @@ def oracle_sql() -> dict[str, str]:
         for t in POISSON1_T60
     )
     out = {
+        "events_seasonal_strength": """
+            WITH daily AS (
+              SELECT event_type AS g,
+                (ts::DATE - DATE '1970-01-01')::BIGINT AS x,
+                count(*)::BIGINT AS y
+              FROM events GROUP BY 1, 2
+            ), witht AS (
+              SELECT g, x, y,
+                (x - min(x) OVER (PARTITION BY g))::BIGINT AS t,
+                x % 7 AS wd
+              FROM daily
+            ), mom AS (
+              SELECT g, count(*)::HUGEINT AS n,
+                sum(t)::HUGEINT AS st, sum(y)::HUGEINT AS sy,
+                sum(t * t)::HUGEINT AS stt,
+                sum(t * y)::HUGEINT AS sty
+              FROM witht GROUP BY 1
+            ), coef AS (
+              SELECT g,
+                (n * sty - st * sy)::DOUBLE
+                  / (CASE WHEN n * stt - st * st <> 0
+                     THEN n * stt - st * st END)::DOUBLE AS b,
+                st, sy, n
+              FROM mom
+            ), coef2 AS (
+              SELECT g, b,
+                (sy::DOUBLE - b * st::DOUBLE) / n::DOUBLE AS a
+              FROM coef
+            ), det AS (
+              SELECT w.g, w.wd, c.b AS slope,
+                (w.y * 1000000)::HUGEINT AS yu,
+                floor((w.y::DOUBLE
+                  - (c.a + c.b * w.t::DOUBLE))
+                  * 1000000.0)::HUGEINT AS d
+              FROM witht w JOIN coef2 c ON w.g = c.g
+            ), swd AS (
+              SELECT g, wd,
+                floor(sum(d)::DOUBLE
+                  / count(*)::DOUBLE)::HUGEINT AS s
+              FROM det GROUP BY 1, 2
+            ), peaks AS (
+              SELECT g,
+                min(CASE WHEN rnk_pk = 1 THEN wd END) AS peak_wd,
+                min(CASE WHEN rnk_tr = 1 THEN wd END)
+                  AS trough_wd
+              FROM (
+                SELECT g, wd,
+                  row_number() OVER (PARTITION BY g
+                    ORDER BY s DESC, wd ASC) AS rnk_pk,
+                  row_number() OVER (PARTITION BY g
+                    ORDER BY s ASC, wd ASC) AS rnk_tr
+                FROM swd)
+              GROUP BY 1
+            ), rws AS (
+              SELECT det.g, slope, d,
+                (d - s)::HUGEINT AS r,
+                (yu - s)::HUGEINT AS ta
+              FROM det JOIN swd
+                ON det.g = swd.g AND det.wd = swd.wd
+            ), agg AS (
+              SELECT g, count(*)::HUGEINT AS n,
+                max(slope) AS slope,
+                sum(d)::HUGEINT AS sd,
+                sum(d * d)::HUGEINT AS sdd,
+                sum(r)::HUGEINT AS sr,
+                sum(r * r)::HUGEINT AS srr,
+                sum(ta)::HUGEINT AS sta,
+                sum(ta * ta)::HUGEINT AS staa
+              FROM rws GROUP BY 1
+            ), fin AS (
+              SELECT g, n, slope,
+                greatest(1.0
+                  - (n * srr - sr * sr)::DOUBLE
+                  / (CASE WHEN n * staa - sta * sta > 0
+                     THEN n * staa - sta * sta END)::DOUBLE,
+                  0.0) AS ft,
+                greatest(1.0
+                  - (n * srr - sr * sr)::DOUBLE
+                  / (CASE WHEN n * sdd - sd * sd > 0
+                     THEN n * sdd - sd * sd END)::DOUBLE,
+                  0.0) AS fs,
+                n >= 14 AS ok
+              FROM agg
+            )
+            SELECT fin.g AS event_type, n::BIGINT AS n_days,
+              round(slope, 6) AS slope,
+              CASE WHEN ok THEN round(ft, 6)
+                END AS trend_strength,
+              CASE WHEN ok THEN round(fs, 6)
+                END AS seasonal_strength,
+              CASE WHEN ok THEN peak_wd END AS peak_wd,
+              CASE WHEN ok THEN trough_wd END AS trough_wd
+            FROM fin JOIN peaks ON fin.g = peaks.g
+            ORDER BY event_type
+        """,
         "events_page_trend": """
             WITH daily AS (
               SELECT event_type AS g,

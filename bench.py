@@ -204,6 +204,18 @@ HEADLINE = [
     "corpus_drift_tvd",
     "corpus_effect_size",
     "corpus_risk_table",
+    "corpus_kruskal",
+    "corpus_dunn",
+    "corpus_drift_energy",
+    "corpus_ordinal_assoc",
+    "corpus_drift_ad",
+    "events_entropy_rate",
+    "txt_burstiness",
+    "sim_graph_assortativity",
+    "orders_rfm",
+    "events_page_trend",
+    "events_durbin_watson",
+    "events_seasonal_strength",
 ]
 
 BENCH_CONVERSATIONS = int(os.environ.get("PROTOSC_BENCH_CONVS", "20000"))

@@ -3272,3 +3272,154 @@ def durbin_watson(
         F.when(ok, F.lit(1.0) - dw / F.lit(2.0)).alias("rho1"),
         F.when(ok, verdict).alias("verdict"),
     )
+
+
+def seasonal_strength(
+    df: DataFrame,
+    group_col: str,
+    ts_col: str = "ts",
+    unit: int = 10**6,
+) -> DataFrame:
+    """STL-style trend / seasonal STRENGTH decomposition of each
+    slice's daily volume series (Hyndman's F_T / F_S readouts) —
+    one number each for "how much of this series is trend?" and
+    "how much is weekly rhythm?", the triage layer above the
+    dedicated tests (weekday ANOVA / Friedman say IS there rhythm;
+    this says how much of the variance it owns):
+
+        y_t = T_t + S_wd(t) + R_t,
+        F_T = max(0, 1 - Var(R) / Var(T + R)),
+        F_S = max(0, 1 - Var(R) / Var(S + R))
+
+    with T the slice's own OLS line (exact integer moments), S the
+    weekday means of the detrended series, R the remainder. The
+    decomposition is quantized ONCE: detrended values d_t =
+    floor((y_t - T_t) * unit) are exact integers, each weekday
+    effect is the floor'd integer mean of its d_t, so R_t and
+    (y*unit - S) are exact integers too and every variance is a
+    ratio of exact DECIMAL(38,0) cross-products (the 1/n^2
+    normalizations cancel in each ratio — one float division per
+    strength). Peak/trough weekdays come from the integer seasonal
+    effects (ties -> smallest weekday index).
+
+    Output: (group, n_days, slope, trend_strength,
+    seasonal_strength, peak_wd, trough_wd); strengths NULL when the
+    slice has < 14 days or a degenerate variance. Weekday index is
+    epoch-based (0 = Thursday)."""
+    dec = "decimal(38,0)"
+    daily = df.groupBy(
+        group_col,
+        F.datediff(F.to_date(ts_col), F.lit("1970-01-01"))
+        .cast("bigint")
+        .alias("x"),
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("y"))
+    wmin = W.partitionBy(group_col)
+    witht = daily.select(
+        group_col,
+        "x",
+        "y",
+        (F.col("x") - F.min("x").over(wmin)).alias("t"),
+        F.pmod(F.col("x"), F.lit(7)).alias("wd"),
+    )
+    mom = witht.groupBy(group_col).agg(
+        F.count(F.lit(1)).cast(dec).alias("__n"),
+        F.sum("t").cast(dec).alias("__st"),
+        F.sum("y").cast(dec).alias("__sy"),
+        F.sum(F.col("t") * F.col("t")).cast(dec).alias("__stt"),
+        F.sum(F.col("t") * F.col("y")).cast(dec).alias("__sty"),
+    )
+    n = F.col("__n")
+    bden = n * F.col("__stt") - F.col("__st") * F.col("__st")
+    b = (
+        (n * F.col("__sty") - F.col("__st") * F.col("__sy"))
+        .cast("double")
+        / F.when(bden != 0, bden).cast("double")
+    )
+    a = (
+        F.col("__sy").cast("double")
+        - b * F.col("__st").cast("double")
+    ) / n.cast("double")
+    coef = mom.select(group_col, b.alias("__b"), a.alias("__a"))
+    u = F.lit(float(unit))
+    det = witht.join(coef, group_col).select(
+        group_col,
+        "wd",
+        F.col("__b").alias("slope"),
+        (F.col("y") * F.lit(unit)).cast(dec).alias("__yu"),
+        F.floor(
+            (
+                F.col("y").cast("double")
+                - (
+                    F.col("__a")
+                    + F.col("__b") * F.col("t").cast("double")
+                )
+            )
+            * u
+        ).cast(dec).alias("__d"),
+    )
+    swd = det.groupBy(group_col, "wd").agg(
+        F.floor(
+            F.sum("__d").cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).cast(dec).alias("__s")
+    )
+    peaks = swd.groupBy(group_col).agg(
+        F.max(
+            F.struct(
+                F.col("__s").alias("s"),
+                (-F.col("wd")).alias("k"),
+            )
+        ).alias("__pk"),
+        F.min(
+            F.struct(
+                F.col("__s").alias("s"), F.col("wd").alias("k")
+            )
+        ).alias("__tr"),
+    )
+    rows = det.join(swd, [group_col, "wd"]).select(
+        group_col,
+        "slope",
+        "__d",
+        (F.col("__d") - F.col("__s")).alias("__r"),
+        (F.col("__yu") - F.col("__s")).alias("__ta"),
+    )
+    g = rows.groupBy(group_col).agg(
+        F.count(F.lit(1)).cast(dec).alias("__n"),
+        F.max("slope").alias("slope"),
+        F.sum("__d").alias("__sd"),
+        F.sum(F.col("__d") * F.col("__d")).alias("__sdd"),
+        F.sum("__r").alias("__sr"),
+        F.sum(F.col("__r") * F.col("__r")).alias("__srr"),
+        F.sum("__ta").alias("__sta"),
+        F.sum(F.col("__ta") * F.col("__ta")).alias("__staa"),
+    )
+    n = F.col("__n")
+    var_r = n * F.col("__srr") - F.col("__sr") * F.col("__sr")
+    var_sr = n * F.col("__sdd") - F.col("__sd") * F.col("__sd")
+    var_tr = n * F.col("__staa") - F.col("__sta") * F.col("__sta")
+    fs = F.greatest(
+        F.lit(1.0)
+        - var_r.cast("double")
+        / F.when(var_sr > 0, var_sr).cast("double"),
+        F.lit(0.0),
+    )
+    ft = F.greatest(
+        F.lit(1.0)
+        - var_r.cast("double")
+        / F.when(var_tr > 0, var_tr).cast("double"),
+        F.lit(0.0),
+    )
+    ok = n >= F.lit(14).cast(dec)
+    return g.join(peaks, group_col).select(
+        group_col,
+        n.cast("bigint").alias("n_days"),
+        "slope",
+        F.when(ok, ft).alias("trend_strength"),
+        F.when(ok, fs).alias("seasonal_strength"),
+        F.when(ok, -F.col("__pk")["k"]).cast("bigint").alias(
+            "peak_wd"
+        ),
+        F.when(ok, F.col("__tr")["k"]).cast("bigint").alias(
+            "trough_wd"
+        ),
+    )

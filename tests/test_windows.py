@@ -2618,3 +2618,96 @@ def test_dw_perfect_line_null(spark):
     ).collect()[0]
     # residuals exactly zero everywhere -> den 0 -> NULL readout
     assert r.dw is None and r.verdict is None
+
+
+# seasonal_strength -------------------------------------------------
+
+
+def test_seasonal_strength_pure_trend(spark):
+    from protosc_spark.windows import seasonal_strength
+
+    import random
+
+    rng = random.Random(3)
+    counts = {
+        d: 100 + 10 * d + rng.randint(-3, 3) for d in range(35)
+    }
+    r = seasonal_strength(
+        _page_events(spark, counts), "event_type"
+    ).collect()[0]
+    assert r.trend_strength > 0.95
+    assert r.seasonal_strength < 0.4
+    assert 9 < r.slope < 11
+
+
+def test_seasonal_strength_pure_rhythm(spark):
+    from protosc_spark.windows import seasonal_strength
+
+    import random
+
+    rng = random.Random(5)
+    wave = [10, 20, 40, 80, 40, 20, 10]  # peak at wd 3
+    counts = {
+        d: 100 + wave[d % 7] + rng.randint(-2, 2)
+        for d in range(42)
+    }
+    r = seasonal_strength(
+        _page_events(spark, counts), "event_type"
+    ).collect()[0]
+    assert r.seasonal_strength > 0.9
+    assert r.trend_strength < 0.4
+    assert r.peak_wd == 3
+    assert r.trough_wd in (0, 6)  # wave ties at 10: smallest wd
+    assert r.trough_wd == 0
+
+
+def test_seasonal_strength_replay_and_short(spark):
+    from protosc_spark.windows import seasonal_strength
+
+    import math
+    import random
+
+    rng = random.Random(11)
+    counts = {d: rng.randint(50, 150) for d in range(30)}
+    r = seasonal_strength(
+        _page_events(spark, counts), "event_type"
+    ).collect()[0]
+    days = sorted(counts)
+    ys = [counts[d] for d in days]
+    n = len(days)
+    ts_ = list(range(n))
+    st, sy = sum(ts_), sum(ys)
+    stt = sum(t * t for t in ts_)
+    sty = sum(t * y for t, y in zip(ts_, ys))
+    b = float(n * sty - st * sy) / float(n * stt - st * st)
+    a = (float(sy) - b * float(st)) / float(n)
+    dq = [
+        math.floor((float(y) - (a + b * float(t))) * 1e6)
+        for t, y in zip(ts_, ys)
+    ]
+    from collections import defaultdict
+
+    bywd = defaultdict(list)
+    for d, v in zip(days, dq):
+        bywd[d % 7].append(v)
+    s = {
+        wd: math.floor(float(sum(vs)) / float(len(vs)))
+        for wd, vs in bywd.items()
+    }
+    rr = [v - s[d % 7] for d, v in zip(days, dq)]
+    ta = [y * 10**6 - s[d % 7] for d, y in zip(days, ys)]
+
+    def _var2(xs):
+        return n * sum(x * x for x in xs) - sum(xs) ** 2
+
+    fs = max(1.0 - float(_var2(rr)) / float(_var2(dq)), 0.0)
+    ft = max(1.0 - float(_var2(rr)) / float(_var2(ta)), 0.0)
+    assert r.seasonal_strength == fs
+    assert r.trend_strength == ft
+
+    short = seasonal_strength(
+        _page_events(spark, {d: 10 for d in range(10)}),
+        "event_type",
+    ).collect()[0]
+    assert short.trend_strength is None
+    assert short.peak_wd is None
