@@ -1211,6 +1211,32 @@ def _corpus_risk_table(spark, sf_dir):
     )
 
 
+def _events_holt_winters(spark, sf_dir):
+    """Additive Holt-Winters (weekly season) one-step forecast per
+    event type — the rhythm-aware forecaster above holt_trend
+    (which lags every Monday). Bit-exact recursion as one Catalyst
+    aggregate fold; seasonal slots keyed by true epoch weekday.
+    DuckDB oracle replays the init and the full recursion with a
+    list-state RECURSIVE CTE, digit for digit."""
+    from protosc_spark.windows import holt_winters
+
+    ev = _read(spark, sf_dir, "events").select("event_type", "ts")
+    t = holt_winters(ev, "event_type")
+    sel = [
+        "event_type",
+        "n_days",
+        F.round("level", 6).alias("level"),
+        F.round("trend", 6).alias("trend"),
+        F.round("forecast", 6).alias("forecast"),
+        F.round("rmse", 6).alias("rmse"),
+        F.round("mae", 6).alias("mae"),
+    ] + [
+        F.round(F.col("season")[p], 6).alias(f"s{p}")
+        for p in range(7)
+    ]
+    return t.select(*sel).orderBy("event_type")
+
+
 def _events_seasonal_strength(spark, sf_dir):
     """STL-style trend/seasonal strength per event type — how much
     of each daily series' variance the OLS trend and the weekly
@@ -4888,6 +4914,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     full-surface green regardless of this ordering."""
     return {
         # --- round 5 ---
+        "events_holt_winters": _events_holt_winters,
         "events_seasonal_strength": _events_seasonal_strength,
         "events_page_trend": _events_page_trend,
         "events_durbin_watson": _events_durbin_watson,
@@ -5226,6 +5253,133 @@ def oracle_sql() -> dict[str, str]:
         for t in POISSON1_T60
     )
     out = {
+        "events_holt_winters": """
+            WITH RECURSIVE daily AS (
+              SELECT event_type AS g,
+                (ts::DATE - DATE '1970-01-01')::BIGINT AS x,
+                count(*)::BIGINT AS y
+              FROM events GROUP BY 1, 2
+            ), ser AS (
+              SELECT g, x, y::DOUBLE AS y,
+                row_number() OVER (PARTITION BY g ORDER BY x)
+                  AS i,
+                count(*) OVER (PARTITION BY g) AS n,
+                max(x) OVER (PARTITION BY g) AS maxx
+              FROM daily
+            ), piv AS (
+              SELECT g, max(n) AS n, max(maxx) AS maxx,
+                max(CASE WHEN i = 1 THEN y END)::DOUBLE AS y1,
+                max(CASE WHEN i = 2 THEN y END)::DOUBLE AS y2,
+                max(CASE WHEN i = 3 THEN y END)::DOUBLE AS y3,
+                max(CASE WHEN i = 4 THEN y END)::DOUBLE AS y4,
+                max(CASE WHEN i = 5 THEN y END)::DOUBLE AS y5,
+                max(CASE WHEN i = 6 THEN y END)::DOUBLE AS y6,
+                max(CASE WHEN i = 7 THEN y END)::DOUBLE AS y7,
+                max(CASE WHEN i = 8 THEN y END)::DOUBLE AS y8,
+                max(CASE WHEN i = 9 THEN y END)::DOUBLE AS y9,
+                max(CASE WHEN i = 10 THEN y END)::DOUBLE AS y10,
+                max(CASE WHEN i = 11 THEN y END)::DOUBLE AS y11,
+                max(CASE WHEN i = 12 THEN y END)::DOUBLE AS y12,
+                max(CASE WHEN i = 13 THEN y END)::DOUBLE AS y13,
+                max(CASE WHEN i = 14 THEN y END)::DOUBLE AS y14,
+                coalesce(arg_max(y, i) FILTER (
+                  WHERE i <= 7 AND x % 7 = 0)
+                  , NULL) AS w0,
+                coalesce(arg_max(y, i) FILTER (
+                  WHERE i <= 7 AND x % 7 = 1)
+                  , NULL) AS w1,
+                coalesce(arg_max(y, i) FILTER (
+                  WHERE i <= 7 AND x % 7 = 2)
+                  , NULL) AS w2,
+                coalesce(arg_max(y, i) FILTER (
+                  WHERE i <= 7 AND x % 7 = 3)
+                  , NULL) AS w3,
+                coalesce(arg_max(y, i) FILTER (
+                  WHERE i <= 7 AND x % 7 = 4)
+                  , NULL) AS w4,
+                coalesce(arg_max(y, i) FILTER (
+                  WHERE i <= 7 AND x % 7 = 5)
+                  , NULL) AS w5,
+                coalesce(arg_max(y, i) FILTER (
+                  WHERE i <= 7 AND x % 7 = 6)
+                  , NULL) AS w6
+              FROM ser GROUP BY g
+            ), init AS (
+              SELECT g, n, maxx,
+                (((((( y1 + y2) + y3) + y4) + y5) + y6) + y7) / 7.0 AS l0,
+                ((((((( y8 + y9) + y10) + y11) + y12) + y13) + y14) - (((((( y1 + y2) + y3) + y4) + y5) + y6) + y7)) / 49.0 AS b0,
+                w0, w1, w2, w3, w4, w5, w6
+              FROM piv
+            ), seed AS (
+              SELECT g, n, maxx, 7::BIGINT AS i,
+                l0 AS l, b0 AS b,
+                [coalesce(w0 - l0, 0.0),
+                 coalesce(w1 - l0, 0.0),
+                 coalesce(w2 - l0, 0.0),
+                 coalesce(w3 - l0, 0.0),
+                 coalesce(w4 - l0, 0.0),
+                 coalesce(w5 - l0, 0.0),
+                 coalesce(w6 - l0, 0.0)] AS s,
+                0.0::DOUBLE AS sse, 0.0::DOUBLE AS sae,
+                0::BIGINT AS k
+              FROM init WHERE n >= 14
+            ), rec AS (
+              SELECT * FROM seed
+              UNION ALL
+              SELECT g, n, maxx, i, l2 AS l, b2 AS b,
+                (list_slice(s, 1, p) || [s2p]
+                 || list_slice(s, p + 2, 7)) AS s,
+                CASE WHEN k >= 7
+                  THEN sse + err * err ELSE sse END AS sse,
+                CASE WHEN k >= 7
+                  THEN sae + abs(err) ELSE sae END AS sae,
+                k + 1 AS k
+              FROM (
+                SELECT r.g, r.n, r.maxx, e.i, r.s,
+                  (e.x % 7)::INT AS p,
+                  r.sse, r.sae, r.k,
+                  e.y - (r.l + r.b + r.s[(e.x % 7)::INT + 1])
+                    AS err,
+                  0.3 * (e.y - r.s[(e.x % 7)::INT + 1])
+                    + 0.7 * (r.l + r.b) AS l2,
+                  r.l AS lold, r.b AS bold, e.y AS yy
+                FROM rec r JOIN ser e
+                  ON e.g = r.g AND e.i = r.i + 1
+              ) t0,
+              LATERAL (SELECT
+                0.1 * (l2 - lold) + 0.9 * bold AS b2,
+                0.2 * (yy - l2)
+                  + 0.8 * s[p + 1] AS s2p) t1
+            ), fin AS (
+              SELECT g, n, maxx, l, b, s, sse, sae
+              FROM rec WHERE i = n
+            ), allg AS (
+              SELECT g, max(n) AS n FROM ser GROUP BY g
+            ), outp AS (
+              SELECT allg.g, allg.n,
+                f.l, f.b, f.s, f.sse, f.sae,
+                f.l + f.b
+                  + f.s[((f.maxx + 1) % 7)::INT + 1] AS fc,
+                allg.n >= 14 AS ok, allg.n >= 15 AS okf,
+                (allg.n - 14)::DOUBLE AS nf
+              FROM allg LEFT JOIN fin f ON allg.g = f.g
+            )
+            SELECT g AS event_type, n::BIGINT AS n_days,
+              CASE WHEN ok THEN round(l, 6) END AS level,
+              CASE WHEN ok THEN round(b, 6) END AS trend,
+              CASE WHEN ok THEN round(fc, 6) END AS forecast,
+              CASE WHEN okf THEN round(sqrt(sse / nf), 6)
+                END AS rmse,
+              CASE WHEN okf THEN round(sae / nf, 6) END AS mae,
+              CASE WHEN ok THEN round(s[1], 6) END AS s0,
+              CASE WHEN ok THEN round(s[2], 6) END AS s1,
+              CASE WHEN ok THEN round(s[3], 6) END AS s2,
+              CASE WHEN ok THEN round(s[4], 6) END AS s3,
+              CASE WHEN ok THEN round(s[5], 6) END AS s4,
+              CASE WHEN ok THEN round(s[6], 6) END AS s5,
+              CASE WHEN ok THEN round(s[7], 6) END AS s6
+            FROM outp ORDER BY event_type
+        """,
         "events_seasonal_strength": """
             WITH daily AS (
               SELECT event_type AS g,

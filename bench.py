@@ -216,6 +216,7 @@ HEADLINE = [
     "events_page_trend",
     "events_durbin_watson",
     "events_seasonal_strength",
+    "events_holt_winters",
 ]
 
 BENCH_CONVERSATIONS = int(os.environ.get("PROTOSC_BENCH_CONVS", "20000"))

@@ -3423,3 +3423,143 @@ def seasonal_strength(
             "trough_wd"
         ),
     )
+
+
+def holt_winters(
+    df: DataFrame,
+    group_col: str,
+    ts_col: str = "ts",
+    alpha: float = 0.3,
+    beta: float = 0.1,
+    gamma: float = 0.2,
+) -> DataFrame:
+    """Per-slice additive Holt-Winters (triple exponential)
+    smoothing of the daily-volume series with a WEEKLY season —
+    the forecaster the monitor family was missing: EWMA carries
+    level, Holt adds trend, Holt-Winters adds the 7-day rhythm the
+    weekday gates keep detecting, so its one-step forecast stops
+    lagging every Monday:
+
+        l_t = alpha (y_t - s_{wd(t)}) + (1 - alpha)(l_{t-1} + b_{t-1})
+        b_t = beta (l_t - l_{t-1}) + (1 - beta) b_{t-1}
+        s_wd(t) <- gamma (y_t - l_t) + (1 - gamma) s_{wd(t)}
+
+    Seasonal slots are keyed by TRUE epoch weekday (x mod 7), not
+    array position, so a calendar gap cannot shift the rhythm.
+    Classic init off the first two observed weeks: l0 = mean of
+    days 1..7, b0 = (mean of days 8..14 - mean of days 1..7) / 7,
+    s_wd = (last of days 1..7 hitting wd) - l0 (0 for a weekday
+    absent from the init week — only possible with gaps). The fold
+    runs from day 8; one-step errors from day 15 (the first
+    forecast made with every state warm) accumulate sse/sae inside
+    the same fold. Only +, -, *, / on IEEE doubles — a SQL engine
+    replaying the recursion reproduces every state bit for bit (the
+    holt_trend contract); the state rides one Catalyst higher-order
+    ``aggregate`` over the calendar-bounded sorted series — zero
+    Python, zero extra shuffle, the array update is a slice-concat.
+
+    Output: (group, n_days, level, trend, season array of 7 doubles
+    indexed by epoch weekday, forecast, rmse, mae); level/trend/
+    season/forecast NULL below 14 days, rmse/mae NULL below 15."""
+    daily = df.groupBy(
+        group_col,
+        F.datediff(F.to_date(ts_col), F.lit("1970-01-01"))
+        .cast("bigint")
+        .alias("x"),
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("y"))
+    g = daily.groupBy(group_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+        F.sort_array(F.collect_list(F.struct("x", "y"))).alias(
+            "series"
+        ),
+    )
+    n = F.col("n_days")
+
+    def _wsum(lo, cnt):
+        return F.aggregate(
+            F.slice(F.col("series"), F.lit(lo), F.lit(cnt)),
+            F.lit(0.0),
+            lambda acc, e: acc + e["y"].cast("double"),
+        )
+
+    l0 = _wsum(1, 7) / F.lit(7.0)
+    b0 = (_wsum(8, 7) - _wsum(1, 7)) / F.lit(49.0)
+
+    def _slot(p):
+        # last of the init week hitting weekday p (0 if absent)
+        return F.aggregate(
+            F.slice(F.col("series"), F.lit(1), F.lit(7)),
+            F.lit(0.0),
+            lambda acc, e: F.when(
+                F.pmod(e["x"], F.lit(7)) == F.lit(p),
+                e["y"].cast("double") - l0,
+            ).otherwise(acc),
+        )
+
+    s0 = F.array(*[_slot(p) for p in range(7)])
+    init = F.struct(
+        l0.alias("l"),
+        b0.alias("b"),
+        s0.alias("s"),
+        F.lit(0.0).alias("sse"),
+        F.lit(0.0).alias("sae"),
+        F.lit(0).cast("bigint").alias("k"),
+    )
+    al, ac = F.lit(float(alpha)), F.lit(1.0 - float(alpha))
+    be, bc = F.lit(float(beta)), F.lit(1.0 - float(beta))
+    ga, gc = F.lit(float(gamma)), F.lit(1.0 - float(gamma))
+
+    def step(acc, e):
+        yd = e["y"].cast("double")
+        p = F.pmod(e["x"], F.lit(7))
+        sp = F.element_at(acc["s"], (p + 1).cast("int"))
+        pred = acc["l"] + acc["b"] + sp
+        err = yd - pred
+        l2 = al * (yd - sp) + ac * (acc["l"] + acc["b"])
+        b2 = be * (l2 - acc["l"]) + bc * acc["b"]
+        s2p = ga * (yd - l2) + gc * sp
+        s2 = F.concat(
+            F.slice(acc["s"], F.lit(1), p.cast("int")),
+            F.array(s2p),
+            F.slice(
+                acc["s"],
+                (p + 2).cast("int"),
+                (F.lit(6) - p).cast("int"),
+            ),
+        )
+        warm = acc["k"] >= F.lit(7)
+        return F.struct(
+            l2.alias("l"),
+            b2.alias("b"),
+            s2.alias("s"),
+            F.when(warm, acc["sse"] + err * err)
+            .otherwise(acc["sse"])
+            .alias("sse"),
+            F.when(warm, acc["sae"] + F.abs(err))
+            .otherwise(acc["sae"])
+            .alias("sae"),
+            (acc["k"] + F.lit(1).cast("bigint")).alias("k"),
+        )
+
+    tail = F.slice(
+        F.col("series"),
+        F.lit(8),
+        F.greatest(F.size("series") - 7, F.lit(0)),
+    )
+    acc = F.aggregate(tail, init, step)
+    last_x = F.element_at("series", F.size("series"))["x"]
+    nxt = (F.pmod(last_x + 1, F.lit(7)) + 1).cast("int")
+    fc = acc["l"] + acc["b"] + F.element_at(acc["s"], nxt)
+    nf = (n - 14).cast("double")
+    ok = n >= 14
+    okf = n >= 15
+    return g.select(
+        group_col,
+        "n_days",
+        F.when(ok, acc["l"]).alias("level"),
+        F.when(ok, acc["b"]).alias("trend"),
+        F.when(ok, acc["s"]).alias("season"),
+        F.when(ok, fc).alias("forecast"),
+        F.when(okf, F.sqrt(acc["sse"] / nf)).alias("rmse"),
+        F.when(okf, acc["sae"] / nf).alias("mae"),
+    )

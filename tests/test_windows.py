@@ -2711,3 +2711,104 @@ def test_seasonal_strength_replay_and_short(spark):
     ).collect()[0]
     assert short.trend_strength is None
     assert short.peak_wd is None
+
+
+# holt_winters ------------------------------------------------------
+
+
+def _hw_ref(counts, alpha=0.3, beta=0.1, gamma=0.2):
+    import math
+
+    days = sorted(counts)
+    ys = [float(counts[d]) for d in days]
+    n = len(days)
+    ac, bc, gc = 1.0 - alpha, 1.0 - beta, 1.0 - gamma
+
+    def _lsum(vals):
+        acc = 0.0
+        for v in vals:
+            acc = acc + v
+        return acc
+
+    l = _lsum(ys[:7]) / 7.0
+    b = (_lsum(ys[7:14]) - _lsum(ys[:7])) / 49.0
+    s = [0.0] * 7
+    for d, y in zip(days[:7], ys[:7]):
+        s[d % 7] = y - l
+    sse = sae = 0.0
+    k = 0
+    for d, y in zip(days[7:], ys[7:]):
+        p = d % 7
+        sp = s[p]
+        err = y - (l + b + sp)
+        l2 = alpha * (y - sp) + ac * (l + b)
+        b2 = beta * (l2 - l) + bc * b
+        s[p] = gamma * (y - l2) + gc * sp
+        if k >= 7:
+            sse = sse + err * err
+            sae = sae + abs(err)
+        k += 1
+        l, b = l2, b2
+    nxt = (days[-1] + 1) % 7
+    fc = l + b + s[nxt]
+    return (
+        l, b, s, fc,
+        math.sqrt(sse / (n - 14)), sae / (n - 14),
+    )
+
+
+def test_holt_winters_digit_exact_replay(spark):
+    from protosc_spark.windows import holt_winters
+
+    import random
+
+    rng = random.Random(77)
+    counts = {d: rng.randint(50, 200) for d in range(40)}
+    r = holt_winters(
+        _page_events(spark, counts), "event_type"
+    ).collect()[0]
+    l, b, s, fc, rmse, mae = _hw_ref(counts)
+    assert r.n_days == 40
+    assert r.level == l and r.trend == b
+    assert list(r.season) == s
+    assert r.forecast == fc
+    assert r.rmse == rmse and r.mae == mae
+
+
+def test_holt_winters_learns_rhythm(spark):
+    from protosc_spark.windows import holt_winters
+    from protosc_spark.windows import holt_trend
+
+    wave = [0, 10, 30, 60, 30, 10, 0]
+    counts = {
+        d: 100 + 2 * d + wave[d % 7] for d in range(70)
+    }
+    hw = holt_winters(
+        _page_events(spark, counts), "event_type"
+    ).collect()[0]
+    h = holt_trend(
+        _page_events(spark, counts), "event_type"
+    ).collect()[0]
+    # the seasonal state must rank weekday 3 highest
+    s = list(hw.season)
+    assert max(range(7), key=lambda p: s[p]) == 3
+    # and HW's one-step error must crush seasonal-blind Holt's
+    assert hw.rmse < 0.35 * h.rmse
+    # forecast for day 70 (wd 0): near 100 + 140 + 0
+    assert abs(hw.forecast - (100 + 2 * 70 + wave[0])) < 12
+
+
+def test_holt_winters_short_series_null(spark):
+    from protosc_spark.windows import holt_winters
+
+    r = holt_winters(
+        _page_events(spark, {d: 10 for d in range(13)}),
+        "event_type",
+    ).collect()[0]
+    assert r.level is None and r.season is None
+
+    r14 = holt_winters(
+        _page_events(spark, {d: 10 + d for d in range(14)}),
+        "event_type",
+    ).collect()[0]
+    assert r14.level is not None and r14.rmse is None
