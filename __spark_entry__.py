@@ -1211,6 +1211,61 @@ def _corpus_risk_table(spark, sf_dir):
     )
 
 
+def _corpus_icc(spark, sf_dir):
+    """One-way random-effects ICC(1) of n_chars across sources —
+    what fraction of length variance lives BETWEEN sources (the
+    variance-decomposition sibling of Cronbach/eta-squared, with
+    Searle's unequal-n k0). Exact one-pass moments, per-group terms
+    quantized before the cross-group sums. DuckDB oracle replays
+    the moments, both quantizations and the float tree."""
+    from protosc_spark.evaluation import icc_oneway
+
+    docs = _read(spark, sf_dir, "documents")
+    return icc_oneway(docs, "n_chars", "source").select(
+        "n",
+        "k",
+        F.round("msb", 6).alias("msb"),
+        F.round("msw", 6).alias("msw"),
+        F.round("k0", 6).alias("k0"),
+        F.round("icc", 9).alias("icc"),
+    )
+
+
+def _corpus_tost_split(spark, sf_dir):
+    """TOST equivalence of n_chars between the two arms of the
+    engine's deterministic md5 50/50 split — the A/A test that
+    PROVES the splitter doesn't bias length (a failing Welch test
+    says 'no evidence'; two passing one-sided tests at margin 20
+    chars say 'provably equivalent'). Exact Welch moments. DuckDB
+    oracle reproduces the split rule and the float trees."""
+    from protosc_spark.evaluation import tost_equivalence
+    from protosc_spark.sampling import hash_split
+
+    docs = hash_split(
+        _read(spark, sf_dir, "documents"),
+        ["doc_id"],
+        weights={"a": 0.5, "b": 0.5},
+    )
+    t = tost_equivalence(
+        docs.select(
+            "n_chars",
+            (F.col("split") == "a").cast("int").alias("g"),
+        ),
+        "n_chars",
+        "g",
+        margin=20.0,
+    )
+    return t.select(
+        "n_1",
+        "n_0",
+        F.round("diff", 6).alias("diff"),
+        F.round("se", 6).alias("se"),
+        F.round("z_lower", 6).alias("z_lower"),
+        F.round("z_upper", 6).alias("z_upper"),
+        "equivalent",
+    )
+
+
 def _events_holt_winters(spark, sf_dir):
     """Additive Holt-Winters (weekly season) one-step forecast per
     event type — the rhythm-aware forecaster above holt_trend
@@ -4914,6 +4969,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     full-surface green regardless of this ordering."""
     return {
         # --- round 5 ---
+        "corpus_icc": _corpus_icc,
+        "corpus_tost_split": _corpus_tost_split,
         "events_holt_winters": _events_holt_winters,
         "events_seasonal_strength": _events_seasonal_strength,
         "events_page_trend": _events_page_trend,
@@ -5253,6 +5310,102 @@ def oracle_sql() -> dict[str, str]:
         for t in POISSON1_T60
     )
     out = {
+        "corpus_icc": """
+            WITH base AS (
+              SELECT source AS g, n_chars::HUGEINT AS x
+              FROM documents
+              WHERE n_chars IS NOT NULL AND source IS NOT NULL
+            ), grp AS (
+              SELECT g, count(*)::HUGEINT AS ng,
+                sum(x) AS sg, sum(x * x) AS qg
+              FROM base GROUP BY 1
+            ), agg AS (
+              SELECT count(*)::HUGEINT AS k,
+                sum(ng)::HUGEINT AS n,
+                sum(sg)::HUGEINT AS s,
+                sum(qg)::HUGEINT AS q,
+                sum(floor((sg * sg)::DOUBLE / ng::DOUBLE
+                  * 1000000000.0)::HUGEINT) AS bu,
+                sum(ng * ng)::HUGEINT AS nn2
+              FROM grp
+            ), f AS (
+              SELECT n, k,
+                (bu::DOUBLE / 1000000000.0
+                 - (s * s)::DOUBLE / n::DOUBLE)
+                  / (CASE WHEN k > 1
+                     THEN k::DOUBLE - 1.0 END) AS msb,
+                (q::DOUBLE - bu::DOUBLE / 1000000000.0)
+                  / (CASE WHEN n > k
+                     THEN n::DOUBLE - k::DOUBLE END) AS msw,
+                (n::DOUBLE - nn2::DOUBLE / n::DOUBLE)
+                  / (CASE WHEN k > 1
+                     THEN k::DOUBLE - 1.0 END) AS k0
+              FROM agg
+            ), e AS (
+              SELECT n, k, msb, msw, k0,
+                (msb - msw)
+                  / (CASE WHEN msb + (k0 - 1.0) * msw <> 0
+                     THEN msb + (k0 - 1.0) * msw END) AS icc
+              FROM f
+            )
+            SELECT n::BIGINT AS n, k::BIGINT AS k,
+              CASE WHEN k >= 2 AND n > k AND icc IS NOT NULL
+                THEN round(msb, 6) END AS msb,
+              CASE WHEN k >= 2 AND n > k AND icc IS NOT NULL
+                THEN round(msw, 6) END AS msw,
+              CASE WHEN k >= 2 AND n > k AND icc IS NOT NULL
+                THEN round(k0, 6) END AS k0,
+              CASE WHEN k >= 2 AND n > k AND icc IS NOT NULL
+                THEN round(icc, 9) END AS icc
+            FROM e
+        """,
+        "corpus_tost_split": """
+            WITH base AS (
+              SELECT n_chars::HUGEINT AS v,
+                (CASE WHEN (('0x' || substr(md5('v1' || chr(31)
+                    || doc_id::VARCHAR), 1, 15))::BIGINT
+                    % 10000) < 5000
+                 THEN 1 ELSE 0 END) AS y
+              FROM documents WHERE n_chars IS NOT NULL
+            ), g AS (
+              SELECT sum(y)::HUGEINT AS n1,
+                sum(1 - y)::HUGEINT AS n0,
+                sum(CASE WHEN y = 1 THEN v ELSE 0 END) AS s1,
+                sum(CASE WHEN y = 0 THEN v ELSE 0 END) AS s0,
+                sum(CASE WHEN y = 1 THEN v * v ELSE 0 END) AS q1,
+                sum(CASE WHEN y = 0 THEN v * v ELSE 0 END) AS q0
+              FROM base
+            ), f AS (
+              SELECT n1, n0,
+                s1::DOUBLE / n1::DOUBLE
+                  - s0::DOUBLE / n0::DOUBLE AS diff,
+                sqrt(
+                  (n1 * q1 - s1 * s1)::DOUBLE
+                    / (n1::DOUBLE * (n1::DOUBLE - 1.0))
+                    / n1::DOUBLE
+                  + (n0 * q0 - s0 * s0)::DOUBLE
+                    / (n0::DOUBLE * (n0::DOUBLE - 1.0))
+                    / n0::DOUBLE) AS se
+              FROM g
+            ), e AS (
+              SELECT n1, n0, diff, se,
+                (diff + 20.0)
+                  / (CASE WHEN se <> 0 THEN se END) AS zl,
+                (20.0 - diff)
+                  / (CASE WHEN se <> 0 THEN se END) AS zu,
+                n1 >= 2 AND n0 >= 2 AS ok
+              FROM f
+            )
+            SELECT n1::BIGINT AS n_1, n0::BIGINT AS n_0,
+              CASE WHEN ok THEN round(diff, 6) END AS diff,
+              CASE WHEN ok THEN round(se, 6) END AS se,
+              CASE WHEN ok THEN round(zl, 6) END AS z_lower,
+              CASE WHEN ok THEN round(zu, 6) END AS z_upper,
+              CASE WHEN ok AND zl IS NOT NULL THEN
+                zl > 1.6448536269514722
+                AND zu > 1.6448536269514722 END AS equivalent
+            FROM e
+        """,
         "events_holt_winters": """
             WITH RECURSIVE daily AS (
               SELECT event_type AS g,

@@ -217,6 +217,8 @@ HEADLINE = [
     "events_durbin_watson",
     "events_seasonal_strength",
     "events_holt_winters",
+    "corpus_icc",
+    "corpus_tost_split",
 ]
 
 BENCH_CONVERSATIONS = int(os.environ.get("PROTOSC_BENCH_CONVS", "20000"))

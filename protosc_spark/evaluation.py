@@ -3743,3 +3743,163 @@ def rfm_segments(
             ).alias("avg_amount"),
         )
     )
+
+
+def icc_oneway(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    unit: int = 10**9,
+) -> DataFrame:
+    """One-way random-effects intraclass correlation ICC(1) of
+    ``value_col`` across ``group_col`` — what fraction of total
+    variance lives BETWEEN groups (sources, annotators, crawl
+    snapshots)? The variance-decomposition sibling of Cronbach's
+    alpha (consistency of parallel measurements) and eta-squared
+    (fixed-effects share): ICC is the number to quote when groups
+    are a random sample of a population of groups. Unequal group
+    sizes use the standard ANOVA estimator (Searle):
+
+        ICC = (MSB - MSW) / (MSB + (k0 - 1) MSW),
+        k0  = (N - sum n_g^2 / N) / (k - 1)
+
+    Exactness, the house way: per-group n_g, S_g, Q_g are exact
+    DECIMAL(38,0) from ONE aggregation; the per-group term
+    S_g^2 / n_g is quantized to integer 1/``unit`` units before the
+    cross-group sum, as is n_g^2 / N (both bounded by their
+    group's contribution — the Brown-Forsythe rule); MSB, MSW, k0
+    and ICC are one closed float tree, identical in the SQL oracle.
+    Negative ICC estimates are reported as-is (the standard
+    convention — truncation hides a between-variance of ~0).
+
+    Output: ONE row (n, k, msb, msw, k0, icc); NULL statistics when
+    k < 2, N <= k, or MSW's denominator degenerates."""
+    dec = "decimal(38,0)"
+    v = F.col(value_col).cast("bigint")
+    rows = df.where(
+        v.isNotNull() & F.col(group_col).isNotNull()
+    ).select(F.col(group_col).alias("g"), v.alias("x"))
+    grp = rows.groupBy("g").agg(
+        F.count(F.lit(1)).cast(dec).alias("__ng"),
+        F.sum(F.col("x").cast(dec)).alias("__sg"),
+        F.sum((F.col("x") * F.col("x")).cast(dec)).alias("__qg"),
+    )
+    u = F.lit(float(unit))
+    term_b = (F.col("__sg") * F.col("__sg")).cast(
+        "double"
+    ) / F.col("__ng").cast("double")
+    g = grp.agg(
+        F.count(F.lit(1)).alias("__k"),
+        F.sum("__ng").alias("__n"),
+        F.sum("__sg").alias("__s"),
+        F.sum("__qg").alias("__q"),
+        F.sum(F.floor(term_b * u).cast(dec)).alias("__bu"),
+        F.sum(
+            (F.col("__ng") * F.col("__ng")).cast(dec)
+        ).alias("__nn2"),
+    )
+    n = F.col("__n")
+    nd = n.cast("double")
+    kd = F.col("__k").cast("double")
+    b = F.col("__bu").cast("double") / u
+    ssb = b - (F.col("__s") * F.col("__s")).cast("double") / nd
+    ssw = F.col("__q").cast("double") - b
+    # ANSI-safe divisors (NULL, not 0, when degenerate)
+    km1 = F.when(kd > 1, kd - F.lit(1.0))
+    nmk = F.when(nd > kd, nd - kd)
+    msb = ssb / km1
+    msw = ssw / nmk
+    k0 = (nd - F.col("__nn2").cast("double") / nd) / km1
+    # ANSI-safe: NULL divisor by construction (hoisted-subexpr rule)
+    iden = msb + (k0 - F.lit(1.0)) * msw
+    icc = (msb - msw) / F.when(iden != 0, iden)
+    valid = (
+        (F.col("__k") >= 2)
+        & (n > F.col("__k").cast(dec))
+        & icc.isNotNull()
+    )
+    return g.select(
+        n.cast("bigint").alias("n"),
+        F.col("__k").cast("bigint").alias("k"),
+        F.when(valid, msb).alias("msb"),
+        F.when(valid, msw).alias("msw"),
+        F.when(valid, k0).alias("k0"),
+        F.when(valid, icc).alias("icc"),
+    )
+
+
+def tost_equivalence(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    margin: float,
+) -> DataFrame:
+    """TOST equivalence readout (two one-sided tests) between group
+    1 (``group_col`` truthy) and group 0 — the experiment-family
+    member that PROVES absence: welch_ttest failing to reject says
+    "no evidence of an effect"; TOST rejecting both one-sided nulls
+    says "the effect is provably inside +-``margin``" — the
+    regulatory / non-inferiority standard (Schuirmann 1987):
+
+        z_lower = (diff + margin) / se   (H0: diff <= -margin)
+        z_upper = (margin - diff) / se   (H0: diff >= +margin)
+        equivalent  <=>  min(z_lower, z_upper) > 1.6448536269514722
+
+    with diff = mean_1 - mean_0 and the WELCH standard error
+    se = sqrt(s1^2/n1 + s0^2/n0). Exactness: the same one-pass
+    exact DECIMAL moments as effect_size; every statistic is a
+    closed float tree of exact integers, identical in the SQL
+    oracle (z at corpus n makes the t-vs-normal distinction
+    negligible — the welch_ttest convention).
+
+    Output: ONE row (n_1, n_0, diff, se, z_lower, z_upper,
+    equivalent); NULL when either group has < 2 rows or se = 0."""
+    dec = "decimal(38,0)"
+    y = F.col(group_col).cast("int")
+    v = F.col(value_col).cast(dec)
+    rows = df.where(
+        F.col(value_col).isNotNull() & F.col(group_col).isNotNull()
+    )
+    g = rows.agg(
+        F.sum(y.cast(dec)).alias("__n1"),
+        F.sum((1 - y).cast(dec)).alias("__n0"),
+        F.sum(F.when(y == 1, v).otherwise(F.lit(0).cast(dec))
+              ).alias("__s1"),
+        F.sum(F.when(y == 0, v).otherwise(F.lit(0).cast(dec))
+              ).alias("__s0"),
+        F.sum(F.when(y == 1, v * v).otherwise(F.lit(0).cast(dec))
+              ).alias("__q1"),
+        F.sum(F.when(y == 0, v * v).otherwise(F.lit(0).cast(dec))
+              ).alias("__q0"),
+    )
+    n1, n0 = F.col("__n1"), F.col("__n0")
+    n1d, n0d = n1.cast("double"), n0.cast("double")
+    m1 = F.col("__s1").cast("double") / n1d
+    m0 = F.col("__s0").cast("double") / n0d
+    # unbiased s^2 = (n q - s^2) / (n (n - 1)), exact numerator
+    v1 = (n1 * F.col("__q1") - F.col("__s1") * F.col("__s1")).cast(
+        "double"
+    ) / (n1d * (n1d - F.lit(1.0)))
+    v0 = (n0 * F.col("__q0") - F.col("__s0") * F.col("__s0")).cast(
+        "double"
+    ) / (n0d * (n0d - F.lit(1.0)))
+    se = F.sqrt(v1 / n1d + v0 / n0d)
+    diff = m1 - m0
+    mg = F.lit(float(margin))
+    zl = (diff + mg) / F.when(se != 0, se)
+    zu = (mg - diff) / F.when(se != 0, se)
+    zcrit = F.lit(1.6448536269514722)
+    two = F.lit(2).cast(dec)
+    ok = (n1 >= two) & (n0 >= two)
+    return g.select(
+        n1.cast("bigint").alias("n_1"),
+        n0.cast("bigint").alias("n_0"),
+        F.when(ok, diff).alias("diff"),
+        F.when(ok, se).alias("se"),
+        F.when(ok, zl).alias("z_lower"),
+        F.when(ok, zu).alias("z_upper"),
+        F.when(
+            ok & zl.isNotNull(),
+            (zl > zcrit) & (zu > zcrit),
+        ).alias("equivalent"),
+    )

@@ -2950,3 +2950,148 @@ def test_rfm_new_vs_at_risk(spark):
         labels[r.label] += r.n_entities
     assert labels.get("new", 0) >= 1
     assert labels.get("at_risk", 0) >= 1
+
+
+# icc_oneway --------------------------------------------------------
+
+
+def _icc_ref(groups, unit=10**9):
+    import math
+
+    k = len(groups)
+    n = sum(len(g) for g in groups)
+    s = sum(sum(g) for g in groups)
+    q = sum(v * v for g in groups for v in g)
+    bu = 0
+    for g in groups:
+        sg = sum(g)
+        bu += math.floor(
+            float(sg * sg) / float(len(g)) * float(unit)
+        )
+    nn2 = sum(len(g) ** 2 for g in groups)
+    b = float(bu) / float(unit)
+    ssb = b - float(s * s) / float(n)
+    ssw = float(q) - b
+    msb = ssb / (float(k) - 1.0)
+    msw = ssw / (float(n) - float(k))
+    k0 = (float(n) - float(nn2) / float(n)) / (float(k) - 1.0)
+    icc = (msb - msw) / (msb + (k0 - 1.0) * msw)
+    return msb, msw, k0, icc
+
+
+def test_icc_digit_exact_replay(spark):
+    from protosc_spark.evaluation import icc_oneway
+
+    import random
+
+    rng = random.Random(29)
+    groups = [
+        [rng.randint(0, 100) for _ in range(rng.randint(20, 60))]
+        for _ in range(5)
+    ]
+    r = icc_oneway(
+        _mk_groups(spark, groups), "x", "g"
+    ).collect()[0]
+    msb, msw, k0, icc = _icc_ref(groups)
+    assert r.msb == msb and r.msw == msw
+    assert r.k0 == k0 and r.icc == icc
+    # homogeneous random groups: ICC near 0
+    assert abs(icc) < 0.1
+
+
+def test_icc_separated_groups_near_one(spark):
+    from protosc_spark.evaluation import icc_oneway
+
+    import random
+
+    rng = random.Random(31)
+    groups = [
+        [1000 * i + rng.randint(-3, 3) for _ in range(30)]
+        for i in range(4)
+    ]
+    r = icc_oneway(
+        _mk_groups(spark, groups), "x", "g"
+    ).collect()[0]
+    assert r.icc > 0.99
+
+
+def test_icc_degenerate(spark):
+    from protosc_spark.evaluation import icc_oneway
+
+    one = icc_oneway(
+        _mk_groups(spark, [[1, 2, 3]]), "x", "g"
+    ).collect()[0]
+    assert one.icc is None and one.k == 1
+
+
+# tost_equivalence --------------------------------------------------
+
+
+def test_tost_equivalent_vs_shifted(spark):
+    from protosc_spark.evaluation import tost_equivalence
+
+    import random
+
+    rng = random.Random(37)
+    a = [rng.randint(90, 110) for _ in range(400)]
+    b = [rng.randint(90, 110) for _ in range(400)]
+    eq = tost_equivalence(
+        _mk_two(spark, a, b), "x", "g", margin=5.0
+    ).collect()[0]
+    assert eq.equivalent is True
+    assert eq.z_lower > 1.645 and eq.z_upper > 1.645
+
+    shifted = tost_equivalence(
+        _mk_two(spark, [v + 10 for v in a], b),
+        "x",
+        "g",
+        margin=5.0,
+    ).collect()[0]
+    # true diff 10 > margin 5: upper test must fail hard
+    assert shifted.equivalent is False
+    assert shifted.z_upper < 0
+
+
+def test_tost_underpowered_is_not_equivalent(spark):
+    from protosc_spark.evaluation import tost_equivalence
+
+    import random
+
+    rng = random.Random(41)
+    # tiny n, huge spread: Welch would not reject either, but TOST
+    # correctly refuses to declare equivalence
+    a = [rng.randint(0, 1000) for _ in range(5)]
+    b = [rng.randint(0, 1000) for _ in range(5)]
+    r = tost_equivalence(
+        _mk_two(spark, a, b), "x", "g", margin=5.0
+    ).collect()[0]
+    assert r.equivalent is False
+
+
+def test_tost_replay_and_degenerate(spark):
+    from protosc_spark.evaluation import tost_equivalence
+
+    import math
+
+    a, b = [10, 12, 14, 16], [11, 13, 15, 17]
+    r = tost_equivalence(
+        _mk_two(spark, a, b), "x", "g", margin=3.0
+    ).collect()[0]
+    n1, n0 = 4, 4
+    m1, m0 = sum(a) / 4.0, sum(b) / 4.0
+    q1 = sum(v * v for v in a)
+    q0 = sum(v * v for v in b)
+    s1, s0 = sum(a), sum(b)
+    v1 = float(n1 * q1 - s1 * s1) / (4.0 * 3.0)
+    v0 = float(n0 * q0 - s0 * s0) / (4.0 * 3.0)
+    se = math.sqrt(v1 / 4.0 + v0 / 4.0)
+    diff = m1 - m0
+    assert r.diff == diff and r.se == se
+    assert r.z_lower == (diff + 3.0) / se
+    assert r.z_upper == (3.0 - diff) / se
+
+    const = tost_equivalence(
+        _mk_two(spark, [5, 5], [5, 5]), "x", "g", margin=1.0
+    ).collect()[0]
+    # zero variance: se 0 -> NULL statistics
+    assert const.z_lower is None and const.equivalent is None
