@@ -1211,6 +1211,48 @@ def _corpus_risk_table(spark, sf_dir):
     )
 
 
+def _txt_char_entropy(spark, sf_dir):
+    """Per-document character entropy + evenness — the compression
+    proxy that flags padding at one end (H -> 0) and key-mash /
+    base64 gibberish at the other (H -> ln k): exact per-(doc,char)
+    counts, quantized per-char ln summed exactly, one division per
+    doc. DuckDB oracle replays the char explode, the quantization
+    and both readouts."""
+    from protosc_spark.textops import char_entropy
+
+    docs = _read_wide(spark, sf_dir, "documents")
+    t = char_entropy(docs)
+    return t.select(
+        "doc_id",
+        "n",
+        "k_distinct",
+        F.round("entropy_nats", 6).alias("entropy_nats"),
+        F.round("evenness", 6).alias("evenness"),
+    ).orderBy("doc_id")
+
+
+def _events_calendar_coverage(spark, sf_dir):
+    """Calendar completeness per event type — span vs observed
+    days, missing-day total, the longest outage and coverage, all
+    off one lag window over observed days (no generated calendar).
+    DuckDB oracle replays the day list, the lag gaps and the
+    division."""
+    from protosc_spark.windows import calendar_coverage
+
+    ev = _read(spark, sf_dir, "events").select("event_type", "ts")
+    t = calendar_coverage(ev, "event_type")
+    return t.select(
+        "event_type",
+        "first_day",
+        "last_day",
+        "span_days",
+        "observed_days",
+        "missing_days",
+        "longest_gap",
+        F.round("coverage", 6).alias("coverage"),
+    ).orderBy("event_type")
+
+
 def _corpus_icc(spark, sf_dir):
     """One-way random-effects ICC(1) of n_chars across sources —
     what fraction of length variance lives BETWEEN sources (the
@@ -4969,6 +5011,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     full-surface green regardless of this ordering."""
     return {
         # --- round 5 ---
+        "txt_char_entropy": _txt_char_entropy,
+        "events_calendar_coverage": _events_calendar_coverage,
         "corpus_icc": _corpus_icc,
         "corpus_tost_split": _corpus_tost_split,
         "events_holt_winters": _events_holt_winters,
@@ -5310,6 +5354,72 @@ def oracle_sql() -> dict[str, str]:
         for t in POISSON1_T60
     )
     out = {
+        "txt_char_entropy": """
+            WITH chars AS (
+              SELECT doc_id,
+                unnest(list_transform(
+                  range(1, length(text) + 1),
+                  i -> substr(text, i::INT, 1))) AS ch
+              FROM documents
+            ), cnt AS (
+              SELECT doc_id, ch, count(*)::HUGEINT AS c
+              FROM chars GROUP BY 1, 2
+            ), tot AS (
+              SELECT doc_id, sum(c)::HUGEINT AS n,
+                count(*)::BIGINT AS k
+              FROM cnt GROUP BY 1
+            ), q AS (
+              SELECT cnt.doc_id, tot.n, tot.k,
+                cnt.c,
+                floor(ln(cnt.c::DOUBLE / tot.n::DOUBLE)
+                  * 1000000000.0)::HUGEINT AS lnq
+              FROM cnt JOIN tot ON cnt.doc_id = tot.doc_id
+            ), g AS (
+              SELECT doc_id, max(n) AS n, max(k) AS k,
+                sum(c * lnq)::HUGEINT AS s
+              FROM q GROUP BY 1
+            ), f AS (
+              SELECT doc_id, n, k,
+                -(s::DOUBLE)
+                  / (n::DOUBLE * 1000000000.0) AS h
+              FROM g
+            )
+            SELECT doc_id, n::BIGINT AS n,
+              k AS k_distinct,
+              round(h, 6) AS entropy_nats,
+              CASE WHEN k > 1 THEN
+                round(h / ln(k::DOUBLE), 6) END AS evenness
+            FROM f ORDER BY doc_id
+        """,
+        "events_calendar_coverage": """
+            WITH daily AS (
+              SELECT event_type AS g,
+                (ts::DATE - DATE '1970-01-01')::BIGINT AS day
+              FROM events GROUP BY 1, 2
+            ), gaps AS (
+              SELECT g, day,
+                day - lag(day) OVER (PARTITION BY g
+                   ORDER BY day) - 1 AS gap
+              FROM daily
+            ), agg AS (
+              SELECT g, min(day) AS first_day,
+                max(day) AS last_day,
+                count(*)::BIGINT AS observed_days,
+                coalesce(sum(gap), 0)::BIGINT AS missing_days,
+                greatest(coalesce(max(gap), 0), 0)::BIGINT
+                  AS longest_gap
+              FROM gaps GROUP BY 1
+            )
+            SELECT g AS event_type,
+              first_day::BIGINT AS first_day,
+              last_day::BIGINT AS last_day,
+              (last_day - first_day + 1)::BIGINT AS span_days,
+              observed_days, missing_days, longest_gap,
+              round(observed_days::DOUBLE
+                / (last_day - first_day + 1)::DOUBLE, 6)
+                AS coverage
+            FROM agg ORDER BY event_type
+        """,
         "corpus_icc": """
             WITH base AS (
               SELECT source AS g, n_chars::HUGEINT AS x

@@ -219,6 +219,8 @@ HEADLINE = [
     "events_holt_winters",
     "corpus_icc",
     "corpus_tost_split",
+    "txt_char_entropy",
+    "events_calendar_coverage",
 ]
 
 BENCH_CONVERSATIONS = int(os.environ.get("PROTOSC_BENCH_CONVS", "20000"))

@@ -1521,3 +1521,60 @@ def word_burstiness(df: DataFrame, k: int = 50) -> DataFrame:
         ),
         (nd * (F.lit(1.0) - F.exp(-cfd / nd))).alias("poisson_df"),
     )
+
+
+def char_entropy(df: DataFrame, unit: int = 10**9) -> DataFrame:
+    """Per-document character-level Shannon entropy — the
+    compression-ratio proxy quality filters use at both ends: near-
+    zero entropy flags repetition/padding ("aaaa...", markup spam),
+    entropy pinned at the maximum ln(k) flags key-mash / encrypted /
+    base64 gibberish; prose sits in between. Reported in nats with
+    the evenness ratio H / ln(k_distinct) in [0, 1].
+
+    Exactness, the house rule shared with the Markov entropy rate:
+    per-(doc, char) counts are exact integers off one explode +
+    map-side-combined groupBy; each char's ln(c/n) is quantized to
+    integer 1/``unit`` units and the per-doc sum accumulates
+    c * lnq exactly — order-independent at any parallelism, ONE
+    division per doc (the evenness divisor ln(k) is a plain IEEE
+    ln, identical cross-engine).
+
+    Output: one row per doc (doc_id, n, k_distinct, entropy_nats,
+    evenness); evenness NULL for single-char-alphabet docs."""
+    dec = "decimal(38,0)"
+    chars = (
+        df.select(
+            "doc_id", F.explode(F.split("text", "")).alias("ch")
+        )
+        .groupBy("doc_id", "ch")
+        .agg(F.count(F.lit(1)).cast(dec).alias("__c"))
+    )
+    tot = chars.groupBy("doc_id").agg(
+        F.sum("__c").alias("__n"),
+        F.count(F.lit(1)).cast("bigint").alias("__k"),
+    )
+    u = F.lit(float(unit))
+    j = chars.join(tot, "doc_id")
+    lnq = F.floor(
+        F.log(
+            F.col("__c").cast("double") / F.col("__n").cast("double")
+        )
+        * u
+    ).cast(dec)
+    g = j.groupBy("doc_id").agg(
+        F.max("__n").alias("__n"),
+        F.max("__k").alias("__k"),
+        F.sum(F.col("__c") * lnq).alias("__s"),
+    )
+    n = F.col("__n")
+    h = -F.col("__s").cast("double") / (n.cast("double") * u)
+    k = F.col("__k")
+    return g.select(
+        "doc_id",
+        n.cast("bigint").alias("n"),
+        k.alias("k_distinct"),
+        h.alias("entropy_nats"),
+        (h / F.when(k > 1, F.log(k.cast("double")))).alias(
+            "evenness"
+        ),
+    )

@@ -3563,3 +3563,68 @@ def holt_winters(
         F.when(okf, F.sqrt(acc["sse"] / nf)).alias("rmse"),
         F.when(okf, acc["sae"] / nf).alias("mae"),
     )
+
+
+def calendar_coverage(
+    df: DataFrame,
+    group_col: str,
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Calendar completeness audit per slice — which series have
+    HOLES (feed outages, dropped partitions, backfill debt), read
+    straight off the observed day list: consecutive observed days
+    d_prev -> d contribute gap = days(d - d_prev) - 1 missing days,
+    so span, missing total and the LONGEST outage all come from one
+    lag window over per-slice day rows — no generated calendar, no
+    join against a date dimension (at web scale the date dimension
+    is the cheap part; this avoids even that).
+
+    Output: one row per slice (group, first_day, last_day as
+    epoch-day BIGINTs — the topk_churn convention — plus span_days,
+    observed_days, missing_days, longest_gap, coverage) with
+    coverage = observed / span as one exact-integer division;
+    longest_gap 0 for a complete series."""
+    daily = df.groupBy(
+        group_col,
+        F.datediff(F.to_date(ts_col), F.lit("1970-01-01"))
+        .cast("bigint")
+        .alias("__day"),
+    ).agg(F.count(F.lit(1)).alias("__cnt"))
+    w = W.partitionBy(group_col).orderBy("__day")
+    gaps = daily.select(
+        group_col,
+        "__day",
+        (
+            F.col("__day")
+            - F.lag("__day").over(w)
+            - F.lit(1)
+        ).alias("__gap"),
+    )
+    g = gaps.groupBy(group_col).agg(
+        F.min("__day").alias("first_day"),
+        F.max("__day").alias("last_day"),
+        F.count(F.lit(1)).cast("bigint").alias("observed_days"),
+        F.coalesce(
+            F.sum("__gap").cast("bigint"), F.lit(0)
+        ).alias("missing_days"),
+        F.coalesce(
+            F.max("__gap").cast("bigint"), F.lit(0)
+        ).alias("longest_gap"),
+    )
+    span = (
+        F.col("last_day") - F.col("first_day") + F.lit(1)
+    ).cast("bigint")
+    return g.select(
+        group_col,
+        "first_day",
+        "last_day",
+        span.alias("span_days"),
+        "observed_days",
+        "missing_days",
+        F.greatest(F.col("longest_gap"), F.lit(0).cast("bigint")
+                   ).alias("longest_gap"),
+        (
+            F.col("observed_days").cast("double")
+            / span.cast("double")
+        ).alias("coverage"),
+    )

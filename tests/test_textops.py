@@ -1310,3 +1310,46 @@ def test_word_burstiness_poisson_vs_bursty(spark):
     assert out["hot"].burstiness == 5.0
     # bursty word hits far fewer docs than Poisson with its cf would
     assert out["hot"].doc_freq < 0.5 * out["hot"].poisson_df
+
+
+# char_entropy ------------------------------------------------------
+
+
+def test_char_entropy_extremes_and_replay(spark):
+    from protosc_spark.textops import char_entropy
+
+    import math
+
+    docs = _bdocs(spark, ["aaaaaaaa", "abcdefgh", "aabb"])
+    out = {r.doc_id: r for r in char_entropy(docs).collect()}
+    # constant doc: zero entropy, evenness undefined (k = 1)
+    assert out[0].entropy_nats == 0.0
+    assert out[0].evenness is None and out[0].k_distinct == 1
+    # all-distinct doc: H = ln 8 up to the 1e-9 ln grid
+    assert abs(out[1].entropy_nats - math.log(8)) < 1e-8
+    assert abs(out[1].evenness - 1.0) < 1e-8
+    # digit-exact replay of the quantized pipeline for 'aabb'
+    lnq = math.floor(math.log(2.0 / 4.0) * 1e9)
+    h_ref = -float(2 * lnq + 2 * lnq) / (4.0 * 1e9)
+    assert out[2].entropy_nats == h_ref
+    assert out[2].evenness == h_ref / math.log(2.0)
+
+
+def test_char_entropy_orders_quality(spark):
+    from protosc_spark.textops import char_entropy
+
+    docs = _bdocs(
+        spark,
+        [
+            "the quick brown fox jumps over the lazy dog",
+            "spam spam spam spam spam spam spam spam",
+            "x" * 40,
+        ],
+    )
+    out = {r.doc_id: r for r in char_entropy(docs).collect()}
+    # prose > repetitive boilerplate > padding
+    assert (
+        out[0].entropy_nats
+        > out[1].entropy_nats
+        > out[2].entropy_nats
+    )

@@ -2812,3 +2812,38 @@ def test_holt_winters_short_series_null(spark):
         "event_type",
     ).collect()[0]
     assert r14.level is not None and r14.rmse is None
+
+
+# calendar_coverage -------------------------------------------------
+
+
+def test_calendar_coverage_gaps(spark):
+    from protosc_spark.windows import calendar_coverage
+
+    # days 0-4 present, 5-7 missing, 8-9 present, 10 missing, 11
+    present = [0, 1, 2, 3, 4, 8, 9, 11]
+    counts = {d: 3 for d in present}
+    r = calendar_coverage(
+        _page_events(spark, counts), "event_type"
+    ).collect()[0]
+    assert (r.first_day, r.last_day) == (19723 + 0 - 19723, 11)
+    assert r.span_days == 12 and r.observed_days == 8
+    assert r.missing_days == 4 and r.longest_gap == 3
+    assert r.coverage == 8.0 / 12.0
+
+
+def test_calendar_coverage_complete_and_single(spark):
+    from protosc_spark.windows import calendar_coverage
+
+    full = calendar_coverage(
+        _page_events(spark, {d: 1 for d in range(10)}),
+        "event_type",
+    ).collect()[0]
+    assert full.missing_days == 0 and full.longest_gap == 0
+    assert full.coverage == 1.0
+
+    one = calendar_coverage(
+        _page_events(spark, {5: 2}), "event_type"
+    ).collect()[0]
+    assert one.span_days == 1 and one.coverage == 1.0
+    assert one.longest_gap == 0
