@@ -1541,6 +1541,8 @@ def char_entropy(df: DataFrame, unit: int = 10**9) -> DataFrame:
 
     Output: one row per doc (doc_id, n, k_distinct, entropy_nats,
     evenness); evenness NULL for single-char-alphabet docs."""
+    from pyspark.sql import Window as W
+
     dec = "decimal(38,0)"
     chars = (
         df.select(
@@ -1549,12 +1551,17 @@ def char_entropy(df: DataFrame, unit: int = 10**9) -> DataFrame:
         .groupBy("doc_id", "ch")
         .agg(F.count(F.lit(1)).cast(dec).alias("__c"))
     )
-    tot = chars.groupBy("doc_id").agg(
-        F.sum("__c").alias("__n"),
-        F.count(F.lit(1)).cast("bigint").alias("__k"),
-    )
+    # per-doc totals via a window over the already-aggregated cell
+    # table (a join against a second aggregate would recompute the
+    # corpus explode — one scan, not two)
+    wd = W.partitionBy("doc_id")
     u = F.lit(float(unit))
-    j = chars.join(tot, "doc_id")
+    j = chars.select(
+        "doc_id",
+        "__c",
+        F.sum("__c").over(wd).alias("__n"),
+        F.count(F.lit(1)).over(wd).cast("bigint").alias("__k"),
+    )
     lnq = F.floor(
         F.log(
             F.col("__c").cast("double") / F.col("__n").cast("double")

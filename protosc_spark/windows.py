@@ -3017,8 +3017,12 @@ def entropy_rate(
         F.lag(state_col).over(w).alias("__a"),
         F.col(state_col).alias("__b"),
     ).where(F.col("__a").isNotNull() & F.col("__b").isNotNull())
-    counts = pairs.groupBy("__a", "__b").agg(
-        F.count(F.lit(1)).cast(dec).alias("__cab")
+    counts = (
+        pairs.groupBy("__a", "__b")
+        .agg(F.count(F.lit(1)).cast(dec).alias("__cab"))
+        # |states|^2 rows feed the row-sum rollup AND the final
+        # join; without the cut the entity exchange runs twice
+        .localCheckpoint(eager=True)
     )
     fromtot = counts.groupBy("__a").agg(
         F.sum("__cab").alias("__ca")
@@ -3204,7 +3208,9 @@ def durbin_watson(
         F.datediff(
             F.col("__day"), F.min("__day").over(wmin)
         ).cast("bigint"),
-    )
+        # day rows feed the moment rollup AND the residual join —
+        # cut the lineage so the raw scan runs once
+    ).localCheckpoint(eager=True)
     mom = witht.groupBy(group_col).agg(
         F.count(F.lit(1)).cast(dec).alias("__n"),
         F.sum("__t").cast(dec).alias("__st"),
@@ -3356,7 +3362,10 @@ def seasonal_strength(
             )
             * u
         ).cast(dec).alias("__d"),
-    )
+        # day-table rows feed three consumers (weekday means, the
+        # peak table, the remainder rollup) — cut the lineage so the
+        # raw scan and the coefficient join run once
+    ).localCheckpoint(eager=True)
     swd = det.groupBy(group_col, "wd").agg(
         F.floor(
             F.sum("__d").cast("double")

@@ -314,3 +314,83 @@ def test_daily_monitor_pair_joins_materialize_daily_once(spark, queries):
                  "events_trend_mk"):
         p = plan(queries[name](spark, SF))
         assert p.count("FileScan parquet") == 0, name
+
+
+def test_burstiness_topk_not_global_sort(spark):
+    from protosc_spark.textops import word_burstiness
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    p = plan(word_burstiness(docs, k=50))
+    assert "ArrowEvalPython" not in p and "BatchEvalPython" not in p
+    # deterministic head must be TakeOrderedAndProject, never a
+    # global Sort + Limit over the vocabulary
+    assert "TakeOrderedAndProject" in p
+    assert "Exchange rangepartitioning" not in p
+    assert p.count("Generate explode") == 1
+    assert n_shuffles(p) <= 2
+
+
+def test_char_entropy_single_explode(spark):
+    from protosc_spark.textops import char_entropy
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    p = plan(char_entropy(docs))
+    assert "ArrowEvalPython" not in p and "BatchEvalPython" not in p
+    # one corpus scan: per-doc totals ride a window over the cell
+    # table, not a join against a second explode
+    assert p.count("Generate explode") == 1
+    assert n_shuffles(p) <= 2
+
+
+def test_rfm_no_global_entity_sort(spark):
+    from protosc_spark.evaluation import rfm_segments
+
+    orders = spark.read.parquet(f"{SF}/orders.parquet")
+    p = plan(
+        rfm_segments(
+            orders, "o_custkey", "o_orderdate", "o_totalprice"
+        )
+    )
+    assert "ArrowEvalPython" not in p and "BatchEvalPython" not in p
+    # quintiles come from value histograms: no rank/ntile window
+    # over the full entity table (= no range exchange anywhere)
+    assert "Exchange rangepartitioning" not in p
+    assert "CartesianProduct" not in p
+
+
+def test_kruskal_histogram_plan(spark):
+    from protosc_spark.evaluation import kruskal_wallis
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select(
+        "n_chars", F.col("lang").alias("g")
+    )
+    p = plan(kruskal_wallis(docs, "n_chars", "g"))
+    assert "ArrowEvalPython" not in p and "BatchEvalPython" not in p
+    assert "CartesianProduct" not in p
+    # ranks run over distinct values, never a corpus range sort
+    assert "Exchange rangepartitioning" not in p
+
+
+def test_entropy_rate_single_entity_exchange(spark):
+    from protosc_spark.windows import entropy_rate
+
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    p = plan(entropy_rate(ev))
+    assert "ArrowEvalPython" not in p and "BatchEvalPython" not in p
+    # the counts checkpoint cuts the pair stream: everything after
+    # runs on |states|^2 rows
+    assert n_shuffles(p) <= 4
+
+
+def test_holt_winters_plan_no_python_no_sort(spark):
+    from protosc_spark.windows import holt_winters
+
+    ev = spark.read.parquet(f"{SF}/events.parquet").select(
+        "event_type", "ts"
+    )
+    p = plan(holt_winters(ev, "event_type"))
+    assert "ArrowEvalPython" not in p and "BatchEvalPython" not in p
+    # the recursion is a Catalyst aggregate over sort_array state:
+    # one daily agg + one series agg, no range exchange
+    assert "Exchange rangepartitioning" not in p
+    assert n_shuffles(p) <= 2
