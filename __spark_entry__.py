@@ -1211,6 +1211,68 @@ def _corpus_risk_table(spark, sf_dir):
     )
 
 
+def _events_power_mde(spark, sf_dir):
+    """Experiment power planner per event type — can this corpus
+    detect a 2-point conversion lift (n required per arm), and
+    what's the minimum detectable effect at the current population
+    (the question the A/B gates beg)? Exact grid counts, closed
+    float trees with spelled-out z literals. DuckDB oracle replays
+    the grid and both formulas."""
+    from protosc_spark.experiment import power_mde
+
+    ev = _read(spark, sf_dir, "events")
+    t = power_mde(ev, threshold=14, mde_abs=0.02)
+    return t.select(
+        "state",
+        "n_users",
+        "conversions",
+        F.round("baseline_rate", 6).alias("baseline_rate"),
+        "n_required_per_arm",
+        "powered_now",
+        F.round("mde_now", 6).alias("mde_now"),
+    ).orderBy("state")
+
+
+def _events_anomaly_days(spark, sf_dir):
+    """Seasonally-adjusted anomaly days per event type — which days
+    broke AFTER their slice's trend and weekday rhythm are removed
+    (a planted series carries a spike and a crash riding a clean
+    weekly wave; raw-volume monitors would page every peak weekday
+    instead). Exact decomposition, one division per day. DuckDB
+    oracle replays the planted union, the decomposition, the sd
+    and the flags."""
+    import datetime as dt
+
+    from protosc_spark.windows import anomaly_days
+
+    ev = _read(spark, sf_dir, "events").select("event_type", "ts")
+    wave = [0, 5, 10, 15, 10, 5, 0]
+    rows = []
+    for d in range(35):
+        ts = (
+            dt.datetime(1970, 1, 1) + dt.timedelta(days=d)
+        ).strftime("%Y-%m-%d 00:00:00")
+        vol = 100 + wave[d % 7]
+        if d == 17:
+            vol += 300
+        if d == 24:
+            vol -= 60
+        rows += [("planted", ts)] * vol
+    planted = spark.createDataFrame(
+        rows, "event_type string, ts_s string"
+    ).select(
+        "event_type", F.col("ts_s").cast("timestamp").alias("ts")
+    )
+    t = anomaly_days(ev.unionByName(planted), "event_type")
+    return t.select(
+        "event_type",
+        "day",
+        "volume",
+        F.round("expected", 6).alias("expected"),
+        F.round("z", 6).alias("z"),
+    ).orderBy("event_type", "day")
+
+
 def _txt_char_entropy(spark, sf_dir):
     """Per-document character entropy + evenness — the compression
     proxy that flags padding at one end (H -> 0) and key-mash /
@@ -5011,6 +5073,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     full-surface green regardless of this ordering."""
     return {
         # --- round 5 ---
+        "events_power_mde": _events_power_mde,
+        "events_anomaly_days": _events_anomaly_days,
         "txt_char_entropy": _txt_char_entropy,
         "events_calendar_coverage": _events_calendar_coverage,
         "corpus_icc": _corpus_icc,
@@ -5354,6 +5418,139 @@ def oracle_sql() -> dict[str, str]:
         for t in POISSON1_T60
     )
     out = {
+        "events_power_mde": """
+            WITH users AS (
+              SELECT DISTINCT user_id FROM events
+            ), states AS (
+              SELECT DISTINCT event_type FROM events
+            ), counts AS (
+              SELECT user_id, event_type, count(*)::BIGINT AS c
+              FROM events GROUP BY 1, 2
+            ), grid AS (
+              SELECT u.user_id, s.event_type,
+                (coalesce(c.c, 0) >= 14)::BIGINT AS conv
+              FROM users u CROSS JOIN states s
+              LEFT JOIN counts c
+                ON c.user_id = u.user_id
+                AND c.event_type = s.event_type
+            ), agg AS (
+              SELECT event_type,
+                count(*)::BIGINT AS n_users,
+                sum(conv)::BIGINT AS conversions
+              FROM grid GROUP BY 1
+            ), f AS (
+              SELECT event_type, n_users, conversions,
+                conversions::DOUBLE / n_users::DOUBLE AS p,
+                n_users::DOUBLE AS nd
+              FROM agg
+            ), e AS (
+              SELECT *,
+                1.0 - p AS q, p + 0.02 AS p2,
+                1.0 - (p + 0.02) AS q2,
+                (p + (p + 0.02)) / 2.0 AS pbar
+              FROM f
+            ), r AS (
+              SELECT *,
+                1.959963984540054
+                  * sqrt(2.0 * pbar * (1.0 - pbar))
+                + 0.8416212335729143
+                  * sqrt(p * q + p2 * q2) AS root,
+                p > 0 AND p2 < 1 AS ok
+              FROM e
+            ), fin AS (
+              SELECT event_type, n_users, conversions, p, ok,
+                root * root / (0.02 * 0.02) AS n_req,
+                (1.959963984540054 + 0.8416212335729143)
+                  * sqrt(2.0 * p * q / (nd / 2.0)) AS mde_now
+              FROM r
+            )
+            SELECT event_type AS state, n_users, conversions,
+              round(p, 6) AS baseline_rate,
+              CASE WHEN ok THEN ceil(n_req)::BIGINT
+                END AS n_required_per_arm,
+              CASE WHEN ok THEN
+                n_users::DOUBLE / 2.0 >= n_req
+                END AS powered_now,
+              CASE WHEN ok THEN round(mde_now, 6) END AS mde_now
+            FROM fin ORDER BY state
+        """,
+        "events_anomaly_days": """
+            WITH daily AS (
+              SELECT event_type AS g,
+                (ts::DATE - DATE '1970-01-01')::BIGINT AS x,
+                count(*)::BIGINT AS y
+              FROM events GROUP BY 1, 2
+              UNION ALL
+              SELECT 'planted', d::BIGINT,
+                (100 + [0, 5, 10, 15, 10, 5, 0][(d % 7) + 1]
+                 + CASE WHEN d = 17 THEN 300 ELSE 0 END
+                 + CASE WHEN d = 24 THEN -60 ELSE 0
+                   END)::BIGINT
+              FROM range(35) tt(d)
+            ), witht AS (
+              SELECT g, x, y,
+                (x - min(x) OVER (PARTITION BY g))::BIGINT AS t,
+                x % 7 AS wd
+              FROM daily
+            ), mom AS (
+              SELECT g, count(*)::HUGEINT AS n,
+                sum(t)::HUGEINT AS st, sum(y)::HUGEINT AS sy,
+                sum(t * t)::HUGEINT AS stt,
+                sum(t * y)::HUGEINT AS sty
+              FROM witht GROUP BY 1
+            ), coef AS (
+              SELECT g, n,
+                (n * sty - st * sy)::DOUBLE
+                  / (CASE WHEN n * stt - st * st <> 0
+                     THEN n * stt - st * st END)::DOUBLE AS b,
+                st, sy
+              FROM mom
+            ), coef2 AS (
+              SELECT g, b,
+                (sy::DOUBLE - b * st::DOUBLE) / n::DOUBLE AS a
+              FROM coef
+            ), det AS (
+              SELECT w.g, w.x, w.y, w.wd,
+                floor((w.y::DOUBLE
+                  - (c.a + c.b * w.t::DOUBLE))
+                  * 1000000.0)::HUGEINT AS d
+              FROM witht w JOIN coef2 c ON w.g = c.g
+            ), swd AS (
+              SELECT g, wd,
+                floor(sum(d)::DOUBLE
+                  / count(*)::DOUBLE)::HUGEINT AS s
+              FROM det GROUP BY 1, 2
+            ), rws AS (
+              SELECT det.g, det.x, det.y,
+                (det.d - swd.s)::HUGEINT AS r
+              FROM det JOIN swd
+                ON det.g = swd.g AND det.wd = swd.wd
+            ), agg AS (
+              SELECT g, count(*)::HUGEINT AS n,
+                sum(r)::HUGEINT AS sr,
+                sum(r * r)::HUGEINT AS srr
+              FROM rws GROUP BY 1
+            ), th AS (
+              SELECT g, n,
+                sqrt((CASE WHEN n * srr - sr * sr > 0
+                  THEN n * srr - sr * sr END)::DOUBLE)
+                  / n::DOUBLE AS sd
+              FROM agg
+            ), fl AS (
+              SELECT r.g, r.x, r.y,
+                r.r::DOUBLE / 1000000.0 AS rd,
+                r.r::DOUBLE / th.sd AS z,
+                th.n, th.sd
+              FROM rws r JOIN th ON r.g = th.g
+            )
+            SELECT g AS event_type, x AS day, y AS volume,
+              round(y::DOUBLE - rd, 6) AS expected,
+              round(z, 6) AS z
+            FROM fl
+            WHERE n >= 14 AND sd IS NOT NULL
+              AND abs(z) > 3.0
+            ORDER BY event_type, day
+        """,
         "txt_char_entropy": """
             WITH chars AS (
               SELECT doc_id,

@@ -221,6 +221,8 @@ HEADLINE = [
     "corpus_tost_split",
     "txt_char_entropy",
     "events_calendar_coverage",
+    "events_power_mde",
+    "events_anomaly_days",
 ]
 
 BENCH_CONVERSATIONS = int(os.environ.get("PROTOSC_BENCH_CONVS", "20000"))

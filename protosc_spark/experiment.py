@@ -815,3 +815,87 @@ def risk_table(
         F.when(ok_rd, rd - z * se_rd).alias("rd_lo"),
         F.when(ok_rd, rd + z * se_rd).alias("rd_hi"),
     )
+
+
+def power_mde(
+    df: DataFrame,
+    state_col: str = "event_type",
+    id_col: str = "user_id",
+    threshold: int = 14,
+    mde_abs: float = 0.02,
+) -> DataFrame:
+    """Experiment POWER planner off observed baselines — the
+    question every A/B readout gate begs: "could this corpus even
+    DETECT the effect you care about?" For each state, the baseline
+    conversion rate p (the ab_readout rule: users with >= threshold
+    events of the state over ALL users) feeds the standard
+    two-proportion sample-size formula at alpha = 5% two-sided,
+    power = 80%:
+
+        n_req = (z_a sqrt(2 pbar qbar) + z_b sqrt(p1 q1 + p2 q2))^2
+                / delta^2          (per arm, delta = ``mde_abs``)
+
+    and the dual readout: the minimum detectable effect at the
+    CURRENT population split 50/50,
+
+        mde_now = (z_a + z_b) sqrt(2 p q / (n / 2))
+
+    (the pooled approximation — standard for planning). Exactness:
+    user counts and conversion counts are exact integers from one
+    grid aggregation (the ab_readout shape); both formulas are
+    closed float trees with the z literals spelled out
+    (1.959963984540054, 0.8416212335729143), identical in the SQL
+    oracle.
+
+    Output: one row per state (state, n_users, conversions,
+    baseline_rate, n_required_per_arm, powered_now, mde_now);
+    NULL statistics for degenerate baselines (p = 0 or 1)."""
+    users = df.select(F.col(id_col)).distinct()
+    states = df.select(F.col(state_col)).distinct()
+    counts = df.groupBy(id_col, state_col).agg(
+        F.count(F.lit(1)).alias("__c")
+    )
+    grid = (
+        users.crossJoin(F.broadcast(states))
+        .join(counts, [id_col, state_col], "left")
+        .withColumn(
+            "conv",
+            (F.coalesce(F.col("__c"), F.lit(0)) >= threshold)
+            .cast("bigint"),
+        )
+    )
+    s = grid.groupBy(state_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users"),
+        F.sum("conv").cast("bigint").alias("conversions"),
+    )
+    za = F.lit(1.959963984540054)
+    zb = F.lit(0.8416212335729143)
+    nd = F.col("n_users").cast("double")
+    p = F.col("conversions").cast("double") / nd
+    q = F.lit(1.0) - p
+    d = F.lit(float(mde_abs))
+    p2 = p + d
+    q2 = F.lit(1.0) - p2
+    pbar = (p + p2) / F.lit(2.0)
+    qbar = F.lit(1.0) - pbar
+    root = za * F.sqrt(F.lit(2.0) * pbar * qbar) + zb * F.sqrt(
+        p * q + p2 * q2
+    )
+    n_req = root * root / (d * d)
+    mde_now = (za + zb) * F.sqrt(
+        F.lit(2.0) * p * q / (nd / F.lit(2.0))
+    )
+    ok = (p > 0) & (p2 < 1)
+    return s.select(
+        F.col(state_col).alias("state"),
+        "n_users",
+        "conversions",
+        p.alias("baseline_rate"),
+        F.when(ok, F.ceil(n_req).cast("bigint")).alias(
+            "n_required_per_arm"
+        ),
+        F.when(
+            ok, nd / F.lit(2.0) >= n_req
+        ).alias("powered_now"),
+        F.when(ok, mde_now).alias("mde_now"),
+    )

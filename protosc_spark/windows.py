@@ -3637,3 +3637,128 @@ def calendar_coverage(
             / span.cast("double")
         ).alias("coverage"),
     )
+
+
+def anomaly_days(
+    df: DataFrame,
+    group_col: str,
+    ts_col: str = "ts",
+    unit: int = 10**6,
+    z_crit: float = 3.0,
+) -> DataFrame:
+    """Seasonally-adjusted daily anomaly report per slice — WHICH
+    days broke, after the trend and the weekly rhythm are accounted
+    for (a raw-volume monitor pages every Sunday; this one only
+    pages when a day deviates from its own weekday's expectation
+    on its slice's own trend):
+
+        y_t = T_t + S_wd(t) + R_t,    z_t = R_t / sd(R),
+        anomaly  <=>  |z_t| > ``z_crit``
+
+    using the seasonal_strength decomposition verbatim (OLS line
+    from exact integer moments, floor'd integer weekday effects,
+    remainder exact in 1/``unit`` units) and the population sd of R
+    from exact DECIMAL cross-products — one float division per day,
+    identical in the SQL oracle.
+
+    Output: flagged days only (group, day epoch BIGINT, volume,
+    expected, z), ordered by |R| descending within a slice by
+    construction of the caller's sort; empty when the slice is
+    clean or shorter than 14 days."""
+    dec = "decimal(38,0)"
+    daily = df.groupBy(
+        group_col,
+        F.datediff(F.to_date(ts_col), F.lit("1970-01-01"))
+        .cast("bigint")
+        .alias("x"),
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("y"))
+    wmin = W.partitionBy(group_col)
+    witht = daily.select(
+        group_col,
+        "x",
+        "y",
+        (F.col("x") - F.min("x").over(wmin)).alias("t"),
+        F.pmod(F.col("x"), F.lit(7)).alias("wd"),
+    )
+    mom = witht.groupBy(group_col).agg(
+        F.count(F.lit(1)).cast(dec).alias("__n"),
+        F.sum("t").cast(dec).alias("__st"),
+        F.sum("y").cast(dec).alias("__sy"),
+        F.sum(F.col("t") * F.col("t")).cast(dec).alias("__stt"),
+        F.sum(F.col("t") * F.col("y")).cast(dec).alias("__sty"),
+    )
+    n = F.col("__n")
+    bden = n * F.col("__stt") - F.col("__st") * F.col("__st")
+    b = (
+        (n * F.col("__sty") - F.col("__st") * F.col("__sy"))
+        .cast("double")
+        / F.when(bden != 0, bden).cast("double")
+    )
+    a = (
+        F.col("__sy").cast("double")
+        - b * F.col("__st").cast("double")
+    ) / n.cast("double")
+    coef = mom.select(group_col, b.alias("__b"), a.alias("__a"))
+    u = F.lit(float(unit))
+    det = witht.join(coef, group_col).select(
+        group_col,
+        "x",
+        "y",
+        "wd",
+        F.floor(
+            (
+                F.col("y").cast("double")
+                - (
+                    F.col("__a")
+                    + F.col("__b") * F.col("t").cast("double")
+                )
+            )
+            * u
+        ).cast(dec).alias("__d"),
+    ).localCheckpoint(eager=True)
+    swd = det.groupBy(group_col, "wd").agg(
+        F.floor(
+            F.sum("__d").cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).cast(dec).alias("__s")
+    )
+    rows = det.join(swd, [group_col, "wd"]).select(
+        group_col,
+        "x",
+        "y",
+        (F.col("__d") - F.col("__s")).alias("__r"),
+    )
+    g = rows.groupBy(group_col).agg(
+        F.count(F.lit(1)).cast(dec).alias("__n"),
+        F.sum("__r").alias("__sr"),
+        F.sum(F.col("__r") * F.col("__r")).alias("__srr"),
+    )
+    nn = F.col("__n")
+    var2 = nn * F.col("__srr") - F.col("__sr") * F.col("__sr")
+    sd = F.sqrt(
+        F.when(var2 > 0, var2).cast("double")
+    ) / nn.cast("double")
+    thresh = g.select(
+        group_col,
+        nn.alias("__nn"),
+        sd.alias("__sd"),
+    )
+    j = rows.join(F.broadcast(thresh), group_col)
+    rd = F.col("__r").cast("double") / u
+    # z in integer units: residual and sd carry the same 1/unit
+    # scale, so it cancels exactly
+    z = F.col("__r").cast("double") / F.col("__sd")
+    return (
+        j.where(
+            (F.col("__nn") >= F.lit(14).cast(dec))
+            & F.col("__sd").isNotNull()
+            & (F.abs(z) > F.lit(float(z_crit)))
+        )
+        .select(
+            group_col,
+            F.col("x").alias("day"),
+            F.col("y").alias("volume"),
+            (F.col("y").cast("double") - rd).alias("expected"),
+            z.alias("z"),
+        )
+    )

@@ -663,3 +663,66 @@ def test_risk_table_null_effect_and_zero_cells(spark):
     ).collect()[0]
     assert r.orr is None and r.rr is None
     assert r.rd is not None and r.rd < 0
+
+
+# power_mde ---------------------------------------------------------
+
+
+def _pm_events(spark, user_counts):
+    """user_counts: {user: n_events_of_type_x}"""
+    import datetime
+
+    rows = []
+    for u, n in user_counts.items():
+        for i in range(n):
+            rows.append(
+                (
+                    u,
+                    "x",
+                    datetime.datetime(2024, 1, 1)
+                    + datetime.timedelta(minutes=i),
+                )
+            )
+    return spark.createDataFrame(
+        rows, "user_id string, event_type string, ts timestamp"
+    )
+
+
+def test_power_mde_formula_replay(spark):
+    from protosc_spark.experiment import power_mde
+
+    import math
+
+    # 100 users, 30 convert at threshold 5
+    counts = {f"u{i}": (6 if i < 30 else 2) for i in range(100)}
+    r = power_mde(
+        _pm_events(spark, counts), threshold=5, mde_abs=0.05
+    ).collect()[0]
+    assert r.n_users == 100 and r.conversions == 30
+    p, d = 0.3, 0.05
+    p2 = p + d
+    pbar = (p + p2) / 2.0
+    root = 1.959963984540054 * math.sqrt(
+        2.0 * pbar * (1.0 - pbar)
+    ) + 0.8416212335729143 * math.sqrt(
+        p * (1 - p) + p2 * (1 - p2)
+    )
+    n_req = root * root / (d * d)
+    assert r.n_required_per_arm == math.ceil(n_req)
+    assert r.powered_now == (50.0 >= n_req)
+    assert r.mde_now == (
+        1.959963984540054 + 0.8416212335729143
+    ) * math.sqrt(2.0 * p * (1 - p) / 50.0)
+    # textbook sanity: ~1376 per arm for 30% +- 5pts at 80% power
+    assert 1300 < n_req < 1450
+
+
+def test_power_mde_degenerate_baseline(spark):
+    from protosc_spark.experiment import power_mde
+
+    counts = {f"u{i}": 1 for i in range(20)}  # nobody converts
+    r = power_mde(
+        _pm_events(spark, counts), threshold=5, mde_abs=0.02
+    ).collect()[0]
+    assert r.baseline_rate == 0.0
+    assert r.n_required_per_arm is None and r.mde_now is None

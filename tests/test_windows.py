@@ -2847,3 +2847,40 @@ def test_calendar_coverage_complete_and_single(spark):
     ).collect()[0]
     assert one.span_days == 1 and one.coverage == 1.0
     assert one.longest_gap == 0
+
+
+# anomaly_days ------------------------------------------------------
+
+
+def test_anomaly_days_flags_spike_not_rhythm(spark):
+    from protosc_spark.windows import anomaly_days
+
+    wave = [0, 4, 8, 12, 8, 4, 0]
+    counts = {d: 100 + wave[d % 7] for d in range(42)}
+    counts[20] += 200  # the anomaly
+    out = anomaly_days(
+        _page_events(spark, counts), "event_type"
+    ).collect()
+    assert [r.day for r in out] == [20]
+    assert out[0].z > 3 and out[0].volume == counts[20]
+    # expected sits near the rhythm-adjusted level, not raw mean
+    assert abs(out[0].expected - (100 + wave[20 % 7])) < 40
+
+    clean = anomaly_days(
+        _page_events(
+            spark, {d: 100 + wave[d % 7] for d in range(42)}
+        ),
+        "event_type",
+    ).collect()
+    assert clean == []
+
+
+def test_anomaly_days_short_series_silent(spark):
+    from protosc_spark.windows import anomaly_days
+
+    counts = {d: 10 for d in range(10)}
+    counts[5] = 500
+    out = anomaly_days(
+        _page_events(spark, counts), "event_type"
+    ).collect()
+    assert out == []  # below the 14-day floor: never page
