@@ -1211,6 +1211,27 @@ def _corpus_risk_table(spark, sf_dir):
     )
 
 
+def _corpus_chi2_residuals(spark, sf_dir):
+    """Haberman adjusted residual per lang x source cell — the
+    address behind the chi2_independence alarm (which cells are
+    over/under-represented; zero-observed cells get their negative
+    residual). Full grid off the marginal tables, exact integer
+    numerator, one float division per cell, |r| > 2 flags. DuckDB
+    oracle replays the grid and every residual."""
+    from protosc_spark.evaluation import chi2_cell_residuals
+
+    docs = _read(spark, sf_dir, "documents")
+    t = chi2_cell_residuals(docs, "lang", "source")
+    return t.select(
+        F.col("a").alias("lang"),
+        F.col("b").alias("source"),
+        "observed",
+        F.round("expected", 6).alias("expected"),
+        F.round("std_residual", 6).alias("std_residual"),
+        "flagged",
+    ).orderBy("lang", "source")
+
+
 def _events_power_mde(spark, sf_dir):
     """Experiment power planner per event type — can this corpus
     detect a 2-point conversion lift (n required per arm), and
@@ -5073,6 +5094,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     full-surface green regardless of this ordering."""
     return {
         # --- round 5 ---
+        "corpus_chi2_residuals": _corpus_chi2_residuals,
         "events_power_mde": _events_power_mde,
         "events_anomaly_days": _events_anomaly_days,
         "txt_char_entropy": _txt_char_entropy,
@@ -5418,6 +5440,45 @@ def oracle_sql() -> dict[str, str]:
         for t in POISSON1_T60
     )
     out = {
+        "corpus_chi2_residuals": """
+            WITH rows_ AS (
+              SELECT lang AS a, source AS b FROM documents
+              WHERE lang IS NOT NULL AND source IS NOT NULL
+            ), cells AS (
+              SELECT a, b, count(*)::HUGEINT AS o
+              FROM rows_ GROUP BY 1, 2
+            ), ra AS (
+              SELECT a, count(*)::HUGEINT AS r
+              FROM rows_ GROUP BY 1
+            ), cb AS (
+              SELECT b, count(*)::HUGEINT AS c
+              FROM rows_ GROUP BY 1
+            ), tot AS (
+              SELECT count(*)::HUGEINT AS n FROM rows_
+            ), grid AS (
+              SELECT ra.a, cb.b, ra.r, cb.c, tot.n,
+                coalesce(cells.o, 0)::HUGEINT AS o
+              FROM ra CROSS JOIN cb CROSS JOIN tot
+              LEFT JOIN cells
+                ON cells.a = ra.a AND cells.b = cb.b
+            ), f AS (
+              SELECT a, b, o, r, c, n,
+                (o * n - r * c)::DOUBLE
+                  / sqrt(CASE WHEN
+                      (r * c * (n - r) * (n - c))::DOUBLE
+                        / n::DOUBLE > 0
+                      THEN (r * c * (n - r) * (n - c))::DOUBLE
+                        / n::DOUBLE END) AS res
+              FROM grid
+            )
+            SELECT a AS lang, b AS source,
+              o::BIGINT AS observed,
+              round((r * c)::DOUBLE / n::DOUBLE, 6) AS expected,
+              round(res, 6) AS std_residual,
+              CASE WHEN res IS NOT NULL THEN abs(res) > 2.0
+                END AS flagged
+            FROM f ORDER BY lang, source
+        """,
         "events_power_mde": """
             WITH users AS (
               SELECT DISTINCT user_id FROM events

@@ -223,6 +223,7 @@ HEADLINE = [
     "events_calendar_coverage",
     "events_power_mde",
     "events_anomaly_days",
+    "corpus_chi2_residuals",
 ]
 
 BENCH_CONVERSATIONS = int(os.environ.get("PROTOSC_BENCH_CONVS", "20000"))

@@ -3903,3 +3903,78 @@ def tost_equivalence(
             (zl > zcrit) & (zu > zcrit),
         ).alias("equivalent"),
     )
+
+
+def chi2_cell_residuals(
+    df: DataFrame, a_col: str, b_col: str
+) -> DataFrame:
+    """Standardized (adjusted) Pearson residual per contingency
+    cell — WHICH cells drive :func:`chi2_independence`'s verdict (a
+    significant lang x source chi-square is an alarm with no
+    address; the residual table is the address):
+
+        r_cell = (o - e) / sqrt(e (1 - r_a/N) (1 - c_b/N)),
+        e = r_a c_b / N
+
+    (Haberman's adjusted residual — each cell is asymptotically
+    N(0,1) under independence, so |r| > 2 flags a cell at ~5%).
+    The FULL |A| x |B| grid is emitted (zero-observed cells get
+    their negative residual — an absence can be the signal), built
+    from the two category-sized marginal tables exactly as the
+    chi-square does. Exactness: o, marginals and N are exact
+    integers; (o N - r_a c_b) stays exact DECIMAL in the numerator
+    and each residual is ONE float expression of exact integers:
+
+        r = (o N - r_a c_b) / sqrt(r_a c_b (N - r_a) (N - c_b) / N)
+
+    (multiply the textbook form through by N — exact until the
+    single division; the algebra is pinned in tests).
+
+    Output: one row per grid cell (a, b, observed, expected,
+    std_residual, flagged); residual NULL for degenerate marginals
+    (a full row/column)."""
+    dec = "decimal(38,0)"
+    rows = df.where(
+        F.col(a_col).isNotNull() & F.col(b_col).isNotNull()
+    ).select(F.col(a_col).alias("a"), F.col(b_col).alias("b"))
+    cells = rows.groupBy("a", "b").agg(
+        F.count(F.lit(1)).cast(dec).alias("__o")
+    )
+    ra = rows.groupBy("a").agg(
+        F.count(F.lit(1)).cast(dec).alias("__ra")
+    )
+    cb = rows.groupBy("b").agg(
+        F.count(F.lit(1)).cast(dec).alias("__cb")
+    )
+    tot = rows.agg(F.count(F.lit(1)).cast(dec).alias("__n"))
+    grid = (
+        ra.crossJoin(F.broadcast(cb))
+        .crossJoin(F.broadcast(tot))
+        .join(cells, ["a", "b"], "left")
+        .withColumn(
+            "__o", F.coalesce(F.col("__o"), F.lit(0).cast(dec))
+        )
+    )
+    o, r, c, n = (
+        F.col("__o"),
+        F.col("__ra"),
+        F.col("__cb"),
+        F.col("__n"),
+    )
+    num = (o * n - r * c).cast("double")
+    dvar = (r * c * (n - r) * (n - c)).cast("double") / n.cast(
+        "double"
+    )
+    res = num / F.sqrt(F.when(dvar > 0, dvar))
+    return grid.select(
+        "a",
+        "b",
+        o.cast("bigint").alias("observed"),
+        ((r * c).cast("double") / n.cast("double")).alias(
+            "expected"
+        ),
+        res.alias("std_residual"),
+        F.when(
+            res.isNotNull(), F.abs(res) > F.lit(2.0)
+        ).alias("flagged"),
+    )

@@ -3095,3 +3095,71 @@ def test_tost_replay_and_degenerate(spark):
     ).collect()[0]
     # zero variance: se 0 -> NULL statistics
     assert const.z_lower is None and const.equivalent is None
+
+
+# chi2_cell_residuals -----------------------------------------------
+
+
+def test_chi2_residuals_textbook_replay(spark):
+    from protosc_spark.evaluation import chi2_cell_residuals
+
+    import math
+
+    # planted association: a0 prefers b0, a1 prefers b1
+    rows = (
+        [("a0", "b0")] * 40
+        + [("a0", "b1")] * 10
+        + [("a1", "b0")] * 10
+        + [("a1", "b1")] * 40
+    )
+    df = spark.createDataFrame(rows, "x string, y string")
+    out = {
+        (r.a, r.b): r
+        for r in chi2_cell_residuals(df, "x", "y").collect()
+    }
+    n = 100.0
+    marg = {"a0": 50.0, "a1": 50.0, "b0": 50.0, "b1": 50.0}
+    for (a, b), r in out.items():
+        o = {("a0", "b0"): 40, ("a0", "b1"): 10,
+             ("a1", "b0"): 10, ("a1", "b1"): 40}[(a, b)]
+        e = marg[a] * marg[b] / n
+        ref = (o - e) / math.sqrt(
+            e * (1 - marg[a] / n) * (1 - marg[b] / n)
+        )
+        assert abs(r.std_residual - ref) < 1e-9, (a, b)
+        assert r.observed == o and r.expected == e
+    assert out[("a0", "b0")].flagged is True
+    assert out[("a0", "b0")].std_residual > 0
+    assert out[("a0", "b1")].std_residual < 0
+    # 2x2 symmetry: all four |residuals| equal
+    vals = [abs(r.std_residual) for r in out.values()]
+    assert max(vals) - min(vals) < 1e-12
+
+
+def test_chi2_residuals_zero_cell_and_independent(spark):
+    from protosc_spark.evaluation import chi2_cell_residuals
+
+    # a2 never appears with b1: the zero cell must appear with a
+    # NEGATIVE residual
+    rows = (
+        [("a1", "b0")] * 20
+        + [("a1", "b1")] * 20
+        + [("a2", "b0")] * 20
+    )
+    df = spark.createDataFrame(rows, "x string, y string")
+    out = {
+        (r.a, r.b): r
+        for r in chi2_cell_residuals(df, "x", "y").collect()
+    }
+    assert len(out) == 4  # full 2x2 grid
+    zc = out[("a2", "b1")]
+    assert zc.observed == 0 and zc.std_residual < 0
+
+    # perfectly proportional table: every residual exactly 0
+    rows2 = (
+        [("p", "q")] * 30 + [("p", "r")] * 10
+        + [("s", "q")] * 15 + [("s", "r")] * 5
+    )
+    df2 = spark.createDataFrame(rows2, "x string, y string")
+    for r in chi2_cell_residuals(df2, "x", "y").collect():
+        assert r.std_residual == 0.0 and r.flagged is False
