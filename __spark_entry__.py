@@ -1211,6 +1211,47 @@ def _corpus_risk_table(spark, sf_dir):
     )
 
 
+def _events_bursts(spark, sf_dir):
+    """Kleinberg-style burst intervals per event type — the 2-state
+    Poisson Viterbi segmentation that reports where each burst
+    STARTED and ENDED (a planted series carries a 5-day surge and a
+    2-day echo; the entry penalty gamma ln T keeps one-day blips
+    quiet). Exact fold, deterministic tie rule. DuckDB oracle
+    replays the recursion with list-state history arrays and the
+    run segmentation, digit for digit."""
+    import datetime as dt
+
+    from protosc_spark.windows import burst_intervals
+
+    ev = _read(spark, sf_dir, "events").select("event_type", "ts")
+    rows = []
+    for d in range(40):
+        ts = (
+            dt.datetime(1970, 1, 1) + dt.timedelta(days=d)
+        ).strftime("%Y-%m-%d 00:00:00")
+        vol = 20
+        if 20 <= d <= 24:
+            vol = 90
+        if d in (33, 34):
+            vol = 70
+        rows += [("planted", ts)] * vol
+    planted = spark.createDataFrame(
+        rows, "event_type string, ts_s string"
+    ).select(
+        "event_type", F.col("ts_s").cast("timestamp").alias("ts")
+    )
+    t = burst_intervals(ev.unionByName(planted), "event_type")
+    return t.select(
+        "event_type",
+        "start_day",
+        "end_day",
+        "n_days",
+        "volume",
+        F.round("expected", 6).alias("expected"),
+        F.round("intensity", 6).alias("intensity"),
+    ).orderBy("event_type", "start_day")
+
+
 def _corpus_chi2_residuals(spark, sf_dir):
     """Haberman adjusted residual per lang x source cell — the
     address behind the chi2_independence alarm (which cells are
@@ -5094,6 +5135,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     full-surface green regardless of this ordering."""
     return {
         # --- round 5 ---
+        "events_bursts": _events_bursts,
         "corpus_chi2_residuals": _corpus_chi2_residuals,
         "events_power_mde": _events_power_mde,
         "events_anomaly_days": _events_anomaly_days,
@@ -5440,6 +5482,91 @@ def oracle_sql() -> dict[str, str]:
         for t in POISSON1_T60
     )
     out = {
+        "events_bursts": """
+            WITH RECURSIVE daily AS (
+              SELECT event_type AS g,
+                (ts::DATE - DATE '1970-01-01')::BIGINT AS x,
+                count(*)::BIGINT AS y
+              FROM events GROUP BY 1, 2
+              UNION ALL
+              SELECT 'planted', d::BIGINT,
+                (CASE WHEN d BETWEEN 20 AND 24 THEN 90
+                      WHEN d IN (33, 34) THEN 70
+                      ELSE 20 END)::BIGINT
+              FROM range(40) tt(d)
+            ), ser AS (
+              SELECT g, x, y::DOUBLE AS y,
+                row_number() OVER (PARTITION BY g ORDER BY x)
+                  AS i,
+                count(*) OVER (PARTITION BY g) AS n,
+                (sum(y) OVER (PARTITION BY g))::DOUBLE
+                  / (count(*) OVER (PARTITION BY g))::DOUBLE
+                  AS lam0
+              FROM daily
+            ), seed AS (
+              SELECT g, n, lam0,
+                1.0 * ln(n::DOUBLE) AS pen,
+                0::BIGINT AS i,
+                0.0::DOUBLE AS c0,
+                1.0 * ln(n::DOUBLE) AS c1,
+                []::INT[] AS h0, []::INT[] AS h1
+              FROM (SELECT DISTINCT g, n, lam0 FROM ser)
+            ), rec AS (
+              SELECT * FROM seed
+              UNION ALL
+              SELECT g, n, lam0, pen, i,
+                CASE WHEN dn THEN c1 ELSE c0 END + cost0 AS c0,
+                CASE WHEN up THEN c0 + pen ELSE c1 END + cost1
+                  AS c1,
+                (CASE WHEN dn THEN h1 ELSE h0 END) || [0] AS h0,
+                (CASE WHEN up THEN h0 ELSE h1 END) || [1] AS h1
+              FROM (
+                SELECT r.g, r.n, r.lam0, r.pen, e.i,
+                  r.c0, r.c1, r.h0, r.h1,
+                  r.lam0 * 3.0 - e.y * ln(r.lam0 * 3.0)
+                    AS cost1,
+                  r.lam0 - e.y * ln(r.lam0) AS cost0,
+                  r.c0 + r.pen < r.c1 AS up,
+                  r.c1 < r.c0 AS dn
+                FROM rec r JOIN ser e
+                  ON e.g = r.g AND e.i = r.i + 1
+              )
+            ), fin AS (
+              SELECT g, lam0,
+                CASE WHEN c1 < c0 THEN h1 ELSE h0 END AS best
+              FROM rec WHERE i = n AND n >= 2
+            ), st AS (
+              SELECT s.g, s.x, s.y, f.lam0,
+                f.best[s.i::INT] AS state
+              FROM ser s JOIN fin f ON s.g = f.g
+            ), flags AS (
+              SELECT g, x, y, lam0, state,
+                CASE WHEN lag(state) OVER
+                    (PARTITION BY g ORDER BY x)
+                  IS DISTINCT FROM state
+                  THEN 1 ELSE 0 END AS new_run
+              FROM st
+            ), runs AS (
+              SELECT g, x, y, lam0, state,
+                sum(new_run) OVER (PARTITION BY g ORDER BY x
+                  ROWS BETWEEN UNBOUNDED PRECEDING
+                  AND CURRENT ROW) AS run
+              FROM flags
+            ), agg AS (
+              SELECT g, run, min(x) AS start_day,
+                max(x) AS end_day,
+                count(*)::BIGINT AS n_days,
+                sum(y)::BIGINT AS volume,
+                max(lam0) AS lam0
+              FROM runs WHERE state = 1 GROUP BY 1, 2
+            )
+            SELECT g AS event_type, start_day, end_day, n_days,
+              volume,
+              round(lam0 * n_days::DOUBLE, 6) AS expected,
+              round(volume::DOUBLE
+                / (lam0 * n_days::DOUBLE), 6) AS intensity
+            FROM agg ORDER BY event_type, start_day
+        """,
         "corpus_chi2_residuals": """
             WITH rows_ AS (
               SELECT lang AS a, source AS b FROM documents

@@ -224,6 +224,7 @@ HEADLINE = [
     "events_power_mde",
     "events_anomaly_days",
     "corpus_chi2_residuals",
+    "events_bursts",
 ]
 
 BENCH_CONVERSATIONS = int(os.environ.get("PROTOSC_BENCH_CONVS", "20000"))

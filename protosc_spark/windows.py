@@ -3762,3 +3762,152 @@ def anomaly_days(
             z.alias("z"),
         )
     )
+
+
+def burst_intervals(
+    df: DataFrame,
+    group_col: str,
+    ts_col: str = "ts",
+    s: float = 3.0,
+    gamma: float = 1.0,
+) -> DataFrame:
+    """Kleinberg-style burst detection on each slice's daily volume
+    — the INTERVAL-emitting member of the monitor family (EWMA and
+    CUSUM flag days; this one runs the 2-state optimal segmentation
+    and says "the burst STARTED here and ENDED there"): a hidden
+    2-state chain with Poisson emissions at the base rate lambda0 =
+    mean daily count and the burst rate lambda1 = ``s`` * lambda0,
+    entering the burst state costs ``gamma`` * ln T (Kleinberg's
+    transition penalty), and the Viterbi-optimal state path is
+    decoded exactly:
+
+        cost_t(i) = lambda_i - r_t ln lambda_i   (constant terms
+                    state-independent, dropped),
+        c1 <- min(c0 + gamma ln T, c1) + cost_t(1)
+        c0 <- min(c0, c1) + cost_t(0)
+
+    with ties resolved toward STAYING in the current state (strict
+    < to switch) — fully deterministic. Both candidate paths carry
+    their state history as an int array inside one Catalyst
+    aggregate fold (the holt_winters contract: only +,-,*,/,ln on
+    IEEE doubles, so a SQL engine replays every cost and therefore
+    every decision bit for bit); the winning history is exploded
+    and runs of 1s become intervals via the standard
+    change-point-counter window.
+
+    Cost shape: the history arrays make the fold O(T^2) in DAYS PER
+    SLICE (T ~ hundreds for a year), constant in rows. Output: one
+    row per burst (group, start_day, end_day epoch BIGINTs,
+    n_days, volume, expected, intensity = volume/expected); empty
+    when a slice never enters the burst state (or < 2 days)."""
+    daily = df.groupBy(
+        group_col,
+        F.datediff(F.to_date(ts_col), F.lit("1970-01-01"))
+        .cast("bigint")
+        .alias("x"),
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("y"))
+    g = daily.groupBy(group_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+        F.sum("y").cast("bigint").alias("__tot"),
+        F.sort_array(F.collect_list(F.struct("x", "y"))).alias(
+            "series"
+        ),
+    )
+    n = F.col("n_days")
+    lam0 = F.col("__tot").cast("double") / n.cast("double")
+    lam1 = F.lit(float(s)) * lam0
+    pen = F.lit(float(gamma)) * F.log(n.cast("double"))
+    init = F.struct(
+        F.lit(0.0).alias("c0"),
+        # starting in the burst state pays the entry penalty
+        pen.alias("c1"),
+        F.array().cast("array<int>").alias("h0"),
+        F.array().cast("array<int>").alias("h1"),
+    )
+
+    def step(acc, e):
+        yd = e["y"].cast("double")
+        cost0 = lam0 - yd * F.log(lam0)
+        cost1 = lam1 - yd * F.log(lam1)
+        enter = acc["c0"] + pen
+        switch_up = enter < acc["c1"]  # strict: ties stay
+        c1n = F.when(switch_up, enter).otherwise(acc["c1"]) + cost1
+        h1n = F.concat(
+            F.when(switch_up, acc["h0"]).otherwise(acc["h1"]),
+            F.array(F.lit(1)),
+        )
+        drop_down = acc["c1"] < acc["c0"]  # strict: ties stay
+        c0n = F.when(drop_down, acc["c1"]).otherwise(
+            acc["c0"]
+        ) + cost0
+        h0n = F.concat(
+            F.when(drop_down, acc["h1"]).otherwise(acc["h0"]),
+            F.array(F.lit(0)),
+        )
+        return F.struct(
+            c0n.alias("c0"),
+            c1n.alias("c1"),
+            h0n.alias("h0"),
+            h1n.alias("h1"),
+        )
+
+    acc = F.aggregate(F.col("series"), init, step)
+    best = F.when(acc["c1"] < acc["c0"], acc["h1"]).otherwise(
+        acc["h0"]
+    )
+    decoded = g.select(
+        group_col,
+        lam0.alias("__lam0"),
+        F.arrays_zip(
+            F.col("series"), best.alias("state")
+        ).alias("__z"),
+    ).where(F.size("__z") >= 2)
+    rows = decoded.select(
+        group_col,
+        "__lam0",
+        F.explode("__z").alias("__e"),
+    ).select(
+        group_col,
+        "__lam0",
+        F.col("__e")["series"]["x"].alias("x"),
+        F.col("__e")["series"]["y"].alias("y"),
+        F.col("__e")["state"].alias("st"),
+    )
+    w = W.partitionBy(group_col).orderBy("x")
+    runs = rows.withColumn(
+        "__new",
+        F.when(
+            F.coalesce(
+                F.lag("st").over(w), F.lit(-1)
+            ) != F.col("st"),
+            1,
+        ).otherwise(0),
+    ).withColumn(
+        "__run",
+        F.sum("__new").over(
+            w.rowsBetween(W.unboundedPreceding, 0)
+        ),
+    )
+    out = (
+        runs.where(F.col("st") == 1)
+        .groupBy(group_col, "__run")
+        .agg(
+            F.min("x").alias("start_day"),
+            F.max("x").alias("end_day"),
+            F.count(F.lit(1)).cast("bigint").alias("n_days"),
+            F.sum("y").cast("bigint").alias("volume"),
+            F.max("__lam0").alias("__lam0"),
+        )
+    )
+    expected = F.col("__lam0") * F.col("n_days").cast("double")
+    return out.select(
+        group_col,
+        "start_day",
+        "end_day",
+        "n_days",
+        "volume",
+        expected.alias("expected"),
+        (F.col("volume").cast("double") / expected).alias(
+            "intensity"
+        ),
+    )

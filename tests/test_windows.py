@@ -2884,3 +2884,98 @@ def test_anomaly_days_short_series_silent(spark):
         _page_events(spark, counts), "event_type"
     ).collect()
     assert out == []  # below the 14-day floor: never page
+
+
+# burst_intervals ---------------------------------------------------
+
+
+def _burst_ref(counts, s=3.0, gamma=1.0):
+    """Python replay of the exact Viterbi fold."""
+    import math
+
+    days = sorted(counts)
+    ys = [float(counts[d]) for d in days]
+    n = len(days)
+    lam0 = sum(counts.values()) / float(n)
+    lam1 = s * lam0
+    pen = gamma * math.log(float(n))
+    c0, c1 = 0.0, pen
+    h0, h1 = [], []
+    for y in ys:
+        cost0 = lam0 - y * math.log(lam0)
+        cost1 = lam1 - y * math.log(lam1)
+        enter = c0 + pen
+        if enter < c1:
+            c1n, h1n = enter + cost1, h0 + [1]
+        else:
+            c1n, h1n = c1 + cost1, h1 + [1]
+        if c1 < c0:
+            c0n, h0n = c1 + cost0, h1 + [0]
+        else:
+            c0n, h0n = c0 + cost0, h0 + [0]
+        c0, c1, h0, h1 = c0n, c1n, h0n, h1n
+    best = h1 if c1 < c0 else h0
+    return dict(zip(days, best))
+
+
+def test_burst_intervals_planted_window(spark):
+    from protosc_spark.windows import burst_intervals
+
+    counts = {d: 20 for d in range(40)}
+    for d in range(20, 25):
+        counts[d] = 90
+    out = burst_intervals(
+        _page_events(spark, counts), "event_type"
+    ).collect()
+    assert len(out) == 1
+    b = out[0]
+    assert (b.start_day, b.end_day) == (20, 24)
+    assert b.n_days == 5 and b.volume == 450
+    assert b.intensity > 2.5
+    # decoded states must match the Python Viterbi exactly
+    ref = _burst_ref(counts)
+    assert [d for d, st in sorted(ref.items()) if st == 1] == [
+        20, 21, 22, 23, 24
+    ]
+
+
+def test_burst_intervals_two_bursts_and_clean(spark):
+    from protosc_spark.windows import burst_intervals
+
+    counts = {d: 30 for d in range(60)}
+    for d in (10, 11, 12):
+        counts[d] = 150
+    for d in (40, 41, 42, 43):
+        counts[d] = 120
+    out = sorted(
+        burst_intervals(
+            _page_events(spark, counts), "event_type"
+        ).collect(),
+        key=lambda r: r.start_day,
+    )
+    assert [(r.start_day, r.end_day) for r in out] == [
+        (10, 12), (40, 43)
+    ]
+
+    clean = burst_intervals(
+        _page_events(spark, {d: 25 for d in range(60)}),
+        "event_type",
+    ).collect()
+    assert clean == []
+
+
+def test_burst_intervals_penalty_suppresses_blips(spark):
+    from protosc_spark.windows import burst_intervals
+
+    counts = {d: 50 for d in range(50)}
+    counts[25] = 72  # a mild one-day blip: not worth gamma ln T
+    out = burst_intervals(
+        _page_events(spark, counts), "event_type"
+    ).collect()
+    assert out == []
+    # but a strong one-day spike IS worth entering for
+    counts[25] = 300
+    out2 = burst_intervals(
+        _page_events(spark, counts), "event_type"
+    ).collect()
+    assert [(r.start_day, r.end_day) for r in out2] == [(25, 25)]
