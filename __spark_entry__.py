@@ -1211,6 +1211,27 @@ def _corpus_risk_table(spark, sf_dir):
     )
 
 
+def _sim_pca_embeddings(spark, sf_dir):
+    """Top-8 principal components of the embeddings table — the
+    reference's correlation Gramian put to its canonical use
+    (protosc feature_matrix.py:122-138), computed from EXACT
+    integer sufficient statistics (quantized vectors, DECIMAL cell
+    sums — order-independent at any parallelism), eigendecomposed
+    driver-side on the dim^2 exact covariance. Deterministic ->
+    FROZEN oracle; exactness and parallelism-independence pinned in
+    tests."""
+    from protosc_spark.stats import pca_components
+
+    emb = _read_wide(spark, sf_dir, "embeddings")
+    pdf = pca_components(emb, "embedding", k=8)
+    return spark.createDataFrame(pdf).select(
+        "component",
+        F.round("eigenvalue", 9).alias("eigenvalue"),
+        F.round("explained_ratio", 9).alias("explained_ratio"),
+        F.round("cum_ratio", 9).alias("cum_ratio"),
+    ).orderBy("component")
+
+
 def _events_bursts(spark, sf_dir):
     """Kleinberg-style burst intervals per event type — the 2-state
     Poisson Viterbi segmentation that reports where each burst
@@ -5135,6 +5156,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     full-surface green regardless of this ordering."""
     return {
         # --- round 5 ---
+        "sim_pca_embeddings": _sim_pca_embeddings,
         "events_bursts": _events_bursts,
         "corpus_chi2_residuals": _corpus_chi2_residuals,
         "events_power_mde": _events_power_mde,

@@ -225,6 +225,7 @@ HEADLINE = [
     "events_anomaly_days",
     "corpus_chi2_residuals",
     "events_bursts",
+    "sim_pca_embeddings",
 ]
 
 BENCH_CONVERSATIONS = int(os.environ.get("PROTOSC_BENCH_CONVS", "20000"))

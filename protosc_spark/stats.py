@@ -684,3 +684,101 @@ def trimmed_mean(
         F.when(ok, tm).alias("trimmed_mean"),
         F.when(ok, wm).alias("winsorized_mean"),
     )
+
+
+def pca_components(
+    df: DataFrame,
+    features_col: str = "embedding",
+    k: int = 8,
+    unit: int = 10**6,
+) -> "pd.DataFrame":
+    """Principal components of a vector column by EXACT distributed
+    sufficient statistics — the canonical feature-matrix operation
+    the reference's correlation machinery points at (protosc
+    feature_matrix.py:122-138 builds the corr matrix; PCA is the
+    same Gramian put to work): one map-side pass computes integer
+    partials of n, sum x and X^T X with vectors QUANTIZED once to
+    1/``unit`` units, the dim^2 cells are summed exactly in
+    DECIMAL(38,0) (order-independent at ANY parallelism — the float
+    treeAggregate tail-drift that plagues naive PCA cannot happen),
+    and the driver eigendecomposes the exact covariance
+
+        C = (n * G - s s^T) / (n^2 * unit^2)
+
+    (population convention). Eigenvalues of the quantized C are the
+    PCA of the quantized data, exactly — the house quantization
+    contract. Driver cost is dim^2 integers; executor cost one BLAS
+    rank-k update per Arrow batch.
+
+    Returns a pandas DataFrame (component 1-based, eigenvalue,
+    explained_ratio, cum_ratio) for the top ``k`` components,
+    eigenvalues descending."""
+    import pandas as pd  # noqa: F811
+
+    def partials(it):
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            X = np.array(
+                pdf[features_col].tolist(), dtype=np.float64
+            )
+            Q = np.floor(X * float(unit)).astype(np.int64)
+            # int64 BLAS-shaped matmul: exact while
+            # batch_rows * (max|x| * unit)^2 < 2^63 — for unit 1e6
+            # and |x| <= 3 that is ~9e16 per 10k-row Arrow batch,
+            # three orders inside the envelope; partials cross
+            # batches as DECIMAL strings
+            G = Q.T @ Q
+            s = Q.sum(axis=0)
+            d = Q.shape[1]
+            ii, jj = np.meshgrid(
+                np.arange(d), np.arange(d), indexing="ij"
+            )
+            out = pd.DataFrame(
+                {
+                    "i": ii.ravel().tolist() + list(range(d)) + [-1],
+                    "j": jj.ravel().tolist() + [-1] * d + [-1],
+                    "v": [str(x) for x in G.ravel().tolist()]
+                    + [str(x) for x in s.tolist()]
+                    + [str(Q.shape[0])],
+                }
+            )
+            yield out
+
+    cells = (
+        df.select(features_col)
+        .mapInPandas(partials, schema="i int, j int, v string")
+        .groupBy("i", "j")
+        .agg(F.sum(F.col("v").cast("decimal(38,0)")).alias("v"))
+        .collect()
+    )
+    if not cells:
+        raise ValueError("empty input")
+    d = max(r["i"] for r in cells) + 1
+    G = np.zeros((d, d), dtype=object)
+    s = np.zeros(d, dtype=object)
+    n = 0
+    for r in cells:
+        v = int(r["v"])
+        if r["i"] == -1:
+            n = v
+        elif r["j"] == -1:
+            s[r["i"]] = v
+        else:
+            G[r["i"], r["j"]] = v
+    cov_num = n * G - np.outer(s, s)
+    cov = cov_num.astype(np.float64) / (
+        float(n) * float(n) * float(unit) * float(unit)
+    )
+    evals = np.linalg.eigvalsh(cov)[::-1]
+    trace = float(np.trace(cov))
+    top = evals[:k]
+    ratios = [float(e) / trace for e in top]
+    return pd.DataFrame(
+        {
+            "component": list(range(1, len(top) + 1)),
+            "eigenvalue": [float(e) for e in top],
+            "explained_ratio": ratios,
+            "cum_ratio": np.cumsum(ratios).tolist(),
+        }
+    )

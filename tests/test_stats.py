@@ -364,3 +364,76 @@ def test_trimmed_mean_degenerate(spark):
     df = spark.createDataFrame([(2,), (4,), (9,)], "v long")
     r = trimmed_mean(df, "v", trim_milli=0).collect()[0]
     assert r.trimmed_mean == 5.0 and r.winsorized_mean == 5.0
+
+
+# pca_components ----------------------------------------------------
+
+
+def _emb_df(spark, X, parts=4):
+    rows = [(i, [float(v) for v in x]) for i, x in enumerate(X)]
+    return spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>"
+    ).repartition(parts)
+
+
+def _pca_ref(X, k, unit=10**6):
+    import numpy as np
+
+    Q = np.floor(np.asarray(X, dtype=np.float64) * float(unit))
+    Q = Q.astype(np.int64).astype(object)
+    n = Q.shape[0]
+    G = Q.T @ Q
+    s = Q.sum(axis=0)
+    cov = (n * G - np.outer(s, s)).astype(np.float64) / (
+        float(n) ** 2 * float(unit) ** 2
+    )
+    evals = np.linalg.eigvalsh(cov)[::-1][:k]
+    tr = float(np.trace(cov))
+    return [float(e) for e in evals], tr
+
+
+def test_pca_digit_exact_vs_numpy(spark):
+    import numpy as np
+
+    from protosc_spark.stats import pca_components
+
+    rng = np.random.default_rng(7)
+    # independent dims with very different scales
+    X = rng.normal(0, 1, size=(300, 6)) * np.array(
+        [5.0, 3.0, 1.0, 0.5, 0.2, 0.1]
+    )
+    out = pca_components(_emb_df(spark, X), k=6)
+    evals, tr = _pca_ref(X, 6)
+    assert list(out["eigenvalue"]) == evals
+    assert list(out["explained_ratio"]) == [
+        e / tr for e in evals
+    ]
+    # scales recovered in order
+    assert evals[0] > 20 and evals[0] / evals[5] > 1000
+
+
+def test_pca_parallelism_independent(spark):
+    import numpy as np
+
+    from protosc_spark.stats import pca_components
+
+    rng = np.random.default_rng(11)
+    X = rng.normal(0, 1, size=(257, 5))
+    a = pca_components(_emb_df(spark, X, parts=1), k=5)
+    b = pca_components(_emb_df(spark, X, parts=16), k=5)
+    assert list(a["eigenvalue"]) == list(b["eigenvalue"])
+    assert list(a["cum_ratio"]) == list(b["cum_ratio"])
+
+
+def test_pca_low_rank(spark):
+    import numpy as np
+
+    from protosc_spark.stats import pca_components
+
+    rng = np.random.default_rng(13)
+    basis = rng.normal(0, 1, size=(2, 8))
+    coef = rng.normal(0, 1, size=(200, 2))
+    X = coef @ basis  # exactly rank 2 (up to quantization)
+    out = pca_components(_emb_df(spark, X), k=8)
+    assert out["cum_ratio"].iloc[1] > 0.999999
+    assert out["eigenvalue"].iloc[2] < 1e-9
