@@ -197,3 +197,99 @@ class TestDedupProperty:
         assert len(out) == len(exp)
         for t, row in exp.iterrows():
             assert got[t] == (row["ts"].to_pydatetime(), row["role"])
+
+
+class TestRankInvariances:
+    """Laws the round-5 rank/histogram kernels must satisfy: rank
+    statistics are invariant under strictly monotone value maps;
+    energy distance is translation-invariant and 1-homogeneous."""
+
+    @given(
+        data=st.lists(
+            st.tuples(
+                st.integers(0, 2), st.integers(0, 50)
+            ),
+            min_size=12,
+            max_size=60,
+        )
+    )
+    @settings(**SETTINGS)
+    def test_kruskal_monotone_invariant(self, spark, data):
+        from protosc_spark.evaluation import kruskal_wallis
+
+        rows = [(f"g{g}", v) for g, v in data]
+        df = spark.createDataFrame(rows, "g string, x long")
+        df2 = df.select("g", (F.col("x") * 7 + 3).alias("x"))
+        a = kruskal_wallis(df, "x", "g").collect()[0]
+        b = kruskal_wallis(df2, "x", "g").collect()[0]
+        assert a.h == b.h and a.tie_factor == b.tie_factor
+
+    @given(
+        xs=st.lists(st.integers(0, 40), min_size=4, max_size=40),
+        ys=st.lists(st.integers(0, 40), min_size=4, max_size=40),
+        shift=st.integers(-20, 20),
+    )
+    @settings(**SETTINGS)
+    def test_energy_translation_invariant_nonneg(
+        self, spark, xs, ys, shift
+    ):
+        from protosc_spark.evaluation import energy_distance
+
+        def mk(xa, ya):
+            rows = [(int(v), 1) for v in xa] + [
+                (int(v), 0) for v in ya
+            ]
+            return spark.createDataFrame(rows, "x long, g int")
+
+        a = energy_distance(mk(xs, ys), "x", "g").collect()[0]
+        b = energy_distance(
+            mk([v + shift for v in xs], [v + shift for v in ys]),
+            "x",
+            "g",
+        ).collect()[0]
+        assert a.e_dist == b.e_dist
+        assert a.e_dist >= 0.0
+
+    @given(
+        xs=st.lists(st.integers(0, 30), min_size=5, max_size=40),
+        ys=st.lists(st.integers(0, 30), min_size=5, max_size=40),
+    )
+    @settings(**SETTINGS)
+    def test_ad_monotone_invariant(self, spark, xs, ys):
+        from protosc_spark.evaluation import ad_two_sample
+
+        def mk(xa, ya):
+            rows = [(int(v), 1) for v in xa] + [
+                (int(v), 0) for v in ya
+            ]
+            return spark.createDataFrame(rows, "x long, g int")
+
+        a = ad_two_sample(mk(xs, ys), "x", "g").collect()[0]
+        b = ad_two_sample(
+            mk([5 * v + 2 for v in xs], [5 * v + 2 for v in ys]),
+            "x",
+            "g",
+        ).collect()[0]
+        assert a.a2 == b.a2
+
+    @given(
+        data=st.lists(
+            st.tuples(st.integers(0, 5), st.integers(0, 5)),
+            min_size=8,
+            max_size=50,
+        )
+    )
+    @settings(**SETTINGS)
+    def test_gamma_antisymmetric_in_b(self, spark, data):
+        from protosc_spark.evaluation import ordinal_association
+
+        df = spark.createDataFrame(
+            [(a, b) for a, b in data], "a long, b long"
+        )
+        neg = df.select("a", (-F.col("b")).alias("b"))
+        r1 = ordinal_association(df, "a", "b").collect()[0]
+        r2 = ordinal_association(neg, "a", "b").collect()[0]
+        if r1.gamma is not None:
+            assert r2.gamma == -r1.gamma
+            assert r2.somers_d_ba == -r1.somers_d_ba
+        assert r1.n_concordant == r2.n_discordant
