@@ -1211,6 +1211,67 @@ def _corpus_risk_table(spark, sf_dir):
     )
 
 
+def _q5_local_supplier(spark, sf_dir):
+    """TPC-H Q5 (local supplier volume): revenue per ASIA nation
+    for 1996 orders where customer and supplier share the nation —
+    the 6-table join that exercises what the 3-query relational
+    corner didn't: a broadcast CHAIN (region -> nation -> supplier/
+    customer dims) feeding the two fact joins, with the region
+    filter pushed through the chain so the big join sides shrink
+    before the shuffle. DuckDB oracle is the textbook query."""
+    li = _read(spark, sf_dir, "lineitem")
+    orders = _read(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate")
+         >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate")
+           < F.lit("1997-01-01").cast("timestamp"))
+    )
+    cust = _read(spark, sf_dir, "customer")
+    supp = _read(spark, sf_dir, "supplier")
+    nation = _read(spark, sf_dir, "nation")
+    region = _read(spark, sf_dir, "region").where(
+        F.col("r_name") == "ASIA"
+    )
+    nat = F.broadcast(
+        nation.join(
+            F.broadcast(region),
+            nation.n_regionkey == region.r_regionkey,
+        ).select("n_nationkey", "n_name")
+    )
+    s = F.broadcast(
+        supp.join(
+            nat, supp.s_nationkey == F.col("n_nationkey")
+        ).select("s_suppkey", "s_nationkey", "n_name")
+    )
+    c = F.broadcast(
+        cust.join(
+            nat.select(F.col("n_nationkey").alias("cn")),
+            cust.c_nationkey == F.col("cn"),
+        ).select("c_custkey", "c_nationkey")
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(c, orders.o_custkey == F.col("c_custkey"))
+        .join(
+            s,
+            (li.l_suppkey == F.col("s_suppkey"))
+            & (F.col("s_nationkey") == F.col("c_nationkey")),
+        )
+        .groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum(
+                    F.col("l_extendedprice")
+                    * (1 - F.col("l_discount"))
+                ),
+                2,
+            ).alias("revenue"),
+            F.count(F.lit(1)).cast("bigint").alias("n_items"),
+        )
+        .orderBy(F.col("revenue").desc(), "n_name")
+    )
+
+
 def _sim_pca_embeddings(spark, sf_dir):
     """Top-8 principal components of the embeddings table — the
     reference's correlation Gramian put to its canonical use
@@ -5156,6 +5217,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     full-surface green regardless of this ordering."""
     return {
         # --- round 5 ---
+        "q5_local_supplier": _q5_local_supplier,
         "sim_pca_embeddings": _sim_pca_embeddings,
         "events_bursts": _events_bursts,
         "corpus_chi2_residuals": _corpus_chi2_residuals,
@@ -5504,6 +5566,25 @@ def oracle_sql() -> dict[str, str]:
         for t in POISSON1_T60
     )
     out = {
+        "q5_local_supplier": """
+            SELECT n_name,
+              round(sum(l_extendedprice
+                * (1 - l_discount)), 2) AS revenue,
+              count(*)::BIGINT AS n_items
+            FROM customer, orders, lineitem, supplier,
+                 nation, region
+            WHERE c_custkey = o_custkey
+              AND l_orderkey = o_orderkey
+              AND l_suppkey = s_suppkey
+              AND c_nationkey = s_nationkey
+              AND s_nationkey = n_nationkey
+              AND n_regionkey = r_regionkey
+              AND r_name = 'ASIA'
+              AND o_orderdate >= TIMESTAMP '1996-01-01'
+              AND o_orderdate < TIMESTAMP '1997-01-01'
+            GROUP BY n_name
+            ORDER BY revenue DESC, n_name
+        """,
         "events_bursts": """
             WITH RECURSIVE daily AS (
               SELECT event_type AS g,

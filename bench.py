@@ -226,6 +226,7 @@ HEADLINE = [
     "corpus_chi2_residuals",
     "events_bursts",
     "sim_pca_embeddings",
+    "q5_local_supplier",
 ]
 
 BENCH_CONVERSATIONS = int(os.environ.get("PROTOSC_BENCH_CONVS", "20000"))

@@ -394,3 +394,14 @@ def test_holt_winters_plan_no_python_no_sort(spark):
     # one daily agg + one series agg, no range exchange
     assert "Exchange rangepartitioning" not in p
     assert n_shuffles(p) <= 2
+
+
+def test_q5_broadcast_chain_no_sortmerge(spark, queries):
+    p = plan(queries["q5_local_supplier"](spark, SF))
+    # dims flow through a broadcast chain; the only shuffles are
+    # the aggregation exchange and the 5-row output sort
+    assert "SortMergeJoin" not in p
+    assert p.count("BroadcastHashJoin") >= 4
+    assert n_shuffles(p) <= 2
+    # region filter reached the scan
+    assert "PushedFilters" in p and "ASIA" in p
