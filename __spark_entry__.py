@@ -443,6 +443,72 @@ def _transcript_conv_features(spark, sf_dir):
     return conversation_features(stable_dedup(tr))
 
 
+def _transcript_sft_pack(spark, sf_dir):
+    """Conversation-atomic SFT packing: 150 generated conversations
+    (the seeded table, skew tail included) packed into 1024-token
+    bins with chat-template token accounting and assistant loss-mask
+    spans. Typical conversations (~80-950 tokens) co-pack several to
+    a bin; the skewed 60x conversations exceed max_len, so the
+    truncated/own-bin path ALSO runs live at the gate. Packing is
+    per-hash-bucket next-fit via one Catalyst aggregate fold —
+    deterministic at any parallelism (pinned in tests) — so the
+    oracle is frozen."""
+    from protosc_spark.datagen import generate_transcripts
+    from protosc_spark.posttrain import sft_pack
+
+    tr = generate_transcripts(spark, n_conversations=150, seed=7)
+    return sft_pack(tr, max_len=1024, bucket_width=32).orderBy("conv_id")
+
+
+def _transcript_dpo_pairs(spark, sf_dir):
+    """(chosen, rejected) preference pairs per shared prompt over a
+    planted prompt-template corpus: 160 generated conversations whose
+    opening turn is rewritten to one of 20 shared user prompts, so
+    each prompt group holds ~8 candidate responses. Pair choice is
+    min/max struct aggregation only (no per-prompt collect_list — a
+    viral prompt can never make a reducer the straggler). Input is
+    engine-generated; oracle frozen."""
+    from protosc_spark.datagen import generate_transcripts
+    from protosc_spark.posttrain import dpo_pairs
+
+    base = generate_transcripts(spark, n_conversations=160, seed=21)
+    num = F.substring("conv_id", 2, 8).cast("int")
+    tr = base.withColumn(
+        "role",
+        F.when(F.col("turn_idx") == 0, "user").otherwise(F.col("role")),
+    ).withColumn(
+        "text",
+        F.when(
+            F.col("turn_idx") == 0,
+            F.format_string("shared prompt %d", F.pmod(num, F.lit(20))),
+        ).otherwise(F.col("text")),
+    )
+    return dpo_pairs(tr).orderBy("prompt_key")
+
+
+def _transcript_split_leakage(spark, sf_dir):
+    """Conversation-integrity split + cross-split contamination audit:
+    120 generated conversations plus every 4th re-ingested under a new
+    conv_id (the duplicate-ingest scenario), split 90/5/5 by the
+    engine's md5-bucket rule on conv_id. The audit reports, per split,
+    the EXACT count of distinct turn texts that also appear in another
+    split — nonzero here by construction because the duplicate
+    conversations hash independently of their originals. Input is
+    engine-generated; oracle frozen."""
+    from protosc_spark.datagen import generate_transcripts
+    from protosc_spark.posttrain import split_leakage
+
+    clean = generate_transcripts(spark, n_conversations=120, seed=3)
+    num = F.substring("conv_id", 2, 8).cast("int")
+    dup = clean.where(F.pmod(num, F.lit(4)) == 0).withColumn(
+        "conv_id", F.concat(F.lit("d"), "conv_id")
+    )
+    return split_leakage(
+        clean.unionByName(dup),
+        weights={"train": 0.90, "val": 0.05, "test": 0.05},
+    )
+
+
 _EDIT_PLANT = [
     (9100001, "the quick brown fox jumps over the lazy dog"),
     (9100002, "the quick brown fox jumps over the hazy dog"),
@@ -5217,6 +5283,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     full-surface green regardless of this ordering."""
     return {
         # --- round 5 ---
+        "transcript_sft_pack": _transcript_sft_pack,
+        "transcript_dpo_pairs": _transcript_dpo_pairs,
+        "transcript_split_leakage": _transcript_split_leakage,
         "q5_local_supplier": _q5_local_supplier,
         "sim_pca_embeddings": _sim_pca_embeddings,
         "events_bursts": _events_bursts,

@@ -227,6 +227,9 @@ HEADLINE = [
     "events_bursts",
     "sim_pca_embeddings",
     "q5_local_supplier",
+    "transcript_sft_pack",
+    "transcript_dpo_pairs",
+    "transcript_split_leakage",
 ]
 
 BENCH_CONVERSATIONS = int(os.environ.get("PROTOSC_BENCH_CONVS", "20000"))
