@@ -443,6 +443,76 @@ def _transcript_conv_features(spark, sf_dir):
     return conversation_features(stable_dedup(tr))
 
 
+def _corpus_conformal_bound(spark, sf_dir):
+    """Split-conformal upper bound on document length: md5 50/50
+    calibration/eval split, finite-sample thresholds at alpha =
+    0.2/0.1/0.05 via pure-integer k = ceil((n+1)(1-alpha)) order
+    statistics off the n_chars value histogram, realized held-out
+    coverage alongside (the exchangeability guarantee made visible).
+    LIVE DuckDB oracle replays split, histogram, integer k, smallest
+    attaining value and coverage."""
+    from protosc_spark.evaluation import conformal_threshold
+    from protosc_spark.sampling import hash_split
+
+    docs = _read(spark, sf_dir, "documents")
+    s = hash_split(docs, ["doc_id"], {"cal": 0.5, "eval": 0.5})
+    return conformal_threshold(
+        s.where(F.col("split") == "cal"),
+        s.where(F.col("split") == "eval"),
+        "n_chars",
+    )
+
+
+def _corpus_nb_classifier(spark, sf_dir):
+    """Distributed multinomial Naive Bayes trained ON the cluster and
+    replayed by a LIVE DuckDB oracle digit for digit — the
+    closed-form counting classifier beside the frozen-oracle logistic
+    one (txt_quality_classifier): train = two aggregations over the
+    70/30 md5-split documents table (predicting source from tokens),
+    score = exact BIGINT sums of 1e-9-nat quantized log terms,
+    argmax per doc with the (score desc, label) tie rule. Output is
+    the held-out confusion matrix."""
+    from protosc_spark.classifier import nb_predict, nb_train
+    from protosc_spark.sampling import hash_split
+
+    docs = _read_wide(spark, sf_dir, "documents").where(
+        F.col("text").isNotNull()
+    )
+    s = hash_split(docs, ["doc_id"], {"train": 0.7, "test": 0.3})
+    train = s.where(F.col("split") == "train")
+    test = s.where(F.col("split") == "test")
+    lik, labels = nb_train(train, "source")
+    pred = nb_predict(lik, labels, test)
+    return (
+        test.select(F.col("doc_id").alias("id"), "source")
+        .join(pred, "id")
+        .groupBy(F.col("source").alias("label"), "pred")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .orderBy("label", "pred")
+    )
+
+
+def _corpus_isotonic_calibration(spark, sf_dir):
+    """Isotonic (PAV) calibration of is-English against the integer
+    whitespace-per-1000-chars score, via the minimax characterization
+    over the distinct-score histogram — exact integer segment means
+    on the 1e-9 grid, so the fit is order-independent and the DuckDB
+    oracle replays prefix sums, the V^2/2 pair table, per-j
+    suffix-mins and the outer max digit for digit. iso_rate is
+    non-decreasing by construction."""
+    from protosc_spark.evaluation import isotonic_calibration
+
+    docs = _read(spark, sf_dir, "documents").where(F.length("text") > 0)
+    base = docs.select(
+        F.expr(
+            "CAST(((length(text) - length(replace(text, ' ', '')))"
+            " * 1000) DIV length(text) AS INT)"
+        ).alias("score"),
+        (F.col("lang") == "en").cast("int").alias("y"),
+    )
+    return isotonic_calibration(base, "score", "y")
+
+
 def _transcript_sft_pack(spark, sf_dir):
     """Conversation-atomic SFT packing: 150 generated conversations
     (the seeded table, skew tail included) packed into 1024-token
@@ -5283,6 +5353,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     full-surface green regardless of this ordering."""
     return {
         # --- round 5 ---
+        "corpus_conformal_bound": _corpus_conformal_bound,
+        "corpus_nb_classifier": _corpus_nb_classifier,
+        "corpus_isotonic_calibration": _corpus_isotonic_calibration,
         "transcript_sft_pack": _transcript_sft_pack,
         "transcript_dpo_pairs": _transcript_dpo_pairs,
         "transcript_split_leakage": _transcript_split_leakage,
@@ -5614,6 +5687,121 @@ def _corpus_decontaminate_oracle() -> str:
     """
 
 
+def _corpus_conformal_oracle() -> str:
+    from protosc_spark.sampling import split_oracle_sql
+
+    case = split_oracle_sql(
+        "doc_id::VARCHAR", {"cal": 0.5, "eval": 0.5}
+    )
+    return f"""
+        WITH s AS (
+          SELECT n_chars, {case} AS split FROM documents
+        ), hist AS (
+          SELECT n_chars AS v, count(*)::BIGINT AS c
+          FROM s WHERE split = 'cal' GROUP BY n_chars
+        ), cum AS (
+          SELECT v, sum(c) OVER (ORDER BY v
+            ROWS UNBOUNDED PRECEDING)::BIGINT AS cum
+          FROM hist
+        ), ncal AS (
+          SELECT sum(c)::BIGINT AS n_cal FROM hist
+        ), ks AS (
+          SELECT am AS alpha_milli, ncal.n_cal,
+                 ((ncal.n_cal + 1) * (1000 - am) + 999) // 1000 AS k
+          FROM (VALUES (200), (100), (50)) a(am), ncal
+        ), thr AS (
+          SELECT ks.alpha_milli, ks.n_cal, ks.k,
+                 min(cum.v) AS threshold
+          FROM ks LEFT JOIN cum ON cum.cum >= ks.k
+          GROUP BY ks.alpha_milli, ks.n_cal, ks.k
+        ), ev AS (
+          SELECT n_chars AS es FROM s WHERE split = 'eval'
+        )
+        SELECT t.alpha_milli, t.n_cal, t.k,
+               CASE WHEN t.k <= t.n_cal THEN t.threshold END
+                 AS threshold,
+               count(*)::BIGINT AS n_eval,
+               CASE WHEN t.k <= t.n_cal THEN
+                 sum(CASE WHEN ev.es <= t.threshold
+                     THEN 1 ELSE 0 END)::BIGINT END AS covered,
+               CASE WHEN t.k <= t.n_cal THEN
+                 round(sum(CASE WHEN ev.es <= t.threshold
+                       THEN 1 ELSE 0 END) / count(*), 6) END
+                 AS coverage
+        FROM ev CROSS JOIN thr t
+        GROUP BY t.alpha_milli, t.n_cal, t.k, t.threshold
+        ORDER BY t.alpha_milli DESC
+    """
+
+
+def _corpus_nb_oracle() -> str:
+    from protosc_spark.sampling import split_oracle_sql
+
+    case = split_oracle_sql(
+        "doc_id::VARCHAR", {"train": 0.7, "test": 0.3}
+    )
+    return f"""
+        WITH s AS (
+          SELECT doc_id, lower(text) AS txt, source,
+                 {case} AS split
+          FROM documents WHERE text IS NOT NULL
+        ), tr_tok AS (
+          SELECT source AS label,
+                 unnest(string_split(txt, ' ')) AS tok
+          FROM s WHERE split = 'train'
+        ), counts AS (
+          SELECT label, tok, count(*)::BIGINT AS c
+          FROM tr_tok GROUP BY label, tok
+        ), vocab AS (
+          SELECT count(DISTINCT tok)::BIGINT AS v FROM counts
+        ), tots AS (
+          SELECT label, sum(c)::BIGINT AS tot
+          FROM counts GROUP BY label
+        ), lik AS (
+          SELECT c.label, c.tok,
+                 floor(ln((c.c + 1)::DOUBLE / (t.tot + vocab.v)::DOUBLE)
+                       * 1000000000.0)::BIGINT AS lu
+          FROM counts c JOIN tots t ON c.label = t.label, vocab
+        ), nl AS (
+          SELECT source AS label, count(*)::BIGINT AS nl
+          FROM s WHERE split = 'train' GROUP BY source
+        ), ntot AS (SELECT sum(nl)::BIGINT AS n FROM nl),
+        lab AS (
+          SELECT nl.label,
+                 floor(ln(nl.nl::DOUBLE / ntot.n::DOUBLE)
+                       * 1000000000.0)::BIGINT AS prior_u,
+                 floor(ln(1.0 / (t.tot + vocab.v)::DOUBLE)
+                       * 1000000000.0)::BIGINT AS default_u
+          FROM nl JOIN tots t ON nl.label = t.label, ntot, vocab
+        ), te_tok AS (
+          SELECT id, tok, count(*)::BIGINT AS k FROM (
+            SELECT doc_id AS id,
+                   unnest(string_split(txt, ' ')) AS tok
+            FROM s WHERE split = 'test'
+          ) GROUP BY id, tok
+        ), cand AS (
+          SELECT tt.id, lab.label,
+                 sum(tt.k * coalesce(lik.lu, lab.default_u))::BIGINT
+                 + min(lab.prior_u) AS score_u
+          FROM te_tok tt CROSS JOIN lab
+          LEFT JOIN lik ON lik.tok = tt.tok
+                       AND lik.label = lab.label
+          GROUP BY tt.id, lab.label
+        ), pred AS (
+          SELECT id, label AS pred,
+                 row_number() OVER (
+                   PARTITION BY id ORDER BY score_u DESC, label
+                 ) AS rn
+          FROM cand
+        )
+        SELECT s.source AS label, pred.pred, count(*)::BIGINT AS n
+        FROM s JOIN pred ON pred.id = s.doc_id AND pred.rn = 1
+        WHERE s.split = 'test'
+        GROUP BY s.source, pred.pred
+        ORDER BY label, pred
+    """
+
+
 def _corpus_split_oracle() -> str:
     from protosc_spark.sampling import split_oracle_sql
 
@@ -5635,6 +5823,46 @@ def oracle_sql() -> dict[str, str]:
         for t in POISSON1_T60
     )
     out = {
+        "corpus_conformal_bound": _corpus_conformal_oracle(),
+        "corpus_nb_classifier": _corpus_nb_oracle(),
+        "corpus_isotonic_calibration": """
+            WITH base AS (
+              SELECT ((length(text)
+                       - length(replace(text, ' ', ''))) * 1000)
+                     // length(text) AS score,
+                     CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+              FROM documents WHERE length(text) > 0
+            ), h AS (
+              SELECT score, count(*)::BIGINT AS n,
+                     sum(y)::BIGINT AS pos
+              FROM base GROUP BY score
+            ), idx AS (
+              SELECT score, n, pos,
+                     row_number() OVER (ORDER BY score) AS i,
+                     sum(n) OVER (ORDER BY score
+                       ROWS UNBOUNDED PRECEDING)::BIGINT AS cn,
+                     sum(pos) OVER (ORDER BY score
+                       ROWS UNBOUNDED PRECEDING)::BIGINT AS cp
+              FROM h
+            ), pairs AS (
+              SELECT a.i AS j, b.i AS i2,
+                     ((b.cp - (a.cp - a.pos)) * 1000000000)
+                     // (b.cn - (a.cn - a.n)) AS m
+              FROM idx a JOIN idx b ON a.i <= b.i
+            ), suf AS (
+              SELECT j, i2,
+                     min(m) OVER (PARTITION BY j ORDER BY i2 DESC
+                       ROWS UNBOUNDED PRECEDING) AS a_ji
+              FROM pairs
+            ), fit AS (
+              SELECT i2 AS i, max(a_ji) AS f FROM suf GROUP BY i2
+            )
+            SELECT idx.score::INT AS score, idx.n, idx.pos,
+                   round(idx.pos / idx.n, 6) AS rate,
+                   round(fit.f / 1000000000.0, 6) AS iso_rate
+            FROM idx JOIN fit USING (i)
+            ORDER BY score
+        """,
         "q5_local_supplier": """
             SELECT n_name,
               round(sum(l_extendedprice

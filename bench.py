@@ -230,6 +230,9 @@ HEADLINE = [
     "transcript_sft_pack",
     "transcript_dpo_pairs",
     "transcript_split_leakage",
+    "corpus_isotonic_calibration",
+    "corpus_nb_classifier",
+    "corpus_conformal_bound",
 ]
 
 BENCH_CONVERSATIONS = int(os.environ.get("PROTOSC_BENCH_CONVS", "20000"))

@@ -271,3 +271,145 @@ def score_quality(
         return pd.Series(1.0 / (1.0 + np.exp(-z)))
 
     return df.withColumn("quality_prob", F.round(score_udf(F.col(text_col)), 6))
+
+
+def nb_train(
+    df: DataFrame,
+    label_col: str,
+    text_col: str = "text",
+    unit: int = 10**9,
+) -> tuple[DataFrame, DataFrame]:
+    """Multinomial Naive Bayes training as TWO aggregations — the
+    fully-Catalyst sibling of :func:`train_quality_classifier` (that
+    one is iterative logistic GD; this is the closed-form counting
+    classifier, zero Python anywhere, so a LIVE SQL oracle can replay
+    training digit for digit).
+
+    Model: Laplace-smoothed token log-likelihoods
+
+        lu(label, tok) = floor(unit * ln((c + 1) / (tot_l + V)))
+
+    plus per-label log-prior and unseen-token default, all quantized
+    to integer 1e-9-nat units at the SOURCE (the house ln convention:
+    cross-row sums happen over exact integers, so scoring is
+    order-independent at any parallelism).
+
+    Returns ``(likelihoods, labels)``: (label, tok, lu) sized
+    |vocab x labels| at most, and (label, prior_u, default_u) sized
+    |labels|.  Scale: one (label, tok) count with map-side combine —
+    the corpus is touched once; everything downstream runs on
+    vocabulary-sized tables.
+    """
+    toks = df.select(
+        F.col(label_col).alias("label"),
+        F.explode(F.split(F.lower(F.col(text_col)), " ")).alias("tok"),
+    )
+    counts = toks.groupBy("label", "tok").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    vocab = counts.select(
+        F.count_distinct("tok").cast("bigint").alias("__v")
+    )
+    tots = counts.groupBy("label").agg(
+        F.sum("c").cast("bigint").alias("__tot")
+    )
+    lik = (
+        counts.join(tots, "label")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "label",
+            "tok",
+            F.floor(
+                F.log(
+                    (F.col("c") + 1).cast("double")
+                    / (F.col("__tot") + F.col("__v")).cast("double")
+                )
+                * F.lit(float(unit))
+            )
+            .cast("bigint")
+            .alias("lu"),
+        )
+    )
+    n_docs = df.groupBy(F.col(label_col).alias("label")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("__nl")
+    )
+    n_tot = n_docs.agg(F.sum("__nl").alias("__n"))
+    labels = (
+        n_docs.crossJoin(F.broadcast(n_tot))
+        .join(tots, "label")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "label",
+            F.floor(
+                F.log(
+                    F.col("__nl").cast("double")
+                    / F.col("__n").cast("double")
+                )
+                * F.lit(float(unit))
+            )
+            .cast("bigint")
+            .alias("prior_u"),
+            F.floor(
+                F.log(
+                    F.lit(1.0)
+                    / (F.col("__tot") + F.col("__v")).cast("double")
+                )
+                * F.lit(float(unit))
+            )
+            .cast("bigint")
+            .alias("default_u"),
+        )
+    )
+    return lik, labels
+
+
+def nb_predict(
+    lik: DataFrame,
+    labels: DataFrame,
+    test: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Score every test document against every label and emit the
+    argmax — (id, pred, score_u).
+
+    Shape: test tokens are counted per (doc, tok) once, fanned out
+    over the BROADCAST label list (bounded small), left-joined against
+    the (tok, label) likelihood table — an equi-join on tok that AQE
+    can split if one token dominates — with unseen tokens taking the
+    label's default unit. Scores are exact BIGINT unit sums; the
+    argmax window runs per document over |labels| rows with the
+    deterministic (score desc, label asc) tie rule.
+    """
+    from pyspark.sql import Window as W
+
+    ttok = test.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.split(F.lower(F.col(text_col)), " ")).alias("tok"),
+    ).groupBy("id", "tok").agg(
+        F.count(F.lit(1)).cast("bigint").alias("k")
+    )
+    cand = (
+        ttok.crossJoin(F.broadcast(labels))
+        .join(lik, ["tok", "label"], "left")
+        .groupBy("id", "label")
+        .agg(
+            F.sum(
+                F.col("k") * F.coalesce(F.col("lu"), F.col("default_u"))
+            )
+            .cast("bigint")
+            .alias("__ts"),
+            F.first("prior_u").alias("__pu"),
+        )
+        .select(
+            "id",
+            "label",
+            (F.col("__ts") + F.col("__pu")).alias("score_u"),
+        )
+    )
+    w = W.partitionBy("id").orderBy(F.col("score_u").desc(), "label")
+    return (
+        cand.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .select("id", F.col("label").alias("pred"), "score_u")
+    )

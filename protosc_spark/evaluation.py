@@ -3978,3 +3978,194 @@ def chi2_cell_residuals(
             res.isNotNull(), F.abs(res) > F.lit(2.0)
         ).alias("flagged"),
     )
+
+
+def isotonic_calibration(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    unit: int = 10**9,
+) -> DataFrame:
+    """Isotonic (PAV) calibration of a binary label against a score,
+    EXACT on a 1/``unit`` grid — the monotone calibration map that
+    reliability bins (:func:`calibration_bins`) only approximate with
+    fixed-width buckets.
+
+    Instead of the sequential pool-adjacent-violators stack (which
+    has no order-free distributed form), the fit is computed from the
+    minimax characterization of isotonic regression
+
+        iso(i) = max_{j <= i} min_{k >= i} mean(y[j..k])
+
+    over the DISTINCT-SCORE histogram: segment means come from exact
+    integer prefix sums (cross-multiplied into ``unit``-grid integers
+    with one BIGINT DIV, floor on both engines since every quantity is
+    nonnegative), the inner min is a per-j suffix-min window, the
+    outer max one aggregate. Quantizing each mean before the minimax
+    keeps every comparison an integer compare — order-independent at
+    any parallelism — and since max-min is 1-Lipschitz in sup norm the
+    result sits within 1/unit of the true PAV solution; monotonicity
+    is EXACT for any per-pair values (growing j-range and shrinking
+    k-range both only raise the value).
+
+    Scale shape: everything runs on the V-distinct-score collapse —
+    one map-side-combined groupBy(score), a V-row rank/prefix window
+    (vocab-sized, the documented house pattern), a V^2/2-row pair
+    join, per-j suffix-min windows of <= V rows. V is the caller's
+    contract: quantize a continuous score first (integer bucket /
+    sketches.hdr_histogram), exactly like :func:`auc_exact`. The
+    corpus itself is touched once.
+
+    Output: (score, n, pos, rate, iso_rate) per distinct score,
+    iso_rate non-decreasing in score.
+    """
+    h = (
+        df.where(
+            F.col(score_col).isNotNull() & F.col(label_col).isNotNull()
+        )
+        .groupBy(F.col(score_col).alias("score"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum(F.col(label_col).cast("int"))
+            .cast("bigint")
+            .alias("pos"),
+        )
+    )
+    w = W.orderBy("score").rowsBetween(W.unboundedPreceding, 0)
+    idx = h.select(
+        "score",
+        "n",
+        "pos",
+        F.row_number().over(W.orderBy("score")).alias("i"),
+        F.sum("n").over(w).alias("cn"),
+        F.sum("pos").over(w).alias("cp"),
+    )
+    a = idx.select(
+        F.col("i").alias("j"),
+        F.col("cn").alias("cnj"),
+        F.col("cp").alias("cpj"),
+        F.col("n").alias("nj"),
+        F.col("pos").alias("pj"),
+    )
+    pairs = a.join(idx, F.col("j") <= F.col("i")).select(
+        "j",
+        "i",
+        F.expr(
+            f"(({_ISO_POS}) * CAST({unit} AS BIGINT))"
+            f" DIV ({_ISO_N})"
+        ).alias("m"),
+    )
+    suf = W.partitionBy("j").orderBy(F.col("i").desc()).rowsBetween(
+        W.unboundedPreceding, 0
+    )
+    fit = (
+        pairs.withColumn("a_ji", F.min("m").over(suf))
+        .groupBy("i")
+        .agg(F.max("a_ji").alias("f"))
+    )
+    return (
+        idx.join(fit, "i")
+        .select(
+            "score",
+            "n",
+            "pos",
+            F.round(
+                F.col("pos").cast("double") / F.col("n").cast("double"),
+                6,
+            ).alias("rate"),
+            F.round(
+                F.col("f").cast("double") / F.lit(float(unit)), 6
+            ).alias("iso_rate"),
+        )
+        .orderBy("score")
+    )
+
+
+# segment sums for isotonic_calibration: pos(j..i) = cp_i - (cp_j -
+# p_j), n(j..i) = cn_i - (cn_j - n_j) — the j row carries its own
+# prefix so the pair join needs no j-1 lookup.
+_ISO_POS = "cp - (cpj - pj)"
+_ISO_N = "cn - (cnj - nj)"
+
+
+def conformal_threshold(
+    cal: DataFrame,
+    evl: DataFrame,
+    score_col: str,
+    alphas_milli: tuple[int, ...] = (200, 100, 50),
+) -> DataFrame:
+    """Split-conformal prediction bound: per miscoverage level alpha,
+    the finite-sample-exact one-sided threshold
+
+        t = k-th smallest calibration score,
+        k = ceil((n_cal + 1) * (1 - alpha))
+
+    which guarantees P(score <= t) >= 1 - alpha on exchangeable data,
+    plus the realized coverage on a held-out eval split. alpha enters
+    as an INTEGER milli-level so k is pure integer arithmetic
+    (((n+1) * (1000 - am) + 999) DIV 1000 — no float ceil to disagree
+    across engines), and the order statistic comes from the
+    distinct-score-value histogram (cumulative counts, smallest value
+    whose cum reaches k) — the :func:`auc_exact` collapse, never a
+    corpus sort. When k exceeds n_cal the bound is vacuous (+inf) and
+    the row abstains with NULL threshold/coverage.
+
+    Scale: one groupBy(score) on the calibration split (map-side
+    combined), a distinct-value cumulative window, ONE scan of the
+    eval split covering all levels at once (broadcast threshold
+    table). Output: (alpha_milli, n_cal, k, threshold, n_eval,
+    covered, coverage) ordered by alpha_milli desc.
+    """
+    hist = cal.where(F.col(score_col).isNotNull()).groupBy(
+        F.col(score_col).alias("s")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    wc = W.orderBy("s").rowsBetween(W.unboundedPreceding, 0)
+    cum = hist.select(
+        "s", F.sum("c").over(wc).alias("cum")
+    )
+    n_cal = hist.agg(F.sum("c").cast("bigint").alias("n_cal"))
+    al = cal.sparkSession.createDataFrame(
+        [(int(a),) for a in alphas_milli], "alpha_milli int"
+    )
+    ks = al.crossJoin(F.broadcast(n_cal)).select(
+        "alpha_milli",
+        "n_cal",
+        F.expr(
+            "((n_cal + 1) * (1000 - alpha_milli) + 999) DIV 1000"
+        ).alias("k"),
+    )
+    thr = (
+        ks.join(cum, F.col("cum") >= F.col("k"), "left")
+        .groupBy("alpha_milli", "n_cal", "k")
+        .agg(F.min("s").alias("threshold"))
+    )
+    ev = evl.where(F.col(score_col).isNotNull()).select(
+        F.col(score_col).alias("es")
+    )
+    cov = (
+        ev.crossJoin(F.broadcast(thr))
+        .groupBy("alpha_milli", "n_cal", "k", "threshold")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_eval"),
+            F.sum((F.col("es") <= F.col("threshold")).cast("int"))
+            .cast("bigint")
+            .alias("covered"),
+        )
+    )
+    feasible = F.col("k") <= F.col("n_cal")
+    return cov.select(
+        "alpha_milli",
+        "n_cal",
+        "k",
+        F.when(feasible, F.col("threshold")).alias("threshold"),
+        "n_eval",
+        F.when(feasible, F.col("covered")).alias("covered"),
+        F.when(
+            feasible,
+            F.round(
+                F.col("covered").cast("double")
+                / F.col("n_eval").cast("double"),
+                6,
+            ),
+        ).alias("coverage"),
+    ).orderBy(F.col("alpha_milli").desc())

@@ -82,3 +82,78 @@ def test_empty_training_set_raises(spark, labeled):
         train_quality_classifier(
             labeled.where(F.lit(False)), n_features=NF, n_iter=1
         )
+
+
+# ------------------------------------------------------- naive bayes
+class TestNaiveBayes:
+    def _fit_predict(self, spark, train_rows, test_rows):
+        from protosc_spark.classifier import nb_predict, nb_train
+
+        tr = spark.createDataFrame(train_rows, "label string, text string")
+        te = spark.createDataFrame(test_rows, "doc_id string, text string")
+        lik, labels = nb_train(tr, "label")
+        return {
+            r["id"]: r for r in nb_predict(lik, labels, te).collect()
+        }
+
+    def test_hand_fixture_exact_units(self, spark):
+        import math
+
+        train = [
+            ("spam", "buy pills now"),
+            ("spam", "buy now"),
+            ("ham", "meeting notes attached"),
+        ]
+        out = self._fit_predict(
+            spark, train, [("d1", "buy pills"), ("d2", "meeting notes")]
+        )
+        assert out["d1"]["pred"] == "spam"
+        assert out["d2"]["pred"] == "ham"
+        # replay d1's spam score in exact units: V=6 distinct tokens
+        # (buy pills now meeting notes attached), spam tot=5, counts
+        # buy=2 pills=1; prior ln(2/3)
+        u = 10**9
+        lu = lambda c, tot: math.floor(math.log((c + 1) / (tot + 6)) * u)
+        want = lu(2, 5) + lu(1, 5) + math.floor(math.log(2 / 3) * u)
+        assert out["d1"]["score_u"] == want
+
+    def test_prior_decides_unseen_tokens(self, spark):
+        # every token unseen -> per-label default; class imbalance
+        # (prior) must break the near-tie deterministically
+        train = [("a", "x x x"), ("a", "x"), ("b", "y y y y")]
+        out = self._fit_predict(spark, train, [("d", "zz qq")])
+        # defaults: a tot=4 V=2 -> ln(1/6)*2 ; b tot=4 -> ln(1/6)*2 ;
+        # priors ln(2/3) vs ln(1/3): 'a' wins on prior
+        assert out["d"]["pred"] == "a"
+
+    def test_tie_breaks_to_smallest_label(self, spark):
+        train = [("a", "x"), ("b", "x")]
+        out = self._fit_predict(spark, train, [("d", "x")])
+        assert out["d"]["pred"] == "a"
+
+    def test_parallelism_invariant(self, spark, sf_dir):
+        from pyspark.sql import functions as F
+
+        from protosc_spark.classifier import nb_predict, nb_train
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        tr = docs.where(F.col("doc_id") % 7 < 2).select(
+            F.col("source").alias("label"), "text"
+        )
+        te = docs.where(F.col("doc_id") % 7 == 6).select(
+            "doc_id", "text"
+        )
+        outs = []
+        for parts in (1, 13):
+            lik, labels = nb_train(tr.repartition(parts), "label")
+            outs.append(
+                sorted(
+                    map(
+                        tuple,
+                        nb_predict(
+                            lik, labels, te.repartition(parts)
+                        ).collect(),
+                    )
+                )
+            )
+        assert outs[0] == outs[1]

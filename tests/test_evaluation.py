@@ -3163,3 +3163,153 @@ def test_chi2_residuals_zero_cell_and_independent(spark):
     df2 = spark.createDataFrame(rows2, "x string, y string")
     for r in chi2_cell_residuals(df2, "x", "y").collect():
         assert r.std_residual == 0.0 and r.flagged is False
+
+
+# ---------------------------------------------------------- isotonic
+class TestIsotonicCalibration:
+    def _fit(self, spark, rows):
+        from protosc_spark.evaluation import isotonic_calibration
+
+        df = spark.createDataFrame(rows, "score int, y int")
+        return {
+            r["score"]: r
+            for r in isotonic_calibration(df, "score", "y").collect()
+        }
+
+    def test_violator_pooling_hand_fixture(self, spark):
+        # rates 1.0, 0.0 at scores 1, 2 -> pooled to 0.5 on both;
+        # score 3 rate 1.0 stays above
+        rows = [(1, 1), (1, 1), (2, 0), (2, 0), (3, 1), (3, 1)]
+        out = self._fit(spark, rows)
+        assert out[1]["iso_rate"] == out[2]["iso_rate"] == 0.5
+        assert out[3]["iso_rate"] == 1.0
+        assert out[1]["rate"] == 1.0 and out[2]["rate"] == 0.0
+
+    def test_already_monotone_is_identity(self, spark):
+        rows = []
+        for s, (n, p) in enumerate([(4, 0), (4, 1), (4, 2), (4, 4)]):
+            rows += [(s, 1)] * p + [(s, 0)] * (n - p)
+        out = self._fit(spark, rows)
+        for s, (n, p) in enumerate([(4, 0), (4, 1), (4, 2), (4, 4)]):
+            assert abs(out[s]["iso_rate"] - p / n) < 2e-6
+            assert out[s]["rate"] == round(p / n, 6)
+
+    def test_matches_numpy_pav_and_monotone(self, spark):
+        import numpy as np
+
+        rng = np.random.RandomState(7)
+        score = rng.randint(0, 30, 3000)
+        y = (rng.rand(3000) < score / 45.0 + 0.05).astype(int)
+        out = self._fit(
+            spark, [(int(a), int(b)) for a, b in zip(score, y)]
+        )
+        # reference PAV (weighted, exact fraction compares)
+        import collections
+
+        agg = collections.OrderedDict()
+        for a, b in sorted(zip(score, y)):
+            agg.setdefault(int(a), [0, 0])
+            agg[int(a)][0] += 1
+            agg[int(a)][1] += int(b)
+        blocks = []
+        for v in agg:
+            blocks.append([agg[v][1], agg[v][0]])
+            while (
+                len(blocks) > 1
+                and blocks[-2][0] * blocks[-1][1]
+                >= blocks[-1][0] * blocks[-2][1]
+            ):
+                b2 = blocks.pop()
+                blocks[-1][0] += b2[0]
+                blocks[-1][1] += b2[1]
+        pav, bi, taken = {}, 0, 0
+        for v in agg:
+            pav[v] = blocks[bi][0] / blocks[bi][1]
+            taken += agg[v][0]
+            if taken == blocks[bi][1]:
+                bi, taken = bi + 1, 0
+        vals = sorted(agg)
+        assert all(
+            abs(out[v]["iso_rate"] - pav[v]) < 2e-6 for v in vals
+        )
+        assert all(
+            out[vals[i]]["iso_rate"] <= out[vals[i + 1]]["iso_rate"]
+            for i in range(len(vals) - 1)
+        )
+
+    def test_parallelism_invariant(self, spark):
+        from protosc_spark.evaluation import isotonic_calibration
+        import numpy as np
+
+        rng = np.random.RandomState(3)
+        rows = [
+            (int(a), int(b))
+            for a, b in zip(
+                rng.randint(0, 20, 800), rng.randint(0, 2, 800)
+            )
+        ]
+        df = spark.createDataFrame(rows, "score int, y int")
+        a = isotonic_calibration(df.repartition(1), "score", "y")
+        b = isotonic_calibration(df.repartition(13), "score", "y")
+        assert sorted(map(tuple, a.collect())) == sorted(
+            map(tuple, b.collect())
+        )
+
+    def test_degenerate_single_value(self, spark):
+        out = self._fit(spark, [(5, 1), (5, 0), (5, 1)])
+        assert len(out) == 1
+        assert abs(out[5]["iso_rate"] - 2 / 3) < 2e-6
+
+
+# ---------------------------------------------------------- conformal
+class TestConformalThreshold:
+    def _run(self, spark, cal_vals, ev_vals, alphas=(200, 100, 50)):
+        from protosc_spark.evaluation import conformal_threshold
+
+        cal = spark.createDataFrame([(int(v),) for v in cal_vals], "s int")
+        ev = spark.createDataFrame([(int(v),) for v in ev_vals], "s int")
+        return {
+            r["alpha_milli"]: r
+            for r in conformal_threshold(cal, ev, "s", alphas).collect()
+        }
+
+    def test_hand_fixture_order_statistic(self, spark):
+        out = self._run(spark, range(1, 11), [3, 9, 10, 11], (200,))
+        r = out[200]
+        # k = ceil(11 * 0.8) = 9 -> threshold = 9th smallest = 9
+        assert r["k"] == 9 and r["threshold"] == 9
+        assert r["n_eval"] == 4 and r["covered"] == 2
+        assert r["coverage"] == 0.5
+
+    def test_matches_numpy_order_statistic_with_ties(self, spark):
+        import numpy as np
+
+        rng = np.random.RandomState(1)
+        cal = rng.randint(0, 50, 500)
+        ev = rng.randint(0, 60, 300)
+        out = self._run(spark, cal, ev)
+        for am in (200, 100, 50):
+            k = ((len(cal) + 1) * (1000 - am) + 999) // 1000
+            t = int(np.sort(cal)[k - 1])
+            r = out[am]
+            assert r["k"] == k and r["threshold"] == t
+            assert r["covered"] == int((ev <= t).sum())
+
+    def test_vacuous_level_abstains(self, spark):
+        out = self._run(spark, range(5), range(5), (50,))
+        r = out[50]
+        # k = ceil(6 * 0.95) = 6 > n_cal = 5 -> vacuous
+        assert r["k"] == 6 and r["threshold"] is None
+        assert r["covered"] is None and r["coverage"] is None
+        assert r["n_eval"] == 5
+
+    def test_coverage_tracks_level_iid(self, spark):
+        import numpy as np
+
+        rng = np.random.RandomState(2)
+        cal = rng.randint(0, 10**6, 4000)
+        ev = rng.randint(0, 10**6, 4000)
+        out = self._run(spark, cal, ev)
+        for am in (200, 100, 50):
+            cov = out[am]["coverage"]
+            assert abs(cov - (1 - am / 1000)) < 0.03
