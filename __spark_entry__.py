@@ -443,6 +443,47 @@ def _transcript_conv_features(spark, sf_dir):
     return conversation_features(stable_dedup(tr))
 
 
+def _sim_hard_negatives(spark, sf_dir):
+    """Contrastive hard-negative mining: for each anchor (every 25th
+    vector), the 10 nearest vectors with a DIFFERENT label — the
+    filter lives inside the ranking so same-label-dense
+    neighborhoods cannot starve the list. LIVE DuckDB oracle is an
+    independent brute-force cross join with its own cosine."""
+    from protosc_spark.similarity import hard_negatives
+
+    emb = _read_wide(spark, sf_dir, "embeddings")
+    return hard_negatives(
+        emb, F.col("vec_id") % 25 == 0, k=10
+    ).orderBy("query_id", "rank")
+
+
+def _transcript_decay_features(spark, sf_dir):
+    """Exponentially time-decayed history features per turn (decayed
+    prior-turn count + decayed prior token mass, half-life 30 min) —
+    the leakage-free recency signal beside lag/rolling: computed via
+    the exact recurrence as ONE Catalyst fold per conversation, so
+    the skewed 60x conversations are one bounded array each and the
+    fixed within-conversation order makes the float products
+    identical at any parallelism (pinned). Strictly-prior semantics
+    (turn i never sees turn >= i) brute-force-replayed in tests.
+    Input engine-generated; oracle frozen."""
+    from protosc_spark.datagen import generate_transcripts
+    from protosc_spark.windows import time_decay_features
+
+    tr = generate_transcripts(spark, n_conversations=150, seed=31)
+    out = time_decay_features(
+        tr,
+        F.size(F.split("text", " ")).cast("double"),
+        half_life_s=1800.0,
+    )
+    return out.select(
+        "conv_id",
+        "turn_idx",
+        F.round("decayed_count", 6).alias("decayed_count"),
+        F.round("decayed_value", 6).alias("decayed_value"),
+    ).orderBy("conv_id", "turn_idx")
+
+
 def _corpus_conformal_bound(spark, sf_dir):
     """Split-conformal upper bound on document length: md5 50/50
     calibration/eval split, finite-sample thresholds at alpha =
@@ -5353,6 +5394,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     full-surface green regardless of this ordering."""
     return {
         # --- round 5 ---
+        "sim_hard_negatives": _sim_hard_negatives,
+        "transcript_decay_features": _transcript_decay_features,
         "corpus_conformal_bound": _corpus_conformal_bound,
         "corpus_nb_classifier": _corpus_nb_classifier,
         "corpus_isotonic_calibration": _corpus_isotonic_calibration,
@@ -5823,6 +5866,25 @@ def oracle_sql() -> dict[str, str]:
         for t in POISSON1_T60
     )
     out = {
+        "sim_hard_negatives": """
+            SELECT query_id, anchor_label, neighbor_id,
+                   neighbor_label, rank FROM (
+              SELECT q.vec_id AS query_id,
+                     q.label AS anchor_label,
+                     e.vec_id AS neighbor_id,
+                     e.label AS neighbor_label,
+                     row_number() OVER (PARTITION BY q.vec_id
+                       ORDER BY round(list_cosine_similarity(
+                                 e.embedding::DOUBLE[],
+                                 q.embedding::DOUBLE[]), 6) DESC,
+                                e.vec_id) AS rank
+              FROM embeddings e
+              JOIN (SELECT * FROM embeddings
+                    WHERE vec_id % 25 = 0) q
+                ON e.label <> q.label)
+            WHERE rank <= 10
+            ORDER BY query_id, rank
+        """,
         "corpus_conformal_bound": _corpus_conformal_oracle(),
         "corpus_nb_classifier": _corpus_nb_oracle(),
         "corpus_isotonic_calibration": """

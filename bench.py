@@ -233,6 +233,8 @@ HEADLINE = [
     "corpus_isotonic_calibration",
     "corpus_nb_classifier",
     "corpus_conformal_bound",
+    "transcript_decay_features",
+    "sim_hard_negatives",
 ]
 
 BENCH_CONVERSATIONS = int(os.environ.get("PROTOSC_BENCH_CONVS", "20000"))

@@ -1656,3 +1656,71 @@ def cronbach_alpha(
         F.col("__k").alias("k_items"),
         F.when(ok, alpha).alias("alpha"),
     )
+
+
+def hard_negatives(
+    emb: DataFrame,
+    anchor_pred: Column,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Hardest negatives per anchor: the top-k nearest vectors whose
+    label DIFFERS from the anchor's — the contrastive-training mining
+    step (in-batch random negatives are easy; the informative ones sit
+    just across the decision boundary). Filtering happens INSIDE the
+    ranking, so a same-label-dense neighborhood can never starve the
+    negative list (top-k-then-filter would).
+
+    Exact kernel, same contract as :func:`brute_force_topk`: anchors
+    are a bounded set (``anchor_pred``) broadcast against the corpus,
+    ties broken by neighbor id. Rows with NULL labels never qualify as
+    negatives (label inequality is three-valued). For corpus-as-
+    anchors at scale, compose the per-cell kernels instead
+    (:func:`knn_graph` with over-fetch + label mask carries the same
+    tie rule).
+
+    Output: (query_id, anchor_label, neighbor_id, neighbor_label,
+    rank).
+    """
+    base = with_unit_vectors(emb, vec_col).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(label_col).alias("neighbor_label"),
+        F.col("unit"),
+    )
+    anchors = (
+        with_unit_vectors(emb.where(anchor_pred), vec_col)
+        .select(
+            F.col(id_col).alias("query_id"),
+            F.col(label_col).alias("anchor_label"),
+            F.col("unit").alias("q_unit"),
+        )
+    )
+    scored = (
+        base.crossJoin(F.broadcast(anchors))
+        .where(F.col("neighbor_label") != F.col("anchor_label"))
+        .select(
+            "query_id",
+            "anchor_label",
+            "neighbor_id",
+            "neighbor_label",
+            F.round(_dot(F.col("q_unit"), F.col("unit")), 6).alias(
+                "cosine"
+            ),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "anchor_label",
+            "neighbor_id",
+            "neighbor_label",
+            "rank",
+        )
+    )

@@ -21,6 +21,7 @@ scans, which is inherent to the semantics.
 
 from __future__ import annotations
 
+import math
 from collections.abc import Sequence
 
 from pyspark.sql import Column, DataFrame
@@ -3910,4 +3911,96 @@ def burst_intervals(
         (F.col("volume").cast("double") / expected).alias(
             "intensity"
         ),
+    )
+
+
+def time_decay_features(
+    tr: DataFrame,
+    value_col: Column | str | None = None,
+    half_life_s: float = 3600.0,
+    entity_col: str = "conv_id",
+    order_col: str = "turn_idx",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Exponentially time-decayed history features per turn — the
+    leakage-free recency signal ("how much happened, how recently")
+    the flat lag/rolling windows can't express: at each turn i
+
+        decayed_count_i = sum_{j < i} 0.5 ** ((t_i - t_j) / half_life)
+        decayed_value_i = sum_{j < i} v_j * 0.5 ** ((t_i - t_j) / ...)
+
+    STRICTLY over prior turns (the engine's zero-temporal-leakage
+    invariant: the feature at turn i never sees turn i or later).
+
+    The naive form is O(turns^2) per conversation; the exact
+    recurrence s_i = (s_{i-1} + x_{i-1}) * decay(t_i - t_{i-1}) is a
+    sequential fold, which runs as ONE Catalyst ``aggregate`` over
+    each conversation's (turn_idx, ts)-sorted struct array — the
+    Holt-Winters/CUSUM house shape: state crosses turns inside the
+    JVM expression, no Python, no window self-joins, and the fixed
+    within-conversation evaluation order makes the float products
+    identical at any parallelism (pinned in tests). Conversations are
+    the fold unit, so the skew tail (60x turn counts) is one array —
+    bounded by the longest conversation, never the corpus.
+
+    Output: (entity, order, decayed_count, decayed_value); gaps use
+    exact integer microseconds (_epoch_us).
+    """
+    v = (
+        F.lit(0.0)
+        if value_col is None
+        else (
+            F.col(value_col) if isinstance(value_col, str) else value_col
+        ).cast("double")
+    )
+    lam = math.log(2.0) / (float(half_life_s) * 1e6)  # per microsecond
+    rows = tr.select(
+        F.col(entity_col).alias("__e"),
+        F.struct(
+            F.col(order_col).alias("o"),
+            _epoch_us(ts_col).alias("us"),
+            v.alias("v"),
+        ).alias("__t"),
+    )
+    out_t = "array<struct<o:int,dc:double,dv:double>>"
+
+    def _step(st, x):
+        decay = F.exp(-F.lit(lam) * (x["us"] - st["us"]).cast("double"))
+        dc = st["c"] * decay
+        dv = st["s"] * decay
+        elem = F.struct(
+            x["o"].alias("o"), dc.alias("dc"), dv.alias("dv")
+        )
+        return F.struct(
+            x["us"].alias("us"),
+            (dc + 1.0).alias("c"),
+            (dv + x["v"]).alias("s"),
+            F.concat(st["out"], F.array(elem)).alias("out"),
+        )
+
+    folded = (
+        rows.groupBy("__e")
+        .agg(F.array_sort(F.collect_list("__t")).alias("__a"))
+        .select(
+            "__e",
+            F.explode(
+                F.aggregate(
+                    F.col("__a"),
+                    F.struct(
+                        F.element_at("__a", 1)["us"].alias("us"),
+                        F.lit(0.0).alias("c"),
+                        F.lit(0.0).alias("s"),
+                        F.array().cast(out_t).alias("out"),
+                    ),
+                    _step,
+                    lambda st: st["out"],
+                )
+            ).alias("__f"),
+        )
+    )
+    return folded.select(
+        F.col("__e").alias(entity_col),
+        F.col("__f.o").alias(order_col),
+        F.col("__f.dc").alias("decayed_count"),
+        F.col("__f.dv").alias("decayed_value"),
     )

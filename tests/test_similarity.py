@@ -985,3 +985,72 @@ def test_alpha_grouped_and_degenerate(spark):
         _mk_emb(spark, [[0.5, 0.5]] * 4)
     ).collect()[0]
     assert r.alpha is None
+
+
+# ----------------------------------------------------- hard negatives
+class TestHardNegatives:
+    def _df(self, spark, rows):
+        return spark.createDataFrame(
+            rows, "vec_id bigint, embedding array<float>, label int"
+        )
+
+    def test_filter_inside_ranking_not_after(self, spark):
+        from pyspark.sql import functions as F
+
+        from protosc_spark.similarity import hard_negatives
+
+        # anchor surrounded by many same-label vectors; the single
+        # other-label vector is far — top-k-then-filter at k=2 would
+        # return nothing, the correct kernel must find it
+        rows = [(0, [1.0, 0.0], 1)]
+        rows += [(i, [1.0, 0.001 * i], 1) for i in range(1, 8)]
+        rows += [(99, [0.0, 1.0], 2)]
+        out = hard_negatives(
+            self._df(spark, rows), F.col("vec_id") == 0, k=2
+        ).collect()
+        assert len(out) == 1
+        assert out[0]["neighbor_id"] == 99
+        assert out[0]["neighbor_label"] == 2 and out[0]["rank"] == 1
+
+    def test_matches_numpy_brute_force(self, spark):
+        import numpy as np
+        from pyspark.sql import functions as F
+
+        from protosc_spark.similarity import hard_negatives
+
+        rng = np.random.RandomState(5)
+        vecs = rng.randn(80, 8).astype("float32")
+        labels = rng.randint(0, 4, 80)
+        rows = [
+            (i, [float(x) for x in vecs[i]], int(labels[i]))
+            for i in range(80)
+        ]
+        out = hard_negatives(
+            self._df(spark, rows), F.col("vec_id") % 10 == 0, k=5
+        ).collect()
+        unit = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+        for q in range(0, 80, 10):
+            cos = np.round(unit @ unit[q], 6)
+            cand = [
+                (-cos[j], j)
+                for j in range(80)
+                if labels[j] != labels[q]
+            ]
+            want = [j for _, j in sorted(cand)[:5]]
+            got = sorted(
+                (r for r in out if r["query_id"] == q),
+                key=lambda r: r["rank"],
+            )
+            assert [r["neighbor_id"] for r in got] == want
+
+    def test_null_labels_never_qualify(self, spark):
+        from pyspark.sql import functions as F
+
+        from protosc_spark.similarity import hard_negatives
+
+        rows = [(0, [1.0, 0.0], 1), (1, [1.0, 0.1], None),
+                (2, [0.9, 0.1], 2)]
+        out = hard_negatives(
+            self._df(spark, rows), F.col("vec_id") == 0, k=5
+        ).collect()
+        assert [r["neighbor_id"] for r in out] == [2]

@@ -2979,3 +2979,97 @@ def test_burst_intervals_penalty_suppresses_blips(spark):
         _page_events(spark, counts), "event_type"
     ).collect()
     assert [(r.start_day, r.end_day) for r in out2] == [(25, 25)]
+
+
+# ------------------------------------------------------- time decay
+class TestTimeDecayFeatures:
+    def test_half_life_exact(self, spark):
+        import datetime as dt
+
+        t0 = dt.datetime(2025, 1, 1)
+        rows = [
+            ("c", 0, "user", "a b c", None, t0),
+            ("c", 1, "assistant", "x", None,
+             t0 + dt.timedelta(seconds=1800)),
+            ("c", 2, "user", "y", None,
+             t0 + dt.timedelta(seconds=3600)),
+        ]
+        df = spark.createDataFrame(
+            rows, "conv_id string, turn_idx int, role string, "
+            "text string, tool string, ts timestamp"
+        )
+        from protosc_spark.windows import time_decay_features
+        from pyspark.sql import functions as F
+
+        out = {
+            r["turn_idx"]: r
+            for r in time_decay_features(
+                df,
+                F.size(F.split("text", " ")).cast("double"),
+                half_life_s=1800.0,
+            ).collect()
+        }
+        assert out[0]["decayed_count"] == 0.0
+        assert abs(out[1]["decayed_count"] - 0.5) < 1e-12
+        assert abs(out[1]["decayed_value"] - 1.5) < 1e-12  # 3 tokens halved
+        # turn 2 at t0+3600: turn0 two half-lives back (0.25), turn1
+        # one half-life back (0.5)
+        assert abs(out[2]["decayed_count"] - 0.75) < 1e-12
+        assert abs(out[2]["decayed_value"] - (3 * 0.25 + 1 * 0.5)) < 1e-12
+
+    def test_brute_force_replay_and_leakage(self, spark):
+        import math
+
+        from protosc_spark.datagen import generate_transcripts
+        from protosc_spark.windows import time_decay_features
+        from pyspark.sql import functions as F
+
+        tr = generate_transcripts(spark, n_conversations=25, seed=17)
+        val = F.size(F.split("text", " ")).cast("double")
+        pdf = time_decay_features(tr, val, half_life_s=900.0).toPandas()
+        src = tr.toPandas()
+        lam = math.log(2) / (900 * 1e6)
+        for cid in sorted(src.conv_id.unique())[:5]:
+            g = (
+                src[src.conv_id == cid]
+                .sort_values("turn_idx")
+                .reset_index()
+            )
+            us = (g.ts.astype("int64") // 1000).values
+            v = g.text.str.split(" ").str.len().astype(float).values
+            got = pdf[pdf.conv_id == cid].set_index("turn_idx")
+            for i in range(len(g)):
+                dc = sum(
+                    math.exp(-lam * (us[i] - us[j])) for j in range(i)
+                )
+                dv = sum(
+                    v[j] * math.exp(-lam * (us[i] - us[j]))
+                    for j in range(i)
+                )
+                r = got.loc[g.turn_idx[i]]
+                assert abs(r.decayed_count - dc) <= 1e-9 * max(1, dc)
+                assert abs(r.decayed_value - dv) <= 1e-9 * max(1, dv)
+        # zero temporal leakage: dropping every turn AFTER a cut leaves
+        # the features of earlier turns bit-identical
+        cut = 7
+        trunc = time_decay_features(
+            tr.where(F.col("turn_idx") < cut), val, half_life_s=900.0
+        ).toPandas()
+        full = pdf[pdf.turn_idx < cut]
+        m = full.merge(
+            trunc, on=["conv_id", "turn_idx"], suffixes=("_f", "_t")
+        )
+        assert len(m) == len(full)
+        assert (m.decayed_count_f == m.decayed_count_t).all()
+        assert (m.decayed_value_f == m.decayed_value_t).all()
+
+    def test_parallelism_invariant(self, spark):
+        from protosc_spark.datagen import generate_transcripts
+        from protosc_spark.windows import time_decay_features
+
+        tr = generate_transcripts(spark, n_conversations=30, seed=23)
+        a = time_decay_features(tr.repartition(1), None)
+        b = time_decay_features(tr.repartition(13, "text"), None)
+        assert sorted(map(tuple, a.collect())) == sorted(
+            map(tuple, b.collect())
+        )
