@@ -4032,6 +4032,10 @@ def isotonic_calibration(
         )
     )
     w = W.orderBy("score").rowsBetween(W.unboundedPreceding, 0)
+    # the V-row collapse feeds THREE consumers (both pair-join sides
+    # and the output join); localCheckpoint cuts lineage so the
+    # corpus is scanned once, not re-derived per consumer (the
+    # entropy_rate/pagerank precedent — the table is V rows)
     idx = h.select(
         "score",
         "n",
@@ -4039,7 +4043,7 @@ def isotonic_calibration(
         F.row_number().over(W.orderBy("score")).alias("i"),
         F.sum("n").over(w).alias("cn"),
         F.sum("pos").over(w).alias("cp"),
-    )
+    ).localCheckpoint(eager=True)
     a = idx.select(
         F.col("i").alias("j"),
         F.col("cn").alias("cnj"),
