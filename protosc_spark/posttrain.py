@@ -87,6 +87,7 @@ def sft_pack(
     max_len: int = 1024,
     bucket_width: int = 64,
     assistant_role: str = "assistant",
+    n_buckets: int | None = None,
 ) -> DataFrame:
     """Pack whole conversations into ``max_len``-token training bins.
 
@@ -116,17 +117,26 @@ def sft_pack(
     if max_len < 1:
         raise ValueError(f"max_len must be >= 1, got {max_len}")
     sizes = conversation_sizes(tr, assistant_role)
-    n_row = sizes.agg(F.count(F.lit(1)).alias("__n_conv"))
-    sized = (
-        sizes.crossJoin(F.broadcast(n_row))
-        .withColumn(
+    # bucket count: pass it explicitly at production scale (the
+    # packing job knows ~n_conv, and any value of the same order
+    # works — it only sets the fold width), keeping this a single
+    # pass; when omitted it is derived with one extra count
+    # aggregation over the conversation rollup.
+    if n_buckets is not None:
+        sized = sizes.withColumn(
+            "__nb", F.lit(max(int(n_buckets), 1)).cast("long")
+        )
+    else:
+        n_row = sizes.agg(F.count(F.lit(1)).alias("__n_conv"))
+        sized = sizes.crossJoin(F.broadcast(n_row)).withColumn(
             "__nb",
             F.greatest(
                 F.lit(1).cast("long"),
                 F.ceil(F.col("__n_conv") / F.lit(bucket_width)),
             ),
         )
-        .withColumn("__key", F.xxhash64("conv_id"))
+    sized = (
+        sized.withColumn("__key", F.xxhash64("conv_id"))
         .withColumn(
             "pack_bucket", F.pmod(F.col("__key"), F.col("__nb")).cast("int")
         )

@@ -258,3 +258,25 @@ def test_split_leakage_clean_is_leak_free(spark):
         .count()
     )
     assert spans == 0
+
+
+def test_sft_pack_explicit_bucket_count_single_pass(spark):
+    # production path: caller supplies n_buckets so no extra count
+    # aggregation is needed; invariants identical
+    from protosc_spark.datagen import generate_transcripts
+
+    tr = generate_transcripts(spark, n_conversations=50, seed=2)
+    out = sft_pack(tr, max_len=300, n_buckets=5).collect()
+    assert len(out) == 50
+    assert len({r["conv_id"] for r in out}) == 50
+    assert {r["pack_bucket"] for r in out} <= set(range(5))
+    by_bin = {}
+    for r in out:
+        by_bin.setdefault((r["pack_bucket"], r["bin_id"]), []).append(r)
+    for spans in by_bin.values():
+        spans.sort(key=lambda r: r["bin_offset"])
+        pos = 0
+        for r in spans:
+            assert r["bin_offset"] == pos
+            pos += r["packed_tokens"]
+        assert pos <= 300
