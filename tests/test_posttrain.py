@@ -280,3 +280,94 @@ def test_sft_pack_explicit_bucket_count_single_pass(spark):
             assert r["bin_offset"] == pos
             pos += r["packed_tokens"]
         assert pos <= 300
+
+
+# ------------------------------------------------------ property tests
+from hypothesis import HealthCheck, given, settings, strategies as st
+
+_SETTINGS = dict(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+    derandomize=True,
+)
+
+
+@given(
+    sizes=st.lists(
+        st.integers(min_value=3, max_value=40), min_size=1, max_size=25
+    ),
+    max_len=st.integers(min_value=8, max_value=64),
+)
+@settings(**_SETTINGS)
+def test_sft_pack_nextfit_properties(spark, sizes, max_len):
+    """Order-free next-fit certificate: conservation, atomicity,
+    contiguous fill, and every bin break JUSTIFIED (the conversation
+    that opened bin b+1 must not have fit in bin b — otherwise the
+    packing wasn't next-fit)."""
+    tr = _mk_sized(
+        spark, [(f"c{i:03d}", n) for i, n in enumerate(sizes)]
+    )
+    out = sft_pack(tr, max_len=max_len, n_buckets=2).collect()
+    assert len(out) == len(sizes)  # every conversation exactly once
+    by_bucket = {}
+    for r in out:
+        assert r["packed_tokens"] == min(r["n_tokens"], max_len)
+        assert r["truncated"] == (r["n_tokens"] > max_len)
+        by_bucket.setdefault(r["pack_bucket"], []).append(r)
+    for rows in by_bucket.values():
+        rows.sort(key=lambda r: (r["bin_id"], r["bin_offset"]))
+        fill, bin_id = 0, 0
+        for r in rows:
+            if r["bin_id"] != bin_id:
+                # break must be justified: r did not fit in bin_id
+                assert r["bin_id"] == bin_id + 1
+                assert fill > 0 and fill + r["packed_tokens"] > max_len
+                bin_id, fill = r["bin_id"], 0
+            assert r["bin_offset"] == fill
+            fill += r["packed_tokens"]
+            assert fill <= max_len
+
+
+@given(
+    assign=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=3),  # prompt group
+            st.integers(min_value=1, max_value=6),  # response tokens
+        ),
+        min_size=1,
+        max_size=16,
+    )
+)
+@settings(**_SETTINGS)
+def test_dpo_pairs_matches_python_replay(spark, assign):
+    import hashlib
+
+    rows = []
+    convs = {}
+    for i, (g, ntok) in enumerate(assign):
+        cid = f"c{i:03d}"
+        resp = " ".join(f"w{i}t{j}" for j in range(ntok))
+        rows.append(_turn(cid, 0, "user", f"prompt {g}"))
+        rows.append(_turn(cid, 1, "assistant", resp))
+        convs[cid] = (g, resp, ntok)
+    out = {
+        r["prompt_key"]: r for r in dpo_pairs(_tr(spark, rows)).collect()
+    }
+    # python replay: per group, max/min of (score, md5(resp), conv_id)
+    md5 = lambda s: hashlib.md5(s.encode()).hexdigest()
+    groups = {}
+    for cid, (g, resp, ntok) in convs.items():
+        groups.setdefault(g, []).append((ntok, md5(resp), cid))
+    expect = {}
+    for g, cands in groups.items():
+        if len(cands) < 2:
+            continue
+        c, r = max(cands), min(cands)
+        if c[0] > r[0] and c[1] != r[1]:
+            expect[md5(f"prompt {g}")] = (c[2], r[2], c[0], r[0])
+    assert set(out) == set(expect)
+    for k, (cc, rc, cs, rs) in expect.items():
+        r = out[k]
+        assert (r["chosen_conv_id"], r["rejected_conv_id"]) == (cc, rc)
+        assert (r["chosen_score"], r["rejected_score"]) == (cs, rs)
