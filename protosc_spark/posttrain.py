@@ -331,7 +331,13 @@ def split_leakage(
         F.count_distinct("conv_id").cast("bigint").alias("n_convs"),
         F.count(F.lit(1)).cast("bigint").alias("n_turns"),
     )
-    d = s.select("split", F.md5(text_col).alias("__h")).distinct()
+    # NULL texts carry no content to leak — they are excluded from
+    # the audit (md5(NULL) would otherwise make NULL a "shared text")
+    d = (
+        s.where(F.col(text_col).isNotNull())
+        .select("split", F.md5(text_col).alias("__h"))
+        .distinct()
+    )
     per_hash = d.groupBy("__h").agg(
         F.count(F.lit(1)).cast("bigint").alias("__ns")
     )

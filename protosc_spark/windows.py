@@ -3946,12 +3946,21 @@ def time_decay_features(
     Output: (entity, order, decayed_count, decayed_value); gaps use
     exact integer microseconds (_epoch_us).
     """
+    # NULL values contribute nothing (coalesce, or one NULL would
+    # poison the running sum for the rest of the conversation); on
+    # dirty ingests run ordering.stable_dedup first — duplicated
+    # (conv, turn_idx) rows each emit their own feature row.
     v = (
         F.lit(0.0)
         if value_col is None
-        else (
-            F.col(value_col) if isinstance(value_col, str) else value_col
-        ).cast("double")
+        else F.coalesce(
+            (
+                F.col(value_col)
+                if isinstance(value_col, str)
+                else value_col
+            ).cast("double"),
+            F.lit(0.0),
+        )
     )
     lam = math.log(2.0) / (float(half_life_s) * 1e6)  # per microsecond
     rows = tr.select(

@@ -371,3 +371,18 @@ def test_dpo_pairs_matches_python_replay(spark, assign):
         r = out[k]
         assert (r["chosen_conv_id"], r["rejected_conv_id"]) == (cc, rc)
         assert (r["chosen_score"], r["rejected_score"]) == (cs, rs)
+
+
+def test_split_leakage_null_texts_not_counted(spark):
+    rows = [
+        ("a", 0, "user", None, None, TS),
+        ("b", 0, "user", None, None, TS),
+        ("a", 1, "user", "same text", None, TS),
+        ("b", 1, "user", "same text", None, TS),
+    ]
+    out = split_leakage(
+        _tr(spark, rows), weights={"x": 0.5, "y": 0.5}, salt="s9"
+    ).collect()
+    # the only possible leak is "same text"; NULLs never count
+    assert sum(r["leaked_texts"] for r in out) <= 2
+    assert all(r["n_distinct_texts"] <= 1 for r in out)

@@ -3073,3 +3073,35 @@ class TestTimeDecayFeatures:
         assert sorted(map(tuple, a.collect())) == sorted(
             map(tuple, b.collect())
         )
+
+
+def test_time_decay_null_values_contribute_zero(spark):
+    import datetime as dt
+
+    from protosc_spark.windows import time_decay_features
+    from pyspark.sql import functions as F
+
+    t0 = dt.datetime(2025, 1, 1)
+    rows = [
+        ("c", 0, "user", "a", None, t0),
+        ("c", 1, "user", None, None,
+         t0 + dt.timedelta(seconds=10)),
+        ("c", 2, "user", "b", None,
+         t0 + dt.timedelta(seconds=20)),
+    ]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, "
+        "text string, tool string, ts timestamp"
+    )
+    # value = token count of text; NULL text -> NULL size -> must
+    # contribute zero, not poison the fold
+    out = {
+        r["turn_idx"]: r
+        for r in time_decay_features(
+            df, F.size(F.split("text", " ")).cast("double"),
+            half_life_s=1e9,
+        ).collect()
+    }
+    assert abs(out[2]["decayed_value"] - 1.0) < 1e-6
+    assert abs(out[2]["decayed_count"] - 2.0) < 1e-6
+    assert out[1]["decayed_value"] is not None
