@@ -443,6 +443,47 @@ def _transcript_conv_features(spark, sf_dir):
     return conversation_features(stable_dedup(tr))
 
 
+def _events_bradley_terry(spark, sf_dir):
+    """Bradley-Terry strength ranking of event types from daily
+    head-to-head dominance (on each day, the type with the higher
+    volume wins the pair; ties carry no game): Hunter's MM iteration
+    runs 25 rounds as ONE Catalyst fold on a one-row assembly — the
+    driver never sees data, iterations never launch jobs — and the
+    LIVE DuckDB oracle replays the identical float trajectory with a
+    recursive list-state CTE, digit for digit."""
+    from protosc_spark.evaluation import bradley_terry
+
+    ev = _read(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.col("event_type").alias("t"),
+        F.date_trunc("day", "ts").alias("d"),
+    ).agg(F.count(F.lit(1)).alias("c"))
+    a = daily.select(
+        F.col("t").alias("ta"), F.col("d").alias("da"),
+        F.col("c").alias("ca"),
+    )
+    b = daily.select(
+        F.col("t").alias("tb"), F.col("d").alias("db"),
+        F.col("c").alias("cb"),
+    )
+    pw = (
+        a.join(b, (F.col("da") == F.col("db"))
+               & (F.col("ta") < F.col("tb")))
+        .groupBy("ta", "tb")
+        .agg(
+            F.sum((F.col("ca") > F.col("cb")).cast("int"))
+            .cast("double")
+            .alias("wins_a"),
+            F.sum((F.col("cb") > F.col("ca")).cast("int"))
+            .cast("double")
+            .alias("wins_b"),
+        )
+    )
+    return bradley_terry(
+        pw, n_iter=25, a_col="ta", b_col="tb"
+    ).orderBy("rank")
+
+
 def _sim_hard_negatives(spark, sf_dir):
     """Contrastive hard-negative mining: for each anchor (every 25th
     vector), the 10 nearest vectors with a DIFFERENT label — the
@@ -5394,6 +5435,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     full-surface green regardless of this ordering."""
     return {
         # --- round 5 ---
+        "events_bradley_terry": _events_bradley_terry,
         "sim_hard_negatives": _sim_hard_negatives,
         "transcript_decay_features": _transcript_decay_features,
         "corpus_conformal_bound": _corpus_conformal_bound,
@@ -5866,6 +5908,83 @@ def oracle_sql() -> dict[str, str]:
         for t in POISSON1_T60
     )
     out = {
+        "events_bradley_terry": """
+            WITH RECURSIVE
+            daily AS (
+              SELECT event_type AS t, date_trunc('day', ts) AS d,
+                     count(*)::BIGINT AS c
+              FROM events GROUP BY 1, 2
+            ),
+            pw AS (
+              SELECT a.t AS ta, b.t AS tb,
+                     sum(CASE WHEN a.c > b.c THEN 1 ELSE 0
+                         END)::DOUBLE AS wa,
+                     sum(CASE WHEN b.c > a.c THEN 1 ELSE 0
+                         END)::DOUBLE AS wb
+              FROM daily a JOIN daily b
+                ON a.d = b.d AND a.t < b.t
+              GROUP BY a.t, b.t
+              HAVING sum(CASE WHEN a.c > b.c THEN 1 ELSE 0 END)
+                   + sum(CASE WHEN b.c > a.c THEN 1 ELSE 0 END) > 0
+            ),
+            sides AS (
+              SELECT ta AS t, wa AS w, wa + wb AS g FROM pw
+              UNION ALL
+              SELECT tb AS t, wb AS w, wa + wb AS g FROM pw
+            ),
+            per AS (
+              SELECT t, sum(w)::DOUBLE AS w, sum(g)::DOUBLE AS g
+              FROM sides GROUP BY t
+            ),
+            asm AS (
+              SELECT
+                (SELECT list(t ORDER BY t) FROM per) AS items,
+                (SELECT list(w ORDER BY t) FROM per) AS w,
+                (SELECT list(g ORDER BY t) FROM per) AS g
+            ),
+            asm2 AS (
+              SELECT items, w, g,
+                (SELECT list({'ia': list_position(a2.items, ta),
+                              'ib': list_position(a2.items, tb),
+                              'n': (wa + wb)::DOUBLE}
+                        ORDER BY ta, tb) FROM pw) AS pairs
+              FROM asm a2
+            ),
+            it AS (
+              SELECT 0 AS iter,
+                     list_transform(items, x -> 1.0::DOUBLE) AS p
+              FROM asm2
+              UNION ALL
+              SELECT iter + 1, list_transform(raw, v -> v / s) AS p
+              FROM (
+                SELECT iter, raw,
+                       list_reduce(raw, (acc, v) -> acc + v)
+                       / len(raw) AS s
+                FROM (
+                  SELECT it.iter AS iter,
+                    list_transform(range(1, len(a.items) + 1), i ->
+                      a.w[i] / list_reduce(
+                        list_transform(
+                          list_filter(a.pairs,
+                            x -> x.ia = i OR x.ib = i),
+                          x -> x.n / (it.p[x.ia] + it.p[x.ib])),
+                        (acc, v) -> acc + v)) AS raw
+                  FROM it, asm2 a WHERE it.iter < 25
+                )
+              )
+            )
+            SELECT a.items[u.i] AS item,
+                   round(f.p[u.i], 6) AS strength,
+                   row_number() OVER (
+                     ORDER BY f.p[u.i] DESC, a.items[u.i]
+                   )::INT AS rank,
+                   a.w[u.i]::BIGINT AS n_wins,
+                   a.g[u.i]::BIGINT AS n_games
+            FROM (SELECT p FROM it WHERE iter = 25) f, asm2 a,
+                 (SELECT unnest(range(1,
+                    (SELECT len(items) FROM asm2) + 1)) AS i) u
+            ORDER BY rank
+        """,
         "sim_hard_negatives": """
             SELECT query_id, anchor_label, neighbor_id,
                    neighbor_label, rank FROM (

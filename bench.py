@@ -235,6 +235,7 @@ HEADLINE = [
     "corpus_conformal_bound",
     "transcript_decay_features",
     "sim_hard_negatives",
+    "events_bradley_terry",
 ]
 
 BENCH_CONVERSATIONS = int(os.environ.get("PROTOSC_BENCH_CONVS", "20000"))

@@ -4173,3 +4173,159 @@ def conformal_threshold(
             ),
         ).alias("coverage"),
     ).orderBy(F.col("alpha_milli").desc())
+
+
+def bradley_terry(
+    matches: DataFrame,
+    n_iter: int = 25,
+    a_col: str = "a",
+    b_col: str = "b",
+    wins_a_col: str = "wins_a",
+    wins_b_col: str = "wins_b",
+) -> DataFrame:
+    """Bradley–Terry pairwise-strength MLE — rank k items from
+    pairwise win counts (which source/model/variant wins head-to-head)
+    via Hunter's MM iteration
+
+        p_i <- W_i / sum_{j!=i} n_ij / (p_i + p_j),
+
+    renormalized to mean 1 each round.  The whole optimization runs as
+    ONE Catalyst ``aggregate`` fold over ``sequence(1, n_iter)`` on a
+    ONE-ROW assembly (items array, per-item win totals, indexed pair
+    array): the driver never sees data, iterations never launch jobs,
+    and the fixed expression order makes the float trajectory
+    engine-reproducible — a DuckDB recursive CTE replays it digit for
+    digit.  Scale: the corpus collapses to the k x k win matrix in one
+    map-side-combined aggregation; the fold runs on k doubles.
+
+    Input: one row per unordered pair (a < b) with both win counts
+    (ties carry no information and are simply absent). Items with zero
+    total wins sink toward 0 — the MM fixed point — and items with
+    zero games are excluded by construction.
+
+    Output: (item, strength, rank, n_wins, n_games), strengths
+    mean-normalized, rank by (strength desc, item).
+    """
+    pairs = matches.select(
+        F.col(a_col).alias("ta"),
+        F.col(b_col).alias("tb"),
+        F.col(wins_a_col).cast("double").alias("wa"),
+        F.col(wins_b_col).cast("double").alias("wb"),
+    ).where(
+        # a zero-game pair carries no information and would put a
+        # zero term (or a whole zero denominator for an item seen
+        # only in such pairs) into the MM update
+        (F.col("wa") + F.col("wb"))
+        > 0
+    )
+    one = pairs.groupBy().agg(
+        F.array_sort(
+            F.array_distinct(
+                F.flatten(
+                    F.collect_list(F.array(F.col("ta"), F.col("tb")))
+                )
+            )
+        ).alias("items"),
+        F.array_sort(
+            F.collect_list(F.struct("ta", "tb", "wa", "wb"))
+        ).alias("praw"),
+    )
+    # index the pairs against the items array so both engines fold
+    # over pure (int, int, double) triples
+    one = one.select(
+        "items",
+        F.transform(
+            F.col("praw"),
+            lambda x: F.struct(
+                F.array_position(F.col("items"), x["ta"]).cast("int").alias(
+                    "ia"
+                ),
+                F.array_position(F.col("items"), x["tb"]).cast("int").alias(
+                    "ib"
+                ),
+                (x["wa"] + x["wb"]).alias("n"),
+            ),
+        ).alias("pairs"),
+        F.transform(
+            F.col("items"),
+            lambda it: F.aggregate(
+                F.col("praw"),
+                F.lit(0.0),
+                lambda acc, x: acc
+                + F.when(x["ta"] == it, x["wa"]).otherwise(0.0)
+                + F.when(x["tb"] == it, x["wb"]).otherwise(0.0),
+            ),
+        ).alias("w"),
+        F.transform(
+            F.col("items"),
+            lambda it: F.aggregate(
+                F.col("praw"),
+                F.lit(0.0),
+                lambda acc, x: acc
+                + F.when(
+                    (x["ta"] == it) | (x["tb"] == it),
+                    x["wa"] + x["wb"],
+                ).otherwise(0.0),
+            ),
+        ).alias("g"),
+    )
+
+    k = F.size(F.col("items"))
+    idxs = F.sequence(F.lit(1), k)
+
+    def _iterate(p, _):
+        raw = F.transform(
+            idxs,
+            lambda i: F.element_at(F.col("w"), i)
+            / F.aggregate(
+                F.filter(
+                    F.col("pairs"),
+                    lambda x: (x["ia"] == i) | (x["ib"] == i),
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc
+                + x["n"]
+                / (
+                    F.element_at(p, x["ia"])
+                    + F.element_at(p, x["ib"])
+                ),
+            ),
+        )
+        s = F.aggregate(raw, F.lit(0.0), lambda a, b: a + b) / k.cast(
+            "double"
+        )
+        return F.transform(raw, lambda v: v / s)
+
+    fitted = one.select(
+        "items",
+        "w",
+        "g",
+        F.aggregate(
+            F.sequence(F.lit(1), F.lit(int(n_iter))),
+            F.transform(idxs, lambda _: F.lit(1.0)),
+            _iterate,
+        ).alias("p"),
+    )
+    out = fitted.select(
+        F.explode(
+            F.transform(
+                idxs,
+                lambda i: F.struct(
+                    F.element_at(F.col("items"), i).alias("item"),
+                    F.round(F.element_at(F.col("p"), i), 6).alias(
+                        "strength"
+                    ),
+                    F.element_at(F.col("w"), i)
+                    .cast("bigint")
+                    .alias("n_wins"),
+                    F.element_at(F.col("g"), i)
+                    .cast("bigint")
+                    .alias("n_games"),
+                ),
+            )
+        ).alias("r")
+    ).select("r.item", "r.strength", "r.n_wins", "r.n_games")
+    wr = W.orderBy(F.col("strength").desc(), "item")
+    return out.withColumn(
+        "rank", F.row_number().over(wr)
+    ).select("item", "strength", "rank", "n_wins", "n_games")

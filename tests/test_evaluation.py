@@ -3313,3 +3313,91 @@ class TestConformalThreshold:
         for am in (200, 100, 50):
             cov = out[am]["coverage"]
             assert abs(cov - (1 - am / 1000)) < 0.03
+
+
+# ------------------------------------------------------ bradley-terry
+class TestBradleyTerry:
+    def _fit(self, spark, rows, n_iter=25):
+        from protosc_spark.evaluation import bradley_terry
+
+        df = spark.createDataFrame(
+            rows, "a string, b string, wins_a double, wins_b double"
+        )
+        return {
+            r["item"]: r
+            for r in bradley_terry(df, n_iter=n_iter).collect()
+        }
+
+    @staticmethod
+    def _python_mm(rows, n_iter=25):
+        items = sorted({r[0] for r in rows} | {r[1] for r in rows})
+        praw = sorted(rows)
+        W = {
+            it: sum(w for (a, _, w, _) in praw if a == it)
+            + sum(l for (_, b, _, l) in praw if b == it)
+            for it in items
+        }
+        p = {it: 1.0 for it in items}
+        for _ in range(n_iter):
+            raw = {}
+            for it in items:
+                den = 0.0
+                for (a, b, w, l) in praw:
+                    if a == it or b == it:
+                        other = b if a == it else a
+                        den += (w + l) / (p[it] + p[other])
+                raw[it] = W[it] / den
+            s = sum(raw.values()) / len(items)
+            p = {it: v / s for it, v in raw.items()}
+        return p
+
+    def test_matches_python_mm_exactly(self, spark):
+        rows = [
+            ("x", "y", 7.0, 3.0),
+            ("x", "z", 6.0, 4.0),
+            ("y", "z", 5.0, 5.0),
+            ("w", "x", 1.0, 9.0),
+            ("w", "z", 2.0, 8.0),
+        ]
+        out = self._fit(spark, rows)
+        p = self._python_mm(rows)
+        for it, v in p.items():
+            assert out[it]["strength"] == round(v, 6)
+
+    def test_dominant_item_ranks_first(self, spark):
+        rows = [
+            ("a", "b", 9.0, 1.0),
+            ("a", "c", 8.0, 2.0),
+            ("b", "c", 6.0, 4.0),
+        ]
+        out = self._fit(spark, rows)
+        assert out["a"]["rank"] == 1 and out["c"]["rank"] == 3
+        assert out["a"]["strength"] > out["b"]["strength"]
+        assert out["a"]["n_wins"] == 17 and out["a"]["n_games"] == 20
+
+    def test_strengths_recover_win_probabilities(self, spark):
+        # generate wins from known strengths; the MLE must put the
+        # implied win probability near the generating one
+        true_p = {"a": 4.0, "b": 2.0, "c": 1.0}
+        rows = []
+        n = 400
+        for x, y in [("a", "b"), ("a", "c"), ("b", "c")]:
+            pr = true_p[x] / (true_p[x] + true_p[y])
+            rows.append((x, y, round(n * pr), n - round(n * pr)))
+        out = self._fit(
+            spark, [(a, b, float(w), float(l)) for a, b, w, l in rows]
+        )
+        for x, y in [("a", "b"), ("b", "c")]:
+            est = out[x]["strength"] / (
+                out[x]["strength"] + out[y]["strength"]
+            )
+            want = true_p[x] / (true_p[x] + true_p[y])
+            assert abs(est - want) < 0.02
+
+    def test_zero_game_pairs_excluded(self, spark):
+        rows = [
+            ("a", "b", 3.0, 1.0),
+            ("a", "q", 0.0, 0.0),  # no games: q must not appear
+        ]
+        out = self._fit(spark, rows)
+        assert set(out) == {"a", "b"}
