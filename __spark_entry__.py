@@ -443,6 +443,21 @@ def _transcript_conv_features(spark, sf_dir):
     return conversation_features(stable_dedup(tr))
 
 
+def _corpus_permutation_test(spark, sf_dir):
+    """Distribution-free permutation test of the en-vs-zh mean
+    document length: 200 DETERMINISTIC relabelings (md5 parity of
+    (salt, b, id) — every permutation a pure function of the row id,
+    so the DuckDB oracle replays all 200), exact integer sums per
+    pseudo-group, add-one p. The B-fold explode collapses map-side
+    to n_perm rows per task before the shuffle."""
+    from protosc_spark.experiment import permutation_test
+
+    docs = _read(spark, sf_dir, "documents")
+    return permutation_test(
+        docs, "n_chars", "lang", "en", "zh", n_perm=200
+    )
+
+
 def _events_bradley_terry(spark, sf_dir):
     """Bradley-Terry strength ranking of event types from daily
     head-to-head dominance (on each day, the type with the higher
@@ -5435,6 +5450,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     full-surface green regardless of this ordering."""
     return {
         # --- round 5 ---
+        "corpus_permutation_test": _corpus_permutation_test,
         "events_bradley_terry": _events_bradley_terry,
         "sim_hard_negatives": _sim_hard_negatives,
         "transcript_decay_features": _transcript_decay_features,
@@ -5908,6 +5924,49 @@ def oracle_sql() -> dict[str, str]:
         for t in POISSON1_T60
     )
     out = {
+        "corpus_permutation_test": """
+            WITH base AS (
+              SELECT doc_id::VARCHAR AS id, n_chars::BIGINT AS x,
+                     (lang = 'en') AS in_a
+              FROM documents
+              WHERE lang IN ('en', 'zh') AND n_chars IS NOT NULL
+            ), obs AS (
+              SELECT
+                count(CASE WHEN in_a THEN 1 END)::BIGINT AS n_a,
+                count(CASE WHEN NOT in_a THEN 1 END)::BIGINT AS n_b,
+                sum(CASE WHEN in_a THEN x END)::DOUBLE
+                  / count(CASE WHEN in_a THEN 1 END)
+                - sum(CASE WHEN NOT in_a THEN x END)::DOUBLE
+                  / count(CASE WHEN NOT in_a THEN 1 END) AS obs_diff
+              FROM base
+            ), perm AS (
+              SELECT b,
+                CASE WHEN count(CASE WHEN flip THEN 1 END) > 0
+                      AND count(CASE WHEN NOT flip THEN 1 END) > 0
+                THEN sum(CASE WHEN flip THEN x END)::DOUBLE
+                       / count(CASE WHEN flip THEN 1 END)
+                   - sum(CASE WHEN NOT flip THEN x END)::DOUBLE
+                       / count(CASE WHEN NOT flip THEN 1 END)
+                END AS d
+              FROM (
+                SELECT base.x, g.b,
+                  (('0x' || substr(md5('perm1' || chr(31)
+                     || g.b::VARCHAR || chr(31) || base.id), 1, 15))
+                   ::BIGINT % 2) = 0 AS flip
+                FROM base, generate_series(1, 200) g(b)
+              ) GROUP BY b
+            ), tail AS (
+              SELECT sum(CASE WHEN d IS NULL
+                          OR abs(d) >= abs(obs.obs_diff)
+                          THEN 1 ELSE 0 END)::BIGINT AS n_extreme
+              FROM perm, obs
+            )
+            SELECT obs.n_a, obs.n_b,
+                   round(obs.obs_diff, 6) AS obs_diff,
+                   200::INT AS n_perm, tail.n_extreme,
+                   round((tail.n_extreme + 1) / 201.0, 6) AS p_value
+            FROM obs, tail
+        """,
         "events_bradley_terry": """
             WITH RECURSIVE
             daily AS (

@@ -236,6 +236,7 @@ HEADLINE = [
     "transcript_decay_features",
     "sim_hard_negatives",
     "events_bradley_terry",
+    "corpus_permutation_test",
 ]
 
 BENCH_CONVERSATIONS = int(os.environ.get("PROTOSC_BENCH_CONVS", "20000"))

@@ -899,3 +899,130 @@ def power_mde(
         ).alias("powered_now"),
         F.when(ok, mde_now).alias("mde_now"),
     )
+
+
+def permutation_test(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    group_a: str,
+    group_b: str,
+    id_col: str = "doc_id",
+    n_perm: int = 200,
+    salt: str = "perm1",
+) -> DataFrame:
+    """Two-sample permutation test of the mean difference — the
+    distribution-free companion to :func:`welch_ttest` (no normality,
+    no variance model; the null is "labels are exchangeable", exactly
+    what a deterministic relabeling can simulate).
+
+    Permutations are DETERMINISTIC: relabeling b assigns each row to
+    pseudo-group A' by the parity of the engine's md5 bucket of
+    (salt, b, id) — the hash_bucket rule, so every permutation is a
+    pure function of (id, salt, b), identical across runs, engines
+    and partitionings, and the DuckDB oracle replays all of them. The
+    reported p is the add-one estimate (1 + #{b : |diff_b| >=
+    |observed|}) / (n_perm + 1); permutations where either
+    pseudo-group lands empty are counted as extreme (conservative).
+
+    Exactness: integer-valued metrics sum exactly (BIGINT/DECIMAL);
+    each mean is one float division and the comparison runs on
+    identically-derived doubles in both engines.
+
+    Scale shape: the B-fold explode happens MAP-SIDE and partial
+    aggregation collapses it to n_perm rows per task before the
+    shuffle — the reduition is n_perm x n_partitions rows, never
+    B x corpus. Output: one row (n_a, n_b, obs_diff, n_perm,
+    n_extreme, p_value).
+    """
+    base = df.where(
+        F.col(group_col).isin(group_a, group_b)
+        & F.col(value_col).isNotNull()
+    ).select(
+        F.col(id_col).cast("string").alias("id"),
+        F.col(value_col).cast("long").alias("x"),
+        (F.col(group_col) == group_a).alias("in_a"),
+    )
+    obs = base.agg(
+        F.sum(F.when(F.col("in_a"), F.col("x"))).alias("sa"),
+        F.count(F.when(F.col("in_a"), F.lit(1))).alias("na"),
+        F.sum(F.when(~F.col("in_a"), F.col("x"))).alias("sb"),
+        F.count(F.when(~F.col("in_a"), F.lit(1))).alias("nb"),
+    ).select(
+        F.col("na").cast("bigint").alias("n_a"),
+        F.col("nb").cast("bigint").alias("n_b"),
+        (
+            F.col("sa").cast("double") / F.col("na").cast("double")
+            - F.col("sb").cast("double") / F.col("nb").cast("double")
+        ).alias("obs_diff"),
+    )
+    perm = (
+        base.select(
+            "id",
+            "x",
+            F.explode(
+                F.sequence(F.lit(1), F.lit(int(n_perm)))
+            ).alias("b"),
+        )
+        .withColumn(
+            "flip",
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat_ws(
+                            "\x1f",
+                            F.lit(salt),
+                            F.col("b").cast("string"),
+                            F.col("id"),
+                        )
+                    ),
+                    1,
+                    15,
+                ),
+                16,
+                10,
+            ).cast("bigint")
+            % 2
+            == 0,
+        )
+        .groupBy("b")
+        .agg(
+            F.sum(F.when(F.col("flip"), F.col("x"))).alias("sa"),
+            F.count(F.when(F.col("flip"), F.lit(1))).alias("na"),
+            F.sum(F.when(~F.col("flip"), F.col("x"))).alias("sb"),
+            F.count(F.when(~F.col("flip"), F.lit(1))).alias("nb"),
+        )
+        .select(
+            F.when(
+                (F.col("na") > 0) & (F.col("nb") > 0),
+                F.col("sa").cast("double") / F.col("na").cast("double")
+                - F.col("sb").cast("double")
+                / F.col("nb").cast("double"),
+            ).alias("d")
+        )
+    )
+    tail = perm.crossJoin(F.broadcast(obs)).agg(
+        F.sum(
+            (
+                F.col("d").isNull()
+                | (F.abs(F.col("d")) >= F.abs(F.col("obs_diff")))
+            ).cast("int")
+        )
+        .cast("bigint")
+        .alias("n_extreme")
+    )
+    return (
+        obs.crossJoin(F.broadcast(tail))
+        .select(
+            "n_a",
+            "n_b",
+            F.round("obs_diff", 6).alias("obs_diff"),
+            F.lit(int(n_perm)).cast("int").alias("n_perm"),
+            "n_extreme",
+            F.round(
+                (F.col("n_extreme") + 1).cast("double")
+                / F.lit(float(n_perm + 1)),
+                6,
+            ).alias("p_value"),
+        )
+    )

@@ -726,3 +726,68 @@ def test_power_mde_degenerate_baseline(spark):
     ).collect()[0]
     assert r.baseline_rate == 0.0
     assert r.n_required_per_arm is None and r.mde_now is None
+
+
+# ----------------------------------------------------- permutation
+class TestPermutationTest:
+    def _run(self, spark, rows, n_perm=100):
+        from protosc_spark.experiment import permutation_test
+
+        df = spark.createDataFrame(
+            rows, "doc_id bigint, lang string, n_chars bigint"
+        )
+        return permutation_test(
+            df, "n_chars", "lang", "en", "zh", n_perm=n_perm
+        ).collect()[0]
+
+    def test_planted_shift_minimal_p(self, spark):
+        rows = [(i, "en", 1000 + i % 3) for i in range(40)]
+        rows += [(100 + i, "zh", 10 + i % 3) for i in range(40)]
+        r = self._run(spark, rows)
+        # shift >> any relabeling: only the identity-like extremes win
+        assert r["p_value"] == round(
+            (r["n_extreme"] + 1) / 101.0, 6
+        )
+        assert r["p_value"] < 0.05
+        assert r["n_a"] == 40 and r["n_b"] == 40
+        assert abs(r["obs_diff"] - 990.0) < 1.0
+
+    def test_null_distribution_large_p(self, spark):
+        # identical distributions -> observed diff is tiny, most
+        # relabelings are at least as extreme
+        rows = [(i, "en", 50 + (i * 7) % 11) for i in range(60)]
+        rows += [(200 + i, "zh", 50 + (i * 7) % 11) for i in range(60)]
+        r = self._run(spark, rows)
+        assert r["p_value"] > 0.2
+
+    def test_python_replay_of_one_permutation(self, spark):
+        import hashlib
+
+        rows = [(i, "en", 10 * i) for i in range(6)]
+        rows += [(10 + i, "zh", 5 * i) for i in range(6)]
+        r = self._run(spark, rows, n_perm=1)
+
+        def flip(b, doc_id):
+            h = hashlib.md5(
+                f"perm1\x1f{b}\x1f{doc_id}".encode()
+            ).hexdigest()
+            return int(h[:15], 16) % 2 == 0
+
+        xs = {i: v for i, _, v in rows}
+        a = [v for i, v in xs.items() if flip(1, i)]
+        b = [v for i, v in xs.items() if not flip(1, i)]
+        obs = sum(v for i, g, v in rows if g == "en") / 6 - sum(
+            v for i, g, v in rows if g == "zh"
+        ) / 6
+        if a and b:
+            d = sum(a) / len(a) - sum(b) / len(b)
+            extreme = abs(d) >= abs(obs)
+        else:
+            extreme = True
+        assert r["n_extreme"] == int(extreme)
+
+    def test_other_groups_and_nulls_excluded(self, spark):
+        rows = [(1, "en", 10), (2, "en", 12), (3, "zh", 11),
+                (4, "zh", 9), (5, "fr", 99999), (6, "en", None)]
+        r = self._run(spark, rows)
+        assert r["n_a"] == 2 and r["n_b"] == 2
