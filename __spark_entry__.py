@@ -443,6 +443,41 @@ def _transcript_conv_features(spark, sf_dir):
     return conversation_features(stable_dedup(tr))
 
 
+def _asof_snapshot_events(spark, sf_dir):
+    """Feature-store point-in-time snapshot: every click joined
+    against TWO update streams (latest strictly-earlier purchase
+    value, latest strictly-earlier signup value) in ONE union-tag
+    window pass — one shuffle and one sort where composing asof_join
+    twice pays two (single-exchange plan pinned; K-stream ==
+    K-composed equality pinned). LIVE DuckDB oracle is two
+    independent ASOF LEFT JOINs."""
+    from protosc_spark.asof import asof_snapshot
+
+    ev = _read(spark, sf_dir, "events")
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    pur = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.col("value").alias("purchase_value")
+    )
+    sig = ev.where(F.col("event_type") == "signup").select(
+        "user_id", "ts", F.col("value").alias("signup_value")
+    )
+    return (
+        asof_snapshot(
+            clicks, {"p": pur, "s": sig}, by="user_id"
+        )
+        .select(
+            "event_id",
+            "user_id",
+            "ts",
+            F.round("p_purchase_value", 6).alias("purchase_value"),
+            F.round("s_signup_value", 6).alias("signup_value"),
+        )
+        .orderBy("event_id")
+    )
+
+
 def _corpus_permutation_test(spark, sf_dir):
     """Distribution-free permutation test of the en-vs-zh mean
     document length: 200 DETERMINISTIC relabelings (md5 parity of
@@ -5450,6 +5485,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     full-surface green regardless of this ordering."""
     return {
         # --- round 5 ---
+        "asof_snapshot_events": _asof_snapshot_events,
         "corpus_permutation_test": _corpus_permutation_test,
         "events_bradley_terry": _events_bradley_terry,
         "sim_hard_negatives": _sim_hard_negatives,
@@ -5924,6 +5960,24 @@ def oracle_sql() -> dict[str, str]:
         for t in POISSON1_T60
     )
     out = {
+        "asof_snapshot_events": """
+            SELECT c.event_id, c.user_id, c.ts,
+                   round(p.purchase_value, 6) AS purchase_value,
+                   round(s.signup_value, 6) AS signup_value
+            FROM (SELECT event_id, user_id, ts FROM events
+                  WHERE event_type = 'click') c
+            ASOF LEFT JOIN (SELECT user_id, ts,
+                            value AS purchase_value
+                            FROM events
+                            WHERE event_type = 'purchase') p
+              ON c.user_id = p.user_id AND c.ts > p.ts
+            ASOF LEFT JOIN (SELECT user_id, ts,
+                            value AS signup_value
+                            FROM events
+                            WHERE event_type = 'signup') s
+              ON c.user_id = s.user_id AND c.ts > s.ts
+            ORDER BY event_id
+        """,
         "corpus_permutation_test": """
             WITH base AS (
               SELECT doc_id::VARCHAR AS id, n_chars::BIGINT AS x,

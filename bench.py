@@ -237,6 +237,7 @@ HEADLINE = [
     "sim_hard_negatives",
     "events_bradley_terry",
     "corpus_permutation_test",
+    "asof_snapshot_events",
 ]
 
 BENCH_CONVERSATIONS = int(os.environ.get("PROTOSC_BENCH_CONVS", "20000"))

@@ -356,3 +356,152 @@ def asof_join_time_split(
         allow_exact_matches=allow_exact_matches,
         tolerance_seconds=tolerance_seconds,
     ).drop("__t")
+
+
+def asof_snapshot(
+    left: DataFrame,
+    rights: "dict[str, DataFrame]",
+    on: str = "ts",
+    by: str | Sequence[str] = "conv_id",
+    value_cols: "dict[str, Sequence[str]] | None" = None,
+    allow_exact_matches: bool = False,
+    tolerance_seconds: "dict[str, float] | None" = None,
+) -> DataFrame:
+    """Point-in-time snapshot against K update streams in ONE pass —
+    the feature-store join: for every left row, the latest
+    strictly-earlier row of EACH named stream, with one shuffle and
+    one sort where K separate :func:`asof_join` calls would pay K.
+
+    Mechanics are the proven union-tag shape: every stream's row
+    travels as its own nullable struct column (null on rows from
+    other sources), the single per-entity ordered window runs K
+    ``last(ignorenulls)`` carries side by side, and each stream's
+    carry is ROW-ATOMIC (a NULL inside a stream's latest update stays
+    NULL — never per-column backfilled from an older row). Equal-ts
+    visibility and the duplicate-row struct tiebreak match
+    :func:`asof_join` exactly (pinned: K-stream result == K
+    single-stream joins, column for column). Per-stream
+    ``tolerance_seconds`` nulls a stream's match row-atomically once
+    it is staler than that stream's bound.
+
+    Output: left columns + ``{stream}_{col}`` for every value column
+    of every stream. Skew note: same entity-keyed window as
+    asof_join — for giant entities use the (entity, bucket) carry-in
+    of asof_join_time_split per stream instead.
+    """
+    by = [by] if isinstance(by, str) else list(by)
+    names = list(rights)
+    value_cols = dict(value_cols or {})
+    tolerance_seconds = dict(tolerance_seconds or {})
+    for nm in names:
+        if nm not in value_cols:
+            value_cols[nm] = [
+                c
+                for c in rights[nm].columns
+                if c not in set(by) | {on}
+            ]
+    right_src = 1 if not allow_exact_matches else -1
+
+    def _vrow_type(nm: str) -> T.StructType:
+        r = rights[nm]
+        fields = [
+            T.StructField(c, r.schema[c].dataType, True)
+            for c in value_cols[nm]
+        ]
+        if nm in tolerance_seconds:
+            fields.append(
+                T.StructField("__rts", r.schema[on].dataType, True)
+            )
+        return T.StructType(fields)
+
+    vtypes = {nm: _vrow_type(nm) for nm in names}
+    lrow_t = None
+    lhs = left.select(
+        *by,
+        F.col(on).alias("__ts"),
+        F.lit(0).alias("__src"),
+        F.struct(*left.columns).alias("__row"),
+        *[
+            F.lit(None).cast(vtypes[nm]).alias(f"__v_{i}")
+            for i, nm in enumerate(names)
+        ],
+    )
+    lrow_t = lhs.schema["__row"].dataType
+    parts = [lhs]
+    for i, nm in enumerate(names):
+        r = rights[nm]
+        parts.append(
+            r.select(
+                *by,
+                F.col(on).alias("__ts"),
+                F.lit(right_src).alias("__src"),
+                F.lit(None).cast(lrow_t).alias("__row"),
+                *[
+                    (
+                        F.struct(
+                            *[F.col(c) for c in value_cols[nm]],
+                            *(
+                                [F.col(on).alias("__rts")]
+                                if nm in tolerance_seconds
+                                else []
+                            ),
+                        )
+                        if j == i
+                        else F.lit(None).cast(vtypes[n2])
+                    ).alias(f"__v_{j}")
+                    for j, n2 in enumerate(names)
+                ],
+            )
+        )
+    unioned = parts[0]
+    for p in parts[1:]:
+        unioned = unioned.unionByName(p)
+
+    w = (
+        W.partitionBy(*by)
+        .orderBy(
+            F.col("__ts").asc(),
+            F.col("__src").asc(),
+            *[
+                F.col(f"__v_{i}").asc_nulls_first()
+                for i in range(len(names))
+            ],
+        )
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    filled = unioned.select(
+        "__row",
+        *[
+            F.last(F.col(f"__v_{i}"), ignorenulls=True)
+            .over(w)
+            .alias(f"__f_{i}")
+            for i in range(len(names))
+        ],
+    ).where(F.col("__row").isNotNull())
+
+    from protosc_spark.windows import _epoch_us
+
+    out_cols = [
+        F.col(f"__row.{c}").alias(c) for c in left.columns
+    ]
+    for i, nm in enumerate(names):
+        if nm in tolerance_seconds:
+            fresh = F.col(f"__f_{i}.__rts").isNotNull() & (
+                _epoch_us(F.col(f"__row.{on}"))
+                - _epoch_us(F.col(f"__f_{i}.__rts"))
+                <= F.lit(
+                    int(tolerance_seconds[nm] * 1_000_000)
+                ).cast("long")
+            )
+            out_cols += [
+                F.when(fresh, F.col(f"__f_{i}.{c}")).alias(
+                    f"{nm}_{c}"
+                )
+                for c in value_cols[nm]
+            ]
+        else:
+            out_cols += [
+                F.col(f"__f_{i}.{c}").alias(f"{nm}_{c}")
+                for c in value_cols[nm]
+            ]
+    return filled.select(*out_cols)

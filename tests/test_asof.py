@@ -313,3 +313,125 @@ def test_tolerance_equal_across_all_three_kernels(transcripts, updates):
     n_loose = sum(v is not None for v in loose.values())
     n_tight = sum(v is not None for v in base.values())
     assert 0 < n_tight < n_loose
+
+
+# -------------------------------------------------------- snapshot
+class TestAsofSnapshot:
+    def test_equals_composed_single_stream_joins(self, spark, sf_dir):
+        from pyspark.sql import functions as F
+
+        from protosc_spark.asof import asof_join, asof_snapshot
+
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+        clicks = ev.where(F.col("event_type") == "click").select(
+            "event_id", "user_id", "ts"
+        )
+        pur = ev.where(F.col("event_type") == "purchase").select(
+            "user_id", "ts", F.col("value").alias("pv")
+        )
+        sig = ev.where(F.col("event_type") == "signup").select(
+            "user_id", "ts", F.col("value").alias("sv")
+        )
+        snap = asof_snapshot(
+            clicks, {"purchase": pur, "signup": sig}, by="user_id"
+        )
+        comp = asof_join(
+            asof_join(clicks, pur, by="user_id"), sig, by="user_id"
+        )
+        a = sorted(
+            map(
+                tuple,
+                snap.select(
+                    "event_id", "purchase_pv", "signup_sv"
+                ).collect(),
+            )
+        )
+        b = sorted(
+            map(tuple, comp.select("event_id", "pv", "sv").collect())
+        )
+        assert a == b and len(a) > 0
+
+    def test_single_exchange_plan(self, spark, sf_dir):
+        import re
+
+        from pyspark.sql import functions as F
+
+        from protosc_spark.asof import asof_snapshot
+
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+        clicks = ev.where(F.col("event_type") == "click").select(
+            "event_id", "user_id", "ts"
+        )
+        pur = ev.where(F.col("event_type") == "purchase").select(
+            "user_id", "ts", F.col("value").alias("pv")
+        )
+        sig = ev.where(F.col("event_type") == "signup").select(
+            "user_id", "ts", F.col("value").alias("sv")
+        )
+        p = (
+            asof_snapshot(
+                clicks, {"a": pur, "b": sig}, by="user_id"
+            )
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert len(re.findall(r"Exchange (hash|range)", p)) == 1
+        assert "ArrowEvalPython" not in p and "BatchEvalPython" not in p
+
+    def test_row_atomic_carry_and_strict_past(self, spark):
+        import datetime as dt
+
+        from protosc_spark.asof import asof_snapshot
+
+        t = lambda s: dt.datetime(2025, 1, 1) + dt.timedelta(seconds=s)
+        left = spark.createDataFrame(
+            [("u", t(10)), ("u", t(20)), ("u", t(30))],
+            "conv_id string, ts timestamp",
+        )
+        r1 = spark.createDataFrame(
+            [("u", t(10), 1.0), ("u", t(25), None)],
+            "conv_id string, ts timestamp, x double",
+        )
+        r2 = spark.createDataFrame(
+            [("u", t(15), 7.0)],
+            "conv_id string, ts timestamp, y double",
+        )
+        out = {
+            r["ts"].second: r
+            for r in asof_snapshot(
+                left, {"a": r1, "b": r2}
+            ).collect()
+        }
+        # strict past: r1@10 invisible to left@10
+        assert out[10]["a_x"] is None and out[10]["b_y"] is None
+        assert out[20]["a_x"] == 1.0 and out[20]["b_y"] == 7.0
+        # row-atomic: the NULL inside r1@25 is carried as NULL, not
+        # backfilled from r1@10
+        assert out[30]["a_x"] is None
+        assert out[30]["b_y"] == 7.0
+
+    def test_per_stream_tolerance(self, spark):
+        import datetime as dt
+
+        from protosc_spark.asof import asof_snapshot
+
+        t = lambda s: dt.datetime(2025, 1, 1) + dt.timedelta(seconds=s)
+        left = spark.createDataFrame(
+            [("u", t(100))], "conv_id string, ts timestamp"
+        )
+        r1 = spark.createDataFrame(
+            [("u", t(10), 1.0)],
+            "conv_id string, ts timestamp, x double",
+        )
+        r2 = spark.createDataFrame(
+            [("u", t(95), 2.0)],
+            "conv_id string, ts timestamp, y double",
+        )
+        out = asof_snapshot(
+            left,
+            {"a": r1, "b": r2},
+            tolerance_seconds={"a": 30.0, "b": 30.0},
+        ).collect()[0]
+        assert out["a_x"] is None  # 90s stale > 30s bound
+        assert out["b_y"] == 2.0  # 5s fresh
