@@ -443,6 +443,55 @@ def _transcript_conv_features(spark, sf_dir):
     return conversation_features(stable_dedup(tr))
 
 
+def _stream_decay(spark, sf_dir):
+    """Streaming decay features (stateful applyInPandasWithState:
+    running accumulator + watermark-bounded buffer per conversation)
+    over the SAME 150-conversation input as transcript_decay_features,
+    arriving in 4 scrambled micro-batches with a trailing heartbeat —
+    the bounded run must equal the batch fold exactly, so it SHARES
+    the batch gate's frozen parquet oracle (the asof_time_split
+    precedent)."""
+    import tempfile
+    import uuid
+
+    from protosc_spark.datagen import generate_transcripts
+    from protosc_spark.streaming import (
+        run_to_memory_sink,
+        stream_decay_features,
+        write_time_sliced_source,
+    )
+
+    tr = generate_transcripts(spark, n_conversations=150, seed=31)
+    sentinel = tr.orderBy(F.desc("ts")).limit(1).select(
+        F.lit("__hb__").alias("conv_id"),
+        F.lit(-1).alias("turn_idx"),
+        F.lit("user").alias("role"),
+        F.lit("x").alias("text"),
+        F.lit(None).cast("string").alias("tool"),
+        (F.col("ts") + F.expr("INTERVAL 2 SECONDS")).alias("ts"),
+    )
+    d = tempfile.mkdtemp(prefix="protosc_stream_decay_")
+    write_time_sliced_source(
+        tr.unionByName(sentinel), d, n_slices=4, scramble_col="conv_id"
+    )
+    src = (
+        spark.readStream.schema(tr.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d)
+    )
+    out = stream_decay_features(
+        src, half_life_s=1800.0, heartbeat_filter="conv_id = '__hb__'"
+    )
+    name = f"stream_decay_{uuid.uuid4().hex[:8]}"
+    got = run_to_memory_sink(out, name, tempfile.mkdtemp())
+    return got.select(
+        "conv_id",
+        F.col("turn_idx").cast("int").alias("turn_idx"),
+        F.round("decayed_count", 6).alias("decayed_count"),
+        F.round("decayed_value", 6).alias("decayed_value"),
+    ).orderBy("conv_id", "turn_idx")
+
+
 def _asof_snapshot_events(spark, sf_dir):
     """Feature-store point-in-time snapshot: every click joined
     against TWO update streams (latest strictly-earlier purchase
@@ -5485,6 +5534,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     full-surface green regardless of this ordering."""
     return {
         # --- round 5 ---
+        "stream_decay": _stream_decay,
         "asof_snapshot_events": _asof_snapshot_events,
         "corpus_permutation_test": _corpus_permutation_test,
         "events_bradley_terry": _events_bradley_terry,
@@ -13488,4 +13538,8 @@ def oracle_sql() -> dict[str, str]:
     from frozen_oracles import FROZEN_SQL
 
     out.update(FROZEN_SQL)
+    # the streaming decay gate must equal the batch fold exactly, so
+    # it shares the batch gate's frozen oracle (asof_time_split
+    # precedent)
+    out["stream_decay"] = out["transcript_decay_features"]
     return out

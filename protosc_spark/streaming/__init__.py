@@ -3,6 +3,7 @@ from protosc_spark.streaming.stream import (
     run_to_memory_sink,
     run_to_parquet_sink,
     stream_asof_join,
+    stream_decay_features,
     stream_conversation_state,
     stream_exact_dedup,
     stream_session_counts,
@@ -15,6 +16,7 @@ __all__ = [
     "run_to_memory_sink",
     "run_to_parquet_sink",
     "stream_asof_join",
+    "stream_decay_features",
     "stream_conversation_state",
     "stream_exact_dedup",
     "stream_session_counts",

@@ -480,3 +480,162 @@ def write_time_sliced_source(
         s.orderBy(order).coalesce(1).write.mode("append").parquet(out_dir)
         _time.sleep(1.05)  # strictly increasing file mtimes = arrival order
         lo = hi
+
+
+_DECAY_STATE = StructType(
+    [
+        StructField("prev_us", LongType()),   # -1 = nothing processed
+        StructField("acc_c", DoubleType()),
+        StructField("acc_s", DoubleType()),
+        StructField("buf_idx", ArrayType(LongType())),
+        StructField("buf_us", ArrayType(LongType())),
+        StructField("buf_v", ArrayType(DoubleType())),
+    ]
+)
+_DECAY_OUT = StructType(
+    [
+        StructField("conv_id", StringType()),
+        StructField("turn_idx", LongType()),
+        StructField("ts", TimestampType()),
+        StructField("decayed_count", DoubleType()),
+        StructField("decayed_value", DoubleType()),
+    ]
+)
+
+
+def _mk_decay_state_fn(lam_per_us: float):
+    import math
+
+    def _fn(key, batches, state: GroupState):
+        """Per-conversation streaming exponential-decay features: turns
+        buffer until the watermark passes them, then run through the
+        SAME recurrence as the batch fold (windows.time_decay_features)
+        in (turn_idx, ts) order, the accumulator surviving in state —
+        so a bounded run with a trailing heartbeat equals the batch
+        operator to the last shared digit (pinned at 1e-9 in tests;
+        JVM vs libm exp differ at most 1 ulp). Contract: within a
+        conversation, turn_idx order must agree with ts order (the
+        clean-table invariant; stable_dedup dirty streams upstream),
+        because a turn finalizes once no earlier-ts row can still
+        arrive. NULL values contribute zero, as in batch."""
+        import numpy as np
+        import pandas as pd
+
+        (conv_id,) = key
+        if state.exists:
+            prev_us, acc_c, acc_s, bi, bu, bv = state.get
+            bi, bu, bv = list(bi), list(bu), list(bv)
+        else:
+            prev_us, acc_c, acc_s, bi, bu, bv = -1, 0.0, 0.0, [], [], []
+
+        if not state.hasTimedOut:
+            for pdf in batches:
+                turns = pdf[pdf["kind"] == "turn"]
+                bi.extend(int(v) for v in turns["turn_idx"])
+                bu.extend(int(v) for v in turns["ts_us"])
+                bv.extend(
+                    float(v) if pd.notna(v) else 0.0
+                    for v in turns["value"]
+                )
+
+        wm_us = state.getCurrentWatermarkMs() * 1000
+        order = sorted(range(len(bi)), key=lambda k: (bi[k], bu[k], bv[k]))
+        out_idx, out_us, out_c, out_v = [], [], [], []
+        kept = []
+        for k in order:
+            if bu[k] <= wm_us:
+                if prev_us < 0:
+                    decay = 1.0
+                    prev = bu[k]
+                else:
+                    prev = prev_us
+                decay = math.exp(-lam_per_us * float(bu[k] - prev))
+                dc = acc_c * decay
+                dv = acc_s * decay
+                out_idx.append(bi[k])
+                out_us.append(bu[k])
+                out_c.append(dc)
+                out_v.append(dv)
+                acc_c = dc + 1.0
+                acc_s = dv + bv[k]
+                prev_us = bu[k]
+            else:
+                kept.append(k)
+
+        state.update(
+            (
+                int(prev_us),
+                float(acc_c),
+                float(acc_s),
+                [bi[k] for k in kept],
+                [bu[k] for k in kept],
+                [bv[k] for k in kept],
+            )
+        )
+        if kept:
+            state.setTimeoutTimestamp(
+                max(min(bu[k] for k in kept) // 1000, wm_us // 1000 + 1)
+            )
+
+        if out_idx:
+            yield pd.DataFrame(
+                {
+                    "conv_id": [str(conv_id)] * len(out_idx),
+                    "turn_idx": pd.array(out_idx, dtype="int64"),
+                    "ts": pd.to_datetime(
+                        np.array(out_us, dtype="int64") * 1000
+                    ),
+                    "decayed_count": pd.array(out_c, dtype="float64"),
+                    "decayed_value": pd.array(out_v, dtype="float64"),
+                }
+            )
+
+    return _fn
+
+
+def stream_decay_features(
+    stream_df: DataFrame,
+    value_expr: str = "CAST(size(split(text, ' ')) AS DOUBLE)",
+    half_life_s: float = 3600.0,
+    entity_col: str = "conv_id",
+    idx_col: str = "turn_idx",
+    ts_col: str = "ts",
+    watermark: str = "0 seconds",
+    heartbeat_filter: str | None = None,
+) -> DataFrame:
+    """Streaming counterpart of :func:`windows.time_decay_features`:
+    per-turn exponentially decayed prior-turn count/value mass,
+    computed live with per-conversation state (the running
+    accumulator + a watermark-bounded buffer of not-yet-final turns).
+    A bounded availableNow run with a trailing heartbeat equals the
+    batch fold — same recurrence, same (turn_idx, ts) order, same
+    NULL-contributes-zero rule — to the last shared digit (JVM exp vs
+    libm exp can differ at 1 ulp; pinned stream==batch at 1e-9 in
+    tests/test_streaming.py, and the gate's round-6 contract is far
+    inside that). Heartbeat rows advance the watermark
+    but are neither buffered nor emitted."""
+    import math
+
+    hb = heartbeat_filter or "false"
+    lam = math.log(2.0) / (float(half_life_s) * 1e6)
+    tagged = (
+        stream_df.withColumn("__ts", F.col(ts_col).cast("timestamp"))
+        .withWatermark("__ts", watermark)
+        .select(
+            F.col(entity_col).cast("string").alias("conv_id"),
+            F.col(idx_col).cast("long").alias("turn_idx"),
+            F.when(F.expr(hb), F.lit("heartbeat"))
+            .otherwise(F.lit("turn"))
+            .alias("kind"),
+            F.expr(value_expr).cast("double").alias("value"),
+            _epoch_us(F.col(ts_col)).alias("ts_us"),
+            F.col("__ts"),
+        )
+    )
+    return tagged.groupBy("conv_id").applyInPandasWithState(
+        _mk_decay_state_fn(lam),
+        outputStructType=_DECAY_OUT,
+        stateStructType=_DECAY_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )

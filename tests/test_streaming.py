@@ -836,3 +836,66 @@ def test_media_decode_ops_are_streaming_safe(spark, tmp_path):
         got = got.sort_values(sort_cols).reset_index(drop=True)
         want = want.sort_values(sort_cols).reset_index(drop=True)
         pd.testing.assert_frame_equal(got, want)
+
+
+def test_stream_decay_equals_batch_fold(spark):
+    """Bounded streaming run (4 scrambled micro-batches + trailing
+    heartbeat) of stream_decay_features must equal the batch Catalyst
+    fold exactly — same recurrence, same (turn_idx, ts) order, same
+    NULL-contributes-zero rule."""
+    import tempfile
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from protosc_spark.datagen import generate_transcripts
+    from protosc_spark.streaming import (
+        run_to_memory_sink,
+        stream_decay_features,
+        write_time_sliced_source,
+    )
+    from protosc_spark.windows import time_decay_features
+
+    tr = generate_transcripts(spark, n_conversations=30, seed=19)
+    sentinel = tr.orderBy(F.desc("ts")).limit(1).select(
+        F.lit("__hb__").alias("conv_id"),
+        F.lit(-1).alias("turn_idx"),
+        F.lit("user").alias("role"),
+        F.lit("x").alias("text"),
+        F.lit(None).cast("string").alias("tool"),
+        (F.col("ts") + F.expr("INTERVAL 2 SECONDS")).alias("ts"),
+    )
+    d = tempfile.mkdtemp(prefix="protosc_test_decay_")
+    write_time_sliced_source(
+        tr.unionByName(sentinel), d, n_slices=4, scramble_col="conv_id"
+    )
+    src = (
+        spark.readStream.schema(tr.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d)
+    )
+    out = stream_decay_features(
+        src, half_life_s=900.0, heartbeat_filter="conv_id = '__hb__'"
+    )
+    got = run_to_memory_sink(
+        out, f"dec_{uuid.uuid4().hex[:8]}", tempfile.mkdtemp()
+    )
+    # JVM exp (batch fold) vs libm exp (python state fn) agree to the
+    # last shared digit but can differ at 1 ulp — compare at 1e-9,
+    # well inside the gate's round-6 contract
+    rnd = lambda v: round(v, 9)
+    a = sorted(
+        (r["conv_id"], r["turn_idx"], rnd(r["decayed_count"]),
+         rnd(r["decayed_value"]))
+        for r in got.collect()
+    )
+    batch = time_decay_features(
+        tr, F.size(F.split("text", " ")).cast("double"),
+        half_life_s=900.0,
+    )
+    b = sorted(
+        (r["conv_id"], r["turn_idx"], rnd(r["decayed_count"]),
+         rnd(r["decayed_value"]))
+        for r in batch.collect()
+    )
+    assert a == b and len(a) > 0
