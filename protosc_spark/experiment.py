@@ -931,7 +931,7 @@ def permutation_test(
 
     Scale shape: the B-fold explode happens MAP-SIDE and partial
     aggregation collapses it to n_perm rows per task before the
-    shuffle — the reduition is n_perm x n_partitions rows, never
+    shuffle — the reduction is n_perm x n_partitions rows, never
     B x corpus. Output: one row (n_a, n_b, obs_diff, n_perm,
     n_extreme, p_value).
     """
