@@ -624,6 +624,26 @@ def _transcript_decay_features(spark, sf_dir):
     ).orderBy("conv_id", "turn_idx")
 
 
+def _corpus_conformal_by_lang(spark, sf_dir):
+    """Mondrian (per-language) split-conformal length bounds: the
+    group-conditional guarantee the global bound can't give — each
+    lang gets its own integer-k order statistic off its own score
+    histogram, small-calibration groups abstain per level. LIVE
+    DuckDB oracle replays the per-group split, histograms, k and
+    coverage."""
+    from protosc_spark.evaluation import conformal_threshold_by_group
+    from protosc_spark.sampling import hash_split
+
+    docs = _read(spark, sf_dir, "documents")
+    s = hash_split(docs, ["doc_id"], {"cal": 0.5, "eval": 0.5})
+    return conformal_threshold_by_group(
+        s.where(F.col("split") == "cal"),
+        s.where(F.col("split") == "eval"),
+        "n_chars",
+        "lang",
+    )
+
+
 def _corpus_conformal_bound(spark, sf_dir):
     """Split-conformal upper bound on document length: md5 50/50
     calibration/eval split, finite-sample thresholds at alpha =
@@ -5534,6 +5554,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     full-surface green regardless of this ordering."""
     return {
         # --- round 5 ---
+        "corpus_conformal_by_lang": _corpus_conformal_by_lang,
         "stream_decay": _stream_decay,
         "asof_snapshot_events": _asof_snapshot_events,
         "corpus_permutation_test": _corpus_permutation_test,
@@ -5874,6 +5895,55 @@ def _corpus_decontaminate_oracle() -> str:
     """
 
 
+def _corpus_conformal_by_lang_oracle() -> str:
+    from protosc_spark.sampling import split_oracle_sql
+
+    case = split_oracle_sql(
+        "doc_id::VARCHAR", {"cal": 0.5, "eval": 0.5}
+    )
+    return f"""
+        WITH s AS (
+          SELECT lang AS g, n_chars, {case} AS split FROM documents
+          WHERE lang IS NOT NULL AND n_chars IS NOT NULL
+        ), hist AS (
+          SELECT g, n_chars AS v, count(*)::BIGINT AS c
+          FROM s WHERE split = 'cal' GROUP BY g, n_chars
+        ), cum AS (
+          SELECT g, v, sum(c) OVER (PARTITION BY g ORDER BY v
+            ROWS UNBOUNDED PRECEDING)::BIGINT AS cum
+          FROM hist
+        ), ncal AS (
+          SELECT g, sum(c)::BIGINT AS n_cal FROM hist GROUP BY g
+        ), ks AS (
+          SELECT ncal.g, am AS alpha_milli, ncal.n_cal,
+                 ((ncal.n_cal + 1) * (1000 - am) + 999) // 1000 AS k
+          FROM (VALUES (200), (100), (50)) a(am), ncal
+        ), thr AS (
+          SELECT ks.g, ks.alpha_milli, ks.n_cal, ks.k,
+                 min(cum.v) AS threshold
+          FROM ks LEFT JOIN cum
+            ON cum.g = ks.g AND cum.cum >= ks.k
+          GROUP BY ks.g, ks.alpha_milli, ks.n_cal, ks.k
+        ), ev AS (
+          SELECT g, n_chars AS es FROM s WHERE split = 'eval'
+        )
+        SELECT t.g AS lang, t.alpha_milli, t.n_cal, t.k,
+               CASE WHEN t.k <= t.n_cal THEN t.threshold END
+                 AS threshold,
+               count(*)::BIGINT AS n_eval,
+               CASE WHEN t.k <= t.n_cal THEN
+                 sum(CASE WHEN ev.es <= t.threshold
+                     THEN 1 ELSE 0 END)::BIGINT END AS covered,
+               CASE WHEN t.k <= t.n_cal THEN
+                 round(sum(CASE WHEN ev.es <= t.threshold
+                       THEN 1 ELSE 0 END) / count(*), 6) END
+                 AS coverage
+        FROM ev JOIN thr t ON ev.g = t.g
+        GROUP BY t.g, t.alpha_milli, t.n_cal, t.k, t.threshold
+        ORDER BY lang, alpha_milli DESC
+    """
+
+
 def _corpus_conformal_oracle() -> str:
     from protosc_spark.sampling import split_oracle_sql
 
@@ -6010,6 +6080,7 @@ def oracle_sql() -> dict[str, str]:
         for t in POISSON1_T60
     )
     out = {
+        "corpus_conformal_by_lang": _corpus_conformal_by_lang_oracle(),
         "asof_snapshot_events": """
             SELECT c.event_id, c.user_id, c.ts,
                    round(p.purchase_value, 6) AS purchase_value,

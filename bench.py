@@ -238,6 +238,7 @@ HEADLINE = [
     "events_bradley_terry",
     "corpus_permutation_test",
     "asof_snapshot_events",
+    "corpus_conformal_by_lang",
 ]
 
 BENCH_CONVERSATIONS = int(os.environ.get("PROTOSC_BENCH_CONVS", "20000"))

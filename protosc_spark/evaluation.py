@@ -4329,3 +4329,108 @@ def bradley_terry(
     return out.withColumn(
         "rank", F.row_number().over(wr)
     ).select("item", "strength", "rank", "n_wins", "n_games")
+
+
+def conformal_threshold_by_group(
+    cal: DataFrame,
+    evl: DataFrame,
+    score_col: str,
+    group_col: str,
+    alphas_milli: tuple[int, ...] = (200, 100, 50),
+) -> DataFrame:
+    """Mondrian (group-conditional) split conformal: the
+    :func:`conformal_threshold` machinery partitioned by a group
+    column, giving the per-group coverage guarantee the global bound
+    cannot (a global threshold over-covers easy groups and
+    under-covers hard ones — exactly what class-conditional /
+    per-language production bounds exist to fix).  Same pure-integer
+    k arithmetic and histogram order statistics, now per (group,
+    level); groups whose calibration side is too small for a level
+    (k > n_cal) abstain with NULLs rather than fake a bound.
+
+    Scale: one groupBy(group, score) on the calibration split, a
+    per-group cumulative window over distinct scores, ONE scan of the
+    eval split for all (group, level) pairs via a broadcast threshold
+    table. Output: (group, alpha_milli, n_cal, k, threshold, n_eval,
+    covered, coverage) ordered by (group, alpha_milli desc); a group
+    appears only when BOTH splits contain it (no calibration -> no
+    bound to report, no eval rows -> no coverage to measure).
+    """
+    hist = (
+        cal.where(
+            F.col(score_col).isNotNull() & F.col(group_col).isNotNull()
+        )
+        .groupBy(F.col(group_col).alias("g"), F.col(score_col).alias("s"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    wc = W.partitionBy("g").orderBy("s").rowsBetween(
+        W.unboundedPreceding, 0
+    )
+    cum = hist.select("g", "s", F.sum("c").over(wc).alias("cum"))
+    n_cal = hist.groupBy("g").agg(
+        F.sum("c").cast("bigint").alias("n_cal")
+    )
+    al = cal.sparkSession.createDataFrame(
+        [(int(a),) for a in alphas_milli], "alpha_milli int"
+    )
+    ks = n_cal.crossJoin(F.broadcast(al)).select(
+        "g",
+        "alpha_milli",
+        "n_cal",
+        F.expr(
+            "((n_cal + 1) * (1000 - alpha_milli) + 999) DIV 1000"
+        ).alias("k"),
+    )
+    # the cum side's group column is re-aliased before the non-equi
+    # join: both g columns descend from the same hist attribute, so a
+    # qualified drop() after the join is ambiguous and can remove the
+    # wrong one (it silently nulled abstaining groups' keys)
+    cumj = cum.select(
+        F.col("g").alias("__cg"), "s", "cum"
+    )
+    thr = (
+        ks.join(
+            cumj,
+            (F.col("g") == F.col("__cg"))
+            & (F.col("cum") >= F.col("k")),
+            "left",
+        )
+        .groupBy("g", "alpha_milli", "n_cal", "k")
+        .agg(F.min("s").alias("threshold"))
+    )
+    ev = evl.where(
+        F.col(score_col).isNotNull() & F.col(group_col).isNotNull()
+    ).select(
+        F.col(group_col).alias("g"), F.col(score_col).alias("es")
+    )
+    cov = (
+        ev.join(F.broadcast(thr), "g")
+        .groupBy("g", "alpha_milli", "n_cal", "k", "threshold")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_eval"),
+            F.sum((F.col("es") <= F.col("threshold")).cast("int"))
+            .cast("bigint")
+            .alias("covered"),
+        )
+    )
+    feasible = F.col("k") <= F.col("n_cal")
+    return (
+        cov.select(
+            F.col("g").alias(group_col),
+            "alpha_milli",
+            "n_cal",
+            "k",
+            F.when(feasible, F.col("threshold")).alias("threshold"),
+            "n_eval",
+            F.when(feasible, F.col("covered")).alias("covered"),
+            F.when(
+                feasible,
+                F.round(
+                    F.col("covered").cast("double")
+                    / F.col("n_eval").cast("double"),
+                    6,
+                ),
+            ).alias("coverage"),
+        )
+        .orderBy(group_col, F.col("alpha_milli").desc())
+    )

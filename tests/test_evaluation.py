@@ -3401,3 +3401,46 @@ class TestBradleyTerry:
         ]
         out = self._fit(spark, rows)
         assert set(out) == {"a", "b"}
+
+
+# ------------------------------------------------ mondrian conformal
+class TestConformalByGroup:
+    def _run(self, spark, cal_rows, ev_rows, alphas=(200,)):
+        from protosc_spark.evaluation import conformal_threshold_by_group
+
+        cal = spark.createDataFrame(cal_rows, "g string, s int")
+        ev = spark.createDataFrame(ev_rows, "g string, s int")
+        return {
+            (r["g"], r["alpha_milli"]): r
+            for r in conformal_threshold_by_group(
+                cal, ev, "s", "g", alphas
+            ).collect()
+        }
+
+    def test_per_group_order_statistics(self, spark):
+        cal = [("a", v) for v in range(1, 11)]
+        cal += [("b", 10 * v) for v in range(1, 21)]
+        ev = [("a", 5), ("a", 10), ("b", 170), ("b", 300)]
+        out = self._run(spark, cal, ev)
+        ra = out[("a", 200)]
+        # group a: k = ceil(11*0.8) = 9 -> 9th smallest = 9
+        assert ra["k"] == 9 and ra["threshold"] == 9
+        assert ra["covered"] == 1 and ra["n_eval"] == 2
+        rb = out[("b", 200)]
+        # group b: k = ceil(21*0.8) = 17 -> 170
+        assert rb["k"] == 17 and rb["threshold"] == 170
+        assert rb["covered"] == 1
+
+    def test_small_group_abstains_big_group_does_not(self, spark):
+        cal = [("tiny", v) for v in range(3)]
+        cal += [("big", v) for v in range(100)]
+        ev = [("tiny", 1), ("big", 50)]
+        out = self._run(spark, cal, ev, alphas=(50,))
+        assert out[("tiny", 50)]["threshold"] is None
+        assert out[("big", 50)]["threshold"] is not None
+
+    def test_groups_need_both_splits(self, spark):
+        cal = [("a", 1), ("a", 2), ("calonly", 5)]
+        ev = [("a", 1), ("evalonly", 9)]
+        out = self._run(spark, cal, ev)
+        assert {g for g, _ in out} == {"a"}
