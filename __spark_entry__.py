@@ -624,6 +624,75 @@ def _transcript_decay_features(spark, sf_dir):
     ).orderBy("conv_id", "turn_idx")
 
 
+def _events_sprt_monitor(spark, sf_dir):
+    """Wald SPRT sequential conversion monitor per event type
+    (H0 p=0.3 vs H1 p=0.45, alpha 0.05 / beta 0.2, conversion =
+    >=15 events per user, users in enrollment-day order): exact
+    integer LLR trajectory on the 1e-9-nat grid, day-granularity
+    verdicts, first-crossing day reported. At these parameters the
+    sf0.01 corpus produces BOTH decisions across states, so both
+    crossing directions run live. LIVE DuckDB oracle replays the
+    quantized constants, daily counts, cumulative trajectory and
+    first crossing."""
+    from protosc_spark.experiment import sprt_monitor
+
+    ev = _read(spark, sf_dir, "events")
+    return sprt_monitor(
+        ev, p0=0.3, p1=0.45, conversion_threshold=15
+    )
+
+
+def _sprt_oracle() -> str:
+    import math
+
+    unit = 10**9
+    la = math.floor(math.log(0.45 / 0.3) * unit)
+    lb = math.floor(math.log(0.55 / 0.7) * unit)
+    up = math.floor(math.log(0.8 / 0.05) * unit)
+    lo = math.floor(math.log(0.2 / 0.95) * unit)
+    return f"""
+        WITH per_user AS (
+          SELECT event_type AS state, user_id AS u,
+                 count(*)::BIGINT AS n_events,
+                 min(epoch_us(ts) // 86400000000) AS day
+          FROM events GROUP BY 1, 2
+        ), daily AS (
+          SELECT state, day, count(*)::BIGINT AS n,
+                 sum(CASE WHEN n_events >= 15 THEN 1 ELSE 0
+                     END)::BIGINT AS s
+          FROM per_user GROUP BY state, day
+        ), traj AS (
+          SELECT state, day, n, s,
+                 sum(s * {la} + (n - s) * {lb}) OVER (
+                   PARTITION BY state ORDER BY day
+                   ROWS UNBOUNDED PRECEDING) AS llr
+          FROM daily
+        ), marked AS (
+          SELECT *, CASE WHEN llr >= {up} THEN 'accept_h1'
+                         WHEN llr <= {lo} THEN 'accept_h0' END
+                 AS crossed
+          FROM traj
+        ), fc AS (
+          SELECT state, min(day) AS decision_day,
+                 arg_min(crossed, day) AS decision
+          FROM marked WHERE crossed IS NOT NULL GROUP BY state
+        ), tot AS (
+          SELECT state, count(*)::BIGINT AS n_days,
+                 sum(n)::BIGINT AS n_users,
+                 sum(s)::BIGINT AS n_conversions,
+                 arg_max(llr, day) AS last_llr
+          FROM marked GROUP BY state
+        )
+        SELECT tot.state, tot.n_days, tot.n_users,
+               tot.n_conversions,
+               round(tot.last_llr / 1000000000.0, 6) AS llr_final,
+               coalesce(fc.decision, 'continue') AS decision,
+               fc.decision_day::BIGINT AS decision_day
+        FROM tot LEFT JOIN fc ON tot.state = fc.state
+        ORDER BY tot.state
+    """
+
+
 def _corpus_conformal_by_lang(spark, sf_dir):
     """Mondrian (per-language) split-conformal length bounds: the
     group-conditional guarantee the global bound can't give — each
@@ -5554,6 +5623,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     full-surface green regardless of this ordering."""
     return {
         # --- round 5 ---
+        "events_sprt_monitor": _events_sprt_monitor,
         "corpus_conformal_by_lang": _corpus_conformal_by_lang,
         "stream_decay": _stream_decay,
         "asof_snapshot_events": _asof_snapshot_events,
@@ -6080,6 +6150,7 @@ def oracle_sql() -> dict[str, str]:
         for t in POISSON1_T60
     )
     out = {
+        "events_sprt_monitor": _sprt_oracle(),
         "corpus_conformal_by_lang": _corpus_conformal_by_lang_oracle(),
         "asof_snapshot_events": """
             SELECT c.event_id, c.user_id, c.ts,

@@ -239,6 +239,7 @@ HEADLINE = [
     "corpus_permutation_test",
     "asof_snapshot_events",
     "corpus_conformal_by_lang",
+    "events_sprt_monitor",
 ]
 
 BENCH_CONVERSATIONS = int(os.environ.get("PROTOSC_BENCH_CONVS", "20000"))

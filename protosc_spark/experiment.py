@@ -26,6 +26,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import Window as W
 
 from .sampling import hash_bucket
 
@@ -1025,4 +1026,122 @@ def permutation_test(
                 6,
             ).alias("p_value"),
         )
+    )
+
+
+def sprt_monitor(
+    df: DataFrame,
+    p0: float,
+    p1: float,
+    state_col: str = "event_type",
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    conversion_threshold: int = 14,
+    alpha: float = 0.05,
+    beta: float = 0.2,
+    unit: int = 10**9,
+) -> DataFrame:
+    """Wald's SPRT, the sequential monitor the fixed-horizon readouts
+    (ab_readout / welch) can't be: per state, the running
+    log-likelihood ratio of H1: conversion = p1 against H0: = p0 over
+    users in ENROLLMENT order (day of a user's first event), stopping
+    the first day it crosses ln((1-beta)/alpha) upward (accept H1) or
+    ln(beta/(1-alpha)) downward (accept H0) — type-I/II error
+    bounded at (alpha, beta) by Wald's inequality no matter when you
+    peek, the property fixed-horizon tests lose under repeated looks.
+
+    Everything is exact integer arithmetic on the 1/``unit``-nat
+    grid: the two per-user increments ln(p1/p0) and
+    ln((1-p1)/(1-p0)) and both bounds quantize ONCE (floor), daily
+    increments are integer counts times those constants, the
+    trajectory is a cumulative integer sum over the CALENDAR-sized
+    day table (day granularity on purpose: within-day user order is
+    not exchange-stable, so the verdict is defined on day
+    boundaries), and crossing comparisons are integer compares — the
+    oracle replays the trajectory digit for digit.
+
+    Scale: one (user, state) count + one (enroll-day) aggregate per
+    state; the only window runs over distinct days. Output: (state,
+    n_days, n_users, n_conversions, llr_final, decision,
+    decision_day) — decision 'continue' with NULL day when neither
+    bound is crossed.
+    """
+    import math
+
+    if not (0.0 < p0 < 1.0 and 0.0 < p1 < 1.0 and p0 != p1):
+        raise ValueError("need 0 < p0, p1 < 1 and p0 != p1")
+    la = math.floor(math.log(p1 / p0) * unit)
+    lb = math.floor(math.log((1.0 - p1) / (1.0 - p0)) * unit)
+    up = math.floor(math.log((1.0 - beta) / alpha) * unit)
+    lo = math.floor(math.log(beta / (1.0 - alpha)) * unit)
+
+    per_user = df.groupBy(
+        F.col(state_col).alias("state"), F.col(user_col).alias("u")
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min(
+            F.floor(
+                F.unix_micros(F.col(ts_col).cast("timestamp"))
+                / F.lit(86_400_000_000)
+            )
+        ).alias("day"),
+    )
+    # NOTE: enrollment day is the user's first event of THIS state —
+    # the per-state stream the monitor watches.
+    daily = per_user.groupBy("state", "day").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(
+            (F.col("n_events") >= F.lit(int(conversion_threshold)))
+            .cast("int")
+        )
+        .cast("bigint")
+        .alias("s"),
+    )
+    w = W.partitionBy("state").orderBy("day").rowsBetween(
+        W.unboundedPreceding, 0
+    )
+    traj = daily.withColumn(
+        "llr",
+        F.sum(
+            F.col("s") * F.lit(la) + (F.col("n") - F.col("s")) * F.lit(lb)
+        ).over(w),
+    ).withColumn(
+        "crossed",
+        F.when(F.col("llr") >= F.lit(up), F.lit("accept_h1")).when(
+            F.col("llr") <= F.lit(lo), F.lit("accept_h0")
+        ),
+    )
+    first_cross = (
+        traj.where(F.col("crossed").isNotNull())
+        .groupBy("state")
+        .agg(
+            F.min(F.struct("day", "crossed")).alias("__c")
+        )
+        .select(
+            "state",
+            F.col("__c.day").alias("decision_day"),
+            F.col("__c.crossed").alias("decision"),
+        )
+    )
+    totals = traj.groupBy("state").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+        F.sum("n").cast("bigint").alias("n_users"),
+        F.sum("s").cast("bigint").alias("n_conversions"),
+        F.max(F.struct("day", "llr")).alias("__last"),
+    )
+    return (
+        totals.join(first_cross, "state", "left")
+        .select(
+            "state",
+            "n_days",
+            "n_users",
+            "n_conversions",
+            F.round(
+                F.col("__last.llr").cast("double") / F.lit(float(unit)),
+                6,
+            ).alias("llr_final"),
+            F.coalesce("decision", F.lit("continue")).alias("decision"),
+            F.col("decision_day").cast("bigint").alias("decision_day"),
+        )
+        .orderBy("state")
     )

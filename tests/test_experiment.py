@@ -791,3 +791,105 @@ class TestPermutationTest:
                 (4, "zh", 9), (5, "fr", 99999), (6, "en", None)]
         r = self._run(spark, rows)
         assert r["n_a"] == 2 and r["n_b"] == 2
+
+
+# ----------------------------------------------------------- sprt
+class TestSprtMonitor:
+    def _ev(self, spark, rows):
+        return spark.createDataFrame(
+            rows, "event_id bigint, ts timestamp, user_id bigint, "
+            "event_type string, value double, props string"
+        )
+
+    @staticmethod
+    def _mk(day, uid, state, n):
+        import datetime as dt
+
+        t = dt.datetime(2025, 1, 1) + dt.timedelta(days=day)
+        return [
+            (uid * 1000 + i, t, uid, state, 1.0, None)
+            for i in range(n)
+        ]
+
+    def test_high_rate_accepts_h1_at_exact_day(self, spark):
+        import math
+
+        rows = []
+        # 4 users/day for 5 days, all converting (>=3 events)
+        for d in range(5):
+            for u in range(4):
+                rows += self._mk(d, d * 10 + u, "x", 3)
+        from protosc_spark.experiment import sprt_monitor
+
+        r = sprt_monitor(
+            self._ev(spark, rows), p0=0.3, p1=0.6,
+            conversion_threshold=3,
+        ).collect()[0]
+        # per converting user llr += ln(2); upper bound ln(0.8/0.05)
+        # = ln 16 = 4 ln 2 exactly — but on the integer grid
+        # 4*floor(ln2*1e9) sits 2 units BELOW floor(ln16*1e9), so
+        # day 0's four conversions do NOT cross (the conservative
+        # side of floor quantization) and the crossing lands on
+        # day 1 with 8
+        assert r["decision"] == "accept_h1"
+        day0 = int(
+            (__import__("datetime").datetime(2025, 1, 1)
+             - __import__("datetime").datetime(1970, 1, 1)).days
+        )
+        assert r["decision_day"] == day0 + 1
+        assert r["n_conversions"] == 20 and r["n_users"] == 20
+
+    def test_low_rate_accepts_h0(self, spark):
+        rows = []
+        for d in range(6):
+            for u in range(5):
+                # nobody converts (1 event < threshold 3)
+                rows += self._mk(d, d * 10 + u, "x", 1)
+        from protosc_spark.experiment import sprt_monitor
+
+        r = sprt_monitor(
+            self._ev(spark, rows), p0=0.3, p1=0.6,
+            conversion_threshold=3,
+        ).collect()[0]
+        assert r["decision"] == "accept_h0"
+        assert r["n_conversions"] == 0
+
+    def test_borderline_continues(self, spark):
+        rows = []
+        # one user, converting: llr = ln2 ~ 0.69, inside both bounds
+        rows += self._mk(0, 1, "x", 3)
+        from protosc_spark.experiment import sprt_monitor
+
+        r = sprt_monitor(
+            self._ev(spark, rows), p0=0.3, p1=0.6,
+            conversion_threshold=3,
+        ).collect()[0]
+        assert r["decision"] == "continue"
+        assert r["decision_day"] is None
+        assert abs(r["llr_final"] - __import__("math").log(2)) < 1e-6
+
+    def test_integer_trajectory_replay(self, spark):
+        import math
+
+        rows = []
+        plan = [(0, 3, 1), (1, 2, 2), (2, 1, 3)]  # (day, conv, nonconv)
+        uid = 0
+        for d, conv, non in plan:
+            for _ in range(conv):
+                rows += self._mk(d, uid, "x", 3)
+                uid += 1
+            for _ in range(non):
+                rows += self._mk(d, uid, "x", 1)
+                uid += 1
+        from protosc_spark.experiment import sprt_monitor
+
+        r = sprt_monitor(
+            self._ev(spark, rows), p0=0.25, p1=0.4,
+            conversion_threshold=3, alpha=0.01, beta=0.01,
+        ).collect()[0]
+        unit = 10**9
+        la = math.floor(math.log(0.4 / 0.25) * unit)
+        lb = math.floor(math.log(0.6 / 0.75) * unit)
+        llr = sum(c * la + n * lb for _, c, n in plan)
+        assert r["llr_final"] == round(llr / unit, 6)
+        assert r["decision"] == "continue"  # tight bounds, tiny n
