@@ -624,6 +624,79 @@ def _transcript_decay_features(spark, sf_dir):
     ).orderBy("conv_id", "turn_idx")
 
 
+def _events_decay_activity(spark, sf_dir):
+    """Per-user exponentially decayed activity (decayed prior-event
+    count + decayed prior value mass, 24h half-life) at every event —
+    the SAME Catalyst fold as the transcript decay features, here
+    over the REAL events table so the oracle is LIVE: a DuckDB
+    recursive CTE replays the recursion user-by-user in event-rank
+    lockstep (~max-events-per-user iterations), digit for digit at
+    round-6 (exp tails agree to ~1e-14 over these chain lengths)."""
+    from pyspark.sql import Window as W
+
+    from protosc_spark.windows import time_decay_features
+
+    ev = _read(spark, sf_dir, "events")
+    rk = F.row_number().over(
+        W.partitionBy("user_id").orderBy("ts", "event_id")
+    )
+    base = ev.select(
+        "user_id", "ts", "value", rk.cast("int").alias("rk")
+    )
+    out = time_decay_features(
+        base,
+        "value",
+        half_life_s=86400.0,
+        entity_col="user_id",
+        order_col="rk",
+        ts_col="ts",
+    )
+    return out.select(
+        "user_id",
+        "rk",
+        F.round("decayed_count", 6).alias("decayed_count"),
+        F.round("decayed_value", 6).alias("decayed_value"),
+    ).orderBy("user_id", "rk")
+
+
+def _events_decay_oracle() -> str:
+    import math
+
+    lam = math.log(2.0) / (86400.0 * 1e6)
+    return f"""
+        WITH RECURSIVE base AS (
+          SELECT user_id, epoch_us(ts) AS us,
+                 coalesce(value, 0.0)::DOUBLE AS v,
+                 row_number() OVER (PARTITION BY user_id
+                   ORDER BY ts, event_id) AS rk
+          FROM events
+        ), rec AS (
+          SELECT user_id, 0::BIGINT AS rk,
+                 NULL::BIGINT AS prev_us,
+                 0.0::DOUBLE AS c, 0.0::DOUBLE AS s,
+                 NULL::DOUBLE AS dc, NULL::DOUBLE AS dv
+          FROM (SELECT DISTINCT user_id FROM base)
+          UNION ALL
+          SELECT b.user_id, b.rk, b.us,
+                 r.c * exp(-({lam!r})
+                   * (b.us - coalesce(r.prev_us, b.us))) + 1.0,
+                 r.s * exp(-({lam!r})
+                   * (b.us - coalesce(r.prev_us, b.us))) + b.v,
+                 r.c * exp(-({lam!r})
+                   * (b.us - coalesce(r.prev_us, b.us))),
+                 r.s * exp(-({lam!r})
+                   * (b.us - coalesce(r.prev_us, b.us)))
+          FROM rec r JOIN base b
+            ON b.user_id = r.user_id AND b.rk = r.rk + 1
+        )
+        SELECT user_id, rk::INT AS rk,
+               round(dc, 6) AS decayed_count,
+               round(dv, 6) AS decayed_value
+        FROM rec WHERE rk > 0
+        ORDER BY user_id, rk
+    """
+
+
 def _events_sprt_monitor(spark, sf_dir):
     """Wald SPRT sequential conversion monitor per event type
     (H0 p=0.3 vs H1 p=0.45, alpha 0.05 / beta 0.2, conversion =
@@ -5623,6 +5696,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     full-surface green regardless of this ordering."""
     return {
         # --- round 5 ---
+        "events_decay_activity": _events_decay_activity,
         "events_sprt_monitor": _events_sprt_monitor,
         "corpus_conformal_by_lang": _corpus_conformal_by_lang,
         "stream_decay": _stream_decay,
@@ -6150,6 +6224,7 @@ def oracle_sql() -> dict[str, str]:
         for t in POISSON1_T60
     )
     out = {
+        "events_decay_activity": _events_decay_oracle(),
         "events_sprt_monitor": _sprt_oracle(),
         "corpus_conformal_by_lang": _corpus_conformal_by_lang_oracle(),
         "asof_snapshot_events": """

@@ -240,6 +240,7 @@ HEADLINE = [
     "asof_snapshot_events",
     "corpus_conformal_by_lang",
     "events_sprt_monitor",
+    "events_decay_activity",
 ]
 
 BENCH_CONVERSATIONS = int(os.environ.get("PROTOSC_BENCH_CONVS", "20000"))

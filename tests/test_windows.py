@@ -3105,3 +3105,31 @@ def test_time_decay_null_values_contribute_zero(spark):
     assert abs(out[2]["decayed_value"] - 1.0) < 1e-6
     assert abs(out[2]["decayed_count"] - 2.0) < 1e-6
     assert out[1]["decayed_value"] is not None
+
+
+def test_time_decay_custom_entity_and_order_cols(spark, events):
+    """Kernel generality: entity/order/ts column names are
+    parameters (the events gate uses user_id/rank), and the fold's
+    output keys match the input's rank exactly."""
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    from protosc_spark.windows import time_decay_features
+
+    rk = F.row_number().over(
+        W.partitionBy("user_id").orderBy("ts", "event_id")
+    )
+    base = events.select(
+        "user_id", "ts", "value", rk.cast("int").alias("rk")
+    )
+    out = time_decay_features(
+        base, "value", half_life_s=86400.0,
+        entity_col="user_id", order_col="rk", ts_col="ts",
+    )
+    got = out.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n"), F.max("rk").alias("mx")
+    ).collect()
+    want = {r["user_id"]: r["n"] for r in
+            base.groupBy("user_id").agg(F.count(F.lit(1)).alias("n")).collect()}
+    for r in got:
+        assert r["n"] == want[r["user_id"]] and r["mx"] == r["n"]
