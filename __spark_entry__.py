@@ -624,6 +624,22 @@ def _transcript_decay_features(spark, sf_dir):
     ).orderBy("conv_id", "turn_idx")
 
 
+def _transcript_pack_audit(spark, sf_dir):
+    """Packing-efficiency audit of the SFT gate's exact
+    configuration (150 conversations, max_len 1024, 32-wide
+    buckets): per bucket, bins, packed mass, capacity, seam waste,
+    fill rate and truncation loss. The oracle DERIVES these numbers
+    in SQL from the frozen transcript_sft_pack artifact itself, so
+    the audit is checked against the independently pinned packing —
+    not against a second frozen copy of itself."""
+    from protosc_spark.datagen import generate_transcripts
+    from protosc_spark.posttrain import pack_audit, sft_pack
+
+    tr = generate_transcripts(spark, n_conversations=150, seed=7)
+    packed = sft_pack(tr, max_len=1024, bucket_width=32)
+    return pack_audit(packed, max_len=1024)
+
+
 def _events_decay_activity(spark, sf_dir):
     """Per-user exponentially decayed activity (decayed prior-event
     count + decayed prior value mass, 24h half-life) at every event —
@@ -5696,6 +5712,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     full-surface green regardless of this ordering."""
     return {
         # --- round 5 ---
+        "transcript_pack_audit": _transcript_pack_audit,
         "events_decay_activity": _events_decay_activity,
         "events_sprt_monitor": _events_sprt_monitor,
         "corpus_conformal_by_lang": _corpus_conformal_by_lang,
@@ -13759,4 +13776,25 @@ def oracle_sql() -> dict[str, str]:
     # it shares the batch gate's frozen oracle (asof_time_split
     # precedent)
     out["stream_decay"] = out["transcript_decay_features"]
+    # the pack audit is checked against numbers DERIVED in SQL from
+    # the frozen sft_pack artifact — one source of truth, not a
+    # second frozen copy
+    out["transcript_pack_audit"] = f"""
+        WITH p AS ({out['transcript_sft_pack']})
+        SELECT pack_bucket,
+               count(*)::BIGINT AS n_convs,
+               count(DISTINCT bin_id)::BIGINT AS n_bins,
+               sum(packed_tokens)::BIGINT AS packed_tokens,
+               (count(DISTINCT bin_id) * 1024)::BIGINT AS capacity,
+               (count(DISTINCT bin_id) * 1024
+                - sum(packed_tokens))::BIGINT AS waste,
+               round(sum(packed_tokens)
+                     / (count(DISTINCT bin_id) * 1024.0), 6)
+                 AS fill_rate,
+               sum(CASE WHEN truncated THEN 1 ELSE 0 END)::BIGINT
+                 AS n_truncated,
+               sum(n_tokens - packed_tokens)::BIGINT
+                 AS tokens_truncated
+        FROM p GROUP BY pack_bucket ORDER BY pack_bucket
+    """
     return out

@@ -241,6 +241,7 @@ HEADLINE = [
     "corpus_conformal_by_lang",
     "events_sprt_monitor",
     "events_decay_activity",
+    "transcript_pack_audit",
 ]
 
 BENCH_CONVERSATIONS = int(os.environ.get("PROTOSC_BENCH_CONVS", "20000"))

@@ -362,3 +362,40 @@ def split_leakage(
         )
         .orderBy("split")
     )
+
+
+def pack_audit(packed: DataFrame, max_len: int) -> DataFrame:
+    """Packing-efficiency audit over :func:`sft_pack` output — the
+    numbers a training job reads before shipping shards: per bucket,
+    conversations, bins opened, packed token mass, capacity
+    (bins x max_len), waste at bin seams, fill rate, and the
+    truncation loss (token mass cut from oversize conversations).
+    One aggregation over the (already conversation-sized) packing
+    table; emits one row per pack bucket.
+    """
+    per = packed.groupBy("pack_bucket").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_convs"),
+        F.count_distinct("bin_id").cast("bigint").alias("n_bins"),
+        F.sum("packed_tokens").cast("bigint").alias("packed_tokens"),
+        F.sum(F.col("truncated").cast("int"))
+        .cast("bigint")
+        .alias("n_truncated"),
+        F.sum(F.col("n_tokens") - F.col("packed_tokens"))
+        .cast("bigint")
+        .alias("tokens_truncated"),
+    )
+    cap = F.col("n_bins") * F.lit(int(max_len))
+    return per.select(
+        "pack_bucket",
+        "n_convs",
+        "n_bins",
+        "packed_tokens",
+        cap.cast("bigint").alias("capacity"),
+        (cap - F.col("packed_tokens")).cast("bigint").alias("waste"),
+        F.round(
+            F.col("packed_tokens").cast("double") / cap.cast("double"),
+            6,
+        ).alias("fill_rate"),
+        "n_truncated",
+        "tokens_truncated",
+    ).orderBy("pack_bucket")

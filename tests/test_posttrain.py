@@ -386,3 +386,29 @@ def test_split_leakage_null_texts_not_counted(spark):
     # the only possible leak is "same text"; NULLs never count
     assert sum(r["leaked_texts"] for r in out) <= 2
     assert all(r["n_distinct_texts"] <= 1 for r in out)
+
+
+def test_pack_audit_hand_fixture(spark):
+    from protosc_spark.posttrain import pack_audit
+
+    tr = _mk_sized(spark, [("a", 60), ("b", 50), ("c", 40), ("d", 30)])
+    packed = sft_pack(tr, max_len=100, bucket_width=64)
+    out = pack_audit(packed, max_len=100).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["n_convs"] == 4 and r["packed_tokens"] == 180
+    assert r["capacity"] == r["n_bins"] * 100
+    assert r["waste"] == r["capacity"] - 180
+    assert r["fill_rate"] == round(180 / r["capacity"], 6)
+    assert r["n_truncated"] == 0 and r["tokens_truncated"] == 0
+
+
+def test_pack_audit_truncation_accounting(spark):
+    from protosc_spark.posttrain import pack_audit
+
+    tr = _mk_sized(spark, [("big", 500), ("s1", 10)])
+    packed = sft_pack(tr, max_len=100, bucket_width=64)
+    r = pack_audit(packed, max_len=100).collect()[0]
+    assert r["n_truncated"] == 1
+    assert r["tokens_truncated"] == 400
+    assert r["packed_tokens"] == 110
