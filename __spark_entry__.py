@@ -624,6 +624,22 @@ def _transcript_decay_features(spark, sf_dir):
     ).orderBy("conv_id", "turn_idx")
 
 
+def _corpus_weighted_quantiles(spark, sf_dir):
+    """Mass-weighted length quantiles per source — the corpus-report
+    statistic 'the median TOKEN of this source lives in a document of
+    length L' (row quantiles understate it badly on heavy tails):
+    exact left-continuous weighted quantile via the pure-integer
+    cross-multiplication 1000*cumw >= p*totw over the (source,
+    n_chars) weight histogram. LIVE DuckDB oracle replays histogram,
+    cumulative weights and the integer rank rule."""
+    from protosc_spark.sketches import weighted_quantiles
+
+    docs = _read(spark, sf_dir, "documents")
+    return weighted_quantiles(
+        docs, "n_chars", "n_chars", "source", (250, 500, 900)
+    )
+
+
 def _transcript_pack_audit(spark, sf_dir):
     """Packing-efficiency audit of the SFT gate's exact
     configuration (150 conversations, max_len 1024, 32-wide
@@ -5712,6 +5728,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     full-surface green regardless of this ordering."""
     return {
         # --- round 5 ---
+        "corpus_weighted_quantiles": _corpus_weighted_quantiles,
         "transcript_pack_audit": _transcript_pack_audit,
         "events_decay_activity": _events_decay_activity,
         "events_sprt_monitor": _events_sprt_monitor,
@@ -6241,6 +6258,30 @@ def oracle_sql() -> dict[str, str]:
         for t in POISSON1_T60
     )
     out = {
+        "corpus_weighted_quantiles": """
+            WITH hist AS (
+              SELECT source AS g, n_chars AS v,
+                     sum(n_chars)::BIGINT AS w
+              FROM documents
+              WHERE n_chars IS NOT NULL AND n_chars > 0
+              GROUP BY source, n_chars
+            ), cum AS (
+              SELECT g, v, sum(w) OVER (PARTITION BY g ORDER BY v
+                ROWS UNBOUNDED PRECEDING)::BIGINT AS cumw
+              FROM hist
+            ), tot AS (
+              SELECT g, max(cumw)::BIGINT AS totw FROM cum GROUP BY g
+            )
+            SELECT tot.g AS source, p.p_milli,
+                   min(cum.v) AS quantile,
+                   tot.totw AS total_weight
+            FROM tot
+            CROSS JOIN (VALUES (250), (500), (900)) p(p_milli)
+            JOIN cum ON cum.g = tot.g
+                    AND cum.cumw * 1000 >= p.p_milli * tot.totw
+            GROUP BY tot.g, p.p_milli, tot.totw
+            ORDER BY source, p_milli
+        """,
         "events_decay_activity": _events_decay_oracle(),
         "events_sprt_monitor": _sprt_oracle(),
         "corpus_conformal_by_lang": _corpus_conformal_by_lang_oracle(),

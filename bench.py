@@ -242,6 +242,7 @@ HEADLINE = [
     "events_sprt_monitor",
     "events_decay_activity",
     "transcript_pack_audit",
+    "corpus_weighted_quantiles",
 ]
 
 BENCH_CONVERSATIONS = int(os.environ.get("PROTOSC_BENCH_CONVS", "20000"))

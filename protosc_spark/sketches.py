@@ -28,6 +28,7 @@ from collections.abc import Sequence
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import Window as W
 
 HLL_P = 12  # 4096 registers, ~1.6% standard error
 _HASH_BITS = 60
@@ -721,3 +722,73 @@ def quantiles_exact(
         "n",
         F.col("__v").alias("value"),
     )
+
+
+def weighted_quantiles(
+    df: DataFrame,
+    value_col: str,
+    weight_col: str,
+    group_col: str,
+    p_millis: Sequence[int] = (500, 900),
+) -> DataFrame:
+    """Exact weighted quantiles per group — "which value does the
+    p-th unit of MASS sit at" (the corpus-report statistic: the
+    median token lives in a document of length L, which plain
+    row-quantiles understate badly on heavy-tailed corpora).
+
+    Rule: the left-continuous weighted quantile, the smallest value
+    whose cumulative weight reaches p of the total — evaluated as the
+    pure-integer cross-multiplication 1000 * cumw >= p_milli * totw
+    (weights must be nonneg integers; no float division anywhere), so
+    both engines agree bit for bit.  Rows with NULL or nonpositive
+    weight carry no mass and are excluded.
+
+    Scale: one groupBy(group, value) weight histogram (map-side
+    combined), per-group cumulative window over distinct values, the
+    threshold probe a broadcast of |groups| x |levels| rows.  Output:
+    (group, p_milli, quantile, total_weight) ordered by (group,
+    p_milli).
+    """
+    hist = (
+        df.where(
+            F.col(value_col).isNotNull()
+            & (F.col(weight_col).cast("bigint") > 0)
+        )
+        .groupBy(
+            F.col(group_col).alias("g"), F.col(value_col).alias("v")
+        )
+        .agg(F.sum(F.col(weight_col).cast("bigint")).alias("w"))
+    )
+    wc = W.partitionBy("g").orderBy("v").rowsBetween(
+        W.unboundedPreceding, 0
+    )
+    cum = hist.select(
+        "g", "v", F.sum("w").over(wc).alias("cumw")
+    ).localCheckpoint(eager=True)
+    tot = cum.groupBy("g").agg(
+        F.max("cumw").cast("bigint").alias("totw")
+    )
+    ps = df.sparkSession.createDataFrame(
+        [(int(p),) for p in p_millis], "p_milli int"
+    )
+    probes = tot.crossJoin(F.broadcast(ps))
+    out = (
+        probes.join(
+            cum.select(
+                F.col("g").alias("__cg"), "v", "cumw"
+            ),
+            (F.col("g") == F.col("__cg"))
+            & (
+                F.col("cumw") * F.lit(1000)
+                >= F.col("p_milli").cast("bigint") * F.col("totw")
+            ),
+        )
+        .groupBy("g", "p_milli", "totw")
+        .agg(F.min("v").alias("quantile"))
+    )
+    return out.select(
+        F.col("g").alias(group_col),
+        "p_milli",
+        "quantile",
+        F.col("totw").alias("total_weight"),
+    ).orderBy(group_col, "p_milli")

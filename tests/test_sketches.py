@@ -611,3 +611,48 @@ def test_quantiles_exact_matches_sorted_rank_rule(spark):
         for r in quantiles_exact(df, "v", qs=(0.5,)).collect()
     }
     assert one[0.5] == _q_bruteforce(vals_a + vals_b, 0.5)
+
+
+# ------------------------------------------------- weighted quantile
+class TestWeightedQuantiles:
+    def _run(self, spark, rows, ps=(500,)):
+        from protosc_spark.sketches import weighted_quantiles
+
+        df = spark.createDataFrame(rows, "g string, v int, w int")
+        return {
+            (r["g"], r["p_milli"]): r
+            for r in weighted_quantiles(df, "v", "w", "g", ps).collect()
+        }
+
+    def test_mass_weighted_median_hand_fixture(self, spark):
+        # values 1..4 with weights 1,1,1,7 -> half the mass sits at 4
+        rows = [("a", 1, 1), ("a", 2, 1), ("a", 3, 1), ("a", 4, 7)]
+        out = self._run(spark, rows, (500, 200))
+        assert out[("a", 500)]["quantile"] == 4
+        # 20% of mass (2 units) reached at v=2 (cum 1,2,3,10)
+        assert out[("a", 200)]["quantile"] == 2
+        assert out[("a", 500)]["total_weight"] == 10
+
+    def test_matches_numpy_weighted_quantile(self, spark):
+        import numpy as np
+
+        rng = np.random.RandomState(4)
+        v = rng.randint(1, 200, 500)
+        w = rng.randint(1, 9, 500)
+        rows = [("g", int(a), int(b)) for a, b in zip(v, w)]
+        out = self._run(spark, rows, (250, 500, 900))
+        order = np.argsort(v, kind="stable")
+        sv, sw = v[order], w[order]
+        cw = np.cumsum(sw)
+        for p in (250, 500, 900):
+            want = sv[np.searchsorted(cw * 1000, p * cw[-1])]
+            # smallest value whose cum reaches the rank; collapse ties
+            want = int(min(x for x, c in zip(sv, cw)
+                           if c * 1000 >= p * cw[-1]))
+            assert out[("g", p)]["quantile"] == want
+
+    def test_nonpositive_weights_carry_no_mass(self, spark):
+        rows = [("a", 1, 0), ("a", 2, -5), ("a", 3, 2)]
+        out = self._run(spark, rows)
+        assert out[("a", 500)]["quantile"] == 3
+        assert out[("a", 500)]["total_weight"] == 2
