@@ -624,6 +624,21 @@ def _transcript_decay_features(spark, sf_dir):
     ).orderBy("conv_id", "turn_idx")
 
 
+def _dedup_tfidf_cosine(spark, sf_dir):
+    """TF-IDF cosine near-dup pairs at sim >= 0.75 — the
+    token-weighted sibling of ngram Jaccard (idf makes boilerplate
+    cheap and rare tokens decisive). Cross terms and norms quantized
+    to 1e-9 integer units before summing, one float division per
+    pair; inverted-index equi-join, cost follows shared tokens. LIVE
+    DuckDB oracle replays tf, smoothed idf, unit quantization, sums
+    and the threshold."""
+    from protosc_spark.dedup import tfidf_cosine_pairs
+
+    return tfidf_cosine_pairs(
+        _read_wide(spark, sf_dir, "documents"), min_sim=0.75
+    )
+
+
 def _corpus_weighted_quantiles(spark, sf_dir):
     """Mass-weighted length quantiles per source — the corpus-report
     statistic 'the median TOKEN of this source lives in a document of
@@ -5728,6 +5743,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     full-surface green regardless of this ordering."""
     return {
         # --- round 5 ---
+        "dedup_tfidf_cosine": _dedup_tfidf_cosine,
         "corpus_weighted_quantiles": _corpus_weighted_quantiles,
         "transcript_pack_audit": _transcript_pack_audit,
         "events_decay_activity": _events_decay_activity,
@@ -6258,6 +6274,45 @@ def oracle_sql() -> dict[str, str]:
         for t in POISSON1_T60
     )
     out = {
+        "dedup_tfidf_cosine": """
+            WITH tf AS (
+              SELECT doc_id, tok, count(*)::BIGINT AS tf
+              FROM (SELECT doc_id,
+                           unnest(string_split(text, ' ')) AS tok
+                    FROM documents)
+              GROUP BY doc_id, tok
+            ), dfreq AS (
+              SELECT tok, count(*)::BIGINT AS df FROM tf GROUP BY tok
+            ), w AS (
+              SELECT tf.doc_id, tf.tok,
+                     tf.tf::DOUBLE * (ln(
+                       (1.0 + (SELECT count(*) FROM documents))
+                       / (1.0 + dfreq.df)) + 1.0) AS w
+              FROM tf JOIN dfreq ON tf.tok = dfreq.tok
+            ), norms AS (
+              SELECT doc_id,
+                     sum(floor(w * w * 1000000000.0)::BIGINT)
+                       ::BIGINT AS q
+              FROM w GROUP BY doc_id
+            ), crossed AS (
+              SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                     count(*)::BIGINT AS n_shared,
+                     sum(floor(a.w * b.w * 1000000000.0)::BIGINT)
+                       ::BIGINT AS x
+              FROM w a JOIN w b
+                ON a.tok = b.tok AND a.doc_id < b.doc_id
+              GROUP BY a.doc_id, b.doc_id
+            )
+            SELECT c.doc_a, c.doc_b, c.n_shared,
+                   round(c.x / sqrt(na.q::DOUBLE * nb.q::DOUBLE), 6)
+                     AS sim
+            FROM crossed c
+            JOIN norms na ON na.doc_id = c.doc_a
+            JOIN norms nb ON nb.doc_id = c.doc_b
+            WHERE round(c.x / sqrt(na.q::DOUBLE * nb.q::DOUBLE), 6)
+                  >= 0.75
+            ORDER BY doc_a, doc_b
+        """,
         "corpus_weighted_quantiles": """
             WITH hist AS (
               SELECT source AS g, n_chars AS v,

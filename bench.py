@@ -243,6 +243,7 @@ HEADLINE = [
     "events_decay_activity",
     "transcript_pack_audit",
     "corpus_weighted_quantiles",
+    "dedup_tfidf_cosine",
 ]
 
 BENCH_CONVERSATIONS = int(os.environ.get("PROTOSC_BENCH_CONVS", "20000"))

@@ -1058,3 +1058,112 @@ def degree_assortativity(
             den != 0, num.cast("double") / den.cast("double")
         ).alias("assortativity"),
     )
+
+
+def tfidf_cosine_pairs(
+    df: DataFrame,
+    min_sim: float = 0.8,
+    max_df: int | None = None,
+    min_df: int = 1,
+    unit: int = 10**9,
+) -> DataFrame:
+    """TF-IDF cosine near-duplicate pairs — the token-weighted
+    sibling of :func:`ngram_jaccard_pairs` (Jaccard treats every
+    shingle equally; idf weighting makes boilerplate tokens cheap and
+    rare tokens decisive, the classic retrieval-era near-dup
+    metric).
+
+    Weights follow the engine's sklearn-smoothed idf
+    (:func:`protosc_spark.textops.vocab_with_idf`):
+    w = tf * (ln((1+N)/(1+df)) + 1).  Every cross-term w_a * w_b and
+    every norm term w^2 is quantized to integer 1/``unit`` units
+    (floor, both engines) BEFORE summing, so the shared-token sums
+    and per-doc norms are order-independent integer sums; one float
+    expression at the end: sim = cross / sqrt(qa * qb).
+
+    Scale shape: one (doc, token) tf count, one token-df aggregate
+    (broadcast N rides a 1-row crossJoin), pair candidates from ONE
+    inverted-index equi-join on token — cost follows SHARED tokens,
+    never |docs|^2 — with ``max_df`` dropping boilerplate tokens from
+    every document before the join (the ngram_jaccard guard; cosine
+    over the capped vocabulary is the documented semantics when set).
+    Canonical doc_a < doc_b; deterministic (sim desc via rounded
+    integer state; ordering by ids).
+
+    Output: (doc_a, doc_b, n_shared, sim) with sim >= min_sim.
+    """
+    toks = df.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("tok")
+    )
+    tf = toks.groupBy("doc_id", "tok").agg(
+        F.count(F.lit(1)).cast("bigint").alias("tf")
+    )
+    dfreq = tf.groupBy("tok").agg(
+        F.count(F.lit(1)).cast("bigint").alias("df")
+    )
+    if max_df is not None:
+        dfreq = dfreq.where(F.col("df") <= int(max_df))
+    dfreq = dfreq.where(F.col("df") >= int(min_df))
+    n_docs = df.agg(F.count(F.lit(1)).alias("__n"))
+    w = (
+        tf.join(dfreq, "tok")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "tok",
+            (
+                F.col("tf").cast("double")
+                * (
+                    F.log(
+                        (F.lit(1.0) + F.col("__n").cast("double"))
+                        / (F.lit(1.0) + F.col("df").cast("double"))
+                    )
+                    + F.lit(1.0)
+                )
+            ).alias("w"),
+        )
+    )
+    u = F.lit(float(unit))
+    norms = w.groupBy("doc_id").agg(
+        F.sum(F.floor(F.col("w") * F.col("w") * u).cast("bigint"))
+        .alias("q")
+    )
+    a = w.select(
+        F.col("doc_id").alias("doc_a"), "tok", F.col("w").alias("wa")
+    )
+    b = w.select(
+        F.col("doc_id").alias("doc_b"), "tok", F.col("w").alias("wb")
+    )
+    cross = (
+        a.join(b, "tok")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_shared"),
+            F.sum(
+                F.floor(F.col("wa") * F.col("wb") * u).cast("bigint")
+            ).alias("x"),
+        )
+    )
+    na = norms.select(
+        F.col("doc_id").alias("doc_a"), F.col("q").alias("qa")
+    )
+    nb = norms.select(
+        F.col("doc_id").alias("doc_b"), F.col("q").alias("qb")
+    )
+    sim = (
+        F.col("x").cast("double")
+        / F.sqrt(F.col("qa").cast("double") * F.col("qb").cast("double"))
+    )
+    return (
+        cross.join(na, "doc_a")
+        .join(nb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_shared",
+            F.round(sim, 6).alias("sim"),
+        )
+        .where(F.col("sim") >= F.lit(float(min_sim)))
+        .orderBy("doc_a", "doc_b")
+    )

@@ -890,3 +890,58 @@ def test_assortativity_brute_force_pearson(spark):
     den = m * sxx - sx * sx
     assert r.n_edges == len(pairs)
     assert r.assortativity == float(num) / float(den)
+
+
+# -------------------------------------------------- tf-idf cosine
+class TestTfidfCosinePairs:
+    def _run(self, spark, texts, **kw):
+        from protosc_spark.dedup import tfidf_cosine_pairs
+
+        df = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)],
+            "doc_id bigint, text string",
+        )
+        return {
+            (r["doc_a"], r["doc_b"]): r
+            for r in tfidf_cosine_pairs(df, **kw).collect()
+        }
+
+    def test_hand_computed_cosine(self, spark):
+        import math
+
+        texts = ["rare shared", "rare shared", "other words"]
+        out = self._run(spark, texts, min_sim=0.0)
+        # docs 0,1 identical -> sim 1.0 (both tokens df=2, same w)
+        assert out[(0, 1)]["sim"] == 1.0
+        assert out[(0, 1)]["n_shared"] == 2
+        # no token shared with doc 2
+        assert (0, 2) not in out and (1, 2) not in out
+
+    def test_idf_downweights_boilerplate(self, spark):
+        # pair sharing only the everywhere-token scores far below the
+        # pair sharing the rare token
+        texts = [
+            "the unique1",   # 0
+            "the unique2",   # 1  (share boilerplate 'the')
+            "the gemstone",  # 2
+            "the gemstone",  # 3  (share rare 'gemstone' + 'the')
+        ]
+        out = self._run(spark, texts, min_sim=0.0)
+        assert out[(2, 3)]["sim"] == 1.0
+        assert out[(0, 1)]["sim"] < 0.5
+
+    def test_max_df_drops_boilerplate_tokens(self, spark):
+        texts = ["the a1", "the a2", "the a3", "the a4"]
+        # 'the' has df=4; cap at 3 removes it -> no shared tokens left
+        out = self._run(spark, texts, min_sim=0.0, max_df=3)
+        assert out == {}
+
+    def test_parallelism_invariant(self, spark, sf_dir):
+        from protosc_spark.dedup import tfidf_cosine_pairs
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        a = tfidf_cosine_pairs(docs.repartition(1), min_sim=0.8)
+        b = tfidf_cosine_pairs(docs.repartition(13), min_sim=0.8)
+        assert sorted(map(tuple, a.collect())) == sorted(
+            map(tuple, b.collect())
+        )
