@@ -478,3 +478,43 @@ def test_isotonic_pairs_never_touch_corpus_rows(spark):
     # (both pair-join sides, the output join) reads the checkpoint
     assert p.count("Scan parquet") == 0
     assert "ExistingRDD" in p or "LocalTableScan" in p
+
+
+def test_weighted_quantiles_histogram_collapse(spark):
+    from pyspark.sql import functions as F
+
+    from protosc_spark.sketches import weighted_quantiles
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    p = plan(weighted_quantiles(docs, "n_chars", "n_chars", "source"))
+    assert "ArrowEvalPython" not in p and "BatchEvalPython" not in p
+    # corpus feeds ONE histogram aggregation; the V-row collapse is
+    # lineage-cut so the probe join and totals read the checkpoint
+    assert p.count("Scan parquet") == 0
+    assert "ExistingRDD" in p or "LocalTableScan" in p
+
+
+def test_sprt_single_day_window(spark):
+    from protosc_spark.experiment import sprt_monitor
+
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    p = plan(sprt_monitor(ev, p0=0.3, p1=0.45, conversion_threshold=5))
+    assert "ArrowEvalPython" not in p and "BatchEvalPython" not in p
+    # the trajectory window runs over the calendar-sized day table,
+    # partitioned by state; the only range exchange is the
+    # |states|-row output ORDER BY
+    assert p.count("Exchange rangepartitioning") <= 1
+
+
+def test_bradley_terry_one_row_fold(spark):
+    from protosc_spark.evaluation import bradley_terry
+
+    m = spark.createDataFrame(
+        [("x", "y", 7.0, 3.0), ("y", "z", 5.0, 5.0)],
+        "a string, b string, wins_a double, wins_b double",
+    )
+    p = plan(bradley_terry(m, n_iter=5))
+    assert "ArrowEvalPython" not in p and "BatchEvalPython" not in p
+    # the MM iteration is a Catalyst fold on the one-row assembly:
+    # no per-iteration shuffles, no Python
+    assert n_shuffles(p) <= 3
