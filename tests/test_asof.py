@@ -435,3 +435,33 @@ class TestAsofSnapshot:
         ).collect()[0]
         assert out["a_x"] is None  # 90s stale > 30s bound
         assert out["b_y"] == 2.0  # 5s fresh
+
+
+def test_asof_snapshot_duplicate_ts_tiebreak_matches_asof_join(spark):
+    """Two updates of one stream at the SAME (entity, ts): both the
+    single-stream kernel and the snapshot must resolve to the MAX
+    value struct (asc ordering + last = max), independently per
+    stream."""
+    import datetime as dt
+
+    from protosc_spark.asof import asof_join, asof_snapshot
+
+    t = lambda s: dt.datetime(2025, 1, 1) + dt.timedelta(seconds=s)
+    left = spark.createDataFrame(
+        [("u", t(100))], "conv_id string, ts timestamp"
+    )
+    r1 = spark.createDataFrame(
+        [("u", t(50), 1.0), ("u", t(50), 9.0), ("u", t(50), 4.0)],
+        "conv_id string, ts timestamp, x double",
+    )
+    r2 = spark.createDataFrame(
+        [("u", t(60), 2.0), ("u", t(60), None)],
+        "conv_id string, ts timestamp, y double",
+    )
+    snap = asof_snapshot(left, {"a": r1, "b": r2}).collect()[0]
+    j = asof_join(
+        asof_join(left, r1), r2
+    ).collect()[0]
+    assert snap["a_x"] == j["x"] == 9.0
+    # non-null beats null at equal ts (nulls_first ordering, last wins)
+    assert snap["b_y"] == j["y"] == 2.0
