@@ -3444,3 +3444,26 @@ class TestConformalByGroup:
         ev = [("a", 1), ("evalonly", 9)]
         out = self._run(spark, cal, ev)
         assert {g for g, _ in out} == {"a"}
+
+
+def test_conformal_by_group_parallelism_invariant(spark):
+    import numpy as np
+
+    from protosc_spark.evaluation import conformal_threshold_by_group
+
+    rng = np.random.RandomState(11)
+    rows = [
+        (["a", "b", "c"][g], int(v))
+        for g, v in zip(rng.randint(0, 3, 900), rng.randint(0, 60, 900))
+    ]
+    cal = spark.createDataFrame(rows[:600], "g string, s int")
+    ev = spark.createDataFrame(rows[600:], "g string, s int")
+    a = conformal_threshold_by_group(
+        cal.repartition(1), ev.repartition(1), "s", "g"
+    )
+    b = conformal_threshold_by_group(
+        cal.repartition(13), ev.repartition(7), "s", "g"
+    )
+    assert sorted(map(tuple, a.collect())) == sorted(
+        map(tuple, b.collect())
+    )
